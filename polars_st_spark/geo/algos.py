@@ -1,0 +1,1172 @@
+"""Measures, transforms, and constructive operations.
+
+Numpy implementations of the reference's elementwise kernels
+(reference: src/functions.rs §measures 794-883, §constructive 1278-1698).
+Edge-case conventions are copied from the cited reference lines:
+- distance → NaN when either side is empty (functions.rs:823-825)
+- bounds → [NaN]*4 when empty (functions.rs:798-813)
+- x/y/z/m → NaN for non-Point or empty (functions.rs:445-487)
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+
+from polars_st_spark.geo.types import (
+    _COLLECTION_IDS,
+    _LINEAL_IDS,
+    _POLYGONAL_IDS,
+    Geometry,
+    GeometryType,
+)
+
+__all__ = [
+    "area", "length", "distance", "centroid", "point_on_surface",
+    "hausdorff_distance", "frechet_distance", "minimum_clearance",
+    "convex_hull", "envelope", "center", "simplify", "segmentize",
+    "remove_repeated_points", "reverse_geom", "flip_coordinates",
+    "force_2d", "force_3d", "affine_transform", "translate", "rotate",
+    "scale", "skew", "extract_unique_points", "boundary",
+    "line_interpolate_point", "line_locate_point", "line_merge",
+    "shortest_line", "snap", "minimum_rotated_rectangle",
+    "is_ccw", "is_closed", "is_ring", "is_simple", "is_valid",
+    "is_valid_reason", "make_valid", "normalize_geom", "multi",
+    "buffer", "offset_curve", "reverse_geom", "total_bounds_merge",
+]
+
+_NAN = float("nan")
+
+
+# ----------------------------------------------------------------------
+# Measures
+# ----------------------------------------------------------------------
+
+def _ring_signed_area(r: np.ndarray) -> float:
+    x = r[:, 0]
+    y = r[:, 1]
+    return 0.5 * float(np.sum(x * np.roll(y, -1) - np.roll(x, -1) * y))
+
+
+def area(g: Geometry) -> float:
+    t = g.type_id
+    if t in _POLYGONAL_IDS:
+        if not g.rings:
+            return 0.0
+        a = abs(_ring_signed_area(g.rings[0]))
+        for hole in g.rings[1:]:
+            a -= abs(_ring_signed_area(hole))
+        return a
+    if g.geoms:
+        return float(sum(area(s) for s in g.geoms))
+    return 0.0
+
+
+def _chain_length(c: np.ndarray) -> float:
+    if c is None or len(c) < 2:
+        return 0.0
+    d = np.diff(c[:, :2], axis=0)
+    return float(np.sqrt((d * d).sum(axis=1)).sum())
+
+
+def length(g: Geometry) -> float:
+    t = g.type_id
+    if t in _LINEAL_IDS:
+        return _chain_length(g.coords)
+    if t in _POLYGONAL_IDS:
+        return float(sum(_chain_length(_closed(r)) for r in (g.rings or [])))
+    if g.geoms:
+        return float(sum(length(s) for s in g.geoms))
+    return 0.0
+
+
+def _closed(r: np.ndarray) -> np.ndarray:
+    if len(r) >= 2 and (r[0][0] != r[-1][0] or r[0][1] != r[-1][1]):
+        return np.vstack([r, r[:1]])
+    return r
+
+
+def _seg_dist_point(px, py, ax, ay, bx, by):
+    """Vectorized point-to-segment distances."""
+    dx, dy = bx - ax, by - ay
+    ll = dx * dx + dy * dy
+    with np.errstate(divide="ignore", invalid="ignore"):
+        t = np.where(ll > 0, ((px - ax) * dx + (py - ay) * dy) / np.where(ll == 0, 1, ll), 0.0)
+    t = np.clip(t, 0.0, 1.0)
+    cx, cy = ax + t * dx, ay + t * dy
+    return np.sqrt((px - cx) ** 2 + (py - cy) ** 2)
+
+
+def _min_dist_point_to_chain(p: np.ndarray, chain: np.ndarray) -> float:
+    if len(chain) == 1:
+        return float(math.hypot(p[0] - chain[0, 0], p[1] - chain[0, 1]))
+    ax, ay = chain[:-1, 0], chain[:-1, 1]
+    bx, by = chain[1:, 0], chain[1:, 1]
+    return float(_seg_dist_point(p[0], p[1], ax, ay, bx, by).min())
+
+
+def _min_dist_chains(c1: np.ndarray, c2: np.ndarray) -> float:
+    from polars_st_spark.geo.predicates import _seg_intersect_kind
+
+    best = math.inf
+    # vertex-to-other-chain both directions (sufficient unless chains cross)
+    for p in c1:
+        best = min(best, _min_dist_point_to_chain(p[:2], c2))
+    for p in c2:
+        best = min(best, _min_dist_point_to_chain(p[:2], c1))
+    if best > 0:
+        for i in range(len(c1) - 1):
+            for j in range(len(c2) - 1):
+                if _seg_intersect_kind(c1[i, :2], c1[i + 1, :2], c2[j, :2], c2[j + 1, :2]):
+                    return 0.0
+    return best
+
+
+def distance(a: Geometry, b: Geometry) -> float:
+    """NaN if either side empty (reference: functions.rs:823-825)."""
+    if a.is_empty() or b.is_empty():
+        return _NAN
+    from polars_st_spark.geo.predicates import _decompose, intersects, point_in_polygon
+
+    if intersects(a, b):
+        return 0.0
+    da = _decompose(a)
+    db = _decompose(b)
+
+    def chains(d):
+        out = list(d.lines)
+        for rings in d.polys:
+            out.extend(_closed(r) for r in rings)
+        return out
+
+    best = math.inf
+    ca, cb = chains(da), chains(db)
+    for p in da.points:
+        for q in db.points:
+            best = min(best, math.hypot(p[0] - q[0], p[1] - q[1]))
+        for c in cb:
+            best = min(best, _min_dist_point_to_chain(p, c))
+    for q in db.points:
+        for c in ca:
+            best = min(best, _min_dist_point_to_chain(q, c))
+    for c1 in ca:
+        for c2 in cb:
+            best = min(best, _min_dist_chains(c1, c2))
+    return float(best)
+
+
+def centroid(g: Geometry) -> Geometry:
+    """Area/length/point-weighted centroid of the highest-dimension parts."""
+    out = Geometry(GeometryType.Point, srid=g.srid, coords=None)
+    dim = g.dimensions()
+    if g.is_empty():
+        return out
+    if dim == 2:
+        cx = cy = aa = 0.0
+        for rings, sign0 in _iter_poly_rings(g):
+            for k, r in enumerate(rings):
+                rc = _closed(r)
+                x, y = rc[:, 0], rc[:, 1]
+                cross = x[:-1] * y[1:] - x[1:] * y[:-1]
+                a6 = cross.sum() / 2.0
+                if a6 == 0:
+                    continue
+                sgn = 1.0 if k == 0 else -1.0
+                # normalize ring orientation so holes subtract
+                ccx = float(((x[:-1] + x[1:]) * cross).sum() / 6.0)
+                ccy = float(((y[:-1] + y[1:]) * cross).sum() / 6.0)
+                mag = abs(a6)
+                if a6 < 0:
+                    ccx, ccy = -ccx, -ccy
+                cx += sgn * ccx
+                cy += sgn * ccy
+                aa += sgn * mag
+        if aa != 0:
+            out.coords = np.array([cx / aa, cy / aa])
+            return out
+        dim = 1  # degenerate polygons: fall back to length centroid
+    if dim == 1:
+        cx = cy = ll = 0.0
+        for chain in _iter_chains(g):
+            c = chain[:, :2]
+            d = np.diff(c, axis=0)
+            seg_len = np.sqrt((d * d).sum(axis=1))
+            mids = (c[:-1] + c[1:]) / 2.0
+            cx += float((mids[:, 0] * seg_len).sum())
+            cy += float((mids[:, 1] * seg_len).sum())
+            ll += float(seg_len.sum())
+        if ll != 0:
+            out.coords = np.array([cx / ll, cy / ll])
+            return out
+        dim = 0
+    pts = g.all_coords()
+    if len(pts):
+        out.coords = np.array([float(pts[:, 0].mean()), float(pts[:, 1].mean())])
+    return out
+
+
+def _iter_poly_rings(g: Geometry):
+    if g.type_id in _POLYGONAL_IDS and g.rings:
+        yield g.rings, 1.0
+    elif g.geoms:
+        for s in g.geoms:
+            yield from _iter_poly_rings(s)
+
+
+def _iter_chains(g: Geometry):
+    if g.type_id in _LINEAL_IDS and g.coords is not None and len(g.coords) >= 2:
+        yield g.coords
+    elif g.type_id in _POLYGONAL_IDS and g.rings:
+        for r in g.rings:
+            yield _closed(r)
+    elif g.geoms:
+        for s in g.geoms:
+            yield from _iter_chains(s)
+
+
+def _interior_point_of_rings(rings: list[np.ndarray]) -> np.ndarray | None:
+    """GEOS-style interior point: midpoint of widest scanline intersection
+    at the bbox vertical bisector."""
+    from polars_st_spark.geo.predicates import point_in_polygon
+
+    if not rings or len(rings[0]) < 3:
+        return None
+    ext = rings[0]
+    ymid = (float(ext[:, 1].min()) + float(ext[:, 1].max())) / 2.0
+    # nudge off vertices sharing the bisector y
+    ys = np.unique(ext[:, 1])
+    if np.any(np.abs(ys - ymid) < 1e-9) and len(ys) > 1:
+        lower = ys[ys < ymid]
+        upper = ys[ys > ymid]
+        if len(lower) and len(upper):
+            ymid = (float(lower.max()) + float(upper.min())) / 2.0
+    xs = []
+    for r in rings:
+        rc = _closed(r)
+        for i in range(len(rc) - 1):
+            y1, y2 = rc[i, 1], rc[i + 1, 1]
+            if (y1 > ymid) != (y2 > ymid):
+                x = rc[i, 0] + (ymid - y1) * (rc[i + 1, 0] - rc[i, 0]) / (y2 - y1)
+                xs.append(x)
+    xs.sort()
+    best, width = None, -1.0
+    for i in range(0, len(xs) - 1, 2):
+        mid = np.array([(xs[i] + xs[i + 1]) / 2.0, ymid])
+        if xs[i + 1] - xs[i] > width and point_in_polygon(mid, rings) == 2:
+            best, width = mid, xs[i + 1] - xs[i]
+    return best
+
+
+def point_on_surface(g: Geometry) -> Geometry:
+    out = Geometry(GeometryType.Point, srid=g.srid, coords=None)
+    if g.is_empty():
+        return out
+    if g.dimensions() == 2:
+        for rings, _ in _iter_poly_rings(g):
+            p = _interior_point_of_rings(rings)
+            if p is not None:
+                out.coords = p
+                return out
+    c = centroid(g)
+    pts = g.all_coords()
+    if c.coords is None or not len(pts):
+        return out
+    d = np.sqrt((pts[:, 0] - c.coords[0]) ** 2 + (pts[:, 1] - c.coords[1]) ** 2)
+    out.coords = pts[int(np.argmin(d)), :2].copy()
+    return out
+
+
+def _densify_chain(c: np.ndarray, frac: float) -> np.ndarray:
+    if frac <= 0 or frac >= 1 or len(c) < 2:
+        return c
+    out = [c[:1]]
+    for i in range(len(c) - 1):
+        a, b = c[i], c[i + 1]
+        n = max(1, int(math.ceil(1.0 / frac)))
+        ts = np.linspace(0, 1, n + 1)[1:]
+        out.append(a[None, :] + ts[:, None] * (b - a)[None, :])
+    return np.vstack(out)
+
+
+def _vertex_set(g: Geometry, densify: float | None) -> np.ndarray:
+    pts = []
+    from polars_st_spark.geo.predicates import _decompose
+
+    d = _decompose(g)
+    for p in d.points:
+        pts.append(p.reshape(1, 2))
+    for c in d.lines:
+        cc = _densify_chain(c[:, :2], densify or 0)
+        pts.append(cc)
+    for rings in d.polys:
+        for r in rings:
+            cc = _densify_chain(_closed(r)[:, :2], densify or 0)
+            pts.append(cc)
+    if not pts:
+        return np.empty((0, 2))
+    return np.vstack(pts)
+
+
+def hausdorff_distance(a: Geometry, b: Geometry, densify: float | None = None) -> float:
+    """Discrete (vertex-based) Hausdorff distance, optional densification
+    (reference: functions.rs:831-849)."""
+    if a.is_empty() or b.is_empty():
+        return _NAN
+    pa = _vertex_set(a, densify)
+    pb = _vertex_set(b, densify)
+    d2 = (
+        (pa[:, None, 0] - pb[None, :, 0]) ** 2
+        + (pa[:, None, 1] - pb[None, :, 1]) ** 2
+    )
+    return float(np.sqrt(max(d2.min(axis=1).max(), d2.min(axis=0).max())))
+
+
+def frechet_distance(a: Geometry, b: Geometry, densify: float | None = None) -> float:
+    """Discrete Fréchet distance over vertex sequences
+    (reference: functions.rs:851-879; empty → NaN per :855-858)."""
+    if a.is_empty() or b.is_empty():
+        return _NAN
+    ca = _vertex_set(a, densify)
+    cb = _vertex_set(b, densify)
+    n, m = len(ca), len(cb)
+    d = np.sqrt(
+        (ca[:, None, 0] - cb[None, :, 0]) ** 2 + (ca[:, None, 1] - cb[None, :, 1]) ** 2
+    )
+    dp = np.empty((n, m))
+    dp[0, 0] = d[0, 0]
+    for j in range(1, m):
+        dp[0, j] = max(dp[0, j - 1], d[0, j])
+    for i in range(1, n):
+        dp[i, 0] = max(dp[i - 1, 0], d[i, 0])
+        for j in range(1, m):
+            dp[i, j] = max(min(dp[i - 1, j], dp[i - 1, j - 1], dp[i, j - 1]), d[i, j])
+    return float(dp[n - 1, m - 1])
+
+
+def minimum_clearance(a: Geometry) -> float:
+    pts = a.all_coords()[:, :2]
+    n = len(pts)
+    if n < 2:
+        return math.inf
+    best = math.inf
+    # vertex-vertex
+    d2 = (pts[:, None, 0] - pts[None, :, 0]) ** 2 + (pts[:, None, 1] - pts[None, :, 1]) ** 2
+    np.fill_diagonal(d2, np.inf)
+    mask = d2 > 1e-24
+    if mask.any():
+        best = float(np.sqrt(d2[mask].min()))
+    # vertex to non-adjacent segment
+    for chain in _iter_chains(a):
+        c = chain[:, :2]
+        for i in range(len(c) - 1):
+            a0, b0 = c[i], c[i + 1]
+            dd = _seg_dist_point(pts[:, 0], pts[:, 1], a0[0], a0[1], b0[0], b0[1])
+            dd = dd[dd > 1e-12]
+            if len(dd):
+                best = min(best, float(dd.min()))
+    return best
+
+
+# ----------------------------------------------------------------------
+# Constructive
+# ----------------------------------------------------------------------
+
+def convex_hull(g: Geometry) -> Geometry:
+    """Monotone-chain convex hull."""
+    pts = np.unique(g.all_coords()[:, :2], axis=0)
+    if len(pts) == 0:
+        return Geometry(GeometryType.GeometryCollection, srid=g.srid, geoms=[])
+    if len(pts) == 1:
+        return Geometry(GeometryType.Point, srid=g.srid, coords=pts[0])
+    order = np.lexsort((pts[:, 1], pts[:, 0]))
+    P = pts[order]
+
+    def half(points):
+        out: list[np.ndarray] = []
+        for p in points:
+            while len(out) >= 2 and (
+                (out[-1][0] - out[-2][0]) * (p[1] - out[-2][1])
+                - (out[-1][1] - out[-2][1]) * (p[0] - out[-2][0])
+            ) <= 0:
+                out.pop()
+            out.append(p)
+        return out
+
+    lower = half(P)
+    upper = half(P[::-1])
+    hull = np.array(lower[:-1] + upper[:-1])
+    if len(hull) < 3:
+        return Geometry(GeometryType.LineString, srid=g.srid, coords=np.array([P[0], P[-1]], dtype=np.float64))
+    ring = np.vstack([hull, hull[:1]])
+    # GEOS emits CCW hulls
+    if _ring_signed_area(ring) < 0:
+        ring = ring[::-1]
+    return Geometry(GeometryType.Polygon, srid=g.srid, rings=[ring])
+
+
+def envelope(g: Geometry) -> Geometry:
+    x0, y0, x1, y1 = g.bounds()
+    if x0 != x0:
+        return Geometry(GeometryType.Point, srid=g.srid, coords=None)
+    if x0 == x1 and y0 == y1:
+        return Geometry(GeometryType.Point, srid=g.srid, coords=np.array([x0, y0]))
+    if x0 == x1 or y0 == y1:
+        return Geometry(
+            GeometryType.LineString, srid=g.srid, coords=np.array([[x0, y0], [x1, y1]])
+        )
+    ring = np.array([[x0, y0], [x1, y0], [x1, y1], [x0, y1], [x0, y0]])
+    return Geometry(GeometryType.Polygon, srid=g.srid, rings=[ring])
+
+
+def center(g: Geometry) -> Geometry:
+    """bbox midpoint; POINT EMPTY for empty input (reference: functions.rs:1325-1335)."""
+    x0, y0, x1, y1 = g.bounds()
+    if x0 != x0:
+        return Geometry(GeometryType.Point, srid=g.srid, coords=None)
+    return Geometry(GeometryType.Point, srid=g.srid, coords=np.array([(x0 + x1) / 2, (y0 + y1) / 2]))
+
+
+def _dp_simplify(c: np.ndarray, tol: float) -> np.ndarray:
+    """Douglas–Peucker."""
+    if len(c) < 3:
+        return c
+    keep = np.zeros(len(c), dtype=bool)
+    keep[0] = keep[-1] = True
+    stack = [(0, len(c) - 1)]
+    while stack:
+        i, j = stack.pop()
+        if j - i < 2:
+            continue
+        seg = c[i + 1 : j, :2]
+        d = _seg_dist_point(seg[:, 0], seg[:, 1], c[i, 0], c[i, 1], c[j, 0], c[j, 1])
+        k = int(np.argmax(d))
+        if d[k] > tol:
+            keep[i + 1 + k] = True
+            stack.append((i, i + 1 + k))
+            stack.append((i + 1 + k, j))
+    return c[keep]
+
+
+def simplify(g: Geometry, tolerance: float, preserve_topology: bool = True) -> Geometry:
+    def f(t: Geometry) -> Geometry:
+        if t.type_id in _LINEAL_IDS and t.coords is not None:
+            return Geometry(t.type_id, srid=t.srid, has_z=t.has_z, has_m=t.has_m,
+                            coords=_dp_simplify(t.coords, tolerance))
+        if t.type_id in _POLYGONAL_IDS and t.rings:
+            rings = []
+            for r in t.rings:
+                s = _dp_simplify(_closed(r), tolerance)
+                if len(s) >= 4:
+                    rings.append(s)
+            return Geometry(t.type_id, srid=t.srid, has_z=t.has_z, has_m=t.has_m, rings=rings)
+        if t.geoms is not None:
+            return Geometry(t.type_id, srid=t.srid, has_z=t.has_z, has_m=t.has_m,
+                            geoms=[f(s) for s in t.geoms])
+        return t
+
+    return f(g)
+
+
+def segmentize(g: Geometry, max_segment_length: float) -> Geometry:
+    if max_segment_length <= 0:
+        raise ValueError("max_segment_length must be positive")
+
+    def split_chain(c: np.ndarray) -> np.ndarray:
+        if len(c) < 2:
+            return c
+        out = [c[:1]]
+        for i in range(len(c) - 1):
+            a, b = c[i], c[i + 1]
+            seg = math.hypot(b[0] - a[0], b[1] - a[1])
+            n = max(1, int(math.ceil(seg / max_segment_length)))
+            ts = np.linspace(0, 1, n + 1)[1:]
+            out.append(a[None, :] + ts[:, None] * (b - a)[None, :])
+        return np.vstack(out)
+
+    def f(t: Geometry) -> Geometry:
+        if t.type_id in _LINEAL_IDS and t.coords is not None:
+            return Geometry(t.type_id, srid=t.srid, has_z=t.has_z, has_m=t.has_m, coords=split_chain(t.coords))
+        if t.type_id in _POLYGONAL_IDS and t.rings:
+            return Geometry(t.type_id, srid=t.srid, has_z=t.has_z, has_m=t.has_m,
+                            rings=[split_chain(_closed(r)) for r in t.rings])
+        if t.geoms is not None:
+            return Geometry(t.type_id, srid=t.srid, has_z=t.has_z, has_m=t.has_m, geoms=[f(s) for s in t.geoms])
+        return t
+
+    return f(g)
+
+
+def remove_repeated_points(g: Geometry, tolerance: float = 0.0) -> Geometry:
+    def dedup(c: np.ndarray, is_ring: bool) -> np.ndarray:
+        if len(c) < 2:
+            return c
+        d = np.sqrt(((np.diff(c[:, :2], axis=0)) ** 2).sum(axis=1))
+        keep = np.concatenate([[True], d > tolerance])
+        out = c[keep]
+        min_n = 4 if is_ring else 2
+        if len(out) < min_n:
+            return c[: min_n] if len(c) >= min_n else c
+        return out
+
+    def f(t: Geometry) -> Geometry:
+        if t.type_id in _LINEAL_IDS and t.coords is not None:
+            return Geometry(t.type_id, srid=t.srid, has_z=t.has_z, has_m=t.has_m, coords=dedup(t.coords, False))
+        if t.type_id in _POLYGONAL_IDS and t.rings:
+            return Geometry(t.type_id, srid=t.srid, has_z=t.has_z, has_m=t.has_m,
+                            rings=[dedup(r, True) for r in t.rings])
+        if t.geoms is not None:
+            return Geometry(t.type_id, srid=t.srid, has_z=t.has_z, has_m=t.has_m, geoms=[f(s) for s in t.geoms])
+        return t
+
+    return f(g)
+
+
+def reverse_geom(g: Geometry) -> Geometry:
+    def f(t: Geometry) -> Geometry:
+        if t.type_id in _LINEAL_IDS and t.coords is not None:
+            return Geometry(t.type_id, srid=t.srid, has_z=t.has_z, has_m=t.has_m, coords=t.coords[::-1].copy())
+        if t.type_id in _POLYGONAL_IDS and t.rings:
+            return Geometry(t.type_id, srid=t.srid, has_z=t.has_z, has_m=t.has_m,
+                            rings=[r[::-1].copy() for r in t.rings])
+        if t.geoms is not None:
+            return Geometry(t.type_id, srid=t.srid, has_z=t.has_z, has_m=t.has_m, geoms=[f(s) for s in t.geoms])
+        return t
+
+    return f(g)
+
+
+def flip_coordinates(g: Geometry) -> Geometry:
+    def flip(arr: np.ndarray) -> np.ndarray:
+        out = arr.copy()
+        out[:, 0], out[:, 1] = arr[:, 1].copy(), arr[:, 0].copy()
+        return out
+
+    return g.map_coords(flip)
+
+
+def force_2d(g: Geometry) -> Geometry:
+    if not g.has_z and not g.has_m:
+        return g
+
+    def f(t: Geometry) -> Geometry:
+        if t.type_id == GeometryType.Point:
+            c = None if t.coords is None else t.coords[:2].copy()
+            return Geometry(t.type_id, srid=t.srid, coords=c)
+        if t.type_id in _LINEAL_IDS:
+            c = None if t.coords is None else t.coords[:, :2].copy()
+            return Geometry(t.type_id, srid=t.srid, coords=c)
+        if t.type_id in _POLYGONAL_IDS:
+            return Geometry(t.type_id, srid=t.srid, rings=[r[:, :2].copy() for r in (t.rings or [])])
+        return Geometry(t.type_id, srid=t.srid, geoms=[f(s) for s in (t.geoms or [])])
+
+    return f(g)
+
+
+def force_3d(g: Geometry, z: float = 0.0) -> Geometry:
+    if g.has_z:
+        return g
+
+    def f(t: Geometry) -> Geometry:
+        if t.type_id == GeometryType.Point:
+            c = None if t.coords is None else np.append(t.coords[:2], z)
+            return Geometry(t.type_id, srid=t.srid, has_z=True, coords=c)
+        if t.type_id in _LINEAL_IDS:
+            c = None
+            if t.coords is not None:
+                c = np.column_stack([t.coords[:, :2], np.full(len(t.coords), z)])
+            return Geometry(t.type_id, srid=t.srid, has_z=True, coords=c)
+        if t.type_id in _POLYGONAL_IDS:
+            rings = [np.column_stack([r[:, :2], np.full(len(r), z)]) for r in (t.rings or [])]
+            return Geometry(t.type_id, srid=t.srid, has_z=True, rings=rings)
+        return Geometry(t.type_id, srid=t.srid, has_z=True, geoms=[f(s) for s in (t.geoms or [])])
+
+    return f(g)
+
+
+# --- affine family (reference: functions.rs:179-255,1494-1698) ---
+
+def affine_transform(g: Geometry, matrix) -> Geometry:
+    """matrix of 6 (2D: a,b,d,e,xoff,yoff) or 12 (3D) elements, shapely order."""
+    m = [float(v) for v in matrix]
+    if len(m) == 6:
+        a, b, d, e, xoff, yoff = m
+
+        def f(arr: np.ndarray) -> np.ndarray:
+            out = arr.copy()
+            out[:, 0] = a * arr[:, 0] + b * arr[:, 1] + xoff
+            out[:, 1] = d * arr[:, 0] + e * arr[:, 1] + yoff
+            return out
+
+    elif len(m) == 12:
+        a, b, c, d, e, f_, gg, h, i, xoff, yoff, zoff = m
+
+        def f(arr: np.ndarray) -> np.ndarray:
+            out = arr.copy()
+            z = arr[:, 2] if arr.shape[1] > 2 else np.zeros(len(arr))
+            out[:, 0] = a * arr[:, 0] + b * arr[:, 1] + c * z + xoff
+            out[:, 1] = d * arr[:, 0] + e * arr[:, 1] + f_ * z + yoff
+            if arr.shape[1] > 2:
+                out[:, 2] = gg * arr[:, 0] + h * arr[:, 1] + i * z + zoff
+            return out
+
+    else:
+        raise ValueError("matrix must have 6 or 12 elements")
+    return g.map_coords(f)
+
+
+def _origin_xy(g: Geometry, origin) -> tuple[float, float]:
+    if origin == "center":
+        x0, y0, x1, y1 = g.bounds()
+        return ((x0 + x1) / 2.0, (y0 + y1) / 2.0)
+    if origin == "centroid":
+        c = centroid(g)
+        if c.coords is None:
+            return (0.0, 0.0)
+        return (float(c.coords[0]), float(c.coords[1]))
+    x, y = float(origin[0]), float(origin[1])
+    return (x, y)
+
+
+def translate(g: Geometry, x: float = 0.0, y: float = 0.0, z: float = 0.0) -> Geometry:
+    def f(arr: np.ndarray) -> np.ndarray:
+        out = arr.copy()
+        out[:, 0] += x
+        out[:, 1] += y
+        if arr.shape[1] > 2 and z:
+            out[:, 2] += z
+        return out
+
+    return g.map_coords(f)
+
+
+def rotate(g: Geometry, angle_deg: float, origin="center") -> Geometry:
+    """Angle in degrees (reference converts deg→rad, functions.rs:215-227)."""
+    if g.is_empty():
+        return g
+    ox, oy = _origin_xy(g, origin)
+    rad = math.radians(angle_deg)
+    ca, sa = math.cos(rad), math.sin(rad)
+
+    def f(arr: np.ndarray) -> np.ndarray:
+        out = arr.copy()
+        dx = arr[:, 0] - ox
+        dy = arr[:, 1] - oy
+        out[:, 0] = ox + ca * dx - sa * dy
+        out[:, 1] = oy + sa * dx + ca * dy
+        return out
+
+    return g.map_coords(f)
+
+
+def scale(g: Geometry, x: float = 1.0, y: float = 1.0, z: float = 1.0, origin="center") -> Geometry:
+    if g.is_empty():
+        return g
+    ox, oy = _origin_xy(g, origin)
+
+    def f(arr: np.ndarray) -> np.ndarray:
+        out = arr.copy()
+        out[:, 0] = ox + x * (arr[:, 0] - ox)
+        out[:, 1] = oy + y * (arr[:, 1] - oy)
+        if arr.shape[1] > 2:
+            out[:, 2] = z * arr[:, 2]
+        return out
+
+    return g.map_coords(f)
+
+
+def skew(g: Geometry, x: float = 0.0, y: float = 0.0, origin="center") -> Geometry:
+    """Shear by angles in degrees (reference: functions.rs:242-255 tangent of radians)."""
+    if g.is_empty():
+        return g
+    ox, oy = _origin_xy(g, origin)
+    tx = math.tan(math.radians(x))
+    ty = math.tan(math.radians(y))
+
+    def f(arr: np.ndarray) -> np.ndarray:
+        out = arr.copy()
+        dx = arr[:, 0] - ox
+        dy = arr[:, 1] - oy
+        out[:, 0] = ox + dx + tx * dy
+        out[:, 1] = oy + ty * dx + dy
+        return out
+
+    return g.map_coords(f)
+
+
+def extract_unique_points(g: Geometry) -> Geometry:
+    pts = g.all_coords()
+    seen = set()
+    out = []
+    for p in pts:
+        key = (float(p[0]), float(p[1]))
+        if key not in seen:
+            seen.add(key)
+            out.append(Geometry(GeometryType.Point, srid=g.srid, coords=p[:2].copy()))
+    return Geometry(GeometryType.MultiPoint, srid=g.srid, geoms=out)
+
+
+def boundary(g: Geometry) -> Geometry:
+    """Point→empty GC, Line→boundary points, Polygon→rings
+    (GEOS semantics; GC input special-cased per functions.rs:1281-1284)."""
+    t = g.type_id
+    if t == GeometryType.GeometryCollection:
+        return Geometry(GeometryType.GeometryCollection, srid=g.srid, geoms=[])
+    if t in (GeometryType.Point, GeometryType.MultiPoint):
+        return Geometry(GeometryType.GeometryCollection, srid=g.srid, geoms=[])
+    if t in _LINEAL_IDS or t == GeometryType.MultiLineString:
+        from polars_st_spark.geo.predicates import _decompose, _line_boundary_points
+
+        pts = _line_boundary_points(_decompose(g).lines)
+        geoms = [Geometry(GeometryType.Point, srid=g.srid, coords=np.asarray(p)) for p in pts]
+        return Geometry(GeometryType.MultiPoint, srid=g.srid, geoms=geoms)
+    # polygonal
+    rings = []
+    for rs, _ in _iter_poly_rings(g):
+        for r in rs:
+            rings.append(Geometry(GeometryType.LineString, srid=g.srid, coords=_closed(r).copy()))
+    if len(rings) == 1:
+        out = rings[0]
+        return out
+    return Geometry(GeometryType.MultiLineString, srid=g.srid, geoms=rings)
+
+
+def line_interpolate_point(g: Geometry, dist: float, normalized: bool = False) -> Geometry:
+    """(reference: functions.rs:1700-1717)"""
+    out = Geometry(GeometryType.Point, srid=g.srid, coords=None)
+    chains = list(_iter_chains(g))
+    if not chains:
+        return out
+    c = chains[0][:, :2]
+    total = _chain_length(c)
+    d = dist * total if normalized else dist
+    if d < 0:
+        d = max(0.0, total + d)
+    d = min(max(d, 0.0), total)
+    acc = 0.0
+    for i in range(len(c) - 1):
+        seg = math.hypot(c[i + 1, 0] - c[i, 0], c[i + 1, 1] - c[i, 1])
+        if acc + seg >= d or i == len(c) - 2:
+            t = 0.0 if seg == 0 else (d - acc) / seg
+            t = min(max(t, 0.0), 1.0)
+            out.coords = c[i] + t * (c[i + 1] - c[i])
+            return out
+        acc += seg
+    return out
+
+
+def line_locate_point(g: Geometry, p: Geometry, normalized: bool = False) -> float:
+    """project() — NaN guards for empty (reference: functions.rs:1719-1743)."""
+    if g.is_empty() or p.is_empty():
+        return _NAN
+    chains = list(_iter_chains(g))
+    if not chains or p.coords is None:
+        return _NAN
+    c = chains[0][:, :2]
+    q = p.coords[:2]
+    best_d = math.inf
+    best_loc = 0.0
+    acc = 0.0
+    for i in range(len(c) - 1):
+        a, b = c[i], c[i + 1]
+        seg = math.hypot(b[0] - a[0], b[1] - a[1])
+        if seg > 0:
+            t = ((q[0] - a[0]) * (b[0] - a[0]) + (q[1] - a[1]) * (b[1] - a[1])) / (seg * seg)
+            t = min(max(t, 0.0), 1.0)
+            px, py = a[0] + t * (b[0] - a[0]), a[1] + t * (b[1] - a[1])
+            d = math.hypot(q[0] - px, q[1] - py)
+            if d < best_d:
+                best_d = d
+                best_loc = acc + t * seg
+        acc += seg
+    if normalized:
+        return best_loc / acc if acc > 0 else 0.0
+    return best_loc
+
+
+def line_merge(g: Geometry, directed: bool = False) -> Geometry:
+    """Join connected linestrings end-to-end (reference: functions.rs:1745-1755)."""
+    from polars_st_spark.geo.predicates import _decompose
+
+    chains = [c.copy() for c in _decompose(g).lines]
+    merged = True
+    while merged and len(chains) > 1:
+        merged = False
+        for i in range(len(chains)):
+            for j in range(i + 1, len(chains)):
+                a, b = chains[i], chains[j]
+                join = None
+                if np.allclose(a[-1], b[0]):
+                    join = np.vstack([a, b[1:]])
+                elif not directed and np.allclose(a[-1], b[-1]):
+                    join = np.vstack([a, b[::-1][1:]])
+                elif not directed and np.allclose(a[0], b[0]):
+                    join = np.vstack([a[::-1], b[1:]])
+                elif np.allclose(b[-1], a[0]):
+                    join = np.vstack([b, a[1:]])
+                if join is not None:
+                    chains[i] = join
+                    chains.pop(j)
+                    merged = True
+                    break
+            if merged:
+                break
+    if not chains:
+        return Geometry(GeometryType.GeometryCollection, srid=g.srid, geoms=[])
+    if len(chains) == 1:
+        return Geometry(GeometryType.LineString, srid=g.srid, coords=chains[0])
+    return Geometry(
+        GeometryType.MultiLineString,
+        srid=g.srid,
+        geoms=[Geometry(GeometryType.LineString, srid=g.srid, coords=c) for c in chains],
+    )
+
+
+def shortest_line(a: Geometry, b: Geometry) -> Geometry:
+    """LINESTRING EMPTY if either empty (reference: functions.rs:1765-1777)."""
+    if a.is_empty() or b.is_empty():
+        return Geometry(GeometryType.LineString, srid=a.srid, coords=np.empty((0, 2)))
+    # brute force over primitive pairs
+    best = None
+    best_d = math.inf
+    pa = _vertex_set(a, None)
+    from polars_st_spark.geo.predicates import _decompose
+
+    da, db = _decompose(a), _decompose(b)
+
+    def chains(d):
+        out = [c[:, :2] for c in d.lines]
+        for rings in d.polys:
+            out.extend(_closed(r)[:, :2] for r in rings)
+        for p in d.points:
+            out.append(p.reshape(1, 2))
+        return out
+
+    for c1 in chains(da):
+        for c2 in chains(db):
+            for p in c1:
+                q = _closest_on_chain(p, c2)
+                d = math.hypot(p[0] - q[0], p[1] - q[1])
+                if d < best_d:
+                    best_d, best = d, (p.copy(), q)
+            for p in c2:
+                q = _closest_on_chain(p, c1)
+                d = math.hypot(p[0] - q[0], p[1] - q[1])
+                if d < best_d:
+                    best_d, best = d, (q, p.copy())
+    if best is None:
+        return Geometry(GeometryType.LineString, srid=a.srid, coords=np.empty((0, 2)))
+    return Geometry(GeometryType.LineString, srid=a.srid, coords=np.array([best[0], best[1]]))
+
+
+def _closest_on_chain(p: np.ndarray, chain: np.ndarray) -> np.ndarray:
+    if len(chain) == 1:
+        return chain[0]
+    ax, ay = chain[:-1, 0], chain[:-1, 1]
+    bx, by = chain[1:, 0], chain[1:, 1]
+    dx, dy = bx - ax, by - ay
+    ll = dx * dx + dy * dy
+    with np.errstate(divide="ignore", invalid="ignore"):
+        t = np.where(ll > 0, ((p[0] - ax) * dx + (p[1] - ay) * dy) / np.where(ll == 0, 1, ll), 0.0)
+    t = np.clip(t, 0, 1)
+    cx, cy = ax + t * dx, ay + t * dy
+    d = (p[0] - cx) ** 2 + (p[1] - cy) ** 2
+    i = int(np.argmin(d))
+    return np.array([cx[i], cy[i]])
+
+
+def snap(g: Geometry, ref: Geometry, tolerance: float) -> Geometry:
+    """Snap vertices of g to nearest vertex of ref within tolerance
+    (reference: functions.rs:1779-1789)."""
+    ref_pts = ref.all_coords()[:, :2]
+    if len(ref_pts) == 0:
+        return g
+
+    def f(arr: np.ndarray) -> np.ndarray:
+        out = arr.copy()
+        for i in range(len(out)):
+            d = np.sqrt((ref_pts[:, 0] - out[i, 0]) ** 2 + (ref_pts[:, 1] - out[i, 1]) ** 2)
+            j = int(np.argmin(d))
+            if d[j] <= tolerance:
+                out[i, 0], out[i, 1] = ref_pts[j, 0], ref_pts[j, 1]
+        return out
+
+    return g.map_coords(f)
+
+
+def minimum_rotated_rectangle(g: Geometry) -> Geometry:
+    """Rotating-calipers minimum-area oriented envelope."""
+    hull = convex_hull(g)
+    if hull.type_id != GeometryType.Polygon:
+        return hull
+    ring = hull.rings[0][:-1]
+    n = len(ring)
+    best_area = math.inf
+    best_rect = None
+    for i in range(n):
+        a, b = ring[i], ring[(i + 1) % n]
+        ux, uy = b[0] - a[0], b[1] - a[1]
+        norm = math.hypot(ux, uy)
+        if norm == 0:
+            continue
+        ux, uy = ux / norm, uy / norm
+        vx, vy = -uy, ux
+        proj_u = ring[:, 0] * ux + ring[:, 1] * uy
+        proj_v = ring[:, 0] * vx + ring[:, 1] * vy
+        w = proj_u.max() - proj_u.min()
+        h = proj_v.max() - proj_v.min()
+        if w * h < best_area:
+            best_area = w * h
+            u0, u1 = proj_u.min(), proj_u.max()
+            v0, v1 = proj_v.min(), proj_v.max()
+            corners = [
+                (u0 * ux + v0 * vx, u0 * uy + v0 * vy),
+                (u1 * ux + v0 * vx, u1 * uy + v0 * vy),
+                (u1 * ux + v1 * vx, u1 * uy + v1 * vy),
+                (u0 * ux + v1 * vx, u0 * uy + v1 * vy),
+            ]
+            best_rect = np.array(corners + [corners[0]])
+    if best_rect is None:
+        return hull
+    return Geometry(GeometryType.Polygon, srid=g.srid, rings=[best_rect])
+
+
+# ----------------------------------------------------------------------
+# Validity / ring checks
+# ----------------------------------------------------------------------
+
+def is_ccw(g: Geometry) -> bool:
+    """False unless lineal coord-seq (reference: functions.rs:893-901)."""
+    if g.type_id in _LINEAL_IDS and g.coords is not None and len(g.coords) >= 4:
+        c = g.coords
+        if c[0][0] == c[-1][0] and c[0][1] == c[-1][1]:
+            return _ring_signed_area(c) > 0
+    if g.type_id == GeometryType.Point and g.coords is not None:
+        return False
+    return False
+
+
+def is_closed(g: Geometry) -> bool:
+    """(reference: functions.rs:903-913)"""
+    t = g.type_id
+    if t in _LINEAL_IDS:
+        c = g.coords
+        if c is None or len(c) == 0:
+            return False
+        return bool(c[0][0] == c[-1][0] and c[0][1] == c[-1][1])
+    if t == GeometryType.MultiLineString:
+        return all(is_closed(s) for s in (g.geoms or []))
+    if t == GeometryType.Point:
+        return not g.is_empty()
+    return False
+
+
+def is_ring(g: Geometry) -> bool:
+    return g.type_id in _LINEAL_IDS and is_closed(g) and is_simple(g)
+
+
+def is_simple(g: Geometry) -> bool:
+    """No self-intersection other than shared endpoints."""
+    from polars_st_spark.geo.predicates import _seg_intersect_kind
+
+    if g.type_id in _LINEAL_IDS:
+        c = g.coords
+        if c is None or len(c) < 2:
+            return True
+        n = len(c) - 1
+        closed = c[0][0] == c[-1][0] and c[0][1] == c[-1][1]
+        for i in range(n):
+            for j in range(i + 1, n):
+                kind = _seg_intersect_kind(c[i, :2], c[i + 1, :2], c[j, :2], c[j + 1, :2])
+                if kind == 0:
+                    continue
+                adjacent = (j == i + 1) or (closed and i == 0 and j == n - 1)
+                if kind == 1 and adjacent:
+                    continue
+                return False
+        return True
+    if g.geoms is not None:
+        return all(is_simple(s) for s in g.geoms)
+    return True
+
+
+def is_valid(g: Geometry) -> bool:
+    return is_valid_reason(g) == "Valid Geometry"
+
+
+def is_valid_reason(g: Geometry) -> str:
+    """Partial validity check: ring closure/size, ring self-intersection."""
+    from polars_st_spark.geo.predicates import _seg_intersect_kind
+
+    def check(t: Geometry) -> str | None:
+        if t.type_id in _POLYGONAL_IDS and t.rings:
+            for r in t.rings:
+                rc = _closed(r)
+                if len(rc) < 4:
+                    return "Too few points in geometry component"
+                n = len(rc) - 1
+                for i in range(n):
+                    for j in range(i + 1, n):
+                        kind = _seg_intersect_kind(rc[i, :2], rc[i + 1, :2], rc[j, :2], rc[j + 1, :2])
+                        if kind == 0:
+                            continue
+                        adjacent = (j == i + 1) or (i == 0 and j == n - 1)
+                        if kind == 1 and adjacent:
+                            continue
+                        x = (rc[i, 0] + rc[i + 1, 0]) / 2
+                        y = (rc[i, 1] + rc[i + 1, 1]) / 2
+                        return f"Self-intersection[{x} {y}]"
+        if t.geoms is not None:
+            for s in t.geoms:
+                r = check(s)
+                if r:
+                    return r
+        return None
+
+    return check(g) or "Valid Geometry"
+
+
+def make_valid(g: Geometry) -> Geometry:
+    """Identity for already-valid inputs; bow-tie fixing not yet implemented."""
+    if is_valid(g):
+        return g
+    raise NotImplementedError(
+        "make_valid for self-intersecting polygons is not implemented yet"
+    )
+
+
+def normalize_geom(g: Geometry) -> Geometry:
+    """GEOS-style canonical form: exterior rings CW, holes CCW, ring start at
+    lowest vertex, collection members sorted."""
+    from polars_st_spark.geo.wkb import to_ewkb
+
+    def norm_ring(r: np.ndarray, want_ccw: bool) -> np.ndarray:
+        rc = _closed(r)
+        body = rc[:-1]
+        ccw = _ring_signed_area(rc) > 0
+        if ccw != want_ccw:
+            body = body[::-1]
+        # rotate to start at lexicographically smallest vertex
+        idx = np.lexsort((body[:, 1], body[:, 0]))[0]
+        body = np.vstack([body[idx:], body[:idx]])
+        return np.vstack([body, body[:1]])
+
+    def f(t: Geometry) -> Geometry:
+        if t.type_id in _POLYGONAL_IDS and t.rings:
+            rings = [norm_ring(t.rings[0], want_ccw=False)]
+            rings += [norm_ring(r, want_ccw=True) for r in t.rings[1:]]
+            return Geometry(t.type_id, srid=t.srid, has_z=t.has_z, has_m=t.has_m, rings=rings)
+        if t.geoms is not None:
+            subs = [f(s) for s in t.geoms]
+            subs.sort(key=lambda s: to_ewkb(s))
+            return Geometry(t.type_id, srid=t.srid, has_z=t.has_z, has_m=t.has_m, geoms=subs)
+        return t
+
+    return f(g)
+
+
+def multi(g: Geometry) -> Geometry:
+    """Point→MultiPoint etc.; collections pass through (reference: functions.rs:779-792)."""
+    t = g.type_id
+    promote = {
+        GeometryType.Point: GeometryType.MultiPoint,
+        GeometryType.LineString: GeometryType.MultiLineString,
+        GeometryType.Polygon: GeometryType.MultiPolygon,
+        GeometryType.CircularString: GeometryType.MultiCurve,
+    }
+    if t in promote:
+        return Geometry(promote[t], srid=g.srid, has_z=g.has_z, has_m=g.has_m, geoms=[g])
+    return g
+
+
+# ----------------------------------------------------------------------
+# Buffer family — supported cases only (see SURVEY §7 hard parts)
+# ----------------------------------------------------------------------
+
+def buffer(
+    g: Geometry,
+    dist: float,
+    quad_segs: int = 8,
+    cap_style: str = "round",
+    join_style: str = "round",
+    mitre_limit: float = 5.0,
+    single_sided: bool = False,
+) -> Geometry:
+    """Buffer for the Point and axis-aligned-rectangle cases (exact n-gon /
+    rounded-rect construction). General polygon/line buffering requires
+    boolean union of offset pieces — planned (see SURVEY §7)."""
+    if g.is_empty():
+        return Geometry(GeometryType.Polygon, srid=g.srid, rings=[])
+    if dist <= 0:
+        raise NotImplementedError("negative/zero buffer not implemented")
+    t = g.type_id
+    if t == GeometryType.Point:
+        n = max(4, 4 * quad_segs)
+        ang = np.linspace(0, 2 * math.pi, n, endpoint=False)
+        ring = np.column_stack(
+            [g.coords[0] + dist * np.cos(ang), g.coords[1] + dist * np.sin(ang)]
+        )
+        ring = np.vstack([ring, ring[:1]])
+        return Geometry(GeometryType.Polygon, srid=g.srid, rings=[ring])
+    if t == GeometryType.Polygon and _is_axis_rect(g):
+        x0, y0, x1, y1 = g.bounds()
+        pts = []
+        corners = [(x1, y1), (x0, y1), (x0, y0), (x1, y0)]
+        start_ang = [0.0, math.pi / 2, math.pi, 3 * math.pi / 2]
+        for (cx, cy), a0 in zip(corners, start_ang):
+            for k in range(quad_segs + 1):
+                a = a0 + (math.pi / 2) * k / quad_segs
+                pts.append((cx + dist * math.cos(a), cy + dist * math.sin(a)))
+        ring = np.array(pts + [pts[0]])
+        return Geometry(GeometryType.Polygon, srid=g.srid, rings=[ring])
+    raise NotImplementedError(
+        f"buffer for {g.type_name} (non-rectangle) requires general offset union"
+    )
+
+
+def _is_axis_rect(g: Geometry) -> bool:
+    if g.type_id != GeometryType.Polygon or not g.rings or len(g.rings) != 1:
+        return False
+    r = _closed(g.rings[0])
+    if len(r) != 5:
+        return False
+    xs = set(round(float(v), 12) for v in r[:4, 0])
+    ys = set(round(float(v), 12) for v in r[:4, 1])
+    return len(xs) == 2 and len(ys) == 2
+
+
+def offset_curve(g: Geometry, dist: float, quad_segs: int = 8, join_style: str = "round", mitre_limit: float = 5.0) -> Geometry:
+    """Parallel offset of a single-segment or axis-parallel polyline."""
+    chains = list(_iter_chains(g))
+    if not chains:
+        return Geometry(GeometryType.LineString, srid=g.srid, coords=np.empty((0, 2)))
+    c = chains[0][:, :2]
+    out = []
+    # simple per-vertex normal offset (exact for straight/axis-parallel lines)
+    for i in range(len(c)):
+        if i == 0:
+            dx, dy = c[1] - c[0]
+        elif i == len(c) - 1:
+            dx, dy = c[-1] - c[-2]
+        else:
+            dx, dy = c[i + 1] - c[i - 1]
+        norm = math.hypot(dx, dy)
+        if norm == 0:
+            out.append(c[i])
+            continue
+        nx, ny = -dy / norm, dx / norm
+        out.append(c[i] + dist * np.array([nx, ny]))
+    return Geometry(GeometryType.LineString, srid=g.srid, coords=np.array(out))
+
+
+def total_bounds_merge(bounds_list) -> list[float]:
+    """Combine per-row bounds into [min x0, min y0, max x1, max y1]."""
+    arr = np.asarray([b for b in bounds_list if b is not None and b[0] == b[0]], dtype=np.float64)
+    if len(arr) == 0:
+        return [_NAN, _NAN, _NAN, _NAN]
+    return [
+        float(arr[:, 0].min()),
+        float(arr[:, 1].min()),
+        float(arr[:, 2].max()),
+        float(arr[:, 3].max()),
+    ]

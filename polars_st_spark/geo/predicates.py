@@ -1,0 +1,699 @@
+"""Point-set topology predicates over the Geometry model.
+
+Implements the reference's binary predicate surface (reference:
+src/functions.rs:935-1070) with classic computational-geometry primitives:
+orientation tests, segment intersection, ray-cast point-in-polygon.
+
+Semantics follow GEOS/OGC:
+- ``intersects``: closures share at least one point
+- ``contains(a, b)``: b within closure of a AND interiors intersect
+- ``covers(a, b)``: every point of b within closure of a
+- ``touches``: closures intersect but interiors do not
+- ``crosses`` / ``overlaps``: interior intersection with dimension rules
+- empty inputs: all predicates False (GEOS convention)
+
+Supported types: Point/LineString/Polygon and their Multi/GeometryCollection
+combinations. Curved types raise NotImplementedError (see SURVEY §7 hard part 1).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from polars_st_spark.geo.types import Geometry, GeometryType
+
+__all__ = [
+    "intersects",
+    "disjoint",
+    "within",
+    "contains",
+    "contains_properly",
+    "covers",
+    "covered_by",
+    "touches",
+    "crosses",
+    "overlaps",
+    "equals",
+    "equals_exact",
+    "equals_identical",
+    "relate",
+    "relate_pattern",
+    "intersects_xy",
+    "contains_xy",
+    "dwithin",
+]
+
+_EPS = 1e-12
+
+
+# ----------------------------------------------------------------------
+# Decomposition: every geometry becomes points + segments + polygons
+# ----------------------------------------------------------------------
+
+class _Decomp:
+    __slots__ = ("points", "lines", "polys")
+
+    def __init__(self) -> None:
+        self.points: list[np.ndarray] = []      # (2,) arrays
+        self.lines: list[np.ndarray] = []       # (n,2) vertex chains (n>=2)
+        self.polys: list[list[np.ndarray]] = [] # list of rings, ring = (n,2)
+
+
+def _decompose(g: Geometry, d: _Decomp | None = None) -> _Decomp:
+    if d is None:
+        d = _Decomp()
+    t = g.type_id
+    if t == GeometryType.Point:
+        if g.coords is not None:
+            d.points.append(np.asarray(g.coords[:2], dtype=np.float64))
+    elif t == GeometryType.LineString:
+        if g.coords is not None and len(g.coords) >= 2:
+            d.lines.append(np.asarray(g.coords[:, :2], dtype=np.float64))
+        elif g.coords is not None and len(g.coords) == 1:
+            d.points.append(np.asarray(g.coords[0, :2], dtype=np.float64))
+    elif t in (GeometryType.Polygon, GeometryType.Triangle):
+        if g.rings:
+            d.polys.append([np.asarray(r[:, :2], dtype=np.float64) for r in g.rings])
+    elif g.geoms is not None:
+        for sub in g.geoms:
+            _decompose(sub, d)
+    elif t in (
+        GeometryType.CircularString,
+        GeometryType.CompoundCurve,
+        GeometryType.CurvePolygon,
+    ):
+        raise NotImplementedError(f"Curved geometry type {g.type_name} not supported")
+    return d
+
+
+# ----------------------------------------------------------------------
+# Primitives
+# ----------------------------------------------------------------------
+
+def _orient(o: np.ndarray, a: np.ndarray, b: np.ndarray) -> float:
+    """Cross product sign: >0 left turn, <0 right turn, 0 collinear."""
+    return (a[0] - o[0]) * (b[1] - o[1]) - (a[1] - o[1]) * (b[0] - o[0])
+
+
+def _on_segment(p: np.ndarray, a: np.ndarray, b: np.ndarray) -> bool:
+    """p lies on closed segment ab."""
+    cross = _orient(a, b, p)
+    scale = max(abs(b[0] - a[0]), abs(b[1] - a[1]), 1.0)
+    if abs(cross) > _EPS * scale * scale:
+        return False
+    return (
+        min(a[0], b[0]) - _EPS <= p[0] <= max(a[0], b[0]) + _EPS
+        and min(a[1], b[1]) - _EPS <= p[1] <= max(a[1], b[1]) + _EPS
+    )
+
+
+def _seg_intersect_kind(a: np.ndarray, b: np.ndarray, c: np.ndarray, e: np.ndarray) -> int:
+    """0 = disjoint, 1 = touch at endpoint/boundary point, 2 = proper crossing,
+    3 = collinear overlap of positive length."""
+    d1 = _orient(c, e, a)
+    d2 = _orient(c, e, b)
+    d3 = _orient(a, b, c)
+    d4 = _orient(a, b, e)
+    scale1 = max(abs(e[0] - c[0]), abs(e[1] - c[1]), 1.0) * max(abs(b[0] - a[0]), abs(b[1] - a[1]), 1.0)
+    tol = _EPS * scale1
+    if ((d1 > tol and d2 < -tol) or (d1 < -tol and d2 > tol)) and (
+        (d3 > tol and d4 < -tol) or (d3 < -tol and d4 > tol)
+    ):
+        return 2
+    touched = False
+    if abs(d1) <= tol and abs(d2) <= tol and abs(d3) <= tol and abs(d4) <= tol:
+        # collinear: check overlap extent
+        axis = 0 if abs(b[0] - a[0]) >= abs(b[1] - a[1]) else 1
+        lo1, hi1 = sorted((a[axis], b[axis]))
+        lo2, hi2 = sorted((c[axis], e[axis]))
+        lo, hi = max(lo1, lo2), min(hi1, hi2)
+        if hi - lo > _EPS:
+            return 3
+        if hi >= lo - _EPS:
+            return 1
+        return 0
+    if abs(d1) <= tol and _on_segment(a, c, e):
+        touched = True
+    if abs(d2) <= tol and _on_segment(b, c, e):
+        touched = True
+    if abs(d3) <= tol and _on_segment(c, a, b):
+        touched = True
+    if abs(d4) <= tol and _on_segment(e, a, b):
+        touched = True
+    return 1 if touched else 0
+
+
+def _point_in_ring(p: np.ndarray, ring: np.ndarray) -> int:
+    """0 = outside, 1 = on boundary, 2 = inside (ray casting)."""
+    n = len(ring)
+    if n < 3:
+        return 0
+    x, y = p[0], p[1]
+    inside = False
+    j = n - 1
+    for i in range(n):
+        xi, yi = ring[i, 0], ring[i, 1]
+        xj, yj = ring[j, 0], ring[j, 1]
+        if _on_segment(p, ring[i, :2], ring[j, :2]):
+            return 1
+        if (yi > y) != (yj > y):
+            x_int = (xj - xi) * (y - yi) / (yj - yi) + xi
+            if x < x_int:
+                inside = not inside
+        j = i
+    return 2 if inside else 0
+
+
+def _point_in_ring_vec(px: np.ndarray, py: np.ndarray, ring: np.ndarray) -> np.ndarray:
+    """Vectorized ray-cast: 0 outside / 1 boundary / 2 inside for many points."""
+    n = len(ring)
+    out = np.zeros(len(px), dtype=np.int8)
+    if n < 3:
+        return out
+    xi = ring[:, 0]
+    yi = ring[:, 1]
+    xj = np.roll(xi, 1)
+    yj = np.roll(yi, 1)
+    P = np.stack([px, py], axis=1)
+    inside = np.zeros(len(px), dtype=bool)
+    boundary = np.zeros(len(px), dtype=bool)
+    for i in range(n):
+        ax, ay, bx, by = xi[i], yi[i], xj[i], yj[i]
+        # boundary test
+        cross = (bx - ax) * (py - ay) - (by - ay) * (px - ax)
+        scale = max(abs(bx - ax), abs(by - ay), 1.0)
+        on = (
+            (np.abs(cross) <= _EPS * scale * scale)
+            & (px >= min(ax, bx) - _EPS)
+            & (px <= max(ax, bx) + _EPS)
+            & (py >= min(ay, by) - _EPS)
+            & (py <= max(ay, by) + _EPS)
+        )
+        boundary |= on
+        cond = (ay > py) != (by > py)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            x_int = np.where(cond, (bx - ax) * (py - ay) / np.where(by - ay == 0, 1, by - ay) + ax, np.inf)
+        inside ^= cond & (px < x_int)
+    out[inside] = 2
+    out[boundary] = 1
+    return out
+
+
+def point_in_polygon(p: np.ndarray, rings: list[np.ndarray]) -> int:
+    """0 exterior / 1 boundary / 2 interior, with holes."""
+    r = _point_in_ring(p, rings[0])
+    if r != 2:
+        return r
+    for hole in rings[1:]:
+        h = _point_in_ring(p, hole)
+        if h == 1:
+            return 1
+        if h == 2:
+            return 0
+    return 2
+
+
+# ----------------------------------------------------------------------
+# Pairwise location machinery
+# ----------------------------------------------------------------------
+
+def _bbox(g: Geometry) -> tuple[float, float, float, float]:
+    return g.bounds()
+
+
+def _bbox_intersects(a: Geometry, b: Geometry) -> bool:
+    ax0, ay0, ax1, ay1 = _bbox(a)
+    bx0, by0, bx1, by1 = _bbox(b)
+    if ax0 != ax0 or bx0 != bx0:  # NaN = empty
+        return False
+    return ax0 <= bx1 and bx0 <= ax1 and ay0 <= by1 and by0 <= ay1
+
+
+def _line_segments(chain: np.ndarray):
+    for i in range(len(chain) - 1):
+        yield chain[i], chain[i + 1]
+
+
+def _poly_segments(rings: list[np.ndarray]):
+    for r in rings:
+        n = len(r)
+        for i in range(n - 1):
+            yield r[i], r[i + 1]
+        if n >= 2 and (r[0][0] != r[-1][0] or r[0][1] != r[-1][1]):
+            yield r[-1], r[0]
+
+
+class _IM:
+    """Mutable DE-9IM dimension matrix. dims: -1 empty, 0, 1, 2."""
+
+    def __init__(self) -> None:
+        self.m = [[-1] * 3 for _ in range(3)]  # [interior,boundary,exterior] x same
+
+    def up(self, i: int, j: int, dim: int) -> None:
+        if dim > self.m[i][j]:
+            self.m[i][j] = dim
+
+    def pattern(self) -> str:
+        sym = {-1: "F", 0: "0", 1: "1", 2: "2"}
+        return "".join(sym[self.m[i][j]] for i in range(3) for j in range(3))
+
+
+_I, _B, _E = 0, 1, 2
+
+
+def _line_boundary_points(lines: list[np.ndarray]) -> list[np.ndarray]:
+    """Mod-2 boundary rule: endpoints appearing an odd number of times."""
+    from collections import Counter
+
+    cnt: Counter = Counter()
+    pts = {}
+    for chain in lines:
+        for p in (chain[0], chain[-1]):
+            key = (round(float(p[0]), 12), round(float(p[1]), 12))
+            cnt[key] += 1
+            pts[key] = p
+    return [pts[k] for k, c in cnt.items() if c % 2 == 1]
+
+
+def _locate_point_in_decomp(p: np.ndarray, d: _Decomp, boundary_pts: list[np.ndarray]) -> int:
+    """Locate p relative to decomposed geometry: 0=interior,1=boundary,2=exterior."""
+    for rings in d.polys:
+        loc = point_in_polygon(p, rings)
+        if loc == 2:
+            return _I
+        if loc == 1:
+            return _B
+    for bp in boundary_pts:
+        if abs(bp[0] - p[0]) <= _EPS and abs(bp[1] - p[1]) <= _EPS:
+            return _B
+    for chain in d.lines:
+        for a, b in _line_segments(chain):
+            if _on_segment(p, a, b):
+                return _I
+    for q in d.points:
+        if abs(q[0] - p[0]) <= _EPS and abs(q[1] - p[1]) <= _EPS:
+            return _I
+    return _E
+
+
+def relate(ga: Geometry, gb: Geometry) -> str:
+    """DE-9IM intersection matrix (reference: functions.rs:1052-1060).
+
+    Computed from primitive decomposition. Exact for point/line/polygon
+    combinations with simple (non-self-intersecting) inputs.
+    """
+    da = _decompose(ga)
+    db = _decompose(gb)
+    im = _IM()
+
+    a_empty = not (da.points or da.lines or da.polys)
+    b_empty = not (db.points or db.lines or db.polys)
+    dim_a = 2 if da.polys else (1 if da.lines else (0 if da.points else -1))
+    dim_b = 2 if db.polys else (1 if db.lines else (0 if db.points else -1))
+
+    # exterior-exterior is always 2
+    im.up(_E, _E, 2)
+    if a_empty or b_empty:
+        if not a_empty:
+            im.up(_I, _E, dim_a)
+            im.up(_B, _E, _boundary_dim(da))
+        if not b_empty:
+            im.up(_E, _I, dim_b)
+            im.up(_E, _B, _boundary_dim(db))
+        return im.pattern()
+
+    ba = _line_boundary_points(da.lines)
+    bb = _line_boundary_points(db.lines)
+
+    # --- point x other
+    for p in da.points:
+        loc = _locate_point_in_decomp(p, db, bb)
+        im.up(_I, loc, 0)
+    for p in db.points:
+        loc = _locate_point_in_decomp(p, da, ba)
+        im.up(loc, _I, 0)
+
+    # --- line boundary points
+    for p in ba:
+        loc = _locate_point_in_decomp(p, db, bb)
+        im.up(_B, loc, 0)
+    for p in bb:
+        loc = _locate_point_in_decomp(p, da, bb)
+        loc = _locate_point_in_decomp(p, da, ba)
+        im.up(loc, _B, 0)
+
+    # --- line x line
+    _relate_lines(da, db, ba, bb, im)
+    # --- line x polygon and polygon x line
+    _relate_line_poly(da, db, ba, im, swap=False)
+    _relate_line_poly(db, da, bb, im, swap=True)
+    # --- polygon x polygon
+    _relate_poly_poly(da, db, im)
+
+    # residual exterior terms: does any part of A lie outside B, and vice versa
+    _exterior_terms(da, db, ba, bb, im)
+    return im.pattern()
+
+
+def _boundary_dim(d: _Decomp) -> int:
+    if d.polys:
+        return 1
+    if d.lines and _line_boundary_points(d.lines):
+        return 0
+    return -1
+
+
+def _relate_lines(da: _Decomp, db: _Decomp, ba, bb, im: _IM) -> None:
+    for ca in da.lines:
+        for cb in db.lines:
+            for a, b in _line_segments(ca):
+                for c, e in _line_segments(cb):
+                    kind = _seg_intersect_kind(a[:2], b[:2], c[:2], e[:2])
+                    if kind == 0:
+                        continue
+                    if kind == 3:
+                        im.up(_I, _I, 1)
+                    elif kind == 2:
+                        im.up(_I, _I, 0)
+                    else:
+                        # touch point: classify on each side (interior vs boundary)
+                        pt = _touch_point(a, b, c, e)
+                        if pt is None:
+                            continue
+                        la = _B if _is_boundary_pt(pt, ba) else _I
+                        lb = _B if _is_boundary_pt(pt, bb) else _I
+                        im.up(la, lb, 0)
+
+
+def _touch_point(a, b, c, e) -> np.ndarray | None:
+    for p, seg in ((a, (c, e)), (b, (c, e)), (c, (a, b)), (e, (a, b))):
+        if _on_segment(p[:2], seg[0][:2], seg[1][:2]):
+            return p[:2]
+    return None
+
+
+def _is_boundary_pt(p: np.ndarray, bpts: list[np.ndarray]) -> bool:
+    return any(abs(bp[0] - p[0]) <= _EPS and abs(bp[1] - p[1]) <= _EPS for bp in bpts)
+
+
+def _seg_param(a: np.ndarray, b: np.ndarray, p: np.ndarray) -> float:
+    """Parameter t of point p along segment ab (assumes p on the line)."""
+    dx, dy = b[0] - a[0], b[1] - a[1]
+    if abs(dx) >= abs(dy):
+        return 0.0 if dx == 0 else (p[0] - a[0]) / dx
+    return (p[1] - a[1]) / dy
+
+
+def _relate_line_poly(dl: _Decomp, dp: _Decomp, bl, im: _IM, swap: bool) -> None:
+    """Split each line segment at every polygon-boundary intersection and
+    classify each piece's midpoint — exact for simple inputs."""
+
+    def up(i, j, d):
+        im.up(j, i, d) if swap else im.up(i, j, d)
+
+    for chain in dl.lines:
+        for rings in dp.polys:
+            for a, b in _line_segments(chain):
+                a2, b2 = a[:2], b[:2]
+                ts = {0.0, 1.0}
+                for c, e in _poly_segments(rings):
+                    c2, e2 = c[:2], e[:2]
+                    kind = _seg_intersect_kind(a2, b2, c2, e2)
+                    if kind == 0:
+                        continue
+                    if kind == 2:
+                        den = (a2[0] - b2[0]) * (c2[1] - e2[1]) - (a2[1] - b2[1]) * (c2[0] - e2[0])
+                        if den != 0:
+                            t = ((a2[0] - c2[0]) * (c2[1] - e2[1]) - (a2[1] - c2[1]) * (c2[0] - e2[0])) / den
+                            ts.add(min(max(t, 0.0), 1.0))
+                    elif kind == 3:
+                        for p in (c2, e2):
+                            if _on_segment(p, a2, b2):
+                                ts.add(min(max(_seg_param(a2, b2, p), 0.0), 1.0))
+                    else:  # endpoint touch
+                        for p in (a2, b2):
+                            if _on_segment(p, c2, e2):
+                                ts.add(_seg_param(a2, b2, p))
+                        for p in (c2, e2):
+                            if _on_segment(p, a2, b2):
+                                ts.add(min(max(_seg_param(a2, b2, p), 0.0), 1.0))
+                # classify endpoints (dim 0)
+                for p in (a2, b2):
+                    loc = point_in_polygon(p, rings)
+                    la = _B if _is_boundary_pt(p, bl) else _I
+                    tgt = {2: _I, 1: _B, 0: _E}[loc]
+                    up(la, tgt, 0)
+                # classify each sub-piece midpoint (dim 1, line interior)
+                tl = sorted(ts)
+                for t0, t1 in zip(tl[:-1], tl[1:]):
+                    if t1 - t0 < 1e-12:
+                        continue
+                    tm = (t0 + t1) / 2.0
+                    mid = a2 + tm * (b2 - a2)
+                    loc = point_in_polygon(mid, rings)
+                    tgt = {2: _I, 1: _B, 0: _E}[loc]
+                    up(_I, tgt, 1)
+
+
+def _relate_poly_poly(da: _Decomp, db: _Decomp, im: _IM) -> None:
+    for ra in da.polys:
+        for rb in db.polys:
+            crossed = False
+            for a, b in _poly_segments(ra):
+                for c, e in _poly_segments(rb):
+                    kind = _seg_intersect_kind(a[:2], b[:2], c[:2], e[:2])
+                    if kind == 2:
+                        im.up(_B, _B, 0)
+                        im.up(_I, _I, 2)
+                        im.up(_I, _E, 2)
+                        im.up(_E, _I, 2)
+                        crossed = True
+                    elif kind == 3:
+                        im.up(_B, _B, 1)
+                    elif kind == 1:
+                        im.up(_B, _B, 0)
+            # vertex containment (covers interior-interior when no crossing)
+            for v in ra[0]:
+                loc = point_in_polygon(v[:2], rb)
+                if loc == 2:
+                    im.up(_B, _I, 1)
+                    im.up(_I, _I, 2)
+                elif loc == 0:
+                    im.up(_B, _E, 1)
+            for v in rb[0]:
+                loc = point_in_polygon(v[:2], ra)
+                if loc == 2:
+                    im.up(_I, _B, 1)
+                    im.up(_I, _I, 2)
+                elif loc == 0:
+                    im.up(_E, _B, 1)
+            # representative interior points
+            pa = _rep_interior_point(ra)
+            pb = _rep_interior_point(rb)
+            if pa is not None:
+                loc = point_in_polygon(pa, rb)
+                if loc == 2:
+                    im.up(_I, _I, 2)
+                elif loc == 0 and not crossed:
+                    im.up(_I, _E, 2)
+            if pb is not None:
+                loc = point_in_polygon(pb, ra)
+                if loc == 2:
+                    im.up(_I, _I, 2)
+                elif loc == 0 and not crossed:
+                    im.up(_E, _I, 2)
+
+
+def _rep_interior_point(rings: list[np.ndarray]) -> np.ndarray | None:
+    from polars_st_spark.geo.algos import _interior_point_of_rings
+
+    return _interior_point_of_rings(rings)
+
+
+def _exterior_terms(da: _Decomp, db: _Decomp, ba, bb, im: _IM) -> None:
+    dim_a = 2 if da.polys else (1 if da.lines else 0)
+    dim_b = 2 if db.polys else (1 if db.lines else 0)
+
+    # A interior vs B exterior: check representative points of A against B
+    def probe(d: _Decomp, other: _Decomp, other_b, row: bool) -> None:
+        dim = 2 if d.polys else (1 if d.lines else 0)
+        samples: list[tuple[np.ndarray, int]] = []
+        for rings in d.polys:
+            p = _rep_interior_point(rings)
+            if p is not None:
+                samples.append((p, 2))
+            for v in rings[0]:
+                samples.append((v[:2], 1))  # boundary sample of polygon
+        for chain in d.lines:
+            for a, b in _line_segments(chain):
+                samples.append(((a[:2] + b[:2]) / 2.0, 1))
+        for p in d.points:
+            samples.append((p, 0))
+        bpts = _line_boundary_points(d.lines)
+        for p, sdim in samples:
+            loc_other = _locate_point_in_decomp(p, other, other_b)
+            if loc_other == _E:
+                # which part of self is this sample from?
+                if sdim == 2:
+                    self_loc, d_ = _I, 2
+                elif sdim == 1 and d.polys:
+                    self_loc, d_ = _B, 1
+                elif sdim == 1:
+                    self_loc = _B if _is_boundary_pt(p, bpts) else _I
+                    d_ = 0 if self_loc == _B else 1
+                else:
+                    self_loc, d_ = _I, 0
+                if row:
+                    im.up(self_loc, _E, d_)
+                else:
+                    im.up(_E, self_loc, d_)
+
+    probe(da, db, bb, row=True)
+    probe(db, da, ba, row=False)
+
+
+# ----------------------------------------------------------------------
+# Named predicates (pattern matching over DE-9IM)
+# ----------------------------------------------------------------------
+
+def _matches(pattern: str, matrix: str) -> bool:
+    for p, m in zip(pattern, matrix):
+        if p == "*":
+            continue
+        if p == "T":
+            if m == "F":
+                return False
+        elif p != m:
+            return False
+    return True
+
+
+def relate_pattern(a: Geometry, b: Geometry, pattern: str) -> bool:
+    return _matches(pattern, relate(a, b))
+
+
+def _both_nonempty(a: Geometry, b: Geometry) -> bool:
+    return not a.is_empty() and not b.is_empty()
+
+
+def intersects(a: Geometry, b: Geometry) -> bool:
+    if not _both_nonempty(a, b) or not _bbox_intersects(a, b):
+        return False
+    m = relate(a, b)
+    return m[0] != "F" or m[1] != "F" or m[3] != "F" or m[4] != "F"
+
+
+def disjoint(a: Geometry, b: Geometry) -> bool:
+    return not intersects(a, b)
+
+
+def within(a: Geometry, b: Geometry) -> bool:
+    if not _both_nonempty(a, b) or not _bbox_intersects(a, b):
+        return False
+    return _matches("T*F**F***", relate(a, b))
+
+
+def contains(a: Geometry, b: Geometry) -> bool:
+    return within(b, a)
+
+
+def covers(a: Geometry, b: Geometry) -> bool:
+    if not _both_nonempty(a, b) or not _bbox_intersects(a, b):
+        return False
+    m = relate(a, b)
+    return (
+        _matches("T*****FF*", m)
+        or _matches("*T****FF*", m)
+        or _matches("***T**FF*", m)
+        or _matches("****T*FF*", m)
+    )
+
+
+def covered_by(a: Geometry, b: Geometry) -> bool:
+    return covers(b, a)
+
+
+def touches(a: Geometry, b: Geometry) -> bool:
+    if not _both_nonempty(a, b) or not _bbox_intersects(a, b):
+        return False
+    m = relate(a, b)
+    return _matches("FT*******", m) or _matches("F**T*****", m) or _matches("F***T****", m)
+
+
+def crosses(a: Geometry, b: Geometry) -> bool:
+    if not _both_nonempty(a, b) or not _bbox_intersects(a, b):
+        return False
+    da, db = a.dimensions(), b.dimensions()
+    m = relate(a, b)
+    if da < db:
+        return _matches("T*T******", m)
+    if da > db:
+        return _matches("T*****T**", m)
+    if da == 1 and db == 1:
+        return _matches("0********", m)
+    return False
+
+
+def overlaps(a: Geometry, b: Geometry) -> bool:
+    if not _both_nonempty(a, b) or not _bbox_intersects(a, b):
+        return False
+    da, db = a.dimensions(), b.dimensions()
+    if da != db:
+        return False
+    m = relate(a, b)
+    if da == 1:
+        return _matches("1*T***T**", m)
+    return _matches("T*T***T**", m)
+
+
+def equals(a: Geometry, b: Geometry) -> bool:
+    if a.is_empty() and b.is_empty():
+        return True
+    if not _both_nonempty(a, b):
+        return False
+    return _matches("T*F**FFF*", relate(a, b))
+
+
+def contains_properly(a: Geometry, b: Geometry) -> bool:
+    """b intersects interior of a only (reference: functions.rs:951-958)."""
+    if not _both_nonempty(a, b) or not _bbox_intersects(a, b):
+        return False
+    return _matches("T**FF*FF*", relate(a, b))
+
+
+def equals_exact(a: Geometry, b: Geometry, tolerance: float = 0.0) -> bool:
+    """Structural equality within per-ordinate tolerance."""
+    if a.type_id != b.type_id:
+        return False
+    ca, cb = a.all_coords(), b.all_coords()
+    if ca.shape != cb.shape:
+        return False
+    if len(ca) == 0:
+        return True
+    return bool(np.all(np.abs(ca[:, :2] - cb[:, :2]) <= tolerance))
+
+
+def equals_identical(a: Geometry, b: Geometry) -> bool:
+    from polars_st_spark.geo.wkb import to_ewkb
+
+    return to_ewkb(a) == to_ewkb(b)
+
+
+def intersects_xy(a: Geometry, x: float, y: float) -> bool:
+    p = Geometry(GeometryType.Point, coords=np.array([x, y]))
+    return intersects(a, p)
+
+
+def contains_xy(a: Geometry, x: float, y: float) -> bool:
+    """Point strictly in interior check used by reference (functions.rs:1084-1094)."""
+    p = Geometry(GeometryType.Point, coords=np.array([x, y]))
+    return contains(a, p)
+
+
+def dwithin(a: Geometry, b: Geometry, distance: float) -> bool:
+    """distance(a,b) < d — strict '<' exactly like the reference
+    (reference: functions.rs:984-990)."""
+    from polars_st_spark.geo.algos import distance as _dist
+
+    d = _dist(a, b)
+    return bool(d == d and d < distance)

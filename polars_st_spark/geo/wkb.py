@@ -1,0 +1,255 @@
+"""EWKB (PostGIS-flavored WKB) codec.
+
+Wire format matches the reference exactly (reference: src/wkb.rs:17-68):
+- flag bits on the uint32 type word: Z=0x80000000, M=0x40000000,
+  SRID=0x20000000 (reference: src/wkb.rs:23-41)
+- every writer output embeds the SRID when nonzero, like the reference's
+  ``WKBWriter::set_include_SRID(true)`` (reference: src/functions.rs:54-58)
+- ISO-WKB type codes (1001, 2003, 3007, ...) are accepted on read.
+
+Header-only fast paths (`header_info`, `batch_header`) parse just the first
+9-13 bytes without building geometry objects, mirroring the reference's O(1)
+metadata ops (reference: src/functions.rs:410-435).
+
+For the hot path at scale (point-heavy tables), `points_to_ewkb` /
+`ewkb_to_points` encode/decode an entire batch of uniform Point rows with
+numpy slice assignment — no per-row Python.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+from polars_st_spark.geo.types import (
+    _COLLECTION_IDS,
+    _LINEAL_IDS,
+    _POLYGONAL_IDS,
+    Geometry,
+    GeometryType,
+)
+
+__all__ = [
+    "from_ewkb",
+    "to_ewkb",
+    "header_info",
+    "points_to_ewkb",
+    "ewkb_to_points",
+]
+
+_Z_FLAG = 0x80000000
+_M_FLAG = 0x40000000
+_SRID_FLAG = 0x20000000
+
+
+def _decode_type_word(raw: int) -> tuple[int, bool, bool, bool]:
+    """-> (base_type, has_z, has_m, has_srid); accepts EWKB flags and ISO codes."""
+    has_z = bool(raw & _Z_FLAG)
+    has_m = bool(raw & _M_FLAG)
+    has_srid = bool(raw & _SRID_FLAG)
+    base = raw & 0x0FFFFFFF
+    if base >= 1000:  # ISO WKB: 1000=Z, 2000=M, 3000=ZM
+        iso = base // 1000
+        if iso == 1:
+            has_z = True
+        elif iso == 2:
+            has_m = True
+        elif iso == 3:
+            has_z = has_m = True
+        base = base % 1000
+    return base, has_z, has_m, has_srid
+
+
+def header_info(buf: bytes) -> tuple[int, bool, bool, int]:
+    """(type_id, has_z, has_m, srid) from the 9-13 byte header only."""
+    if len(buf) < 5:
+        raise ValueError("Invalid WKB: too short")
+    little = buf[0] == 1
+    fmt = "<I" if little else ">I"
+    (raw,) = struct.unpack_from(fmt, buf, 1)
+    base, has_z, has_m, has_srid = _decode_type_word(raw)
+    srid = 0
+    if has_srid:
+        (srid,) = struct.unpack_from(fmt, buf, 5)
+    return base, has_z, has_m, srid
+
+
+# ----------------------------------------------------------------------
+# Reader
+# ----------------------------------------------------------------------
+
+def from_ewkb(buf: bytes) -> Geometry:
+    g, _ = _read_geometry(memoryview(buf), 0, 0)
+    return g
+
+
+def _read_geometry(mv: memoryview, pos: int, inherited_srid: int) -> tuple[Geometry, int]:
+    little = mv[pos] == 1
+    fmt = "<" if little else ">"
+    pos += 1
+    (raw,) = struct.unpack_from(fmt + "I", mv, pos)
+    pos += 4
+    base, has_z, has_m, has_srid = _decode_type_word(raw)
+    srid = inherited_srid
+    if has_srid:
+        (srid,) = struct.unpack_from(fmt + "I", mv, pos)
+        pos += 4
+    ndim = 2 + has_z + has_m
+
+    if base == GeometryType.Point:
+        vals = np.frombuffer(mv, dtype=f"{fmt}f8", count=ndim, offset=pos).astype(np.float64)
+        pos += 8 * ndim
+        coords = None if np.isnan(vals[0]) else vals
+        return Geometry(base, srid=srid, has_z=has_z, has_m=has_m, coords=coords), pos
+
+    if base in _LINEAL_IDS:
+        (n,) = struct.unpack_from(fmt + "I", mv, pos)
+        pos += 4
+        arr = (
+            np.frombuffer(mv, dtype=f"{fmt}f8", count=n * ndim, offset=pos)
+            .astype(np.float64)
+            .reshape(n, ndim)
+        )
+        pos += 8 * n * ndim
+        return Geometry(base, srid=srid, has_z=has_z, has_m=has_m, coords=arr), pos
+
+    if base in _POLYGONAL_IDS:
+        (nrings,) = struct.unpack_from(fmt + "I", mv, pos)
+        pos += 4
+        rings = []
+        for _ in range(nrings):
+            (n,) = struct.unpack_from(fmt + "I", mv, pos)
+            pos += 4
+            arr = (
+                np.frombuffer(mv, dtype=f"{fmt}f8", count=n * ndim, offset=pos)
+                .astype(np.float64)
+                .reshape(n, ndim)
+            )
+            pos += 8 * n * ndim
+            rings.append(arr)
+        return Geometry(base, srid=srid, has_z=has_z, has_m=has_m, rings=rings), pos
+
+    # collections: each child is a full nested WKB geometry
+    (ngeoms,) = struct.unpack_from(fmt + "I", mv, pos)
+    pos += 4
+    geoms = []
+    for _ in range(ngeoms):
+        child, pos = _read_geometry(mv, pos, srid)
+        geoms.append(child)
+    return Geometry(base, srid=srid, has_z=has_z, has_m=has_m, geoms=geoms), pos
+
+
+# ----------------------------------------------------------------------
+# Writer (always little-endian)
+# ----------------------------------------------------------------------
+
+def to_ewkb(g: Geometry, include_srid: bool = True, _top: bool = True) -> bytes:
+    parts: list[bytes] = []
+    _write_geometry(g, parts, include_srid and g.srid != 0, top=True)
+    return b"".join(parts)
+
+
+def _type_word(g: Geometry, with_srid: bool) -> int:
+    raw = g.type_id
+    if g.has_z:
+        raw |= _Z_FLAG
+    if g.has_m:
+        raw |= _M_FLAG
+    if with_srid:
+        raw |= _SRID_FLAG
+    return raw
+
+
+def _write_geometry(g: Geometry, parts: list[bytes], with_srid: bool, top: bool) -> None:
+    header = struct.pack("<BI", 1, _type_word(g, with_srid))
+    parts.append(header)
+    if with_srid:
+        parts.append(struct.pack("<I", g.srid))
+    ndim = g.ndim
+    t = g.type_id
+    if t == GeometryType.Point:
+        if g.coords is None:
+            parts.append(struct.pack(f"<{ndim}d", *([float("nan")] * ndim)))
+        else:
+            parts.append(np.ascontiguousarray(g.coords[:ndim], dtype="<f8").tobytes())
+        return
+    if t in _LINEAL_IDS:
+        arr = g.coords if g.coords is not None else np.empty((0, ndim))
+        parts.append(struct.pack("<I", len(arr)))
+        parts.append(np.ascontiguousarray(arr[:, :ndim], dtype="<f8").tobytes())
+        return
+    if t in _POLYGONAL_IDS:
+        rings = g.rings or []
+        parts.append(struct.pack("<I", len(rings)))
+        for r in rings:
+            parts.append(struct.pack("<I", len(r)))
+            parts.append(np.ascontiguousarray(r[:, :ndim], dtype="<f8").tobytes())
+        return
+    geoms = g.geoms or []
+    parts.append(struct.pack("<I", len(geoms)))
+    for child in geoms:
+        # nested geometries don't repeat the SRID (PostGIS convention)
+        _write_geometry(child, parts, False, top=False)
+
+
+# ----------------------------------------------------------------------
+# Vectorized Point batch codec — the 100TB hot path.
+# ----------------------------------------------------------------------
+
+def points_to_ewkb(
+    x: np.ndarray,
+    y: np.ndarray,
+    z: np.ndarray | None = None,
+    srid: int = 0,
+) -> list[bytes]:
+    """Encode n points to EWKB without per-row Python loops.
+
+    Builds one (n, rowlen) uint8 matrix via slice assignment, then splits it.
+    """
+    n = len(x)
+    ndim = 2 if z is None else 3
+    with_srid = srid != 0
+    rowlen = 1 + 4 + (4 if with_srid else 0) + 8 * ndim
+    buf = np.empty((n, rowlen), dtype=np.uint8)
+    buf[:, 0] = 1
+    word = GeometryType.Point | (_Z_FLAG if ndim == 3 else 0) | (_SRID_FLAG if with_srid else 0)
+    buf[:, 1:5] = np.frombuffer(struct.pack("<I", word), dtype=np.uint8)
+    off = 5
+    if with_srid:
+        buf[:, 5:9] = np.frombuffer(struct.pack("<I", srid), dtype=np.uint8)
+        off = 9
+    buf[:, off : off + 8] = np.asarray(x, dtype="<f8").reshape(n, 1).view(np.uint8)
+    buf[:, off + 8 : off + 16] = np.asarray(y, dtype="<f8").reshape(n, 1).view(np.uint8)
+    if z is not None:
+        buf[:, off + 16 : off + 24] = np.asarray(z, dtype="<f8").reshape(n, 1).view(np.uint8)
+    raw = buf.tobytes()
+    return [raw[i * rowlen : (i + 1) * rowlen] for i in range(n)]
+
+
+def ewkb_to_points(bufs) -> tuple[np.ndarray, np.ndarray] | None:
+    """Decode a batch of uniform little-endian 2-D Point EWKB rows to (x, y).
+
+    Returns None when the batch is not uniform simple points — caller falls
+    back to the generic per-row decoder.
+    """
+    it = iter(bufs)
+    try:
+        first = next(it)
+    except StopIteration:
+        return np.empty(0), np.empty(0)
+    if first is None or len(first) not in (21, 25) or first[0] != 1:
+        return None
+    prefix_len = len(first) - 16
+    prefix = bytes(first[:prefix_len])
+    base, has_z, has_m, _ = header_info(first)
+    if base != GeometryType.Point or has_z or has_m:
+        return None
+    rows = [first]
+    for b in it:
+        if b is None or len(b) != len(first) or not b.startswith(prefix[:5]):
+            return None
+        rows.append(b)
+    mat = np.frombuffer(b"".join(rows), dtype=np.uint8).reshape(len(rows), len(first))
+    xy = mat[:, prefix_len:].copy().view("<f8").reshape(len(rows), 2)
+    return xy[:, 0].astype(np.float64), xy[:, 1].astype(np.float64)
