@@ -1,0 +1,106 @@
+"""Spatial aggregations (reference: §2.7, expressions.rs:873-999).
+
+Implemented as GROUPED_AGG pandas UDFs (usable in ``groupBy().agg(...)`` and
+whole-frame ``select``), plus a pure-Spark-SQL ``st_total_bounds`` that needs
+no Python at all for the aggregation step.
+
+Scale notes (100 TB):
+- GROUPED_AGG ships all group values to one task. ``union_all`` /
+  ``intersection_all`` are associative+commutative (reference:
+  expressions.rs:985-999), so for huge groups use
+  :func:`polars_st_spark.operators.grouped.union_all_two_phase`, which does a
+  map-side partial union per shuffle partition first (the treeAggregate
+  pattern).
+- ``difference_all``/``symmetric_difference_all`` are order-dependent left
+  folds (reference: expressions.rs:873-886) — use the frame-level variants in
+  ``operators.grouped`` that sort within each group by an explicit key.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+
+from polars_st_spark.functions.factory import col_or_lit
+from polars_st_spark.geo import setops
+from polars_st_spark.geo.wkb import from_ewkb, to_ewkb
+
+__all__ = [
+    "st_union_all",
+    "st_intersection_all",
+    "st_coverage_union_all",
+    "st_collect",
+    "st_total_bounds",
+]
+
+
+def _decode_series(s: pd.Series):
+    return [None if b is None else from_ewkb(bytes(b)) for b in s]
+
+
+def st_union_all(col, grid_size: float | None = None) -> Column:
+    """Aggregate union; empty/all-null → GEOMETRYCOLLECTION EMPTY
+    (reference: expressions.rs:985-999)."""
+
+    @pandas_udf("binary")
+    def agg(s: pd.Series) -> bytes:
+        return to_ewkb(setops.union_all(_decode_series(s), grid_size))
+
+    return agg(col_or_lit(col))
+
+
+def st_intersection_all(col, grid_size: float | None = None) -> Column:
+    """(reference: expressions.rs:901-914)"""
+
+    @pandas_udf("binary")
+    def agg(s: pd.Series) -> bytes:
+        return to_ewkb(setops.intersection_all(_decode_series(s), grid_size))
+
+    return agg(col_or_lit(col))
+
+
+def st_coverage_union_all(col) -> Column:
+    """Union of a non-overlapping coverage (reference: functions.rs:1213-1219)."""
+
+    @pandas_udf("binary")
+    def agg(s: pd.Series) -> bytes:
+        return to_ewkb(setops.union_all(_decode_series(s)))
+
+    return agg(col_or_lit(col))
+
+
+def st_collect(col, into: int | None = None) -> Column:
+    """Gather group geometries into Multi*/GeometryCollection with supertype
+    inference (reference: functions.rs:1238-1276)."""
+
+    @pandas_udf("binary")
+    def agg(s: pd.Series) -> bytes:
+        gs = [g for g in _decode_series(s) if g is not None]
+        return to_ewkb(setops.collect(gs, into=into))
+
+    return agg(col_or_lit(col))
+
+
+def st_total_bounds(bounds_col) -> list[Column]:
+    """Aggregate [min xmin, min ymin, max xmax, max ymax] over an
+    ``st_bounds`` array column — pure Spark SQL, no UDF for the agg step
+    (reference: expressions.rs:512-527; SURVEY §2.7 total_bounds).
+
+    Usage::
+
+        df.select(st_bounds("geom").alias("b")) \\
+          .agg(*st_total_bounds("b"))  # -> xmin, ymin, xmax, ymax columns
+    """
+    b = col_or_lit(bounds_col)
+
+    def skip_nan(c: Column) -> Column:
+        return F.when(F.isnan(c), F.lit(None)).otherwise(c)
+
+    return [
+        F.min(skip_nan(b[0])).alias("xmin"),
+        F.min(skip_nan(b[1])).alias("ymin"),
+        F.max(skip_nan(b[2])).alias("xmax"),
+        F.max(skip_nan(b[3])).alias("ymax"),
+    ]

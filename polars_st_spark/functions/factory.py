@@ -1,0 +1,150 @@
+"""Pandas-UDF factory for geometry functions.
+
+Every ``st_*`` scalar function is an Arrow-batched vectorized pandas UDF
+(JVM → Arrow → Python worker per batch), the Spark-idiomatic equivalent of
+the reference's per-chunk plugin kernels (reference: geoexpr.py:35-58).
+
+Conventions (matching the reference):
+- null in → null out, elementwise (reference: src/arity.rs:56-59)
+- geometry outputs are EWKB with SRID embedded (reference: functions.rs:54-58)
+- SRID of the (first) geometry input is propagated to geometry outputs
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+
+from polars_st_spark.geo.types import Geometry
+from polars_st_spark.geo.wkb import from_ewkb, to_ewkb
+from polars_st_spark.geo.wkt import from_ewkt, from_wkt
+
+__all__ = [
+    "col_or_lit",
+    "geom_arg",
+    "unary_geom",
+    "unary_scalar",
+    "binary_scalar",
+    "binary_geom",
+]
+
+
+def col_or_lit(c) -> Column:
+    if isinstance(c, Column):
+        return c
+    if isinstance(c, str):
+        return F.col(c)
+    return F.lit(c)
+
+
+def geom_arg(other) -> "Geometry | Column":
+    """Accept a geometry 'other' argument as Column/column-name/bytes/WKT/Geometry.
+
+    Non-Column values are decoded ONCE on the driver and broadcast via closure —
+    the analogue of the reference's scalar broadcasting (src/arity.rs:63-85).
+    """
+    if isinstance(other, Column):
+        return other
+    if isinstance(other, Geometry):
+        return other
+    if isinstance(other, (bytes, bytearray)):
+        return from_ewkb(bytes(other))
+    if isinstance(other, str):
+        # column name if it has no space/paren; else WKT
+        if "(" in other or ";" in other or other.upper().startswith(("POINT", "LINE", "POLY", "MULTI", "GEOM", "SRID")):
+            return from_ewkt(other)
+        return F.col(other)
+    raise TypeError(f"Cannot interpret {type(other).__name__} as geometry")
+
+
+def _decode(b) -> Geometry | None:
+    if b is None:
+        return None
+    return from_ewkb(bytes(b))
+
+
+def _encode(g: Geometry | None) -> bytes | None:
+    if g is None:
+        return None
+    return to_ewkb(g)
+
+
+def unary_geom(fn: Callable[[Geometry], Geometry], name: str = "st_fn"):
+    """geometry → geometry column (EWKB in, EWKB out, null-safe)."""
+
+    @pandas_udf("binary")
+    def udf(s: pd.Series) -> pd.Series:
+        return s.map(lambda b: None if b is None else _encode(fn(_decode(b))))
+
+    return udf
+
+
+def unary_scalar(fn: Callable[[Geometry], Any], return_type: str, name: str = "st_fn"):
+    """geometry → scalar column. None passthrough; fn errors propagate."""
+
+    @pandas_udf(return_type)
+    def udf(s: pd.Series) -> pd.Series:
+        out = [None if b is None else fn(_decode(b)) for b in s]
+        return pd.Series(out, dtype=object)
+
+    return udf
+
+
+def binary_scalar(
+    fn: Callable[[Geometry, Geometry], Any],
+    return_type: str,
+    other,
+    name: str = "st_fn",
+):
+    """(geometry, geometry) → scalar. ``other`` may be a Column or a constant
+    geometry (broadcast, decoded once)."""
+    if isinstance(other, Geometry):
+        g2 = other
+
+        @pandas_udf(return_type)
+        def udf(s: pd.Series) -> pd.Series:
+            out = [None if b is None else fn(_decode(b), g2) for b in s]
+            return pd.Series(out, dtype=object)
+
+        return udf, None
+
+    @pandas_udf(return_type)
+    def udf2(s1: pd.Series, s2: pd.Series) -> pd.Series:
+        out = [
+            None if (b1 is None or b2 is None) else fn(_decode(b1), _decode(b2))
+            for b1, b2 in zip(s1, s2)
+        ]
+        return pd.Series(out, dtype=object)
+
+    return udf2, col_or_lit(other)
+
+
+def binary_geom(
+    fn: Callable[[Geometry, Geometry], Geometry],
+    other,
+    name: str = "st_fn",
+):
+    """(geometry, geometry) → geometry."""
+    if isinstance(other, Geometry):
+        g2 = other
+
+        @pandas_udf("binary")
+        def udf(s: pd.Series) -> pd.Series:
+            return s.map(lambda b: None if b is None else _encode(fn(_decode(b), g2)))
+
+        return udf, None
+
+    @pandas_udf("binary")
+    def udf2(s1: pd.Series, s2: pd.Series) -> pd.Series:
+        out = [
+            None if (b1 is None or b2 is None) else _encode(fn(_decode(b1), _decode(b2)))
+            for b1, b2 in zip(s1, s2)
+        ]
+        return pd.Series(out, dtype=object)
+
+    return udf2, col_or_lit(other)

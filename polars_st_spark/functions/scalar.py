@@ -1,0 +1,422 @@
+"""Elementwise scalar functions: metadata, measures, serialization.
+
+Reference sections: §2.3 property extractors (geoexpr.py:77-330), measures
+(functions.rs:794-883), serializers (functions.rs:703-777).
+
+Header-only ops (geometry_type/srid/has_z/has_m/coordinate_dimension) parse
+just the EWKB header bytes, never building geometry objects — the same O(1)
+fast path the reference uses (reference: functions.rs:410-435, wkb.rs:17-44).
+``st_x``/``st_y`` take a fully vectorized path when the batch is uniform 2-D
+points (the dominant case for point tables at scale).
+
+NaN convention: the reference returns NaN sentinels for some cases (x/y of a
+non-Point, distance to an empty geometry — functions.rs:448-452, 823-825).
+pandas/Arrow treat NaN as the missing marker, so those sentinels surface as
+SQL NULL here. This engine documents **NaN → NULL** as its convention for all
+double-returning functions; input nulls also yield NULL (null passthrough),
+matching Spark-native semantics.
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+
+from polars_st_spark.functions.factory import (
+    binary_scalar,
+    col_or_lit,
+    geom_arg,
+    unary_scalar,
+)
+from polars_st_spark.geo import algos
+from polars_st_spark.geo import geojson as _gj
+from polars_st_spark.geo import wkt as _wkt
+from polars_st_spark.geo.types import GEOMETRY_TYPE_NAMES, Geometry, GeometryType
+from polars_st_spark.geo.wkb import ewkb_to_points, from_ewkb, header_info, to_ewkb
+
+__all__ = [
+    "st_geometry_type", "st_srid", "st_has_z", "st_has_m",
+    "st_coordinate_dimension", "st_dimensions",
+    "st_x", "st_y", "st_z", "st_m",
+    "st_area", "st_length", "st_distance", "st_hausdorff_distance",
+    "st_frechet_distance", "st_minimum_clearance", "st_project",
+    "st_bounds", "st_count_coordinates", "st_count_points",
+    "st_count_interior_rings", "st_count_geometries", "st_coordinates",
+    "st_exterior_ring", "st_interior_rings", "st_parts",
+    "st_get_point", "st_get_interior_ring", "st_get_geometry",
+    "st_is_empty", "st_is_valid", "st_is_valid_reason", "st_is_simple",
+    "st_is_ring", "st_is_closed", "st_is_ccw",
+    "st_to_wkt", "st_to_ewkt", "st_to_wkb", "st_to_geojson",
+]
+
+
+# ----------------------------------------------------------------------
+# Header-only metadata (no geometry object construction)
+# ----------------------------------------------------------------------
+
+def st_geometry_type(col) -> Column:
+    """Type name string (reference Enum, geometry.py:30; header-only parse)."""
+
+    @pandas_udf("string")
+    def udf(s: pd.Series) -> pd.Series:
+        return s.map(
+            lambda b: None if b is None else GEOMETRY_TYPE_NAMES.get(header_info(bytes(b))[0], "Unknown")
+        )
+
+    return udf(col_or_lit(col))
+
+
+def st_srid(col) -> Column:
+    """(reference: functions.rs:433-435; header-only)"""
+
+    @pandas_udf("int")
+    def udf(s: pd.Series) -> pd.Series:
+        return pd.Series(
+            [None if b is None else header_info(bytes(b))[3] for b in s], dtype=object
+        )
+
+    return udf(col_or_lit(col))
+
+
+def st_has_z(col) -> Column:
+    @pandas_udf("boolean")
+    def udf(s: pd.Series) -> pd.Series:
+        return pd.Series([None if b is None else header_info(bytes(b))[1] for b in s], dtype=object)
+
+    return udf(col_or_lit(col))
+
+
+def st_has_m(col) -> Column:
+    @pandas_udf("boolean")
+    def udf(s: pd.Series) -> pd.Series:
+        return pd.Series([None if b is None else header_info(bytes(b))[2] for b in s], dtype=object)
+
+    return udf(col_or_lit(col))
+
+
+def st_coordinate_dimension(col) -> Column:
+    """2/3/4 from header flags (reference: functions.rs:427-431)."""
+
+    @pandas_udf("int")
+    def udf(s: pd.Series) -> pd.Series:
+        def one(b):
+            if b is None:
+                return None
+            _, z, m, _ = header_info(bytes(b))
+            return 2 + int(z) + int(m)
+
+        return pd.Series([one(b) for b in s], dtype=object)
+
+    return udf(col_or_lit(col))
+
+
+def st_dimensions(col) -> Column:
+    """Topological dimension; -1 for empty collection (reference: functions.rs:416-425)."""
+    return unary_scalar(lambda g: g.dimensions(), "int")(col_or_lit(col))
+
+
+# ----------------------------------------------------------------------
+# Coordinate accessors — NaN for non-Point/empty (reference: functions.rs:445-487)
+# ----------------------------------------------------------------------
+
+def _coord_accessor(idx: int, needs_flag: str | None = None):
+    def fn(g: Geometry):
+        if g.type_id != GeometryType.Point or g.coords is None:
+            return float("nan")
+        if needs_flag == "z" and not g.has_z:
+            return float("nan")
+        if needs_flag == "m":
+            if not g.has_m:
+                return float("nan")
+            return float(g.coords[2 + int(g.has_z)])
+        if idx < len(g.coords):
+            return float(g.coords[idx])
+        return float("nan")
+
+    return fn
+
+
+def st_x(col) -> Column:
+    @pandas_udf("double")
+    def udf(s: pd.Series) -> pd.Series:
+        fast = ewkb_to_points([b if b is not None else None for b in s]) if s.notna().all() else None
+        if fast is not None:
+            return pd.Series(fast[0])
+        acc = _coord_accessor(0)
+        return pd.Series([None if b is None else acc(from_ewkb(bytes(b))) for b in s], dtype=object)
+
+    return udf(col_or_lit(col))
+
+
+def st_y(col) -> Column:
+    @pandas_udf("double")
+    def udf(s: pd.Series) -> pd.Series:
+        fast = ewkb_to_points([b if b is not None else None for b in s]) if s.notna().all() else None
+        if fast is not None:
+            return pd.Series(fast[1])
+        acc = _coord_accessor(1)
+        return pd.Series([None if b is None else acc(from_ewkb(bytes(b))) for b in s], dtype=object)
+
+    return udf(col_or_lit(col))
+
+
+def st_z(col) -> Column:
+    return unary_scalar(_coord_accessor(2, "z"), "double")(col_or_lit(col))
+
+
+def st_m(col) -> Column:
+    return unary_scalar(_coord_accessor(-1, "m"), "double")(col_or_lit(col))
+
+
+# ----------------------------------------------------------------------
+# Measures
+# ----------------------------------------------------------------------
+
+def st_area(col) -> Column:
+    """(reference: functions.rs:794-796)"""
+    return unary_scalar(algos.area, "double")(col_or_lit(col))
+
+
+def st_length(col) -> Column:
+    """(reference: functions.rs:815-817)"""
+    return unary_scalar(algos.length, "double")(col_or_lit(col))
+
+
+def st_distance(col, other) -> Column:
+    """NaN if either empty (reference: functions.rs:819-829)."""
+    udf, oc = binary_scalar(algos.distance, "double", geom_arg(other))
+    return udf(col_or_lit(col)) if oc is None else udf(col_or_lit(col), oc)
+
+
+def st_hausdorff_distance(col, other, densify: float | None = None) -> Column:
+    udf, oc = binary_scalar(
+        lambda a, b: algos.hausdorff_distance(a, b, densify), "double", geom_arg(other)
+    )
+    return udf(col_or_lit(col)) if oc is None else udf(col_or_lit(col), oc)
+
+
+def st_frechet_distance(col, other, densify: float | None = None) -> Column:
+    udf, oc = binary_scalar(
+        lambda a, b: algos.frechet_distance(a, b, densify), "double", geom_arg(other)
+    )
+    return udf(col_or_lit(col)) if oc is None else udf(col_or_lit(col), oc)
+
+
+def st_minimum_clearance(col) -> Column:
+    return unary_scalar(algos.minimum_clearance, "double")(col_or_lit(col))
+
+
+def st_project(col, other, normalized: bool = False) -> Column:
+    """line-locate-point (reference: functions.rs:1719-1743)."""
+    udf, oc = binary_scalar(
+        lambda a, b: algos.line_locate_point(a, b, normalized), "double", geom_arg(other)
+    )
+    return udf(col_or_lit(col)) if oc is None else udf(col_or_lit(col), oc)
+
+
+def st_bounds(col) -> Column:
+    """[xmin,ymin,xmax,ymax]; NaN when empty (reference: functions.rs:798-813)."""
+    return unary_scalar(lambda g: list(g.bounds()), "array<double>")(col_or_lit(col))
+
+
+# ----------------------------------------------------------------------
+# Counts and part extraction (reference: functions.rs:489-685)
+# ----------------------------------------------------------------------
+
+def st_count_coordinates(col) -> Column:
+    return unary_scalar(lambda g: len(g.all_coords()), "int")(col_or_lit(col))
+
+
+def st_count_points(col) -> Column:
+    """0 for non-lineal (reference: functions.rs:520-528)."""
+    return unary_scalar(
+        lambda g: len(g.coords) if (g.type_id in (GeometryType.LineString, GeometryType.CircularString) and g.coords is not None) else 0,
+        "int",
+    )(col_or_lit(col))
+
+
+def st_count_interior_rings(col) -> Column:
+    """0 for non-Polygon (reference: functions.rs:530-538)."""
+    return unary_scalar(
+        lambda g: max(0, len(g.rings) - 1) if (g.type_id == GeometryType.Polygon and g.rings) else 0,
+        "int",
+    )(col_or_lit(col))
+
+
+def st_count_geometries(col) -> Column:
+    """(reference: functions.rs:540-546)"""
+
+    def fn(g: Geometry):
+        if g.geoms is not None:
+            return len(g.geoms)
+        return 0 if g.is_empty() else 1
+
+    return unary_scalar(fn, "int")(col_or_lit(col))
+
+
+def st_coordinates(col, output_dimension: int = 2) -> Column:
+    """List of coordinate tuples (reference: functions.rs:556-621)."""
+
+    def fn(g: Geometry):
+        c = g.all_coords()
+        d = min(output_dimension, c.shape[1]) if len(c) else output_dimension
+        return [list(map(float, row[:d])) for row in c]
+
+    return unary_scalar(fn, "array<array<double>>")(col_or_lit(col))
+
+
+def st_exterior_ring(col) -> Column:
+    """Null for non-Polygon (reference: functions.rs:489-499)."""
+
+    def fn(g: Geometry):
+        if g.type_id != GeometryType.Polygon or not g.rings:
+            return None
+        from polars_st_spark.geo.algos import _closed
+
+        return to_ewkb(
+            Geometry(GeometryType.LineString, srid=g.srid, has_z=g.has_z,
+                     coords=_closed(g.rings[0]).copy())
+        )
+
+    return unary_scalar(fn, "binary")(col_or_lit(col))
+
+
+def st_interior_rings(col) -> Column:
+    """Empty list for non-Polygon (reference: functions.rs:501-518)."""
+
+    def fn(g: Geometry):
+        if g.type_id != GeometryType.Polygon or not g.rings:
+            return []
+        from polars_st_spark.geo.algos import _closed
+
+        return [
+            to_ewkb(Geometry(GeometryType.LineString, srid=g.srid, has_z=g.has_z,
+                             coords=_closed(r).copy()))
+            for r in g.rings[1:]
+        ]
+
+    return unary_scalar(fn, "array<binary>")(col_or_lit(col))
+
+
+def st_parts(col) -> Column:
+    """Collection parts (reference: functions.rs:673-685)."""
+
+    def fn(g: Geometry):
+        if g.geoms is not None:
+            return [to_ewkb(s if s.srid else s.with_srid(g.srid)) for s in g.geoms]
+        return [to_ewkb(g)]
+
+    return unary_scalar(fn, "array<binary>")(col_or_lit(col))
+
+
+def _indexed(fn):
+    def outer(col, index: int):
+        def inner(g: Geometry):
+            return fn(g, index)
+
+        return unary_scalar(inner, "binary")(col_or_lit(col))
+
+    return outer
+
+
+@_indexed
+def st_get_point(g: Geometry, i: int):
+    """Null out-of-range (reference: functions.rs:631-643)."""
+    if g.type_id not in (GeometryType.LineString, GeometryType.CircularString) or g.coords is None:
+        return None
+    n = len(g.coords)
+    if i < 0:
+        i += n
+    if not (0 <= i < n):
+        return None
+    return to_ewkb(Geometry(GeometryType.Point, srid=g.srid, has_z=g.has_z, coords=g.coords[i].copy()))
+
+
+@_indexed
+def st_get_interior_ring(g: Geometry, i: int):
+    if g.type_id != GeometryType.Polygon or not g.rings or not (0 <= i < len(g.rings) - 1):
+        return None
+    from polars_st_spark.geo.algos import _closed
+
+    return to_ewkb(
+        Geometry(GeometryType.LineString, srid=g.srid, has_z=g.has_z,
+                 coords=_closed(g.rings[i + 1]).copy())
+    )
+
+
+@_indexed
+def st_get_geometry(g: Geometry, i: int):
+    if g.geoms is None:
+        return to_ewkb(g) if i == 0 else None
+    n = len(g.geoms)
+    if i < 0:
+        i += n
+    if not (0 <= i < n):
+        return None
+    s = g.geoms[i]
+    return to_ewkb(s if s.srid else s.with_srid(g.srid))
+
+
+# ----------------------------------------------------------------------
+# Unary predicates (reference: functions.rs:885-933)
+# ----------------------------------------------------------------------
+
+def st_is_empty(col) -> Column:
+    return unary_scalar(lambda g: g.is_empty(), "boolean")(col_or_lit(col))
+
+
+def st_is_valid(col) -> Column:
+    return unary_scalar(algos.is_valid, "boolean")(col_or_lit(col))
+
+
+def st_is_valid_reason(col) -> Column:
+    return unary_scalar(algos.is_valid_reason, "string")(col_or_lit(col))
+
+
+def st_is_simple(col) -> Column:
+    return unary_scalar(algos.is_simple, "boolean")(col_or_lit(col))
+
+
+def st_is_ring(col) -> Column:
+    return unary_scalar(algos.is_ring, "boolean")(col_or_lit(col))
+
+
+def st_is_closed(col) -> Column:
+    return unary_scalar(algos.is_closed, "boolean")(col_or_lit(col))
+
+
+def st_is_ccw(col) -> Column:
+    return unary_scalar(algos.is_ccw, "boolean")(col_or_lit(col))
+
+
+# ----------------------------------------------------------------------
+# Serialization (reference: functions.rs:703-777)
+# ----------------------------------------------------------------------
+
+def st_to_wkt(col, rounding_precision: int = 6, trim: bool = True,
+              output_dimension: int = 3, old_3d: bool = False) -> Column:
+    return unary_scalar(
+        lambda g: _wkt.to_wkt(g, rounding_precision, trim, output_dimension, old_3d),
+        "string",
+    )(col_or_lit(col))
+
+
+def st_to_ewkt(col, rounding_precision: int = 6, trim: bool = True,
+               output_dimension: int = 3, old_3d: bool = False) -> Column:
+    return unary_scalar(
+        lambda g: _wkt.to_ewkt(g, rounding_precision, trim, output_dimension, old_3d),
+        "string",
+    )(col_or_lit(col))
+
+
+def st_to_wkb(col, include_srid: bool = True) -> Column:
+    return unary_scalar(lambda g: to_ewkb(g, include_srid=include_srid), "binary")(col_or_lit(col))
+
+
+def st_to_geojson(col, indent: int | None = None) -> Column:
+    return unary_scalar(lambda g: _gj.to_geojson(g, indent), "string")(col_or_lit(col))

@@ -30,6 +30,12 @@ from polars_st_spark.geo.predicates import (
     equals,
     intersects,
     point_in_polygon,
+    touches,
+)
+from polars_st_spark.geo.rectregion import (
+    RectRegion,
+    geometry_to_region,
+    region_to_geometry,
 )
 from polars_st_spark.geo.types import (
     _LINEAL_IDS,
@@ -298,18 +304,43 @@ def _empty_like_overlay(a: Geometry, b: Geometry) -> Geometry:
     return empty_collection(a.srid)
 
 
+def _flatten_parts(g: Geometry) -> list[Geometry]:
+    """Primitive (Point/LineString/Polygon) parts of any geometry."""
+    if g.geoms is not None:
+        out: list[Geometry] = []
+        for s in g.geoms:
+            out.extend(_flatten_parts(s if s.srid else s.with_srid(g.srid)))
+        return out
+    return [g] if not g.is_empty() else []
+
+
 def _intersection_impl(a: Geometry, b: Geometry) -> Geometry:
+    # rectilinear ∩ rectilinear → exact region algebra
+    if a.dimensions() == 2 and b.dimensions() == 2:
+        reg_a, reg_b = geometry_to_region(a), geometry_to_region(b)
+        if reg_a is not None and reg_b is not None:
+            res = reg_a.intersect(reg_b)
+            if not res.is_empty():
+                return region_to_geometry(res, a.srid)
+            # fall through for degenerate (touching) cases
+    # collections: intersect each part, collect results
+    if a.geoms is not None or b.geoms is not None:
+        parts = []
+        for pa in _flatten_parts(a):
+            for pb in _flatten_parts(b):
+                if intersects(pa, pb):
+                    r = _intersection_impl(pa, pb)
+                    if not r.is_empty():
+                        parts.append(r)
+        if not parts:
+            return _empty_like_overlay(a, b)
+        if len(parts) == 1:
+            return parts[0]
+        return collect(parts, srid=a.srid, dissolve=True)
     # point cases
     for first, second, flip in ((a, b, False), (b, a, True)):
         if first.type_id == GeometryType.Point:
             return first.copy() if intersects(first, second) else Geometry(GeometryType.Point, srid=a.srid, coords=None)
-        if first.type_id == GeometryType.MultiPoint:
-            kept = [p for p in (first.geoms or []) if intersects(p, second)]
-            if not kept:
-                return Geometry(GeometryType.Point, srid=a.srid, coords=None)
-            if len(kept) == 1:
-                return kept[0].copy()
-            return Geometry(GeometryType.MultiPoint, srid=a.srid, geoms=[p.copy() for p in kept])
     ra, rb = _axis_rect(a), _axis_rect(b)
     if ra and rb:
         x0, y0 = max(ra[0], rb[0]), max(ra[1], rb[1])
@@ -403,25 +434,11 @@ def _cross_point(p, q, c, e):
 
 
 def union(a: Geometry, b: Geometry, grid_size: float | None = None) -> Geometry:
-    srid = a.srid
     if a.is_empty():
-        return b.copy().with_srid(b.srid)
+        return b.copy()
     if b.is_empty():
         return a.copy()
-    if equals(a, b) or covers(a, b):
-        return _dissolve_rects_if_possible([a]) or a.copy()
-    if covers(b, a):
-        return b.copy()
-    if not intersects(a, b):
-        return collect([a, b], srid=srid, dissolve=True)
-    ra, rb = _axis_rect(a), _axis_rect(b)
-    if ra and rb:
-        return rectangles_union([ra, rb], srid)
-    raise NotImplementedError(f"union of overlapping {a.type_name}/{b.type_name}")
-
-
-def _dissolve_rects_if_possible(geoms):
-    return None
+    return union_all([a, b], grid_size)
 
 
 def difference(a: Geometry, b: Geometry, grid_size: float | None = None) -> Geometry:
@@ -431,16 +448,45 @@ def difference(a: Geometry, b: Geometry, grid_size: float | None = None) -> Geom
         return a.copy()
     if covers(b, a):
         return _empty_like_overlay(a, a)
-    # point cases
+    # subtracting a lower-dimension geometry leaves a unchanged (GEOS semantics)
+    if b.dimensions() < a.dimensions():
+        return a.copy()
+    # b a collection → fold difference over its parts
+    if b.geoms is not None:
+        acc = a.copy()
+        for pb in _flatten_parts(b):
+            acc = difference(acc, pb, grid_size)
+            if acc.is_empty():
+                return acc
+        return acc
+    # rectilinear \ rectilinear → exact region algebra
+    if a.dimensions() == 2 and b.dimensions() == 2:
+        reg_a, reg_b = geometry_to_region(a), geometry_to_region(b)
+        if reg_a is not None and reg_b is not None:
+            return region_to_geometry(reg_a.subtract(reg_b), a.srid)
+    # lineal \ rectilinear → complement clipping
+    if a.dimensions() == 1 and b.dimensions() == 2:
+        reg_b = geometry_to_region(b)
+        if reg_b is not None:
+            parts = []
+            for chain in _decompose(a).lines:
+                parts.extend(_chain_outside_region(chain, reg_b))
+            return _lines_result(parts, a.srid)
+    # collections: difference each part of a, collect survivors
+    if a.geoms is not None:
+        parts = []
+        for pa in _flatten_parts(a):
+            r = difference(pa, b, grid_size)
+            if not r.is_empty():
+                parts.append(r)
+        if not parts:
+            return _empty_like_overlay(a, a)
+        if len(parts) == 1:
+            return parts[0]
+        return collect(parts, srid=a.srid, dissolve=True)
+    # point case
     if a.type_id == GeometryType.Point:
         return a.copy() if not intersects(a, b) else Geometry(GeometryType.Point, srid=a.srid, coords=None)
-    if a.type_id == GeometryType.MultiPoint:
-        kept = [p.copy() for p in (a.geoms or []) if not intersects(p, b)]
-        if not kept:
-            return Geometry(GeometryType.Point, srid=a.srid, coords=None)
-        if len(kept) == 1:
-            return kept[0]
-        return Geometry(GeometryType.MultiPoint, srid=a.srid, geoms=kept)
     ra, rb = _axis_rect(a), _axis_rect(b)
     if ra and rb:
         pieces = _rect_minus_rect(ra, rb)
@@ -453,6 +499,19 @@ def difference(a: Geometry, b: Geometry, grid_size: float | None = None) -> Geom
                 parts.extend(_chain_outside_rect(chain, *rb2))
             return _lines_result(parts, a.srid)
     raise NotImplementedError(f"difference({a.type_name}, {b.type_name})")
+
+
+def _chain_outside_region(c: np.ndarray, region: RectRegion) -> list[np.ndarray]:
+    """Chain pieces outside a rectilinear region."""
+    pieces = [np.asarray(c)[:, :2]]
+    for x0, y0, x1, y1 in region.rects:
+        nxt: list[np.ndarray] = []
+        for p in pieces:
+            nxt.extend(_chain_outside_rect(p, x0, y0, x1, y1))
+        pieces = nxt
+        if not pieces:
+            break
+    return pieces
 
 
 def _chain_outside_rect(c: np.ndarray, x0, y0, x1, y1) -> list[np.ndarray]:
@@ -492,10 +551,10 @@ def symmetric_difference(a: Geometry, b: Geometry, grid_size: float | None = Non
         return a.copy()
     if not intersects(a, b):
         return collect([a, b], srid=a.srid, dissolve=True)
-    ra, rb = _axis_rect(a), _axis_rect(b)
-    if ra and rb:
-        pieces = _rect_minus_rect(ra, rb) + _rect_minus_rect(rb, ra)
-        return _rects_to_geometry(pieces, a.srid)
+    if a.dimensions() == 2 and b.dimensions() == 2:
+        reg_a, reg_b = geometry_to_region(a), geometry_to_region(b)
+        if reg_a is not None and reg_b is not None:
+            return region_to_geometry(reg_a.symmetric_difference(reg_b), a.srid)
     d1 = difference(a, b)
     d2 = difference(b, a)
     if d1.is_empty():
@@ -579,38 +638,84 @@ def _nonnull(geoms) -> list[Geometry]:
 
 
 def union_all(geoms, grid_size: float | None = None) -> Geometry:
-    """Left fold of union; empty input → GEOMETRYCOLLECTION EMPTY
-    (reference: expressions.rs:985-999)."""
+    """N-ary union; empty input → GEOMETRYCOLLECTION EMPTY
+    (reference: expressions.rs:985-999).
+
+    Strategy: flatten to primitive parts; exact slab-decomposition when all
+    parts are axis-aligned rectangles; otherwise absorb covered parts and
+    collect parts whose interiors don't overlap. Overlapping concave inputs
+    need a general clipper — NotImplementedError (SURVEY §7)."""
     gs = _nonnull(geoms)
-    if not gs:
+    parts: list[Geometry] = []
+    for g in gs:
+        parts.extend(_flatten_parts(g))
+    if not parts:
         return empty_collection()
-    gs = [g for g in gs if not g.is_empty()]
-    if not gs:
-        return empty_collection()
-    if len(gs) == 1:
-        return gs[0].copy()
-    # all axis rectangles → exact slab union
-    rects = [_axis_rect(g) for g in gs]
-    if all(r is not None for r in rects):
-        return rectangles_union(rects, gs[0].srid)
-    # pairwise-disjoint inputs → collection
-    if _all_disjoint(gs):
-        return collect(gs, srid=gs[0].srid, dissolve=True)
-    acc = gs[0]
-    for g in gs[1:]:
-        acc = union(acc, g, grid_size)
-    return acc
-
-
-def _all_disjoint(gs: list[Geometry]) -> bool:
-    boxes = [g.bounds() for g in gs]
-    for i in range(len(gs)):
-        for j in range(i + 1, len(gs)):
-            b1, b2 = boxes[i], boxes[j]
-            if b1[0] <= b2[2] and b2[0] <= b1[2] and b1[1] <= b2[3] and b2[1] <= b1[3]:
-                if intersects(gs[i], gs[j]):
-                    return False
-    return True
+    srid = parts[0].srid
+    if len(parts) == 1:
+        return parts[0].copy()
+    # rectilinear areal parts → exact region algebra, mixed dims handled
+    areal = [p for p in parts if p.dimensions() == 2]
+    lineal = [p for p in parts if p.dimensions() == 1]
+    punctual = [p for p in parts if p.dimensions() == 0]
+    regions = [geometry_to_region(p) for p in areal]
+    if areal and all(r is not None for r in regions):
+        region = RectRegion()
+        for r in regions:
+            region = region.union(r)
+        out: list[Geometry] = _flatten_parts(region_to_geometry(region, srid))
+        for l in lineal:
+            for chain in _decompose(l).lines:
+                for piece in _chain_outside_region(chain, region):
+                    out.append(Geometry(GeometryType.LineString, srid=srid, coords=piece))
+        higher = [p for p in out]
+        for p in punctual:
+            if not any(intersects(p, q) for q in higher):
+                out.append(p.copy())
+        if len(out) == 1:
+            return out[0]
+        return collect(out, srid=srid, dissolve=True)
+    # absorption: drop any part covered by another surviving part
+    kept: list[Geometry] = []
+    for i, g in enumerate(parts):
+        absorbed = False
+        for j, h in enumerate(parts):
+            if i == j:
+                continue
+            if covers(h, g) and not (j > i and covers(g, h)):
+                absorbed = True
+                break
+        if not absorbed:
+            kept.append(g)
+    # remaining parts must have non-overlapping interiors to collect exactly
+    for i in range(len(kept)):
+        for j in range(i + 1, len(kept)):
+            a, b = kept[i], kept[j]
+            if intersects(a, b) and not touches(a, b):
+                ra, rb = _axis_rect(a), _axis_rect(b)
+                if ra and rb:
+                    continue  # rect pair resolved below
+                raise NotImplementedError(
+                    f"union of overlapping {a.type_name}/{b.type_name} (non-rectangles)"
+                )
+    # merge any overlapping rectangle clusters via slab union
+    rect_idx = [i for i, g in enumerate(kept) if _axis_rect(g)]
+    overlapping_rects = set()
+    for ii in range(len(rect_idx)):
+        for jj in range(ii + 1, len(rect_idx)):
+            a, b = kept[rect_idx[ii]], kept[rect_idx[jj]]
+            if intersects(a, b) and not touches(a, b):
+                overlapping_rects.add(rect_idx[ii])
+                overlapping_rects.add(rect_idx[jj])
+    if overlapping_rects:
+        merged = rectangles_union([_axis_rect(kept[i]) for i in sorted(overlapping_rects)], srid)
+        rest = [g for i, g in enumerate(kept) if i not in overlapping_rects]
+        if not rest:
+            return merged
+        kept = rest + _flatten_parts(merged)
+    if len(kept) == 1:
+        return kept[0].copy()
+    return collect(kept, srid=srid, dissolve=True)
 
 
 def intersection_all(geoms, grid_size: float | None = None) -> Geometry:

@@ -1,0 +1,206 @@
+"""Spark function-layer tests: st_* columns over DataFrames."""
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+import polars_st_spark as st
+
+
+@pytest.fixture(scope="module")
+def geoms(spark):
+    rows = [
+        (1, "POINT (1 2)"),
+        (2, "LINESTRING (0 0, 3 4)"),
+        (3, "POLYGON ((0 0, 4 0, 4 4, 0 4, 0 0))"),
+        (4, "POLYGON ((0 0, 4 0, 4 4, 0 4, 0 0), (1 1, 2 1, 2 2, 1 2, 1 1))"),
+        (5, None),
+        (6, "POINT EMPTY"),
+        (7, "MULTIPOLYGON (((0 0, 1 0, 0 1, 0 0)), ((2 2, 3 2, 2 3, 2 2)))"),
+    ]
+    df = spark.createDataFrame(rows, ["id", "wkt"])
+    return df.withColumn("geom", st.st_from_wkt("wkt")).cache()
+
+
+def _vals(df, col):
+    return {r["id"]: r[col] for r in df.select("id", col).collect()}
+
+
+def test_from_wkt_null_passthrough(geoms):
+    v = _vals(geoms.withColumn("out", F.col("geom")), "out")
+    assert v[5] is None and v[1] is not None
+
+
+def test_area(geoms):
+    v = _vals(geoms.withColumn("out", st.st_area("geom")), "out")
+    assert v[3] == 16.0 and v[4] == 15.0 and v[2] == 0.0 and v[5] is None
+    assert v[7] == 1.0
+
+
+def test_length(geoms):
+    v = _vals(geoms.withColumn("out", st.st_length("geom")), "out")
+    assert v[2] == 5.0 and v[3] == 16.0
+
+
+def test_geometry_type_and_header_ops(geoms):
+    v = _vals(geoms.withColumn("out", st.st_geometry_type("geom")), "out")
+    assert v[1] == "Point" and v[3] == "Polygon" and v[7] == "MultiPolygon" and v[5] is None
+    v = _vals(geoms.withColumn("out", st.st_srid("geom")), "out")
+    assert v[1] == 0
+    v = _vals(geoms.withColumn("out", st.st_dimensions("geom")), "out")
+    assert v[1] == 0 and v[2] == 1 and v[3] == 2
+
+
+def test_xy(geoms):
+    vx = _vals(geoms.withColumn("out", st.st_x("geom")), "out")
+    vy = _vals(geoms.withColumn("out", st.st_y("geom")), "out")
+    assert vx[1] == 1.0 and vy[1] == 2.0
+    # reference returns NaN for non-point (functions.rs:448-452); at the Arrow
+    # boundary NaN surfaces as NULL — documented engine convention
+    assert vx[3] is None
+    assert vx[5] is None
+
+
+def test_point_constructor_vectorized(spark):
+    df = spark.range(1000).select(
+        F.col("id"),
+        (F.col("id") % 100).cast("double").alias("x"),
+        (F.col("id") % 50).cast("double").alias("y"),
+    )
+    out = df.select("id", st.st_point("x", "y", srid=4326).alias("g"))
+    row = out.where(F.col("id") == 123).select(
+        st.st_to_ewkt("g").alias("wkt"), st.st_srid("g").alias("srid")
+    ).first()
+    assert row["wkt"] == "SRID=4326;POINT (23 23)"
+    assert row["srid"] == 4326
+
+
+def test_rectangle_constructor(spark):
+    df = spark.createDataFrame([(0.0, 0.0, 2.0, 3.0)], ["x0", "y0", "x1", "y1"])
+    out = df.select(st.st_rectangle("x0", "y0", "x1", "y1").alias("r"))
+    row = out.select(st.st_area("r").alias("a"), st.st_to_wkt("r").alias("w")).first()
+    assert row["a"] == 6.0
+    assert row["w"] == "POLYGON ((0 0, 2 0, 2 3, 0 3, 0 0))"
+
+
+def test_predicates_with_scalar_other(geoms):
+    v = _vals(geoms.withColumn("out", st.st_intersects("geom", "POINT (1 2)")), "out")
+    assert v[1] is True and v[3] is True and v[7] is False and v[5] is None
+    v = _vals(geoms.withColumn("out", st.st_contains("geom", "POINT (2 3)")), "out")
+    assert v[3] is True and v[1] is False
+    v = _vals(geoms.withColumn("out", st.st_dwithin("geom", "POINT (5 2)", 1.5)), "out")
+    assert v[3] is True  # distance 1 < 1.5
+
+
+def test_predicates_column_vs_column(spark):
+    df = spark.createDataFrame(
+        [(1, "POLYGON ((0 0, 2 0, 2 2, 0 2, 0 0))", "POINT (1 1)"),
+         (2, "POLYGON ((0 0, 2 0, 2 2, 0 2, 0 0))", "POINT (9 9)")],
+        ["id", "wa", "wb"],
+    )
+    df = df.select("id", st.st_from_wkt("wa").alias("a"), st.st_from_wkt("wb").alias("b"))
+    v = {r["id"]: r["out"] for r in df.withColumn("out", st.st_contains("a", "b")).collect()}
+    assert v[1] is True and v[2] is False
+
+
+def test_transforms(geoms):
+    v = _vals(
+        geoms.withColumn("out", st.st_to_wkt(st.st_centroid("geom"))), "out"
+    )
+    assert v[3] == "POINT (2 2)"
+    v = _vals(geoms.withColumn("out", st.st_to_wkt(st.st_translate("geom", 1, 1))), "out")
+    assert v[1] == "POINT (2 3)"
+    v = _vals(geoms.withColumn("out", st.st_area(st.st_convex_hull("geom"))), "out")
+    assert v[3] == 16.0
+    v = _vals(geoms.withColumn("out", st.st_area(st.st_envelope("geom"))), "out")
+    assert v[2] == 12.0
+
+
+def test_set_ops(geoms):
+    other = "POLYGON ((2 2, 6 2, 6 6, 2 6, 2 2))"
+    v = _vals(geoms.withColumn("out", st.st_area(st.st_intersection("geom", other))), "out")
+    assert v[3] == 4.0
+    v = _vals(geoms.withColumn("out", st.st_area(st.st_difference("geom", other))), "out")
+    assert v[3] == 12.0
+    v = _vals(geoms.withColumn("out", st.st_area(st.st_union("geom", other))), "out")
+    assert v[3] == 28.0
+
+
+def test_bounds_and_serialization(geoms):
+    v = _vals(geoms.withColumn("out", st.st_bounds("geom")), "out")
+    assert v[3] == [0.0, 0.0, 4.0, 4.0]
+    v = _vals(geoms.withColumn("out", st.st_to_geojson("geom")), "out")
+    assert '"type":"Point"' in v[1]
+
+
+def test_srid_flow(spark):
+    df = spark.createDataFrame([("SRID=4326;POINT (1 2)",)], ["e"])
+    g = df.select(st.st_from_ewkt("e").alias("g"))
+    row = g.select(
+        st.st_srid("g").alias("srid"),
+        st.st_srid(st.st_set_srid("g", 3857)).alias("srid2"),
+        st.st_srid(st.st_centroid("g")).alias("srid3"),
+    ).first()
+    assert row["srid"] == 4326 and row["srid2"] == 3857 and row["srid3"] == 4326
+
+
+def test_to_srid_webmercator(spark):
+    df = spark.createDataFrame([("SRID=4326;POINT (0 0)",), ("SRID=4326;POINT (90 45)",)], ["e"])
+    g = df.select(st.st_from_ewkt("e").alias("g"))
+    out = g.select(st.st_x(st.st_to_srid("g", 3857)).alias("x"),
+                   st.st_y(st.st_to_srid("g", 3857)).alias("y")).collect()
+    assert abs(out[0]["x"]) < 1e-9 and abs(out[0]["y"]) < 1e-9
+    assert abs(out[1]["x"] - 10018754.171394622) < 1.0
+    assert abs(out[1]["y"] - 5621521.486192066) < 1.0
+
+
+def test_aggregations(spark):
+    rows = []
+    for grp, xs in [("A", [0, 1, 4]), ("B", [10])]:
+        for x in xs:
+            rows.append((grp, f"POLYGON (({x} 0, {x+2} 0, {x+2} 2, {x} 2, {x} 0))"))
+    rows.append(("C", None))
+    df = spark.createDataFrame(rows, ["grp", "wkt"])
+    df = df.withColumn("geom", st.st_from_wkt("wkt"))
+    out = df.groupBy("grp").agg(st.st_union_all("geom").alias("u"))
+    v = {r["grp"]: r["a"] for r in out.select("grp", st.st_area("u").alias("a")).collect()}
+    assert v["A"] == 10.0 and v["B"] == 4.0 and v["C"] == 0.0
+    # agg identity: all-null group → GEOMETRYCOLLECTION EMPTY
+    w = {r["grp"]: r["w"] for r in out.select("grp", st.st_to_wkt("u").alias("w")).collect()}
+    assert w["C"] == "GEOMETRYCOLLECTION EMPTY"
+
+
+def test_intersection_all_agg(spark):
+    rows = [("A", "POLYGON ((0 0, 4 0, 4 4, 0 4, 0 0))"),
+            ("A", "POLYGON ((1 1, 5 1, 5 5, 1 5, 1 1))")]
+    df = spark.createDataFrame(rows, ["grp", "wkt"]).withColumn("geom", st.st_from_wkt("wkt"))
+    out = df.groupBy("grp").agg(st.st_intersection_all("geom").alias("i"))
+    assert out.select(st.st_area("i")).first()[0] == 9.0
+
+
+def test_collect_agg(spark):
+    rows = [("A", "POINT (0 0)"), ("A", "POINT (1 1)")]
+    df = spark.createDataFrame(rows, ["grp", "wkt"]).withColumn("geom", st.st_from_wkt("wkt"))
+    out = df.groupBy("grp").agg(st.st_collect("geom").alias("c"))
+    assert out.select(st.st_geometry_type("c")).first()[0] == "MultiPoint"
+
+
+def test_total_bounds(spark):
+    rows = [("POINT (0 5)",), ("POINT (10 -3)",), ("POINT EMPTY",)]
+    df = spark.createDataFrame(rows, ["wkt"]).withColumn("geom", st.st_from_wkt("wkt"))
+    row = df.select(st.st_bounds("geom").alias("b")).agg(*st.st_total_bounds("b")).first()
+    assert [row["xmin"], row["ymin"], row["xmax"], row["ymax"]] == [0.0, -3.0, 10.0, 5.0]
+
+
+def test_filter_pushdown_composition(geoms):
+    # spatial predicate composes with ordinary Spark filter/select
+    n = geoms.where(st.st_intersects("geom", "POINT (1 2)")).count()
+    # point itself, the 4x4 polygon, and the holed polygon ((1,2) lies on the
+    # hole boundary, which is in the polygon's closure)
+    assert n == 3
+
+
+def test_clip_by_rect(geoms):
+    v = _vals(geoms.withColumn("out", st.st_area(st.st_clip_by_rect("geom", 2, 2, 6, 6))), "out")
+    assert v[3] == 4.0
