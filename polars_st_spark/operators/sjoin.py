@@ -1,0 +1,249 @@
+"""Distributed spatial join.
+
+Reference semantics (reference: geodataframe.py:185-230, geolazyframe.py:64-158,
+functions.rs:1804-1866): pairs (l, r) where ``predicate(left, right)`` holds;
+``intersects_bbox`` accepts every bbox-overlapping candidate
+(functions.rs:1823).
+
+Two physical strategies, mirroring SURVEY §2.9:
+
+1. **broadcast** — the right side is collected and broadcast; each left
+   partition builds/probes a local STRtree (reference's exact algorithm,
+   distributed over left partitions). Right side must fit in executor memory.
+   No shuffle at all on the left side: a single mapInPandas pass.
+
+2. **grid** — both sides are exploded onto a fixed grid keyed by cell id and
+   equi-joined (hash shuffle on cell), then bbox + exact predicate filtered.
+   Duplicate pair elimination uses the reference-point trick (a pair is kept
+   only in the cell containing the top-left corner of the bbox intersection),
+   so no global ``distinct`` shuffle is needed. Scales to both sides large.
+
+At 100 TB: broadcast when one side is a dimension-like table (nations,
+regions, zones); grid with a cell size ~ median bbox diagonal otherwise; AQE
+handles residual skew in the equi-join.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import StructType
+
+from polars_st_spark.geo import predicates as P
+from polars_st_spark.geo.index import STRtree
+from polars_st_spark.geo.wkb import from_ewkb
+
+__all__ = ["st_sjoin", "SJOIN_PREDICATES"]
+
+# predicate(left, right) — evaluation order matters (reference: functions.rs:1855-1859)
+SJOIN_PREDICATES = {
+    "intersects_bbox": None,
+    "intersects": P.intersects,
+    "within": P.within,
+    "contains": P.contains,
+    "overlaps": P.overlaps,
+    "crosses": P.crosses,
+    "touches": P.touches,
+    "covers": P.covers,
+    "covered_by": P.covered_by,
+    "contains_properly": P.contains_properly,
+}
+
+
+def _bounds_of(b: bytes) -> tuple[float, float, float, float]:
+    return from_ewkb(b).bounds()
+
+
+def st_sjoin(
+    left: DataFrame,
+    right: DataFrame,
+    predicate: str = "intersects",
+    how: str = "inner",
+    lsuffix: str = "",
+    rsuffix: str = "_right",
+    left_on: str = "geometry",
+    right_on: str = "geometry",
+    strategy: str = "auto",
+    broadcast_threshold: int = 1_000_000,
+    cell_size: float | None = None,
+) -> DataFrame:
+    """Spatial join of two DataFrames on EWKB geometry columns.
+
+    Returns left columns + right columns (conflicts suffixed), one row per
+    matching pair; ``how='left'`` keeps unmatched left rows with nulls.
+    """
+    if predicate not in SJOIN_PREDICATES:
+        raise ValueError(f"Unknown predicate {predicate!r}; valid: {sorted(SJOIN_PREDICATES)}")
+    if how not in ("inner", "left"):
+        raise ValueError(f"how must be 'inner' or 'left', got {how!r}")
+
+    if strategy == "auto":
+        # cheap heuristic: broadcast if the right side is small
+        n_right = right.limit(broadcast_threshold + 1).count()
+        strategy = "broadcast" if n_right <= broadcast_threshold else "grid"
+
+    if strategy == "broadcast":
+        return _sjoin_broadcast(left, right, predicate, how, lsuffix, rsuffix, left_on, right_on)
+    if strategy == "grid":
+        return _sjoin_grid(left, right, predicate, how, lsuffix, rsuffix, left_on, right_on, cell_size)
+    raise ValueError(f"Unknown strategy {strategy!r}")
+
+
+def _suffix_schema(left: DataFrame, right: DataFrame, lsuffix: str, rsuffix: str):
+    lnames = list(left.columns)
+    rnames = []
+    for c in right.columns:
+        rnames.append(c + rsuffix if c in lnames else c)
+    return lnames, rnames
+
+
+def _sjoin_broadcast(left, right, predicate, how, lsuffix, rsuffix, left_on, right_on):
+    spark = left.sparkSession
+    right_rows = right.collect()
+    right_pdf = pd.DataFrame([r.asDict() for r in right_rows], columns=right.columns)
+    bc = spark.sparkContext.broadcast(right_pdf)
+    lnames, rnames = _suffix_schema(left, right, lsuffix, rsuffix)
+
+    out_schema = StructType(
+        list(left.schema.fields)
+        + [type(f)(name, f.dataType, True) for name, f in zip(rnames, right.schema.fields)]
+    )
+    pred_fn = SJOIN_PREDICATES[predicate]
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        rpdf = bc.value
+        rgeoms = [None if b is None else from_ewkb(bytes(b)) for b in rpdf[right_on]]
+        rbounds = np.array(
+            [g.bounds() if g is not None else (np.nan,) * 4 for g in rgeoms]
+        ).reshape(-1, 4)
+        tree = STRtree(rbounds)
+        rview = rpdf.rename(columns=dict(zip(rpdf.columns, rnames)))
+        for pdf in batches:
+            li, ri = [], []
+            lgeo = pdf[left_on]
+            for i, b in enumerate(lgeo):
+                if b is None:
+                    if how == "left":
+                        li.append(i)
+                        ri.append(-1)
+                    continue
+                g = from_ewkb(bytes(b))
+                cand = tree.query(*g.bounds())
+                matched = False
+                for j in cand:
+                    rg = rgeoms[int(j)]
+                    if rg is None:
+                        continue
+                    if pred_fn is None or pred_fn(g, rg):
+                        li.append(i)
+                        ri.append(int(j))
+                        matched = True
+                if how == "left" and not matched:
+                    li.append(i)
+                    ri.append(-1)
+            if not li:
+                continue
+            lpart = pdf.iloc[li].reset_index(drop=True)
+            rpart = rview.reindex([j if j >= 0 else None for j in ri]).reset_index(drop=True)
+            rpart.loc[[k for k, j in enumerate(ri) if j < 0], :] = None
+            yield pd.concat([lpart, rpart], axis=1)
+
+    return left.mapInPandas(gen, schema=out_schema)
+
+
+def _sjoin_grid(left, right, predicate, how, lsuffix, rsuffix, left_on, right_on, cell_size):
+    """Grid-cell equi-join (hash shuffle on cell id), no post-hoc distinct."""
+    if cell_size is None:
+        cell_size = _estimate_cell_size(left, left_on)
+    from polars_st_spark.functions.scalar import st_bounds
+
+    lnames, rnames = _suffix_schema(left, right, lsuffix, rsuffix)
+    lb = left.select(
+        F.struct(*[F.col(c) for c in left.columns]).alias("_lrow"),
+        st_bounds(left_on).alias("_lbox"),
+    ).where(~F.isnan(F.col("_lbox")[0]))
+    rb = right.select(
+        F.struct(*[F.col(c) for c in right.columns]).alias("_rrow"),
+        st_bounds(right_on).alias("_rbox"),
+    ).where(~F.isnan(F.col("_rbox")[0]))
+
+    def explode_cells(df, box):
+        cs = float(cell_size)
+        cx0 = F.floor(F.col(box)[0] / cs).cast("long")
+        cx1 = F.floor(F.col(box)[2] / cs).cast("long")
+        cy0 = F.floor(F.col(box)[1] / cs).cast("long")
+        cy1 = F.floor(F.col(box)[3] / cs).cast("long")
+        return df.withColumn("_cx", F.explode(F.sequence(cx0, cx1))).withColumn(
+            "_cy", F.explode(F.sequence(cy0, cy1))
+        )
+
+    le = explode_cells(lb, "_lbox")
+    re_ = explode_cells(rb, "_rbox")
+    joined = le.join(re_, on=["_cx", "_cy"], how="inner")
+    # bbox overlap
+    joined = joined.where(
+        (F.col("_lbox")[0] <= F.col("_rbox")[2])
+        & (F.col("_rbox")[0] <= F.col("_lbox")[2])
+        & (F.col("_lbox")[1] <= F.col("_rbox")[3])
+        & (F.col("_rbox")[1] <= F.col("_lbox")[3])
+    )
+    # reference-point dedup: keep the pair only in the cell that contains the
+    # min corner of the bbox intersection
+    cs = float(cell_size)
+    ix = F.greatest(F.col("_lbox")[0], F.col("_rbox")[0])
+    iy = F.greatest(F.col("_lbox")[1], F.col("_rbox")[1])
+    joined = joined.where(
+        (F.floor(ix / cs).cast("long") == F.col("_cx"))
+        & (F.floor(iy / cs).cast("long") == F.col("_cy"))
+    )
+    pred_fn = SJOIN_PREDICATES[predicate]
+    if pred_fn is not None:
+        from pyspark.sql.functions import pandas_udf
+
+        @pandas_udf("boolean")
+        def pred_udf(lg: pd.Series, rg: pd.Series) -> pd.Series:
+            out = [
+                False
+                if (a is None or b is None)
+                else pred_fn(from_ewkb(bytes(a)), from_ewkb(bytes(b)))
+                for a, b in zip(lg, rg)
+            ]
+            return pd.Series(out, dtype=object)
+
+        joined = joined.where(pred_udf(F.col("_lrow")[left_on], F.col("_rrow")[right_on]))
+    out = joined.select(
+        *[F.col("_lrow")[c].alias(n) for c, n in zip(left.columns, lnames)],
+        *[F.col("_rrow")[c].alias(n) for c, n in zip(right.columns, rnames)],
+    )
+    if how == "left":
+        matched_keys = out.select(*[F.col(n) for n in lnames]).dropDuplicates()
+        missing = left.join(matched_keys, on=lnames, how="left_anti")
+        for n, f in zip(rnames, right.schema.fields):
+            missing = missing.withColumn(n, F.lit(None).cast(f.dataType))
+        out = out.unionByName(missing)
+    return out
+
+
+def _estimate_cell_size(df: DataFrame, geom_col: str) -> float:
+    """Sample bbox sizes to pick a grid cell ~2× the median bbox extent."""
+    from polars_st_spark.functions.scalar import st_bounds
+
+    sample = (
+        df.select(st_bounds(geom_col).alias("b"))
+        .where(~F.isnan(F.col("b")[0]))
+        .limit(1000)
+        .select(
+            (F.col("b")[2] - F.col("b")[0]).alias("w"),
+            (F.col("b")[3] - F.col("b")[1]).alias("h"),
+        )
+        .agg(F.expr("percentile(w, 0.5)").alias("mw"), F.expr("percentile(h, 0.5)").alias("mh"))
+        .first()
+    )
+    mw = sample["mw"] or 1.0
+    mh = sample["mh"] or 1.0
+    return max(max(mw, mh) * 2.0, 1e-9)

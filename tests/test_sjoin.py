@@ -1,0 +1,117 @@
+"""Spatial join tests: broadcast STRtree path and grid shuffle path must
+produce identical pair sets (reference kernel semantics: functions.rs:1817-1866)."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+import polars_st_spark as st
+from polars_st_spark.geo.index import STRtree
+from polars_st_spark.operators.sjoin import st_sjoin
+
+
+def test_strtree_basic():
+    bounds = np.array([[0, 0, 1, 1], [2, 2, 3, 3], [0.5, 0.5, 2.5, 2.5], [np.nan] * 4])
+    t = STRtree(bounds)
+    assert set(t.query(0.9, 0.9, 1.1, 1.1)) == {0, 2}
+    assert set(t.query(10, 10, 11, 11)) == set()
+    assert set(t.query(0, 0, 3, 3)) == {0, 1, 2}
+
+
+def test_strtree_many():
+    rng = np.random.RandomState(42)
+    pts = rng.uniform(0, 100, size=(5000, 2))
+    bounds = np.column_stack([pts, pts])
+    t = STRtree(bounds)
+    q = (10.0, 10.0, 20.0, 20.0)
+    expected = set(
+        np.nonzero((pts[:, 0] >= q[0]) & (pts[:, 0] <= q[2]) & (pts[:, 1] >= q[1]) & (pts[:, 1] <= q[3]))[0]
+    )
+    assert set(t.query(*q)) == expected
+
+
+@pytest.fixture(scope="module")
+def zones_points(spark):
+    zones = spark.createDataFrame(
+        [(1, "POLYGON ((0 0, 10 0, 10 10, 0 10, 0 0))"),
+         (2, "POLYGON ((10 0, 20 0, 20 10, 10 10, 10 0))"),
+         (3, "POLYGON ((100 100, 110 100, 110 110, 100 110, 100 100))")],
+        ["zone_id", "wkt"],
+    ).select("zone_id", st.st_from_wkt("wkt").alias("geometry"))
+    pts = spark.createDataFrame(
+        [(1, 5.0, 5.0), (2, 15.0, 5.0), (3, 50.0, 50.0), (4, 5.0, 7.0)],
+        ["pt_id", "x", "y"],
+    ).select("pt_id", st.st_point("x", "y").alias("geometry"))
+    return zones, pts
+
+
+def _pairs(df):
+    return sorted((r["pt_id"], r["zone_id"]) for r in df.select("pt_id", "zone_id").collect())
+
+
+def test_sjoin_broadcast(zones_points):
+    zones, pts = zones_points
+    out = st_sjoin(pts, zones, predicate="within", strategy="broadcast")
+    assert _pairs(out) == [(1, 1), (2, 2), (4, 1)]
+
+
+def test_sjoin_grid_matches_broadcast(zones_points):
+    zones, pts = zones_points
+    b = st_sjoin(pts, zones, predicate="within", strategy="broadcast")
+    g = st_sjoin(pts, zones, predicate="within", strategy="grid", cell_size=7.0)
+    assert _pairs(b) == _pairs(g)
+
+
+def test_sjoin_left(zones_points):
+    zones, pts = zones_points
+    out = st_sjoin(pts, zones, predicate="within", how="left", strategy="broadcast")
+    rows = {r["pt_id"]: r["zone_id"] for r in out.collect()}
+    assert rows[3] is None and rows[1] == 1
+    out_g = st_sjoin(pts, zones, predicate="within", how="left", strategy="grid", cell_size=7.0)
+    rows_g = {r["pt_id"]: r["zone_id"] for r in out_g.collect()}
+    assert rows_g == rows
+
+
+def test_sjoin_intersects_bbox(zones_points):
+    zones, pts = zones_points
+    out = st_sjoin(pts, zones, predicate="intersects_bbox", strategy="broadcast")
+    # bbox candidates: same result for points, but zone1/zone2 share edge x=10
+    assert (1, 1) in _pairs(out)
+
+
+def test_sjoin_predicate_direction(spark):
+    # predicate is evaluated as predicate(left, right): within means LEFT within RIGHT
+    # (reference: functions.rs:1855-1859)
+    small = spark.createDataFrame([(1, "POLYGON ((1 1, 2 1, 2 2, 1 2, 1 1))")], ["sid", "w"]) \
+        .select("sid", st.st_from_wkt("w").alias("geometry"))
+    big = spark.createDataFrame([(9, "POLYGON ((0 0, 10 0, 10 10, 0 10, 0 0))")], ["bid", "w"]) \
+        .select("bid", st.st_from_wkt("w").alias("geometry"))
+    within_pairs = st_sjoin(small, big, predicate="within", strategy="broadcast").count()
+    contains_pairs = st_sjoin(small, big, predicate="contains", strategy="broadcast").count()
+    assert within_pairs == 1 and contains_pairs == 0
+
+
+def test_union_all_two_phase(spark):
+    from polars_st_spark.operators.grouped import union_all_two_phase
+
+    rows = [("A", f"POLYGON (({x} 0, {x+2} 0, {x+2} 2, {x} 2, {x} 0))") for x in (0, 1, 4)]
+    df = spark.createDataFrame(rows, ["grp", "wkt"]).select(
+        "grp", st.st_from_wkt("wkt").alias("geom")
+    ).repartition(3)
+    out = union_all_two_phase(df, ["grp"], "geom")
+    assert out.select(st.st_area("union_geom")).first()[0] == 10.0
+
+
+def test_difference_all_ordered(spark):
+    from polars_st_spark.operators.grouped import difference_all_ordered
+
+    rows = [
+        ("A", 0, "POLYGON ((0 0, 10 0, 10 10, 0 10, 0 0))"),
+        ("A", 1, "POLYGON ((0 0, 5 0, 5 10, 0 10, 0 0))"),
+        ("A", 2, "POLYGON ((5 0, 7 0, 7 10, 5 10, 5 0))"),
+    ]
+    df = spark.createDataFrame(rows, ["grp", "ord", "wkt"]).select(
+        "grp", "ord", st.st_from_wkt("wkt").alias("geom")
+    )
+    out = difference_all_ordered(df, ["grp"], "geom", "ord")
+    assert out.select(st.st_area("difference_geom")).first()[0] == 30.0  # 100-50-20
