@@ -1,0 +1,145 @@
+"""Similarity search over embedding columns (``array<float>``).
+
+- :func:`cosine_topk` — brute-force cosine top-k, pure Spark SQL: the dot
+  product is ``aggregate(zip_with(...))`` (JVM-side, codegen), top-k via a
+  window. The baseline path; exact.
+- :func:`cosine_topk_lsh` — sign-random-projection LSH bucketing: queries
+  only compare against corpus vectors sharing a bucket (or a neighbor
+  bucket). The scale path: shuffle is an equi-join on bucket id instead of a
+  broadcast cross product. Hyperplanes are derived deterministically from a
+  seed via md5, so results are reproducible across runs and engines.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import struct
+
+import numpy as np
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from polars_st_spark.functions.factory import col_or_lit
+
+__all__ = ["cosine_similarity", "cosine_topk", "cosine_topk_lsh", "lsh_bucket"]
+
+
+def _dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def _norm(a: Column) -> Column:
+    return F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, v: acc + v * v))
+
+
+def cosine_similarity(a, b) -> Column:
+    a, b = col_or_lit(a), col_or_lit(b)
+    ad = a.cast("array<double>")
+    bd = b.cast("array<double>")
+    den = _norm(ad) * _norm(bd)
+    return F.when(den > 0, _dot(ad, bd) / den).otherwise(F.lit(0.0))
+
+
+def cosine_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 10,
+    query_id: str = "vec_id",
+    corpus_id: str = "vec_id",
+    query_vec: str = "embedding",
+    corpus_vec: str = "embedding",
+) -> DataFrame:
+    """Exact brute-force top-k: broadcast queries × corpus, windowed rank.
+
+    Columns out: (query_id, corpus_id, cosine, rank). The small side
+    (queries) is broadcast — corpus is scanned once, no corpus shuffle.
+    """
+    from pyspark.sql.window import Window
+
+    q = queries.select(F.col(query_id).alias("query_id"), F.col(query_vec).alias("_qv"))
+    c = corpus.select(F.col(corpus_id).alias("corpus_id"), F.col(corpus_vec).alias("_cv"))
+    scored = (
+        c.crossJoin(F.broadcast(q))
+        .where(F.col("query_id") != F.col("corpus_id"))
+        .withColumn("cosine", cosine_similarity("_qv", "_cv"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("corpus_id").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "corpus_id", "cosine", "rank")
+    )
+
+
+def _hyperplanes(dim: int, n_planes: int, seed: int = 42) -> np.ndarray:
+    """Deterministic pseudo-random unit hyperplanes from md5(seed, plane, chunk)."""
+    out = np.empty((n_planes, dim), dtype=np.float64)
+    for p in range(n_planes):
+        vals = []
+        chunk = 0
+        while len(vals) < dim:
+            h = hashlib.md5(f"{seed}:{p}:{chunk}".encode()).digest()
+            for off in range(0, 16, 4):
+                (u,) = struct.unpack_from("<I", h, off)
+                vals.append((u / 2**32) * 2.0 - 1.0)
+            chunk += 1
+        v = np.array(vals[:dim])
+        out[p] = v / np.linalg.norm(v)
+    return out
+
+
+def lsh_bucket(vec, dim: int, n_planes: int = 8, seed: int = 42) -> Column:
+    """Sign-random-projection bucket id (0 .. 2^n_planes-1), pure Spark SQL:
+    the hyperplanes are baked in as array literals."""
+    v = col_or_lit(vec).cast("array<double>")
+    planes = _hyperplanes(dim, n_planes, seed)
+    bucket = F.lit(0).cast("long")
+    for p in range(n_planes):
+        lit_plane = F.array(*[F.lit(float(x)) for x in planes[p]])
+        d = _dot(v, lit_plane)
+        bucket = bucket + F.when(d >= 0, F.lit(2 ** p).cast("long")).otherwise(F.lit(0).cast("long"))
+    return bucket
+
+
+def cosine_topk_lsh(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 10,
+    dim: int = 64,
+    n_planes: int = 8,
+    seed: int = 42,
+    query_id: str = "vec_id",
+    corpus_id: str = "vec_id",
+    query_vec: str = "embedding",
+    corpus_vec: str = "embedding",
+) -> DataFrame:
+    """Approximate top-k: candidates share an LSH bucket; equi-join on bucket
+    id (hash shuffle) instead of a cross product. Recall grows with fewer
+    planes; n_planes=8 → 256 buckets."""
+    from pyspark.sql.window import Window
+
+    q = queries.select(
+        F.col(query_id).alias("query_id"),
+        F.col(query_vec).alias("_qv"),
+        lsh_bucket(query_vec, dim, n_planes, seed).alias("_bucket"),
+    )
+    c = corpus.select(
+        F.col(corpus_id).alias("corpus_id"),
+        F.col(corpus_vec).alias("_cv"),
+        lsh_bucket(corpus_vec, dim, n_planes, seed).alias("_bucket"),
+    )
+    scored = (
+        c.join(q, on="_bucket")
+        .where(F.col("query_id") != F.col("corpus_id"))
+        .withColumn("cosine", cosine_similarity("_qv", "_cv"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("corpus_id").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "corpus_id", "cosine", "rank")
+    )

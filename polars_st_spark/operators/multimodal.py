@@ -1,0 +1,173 @@
+"""Multimodal (image/audio/video) column plumbing.
+
+Media payloads are opaque ``binary`` columns with a typed metadata struct —
+the Spark-idiomatic layout for multimodal training data at scale (payload
+stays columnar in Parquet, metadata prunes/filters without touching bytes).
+
+The image/audio codec libraries are not present in this runtime, so the
+*decode* kernels are stubbed: ``decode="fake"`` produces a deterministic
+pseudo-decode (seeded from the payload hash) so the full Spark plumbing —
+schema, Arrow batching, mapInPandas partition flow, batch shapes — is real
+and tested; ``decode="real"`` raises NotImplementedError until a codec
+(Pillow/ffmpeg) is available.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    ArrayType,
+    BinaryType,
+    FloatType,
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+__all__ = [
+    "MEDIA_SCHEMA",
+    "attach_media_metadata",
+    "image_features",
+    "frame_sample",
+]
+
+# canonical media column pair: payload + typed metadata
+MEDIA_SCHEMA = StructType(
+    [
+        StructField("media_type", StringType()),   # image/audio/video
+        StructField("format", StringType()),       # png/jpeg/wav/mp4/...
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+        StructField("n_frames", IntegerType()),
+        StructField("sample_rate", IntegerType()),
+        StructField("size_bytes", LongType()),
+    ]
+)
+
+
+def attach_media_metadata(df: DataFrame, payload_col: str, media_type: str = "image",
+                          fmt: str = "png") -> DataFrame:
+    """Derive the metadata struct for a binary payload column (size from the
+    bytes; format/type declared). Pure Spark SQL."""
+    return df.withColumn(
+        payload_col + "_meta",
+        F.struct(
+            F.lit(media_type).alias("media_type"),
+            F.lit(fmt).alias("format"),
+            F.lit(None).cast("int").alias("width"),
+            F.lit(None).cast("int").alias("height"),
+            F.lit(None).cast("int").alias("n_frames"),
+            F.lit(None).cast("int").alias("sample_rate"),
+            F.length(F.col(payload_col)).cast("long").alias("size_bytes"),
+        ),
+    )
+
+
+def _fake_decode(payload: bytes, h: int = 8, w: int = 8) -> np.ndarray:
+    """Deterministic pseudo-decode: pixels from the md5 stream of the payload."""
+    need = h * w * 3
+    out = bytearray()
+    counter = 0
+    seed = hashlib.md5(payload).digest()
+    while len(out) < need:
+        out.extend(hashlib.md5(seed + counter.to_bytes(4, "little")).digest())
+        counter += 1
+    return np.frombuffer(bytes(out[:need]), dtype=np.uint8).reshape(h, w, 3)
+
+
+def image_features(
+    df: DataFrame,
+    payload_col: str,
+    id_col: str,
+    decode: str = "fake",
+    resize: tuple[int, int] = (8, 8),
+) -> DataFrame:
+    """Decode → resize → mean-channel feature vector, via mapInPandas.
+
+    Output: (id, height, width, channels, features array<float>). Arrow-batched;
+    one Python pass per partition, no driver collection.
+    """
+    if decode == "real":
+        raise NotImplementedError(
+            "real image decode requires Pillow/opencv, not present in this runtime; "
+            "use decode='fake' for plumbing tests"
+        )
+    if decode != "fake":
+        raise ValueError(f"decode must be 'real' or 'fake', got {decode!r}")
+    h, w = resize
+    schema = StructType(
+        [
+            df.schema[id_col],
+            StructField("height", IntegerType()),
+            StructField("width", IntegerType()),
+            StructField("channels", IntegerType()),
+            StructField("features", ArrayType(FloatType())),
+        ]
+    )
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, feats = [], []
+            for i, payload in zip(pdf[id_col], pdf[payload_col]):
+                if payload is None:
+                    continue
+                img = _fake_decode(bytes(payload), h, w)
+                ids.append(i)
+                feats.append(img.mean(axis=(0, 1)).astype(np.float32).tolist())
+            yield pd.DataFrame(
+                {
+                    id_col: ids,
+                    "height": h,
+                    "width": w,
+                    "channels": 3,
+                    "features": feats,
+                }
+            )
+
+    return df.mapInPandas(gen, schema=schema)
+
+
+def frame_sample(
+    df: DataFrame,
+    payload_col: str,
+    id_col: str,
+    every_n: int = 10,
+    n_frames: int = 100,
+    decode: str = "fake",
+) -> DataFrame:
+    """Sample every-n-th frame of a (fake-decoded) video payload: one output
+    row per sampled frame with its own pseudo-payload. Demonstrates the
+    explode-shaped mapInPandas plumbing for video."""
+    if decode == "real":
+        raise NotImplementedError("real video decode requires ffmpeg bindings")
+    schema = StructType(
+        [
+            df.schema[id_col],
+            StructField("frame_index", IntegerType()),
+            StructField("frame_payload", BinaryType()),
+        ]
+    )
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, idxs, payloads = [], [], []
+            for i, payload in zip(pdf[id_col], pdf[payload_col]):
+                if payload is None:
+                    continue
+                for fi in range(0, n_frames, every_n):
+                    ids.append(i)
+                    idxs.append(fi)
+                    payloads.append(
+                        hashlib.md5(bytes(payload) + fi.to_bytes(4, "little")).digest()
+                    )
+            yield pd.DataFrame({id_col: ids, "frame_index": idxs, "frame_payload": payloads})
+
+    return df.mapInPandas(gen, schema=schema)

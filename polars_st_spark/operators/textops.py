@@ -1,0 +1,180 @@
+"""Text-analysis operators for large-scale training-data pipelines.
+
+Everything here compiles to **pure Spark SQL expressions** (JVM-side,
+whole-stage codegen, zero Python UDFs in the hot path): tokenization, token
+counting, quality scoring, language-ID heuristic, shingling, MinHash
+signatures, LSH banding, SimHash, and rolling-hash fingerprints.
+
+Hashing is md5-based so results are bit-identical across engines (DuckDB
+oracle parity): ``hash_i(s) = int(md5(i || ':' || s)[:8], 16)``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+from polars_st_spark.functions.factory import col_or_lit
+
+__all__ = [
+    "tokens",
+    "token_count",
+    "punct_ratio",
+    "stopword_ratio",
+    "quality_score",
+    "lang_scores",
+    "lang_predict",
+    "shingles",
+    "minhash_signature",
+    "lsh_bands",
+    "simhash32",
+    "doc_fingerprint",
+    "STOPWORDS",
+]
+
+# tiny per-language stopword lists for the n-gram/stopword language heuristic
+STOPWORDS = {
+    "en": ["the", "and", "of", "to", "a", "in", "is", "it", "that", "for"],
+    "es": ["el", "la", "de", "que", "y", "en", "un", "es", "se", "no"],
+    "fr": ["le", "la", "de", "et", "un", "une", "est", "que", "pour", "dans"],
+    "de": ["der", "die", "das", "und", "ist", "ein", "eine", "zu", "mit", "von"],
+}
+
+
+def tokens(text) -> Column:
+    """Lowercased whitespace tokens (the 'whitespace + BPE-ish' baseline)."""
+    c = col_or_lit(text)
+    return F.split(F.trim(F.lower(c)), r"\s+")
+
+
+def token_count(text) -> Column:
+    return F.size(tokens(text))
+
+
+def punct_ratio(text) -> Column:
+    c = col_or_lit(text)
+    n = F.length(c)
+    p = F.length(F.regexp_replace(c, r"[^.,;:!?'\"()-]", ""))
+    return F.when(n > 0, p.cast("double") / n.cast("double")).otherwise(F.lit(0.0))
+
+
+def _stop_array(words: list[str]) -> Column:
+    return F.array(*[F.lit(w) for w in words])
+
+
+def _contains_fn(stops: Column):
+    # single-parameter closure: F.filter inspects lambda arity, so the stopword
+    # array must be captured, not passed as a defaulted second parameter
+    def f(x):
+        return F.array_contains(stops, x)
+
+    return f
+
+
+def stopword_ratio(text, lang: str = "en") -> Column:
+    t = tokens(text)
+    hits = F.size(F.filter(t, _contains_fn(_stop_array(STOPWORDS[lang]))))
+    return F.when(F.size(t) > 0, hits.cast("double") / F.size(t).cast("double")).otherwise(F.lit(0.0))
+
+
+def quality_score(text) -> Column:
+    """Composite document quality in [0,1]: length band + stopword presence
+    − punctuation excess. Deterministic, SQL-closed-form."""
+    c = col_or_lit(text)
+    n = F.length(c)
+    len_score = F.when((n >= 50) & (n <= 10000), F.lit(1.0)).when(n < 50, n / 50.0).otherwise(F.lit(0.5))
+    stop_score = F.least(stopword_ratio(c, "en") * 5.0, F.lit(1.0))
+    punct_pen = F.least(punct_ratio(c) * 2.0, F.lit(0.5))
+    score = (len_score * 0.5 + stop_score * 0.5) - punct_pen
+    return F.greatest(F.least(score, F.lit(1.0)), F.lit(0.0))
+
+
+def lang_scores(text) -> dict[str, Column]:
+    """Stopword-hit count per language over the token set."""
+    t = tokens(text)
+    return {
+        lang: F.size(F.filter(t, _contains_fn(_stop_array(words))))
+        for lang, words in STOPWORDS.items()
+    }
+
+
+def lang_predict(text) -> Column:
+    """Argmax language by stopword hits; 'und' (undetermined) when all zero.
+    Ties break by language-code order (deterministic)."""
+    scores = lang_scores(text)
+    # struct comparison: (score, -rank) — max score, ties break toward the
+    # alphabetically-first language via the negated rank
+    ranked = [
+        F.struct(v.alias("score"), F.lit(-i).alias("rank"), F.lit(k).alias("lang"))
+        for i, (k, v) in enumerate(sorted(scores.items()))
+    ]
+    best = F.array_max(F.array(*ranked))
+    return F.when(best["score"] > 0, best["lang"]).otherwise(F.lit("und"))
+
+
+def shingles(text, n: int = 3) -> Column:
+    """Word n-gram shingles as strings."""
+    t = tokens(text)
+    return F.when(
+        F.size(t) >= n,
+        F.transform(
+            F.sequence(F.lit(1), F.size(t) - (n - 1)),
+            lambda i: F.concat_ws(" ", F.slice(t, i, n)),
+        ),
+    ).otherwise(F.array(F.concat_ws(" ", t)))
+
+
+def _h(i, s: Column) -> Column:
+    """Engine-portable 32-bit hash: int(md5(i ':' s)[:8], 16)."""
+    return F.conv(F.substring(F.md5(F.concat(F.lit(str(i)), F.lit(":"), s)), 1, 8), 16, 10).cast("long")
+
+
+def _hash_i_fn(i: int):
+    def f(s):
+        return _h(i, s)
+
+    return f
+
+
+def minhash_signature(text, k: int = 16, n: int = 3) -> Column:
+    """MinHash signature: k independent md5-derived hash functions, min over
+    word-n-gram shingles. array<bigint> of length k."""
+    sh = shingles(text, n)
+    return F.array(*[F.array_min(F.transform(sh, _hash_i_fn(i))) for i in range(k)])
+
+
+def lsh_bands(signature, bands: int = 4, rows_per_band: int = 4) -> Column:
+    """Band hashes for LSH bucketing: md5 of each signature slice.
+    array<string> of length ``bands``; join on (band_index, band_hash)."""
+    sig = col_or_lit(signature)
+    return F.array(
+        *[
+            F.md5(F.concat_ws(",", F.transform(F.slice(sig, b * rows_per_band + 1, rows_per_band), lambda x: x.cast("string"))))
+            for b in range(bands)
+        ]
+    )
+
+
+def simhash32(text) -> Column:
+    """32-bit SimHash over tokens: per-bit vote sum of md5-derived token
+    hashes, then sign bits packed into a bigint."""
+    t = tokens(text)
+    th = F.transform(t, lambda s: _h(0, s))
+
+    def _vote_fn(i: int):
+        def f(acc, h):
+            return acc + F.when(F.shiftright(h, i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+
+        return f
+
+    bit_votes = [F.aggregate(th, F.lit(0).cast("long"), _vote_fn(i)) for i in range(32)]
+    out = F.lit(0).cast("long")
+    for i, v in enumerate(bit_votes):
+        out = out + F.when(v > 0, F.lit(2 ** i).cast("long")).otherwise(F.lit(0).cast("long"))
+    return out
+
+
+def doc_fingerprint(text, n: int = 3) -> Column:
+    """Rolling-hash document fingerprint: minimum shingle hash (min-sampling
+    of the shingle hash stream — stable under small edits)."""
+    return F.array_min(F.transform(shingles(text, n), lambda s: _h(0, s)))

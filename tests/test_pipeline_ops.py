@@ -1,0 +1,141 @@
+"""Pipeline operator tests over the driver's synthetic testdata."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from polars_st_spark.operators import dedup, knn, textops
+from polars_st_spark.operators.multimodal import attach_media_metadata, frame_sample, image_features
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet(f"{SF_DIR}/documents.parquet").cache()
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return spark.read.parquet(f"{SF_DIR}/embeddings.parquet").cache()
+
+
+def test_token_count(docs):
+    out = docs.select("doc_id", textops.token_count("text").alias("n")).collect()
+    assert all(r["n"] > 0 for r in out)
+    first = docs.orderBy("doc_id").first()
+    expected = len(first["text"].split())
+    got = docs.where(F.col("doc_id") == first["doc_id"]).select(
+        textops.token_count("text")
+    ).first()[0]
+    assert got == expected
+
+
+def test_quality_and_lang(docs):
+    out = docs.select(
+        textops.quality_score("text").alias("q"),
+        textops.lang_predict("text").alias("lang"),
+        textops.punct_ratio("text").alias("p"),
+    ).collect()
+    assert all(0.0 <= r["q"] <= 1.0 for r in out)
+    assert all(r["lang"] in ("en", "es", "fr", "de", "und") for r in out)
+
+
+def test_minhash_deterministic(docs):
+    a = docs.select("doc_id", textops.minhash_signature("text").alias("sig")).collect()
+    b = docs.select("doc_id", textops.minhash_signature("text").alias("sig")).collect()
+    assert {r["doc_id"]: r["sig"] for r in a} == {r["doc_id"]: r["sig"] for r in b}
+    assert all(len(r["sig"]) == 16 for r in a)
+
+
+def test_exact_dedup(spark, docs):
+    dup = docs.limit(5).union(docs.limit(3))
+    out = dedup.exact_dedup(dup)
+    assert out.count() == 5
+    groups = dedup.exact_dup_groups(dup)
+    assert groups.count() == 3
+    assert all(r["n_dups"] == 2 for r in groups.collect())
+
+
+def test_near_dup_pairs_finds_planted_duplicate(spark, docs):
+    base = docs.limit(20)
+    # plant a near-duplicate of doc 0 with a 1000-offset id
+    copy = base.where(F.col("doc_id") == 0).select(
+        (F.col("doc_id") + 1000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" extra token")).alias("text"),
+        "lang", "source", "n_chars",
+    )
+    full = base.unionByName(copy)
+    pairs = dedup.near_dup_pairs(full, threshold=0.5)
+    got = {(r["id_a"], r["id_b"]) for r in pairs.collect()}
+    assert (0, 1000) in got
+
+
+def test_simhash_dup_pairs(spark, docs):
+    base = docs.limit(10)
+    copy = base.where(F.col("doc_id") == 1).select(
+        (F.col("doc_id") + 500).alias("doc_id"), "text", "lang", "source", "n_chars"
+    )
+    pairs = dedup.simhash_dup_pairs(base.unionByName(copy))
+    got = {(r["id_a"], r["id_b"]) for r in pairs.collect()}
+    assert (1, 501) in got
+
+
+def test_cosine_topk(emb):
+    queries = emb.where(F.col("vec_id") < 3)
+    out = knn.cosine_topk(queries, emb, k=5)
+    rows = out.collect()
+    assert len(rows) == 15
+    by_q = {}
+    for r in rows:
+        by_q.setdefault(r["query_id"], []).append(r)
+    for q, rs in by_q.items():
+        ranks = sorted(r["rank"] for r in rs)
+        assert ranks == [1, 2, 3, 4, 5]
+        cos = [r["cosine"] for r in sorted(rs, key=lambda r: r["rank"])]
+        assert cos == sorted(cos, reverse=True)
+        assert all(-1.0001 <= c <= 1.0001 for c in cos)
+
+
+def test_cosine_topk_lsh_properties(emb):
+    # synthetic embeddings are near-random (max cosine ~0.35), so top-1 recall
+    # vs exact is inherently low; verify LSH *correctness properties* instead:
+    # every approx result shares the query's bucket, scores are true cosines
+    # (≤ the exact best), and the path is deterministic.
+    queries = emb.where(F.col("vec_id") < 5)
+    exact = knn.cosine_topk(queries, emb, k=1)
+    approx = knn.cosine_topk_lsh(queries, emb, k=1, dim=64, n_planes=4)
+    exact_best = {r["query_id"]: r["cosine"] for r in exact.collect()}
+    rows = approx.collect()
+    assert rows, "LSH search returned nothing"
+    for r in rows:
+        assert r["cosine"] <= exact_best[r["query_id"]] + 1e-12
+    buckets = {
+        r["vec_id"]: r["b"]
+        for r in emb.select("vec_id", knn.lsh_bucket("embedding", 64, 4).alias("b")).collect()
+    }
+    for r in rows:
+        assert buckets[r["query_id"]] == buckets[r["corpus_id"]]
+    rows2 = approx.collect()
+    assert {(r["query_id"], r["corpus_id"]) for r in rows} == {
+        (r["query_id"], r["corpus_id"]) for r in rows2
+    }
+
+
+def test_multimodal_plumbing(spark):
+    rows = [(i, bytes([i]) * 100) for i in range(8)]
+    df = spark.createDataFrame(rows, ["media_id", "payload"])
+    df = attach_media_metadata(df, "payload", "image", "png")
+    meta = df.select("payload_meta.size_bytes").first()
+    assert meta[0] == 100
+    feats = image_features(df, "payload", "media_id", decode="fake", resize=(4, 4))
+    out = feats.collect()
+    assert len(out) == 8
+    assert all(len(r["features"]) == 3 for r in out)
+    # determinism
+    feats2 = {r["media_id"]: r["features"] for r in image_features(df, "payload", "media_id").collect()}
+    feats1 = {r["media_id"]: r["features"] for r in image_features(df, "payload", "media_id").collect()}
+    assert feats1 == feats2
+    frames = frame_sample(df.limit(2), "payload", "media_id", every_n=25, n_frames=100)
+    assert frames.count() == 8  # 2 media × 4 frames
+    with pytest.raises(NotImplementedError):
+        image_features(df, "payload", "media_id", decode="real")
