@@ -1,0 +1,144 @@
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
+
+Prints ONE JSON line:
+  {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+Query set maps to BASELINE.md:
+- b1_elementwise: st_area+st_length over lineitem-derived rects (B1)
+- b2_predicate:   st_contains column-vs-column over joined pairs (B2)
+- b3_grouped_union: groupBy(l_suppkey) → union_all → area (B3, flagship union)
+- b4_sjoin:       customer points × nation rects broadcast STRtree join (B4)
+- b5_flagship:    groupBy → intersection_all → area + wkt (B5)
+- p1_minhash_dedup: minhash-LSH near-dup pairs over documents
+- p2_knn:         brute-force cosine top-10, 20 queries × corpus
+- p3_textstats:   token counts + lang id + quality over documents
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    from pyspark.sql import SparkSession
+    from pyspark.sql import functions as F
+
+    spark = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName("polars-st-spark-bench")
+        .config("spark.sql.shuffle.partitions", cpus)
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.driver.memory", "8g")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "20000")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    import polars_st_spark as st
+    from polars_st_spark.operators import dedup as _dedup
+    from polars_st_spark.operators import knn as _knn
+    from polars_st_spark.operators import textops as _t
+    from polars_st_spark.operators.sjoin import st_sjoin
+    import __spark_entry__ as E
+
+    li_rects = E._li_rects(spark, sf_dir).cache()
+    li_rects.count()  # materialize input once so timings measure the operator
+    cust = E._cust_pts(spark, sf_dir).cache()
+    cust.count()
+    nations = E._nation_rects(spark, sf_dir)
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").cache()
+    docs.count()
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").cache()
+    emb.count()
+
+    def timed(fn):
+        t0 = time.time()
+        fn()
+        return round(time.time() - t0, 3)
+
+    queries = {}
+
+    queries["b1_elementwise"] = timed(
+        lambda: li_rects.select(
+            F.sum(st.st_area("rect")).alias("a"),
+            F.sum(st.st_length("rect")).alias("l"),
+        ).collect()
+    )
+
+    pairs = li_rects.select("l_orderkey", "rect").join(
+        F.broadcast(nations.where(F.col("n_nationkey") < 5).select("n_nationkey", "rect").withColumnRenamed("rect", "nrect")),
+    )
+    queries["b2_predicate"] = timed(
+        lambda: pairs.select(
+            F.sum(st.st_intersects("rect", "nrect").cast("int")).alias("n")
+        ).collect()
+    )
+
+    queries["b3_grouped_union"] = timed(
+        lambda: li_rects.groupBy("l_suppkey")
+        .agg(st.st_union_all("rect").alias("u"))
+        .select(F.sum(st.st_area("u"))).collect()
+    )
+
+    queries["b4_sjoin"] = timed(
+        lambda: st_sjoin(
+            cust.withColumnRenamed("pt", "geometry"),
+            nations.withColumnRenamed("rect", "geometry"),
+            predicate="within",
+            strategy="broadcast",
+        ).count()
+    )
+
+    queries["b5_flagship"] = timed(
+        lambda: E._supp_rects(spark, sf_dir)
+        .groupBy("s_nationkey")
+        .agg(st.st_intersection_all("rect").alias("g"))
+        .select("s_nationkey", st.st_area("g"), st.st_to_wkt("g"))
+        .collect()
+    )
+
+    queries["p1_minhash_dedup"] = timed(
+        lambda: _dedup.near_dup_pairs(docs, threshold=0.05).count()
+    )
+
+    queries["p2_knn"] = timed(
+        lambda: _knn.cosine_topk(
+            emb.where(F.col("vec_id") < 20), emb, k=10
+        ).count()
+    )
+
+    queries["p3_textstats"] = timed(
+        lambda: docs.select(
+            F.sum(_t.token_count("text")),
+            F.count(_t.lang_predict("text")),
+            F.sum(_t.quality_score("text")),
+        ).collect()
+    )
+
+    total = round(sum(queries.values()), 3)
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    print(
+        json.dumps(
+            {
+                "metric": "headline_suite_seconds",
+                "value": total,
+                "unit": "sec",
+                "queries": queries,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -17,10 +17,25 @@ from pyspark.sql import functions as F
 
 from polars_st_spark.operators.textops import (
     lsh_bands,
-    minhash_signature,
+    minhash_signature_from_shingles,
     shingles,
     simhash32,
 )
+
+
+def _shingle_table(df: DataFrame, text_col: str, id_col: str, shingle_n: int) -> DataFrame:
+    """(id, shingle array) with a materialization barrier.
+
+    The barrier matters twice over: (a) lambda bodies re-evaluate non-attribute
+    subexpressions per element, so the tokenizer must be staged as a column
+    before hashing; (b) without a barrier Catalyst collapses the staging
+    projection back into every consumer. At cluster scale replace cache() with
+    a checkpoint/intermediate table; semantics are identical."""
+    sh = df.select(
+        F.col(id_col).alias("_id"),
+        shingles(text_col, shingle_n).alias("_sh"),
+    )
+    return sh.cache()
 
 __all__ = [
     "exact_dedup",
@@ -67,11 +82,13 @@ def minhash_candidates(
     shingle → minhash → band → explode → self-equi-join on band hash.
     """
     rows = k // bands
-    sig = df.select(
-        F.col(id_col).alias("_id"),
-        lsh_bands(minhash_signature(text_col, k, shingle_n), bands, rows).alias("_bands"),
-    )
-    exploded = sig.select("_id", F.posexplode("_bands").alias("_band_idx", "_band_hash"))
+    sh = _shingle_table(df, text_col, id_col, shingle_n)
+    sig = sh.select("_id", minhash_signature_from_shingles("_sh", k).alias("_sig"))
+    banded = sig.select("_id", lsh_bands("_sig", bands, rows).alias("_bands"))
+    exploded = banded.select("_id", F.posexplode("_bands").alias("_band_idx", "_band_hash"))
+    # second barrier: keep the band keys materialized so the self-join hashes
+    # two small columns instead of re-deriving signatures per side
+    exploded = exploded.cache()
     a = exploded.alias("a")
     b = exploded.alias("b")
     pairs = (
@@ -96,9 +113,8 @@ def ngram_jaccard_pairs(
     threshold: float = 0.5,
 ) -> DataFrame:
     """Verify candidate pairs by word-n-gram Jaccard similarity."""
-    sh = df.select(
-        F.col(id_col).alias("_id"),
-        F.array_distinct(shingles(text_col, shingle_n)).alias("_sh"),
+    sh = _shingle_table(df, text_col, id_col, shingle_n).select(
+        "_id", F.array_distinct("_sh").alias("_sh")
     )
     out = (
         pairs.join(sh.withColumnRenamed("_id", "id_a").withColumnRenamed("_sh", "_sha"), on="id_a")

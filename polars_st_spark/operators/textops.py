@@ -138,8 +138,21 @@ def _hash_i_fn(i: int):
 
 def minhash_signature(text, k: int = 16, n: int = 3) -> Column:
     """MinHash signature: k independent md5-derived hash functions, min over
-    word-n-gram shingles. array<bigint> of length k."""
+    word-n-gram shingles. array<bigint> of length k.
+
+    PERF: Spark re-evaluates non-attribute subexpressions inside lambda bodies
+    per element, so embedding this single expression re-runs the tokenizer per
+    (shingle × hash). Fine for one-off small selects; for pipelines, stage the
+    shingle array as a real column first and use
+    :func:`minhash_signature_from_shingles` (see operators.dedup)."""
     sh = shingles(text, n)
+    return F.array(*[F.array_min(F.transform(sh, _hash_i_fn(i))) for i in range(k)])
+
+
+def minhash_signature_from_shingles(shingle_col, k: int = 16) -> Column:
+    """MinHash over a pre-staged shingle array *attribute* (cheap per-element
+    lambda evaluation — the scale path)."""
+    sh = col_or_lit(shingle_col)
     return F.array(*[F.array_min(F.transform(sh, _hash_i_fn(i))) for i in range(k)])
 
 
