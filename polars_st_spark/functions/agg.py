@@ -42,10 +42,26 @@ def _decode_series(s: pd.Series):
 
 def st_union_all(col, grid_size: float | None = None) -> Column:
     """Aggregate union; empty/all-null → GEOMETRYCOLLECTION EMPTY
-    (reference: expressions.rs:985-999)."""
+    (reference: expressions.rs:985-999). Uniform axis-rect groups take a
+    vectorized slab-union path with no per-row decode."""
 
     @pandas_udf("binary")
     def agg(s: pd.Series) -> bytes:
+        from polars_st_spark.geo.rectregion import RectRegion, region_to_geometry
+        from polars_st_spark.geo.wkb import batch_uniform, header_info
+
+        if len(s) and not s.isna().any():
+            fast = batch_uniform(s)
+            if fast is not None and fast[0] == "ring" and fast[2]:
+                c = fast[1]
+                boxes = zip(
+                    c[:, :, 0].min(axis=1), c[:, :, 1].min(axis=1),
+                    c[:, :, 0].max(axis=1), c[:, :, 1].max(axis=1),
+                )
+                region = RectRegion([tuple(map(float, b)) for b in boxes])
+                region = region.union(RectRegion())  # normalize to disjoint
+                srid = header_info(bytes(s.iloc[0]))[3]
+                return to_ewkb(region_to_geometry(region, srid))
         return to_ewkb(setops.union_all(_decode_series(s), grid_size))
 
     return agg(col_or_lit(col))

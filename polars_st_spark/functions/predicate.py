@@ -4,14 +4,26 @@ Each returns a BooleanType Column. The ``other`` side may be a Column or a
 constant geometry (bytes/WKT/Geometry) — constants are decoded once and
 broadcast via closure, mirroring the reference's scalar broadcasting
 (reference: src/arity.rs:63-85).
+
+Scale fast path: when BOTH Arrow batches decode as uniform 2-D points or
+axis-aligned rectangles (the dominant shapes for geometry derived from
+numeric columns), intersects/contains/within/covers/covered_by/disjoint are
+evaluated as pure-numpy interval algebra — zero per-row Python. Points and
+axis-rects equal their bounding boxes, so the interval tests are *exact*,
+not approximations. Everything else falls back to the per-row kernels.
 """
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import Column
+from pyspark.sql.functions import pandas_udf
 
 from polars_st_spark.functions.factory import binary_scalar, col_or_lit, geom_arg
 from polars_st_spark.geo import predicates as P
+from polars_st_spark.geo.types import Geometry
+from polars_st_spark.geo.wkb import batch_uniform, from_ewkb, to_ewkb
 
 __all__ = [
     "st_intersects", "st_disjoint", "st_within", "st_contains",
@@ -22,27 +34,134 @@ __all__ = [
 ]
 
 
-def _mk(fn, ret="boolean"):
+def _as_boxes(fast):
+    """(x0, y0, x1, y1, is_point) from a batch_uniform result, or None."""
+    if fast is None:
+        return None
+    if fast[0] == "point2d":
+        x, y = fast[1], fast[2]
+        return (x, y, x, y, True)
+    if fast[0] == "ring" and fast[2]:  # axis-aligned rectangles only
+        c = fast[1]
+        return (
+            c[:, :, 0].min(axis=1), c[:, :, 1].min(axis=1),
+            c[:, :, 0].max(axis=1), c[:, :, 1].max(axis=1), False,
+        )
+    return None
+
+
+def _vec_predicate(name: str, A, B):
+    """Exact vectorized predicate over point/axis-rect batches; None = no rule."""
+    ax0, ay0, ax1, ay1, a_pt = A
+    bx0, by0, bx1, by1, b_pt = B
+    closed_overlap = (ax0 <= bx1) & (bx0 <= ax1) & (ay0 <= by1) & (by0 <= ay1)
+    if name in ("intersects", "intersects_bbox"):
+        return closed_overlap
+    if name == "disjoint":
+        return ~closed_overlap
+    if name == "contains":
+        # b within closure of a AND interiors intersect
+        if a_pt:
+            return (ax0 == bx0) & (ay0 == by0) & (ax1 == bx1) & (ay1 == by1)
+        inside = (bx0 >= ax0) & (bx1 <= ax1) & (by0 >= ay0) & (by1 <= ay1)
+        if b_pt:
+            # point must hit a's interior: strict
+            return (bx0 > ax0) & (bx0 < ax1) & (by0 > ay0) & (by0 < ay1)
+        interior = (bx0 < ax1) & (bx1 > ax0) & (by0 < ay1) & (by1 > ay0)
+        return inside & interior
+    if name == "within":
+        return _vec_predicate("contains", B, A)
+    if name == "covers":
+        if a_pt:
+            return (ax0 == bx0) & (ay0 == by0) & (ax1 == bx1) & (ay1 == by1)
+        return (bx0 >= ax0) & (bx1 <= ax1) & (by0 >= ay0) & (by1 <= ay1)
+    if name == "covered_by":
+        return _vec_predicate("covers", B, A)
+    if name == "contains_properly":
+        if a_pt:
+            return (ax0 == bx0) & (ay0 == by0) & (ax1 == bx1) & (ay1 == by1) & False
+        return (bx0 > ax0) & (bx1 < ax1) & (by0 > ay0) & (by1 < ay1)
+    if name == "equals":
+        return (ax0 == bx0) & (ay0 == by0) & (ax1 == bx1) & (ay1 == by1) & (a_pt == b_pt)
+    return None
+
+
+_FAST_NAMES = {
+    "intersects", "disjoint", "contains", "within", "covers",
+    "covered_by", "contains_properly", "equals",
+}
+
+
+def _const_box(o: Geometry):
+    """Scalar box for a constant geometry (numpy broadcasts it), or None."""
+    from polars_st_spark.geo.algos import _is_axis_rect
+    from polars_st_spark.geo.types import GeometryType
+
+    if o.type_id == GeometryType.Point and o.coords is not None:
+        x, y = float(o.coords[0]), float(o.coords[1])
+        return (x, y, x, y, True)
+    if _is_axis_rect(o):
+        x0, y0, x1, y1 = o.bounds()
+        return (x0, y0, x1, y1, False)
+    return None
+
+
+def _mk(name: str, fn, ret="boolean"):
     def outer(col, other) -> Column:
-        udf, oc = binary_scalar(fn, ret, geom_arg(other))
-        return udf(col_or_lit(col)) if oc is None else udf(col_or_lit(col), oc)
+        o = geom_arg(other)
+        if isinstance(o, Geometry):
+            B_const = _const_box(o) if ret == "boolean" and name in _FAST_NAMES else None
+
+            @pandas_udf(ret)
+            def udf1(s: pd.Series) -> pd.Series:
+                if B_const is not None and not s.isna().any():
+                    A = _as_boxes(batch_uniform(s))
+                    if A is not None:
+                        r = _vec_predicate(name, A, B_const)
+                        if r is not None:
+                            return pd.Series(r)
+                return pd.Series(
+                    [None if b is None else fn(from_ewkb(bytes(b)), o) for b in s],
+                    dtype=object,
+                )
+
+            return udf1(col_or_lit(col))
+
+        @pandas_udf(ret)
+        def udf2(s1: pd.Series, s2: pd.Series) -> pd.Series:
+            if ret == "boolean" and name in _FAST_NAMES and not s1.isna().any() and not s2.isna().any():
+                A = _as_boxes(batch_uniform(s1))
+                B = _as_boxes(batch_uniform(s2)) if A is not None else None
+                if A is not None and B is not None:
+                    r = _vec_predicate(name, A, B)
+                    if r is not None:
+                        return pd.Series(r)
+            return pd.Series(
+                [
+                    None if (a is None or b is None) else fn(from_ewkb(bytes(a)), from_ewkb(bytes(b)))
+                    for a, b in zip(s1, s2)
+                ],
+                dtype=object,
+            )
+
+        return udf2(col_or_lit(col), o)
 
     return outer
 
 
-st_intersects = _mk(P.intersects)
-st_disjoint = _mk(P.disjoint)
-st_within = _mk(P.within)
-st_contains = _mk(P.contains)
-st_contains_properly = _mk(P.contains_properly)
-st_covers = _mk(P.covers)
-st_covered_by = _mk(P.covered_by)
-st_crosses = _mk(P.crosses)
-st_touches = _mk(P.touches)
-st_overlaps = _mk(P.overlaps)
-st_equals = _mk(P.equals)
-st_equals_identical = _mk(P.equals_identical)
-st_relate = _mk(P.relate, ret="string")
+st_intersects = _mk("intersects", P.intersects)
+st_disjoint = _mk("disjoint", P.disjoint)
+st_within = _mk("within", P.within)
+st_contains = _mk("contains", P.contains)
+st_contains_properly = _mk("contains_properly", P.contains_properly)
+st_covers = _mk("covers", P.covers)
+st_covered_by = _mk("covered_by", P.covered_by)
+st_crosses = _mk("crosses", P.crosses)
+st_touches = _mk("touches", P.touches)
+st_overlaps = _mk("overlaps", P.overlaps)
+st_equals = _mk("equals", P.equals)
+st_equals_identical = _mk("equals_identical", P.equals_identical)
+st_relate = _mk("relate", P.relate, ret="string")
 
 
 def st_equals_exact(col, other, tolerance: float = 0.0) -> Column:
@@ -60,11 +179,43 @@ def st_relate_pattern(col, other, pattern: str) -> Column:
 
 
 def st_dwithin(col, other, distance: float) -> Column:
-    """distance(a,b) < d, strict (reference: functions.rs:984-990)."""
-    udf, oc = binary_scalar(
-        lambda a, b: P.dwithin(a, b, distance), "boolean", geom_arg(other)
-    )
-    return udf(col_or_lit(col)) if oc is None else udf(col_or_lit(col), oc)
+    """distance(a,b) < d, strict (reference: functions.rs:984-990).
+    Vectorized for point-vs-point batches."""
+    o = geom_arg(other)
+    if isinstance(o, Geometry):
+        B_const = _const_box(o)
+
+        @pandas_udf("boolean")
+        def udf1(s: pd.Series) -> pd.Series:
+            if B_const is not None and B_const[4] and not s.isna().any():
+                A = _as_boxes(batch_uniform(s))
+                if A is not None and A[4]:
+                    d = np.sqrt((A[0] - B_const[0]) ** 2 + (A[1] - B_const[1]) ** 2)
+                    return pd.Series(d < distance)
+            return pd.Series(
+                [None if b is None else P.dwithin(from_ewkb(bytes(b)), o, distance) for b in s],
+                dtype=object,
+            )
+
+        return udf1(col_or_lit(col))
+
+    @pandas_udf("boolean")
+    def udf2(s1: pd.Series, s2: pd.Series) -> pd.Series:
+        if not s1.isna().any() and not s2.isna().any():
+            A = _as_boxes(batch_uniform(s1))
+            B = _as_boxes(batch_uniform(s2)) if A is not None else None
+            if A is not None and B is not None and A[4] and B[4]:
+                d = np.sqrt((A[0] - B[0]) ** 2 + (A[1] - B[1]) ** 2)
+                return pd.Series(d < distance)
+        return pd.Series(
+            [
+                None if (a is None or b is None) else P.dwithin(from_ewkb(bytes(a)), from_ewkb(bytes(b)), distance)
+                for a, b in zip(s1, s2)
+            ],
+            dtype=object,
+        )
+
+    return udf2(col_or_lit(col), col_or_lit(o))
 
 
 def st_intersects_xy(col, x: float, y: float) -> Column:

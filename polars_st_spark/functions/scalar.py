@@ -37,7 +37,13 @@ from polars_st_spark.geo import algos
 from polars_st_spark.geo import geojson as _gj
 from polars_st_spark.geo import wkt as _wkt
 from polars_st_spark.geo.types import GEOMETRY_TYPE_NAMES, Geometry, GeometryType
-from polars_st_spark.geo.wkb import ewkb_to_points, from_ewkb, header_info, to_ewkb
+from polars_st_spark.geo.wkb import (
+    batch_uniform,
+    ewkb_to_points,
+    from_ewkb,
+    header_info,
+    to_ewkb,
+)
 
 __all__ = [
     "st_geometry_type", "st_srid", "st_has_z", "st_has_m",
@@ -178,18 +184,69 @@ def st_m(col) -> Column:
 # ----------------------------------------------------------------------
 
 def st_area(col) -> Column:
-    """(reference: functions.rs:794-796)"""
-    return unary_scalar(algos.area, "double")(col_or_lit(col))
+    """(reference: functions.rs:794-796). Uniform single-ring batches take a
+    numpy-vectorized shoelace path (no per-row Python)."""
+
+    @pandas_udf("double")
+    def udf(s: pd.Series) -> pd.Series:
+        fast = batch_uniform(s) if not s.isna().any() else None
+        if fast is not None:
+            if fast[0] == "point2d":
+                return pd.Series(np.zeros(len(s)))
+            if fast[0] == "ring":
+                c = fast[1]
+                x, y = c[:, :, 0], c[:, :, 1]
+                a = 0.5 * np.abs(
+                    np.sum(x * np.roll(y, -1, axis=1) - np.roll(x, -1, axis=1) * y, axis=1)
+                )
+                return pd.Series(a)
+        return pd.Series(
+            [None if b is None else algos.area(from_ewkb(bytes(b))) for b in s], dtype=object
+        )
+
+    return udf(col_or_lit(col))
 
 
 def st_length(col) -> Column:
-    """(reference: functions.rs:815-817)"""
-    return unary_scalar(algos.length, "double")(col_or_lit(col))
+    """(reference: functions.rs:815-817). Vectorized for uniform ring batches."""
+
+    @pandas_udf("double")
+    def udf(s: pd.Series) -> pd.Series:
+        fast = batch_uniform(s) if not s.isna().any() else None
+        if fast is not None:
+            if fast[0] == "point2d":
+                return pd.Series(np.zeros(len(s)))
+            if fast[0] == "ring":
+                c = fast[1]
+                d = np.diff(c, axis=1)
+                return pd.Series(np.sqrt((d * d).sum(axis=2)).sum(axis=1))
+        return pd.Series(
+            [None if b is None else algos.length(from_ewkb(bytes(b))) for b in s], dtype=object
+        )
+
+    return udf(col_or_lit(col))
 
 
 def st_distance(col, other) -> Column:
-    """NaN if either empty (reference: functions.rs:819-829)."""
-    udf, oc = binary_scalar(algos.distance, "double", geom_arg(other))
+    """NaN→NULL if either empty (reference: functions.rs:819-829).
+    Vectorized for uniform point batches."""
+    other_g = geom_arg(other)
+    if isinstance(other_g, Geometry) and other_g.type_id == GeometryType.Point and other_g.coords is not None:
+        qx, qy = float(other_g.coords[0]), float(other_g.coords[1])
+
+        @pandas_udf("double")
+        def udf_fast(s: pd.Series) -> pd.Series:
+            if not s.isna().any():
+                fast = batch_uniform(s)
+                if fast is not None and fast[0] == "point2d":
+                    return pd.Series(np.sqrt((fast[1] - qx) ** 2 + (fast[2] - qy) ** 2))
+            return pd.Series(
+                [None if b is None else algos.distance(from_ewkb(bytes(b)), other_g) for b in s],
+                dtype=object,
+            )
+
+        return udf_fast(col_or_lit(col))
+    udf, oc = binary_scalar(algos.distance, "double", other_g)
     return udf(col_or_lit(col)) if oc is None else udf(col_or_lit(col), oc)
 
 
@@ -220,8 +277,29 @@ def st_project(col, other, normalized: bool = False) -> Column:
 
 
 def st_bounds(col) -> Column:
-    """[xmin,ymin,xmax,ymax]; NaN when empty (reference: functions.rs:798-813)."""
-    return unary_scalar(lambda g: list(g.bounds()), "array<double>")(col_or_lit(col))
+    """[xmin,ymin,xmax,ymax]; NaN when empty (reference: functions.rs:798-813).
+    Vectorized for uniform point/ring batches."""
+
+    @pandas_udf("array<double>")
+    def udf(s: pd.Series) -> pd.Series:
+        fast = batch_uniform(s) if not s.isna().any() else None
+        if fast is not None:
+            if fast[0] == "point2d":
+                x, y = fast[1], fast[2]
+                return pd.Series([[xi, yi, xi, yi] for xi, yi in zip(x, y)])
+            if fast[0] == "ring":
+                c = fast[1]
+                b = np.stack(
+                    [c[:, :, 0].min(axis=1), c[:, :, 1].min(axis=1),
+                     c[:, :, 0].max(axis=1), c[:, :, 1].max(axis=1)], axis=1,
+                )
+                return pd.Series(list(b))
+        return pd.Series(
+            [None if b is None else list(from_ewkb(bytes(b)).bounds()) for b in s],
+            dtype=object,
+        )
+
+    return udf(col_or_lit(col))
 
 
 # ----------------------------------------------------------------------

@@ -35,6 +35,9 @@ __all__ = [
     "st_minimum_rotated_rectangle", "st_make_valid", "st_normalize",
     "st_multi", "st_union", "st_intersection", "st_difference",
     "st_symmetric_difference", "st_unary_union", "st_set_srid", "st_to_srid",
+    "st_cast", "st_precision", "st_set_precision", "st_delaunay_triangles",
+    "st_voronoi_polygons", "st_coverage_union", "st_node", "st_build_area",
+    "st_polygonize",
 ]
 
 
@@ -191,6 +194,158 @@ _TRANSFORMS = {
     (4326, 3857): _wgs84_to_webmerc,
     (3857, 4326): _webmerc_to_wgs84,
 }
+
+
+def st_cast(col, into: str) -> Column:
+    """Typed conversions with the reference's cast table
+    (reference: functions.rs:61-177); invalid casts error."""
+    from polars_st_spark.geo.cast import cast_geometry
+
+    return unary_geom(lambda g: cast_geometry(g, into))(col_or_lit(col))
+
+
+def st_precision(col) -> Column:
+    """Grid precision of the geometry. EWKB does not serialize a precision
+    grid, so round-tripped geometries always report 0.0 — identical to the
+    reference, which also round-trips through EWKB (functions.rs:687-692)."""
+    from polars_st_spark.functions.factory import unary_scalar
+
+    return unary_scalar(lambda g: 0.0, "double")(col_or_lit(col))
+
+
+def st_set_precision(col, grid_size: float, mode: str = "valid_output") -> Column:
+    """Snap coordinates to a grid (reference: functions.rs:693-701; modes
+    valid_output/no_topo/keep_collapsed per args.rs:25-47 — the snap itself is
+    mode-independent for valid inputs)."""
+    import numpy as np
+
+    def snap(g):
+        def f(arr):
+            out = arr.copy()
+            out[:, :2] = np.round(arr[:, :2] / grid_size) * grid_size
+            return out
+
+        return g.map_coords(f)
+
+    return unary_geom(snap)(col_or_lit(col))
+
+
+def st_delaunay_triangles(col, tolerance: float = 0.0, only_edges: bool = False) -> Column:
+    """(reference: functions.rs:1364-1373)"""
+    from polars_st_spark.geo.triangulate import delaunay_triangles
+
+    return unary_geom(lambda g: delaunay_triangles(g, tolerance, only_edges))(col_or_lit(col))
+
+
+def st_voronoi_polygons(col, tolerance: float = 0.0, extend_to=None, only_edges: bool = False) -> Column:
+    """(reference: functions.rs:1791-1802)"""
+    from polars_st_spark.geo.triangulate import voronoi_polygons
+
+    ext = geom_arg(extend_to) if extend_to is not None else None
+    if ext is not None and not isinstance(ext, Geometry):
+        raise TypeError("extend_to must be a constant geometry")
+    return unary_geom(lambda g: voronoi_polygons(g, tolerance, ext, only_edges))(col_or_lit(col))
+
+
+def st_coverage_union(col) -> Column:
+    """Per-row union of a collection forming a coverage; errors on
+    non-collections (reference: functions.rs:1194-1204)."""
+
+    def f(g: Geometry) -> Geometry:
+        if g.geoms is None:
+            raise ValueError("Geometry must be a collection")
+        return setops.unary_union(g)
+
+    return unary_geom(f)(col_or_lit(col))
+
+
+def st_node(col) -> Column:
+    """Node a linework: split segments at every crossing
+    (reference: functions.rs:1409-1411)."""
+
+    def f(g: Geometry) -> Geometry:
+        from polars_st_spark.geo.algos import line_merge as _lm
+        from polars_st_spark.geo.predicates import _decompose, _seg_intersect_kind
+        import numpy as np
+
+        chains = _decompose(g).lines
+        segs = []
+        for c in chains:
+            for i in range(len(c) - 1):
+                segs.append((c[i, :2].copy(), c[i + 1, :2].copy()))
+        # split each segment at crossing points with all others
+        out = []
+        for i, (a, b) in enumerate(segs):
+            ts = {0.0, 1.0}
+            for j, (c_, e) in enumerate(segs):
+                if i == j:
+                    continue
+                if _seg_intersect_kind(a, b, c_, e) == 2:
+                    den = (a[0] - b[0]) * (c_[1] - e[1]) - (a[1] - b[1]) * (c_[0] - e[0])
+                    if den != 0:
+                        t = ((a[0] - c_[0]) * (c_[1] - e[1]) - (a[1] - c_[1]) * (c_[0] - e[0])) / den
+                        if 0 < t < 1:
+                            ts.add(t)
+            tl = sorted(ts)
+            for t0, t1 in zip(tl[:-1], tl[1:]):
+                p0 = a + t0 * (b - a)
+                p1 = a + t1 * (b - a)
+                out.append(Geometry(GeometryType.LineString, srid=g.srid, coords=np.array([p0, p1])))
+        if not out:
+            return Geometry(GeometryType.MultiLineString, srid=g.srid, geoms=[])
+        return Geometry(GeometryType.MultiLineString, srid=g.srid, geoms=out)
+
+    return unary_geom(f)(col_or_lit(col))
+
+
+def st_build_area(col) -> Column:
+    """Form polygons from closed linework (reference: functions.rs:1393-1395).
+    Supported for rings that close exactly; complex shared-edge coverage
+    assembly is not yet implemented."""
+    import numpy as np
+
+    def f(g: Geometry) -> Geometry:
+        from polars_st_spark.geo.algos import line_merge as _lm
+
+        merged = _lm(g)
+        chains = [merged.coords] if merged.type_id == GeometryType.LineString else [
+            s.coords for s in (merged.geoms or [])
+        ]
+        rings = []
+        for c in chains:
+            if c is not None and len(c) >= 4 and np.allclose(c[0], c[-1]):
+                rings.append(c.copy())
+        if not rings:
+            return Geometry(GeometryType.Polygon, srid=g.srid, rings=[])
+        if len(rings) == 1:
+            return Geometry(GeometryType.Polygon, srid=g.srid, rings=rings)
+        polys = [Geometry(GeometryType.Polygon, srid=g.srid, rings=[r]) for r in rings]
+        return Geometry(GeometryType.MultiPolygon, srid=g.srid, geoms=polys)
+
+    return unary_geom(f)(col_or_lit(col))
+
+
+def st_polygonize(col) -> Column:
+    """Per-row polygonize of closed linework; same support envelope as
+    st_build_area but returns a GeometryCollection like the reference's
+    aggregate (reference: functions.rs:1221-1226)."""
+
+    def f(g: Geometry) -> Geometry:
+        built = None
+        import numpy as np
+        from polars_st_spark.geo.algos import line_merge as _lm
+
+        merged = _lm(g)
+        chains = [merged.coords] if merged.type_id == GeometryType.LineString else [
+            s.coords for s in (merged.geoms or [])
+        ]
+        polys = []
+        for c in chains:
+            if c is not None and len(c) >= 4 and np.allclose(c[0], c[-1]):
+                polys.append(Geometry(GeometryType.Polygon, srid=g.srid, rings=[c.copy()]))
+        return Geometry(GeometryType.GeometryCollection, srid=g.srid, geoms=polys)
+
+    return unary_geom(f)(col_or_lit(col))
 
 
 def st_to_srid(col, srid: int) -> Column:

@@ -577,10 +577,66 @@ def _both_nonempty(a: Geometry, b: Geometry) -> bool:
 
 
 def intersects(a: Geometry, b: Geometry) -> bool:
+    """Short-circuit primitive test — much cheaper than the full DE-9IM path
+    (kept for relate-derived predicates)."""
     if not _both_nonempty(a, b) or not _bbox_intersects(a, b):
         return False
-    m = relate(a, b)
-    return m[0] != "F" or m[1] != "F" or m[3] != "F" or m[4] != "F"
+    da = _decompose(a)
+    db = _decompose(b)
+
+    def pt_hits(p, d: _Decomp) -> bool:
+        for rings in d.polys:
+            if point_in_polygon(p, rings) != 0:
+                return True
+        for chain in d.lines:
+            for s0, s1 in _line_segments(chain):
+                if _on_segment(p, s0[:2], s1[:2]):
+                    return True
+        for q in d.points:
+            if abs(q[0] - p[0]) <= _EPS and abs(q[1] - p[1]) <= _EPS:
+                return True
+        return False
+
+    for p in da.points:
+        if pt_hits(p, db):
+            return True
+    for p in db.points:
+        if pt_hits(p, da):
+            return True
+
+    def chains(d: _Decomp):
+        out = list(d.lines)
+        for rings in d.polys:
+            for r in rings:
+                rr = np.asarray(r)[:, :2]
+                if len(rr) >= 2 and not (rr[0] == rr[-1]).all():
+                    rr = np.vstack([rr, rr[:1]])
+                out.append(rr)
+        return out
+
+    ca, cb = chains(da), chains(db)
+    # any line/ring vertex inside the other's polygons (covers containment)
+    for chain in ca:
+        for rings in db.polys:
+            if point_in_polygon(chain[0, :2], rings) != 0:
+                return True
+    for chain in cb:
+        for rings in da.polys:
+            if point_in_polygon(chain[0, :2], rings) != 0:
+                return True
+    # any segment crossing (bbox-pruned per segment pair)
+    for c1 in ca:
+        for c2 in cb:
+            if (
+                c1[:, 0].min() > c2[:, 0].max() or c2[:, 0].min() > c1[:, 0].max()
+                or c1[:, 1].min() > c2[:, 1].max() or c2[:, 1].min() > c1[:, 1].max()
+            ):
+                continue
+            for s0, s1 in _line_segments(c1):
+                for t0, t1 in _line_segments(c2):
+                    if _seg_intersect_kind(s0[:2], s1[:2], t0[:2], t1[:2]) != 0:
+                        return True
+    return False
 
 
 def disjoint(a: Geometry, b: Geometry) -> bool:

@@ -227,6 +227,65 @@ def points_to_ewkb(
     return [raw[i * rowlen : (i + 1) * rowlen] for i in range(n)]
 
 
+def batch_uniform(bufs):
+    """Vectorized decode of a uniform batch (the common case for geometry
+    derived from numeric columns at scale).
+
+    Returns one of:
+    - ("point2d", x, y)                      — all rows little-endian 2-D points
+    - ("ring", coords (n, m, 2), axis_rect)  — all rows single-ring 2-D polygons
+      with the same vertex count m; axis_rect is True when every row is an
+      axis-aligned rectangle ring in st_rectangle vertex order
+    - None — mixed/complex batch; caller falls back to per-row decode
+    """
+    rows = list(bufs)
+    if not rows:
+        return None
+    first = rows[0]
+    if first is None:
+        return None
+    L = len(first)
+    prefix_len = None
+    base, has_z, has_m, _ = header_info(first)
+    if first[0] != 1 or has_z or has_m:
+        return None
+    if base == GeometryType.Point and L in (21, 25):
+        prefix_len = L - 16
+    elif base == GeometryType.Polygon and L >= 9 + 8 + 4 * 16:
+        with_srid = L and bool(struct.unpack_from("<I", first, 1)[0] & _SRID_FLAG)
+        head = 1 + 4 + (4 if with_srid else 0)
+        (nrings,) = struct.unpack_from("<I", first, head)
+        if nrings != 1:
+            return None
+        (npts,) = struct.unpack_from("<I", first, head + 4)
+        if L != head + 8 + npts * 16:
+            return None
+        prefix_len = head + 8
+    else:
+        return None
+    header = bytes(first[:5])
+    for b in rows[1:]:
+        if b is None or len(b) != L or bytes(b[:5]) != header:
+            return None
+    mat = np.frombuffer(b"".join(bytes(b) for b in rows), dtype=np.uint8).reshape(len(rows), L)
+    body = mat[:, prefix_len:].copy().view("<f8")
+    if base == GeometryType.Point:
+        xy = body.reshape(len(rows), 2)
+        return ("point2d", xy[:, 0].astype(np.float64), xy[:, 1].astype(np.float64))
+    coords = body.reshape(len(rows), -1, 2).astype(np.float64)
+    m = coords.shape[1]
+    axis_rect = False
+    if m == 5:
+        x, y = coords[:, :, 0], coords[:, :, 1]
+        axis_rect = bool(
+            np.all(x[:, 0] == x[:, 3]) and np.all(x[:, 0] == x[:, 4])
+            and np.all(x[:, 1] == x[:, 2])
+            and np.all(y[:, 0] == y[:, 1]) and np.all(y[:, 0] == y[:, 4])
+            and np.all(y[:, 2] == y[:, 3])
+        )
+    return ("ring", coords, axis_rect)
+
+
 def ewkb_to_points(bufs) -> tuple[np.ndarray, np.ndarray] | None:
     """Decode a batch of uniform little-endian 2-D Point EWKB rows to (x, y).
 
