@@ -16,12 +16,36 @@ rows-only checks. Cosines are rounded to 6 dp with id tiebreaks on rank.
 
 from __future__ import annotations
 
+import os
+import sys
+import zipfile
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+_REPO = os.path.dirname(os.path.abspath(__file__))
+if _REPO not in sys.path:
+    sys.path.insert(0, _REPO)
+
 import polars_st_spark as st
+
+
+def _ensure_workers(spark: SparkSession) -> None:
+    """Ship the package to Spark Python workers (they don't inherit the
+    driver's sys.path when the session runs from another cwd)."""
+    if getattr(_ensure_workers, "_done", None) is spark:
+        return
+    zpath = os.path.join("/tmp", "polars_st_spark_pkg.zip")
+    pkg = os.path.join(_REPO, "polars_st_spark")
+    with zipfile.ZipFile(zpath, "w") as z:
+        for root, _dirs, files in os.walk(pkg):
+            for f in files:
+                if f.endswith(".py"):
+                    full = os.path.join(root, f)
+                    z.write(full, os.path.relpath(full, _REPO))
+    spark.sparkContext.addPyFile(zpath)
+    _ensure_workers._done = spark
 from polars_st_spark.operators import dedup as _dedup
 from polars_st_spark.operators import knn as _knn
 from polars_st_spark.operators import textops as _t
@@ -492,6 +516,7 @@ def q_multimodal_features(spark, sf):
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship on sf0.001: supplier rects per nation → intersection_all →
     area + WKT (the reference README's flagship composition)."""
+    _ensure_workers(spark)
     out = (
         _supp_rects(spark, SF_DEFAULT)
         .groupBy("s_nationkey")
@@ -505,8 +530,19 @@ def entry(spark: SparkSession) -> DataFrame:
     return out
 
 
+def _wrap(fn):
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        _ensure_workers(spark)
+        return fn(spark, sf_dir)
+
+    return run
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    return {
+    return {k: _wrap(v) for k, v in _QUERIES.items()}
+
+
+_QUERIES = {
         "point_xy": q_point_xy,
         "rect_area_perimeter": q_rect_area_perimeter,
         "rect_bounds": q_rect_bounds,

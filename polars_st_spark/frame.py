@@ -1,0 +1,128 @@
+"""GeoDataFrame-style helpers.
+
+The reference's GeoDataFrame/GeoSeries are type aliases over plain frames
+(reference: geodataframe.py:50-98, geoseries.py:61-141); the Spark equivalent
+is a plain DataFrame with an EWKB Binary column plus these helpers:
+
+- :func:`geodataframe` — parse a named column into EWKB with the reference's
+  format-sniffing rules (reference: geoseries.py:96-112)
+- :func:`geom` — default-name column selector (reference: selectors.py:19-62)
+- :func:`sjoin` — frame-level spatial join (reference: geodataframe.py:185-230)
+- :func:`to_wkt_frame` / feature-dict export helpers
+"""
+
+from __future__ import annotations
+
+import json
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import ArrayType, BinaryType, StringType
+
+from polars_st_spark.functions.construct import (
+    st_from_coords,
+    st_from_ewkt,
+    st_from_geojson,
+    st_from_wkb,
+    st_from_wkt,
+)
+from polars_st_spark.functions.scalar import st_to_geojson, st_to_wkt
+
+__all__ = ["geodataframe", "geom", "sjoin", "to_feature_dicts", "write_ndgeojson"]
+
+
+def geom(name: str = "geometry") -> Column:
+    """Geometry column selector with the reference's default name
+    (reference: selectors.py:19-62)."""
+    return F.col(name)
+
+
+def _sniff_format(df: DataFrame, col: str) -> str:
+    """Reference sniffing rules (geoseries.py:96-112): Binary→wkb; String
+    starting '{'→geojson, 'SRID='→ewkt, else wkt; nested array→coords."""
+    dtype = df.schema[col].dataType
+    if isinstance(dtype, BinaryType):
+        return "wkb"
+    if isinstance(dtype, ArrayType):
+        return "coords"
+    if isinstance(dtype, StringType):
+        row = df.select(col).where(F.col(col).isNotNull()).first()
+        if row is None:
+            return "wkt"
+        v = row[0].lstrip()
+        if v.startswith("{"):
+            return "geojson"
+        if v.upper().startswith("SRID="):
+            return "ewkt"
+        return "wkt"
+    raise TypeError(f"Cannot infer geometry format from dtype {dtype.simpleString()}")
+
+
+_PARSERS = {
+    "wkb": st_from_wkb,
+    "wkt": st_from_wkt,
+    "ewkt": st_from_ewkt,
+    "geojson": st_from_geojson,
+    "coords": st_from_coords,
+}
+
+
+def geodataframe(
+    df: DataFrame,
+    geometry_name: str = "geometry",
+    geometry_format: str | None = None,
+) -> DataFrame:
+    """Parse ``geometry_name`` into an EWKB Binary column, sniffing the input
+    format from dtype + first value when not given
+    (reference: geodataframe.py:50-98)."""
+    if geometry_name not in df.columns:
+        raise ValueError(f"Column {geometry_name!r} not found in {df.columns}")
+    fmt = geometry_format or _sniff_format(df, geometry_name)
+    if fmt not in _PARSERS:
+        raise ValueError(f"Unknown geometry_format {fmt!r}; valid: {sorted(_PARSERS)}")
+    if fmt == "wkb" and isinstance(df.schema[geometry_name].dataType, BinaryType):
+        parsed = _PARSERS[fmt](geometry_name)
+    else:
+        parsed = _PARSERS[fmt](geometry_name)
+    return df.withColumn(geometry_name, parsed)
+
+
+def sjoin(
+    left: DataFrame,
+    right: DataFrame,
+    on: str = "geometry",
+    how: str = "inner",
+    predicate: str = "intersects",
+    **kwargs,
+) -> DataFrame:
+    """Frame-level spatial join with the reference's signature
+    (reference: geodataframe.py:185-230). ``predicate(left, right)``
+    evaluation order preserved (functions.rs:1855-1859)."""
+    from polars_st_spark.operators.sjoin import st_sjoin
+
+    return st_sjoin(left, right, predicate=predicate, how=how,
+                    left_on=on, right_on=on, **kwargs)
+
+
+def to_feature_dicts(df: DataFrame, geometry_name: str = "geometry") -> list[dict]:
+    """Rows as GeoJSON Feature dicts (reference: geodataframe.py:314-330).
+    Driver-side collect — small results only."""
+    props = [c for c in df.columns if c != geometry_name]
+    rows = df.select(
+        F.to_json(F.struct(*[F.col(c) for c in props])).alias("_props"),
+        st_to_geojson(geometry_name).alias("_geom"),
+    ).collect()
+    return [
+        {
+            "type": "Feature",
+            "properties": json.loads(r["_props"]),
+            "geometry": None if r["_geom"] is None else json.loads(r["_geom"]),
+        }
+        for r in rows
+    ]
+
+
+def write_ndgeojson(df: DataFrame, path: str, geometry_name: str = "geometry") -> None:
+    from polars_st_spark.sources.geojson_io import write_ndgeojson as _w
+
+    _w(df, path, geometry_name)
