@@ -28,8 +28,10 @@ __all__ = [
     "st_from_wkb",
     "st_from_geojson",
     "st_linestring",
+    "st_circularstring",
     "st_polygon",
     "st_multipoint",
+    "st_multilinestring",
     "st_from_coords",
 ]
 
@@ -172,6 +174,60 @@ def st_linestring(coords_col, srid: int = 0) -> Column:
         return s.map(one)
 
     return udf(col_or_lit(coords_col))
+
+
+def st_circularstring(coords_col, srid: int = 0) -> Column:
+    """CircularString from array<array<double>> (reference: parsing.py:117-167).
+    Stored/propagated as EWKB; header-level ops work, GEOS-style computations
+    on curves raise (SURVEY §7 hard part 1 — curve support)."""
+
+    @pandas_udf("binary")
+    def udf(s: pd.Series) -> pd.Series:
+        def one(v):
+            if v is None:
+                return None
+            arr = np.asarray([np.asarray(c, dtype=np.float64) for c in v])
+            if arr.ndim == 1:
+                arr = arr.reshape(0, 2)
+            return to_ewkb(
+                Geometry(
+                    GeometryType.CircularString,
+                    srid=srid,
+                    has_z=arr.shape[1] >= 3 if len(arr) else False,
+                    coords=arr,
+                )
+            )
+
+        return s.map(one)
+
+    return udf(col_or_lit(coords_col))
+
+
+def st_multilinestring(lines_col, srid: int = 0) -> Column:
+    """MultiLineString from array<array<array<double>>>."""
+
+    @pandas_udf("binary")
+    def udf(s: pd.Series) -> pd.Series:
+        def one(v):
+            if v is None:
+                return None
+            lines = [
+                Geometry(
+                    GeometryType.LineString,
+                    srid=srid,
+                    has_z=bool(len(c) and len(c[0]) >= 3),
+                    coords=np.asarray([list(map(float, p)) for p in c]),
+                )
+                for c in v
+            ]
+            return to_ewkb(
+                Geometry(GeometryType.MultiLineString, srid=srid,
+                         has_z=any(l.has_z for l in lines), geoms=lines)
+            )
+
+        return s.map(one)
+
+    return udf(col_or_lit(lines_col))
 
 
 def st_polygon(rings_col, srid: int = 0) -> Column:

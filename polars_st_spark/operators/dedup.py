@@ -17,7 +17,7 @@ from pyspark.sql import functions as F
 
 from polars_st_spark.operators.textops import (
     lsh_bands,
-    minhash_signature_from_shingles,
+    minhash_signature_udf,
     shingles,
     simhash32,
 )
@@ -83,7 +83,7 @@ def minhash_candidates(
     """
     rows = k // bands
     sh = _shingle_table(df, text_col, id_col, shingle_n)
-    sig = sh.select("_id", minhash_signature_from_shingles("_sh", k).alias("_sig"))
+    sig = sh.select("_id", minhash_signature_udf("_sh", k).alias("_sig"))
     banded = sig.select("_id", lsh_bands("_sig", bands, rows).alias("_bands"))
     exploded = banded.select("_id", F.posexplode("_bands").alias("_band_idx", "_band_hash"))
     # second barrier: keep the band keys materialized so the self-join hashes

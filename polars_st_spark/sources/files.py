@@ -1,0 +1,117 @@
+"""File-format dispatch: the reference's ``read_file``/``write_file``
+(reference: input.py:30-153, geodataframe.py:385-491) use GDAL via pyogrio,
+which is not present in this runtime. This module covers the formats that
+don't need GDAL natively (GeoJSON/ndjson/parquet) and raises a clear error
+with the dependency name for the rest (Shapefile, GeoPackage, ...).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+__all__ = ["read_file", "write_file", "from_geopandas", "to_geopandas"]
+
+_GDAL_EXTS = {".shp", ".gpkg", ".fgb", ".gdb", ".tab", ".kml", ".gml"}
+
+
+def read_file(spark: SparkSession, path: str, geometry_name: str = "geometry") -> DataFrame:
+    """Read a geometry file by extension.
+
+    - ``.geojson``/``.json`` → FeatureCollection (driver-side)
+    - ``.ndjson``/``.geojsonl`` → newline-delimited features (distributed)
+    - ``.parquet`` → parquet with EWKB binary column
+    - GDAL formats → ImportError naming pyogrio (reference parity needs GDAL)
+    """
+    ext = os.path.splitext(path)[1].lower()
+    if ext in (".geojson", ".json"):
+        from polars_st_spark.sources.geojson_io import read_geojson
+
+        return read_geojson(spark, path, geometry_name)
+    if ext in (".ndjson", ".geojsonl", ".ndgeojson"):
+        from polars_st_spark.sources.geojson_io import read_ndgeojson
+
+        return read_ndgeojson(spark, path, geometry_name)
+    if ext == ".parquet" or os.path.isdir(path):
+        return spark.read.parquet(path)
+    if ext in _GDAL_EXTS:
+        try:
+            import pyogrio  # noqa: F401
+        except ImportError as e:
+            raise ImportError(
+                f"Reading {ext} requires pyogrio/GDAL, which is not installed "
+                "in this runtime. Convert to GeoJSON/ndjson/parquet, or install "
+                "pyogrio (reference: input.py:30-153)."
+            ) from e
+        raise NotImplementedError("pyogrio path not wired yet")
+    raise ValueError(f"Unsupported file extension {ext!r}")
+
+
+def write_file(df: DataFrame, path: str, geometry_name: str = "geometry") -> None:
+    ext = os.path.splitext(path)[1].lower()
+    if ext in (".geojson", ".json"):
+        from polars_st_spark.sources.geojson_io import write_geojson
+
+        return write_geojson(df, path, geometry_name)
+    if ext in (".ndjson", ".geojsonl", ".ndgeojson"):
+        from polars_st_spark.sources.geojson_io import write_ndgeojson
+
+        return write_ndgeojson(df, path, geometry_name)
+    if ext == ".parquet" or ext == "":
+        df.write.mode("overwrite").parquet(path)
+        return
+    if ext in _GDAL_EXTS:
+        raise ImportError(
+            f"Writing {ext} requires pyogrio/GDAL, not installed in this runtime "
+            "(reference: geodataframe.py:385-491)."
+        )
+    raise ValueError(f"Unsupported file extension {ext!r}")
+
+
+def from_geopandas(spark: SparkSession, gdf) -> DataFrame:
+    """GeoPandas GeoDataFrame → Spark DataFrame with EWKB geometry
+    (reference: input.py:178-222). Requires geopandas at the call site."""
+    try:
+        import geopandas  # noqa: F401
+    except ImportError as e:
+        raise ImportError("from_geopandas requires geopandas (not in this runtime)") from e
+    import pandas as pd
+
+    pdf = pd.DataFrame(gdf.drop(columns=gdf.geometry.name))
+    srid = 0
+    if gdf.crs is not None:
+        auth = gdf.crs.to_authority()
+        if auth:
+            srid = int(auth[1])
+    pdf["geometry"] = gdf.geometry.to_wkb()
+    out = spark.createDataFrame(pdf)
+    if srid:
+        from polars_st_spark.functions.transform import st_set_srid
+
+        out = out.withColumn("geometry", st_set_srid("geometry", srid))
+    return out
+
+
+def to_geopandas(df: DataFrame, geometry_name: str = "geometry"):
+    """Collect to a GeoPandas frame; errors on mixed SRIDs exactly like the
+    reference (geodataframe.py:348-350)."""
+    try:
+        import geopandas as gpd
+        import shapely
+    except ImportError as e:
+        raise ImportError("to_geopandas requires geopandas+shapely (not in this runtime)") from e
+    from polars_st_spark.functions.scalar import st_srid
+
+    pdf = df.toPandas()
+    srids = (
+        df.select(st_srid(geometry_name).alias("s")).where("s is not null").distinct().collect()
+    )
+    vals = sorted({r["s"] for r in srids})
+    if len(vals) > 1:
+        raise ValueError(f"Cannot export mixed SRIDs to GeoPandas: {vals}")
+    crs = vals[0] if vals and vals[0] else None
+    pdf[geometry_name] = pdf[geometry_name].map(
+        lambda b: None if b is None else shapely.from_wkb(bytes(b))
+    )
+    return gpd.GeoDataFrame(pdf, geometry=geometry_name, crs=crs)
