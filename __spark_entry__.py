@@ -272,6 +272,22 @@ def q_intersection_all(spark, sf):
     )
 
 
+def q_triangulate(spark, sf):
+    """Delaunay over rect-corner multipoints: triangulated area == rect area,
+    and the 4-corner Voronoi diagram always has 4 cells."""
+    r = _nation_rects(spark, sf)
+    corners = F.array(
+        F.array("x0", "y0"), F.array("x1", "y0"),
+        F.array("x1", "y1"), F.array("x0", "y1"),
+    )
+    mp = st.st_multipoint(corners)
+    return r.select(
+        "n_nationkey",
+        st.st_area(st.st_delaunay_triangles(mp)).alias("tri_area"),
+        st.st_count_geometries(st.st_voronoi_polygons(mp)).alias("n_cells"),
+    )
+
+
 def q_convex_hull(spark, sf):
     """Hull of a rect's corner multipoint == the rect itself."""
     r = _nation_rects(spark, sf)
@@ -556,6 +572,7 @@ _QUERIES = {
         "clip_by_rect_area": q_clip_by_rect_area,
         "union_flagship": q_union_flagship,
         "intersection_all": q_intersection_all,
+        "triangulate": q_triangulate,
         "convex_hull": q_convex_hull,
         "affine": q_affine,
         "wkt_roundtrip": q_wkt_roundtrip,
@@ -634,6 +651,9 @@ def oracle_sql() -> dict[str, str]:
                    GREATEST(0.0, MIN(x1) - MAX(x0)) * GREATEST(0.0, MIN(y1) - MAX(y0)) AS iarea
             FROM ({_ORACLE_SUPP})
             GROUP BY s_nationkey""",
+        "triangulate": f"""
+            SELECT n_nationkey, (x1-x0)*(y1-y0) AS tri_area, 4 AS n_cells
+            FROM ({_ORACLE_NATION})""",
         "convex_hull": f"""
             SELECT n_nationkey, (x1-x0)*(y1-y0) AS hull_area FROM ({_ORACLE_NATION})""",
         "affine": f"""

@@ -30,9 +30,14 @@ from polars_st_spark.geo.wkb import from_ewkb, to_ewkb
 __all__ = [
     "st_union_all",
     "st_intersection_all",
+    "st_difference_all",
+    "st_symmetric_difference_all",
     "st_coverage_union_all",
     "st_collect",
     "st_total_bounds",
+    "st_polygonize_agg",
+    "st_voronoi_polygons_agg",
+    "st_delaunay_triangles_agg",
 ]
 
 
@@ -73,6 +78,98 @@ def st_intersection_all(col, grid_size: float | None = None) -> Column:
     @pandas_udf("binary")
     def agg(s: pd.Series) -> bytes:
         return to_ewkb(setops.intersection_all(_decode_series(s), grid_size))
+
+    return agg(col_or_lit(col))
+
+
+def st_difference_all(col, grid_size: float | None = None) -> Column:
+    """Order-dependent left fold (reference: expressions.rs:873-886).
+
+    WARNING: Spark shuffles are unordered — group value order is whatever the
+    shuffle delivers. For deterministic results use
+    :func:`polars_st_spark.operators.grouped.difference_all_ordered` with an
+    explicit sort key (SURVEY §7 hard part 4)."""
+
+    @pandas_udf("binary")
+    def agg(s: pd.Series) -> bytes:
+        return to_ewkb(setops.difference_all(_decode_series(s), grid_size))
+
+    return agg(col_or_lit(col))
+
+
+def st_symmetric_difference_all(col, grid_size: float | None = None) -> Column:
+    """Order-dependent left fold (reference: expressions.rs:932-948); same
+    ordering caveat as st_difference_all."""
+
+    @pandas_udf("binary")
+    def agg(s: pd.Series) -> bytes:
+        return to_ewkb(setops.symmetric_difference_all(_decode_series(s), grid_size))
+
+    return agg(col_or_lit(col))
+
+
+def st_polygonize_agg(col) -> Column:
+    """Polygonize the group's combined linework (reference: functions.rs:1221-1226)."""
+
+    @pandas_udf("binary")
+    def agg(s: pd.Series) -> bytes:
+        from polars_st_spark.geo.setops import collect as _collect
+
+        gs = [g for g in _decode_series(s) if g is not None]
+        merged = _collect(gs) if gs else None
+        if merged is None:
+            from polars_st_spark.geo.types import empty_collection
+
+            return to_ewkb(empty_collection())
+        import numpy as np
+
+        from polars_st_spark.geo.algos import line_merge as _lm
+        from polars_st_spark.geo.types import Geometry, GeometryType
+
+        lm = _lm(merged)
+        chains = [lm.coords] if lm.type_id == GeometryType.LineString else [
+            g.coords for g in (lm.geoms or [])
+        ]
+        polys = [
+            Geometry(GeometryType.Polygon, srid=merged.srid, rings=[c.copy()])
+            for c in chains
+            if c is not None and len(c) >= 4 and np.allclose(c[0], c[-1])
+        ]
+        return to_ewkb(Geometry(GeometryType.GeometryCollection, srid=merged.srid, geoms=polys))
+
+    return agg(col_or_lit(col))
+
+
+def st_voronoi_polygons_agg(col, tolerance: float = 0.0) -> Column:
+    """Voronoi diagram of all the group's vertices (reference: functions.rs:1791-1802)."""
+
+    @pandas_udf("binary")
+    def agg(s: pd.Series) -> bytes:
+        from polars_st_spark.geo.setops import collect as _collect
+        from polars_st_spark.geo.triangulate import voronoi_polygons
+        from polars_st_spark.geo.types import empty_collection
+
+        gs = [g for g in _decode_series(s) if g is not None]
+        if not gs:
+            return to_ewkb(empty_collection())
+        return to_ewkb(voronoi_polygons(_collect(gs), tolerance))
+
+    return agg(col_or_lit(col))
+
+
+def st_delaunay_triangles_agg(col, tolerance: float = 0.0, only_edges: bool = False) -> Column:
+    """Triangulation of all the group's vertices (reference: functions.rs:1364-1373)."""
+
+    @pandas_udf("binary")
+    def agg(s: pd.Series) -> bytes:
+        from polars_st_spark.geo.setops import collect as _collect
+        from polars_st_spark.geo.triangulate import delaunay_triangles
+        from polars_st_spark.geo.types import empty_collection
+
+        gs = [g for g in _decode_series(s) if g is not None]
+        if not gs:
+            return to_ewkb(empty_collection())
+        return to_ewkb(delaunay_triangles(_collect(gs), tolerance, only_edges))
 
     return agg(col_or_lit(col))
 

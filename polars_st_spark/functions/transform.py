@@ -37,7 +37,8 @@ __all__ = [
     "st_symmetric_difference", "st_unary_union", "st_set_srid", "st_to_srid",
     "st_cast", "st_precision", "st_set_precision", "st_delaunay_triangles",
     "st_voronoi_polygons", "st_coverage_union", "st_node", "st_build_area",
-    "st_polygonize",
+    "st_polygonize", "st_concave_hull", "st_shared_paths",
+    "st_disjoint_subset_union",
 ]
 
 
@@ -52,6 +53,23 @@ st_centroid = _u(algos.centroid)
 st_center = _u(algos.center)
 st_point_on_surface = _u(algos.point_on_surface)
 st_convex_hull = _u(algos.convex_hull)
+
+
+def st_concave_hull(col, ratio: float = 0.0, allow_holes: bool = False) -> Column:
+    """(reference: functions.rs:1356-1362)"""
+    return unary_geom(lambda g: algos.concave_hull(g, ratio, allow_holes))(col_or_lit(col))
+
+
+def st_shared_paths(col, other) -> Column:
+    """(reference: functions.rs:1757-1763)"""
+    udf, oc = binary_geom(algos.shared_paths, geom_arg(other))
+    return udf(col_or_lit(col)) if oc is None else udf(col_or_lit(col), oc)
+
+
+def st_disjoint_subset_union(col, grid_size: float | None = None) -> Column:
+    """Union optimized for mostly-disjoint inputs; falls back to unary_union
+    (reference: expressions.rs:962-969, functions.rs:1170-1176)."""
+    return unary_geom(lambda g: setops.unary_union(g, grid_size))(col_or_lit(col))
 st_envelope = _u(algos.envelope)
 st_boundary = _u(algos.boundary)
 st_flip_coordinates = _u(algos.flip_coordinates)

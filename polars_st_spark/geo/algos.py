@@ -372,6 +372,138 @@ def minimum_clearance(a: Geometry) -> float:
 # Constructive
 # ----------------------------------------------------------------------
 
+def concave_hull(g: Geometry, ratio: float = 0.0, allow_holes: bool = False) -> Geometry:
+    """Concave hull via Delaunay border-edge peeling (the GEOS 3.11 algorithm
+    family; reference: functions.rs:1356-1362). ratio=1 → convex hull,
+    ratio→0 → tightest hull. Holes are never introduced (allow_holes is
+    accepted for signature parity; peeling keeps the region simply
+    connected)."""
+    from polars_st_spark.geo.triangulate import _bowyer_watson, _unique_points
+
+    pts = _unique_points(g)
+    if len(pts) < 3:
+        return convex_hull(g)
+    tris = set(map(tuple, _bowyer_watson(pts)))
+    if not tris:
+        return convex_hull(g)
+
+    def edge_len(e):
+        return float(math.hypot(*(pts[e[0]] - pts[e[1]])))
+
+    def boundary_edges(tset):
+        cnt: dict[tuple[int, int], list] = {}
+        for t in tset:
+            for e in ((t[0], t[1]), (t[1], t[2]), (t[2], t[0])):
+                k = (min(e), max(e))
+                cnt.setdefault(k, []).append(t)
+        return {e: ts[0] for e, ts in cnt.items() if len(ts) == 1}
+
+    lens = sorted(edge_len(e) for t in tris for e in ((t[0], t[1]), (t[1], t[2]), (t[2], t[0])))
+    if not lens:
+        return convex_hull(g)
+    max_len = lens[-1]
+    min_len = lens[0]
+    threshold = min_len + max(0.0, min(1.0, ratio)) * (max_len - min_len)
+    # peel: remove border triangles whose border edge exceeds the threshold,
+    # never disconnecting a vertex
+    changed = True
+    while changed:
+        changed = False
+        border = boundary_edges(tris)
+        removable = sorted(border.items(), key=lambda kv: -edge_len(kv[0]))
+        for e, t in removable:
+            if edge_len(e) <= threshold:
+                break
+            # removing t must keep its third vertex attached to other triangles
+            third = next(v for v in t if v not in e)
+            others = [tt for tt in tris if tt != t and third in tt]
+            if not others:
+                continue
+            if len(tris) <= 1:
+                break
+            tris.discard(t)
+            changed = True
+            break
+    # stitch remaining boundary edges into the hull ring
+    border = boundary_edges(tris)
+    adj: dict[int, list[int]] = {}
+    for a, b in border:
+        adj.setdefault(a, []).append(b)
+        adj.setdefault(b, []).append(a)
+    if not adj:
+        return convex_hull(g)
+    start = min(adj)
+    ring_idx = [start]
+    prev, cur = None, start
+    for _ in range(len(border) + 1):
+        nbrs = [n for n in adj[cur] if n != prev]
+        if not nbrs:
+            break
+        prev, cur = cur, nbrs[0]
+        ring_idx.append(cur)
+        if cur == start:
+            break
+    if ring_idx[-1] != start or len(ring_idx) < 4:
+        return convex_hull(g)
+    ring = pts[ring_idx]
+    if _ring_signed_area(ring) < 0:
+        ring = ring[::-1]
+    return Geometry(GeometryType.Polygon, srid=g.srid, rings=[ring])
+
+
+def shared_paths(a: Geometry, b: Geometry) -> Geometry:
+    """Collinear shared segments of two lineal geometries, split by direction
+    (reference: functions.rs:1757-1763): GEOMETRYCOLLECTION(same-direction
+    MultiLineString, opposite-direction MultiLineString). Errors on
+    non-lineal input ("Geometry is not lineal")."""
+    from polars_st_spark.geo.predicates import _decompose
+
+    for g in (a, b):
+        if g.dimensions() != 1:
+            raise ValueError("Geometry is not lineal")
+    same, opposite = [], []
+    for ca in _decompose(a).lines:
+        for cb in _decompose(b).lines:
+            for i in range(len(ca) - 1):
+                p, q = ca[i, :2], ca[i + 1, :2]
+                for j in range(len(cb) - 1):
+                    c, e = cb[j, :2], cb[j + 1, :2]
+                    seg = _collinear_overlap(p, q, c, e)
+                    if seg is None:
+                        continue
+                    s0, s1, same_dir = seg
+                    target = same if same_dir else opposite
+                    target.append(np.array([s0, s1]))
+    def ml(chunks):
+        return Geometry(
+            GeometryType.MultiLineString, srid=a.srid,
+            geoms=[Geometry(GeometryType.LineString, srid=a.srid, coords=c) for c in chunks],
+        )
+
+    return Geometry(GeometryType.GeometryCollection, srid=a.srid, geoms=[ml(same), ml(opposite)])
+
+
+def _collinear_overlap(p, q, c, e):
+    from polars_st_spark.geo.predicates import _seg_intersect_kind
+
+    if _seg_intersect_kind(p, q, c, e) != 3:
+        return None
+    axis = 0 if abs(q[0] - p[0]) >= abs(q[1] - p[1]) else 1
+    d1 = q[axis] - p[axis]
+    d2 = e[axis] - c[axis]
+    lo = max(min(p[axis], q[axis]), min(c[axis], e[axis]))
+    hi = min(max(p[axis], q[axis]), max(c[axis], e[axis]))
+    if hi - lo <= 1e-12:
+        return None
+    t = (q - p) / d1
+    s0 = p + (lo - p[axis]) * t
+    s1 = p + (hi - p[axis]) * t
+    same_dir = (d1 > 0) == (d2 > 0)
+    if d1 < 0:
+        s0, s1 = s1, s0
+    return s0, s1, same_dir
+
+
 def convex_hull(g: Geometry) -> Geometry:
     """Monotone-chain convex hull."""
     pts = np.unique(g.all_coords()[:, :2], axis=0)
