@@ -163,27 +163,70 @@ def _sjoin_grid(left, right, predicate, how, lsuffix, rsuffix, left_on, right_on
     from polars_st_spark.functions.scalar import st_bounds
 
     lnames, rnames = _suffix_schema(left, right, lsuffix, rsuffix)
-    lb = left.select(
-        F.struct(*[F.col(c) for c in left.columns]).alias("_lrow"),
-        st_bounds(left_on).alias("_lbox"),
-    ).where(~F.isnan(F.col("_lbox")[0]))
-    rb = right.select(
-        F.struct(*[F.col(c) for c in right.columns]).alias("_rrow"),
-        st_bounds(right_on).alias("_rbox"),
-    ).where(~F.isnan(F.col("_rbox")[0]))
+    cs = float(cell_size)
 
-    def explode_cells(df, box):
-        cs = float(cell_size)
-        cx0 = F.floor(F.col(box)[0] / cs).cast("long")
-        cx1 = F.floor(F.col(box)[2] / cs).cast("long")
-        cy0 = F.floor(F.col(box)[1] / cs).cast("long")
-        cy1 = F.floor(F.col(box)[3] / cs).cast("long")
-        return df.withColumn("_cx", F.explode(F.sequence(cx0, cx1))).withColumn(
-            "_cy", F.explode(F.sequence(cy0, cy1))
+    def cell_array(box):
+        # covering-cell (cx, cy) structs, computed in the SAME projection as
+        # the bounds so the Generate consumes plain attributes (Catalyst would
+        # otherwise duplicate the geometry/bounds UDF stack through the explode)
+        cx0 = F.floor(box[0] / cs).cast("long")
+        cx1 = F.floor(box[2] / cs).cast("long")
+        cy0 = F.floor(box[1] / cs).cast("long")
+        cy1 = F.floor(box[3] / cs).cast("long")
+        return F.flatten(
+            F.transform(
+                F.sequence(cx0, cx1),
+                lambda cx: F.transform(
+                    F.sequence(cy0, cy1),
+                    lambda cy: F.struct(cx.alias("cx"), cy.alias("cy")),
+                ),
+            )
         )
 
-    le = explode_cells(lb, "_lbox")
-    re_ = explode_cells(rb, "_rbox")
+    # nondeterministic marking stops Catalyst from duplicating the bounds UDF
+    # stack through the explode (it is pure; the marking is purely a placement
+    # constraint so each side evaluates geometry→bounds exactly once)
+    from pyspark.sql.functions import pandas_udf as _pudf
+
+    def _bounds_once():
+        @_pudf("array<double>")
+        def _b(s: pd.Series) -> pd.Series:
+            from polars_st_spark.geo.wkb import batch_uniform
+
+            fast = batch_uniform(s) if not s.isna().any() else None
+            if fast is not None:
+                if fast[0] == "point2d":
+                    return pd.Series([[x, y, x, y] for x, y in zip(fast[1], fast[2])])
+                if fast[0] == "ring":
+                    c = fast[1]
+                    return pd.Series(
+                        [
+                            [float(r[:, 0].min()), float(r[:, 1].min()),
+                             float(r[:, 0].max()), float(r[:, 1].max())]
+                            for r in c
+                        ]
+                    )
+            return pd.Series(
+                [None if b is None else list(from_ewkb(bytes(b)).bounds()) for b in s],
+                dtype=object,
+            )
+
+        return _b.asNondeterministic()
+
+    def prepare(df, cols, geom_col, row_name, box_name):
+        boxed = df.select(
+            F.struct(*[F.col(c) for c in cols]).alias(row_name),
+            _bounds_once()(F.col(geom_col)).alias(box_name),
+        ).where(~F.isnan(F.col(box_name)[0]))
+        boxed = boxed.select(row_name, box_name, cell_array(F.col(box_name)).alias("_cells"))
+        exploded = boxed.select(row_name, box_name, F.explode("_cells").alias("_cell"))
+        return exploded.select(
+            row_name, box_name,
+            F.col("_cell.cx").alias("_cx"), F.col("_cell.cy").alias("_cy"),
+        )
+
+    le = prepare(left, left.columns, left_on, "_lrow", "_lbox")
+    re_ = prepare(right, right.columns, right_on, "_rrow", "_rbox")
     joined = le.join(re_, on=["_cx", "_cy"], how="inner")
     # bbox overlap
     joined = joined.where(
