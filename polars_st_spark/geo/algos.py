@@ -1159,12 +1159,13 @@ def is_valid_reason(g: Geometry) -> str:
 
 
 def make_valid(g: Geometry) -> Geometry:
-    """Identity for already-valid inputs; bow-tie fixing not yet implemented."""
+    """Resolve self-intersections via even-odd self-union
+    (reference: functions.rs:1397-1399). Identity for valid inputs."""
     if is_valid(g):
         return g
-    raise NotImplementedError(
-        "make_valid for self-intersecting polygons is not implemented yet"
-    )
+    from polars_st_spark.geo.overlay import self_union
+
+    return self_union(g)
 
 
 def normalize_geom(g: Geometry) -> Geometry:
@@ -1251,9 +1252,61 @@ def buffer(
                 pts.append((cx + dist * math.cos(a), cy + dist * math.sin(a)))
         ring = np.array(pts + [pts[0]])
         return Geometry(GeometryType.Polygon, srid=g.srid, rings=[ring])
-    raise NotImplementedError(
-        f"buffer for {g.type_name} (non-rectangle) requires general offset union"
-    )
+    # general case: Minkowski-style union of per-segment stroke rectangles and
+    # per-vertex circles (+ the areal input itself), merged with the overlay
+    # engine. Round caps/joins (the reference default).
+    return _buffer_general(g, dist, quad_segs)
+
+
+def _circle(cx: float, cy: float, r: float, n: int, srid: int) -> Geometry:
+    ang = np.linspace(0, 2 * math.pi, max(8, n), endpoint=False)
+    ring = np.column_stack([cx + r * np.cos(ang), cy + r * np.sin(ang)])
+    return Geometry(GeometryType.Polygon, srid=srid, rings=[np.vstack([ring, ring[:1]])])
+
+
+def _buffer_general(g: Geometry, dist: float, quad_segs: int) -> Geometry:
+    from polars_st_spark.geo.overlay import overlay
+    from polars_st_spark.geo.predicates import _decompose
+
+    d = _decompose(g)
+    n_circle = 4 * quad_segs
+    pieces: list[Geometry] = []
+    if d.polys:
+        for rings in d.polys:
+            pieces.append(Geometry(GeometryType.Polygon, srid=g.srid,
+                                   rings=[np.asarray(r)[:, :2] for r in rings]))
+    chains = list(d.lines)
+    for rings in d.polys:
+        chains.extend(_closed(np.asarray(r)[:, :2]) for r in rings)
+    seen_pts: list[np.ndarray] = []
+    for chain in chains:
+        c = np.asarray(chain)[:, :2]
+        for i in range(len(c) - 1):
+            p, q = c[i], c[i + 1]
+            ln = math.hypot(q[0] - p[0], q[1] - p[1])
+            if ln < 1e-12:
+                continue
+            nx, ny = -(q[1] - p[1]) / ln * dist, (q[0] - p[0]) / ln * dist
+            ring = np.array([
+                [p[0] + nx, p[1] + ny], [q[0] + nx, q[1] + ny],
+                [q[0] - nx, q[1] - ny], [p[0] - nx, p[1] - ny],
+                [p[0] + nx, p[1] + ny],
+            ])
+            pieces.append(Geometry(GeometryType.Polygon, srid=g.srid, rings=[ring]))
+        seen_pts.extend(c)
+    for p in d.points:
+        seen_pts.append(np.asarray(p[:2]))
+    uniq: dict[tuple, np.ndarray] = {}
+    for p in seen_pts:
+        uniq[(round(float(p[0]), 12), round(float(p[1]), 12))] = p
+    for p in uniq.values():
+        pieces.append(_circle(float(p[0]), float(p[1]), dist, n_circle, g.srid))
+    if not pieces:
+        return Geometry(GeometryType.Polygon, srid=g.srid, rings=[])
+    acc = pieces[0]
+    for piece in pieces[1:]:
+        acc = overlay(acc, piece, "union")
+    return acc
 
 
 def _is_axis_rect(g: Geometry) -> bool:

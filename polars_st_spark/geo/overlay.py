@@ -1,0 +1,268 @@
+"""General polygon overlay: intersection/union/difference/xor of arbitrary
+(multi)polygons with holes.
+
+Algorithm — classify-and-stitch (the conceptual shape of GEOS OverlayNG,
+re-derived from first principles):
+
+1. node: split every boundary segment of A and B at crossings/touches with
+   the other geometry's segments;
+2. classify: for each sub-segment, probe a point slightly left and slightly
+   right of its midpoint against the boolean result predicate
+   ``R(p) = op(inside_A(p), inside_B(p))``. The sub-segment lies on the
+   result boundary iff the two sides disagree; orient it so the result
+   interior is on its left;
+3. stitch: walk directed edges into rings (most-counterclockwise turn at
+   junctions), positive-area rings become shells, negative-area rings holes,
+   holes assigned to shells by containment.
+
+Complexity O((n+m)²) per geometry pair — fine for per-row geometry sizes;
+scale comes from Spark parallelism, not from this kernel. Tolerances: the
+left/right probes sit 1e-9·scale off the edge, so results are exact for
+coordinates with |x| ≲ 1e6 and features larger than ~1e-7.
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+
+from polars_st_spark.geo.algos import _closed, _ring_signed_area
+from polars_st_spark.geo.predicates import (
+    _seg_intersect_kind,
+    point_in_polygon,
+)
+from polars_st_spark.geo.types import Geometry, GeometryType
+
+__all__ = ["overlay"]
+
+_OPS = {
+    "intersection": lambda a, b: a and b,
+    "union": lambda a, b: a or b,
+    "difference": lambda a, b: a and not b,
+    "symmetric_difference": lambda a, b: a != b,
+}
+
+
+def _polygons_of(g: Geometry) -> list[list[np.ndarray]]:
+    """All polygons as ring lists (closed, 2-D)."""
+    out = []
+    if g.type_id in (GeometryType.Polygon, GeometryType.Triangle) and g.rings:
+        out.append([_closed(np.asarray(r)[:, :2]) for r in g.rings])
+    elif g.geoms:
+        for s in g.geoms:
+            out.extend(_polygons_of(s))
+    return out
+
+
+def _segments(polys) -> list[tuple[np.ndarray, np.ndarray]]:
+    segs = []
+    for rings in polys:
+        for r in rings:
+            for i in range(len(r) - 1):
+                if not np.array_equal(r[i], r[i + 1]):
+                    segs.append((r[i], r[i + 1]))
+    return segs
+
+
+def _seg_param(a, b, p) -> float:
+    dx, dy = b[0] - a[0], b[1] - a[1]
+    if abs(dx) >= abs(dy):
+        return 0.0 if dx == 0 else (p[0] - a[0]) / dx
+    return (p[1] - a[1]) / dy
+
+
+def _split_at_crossings(segs, other_segs):
+    """Split each segment at every intersection with the other set."""
+    out = []
+    for a, b in segs:
+        ts = {0.0, 1.0}
+        for c, e in other_segs:
+            kind = _seg_intersect_kind(a, b, c, e)
+            if kind == 0:
+                continue
+            if kind == 2:
+                den = (a[0] - b[0]) * (c[1] - e[1]) - (a[1] - b[1]) * (c[0] - e[0])
+                if den != 0:
+                    t = ((a[0] - c[0]) * (c[1] - e[1]) - (a[1] - c[1]) * (c[0] - e[0])) / den
+                    ts.add(min(max(t, 0.0), 1.0))
+            else:  # touch or collinear overlap: split at projected endpoints
+                for p in (c, e):
+                    t = _seg_param(a, b, p)
+                    if 0.0 < t < 1.0:
+                        from polars_st_spark.geo.predicates import _on_segment
+
+                        if _on_segment(p, a, b):
+                            ts.add(t)
+        tl = sorted(ts)
+        for t0, t1 in zip(tl[:-1], tl[1:]):
+            if t1 - t0 > 1e-12:
+                out.append((a + t0 * (b - a), a + t1 * (b - a)))
+    return out
+
+
+def _inside(polys, p) -> bool:
+    """Point strictly inside the (multi)polygon region (even-odd over parts
+    with holes)."""
+    for rings in polys:
+        loc = point_in_polygon(p, rings)
+        if loc == 2:
+            return True
+        if loc == 1:
+            return True  # probes should not land on boundaries; treat as in
+    return False
+
+
+def self_union(g: Geometry) -> Geometry:
+    """Resolve a self-intersecting polygon into its valid even-odd region —
+    the make_valid kernel for bow-ties and self-touching rings
+    (reference: functions.rs:1397-1399). Self-nodes the boundary, then
+    classifies with the even-odd ray cast (which is well-defined even on
+    invalid rings)."""
+    pa = _polygons_of(g)
+    sa = _segments(pa)
+    pieces = _split_at_crossings(sa, sa)
+    return _classify_and_stitch(pieces, lambda p: _inside(pa, p), g.srid, [sa])
+
+
+def overlay(a: Geometry, b: Geometry, op: str) -> Geometry:
+    if op not in _OPS:
+        raise ValueError(f"Unknown overlay op {op!r}")
+    pa = _polygons_of(a)
+    pb = _polygons_of(b)
+    srid = a.srid or b.srid
+    R = _OPS[op]
+
+    sa = _segments(pa)
+    sb = _segments(pb)
+    # node each side against BOTH sets: multipolygon parts can have
+    # T-junctions among their own rings (edge passing through another ring's
+    # vertex) — without self-noding the ring walk dead-ends there
+    both = sa + sb
+    pieces = _split_at_crossings(sa, both) + _split_at_crossings(sb, both)
+    return _classify_and_stitch(
+        pieces, lambda p: R(_inside(pa, p), _inside(pb, p)), srid, [sa, sb]
+    )
+
+
+def _classify_and_stitch(pieces, region_fn, srid, seg_sets):
+
+    scale = 1.0
+    for segs in seg_sets:
+        for p, q in segs:
+            scale = max(scale, abs(p[0]), abs(p[1]))
+    base_eps = 1e-9 * scale
+
+    edges = []  # directed (start, end) with result-interior on the left
+    for p, q in pieces:
+        d = q - p
+        ln = math.hypot(d[0], d[1])
+        if ln < 1e-12:
+            continue
+        nx, ny = -d[1] / ln, d[0] / ln
+        m = (p + q) / 2.0
+        # probe distance adapts to the sub-segment length: near-tangent
+        # intersections position nodes with error larger than a fixed 1e-9,
+        # which would misclassify; a probe ~20% of the local edge length away
+        # stays inside the correct face for non-sliver geometry
+        eps = max(base_eps, min(1e-4 * scale, 0.2 * ln))
+        left = m + eps * np.array([nx, ny])
+        right = m - eps * np.array([nx, ny])
+        rl = region_fn(left)
+        rr = region_fn(right)
+        if rl == rr:
+            continue
+        if rl:
+            edges.append((p, q))
+        else:
+            edges.append((q, p))
+
+    if not edges:
+        return Geometry(GeometryType.Polygon, srid=srid, rings=[])
+
+    # dedupe identical directed edges (shared boundaries emit twice)
+    def key(p):
+        return (round(float(p[0]), 9), round(float(p[1]), 9))
+
+    uniq = {}
+    for p, q in edges:
+        uniq[(key(p), key(q))] = (p, q)
+    edges = list(uniq.values())
+
+    # stitch rings: at junctions take the most-counterclockwise turn
+    out_edges: dict[tuple, list[int]] = {}
+    for i, (p, q) in enumerate(edges):
+        out_edges.setdefault(key(p), []).append(i)
+    used = [False] * len(edges)
+    rings = []
+    for start in range(len(edges)):
+        if used[start]:
+            continue
+        p0, q0 = edges[start]
+        used[start] = True
+        chain = [p0, q0]
+        prev_p, cur_q = p0, q0
+        closed = False
+        for _ in range(len(edges) + 1):
+            if key(cur_q) == key(p0):
+                closed = True
+                break
+            cands = [i for i in out_edges.get(key(cur_q), []) if not used[i]]
+            if not cands:
+                break
+            if len(cands) == 1:
+                pick = cands[0]
+            else:
+                # most-counterclockwise turn relative to the incoming direction
+                din = cur_q - prev_p
+                ang_in = math.atan2(din[1], din[0])
+
+                def turn(i):
+                    dp, dq = edges[i]
+                    dout = dq - dp
+                    ang = math.atan2(dout[1], dout[0]) - (ang_in + math.pi)
+                    while ang <= 0:
+                        ang += 2 * math.pi
+                    return ang
+
+                pick = min(cands, key=turn)
+            used[pick] = True
+            pe, qe = edges[pick]
+            chain.append(qe)
+            prev_p, cur_q = pe, qe
+        if closed and len(chain) >= 4:
+            ring = np.array(chain)
+            if abs(_ring_signed_area(ring)) > 1e-18:
+                rings.append(ring)
+
+    if not rings:
+        return Geometry(GeometryType.Polygon, srid=srid, rings=[])
+
+    shells = [r for r in rings if _ring_signed_area(r) > 0]
+    holes = [r for r in rings if _ring_signed_area(r) < 0]
+    if not shells:
+        return Geometry(GeometryType.Polygon, srid=srid, rings=[])
+    polys = [[s] for s in shells]
+    for h in holes:
+        # assign hole to the smallest containing shell
+        hx = h[0]
+        best, best_area = None, math.inf
+        for i, s in enumerate(shells):
+            from polars_st_spark.geo.predicates import _point_in_ring
+
+            inside = any(
+                _point_in_ring((h[j] + h[j + 1]) / 2.0, s) == 2 for j in range(min(3, len(h) - 1))
+            )
+            if inside:
+                ar = abs(_ring_signed_area(s))
+                if ar < best_area:
+                    best, best_area = i, ar
+        if best is not None:
+            polys[best].append(h)
+    if len(polys) == 1:
+        return Geometry(GeometryType.Polygon, srid=srid, rings=polys[0])
+    return Geometry(
+        GeometryType.MultiPolygon,
+        srid=srid,
+        geoms=[Geometry(GeometryType.Polygon, srid=srid, rings=rs) for rs in polys],
+    )

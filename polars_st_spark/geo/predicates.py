@@ -472,6 +472,25 @@ def _relate_poly_poly(da: _Decomp, db: _Decomp, im: _IM) -> None:
                         im.up(_B, _B, 1)
                     elif kind == 1:
                         im.up(_B, _B, 0)
+            # boundary-segment midpoints: catches a boundary piece lying in the
+            # other polygon's interior with only endpoint contacts (no proper
+            # crossing), which implies interior overlap on one side
+            for a, b in _poly_segments(ra):
+                loc = point_in_polygon((a[:2] + b[:2]) / 2.0, rb)
+                if loc == 2:
+                    im.up(_B, _I, 1)
+                    im.up(_I, _I, 2)
+                    im.up(_E, _I, 2)
+                elif loc == 0:
+                    im.up(_B, _E, 1)
+            for c, e in _poly_segments(rb):
+                loc = point_in_polygon((c[:2] + e[:2]) / 2.0, ra)
+                if loc == 2:
+                    im.up(_I, _B, 1)
+                    im.up(_I, _I, 2)
+                    im.up(_I, _E, 2)
+                elif loc == 0:
+                    im.up(_E, _B, 1)
             # vertex containment (covers interior-interior when no crossing)
             for v in ra[0]:
                 loc = point_in_polygon(v[:2], rb)

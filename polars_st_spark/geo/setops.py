@@ -4,16 +4,18 @@ Implements the reference's binary and n-ary set ops
 (reference: src/functions.rs:1096-1276, src/expressions.rs:873-999) for the
 geometry classes the engine supports exactly today:
 
+Fast paths, tried in order:
 - point / multipoint vs anything (membership)
-- line vs convex polygon (clipping)
+- line vs rectilinear region (clipping)
 - polygon vs CONVEX polygon (Sutherland–Hodgman)
-- axis-aligned rectangles vs rectangles (exact decomposition, incl. union
-  and difference)
+- arbitrary rectilinear polygons incl. holes (exact slab algebra,
+  geo/rectregion.py)
 - disjoint inputs (collection assembly)
 
-General concave-polygon overlay needs a full Martinez–Rueda style clipper;
-unsupported combinations raise NotImplementedError rather than silently
-returning approximations. (SURVEY §7 hard parts.)
+General concave areal×areal combinations fall through to the
+classify-and-stitch overlay (geo/overlay.py) — supported for all four ops.
+Remaining NotImplementedError cases are mixed-dimension exotics (e.g. line
+minus concave polygon), documented per call site.
 """
 
 from __future__ import annotations
@@ -369,7 +371,10 @@ def _intersection_impl(a: Geometry, b: Geometry) -> Geometry:
                 return _sh_clip_polygon_convex(a, b)
             if _is_convex_polygon(a):
                 return _sh_clip_polygon_convex(b, a)
-        raise NotImplementedError("concave ∩ concave polygon overlay not implemented")
+        # general concave case: classify-and-stitch overlay
+        from polars_st_spark.geo.overlay import overlay as _overlay
+
+        return _overlay(a, b, "intersection")
     if a.dimensions() == 1 and b.dimensions() == 1:
         return _line_line_intersection(a, b)
     raise NotImplementedError(f"intersection({a.type_name}, {b.type_name})")
@@ -498,6 +503,10 @@ def difference(a: Geometry, b: Geometry, grid_size: float | None = None) -> Geom
             for chain in _decompose(a).lines:
                 parts.extend(_chain_outside_rect(chain, *rb2))
             return _lines_result(parts, a.srid)
+    if a.dimensions() == 2 and b.dimensions() == 2:
+        from polars_st_spark.geo.overlay import overlay as _overlay
+
+        return _overlay(a, b, "difference")
     raise NotImplementedError(f"difference({a.type_name}, {b.type_name})")
 
 
@@ -695,8 +704,14 @@ def union_all(geoms, grid_size: float | None = None) -> Geometry:
                 ra, rb = _axis_rect(a), _axis_rect(b)
                 if ra and rb:
                     continue  # rect pair resolved below
+                if a.dimensions() == 2 and b.dimensions() == 2:
+                    from polars_st_spark.geo.overlay import overlay as _overlay
+
+                    merged_pair = _overlay(a, b, "union")
+                    rest = [g for g in kept if g is not a and g is not b]
+                    return union_all(rest + [merged_pair], grid_size)
                 raise NotImplementedError(
-                    f"union of overlapping {a.type_name}/{b.type_name} (non-rectangles)"
+                    f"union of overlapping {a.type_name}/{b.type_name} (non-areal)"
                 )
     # merge any overlapping rectangle clusters via slab union
     rect_idx = [i for i, g in enumerate(kept) if _axis_rect(g)]
