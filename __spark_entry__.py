@@ -457,7 +457,8 @@ def _read_events(spark: SparkSession, sf: str) -> DataFrame:
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     ev = spark.read.parquet(f"{sf}/events.parquet")
     if dict(ev.dtypes).get("ts") == "bigint":
-        ev = ev.withColumn("ts", F.timestamp_micros((F.col("ts") / 1000).cast("long")))
+        # integer DIV: double division loses µs precision at ~1.7e18 ns
+        ev = ev.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
     return ev
 
 
@@ -470,6 +471,16 @@ def q_events_hourly(spark, sf):
         F.min("value").alias("min_value"),
         F.max("value").alias("max_value"),
     )
+
+
+def q_sessionize(spark, sf):
+    """Gap-based sessionization (60-min gap) with exact integer-microsecond
+    boundaries: per-session event count and duration."""
+    from polars_st_spark.operators.sessions import session_stats
+
+    ev = _read_events(spark, sf)
+    out = session_stats(ev, gap_minutes=60.0)
+    return out.select("user_id", "session_id", "n_events", "duration_us")
 
 
 def q_events_type_stats(spark, sf):
@@ -591,6 +602,7 @@ _QUERIES = {
         "knn_top3": q_knn_top3,
         "events_hourly": q_events_hourly,
         "events_type_stats": q_events_type_stats,
+        "sessionize": q_sessionize,
         "tpch_q1_lite": q_tpch_q1_lite,
         # rows-only (no oracle entry): transcendental or non-SQL-expressible
         "buffer_area": q_buffer_area,
@@ -713,6 +725,24 @@ def oracle_sql() -> dict[str, str]:
             SELECT user_id, date_trunc('hour', ts) AS hour,
                    COUNT(*) AS n_events, MIN(value) AS min_value, MAX(value) AS max_value
             FROM events GROUP BY 1, 2""",
+        "sessionize": """
+            WITH us AS (
+              SELECT user_id, epoch_ns(ts) // 1000 AS t FROM events
+            ), lagged AS (
+              SELECT user_id, t,
+                     CASE WHEN LAG(t) OVER (PARTITION BY user_id ORDER BY t) IS NULL
+                               OR t - LAG(t) OVER (PARTITION BY user_id ORDER BY t) > 3600000000
+                          THEN 1 ELSE 0 END AS new_s
+              FROM us
+            ), sess AS (
+              SELECT user_id, t,
+                     SUM(new_s) OVER (PARTITION BY user_id ORDER BY t
+                                      ROWS UNBOUNDED PRECEDING) - 1 AS session_id
+              FROM lagged
+            )
+            SELECT user_id, session_id, COUNT(*) AS n_events,
+                   MAX(t) - MIN(t) AS duration_us
+            FROM sess GROUP BY 1, 2""",
         "events_type_stats": """
             SELECT event_type, COUNT(*) AS n,
                    COUNT(DISTINCT user_id) AS n_users, MAX(value) AS max_value

@@ -1,0 +1,75 @@
+"""Sessionization tests: batch window-function path + streaming stateful path."""
+
+import datetime
+
+import pytest
+from pyspark.sql import functions as F
+
+from polars_st_spark.operators.sessions import session_stats, sessionize, sessionize_stream
+
+
+def _mk_events(spark):
+    base = datetime.datetime(2026, 1, 1, 12, 0, 0)
+    rows = []
+    # user 1: two sessions (gap 45 min between event 2 and 3)
+    for mins, u in [(0, 1), (10, 1), (55, 1), (60, 1), (0, 2)]:
+        rows.append((u, base + datetime.timedelta(minutes=mins), 1.0))
+    return spark.createDataFrame(rows, ["user_id", "ts", "value"])
+
+
+def test_sessionize_batch(spark):
+    df = _mk_events(spark)
+    out = sessionize(df, gap_minutes=30.0)
+    base = datetime.datetime(2026, 1, 1, 12, 0, 0)
+
+    def at(mins):
+        return base + datetime.timedelta(minutes=mins)
+
+    got = {(r["user_id"], r["ts"]): r["session_id"] for r in out.collect()}
+    assert got[(1, at(0))] == 0 and got[(1, at(10))] == 0
+    assert got[(1, at(55))] == 1 and got[(1, at(60))] == 1
+    assert got[(2, at(0))] == 0
+
+
+def test_session_stats(spark):
+    df = _mk_events(spark)
+    out = session_stats(df, gap_minutes=30.0)
+    rows = {(r["user_id"], r["session_id"]): r for r in out.collect()}
+    assert rows[(1, 0)]["n_events"] == 2
+    assert rows[(1, 1)]["n_events"] == 2
+    assert rows[(1, 1)]["duration_s"] == 300.0  # 55 -> 60 min
+    assert rows[(2, 0)]["n_events"] == 1
+
+
+def test_sessionize_on_real_events(spark):
+    import __spark_entry__ as E
+
+    ev = E._read_events(spark, "/root/testdata/sf0.001")
+    out = session_stats(ev, gap_minutes=60.0)
+    assert out.count() > 0
+    # sanity: session bounds ordered, counts positive
+    bad = out.where((F.col("session_end") < F.col("session_start")) | (F.col("n_events") <= 0))
+    assert bad.count() == 0
+
+
+def test_sessionize_stream(spark, tmp_path):
+    src = str(tmp_path / "sess_src")
+    chk = str(tmp_path / "sess_chk")
+    df = _mk_events(spark)
+    df.write.mode("overwrite").parquet(src)
+    stream = spark.readStream.schema(df.schema).parquet(src)
+    sessions = sessionize_stream(stream, gap_minutes=30.0)
+    q = (
+        sessions.writeStream.format("memory")
+        .queryName("sess_stream")
+        .option("checkpointLocation", chk)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    out = spark.sql("select * from sess_stream").collect()
+    # only CLOSED sessions are emitted in append mode: user 1's first session
+    # closes when the 45-min gap arrives within the same batch
+    got = {(r["user_id"], r["n_events"]) for r in out}
+    assert (1, 2) in got
