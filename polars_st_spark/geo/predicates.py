@@ -662,9 +662,29 @@ def disjoint(a: Geometry, b: Geometry) -> bool:
     return not intersects(a, b)
 
 
+def _point_locate_areal(p: Geometry, g: Geometry) -> int | None:
+    """0/1/2 location of a Point in an areal geometry, or None if not that
+    shape combination. Fast path used by within/contains/covers (sjoin probes)."""
+    if p.type_id != GeometryType.Point or p.coords is None:
+        return None
+    d = _decompose(g)
+    if not d.polys or d.lines or d.points:
+        return None
+    best = 0
+    for rings in d.polys:
+        loc = point_in_polygon(p.coords[:2], rings)
+        if loc == 2:
+            return 2
+        best = max(best, loc)
+    return best
+
+
 def within(a: Geometry, b: Geometry) -> bool:
     if not _both_nonempty(a, b) or not _bbox_intersects(a, b):
         return False
+    loc = _point_locate_areal(a, b)
+    if loc is not None:
+        return loc == 2  # boundary point is not within (interiors must meet)
     return _matches("T*F**F***", relate(a, b))
 
 
@@ -675,6 +695,9 @@ def contains(a: Geometry, b: Geometry) -> bool:
 def covers(a: Geometry, b: Geometry) -> bool:
     if not _both_nonempty(a, b) or not _bbox_intersects(a, b):
         return False
+    loc = _point_locate_areal(b, a)
+    if loc is not None:
+        return loc != 0  # closure membership
     m = relate(a, b)
     return (
         _matches("T*****FF*", m)
@@ -733,6 +756,9 @@ def contains_properly(a: Geometry, b: Geometry) -> bool:
     """b intersects interior of a only (reference: functions.rs:951-958)."""
     if not _both_nonempty(a, b) or not _bbox_intersects(a, b):
         return False
+    loc = _point_locate_areal(b, a)
+    if loc is not None:
+        return loc == 2
     return _matches("T**FF*FF*", relate(a, b))
 
 
