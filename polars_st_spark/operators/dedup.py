@@ -81,13 +81,15 @@ def minhash_candidates(
 
     shingle → minhash → band → explode → self-equi-join on band hash.
     """
-    rows = k // bands
-    sh = _shingle_table(df, text_col, id_col, shingle_n)
-    sig = sh.select("_id", minhash_signature_udf("_sh", k).alias("_sig"))
-    banded = sig.select("_id", lsh_bands("_sig", bands, rows).alias("_bands"))
+    from polars_st_spark.operators.textops import lsh_band_rows_udf
+
+    banded = df.select(
+        F.col(id_col).alias("_id"),
+        lsh_band_rows_udf(text_col, k, bands, shingle_n).alias("_bands"),
+    )
     exploded = banded.select("_id", F.posexplode("_bands").alias("_band_idx", "_band_hash"))
-    # second barrier: keep the band keys materialized so the self-join hashes
-    # two small columns instead of re-deriving signatures per side
+    # barrier: keep the band keys materialized so the self-join hashes two
+    # small columns instead of re-deriving signatures per side
     exploded = exploded.cache()
     a = exploded.alias("a")
     b = exploded.alias("b")
@@ -113,9 +115,12 @@ def ngram_jaccard_pairs(
     threshold: float = 0.5,
 ) -> DataFrame:
     """Verify candidate pairs by word-n-gram Jaccard similarity."""
-    sh = _shingle_table(df, text_col, id_col, shingle_n).select(
-        "_id", F.array_distinct("_sh").alias("_sh")
-    )
+    from polars_st_spark.operators.textops import shingles_udf
+
+    sh = df.select(
+        F.col(id_col).alias("_id"),
+        F.array_distinct(shingles_udf(text_col, shingle_n)).alias("_sh"),
+    ).cache()
     out = (
         pairs.join(sh.withColumnRenamed("_id", "id_a").withColumnRenamed("_sh", "_sha"), on="id_a")
         .join(sh.withColumnRenamed("_id", "id_b").withColumnRenamed("_sh", "_shb"), on="id_b")

@@ -201,6 +201,69 @@ def lsh_bands(signature, bands: int = 4, rows_per_band: int = 4) -> Column:
     )
 
 
+def shingles_udf(text, n: int = 3) -> Column:
+    """Tokenize + shingle in one pandas-UDF pass; identical output to the SQL
+    ``shingles()`` expression for ASCII corpora."""
+    import re
+
+    ws = re.compile(r"\s+")
+
+    @F.pandas_udf("array<string>")
+    def udf(s: pd.Series) -> pd.Series:
+        def one(t):
+            if t is None:
+                return None
+            toks = ws.split(t.strip().lower())
+            if len(toks) >= n:
+                return [" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)]
+            return [" ".join(toks)]
+
+        return s.map(one)
+
+    return udf(col_or_lit(text))
+
+
+def lsh_band_rows_udf(text, k: int = 16, bands: int = 4, shingle_n: int = 3) -> Column:
+    """Tokenize → shingle → MinHash → band hashes in ONE pandas-UDF pass
+    (array<string> of band hashes; explode + join downstream).
+
+    Bit-identical to the staged SQL expression pipeline: tokens are
+    ``text.strip().lower()`` split on ASCII whitespace runs (equals Spark's
+    ``split(trim(lower(text)), '\\s+')`` for ASCII corpora), hashes are the
+    same ``md5('i:'+shingle)[:8]`` scheme, band hash the same
+    ``md5(comma-joined signature slice)``.
+    """
+    import hashlib
+    import re
+
+    rows = k // bands
+    ws = re.compile(r"\s+")
+
+    @F.pandas_udf("array<string>")
+    def udf(s: pd.Series) -> pd.Series:
+        def one(text_val):
+            if text_val is None:
+                return None
+            toks = ws.split(text_val.strip().lower())
+            if len(toks) >= shingle_n:
+                sh = [" ".join(toks[i : i + shingle_n]) for i in range(len(toks) - shingle_n + 1)]
+            else:
+                sh = [" ".join(toks)]
+            enc = [x.encode() for x in sh]
+            sig = []
+            for i in range(k):
+                prefix = f"{i}:".encode()
+                sig.append(min(int(hashlib.md5(prefix + e).hexdigest()[:8], 16) for e in enc))
+            return [
+                hashlib.md5(",".join(str(v) for v in sig[b * rows : (b + 1) * rows]).encode()).hexdigest()
+                for b in range(bands)
+            ]
+
+        return s.map(one)
+
+    return udf(col_or_lit(text))
+
+
 def simhash32(text) -> Column:
     """32-bit SimHash over tokens: per-bit vote sum of md5-derived token
     hashes, then sign bits packed into a bigint."""
