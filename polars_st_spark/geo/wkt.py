@@ -290,7 +290,8 @@ def _fmt_num(v: float, precision: int, trim: bool) -> str:
         s = repr(float(v))
     else:
         s = f"{v:.{precision}f}"
-    if trim and "." in s:
+    # trim trailing zeros from the mantissa only — never from an exponent
+    if trim and "." in s and "e" not in s and "E" not in s:
         s = s.rstrip("0").rstrip(".")
     if s in ("-0", ""):
         s = "0"
