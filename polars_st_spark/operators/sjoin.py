@@ -79,19 +79,45 @@ def st_sjoin(
     """
     if predicate not in SJOIN_PREDICATES:
         raise ValueError(f"Unknown predicate {predicate!r}; valid: {sorted(SJOIN_PREDICATES)}")
-    if how not in ("inner", "left"):
-        raise ValueError(f"how must be 'inner' or 'left', got {how!r}")
+    if how == "cross":
+        # reference rejects cross joins too (geolazyframe.py:96-98)
+        raise ValueError("how='cross' is not a spatial join; use crossJoin")
+    if how not in ("inner", "left", "right", "full", "semi", "anti"):
+        raise ValueError(f"how must be inner/left/right/full/semi/anti, got {how!r}")
 
     if strategy == "auto":
         # cheap heuristic: broadcast if the right side is small
         n_right = right.limit(broadcast_threshold + 1).count()
         strategy = "broadcast" if n_right <= broadcast_threshold else "grid"
 
+    base_how = "left" if how in ("left", "full") else "inner"
     if strategy == "broadcast":
-        return _sjoin_broadcast(left, right, predicate, how, lsuffix, rsuffix, left_on, right_on)
-    if strategy == "grid":
-        return _sjoin_grid(left, right, predicate, how, lsuffix, rsuffix, left_on, right_on, cell_size)
-    raise ValueError(f"Unknown strategy {strategy!r}")
+        out = _sjoin_broadcast(left, right, predicate, base_how, lsuffix, rsuffix, left_on, right_on)
+    elif strategy == "grid":
+        out = _sjoin_grid(left, right, predicate, base_how, lsuffix, rsuffix, left_on, right_on, cell_size)
+    else:
+        raise ValueError(f"Unknown strategy {strategy!r}")
+
+    if how in ("inner", "left"):
+        return out
+    lnames, rnames = _suffix_schema(left, right, lsuffix, rsuffix)
+    if how == "semi":
+        matched = out.select(*lnames).dropDuplicates()
+        return left.join(matched, on=lnames, how="left_semi")
+    if how == "anti":
+        matched = out.select(*lnames).dropDuplicates()
+        return left.join(matched, on=lnames, how="left_anti")
+    # right / full: append unmatched right rows with null left columns
+    matched_right = out.select(
+        *[F.col(n).alias(c) for c, n in zip(right.columns, rnames)]
+    ).dropDuplicates()
+    missing_right = right.join(matched_right, on=right.columns, how="left_anti")
+    for c, f in zip(left.columns, left.schema.fields):
+        missing_right = missing_right.withColumn(c, F.lit(None).cast(f.dataType))
+    missing_right = missing_right.select(
+        *lnames, *[F.col(c).alias(n) for c, n in zip(right.columns, rnames)]
+    )
+    return out.unionByName(missing_right)
 
 
 def _suffix_schema(left: DataFrame, right: DataFrame, lsuffix: str, rsuffix: str):

@@ -79,6 +79,28 @@ def test_sjoin_intersects_bbox(zones_points):
     assert (1, 1) in _pairs(out)
 
 
+def test_sjoin_how_variants(zones_points):
+    zones, pts = zones_points
+    # pts: 1→zone1, 2→zone2, 4→zone1; pt 3 unmatched; zone 3 unmatched
+    semi = st_sjoin(pts, zones, predicate="within", how="semi", strategy="broadcast")
+    assert sorted(r["pt_id"] for r in semi.collect()) == [1, 2, 4]
+    anti = st_sjoin(pts, zones, predicate="within", how="anti", strategy="broadcast")
+    assert [r["pt_id"] for r in anti.collect()] == [3]
+    right = st_sjoin(pts, zones, predicate="within", how="right", strategy="broadcast")
+    rrows = {(r["pt_id"], r["zone_id"]) for r in right.collect()}
+    assert (None, 3) in rrows and (1, 1) in rrows and len(rrows) == 4
+    full = st_sjoin(pts, zones, predicate="within", how="full", strategy="broadcast")
+    frows = {(r["pt_id"], r["zone_id"]) for r in full.collect()}
+    assert (None, 3) in frows and (3, None) in frows and len(frows) == 5
+    # grid strategy produces the same sets
+    full_g = st_sjoin(pts, zones, predicate="within", how="full", strategy="grid", cell_size=7.0)
+    assert {(r["pt_id"], r["zone_id"]) for r in full_g.collect()} == frows
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="cross"):
+        st_sjoin(pts, zones, how="cross")
+
+
 def test_sjoin_predicate_direction(spark):
     # predicate is evaluated as predicate(left, right): within means LEFT within RIGHT
     # (reference: functions.rs:1855-1859)
