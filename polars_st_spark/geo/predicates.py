@@ -338,7 +338,6 @@ def relate(ga: Geometry, gb: Geometry) -> str:
         loc = _locate_point_in_decomp(p, db, bb)
         im.up(_B, loc, 0)
     for p in bb:
-        loc = _locate_point_in_decomp(p, da, bb)
         loc = _locate_point_in_decomp(p, da, ba)
         im.up(loc, _B, 0)
 
