@@ -359,6 +359,104 @@ def q_envelope_center(spark, sf):
     )
 
 
+def q_constructive_suite(spark, sf):
+    """Boundary length, minimum clearance, point-on-surface, minimum rotated
+    rectangle, simplify — each with a closed-form value on rectangles."""
+    r = _nation_rects(spark, sf)
+    pos = st.st_point_on_surface("rect")
+    return r.select(
+        "n_nationkey",
+        st.st_length(st.st_boundary("rect")).alias("boundary_len"),
+        st.st_minimum_clearance("rect").alias("clearance"),
+        st.st_x(pos).alias("pos_x"),
+        st.st_y(pos).alias("pos_y"),
+        st.st_area(st.st_minimum_rotated_rectangle("rect")).alias("mrr_area"),
+        st.st_count_coordinates(st.st_simplify("rect", 0.1)).alias("simplified_n"),
+    )
+
+
+def q_ring_orientation(spark, sf):
+    """Exterior-ring orientation + reversal + closure checks (booleans)."""
+    r = _nation_rects(spark, sf)
+    ring = st.st_exterior_ring("rect")
+    return r.select(
+        "n_nationkey",
+        st.st_is_ccw(ring).alias("ccw"),
+        st.st_is_ccw(st.st_reverse(ring)).alias("ccw_rev"),
+        st.st_is_closed(ring).alias("closed"),
+        st.st_is_ring(ring).alias("ring"),
+        st.st_is_simple(ring).alias("simple"),
+    )
+
+
+def q_line_interpolate(spark, sf):
+    """Diagonal line per rect: midpoint interpolation and projection."""
+    r = _nation_rects(spark, sf)
+    line = st.st_linestring(F.array(F.array("x0", "y0"), F.array("x1", "y1")))
+    mid = st.st_interpolate(line, 0.5, normalized=True)
+    ctr = st.st_centroid("rect")
+    return r.select(
+        "n_nationkey",
+        st.st_x(mid).alias("mid_x"),
+        st.st_y(mid).alias("mid_y"),
+        st.st_project(line, ctr).alias("proj_to_center"),
+        st.st_length(line).alias("diag_len"),
+    )
+
+
+def q_rotate180(spark, sf):
+    """Rotating a rect 180° about its center preserves its bounds exactly."""
+    r = _nation_rects(spark, sf).withColumn("rot", st.st_rotate("rect", 180.0))
+    b = st.st_bounds("rot")
+    return r.select(
+        "n_nationkey",
+        F.round(b[0], 9).alias("rx0"),
+        F.round(b[1], 9).alias("ry0"),
+        F.round(b[2], 9).alias("rx1"),
+        F.round(b[3], 9).alias("ry1"),
+    )
+
+
+def q_hausdorff_translate(spark, sf):
+    """Hausdorff/Fréchet between a rect ring and its (3,4)-translation = 5."""
+    r = _nation_rects(spark, sf)
+    ring = st.st_exterior_ring("rect")
+    moved = st.st_translate(ring, 3.0, 4.0)
+    return r.select(
+        "n_nationkey",
+        st.st_hausdorff_distance(ring, moved).alias("hausdorff"),
+        st.st_frechet_distance(ring, moved).alias("frechet"),
+    )
+
+
+def q_equals_suite(spark, sf):
+    """equals / equals_exact / equals_identical against a reversed copy."""
+    r = _nation_rects(spark, sf)
+    rev = st.st_reverse("rect")
+    return r.select(
+        "n_nationkey",
+        st.st_equals("rect", rev).alias("topo_eq"),
+        st.st_equals_exact("rect", rev).alias("exact_eq"),
+        st.st_equals_identical("rect", "rect").alias("ident_eq"),
+    )
+
+
+def q_collect_count(spark, sf):
+    """Customer points collected per nation: MultiPoint part count == group size."""
+    c = spark.read.parquet(f"{sf}/customer.parquet")
+    pts = c.select(
+        "c_custkey", "c_nationkey",
+        ((F.col("c_custkey") % 97) + 0.5).alias("x"),
+        (((F.col("c_custkey") * 7) % 89) + 0.5).alias("y"),
+    ).withColumn("pt", st.st_point("x", "y"))
+    out = pts.groupBy("c_nationkey").agg(st.st_collect("pt").alias("mp"))
+    return out.select(
+        "c_nationkey",
+        st.st_count_geometries("mp").alias("n_pts"),
+        st.st_geometry_type("mp").alias("mp_type"),
+    )
+
+
 def q_contains_pairs(spark, sf):
     """Column-vs-column predicate between joined tables (no sjoin operator)."""
     pts = _cust_pts(spark, sf)
@@ -591,6 +689,13 @@ _QUERIES = {
         "dwithin": q_dwithin,
         "geometry_meta": q_geometry_meta,
         "envelope_center": q_envelope_center,
+        "constructive_suite": q_constructive_suite,
+        "ring_orientation": q_ring_orientation,
+        "line_interpolate": q_line_interpolate,
+        "rotate180": q_rotate180,
+        "hausdorff_translate": q_hausdorff_translate,
+        "equals_suite": q_equals_suite,
+        "collect_count": q_collect_count,
         "contains_pairs": q_contains_pairs,
         "token_count": q_token_count,
         "lang_quality": q_lang_quality,
@@ -698,6 +803,38 @@ def oracle_sql() -> dict[str, str]:
                    (x1-x0)*(y1-y0) AS env_area,
                    (x0+x1)/2 AS ctr_x, (y0+y1)/2 AS ctr_y
             FROM ({_ORACLE_LI})""",
+        "constructive_suite": f"""
+            SELECT n_nationkey,
+                   2*((x1-x0)+(y1-y0)) AS boundary_len,
+                   LEAST(x1-x0, y1-y0) AS clearance,
+                   (x0+x1)/2 AS pos_x, (y0+y1)/2 AS pos_y,
+                   (x1-x0)*(y1-y0) AS mrr_area,
+                   5 AS simplified_n
+            FROM ({_ORACLE_NATION})""",
+        "ring_orientation": """
+            SELECT n_nationkey, TRUE AS ccw, FALSE AS ccw_rev,
+                   TRUE AS closed, TRUE AS ring, TRUE AS simple
+            FROM nation""",
+        "line_interpolate": f"""
+            SELECT n_nationkey,
+                   (x0+x1)/2 AS mid_x, (y0+y1)/2 AS mid_y,
+                   sqrt((x1-x0)*(x1-x0) + (y1-y0)*(y1-y0))/2 AS proj_to_center,
+                   sqrt((x1-x0)*(x1-x0) + (y1-y0)*(y1-y0)) AS diag_len
+            FROM ({_ORACLE_NATION})""",
+        "rotate180": f"""
+            SELECT n_nationkey,
+                   ROUND(x0, 9) AS rx0, ROUND(y0, 9) AS ry0,
+                   ROUND(x1, 9) AS rx1, ROUND(y1, 9) AS ry1
+            FROM ({_ORACLE_NATION})""",
+        "hausdorff_translate": """
+            SELECT n_nationkey, 5.0 AS hausdorff, 5.0 AS frechet FROM nation""",
+        "equals_suite": """
+            SELECT n_nationkey, TRUE AS topo_eq, FALSE AS exact_eq, TRUE AS ident_eq
+            FROM nation""",
+        "collect_count": """
+            SELECT c_nationkey, COUNT(*) AS n_pts,
+                   CASE WHEN COUNT(*) >= 1 THEN 'MultiPoint' END AS mp_type
+            FROM customer GROUP BY 1""",
         "contains_pairs": f"""
             SELECT c.c_custkey, n.n_nationkey,
                    (c.x > n.x0 AND c.x < n.x1 AND c.y > n.y0 AND c.y < n.y1) AS contains,
