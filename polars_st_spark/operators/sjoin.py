@@ -101,17 +101,26 @@ def st_sjoin(
     if how in ("inner", "left"):
         return out
     lnames, rnames = _suffix_schema(left, right, lsuffix, rsuffix)
-    if how == "semi":
-        matched = out.select(*lnames).dropDuplicates()
-        return left.join(matched, on=lnames, how="left_semi")
-    if how == "anti":
-        matched = out.select(*lnames).dropDuplicates()
-        return left.join(matched, on=lnames, how="left_anti")
+
+    def null_safe_cond(a, b, cols_a, cols_b):
+        # plain ON-lists use `=` which never matches NULLs — a row with a NULL
+        # in any column would be mis-classified; eqNullSafe fixes that
+        cond = None
+        for ca, cb in zip(cols_a, cols_b):
+            c = a[ca].eqNullSafe(b[cb])
+            cond = c if cond is None else (cond & c)
+        return cond
+
+    if how in ("semi", "anti"):
+        matched = out.select(*[F.col(n).alias(f"_m_{i}") for i, n in enumerate(lnames)]).dropDuplicates()
+        cond = null_safe_cond(left, matched, left.columns, [f"_m_{i}" for i in range(len(lnames))])
+        return left.join(matched, cond, how="left_semi" if how == "semi" else "left_anti")
     # right / full: append unmatched right rows with null left columns
     matched_right = out.select(
-        *[F.col(n).alias(c) for c, n in zip(right.columns, rnames)]
+        *[F.col(n).alias(f"_m_{i}") for i, n in enumerate(rnames)]
     ).dropDuplicates()
-    missing_right = right.join(matched_right, on=right.columns, how="left_anti")
+    cond = null_safe_cond(right, matched_right, right.columns, [f"_m_{i}" for i in range(len(rnames))])
+    missing_right = right.join(matched_right, cond, how="left_anti")
     for c, f in zip(left.columns, left.schema.fields):
         missing_right = missing_right.withColumn(c, F.lit(None).cast(f.dataType))
     missing_right = missing_right.select(
