@@ -44,8 +44,11 @@ _NAN = float("nan")
 # ----------------------------------------------------------------------
 
 def _ring_signed_area(r: np.ndarray) -> float:
-    x = r[:, 0]
-    y = r[:, 1]
+    # translate to the first vertex: shoelace cross terms on large absolute
+    # coordinates cancel catastrophically; relative coordinates keep the
+    # error proportional to extent², not coordinate²
+    x = r[:, 0] - r[0, 0]
+    y = r[:, 1] - r[0, 1]
     return 0.5 * float(np.sum(x * np.roll(y, -1) - np.roll(x, -1) * y))
 
 
@@ -1321,27 +1324,75 @@ def _is_axis_rect(g: Geometry) -> bool:
 
 
 def offset_curve(g: Geometry, dist: float, quad_segs: int = 8, join_style: str = "round", mitre_limit: float = 5.0) -> Geometry:
-    """Parallel offset of a single-segment or axis-parallel polyline."""
+    """Parallel offset: per-segment offsets joined with arcs on outside turns
+    and line-intersection (miter) on inside turns (reference:
+    functions.rs:1302-1317; GEOS round-join semantics). Positive distance =
+    left of the line direction."""
     chains = list(_iter_chains(g))
-    if not chains:
+    if not chains or dist == 0:
+        if chains and dist == 0:
+            return Geometry(GeometryType.LineString, srid=g.srid, coords=chains[0][:, :2].copy())
         return Geometry(GeometryType.LineString, srid=g.srid, coords=np.empty((0, 2)))
     c = chains[0][:, :2]
-    out = []
-    # simple per-vertex normal offset (exact for straight/axis-parallel lines)
-    for i in range(len(c)):
-        if i == 0:
-            dx, dy = c[1] - c[0]
-        elif i == len(c) - 1:
-            dx, dy = c[-1] - c[-2]
+    # collapse repeated points
+    keep = [0] + [i for i in range(1, len(c)) if not np.allclose(c[i], c[i - 1])]
+    c = c[keep]
+    if len(c) < 2:
+        return Geometry(GeometryType.LineString, srid=g.srid, coords=np.empty((0, 2)))
+    # per-segment left normals and offset endpoints
+    segs = []
+    for i in range(len(c) - 1):
+        d = c[i + 1] - c[i]
+        ln = math.hypot(d[0], d[1])
+        n = np.array([-d[1] / ln, d[0] / ln])
+        segs.append((c[i] + dist * n, c[i + 1] + dist * n, d / ln))
+    out = [segs[0][0]]
+    for i in range(len(segs) - 1):
+        b_prev = segs[i][1]
+        a_next = segs[i + 1][0]
+        v = c[i + 1]
+        z = segs[i][2][0] * segs[i + 1][2][1] - segs[i][2][1] * segs[i + 1][2][0]
+        outside = (dist > 0 and z < 0) or (dist < 0 and z > 0)
+        if np.allclose(b_prev, a_next):
+            out.append(b_prev)
+        elif outside and join_style == "round":
+            # arc around the vertex from b_prev to a_next
+            a0 = math.atan2(b_prev[1] - v[1], b_prev[0] - v[0])
+            a1 = math.atan2(a_next[1] - v[1], a_next[0] - v[0])
+            sweep = a1 - a0
+            if dist > 0:
+                while sweep > 0:
+                    sweep -= 2 * math.pi
+            else:
+                while sweep < 0:
+                    sweep += 2 * math.pi
+            n_arc = max(1, int(abs(sweep) / (math.pi / 2) * quad_segs))
+            r = abs(dist)
+            for k in range(n_arc + 1):
+                a = a0 + sweep * k / n_arc
+                out.append(v + np.array([r * math.cos(a), r * math.sin(a)]))
         else:
-            dx, dy = c[i + 1] - c[i - 1]
-        norm = math.hypot(dx, dy)
-        if norm == 0:
-            out.append(c[i])
-            continue
-        nx, ny = -dy / norm, dx / norm
-        out.append(c[i] + dist * np.array([nx, ny]))
-    return Geometry(GeometryType.LineString, srid=g.srid, coords=np.array(out))
+            # inside turn (or non-round join): miter via offset-line intersection
+            p1, p2, d1 = segs[i][0], segs[i][1], segs[i][2]
+            p3, p4, d2 = segs[i + 1][0], segs[i + 1][1], segs[i + 1][2]
+            den = d1[0] * d2[1] - d1[1] * d2[0]
+            if abs(den) < 1e-12:
+                out.append(b_prev)
+            else:
+                t = ((p3[0] - p1[0]) * d2[1] - (p3[1] - p1[1]) * d2[0]) / den
+                m = p1 + t * d1
+                if math.hypot(m[0] - v[0], m[1] - v[1]) <= mitre_limit * abs(dist):
+                    out.append(m)
+                else:
+                    out.append(b_prev)
+                    out.append(a_next)
+    out.append(segs[-1][1])
+    # dedupe consecutive
+    final = [out[0]]
+    for p in out[1:]:
+        if not np.allclose(p, final[-1]):
+            final.append(p)
+    return Geometry(GeometryType.LineString, srid=g.srid, coords=np.array(final))
 
 
 def total_bounds_merge(bounds_list) -> list[float]:

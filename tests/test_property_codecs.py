@@ -77,7 +77,11 @@ def test_wkt_roundtrip_random(g):
 def test_area_rotation_invariant(poly, angle):
     a0 = algos.area(poly)
     a1 = algos.area(algos.rotate(poly, angle, origin="centroid"))
-    assert math.isclose(a0, a1, rel_tol=1e-9, abs_tol=1e-6)
+    # double-precision shoelace error grows with the squared extent: thin
+    # polygons spanning ±1e6 legitimately differ at ~extent²·1e-15
+    x0, y0, x1, y1 = poly.bounds()
+    extent2 = max((x1 - x0), (y1 - y0), 1.0) ** 2
+    assert math.isclose(a0, a1, rel_tol=1e-9, abs_tol=max(1e-6, extent2 * 1e-14))
 
 
 @given(linestrings(), finite, finite)
