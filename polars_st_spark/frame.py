@@ -80,11 +80,7 @@ def geodataframe(
     fmt = geometry_format or _sniff_format(df, geometry_name)
     if fmt not in _PARSERS:
         raise ValueError(f"Unknown geometry_format {fmt!r}; valid: {sorted(_PARSERS)}")
-    if fmt == "wkb" and isinstance(df.schema[geometry_name].dataType, BinaryType):
-        parsed = _PARSERS[fmt](geometry_name)
-    else:
-        parsed = _PARSERS[fmt](geometry_name)
-    return df.withColumn(geometry_name, parsed)
+    return df.withColumn(geometry_name, _PARSERS[fmt](geometry_name))
 
 
 def sjoin(

@@ -195,7 +195,10 @@ def st_area(col) -> Column:
                 return pd.Series(np.zeros(len(s)))
             if fast[0] == "ring":
                 c = fast[1]
-                x, y = c[:, :, 0], c[:, :, 1]
+                # translate to each ring's first vertex (same cancellation
+                # robustness as the scalar _ring_signed_area)
+                x = c[:, :, 0] - c[:, :1, 0]
+                y = c[:, :, 1] - c[:, :1, 1]
                 a = 0.5 * np.abs(
                     np.sum(x * np.roll(y, -1, axis=1) - np.roll(x, -1, axis=1) * y, axis=1)
                 )

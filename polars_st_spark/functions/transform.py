@@ -237,6 +237,10 @@ def st_set_precision(col, grid_size: float, mode: str = "valid_output") -> Colum
     mode-independent for valid inputs)."""
     import numpy as np
 
+    if grid_size == 0:
+        # GEOS: grid 0 = full precision, a no-op (not a division by zero)
+        return unary_geom(lambda g: g)(col_or_lit(col))
+
     def snap(g):
         def f(arr):
             out = arr.copy()

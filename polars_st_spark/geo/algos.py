@@ -170,7 +170,10 @@ def centroid(g: Geometry) -> Geometry:
         for rings, sign0 in _iter_poly_rings(g):
             for k, r in enumerate(rings):
                 rc = _closed(r)
-                x, y = rc[:, 0], rc[:, 1]
+                # relative coordinates: avoids shoelace cancellation on large
+                # absolute coordinates (same fix as _ring_signed_area)
+                ox, oy = rc[0, 0], rc[0, 1]
+                x, y = rc[:, 0] - ox, rc[:, 1] - oy
                 cross = x[:-1] * y[1:] - x[1:] * y[:-1]
                 a6 = cross.sum() / 2.0
                 if a6 == 0:
@@ -182,6 +185,9 @@ def centroid(g: Geometry) -> Geometry:
                 mag = abs(a6)
                 if a6 < 0:
                     ccx, ccy = -ccx, -ccy
+                # un-translate the moment: centroid·|A| = (centroid' + o)·|A|
+                ccx += ox * mag
+                ccy += oy * mag
                 cx += sgn * ccx
                 cy += sgn * ccy
                 aa += sgn * mag

@@ -138,19 +138,14 @@ def voronoi_polygons(
         for j, q in enumerate(pts):
             if i == j:
                 continue
-            # half-plane closer to p than q: keep left of the perpendicular
-            # bisector oriented so p is on the kept side
+            # half-plane closer to p than q: clip by the perpendicular
+            # bisector, oriented so p stays on the kept (left) side
             mid = (p + q) / 2.0
             d = q - p
-            # direction along bisector (perpendicular to d), oriented to keep p left
-            t = np.array([-d[1], d[0]])
-            a = mid
-            b = mid + t
+            a, b = mid, mid + np.array([-d[1], d[0]])
             cross = (b[0] - a[0]) * (p[1] - a[1]) - (b[1] - a[1]) * (p[0] - a[0])
             if cross < 0:
-                a, b = b, a + (a - b)
-                a, b = mid + np.array([d[1], -d[0]]), mid
-                a, b = mid, mid + np.array([d[1], -d[0]])
+                b = mid + np.array([d[1], -d[0]])
             ring = _sh_clip_ring_halfplane(ring, a, b)
             if len(ring) == 0:
                 break

@@ -263,9 +263,13 @@ def batch_uniform(bufs):
         prefix_len = head + 8
     else:
         return None
-    header = bytes(first[:5])
+    # every row must share the FULL structural prefix (endian, type word,
+    # srid, ring/point counts) — matching only length + type word would let
+    # e.g. a multi-ring polygon with a colliding byte length be silently
+    # decoded as single-ring with count words read as coordinates
+    header = bytes(first[:prefix_len])
     for b in rows[1:]:
-        if b is None or len(b) != L or bytes(b[:5]) != header:
+        if b is None or len(b) != L or bytes(b[:prefix_len]) != header:
             return None
     mat = np.frombuffer(b"".join(bytes(b) for b in rows), dtype=np.uint8).reshape(len(rows), L)
     body = mat[:, prefix_len:].copy().view("<f8")

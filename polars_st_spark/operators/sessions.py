@@ -41,7 +41,6 @@ def sessionize(
     # integer-microsecond arithmetic: session boundaries are exact (no float
     # gap comparisons), and the math matches any SQL engine bit-for-bit
     us = F.unix_micros(F.col(ts_col))
-    w = Window.partitionBy(user_col).orderBy(us.asc(), F.monotonically_increasing_id())
     prev_us = F.lag(us).over(Window.partitionBy(user_col).orderBy(us.asc()))
     gap_us = int(gap_minutes * 60.0 * 1_000_000)
     new_session = F.when(prev_us.isNull() | ((us - prev_us) > gap_us), 1).otherwise(0)
@@ -127,11 +126,13 @@ def sessionize_stream(
                 state.update(tuple(cur))
                 state.setTimeoutDuration(int(gap_s * 1000))
         if closed:
+            # utcfromtimestamp pairs with pandas treating naive inputs as UTC
+            # in .timestamp(); fromtimestamp would shift by the machine TZ
             yield pd.DataFrame(
                 {
                     "user_id": [c[0] for c in closed],
-                    "session_start": [datetime.datetime.fromtimestamp(c[1]) for c in closed],
-                    "session_end": [datetime.datetime.fromtimestamp(c[2]) for c in closed],
+                    "session_start": [datetime.datetime.utcfromtimestamp(c[1]) for c in closed],
+                    "session_end": [datetime.datetime.utcfromtimestamp(c[2]) for c in closed],
                     "n_events": [c[3] for c in closed],
                 }
             )

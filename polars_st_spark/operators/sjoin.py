@@ -115,25 +115,29 @@ def st_sjoin(
         matched = out.select(*[F.col(n).alias(f"_m_{i}") for i, n in enumerate(lnames)]).dropDuplicates()
         cond = null_safe_cond(left, matched, left.columns, [f"_m_{i}" for i in range(len(lnames))])
         return left.join(matched, cond, how="left_semi" if how == "semi" else "left_anti")
-    # right / full: append unmatched right rows with null left columns
+    # right / full: append unmatched right rows with null left columns.
+    # Rename right columns to their suffixed output names FIRST — adding the
+    # null left columns afterwards can never clobber a colliding right column.
     matched_right = out.select(
         *[F.col(n).alias(f"_m_{i}") for i, n in enumerate(rnames)]
     ).dropDuplicates()
     cond = null_safe_cond(right, matched_right, right.columns, [f"_m_{i}" for i in range(len(rnames))])
-    missing_right = right.join(matched_right, cond, how="left_anti")
-    for c, f in zip(left.columns, left.schema.fields):
-        missing_right = missing_right.withColumn(c, F.lit(None).cast(f.dataType))
-    missing_right = missing_right.select(
-        *lnames, *[F.col(c).alias(n) for c, n in zip(right.columns, rnames)]
+    missing_right = right.join(matched_right, cond, how="left_anti").select(
+        *[F.col(c).alias(n) for c, n in zip(right.columns, rnames)]
     )
-    return out.unionByName(missing_right)
+    for n, f in zip(lnames, left.schema.fields):
+        missing_right = missing_right.withColumn(n, F.lit(None).cast(f.dataType))
+    return out.unionByName(missing_right.select(*lnames, *rnames))
 
 
 def _suffix_schema(left: DataFrame, right: DataFrame, lsuffix: str, rsuffix: str):
-    lnames = list(left.columns)
-    rnames = []
-    for c in right.columns:
-        rnames.append(c + rsuffix if c in lnames else c)
+    conflicts = set(left.columns) & set(right.columns)
+    lnames = [c + lsuffix if c in conflicts else c for c in left.columns]
+    rnames = [c + rsuffix if c in conflicts else c for c in right.columns]
+    if set(lnames) & set(rnames):
+        raise ValueError(
+            f"suffixes {lsuffix!r}/{rsuffix!r} do not disambiguate shared columns {sorted(conflicts)}"
+        )
     return lnames, rnames
 
 
@@ -145,7 +149,7 @@ def _sjoin_broadcast(left, right, predicate, how, lsuffix, rsuffix, left_on, rig
     lnames, rnames = _suffix_schema(left, right, lsuffix, rsuffix)
 
     out_schema = StructType(
-        list(left.schema.fields)
+        [type(f)(name, f.dataType, f.nullable) for name, f in zip(lnames, left.schema.fields)]
         + [type(f)(name, f.dataType, True) for name, f in zip(rnames, right.schema.fields)]
     )
     pred_fn = SJOIN_PREDICATES[predicate]
@@ -184,6 +188,7 @@ def _sjoin_broadcast(left, right, predicate, how, lsuffix, rsuffix, left_on, rig
             if not li:
                 continue
             lpart = pdf.iloc[li].reset_index(drop=True)
+            lpart.columns = lnames
             rpart = rview.reindex([j if j >= 0 else None for j in ri]).reset_index(drop=True)
             rpart.loc[[k for k, j in enumerate(ri) if j < 0], :] = None
             yield pd.concat([lpart, rpart], axis=1)
@@ -299,8 +304,18 @@ def _sjoin_grid(left, right, predicate, how, lsuffix, rsuffix, left_on, right_on
         *[F.col("_rrow")[c].alias(n) for c, n in zip(right.columns, rnames)],
     )
     if how == "left":
-        matched_keys = out.select(*[F.col(n) for n in lnames]).dropDuplicates()
-        missing = left.join(matched_keys, on=lnames, how="left_anti")
+        # null-safe anti join: plain `=` would mis-classify left rows with a
+        # NULL in any attribute column as unmatched (duplicating them)
+        matched_keys = out.select(
+            *[F.col(n).alias(f"_m_{i}") for i, n in enumerate(lnames)]
+        ).dropDuplicates()
+        cond = None
+        for i, c in enumerate(left.columns):
+            e = left[c].eqNullSafe(matched_keys[f"_m_{i}"])
+            cond = e if cond is None else (cond & e)
+        missing = left.join(matched_keys, cond, how="left_anti").select(
+            *[F.col(c).alias(n) for c, n in zip(left.columns, lnames)]
+        )
         for n, f in zip(rnames, right.schema.fields):
             missing = missing.withColumn(n, F.lit(None).cast(f.dataType))
         out = out.unionByName(missing)
