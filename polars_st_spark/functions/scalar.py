@@ -310,7 +310,8 @@ def st_bounds(col) -> Column:
 # ----------------------------------------------------------------------
 
 def st_count_coordinates(col) -> Column:
-    return unary_scalar(lambda g: len(g.all_coords()), "int")(col_or_lit(col))
+    """Counts stored coordinates (curve control points, not linearization)."""
+    return unary_scalar(lambda g: len(g.raw_coords()), "int")(col_or_lit(col))
 
 
 def st_count_points(col) -> Column:
@@ -344,7 +345,7 @@ def st_coordinates(col, output_dimension: int = 2) -> Column:
     """List of coordinate tuples (reference: functions.rs:556-621)."""
 
     def fn(g: Geometry):
-        c = g.all_coords()
+        c = g.raw_coords()
         d = min(output_dimension, c.shape[1]) if len(c) else output_dimension
         return [list(map(float, row[:d])) for row in c]
 

@@ -52,7 +52,14 @@ def _ring_signed_area(r: np.ndarray) -> float:
     return 0.5 * float(np.sum(x * np.roll(y, -1) - np.roll(x, -1) * y))
 
 
+def _maybe_linearize(g: Geometry) -> Geometry:
+    from polars_st_spark.geo.curves import _is_curved, linearize
+
+    return linearize(g) if _is_curved(g) else g
+
+
 def area(g: Geometry) -> float:
+    g = _maybe_linearize(g)
     t = g.type_id
     if t in _POLYGONAL_IDS:
         if not g.rings:
@@ -74,6 +81,7 @@ def _chain_length(c: np.ndarray) -> float:
 
 
 def length(g: Geometry) -> float:
+    g = _maybe_linearize(g)
     t = g.type_id
     if t in _LINEAL_IDS:
         return _chain_length(g.coords)

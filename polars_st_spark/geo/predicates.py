@@ -62,6 +62,11 @@ class _Decomp:
 def _decompose(g: Geometry, d: _Decomp | None = None) -> _Decomp:
     if d is None:
         d = _Decomp()
+        # curved inputs: compute on the linearized approximation (GEOS-style)
+        from polars_st_spark.geo.curves import _is_curved, linearize
+
+        if _is_curved(g):
+            g = linearize(g)
     t = g.type_id
     if t == GeometryType.Point:
         if g.coords is not None:
@@ -77,12 +82,6 @@ def _decompose(g: Geometry, d: _Decomp | None = None) -> _Decomp:
     elif g.geoms is not None:
         for sub in g.geoms:
             _decompose(sub, d)
-    elif t in (
-        GeometryType.CircularString,
-        GeometryType.CompoundCurve,
-        GeometryType.CurvePolygon,
-    ):
-        raise NotImplementedError(f"Curved geometry type {g.type_name} not supported")
     return d
 
 

@@ -144,8 +144,29 @@ class Geometry:
         return 0
 
     # ------------------------------------------------------------------
+    def raw_coords(self) -> np.ndarray:
+        """Stored coordinates (curve control points included verbatim) —
+        what count_coordinates / coordinates report."""
+        return self._collect_coords(linearize_curves=False)
+
     def all_coords(self) -> np.ndarray:
-        """All coordinates as one (n, ndim) array (copy-light where possible)."""
+        """All coordinates as one (n, ndim) array (copy-light where possible).
+
+        Curved geometries are linearized first so bounds/hulls account for
+        arc bulge beyond the control points."""
+        return self._collect_coords(linearize_curves=True)
+
+    def _collect_coords(self, linearize_curves: bool) -> np.ndarray:
+        if linearize_curves and self.type_id in (
+            GeometryType.CircularString,
+            GeometryType.CompoundCurve,
+            GeometryType.CurvePolygon,
+            GeometryType.MultiCurve,
+            GeometryType.MultiSurface,
+        ):
+            from polars_st_spark.geo.curves import linearize
+
+            return linearize(self).all_coords()
         t = self.type_id
         if t == GeometryType.Point:
             if self.coords is None:
@@ -160,7 +181,7 @@ class Geometry:
                 return np.empty((0, self.ndim))
             return np.concatenate(self.rings, axis=0)
         if self.geoms:
-            parts = [g.all_coords() for g in self.geoms]
+            parts = [g._collect_coords(linearize_curves) for g in self.geoms]
             parts = [p for p in parts if len(p)]
             if not parts:
                 return np.empty((0, self.ndim))

@@ -1,0 +1,46 @@
+"""Curved-geometry linearization tests (SURVEY §7 hard part 1)."""
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+import polars_st_spark as st
+from polars_st_spark.geo import algos
+from polars_st_spark.geo import predicates as P
+from polars_st_spark.geo.wkt import from_wkt, to_wkt
+
+
+def test_arc_length_and_bounds():
+    cs = from_wkt("CIRCULARSTRING (0 0, 1 1, 2 0)")
+    assert abs(algos.length(cs) - math.pi) < 0.01
+    assert abs(cs.bounds()[3] - 1.0) < 1e-9  # bulge included
+    assert to_wkt(cs) == "CIRCULARSTRING (0 0, 1 1, 2 0)"  # serialization keeps curve
+
+
+def test_curve_predicates():
+    cs = from_wkt("CIRCULARSTRING (0 0, 1 1, 2 0)")
+    assert P.intersects(cs, from_wkt("POINT (1 1)"))
+    assert not P.intersects(cs, from_wkt("POINT (1 0)"))
+    assert abs(algos.distance(from_wkt("POINT (1 0)"), cs) - 1.0) < 0.01
+
+
+def test_collinear_arc():
+    flat = from_wkt("CIRCULARSTRING (0 0, 1 0, 2 0)")
+    assert abs(algos.length(flat) - 2.0) < 1e-9
+
+
+def test_curve_spark_surface(spark):
+    df = spark.createDataFrame(
+        [(1, [[0.0, 0.0], [1.0, 1.0], [2.0, 0.0]])], ["id", "c"]
+    ).select("id", st.st_circularstring("c").alias("g"))
+    row = df.select(
+        st.st_length("g").alias("len"),
+        st.st_geometry_type("g").alias("t"),
+        st.st_intersects("g", "POINT (1 1)").alias("hits_top"),
+        st.st_bounds("g").alias("b"),
+    ).first()
+    assert abs(row["len"] - math.pi) < 0.01
+    assert row["t"] == "CircularString"
+    assert row["hits_top"] is True
+    assert abs(row["b"][3] - 1.0) < 1e-9

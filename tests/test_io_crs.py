@@ -43,9 +43,9 @@ def test_circularstring_header_ops(spark):
     ).first()
     assert row["t"] == "CircularString" and row["s"] == 4326 and row["n"] == 3
     assert row["w"] == "CIRCULARSTRING (0 0, 1 1, 2 0)"
-    # computational ops on curves raise through the UDF
-    with pytest.raises(Exception, match="[Cc]urve"):
-        out.select(st.st_intersects("g", "POINT (0 0)")).collect()
+    # computational ops on curves now work via arc linearization
+    hit = out.select(st.st_intersects("g", "POINT (0 0)")).first()[0]
+    assert hit is True
 
 
 def test_multilinestring_constructor(spark):
