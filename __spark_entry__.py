@@ -628,10 +628,24 @@ def q_knn_lsh(spark, sf):
 
 
 def q_multimodal_features(spark, sf):
-    """Binary payload plumbing: deterministic pseudo-decode features."""
+    """Binary payload plumbing: deterministic pseudo-decode features.
+
+    Gate output is scalar-only (f0/f1/f2 floats) — the driver's pandas
+    canonicalizer cannot hash array<float> cells; the array API stays in the
+    library (`operators/multimodal.py image_features`).
+    """
     docs = spark.read.parquet(f"{sf}/documents.parquet").limit(50)
     payloads = docs.select("doc_id", F.encode("text", "utf-8").alias("payload"))
-    return image_features(payloads, "payload", "doc_id", decode="fake", resize=(4, 4))
+    feats = image_features(payloads, "payload", "doc_id", decode="fake", resize=(4, 4))
+    return feats.select(
+        "doc_id",
+        "height",
+        "width",
+        "channels",
+        F.round(F.col("features")[0], 5).alias("f0"),
+        F.round(F.col("features")[1], 5).alias("f1"),
+        F.round(F.col("features")[2], 5).alias("f2"),
+    )
 
 
 # ----------------------------------------------------------------------
@@ -873,8 +887,10 @@ def oracle_sql() -> dict[str, str]:
               FROM us
             ), sess AS (
               SELECT user_id, t,
-                     SUM(new_s) OVER (PARTITION BY user_id ORDER BY t
-                                      ROWS UNBOUNDED PRECEDING) - 1 AS session_id
+                     -- CAST: DuckDB windowed SUM yields HUGEINT, which turns into
+                     -- float64 through pandas and poisons the driver's value hash.
+                     CAST(SUM(new_s) OVER (PARTITION BY user_id ORDER BY t
+                                           ROWS UNBOUNDED PRECEDING) AS BIGINT) - 1 AS session_id
               FROM lagged
             )
             SELECT user_id, session_id, COUNT(*) AS n_events,
