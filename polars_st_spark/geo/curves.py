@@ -34,8 +34,20 @@ def arc_points(p0, p1, p2, segs_per_circle: int = _DEFAULT_SEGS) -> np.ndarray:
     ax, ay = p0
     bx, by = p1
     cx, cy = p2
-    d = 2.0 * (ax * (by - cy) + bx * (cy - ay) + cx * (ay - by))
     scale = max(abs(ax), abs(ay), abs(bx), abs(by), abs(cx), abs(cy), 1.0)
+    # PostGIS-style full circle: start == end with a distinct midpoint. The
+    # collinearity determinant is 0 here, so this must precede that check.
+    if math.hypot(ax - cx, ay - cy) <= 1e-12 * scale and math.hypot(ax - bx, ay - by) > 1e-12 * scale:
+        ux, uy = (ax + bx) / 2.0, (ay + by) / 2.0
+        r = math.hypot(bx - ax, by - ay) / 2.0
+        a0 = math.atan2(ay - uy, ax - ux)
+        n = max(4, segs_per_circle)
+        angles = a0 + 2.0 * math.pi * np.linspace(0.0, 1.0, n + 1)
+        pts = np.column_stack([ux + r * np.cos(angles), uy + r * np.sin(angles)])
+        pts[0] = p0
+        pts[-1] = p2
+        return pts
+    d = 2.0 * (ax * (by - cy) + bx * (cy - ay) + cx * (ay - by))
     if abs(d) < 1e-12 * scale * scale:
         return np.array([p0, p1, p2])
     ux = ((ax * ax + ay * ay) * (by - cy) + (bx * bx + by * by) * (cy - ay) + (cx * cx + cy * cy) * (ay - by)) / d
@@ -92,7 +104,13 @@ def linearize(g: Geometry, segs_per_circle: int = _DEFAULT_SEGS) -> Geometry:
                         coords=_linearize_chain(coords, segs_per_circle))
     if t == GeometryType.CompoundCurve:
         parts = [linearize(s, segs_per_circle) for s in (g.geoms or [])]
-        chains = [p.coords for p in parts if p.coords is not None and len(p.coords)]
+        # Straight segments pass through linearize unchanged and may carry
+        # Z/M columns; arc chains are always 2-D — normalize before stitching.
+        chains = [
+            np.asarray(p.coords, dtype=np.float64)[:, :2]
+            for p in parts
+            if p.coords is not None and len(p.coords)
+        ]
         if not chains:
             return Geometry(GeometryType.LineString, srid=g.srid, coords=np.empty((0, 2)))
         merged = [chains[0]]

@@ -44,3 +44,23 @@ def test_curve_spark_surface(spark):
     assert row["t"] == "CircularString"
     assert row["hits_top"] is True
     assert abs(row["b"][3] - 1.0) < 1e-9
+
+
+def test_full_circle_postgis_encoding():
+    # start == end, midpoint opposite → a full circle, not a flat polyline
+    circ = from_wkt("CIRCULARSTRING (0 0, 2 0, 0 0)")
+    assert abs(algos.length(circ) - 2 * math.pi) < 0.02
+    xmin, ymin, xmax, ymax = circ.bounds()
+    assert abs(xmin - 0.0) < 1e-9 and abs(xmax - 2.0) < 1e-9
+    assert abs(ymin + 1.0) < 0.01 and abs(ymax - 1.0) < 0.01
+    poly = from_wkt("CURVEPOLYGON (CIRCULARSTRING (0 0, 2 0, 0 0))")
+    assert abs(algos.area(poly) - math.pi) < 0.03
+
+
+def test_compound_curve_with_z():
+    # straight LineString segments keep Z through linearize; stitching must
+    # normalize widths instead of crashing (ADVICE r1)
+    cc = from_wkt("COMPOUNDCURVE Z ((0 0 5, 1 0 5), CIRCULARSTRING Z (1 0 5, 2 1 5, 3 0 5))")
+    assert abs(algos.length(cc) - (1.0 + math.pi)) < 0.02
+    xmin, ymin, xmax, ymax = cc.bounds()
+    assert abs(xmax - 3.0) < 1e-9 and abs(ymax - 1.0) < 1e-9
