@@ -148,6 +148,11 @@ _ORACLE_LI = """
 
 # tokenization shared by text oracles
 _ORACLE_TOKENS = r"regexp_split_to_array(trim(lower(text)), '\s+')"
+
+
+def _FMT_HALF(col: str) -> str:
+    """Decimal text of a double that always ends in .5 (customer x/y)."""
+    return f"(CAST(CAST({col} - 0.5 AS BIGINT) AS VARCHAR) || '.5')"
 _ORACLE_H = "('0x' || substr(md5({expr}), 1, 8))::BIGINT"
 
 
@@ -599,6 +604,340 @@ def q_tpch_q1_lite(spark, sf):
     )
 
 
+# ---------------- round-2 gate-coverage expansion ----------------
+# One query per SURVEY §2 operator family that round 1 left pytest-only
+# (VERDICT r1 "Next round" item 1). Same derivation conventions as above.
+
+
+def q_serialization_suite(spark, sf):
+    """from/to wkb + ewkt + geojson + from_coords round-trips (§2.2/§2.4)."""
+    p = _cust_pts(spark, sf).withColumn("pt4326", st.st_set_srid("pt", 4326))
+    gj = st.st_to_geojson("pt")
+    ewkt = st.st_to_ewkt("pt4326")
+    return p.select(
+        "c_custkey",
+        ewkt.alias("ewkt"),
+        gj.alias("gj"),
+        F.length(st.st_to_wkb("pt", include_srid=False)).alias("wkb_len"),
+        st.st_x(st.st_from_wkb(st.st_to_wkb("pt"))).alias("rt_x"),
+        st.st_y(st.st_from_geojson(gj)).alias("rt_y"),
+        st.st_srid(st.st_from_ewkt(ewkt)).alias("rt_srid"),
+        st.st_x(st.st_from_coords(F.array("x", "y"))).alias("fc_x"),
+    )
+
+
+def q_relate_suite(spark, sf):
+    """DE-9IM relate / relate_pattern on closed-form point-in-rect configs."""
+    r = _nation_rects(spark, sf)
+    ctr = st.st_centroid("rect")
+    corner = st.st_point("x0", "y0")
+    return r.select(
+        "n_nationkey",
+        st.st_relate("rect", ctr).alias("rel_in"),
+        st.st_relate("rect", "POINT (1000 1000)").alias("rel_out"),
+        st.st_relate("rect", corner).alias("rel_corner"),
+        st.st_relate_pattern("rect", ctr, "T*****FF*").alias("rp_in"),
+        st.st_relate_pattern("rect", corner, "T*****FF*").alias("rp_corner"),
+    )
+
+
+def q_predicate_suite2(spark, sf):
+    """covers / covered_by / crosses / touches / overlaps / contains_properly."""
+    r = _nation_rects(spark, sf)
+    corner = st.st_point("x0", "y0")
+    ctr = st.st_centroid("rect")
+    hline = st.st_linestring(F.array(
+        F.array(F.col("x0") - 1.0, F.col("y0") + 9.0),
+        F.array(F.col("x1") + 1.0, F.col("y0") + 9.0)))
+    return r.select(
+        "n_nationkey",
+        st.st_touches("rect", st.st_translate("rect", 18.0, 0.0)).alias("touches18"),
+        st.st_overlaps("rect", st.st_translate("rect", 9.0, 0.0)).alias("overlaps9"),
+        st.st_crosses(hline, "rect").alias("line_crosses"),
+        st.st_covers("rect", corner).alias("covers_corner"),
+        st.st_covered_by(corner, "rect").alias("corner_covered"),
+        st.st_contains_properly("rect", ctr).alias("cprop_center"),
+        st.st_contains_properly("rect", corner).alias("cprop_corner"),
+    )
+
+
+def _holed_wkt():
+    """Per-row WKT for the nation rect with a 4x4 hole inset at +2."""
+    c = [F.col(n).cast("long") for n in ("x0", "y0", "x1", "y1")]
+    x0, y0, x1, y1 = c
+    return F.format_string(
+        "POLYGON ((%d %d, %d %d, %d %d, %d %d, %d %d), "
+        "(%d %d, %d %d, %d %d, %d %d, %d %d))",
+        x0, y0, x1, y0, x1, y1, x0, y1, x0, y0,
+        x0 + 2, y0 + 2, x0 + 6, y0 + 2, x0 + 6, y0 + 6, x0 + 2, y0 + 6, x0 + 2, y0 + 2,
+    )
+
+
+def q_parts_access(spark, sf):
+    """Ring/part accessors on a holed polygon built per-row via from_wkt."""
+    r = _nation_rects(spark, sf).withColumn("holed", st.st_from_wkt(_holed_wkt()))
+    ring = st.st_exterior_ring("holed")
+    return r.select(
+        "n_nationkey",
+        st.st_count_interior_rings("holed").alias("ir_n"),
+        F.size(st.st_interior_rings("holed")).alias("ir_arr_n"),
+        st.st_count_points(ring).alias("np_n"),
+        st.st_length(st.st_get_interior_ring("holed", 0)).alias("gir_perim"),
+        st.st_area("holed").alias("holed_area"),
+        st.st_x(st.st_get_point(ring, 1)).alias("gp_x"),
+        st.st_geometry_type(st.st_get_geometry(st.st_multi("holed"), 0)).alias("gg_t"),
+        F.size(st.st_parts(st.st_multi("holed"))).alias("parts_n"),
+        F.element_at(F.element_at(st.st_coordinates(ring), 1), 1).alias("c0x"),
+    )
+
+
+def q_cast_multi(spark, sf):
+    """cast table + multi promotion (§2.4)."""
+    r = _nation_rects(spark, sf)
+    ctr = st.st_centroid("rect")
+    return r.select(
+        "n_nationkey",
+        st.st_geometry_type(st.st_multi("rect")).alias("multi_t"),
+        st.st_count_geometries(st.st_multi("rect")).alias("multi_n"),
+        st.st_geometry_type(st.st_cast("rect", "MultiPolygon")).alias("cast_poly_t"),
+        st.st_geometry_type(st.st_cast(st.st_exterior_ring("rect"), "MultiLineString")).alias("cast_line_t"),
+        st.st_to_wkt(st.st_cast(ctr, "MultiPoint")).alias("cast_mp_wkt"),
+    )
+
+
+def q_line_ops(spark, sf):
+    """segmentize / remove_repeated_points / line_merge / node /
+    extract_unique_points / offset_curve / absolute interpolate."""
+    r = _nation_rects(spark, sf)
+    diag = st.st_linestring(F.array(F.array("x0", "y0"), F.array("x1", "y1")))
+    cx = (F.col("x0") + F.col("x1")) / 2.0
+    cy = (F.col("y0") + F.col("y1")) / 2.0
+    two_seg = st.st_multilinestring(F.array(
+        F.array(F.array("x0", "y0"), F.array(cx, cy)),
+        F.array(F.array(cx, cy), F.array("x1", "y1"))))
+    cross = st.st_multilinestring(F.array(
+        F.array(F.array("x0", "y0"), F.array("x1", "y1")),
+        F.array(F.array("x0", "y1"), F.array("x1", "y0"))))
+    dup_line = st.st_linestring(F.array(
+        F.array("x0", "y0"), F.array("x0", "y0"), F.array("x1", "y1")))
+    return r.select(
+        "n_nationkey",
+        st.st_count_coordinates(st.st_segmentize(diag, 7.0)).alias("seg_n"),
+        st.st_length(st.st_segmentize(diag, 7.0)).alias("seg_len"),
+        st.st_count_coordinates(st.st_remove_repeated_points(dup_line)).alias("rrp_n"),
+        st.st_length(st.st_line_merge(two_seg)).alias("lm_len"),
+        st.st_geometry_type(st.st_line_merge(two_seg)).alias("lm_t"),
+        st.st_count_geometries(st.st_node(cross)).alias("node_n"),
+        st.st_count_geometries(st.st_extract_unique_points(dup_line)).alias("uniq_n"),
+        st.st_length(st.st_offset_curve(diag, 1.0)).alias("oc_len"),
+        F.round(st.st_x(st.st_interpolate(diag, 2.5)), 6).alias("interp_x"),
+    )
+
+
+def q_snap_shortest(spark, sf):
+    """snap / shortest_line / shared_paths / normalize."""
+    r = _nation_rects(spark, sf)
+    corner = st.st_point("x0", "y0")
+    near = st.st_point(F.col("x0") + 0.4, F.col("y0") + 0.4)
+    bottom = st.st_linestring(F.array(F.array("x0", "y0"), F.array("x1", "y0")))
+    return r.select(
+        "n_nationkey",
+        st.st_x(st.st_snap(corner, near, 1.0)).alias("snap_x"),
+        st.st_length(st.st_shortest_line("rect", st.st_translate("rect", 20.0, 0.0))).alias("sl_len"),
+        st.st_length(st.st_shared_paths(st.st_exterior_ring("rect"), bottom)).alias("shared_len"),
+        st.st_to_wkt(st.st_normalize("rect")).alias("norm_wkt"),
+    )
+
+
+def q_affine2(spark, sf):
+    """affine_transform / skew / flip / force_2d / force_3d / z / m / has_m."""
+    p = _cust_pts(spark, sf)
+    aff = st.st_affine_transform("pt", [1.0, 0.5, 0.0, 1.0, 2.0, 3.0])
+    sk = st.st_skew("pt", x=45.0, origin=(0.0, 0.0))
+    p3 = st.st_force_3d("pt", 9.0)
+    zm = st.st_from_wkt(F.lit("POINT ZM (1 2 3 4)"))
+    return p.select(
+        "c_custkey",
+        st.st_x(aff).alias("ax"),
+        st.st_y(aff).alias("ay"),
+        F.round(st.st_x(sk), 6).alias("skew_x"),
+        st.st_x(st.st_flip_coordinates("pt")).alias("flip_x"),
+        st.st_has_z(p3).alias("f3_has"),
+        st.st_z(p3).alias("f3_z"),
+        st.st_has_z(st.st_force_2d(p3)).alias("f2_has"),
+        st.st_z(zm).alias("zm_z"),
+        st.st_m(zm).alias("zm_m"),
+        st.st_has_m(zm).alias("zm_hasm"),
+    )
+
+
+def q_valid_make(spark, sf):
+    """is_valid(_reason) / make_valid / build_area / concave_hull / polygonize."""
+    r = _nation_rects(spark, sf)
+    c = [F.col(n).cast("long") for n in ("x0", "y0", "x1", "y1")]
+    x0, y0, x1, y1 = c
+    bow = st.st_from_wkt(F.format_string(
+        "POLYGON ((%d %d, %d %d, %d %d, %d %d, %d %d))",
+        x0, y0, x1, y1, x1, y0, x0, y1, x0, y0))
+    ring = st.st_exterior_ring("rect")
+    corners = st.st_multipoint(F.array(
+        F.array("x0", "y0"), F.array("x1", "y0"),
+        F.array("x1", "y1"), F.array("x0", "y1")))
+    return r.select(
+        "n_nationkey",
+        st.st_is_valid(bow).alias("bow_valid"),
+        st.st_is_valid_reason(bow).alias("bow_reason"),
+        st.st_area(st.st_make_valid(bow)).alias("mv_area"),
+        st.st_is_valid("rect").alias("rect_valid"),
+        st.st_is_valid_reason("rect").alias("rect_reason"),
+        st.st_area(st.st_build_area(ring)).alias("ba_area"),
+        st.st_area(st.st_concave_hull(corners, ratio=1.0)).alias("concave_area"),
+        st.st_area(st.st_polygonize(ring)).alias("pg_area"),
+    )
+
+
+def q_fold_suite(spark, sf):
+    """Ordered folds + coverage/delaunay/voronoi/polygonize aggregations."""
+    from polars_st_spark.operators.grouped import (
+        difference_all_ordered, symmetric_difference_all_ordered)
+
+    r = _nation_rects(spark, sf)
+    base = r.select(
+        "n_nationkey", "rect",
+        st.st_translate("rect", 9.0, 0.0).alias("rect9"),
+        st.st_translate("rect", 18.0, 0.0).alias("rect18"))
+    pair9 = base.select("n_nationkey", F.lit(0).alias("o"), F.col("rect").alias("g")).unionByName(
+        base.select("n_nationkey", F.lit(1).alias("o"), F.col("rect9").alias("g")))
+    da = difference_all_ordered(pair9, ["n_nationkey"], "g", "o", "dg").select(
+        "n_nationkey", st.st_area("dg").alias("da_area"))
+    sda = symmetric_difference_all_ordered(pair9, ["n_nationkey"], "g", "o", "sg").select(
+        "n_nationkey", st.st_area("sg").alias("sda_area"))
+    pair18 = base.select("n_nationkey", F.col("rect").alias("g")).unionByName(
+        base.select("n_nationkey", F.col("rect18").alias("g")))
+    cua = pair18.groupBy("n_nationkey").agg(st.st_coverage_union_all("g").alias("cg")).select(
+        "n_nationkey", st.st_area("cg").alias("cua_area"))
+    corners = r.select("n_nationkey", F.explode(F.array(
+        F.array("x0", "y0"), F.array("x1", "y0"),
+        F.array("x1", "y1"), F.array("x0", "y1"))).alias("c")
+    ).select("n_nationkey", st.st_point(F.col("c")[0], F.col("c")[1]).alias("p"))
+    tri = corners.groupBy("n_nationkey").agg(
+        st.st_delaunay_triangles_agg("p").alias("tg"),
+        st.st_voronoi_polygons_agg("p").alias("vg"),
+    ).select("n_nationkey", st.st_area("tg").alias("tri_area"),
+             st.st_count_geometries("vg").alias("vor_cells"))
+    edges = r.select("n_nationkey", F.explode(F.array(
+        F.array(F.array("x0", "y0"), F.array("x1", "y0")),
+        F.array(F.array("x1", "y0"), F.array("x1", "y1")),
+        F.array(F.array("x1", "y1"), F.array("x0", "y1")),
+        F.array(F.array("x0", "y1"), F.array("x0", "y0")),
+    )).alias("e")).select("n_nationkey", st.st_linestring("e").alias("seg"))
+    pga = edges.groupBy("n_nationkey").agg(st.st_polygonize_agg("seg").alias("pg")).select(
+        "n_nationkey", st.st_area("pg").alias("pga_area"))
+    return (da.join(sda, "n_nationkey").join(cua, "n_nationkey")
+            .join(tri, "n_nationkey").join(pga, "n_nationkey"))
+
+
+def q_union_two_phase(spark, sf):
+    """Map-side partial union (treeAggregate pattern for the 100x case)."""
+    from polars_st_spark.operators.grouped import union_all_two_phase
+
+    out = union_all_two_phase(_li_rects(spark, sf), ["l_suppkey"], "rect", "u")
+    return out.select("l_suppkey", st.st_area("u").alias("union_area"))
+
+
+def q_unary_disjoint(spark, sf):
+    """Per-row unary_union / disjoint_subset_union / coverage_union."""
+    r = _nation_rects(spark, sf)
+    c = [F.col(n).cast("long") for n in ("x0", "y0", "x1", "y1")]
+    x0, y0, x1, y1 = c
+    overlapping = st.st_from_wkt(F.format_string(
+        "MULTIPOLYGON (((%d %d, %d %d, %d %d, %d %d, %d %d)), "
+        "((%d %d, %d %d, %d %d, %d %d, %d %d)))",
+        x0, y0, x1, y0, x1, y1, x0, y1, x0, y0,
+        x0 + 9, y0, x1 + 9, y0, x1 + 9, y1, x0 + 9, y1, x0 + 9, y0))
+    disjoint = st.st_from_wkt(F.format_string(
+        "MULTIPOLYGON (((%d %d, %d %d, %d %d, %d %d, %d %d)), "
+        "((%d %d, %d %d, %d %d, %d %d, %d %d)))",
+        x0, y0, x0 + 4, y0, x0 + 4, y0 + 4, x0, y0 + 4, x0, y0,
+        x0 + 10, y0, x0 + 14, y0, x0 + 14, y0 + 4, x0 + 10, y0 + 4, x0 + 10, y0))
+    halves = st.st_from_wkt(F.format_string(
+        "MULTIPOLYGON (((%d %d, %d %d, %d %d, %d %d, %d %d)), "
+        "((%d %d, %d %d, %d %d, %d %d, %d %d)))",
+        x0, y0, x0 + 9, y0, x0 + 9, y1, x0, y1, x0, y0,
+        x0 + 9, y0, x1, y0, x1, y1, x0 + 9, y1, x0 + 9, y0))
+    return r.select(
+        "n_nationkey",
+        st.st_area(st.st_unary_union(overlapping)).alias("uu_area"),
+        st.st_area(st.st_disjoint_subset_union(disjoint)).alias("dsu_area"),
+        st.st_area(st.st_coverage_union(halves)).alias("cu_area"),
+    )
+
+
+def q_xy_predicates(spark, sf):
+    """intersects_xy / contains_xy scalar fast paths."""
+    return _nation_rects(spark, sf).select(
+        "n_nationkey",
+        st.st_intersects_xy("rect", 50.0, 45.0).alias("ixy"),
+        st.st_contains_xy("rect", 50.0, 45.0).alias("cxy"),
+    )
+
+
+def q_precision_meta(spark, sf):
+    """set_precision / precision / coordinate_dimension / has_z."""
+    p = _cust_pts(spark, sf)
+    snapped = st.st_set_precision("pt", 2.0)
+    return p.select(
+        "c_custkey",
+        st.st_x(snapped).alias("px"),
+        st.st_y(snapped).alias("py"),
+        st.st_precision("pt").alias("prec"),
+        st.st_coordinate_dimension("pt").alias("cdim"),
+        st.st_has_z("pt").alias("pt_has_z"),
+    )
+
+
+def q_srid_roundtrip(spark, sf):
+    """to_srid 4326→3857→4326 closed-form round-trip (hash-checked at 6 dp;
+    the one-way Mercator values stay rows-only in to_srid_mercator)."""
+    p = _cust_pts(spark, sf).withColumn("pt4326", st.st_set_srid("pt", 4326))
+    back = st.st_to_srid(st.st_to_srid("pt4326", 3857), 4326)
+    return p.select(
+        "c_custkey",
+        F.round(st.st_x(back), 6).alias("rt_x"),
+        F.round(st.st_y(back), 6).alias("rt_y"),
+        st.st_srid(back).alias("srid_back"),
+    )
+
+
+def q_embedding_dup(spark, sf):
+    """Embedding-cosine near-dup pairs: exact all-pairs baseline (broadcast
+    small side; the LSH-bucketed path is the 100 TB variant — knn_lsh)."""
+    emb = spark.read.parquet(f"{sf}/embeddings.parquet")
+    a = emb.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("_va"))
+    b = emb.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("_vb"))
+    pairs = a.crossJoin(F.broadcast(b)).where(F.col("id_a") < F.col("id_b"))
+    return (
+        pairs.withColumn("cos_r", F.round(_knn.cosine_similarity("_va", "_vb"), 6))
+        .where(F.col("cos_r") >= 0.45)
+        .select("id_a", "id_b", "cos_r")
+    )
+
+
+def q_curve_measures(spark, sf):
+    """CircularString semicircle: linearized length + bounds (geo/curves.py)."""
+    r = _nation_rects(spark, sf)
+    arc = st.st_circularstring(F.array(
+        F.array("x0", "y0"),
+        F.array((F.col("x0") + F.col("x1")) / 2.0, F.col("y0") + 9.0),
+        F.array("x1", "y0")))
+    return r.select(
+        "n_nationkey",
+        st.st_geometry_type(arc).alias("arc_t"),
+        F.round(st.st_length(arc), 6).alias("arc_len"),
+        F.round(st.st_bounds(arc)[3], 6).alias("arc_ymax"),
+    )
+
+
 # ---------------- rows-only checks (not SQL-expressible / transcendental) ----------------
 
 def q_buffer_area(spark, sf):
@@ -723,6 +1062,24 @@ _QUERIES = {
         "events_type_stats": q_events_type_stats,
         "sessionize": q_sessionize,
         "tpch_q1_lite": q_tpch_q1_lite,
+        # round-2 gate-coverage expansion
+        "serialization_suite": q_serialization_suite,
+        "relate_suite": q_relate_suite,
+        "predicate_suite2": q_predicate_suite2,
+        "parts_access": q_parts_access,
+        "cast_multi": q_cast_multi,
+        "line_ops": q_line_ops,
+        "snap_shortest": q_snap_shortest,
+        "affine2": q_affine2,
+        "valid_make": q_valid_make,
+        "fold_suite": q_fold_suite,
+        "union_two_phase": q_union_two_phase,
+        "unary_disjoint": q_unary_disjoint,
+        "xy_predicates": q_xy_predicates,
+        "precision_meta": q_precision_meta,
+        "srid_roundtrip": q_srid_roundtrip,
+        "embedding_dup": q_embedding_dup,
+        "curve_measures": q_curve_measures,
         # rows-only (no oracle entry): transcendental or non-SQL-expressible
         "buffer_area": q_buffer_area,
         "to_srid_mercator": q_to_srid_mercator,
@@ -904,6 +1261,130 @@ def oracle_sql() -> dict[str, str]:
             SELECT l_returnflag, l_linestatus, COUNT(*) AS count_order,
                    SUM(l_quantity) AS sum_qty, MAX(l_extendedprice) AS max_price
             FROM lineitem GROUP BY 1, 2""",
+        # ---- round-2 gate-coverage expansion ----
+        # customer x/y always end in .5 → exact decimal text via integer part
+        "serialization_suite": f"""
+            SELECT c_custkey,
+                   'SRID=4326;POINT (' || {_FMT_HALF('x')} || ' ' || {_FMT_HALF('y')} || ')' AS ewkt,
+                   '{{"type":"Point","coordinates":[' || {_FMT_HALF('x')} || ',' || {_FMT_HALF('y')} || ']}}' AS gj,
+                   21 AS wkb_len, x AS rt_x, y AS rt_y, 4326 AS rt_srid, x AS fc_x
+            FROM ({_ORACLE_CUST})""",
+        "relate_suite": """
+            SELECT n_nationkey,
+                   '0F2FF1FF2' AS rel_in, 'FF2FF10F2' AS rel_out,
+                   'FF20F1FF2' AS rel_corner, TRUE AS rp_in, FALSE AS rp_corner
+            FROM nation""",
+        "predicate_suite2": """
+            SELECT n_nationkey, TRUE AS touches18, TRUE AS overlaps9,
+                   TRUE AS line_crosses, TRUE AS covers_corner,
+                   TRUE AS corner_covered, TRUE AS cprop_center, FALSE AS cprop_corner
+            FROM nation""",
+        "parts_access": f"""
+            SELECT n_nationkey, 1 AS ir_n, 1 AS ir_arr_n, 5 AS np_n,
+                   16.0 AS gir_perim,
+                   (x1-x0)*(y1-y0) - 16.0 AS holed_area,
+                   x1 AS gp_x, 'Polygon' AS gg_t, 1 AS parts_n, x0 AS c0x
+            FROM ({_ORACLE_NATION})""",
+        "cast_multi": f"""
+            SELECT n_nationkey,
+                   'MultiPolygon' AS multi_t, 1 AS multi_n,
+                   'MultiPolygon' AS cast_poly_t, 'MultiLineString' AS cast_line_t,
+                   'MULTIPOINT ((' || CAST(CAST((x0+x1)/2 AS BIGINT) AS VARCHAR) || ' ' ||
+                                     CAST(CAST((y0+y1)/2 AS BIGINT) AS VARCHAR) || '))' AS cast_mp_wkt
+            FROM ({_ORACLE_NATION})""",
+        "line_ops": f"""
+            SELECT n_nationkey,
+                   5 AS seg_n,
+                   sqrt((x1-x0)*(x1-x0) + (y1-y0)*(y1-y0)) AS seg_len,
+                   2 AS rrp_n,
+                   sqrt((x1-x0)*(x1-x0) + (y1-y0)*(y1-y0)) AS lm_len,
+                   'LineString' AS lm_t,
+                   4 AS node_n, 2 AS uniq_n,
+                   sqrt((x1-x0)*(x1-x0) + (y1-y0)*(y1-y0)) AS oc_len,
+                   ROUND(x0 + 2.5*(x1-x0)/sqrt((x1-x0)*(x1-x0) + (y1-y0)*(y1-y0)), 6) AS interp_x
+            FROM ({_ORACLE_NATION})""",
+        "snap_shortest": f"""
+            SELECT n_nationkey,
+                   x0 + 0.4 AS snap_x, 2.0 AS sl_len, x1 - x0 AS shared_len,
+                   'POLYGON ((' ||
+                   CAST(x0 AS INT) || ' ' || CAST(y0 AS INT) || ', ' ||
+                   CAST(x0 AS INT) || ' ' || CAST(y1 AS INT) || ', ' ||
+                   CAST(x1 AS INT) || ' ' || CAST(y1 AS INT) || ', ' ||
+                   CAST(x1 AS INT) || ' ' || CAST(y0 AS INT) || ', ' ||
+                   CAST(x0 AS INT) || ' ' || CAST(y0 AS INT) || '))' AS norm_wkt
+            FROM ({_ORACLE_NATION})""",
+        "affine2": f"""
+            SELECT c_custkey,
+                   x + 0.5*y + 2.0 AS ax, y + 3.0 AS ay,
+                   ROUND(x + tan(radians(45.0)) * y, 6) AS skew_x,
+                   y AS flip_x,
+                   TRUE AS f3_has, 9.0 AS f3_z, FALSE AS f2_has,
+                   3.0 AS zm_z, 4.0 AS zm_m, TRUE AS zm_hasm
+            FROM ({_ORACLE_CUST})""",
+        "valid_make": f"""
+            SELECT n_nationkey,
+                   FALSE AS bow_valid,
+                   'Self-intersection[' || CAST(CAST((x0+x1)/2 AS DOUBLE) AS VARCHAR) || ' ' ||
+                                           CAST(CAST((y0+y1)/2 AS DOUBLE) AS VARCHAR) || ']' AS bow_reason,
+                   (x1-x0)*(y1-y0)/2 AS mv_area,
+                   TRUE AS rect_valid, 'Valid Geometry' AS rect_reason,
+                   (x1-x0)*(y1-y0) AS ba_area,
+                   (x1-x0)*(y1-y0) AS concave_area,
+                   (x1-x0)*(y1-y0) AS pg_area
+            FROM ({_ORACLE_NATION})""",
+        "fold_suite": f"""
+            SELECT n_nationkey,
+                   ((x1-x0)-9.0)*(y1-y0) AS da_area,
+                   (((x1-x0)+9.0) - ((x1-x0)-9.0))*(y1-y0) AS sda_area,
+                   2.0*(x1-x0)*(y1-y0) AS cua_area,
+                   (x1-x0)*(y1-y0) AS tri_area,
+                   4 AS vor_cells,
+                   (x1-x0)*(y1-y0) AS pga_area
+            FROM ({_ORACLE_NATION})""",
+        "union_two_phase": """
+            SELECT l_suppkey, COUNT(*) * 16.0 AS union_area
+            FROM (SELECT DISTINCT l_suppkey, ((l_linenumber - 1) % 7) AS slot
+                  FROM lineitem)
+            GROUP BY l_suppkey""",
+        "unary_disjoint": f"""
+            SELECT n_nationkey,
+                   ((x1-x0) + 9.0)*(y1-y0) AS uu_area,
+                   32.0 AS dsu_area,
+                   (x1-x0)*(y1-y0) AS cu_area
+            FROM ({_ORACLE_NATION})""",
+        "xy_predicates": f"""
+            SELECT n_nationkey,
+                   (50.0 >= x0 AND 50.0 <= x1 AND 45.0 >= y0 AND 45.0 <= y1) AS ixy,
+                   (50.0 > x0 AND 50.0 < x1 AND 45.0 > y0 AND 45.0 < y1) AS cxy
+            FROM ({_ORACLE_NATION})""",
+        "precision_meta": f"""
+            SELECT c_custkey,
+                   ROUND(x / 2.0) * 2.0 AS px, ROUND(y / 2.0) * 2.0 AS py,
+                   0.0 AS prec, 2 AS cdim, FALSE AS pt_has_z
+            FROM ({_ORACLE_CUST})""",
+        "srid_roundtrip": f"""
+            SELECT c_custkey, ROUND(x, 6) AS rt_x, ROUND(y, 6) AS rt_y,
+                   4326 AS srid_back
+            FROM ({_ORACLE_CUST})""",
+        "embedding_dup": """
+            WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
+            SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                   ROUND(
+                     CASE WHEN sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v)) > 0
+                          THEN list_dot_product(a.v, b.v) /
+                               (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v)))
+                          ELSE 0.0 END, 6) AS cos_r
+            FROM e a JOIN e b ON a.vec_id < b.vec_id
+            WHERE ROUND(
+                     CASE WHEN sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v)) > 0
+                          THEN list_dot_product(a.v, b.v) /
+                               (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v)))
+                          ELSE 0.0 END, 6) >= 0.45""",
+        "curve_measures": """
+            SELECT n_nationkey, 'CircularString' AS arc_t,
+                   ROUND(288.0 * sin(pi() / 32.0), 6) AS arc_len,
+                   ROUND(CAST(n_nationkey // 5 AS DOUBLE) * 20.0 + 9.0, 6) AS arc_ymax
+            FROM nation""",
     }
 
 

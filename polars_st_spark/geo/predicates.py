@@ -531,6 +531,20 @@ def _exterior_terms(da: _Decomp, db: _Decomp, ba, bb, im: _IM) -> None:
     dim_a = 2 if da.polys else (1 if da.lines else 0)
     dim_b = 2 if db.polys else (1 if db.lines else 0)
 
+    # Dimension shortcuts, exact regardless of sampling: a 2-D interior can
+    # never be covered by a 0/1-D geometry, and a 1-D interior can never be
+    # covered by finitely many points. Without these, a B point coinciding
+    # with A's sampled representative interior point left I x E unset (bug
+    # found by the relate_suite gate: relate(rect, centroid) lost its IE=2).
+    if da.polys and not db.polys:
+        im.up(_I, _E, 2)
+    if db.polys and not da.polys:
+        im.up(_E, _I, 2)
+    if da.lines and not da.polys and not (db.lines or db.polys):
+        im.up(_I, _E, 1)
+    if db.lines and not db.polys and not (da.lines or da.polys):
+        im.up(_E, _I, 1)
+
     # A interior vs B exterior: check representative points of A against B
     def probe(d: _Decomp, other: _Decomp, other_b, row: bool) -> None:
         dim = 2 if d.polys else (1 if d.lines else 0)

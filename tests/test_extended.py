@@ -152,3 +152,15 @@ def test_streaming_stateless_ops(spark, tmp_path):
     assert len(out) == 20
     hits = {r["id"] for r in out if r["area_zone"]}
     assert all((i % 5) < 3 and (i % 3) < 3 and (i % 5) > 0 and (i % 3) > 0 for i in hits)
+
+
+def test_relate_sample_coincidence():
+    # B exactly at A's representative interior point must not erase I x E
+    from polars_st_spark.geo.predicates import relate
+    from polars_st_spark.geo.wkt import from_wkt
+
+    rect = from_wkt("POLYGON ((0 0, 18 0, 18 18, 0 18, 0 0))")
+    assert relate(rect, from_wkt("POINT (9 9)")) == "0F2FF1FF2"
+    assert relate(from_wkt("POINT (9 9)"), rect) == "0FFFFF212"
+    line = from_wkt("LINESTRING (0 0, 2 0)")
+    assert relate(line, from_wkt("POINT (1 0)")) == "0F1FF0FF2"

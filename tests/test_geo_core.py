@@ -251,7 +251,9 @@ def test_relate():
     poly = from_wkt("POLYGON ((0 0, 4 0, 4 4, 0 4, 0 0))")
     inside = from_wkt("POINT (2 2)")
     m = P.relate(inside, poly)
-    assert m[0] == "0" and m[6] == "F"
+    # GEOS: point-in-polygon relates as 0FFFFF212 (EI = 2: the polygon's
+    # interior minus one point is still 2-D). Round-1 asserted the buggy F.
+    assert m == "0FFFFF212"
 
 
 # ---------------------------------------------------------------- set ops
