@@ -55,9 +55,13 @@ def main() -> None:
     cust = E._cust_pts(spark, sf_dir).cache()
     cust.count()
     nations = E._nation_rects(spark, sf_dir)
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").cache()
+    # Single-file local parquet arrives as 1 scan partition, which would
+    # serialize every downstream expression on one core. At 100 TB the scan
+    # has thousands of splits; give the local stand-in the same parallelism.
+    ncpu = int(cpus)
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").repartition(ncpu).cache()
     docs.count()
-    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").cache()
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").repartition(ncpu).cache()
     emb.count()
 
     def timed(fn):

@@ -1,13 +1,20 @@
 """Deduplication operators: exact, MinHash-LSH, SimHash, n-gram Jaccard.
 
-All pure Spark SQL (no Python UDFs): hash-groupBy for exact dedup; LSH
+Exact dedup and SimHash are pure Spark SQL (hash-groupBy / bit-vote
+expressions). MinHash-LSH stages one Arrow-batched pass (tokenize → shingle →
+signature → band hashes; Python md5 is the price of the cross-engine
+bit-identical hash contract) and everything downstream is JVM joins: LSH
 band-hash equi-joins (hash shuffle on band key, never an O(n²) cross join)
-for near-dup candidate generation; array-intersection Jaccard verification.
+for candidate generation, array-intersection Jaccard verification on the
+staged shingle arrays.
 
 Scale design: candidate generation is an equi-join on (band_index,
 band_hash) — shuffle cost O(n·bands); verification touches only candidate
-pairs. Identical semantics to the reference-free SURVEY extension spec
-(driver north star: dedup operators over `documents`).
+pairs; the signature stage is a single pass over the corpus shared by both.
+Materialization of that stage is caller-controlled (``materialize=`` on every
+operator): "cache" for interactive reuse, "checkpoint" to cut lineage on long
+pipelines, None to leave planning to the caller (the 100 TB default, where
+the caller lands the stage in a table).
 """
 
 from __future__ import annotations
@@ -16,26 +23,9 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from polars_st_spark.operators.textops import (
-    lsh_bands,
-    minhash_signature_udf,
-    shingles,
+    shingle_sig_bands_udf,
     simhash32,
 )
-
-
-def _shingle_table(df: DataFrame, text_col: str, id_col: str, shingle_n: int) -> DataFrame:
-    """(id, shingle array) with a materialization barrier.
-
-    The barrier matters twice over: (a) lambda bodies re-evaluate non-attribute
-    subexpressions per element, so the tokenizer must be staged as a column
-    before hashing; (b) without a barrier Catalyst collapses the staging
-    projection back into every consumer. At cluster scale replace cache() with
-    a checkpoint/intermediate table; semantics are identical."""
-    sh = df.select(
-        F.col(id_col).alias("_id"),
-        shingles(text_col, shingle_n).alias("_sh"),
-    )
-    return sh.cache()
 
 __all__ = [
     "exact_dedup",
@@ -45,6 +35,48 @@ __all__ = [
     "simhash_dup_pairs",
     "ngram_jaccard_pairs",
 ]
+
+
+def _materialize(df: DataFrame, mode: str | None) -> DataFrame:
+    if mode == "cache":
+        return df.cache()
+    if mode == "checkpoint":
+        return df.localCheckpoint(eager=False)
+    if mode is None:
+        return df
+    raise ValueError(f"materialize must be 'cache', 'checkpoint', or None, got {mode!r}")
+
+
+def _scale_partitions(df: DataFrame) -> DataFrame:
+    """Give a narrow input enough partitions for the signature pass.
+
+    A small/single-file parquet scan arrives as 1-2 partitions, which would
+    serialize the Arrow UDF on one core; at real scale the scan already has
+    >= parallelism partitions and this is a no-op (never a shuffle of a big
+    input)."""
+    sc = df.sparkSession.sparkContext
+    target = sc.defaultParallelism
+    if df.rdd.getNumPartitions() < max(2, target // 2):
+        return df.repartition(target)
+    return df
+
+
+def _sig_table(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    k: int,
+    bands: int,
+    shingle_n: int,
+    materialize: str | None = "cache",
+) -> DataFrame:
+    """(_id, _sh distinct-shingle array, _bands band-hash array): the one
+    shared corpus pass feeding both candidate generation and verification."""
+    staged = _scale_partitions(df).select(
+        F.col(id_col).alias("_id"),
+        shingle_sig_bands_udf(text_col, k, bands, shingle_n).alias("_s"),
+    ).select("_id", F.col("_s.sh").alias("_sh"), F.col("_s.bands").alias("_bands"))
+    return _materialize(staged, materialize)
 
 
 def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
@@ -69,31 +101,13 @@ def exact_dup_groups(df: DataFrame, text_col: str = "text", id_col: str = "doc_i
     )
 
 
-def minhash_candidates(
-    df: DataFrame,
-    text_col: str = "text",
-    id_col: str = "doc_id",
-    k: int = 16,
-    bands: int = 4,
-    shingle_n: int = 3,
-) -> DataFrame:
-    """Candidate near-dup pairs (id_a < id_b) sharing ≥1 LSH band.
-
-    shingle → minhash → band → explode → self-equi-join on band hash.
-    """
-    from polars_st_spark.operators.textops import lsh_band_rows_udf
-
-    banded = df.select(
-        F.col(id_col).alias("_id"),
-        lsh_band_rows_udf(text_col, k, bands, shingle_n).alias("_bands"),
-    )
-    exploded = banded.select("_id", F.posexplode("_bands").alias("_band_idx", "_band_hash"))
-    # barrier: keep the band keys materialized so the self-join hashes two
-    # small columns instead of re-deriving signatures per side
-    exploded = exploded.cache()
+def _candidates_from_sig(sig: DataFrame) -> DataFrame:
+    """Candidate pairs (id_a < id_b) sharing ≥1 LSH band: explode band hashes
+    and self-equi-join on (band_index, band_hash)."""
+    exploded = sig.select("_id", F.posexplode("_bands").alias("_band_idx", "_band_hash"))
     a = exploded.alias("a")
     b = exploded.alias("b")
-    pairs = (
+    return (
         a.join(
             b,
             (F.col("a._band_idx") == F.col("b._band_idx"))
@@ -103,25 +117,13 @@ def minhash_candidates(
         .select(F.col("a._id").alias("id_a"), F.col("b._id").alias("id_b"))
         .distinct()
     )
-    return pairs
 
 
-def ngram_jaccard_pairs(
-    df: DataFrame,
-    pairs: DataFrame,
-    text_col: str = "text",
-    id_col: str = "doc_id",
-    shingle_n: int = 3,
-    threshold: float = 0.5,
-) -> DataFrame:
-    """Verify candidate pairs by word-n-gram Jaccard similarity."""
-    from polars_st_spark.operators.textops import shingles_udf
-
-    sh = df.select(
-        F.col(id_col).alias("_id"),
-        F.array_distinct(shingles_udf(text_col, shingle_n)).alias("_sh"),
-    ).cache()
-    out = (
+def _verify_from_sig(sig: DataFrame, pairs: DataFrame, threshold: float) -> DataFrame:
+    """Jaccard-verify candidate pairs against the staged distinct-shingle
+    arrays (touches candidate pairs only)."""
+    sh = sig.select("_id", "_sh")
+    return (
         pairs.join(sh.withColumnRenamed("_id", "id_a").withColumnRenamed("_sh", "_sha"), on="id_a")
         .join(sh.withColumnRenamed("_id", "id_b").withColumnRenamed("_sh", "_shb"), on="id_b")
         .withColumn("_inter", F.size(F.array_intersect("_sha", "_shb")))
@@ -133,7 +135,34 @@ def ngram_jaccard_pairs(
         .where(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
     )
-    return out
+
+
+def minhash_candidates(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 16,
+    bands: int = 4,
+    shingle_n: int = 3,
+    materialize: str | None = "cache",
+) -> DataFrame:
+    """Candidate near-dup pairs (id_a < id_b) sharing ≥1 LSH band."""
+    sig = _sig_table(df, text_col, id_col, k, bands, shingle_n, materialize)
+    return _candidates_from_sig(sig)
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    pairs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_n: int = 3,
+    threshold: float = 0.5,
+    materialize: str | None = "cache",
+) -> DataFrame:
+    """Verify candidate pairs by word-n-gram Jaccard similarity."""
+    sig = _sig_table(df, text_col, id_col, 1, 1, shingle_n, materialize)
+    return _verify_from_sig(sig, pairs, threshold)
 
 
 def near_dup_pairs(
@@ -144,10 +173,12 @@ def near_dup_pairs(
     bands: int = 4,
     shingle_n: int = 3,
     threshold: float = 0.5,
+    materialize: str | None = "cache",
 ) -> DataFrame:
-    """MinHash-LSH candidates → n-gram Jaccard verification."""
-    cands = minhash_candidates(df, text_col, id_col, k, bands, shingle_n)
-    return ngram_jaccard_pairs(df, cands, text_col, id_col, shingle_n, threshold)
+    """MinHash-LSH candidates → n-gram Jaccard verification, sharing ONE
+    staged corpus pass (shingles + signatures + band hashes)."""
+    sig = _sig_table(df, text_col, id_col, k, bands, shingle_n, materialize)
+    return _verify_from_sig(sig, _candidates_from_sig(sig), threshold)
 
 
 def simhash_dup_pairs(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:

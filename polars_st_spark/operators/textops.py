@@ -27,6 +27,7 @@ __all__ = [
     "lang_predict",
     "shingles",
     "minhash_signature",
+    "shingle_sig_bands_udf",
     "lsh_bands",
     "simhash32",
     "doc_fingerprint",
@@ -219,6 +220,82 @@ def shingles_udf(text, n: int = 3) -> Column:
             return [" ".join(toks)]
 
         return s.map(one)
+
+    return udf(col_or_lit(text))
+
+
+def shingle_sig_bands_udf(text, k: int = 16, bands: int = 4, shingle_n: int = 3) -> Column:
+    """Tokenize → shingle → MinHash → band hashes in ONE Arrow pass, returning
+    ``struct<sh: array<string>, bands: array<string>>`` so candidate generation
+    and Jaccard verification share a single pass over the corpus (VERDICT r1
+    perf item 3: one shared shingle stage).
+
+    ``sh`` holds DISTINCT shingles (min over duplicates equals min over the
+    distinct set, and Jaccard is defined on sets). Bit-identical hashing to the
+    SQL expressions: ``md5('i:' + shingle)[:8]`` as the i-th hash and
+    ``md5(comma-joined signature slice)`` as the band hash.
+
+    Perf notes (measured at sf0.1): md5 prefix states are precomputed once and
+    ``.copy()``-ed per shingle; shingles are deduplicated across the whole
+    Arrow batch before hashing; per-doc minima are numpy reductions over the
+    batch hash matrix instead of per-doc Python mins.
+    """
+    import hashlib
+    import re
+
+    import numpy as np
+
+    rows = k // bands
+    ws = re.compile(r"\s+")
+
+    @F.pandas_udf("struct<sh: array<string>, bands: array<string>>")
+    def udf(s: pd.Series) -> pd.DataFrame:
+        texts = s.tolist()
+        doc_shingles: list[list[str] | None] = []
+        uniq_index: dict[str, int] = {}
+        doc_idx: list[np.ndarray | None] = []
+        for t in texts:
+            if t is None:
+                doc_shingles.append(None)
+                doc_idx.append(None)
+                continue
+            toks = ws.split(t.strip().lower())
+            if len(toks) >= shingle_n:
+                sh = [" ".join(toks[i:i + shingle_n]) for i in range(len(toks) - shingle_n + 1)]
+            else:
+                sh = [" ".join(toks)]
+            sh = list(dict.fromkeys(sh))  # distinct, first-seen order
+            doc_shingles.append(sh)
+            idx = np.empty(len(sh), dtype=np.int64)
+            for j, x in enumerate(sh):
+                v = uniq_index.get(x)
+                if v is None:
+                    v = len(uniq_index)
+                    uniq_index[x] = v
+                idx[j] = v
+            doc_idx.append(idx)
+        # hash every distinct shingle once per prefix (md5 state reuse)
+        bases = [hashlib.md5(f"{i}:".encode()) for i in range(k)]
+        hmat = np.empty((max(len(uniq_index), 1), k), dtype=np.int64)
+        for x, j in uniq_index.items():
+            e = x.encode()
+            for i in range(k):
+                m = bases[i].copy()
+                m.update(e)
+                hmat[j, i] = int.from_bytes(m.digest()[:4], "big")
+        sh_out, band_out = [], []
+        for sh, idx in zip(doc_shingles, doc_idx):
+            if sh is None:
+                sh_out.append(None)
+                band_out.append(None)
+                continue
+            sig = hmat[idx].min(axis=0) if len(idx) else np.zeros(k, dtype=np.int64)
+            band_out.append([
+                hashlib.md5(",".join(str(v) for v in sig[b * rows:(b + 1) * rows]).encode()).hexdigest()
+                for b in range(bands)
+            ])
+            sh_out.append(sh)
+        return pd.DataFrame({"sh": sh_out, "bands": band_out})
 
     return udf(col_or_lit(text))
 
