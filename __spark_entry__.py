@@ -923,6 +923,25 @@ def q_embedding_dup(spark, sf):
     )
 
 
+def q_buffer_styles(spark, sf):
+    """Buffer erosion + mitre/bevel joins + flat/square caps + single-sided,
+    each with an exact closed-form area (rect fast paths are exact
+    constructions; stroke algebra for the line cases)."""
+    r = _nation_rects(spark, sf)
+    diag = st.st_linestring(F.array(F.array("x0", "y0"), F.array("x1", "y1")))
+    bottom = st.st_linestring(F.array(F.array("x0", "y0"), F.array("x1", "y0")))
+    return r.select(
+        "n_nationkey",
+        st.st_area(st.st_buffer("rect", -2.0)).alias("erode_area"),
+        st.st_area(st.st_buffer("rect", -10.0)).alias("erode_empty"),
+        st.st_area(st.st_buffer("rect", 2.0, join_style="mitre")).alias("mitre_area"),
+        st.st_area(st.st_buffer("rect", 2.0, join_style="bevel")).alias("bevel_area"),
+        F.round(st.st_area(st.st_buffer(diag, 2.0, cap_style="flat")), 6).alias("flat_area"),
+        F.round(st.st_area(st.st_buffer(diag, 2.0, cap_style="square")), 6).alias("square_area"),
+        st.st_area(st.st_buffer(bottom, 2.0, single_sided=True)).alias("oneside_area"),
+    )
+
+
 def q_curve_measures(spark, sf):
     """CircularString semicircle: linearized length + bounds (geo/curves.py)."""
     r = _nation_rects(spark, sf)
@@ -1079,6 +1098,7 @@ _QUERIES = {
         "precision_meta": q_precision_meta,
         "srid_roundtrip": q_srid_roundtrip,
         "embedding_dup": q_embedding_dup,
+        "buffer_styles": q_buffer_styles,
         "curve_measures": q_curve_measures,
         # rows-only (no oracle entry): transcendental or non-SQL-expressible
         "buffer_area": q_buffer_area,
@@ -1380,6 +1400,16 @@ def oracle_sql() -> dict[str, str]:
                           THEN list_dot_product(a.v, b.v) /
                                (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v)))
                           ELSE 0.0 END, 6) >= 0.45""",
+        "buffer_styles": f"""
+            SELECT n_nationkey,
+                   ((x1-x0)-4.0)*((y1-y0)-4.0) AS erode_area,
+                   0.0 AS erode_empty,
+                   ((x1-x0)+4.0)*((y1-y0)+4.0) AS mitre_area,
+                   ((x1-x0)+4.0)*((y1-y0)+4.0) - 8.0 AS bevel_area,
+                   ROUND(4.0 * sqrt((x1-x0)*(x1-x0) + (y1-y0)*(y1-y0)), 6) AS flat_area,
+                   ROUND((sqrt((x1-x0)*(x1-x0) + (y1-y0)*(y1-y0)) + 4.0) * 4.0, 6) AS square_area,
+                   CAST((x1-x0) * 2.0 AS DOUBLE) AS oneside_area
+            FROM ({_ORACLE_NATION})""",
         "curve_measures": """
             SELECT n_nationkey, 'CircularString' AS arc_t,
                    ROUND(288.0 * sin(pi() / 32.0), 6) AS arc_len,

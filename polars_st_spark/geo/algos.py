@@ -1233,6 +1233,10 @@ def multi(g: Geometry) -> Geometry:
 # Buffer family — supported cases only (see SURVEY §7 hard parts)
 # ----------------------------------------------------------------------
 
+_CAP_STYLES = ("round", "flat", "square")
+_JOIN_STYLES = ("round", "mitre", "bevel")
+
+
 def buffer(
     g: Geometry,
     dist: float,
@@ -1242,15 +1246,47 @@ def buffer(
     mitre_limit: float = 5.0,
     single_sided: bool = False,
 ) -> Geometry:
-    """Buffer for the Point and axis-aligned-rectangle cases (exact n-gon /
-    rounded-rect construction). General polygon/line buffering requires
-    boolean union of offset pieces — planned (see SURVEY §7)."""
+    """Buffer with cap/join styles, erosion (negative distance), and
+    single-sided line buffers (reference: src/functions.rs:1289-1300,
+    src/args.rs:102-124).
+
+    Exact fast paths: point (n-gon / square), axis-aligned rectangle
+    (rounded / mitred / bevelled corners, erosion as exact shrink). General
+    case: union of per-segment stroke rectangles + per-vertex join pieces +
+    end caps via the overlay engine; erosion as the overlay difference with
+    the dilated boundary.
+
+    Deviation from GEOS, documented: a mitre join whose ratio exceeds
+    ``mitre_limit`` falls back to a bevel join (GEOS clips the spike at the
+    limit distance instead)."""
+    if cap_style not in _CAP_STYLES:
+        raise ValueError(f"cap_style must be one of {_CAP_STYLES}, got {cap_style!r}")
+    if join_style not in _JOIN_STYLES:
+        raise ValueError(f"join_style must be one of {_JOIN_STYLES}, got {join_style!r}")
     if g.is_empty():
         return Geometry(GeometryType.Polygon, srid=g.srid, rings=[])
-    if dist <= 0:
-        raise NotImplementedError("negative/zero buffer not implemented")
+    if single_sided:
+        return _buffer_single_sided(g, dist, quad_segs, join_style, mitre_limit)
+    if dist == 0:
+        from polars_st_spark.geo.predicates import _decompose
+
+        if _decompose(g).polys:
+            return g
+        return Geometry(GeometryType.Polygon, srid=g.srid, rings=[])
+    if dist < 0:
+        return _buffer_erode(g, -dist, quad_segs, join_style, mitre_limit)
     t = g.type_id
     if t == GeometryType.Point:
+        if cap_style == "flat":
+            # GEOS: flat-capped point buffer is empty
+            return Geometry(GeometryType.Polygon, srid=g.srid, rings=[])
+        if cap_style == "square":
+            x, y = float(g.coords[0]), float(g.coords[1])
+            ring = np.array([
+                [x - dist, y - dist], [x + dist, y - dist],
+                [x + dist, y + dist], [x - dist, y + dist], [x - dist, y - dist],
+            ])
+            return Geometry(GeometryType.Polygon, srid=g.srid, rings=[ring])
         n = max(4, 4 * quad_segs)
         ang = np.linspace(0, 2 * math.pi, n, endpoint=False)
         ring = np.column_stack(
@@ -1260,6 +1296,21 @@ def buffer(
         return Geometry(GeometryType.Polygon, srid=g.srid, rings=[ring])
     if t == GeometryType.Polygon and _is_axis_rect(g):
         x0, y0, x1, y1 = g.bounds()
+        if join_style == "mitre" and mitre_limit >= math.sqrt(2.0):
+            # 90-degree mitre ratio is sqrt(2): expanded rect, exact
+            ring = np.array([
+                [x0 - dist, y0 - dist], [x1 + dist, y0 - dist],
+                [x1 + dist, y1 + dist], [x0 - dist, y1 + dist], [x0 - dist, y0 - dist],
+            ])
+            return Geometry(GeometryType.Polygon, srid=g.srid, rings=[ring])
+        if join_style in ("bevel", "mitre"):
+            # bevel (or over-limit mitre fallback): octagon with cut corners
+            ring = np.array([
+                [x0, y0 - dist], [x1, y0 - dist], [x1 + dist, y0], [x1 + dist, y1],
+                [x1, y1 + dist], [x0, y1 + dist], [x0 - dist, y1], [x0 - dist, y0],
+                [x0, y0 - dist],
+            ])
+            return Geometry(GeometryType.Polygon, srid=g.srid, rings=[ring])
         pts = []
         corners = [(x1, y1), (x0, y1), (x0, y0), (x1, y0)]
         start_ang = [0.0, math.pi / 2, math.pi, 3 * math.pi / 2]
@@ -1269,10 +1320,10 @@ def buffer(
                 pts.append((cx + dist * math.cos(a), cy + dist * math.sin(a)))
         ring = np.array(pts + [pts[0]])
         return Geometry(GeometryType.Polygon, srid=g.srid, rings=[ring])
-    # general case: Minkowski-style union of per-segment stroke rectangles and
-    # per-vertex circles (+ the areal input itself), merged with the overlay
-    # engine. Round caps/joins (the reference default).
-    return _buffer_general(g, dist, quad_segs)
+    # general case: Minkowski-style union of the areal input, per-segment
+    # stroke rectangles, per-vertex join pieces, and end caps, merged with
+    # the overlay engine.
+    return _buffer_general(g, dist, quad_segs, cap_style, join_style, mitre_limit)
 
 
 def _circle(cx: float, cy: float, r: float, n: int, srid: int) -> Geometry:
@@ -1281,49 +1332,217 @@ def _circle(cx: float, cy: float, r: float, n: int, srid: int) -> Geometry:
     return Geometry(GeometryType.Polygon, srid=srid, rings=[np.vstack([ring, ring[:1]])])
 
 
-def _buffer_general(g: Geometry, dist: float, quad_segs: int) -> Geometry:
+def _seg_dirs(c: np.ndarray) -> list[tuple[np.ndarray, np.ndarray, float]]:
+    """(p, unit direction, length) per non-degenerate segment of a chain."""
+    out = []
+    for i in range(len(c) - 1):
+        p, q = c[i], c[i + 1]
+        ln = math.hypot(q[0] - p[0], q[1] - p[1])
+        if ln < 1e-12:
+            continue
+        out.append((p, (q - p) / ln, ln))
+    return out
+
+
+def _stroke_rect(p, q, nx, ny, srid) -> Geometry:
+    ring = np.array([
+        [p[0] + nx, p[1] + ny], [q[0] + nx, q[1] + ny],
+        [q[0] - nx, q[1] - ny], [p[0] - nx, p[1] - ny],
+        [p[0] + nx, p[1] + ny],
+    ])
+    return Geometry(GeometryType.Polygon, srid=srid, rings=[ring])
+
+
+def _join_pieces(v, u_in, u_out, dist: float, join_style: str, quad_segs: int,
+                 mitre_limit: float, srid: int, sides=(1.0, -1.0)) -> list[Geometry]:
+    """Pieces filling the wedge at vertex v between the offset edges of the
+    incoming (unit dir u_in) and outgoing (u_out) segments. Round joins are
+    whole circles on the two-sided path (simpler, same union); bevel joins are
+    the corner triangles, mitre joins the corner quads (falling back to bevel
+    above the limit)."""
+    if join_style == "round" and sides == (1.0, -1.0):
+        n = max(8, 4 * quad_segs)
+        return [_circle(float(v[0]), float(v[1]), dist, n, srid)]
+    n1 = np.array([-u_in[1], u_in[0]])
+    n2 = np.array([-u_out[1], u_out[0]])
+    pieces: list[Geometry] = []
+    for side in sides:
+        a = v + side * n1 * dist
+        b = v + side * n2 * dist
+        if np.hypot(*(a - b)) < 1e-12:
+            continue
+        if join_style == "round":
+            pieces.append(_sector(v, a, b, dist, quad_segs, srid))
+            continue
+        use_mitre = False
+        if join_style == "mitre":
+            bis = side * (n1 + n2)
+            nb = math.hypot(bis[0], bis[1])
+            if nb > 1e-12:
+                cos_half = nb / 2.0
+                ratio = 1.0 / max(cos_half, 1e-12)
+                if ratio <= mitre_limit:
+                    m = v + bis / nb * (dist * ratio)
+                    ring = np.array([v, a, m, b, v])
+                    pieces.append(Geometry(GeometryType.Polygon, srid=srid, rings=[ring]))
+                    use_mitre = True
+        if not use_mitre:
+            ring = np.array([v, a, b, v])
+            pieces.append(Geometry(GeometryType.Polygon, srid=srid, rings=[ring]))
+    return pieces
+
+
+def _sector(v, a, b, dist: float, quad_segs: int, srid: int) -> Geometry:
+    """Circular wedge at v from offset point a to b (short way around)."""
+    a0 = math.atan2(a[1] - v[1], a[0] - v[0])
+    a1 = math.atan2(b[1] - v[1], b[0] - v[0])
+    sweep = a1 - a0
+    while sweep > math.pi:
+        sweep -= 2 * math.pi
+    while sweep < -math.pi:
+        sweep += 2 * math.pi
+    n = max(2, int(math.ceil(abs(sweep) / (2 * math.pi) * max(8, 4 * quad_segs))))
+    ang = a0 + sweep * np.linspace(0.0, 1.0, n + 1)
+    arc = np.column_stack([v[0] + dist * np.cos(ang), v[1] + dist * np.sin(ang)])
+    ring = np.vstack([[v], arc, [v]])
+    return Geometry(GeometryType.Polygon, srid=srid, rings=[ring])
+
+
+def _cap_pieces(p, u_out, dist: float, cap_style: str, quad_segs: int, srid: int) -> list[Geometry]:
+    """End cap at endpoint p, with u_out the unit direction pointing AWAY
+    from the chain."""
+    if cap_style == "flat":
+        return []
+    if cap_style == "square":
+        nl = np.array([-u_out[1], u_out[0]]) * dist
+        e = np.asarray(p) + np.asarray(u_out) * dist
+        ring = np.array([p + nl, e + nl, e - nl, p - nl, p + nl])
+        return [Geometry(GeometryType.Polygon, srid=srid, rings=[ring])]
+    return [_circle(float(p[0]), float(p[1]), dist, max(8, 4 * quad_segs), srid)]
+
+
+def _union_pieces(pieces: list[Geometry], srid: int) -> Geometry:
     from polars_st_spark.geo.overlay import overlay
+
+    if not pieces:
+        return Geometry(GeometryType.Polygon, srid=srid, rings=[])
+    acc = pieces[0]
+    for piece in pieces[1:]:
+        acc = overlay(acc, piece, "union")
+    return acc
+
+
+def _buffer_general(g: Geometry, dist: float, quad_segs: int,
+                    cap_style: str = "round", join_style: str = "round",
+                    mitre_limit: float = 5.0) -> Geometry:
     from polars_st_spark.geo.predicates import _decompose
 
     d = _decompose(g)
-    n_circle = 4 * quad_segs
     pieces: list[Geometry] = []
     if d.polys:
         for rings in d.polys:
             pieces.append(Geometry(GeometryType.Polygon, srid=g.srid,
                                    rings=[np.asarray(r)[:, :2] for r in rings]))
-    chains = list(d.lines)
+    chains: list[tuple[np.ndarray, bool]] = [(np.asarray(c)[:, :2], False) for c in d.lines]
     for rings in d.polys:
-        chains.extend(_closed(np.asarray(r)[:, :2]) for r in rings)
-    seen_pts: list[np.ndarray] = []
-    for chain in chains:
-        c = np.asarray(chain)[:, :2]
-        for i in range(len(c) - 1):
-            p, q = c[i], c[i + 1]
-            ln = math.hypot(q[0] - p[0], q[1] - p[1])
-            if ln < 1e-12:
-                continue
-            nx, ny = -(q[1] - p[1]) / ln * dist, (q[0] - p[0]) / ln * dist
-            ring = np.array([
-                [p[0] + nx, p[1] + ny], [q[0] + nx, q[1] + ny],
-                [q[0] - nx, q[1] - ny], [p[0] - nx, p[1] - ny],
-                [p[0] + nx, p[1] + ny],
-            ])
-            pieces.append(Geometry(GeometryType.Polygon, srid=g.srid, rings=[ring]))
-        seen_pts.extend(c)
+        chains.extend((_closed(np.asarray(r)[:, :2]), True) for r in rings)
+    for c, closed in chains:
+        segs = _seg_dirs(c)
+        if not segs:
+            continue
+        for p, u, ln in segs:
+            nx, ny = -u[1] * dist, u[0] * dist
+            pieces.append(_stroke_rect(p, p + u * ln, nx, ny, g.srid))
+        # joins at interior vertices (and the wrap vertex of closed rings)
+        for i in range(1, len(segs)):
+            v = segs[i][0]
+            pieces.extend(_join_pieces(v, segs[i - 1][1], segs[i][1], dist,
+                                       join_style, quad_segs, mitre_limit, g.srid))
+        if closed:
+            v = segs[0][0]
+            pieces.extend(_join_pieces(v, segs[-1][1], segs[0][1], dist,
+                                       join_style, quad_segs, mitre_limit, g.srid))
+        else:
+            first_p, first_u, _ = segs[0]
+            last_p, last_u, last_ln = segs[-1]
+            pieces.extend(_cap_pieces(first_p, -first_u, dist, cap_style, quad_segs, g.srid))
+            pieces.extend(_cap_pieces(last_p + last_u * last_ln, last_u, dist,
+                                      cap_style, quad_segs, g.srid))
     for p in d.points:
-        seen_pts.append(np.asarray(p[:2]))
-    uniq: dict[tuple, np.ndarray] = {}
-    for p in seen_pts:
-        uniq[(round(float(p[0]), 12), round(float(p[1]), 12))] = p
-    for p in uniq.values():
-        pieces.append(_circle(float(p[0]), float(p[1]), dist, n_circle, g.srid))
-    if not pieces:
+        if cap_style == "square":
+            x, y = float(p[0]), float(p[1])
+            ring = np.array([[x - dist, y - dist], [x + dist, y - dist],
+                             [x + dist, y + dist], [x - dist, y + dist], [x - dist, y - dist]])
+            pieces.append(Geometry(GeometryType.Polygon, srid=g.srid, rings=[ring]))
+        elif cap_style == "round":
+            pieces.append(_circle(float(p[0]), float(p[1]), dist, max(8, 4 * quad_segs), g.srid))
+        # flat: a point has no extent to cap — contributes nothing
+    return _union_pieces(pieces, g.srid)
+
+
+def _buffer_erode(g: Geometry, dist: float, quad_segs: int,
+                  join_style: str, mitre_limit: float) -> Geometry:
+    """Erosion: the polygon minus its boundary dilated by ``dist`` (the
+    inward-offset overlay difference). Non-areal inputs erode to empty."""
+    from polars_st_spark.geo.overlay import overlay
+    from polars_st_spark.geo.predicates import _decompose
+
+    if g.type_id == GeometryType.Polygon and _is_axis_rect(g):
+        x0, y0, x1, y1 = g.bounds()
+        if x1 - x0 <= 2 * dist or y1 - y0 <= 2 * dist:
+            return Geometry(GeometryType.Polygon, srid=g.srid, rings=[])
+        ring = np.array([
+            [x0 + dist, y0 + dist], [x1 - dist, y0 + dist],
+            [x1 - dist, y1 - dist], [x0 + dist, y1 - dist], [x0 + dist, y0 + dist],
+        ])
+        return Geometry(GeometryType.Polygon, srid=g.srid, rings=[ring])
+    d = _decompose(g)
+    if not d.polys:
         return Geometry(GeometryType.Polygon, srid=g.srid, rings=[])
-    acc = pieces[0]
-    for piece in pieces[1:]:
-        acc = overlay(acc, piece, "union")
-    return acc
+    area_part = _union_pieces(
+        [Geometry(GeometryType.Polygon, srid=g.srid,
+                  rings=[np.asarray(r)[:, :2] for r in rings]) for rings in d.polys],
+        g.srid)
+    boundary_chains = Geometry(
+        GeometryType.MultiLineString, srid=g.srid,
+        geoms=[Geometry(GeometryType.LineString, srid=g.srid,
+                        coords=_closed(np.asarray(r)[:, :2]))
+               for rings in d.polys for r in rings])
+    band = _buffer_general(boundary_chains, dist, quad_segs, "round", join_style, mitre_limit)
+    return overlay(area_part, band, "difference")
+
+
+def _buffer_single_sided(g: Geometry, dist: float, quad_segs: int,
+                         join_style: str, mitre_limit: float) -> Geometry:
+    """Single-sided line buffer: the strip between the line and its offset at
+    |dist| on the left (dist > 0) or right (dist < 0) side; flat ends (GEOS
+    semantics). Only lineal inputs are supported."""
+    from polars_st_spark.geo.predicates import _decompose
+
+    if dist == 0:
+        return Geometry(GeometryType.Polygon, srid=g.srid, rings=[])
+    d = _decompose(g)
+    if d.polys or d.points or not d.lines:
+        raise NotImplementedError("single_sided buffer supports lineal geometries only")
+    side = 1.0 if dist > 0 else -1.0
+    ad = abs(dist)
+    pieces: list[Geometry] = []
+    for chain in d.lines:
+        c = np.asarray(chain)[:, :2]
+        segs = _seg_dirs(c)
+        if not segs:
+            continue
+        for p, u, ln in segs:
+            nl = np.array([-u[1], u[0]]) * side * ad
+            q = p + u * ln
+            ring = np.array([p, q, q + nl, p + nl, p])
+            pieces.append(Geometry(GeometryType.Polygon, srid=g.srid, rings=[ring]))
+        for i in range(1, len(segs)):
+            v = segs[i][0]
+            pieces.extend(_join_pieces(v, segs[i - 1][1], segs[i][1], ad,
+                                       join_style, quad_segs, mitre_limit, g.srid,
+                                       sides=(side,)))
+    return _union_pieces(pieces, g.srid)
 
 
 def _is_axis_rect(g: Geometry) -> bool:

@@ -164,3 +164,71 @@ def test_relate_sample_coincidence():
     assert relate(from_wkt("POINT (9 9)"), rect) == "0FFFFF212"
     line = from_wkt("LINESTRING (0 0, 2 0)")
     assert relate(line, from_wkt("POINT (1 0)")) == "0F1FF0FF2"
+
+
+class TestBufferStyles:
+    """Round-2 buffer semantics: caps, joins, erosion, single-sided.
+    All expectations are closed-form (exact constructions or stroke algebra)."""
+
+    def _area(self, wkt, *args, **kw):
+        from polars_st_spark.geo import algos
+        from polars_st_spark.geo.wkt import from_wkt
+
+        return algos.area(algos.buffer(from_wkt(wkt), *args, **kw))
+
+    def test_flat_cap(self):
+        assert abs(self._area("LINESTRING (0 0, 10 0)", 2.0, cap_style="flat") - 40.0) < 1e-9
+
+    def test_square_cap(self):
+        assert abs(self._area("LINESTRING (0 0, 10 0)", 2.0, cap_style="square") - 56.0) < 1e-9
+
+    def test_round_cap_approx_circle(self):
+        import math
+        a = self._area("LINESTRING (0 0, 10 0)", 2.0)
+        assert abs(a - (40.0 + math.pi * 4.0)) < 0.2
+
+    def test_bevel_join(self):
+        a = self._area("LINESTRING (0 0, 10 0, 10 10)", 2.0, cap_style="flat", join_style="bevel")
+        assert abs(a - 78.0) < 1e-9
+
+    def test_mitre_join(self):
+        a = self._area("LINESTRING (0 0, 10 0, 10 10)", 2.0, cap_style="flat", join_style="mitre")
+        assert abs(a - 80.0) < 1e-9
+
+    def test_mitre_limit_fallback_bevel(self):
+        a = self._area("LINESTRING (0 0, 10 0, 10 10)", 2.0, cap_style="flat",
+                       join_style="mitre", mitre_limit=1.1)
+        assert abs(a - 78.0) < 1e-9
+
+    def test_erode_rect_exact(self):
+        a = self._area("POLYGON ((0 0, 18 0, 18 18, 0 18, 0 0))", -2.0)
+        assert abs(a - 196.0) < 1e-9
+
+    def test_erode_to_empty(self):
+        assert self._area("POLYGON ((0 0, 18 0, 18 18, 0 18, 0 0))", -10.0) == 0.0
+
+    def test_erode_triangle_general_path(self):
+        import math
+        a = self._area("POLYGON ((0 0, 10 0, 0 10, 0 0))", -1.0)
+        assert abs(a - (33.0 - 8.0 * math.sqrt(2.0))) < 0.05
+
+    def test_zero_distance(self):
+        assert abs(self._area("POLYGON ((0 0, 4 0, 4 4, 0 4, 0 0))", 0.0) - 16.0) < 1e-9
+        assert self._area("LINESTRING (0 0, 4 0)", 0.0) == 0.0
+
+    def test_point_caps(self):
+        assert abs(self._area("POINT (3 4)", 2.0, cap_style="square") - 16.0) < 1e-9
+        assert self._area("POINT (3 4)", 2.0, cap_style="flat") == 0.0
+
+    def test_single_sided(self):
+        a = self._area("LINESTRING (0 0, 10 0)", 2.0, single_sided=True)
+        assert abs(a - 20.0) < 1e-9
+        a = self._area("LINESTRING (0 0, 10 0)", -2.0, single_sided=True)
+        assert abs(a - 20.0) < 1e-9
+        a = self._area("LINESTRING (0 0, 10 0, 10 10)", 2.0, single_sided=True)
+        assert abs(a - 36.0) < 1e-9
+
+    def test_bad_style_raises(self):
+        import pytest
+        with pytest.raises(ValueError):
+            self._area("POINT (0 0)", 1.0, cap_style="pointy")
