@@ -21,7 +21,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.functions import pandas_udf
 
 from polars_st_spark.geo.types import Geometry
-from polars_st_spark.geo.wkb import from_ewkb, to_ewkb
+from polars_st_spark.geo.wkb import decode_batch, from_ewkb, to_ewkb
 from polars_st_spark.geo.wkt import from_ewkt, from_wkt
 
 __all__ = [
@@ -55,8 +55,10 @@ def geom_arg(other) -> "Geometry | Column":
     if isinstance(other, (bytes, bytearray)):
         return from_ewkb(bytes(other))
     if isinstance(other, str):
-        # column name if it has no space/paren; else WKT
-        if "(" in other or ";" in other or other.upper().startswith(("POINT", "LINE", "POLY", "MULTI", "GEOM", "SRID")):
+        # WKT only when the string cannot be a column name (parens, spaces,
+        # or an SRID= prefix); a bare name like "points" or "polygons"
+        # resolves as a column (round-1 sniffing parsed those as WKT)
+        if "(" in other or ";" in other or " " in other or other.upper().startswith("SRID="):
             return from_ewkt(other)
         return F.col(other)
     raise TypeError(f"Cannot interpret {type(other).__name__} as geometry")
@@ -79,7 +81,10 @@ def unary_geom(fn: Callable[[Geometry], Geometry], name: str = "st_fn"):
 
     @pandas_udf("binary")
     def udf(s: pd.Series) -> pd.Series:
-        return s.map(lambda b: None if b is None else _encode(fn(_decode(b))))
+        return pd.Series(
+            [None if g is None else _encode(fn(g)) for g in decode_batch(s)],
+            dtype=object,
+        )
 
     return udf
 
@@ -89,7 +94,7 @@ def unary_scalar(fn: Callable[[Geometry], Any], return_type: str, name: str = "s
 
     @pandas_udf(return_type)
     def udf(s: pd.Series) -> pd.Series:
-        out = [None if b is None else fn(_decode(b)) for b in s]
+        out = [None if g is None else fn(g) for g in decode_batch(s)]
         return pd.Series(out, dtype=object)
 
     return udf
@@ -108,7 +113,7 @@ def binary_scalar(
 
         @pandas_udf(return_type)
         def udf(s: pd.Series) -> pd.Series:
-            out = [None if b is None else fn(_decode(b), g2) for b in s]
+            out = [None if g is None else fn(g, g2) for g in decode_batch(s)]
             return pd.Series(out, dtype=object)
 
         return udf, None
@@ -116,8 +121,8 @@ def binary_scalar(
     @pandas_udf(return_type)
     def udf2(s1: pd.Series, s2: pd.Series) -> pd.Series:
         out = [
-            None if (b1 is None or b2 is None) else fn(_decode(b1), _decode(b2))
-            for b1, b2 in zip(s1, s2)
+            None if (g1 is None or g2 is None) else fn(g1, g2)
+            for g1, g2 in zip(decode_batch(s1), decode_batch(s2))
         ]
         return pd.Series(out, dtype=object)
 
@@ -135,15 +140,18 @@ def binary_geom(
 
         @pandas_udf("binary")
         def udf(s: pd.Series) -> pd.Series:
-            return s.map(lambda b: None if b is None else _encode(fn(_decode(b), g2)))
+            return pd.Series(
+                [None if g is None else _encode(fn(g, g2)) for g in decode_batch(s)],
+                dtype=object,
+            )
 
         return udf, None
 
     @pandas_udf("binary")
     def udf2(s1: pd.Series, s2: pd.Series) -> pd.Series:
         out = [
-            None if (b1 is None or b2 is None) else _encode(fn(_decode(b1), _decode(b2)))
-            for b1, b2 in zip(s1, s2)
+            None if (g1 is None or g2 is None) else _encode(fn(g1, g2))
+            for g1, g2 in zip(decode_batch(s1), decode_batch(s2))
         ]
         return pd.Series(out, dtype=object)
 
