@@ -130,17 +130,27 @@ def main() -> None:
 
     total = round(sum(queries.values()), 3)
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
-    print(
-        json.dumps(
-            {
-                "metric": "headline_suite_seconds",
-                "value": total,
-                "unit": "sec",
-                "queries": queries,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+    payload = {
+        "metric": "headline_suite_seconds",
+        "value": total,
+        "unit": "sec",
+        "queries": queries,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+    }
+    # ratio vs the measured single-node floor (scripts/baseline_single_node.py
+    # -> BASELINE_MEASURED.json): closed-form numpy/pandas single process, no
+    # geometry materialization — a conservative lower bound, not a peer engine
+    base_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BASELINE_MEASURED.json")
+    if os.path.exists(base_path):
+        with open(base_path) as f:
+            base = json.load(f)
+        if str(base.get("sf")) == str(payload["sf"]):
+            payload["baseline_floor_sec"] = base["queries"]
+            payload["vs_floor"] = {
+                k: round(queries[k] / base["queries"][k], 2)
+                for k in queries if base["queries"].get(k)
             }
-        )
-    )
+    print(json.dumps(payload))
     spark.stop()
 
 

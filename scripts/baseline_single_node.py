@@ -1,0 +1,233 @@
+"""Measured single-node baseline for BENCH comparisons (BASELINE.md promise).
+
+Each headline query re-implemented as an optimized SINGLE-PROCESS numpy/pandas
+program over the same parquet inputs — the "what would a competent engineer do
+on one core without Spark" number. shapely/GeoPandas are absent from this
+runtime (see BASELINE.md), so geometry work uses the same closed-form
+derivations the queries are built on; the text/embedding pipelines use plain
+hashlib/numpy, the same algorithms as the engine.
+
+Writes BASELINE_MEASURED.json at the repo root:
+    {"sf": ..., "queries": {name: seconds}, "method": "..."}
+
+Usage: python scripts/baseline_single_node.py [sf_dir]
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+import os
+import re
+import sys
+import time
+
+import numpy as np
+import pandas as pd
+
+SF = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def timed(fn):
+    t0 = time.time()
+    fn()
+    return round(time.time() - t0, 3)
+
+
+def li_rects() -> pd.DataFrame:
+    li = pd.read_parquet(f"{SF}/lineitem.parquet",
+                         columns=["l_orderkey", "l_suppkey", "l_linenumber"])
+    li["x0"] = ((li.l_linenumber - 1) % 7) * 5.0
+    li["y0"] = (li.l_suppkey % 3) * 1.0
+    li["x1"] = li.x0 + 4.0
+    li["y1"] = li.y0 + 4.0
+    return li
+
+
+def nation_rects() -> pd.DataFrame:
+    n = pd.read_parquet(f"{SF}/nation.parquet", columns=["n_nationkey"])
+    n["x0"] = (n.n_nationkey % 5) * 20.0
+    n["y0"] = (n.n_nationkey // 5) * 20.0
+    n["x1"] = n.x0 + 18.0
+    n["y1"] = n.y0 + 18.0
+    return n
+
+
+def cust_pts() -> pd.DataFrame:
+    c = pd.read_parquet(f"{SF}/customer.parquet", columns=["c_custkey"])
+    c["x"] = (c.c_custkey % 97) + 0.5
+    c["y"] = ((c.c_custkey * 7) % 89) + 0.5
+    return c
+
+
+def b1(li: pd.DataFrame) -> None:
+    w = li.x1.values - li.x0.values
+    h = li.y1.values - li.y0.values
+    (w * h).sum()
+    (2 * (w + h)).sum()
+
+
+def b2(li: pd.DataFrame, nat: pd.DataFrame) -> None:
+    nat5 = nat[nat.n_nationkey < 5]
+    total = 0
+    for _, r in nat5.iterrows():
+        m = (li.x0.values <= r.x1) & (r.x0 <= li.x1.values) & \
+            (li.y0.values <= r.y1) & (r.y0 <= li.y1.values)
+        total += int(m.sum())
+
+
+def b3(li: pd.DataFrame) -> None:
+    # union of disjoint 4x4 slot rects per suppkey = 16 * distinct slots
+    slots = ((li.l_linenumber - 1) % 7)
+    df = pd.DataFrame({"s": li.l_suppkey, "slot": slots})
+    (df.groupby("s")["slot"].nunique() * 16.0).sum()
+
+
+def b4(cust: pd.DataFrame, nat: pd.DataFrame) -> None:
+    xs, ys = cust.x.values, cust.y.values
+    out = []
+    for _, r in nat.iterrows():
+        idx = np.nonzero((xs > r.x0) & (xs < r.x1) & (ys > r.y0) & (ys < r.y1))[0]
+        out.append(idx)
+    sum(len(i) for i in out)
+
+
+def b5() -> None:
+    s = pd.read_parquet(f"{SF}/supplier.parquet", columns=["s_suppkey", "s_nationkey"])
+    s["x0"] = s.s_suppkey * 1.5
+    s["y0"] = (s.s_suppkey % 3) * 0.5
+    s["x1"] = s.x0 + 4.0
+    s["y1"] = s.y0 + 4.0
+    g = s.groupby("s_nationkey").agg(x0=("x0", "max"), y0=("y0", "max"),
+                                     x1=("x1", "min"), y1=("y1", "min"))
+    w = np.maximum(0.0, g.x1 - g.x0)
+    h = np.maximum(0.0, g.y1 - g.y0)
+    (w * h).sum()
+
+
+_WS = re.compile(r"\s+")
+
+
+def _doc_sigs(texts, k=16, bands=4, n=3):
+    rows = k // bands
+    sigs, band_hashes, doc_sh = [], [], []
+    bases = [hashlib.md5(f"{i}:".encode()) for i in range(k)]
+    for t in texts:
+        toks = _WS.split(t.strip().lower())
+        if len(toks) >= n:
+            sh = [" ".join(toks[i:i + n]) for i in range(len(toks) - n + 1)]
+        else:
+            sh = [" ".join(toks)]
+        sh = list(dict.fromkeys(sh))
+        doc_sh.append(set(sh))
+        sig = []
+        for i in range(k):
+            base = bases[i]
+            best = None
+            for x in sh:
+                m = base.copy()
+                m.update(x.encode())
+                v = int.from_bytes(m.digest()[:4], "big")
+                if best is None or v < best:
+                    best = v
+            sig.append(best)
+        sigs.append(sig)
+        band_hashes.append([
+            hashlib.md5(",".join(str(v) for v in sig[b * rows:(b + 1) * rows]).encode()).hexdigest()
+            for b in range(bands)
+        ])
+    return doc_sh, band_hashes
+
+
+def p1(docs: pd.DataFrame) -> None:
+    doc_sh, band_hashes = _doc_sigs(docs.text.tolist())
+    ids = docs.doc_id.tolist()
+    buckets: dict[tuple, list[int]] = {}
+    for i, bh in enumerate(band_hashes):
+        for b, h in enumerate(bh):
+            buckets.setdefault((b, h), []).append(i)
+    cands = set()
+    for members in buckets.values():
+        for a in range(len(members)):
+            for b in range(a + 1, len(members)):
+                i, j = members[a], members[b]
+                cands.add((i, j) if ids[i] < ids[j] else (j, i))
+    n_pairs = 0
+    for i, j in cands:
+        inter = len(doc_sh[i] & doc_sh[j])
+        union = len(doc_sh[i] | doc_sh[j])
+        if union and inter / union >= 0.05:
+            n_pairs += 1
+
+
+def p2(emb: pd.DataFrame) -> None:
+    mat = np.vstack(emb.embedding.values).astype(np.float64)
+    norms = np.linalg.norm(mat, axis=1)
+    q = mat[emb.vec_id.values < 20]
+    qn = norms[emb.vec_id.values < 20]
+    cos = (q @ mat.T) / np.outer(qn, norms)
+    np.argsort(-cos, axis=1)[:, 1:11]
+
+
+_STOP = {
+    "en": ["the", "and", "of", "to", "a", "in", "is", "it", "that", "for"],
+    "es": ["el", "la", "de", "que", "y", "en", "un", "es", "se", "no"],
+    "fr": ["le", "la", "de", "et", "un", "une", "est", "que", "pour", "dans"],
+    "de": ["der", "die", "das", "und", "ist", "ein", "eine", "zu", "mit", "von"],
+}
+_PUNCT = re.compile(r"[^.,;:!?'\"()-]")
+
+
+def p3(docs: pd.DataFrame) -> None:
+    stopsets = {k: set(v) for k, v in _STOP.items()}
+    langs = sorted(stopsets)
+    n_tok_sum = 0
+    qual_sum = 0.0
+    for t in docs.text:
+        toks = _WS.split(t.strip().lower())
+        n = len(toks)
+        n_tok_sum += n
+        hits = {lang: sum(1 for x in toks if x in s) for lang, s in stopsets.items()}
+        max(hits.items(), key=lambda kv: (kv[1], -langs.index(kv[0])))
+        ln = len(t)
+        len_score = 1.0 if 50 <= ln <= 10000 else (ln / 50.0 if ln < 50 else 0.5)
+        stop_ratio = hits["en"] / n if n else 0.0
+        punct = len(_PUNCT.sub("", t)) / ln if ln else 0.0
+        qual_sum += max(min(len_score * 0.5 + min(stop_ratio * 5.0, 1.0) * 0.5
+                            - min(punct * 2.0, 0.5), 1.0), 0.0)
+
+
+def main() -> None:
+    li = li_rects()
+    nat = nation_rects()
+    cust = cust_pts()
+    docs = pd.read_parquet(f"{SF}/documents.parquet")
+    emb = pd.read_parquet(f"{SF}/embeddings.parquet")
+
+    queries = {
+        "b1_elementwise": timed(lambda: b1(li)),
+        "b2_predicate": timed(lambda: b2(li, nat)),
+        "b3_grouped_union": timed(lambda: b3(li)),
+        "b4_sjoin": timed(lambda: b4(cust, nat)),
+        "b5_flagship": timed(b5),
+        "p1_minhash_dedup": timed(lambda: p1(docs)),
+        "p2_knn": timed(lambda: p2(emb)),
+        "p3_textstats": timed(lambda: p3(docs)),
+    }
+    out = {
+        "sf": SF.rstrip("/").rsplit("sf", 1)[-1],
+        "queries": queries,
+        "total": round(sum(queries.values()), 3),
+        "method": "single-process numpy/pandas, closed-form geometry on the "
+                  "derived columns, same hash/text algorithms as the engine "
+                  "(shapely unavailable in runtime — see BASELINE.md)",
+    }
+    path = os.path.join(ROOT, "BASELINE_MEASURED.json")
+    with open(path, "w") as f:
+        json.dump(out, f, indent=1)
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()
