@@ -923,6 +923,20 @@ def q_embedding_dup(spark, sf):
     )
 
 
+def q_utm_roundtrip(spark, sf):
+    """4326→UTM zone 31N→4326 round-trip (Krüger series closed forms) for
+    points inside the zone's longitude band."""
+    p = _cust_pts(spark, sf).where(F.col("x") < 6.0)
+    p = p.withColumn("pt4326", st.st_set_srid("pt", 4326))
+    back = st.st_to_srid(st.st_to_srid("pt4326", 32631), 4326)
+    return p.select(
+        "c_custkey",
+        F.round(st.st_x(back), 6).alias("rt_x"),
+        F.round(st.st_y(back), 6).alias("rt_y"),
+        st.st_srid(st.st_to_srid("pt4326", 32631)).alias("utm_srid"),
+    )
+
+
 def q_buffer_styles(spark, sf):
     """Buffer erosion + mitre/bevel joins + flat/square caps + single-sided,
     each with an exact closed-form area (rect fast paths are exact
@@ -1098,6 +1112,7 @@ _QUERIES = {
         "precision_meta": q_precision_meta,
         "srid_roundtrip": q_srid_roundtrip,
         "embedding_dup": q_embedding_dup,
+        "utm_roundtrip": q_utm_roundtrip,
         "buffer_styles": q_buffer_styles,
         "curve_measures": q_curve_measures,
         # rows-only (no oracle entry): transcendental or non-SQL-expressible
@@ -1400,6 +1415,10 @@ def oracle_sql() -> dict[str, str]:
                           THEN list_dot_product(a.v, b.v) /
                                (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v)))
                           ELSE 0.0 END, 6) >= 0.45""",
+        "utm_roundtrip": f"""
+            SELECT c_custkey, ROUND(x, 6) AS rt_x, ROUND(y, 6) AS rt_y,
+                   32631 AS utm_srid
+            FROM ({_ORACLE_CUST}) WHERE x < 6.0""",
         "buffer_styles": f"""
             SELECT n_nationkey,
                    ((x1-x0)-4.0)*((y1-y0)-4.0) AS erode_area,

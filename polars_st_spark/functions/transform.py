@@ -7,6 +7,7 @@ binary set ops (functions.rs:1096-1192), cast/multi (functions.rs:61-177,
 
 from __future__ import annotations
 
+import math
 import struct
 
 import numpy as np
@@ -213,6 +214,134 @@ _TRANSFORMS = {
     (3857, 4326): _webmerc_to_wgs84,
 }
 
+# ---- UTM via the Krüger series (public formulas: Karney, "Transverse
+# Mercator with an accuracy of a few nanometers", J. Geod. 85, 2011).
+# WGS84 UTM zones: EPSG 326xx (north) / 327xx (south).
+_WGS84_A = 6378137.0
+_WGS84_F = 1.0 / 298.257223563
+_UTM_K0 = 0.9996
+_UTM_FE = 500000.0
+_UTM_FN_S = 10000000.0
+
+_n = _WGS84_F / (2.0 - _WGS84_F)
+_A_BAR = _WGS84_A / (1 + _n) * (1 + _n**2 / 4 + _n**4 / 64 + _n**6 / 256)
+_ALPHA = (
+    _n / 2 - 2 * _n**2 / 3 + 5 * _n**3 / 16 + 41 * _n**4 / 180 - 127 * _n**5 / 288 + 7891 * _n**6 / 37800,
+    13 * _n**2 / 48 - 3 * _n**3 / 5 + 557 * _n**4 / 1440 + 281 * _n**5 / 630 - 1983433 * _n**6 / 1935360,
+    61 * _n**3 / 240 - 103 * _n**4 / 140 + 15061 * _n**5 / 26880 + 167603 * _n**6 / 181440,
+    49561 * _n**4 / 161280 - 179 * _n**5 / 168 + 6601661 * _n**6 / 7257600,
+    34729 * _n**5 / 80640 - 3418889 * _n**6 / 1995840,
+    212378941 * _n**6 / 319334400,
+)
+_BETA = (
+    _n / 2 - 2 * _n**2 / 3 + 37 * _n**3 / 96 - _n**4 / 360 - 81 * _n**5 / 512 + 96199 * _n**6 / 604800,
+    _n**2 / 48 + _n**3 / 15 - 437 * _n**4 / 1440 + 46 * _n**5 / 105 - 1118711 * _n**6 / 3870720,
+    17 * _n**3 / 480 - 37 * _n**4 / 840 - 209 * _n**5 / 4480 + 5569 * _n**6 / 90720,
+    4397 * _n**4 / 161280 - 11 * _n**5 / 504 - 830251 * _n**6 / 7257600,
+    4583 * _n**5 / 161280 - 108847 * _n**6 / 3991680,
+    20648693 * _n**6 / 638668800,
+)
+_E_ECC = math.sqrt(_WGS84_F * (2.0 - _WGS84_F))
+
+
+def _utm_zone(srid: int) -> tuple[int, bool] | None:
+    """(zone, is_north) for WGS84 UTM EPSG codes, else None."""
+    if 32601 <= srid <= 32660:
+        return srid - 32600, True
+    if 32701 <= srid <= 32760:
+        return srid - 32700, False
+    return None
+
+
+def _wgs84_to_utm(zone: int, north: bool):
+    lon0 = math.radians(zone * 6 - 183)
+
+    def f(arr: np.ndarray) -> np.ndarray:
+        lam = np.radians(arr[:, 0]) - lon0
+        phi = np.radians(arr[:, 1])
+        es = (2 * math.sqrt(_n)) / (1 + _n)
+        t = np.sinh(np.arctanh(np.sin(phi)) - es * np.arctanh(es * np.sin(phi)))
+        xi = np.arctan2(t, np.cos(lam))
+        eta = np.arctanh(np.sin(lam) / np.sqrt(1 + t * t))
+        x = eta.copy()
+        y = xi.copy()
+        for j, (a_j) in enumerate(_ALPHA, start=1):
+            x += a_j * np.cos(2 * j * xi) * np.sinh(2 * j * eta)
+            y += a_j * np.sin(2 * j * xi) * np.cosh(2 * j * eta)
+        out = arr.copy()
+        out[:, 0] = _UTM_FE + _UTM_K0 * _A_BAR * x
+        out[:, 1] = (0.0 if north else _UTM_FN_S) + _UTM_K0 * _A_BAR * y
+        return out
+
+    return f
+
+
+def _utm_to_wgs84(zone: int, north: bool):
+    lon0 = math.radians(zone * 6 - 183)
+
+    def f(arr: np.ndarray) -> np.ndarray:
+        xi = (arr[:, 1] - (0.0 if north else _UTM_FN_S)) / (_UTM_K0 * _A_BAR)
+        eta = (arr[:, 0] - _UTM_FE) / (_UTM_K0 * _A_BAR)
+        xi_p = xi.copy()
+        eta_p = eta.copy()
+        for j, b_j in enumerate(_BETA, start=1):
+            xi_p -= b_j * np.sin(2 * j * xi) * np.cosh(2 * j * eta)
+            eta_p -= b_j * np.cos(2 * j * xi) * np.sinh(2 * j * eta)
+        lam = np.arctan2(np.sinh(eta_p), np.cos(xi_p))
+        # conformal latitude -> geodetic latitude (fixed-point, ~1e-12 rad)
+        chi = np.arcsin(np.sin(xi_p) / np.cosh(eta_p))
+        phi = chi.copy()
+        for _ in range(6):
+            s = np.sin(phi)
+            phi = 2 * np.arctan(
+                np.tan(np.pi / 4 + chi / 2)
+                * ((1 + _E_ECC * s) / (1 - _E_ECC * s)) ** (_E_ECC / 2)
+            ) - np.pi / 2
+        out = arr.copy()
+        out[:, 0] = np.degrees(lam + lon0)
+        out[:, 1] = np.degrees(phi)
+        return out
+
+    return f
+
+
+def _lookup_transform(src: int, dst: int):
+    f = _TRANSFORMS.get((src, dst))
+    if f is not None:
+        return f
+    uz = _utm_zone(dst)
+    if src == 4326 and uz is not None:
+        f = _wgs84_to_utm(*uz)
+    elif dst == 4326 and (uz := _utm_zone(src)) is not None:
+        f = _utm_to_wgs84(*uz)
+    else:
+        # compose through 4326 (e.g. 3857 -> UTM)
+        f1 = _TRANSFORMS.get((src, 4326)) if src != 4326 else None
+        if f1 is None and _utm_zone(src) is not None:
+            f1 = _utm_to_wgs84(*_utm_zone(src))
+        f2 = None
+        if f1 is not None:
+            f2 = _TRANSFORMS.get((4326, dst))
+            if f2 is None and _utm_zone(dst) is not None:
+                f2 = _wgs84_to_utm(*_utm_zone(dst))
+        if f1 is not None and f2 is not None:
+            g1, g2 = f1, f2
+            f = lambda arr: g2(g1(arr))  # noqa: E731
+        else:
+            try:
+                import pyproj
+
+                tr = pyproj.Transformer.from_crs(src, dst, always_xy=True)
+
+                def f(arr: np.ndarray) -> np.ndarray:
+                    out = arr.copy()
+                    out[:, 0], out[:, 1] = tr.transform(arr[:, 0], arr[:, 1])
+                    return out
+            except Exception:
+                return None
+    _TRANSFORMS[(src, dst)] = f
+    return f
+
 
 def st_cast(col, into: str) -> Column:
     """Typed conversions with the reference's cast table
@@ -383,7 +512,7 @@ def st_to_srid(col, srid: int) -> Column:
         src = g.srid
         if src == srid or g.is_empty() and src == 0:
             return g.with_srid(srid)
-        f = _TRANSFORMS.get((src, srid))
+        f = _lookup_transform(src, srid)
         if f is None:
             raise ValueError(f"Unsupported SRID transform {src} -> {srid} (no pyproj in runtime)")
         return g.map_coords(f).with_srid(srid)

@@ -52,3 +52,35 @@ def test_multilinestring_constructor(spark):
     df = spark.createDataFrame([(1, [[[0.0, 0.0], [1.0, 1.0]], [[2.0, 2.0], [3.0, 3.0]]])], ["id", "c"])
     out = df.select(st.st_multilinestring("c").alias("g"))
     assert out.select(st.st_to_wkt("g")).first()[0] == "MULTILINESTRING ((0 0, 1 1), (2 2, 3 3))"
+
+
+def test_utm_kruger_series():
+    import numpy as np
+    from polars_st_spark.functions.transform import _utm_to_wgs84, _wgs84_to_utm
+
+    fwd = _wgs84_to_utm(31, True)
+    # canonical vector: (0 E, 0 N) in zone 31 -> 166021.443 E, 0 N
+    f = fwd(np.array([[0.0, 0.0], [3.0, 0.0]]))
+    assert abs(f[0, 0] - 166021.4430805) < 1e-3
+    assert abs(f[0, 1]) < 1e-6
+    assert abs(f[1, 0] - 500000.0) < 1e-6  # central meridian
+    inv = _utm_to_wgs84(31, True)
+    pts = np.array([[2.2945, 48.8584], [5.9, 0.5], [0.1, 83.0]])
+    assert np.abs(inv(fwd(pts.copy()).copy()) - pts).max() < 1e-9
+
+
+def test_utm_south_and_compose(spark):
+    import polars_st_spark as st
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame([(1, 174.76, -36.85)], ["id", "lon", "lat"])  # Auckland, 60S
+    pt = st.st_set_srid(st.st_point("lon", "lat"), 4326)
+    utm = st.st_to_srid(pt, 32760)
+    row = df.select(
+        st.st_x(utm).alias("e"), st.st_y(utm).alias("n"),
+        st.st_srid(utm).alias("s"),
+        F.round(st.st_x(st.st_to_srid(st.st_to_srid(pt, 3857), 32760)), 3).alias("via_merc_e"),
+    ).first()
+    assert row["s"] == 32760
+    assert 0 < row["e"] < 1000000 and 0 < row["n"] < 10000000  # southern false northing
+    assert abs(row["via_merc_e"] - round(row["e"], 3)) < 0.001
