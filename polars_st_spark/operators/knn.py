@@ -105,6 +105,33 @@ def lsh_bucket(vec, dim: int, n_planes: int = 8, seed: int = 42) -> Column:
     return bucket
 
 
+def _probe_buckets(vec, dim: int, n_planes: int, seed: int, n_probes: int) -> Column:
+    """Array of probe bucket ids: the base bucket plus single-bit flips of the
+    ``n_probes - 1`` lowest-|margin| hyperplanes (classic multi-probe LSH —
+    the nearest neighbors a query misses are almost always just across the
+    planes it barely cleared)."""
+    v = col_or_lit(vec).cast("array<double>")
+    planes = _hyperplanes(dim, n_planes, seed)
+    dots = []
+    bucket = F.lit(0).cast("long")
+    for p in range(n_planes):
+        lit_plane = F.array(*[F.lit(float(x)) for x in planes[p]])
+        d = _dot(v, lit_plane)
+        dots.append(d)
+        bucket = bucket + F.when(d >= 0, F.lit(2 ** p).cast("long")).otherwise(F.lit(0).cast("long"))
+    if n_probes <= 1:
+        return F.array(bucket)
+    margins = F.array_sort(F.array(*[
+        F.struct(F.abs(d).alias("m"), F.lit(p).alias("p")) for p, d in enumerate(dots)
+    ]))
+    flips = [bucket]
+    for i in range(min(n_probes - 1, n_planes)):
+        # 2^p as a column (shiftleft needs a literal shift amount)
+        plane_bit = F.pow(F.lit(2.0), margins[i]["p"].cast("double")).cast("long")
+        flips.append(bucket.bitwiseXOR(plane_bit))
+    return F.array(*flips)
+
+
 def cosine_topk_lsh(
     queries: DataFrame,
     corpus: DataFrame,
@@ -112,20 +139,26 @@ def cosine_topk_lsh(
     dim: int = 64,
     n_planes: int = 8,
     seed: int = 42,
+    n_probes: int = 1,
     query_id: str = "vec_id",
     corpus_id: str = "vec_id",
     query_vec: str = "embedding",
     corpus_vec: str = "embedding",
 ) -> DataFrame:
     """Approximate top-k: candidates share an LSH bucket; equi-join on bucket
-    id (hash shuffle) instead of a cross product. Recall grows with fewer
-    planes; n_planes=8 → 256 buckets."""
+    id (hash shuffle) instead of a cross product.
+
+    ``n_probes > 1`` enables multi-probe: each query additionally searches the
+    buckets across its lowest-margin hyperplanes, recovering the neighbors a
+    single-bucket probe misses at the cost of ~n_probes× candidate volume
+    (still a bucket equi-join — never all-pairs). Measured recall@10 vs the
+    exact scan lives in tests/test_pipeline_ops.py::test_lsh_recall."""
     from pyspark.sql.window import Window
 
     q = queries.select(
         F.col(query_id).alias("query_id"),
         F.col(query_vec).alias("_qv"),
-        lsh_bucket(query_vec, dim, n_planes, seed).alias("_bucket"),
+        F.explode(_probe_buckets(query_vec, dim, n_planes, seed, n_probes)).alias("_bucket"),
     )
     c = corpus.select(
         F.col(corpus_id).alias("corpus_id"),
@@ -135,6 +168,8 @@ def cosine_topk_lsh(
     scored = (
         c.join(q, on="_bucket")
         .where(F.col("query_id") != F.col("corpus_id"))
+        # a pair can collide in several probe buckets — dedup BEFORE ranking
+        .dropDuplicates(["query_id", "corpus_id"])
         .withColumn("cosine", cosine_similarity("_qv", "_cv"))
     )
     w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("corpus_id").asc())

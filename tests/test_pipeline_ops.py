@@ -139,3 +139,35 @@ def test_multimodal_plumbing(spark):
     assert frames.count() == 8  # 2 media × 4 frames
     with pytest.raises(NotImplementedError):
         image_features(df, "payload", "media_id", decode="real")
+
+
+def test_lsh_recall(spark):
+    """Measured recall@10 of the LSH ANN path vs the exact scan.
+
+    The driver embeddings are near-uniform (no cluster structure), the
+    hardest case for sign-LSH: recall tracks the fraction of corpus scanned.
+    Multi-probe (flipping the lowest-margin planes) should recover ~3x the
+    recall of a single-bucket probe at the same plane count (measured r2:
+    0.13 -> 0.40 at 4 planes / 4 probes on sf0.01)."""
+    from pyspark.sql import functions as F
+
+    from polars_st_spark.operators import knn as K
+
+    emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet").cache()
+    q = emb.where(F.col("vec_id") < 30)
+    truth: dict = {}
+    for r in K.cosine_topk(q, emb, k=10).collect():
+        truth.setdefault(r["query_id"], set()).add(r["corpus_id"])
+
+    def recall(n_planes, n_probes):
+        got: dict = {}
+        rows = K.cosine_topk_lsh(q, emb, k=10, dim=64, n_planes=n_planes,
+                                 n_probes=n_probes).collect()
+        for r in rows:
+            got.setdefault(r["query_id"], set()).add(r["corpus_id"])
+        return sum(len(truth[k] & got.get(k, set())) / len(truth[k]) for k in truth) / len(truth)
+
+    single = recall(4, 1)
+    multi = recall(4, 4)
+    assert multi > 2 * single
+    assert multi > 0.3
