@@ -923,6 +923,42 @@ def q_embedding_dup(spark, sf):
     )
 
 
+def q_geojson_io(spark, sf):
+    """Sink/source round-trips (§2.1): write_ndgeojson → read_ndgeojson
+    (distributed, one Feature per line) and write_geojson → read_geojson
+    (whole FeatureCollection), areas re-derived after the round-trip."""
+    from polars_st_spark.sources.geojson_io import (
+        read_geojson, read_ndgeojson, write_geojson, write_ndgeojson)
+
+    r = _nation_rects(spark, sf).select("n_nationkey", F.col("rect").alias("geometry"))
+    nd_path = "/tmp/polars_st_gate_ndgeojson"
+    fc_path = "/tmp/polars_st_gate_fc.geojson"
+    write_ndgeojson(r, nd_path)
+    write_geojson(r, fc_path)
+    nd = read_ndgeojson(spark, nd_path).select(
+        "n_nationkey", st.st_area("geometry").alias("nd_area"))
+    fc = read_geojson(spark, fc_path).select(
+        "n_nationkey", st.st_area("geometry").alias("fc_area"))
+    return nd.join(fc, "n_nationkey")
+
+
+def q_geoparquet_io(spark, sf):
+    """Geoparquet writer with bbox-grid partition pruning (§2.1 extra):
+    write with a 20-unit cell grid, read back with a bbox — the cell filter
+    prunes partitions before the exact bbox test."""
+    from polars_st_spark.sources.parquet_io import read_geoparquet, write_geoparquet
+
+    pts = _cust_pts(spark, sf).select("c_custkey", F.col("pt").alias("geometry"))
+    path = "/tmp/polars_st_gate_geoparquet"
+    write_geoparquet(pts, path, partition_grid=20.0)
+    got = read_geoparquet(spark, path, bbox=(15.0, 15.0, 55.0, 47.0), partition_grid=20.0)
+    return got.select(
+        "c_custkey",
+        st.st_x("geometry").alias("px"),
+        st.st_y("geometry").alias("py"),
+    )
+
+
 def q_utm_roundtrip(spark, sf):
     """4326→UTM zone 31N→4326 round-trip (Krüger series closed forms) for
     points inside the zone's longitude band."""
@@ -1112,6 +1148,8 @@ _QUERIES = {
         "precision_meta": q_precision_meta,
         "srid_roundtrip": q_srid_roundtrip,
         "embedding_dup": q_embedding_dup,
+        "geojson_io": q_geojson_io,
+        "geoparquet_io": q_geoparquet_io,
         "utm_roundtrip": q_utm_roundtrip,
         "buffer_styles": q_buffer_styles,
         "curve_measures": q_curve_measures,
@@ -1415,6 +1453,15 @@ def oracle_sql() -> dict[str, str]:
                           THEN list_dot_product(a.v, b.v) /
                                (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v)))
                           ELSE 0.0 END, 6) >= 0.45""",
+        "geojson_io": f"""
+            SELECT n_nationkey,
+                   (x1-x0)*(y1-y0) AS nd_area,
+                   (x1-x0)*(y1-y0) AS fc_area
+            FROM ({_ORACLE_NATION})""",
+        "geoparquet_io": f"""
+            SELECT c_custkey, x AS px, y AS py
+            FROM ({_ORACLE_CUST})
+            WHERE x >= 15.0 AND x <= 55.0 AND y >= 15.0 AND y <= 47.0""",
         "utm_roundtrip": f"""
             SELECT c_custkey, ROUND(x, 6) AS rt_x, ROUND(y, 6) AS rt_y,
                    32631 AS utm_srid
