@@ -153,6 +153,34 @@ def _classify_and_stitch(pieces, region_fn, srid, seg_sets):
             scale = max(scale, abs(p[0]), abs(p[1]))
     base_eps = 1e-9 * scale
 
+    # all boundary segments as arrays, for probe-distance capping
+    seg_c = []
+    seg_d = []
+    for segs in seg_sets:
+        for p, q in segs:
+            seg_c.append(p[:2])
+            seg_d.append(q[:2] - p[:2])
+    C = np.asarray(seg_c, dtype=np.float64).reshape(-1, 2)
+    D = np.asarray(seg_d, dtype=np.float64).reshape(-1, 2)
+
+    def _probe_caps(m, nx, ny):
+        """Nearest hit distance along ±(nx,ny) from m to any boundary
+        segment — the probe must stay inside the local face, so it can never
+        cross another edge (sliver-safe classification)."""
+        if len(C) == 0:
+            return math.inf, math.inf
+        denom = nx * D[:, 1] - ny * D[:, 0]
+        ok = np.abs(denom) > 1e-300
+        delta = C - m
+        with np.errstate(divide="ignore", invalid="ignore"):
+            t = (delta[:, 0] * D[:, 1] - delta[:, 1] * D[:, 0]) / denom
+            s = (delta[:, 0] * ny - delta[:, 1] * nx) / denom
+        hit = ok & (s >= -1e-12) & (s <= 1.0 + 1e-12)
+        tpos = t[hit & (t > base_eps)]
+        tneg = t[hit & (t < -base_eps)]
+        return (tpos.min() if len(tpos) else math.inf,
+                (-tneg).min() if len(tneg) else math.inf)
+
     edges = []  # directed (start, end) with result-interior on the left
     for p, q in pieces:
         d = q - p
@@ -161,13 +189,18 @@ def _classify_and_stitch(pieces, region_fn, srid, seg_sets):
             continue
         nx, ny = -d[1] / ln, d[0] / ln
         m = (p + q) / 2.0
-        # probe distance adapts to the sub-segment length: near-tangent
-        # intersections position nodes with error larger than a fixed 1e-9,
-        # which would misclassify; a probe ~20% of the local edge length away
-        # stays inside the correct face for non-sliver geometry
+        # probe distance adapts to the sub-segment length (near-tangent
+        # intersections position nodes with error larger than a fixed 1e-9)
+        # but is capped at 40% of the distance to the nearest other edge
+        # along the probe ray — otherwise a probe wider than a sliver face
+        # lands outside it and the sliver's edges are silently dropped
+        # (found by tests/test_overlay_adversarial.py)
         eps = max(base_eps, min(1e-4 * scale, 0.2 * ln))
-        left = m + eps * np.array([nx, ny])
-        right = m - eps * np.array([nx, ny])
+        cap_l, cap_r = _probe_caps(m, nx, ny)
+        eps_l = max(base_eps, min(eps, 0.4 * cap_l))
+        eps_r = max(base_eps, min(eps, 0.4 * cap_r))
+        left = m + eps_l * np.array([nx, ny])
+        right = m - eps_r * np.array([nx, ny])
         rl = region_fn(left)
         rr = region_fn(right)
         if rl == rr:
@@ -180,17 +213,43 @@ def _classify_and_stitch(pieces, region_fn, srid, seg_sets):
     if not edges:
         return Geometry(GeometryType.Polygon, srid=srid, rings=[])
 
-    # dedupe identical directed edges (shared boundaries emit twice)
-    def key(p):
-        return (round(float(p[0]), 9), round(float(p[1]), 9))
+    # Node unification by PROXIMITY, not decimal rounding: two instances of
+    # the same junction may carry up to ~base_eps of node-placement error,
+    # and a fixed round(x, 9) grid both merges distinct 1e-9-scale features
+    # and splits equal nodes that straddle a rounding boundary (a 1e-9
+    # vertex jitter used to dead-end the ring walk and return EMPTY — found
+    # by tests/test_overlay_adversarial.py).
+    ngrid = max(base_eps * 4.0, 1e-12)
+    _cells: dict[tuple, list[int]] = {}
+    _nodes: list[tuple] = []
 
+    def key(p):
+        x, y = float(p[0]), float(p[1])
+        cx, cy = math.floor(x / ngrid), math.floor(y / ngrid)
+        for dx in (0, -1, 1):
+            for dy in (0, -1, 1):
+                for nid in _cells.get((cx + dx, cy + dy), ()):
+                    qx, qy = _nodes[nid]
+                    if abs(qx - x) <= ngrid and abs(qy - y) <= ngrid:
+                        return nid
+        nid = len(_nodes)
+        _nodes.append((x, y))
+        _cells.setdefault((cx, cy), []).append(nid)
+        return nid
+
+    # dedupe identical directed edges (shared boundaries emit twice) and
+    # drop edges whose endpoints collapse to one node (sub-tolerance)
     uniq = {}
     for p, q in edges:
-        uniq[(key(p), key(q))] = (p, q)
+        kp, kq = key(p), key(q)
+        if kp != kq:
+            uniq[(kp, kq)] = (p, q)
     edges = list(uniq.values())
+    if not edges:
+        return Geometry(GeometryType.Polygon, srid=srid, rings=[])
 
     # stitch rings: at junctions take the most-counterclockwise turn
-    out_edges: dict[tuple, list[int]] = {}
+    out_edges: dict[int, list[int]] = {}
     for i, (p, q) in enumerate(edges):
         out_edges.setdefault(key(p), []).append(i)
     used = [False] * len(edges)
