@@ -1035,6 +1035,22 @@ def q_knn_lsh(spark, sf):
     return _knn.cosine_topk_lsh(queries, emb, k=3, dim=64, n_planes=4)
 
 
+def q_multimodal_audio(spark, sf):
+    """Audio plumbing: deterministic fake PCM decode → scalar features
+    (rows-only: FFT band split is not SQL-expressible)."""
+    from polars_st_spark.operators.multimodal import audio_features
+
+    docs = spark.read.parquet(f"{sf}/documents.parquet").limit(50)
+    payloads = docs.select("doc_id", F.encode("text", "utf-8").alias("payload"))
+    out = audio_features(payloads, "payload", "doc_id", n_samples=2048)
+    return out.select(
+        "doc_id",
+        F.round("duration_s", 5).alias("dur"),
+        F.round("rms", 5).alias("rms"),
+        F.round("zero_crossing_rate", 5).alias("zcr"),
+    )
+
+
 def q_multimodal_features(spark, sf):
     """Binary payload plumbing: deterministic pseudo-decode features.
 
@@ -1158,6 +1174,7 @@ _QUERIES = {
         "to_srid_mercator": q_to_srid_mercator,
         "knn_lsh": q_knn_lsh,
         "multimodal_features": q_multimodal_features,
+        "multimodal_audio": q_multimodal_audio,
     }
 
 

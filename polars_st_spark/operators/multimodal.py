@@ -36,6 +36,8 @@ __all__ = [
     "MEDIA_SCHEMA",
     "attach_media_metadata",
     "image_features",
+    "image_resize",
+    "audio_features",
     "frame_sample",
 ]
 
@@ -129,6 +131,108 @@ def image_features(
                     "width": w,
                     "channels": 3,
                     "features": feats,
+                }
+            )
+
+    return df.mapInPandas(gen, schema=schema)
+
+
+def image_resize(
+    df: DataFrame,
+    payload_col: str,
+    id_col: str,
+    size: tuple[int, int] = (4, 4),
+    decode: str = "fake",
+) -> DataFrame:
+    """Decode → resize → re-encode plumbing: output keeps the binary payload
+    column shape (payload in, payload out) so resize stages compose in a
+    pipeline. Fake decode produces the deterministic pseudo-image; the
+    "re-encode" is its raw RGB bytes."""
+    if decode == "real":
+        raise NotImplementedError(
+            "real image decode requires Pillow/opencv, not present in this runtime"
+        )
+    if decode != "fake":
+        raise ValueError(f"decode must be 'real' or 'fake', got {decode!r}")
+    h, w = size
+    schema = StructType(
+        [
+            df.schema[id_col],
+            StructField("payload", BinaryType()),
+            StructField("height", IntegerType()),
+            StructField("width", IntegerType()),
+        ]
+    )
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, payloads = [], []
+            for i, payload in zip(pdf[id_col], pdf[payload_col]):
+                if payload is None:
+                    continue
+                ids.append(i)
+                payloads.append(_fake_decode(bytes(payload), h, w).tobytes())
+            yield pd.DataFrame({id_col: ids, "payload": payloads, "height": h, "width": w})
+
+    return df.mapInPandas(gen, schema=schema)
+
+
+def audio_features(
+    df: DataFrame,
+    payload_col: str,
+    id_col: str,
+    decode: str = "fake",
+    sample_rate: int = 16000,
+    n_samples: int = 4096,
+) -> DataFrame:
+    """Decode → PCM feature extraction via mapInPandas: duration, RMS level,
+    zero-crossing rate, and low/high band energy split. Fake decode derives a
+    deterministic int16 PCM stream from the payload's md5 stream; real decode
+    needs an audio codec (soundfile/ffmpeg) and raises until one exists."""
+    if decode == "real":
+        raise NotImplementedError(
+            "real audio decode requires soundfile/ffmpeg, not present in this runtime"
+        )
+    if decode != "fake":
+        raise ValueError(f"decode must be 'real' or 'fake', got {decode!r}")
+    schema = StructType(
+        [
+            df.schema[id_col],
+            StructField("duration_s", FloatType()),
+            StructField("rms", FloatType()),
+            StructField("zero_crossing_rate", FloatType()),
+            StructField("low_band_energy", FloatType()),
+            StructField("high_band_energy", FloatType()),
+        ]
+    )
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = {k: [] for k in ("id", "dur", "rms", "zcr", "lo", "hi")}
+            for i, payload in zip(pdf[id_col], pdf[payload_col]):
+                if payload is None:
+                    continue
+                raw = _fake_decode(bytes(payload), 1, (n_samples * 2 + 2) // 3).reshape(-1)
+                pcm = raw[: n_samples * 2].view(np.uint8).astype(np.uint16)
+                pcm = (pcm[0::2].astype(np.int32) | (pcm[1::2].astype(np.int32) << 8))
+                pcm = (pcm - 32768).astype(np.float64) / 32768.0
+                rows["id"].append(i)
+                rows["dur"].append(len(pcm) / sample_rate)
+                rows["rms"].append(float(np.sqrt(np.mean(pcm * pcm))))
+                rows["zcr"].append(float(np.mean(np.signbit(pcm[1:]) != np.signbit(pcm[:-1]))))
+                spec = np.abs(np.fft.rfft(pcm)) ** 2
+                half = len(spec) // 2
+                total = spec.sum() or 1.0
+                rows["lo"].append(float(spec[:half].sum() / total))
+                rows["hi"].append(float(spec[half:].sum() / total))
+            yield pd.DataFrame(
+                {
+                    id_col: rows["id"],
+                    "duration_s": rows["dur"],
+                    "rms": rows["rms"],
+                    "zero_crossing_rate": rows["zcr"],
+                    "low_band_energy": rows["lo"],
+                    "high_band_energy": rows["hi"],
                 }
             )
 

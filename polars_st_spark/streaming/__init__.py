@@ -16,7 +16,52 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["streaming_points_in_zones", "windowed_spatial_agg"]
+__all__ = [
+    "streaming_points_in_zones",
+    "windowed_spatial_agg",
+    "streaming_exact_dedup",
+    "streaming_minhash_tag",
+]
+
+
+def streaming_exact_dedup(
+    stream: DataFrame,
+    text_col: str = "text",
+    ts_col: str | None = None,
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Continuous exact deduplication of a document stream.
+
+    Keyed on the md5 of the text (uniform key — no skew). With a timestamp
+    column the state is bounded by ``dropDuplicatesWithinWatermark`` (a late
+    duplicate beyond the watermark may re-emit — the documented at-least-once
+    envelope); without one it falls back to unbounded-state dropDuplicates,
+    which is only safe for bounded key cardinality."""
+    keyed = stream.withColumn("_text_hash", F.md5(F.col(text_col)))
+    if ts_col is not None:
+        out = keyed.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(["_text_hash"])
+    else:
+        out = keyed.dropDuplicates(["_text_hash"])
+    return out.drop("_text_hash")
+
+
+def streaming_minhash_tag(
+    stream: DataFrame,
+    text_col: str = "text",
+    k: int = 16,
+    bands: int = 4,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Stateless near-dup tagging for a stream: attach the MinHash band
+    hashes so a downstream join/groupBy (batch or stream-stream with
+    watermarks) can bucket candidates. The signature UDF is stateless, so it
+    composes with readStream unchanged."""
+    from polars_st_spark.operators.textops import shingle_sig_bands_udf
+
+    s = shingle_sig_bands_udf(text_col, k, bands, shingle_n)
+    return stream.withColumn("_sig", s).withColumn(
+        "band_hashes", F.col("_sig.bands")
+    ).drop("_sig")
 
 
 def streaming_points_in_zones(

@@ -171,3 +171,33 @@ def test_lsh_recall(spark):
     multi = recall(4, 4)
     assert multi > 2 * single
     assert multi > 0.3
+
+
+def test_audio_features_plumbing(spark):
+    from pyspark.sql import functions as F
+
+    from polars_st_spark.operators.multimodal import audio_features
+
+    df = spark.createDataFrame([(1, b"abc"), (2, b"def"), (3, None)], ["id", "payload"])
+    out = audio_features(df, "payload", "id", n_samples=1024).collect()
+    assert len(out) == 2  # null payload dropped
+    r = {x["id"]: x for x in out}
+    assert abs(r[1]["duration_s"] - 1024 / 16000) < 1e-6
+    assert 0.0 < r[1]["rms"] < 1.0
+    assert 0.0 < r[1]["zero_crossing_rate"] < 1.0
+    assert abs(r[1]["low_band_energy"] + r[1]["high_band_energy"] - 1.0) < 1e-6
+    # deterministic: same payload -> same features
+    again = {x["id"]: x for x in audio_features(df, "payload", "id", n_samples=1024).collect()}
+    assert again[2]["rms"] == r[2]["rms"]
+
+
+def test_image_resize_composes(spark):
+    from polars_st_spark.operators.multimodal import image_features, image_resize
+
+    df = spark.createDataFrame([(1, b"payload-bytes")], ["id", "payload"])
+    small = image_resize(df, "payload", "id", size=(4, 4))
+    assert small.first()["height"] == 4
+    assert len(bytes(small.first()["payload"])) == 4 * 4 * 3
+    # resized payload feeds the feature extractor (pipeline composition)
+    feats = image_features(small, "payload", "id", resize=(2, 2)).first()
+    assert len(feats["features"]) == 3

@@ -73,3 +73,57 @@ def test_sessionize_stream(spark, tmp_path):
     # closes when the 45-min gap arrives within the same batch
     got = {(r["user_id"], r["n_events"]) for r in out}
     assert (1, 2) in got
+
+
+def test_streaming_exact_dedup(spark, tmp_path):
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    from polars_st_spark.streaming import streaming_exact_dedup
+
+    src = str(tmp_path / "dedup_src")
+    chk = str(tmp_path / "dedup_chk")
+    t0 = dt.datetime(2026, 1, 1, 12, 0, 0)
+    rows = [
+        (1, "alpha doc", t0),
+        (2, "alpha doc", t0 + dt.timedelta(minutes=1)),  # dup
+        (3, "beta doc", t0 + dt.timedelta(minutes=2)),
+        (4, "alpha doc", t0 + dt.timedelta(minutes=3)),  # dup
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text", "ts"])
+    df.write.mode("overwrite").parquet(src)
+    stream = spark.readStream.schema(df.schema).parquet(src)
+    deduped = streaming_exact_dedup(stream, "text", ts_col="ts", watermark="30 minutes")
+    q = (
+        deduped.writeStream.format("memory").queryName("dedup_stream")
+        .option("checkpointLocation", chk).outputMode("append")
+        .trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+    out = spark.sql("select * from dedup_stream").collect()
+    texts = sorted(r["text"] for r in out)
+    assert texts == ["alpha doc", "beta doc"]
+
+
+def test_streaming_minhash_tag(spark, tmp_path):
+    from polars_st_spark.streaming import streaming_minhash_tag
+
+    src = str(tmp_path / "tag_src")
+    df = spark.createDataFrame(
+        [(1, "the quick brown fox jumps over the lazy dog"),
+         (2, "the quick brown fox jumps over the lazy dog"),
+         (3, "completely different text with other words entirely")],
+        ["doc_id", "text"],
+    )
+    df.write.mode("overwrite").parquet(src)
+    stream = spark.readStream.schema(df.schema).parquet(src)
+    tagged = streaming_minhash_tag(stream, "text")
+    q = (
+        tagged.writeStream.format("memory").queryName("tag_stream")
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+    out = {r["doc_id"]: r["band_hashes"] for r in spark.sql("select * from tag_stream").collect()}
+    assert out[1] == out[2]  # identical docs share every band
+    assert out[1] != out[3]
