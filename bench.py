@@ -64,6 +64,21 @@ def main() -> None:
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").repartition(ncpu).cache()
     emb.count()
 
+    # Session warmup: spin up the Arrow Python workers and JIT the heavy
+    # expression/codegen paths on a 100-row slice so per-query timings
+    # measure the operators, not first-use compilation. Every measured query
+    # still runs exactly once.
+    # (a near_dup_pairs warmup was tried and removed: its multi-stage
+    # shuffle leaves the session in a state that triples the next big
+    # Arrow-transfer query — see round-2 notes)
+    warm = docs.limit(100)
+    warm.select(
+        F.sum(_t.token_count("text")),
+        F.count(_t.lang_predict("text")),
+        F.sum(_t.quality_score("text")),
+    ).collect()
+    li_rects.limit(100).select(F.sum(st.st_area("rect"))).collect()
+
     def timed(fn):
         t0 = time.time()
         fn()
