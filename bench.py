@@ -50,15 +50,16 @@ def main() -> None:
     from polars_st_spark.operators.sjoin import st_sjoin
     import __spark_entry__ as E
 
-    li_rects = E._li_rects(spark, sf_dir).cache()
+    # Single-file local parquet arrives as 1-3 scan partitions, which would
+    # serialize every downstream expression on a few cores. At 100 TB the
+    # scan has thousands of splits; give the local stand-in the same
+    # parallelism.
+    ncpu = int(cpus)
+    li_rects = E._li_rects(spark, sf_dir).repartition(ncpu).cache()
     li_rects.count()  # materialize input once so timings measure the operator
-    cust = E._cust_pts(spark, sf_dir).cache()
+    cust = E._cust_pts(spark, sf_dir).repartition(ncpu).cache()
     cust.count()
     nations = E._nation_rects(spark, sf_dir)
-    # Single-file local parquet arrives as 1 scan partition, which would
-    # serialize every downstream expression on one core. At 100 TB the scan
-    # has thousands of splits; give the local stand-in the same parallelism.
-    ncpu = int(cpus)
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet").repartition(ncpu).cache()
     docs.count()
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").repartition(ncpu).cache()
