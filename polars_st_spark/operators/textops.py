@@ -1,9 +1,12 @@
 """Text-analysis operators for large-scale training-data pipelines.
 
-Everything here compiles to **pure Spark SQL expressions** (JVM-side,
-whole-stage codegen, zero Python UDFs in the hot path): tokenization, token
-counting, quality scoring, language-ID heuristic, shingling, MinHash
-signatures, LSH banding, SimHash, and rolling-hash fingerprints.
+Tokenization, token counting, quality scoring, language-ID heuristic,
+shingling, MinHash signatures, LSH banding, SimHash, and rolling-hash
+fingerprints — all available as pure Spark SQL expressions (JVM-side,
+oracle-checkable), plus ONE Arrow-batched pandas UDF
+(:func:`shingle_sig_bands_udf`) that fuses tokenize→shingle→minhash→bands
+into a single corpus pass for the dedup pipeline (bit-identical hashes,
+~5× the interpreted higher-order-function evaluation).
 
 Hashing is md5-based so results are bit-identical across engines (DuckDB
 oracle parity): ``hash_i(s) = int(md5(i || ':' || s)[:8], 16)``.
@@ -27,6 +30,7 @@ __all__ = [
     "lang_predict",
     "shingles",
     "minhash_signature",
+    "minhash_signature_from_shingles",
     "shingle_sig_bands_udf",
     "lsh_bands",
     "simhash32",
@@ -158,37 +162,6 @@ def minhash_signature_from_shingles(shingle_col, k: int = 16) -> Column:
     return F.array(*[F.array_min(F.transform(sh, _hash_i_fn(i))) for i in range(k)])
 
 
-def minhash_signature_udf(shingle_col, k: int = 16) -> Column:
-    """MinHash as an Arrow-batched pandas UDF over a shingle array column.
-
-    Bit-identical to the SQL-expression variant (same md5('i:'+s) scheme) but
-    ~5× faster: Spark's interpreted higher-order-function evaluation costs
-    more per hash than Python hashlib. Used by the dedup pipeline operator;
-    the SQL variant remains the oracle-checkable form.
-    """
-    import hashlib
-
-    @F.pandas_udf("array<long>")
-    def udf(s: pd.Series) -> pd.Series:
-        def sig(shingles):
-            if shingles is None:
-                return None
-            out = []
-            for i in range(k):
-                prefix = f"{i}:".encode()
-                m = min(
-                    int.from_bytes(
-                        bytes.fromhex(hashlib.md5(prefix + x.encode()).hexdigest()[:8]), "big"
-                    )
-                    for x in shingles
-                ) if len(shingles) else 0
-                out.append(m)
-            return out
-
-        return s.map(sig)
-
-    return udf(col_or_lit(shingle_col))
-
 
 def lsh_bands(signature, bands: int = 4, rows_per_band: int = 4) -> Column:
     """Band hashes for LSH bucketing: md5 of each signature slice.
@@ -201,27 +174,6 @@ def lsh_bands(signature, bands: int = 4, rows_per_band: int = 4) -> Column:
         ]
     )
 
-
-def shingles_udf(text, n: int = 3) -> Column:
-    """Tokenize + shingle in one pandas-UDF pass; identical output to the SQL
-    ``shingles()`` expression for ASCII corpora."""
-    import re
-
-    ws = re.compile(r"\s+")
-
-    @F.pandas_udf("array<string>")
-    def udf(s: pd.Series) -> pd.Series:
-        def one(t):
-            if t is None:
-                return None
-            toks = ws.split(t.strip().lower())
-            if len(toks) >= n:
-                return [" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)]
-            return [" ".join(toks)]
-
-        return s.map(one)
-
-    return udf(col_or_lit(text))
 
 
 def shingle_sig_bands_udf(text, k: int = 16, bands: int = 4, shingle_n: int = 3) -> Column:
@@ -299,46 +251,6 @@ def shingle_sig_bands_udf(text, k: int = 16, bands: int = 4, shingle_n: int = 3)
 
     return udf(col_or_lit(text))
 
-
-def lsh_band_rows_udf(text, k: int = 16, bands: int = 4, shingle_n: int = 3) -> Column:
-    """Tokenize → shingle → MinHash → band hashes in ONE pandas-UDF pass
-    (array<string> of band hashes; explode + join downstream).
-
-    Bit-identical to the staged SQL expression pipeline: tokens are
-    ``text.strip().lower()`` split on ASCII whitespace runs (equals Spark's
-    ``split(trim(lower(text)), '\\s+')`` for ASCII corpora), hashes are the
-    same ``md5('i:'+shingle)[:8]`` scheme, band hash the same
-    ``md5(comma-joined signature slice)``.
-    """
-    import hashlib
-    import re
-
-    rows = k // bands
-    ws = re.compile(r"\s+")
-
-    @F.pandas_udf("array<string>")
-    def udf(s: pd.Series) -> pd.Series:
-        def one(text_val):
-            if text_val is None:
-                return None
-            toks = ws.split(text_val.strip().lower())
-            if len(toks) >= shingle_n:
-                sh = [" ".join(toks[i : i + shingle_n]) for i in range(len(toks) - shingle_n + 1)]
-            else:
-                sh = [" ".join(toks)]
-            enc = [x.encode() for x in sh]
-            sig = []
-            for i in range(k):
-                prefix = f"{i}:".encode()
-                sig.append(min(int(hashlib.md5(prefix + e).hexdigest()[:8], 16) for e in enc))
-            return [
-                hashlib.md5(",".join(str(v) for v in sig[b * rows : (b + 1) * rows]).encode()).hexdigest()
-                for b in range(bands)
-            ]
-
-        return s.map(one)
-
-    return udf(col_or_lit(text))
 
 
 def simhash32(text) -> Column:
