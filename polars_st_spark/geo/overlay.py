@@ -125,7 +125,7 @@ def self_union(g: Geometry) -> Geometry:
     return _classify_and_stitch(pieces, lambda p: _inside(pa, p), g.srid, [sa])
 
 
-def overlay(a: Geometry, b: Geometry, op: str) -> Geometry:
+def overlay(a: Geometry, b: Geometry, op: str, _snapped: bool = False) -> Geometry:
     if op not in _OPS:
         raise ValueError(f"Unknown overlay op {op!r}")
     pa = _polygons_of(a)
@@ -140,9 +140,35 @@ def overlay(a: Geometry, b: Geometry, op: str) -> Geometry:
     # vertex) — without self-noding the ring walk dead-ends there
     both = sa + sb
     pieces = _split_at_crossings(sa, both) + _split_at_crossings(sb, both)
-    return _classify_and_stitch(
+    out = _classify_and_stitch(
         pieces, lambda p: R(_inside(pa, p), _inside(pb, p)), srid, [sa, sb]
     )
+    # A union of non-empty inputs can never be empty: an empty result means
+    # sub-tolerance parallel boundaries (e.g. a 1e-9 jitter between shared
+    # edges) confused classification/stitching. Snap the inputs to the node
+    # grid — collapsing the jitter to an exact shared edge — and retry once.
+    if (
+        not _snapped
+        and op == "union"
+        and out.is_empty()
+        and (pa or pb)
+    ):
+        scale = 1.0
+        for segs in both:
+            p, q = segs
+            scale = max(scale, abs(p[0]), abs(p[1]), abs(q[0]), abs(q[1]))
+        grid = 4e-9 * scale
+        return overlay(_snap_to_grid(a, grid), _snap_to_grid(b, grid), op, _snapped=True)
+    return out
+
+
+def _snap_to_grid(g: Geometry, grid: float) -> Geometry:
+    def f(arr: np.ndarray) -> np.ndarray:
+        out = arr.copy()
+        out[:, :2] = np.round(arr[:, :2] / grid) * grid
+        return out
+
+    return g.map_coords(f)
 
 
 def _classify_and_stitch(pieces, region_fn, srid, seg_sets):
