@@ -1035,6 +1035,15 @@ def q_knn_lsh(spark, sf):
     return _knn.cosine_topk_lsh(queries, emb, k=3, dim=64, n_planes=4)
 
 
+def q_knn_ivf(spark, sf):
+    """IVF ANN: seeded k-means coarse quantizer, cell equi-join (rows-only:
+    the quantizer fit is not SQL-expressible). operators/knn.py
+    cosine_topk_ivf; measured recall vs exact in test_ivf_recall."""
+    emb = spark.read.parquet(f"{sf}/embeddings.parquet")
+    queries = emb.where(F.col("vec_id") < 5)
+    return _knn.cosine_topk_ivf(queries, emb, k=3, n_cells=16, n_probe=4)
+
+
 def q_multimodal_audio(spark, sf):
     """Audio plumbing: deterministic fake PCM decode → scalar features
     (rows-only: FFT band split is not SQL-expressible)."""
@@ -1173,6 +1182,7 @@ _QUERIES = {
         "buffer_area": q_buffer_area,
         "to_srid_mercator": q_to_srid_mercator,
         "knn_lsh": q_knn_lsh,
+        "knn_ivf": q_knn_ivf,
         "multimodal_features": q_multimodal_features,
         "multimodal_audio": q_multimodal_audio,
     }

@@ -8,6 +8,14 @@
   bucket). The scale path: shuffle is an equi-join on bucket id instead of a
   broadcast cross product. Hyperplanes are derived deterministically from a
   seed via md5, so results are reproducible across runs and engines.
+- :func:`cosine_topk_ivf` — IVF (inverted-file) ANN: a spherical k-means
+  coarse quantizer is fit driver-side on a bounded sample, every corpus
+  vector is assigned to its nearest centroid cell (one Arrow-batched numpy
+  matmul — no per-row Python), and each query probes only its ``n_probe``
+  nearest cells. Same equi-join-on-cell shuffle topology as LSH, but the
+  partitions follow the data distribution, so recall per candidate scanned
+  is higher on clustered data. The centroid table is tiny
+  (``n_cells × dim`` floats) and ships inside the UDF closure.
 """
 
 from __future__ import annotations
@@ -16,12 +24,20 @@ import hashlib
 import struct
 
 import numpy as np
+import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from polars_st_spark.functions.factory import col_or_lit
 
-__all__ = ["cosine_similarity", "cosine_topk", "cosine_topk_lsh", "lsh_bucket"]
+__all__ = [
+    "cosine_similarity",
+    "cosine_topk",
+    "cosine_topk_ivf",
+    "cosine_topk_lsh",
+    "ivf_centroids",
+    "lsh_bucket",
+]
 
 
 def _dot(a: Column, b: Column) -> Column:
@@ -170,6 +186,129 @@ def cosine_topk_lsh(
         .where(F.col("query_id") != F.col("corpus_id"))
         # a pair can collide in several probe buckets — dedup BEFORE ranking
         .dropDuplicates(["query_id", "corpus_id"])
+        .withColumn("cosine", cosine_similarity("_qv", "_cv"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("corpus_id").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "corpus_id", "cosine", "rank")
+    )
+
+
+def _unit_rows(vectors: np.ndarray) -> np.ndarray:
+    norms = np.linalg.norm(vectors, axis=1, keepdims=True)
+    norms[norms == 0] = 1.0
+    return vectors / norms
+
+
+def ivf_centroids(
+    corpus: DataFrame,
+    corpus_vec: str = "embedding",
+    n_cells: int = 16,
+    seed: int = 42,
+    sample_size: int | None = None,
+    iters: int = 10,
+) -> np.ndarray:
+    """Fit the IVF coarse quantizer: spherical k-means on a driver sample.
+
+    Only ``sample_size`` (default ``256 × n_cells``) vectors ever reach the
+    driver regardless of corpus size — at 100 TB the index build cost is
+    constant. k-means++ init and Lloyd iterations are seeded, so the same
+    (corpus, seed) always yields the same centroids. Empty cells are
+    re-seeded from the worst-served sample point, so all ``n_cells`` stay
+    live. Returns an ``(n_cells, dim)`` array of unit centroids.
+    """
+    sample_size = sample_size or 256 * n_cells
+    rows = corpus.select(F.col(corpus_vec).alias("v")).limit(sample_size).collect()
+    x = _unit_rows(np.array([r["v"] for r in rows], dtype=np.float64))
+    if len(x) < n_cells:
+        raise ValueError(f"corpus sample has {len(x)} vectors < n_cells={n_cells}")
+    rng = np.random.RandomState(seed)
+    # k-means++ (cosine distance = 1 - dot on unit vectors)
+    cents = [x[rng.randint(len(x))]]
+    for _ in range(1, n_cells):
+        d = 1.0 - np.max(np.stack([x @ c for c in cents]), axis=0)
+        d = np.clip(d, 0.0, None)
+        tot = d.sum()
+        if tot <= 0:
+            cents.append(x[rng.randint(len(x))])
+            continue
+        cents.append(x[rng.choice(len(x), p=d / tot)])
+    c = np.stack(cents)
+    for _ in range(iters):
+        assign = np.argmax(x @ c.T, axis=1)
+        for j in range(n_cells):
+            members = x[assign == j]
+            if len(members):
+                c[j] = members.sum(axis=0)
+            else:  # dead cell: steal the point farthest from its centroid
+                worst = np.argmin(np.max(x @ c.T, axis=1))
+                c[j] = x[worst]
+        c = _unit_rows(c)
+    return c
+
+
+def _cell_assign_udf(centroids: np.ndarray, n_probe: int):
+    """Arrow-batched numpy assignment: argsort of the (batch × cells) dot
+    matrix. Returns the top ``n_probe`` cell ids per vector (descending
+    centroid similarity)."""
+    from pyspark.sql.types import ArrayType, IntegerType
+
+    c_t = centroids.T.copy()
+
+    @F.pandas_udf(ArrayType(IntegerType()))
+    def cells(s: pd.Series) -> pd.Series:
+        if not len(s):
+            return pd.Series([], dtype=object)
+        x = _unit_rows(np.stack(s.to_numpy()).astype(np.float64))
+        order = np.argsort(-(x @ c_t), axis=1)[:, :n_probe]
+        return pd.Series(list(order.astype(np.int32)))
+
+    return cells
+
+
+def cosine_topk_ivf(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 10,
+    n_cells: int = 16,
+    n_probe: int = 4,
+    seed: int = 42,
+    centroids: np.ndarray | None = None,
+    query_id: str = "vec_id",
+    corpus_id: str = "vec_id",
+    query_vec: str = "embedding",
+    corpus_vec: str = "embedding",
+) -> DataFrame:
+    """Approximate top-k via an IVF coarse quantizer.
+
+    Corpus vectors land in exactly one cell; each query probes its
+    ``n_probe`` nearest cells, so the candidate set is an equi-join on cell
+    id — shuffle volume is ``~n_probe / n_cells`` of the cross product and
+    never all-pairs. Pass ``centroids`` (from :func:`ivf_centroids`) to
+    reuse a fitted index across calls; otherwise one is fit from a bounded
+    corpus sample. Measured recall@10 vs the exact scan lives in
+    tests/test_pipeline_ops.py::test_ivf_recall.
+    """
+    from pyspark.sql.window import Window
+
+    if centroids is None:
+        centroids = ivf_centroids(corpus, corpus_vec, n_cells=n_cells, seed=seed)
+    n_probe = min(n_probe, len(centroids))
+    q = queries.select(
+        F.col(query_id).alias("query_id"),
+        F.col(query_vec).alias("_qv"),
+        F.explode(_cell_assign_udf(centroids, n_probe)(F.col(query_vec))).alias("_cell"),
+    )
+    c = corpus.select(
+        F.col(corpus_id).alias("corpus_id"),
+        F.col(corpus_vec).alias("_cv"),
+        F.element_at(_cell_assign_udf(centroids, 1)(F.col(corpus_vec)), 1).alias("_cell"),
+    )
+    scored = (
+        c.join(q, on="_cell")
+        .where(F.col("query_id") != F.col("corpus_id"))
         .withColumn("cosine", cosine_similarity("_qv", "_cv"))
     )
     w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("corpus_id").asc())

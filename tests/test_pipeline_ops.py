@@ -173,6 +173,33 @@ def test_lsh_recall(spark):
     assert multi > 0.3
 
 
+def test_ivf_recall(spark):
+    """IVF's data-fit quantizer should beat random-hyperplane LSH at the
+    same ~25% scan fraction (measured r2: IVF 0.57 vs LSH 0.42 at k=10 on
+    the near-uniform sf0.01 embeddings)."""
+    from pyspark.sql import functions as F
+
+    from polars_st_spark.operators import knn as K
+
+    emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet").cache()
+    q = emb.where(F.col("vec_id") < 30)
+    truth: dict = {}
+    for r in K.cosine_topk(q, emb, k=10).collect():
+        truth.setdefault(r["query_id"], set()).add(r["corpus_id"])
+
+    got: dict = {}
+    for r in K.cosine_topk_ivf(q, emb, k=10, n_cells=16, n_probe=4).collect():
+        got.setdefault(r["query_id"], set()).add(r["corpus_id"])
+    ivf = sum(len(truth[k] & got.get(k, set())) / len(truth[k]) for k in truth) / len(truth)
+    assert ivf > 0.5
+
+    # determinism: the seeded quantizer yields identical centroids across fits
+    import numpy as np
+    c1 = K.ivf_centroids(emb, n_cells=16, seed=42)
+    c2 = K.ivf_centroids(emb, n_cells=16, seed=42)
+    assert np.array_equal(c1, c2)
+
+
 def test_audio_features_plumbing(spark):
     from pyspark.sql import functions as F
 
