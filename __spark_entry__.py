@@ -993,7 +993,8 @@ def q_buffer_styles(spark, sf):
 
 
 def q_curve_measures(spark, sf):
-    """CircularString semicircle: linearized length + bounds (geo/curves.py)."""
+    """CircularString semicircle: EXACT arc length (r·sweep = 9π) + exact
+    arc bounds (geo/curves.py exact_length/extreme_points)."""
     r = _nation_rects(spark, sf)
     arc = st.st_circularstring(F.array(
         F.array("x0", "y0"),
@@ -1505,7 +1506,7 @@ def oracle_sql() -> dict[str, str]:
             FROM ({_ORACLE_NATION})""",
         "curve_measures": """
             SELECT n_nationkey, 'CircularString' AS arc_t,
-                   ROUND(288.0 * sin(pi() / 32.0), 6) AS arc_len,
+                   ROUND(9.0 * pi(), 6) AS arc_len,
                    ROUND(CAST(n_nationkey // 5 AS DOUBLE) * 20.0 + 9.0, 6) AS arc_ymax
             FROM nation""",
     }

@@ -59,7 +59,10 @@ def _maybe_linearize(g: Geometry) -> Geometry:
 
 
 def area(g: Geometry) -> float:
-    g = _maybe_linearize(g)
+    from polars_st_spark.geo.curves import _is_curved, exact_area
+
+    if _is_curved(g):
+        return float(exact_area(g))
     t = g.type_id
     if t in _POLYGONAL_IDS:
         if not g.rings:
@@ -81,7 +84,10 @@ def _chain_length(c: np.ndarray) -> float:
 
 
 def length(g: Geometry) -> float:
-    g = _maybe_linearize(g)
+    from polars_st_spark.geo.curves import _is_curved, exact_length
+
+    if _is_curved(g):
+        return float(exact_length(g))
     t = g.type_id
     if t in _LINEAL_IDS:
         return _chain_length(g.coords)

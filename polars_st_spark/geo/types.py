@@ -189,8 +189,13 @@ class Geometry:
         return np.empty((0, self.ndim))
 
     def bounds(self) -> tuple[float, float, float, float]:
-        """(xmin, ymin, xmax, ymax); NaN if empty (reference: functions.rs:798-813)."""
-        c = self.all_coords()
+        """(xmin, ymin, xmax, ymax); NaN if empty (reference: functions.rs:798-813).
+
+        Curved geometries use exact arc extrema (curves.extreme_points), so
+        the box covers the true bulge, not a chord approximation."""
+        from polars_st_spark.geo.curves import _is_curved, extreme_points
+
+        c = extreme_points(self) if _is_curved(self) else self.all_coords()
         if len(c) == 0:
             nan = float("nan")
             return (nan, nan, nan, nan)

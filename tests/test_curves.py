@@ -13,7 +13,7 @@ from polars_st_spark.geo.wkt import from_wkt, to_wkt
 
 def test_arc_length_and_bounds():
     cs = from_wkt("CIRCULARSTRING (0 0, 1 1, 2 0)")
-    assert abs(algos.length(cs) - math.pi) < 0.01
+    assert abs(algos.length(cs) - math.pi) < 1e-12  # exact r·sweep
     assert abs(cs.bounds()[3] - 1.0) < 1e-9  # bulge included
     assert to_wkt(cs) == "CIRCULARSTRING (0 0, 1 1, 2 0)"  # serialization keeps curve
 
@@ -49,12 +49,31 @@ def test_curve_spark_surface(spark):
 def test_full_circle_postgis_encoding():
     # start == end, midpoint opposite → a full circle, not a flat polyline
     circ = from_wkt("CIRCULARSTRING (0 0, 2 0, 0 0)")
-    assert abs(algos.length(circ) - 2 * math.pi) < 0.02
+    assert abs(algos.length(circ) - 2 * math.pi) < 1e-12
     xmin, ymin, xmax, ymax = circ.bounds()
     assert abs(xmin - 0.0) < 1e-9 and abs(xmax - 2.0) < 1e-9
-    assert abs(ymin + 1.0) < 0.01 and abs(ymax - 1.0) < 0.01
+    assert abs(ymin + 1.0) < 1e-12 and abs(ymax - 1.0) < 1e-12  # exact extrema
     poly = from_wkt("CURVEPOLYGON (CIRCULARSTRING (0 0, 2 0, 0 0))")
-    assert abs(algos.area(poly) - math.pi) < 0.03
+    assert abs(algos.area(poly) - math.pi) < 1e-12  # exact πr²
+
+
+def test_exact_curve_measures():
+    """Measures use exact arc math (GEOS 3.14-native parity, wkb.rs:58-62),
+    not the chord approximation that predicates/overlay still use."""
+    # half-moon: flat edge + semicircular bulge → area πr²/2 exactly
+    hm = from_wkt("CURVEPOLYGON (COMPOUNDCURVE ((0 0, 0 2), CIRCULARSTRING (0 2, 1 1, 0 0)))")
+    assert abs(algos.area(hm) - math.pi / 2) < 1e-12
+    assert abs(algos.length(hm) - (2.0 + math.pi)) < 1e-12
+    # annulus: full-circle outer r=2, full-circle hole r=1
+    ann = from_wkt(
+        "CURVEPOLYGON (CIRCULARSTRING (-2 0, 2 0, -2 0), CIRCULARSTRING (-1 0, 1 0, -1 0))"
+    )
+    assert abs(algos.area(ann) - 3 * math.pi) < 1e-12
+    # quarter arc bounds: only the axis extrema inside the sweep count
+    q = from_wkt("CIRCULARSTRING (1 0, 0.7071067811865476 0.7071067811865476, 0 1)")
+    xmin, ymin, xmax, ymax = q.bounds()
+    assert abs(xmin - 0.0) < 1e-9 and abs(ymin - 0.0) < 1e-9
+    assert abs(xmax - 1.0) < 1e-12 and abs(ymax - 1.0) < 1e-12
 
 
 def test_compound_curve_with_z():
