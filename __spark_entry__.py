@@ -595,6 +595,29 @@ def q_events_type_stats(spark, sf):
     )
 
 
+def q_asof_join(spark, sf):
+    """Point-in-time join: each non-purchase event gets the same user's most
+    recent purchase at-or-before its timestamp (operators/asof.py — union +
+    windowed last(ignoreNulls), ONE shuffle on user_id, no range explode).
+    Right side pre-deduped on (user_id, ts) so the match is deterministic."""
+    from polars_st_spark.operators.asof import as_of_join
+
+    ev = _read_events(spark, sf)
+    purchases = (
+        ev.where(F.col("event_type") == "purchase")
+        .groupBy("user_id", "ts")
+        .agg(F.max("value").alias("pvalue"))
+    )
+    left = ev.where(F.col("event_type") != "purchase").select("event_id", "user_id", "ts")
+    out = as_of_join(left, purchases, on="ts", by="user_id")
+    return out.select(
+        "event_id",
+        "user_id",
+        F.col("pvalue").alias("last_purchase_value"),
+        (F.unix_micros("ts") - F.unix_micros("ts_r")).alias("us_since_purchase"),
+    )
+
+
 def q_tpch_q1_lite(spark, sf):
     li = spark.read.parquet(f"{sf}/lineitem.parquet")
     return li.groupBy("l_returnflag", "l_linestatus").agg(
@@ -1156,6 +1179,7 @@ _QUERIES = {
         "events_hourly": q_events_hourly,
         "events_type_stats": q_events_type_stats,
         "sessionize": q_sessionize,
+        "asof_join": q_asof_join,
         "tpch_q1_lite": q_tpch_q1_lite,
         # round-2 gate-coverage expansion
         "serialization_suite": q_serialization_suite,
@@ -1358,6 +1382,18 @@ def oracle_sql() -> dict[str, str]:
             SELECT event_type, COUNT(*) AS n,
                    COUNT(DISTINCT user_id) AS n_users, MAX(value) AS max_value
             FROM events GROUP BY 1""",
+        "asof_join": """
+            WITH p AS (
+              SELECT user_id, ts, MAX(value) AS pvalue
+              FROM events WHERE event_type = 'purchase' GROUP BY 1, 2
+            ), l AS (
+              SELECT event_id, user_id, ts FROM events WHERE event_type <> 'purchase'
+            )
+            SELECT l.event_id, l.user_id, p.pvalue AS last_purchase_value,
+                   CAST(epoch_ns(l.ts) // 1000 - epoch_ns(p.ts) // 1000 AS BIGINT)
+                       AS us_since_purchase
+            FROM l ASOF LEFT JOIN p
+              ON l.user_id = p.user_id AND l.ts >= p.ts""",
         "tpch_q1_lite": """
             SELECT l_returnflag, l_linestatus, COUNT(*) AS count_order,
                    SUM(l_quantity) AS sum_qty, MAX(l_extendedprice) AS max_price
