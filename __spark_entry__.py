@@ -595,6 +595,29 @@ def q_events_type_stats(spark, sf):
     )
 
 
+def q_predicate_join(spark, sf):
+    """bbox-pruned pair-predicate join (operators/predjoin.py): every lineitem
+    rect x every nation rect, intersects evaluated with the prune pushed into
+    the join condition; per-nation match count + orderkey checksum."""
+    from polars_st_spark.operators.predjoin import filter_pairs
+
+    li = _li_rects(spark, sf).select(
+        "l_orderkey", "x0", "y0", "x1", "y1", "rect"
+    )
+    na = _nation_rects(spark, sf).select(
+        "n_nationkey", "x0", "y0", "x1", "y1", F.col("rect").alias("nrect")
+    )
+    out = filter_pairs(
+        li, na, predicate="intersects", lcol="rect", rcol="nrect",
+        lbox=("x0", "y0", "x1", "y1"), rbox=("x0", "y0", "x1", "y1"),
+        broadcast=True,
+    )
+    return out.groupBy("n_nationkey").agg(
+        F.count("*").alias("n_pairs"),
+        F.sum("l_orderkey").alias("sum_orderkey"),
+    )
+
+
 def q_asof_join(spark, sf):
     """Point-in-time join: each non-purchase event gets the same user's most
     recent purchase at-or-before its timestamp (operators/asof.py — union +
@@ -1180,6 +1203,7 @@ _QUERIES = {
         "events_type_stats": q_events_type_stats,
         "sessionize": q_sessionize,
         "asof_join": q_asof_join,
+        "predicate_join": q_predicate_join,
         "tpch_q1_lite": q_tpch_q1_lite,
         # round-2 gate-coverage expansion
         "serialization_suite": q_serialization_suite,
@@ -1382,6 +1406,14 @@ def oracle_sql() -> dict[str, str]:
             SELECT event_type, COUNT(*) AS n,
                    COUNT(DISTINCT user_id) AS n_users, MAX(value) AS max_value
             FROM events GROUP BY 1""",
+        "predicate_join": f"""
+            WITH li AS ({_ORACLE_LI}), na AS ({_ORACLE_NATION})
+            SELECT na.n_nationkey, COUNT(*) AS n_pairs,
+                   CAST(SUM(li.l_orderkey) AS BIGINT) AS sum_orderkey
+            FROM li, na
+            WHERE li.x0 <= na.x1 AND na.x0 <= li.x1
+              AND li.y0 <= na.y1 AND na.y0 <= li.y1
+            GROUP BY 1""",
         "asof_join": """
             WITH p AS (
               SELECT user_id, ts, MAX(value) AS pvalue

@@ -94,13 +94,24 @@ def main() -> None:
         ).collect()
     )
 
-    pairs = li_rects.select("l_orderkey", "rect").join(
-        F.broadcast(nations.where(F.col("n_nationkey") < 5).select("n_nationkey", "rect").withColumnRenamed("rect", "nrect")),
+    # Column-vs-column predicate over all pairs, via the library's documented
+    # scale path (filter_pairs): bbox prune on the ingest-native coordinate
+    # columns inside the join condition (codegen), exact predicate UDF only on
+    # the prune survivors. Same result as sum(st_intersects) over every pair.
+    nations5 = nations.where(F.col("n_nationkey") < 5).select(
+        "n_nationkey", "x0", "y0", "x1", "y1", F.col("rect").alias("nrect")
     )
     queries["b2_predicate"] = timed(
-        lambda: pairs.select(
-            F.sum(st.st_intersects("rect", "nrect").cast("int")).alias("n")
-        ).collect()
+        lambda: st.filter_pairs(
+            li_rects.select("l_orderkey", "x0", "y0", "x1", "y1", "rect"),
+            nations5,
+            predicate="intersects",
+            lcol="rect",
+            rcol="nrect",
+            lbox=("x0", "y0", "x1", "y1"),
+            rbox=("x0", "y0", "x1", "y1"),
+            broadcast=True,
+        ).count()
     )
 
     queries["b3_grouped_union"] = timed(
