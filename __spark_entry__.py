@@ -595,6 +595,60 @@ def q_events_type_stats(spark, sf):
     )
 
 
+def q_range_join(spark, sf):
+    """Binned point-in-interval join (operators/rangejoin.py): click events
+    inside [error_ts, error_ts + 12 h) windows of the same user — the
+    bucket equi-join scale path, exact [s, e) bounds."""
+    from polars_st_spark.operators.rangejoin import range_join
+
+    ev = _read_events(spark, sf)
+    clicks = ev.where(F.col("event_type") == "click").select("user_id", "ts", "event_id")
+    errs = ev.where(F.col("event_type") == "error").select(
+        "user_id",
+        F.col("ts").alias("s"),
+        (F.col("ts") + F.expr("INTERVAL 12 HOURS")).alias("e"),
+        F.col("event_id").alias("err_id"),
+    )
+    out = range_join(
+        clicks, errs, on="ts", right_start="s", right_end="e",
+        by="user_id", closed="left", bucket=43_200_000_000,
+    )
+    return out.groupBy("user_id").agg(
+        F.count("*").alias("n_pairs"),
+        F.sum("event_id").alias("sum_click_id"),
+        F.sum("err_id").alias("sum_err_id"),
+    )
+
+
+def q_interval_join(spark, sf):
+    """Interval-overlap join with first-shared-bucket dedup: error windows
+    (12 h) overlapping purchase windows (6 h) per user."""
+    from polars_st_spark.operators.rangejoin import interval_overlap_join
+
+    ev = _read_events(spark, sf)
+    errs = ev.where(F.col("event_type") == "error").select(
+        "user_id",
+        F.col("ts").alias("es"),
+        (F.col("ts") + F.expr("INTERVAL 12 HOURS")).alias("ee"),
+        F.col("event_id").alias("err_id"),
+    )
+    purch = ev.where(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.col("ts").alias("ps"),
+        (F.col("ts") + F.expr("INTERVAL 6 HOURS")).alias("pe"),
+        F.col("event_id").alias("p_id"),
+    )
+    out = interval_overlap_join(
+        errs, purch, "es", "ee", "ps", "pe", by="user_id",
+        closed="both", bucket=43_200_000_000,
+    )
+    return out.groupBy("user_id").agg(
+        F.count("*").alias("n_pairs"),
+        F.sum("err_id").alias("sum_err_id"),
+        F.sum("p_id").alias("sum_p_id"),
+    )
+
+
 def q_predicate_join(spark, sf):
     """bbox-pruned pair-predicate join (operators/predjoin.py): every lineitem
     rect x every nation rect, intersects evaluated with the prune pushed into
@@ -1204,6 +1258,8 @@ _QUERIES = {
         "sessionize": q_sessionize,
         "asof_join": q_asof_join,
         "predicate_join": q_predicate_join,
+        "range_join": q_range_join,
+        "interval_join": q_interval_join,
         "tpch_q1_lite": q_tpch_q1_lite,
         # round-2 gate-coverage expansion
         "serialization_suite": q_serialization_suite,
@@ -1406,6 +1462,37 @@ def oracle_sql() -> dict[str, str]:
             SELECT event_type, COUNT(*) AS n,
                    COUNT(DISTINCT user_id) AS n_users, MAX(value) AS max_value
             FROM events GROUP BY 1""",
+        "range_join": """
+            WITH c AS (
+              SELECT user_id, epoch_ns(ts) // 1000 AS t, event_id
+              FROM events WHERE event_type = 'click'
+            ), r AS (
+              SELECT user_id, epoch_ns(ts) // 1000 AS s,
+                     epoch_ns(ts) // 1000 + 43200000000 AS e,
+                     event_id AS err_id
+              FROM events WHERE event_type = 'error'
+            )
+            SELECT c.user_id, COUNT(*) AS n_pairs,
+                   CAST(SUM(c.event_id) AS BIGINT) AS sum_click_id,
+                   CAST(SUM(r.err_id) AS BIGINT) AS sum_err_id
+            FROM c JOIN r ON c.user_id = r.user_id AND c.t >= r.s AND c.t < r.e
+            GROUP BY 1""",
+        "interval_join": """
+            WITH er AS (
+              SELECT user_id, epoch_ns(ts) // 1000 AS es,
+                     epoch_ns(ts) // 1000 + 43200000000 AS ee, event_id AS err_id
+              FROM events WHERE event_type = 'error'
+            ), p AS (
+              SELECT user_id, epoch_ns(ts) // 1000 AS ps,
+                     epoch_ns(ts) // 1000 + 21600000000 AS pe, event_id AS p_id
+              FROM events WHERE event_type = 'purchase'
+            )
+            SELECT er.user_id, COUNT(*) AS n_pairs,
+                   CAST(SUM(er.err_id) AS BIGINT) AS sum_err_id,
+                   CAST(SUM(p.p_id) AS BIGINT) AS sum_p_id
+            FROM er JOIN p ON er.user_id = p.user_id
+                 AND er.es <= p.pe AND p.ps <= er.ee
+            GROUP BY 1""",
         "predicate_join": f"""
             WITH li AS ({_ORACLE_LI}), na AS ({_ORACLE_NATION})
             SELECT na.n_nationkey, COUNT(*) AS n_pairs,
