@@ -595,6 +595,45 @@ def q_events_type_stats(spark, sf):
     )
 
 
+def q_salted_join(spark, sf):
+    """Skew-spread equi-join (operators/skew.py): orders x customer salted over
+    8 partitions per key — result provably identical to the plain join."""
+    from polars_st_spark.operators.skew import salted_join
+
+    orders = spark.read.parquet(f"{sf}/orders.parquet")
+    cust = (
+        spark.read.parquet(f"{sf}/customer.parquet")
+        .select(F.col("c_custkey").alias("o_custkey"), "c_nationkey")
+    )
+    out = salted_join(orders, cust, on="o_custkey", how="inner", salt=8)
+    return out.groupBy("c_nationkey").agg(
+        F.count("*").alias("n_orders"),
+        F.sum("o_totalprice").alias("sum_price"),
+    )
+
+
+def q_salted_agg(spark, sf):
+    """Salted two-phase aggregation for partial-less aggregates: per-user
+    event stats where collect_set feeds an exact distinct count."""
+    from polars_st_spark.operators.skew import salted_agg
+
+    ev = _read_events(spark, sf)
+    out = salted_agg(
+        ev,
+        "user_id",
+        {
+            "n": ("count", "value"),
+            "mx": ("max", "value"),
+            "s": ("sum", "value"),
+            "types": ("collect_set", "event_type"),
+        },
+        salt=8,
+    )
+    return out.select(
+        "user_id", "n", "mx", "s", F.array_size("types").alias("n_types")
+    )
+
+
 def q_range_join(spark, sf):
     """Binned point-in-interval join (operators/rangejoin.py): click events
     inside [error_ts, error_ts + 12 h) windows of the same user — the
@@ -1260,6 +1299,8 @@ _QUERIES = {
         "predicate_join": q_predicate_join,
         "range_join": q_range_join,
         "interval_join": q_interval_join,
+        "salted_join": q_salted_join,
+        "salted_agg": q_salted_agg,
         "tpch_q1_lite": q_tpch_q1_lite,
         # round-2 gate-coverage expansion
         "serialization_suite": q_serialization_suite,
@@ -1461,6 +1502,15 @@ def oracle_sql() -> dict[str, str]:
         "events_type_stats": """
             SELECT event_type, COUNT(*) AS n,
                    COUNT(DISTINCT user_id) AS n_users, MAX(value) AS max_value
+            FROM events GROUP BY 1""",
+        "salted_join": """
+            SELECT c.c_nationkey, COUNT(*) AS n_orders,
+                   SUM(o.o_totalprice) AS sum_price
+            FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+            GROUP BY 1""",
+        "salted_agg": """
+            SELECT user_id, COUNT(value) AS n, MAX(value) AS mx,
+                   SUM(value) AS s, COUNT(DISTINCT event_type) AS n_types
             FROM events GROUP BY 1""",
         "range_join": """
             WITH c AS (
