@@ -482,6 +482,17 @@ def q_token_count(spark, sf):
     return docs.select("doc_id", _t.token_count("text").alias("n_tokens"))
 
 
+def q_bpe_tokens(spark, sf):
+    """BPE-ish pre-tokenizer counts (operators/textops.py BPE_PATTERN —
+    lookahead-free GPT-2-style, identical under Java regex and RE2)."""
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    return docs.select(
+        "doc_id",
+        _t.bpe_token_count("text").alias("n_bpe"),
+        F.size(_t.bpe_tokens("text")).alias("n_raw_matches"),
+    )
+
+
 def q_lang_quality(spark, sf):
     docs = spark.read.parquet(f"{sf}/documents.parquet")
     scores = _t.lang_scores("text")
@@ -1285,6 +1296,7 @@ _QUERIES = {
         "collect_count": q_collect_count,
         "contains_pairs": q_contains_pairs,
         "token_count": q_token_count,
+        "bpe_tokens": q_bpe_tokens,
         "lang_quality": q_lang_quality,
         "minhash": q_minhash,
         "fingerprint": q_fingerprint,
@@ -1461,6 +1473,14 @@ def oracle_sql() -> dict[str, str]:
             WHERE n.n_nationkey < 3""",
         "token_count": f"""
             SELECT doc_id, len({_ORACLE_TOKENS}) AS n_tokens FROM documents""",
+        "bpe_tokens": """
+            SELECT doc_id,
+                   len(list_filter(
+                     regexp_extract_all(text, '''(?:[sdmt]|ll|ve|re)| ?\\p{L}+| ?\\p{N}+| ?[^\\s\\p{L}\\p{N}]+|\\s+'),
+                     x -> trim(x) <> '')) AS n_bpe,
+                   len(regexp_extract_all(text, '''(?:[sdmt]|ll|ve|re)| ?\\p{L}+| ?\\p{N}+| ?[^\\s\\p{L}\\p{N}]+|\\s+'))
+                       AS n_raw_matches
+            FROM documents""",
         "lang_quality": _oracle_lang_quality(),
         "minhash": _oracle_minhash(),
         "fingerprint": f"""

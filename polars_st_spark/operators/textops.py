@@ -23,6 +23,8 @@ from polars_st_spark.functions.factory import col_or_lit
 __all__ = [
     "tokens",
     "token_count",
+    "bpe_tokens",
+    "bpe_token_count",
     "punct_ratio",
     "stopword_ratio",
     "quality_score",
@@ -55,6 +57,27 @@ def tokens(text) -> Column:
 
 def token_count(text) -> Column:
     return F.size(tokens(text))
+
+
+# GPT-2-style pre-tokenizer, restricted to the lookahead-free subset so the
+# SAME pattern runs under Java regex (Spark) and RE2 (DuckDB oracle):
+# contraction suffixes, space-prefixed letter/digit/punctuation runs,
+# whitespace runs. (The original's trailing `\s+(?!\S)` needs lookahead,
+# which RE2 rejects — whitespace merging differs only on runs of 2+ spaces
+# between words, and pure-whitespace matches are excluded from the count.)
+BPE_PATTERN = r"'(?:[sdmt]|ll|ve|re)| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+|\s+"
+
+
+def bpe_tokens(text) -> Column:
+    """BPE-ish pre-tokenization (array of raw matches, whitespace included —
+    the shape a byte-pair encoder consumes)."""
+    return F.regexp_extract_all(col_or_lit(text), F.lit(BPE_PATTERN), 0)
+
+
+def bpe_token_count(text) -> Column:
+    """Number of non-whitespace BPE-ish tokens — the LLM-ish doc-length
+    metric next to the whitespace `token_count`."""
+    return F.size(F.filter(bpe_tokens(text), lambda t: F.trim(t) != ""))
 
 
 def punct_ratio(text) -> Column:

@@ -30,6 +30,26 @@ def test_token_count(docs):
     assert got == expected
 
 
+def test_bpe_token_count(spark):
+    cases = {
+        "I don't know, it's 42.5% done!": 13,   # contractions split, '42' '.' '5' '%' split
+        "hello   world": 2,
+        "": 0,
+        "   ": 0,
+        "a1b2": 4,
+    }
+    df = spark.createDataFrame([(t,) for t in cases], "text string")
+    got = dict(
+        zip(cases, [r[0] for r in df.select(textops.bpe_token_count("text")).collect()])
+    )
+    assert got == cases
+    # raw matches keep whitespace runs (what a BPE encoder consumes)
+    raw = df.where(F.col("text") == "hello   world").select(
+        textops.bpe_tokens("text")
+    ).first()[0]
+    assert raw == ["hello", "   ", "world"]
+
+
 def test_quality_and_lang(docs):
     out = docs.select(
         textops.quality_score("text").alias("q"),
