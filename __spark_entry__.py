@@ -1136,6 +1136,9 @@ def q_buffer_styles(spark, sf):
         st.st_area(st.st_buffer("rect", -10.0)).alias("erode_empty"),
         st.st_area(st.st_buffer("rect", 2.0, join_style="mitre")).alias("mitre_area"),
         st.st_area(st.st_buffer("rect", 2.0, join_style="bevel")).alias("bevel_area"),
+        F.round(
+            st.st_area(st.st_buffer("rect", 2.0, join_style="mitre", mitre_limit=1.1)), 6
+        ).alias("mitre_clip_area"),
         F.round(st.st_area(st.st_buffer(diag, 2.0, cap_style="flat")), 6).alias("flat_area"),
         F.round(st.st_area(st.st_buffer(diag, 2.0, cap_style="square")), 6).alias("square_area"),
         st.st_area(st.st_buffer(bottom, 2.0, single_sided=True)).alias("oneside_area"),
@@ -1725,6 +1728,10 @@ def oracle_sql() -> dict[str, str]:
                    0.0 AS erode_empty,
                    ((x1-x0)+4.0)*((y1-y0)+4.0) AS mitre_area,
                    ((x1-x0)+4.0)*((y1-y0)+4.0) - 8.0 AS bevel_area,
+                   -- GEOS clipped mitre at L=1.1: corner cut t = L*sqrt(2)-1
+                   ROUND((x1-x0)*(y1-y0) + 2.0*((x1-x0)+(y1-y0))*2.0
+                         + 16.0*(1.0 - POW(2.0 - 1.1*sqrt(2.0), 2)/2.0), 6)
+                       AS mitre_clip_area,
                    ROUND(4.0 * sqrt((x1-x0)*(x1-x0) + (y1-y0)*(y1-y0)), 6) AS flat_area,
                    ROUND((sqrt((x1-x0)*(x1-x0) + (y1-y0)*(y1-y0)) + 4.0) * 4.0, 6) AS square_area,
                    CAST((x1-x0) * 2.0 AS DOUBLE) AS oneside_area

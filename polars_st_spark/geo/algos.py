@@ -1262,9 +1262,10 @@ def buffer(
     end caps via the overlay engine; erosion as the overlay difference with
     the dilated boundary.
 
-    Deviation from GEOS, documented: a mitre join whose ratio exceeds
-    ``mitre_limit`` falls back to a bevel join (GEOS clips the spike at the
-    limit distance instead)."""
+    Mitre joins whose ratio exceeds ``mitre_limit`` are CLIPPED at the limit
+    distance along the corner bisector (GEOS semantics — a perpendicular cut
+    through both mitre edges), degenerating to a bevel only when the limit
+    falls below the offset corner itself (L <= cos of the half-angle)."""
     if cap_style not in _CAP_STYLES:
         raise ValueError(f"cap_style must be one of {_CAP_STYLES}, got {cap_style!r}")
     if join_style not in _JOIN_STYLES:
@@ -1309,8 +1310,28 @@ def buffer(
                 [x1 + dist, y1 + dist], [x0 - dist, y1 + dist], [x0 - dist, y0 - dist],
             ])
             return Geometry(GeometryType.Polygon, srid=g.srid, rings=[ring])
+        if join_style == "mitre":
+            # clipped mitre at a 90-degree corner: cut parameter along each
+            # mitre edge is t = L*sqrt(2) - 1 (from the general formula with
+            # cos_half = sqrt(2)/2), clamped to [0, 1]; t=0 is the bevel
+            # octagon, t=1 the full expanded rect (exact dodecagon between).
+            tt = min(max(mitre_limit * math.sqrt(2.0) - 1.0, 0.0), 1.0)
+            if tt > 1e-12:
+                d, td = dist, tt * dist
+                ring = np.array([
+                    [x0, y0 - d], [x1, y0 - d],
+                    [x1 + td, y0 - d], [x1 + d, y0 - td], [x1 + d, y0],
+                    [x1 + d, y1],
+                    [x1 + d, y1 + td], [x1 + td, y1 + d], [x1, y1 + d],
+                    [x0, y1 + d],
+                    [x0 - td, y1 + d], [x0 - d, y1 + td], [x0 - d, y1],
+                    [x0 - d, y0],
+                    [x0 - d, y0 - td], [x0 - td, y0 - d], [x0, y0 - d],
+                ])
+                return Geometry(GeometryType.Polygon, srid=g.srid, rings=[ring])
         if join_style in ("bevel", "mitre"):
-            # bevel (or over-limit mitre fallback): octagon with cut corners
+            # bevel (or fully-clipped mitre, mitre_limit <= sqrt(2)/2):
+            # octagon with cut corners
             ring = np.array([
                 [x0, y0 - dist], [x1, y0 - dist], [x1 + dist, y0], [x1 + dist, y1],
                 [x1, y1 + dist], [x0, y1 + dist], [x0 - dist, y1], [x0 - dist, y0],
@@ -1387,11 +1408,29 @@ def _join_pieces(v, u_in, u_out, dist: float, join_style: str, quad_segs: int,
             if nb > 1e-12:
                 cos_half = nb / 2.0
                 ratio = 1.0 / max(cos_half, 1e-12)
+                m = v + bis / nb * (dist * ratio)
                 if ratio <= mitre_limit:
-                    m = v + bis / nb * (dist * ratio)
                     ring = np.array([v, a, m, b, v])
                     pieces.append(Geometry(GeometryType.Polygon, srid=srid, rings=[ring]))
                     use_mitre = True
+                else:
+                    # GEOS semantics: the spike is CLIPPED at mitre_limit*dist
+                    # along the bisector (perpendicular cut through both mitre
+                    # edges), not replaced by a bevel. Along edge a->m the
+                    # bisector-distance runs dist*cos_half -> dist*ratio, so
+                    # the cut parameter is t = c(L - c) / (1 - c^2).
+                    c = cos_half
+                    s2 = max(1.0 - c * c, 1e-12)
+                    tcut = c * (mitre_limit - c) / s2
+                    if tcut > 1e-9:
+                        tcut = min(tcut, 1.0)
+                        m1 = a + tcut * (m - a)
+                        m2 = b + tcut * (m - b)
+                        ring = np.array([v, a, m1, m2, b, v])
+                        pieces.append(
+                            Geometry(GeometryType.Polygon, srid=srid, rings=[ring])
+                        )
+                        use_mitre = True
         if not use_mitre:
             ring = np.array([v, a, b, v])
             pieces.append(Geometry(GeometryType.Polygon, srid=srid, rings=[ring]))

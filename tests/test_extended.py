@@ -195,10 +195,47 @@ class TestBufferStyles:
         a = self._area("LINESTRING (0 0, 10 0, 10 10)", 2.0, cap_style="flat", join_style="mitre")
         assert abs(a - 80.0) < 1e-9
 
-    def test_mitre_limit_fallback_bevel(self):
+    def test_mitre_limit_clips_spike(self):
+        # GEOS semantics: over-limit mitre is CLIPPED at L*dist along the
+        # bisector. 90-degree corner, d=2, L=1.1: cut parameter
+        # t = L*sqrt(2)-1, corner area = d^2 * (1 - (1-t)^2 / 2).
+        import math
+        t = 1.1 * math.sqrt(2.0) - 1.0
+        corner = 4.0 * (1.0 - (1.0 - t) ** 2 / 2.0)
         a = self._area("LINESTRING (0 0, 10 0, 10 10)", 2.0, cap_style="flat",
                        join_style="mitre", mitre_limit=1.1)
+        assert abs(a - (76.0 + corner)) < 1e-9
+
+    def test_mitre_limit_below_corner_is_bevel(self):
+        # limit below cos(half-angle): the cut falls below the offset points,
+        # degenerating to the bevel triangle
+        a = self._area("LINESTRING (0 0, 10 0, 10 10)", 2.0, cap_style="flat",
+                       join_style="mitre", mitre_limit=0.5)
         assert abs(a - 78.0) < 1e-9
+
+    def test_mitre_clip_rect_fast_path(self):
+        # axis-rect fast path: dodecagon with each corner cut at t = L*sqrt(2)-1
+        import math
+        t = 1.1 * math.sqrt(2.0) - 1.0
+        corners = 4.0 * 4.0 * (1.0 - (1.0 - t) ** 2 / 2.0)
+        a = self._area("POLYGON ((0 0, 18 0, 18 18, 0 18, 0 0))", 2.0,
+                       join_style="mitre", mitre_limit=1.1)
+        assert abs(a - (324.0 + 144.0 + corners)) < 1e-9
+
+    def test_mitre_clip_general_path_matches_fast_path(self):
+        # same square rotated 45 degrees goes through the general overlay
+        # path; rotation-invariant area must agree with the fast path
+        import math
+
+        from polars_st_spark.geo import algos
+        from polars_st_spark.geo.wkt import from_wkt
+
+        sq = from_wkt("POLYGON ((0 0, 18 0, 18 18, 0 18, 0 0))")
+        rot = algos.rotate(sq, 45.0)
+        a = algos.area(algos.buffer(rot, 2.0, join_style="mitre", mitre_limit=1.1))
+        t = 1.1 * math.sqrt(2.0) - 1.0
+        expect = 324.0 + 144.0 + 16.0 * (1.0 - (1.0 - t) ** 2 / 2.0)
+        assert abs(a - expect) < 1e-6
 
     def test_erode_rect_exact(self):
         a = self._area("POLYGON ((0 0, 18 0, 18 18, 0 18, 0 0))", -2.0)
