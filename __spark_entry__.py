@@ -545,6 +545,31 @@ def q_exact_dup_groups(spark, sf):
     )
 
 
+def q_concomp(spark, sf):
+    """Distributed connected components (alternating large/small-star) over a
+    deterministic graph on custkeys: chain edges (c, c+1) within each decade
+    plus decade-head links (c, c+10) within each century — components are
+    exactly the centuries, but the algorithm has to discover that through
+    ~4 rounds of transitive closure. Oracle = recursive reachability CTE."""
+    from polars_st_spark.operators.concomp import connected_components
+
+    c = spark.read.parquet(f"{sf}/customer.parquet").select(
+        F.col("c_custkey").cast("long").alias("c")
+    )
+    chain = c.where(F.col("c") % 10 != 9).select(
+        F.col("c").alias("src"), (F.col("c") + 1).alias("dst")
+    )
+    decade = c.where((F.col("c") % 10 == 0) & (F.col("c") % 100 != 90)).select(
+        F.col("c").alias("src"), (F.col("c") + 10).alias("dst")
+    )
+    # keep only edges whose dst actually exists (robust to key gaps)
+    edges = chain.unionByName(decade).join(c.select(F.col("c").alias("dst")), "dst")
+    return connected_components(edges).select(
+        F.col("node").cast("long").alias("node"),
+        F.col("component").cast("long").alias("component"),
+    )
+
+
 def q_knn_top3(spark, sf):
     emb = spark.read.parquet(f"{sf}/embeddings.parquet")
     queries = emb.where(F.col("vec_id") < 5)
@@ -1306,6 +1331,7 @@ _QUERIES = {
         "simhash": q_simhash,
         "near_dup_pairs": q_near_dup_pairs,
         "exact_dup_groups": q_exact_dup_groups,
+        "concomp": q_concomp,
         "knn_top3": q_knn_top3,
         "events_hourly": q_events_hourly,
         "events_type_stats": q_events_type_stats,
@@ -1497,6 +1523,26 @@ def oracle_sql() -> dict[str, str]:
         "exact_dup_groups": """
             SELECT substr(text, 1, 20) AS prefix, COUNT(*) AS n_dups, MIN(doc_id) AS keep_id
             FROM documents GROUP BY 1 HAVING COUNT(*) > 1""",
+        "concomp": """
+            WITH RECURSIVE ck AS (
+              SELECT CAST(c_custkey AS BIGINT) AS c FROM customer
+            ), e0 AS (
+              SELECT s.c AS src, s.c + 1 AS dst FROM ck s JOIN ck d ON d.c = s.c + 1
+              WHERE s.c % 10 <> 9
+              UNION ALL
+              SELECT s.c, s.c + 10 FROM ck s JOIN ck d ON d.c = s.c + 10
+              WHERE s.c % 10 = 0 AND s.c % 100 <> 90
+            ), sym AS (
+              SELECT src, dst FROM e0 UNION SELECT dst, src FROM e0
+            ), nodes AS (
+              SELECT DISTINCT src AS node FROM sym
+            ), reach AS (
+              SELECT node AS a, node AS b FROM nodes
+              UNION
+              SELECT r.a, s.dst FROM reach r JOIN sym s ON r.b = s.src
+            )
+            SELECT a AS node, CAST(MIN(b) AS BIGINT) AS component
+            FROM reach GROUP BY a""",
         "knn_top3": _oracle_knn(),
         "events_hourly": """
             SELECT user_id, date_trunc('hour', ts) AS hour,
