@@ -545,6 +545,47 @@ def q_exact_dup_groups(spark, sf):
     )
 
 
+def q_ngram_jaccard(spark, sf):
+    """Candidate-pair verification by word-3-gram Jaccard (dedup verify
+    stage in isolation): all pairs among doc_id < 120 scored, keep ≥ 0.02."""
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    sub = docs.where(F.col("doc_id") < 120)
+    ids_a = sub.select(F.col("doc_id").alias("id_a"))
+    ids_b = sub.select(F.col("doc_id").alias("id_b"))
+    pairs = ids_a.crossJoin(ids_b).where(F.col("id_a") < F.col("id_b"))
+    out = _dedup.ngram_jaccard_pairs(sub, pairs, shingle_n=3, threshold=0.02)
+    return out.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard_r"))
+
+
+def q_exact_dedup(spark, sf):
+    """Exact dedup (hash-window, min id survives) over a prefix-keyed corpus
+    (full texts are unique, 20-char prefixes collide)."""
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    d = docs.select("doc_id", F.substring("text", 1, 20).alias("text"))
+    return _dedup.exact_dedup(d)
+
+
+def q_simhash_dups(spark, sf):
+    """SimHash near-dup pairs at hamming ≤ 6 via pigeonhole chunk LSH.
+    Rows-only: the 32-bit simhash is engine-defined, not SQL-expressible."""
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    return _dedup.simhash_dup_pairs(docs, max_hamming=6).orderBy("id_a", "id_b")
+
+
+def q_near_dup_groups(spark, sf):
+    """MinHash-LSH pairs → transitive closure → duplicate clusters with a
+    canonical survivor per group (min doc_id)."""
+    from polars_st_spark.operators.concomp import near_dup_groups
+
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    out = near_dup_groups(docs, k=16, bands=4, shingle_n=3, threshold=0.05)
+    return out.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.col("group_id").cast("long").alias("group_id"),
+        "keep",
+    )
+
+
 def q_concomp(spark, sf):
     """Distributed connected components (alternating large/small-star) over a
     deterministic graph on custkeys: chain edges (c, c+1) within each decade
@@ -1332,6 +1373,9 @@ _QUERIES = {
         "near_dup_pairs": q_near_dup_pairs,
         "exact_dup_groups": q_exact_dup_groups,
         "concomp": q_concomp,
+        "ngram_jaccard": q_ngram_jaccard,
+        "exact_dedup": q_exact_dedup,
+        "near_dup_groups": q_near_dup_groups,
         "knn_top3": q_knn_top3,
         "events_hourly": q_events_hourly,
         "events_type_stats": q_events_type_stats,
@@ -1369,6 +1413,7 @@ _QUERIES = {
         "buffer_area": q_buffer_area,
         "to_srid_mercator": q_to_srid_mercator,
         "knn_lsh": q_knn_lsh,
+        "simhash_dups": q_simhash_dups,
         "knn_ivf": q_knn_ivf,
         "multimodal_features": q_multimodal_features,
         "multimodal_audio": q_multimodal_audio,
@@ -1520,6 +1565,11 @@ def oracle_sql() -> dict[str, str]:
             FROM documents""",
         "simhash": _oracle_simhash(),
         "near_dup_pairs": _oracle_near_dup(),
+        "ngram_jaccard": _oracle_ngram_jaccard(),
+        "near_dup_groups": _oracle_near_dup_groups(),
+        "exact_dedup": """
+            SELECT MIN(doc_id) AS doc_id, substr(text, 1, 20) AS text
+            FROM documents GROUP BY 2""",
         "exact_dup_groups": """
             SELECT substr(text, 1, 20) AS prefix, COUNT(*) AS n_dups, MIN(doc_id) AS keep_id
             FROM documents GROUP BY 1 HAVING COUNT(*) > 1""",
@@ -1853,6 +1903,49 @@ def _oracle_simhash() -> str:
     return f"SELECT doc_id, {votes} AS simhash FROM documents"
 
 
+def _oracle_ngram_jaccard() -> str:
+    sh = _oracle_shingles()
+    return f"""
+        WITH d AS (
+          SELECT doc_id, list_distinct({sh}) AS sh FROM documents WHERE doc_id < 120
+        ),
+        jac AS (
+          SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                 CASE WHEN len(list_distinct(list_concat(a.sh, b.sh))) > 0
+                      THEN len(list_intersect(a.sh, b.sh))
+                           / CAST(len(list_distinct(list_concat(a.sh, b.sh))) AS DOUBLE)
+                      ELSE 0.0 END AS jaccard
+          FROM d a JOIN d b ON a.doc_id < b.doc_id
+        )
+        SELECT id_a, id_b, ROUND(jaccard, 6) AS jaccard_r
+        FROM jac WHERE jaccard >= 0.02"""
+
+
+def _oracle_near_dup_groups() -> str:
+    # minhash-LSH pairs (same CTE stack as _oracle_near_dup) -> recursive
+    # min-label reachability -> (doc_id, group_id, keep)
+    inner = _oracle_near_dup()
+    return f"""
+        WITH RECURSIVE pairs AS MATERIALIZED (
+          SELECT id_a, id_b FROM ({inner})
+        ),
+        sym AS MATERIALIZED (
+          SELECT id_a AS s, id_b AS d FROM pairs
+          UNION SELECT id_b, id_a FROM pairs
+        ),
+        nodes AS (SELECT doc_id FROM documents),
+        reach AS (
+          SELECT doc_id AS a, doc_id AS b FROM nodes
+          UNION
+          SELECT r.a, s.d FROM reach r JOIN sym s ON r.b = s.s
+        ),
+        comp AS (SELECT a AS doc_id, MIN(b) AS group_id FROM reach GROUP BY a)
+        SELECT CAST(doc_id AS BIGINT) AS doc_id,
+               CAST(group_id AS BIGINT) AS group_id,
+               (doc_id = group_id) AS keep
+        FROM comp"""
+
+
 def _oracle_near_dup() -> str:
     sh = _oracle_shingles()
     sig = ", ".join(
@@ -1863,25 +1956,30 @@ def _oracle_near_dup() -> str:
         "md5(" + " || ',' || ".join(f"CAST(mh{b * 4 + r} AS VARCHAR)" for r in range(4)) + f") AS band{b}"
         for b in range(4)
     )
+    band_joins = "\n          UNION\n".join(
+        f"          SELECT a.doc_id AS id_a, b.doc_id AS id_b\n"
+        f"          FROM banded a JOIN banded b ON a.band{i} = b.band{i} AND a.doc_id < b.doc_id"
+        for i in range(4)
+    )
     return f"""
-        WITH sigs AS (
-          SELECT doc_id, sh, {sig}
-          FROM (SELECT doc_id, {sh} AS sh FROM documents)
+        WITH shs AS MATERIALIZED (
+          SELECT doc_id, {sh} AS sh FROM documents
         ),
-        banded AS (SELECT doc_id, sh, {bands} FROM sigs),
+        sigs AS MATERIALIZED (
+          SELECT doc_id, {sig} FROM shs
+        ),
+        banded AS MATERIALIZED (SELECT doc_id, {bands} FROM sigs),
         cands AS (
-          SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
-                 a.sh AS sha, b.sh AS shb
-          FROM banded a JOIN banded b ON a.doc_id < b.doc_id
-           AND (a.band0 = b.band0 OR a.band1 = b.band1 OR a.band2 = b.band2 OR a.band3 = b.band3)
+{band_joins}
         ),
         jac AS (
           SELECT id_a, id_b,
-                 CASE WHEN len(list_distinct(list_concat(sha, shb))) > 0
-                      THEN len(list_intersect(list_distinct(sha), list_distinct(shb)))
-                           / CAST(len(list_distinct(list_concat(sha, shb))) AS DOUBLE)
+                 CASE WHEN len(list_distinct(list_concat(sa.sh, sb.sh))) > 0
+                      THEN len(list_intersect(list_distinct(sa.sh), list_distinct(sb.sh)))
+                           / CAST(len(list_distinct(list_concat(sa.sh, sb.sh))) AS DOUBLE)
                       ELSE 0.0 END AS jaccard
-          FROM cands
+          FROM cands JOIN shs sa ON cands.id_a = sa.doc_id
+                     JOIN shs sb ON cands.id_b = sb.doc_id
         )
         SELECT id_a, id_b, ROUND(jaccard, 6) AS jaccard_r
         FROM jac WHERE jaccard >= 0.05"""

@@ -181,12 +181,55 @@ def near_dup_pairs(
     return _verify_from_sig(sig, _candidates_from_sig(sig), threshold)
 
 
-def simhash_dup_pairs(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
-    """Pairs with identical 32-bit SimHash (hamming distance 0 bucket join).
-    For distance ≤ d, join on (d+1) fingerprint chunks instead."""
+def simhash_dup_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_hamming: int = 0,
+) -> DataFrame:
+    """Near-dup pairs by 32-bit SimHash hamming distance ≤ ``max_hamming``.
+
+    Pigeonhole LSH: split the fingerprint into ``max_hamming + 1`` chunks —
+    any pair within the distance budget must agree on at least one chunk, so
+    an equi-join on (chunk_index, chunk_value) finds every such pair with a
+    shuffle of O(n·chunks) rows (never an O(n²) cross join), then the exact
+    ``bit_count(xor)`` filter drops false candidates. ``max_hamming=0``
+    degenerates to a single-chunk identical-fingerprint join.
+
+    Reference: dedup family per SURVEY §2 training-pipeline ops; SimHash per
+    Charikar (2002) / Manku et al. (2007), both public.
+    """
+    if not 0 <= max_hamming < 32:
+        raise ValueError("max_hamming must be in [0, 32)")
+    n_chunks = max_hamming + 1
+    width = 32 // n_chunks + (1 if 32 % n_chunks else 0)
     s = df.select(F.col(id_col).alias("_id"), simhash32(text_col).alias("_sh"))
-    a, b = s.alias("a"), s.alias("b")
+    chunks = F.array(*[
+        F.shiftrightunsigned(F.col("_sh"), i * width).bitwiseAND(F.lit((1 << width) - 1))
+        for i in range(n_chunks)
+    ])
+    e = s.select("_id", "_sh", F.posexplode(chunks).alias("_ci", "_cv"))
+    a, b = e.alias("a"), e.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a._ci") == F.col("b._ci"))
+            & (F.col("a._cv") == F.col("b._cv"))
+            & (F.col("a._id") < F.col("b._id")),
+        )
+        .select(
+            F.col("a._id").alias("id_a"),
+            F.col("b._id").alias("id_b"),
+            F.col("a._sh").alias("simhash_a"),
+            F.col("b._sh").alias("simhash_b"),
+        )
+        .distinct()
+    )
     return (
-        a.join(b, (F.col("a._sh") == F.col("b._sh")) & (F.col("a._id") < F.col("b._id")))
-        .select(F.col("a._id").alias("id_a"), F.col("b._id").alias("id_b"), F.col("a._sh").alias("simhash"))
+        pairs.withColumn(
+            "hamming",
+            F.bit_count(F.col("simhash_a").bitwiseXOR(F.col("simhash_b"))),
+        )
+        .where(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
     )

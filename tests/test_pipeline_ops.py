@@ -100,6 +100,32 @@ def test_simhash_dup_pairs(spark, docs):
     assert (1, 501) in got
 
 
+def test_simhash_hamming_pairs(spark, docs):
+    """Pigeonhole LSH at max_hamming=k finds exactly the pairs a brute-force
+    bit_count(xor) scan finds."""
+    from polars_st_spark.operators.textops import simhash32
+
+    base = docs.limit(40)
+    for k in (0, 3):
+        got = {
+            (r["id_a"], r["id_b"], r["hamming"])
+            for r in dedup.simhash_dup_pairs(base, max_hamming=k).collect()
+        }
+        s = base.select(F.col("doc_id").alias("_id"), simhash32("text").alias("_sh"))
+        brute = (
+            s.alias("a")
+            .join(s.alias("b"), F.col("a._id") < F.col("b._id"))
+            .select(
+                F.col("a._id").alias("id_a"),
+                F.col("b._id").alias("id_b"),
+                F.bit_count(F.col("a._sh").bitwiseXOR(F.col("b._sh"))).alias("hamming"),
+            )
+            .where(F.col("hamming") <= k)
+        )
+        expected = {(r["id_a"], r["id_b"], r["hamming"]) for r in brute.collect()}
+        assert got == expected
+
+
 def test_cosine_topk(emb):
     queries = emb.where(F.col("vec_id") < 3)
     out = knn.cosine_topk(queries, emb, k=5)
