@@ -545,6 +545,16 @@ def q_exact_dup_groups(spark, sf):
     )
 
 
+def q_zorder_key(spark, sf):
+    """Morton (Z-order) clustering key of each customer point — pure bit
+    arithmetic inside codegen (functions/zorder.py); oracle replays the
+    identical magic-mask dilation in SQL."""
+    return _cust_pts(spark, sf).select(
+        "c_custkey",
+        st.st_zorder_key("pt", (0.0, 0.0, 100.0, 100.0), bits=16).alias("zkey"),
+    )
+
+
 def q_ngram_jaccard(spark, sf):
     """Candidate-pair verification by word-3-gram Jaccard (dedup verify
     stage in isolation): all pairs among doc_id < 120 scored, keep ≥ 0.02."""
@@ -1374,6 +1384,7 @@ _QUERIES = {
         "exact_dup_groups": q_exact_dup_groups,
         "concomp": q_concomp,
         "ngram_jaccard": q_ngram_jaccard,
+        "zorder_key": q_zorder_key,
         "exact_dedup": q_exact_dedup,
         "near_dup_groups": q_near_dup_groups,
         "knn_top3": q_knn_top3,
@@ -1566,6 +1577,7 @@ def oracle_sql() -> dict[str, str]:
         "simhash": _oracle_simhash(),
         "near_dup_pairs": _oracle_near_dup(),
         "ngram_jaccard": _oracle_ngram_jaccard(),
+        "zorder_key": _oracle_zorder(),
         "near_dup_groups": _oracle_near_dup_groups(),
         "exact_dedup": """
             SELECT MIN(doc_id) AS doc_id, substr(text, 1, 20) AS text
@@ -1901,6 +1913,24 @@ def _oracle_simhash() -> str:
         for i in range(32)
     )
     return f"SELECT doc_id, {votes} AS simhash FROM documents"
+
+
+def _oracle_zorder() -> str:
+    def spread(expr: str) -> str:
+        s = expr
+        for shift, mask in ((8, 0x00FF00FF), (4, 0x0F0F0F0F), (2, 0x33333333), (1, 0x55555555)):
+            s = f"((({s}) | (({s}) << {shift})) & {mask})"
+        return s
+
+    q = "LEAST(65535, GREATEST(0, CAST(FLOOR({v} / 100.0 * 65536) AS BIGINT)))"
+    return f"""
+        WITH p AS ({_ORACLE_CUST}),
+        quant AS (
+          SELECT c_custkey, {q.format(v='x')} AS qx, {q.format(v='y')} AS qy FROM p
+        )
+        SELECT c_custkey,
+               ({spread('qx')}) | (({spread('qy')}) << 1) AS zkey
+        FROM quant"""
 
 
 def _oracle_ngram_jaccard() -> str:

@@ -21,13 +21,24 @@ def write_geoparquet(
     geometry_name: str = "geometry",
     partition_grid: float | None = None,
     mode: str = "overwrite",
+    zorder: bool = False,
+    extent: tuple[float, float, float, float] | None = None,
+    zorder_bits: int = 16,
 ) -> None:
     """Write parquet; optionally partition by a bbox grid cell so spatial
-    filters prune whole files (`_cell_x`/`_cell_y` partition columns).
+    filters prune whole files (`_cell_x`/`_cell_y` partition columns), and/or
+    Z-order-cluster rows (``zorder=True``) so per-file min/max stats are
+    spatially tight (prunes via ordinary parquet stats, no partition dirs).
 
     At 100 TB the partition_grid is the difference between scanning every
     file and scanning only the files whose cells intersect a query window.
     """
+    if zorder:
+        from polars_st_spark.functions.zorder import zorder_repartition
+
+        df = zorder_repartition(
+            df, geometry_name=geometry_name, extent=extent, bits=zorder_bits
+        )
     if partition_grid:
         from polars_st_spark.functions.scalar import st_bounds
 
