@@ -673,6 +673,23 @@ def q_sessionize(spark, sf):
     return out.select("user_id", "session_id", "n_events", "duration_us")
 
 
+def q_session_window(spark, sf):
+    """Native Spark ``session_window`` sessionization (the JVM-state-store
+    streaming scale path, run in batch mode) — must agree with the
+    window-function gap algebra the `sessionize` oracle encodes."""
+    from polars_st_spark.streaming import streaming_session_stats
+
+    ev = _read_events(spark, sf)
+    out = streaming_session_stats(ev, gap="60 minutes")
+    return out.select(
+        "user_id",
+        F.unix_micros("session_start").alias("start_us"),
+        F.unix_micros("session_end").alias("end_us"),
+        F.col("n_events").cast("long").alias("n_events"),
+        "duration_us",
+    )
+
+
 def q_events_type_stats(spark, sf):
     ev = _read_events(spark, sf)
     return ev.groupBy("event_type").agg(
@@ -1391,6 +1408,7 @@ _QUERIES = {
         "events_hourly": q_events_hourly,
         "events_type_stats": q_events_type_stats,
         "sessionize": q_sessionize,
+        "session_window": q_session_window,
         "asof_join": q_asof_join,
         "predicate_join": q_predicate_join,
         "range_join": q_range_join,
@@ -1630,6 +1648,24 @@ def oracle_sql() -> dict[str, str]:
             SELECT user_id, session_id, COUNT(*) AS n_events,
                    MAX(t) - MIN(t) AS duration_us
             FROM sess GROUP BY 1, 2""",
+        "session_window": """
+            WITH us AS (
+              SELECT user_id, epoch_ns(ts) // 1000 AS t FROM events
+            ), lagged AS (
+              SELECT user_id, t,
+                     CASE WHEN LAG(t) OVER (PARTITION BY user_id ORDER BY t) IS NULL
+                               OR t - LAG(t) OVER (PARTITION BY user_id ORDER BY t) > 3600000000
+                          THEN 1 ELSE 0 END AS new_s
+              FROM us
+            ), sess AS (
+              SELECT user_id, t,
+                     CAST(SUM(new_s) OVER (PARTITION BY user_id ORDER BY t
+                                           ROWS UNBOUNDED PRECEDING) AS BIGINT) AS sid
+              FROM lagged
+            )
+            SELECT user_id, MIN(t) AS start_us, MAX(t) AS end_us,
+                   COUNT(*) AS n_events, MAX(t) - MIN(t) AS duration_us
+            FROM sess GROUP BY user_id, sid""",
         "events_type_stats": """
             SELECT event_type, COUNT(*) AS n,
                    COUNT(DISTINCT user_id) AS n_users, MAX(value) AS max_value

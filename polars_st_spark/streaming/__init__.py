@@ -21,7 +21,49 @@ __all__ = [
     "windowed_spatial_agg",
     "streaming_exact_dedup",
     "streaming_minhash_tag",
+    "streaming_session_stats",
 ]
+
+
+def streaming_session_stats(
+    stream: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    gap: str = "30 minutes",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Gap-based session aggregates via Spark's native ``session_window`` —
+    the scale path for streaming sessionization: session state lives in the
+    JVM state store (RocksDB-capable, watermark-bounded), no Python worker
+    in the loop, unlike the ``applyInPandasWithState`` variant
+    (operators/sessions.py:sessionize_stream) which this supersedes for
+    plain gap sessions. In append mode a session row is emitted once the
+    watermark passes its close — exactly-once per session.
+
+    Also callable on a batch DataFrame (session_window works in both modes;
+    the watermark is a no-op in batch), where it matches
+    ``operators.sessions.session_stats`` session boundaries for the same gap.
+    """
+    w = stream.withWatermark(ts_col, watermark) if stream.isStreaming else stream
+    us = F.unix_micros
+    return (
+        w.groupBy(F.col(user_col), F.session_window(F.col(ts_col), gap).alias("_sw"))
+        .agg(
+            F.count("*").alias("n_events"),
+            F.min(ts_col).alias("session_start"),
+            F.max(ts_col).alias("session_end"),
+            (us(F.max(ts_col)) - us(F.min(ts_col))).alias("duration_us"),
+        )
+        .select(
+            user_col,
+            F.col("_sw.start").alias("window_start"),
+            F.col("_sw.end").alias("window_end"),
+            "session_start",
+            "session_end",
+            "n_events",
+            "duration_us",
+        )
+    )
 
 
 def streaming_exact_dedup(

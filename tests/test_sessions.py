@@ -127,3 +127,53 @@ def test_streaming_minhash_tag(spark, tmp_path):
     out = {r["doc_id"]: r["band_hashes"] for r in spark.sql("select * from tag_stream").collect()}
     assert out[1] == out[2]  # identical docs share every band
     assert out[1] != out[3]
+
+
+def test_streaming_session_stats_batch_equivalence(spark):
+    """Native session_window sessions match the window-function path on the
+    same batch input (same gap => same (user, n_events, duration) multiset)."""
+    from polars_st_spark.streaming import streaming_session_stats
+
+    df = _mk_events(spark)
+    native = streaming_session_stats(df, gap="30 minutes")
+    ref = session_stats(df, gap_minutes=30.0)
+    got = sorted(
+        (r["user_id"], r["n_events"], r["duration_us"])
+        for r in native.collect()
+    )
+    expected = sorted(
+        (r["user_id"], r["n_events"], r["duration_us"])
+        for r in ref.collect()
+    )
+    assert got == expected
+
+
+def test_streaming_session_stats_stream(spark, tmp_path):
+    """Append-mode stream emits exactly the sessions the watermark closed."""
+    from polars_st_spark.streaming import streaming_session_stats
+
+    src = str(tmp_path / "ss_src")
+    chk = str(tmp_path / "ss_chk")
+    base = datetime.datetime(2026, 1, 1, 12, 0, 0)
+    rows = [
+        (1, base, 1.0),
+        (1, base + datetime.timedelta(minutes=10), 1.0),
+        # 8 hours later: watermark (max_ts - 1h) passes the first session
+        (1, base + datetime.timedelta(hours=8), 1.0),
+        (2, base + datetime.timedelta(minutes=5), 1.0),
+    ]
+    df = spark.createDataFrame(rows, ["user_id", "ts", "value"])
+    df.write.mode("overwrite").parquet(src)
+    stream = spark.readStream.schema(df.schema).parquet(src)
+    sess = streaming_session_stats(stream, gap="30 minutes", watermark="1 hour")
+    q = (
+        sess.writeStream.format("memory").queryName("ss_stream")
+        .option("checkpointLocation", chk).outputMode("append")
+        .trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+    out = spark.sql("select * from ss_stream").collect()
+    got = {(r["user_id"], r["n_events"]) for r in out}
+    # closed: user 1's 2-event session and user 2's singleton; the 8h event's
+    # session is still open (watermark == its start) and must NOT be emitted
+    assert got == {(1, 2), (2, 1)}
