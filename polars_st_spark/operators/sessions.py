@@ -29,6 +29,20 @@ from pyspark.sql.window import Window
 __all__ = ["sessionize", "session_stats", "sessionize_stream"]
 
 
+def _micros(df: DataFrame, ts_col: str):
+    """Exact integer-microsecond ordinal for a timestamp column.
+
+    ``unix_micros`` rejects TIMESTAMP_NTZ (how newer parquet readers surface
+    TIMESTAMP(isAdjustedToUTC=false)); casting NTZ -> TIMESTAMP first is a
+    pure type change under a UTC session zone. Same pattern as
+    operators/asof.py:_ordinal."""
+    from pyspark.sql import types as T
+
+    if isinstance(df.schema[ts_col].dataType, T.TimestampNTZType):
+        return F.unix_micros(F.col(ts_col).cast("timestamp"))
+    return F.unix_micros(F.col(ts_col))
+
+
 def sessionize(
     df: DataFrame,
     user_col: str = "user_id",
@@ -40,7 +54,7 @@ def sessionize(
     per user, event-time ordered)."""
     # integer-microsecond arithmetic: session boundaries are exact (no float
     # gap comparisons), and the math matches any SQL engine bit-for-bit
-    us = F.unix_micros(F.col(ts_col))
+    us = _micros(df, ts_col)
     prev_us = F.lag(us).over(Window.partitionBy(user_col).orderBy(us.asc()))
     gap_us = int(gap_minutes * 60.0 * 1_000_000)
     new_session = F.when(prev_us.isNull() | ((us - prev_us) > gap_us), 1).otherwise(0)
@@ -61,7 +75,7 @@ def session_stats(
 ) -> DataFrame:
     """Per-session aggregates: event count, start/end, duration seconds."""
     s = sessionize(df, user_col, ts_col, gap_minutes)
-    us = F.unix_micros(F.col(ts_col))
+    us = _micros(df, ts_col)
     return s.groupBy(user_col, "session_id").agg(
         F.count("*").alias("n_events"),
         F.min(ts_col).alias("session_start"),

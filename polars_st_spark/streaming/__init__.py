@@ -44,8 +44,15 @@ def streaming_session_stats(
     the watermark is a no-op in batch), where it matches
     ``operators.sessions.session_stats`` session boundaries for the same gap.
     """
+    from pyspark.sql import types as T
+
     w = stream.withWatermark(ts_col, watermark) if stream.isStreaming else stream
-    us = F.unix_micros
+    if isinstance(stream.schema[ts_col].dataType, T.TimestampNTZType):
+        # unix_micros rejects TIMESTAMP_NTZ; NTZ -> TIMESTAMP is a pure type
+        # change under a UTC session zone (operators/sessions.py:_micros)
+        us = lambda c: F.unix_micros(c.cast("timestamp"))  # noqa: E731
+    else:
+        us = F.unix_micros
     return (
         w.groupBy(F.col(user_col), F.session_window(F.col(ts_col), gap).alias("_sw"))
         .agg(
