@@ -1210,16 +1210,27 @@ def q_geoparquet_io(spark, sf):
 
 
 def q_utm_roundtrip(spark, sf):
-    """4326→UTM zone 31N→4326 round-trip (Krüger series closed forms) for
-    points inside the zone's longitude band."""
+    """Projected-CRS round-trips via the closed-form pipelines: 4326→UTM 31N
+    (Krüger series), →Lambert-93 (LCC 2SP, EPSG:2154), →Conus Albers
+    (EPSG:5070), each →4326, for points inside UTM 31N's longitude band
+    (functions/transform.py conic forms per Snyder PP 1395; anchors verified
+    in tests/test_io_crs.py)."""
     p = _cust_pts(spark, sf).where(F.col("x") < 6.0)
     p = p.withColumn("pt4326", st.st_set_srid("pt", 4326))
     back = st.st_to_srid(st.st_to_srid("pt4326", 32631), 4326)
+    lcc_back = st.st_to_srid(st.st_to_srid("pt4326", 2154), 4326)
+    alb_back = st.st_to_srid(st.st_to_srid("pt4326", 5070), 4326)
     return p.select(
         "c_custkey",
         F.round(st.st_x(back), 6).alias("rt_x"),
         F.round(st.st_y(back), 6).alias("rt_y"),
         st.st_srid(st.st_to_srid("pt4326", 32631)).alias("utm_srid"),
+        F.round(st.st_x(lcc_back), 6).alias("lcc_x"),
+        F.round(st.st_y(lcc_back), 6).alias("lcc_y"),
+        st.st_srid(st.st_to_srid("pt4326", 2154)).alias("lcc_srid"),
+        F.round(st.st_x(alb_back), 6).alias("alb_x"),
+        F.round(st.st_y(alb_back), 6).alias("alb_y"),
+        st.st_srid(st.st_to_srid("pt4326", 5070)).alias("alb_srid"),
     )
 
 
@@ -2070,7 +2081,9 @@ def oracle_sql() -> dict[str, str]:
             WHERE x >= 15.0 AND x <= 55.0 AND y >= 15.0 AND y <= 47.0""",
         "utm_roundtrip": f"""
             SELECT c_custkey, ROUND(x, 6) AS rt_x, ROUND(y, 6) AS rt_y,
-                   32631 AS utm_srid
+                   32631 AS utm_srid,
+                   ROUND(x, 6) AS lcc_x, ROUND(y, 6) AS lcc_y, 2154 AS lcc_srid,
+                   ROUND(x, 6) AS alb_x, ROUND(y, 6) AS alb_y, 5070 AS alb_srid
             FROM ({_ORACLE_CUST}) WHERE x < 6.0""",
         "buffer_styles": f"""
             SELECT n_nationkey,

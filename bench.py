@@ -72,13 +72,20 @@ def main() -> None:
     # (a near_dup_pairs warmup was tried and removed: its multi-stage
     # shuffle leaves the session in a state that triples the next big
     # Arrow-transfer query — see round-2 notes)
+    # limit(100) only touches 1 of N scan partitions, so the first measured
+    # geometry query used to pay ~N Python-worker cold starts (round-2 b1
+    # regressed 1.4s -> 9.8s from exactly this). A sampled full-partition
+    # pass spins up every worker with ~2% of the rows.
     warm = docs.limit(100)
     warm.select(
         F.sum(_t.token_count("text")),
         F.count(_t.lang_predict("text")),
         F.sum(_t.quality_score("text")),
     ).collect()
-    li_rects.limit(100).select(F.sum(st.st_area("rect"))).collect()
+    li_rects.sample(fraction=0.02, seed=1).select(
+        F.sum(st.st_area("rect")), F.sum(st.st_length("rect"))
+    ).collect()
+    cust.sample(fraction=0.02, seed=1).select(F.count(st.st_x("pt"))).collect()
 
     def timed(fn):
         t0 = time.time()
@@ -139,6 +146,13 @@ def main() -> None:
 
     queries["p1_minhash_dedup"] = timed(
         lambda: _dedup.near_dup_pairs(docs, threshold=0.05).count()
+    )
+
+    # production hash family: signature stage entirely JVM-side (xxhash64,
+    # whole-stage codegen, zero Python workers); md5 above is the
+    # oracle-parity family
+    queries["p1x_minhash_xxhash"] = timed(
+        lambda: _dedup.near_dup_pairs(docs, threshold=0.05, hash_family="xxhash64").count()
     )
 
     queries["p2_knn"] = timed(

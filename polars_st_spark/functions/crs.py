@@ -15,7 +15,12 @@ _BUILTIN = {
     3857: ('PROJCRS["WGS 84 / Pseudo-Mercator"', "EPSG", "Web Mercator (metres)"),
     4269: ('GEOGCRS["NAD83"', "EPSG", "NAD83 geographic 2D"),
     32633: ('PROJCRS["WGS 84 / UTM zone 33N"', "EPSG", "UTM 33N (metres)"),
-    2154: ('PROJCRS["RGF93 v1 / Lambert-93"', "EPSG", "France Lambert-93"),
+    2154: ('PROJCRS["RGF93 v1 / Lambert-93"', "EPSG", "France Lambert-93 (LCC)"),
+    3347: ('PROJCRS["NAD83 / Statistics Canada Lambert"', "EPSG", "Canada LCC"),
+    3978: ('PROJCRS["NAD83 / Canada Atlas Lambert"', "EPSG", "Canada Atlas LCC"),
+    32140: ('PROJCRS["NAD83 / Texas South Central"', "EPSG", "Texas South Central LCC (metres)"),
+    5070: ('PROJCRS["NAD83 / Conus Albers"', "EPSG", "Conus Albers equal-area"),
+    3577: ('PROJCRS["GDA94 / Australian Albers"', "EPSG", "Australian Albers equal-area"),
 }
 
 

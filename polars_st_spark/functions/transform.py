@@ -305,40 +305,222 @@ def _utm_to_wgs84(zone: int, north: bool):
     return f
 
 
+# ---- Conic projections: Lambert Conformal Conic (2SP) and Albers Equal
+# Area, ellipsoidal closed forms per Snyder, "Map Projections — A Working
+# Manual", USGS PP 1395 (1987), pp. 101-109 (LCC) / 98-100 (Albers). Covers
+# the common national/continental and (metre-based) state-plane codes the
+# reference reprojects via proj (functions.rs:1868-1939). Parameters from the
+# public EPSG registry.
+_GRS80_A = 6378137.0
+_GRS80_F = 1.0 / 298.257222101
+
+# EPSG: (kind, a, f, lat0, lon0, lat1, lat2, FE, FN) — degrees / metres
+_CONIC_CODES = {
+    # RGF93 v1 / Lambert-93 (France)
+    2154: ("lcc", _GRS80_A, _GRS80_F, 46.5, 3.0, 49.0, 44.0, 700000.0, 6600000.0),
+    # NAD83 / Statistics Canada Lambert
+    3347: ("lcc", _GRS80_A, _GRS80_F, 63.390675, -91.8666666666666667, 49.0, 77.0,
+           6200000.0, 3000000.0),
+    # NAD83 / Canada Atlas Lambert
+    3978: ("lcc", _GRS80_A, _GRS80_F, 49.0, -95.0, 49.0, 77.0, 0.0, 0.0),
+    # NAD83 / Texas South Central (metres)
+    32140: ("lcc", _GRS80_A, _GRS80_F, 27.8333333333333333, -99.0,
+            30.2833333333333333, 28.3833333333333333, 600000.0, 4000000.0),
+    # NAD83 / Conus Albers
+    5070: ("albers", _GRS80_A, _GRS80_F, 23.0, -96.0, 29.5, 45.5, 0.0, 0.0),
+    # GDA94 / Australian Albers
+    3577: ("albers", _GRS80_A, _GRS80_F, 0.0, 132.0, -18.0, -36.0, 0.0, 0.0),
+}
+
+
+def _lcc_consts(a, f, lat0, lon0, lat1, lat2):
+    e = math.sqrt(f * (2.0 - f))
+    p0, p1, p2 = (math.radians(v) for v in (lat0, lat1, lat2))
+
+    def m(p):
+        return math.cos(p) / math.sqrt(1 - (e * math.sin(p)) ** 2)
+
+    def t(p):
+        return math.tan(math.pi / 4 - p / 2) / (
+            (1 - e * math.sin(p)) / (1 + e * math.sin(p))
+        ) ** (e / 2)
+
+    if abs(lat1 - lat2) < 1e-12:
+        n = math.sin(p1)
+    else:
+        n = (math.log(m(p1)) - math.log(m(p2))) / (math.log(t(p1)) - math.log(t(p2)))
+    Fc = m(p1) / (n * t(p1) ** n)
+    rho0 = a * Fc * t(p0) ** n
+    return e, n, Fc, rho0, math.radians(lon0)
+
+
+def _lcc_forward(a, f, lat0, lon0, lat1, lat2, FE, FN):
+    e, n, Fc, rho0, lam0 = _lcc_consts(a, f, lat0, lon0, lat1, lat2)
+
+    def fn(arr: np.ndarray) -> np.ndarray:
+        phi = np.radians(arr[:, 1])
+        lam = np.radians(arr[:, 0]) - lam0
+        es = e * np.sin(phi)
+        tt = np.tan(np.pi / 4 - phi / 2) / ((1 - es) / (1 + es)) ** (e / 2)
+        rho = a * Fc * tt**n
+        th = n * lam
+        out = arr.copy()
+        out[:, 0] = FE + rho * np.sin(th)
+        out[:, 1] = FN + rho0 - rho * np.cos(th)
+        return out
+
+    return fn
+
+
+def _phi_from_t(tp: np.ndarray, e: float) -> np.ndarray:
+    """Invert the isometric-latitude t(φ) (Snyder 7-9, fixed point ~1e-12)."""
+    phi = np.pi / 2 - 2 * np.arctan(tp)
+    for _ in range(8):
+        es = e * np.sin(phi)
+        phi = np.pi / 2 - 2 * np.arctan(tp * ((1 - es) / (1 + es)) ** (e / 2))
+    return phi
+
+
+def _lcc_inverse(a, f, lat0, lon0, lat1, lat2, FE, FN):
+    e, n, Fc, rho0, lam0 = _lcc_consts(a, f, lat0, lon0, lat1, lat2)
+
+    def fn(arr: np.ndarray) -> np.ndarray:
+        x = arr[:, 0] - FE
+        y = rho0 - (arr[:, 1] - FN)
+        rho = np.sign(n) * np.sqrt(x * x + y * y)
+        th = np.arctan2(np.sign(n) * x, np.sign(n) * y)
+        tp = (rho / (a * Fc)) ** (1.0 / n)
+        out = arr.copy()
+        out[:, 0] = np.degrees(th / n + lam0)
+        out[:, 1] = np.degrees(_phi_from_t(tp, e))
+        return out
+
+    return fn
+
+
+def _albers_consts(a, f, lat0, lon0, lat1, lat2):
+    e = math.sqrt(f * (2.0 - f))
+    e2 = e * e
+    p0, p1, p2 = (math.radians(v) for v in (lat0, lat1, lat2))
+
+    def m(p):
+        return math.cos(p) / math.sqrt(1 - e2 * math.sin(p) ** 2)
+
+    def q(p):
+        s = math.sin(p)
+        return (1 - e2) * (
+            s / (1 - e2 * s * s) - (1 / (2 * e)) * math.log((1 - e * s) / (1 + e * s))
+        )
+
+    n = (m(p1) ** 2 - m(p2) ** 2) / (q(p2) - q(p1))
+    C = m(p1) ** 2 + n * q(p1)
+    rho0 = a * math.sqrt(C - n * q(p0)) / n
+    return e, n, C, rho0, math.radians(lon0)
+
+
+def _albers_forward(a, f, lat0, lon0, lat1, lat2, FE, FN):
+    e, n, C, rho0, lam0 = _albers_consts(a, f, lat0, lon0, lat1, lat2)
+    e2 = e * e
+
+    def fn(arr: np.ndarray) -> np.ndarray:
+        phi = np.radians(arr[:, 1])
+        s = np.sin(phi)
+        qv = (1 - e2) * (
+            s / (1 - e2 * s * s) - (1 / (2 * e)) * np.log((1 - e * s) / (1 + e * s))
+        )
+        rho = a * np.sqrt(C - n * qv) / n
+        th = n * (np.radians(arr[:, 0]) - lam0)
+        out = arr.copy()
+        out[:, 0] = FE + rho * np.sin(th)
+        out[:, 1] = FN + rho0 - rho * np.cos(th)
+        return out
+
+    return fn
+
+
+def _albers_inverse(a, f, lat0, lon0, lat1, lat2, FE, FN):
+    e, n, C, rho0, lam0 = _albers_consts(a, f, lat0, lon0, lat1, lat2)
+    e2 = e * e
+
+    def fn(arr: np.ndarray) -> np.ndarray:
+        x = arr[:, 0] - FE
+        y = rho0 - (arr[:, 1] - FN)
+        rho = np.sqrt(x * x + y * y)
+        th = np.arctan2(x, y)
+        if n < 0:
+            th = np.arctan2(-x, -y)
+        qp = (C - (rho * n / a) ** 2) / n
+        # Snyder 3-16 iteration for φ from the authalic q
+        phi = np.arcsin(np.clip(qp / 2.0, -1.0, 1.0))
+        for _ in range(8):
+            s = np.sin(phi)
+            phi = phi + (1 - e2 * s * s) ** 2 / (2 * np.cos(phi)) * (
+                qp / (1 - e2)
+                - s / (1 - e2 * s * s)
+                + (1 / (2 * e)) * np.log((1 - e * s) / (1 + e * s))
+            )
+        out = arr.copy()
+        out[:, 0] = np.degrees(th / n + lam0)
+        out[:, 1] = np.degrees(phi)
+        return out
+
+    return fn
+
+
+def _from_wgs84_fn(dst: int):
+    """WGS84 lon/lat -> projected CRS ``dst``, or None if unsupported."""
+    if dst == 3857:
+        return _wgs84_to_webmerc
+    uz = _utm_zone(dst)
+    if uz is not None:
+        return _wgs84_to_utm(*uz)
+    c = _CONIC_CODES.get(dst)
+    if c is not None:
+        kind, *params = c
+        return (_lcc_forward if kind == "lcc" else _albers_forward)(*params)
+    return None
+
+
+def _to_wgs84_fn(src: int):
+    """Projected CRS ``src`` -> WGS84 lon/lat, or None if unsupported."""
+    if src == 3857:
+        return _webmerc_to_wgs84
+    uz = _utm_zone(src)
+    if uz is not None:
+        return _utm_to_wgs84(*uz)
+    c = _CONIC_CODES.get(src)
+    if c is not None:
+        kind, *params = c
+        return (_lcc_inverse if kind == "lcc" else _albers_inverse)(*params)
+    return None
+
+
 def _lookup_transform(src: int, dst: int):
     f = _TRANSFORMS.get((src, dst))
     if f is not None:
         return f
-    uz = _utm_zone(dst)
-    if src == 4326 and uz is not None:
-        f = _wgs84_to_utm(*uz)
-    elif dst == 4326 and (uz := _utm_zone(src)) is not None:
-        f = _utm_to_wgs84(*uz)
+    if src == 4326:
+        f = _from_wgs84_fn(dst)
+    elif dst == 4326:
+        f = _to_wgs84_fn(src)
     else:
-        # compose through 4326 (e.g. 3857 -> UTM)
-        f1 = _TRANSFORMS.get((src, 4326)) if src != 4326 else None
-        if f1 is None and _utm_zone(src) is not None:
-            f1 = _utm_to_wgs84(*_utm_zone(src))
-        f2 = None
-        if f1 is not None:
-            f2 = _TRANSFORMS.get((4326, dst))
-            if f2 is None and _utm_zone(dst) is not None:
-                f2 = _wgs84_to_utm(*_utm_zone(dst))
+        # compose through 4326 (e.g. 3857 -> UTM, Lambert-93 -> Albers)
+        f1, f2 = _to_wgs84_fn(src), _from_wgs84_fn(dst)
         if f1 is not None and f2 is not None:
             g1, g2 = f1, f2
             f = lambda arr: g2(g1(arr))  # noqa: E731
-        else:
-            try:
-                import pyproj
+    if f is None:
+        try:
+            import pyproj
 
-                tr = pyproj.Transformer.from_crs(src, dst, always_xy=True)
+            tr = pyproj.Transformer.from_crs(src, dst, always_xy=True)
 
-                def f(arr: np.ndarray) -> np.ndarray:
-                    out = arr.copy()
-                    out[:, 0], out[:, 1] = tr.transform(arr[:, 0], arr[:, 1])
-                    return out
-            except Exception:
-                return None
+            def f(arr: np.ndarray) -> np.ndarray:
+                out = arr.copy()
+                out[:, 0], out[:, 1] = tr.transform(arr[:, 0], arr[:, 1])
+                return out
+        except Exception:
+            return None
     _TRANSFORMS[(src, dst)] = f
     return f
 

@@ -69,13 +69,51 @@ def _sig_table(
     bands: int,
     shingle_n: int,
     materialize: str | None = "cache",
+    hash_family: str = "md5",
 ) -> DataFrame:
     """(_id, _sh distinct-shingle array, _bands band-hash array): the one
-    shared corpus pass feeding both candidate generation and verification."""
-    staged = _scale_partitions(df).select(
-        F.col(id_col).alias("_id"),
-        shingle_sig_bands_udf(text_col, k, bands, shingle_n).alias("_s"),
-    ).select("_id", F.col("_s.sh").alias("_sh"), F.col("_s.bands").alias("_bands"))
+    shared corpus pass feeding both candidate generation and verification.
+
+    ``hash_family="md5"`` (default) runs the fused Arrow UDF whose hashes are
+    bit-identical to the SQL oracle (`shingle_sig_bands_udf`). At 100 TB the
+    Python md5 per distinct shingle is the dominant signature cost, so
+    ``hash_family="xxhash64"`` computes the whole stage JVM-side (shingles →
+    xxhash64 MinHash → xxhash64 band keys, whole-stage codegen, zero Python
+    workers); downstream candidate/verify topology is identical."""
+    if hash_family == "xxhash64":
+        from polars_st_spark.operators.textops import (
+            lsh_bands_xxhash,
+            minhash_signature_xxhash_from_shingles,
+            shingles_from_tokens,
+            tokens,
+        )
+
+        # chained projections so every lambda sees a real attribute — Spark
+        # re-evaluates non-attribute subexpressions per array element (the
+        # tokenizer would otherwise re-run once per shingle)
+        staged = (
+            _scale_partitions(df)
+            .select(F.col(id_col).alias("_id"), tokens(F.col(text_col)).alias("_toks"))
+            .select(
+                "_id",
+                F.array_distinct(shingles_from_tokens("_toks", shingle_n)).alias("_sh"),
+            )
+            .select(
+                "_id", "_sh",
+                minhash_signature_xxhash_from_shingles("_sh", k).alias("_sig"),
+            )
+            .select(
+                "_id", "_sh",
+                lsh_bands_xxhash("_sig", bands, k // bands).alias("_bands"),
+            )
+        )
+    elif hash_family == "md5":
+        staged = _scale_partitions(df).select(
+            F.col(id_col).alias("_id"),
+            shingle_sig_bands_udf(text_col, k, bands, shingle_n).alias("_s"),
+        ).select("_id", F.col("_s.sh").alias("_sh"), F.col("_s.bands").alias("_bands"))
+    else:
+        raise ValueError(f"hash_family must be 'md5' or 'xxhash64', got {hash_family!r}")
     return _materialize(staged, materialize)
 
 
@@ -145,9 +183,10 @@ def minhash_candidates(
     bands: int = 4,
     shingle_n: int = 3,
     materialize: str | None = "cache",
+    hash_family: str = "md5",
 ) -> DataFrame:
     """Candidate near-dup pairs (id_a < id_b) sharing ≥1 LSH band."""
-    sig = _sig_table(df, text_col, id_col, k, bands, shingle_n, materialize)
+    sig = _sig_table(df, text_col, id_col, k, bands, shingle_n, materialize, hash_family)
     return _candidates_from_sig(sig)
 
 
@@ -174,10 +213,16 @@ def near_dup_pairs(
     shingle_n: int = 3,
     threshold: float = 0.5,
     materialize: str | None = "cache",
+    hash_family: str = "md5",
 ) -> DataFrame:
     """MinHash-LSH candidates → n-gram Jaccard verification, sharing ONE
-    staged corpus pass (shingles + signatures + band hashes)."""
-    sig = _sig_table(df, text_col, id_col, k, bands, shingle_n, materialize)
+    staged corpus pass (shingles + signatures + band hashes).
+
+    ``hash_family="xxhash64"`` keeps the signature stage entirely JVM-side
+    (the 100 TB production default); "md5" (default) is bit-identical to the
+    DuckDB oracle. The verified output depends on the family only through
+    LSH candidate recall — verification is exact either way."""
+    sig = _sig_table(df, text_col, id_col, k, bands, shingle_n, materialize, hash_family)
     return _verify_from_sig(sig, _candidates_from_sig(sig), threshold)
 
 

@@ -153,6 +153,21 @@ def shingles(text, n: int = 3) -> Column:
     ).otherwise(F.array(F.concat_ws(" ", t)))
 
 
+def shingles_from_tokens(tokens_col, n: int = 3) -> Column:
+    """Word n-gram shingles from a pre-staged token array ATTRIBUTE — the
+    lambda body then slices a real column instead of re-running the tokenizer
+    per element (Spark re-evaluates non-attribute subexpressions inside
+    higher-order-function lambdas once per element)."""
+    t = col_or_lit(tokens_col)
+    return F.when(
+        F.size(t) >= n,
+        F.transform(
+            F.sequence(F.lit(1), F.size(t) - (n - 1)),
+            lambda i: F.concat_ws(" ", F.slice(t, i, n)),
+        ),
+    ).otherwise(F.array(F.concat_ws(" ", t)))
+
+
 def _h(i, s: Column) -> Column:
     """Engine-portable 32-bit hash: int(md5(i ':' s)[:8], 16)."""
     return F.conv(F.substring(F.md5(F.concat(F.lit(str(i)), F.lit(":"), s)), 1, 8), 16, 10).cast("long")
@@ -184,6 +199,41 @@ def minhash_signature_from_shingles(shingle_col, k: int = 16) -> Column:
     sh = col_or_lit(shingle_col)
     return F.array(*[F.array_min(F.transform(sh, _hash_i_fn(i))) for i in range(k)])
 
+
+
+def minhash_signature_xxhash_from_shingles(shingle_col, k: int = 16) -> Column:
+    """Pure-JVM MinHash over a pre-staged shingle array attribute: the i-th
+    hash function is ``xxhash64(i, shingle)`` (the function index is mixed in
+    as a leading column, giving k independent 64-bit families) — zero Python
+    workers in the signature stage, whole-stage codegen end to end.
+
+    NOT bit-compatible with the md5 family (`minhash_signature_from_shingles`),
+    which is kept for cross-engine oracle parity; this is the production
+    default at scale (VERDICT r2 perf item 2)."""
+    sh = col_or_lit(shingle_col)
+    return F.array(
+        *[F.array_min(F.transform(sh, lambda s, i=i: F.xxhash64(F.lit(i), s))) for i in range(k)]
+    )
+
+
+def lsh_bands_xxhash(signature, bands: int = 4, rows_per_band: int = 4) -> Column:
+    """JVM band hashes for the xxhash64 family: xxhash64 of each comma-joined
+    signature slice, as strings (same join-key shape as :func:`lsh_bands`)."""
+    sig = col_or_lit(signature)
+    return F.array(
+        *[
+            F.xxhash64(
+                F.concat_ws(
+                    ",",
+                    F.transform(
+                        F.slice(sig, b * rows_per_band + 1, rows_per_band),
+                        lambda x: x.cast("string"),
+                    ),
+                )
+            ).cast("string")
+            for b in range(bands)
+        ]
+    )
 
 
 def lsh_bands(signature, bands: int = 4, rows_per_band: int = 4) -> Column:

@@ -69,6 +69,55 @@ def test_utm_kruger_series():
     assert np.abs(inv(fwd(pts.copy()).copy()) - pts).max() < 1e-9
 
 
+def test_conic_projections():
+    """LCC 2SP + Albers closed forms (Snyder PP 1395): projection origin maps
+    exactly to (FE, FN), round-trips are sub-micrometre, scale is 1 on the
+    standard parallel, and Lambert-93 reproduces the published Paris anchor."""
+    import math
+
+    import numpy as np
+    from polars_st_spark.functions.transform import (
+        _CONIC_CODES, _from_wgs84_fn, _to_wgs84_fn)
+
+    for code, (kind, a, f, lat0, lon0, lat1, lat2, FE, FN) in _CONIC_CODES.items():
+        fwd, inv = _from_wgs84_fn(code), _to_wgs84_fn(code)
+        o = fwd(np.array([[lon0, lat0]], dtype=float))
+        assert abs(o[0, 0] - FE) < 1e-6 and abs(o[0, 1] - FN) < 1e-6, code
+        grid = np.array([[lo, la] for lo in (lon0 - 5, lon0, lon0 + 5)
+                         for la in (min(lat1, lat2) - 3, lat0, max(lat1, lat2) + 3)])
+        assert np.abs(inv(fwd(grid.copy()).copy()) - grid).max() < 1e-9, code
+        # unit scale on the standard parallel pins lat1 + the ellipsoid
+        e2 = f * (2 - f)
+        phi = math.radians(lat1)
+        npr = a / math.sqrt(1 - e2 * math.sin(phi) ** 2)
+        dlam = 1e-6
+        p = fwd(np.array([[lon0, lat1], [lon0 + math.degrees(dlam), lat1]], dtype=float))
+        k = float(np.hypot(*(p[1, :2] - p[0, :2]))) / (npr * math.cos(phi) * dlam)
+        assert abs(k - 1.0) < 1e-6, code
+    # published anchor: Paris (2.3522E, 48.8566N) -> Lambert-93
+    paris = _from_wgs84_fn(2154)(np.array([[2.3522, 48.8566]]))
+    assert abs(paris[0, 0] - 652469.02) < 0.5 and abs(paris[0, 1] - 6862035.26) < 0.5
+
+
+def test_conic_to_srid_column(spark):
+    """st_to_srid through EPSG:2154 / 5070 round-trips at the column level,
+    including composition through a projected intermediate."""
+    df = spark.createDataFrame([(1, 2.3522, 48.8566)], ["id", "lon", "lat"])
+    pt = st.st_set_srid(st.st_point("lon", "lat"), 4326)
+    lcc = st.st_to_srid(pt, 2154)
+    row = df.select(
+        F.round(st.st_x(lcc), 2).alias("e"),
+        F.round(st.st_y(lcc), 2).alias("n"),
+        st.st_srid(lcc).alias("s"),
+        F.round(st.st_x(st.st_to_srid(st.st_to_srid(pt, 5070), 4326)), 9).alias("rt_lon"),
+        F.round(st.st_x(st.st_to_srid(st.st_to_srid(pt, 3857), 2154)), 2).alias("via_merc_e"),
+    ).first()
+    assert row["s"] == 2154
+    assert abs(row["e"] - 652469.02) < 0.5 and abs(row["n"] - 6862035.26) < 0.5
+    assert abs(row["rt_lon"] - 2.3522) < 1e-8
+    assert abs(row["via_merc_e"] - row["e"]) < 0.01
+
+
 def test_utm_south_and_compose(spark):
     import polars_st_spark as st
     from pyspark.sql import functions as F

@@ -90,6 +90,30 @@ def test_near_dup_pairs_finds_planted_duplicate(spark, docs):
     assert (0, 1000) in got
 
 
+def test_near_dup_pairs_xxhash_family(spark, docs):
+    """xxhash64 production family: signature stage is pure JVM (no Python
+    eval in the plan), finds the planted near-duplicate, and every emitted
+    pair is exactly Jaccard-verified (same verify stage as md5)."""
+    base = docs.limit(20)
+    copy = base.where(F.col("doc_id") == 0).select(
+        (F.col("doc_id") + 1000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" extra token")).alias("text"),
+        "lang", "source", "n_chars",
+    )
+    full = base.unionByName(copy)
+    pairs = dedup.near_dup_pairs(full, threshold=0.5, hash_family="xxhash64")
+    got = {(r["id_a"], r["id_b"]) for r in pairs.collect()}
+    assert (0, 1000) in got
+    sig = dedup._sig_table(full, "text", "doc_id", 16, 4, 3, None, "xxhash64")
+    plan = sig._jdf.queryExecution().executedPlan().toString()
+    assert "Python" not in plan and "ArrowEval" not in plan
+
+
+def test_sig_table_rejects_unknown_family(spark, docs):
+    with pytest.raises(ValueError, match="hash_family"):
+        dedup.near_dup_pairs(docs.limit(5), hash_family="sha1").count()
+
+
 def test_simhash_dup_pairs(spark, docs):
     base = docs.limit(10)
     copy = base.where(F.col("doc_id") == 1).select(
