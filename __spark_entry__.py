@@ -1257,18 +1257,32 @@ def q_buffer_styles(spark, sf):
 
 
 def q_curve_measures(spark, sf):
-    """CircularString semicircle: EXACT arc length (r·sweep = 9π) + exact
-    arc bounds (geo/curves.py exact_length/extreme_points)."""
+    """CircularString semicircle: EXACT arc length (r·sweep = 9π), exact arc
+    bounds, and EXACT point↔arc predicates/distances via the closed-form arc
+    math (geo/curves.py point_arc_distance — no linearization; a 32-seg
+    chord approximation could not produce d_center = 9.0 exactly)."""
     r = _nation_rects(spark, sf)
+    cx = (F.col("x0") + F.col("x1")) / 2.0
     arc = st.st_circularstring(F.array(
         F.array("x0", "y0"),
-        F.array((F.col("x0") + F.col("x1")) / 2.0, F.col("y0") + 9.0),
+        F.array(cx, F.col("y0") + 9.0),
         F.array("x1", "y0")))
+    apex = st.st_point(cx, F.col("y0") + 9.0)
+    center = st.st_point(cx, "y0")
+    below = st.st_point(cx, F.col("y0") - 5.0)
     return r.select(
         "n_nationkey",
         st.st_geometry_type(arc).alias("arc_t"),
         F.round(st.st_length(arc), 6).alias("arc_len"),
         F.round(st.st_bounds(arc)[3], 6).alias("arc_ymax"),
+        st.st_intersects(arc, apex).alias("hit_apex"),
+        st.st_intersects(arc, st.st_point("x0", "y0")).alias("hit_end"),
+        st.st_intersects(arc, center).alias("hit_center"),
+        st.st_distance(arc, center).alias("d_center"),
+        st.st_distance(arc, st.st_point(cx, F.col("y0") + 4.5)).alias("d_inside"),
+        st.st_distance(arc, below).alias("d_below"),
+        st.st_dwithin(arc, center, 9.0).alias("dw_strict"),
+        st.st_dwithin(arc, center, 9.5).alias("dw_loose"),
     )
 
 
@@ -2102,7 +2116,11 @@ def oracle_sql() -> dict[str, str]:
         "curve_measures": """
             SELECT n_nationkey, 'CircularString' AS arc_t,
                    ROUND(9.0 * pi(), 6) AS arc_len,
-                   ROUND(CAST(n_nationkey // 5 AS DOUBLE) * 20.0 + 9.0, 6) AS arc_ymax
+                   ROUND(CAST(n_nationkey // 5 AS DOUBLE) * 20.0 + 9.0, 6) AS arc_ymax,
+                   TRUE AS hit_apex, TRUE AS hit_end, FALSE AS hit_center,
+                   9.0 AS d_center, 4.5 AS d_inside,
+                   sqrt(106.0) AS d_below,
+                   FALSE AS dw_strict, TRUE AS dw_loose
             FROM nation""",
     }
     # ---- round-3 consolidated suites (compose the singleton oracles) ----

@@ -86,6 +86,9 @@ def main() -> None:
         F.sum(st.st_area("rect")), F.sum(st.st_length("rect"))
     ).collect()
     cust.sample(fraction=0.02, seed=1).select(F.count(st.st_x("pt"))).collect()
+    # compile the wide cosine/rank expression tree once (first-use codegen of
+    # the aggregate dot product dominated a cold p2 at ~10s)
+    _knn.cosine_topk(emb.limit(1), emb.limit(50), k=1).count()
 
     def timed(fn):
         t0 = time.time()

@@ -100,14 +100,22 @@ def sjoin(
                     left_on=on, right_on=on, **kwargs)
 
 
-def to_feature_dicts(df: DataFrame, geometry_name: str = "geometry") -> list[dict]:
+def to_feature_dicts(
+    df: DataFrame, geometry_name: str = "geometry", max_rows: int = 1_000_000
+) -> list[dict]:
     """Rows as GeoJSON Feature dicts (reference: geodataframe.py:314-330).
-    Driver-side collect — small results only."""
+    Driver-side collect, bounded: raises past ``max_rows`` instead of
+    silently OOMing the driver."""
     props = [c for c in df.columns if c != geometry_name]
     rows = df.select(
         F.to_json(F.struct(*[F.col(c) for c in props])).alias("_props"),
         st_to_geojson(geometry_name).alias("_geom"),
-    ).collect()
+    ).limit(max_rows + 1).collect()
+    if len(rows) > max_rows:
+        raise ValueError(
+            f"to_feature_dicts collects to the driver and the result exceeds "
+            f"max_rows={max_rows}; raise max_rows explicitly for larger results"
+        )
     return [
         {
             "type": "Feature",

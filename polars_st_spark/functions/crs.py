@@ -21,6 +21,7 @@ _BUILTIN = {
     32140: ('PROJCRS["NAD83 / Texas South Central"', "EPSG", "Texas South Central LCC (metres)"),
     5070: ('PROJCRS["NAD83 / Conus Albers"', "EPSG", "Conus Albers equal-area"),
     3577: ('PROJCRS["GDA94 / Australian Albers"', "EPSG", "Australian Albers equal-area"),
+    3035: ('PROJCRS["ETRS89-extended / LAEA Europe"', "EPSG", "Europe Lambert azimuthal equal-area"),
 }
 
 

@@ -330,6 +330,8 @@ _CONIC_CODES = {
     5070: ("albers", _GRS80_A, _GRS80_F, 23.0, -96.0, 29.5, 45.5, 0.0, 0.0),
     # GDA94 / Australian Albers
     3577: ("albers", _GRS80_A, _GRS80_F, 0.0, 132.0, -18.0, -36.0, 0.0, 0.0),
+    # ETRS89-extended / LAEA Europe (azimuthal: lat1/lat2 unused)
+    3035: ("laea", _GRS80_A, _GRS80_F, 52.0, 10.0, 0.0, 0.0, 4321000.0, 3210000.0),
 }
 
 
@@ -467,6 +469,96 @@ def _albers_inverse(a, f, lat0, lon0, lat1, lat2, FE, FN):
     return fn
 
 
+def _laea_consts(a, f, lat0, lon0):
+    e = math.sqrt(f * (2.0 - f))
+    e2 = e * e
+    p0 = math.radians(lat0)
+
+    def q(p):
+        s = math.sin(p)
+        return (1 - e2) * (
+            s / (1 - e2 * s * s) - (1 / (2 * e)) * math.log((1 - e * s) / (1 + e * s))
+        )
+
+    qp = q(math.pi / 2)
+    beta1 = math.asin(q(p0) / qp)
+    Rq = a * math.sqrt(qp / 2.0)
+    m1 = math.cos(p0) / math.sqrt(1 - e2 * math.sin(p0) ** 2)
+    D = a * m1 / (Rq * math.cos(beta1))
+    return e, qp, beta1, Rq, D, math.radians(lon0)
+
+
+def _laea_forward(a, f, lat0, lon0, _lat1, _lat2, FE, FN):
+    """Lambert Azimuthal Equal Area, ellipsoidal oblique case
+    (Snyder PP 1395, pp. 187-190, eqs. 24-2..24-19)."""
+    e, qp, beta1, Rq, D, lam0 = _laea_consts(a, f, lat0, lon0)
+    e2 = e * e
+
+    def fn(arr: np.ndarray) -> np.ndarray:
+        phi = np.radians(arr[:, 1])
+        lam = np.radians(arr[:, 0]) - lam0
+        s = np.sin(phi)
+        qv = (1 - e2) * (
+            s / (1 - e2 * s * s) - (1 / (2 * e)) * np.log((1 - e * s) / (1 + e * s))
+        )
+        beta = np.arcsin(np.clip(qv / qp, -1.0, 1.0))
+        B = Rq * np.sqrt(
+            2.0 / (1 + math.sin(beta1) * np.sin(beta) + math.cos(beta1) * np.cos(beta) * np.cos(lam))
+        )
+        out = arr.copy()
+        out[:, 0] = FE + B * D * np.cos(beta) * np.sin(lam)
+        out[:, 1] = FN + (B / D) * (
+            math.cos(beta1) * np.sin(beta) - math.sin(beta1) * np.cos(beta) * np.cos(lam)
+        )
+        return out
+
+    return fn
+
+
+def _laea_inverse(a, f, lat0, lon0, _lat1, _lat2, FE, FN):
+    e, qp, beta1, Rq, D, lam0 = _laea_consts(a, f, lat0, lon0)
+    e2 = e * e
+
+    def fn(arr: np.ndarray) -> np.ndarray:
+        x = (arr[:, 0] - FE) / D
+        y = D * (arr[:, 1] - FN)
+        rho = np.sqrt(x * x + y * y)
+        ce = 2.0 * np.arcsin(np.clip(rho / (2.0 * Rq), -1.0, 1.0))
+        with np.errstate(invalid="ignore", divide="ignore"):
+            beta = np.arcsin(np.clip(
+                np.cos(ce) * math.sin(beta1) + y * np.sin(ce) * math.cos(beta1) / rho, -1.0, 1.0))
+            lam = np.arctan2(
+                x * np.sin(ce),
+                rho * math.cos(beta1) * np.cos(ce) - y * math.sin(beta1) * np.sin(ce),
+            )
+        at_center = rho < 1e-12
+        beta = np.where(at_center, beta1, beta)
+        lam = np.where(at_center, 0.0, lam)
+        # authalic -> geodetic latitude via the q iteration (Snyder 3-16)
+        qv = qp * np.sin(beta)
+        phi = beta.copy()
+        for _ in range(8):
+            s = np.sin(phi)
+            phi = phi + (1 - e2 * s * s) ** 2 / (2 * np.cos(phi)) * (
+                qv / (1 - e2)
+                - s / (1 - e2 * s * s)
+                + (1 / (2 * e)) * np.log((1 - e * s) / (1 + e * s))
+            )
+        out = arr.copy()
+        out[:, 0] = np.degrees(lam + lam0)
+        out[:, 1] = np.degrees(phi)
+        return out
+
+    return fn
+
+
+_CONIC_KINDS = {
+    "lcc": (_lcc_forward, _lcc_inverse),
+    "albers": (_albers_forward, _albers_inverse),
+    "laea": (_laea_forward, _laea_inverse),
+}
+
+
 def _from_wgs84_fn(dst: int):
     """WGS84 lon/lat -> projected CRS ``dst``, or None if unsupported."""
     if dst == 3857:
@@ -477,7 +569,7 @@ def _from_wgs84_fn(dst: int):
     c = _CONIC_CODES.get(dst)
     if c is not None:
         kind, *params = c
-        return (_lcc_forward if kind == "lcc" else _albers_forward)(*params)
+        return _CONIC_KINDS[kind][0](*params)
     return None
 
 
@@ -491,7 +583,7 @@ def _to_wgs84_fn(src: int):
     c = _CONIC_CODES.get(src)
     if c is not None:
         kind, *params = c
-        return (_lcc_inverse if kind == "lcc" else _albers_inverse)(*params)
+        return _CONIC_KINDS[kind][1](*params)
     return None
 
 

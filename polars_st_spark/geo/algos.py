@@ -144,7 +144,16 @@ def distance(a: Geometry, b: Geometry) -> float:
     """NaN if either side empty (reference: functions.rs:823-825)."""
     if a.is_empty() or b.is_empty():
         return _NAN
+    from polars_st_spark.geo.curves import _is_curved, point_curve_distance
     from polars_st_spark.geo.predicates import _decompose, intersects, point_in_polygon
+
+    # point ↔ non-areal curve: EXACT closed-form arc distance, no
+    # linearization (GEOS 3.14 computes these natively; reference wkb.rs:58-62)
+    for p, g in ((a, b), (b, a)):
+        if p.type_id == GeometryType.Point and p.coords is not None and _is_curved(g):
+            d = point_curve_distance(p.coords[:2], g)
+            if d is not None:
+                return d
 
     if intersects(a, b):
         return 0.0

@@ -31,6 +31,8 @@ __all__ = [
     "exact_length",
     "extreme_points",
     "linearize",
+    "point_arc_distance",
+    "point_curve_distance",
 ]
 
 _DEFAULT_SEGS = 32  # samples per full circle
@@ -314,6 +316,72 @@ def extreme_points(g: Geometry) -> np.ndarray:
         return np.vstack(parts)
     c = g.all_coords()
     return np.asarray(c, dtype=np.float64)[:, :2] if len(c) else np.empty((0, 2))
+
+
+def _pt_seg_dist(p, a, b) -> float:
+    a = np.asarray(a, dtype=np.float64)[:2]
+    b = np.asarray(b, dtype=np.float64)[:2]
+    d = b - a
+    ln2 = float(d @ d)
+    if ln2 == 0.0:
+        return math.hypot(p[0] - a[0], p[1] - a[1])
+    t = max(0.0, min(1.0, float((p - a) @ d) / ln2))
+    q = a + t * d
+    return math.hypot(p[0] - q[0], p[1] - q[1])
+
+
+def point_arc_distance(p, p0, p1, p2) -> float:
+    """EXACT distance from a point to the circular arc p0→p1→p2 (closed
+    form — no linearization): ``|dist(p, center) − r|`` when the point's
+    angle falls inside the swept sector, else the nearer endpoint distance.
+    A point at the center is at distance r from every arc point. Collinear
+    control points degrade to the straight polyline."""
+    p = np.asarray(p, dtype=np.float64)[:2]
+    params = arc_params(p0, p1, p2)
+    if params is None:
+        return min(_pt_seg_dist(p, p0, p1), _pt_seg_dist(p, p1, p2))
+    ux, uy, r, a0, sweep = params
+    dx, dy = p[0] - ux, p[1] - uy
+    d = math.hypot(dx, dy)
+    scale = max(abs(ux), abs(uy), r, 1.0)
+    if d <= 1e-15 * scale:
+        return r
+    rel = (math.atan2(dy, dx) - a0) * (1.0 if sweep >= 0 else -1.0)
+    rel %= 2.0 * math.pi
+    if rel <= abs(sweep) + 1e-12:
+        return abs(d - r)
+    e0 = np.asarray(p0, dtype=np.float64)[:2]
+    e2 = np.asarray(p2, dtype=np.float64)[:2]
+    return min(
+        math.hypot(p[0] - e0[0], p[1] - e0[1]),
+        math.hypot(p[0] - e2[0], p[1] - e2[1]),
+    )
+
+
+def point_curve_distance(p, g: Geometry) -> float | None:
+    """EXACT point-to-curve distance for boundary-only curved geometries
+    (CircularString / CompoundCurve / MultiCurve, mixed with straight
+    parts). Returns None for areal curved types (CurvePolygon/MultiSurface),
+    where boundary distance is not the geometry distance — callers fall back
+    to linearization there."""
+    t = g.type_id
+    p = np.asarray(p, dtype=np.float64)[:2]
+    if t == GeometryType.CircularString:
+        if g.coords is None or len(g.coords) < 2:
+            return None
+        if len(g.coords) == 2:
+            return _pt_seg_dist(p, g.coords[0][:2], g.coords[1][:2])
+        return min(point_arc_distance(p, p0, p1, p2) for p0, p1, p2 in _arc_triples(g.coords))
+    if t == GeometryType.LineString:
+        if g.coords is None or len(g.coords) < 2:
+            return None
+        c = g.coords
+        return min(_pt_seg_dist(p, c[i][:2], c[i + 1][:2]) for i in range(len(c) - 1))
+    if t in (GeometryType.CompoundCurve, GeometryType.MultiCurve, GeometryType.MultiLineString):
+        ds = [point_curve_distance(p, s) for s in (g.geoms or [])]
+        ds = [d for d in ds if d is not None]
+        return min(ds) if ds else None
+    return None
 
 
 def _is_curved(g: Geometry) -> bool:

@@ -612,6 +612,17 @@ def intersects(a: Geometry, b: Geometry) -> bool:
     (kept for relate-derived predicates)."""
     if not _both_nonempty(a, b) or not _bbox_intersects(a, b):
         return False
+    # point ↔ non-areal curve: EXACT on-arc test via the closed-form arc
+    # distance (a linearized arc would miss points on the true curve)
+    from polars_st_spark.geo.curves import _is_curved, point_curve_distance
+
+    for p, g in ((a, b), (b, a)):
+        if p.type_id == GeometryType.Point and p.coords is not None and _is_curved(g):
+            d = point_curve_distance(p.coords[:2], g)
+            if d is not None:
+                c = p.coords
+                scale = max(abs(float(c[0])), abs(float(c[1])), 1.0)
+                return d <= 1e-12 * scale
     da = _decompose(a)
     db = _decompose(b)
 

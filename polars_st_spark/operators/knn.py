@@ -220,7 +220,19 @@ def ivf_centroids(
     live. Returns an ``(n_cells, dim)`` array of unit centroids.
     """
     sample_size = sample_size or 256 * n_cells
-    rows = corpus.select(F.col(corpus_vec).alias("v")).limit(sample_size).collect()
+    # seeded uniform sample, NOT limit(): limit takes the first N rows in
+    # storage order, which is biased on sorted/clustered tables (VERDICT r2
+    # item 7). The fraction is estimated from a cheap count and padded 20%,
+    # then trimmed to exactly sample_size for determinism.
+    v = corpus.select(F.col(corpus_vec).alias("v"))
+    n_total = v.count()
+    if n_total > sample_size:
+        frac = min(1.0, 1.2 * sample_size / n_total)
+        rows = v.sample(fraction=frac, seed=seed).limit(sample_size).collect()
+        if len(rows) < min(sample_size, n_total) // 2:  # pathological undersample
+            rows = v.limit(sample_size).collect()
+    else:
+        rows = v.collect()
     x = _unit_rows(np.array([r["v"] for r in rows], dtype=np.float64))
     if len(x) < n_cells:
         raise ValueError(f"corpus sample has {len(x)} vectors < n_cells={n_cells}")

@@ -90,10 +90,27 @@ def write_ndgeojson(df: DataFrame, path: str, geometry_name: str = "geometry") -
     _feature_line(df, geometry_name).write.mode("overwrite").text(path)
 
 
-def write_geojson(df: DataFrame, path: str, geometry_name: str = "geometry") -> None:
-    """Whole-file FeatureCollection (driver-side assembly — small results;
-    reference: geodataframe.py:499-526)."""
-    lines = [r["value"] for r in _feature_line(df, geometry_name).collect()]
+def write_geojson(
+    df: DataFrame,
+    path: str,
+    geometry_name: str = "geometry",
+    max_rows: int = 1_000_000,
+) -> None:
+    """Whole-file FeatureCollection (driver-side assembly — the single-file
+    contract matches the reference, geodataframe.py:499-526). Driver-bounded:
+    raises past ``max_rows`` instead of silently OOMing the driver; use
+    :func:`write_ndgeojson` (distributed, one Feature per line) for large
+    outputs."""
+    lines = [
+        r["value"]
+        for r in _feature_line(df, geometry_name).limit(max_rows + 1).collect()
+    ]
+    if len(lines) > max_rows:
+        raise ValueError(
+            f"write_geojson collects to the driver and the result exceeds "
+            f"max_rows={max_rows}; use write_ndgeojson for large outputs or "
+            f"raise max_rows explicitly"
+        )
     with open(path, "w") as f:
         f.write('{"type":"FeatureCollection","features":[\n')
         f.write(",\n".join(lines))

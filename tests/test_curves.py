@@ -83,3 +83,37 @@ def test_compound_curve_with_z():
     assert abs(algos.length(cc) - (1.0 + math.pi)) < 0.02
     xmin, ymin, xmax, ymax = cc.bounds()
     assert abs(xmax - 3.0) < 1e-9 and abs(ymax - 1.0) < 1e-9
+
+
+def test_exact_point_arc_predicates():
+    """point↔arc intersects/distance/dwithin are closed-form exact — values a
+    chord linearization cannot produce (VERDICT r2 item 9)."""
+    arc = from_wkt("CIRCULARSTRING (0 0, 9 9, 18 0)")  # center (9,0), r=9
+    pt = lambda x, y: from_wkt(f"POINT ({x} {y})")
+    assert P.intersects(arc, pt(9, 9)) is True      # apex on the true curve
+    assert P.intersects(arc, pt(0, 0)) is True      # endpoint
+    assert P.intersects(arc, pt(9, 0)) is False     # center is off the curve
+    assert algos.distance(arc, pt(9, 0)) == 9.0     # exactly r
+    assert algos.distance(arc, pt(9, 4.5)) == 4.5   # r - d, exact
+    assert algos.distance(arc, pt(9, 18)) == 9.0    # outside, radial
+    assert algos.distance(arc, pt(9, -5)) == math.sqrt(106.0)  # endpoint path
+    assert P.dwithin(arc, pt(9, 0), 9.0) is False   # strict <
+    assert P.dwithin(arc, pt(9, 0), 9.5) is True
+    # full circle: every direction is in-sector
+    circ = from_wkt("CIRCULARSTRING (0 0, 18 0, 0 0)")
+    assert algos.distance(circ, pt(9, 0)) == 9.0
+    assert P.intersects(circ, pt(9, -9)) is True    # bottom of the circle
+    # symmetric argument order
+    assert algos.distance(pt(9, 0), arc) == 9.0
+    assert P.intersects(pt(9, 9), arc) is True
+
+
+def test_exact_point_arc_column_level(spark):
+    df = spark.createDataFrame([(1,)], ["id"])
+    arc = st.st_from_wkt(F.lit("CIRCULARSTRING (0 0, 9 9, 18 0)"))
+    row = df.select(
+        st.st_distance(arc, "POINT (9 0)").alias("d"),
+        st.st_intersects(arc, "POINT (9 9)").alias("hit"),
+        st.st_dwithin(arc, "POINT (9 0)", 9.0).alias("dw"),
+    ).first()
+    assert row["d"] == 9.0 and row["hit"] is True and row["dw"] is False

@@ -45,3 +45,20 @@ def test_to_feature_dicts(spark):
     feats = st.to_feature_dicts(df)
     assert feats[0]["properties"]["id"] == 7
     assert feats[0]["geometry"]["type"] == "Point"
+
+
+def test_driver_bounded_sinks_raise(spark, tmp_path):
+    """Driver-collecting exports are bounded: past max_rows they raise
+    instead of OOMing the driver (VERDICT r2 item 8)."""
+    import pytest
+    from polars_st_spark.sources.geojson_io import write_geojson
+
+    rows = [(i, f"POINT ({i} {i})") for i in range(5)]
+    df = st.geodataframe(spark.createDataFrame(rows, ["id", "geometry"]))
+    with pytest.raises(ValueError, match="max_rows"):
+        st.to_feature_dicts(df, max_rows=3)
+    with pytest.raises(ValueError, match="max_rows"):
+        write_geojson(df, str(tmp_path / "too_big.geojson"), max_rows=3)
+    # within the bound both still work
+    assert len(st.to_feature_dicts(df, max_rows=5)) == 5
+    write_geojson(df, str(tmp_path / "ok.geojson"), max_rows=5)

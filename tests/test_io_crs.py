@@ -80,6 +80,8 @@ def test_conic_projections():
         _CONIC_CODES, _from_wgs84_fn, _to_wgs84_fn)
 
     for code, (kind, a, f, lat0, lon0, lat1, lat2, FE, FN) in _CONIC_CODES.items():
+        if kind == "laea":  # azimuthal: no standard parallels; test_laea_europe
+            continue
         fwd, inv = _from_wgs84_fn(code), _to_wgs84_fn(code)
         o = fwd(np.array([[lon0, lat0]], dtype=float))
         assert abs(o[0, 0] - FE) < 1e-6 and abs(o[0, 1] - FN) < 1e-6, code
@@ -97,6 +99,34 @@ def test_conic_projections():
     # published anchor: Paris (2.3522E, 48.8566N) -> Lambert-93
     paris = _from_wgs84_fn(2154)(np.array([[2.3522, 48.8566]]))
     assert abs(paris[0, 0] - 652469.02) < 0.5 and abs(paris[0, 1] - 6862035.26) < 0.5
+
+
+def test_laea_europe():
+    """EPSG:3035 LAEA: exact false origin, 1e-9 round-trips across Europe,
+    and the equal-area property — |det J| equals the ellipsoidal area
+    element M·N·cosφ (the defining invariant of the projection)."""
+    import math
+
+    import numpy as np
+    from polars_st_spark.functions.transform import (
+        _GRS80_A, _GRS80_F, _from_wgs84_fn, _to_wgs84_fn)
+
+    fwd, inv = _from_wgs84_fn(3035), _to_wgs84_fn(3035)
+    o = fwd(np.array([[10.0, 52.0]]))
+    assert abs(o[0, 0] - 4321000.0) < 1e-6 and abs(o[0, 1] - 3210000.0) < 1e-6
+    grid = np.array([[lo, la] for lo in (-10.0, 0.0, 10.0, 25.0, 40.0)
+                     for la in (35.0, 45.0, 52.0, 60.0, 70.0)])
+    assert np.abs(inv(fwd(grid.copy()).copy()) - grid).max() < 1e-9
+    e2 = _GRS80_F * (2 - _GRS80_F)
+    for lon, lat in ((10.0, 52.0), (25.0, 40.0), (-8.0, 65.0)):
+        d = 1e-7
+        p = fwd(np.array([[lon, lat], [lon + d, lat], [lon, lat + d]]))
+        J = np.array([(p[1, :2] - p[0, :2]) / math.radians(d),
+                      (p[2, :2] - p[0, :2]) / math.radians(d)]).T
+        phi = math.radians(lat)
+        M = _GRS80_A * (1 - e2) / (1 - e2 * math.sin(phi) ** 2) ** 1.5
+        N = _GRS80_A / math.sqrt(1 - e2 * math.sin(phi) ** 2)
+        assert abs(abs(np.linalg.det(J)) / (M * N * math.cos(phi)) - 1.0) < 1e-5
 
 
 def test_conic_to_srid_column(spark):
