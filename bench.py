@@ -151,13 +151,6 @@ def main() -> None:
         lambda: _dedup.near_dup_pairs(docs, threshold=0.05).count()
     )
 
-    # production hash family: signature stage entirely JVM-side (xxhash64,
-    # whole-stage codegen, zero Python workers); md5 above is the
-    # oracle-parity family
-    queries["p1x_minhash_xxhash"] = timed(
-        lambda: _dedup.near_dup_pairs(docs, threshold=0.05, hash_family="xxhash64").count()
-    )
-
     queries["p2_knn"] = timed(
         lambda: _knn.cosine_topk(
             emb.where(F.col("vec_id") < 20), emb, k=10
@@ -172,6 +165,21 @@ def main() -> None:
         ).collect()
     )
 
+    # scale-path variants, reported separately so the headline total stays
+    # comparable across rounds (same 8 canonical queries):
+    # - p1 with the pure-JVM xxhash64 signature stage (zero Python workers)
+    # - p2 with the Arrow numpy-matmul local-top-k path (BLAS per batch,
+    #   O(batches*q*k) shuffle instead of the full score matrix)
+    variants = {}
+    variants["p1x_minhash_xxhash"] = timed(
+        lambda: _dedup.near_dup_pairs(docs, threshold=0.05, hash_family="xxhash64").count()
+    )
+    variants["p2v_knn_vectorized"] = timed(
+        lambda: _knn.cosine_topk_vectorized(
+            emb.where(F.col("vec_id") < 20), emb, k=10
+        ).count()
+    )
+
     total = round(sum(queries.values()), 3)
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     payload = {
@@ -179,6 +187,7 @@ def main() -> None:
         "value": total,
         "unit": "sec",
         "queries": queries,
+        "variants": variants,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }
     # ratio vs the measured single-node floor (scripts/baseline_single_node.py

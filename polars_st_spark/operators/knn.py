@@ -91,6 +91,67 @@ def cosine_topk(
     )
 
 
+def cosine_topk_vectorized(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 10,
+    query_id: str = "vec_id",
+    corpus_id: str = "vec_id",
+    query_vec: str = "embedding",
+    corpus_vec: str = "embedding",
+) -> DataFrame:
+    """Exact brute-force top-k via Arrow-batched numpy matmul.
+
+    Same result as :func:`cosine_topk` (modulo last-bit float association),
+    ~10-50x faster: the query matrix is collected once (queries are small by
+    contract), each corpus Arrow batch computes a (batch × q) similarity
+    matrix with one BLAS matmul and emits only its LOCAL top-k rows per
+    query, then a global window rank reduces batches × k candidates to the
+    true top-k. Shuffle volume is O(n_batches · q · k), never the full score
+    matrix — the same local-then-global pattern a 1000-executor run needs."""
+    from pyspark.sql.window import Window
+
+    qrows = queries.select(F.col(query_id).alias("qid"), F.col(query_vec).alias("qv")).collect()
+    if not qrows:
+        return corpus.sparkSession.createDataFrame(
+            [], "query_id long, corpus_id long, cosine double, rank int")
+    qids = np.array([r["qid"] for r in qrows], dtype=np.int64)
+    Q = _unit_rows(np.array([r["qv"] for r in qrows], dtype=np.float64))
+
+    def score(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            ids = pdf["_cid"].to_numpy(dtype=np.int64)
+            X = np.array(list(pdf["_cv"]), dtype=np.float64)
+            norms = np.linalg.norm(X, axis=1, keepdims=True)
+            norms[norms == 0] = 1.0
+            sims = (X / norms) @ Q.T  # (batch, q)
+            sims[ids[:, None] == qids[None, :]] = -np.inf  # self-match
+            kk = min(k, len(ids))
+            part = np.argpartition(-sims, kk - 1, axis=0)[:kk]  # (k, q) row idx
+            out_q, out_c, out_s = [], [], []
+            for j in range(len(qids)):
+                rows = part[:, j]
+                out_q.extend([qids[j]] * len(rows))
+                out_c.extend(ids[rows])
+                out_s.extend(sims[rows, j])
+            yield pd.DataFrame({"query_id": out_q, "corpus_id": out_c, "cosine": out_s})
+
+    cand = corpus.select(
+        F.col(corpus_id).alias("_cid"), F.col(corpus_vec).alias("_cv")
+    ).mapInPandas(score, "query_id long, corpus_id long, cosine double")
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("corpus_id").asc())
+    return (
+        cand.where(F.col("cosine") != float("-inf"))
+        .withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "corpus_id", "cosine", "rank")
+    )
+
+
 def _hyperplanes(dim: int, n_planes: int, seed: int = 42) -> np.ndarray:
     """Deterministic pseudo-random unit hyperplanes from md5(seed, plane, chunk)."""
     out = np.empty((n_planes, dim), dtype=np.float64)

@@ -166,6 +166,17 @@ def test_cosine_topk(emb):
         assert all(-1.0001 <= c <= 1.0001 for c in cos)
 
 
+def test_cosine_topk_vectorized_matches_exact(emb):
+    """Arrow numpy-matmul top-k returns the identical (query, corpus, rank)
+    set as the JVM aggregate path."""
+    q = emb.where(F.col("vec_id") < 4)
+    a = {(r["query_id"], r["corpus_id"], r["rank"])
+         for r in knn.cosine_topk(q, emb, k=5).collect()}
+    b = {(r["query_id"], r["corpus_id"], r["rank"])
+         for r in knn.cosine_topk_vectorized(q, emb, k=5).collect()}
+    assert a == b and len(a) > 0
+
+
 def test_cosine_topk_lsh_properties(emb):
     # synthetic embeddings are near-random (max cosine ~0.35), so top-1 recall
     # vs exact is inherently low; verify LSH *correctness properties* instead:
