@@ -384,6 +384,180 @@ def point_curve_distance(p, g: Geometry) -> float | None:
     return None
 
 
+def _angle_in_sector(ang: float, a0: float, sweep: float, tol: float = 1e-12) -> bool:
+    """Is the absolute angle ``ang`` (from the arc's center) inside the swept
+    sector [a0, a0+sweep]?"""
+    rel = (ang - a0) * (1.0 if sweep >= 0 else -1.0)
+    rel %= 2.0 * math.pi
+    return rel <= abs(sweep) + tol or rel >= 2.0 * math.pi - tol
+
+
+def arc_segment_intersects(p0, p1, p2, a, b) -> bool:
+    """EXACT circular-arc × straight-segment intersection test: quadratic
+    circle-line roots clamped to the segment, each checked against the arc's
+    swept sector (closed form — no linearization)."""
+    params = arc_params(p0, p1, p2)
+    a = np.asarray(a, dtype=np.float64)[:2]
+    b = np.asarray(b, dtype=np.float64)[:2]
+    if params is None:
+        from polars_st_spark.geo.predicates import _seg_intersect_kind
+
+        return (
+            _seg_intersect_kind(np.asarray(p0)[:2], np.asarray(p1)[:2], a, b) != 0
+            or _seg_intersect_kind(np.asarray(p1)[:2], np.asarray(p2)[:2], a, b) != 0
+        )
+    ux, uy, r, a0, sweep = params
+    c = np.array([ux, uy])
+    d = b - a
+    f = a - c
+    A = float(d @ d)
+    scale = max(r, abs(ux), abs(uy), 1.0)
+    tol = 1e-9 * scale
+    if A == 0.0:
+        return point_arc_distance(a, p0, p1, p2) <= tol
+    B = 2.0 * float(f @ d)
+    C = float(f @ f) - r * r
+    disc = B * B - 4.0 * A * C
+    if disc < -tol * tol * 4.0 * A:
+        return False
+    disc = max(disc, 0.0)
+    sq = math.sqrt(disc)
+    for t in ((-B - sq) / (2 * A), (-B + sq) / (2 * A)):
+        if -1e-12 <= t <= 1.0 + 1e-12:
+            p = a + min(max(t, 0.0), 1.0) * d
+            if _angle_in_sector(math.atan2(p[1] - uy, p[0] - ux), a0, sweep):
+                return True
+    return False
+
+
+def arc_arc_intersects(q0, q1, q2, s0, s1, s2) -> bool:
+    """EXACT arc × arc intersection: circle-circle closed form, sector checks
+    on both sides; coincident circles reduce to sector-overlap."""
+    pa = arc_params(q0, q1, q2)
+    pb = arc_params(s0, s1, s2)
+    if pa is None:
+        # first arc degenerate: two segment×arc tests
+        return (
+            arc_segment_intersects(s0, s1, s2, q0, q1)
+            or arc_segment_intersects(s0, s1, s2, q1, q2)
+        )
+    if pb is None:
+        return (
+            arc_segment_intersects(q0, q1, q2, s0, s1)
+            or arc_segment_intersects(q0, q1, q2, s1, s2)
+        )
+    ux1, uy1, r1, a01, sw1 = pa
+    ux2, uy2, r2, a02, sw2 = pb
+    dx, dy = ux2 - ux1, uy2 - uy1
+    d = math.hypot(dx, dy)
+    scale = max(r1, r2, abs(ux1), abs(uy1), abs(ux2), abs(uy2), 1.0)
+    tol = 1e-9 * scale
+    if d <= tol and abs(r1 - r2) <= tol:
+        # same circle: do the swept sectors overlap? test each arc's
+        # endpoints + midpoints against the other's sector
+        for (pp, params) in (((q0, q1, q2), pb), ((s0, s1, s2), pa)):
+            ux, uy, _r, a0, sw = params
+            for p in pp:
+                p = np.asarray(p, dtype=np.float64)[:2]
+                if _angle_in_sector(math.atan2(p[1] - uy, p[0] - ux), a0, sw):
+                    return True
+        return False
+    if d > r1 + r2 + tol or d < abs(r1 - r2) - tol:
+        return False
+    # radical-line intersection points (clamped for tangency)
+    aa = (r1 * r1 - r2 * r2 + d * d) / (2.0 * d)
+    h2 = r1 * r1 - aa * aa
+    h = math.sqrt(max(h2, 0.0))
+    mx, my = ux1 + aa * dx / d, uy1 + aa * dy / d
+    for sx, sy in ((h * -dy / d, h * dx / d), (h * dy / d, h * -dx / d)):
+        px, py = mx + sx, my + sy
+        if _angle_in_sector(math.atan2(py - uy1, px - ux1), a01, sw1) and _angle_in_sector(
+            math.atan2(py - uy2, px - ux2), a02, sw2
+        ):
+            return True
+    return False
+
+
+def _curve_primitives(g: Geometry):
+    """Decompose a non-areal curve/line geometry into ('arc', p0,p1,p2) and
+    ('seg', a, b) primitives; None if any part is areal/unsupported."""
+    t = g.type_id
+    out = []
+    if t == GeometryType.CircularString:
+        if g.coords is None or len(g.coords) < 2:
+            return out
+        if len(g.coords) == 2:
+            out.append(("seg", g.coords[0][:2], g.coords[1][:2]))
+            return out
+        for p0, p1, p2 in _arc_triples(g.coords):
+            out.append(("arc", p0[:2], p1[:2], p2[:2]))
+        return out
+    if t == GeometryType.LineString:
+        if g.coords is None or len(g.coords) < 2:
+            return out
+        for i in range(len(g.coords) - 1):
+            out.append(("seg", g.coords[i][:2], g.coords[i + 1][:2]))
+        return out
+    if t == GeometryType.Point:
+        if g.coords is not None:
+            out.append(("pt", g.coords[:2]))
+        return out
+    if t in (GeometryType.CompoundCurve, GeometryType.MultiCurve,
+             GeometryType.MultiLineString, GeometryType.MultiPoint,
+             GeometryType.GeometryCollection):
+        for s in g.geoms or []:
+            sub = _curve_primitives(s)
+            if sub is None:
+                return None
+            out.extend(sub)
+        return out
+    return None
+
+
+def curve_curve_intersects(ga: Geometry, gb: Geometry) -> bool | None:
+    """EXACT intersects for two non-areal curve/line geometries when at least
+    one side is curved; None when either side has areal/unsupported parts
+    (callers fall back to linearization)."""
+    pa = _curve_primitives(ga)
+    pb = _curve_primitives(gb)
+    if pa is None or pb is None:
+        return None
+
+    def pt_vs(prim, p) -> bool:
+        kind = prim[0]
+        if kind == "arc":
+            return point_arc_distance(p, prim[1], prim[2], prim[3]) <= 1e-9 * max(
+                abs(p[0]), abs(p[1]), 1.0)
+        if kind == "seg":
+            return _pt_seg_dist(np.asarray(p, dtype=np.float64)[:2], prim[1], prim[2]) <= 1e-9 * max(
+                abs(p[0]), abs(p[1]), 1.0)
+        q = prim[1]
+        return math.hypot(q[0] - p[0], q[1] - p[1]) <= 1e-9 * max(abs(p[0]), abs(p[1]), 1.0)
+
+    from polars_st_spark.geo.predicates import _seg_intersect_kind
+
+    for x in pa:
+        for y in pb:
+            kx, ky = x[0], y[0]
+            if kx == "pt":
+                hit = pt_vs(y, x[1])
+            elif ky == "pt":
+                hit = pt_vs(x, y[1])
+            elif kx == "arc" and ky == "arc":
+                hit = arc_arc_intersects(x[1], x[2], x[3], y[1], y[2], y[3])
+            elif kx == "arc":
+                hit = arc_segment_intersects(x[1], x[2], x[3], y[1], y[2])
+            elif ky == "arc":
+                hit = arc_segment_intersects(y[1], y[2], y[3], x[1], x[2])
+            else:
+                hit = _seg_intersect_kind(
+                    np.asarray(x[1], dtype=np.float64), np.asarray(x[2], dtype=np.float64),
+                    np.asarray(y[1], dtype=np.float64), np.asarray(y[2], dtype=np.float64)) != 0
+            if hit:
+                return True
+    return False
+
+
 def _is_curved(g: Geometry) -> bool:
     if g.type_id in (
         GeometryType.CircularString,

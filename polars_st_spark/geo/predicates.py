@@ -614,7 +614,11 @@ def intersects(a: Geometry, b: Geometry) -> bool:
         return False
     # point ↔ non-areal curve: EXACT on-arc test via the closed-form arc
     # distance (a linearized arc would miss points on the true curve)
-    from polars_st_spark.geo.curves import _is_curved, point_curve_distance
+    from polars_st_spark.geo.curves import (
+        _is_curved,
+        curve_curve_intersects,
+        point_curve_distance,
+    )
 
     for p, g in ((a, b), (b, a)):
         if p.type_id == GeometryType.Point and p.coords is not None and _is_curved(g):
@@ -623,6 +627,11 @@ def intersects(a: Geometry, b: Geometry) -> bool:
                 c = p.coords
                 scale = max(abs(float(c[0])), abs(float(c[1])), 1.0)
                 return d <= 1e-12 * scale
+    # curve ↔ curve/line: EXACT circle-line / circle-circle closed forms
+    if _is_curved(a) or _is_curved(b):
+        hit = curve_curve_intersects(a, b)
+        if hit is not None:
+            return hit
     da = _decompose(a)
     db = _decompose(b)
 

@@ -117,3 +117,21 @@ def test_exact_point_arc_column_level(spark):
         st.st_dwithin(arc, "POINT (9 0)", 9.0).alias("dw"),
     ).first()
     assert row["d"] == 9.0 and row["hit"] is True and row["dw"] is False
+
+
+def test_exact_arc_line_arc_intersections():
+    """arc×segment and arc×arc intersects are closed-form exact (circle-line
+    and circle-circle roots + sector checks) — tangency at a single point is
+    decided correctly, which a chord linearization cannot do."""
+    arc = from_wkt("CIRCULARSTRING (0 0, 9 9, 18 0)")  # center (9,0) r=9, upper half
+    assert P.intersects(arc, from_wkt("LINESTRING (0 9, 18 9)")) is True      # tangent at apex
+    assert P.intersects(arc, from_wkt("LINESTRING (0 9.000001, 18 9.000001)")) is False
+    assert P.intersects(arc, from_wkt("LINESTRING (0 8, 18 8)")) is True      # secant
+    assert P.intersects(arc, from_wkt("LINESTRING (0 -1, 18 -1)")) is False   # unswept half
+    assert P.intersects(arc, from_wkt("LINESTRING (9 0, 9 5)")) is False      # stops below
+    # circle-circle
+    assert P.intersects(arc, from_wkt("CIRCULARSTRING (2 0, 11 9, 20 0)")) is True
+    assert P.intersects(arc, from_wkt("CIRCULARSTRING (30 0, 39 9, 48 0)")) is False
+    assert P.intersects(arc, from_wkt("CIRCULARSTRING (18 0, 27 9, 36 0)")) is True  # ext. tangent
+    # same circle, complementary sectors: only the shared endpoints meet
+    assert P.intersects(arc, from_wkt("CIRCULARSTRING (0 0, 9 -9, 18 0)")) is True
