@@ -514,6 +514,157 @@ def _curve_primitives(g: Geometry):
     return None
 
 
+def seg_arc_distance(a, b, p0, p1, p2) -> float:
+    """EXACT distance between a straight segment and a circular arc.
+
+    Candidates: the four endpoint-to-other distances (each exact), plus the
+    interior-interior critical point — the foot of the perpendicular from
+    the arc's center to the segment, paired with the arc point on that ray
+    (valid only when the foot lies inside the segment and the ray direction
+    inside the swept sector). Zero when they intersect."""
+    a = np.asarray(a, dtype=np.float64)[:2]
+    b = np.asarray(b, dtype=np.float64)[:2]
+    if arc_segment_intersects(p0, p1, p2, a, b):
+        return 0.0
+    params = arc_params(p0, p1, p2)
+    if params is None:
+        return min(
+            _seg_seg_distance(a, b, np.asarray(p0)[:2], np.asarray(p1)[:2]),
+            _seg_seg_distance(a, b, np.asarray(p1)[:2], np.asarray(p2)[:2]),
+        )
+    ux, uy, r, a0, sweep = params
+    e0 = np.asarray(p0, dtype=np.float64)[:2]
+    e2 = np.asarray(p2, dtype=np.float64)[:2]
+    best = min(
+        point_arc_distance(a, p0, p1, p2),
+        point_arc_distance(b, p0, p1, p2),
+        _pt_seg_dist(e0, a, b),
+        _pt_seg_dist(e2, a, b),
+    )
+    # interior-interior critical point
+    c = np.array([ux, uy])
+    d = b - a
+    ln2 = float(d @ d)
+    if ln2 > 0.0:
+        t = float((c - a) @ d) / ln2
+        if 0.0 < t < 1.0:
+            q = a + t * d  # foot of perpendicular from center
+            dx, dy = q[0] - ux, q[1] - uy
+            dist_cq = math.hypot(dx, dy)
+            if dist_cq > 1e-15 * max(r, 1.0):
+                if _angle_in_sector(math.atan2(dy, dx), a0, sweep):
+                    best = min(best, abs(dist_cq - r))
+            else:
+                best = min(best, r)  # segment passes through the center
+    return best
+
+
+def _seg_seg_distance(a, b, c, d) -> float:
+    """Exact distance between two non-intersecting segments (endpoint-to-
+    segment minima; interior-interior minimum only occurs when crossing)."""
+    return min(
+        _pt_seg_dist(a, c, d), _pt_seg_dist(b, c, d),
+        _pt_seg_dist(c, a, b), _pt_seg_dist(d, a, b),
+    )
+
+
+def arc_arc_distance(q0, q1, q2, s0, s1, s2) -> float:
+    """EXACT distance between two circular arcs: zero if intersecting, else
+    the minimum over endpoint-to-arc distances and the center-line critical
+    points (the points of each circle nearest/farthest along the line of
+    centers, when those directions fall inside both sectors)."""
+    if arc_arc_intersects(q0, q1, q2, s0, s1, s2):
+        return 0.0
+    pa = arc_params(q0, q1, q2)
+    pb = arc_params(s0, s1, s2)
+    if pa is None:
+        return min(
+            seg_arc_distance(q0, q1, s0, s1, s2),
+            seg_arc_distance(q1, q2, s0, s1, s2),
+        )
+    if pb is None:
+        return min(
+            seg_arc_distance(s0, s1, q0, q1, q2),
+            seg_arc_distance(s1, s2, q0, q1, q2),
+        )
+    best = min(
+        point_arc_distance(np.asarray(q0)[:2], s0, s1, s2),
+        point_arc_distance(np.asarray(q2)[:2], s0, s1, s2),
+        point_arc_distance(np.asarray(s0)[:2], q0, q1, q2),
+        point_arc_distance(np.asarray(s2)[:2], q0, q1, q2),
+    )
+    ux1, uy1, r1, a01, sw1 = pa
+    ux2, uy2, r2, a02, sw2 = pb
+    dx, dy = ux2 - ux1, uy2 - uy1
+    d = math.hypot(dx, dy)
+    if d > 1e-15 * max(r1, r2, 1.0):
+        ang12 = math.atan2(dy, dx)
+        ang21 = math.atan2(-dy, -dx)
+        # candidate interior-interior minima along the center line:
+        # separated circles (near points face each other) and nested circles
+        # (both near points on the same side)
+        for th1, th2, dist in (
+            (ang12, ang21, d - r1 - r2),          # separated, facing points
+            (ang12, ang12, abs(d + r2 - r1)),     # nested: inner's far side
+            (ang21, ang21, abs(d + r1 - r2)),     # nested the other way
+        ):
+            if _angle_in_sector(th1, a01, sw1) and _angle_in_sector(th2, a02, sw2):
+                best = min(best, abs(dist))
+    else:
+        # concentric: radial gap everywhere the sectors overlap
+        for th in (a01, a01 + sw1 / 2.0, a01 + sw1):
+            if _angle_in_sector(th, a02, sw2):
+                best = min(best, abs(r1 - r2))
+    return best
+
+
+def curve_curve_distance(ga: Geometry, gb: Geometry) -> float | None:
+    """EXACT distance between two non-areal curve/line geometries when at
+    least one side is curved; None for areal/unsupported parts."""
+    pa = _curve_primitives(ga)
+    pb = _curve_primitives(gb)
+    if pa is None or pb is None or not pa or not pb:
+        return None
+
+    def pd(prim, p) -> float:
+        kind = prim[0]
+        p = np.asarray(p, dtype=np.float64)[:2]
+        if kind == "arc":
+            return point_arc_distance(p, prim[1], prim[2], prim[3])
+        if kind == "seg":
+            return _pt_seg_dist(p, prim[1], prim[2])
+        q = prim[1]
+        return math.hypot(q[0] - p[0], q[1] - p[1])
+
+    best = math.inf
+    for x in pa:
+        for y in pb:
+            kx, ky = x[0], y[0]
+            if kx == "pt":
+                dcur = pd(y, x[1])
+            elif ky == "pt":
+                dcur = pd(x, y[1])
+            elif kx == "arc" and ky == "arc":
+                dcur = arc_arc_distance(x[1], x[2], x[3], y[1], y[2], y[3])
+            elif kx == "arc":
+                dcur = seg_arc_distance(y[1], y[2], x[1], x[2], x[3])
+            elif ky == "arc":
+                dcur = seg_arc_distance(x[1], x[2], y[1], y[2], y[3])
+            else:
+                from polars_st_spark.geo.predicates import _seg_intersect_kind
+
+                ax = np.asarray(x[1], dtype=np.float64)
+                bx = np.asarray(x[2], dtype=np.float64)
+                cy = np.asarray(y[1], dtype=np.float64)
+                dy_ = np.asarray(y[2], dtype=np.float64)
+                dcur = 0.0 if _seg_intersect_kind(ax, bx, cy, dy_) != 0 else _seg_seg_distance(ax, bx, cy, dy_)
+            if dcur < best:
+                best = dcur
+                if best == 0.0:
+                    return 0.0
+    return best
+
+
 def curve_curve_intersects(ga: Geometry, gb: Geometry) -> bool | None:
     """EXACT intersects for two non-areal curve/line geometries when at least
     one side is curved; None when either side has areal/unsupported parts
