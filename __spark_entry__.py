@@ -530,7 +530,8 @@ def q_simhash(spark, sf):
 
 def q_near_dup_pairs(spark, sf):
     docs = spark.read.parquet(f"{sf}/documents.parquet")
-    pairs = _dedup.near_dup_pairs(docs, k=16, bands=4, shingle_n=3, threshold=0.05)
+    pairs = _dedup.near_dup_pairs(docs, k=16, bands=4, shingle_n=3, threshold=0.05,
+                                  hash_family="md5")  # oracle parity: md5 pinned
     return pairs.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard_r"))
 
 
@@ -588,7 +589,8 @@ def q_near_dup_groups(spark, sf):
     from polars_st_spark.operators.concomp import near_dup_groups
 
     docs = spark.read.parquet(f"{sf}/documents.parquet")
-    out = near_dup_groups(docs, k=16, bands=4, shingle_n=3, threshold=0.05)
+    out = near_dup_groups(docs, k=16, bands=4, shingle_n=3, threshold=0.05,
+                          hash_family="md5")  # oracle parity: md5 pinned
     return out.select(
         F.col("doc_id").cast("long").alias("doc_id"),
         F.col("group_id").cast("long").alias("group_id"),
@@ -1401,7 +1403,8 @@ def q_dedup_pairs(spark, sf):
     MinHash-LSH (bands → equi-join → Jaccard verify) and exhaustive word-3-
     gram Jaccard on a small id range (folds near_dup_pairs + ngram_jaccard)."""
     docs = spark.read.parquet(f"{sf}/documents.parquet")
-    lsh = _dedup.near_dup_pairs(docs, k=16, bands=4, shingle_n=3, threshold=0.05).select(
+    lsh = _dedup.near_dup_pairs(docs, k=16, bands=4, shingle_n=3, threshold=0.05,
+                                hash_family="md5").select(  # oracle parity: md5 pinned
         F.lit("minhash_lsh").alias("method"),
         "id_a", "id_b", F.round("jaccard", 6).alias("jaccard_r"))
     sub = docs.where(F.col("doc_id") < 120)

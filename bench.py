@@ -152,7 +152,7 @@ def main() -> None:
     )
 
     queries["p2_knn"] = timed(
-        lambda: _knn.cosine_topk(
+        lambda: _knn.cosine_topk(  # default strategy: Arrow/BLAS local top-k
             emb.where(F.col("vec_id") < 20), emb, k=10
         ).count()
     )
@@ -167,16 +167,17 @@ def main() -> None:
 
     # scale-path variants, reported separately so the headline total stays
     # comparable across rounds (same 8 canonical queries):
-    # - p1 with the pure-JVM xxhash64 signature stage (zero Python workers)
-    # - p2 with the Arrow numpy-matmul local-top-k path (BLAS per batch,
-    #   O(batches*q*k) shuffle instead of the full score matrix)
+    # - p1 with the md5 hash family (the oracle-parity family; the headline
+    #   now runs the pure-JVM xxhash64 default — zero Python workers)
+    # - p2 with the pure-SQL aggregate(zip_with) plan (the headline now runs
+    #   the Arrow numpy-matmul local-top-k default)
     variants = {}
-    variants["p1x_minhash_xxhash"] = timed(
-        lambda: _dedup.near_dup_pairs(docs, threshold=0.05, hash_family="xxhash64").count()
+    variants["p1m_minhash_md5"] = timed(
+        lambda: _dedup.near_dup_pairs(docs, threshold=0.05, hash_family="md5").count()
     )
-    variants["p2v_knn_vectorized"] = timed(
-        lambda: _knn.cosine_topk_vectorized(
-            emb.where(F.col("vec_id") < 20), emb, k=10
+    variants["p2s_knn_sql"] = timed(
+        lambda: _knn.cosine_topk(
+            emb.where(F.col("vec_id") < 20), emb, k=10, strategy="sql"
         ).count()
     )
 

@@ -69,17 +69,18 @@ def _sig_table(
     bands: int,
     shingle_n: int,
     materialize: str | None = "cache",
-    hash_family: str = "md5",
+    hash_family: str = "xxhash64",
 ) -> DataFrame:
     """(_id, _sh distinct-shingle array, _bands band-hash array): the one
     shared corpus pass feeding both candidate generation and verification.
 
-    ``hash_family="md5"`` (default) runs the fused Arrow UDF whose hashes are
-    bit-identical to the SQL oracle (`shingle_sig_bands_udf`). At 100 TB the
-    Python md5 per distinct shingle is the dominant signature cost, so
-    ``hash_family="xxhash64"`` computes the whole stage JVM-side (shingles →
-    xxhash64 MinHash → xxhash64 band keys, whole-stage codegen, zero Python
-    workers); downstream candidate/verify topology is identical."""
+    ``hash_family="xxhash64"`` (the default — the 100 TB production path)
+    computes the whole stage JVM-side (shingles → xxhash64 MinHash →
+    xxhash64 band keys, whole-stage codegen, zero Python workers).
+    ``hash_family="md5"`` runs the fused Arrow UDF whose hashes are
+    bit-identical to the SQL oracle (`shingle_sig_bands_udf`) — the oracle
+    gate queries pin it explicitly; downstream candidate/verify topology is
+    identical either way."""
     if hash_family == "xxhash64":
         from polars_st_spark.operators.textops import (
             lsh_bands_xxhash,
@@ -183,7 +184,7 @@ def minhash_candidates(
     bands: int = 4,
     shingle_n: int = 3,
     materialize: str | None = "cache",
-    hash_family: str = "md5",
+    hash_family: str = "xxhash64",
 ) -> DataFrame:
     """Candidate near-dup pairs (id_a < id_b) sharing ≥1 LSH band."""
     sig = _sig_table(df, text_col, id_col, k, bands, shingle_n, materialize, hash_family)
@@ -213,15 +214,16 @@ def near_dup_pairs(
     shingle_n: int = 3,
     threshold: float = 0.5,
     materialize: str | None = "cache",
-    hash_family: str = "md5",
+    hash_family: str = "xxhash64",
 ) -> DataFrame:
     """MinHash-LSH candidates → n-gram Jaccard verification, sharing ONE
     staged corpus pass (shingles + signatures + band hashes).
 
-    ``hash_family="xxhash64"`` keeps the signature stage entirely JVM-side
-    (the 100 TB production default); "md5" (default) is bit-identical to the
-    DuckDB oracle. The verified output depends on the family only through
-    LSH candidate recall — verification is exact either way."""
+    ``hash_family="xxhash64"`` (default) keeps the signature stage entirely
+    JVM-side — the 100 TB production path; "md5" is bit-identical to the
+    DuckDB oracle (gate queries pin it). The verified output depends on the
+    family only through LSH candidate recall — verification is exact either
+    way."""
     sig = _sig_table(df, text_col, id_col, k, bands, shingle_n, materialize, hash_family)
     return _verify_from_sig(sig, _candidates_from_sig(sig), threshold)
 

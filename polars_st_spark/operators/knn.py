@@ -35,6 +35,7 @@ __all__ = [
     "cosine_topk",
     "cosine_topk_ivf",
     "cosine_topk_lsh",
+    "cosine_topk_vectorized",
     "ivf_centroids",
     "lsh_bucket",
 ]
@@ -68,12 +69,27 @@ def cosine_topk(
     corpus_id: str = "vec_id",
     query_vec: str = "embedding",
     corpus_vec: str = "embedding",
+    strategy: str = "vectorized",
 ) -> DataFrame:
-    """Exact brute-force top-k: broadcast queries × corpus, windowed rank.
+    """Exact brute-force cosine top-k. Columns out:
+    (query_id, corpus_id, cosine, rank).
 
-    Columns out: (query_id, corpus_id, cosine, rank). The small side
-    (queries) is broadcast — corpus is scanned once, no corpus shuffle.
+    ``strategy="vectorized"`` (default) runs the Arrow/BLAS local-top-k path
+    (:func:`cosine_topk_vectorized`) — one matmul per corpus batch, shuffle
+    volume O(batches · q · k). ``strategy="sql"`` keeps the pure-SQL
+    broadcast-cross plan (``aggregate(zip_with(...))`` dot product) — no
+    Python workers, but Spark evaluates higher-order functions per element,
+    so it is ~2-3× slower; useful where Python workers are unavailable.
+    Both are exact and produce identical rows (asserted in
+    tests/test_pipeline_ops.py).
     """
+    if strategy == "vectorized":
+        return cosine_topk_vectorized(
+            queries, corpus, k=k, query_id=query_id, corpus_id=corpus_id,
+            query_vec=query_vec, corpus_vec=corpus_vec,
+        )
+    if strategy != "sql":
+        raise ValueError(f"unknown strategy {strategy!r}: expected 'vectorized' or 'sql'")
     from pyspark.sql.window import Window
 
     q = queries.select(F.col(query_id).alias("query_id"), F.col(query_vec).alias("_qv"))
@@ -99,23 +115,47 @@ def cosine_topk_vectorized(
     corpus_id: str = "vec_id",
     query_vec: str = "embedding",
     corpus_vec: str = "embedding",
+    max_query_rows: int = 100_000,
 ) -> DataFrame:
     """Exact brute-force top-k via Arrow-batched numpy matmul.
 
-    Same result as :func:`cosine_topk` (modulo last-bit float association),
-    ~10-50x faster: the query matrix is collected once (queries are small by
-    contract), each corpus Arrow batch computes a (batch × q) similarity
-    matrix with one BLAS matmul and emits only its LOCAL top-k rows per
-    query, then a global window rank reduces batches × k candidates to the
-    true top-k. Shuffle volume is O(n_batches · q · k), never the full score
-    matrix — the same local-then-global pattern a 1000-executor run needs."""
+    Same result as the SQL plan (modulo last-bit float association),
+    ~10-50x faster: the query matrix is collected once (bounded by
+    ``max_query_rows`` — the collect raises instead of silently OOMing the
+    driver on an unexpectedly large query side), each corpus Arrow batch
+    computes a (batch × q) similarity matrix with one BLAS matmul and emits
+    only its LOCAL top-k rows per query, then a global window rank reduces
+    batches × k candidates to the true top-k. Shuffle volume is
+    O(n_batches · q · k), never the full score matrix — the same
+    local-then-global pattern a 1000-executor run needs. Id columns keep
+    their input types (string ids work the same as longs)."""
+    from pyspark.sql.types import DoubleType, StructField, StructType
     from pyspark.sql.window import Window
 
-    qrows = queries.select(F.col(query_id).alias("qid"), F.col(query_vec).alias("qv")).collect()
+    qid_type = queries.schema[query_id].dataType
+    cid_type = corpus.schema[corpus_id].dataType
+    cand_schema = StructType([
+        StructField("query_id", qid_type),
+        StructField("corpus_id", cid_type),
+        StructField("cosine", DoubleType()),
+    ])
+
+    qrows = (
+        queries.select(F.col(query_id).alias("qid"), F.col(query_vec).alias("qv"))
+        .limit(max_query_rows + 1)
+        .collect()
+    )
+    if len(qrows) > max_query_rows:
+        raise ValueError(
+            f"query side exceeds max_query_rows={max_query_rows}; "
+            "raise the limit explicitly or use cosine_topk_lsh/cosine_topk_ivf"
+        )
     if not qrows:
-        return corpus.sparkSession.createDataFrame(
-            [], "query_id long, corpus_id long, cosine double, rank int")
-    qids = np.array([r["qid"] for r in qrows], dtype=np.int64)
+        empty = corpus.sparkSession.createDataFrame([], cand_schema)
+        return empty.withColumn("rank", F.lit(1).cast("int")).where(F.lit(False))
+    # ids keep their native dtype (object array for strings) — equality
+    # broadcasting below works for any hashable id type
+    qids = np.array([r["qid"] for r in qrows])
     Q = _unit_rows(np.array([r["qv"] for r in qrows], dtype=np.float64))
 
     def score(batches):
@@ -124,7 +164,7 @@ def cosine_topk_vectorized(
         for pdf in batches:
             if len(pdf) == 0:
                 continue
-            ids = pdf["_cid"].to_numpy(dtype=np.int64)
+            ids = pdf["_cid"].to_numpy()
             X = np.array(list(pdf["_cv"]), dtype=np.float64)
             norms = np.linalg.norm(X, axis=1, keepdims=True)
             norms[norms == 0] = 1.0
@@ -142,7 +182,7 @@ def cosine_topk_vectorized(
 
     cand = corpus.select(
         F.col(corpus_id).alias("_cid"), F.col(corpus_vec).alias("_cv")
-    ).mapInPandas(score, "query_id long, corpus_id long, cosine double")
+    ).mapInPandas(score, cand_schema)
     w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("corpus_id").asc())
     return (
         cand.where(F.col("cosine") != float("-inf"))
@@ -289,9 +329,15 @@ def ivf_centroids(
     n_total = v.count()
     if n_total > sample_size:
         frac = min(1.0, 1.2 * sample_size / n_total)
-        rows = v.sample(fraction=frac, seed=seed).limit(sample_size).collect()
+        # collect the WHOLE Bernoulli oversample (bounded: ~1.2 × sample_size
+        # in expectation) and trim with a seeded driver-side RNG — a
+        # .limit() here would truncate in storage order and re-bias the tail
+        rows = v.sample(fraction=frac, seed=seed).collect()
         if len(rows) < min(sample_size, n_total) // 2:  # pathological undersample
             rows = v.limit(sample_size).collect()
+        elif len(rows) > sample_size:
+            idx = np.random.RandomState(seed).choice(len(rows), sample_size, replace=False)
+            rows = [rows[i] for i in sorted(idx)]
     else:
         rows = v.collect()
     x = _unit_rows(np.array([r["v"] for r in rows], dtype=np.float64))

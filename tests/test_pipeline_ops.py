@@ -167,14 +167,35 @@ def test_cosine_topk(emb):
 
 
 def test_cosine_topk_vectorized_matches_exact(emb):
-    """Arrow numpy-matmul top-k returns the identical (query, corpus, rank)
-    set as the JVM aggregate path."""
+    """Arrow numpy-matmul top-k (the default strategy) returns the identical
+    (query, corpus, rank) set as the pure-SQL JVM aggregate path."""
     q = emb.where(F.col("vec_id") < 4)
     a = {(r["query_id"], r["corpus_id"], r["rank"])
-         for r in knn.cosine_topk(q, emb, k=5).collect()}
+         for r in knn.cosine_topk(q, emb, k=5, strategy="sql").collect()}
     b = {(r["query_id"], r["corpus_id"], r["rank"])
          for r in knn.cosine_topk_vectorized(q, emb, k=5).collect()}
     assert a == b and len(a) > 0
+
+
+def test_cosine_topk_vectorized_string_ids(emb):
+    """Id columns keep their input type — string ids flow through the Arrow
+    path unchanged (ADVICE r3: schema was hardcoded to long)."""
+    s = emb.withColumn("sid", F.concat(F.lit("doc-"), F.col("vec_id")))
+    q = s.where(F.col("vec_id") < 2)
+    out = knn.cosine_topk(q, s, k=3, query_id="sid", corpus_id="sid")
+    rows = out.collect()
+    assert len(rows) == 6
+    assert all(isinstance(r["query_id"], str) and r["query_id"].startswith("doc-")
+               for r in rows)
+    assert all(r["query_id"] != r["corpus_id"] for r in rows)
+
+
+def test_cosine_topk_vectorized_query_guard(emb):
+    import pytest
+
+    q = emb.where(F.col("vec_id") < 5)
+    with pytest.raises(ValueError, match="max_query_rows"):
+        knn.cosine_topk_vectorized(q, emb, k=2, max_query_rows=3)
 
 
 def test_cosine_topk_lsh_properties(emb):

@@ -80,6 +80,6 @@ def test_dedup_sig_single_pass_with_cache(spark):
     docs = spark.createDataFrame(
         [(i, f"doc number {i} with some shared tokens") for i in range(20)],
         ["doc_id", "text"])
-    out = D.near_dup_pairs(docs, threshold=0.05)
+    out = D.near_dup_pairs(docs, threshold=0.05, hash_family="md5")
     plan = explain_str(out)
     assert "InMemoryTableScan" in plan
