@@ -910,6 +910,10 @@ def q_predicate_suite2(spark, sf):
         st.st_covered_by(corner, "rect").alias("corner_covered"),
         st.st_contains_properly("rect", ctr).alias("cprop_center"),
         st.st_contains_properly("rect", corner).alias("cprop_corner"),
+        # xy shorthand predicates (folded from the round-2 xy_predicates
+        # singleton to keep the driver's 50-row window complete)
+        st.st_intersects_xy("rect", 50.0, 45.0).alias("ixy"),
+        st.st_contains_xy("rect", 50.0, 45.0).alias("cxy"),
     )
 
 
@@ -1131,6 +1135,58 @@ def q_xy_predicates(spark, sf):
         "n_nationkey",
         st.st_intersects_xy("rect", 50.0, 45.0).alias("ixy"),
         st.st_contains_xy("rect", 50.0, 45.0).alias("cxy"),
+    )
+
+
+def q_ragged_poly_suite(spark, sf):
+    """Ragged polygon batches at lineitem grain: regular n-gons whose vertex
+    count varies per row (n = 3..7) with a centered square hole, exercising
+    the CSR vectorized measures (geo/ragged.py — area, perimeter, bounds,
+    centroid) and the row-paired point-in-polygon predicate against
+    closed-form oracles (regular-polygon area/perimeter, discrete extrema
+    for bounds, symmetry for the centroid)."""
+    import math as _m
+
+    li = spark.read.parquet(f"{sf}/lineitem.parquet").where(F.col("l_orderkey") <= 1500)
+    base = li.select(
+        "l_orderkey", "l_linenumber",
+        (F.lit(3) + F.col("l_linenumber") % 5).cast("int").alias("n"),
+        (F.col("l_partkey") % 100).cast("double").alias("cx"),
+        (F.col("l_suppkey") % 100).cast("double").alias("cy"),
+        (F.lit(1.0) + (F.col("l_quantity").cast("int") % 10)).cast("double").alias("r"),
+        (F.lit(0.1) + F.lit(0.25) * (F.col("l_orderkey") % 6)).cast("double").alias("t"),
+    )
+    two_pi = F.lit(2.0 * _m.pi)
+    shell = F.transform(
+        F.sequence(F.lit(0), F.col("n")),
+        lambda k: F.array(
+            F.col("cx") + F.col("r") * F.cos(two_pi * (k % F.col("n")) / F.col("n")),
+            F.col("cy") + F.col("r") * F.sin(two_pi * (k % F.col("n")) / F.col("n")),
+        ),
+    )
+    h = F.col("r") / 4.0
+    cxc, cyc = F.col("cx"), F.col("cy")
+    hole = F.array(
+        F.array(cxc - h, cyc - h), F.array(cxc - h, cyc + h),
+        F.array(cxc + h, cyc + h), F.array(cxc + h, cyc - h),
+        F.array(cxc - h, cyc - h),
+    )
+    g = base.withColumn("poly", st.st_polygon(F.array(shell, hole))).withColumn(
+        "pt", st.st_point(F.col("cx") + F.col("t") * F.col("r"), F.col("cy"))
+    )
+    cen = st.st_centroid("poly")
+    z = F.lit(0.0)  # "+ 0.0" normalizes IEEE -0.0 to +0.0 (oracle parity)
+    return g.select(
+        "l_orderkey", "l_linenumber",
+        (F.round(st.st_area("poly"), 6) + z).alias("area_r"),
+        (F.round(st.st_length("poly"), 6) + z).alias("perim_r"),
+        (F.round(st.st_bounds("poly")[0], 6) + z).alias("xmin_r"),
+        (F.round(st.st_bounds("poly")[1], 6) + z).alias("ymin_r"),
+        (F.round(st.st_bounds("poly")[2], 6) + z).alias("xmax_r"),
+        (F.round(st.st_bounds("poly")[3], 6) + z).alias("ymax_r"),
+        (F.round(st.st_x(cen), 6) + z).alias("cx_r"),
+        (F.round(st.st_y(cen), 6) + z).alias("cy_r"),
+        st.st_contains("poly", F.col("pt")).alias("inside"),
     )
 
 
@@ -1595,7 +1651,7 @@ _QUERIES = {
         "fold_suite": q_fold_suite,
         "union_two_phase": q_union_two_phase,
         "unary_disjoint": q_unary_disjoint,
-        "xy_predicates": q_xy_predicates,
+        "ragged_poly_suite": q_ragged_poly_suite,
         "precision_meta": q_precision_meta,
         "srid_roundtrip": q_srid_roundtrip,
         "geojson_io": q_geojson_io,
@@ -1637,6 +1693,9 @@ _QUERIES = {
         "simhash_dups": q_simhash_dups,
         "multimodal_suite": q_multimodal_suite,
         # ---------------- past the driver's 50-row window ----------------
+        # xy_predicates' columns are folded into predicate_suite2 (in-window);
+        # the singleton stays here for granular diagnosis via check_oracle.py
+        "xy_predicates": q_xy_predicates,
         "interval_join": q_interval_join,
         "salted_join": q_salted_join,
         "salted_agg": q_salted_agg,
@@ -1981,11 +2040,36 @@ def oracle_sql() -> dict[str, str]:
                    '0F2FF1FF2' AS rel_in, 'FF2FF10F2' AS rel_out,
                    'FF20F1FF2' AS rel_corner, TRUE AS rp_in, FALSE AS rp_corner
             FROM nation""",
-        "predicate_suite2": """
+        "predicate_suite2": f"""
             SELECT n_nationkey, TRUE AS touches18, TRUE AS overlaps9,
                    TRUE AS line_crosses, TRUE AS covers_corner,
-                   TRUE AS corner_covered, TRUE AS cprop_center, FALSE AS cprop_corner
-            FROM nation""",
+                   TRUE AS corner_covered, TRUE AS cprop_center, FALSE AS cprop_corner,
+                   (50.0 >= x0 AND 50.0 <= x1 AND 45.0 >= y0 AND 45.0 <= y1) AS ixy,
+                   (50.0 > x0 AND 50.0 < x1 AND 45.0 > y0 AND 45.0 < y1) AS cxy
+            FROM ({_ORACLE_NATION})""",
+        "ragged_poly_suite": """
+            WITH b AS (
+              SELECT l_orderkey, l_linenumber,
+                     3 + l_linenumber % 5 AS n,
+                     CAST(l_partkey % 100 AS DOUBLE) AS cx,
+                     CAST(l_suppkey % 100 AS DOUBLE) AS cy,
+                     1.0 + CAST(l_quantity AS INT) % 10 AS r,
+                     0.1 + 0.25 * (l_orderkey % 6) AS t
+              FROM lineitem WHERE l_orderkey <= 1500
+            )
+            SELECT l_orderkey, l_linenumber,
+                   ROUND(0.5 * n * r * r * sin(2*pi()/n) - r*r/4.0, 6) + 0.0 AS area_r,
+                   ROUND(2 * n * r * sin(pi()/n) + 2*r, 6) + 0.0 AS perim_r,
+                   ROUND(cx + r * LEAST(cos(2*pi()*FLOOR(n/2.0)/n),
+                                        cos(2*pi()*CEIL(n/2.0)/n)), 6) + 0.0 AS xmin_r,
+                   ROUND(cy + r * LEAST(sin(2*pi()*FLOOR(3*n/4.0)/n),
+                                        sin(2*pi()*CEIL(3*n/4.0)/n)), 6) + 0.0 AS ymin_r,
+                   ROUND(cx + r, 6) + 0.0 AS xmax_r,
+                   ROUND(cy + r * GREATEST(sin(2*pi()*FLOOR(n/4.0)/n),
+                                           sin(2*pi()*CEIL(n/4.0)/n)), 6) + 0.0 AS ymax_r,
+                   ROUND(cx, 6) + 0.0 AS cx_r, ROUND(cy, 6) + 0.0 AS cy_r,
+                   (t > 0.25 AND t < 1.0) AS inside
+            FROM b""",
         "parts_access": f"""
             SELECT n_nationkey, 1 AS ir_n, 1 AS ir_arr_n, 5 AS np_n,
                    16.0 AS gir_perim,

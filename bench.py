@@ -171,7 +171,38 @@ def main() -> None:
     #   now runs the pure-JVM xxhash64 default — zero Python workers)
     # - p2 with the pure-SQL aggregate(zip_with) plan (the headline now runs
     #   the Arrow numpy-matmul local-top-k default)
+    # - b1g: the same measure sweep over RAGGED holed n-gons (varying vertex
+    #   counts per row) — the CSR fast path (geo/ragged.py); compare per-row
+    #   cost against b1's uniform-rect path
     variants = {}
+    import math as _m
+
+    n_c = (F.lit(3) + F.col("l_linenumber") % 5).cast("int")
+    r_c = (F.lit(1.0) + (F.col("l_quantity").cast("int") % 10)).cast("double")
+    two_pi = F.lit(2.0 * _m.pi)
+    shell = F.transform(
+        F.sequence(F.lit(0), n_c),
+        lambda k: F.array(
+            F.col("x0") + r_c * F.cos(two_pi * (k % n_c) / n_c),
+            F.col("y0") + r_c * F.sin(two_pi * (k % n_c) / n_c),
+        ),
+    )
+    hole = F.array(
+        F.array(F.col("x0") - r_c / 4, F.col("y0") - r_c / 4),
+        F.array(F.col("x0") - r_c / 4, F.col("y0") + r_c / 4),
+        F.array(F.col("x0") + r_c / 4, F.col("y0") + r_c / 4),
+        F.array(F.col("x0") + r_c / 4, F.col("y0") - r_c / 4),
+        F.array(F.col("x0") - r_c / 4, F.col("y0") - r_c / 4),
+    )
+    ragged = li_rects.withColumn("poly", st.st_polygon(F.array(shell, hole))).select(
+        "l_orderkey", "poly").cache()
+    ragged.count()
+    variants["b1g_elementwise_ragged"] = timed(
+        lambda: ragged.select(
+            F.sum(st.st_area("poly")).alias("a"),
+            F.sum(st.st_length("poly")).alias("l"),
+        ).collect()
+    )
     variants["p1m_minhash_md5"] = timed(
         lambda: _dedup.near_dup_pairs(docs, threshold=0.05, hash_family="md5").count()
     )

@@ -22,7 +22,8 @@ from pyspark.sql.functions import pandas_udf
 
 from polars_st_spark.functions.factory import binary_scalar, col_or_lit, geom_arg
 from polars_st_spark.geo import predicates as P
-from polars_st_spark.geo.types import Geometry
+from polars_st_spark.geo import ragged as RG
+from polars_st_spark.geo.types import Geometry, GeometryType
 from polars_st_spark.geo.wkb import batch_uniform, from_ewkb, to_ewkb
 
 __all__ = [
@@ -91,6 +92,51 @@ _FAST_NAMES = {
     "covered_by", "contains_properly", "equals",
 }
 
+# predicates answerable from a point-in-polygon location (0/1/2)
+_LOC_NAMES = _FAST_NAMES - {"equals"} | {"touches"}
+
+
+def _loc_predicate(name: str, loc: np.ndarray, point_is_a: bool):
+    """Answer a predicate from per-row point locations (0 exterior /
+    1 boundary / 2 interior), where one operand is a point and the other an
+    areal geometry. Returns None when the (name, direction) combination
+    isn't expressible (e.g. polygon-within-point) — caller falls back."""
+    if name == "intersects":
+        return loc != 0
+    if name == "disjoint":
+        return loc == 0
+    if name == "touches":
+        return loc == 1
+    if point_is_a:  # a = point, b = polygon
+        if name == "within":
+            return loc == 2
+        if name == "covered_by":
+            return loc != 0
+    else:  # a = polygon, b = point
+        if name in ("contains", "contains_properly"):
+            return loc == 2
+        if name == "covers":
+            return loc != 0
+    return None
+
+
+def _point_locs_const_poly(o: Geometry, px: np.ndarray, py: np.ndarray):
+    """Vectorized 0/1/2 location of many points in ONE constant areal
+    geometry (same hole/part semantics as predicates.point_in_polygon)."""
+    d = P._decompose(o)
+    if not d.polys or d.lines or d.points:
+        return None
+    best = np.zeros(len(px), dtype=np.int8)
+    for rings in d.polys:
+        st = P._point_in_ring_vec(px, py, rings[0])
+        for hole in rings[1:]:
+            h = P._point_in_ring_vec(px, py, hole)
+            undecided = st == 2
+            st = np.where(undecided & (h == 1), 1,
+                          np.where(undecided & (h == 2), 0, st)).astype(np.int8)
+        best = np.maximum(best, st)
+    return best
+
 
 def _const_box(o: Geometry):
     """Scalar box for a constant geometry (numpy broadcasts it), or None."""
@@ -110,16 +156,40 @@ def _mk(name: str, fn, ret="boolean"):
     def outer(col, other) -> Column:
         o = geom_arg(other)
         if isinstance(o, Geometry):
+            loc_ok = ret == "boolean" and name in _LOC_NAMES
             B_const = _const_box(o) if ret == "boolean" and name in _FAST_NAMES else None
+            o_is_point = o.type_id == GeometryType.Point and o.coords is not None
 
             @pandas_udf(ret)
             def udf1(s: pd.Series) -> pd.Series:
-                if B_const is not None and not s.isna().any():
-                    A = _as_boxes(batch_uniform(s))
-                    if A is not None:
-                        r = _vec_predicate(name, A, B_const)
-                        if r is not None:
-                            return pd.Series(r)
+                if (B_const is not None or loc_ok) and not s.isna().any():
+                    fast = batch_uniform(s)
+                    if B_const is not None and fast is not None:
+                        A = _as_boxes(fast)
+                        if A is not None:
+                            r = _vec_predicate(name, A, B_const)
+                            if r is not None:
+                                return pd.Series(r)
+                    if loc_ok and fast is not None and fast[0] == "point2d":
+                        # point column vs constant areal geometry
+                        loc = _point_locs_const_poly(o, fast[1], fast[2])
+                        if loc is not None:
+                            r = _loc_predicate(name, loc, point_is_a=True)
+                            if r is not None:
+                                return pd.Series(r)
+                    if loc_ok and o_is_point and (fast is None or fast[0] != "point2d"):
+                        # ragged polygon column vs constant point
+                        rp = RG.parse_polygonal(s)
+                        if rp is not None:
+                            n = len(s)
+                            loc = RG.locate_points(
+                                rp,
+                                np.full(n, float(o.coords[0])),
+                                np.full(n, float(o.coords[1])),
+                            )
+                            r = _loc_predicate(name, loc, point_is_a=False)
+                            if r is not None:
+                                return pd.Series(r)
                 return pd.Series(
                     [None if b is None else fn(from_ewkb(bytes(b)), o) for b in s],
                     dtype=object,
@@ -127,15 +197,41 @@ def _mk(name: str, fn, ret="boolean"):
 
             return udf1(col_or_lit(col))
 
+        loc_ok2 = ret == "boolean" and name in _LOC_NAMES
+
         @pandas_udf(ret)
         def udf2(s1: pd.Series, s2: pd.Series) -> pd.Series:
-            if ret == "boolean" and name in _FAST_NAMES and not s1.isna().any() and not s2.isna().any():
-                A = _as_boxes(batch_uniform(s1))
-                B = _as_boxes(batch_uniform(s2)) if A is not None else None
-                if A is not None and B is not None:
-                    r = _vec_predicate(name, A, B)
-                    if r is not None:
-                        return pd.Series(r)
+            if (
+                ret == "boolean"
+                and (name in _FAST_NAMES or loc_ok2)
+                and not s1.isna().any()
+                and not s2.isna().any()
+            ):
+                fa = batch_uniform(s1)
+                fb = batch_uniform(s2)
+                if name in _FAST_NAMES and fa is not None and fb is not None:
+                    A = _as_boxes(fa)
+                    B = _as_boxes(fb) if A is not None else None
+                    if A is not None and B is not None:
+                        r = _vec_predicate(name, A, B)
+                        if r is not None:
+                            return pd.Series(r)
+                if loc_ok2:
+                    # row-paired point vs arbitrary-polygon columns (either side)
+                    if fa is not None and fa[0] == "point2d":
+                        rp = RG.parse_polygonal(s2)
+                        if rp is not None:
+                            loc = RG.locate_points(rp, fa[1], fa[2])
+                            r = _loc_predicate(name, loc, point_is_a=True)
+                            if r is not None:
+                                return pd.Series(r)
+                    elif fb is not None and fb[0] == "point2d":
+                        rp = RG.parse_polygonal(s1)
+                        if rp is not None:
+                            loc = RG.locate_points(rp, fb[1], fb[2])
+                            r = _loc_predicate(name, loc, point_is_a=False)
+                            if r is not None:
+                                return pd.Series(r)
             return pd.Series(
                 [
                     None if (a is None or b is None) else fn(from_ewkb(bytes(a)), from_ewkb(bytes(b)))

@@ -35,6 +35,7 @@ from polars_st_spark.functions.factory import (
 )
 from polars_st_spark.geo import algos
 from polars_st_spark.geo import geojson as _gj
+from polars_st_spark.geo import ragged
 from polars_st_spark.geo import wkt as _wkt
 from polars_st_spark.geo.types import GEOMETRY_TYPE_NAMES, Geometry, GeometryType
 from polars_st_spark.geo.wkb import (
@@ -183,9 +184,22 @@ def st_m(col) -> Column:
 # Measures
 # ----------------------------------------------------------------------
 
+def _with_nulls(vals: np.ndarray, null_mask: np.ndarray) -> pd.Series:
+    """Float/array values → Series with None at null positions."""
+    if not null_mask.any():
+        return pd.Series(list(vals)) if vals.ndim > 1 else pd.Series(vals)
+    out = np.empty(len(vals), dtype=object)
+    for i in range(len(vals)):
+        if not null_mask[i]:
+            out[i] = list(vals[i]) if vals.ndim > 1 else vals[i]
+    return pd.Series(out, dtype=object)
+
+
 def st_area(col) -> Column:
     """(reference: functions.rs:794-796). Uniform single-ring batches take a
-    numpy-vectorized shoelace path (no per-row Python)."""
+    numpy-vectorized shoelace path; mixed polygon batches (holes, varying
+    vertex counts, multipolygons) take the ragged CSR path (geo/ragged.py) —
+    per-row Python only for non-polygonal mixtures."""
 
     @pandas_udf("double")
     def udf(s: pd.Series) -> pd.Series:
@@ -203,6 +217,9 @@ def st_area(col) -> Column:
                     np.sum(x * np.roll(y, -1, axis=1) - np.roll(x, -1, axis=1) * y, axis=1)
                 )
                 return pd.Series(a)
+        rp = ragged.parse_polygonal(s)
+        if rp is not None:
+            return _with_nulls(ragged.area(rp), rp.null_mask)
         return pd.Series(
             [None if b is None else algos.area(from_ewkb(bytes(b))) for b in s], dtype=object
         )
@@ -211,7 +228,8 @@ def st_area(col) -> Column:
 
 
 def st_length(col) -> Column:
-    """(reference: functions.rs:815-817). Vectorized for uniform ring batches."""
+    """(reference: functions.rs:815-817). Vectorized for uniform ring batches
+    and for ragged (Multi)LineString / (Multi)Polygon batches."""
 
     @pandas_udf("double")
     def udf(s: pd.Series) -> pd.Series:
@@ -223,6 +241,12 @@ def st_length(col) -> Column:
                 c = fast[1]
                 d = np.diff(c, axis=1)
                 return pd.Series(np.sqrt((d * d).sum(axis=2)).sum(axis=1))
+        rl = ragged.parse_lineal(s)
+        if rl is not None:
+            return _with_nulls(ragged.length(rl), rl.null_mask)
+        rp = ragged.parse_polygonal(s)
+        if rp is not None:
+            return _with_nulls(ragged.perimeter(rp), rp.null_mask)
         return pd.Series(
             [None if b is None else algos.length(from_ewkb(bytes(b))) for b in s], dtype=object
         )
@@ -281,7 +305,7 @@ def st_project(col, other, normalized: bool = False) -> Column:
 
 def st_bounds(col) -> Column:
     """[xmin,ymin,xmax,ymax]; NaN when empty (reference: functions.rs:798-813).
-    Vectorized for uniform point/ring batches."""
+    Vectorized for uniform point/ring batches and ragged polygon/line batches."""
 
     @pandas_udf("array<double>")
     def udf(s: pd.Series) -> pd.Series:
@@ -297,6 +321,9 @@ def st_bounds(col) -> Column:
                      c[:, :, 0].max(axis=1), c[:, :, 1].max(axis=1)], axis=1,
                 )
                 return pd.Series(list(b))
+        rg = ragged.parse_polygonal(s) or ragged.parse_lineal(s)
+        if rg is not None:
+            return _with_nulls(ragged.bounds(rg), rg.null_mask)
         return pd.Series(
             [None if b is None else list(from_ewkb(bytes(b)).bounds()) for b in s],
             dtype=object,

@@ -50,7 +50,37 @@ def _u(fn):
     return outer
 
 
-st_centroid = _u(algos.centroid)
+def st_centroid(col) -> Column:
+    """Area-weighted centroid (reference: functions.rs:1330-1336). Ragged
+    (Multi)Polygon batches — holes, varying vertex counts — compute via the
+    CSR moment formulas (geo/ragged.py) and batch-encode the result points;
+    degenerate/zero-area rows fall back to the scalar length/point centroid."""
+    from polars_st_spark.geo import ragged
+    from polars_st_spark.geo.wkb import from_ewkb, points_to_ewkb, to_ewkb
+
+    @pandas_udf("binary")
+    def udf(s: pd.Series) -> pd.Series:
+        rp = ragged.parse_polygonal(s)
+        if rp is not None and rp.srid_uniform:
+            cx, cy, ok = ragged.centroid(rp)
+            okm = ok & ~rp.null_mask
+            out = np.empty(len(s), dtype=object)
+            out[:] = None
+            if okm.any():
+                enc = points_to_ewkb(cx[okm], cy[okm], srid=rp.srid)
+                for j, i in enumerate(np.flatnonzero(okm)):
+                    out[i] = enc[j]
+            for i in np.flatnonzero(~okm & ~rp.null_mask):
+                out[i] = to_ewkb(algos.centroid(from_ewkb(bytes(s.iloc[i]))))
+            return pd.Series(out, dtype=object)
+        return pd.Series(
+            [None if b is None else to_ewkb(algos.centroid(from_ewkb(bytes(b)))) for b in s],
+            dtype=object,
+        )
+
+    return udf(col_or_lit(col))
+
+
 st_center = _u(algos.center)
 st_point_on_surface = _u(algos.point_on_surface)
 st_convex_hull = _u(algos.convex_hull)

@@ -1,0 +1,457 @@
+"""Vectorized measures over RAGGED geometry batches (CSR layout).
+
+`batch_uniform` (geo/wkb.py) only fires when every row in an Arrow batch has
+the identical byte layout (all 2-D points, or single-ring polygons with the
+same vertex count). Real mixed data — polygons with holes, varying vertex
+counts, multipolygons — fell back to per-row Python object decode + scalar
+compute (VERDICT r3 "what's wrong" #3: the engine's biggest structural
+per-row cost at scale).
+
+This module closes that gap for the measure/predicate hot path:
+
+- :func:`parse_polygonal` / :func:`parse_lineal` parse a whole batch into a
+  CSR (offset-array) layout: one flat ``(N, 2)`` coordinate matrix plus
+  int offset arrays. Structure words (ring counts) are read per-ring in
+  Python — O(rings), cheap — while coordinates are bulk-copied per ring
+  with ``np.frombuffer`` (zero per-vertex Python).
+- :func:`area`, :func:`perimeter`, :func:`length`, :func:`bounds`,
+  :func:`centroid` compute per-row results with numpy segment arithmetic
+  (``np.add.reduceat`` / ``bincount`` over the offsets) — no per-row loop.
+- :func:`locate_points` is a row-paired point-in-polygon (0 exterior /
+  1 boundary / 2 interior) matching geo/predicates semantics (same _EPS
+  boundary tolerance, same ray-cast arithmetic order), powering the
+  intersects/contains/within/covers family when one side is points and the
+  other is arbitrary polygons.
+
+The formulas mirror geo/algos.py exactly (shoelace translated to each
+ring's first vertex, |shell| − Σ|holes|, sign-normalized centroid moments)
+so the ragged path and the scalar fallback agree to float round-off.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+from polars_st_spark.geo.types import GeometryType
+
+__all__ = [
+    "RaggedPolygons",
+    "RaggedLines",
+    "parse_polygonal",
+    "parse_lineal",
+    "area",
+    "perimeter",
+    "length",
+    "bounds",
+    "centroid",
+    "locate_points",
+]
+
+_Z_FLAG = 0x80000000
+_M_FLAG = 0x40000000
+_SRID_FLAG = 0x20000000
+_EPS = 1e-12  # matches geo/predicates._EPS
+
+
+class RaggedPolygons:
+    """CSR batch of (Multi)Polygon rows.
+
+    coords      (N, 2) float64 — all vertices, rows contiguous
+    row_start   (n+1,) int64   — coord offset of each row
+    ring_start  (R+1,) int64   — coord offset of each ring
+    ring_row    (R,)   int64   — owning row per ring
+    ring_part   (R,)   int64   — owning polygon part (global id) per ring
+    ring_hole   (R,)   bool    — True for interior rings
+    part_row    (P,)   int64   — owning row per polygon part
+    null_mask   (n,)   bool    — True where the input row was null
+    srid        int            — uniform SRID (srid_uniform False if mixed)
+    """
+
+    __slots__ = (
+        "n", "coords", "row_start", "ring_start", "ring_row", "ring_part",
+        "ring_hole", "part_row", "null_mask", "srid", "srid_uniform",
+    )
+
+
+class RaggedLines:
+    """CSR batch of (Multi)LineString rows: chains instead of rings."""
+
+    __slots__ = ("n", "coords", "row_start", "chain_start", "chain_row",
+                 "null_mask", "srid", "srid_uniform")
+
+
+def _header(buf: bytes):
+    """(base, has_z, has_m, srid, data_pos) or None for non-LE/odd layouts."""
+    if len(buf) < 9 or buf[0] != 1:
+        return None
+    (raw,) = struct.unpack_from("<I", buf, 1)
+    has_z = bool(raw & _Z_FLAG)
+    has_m = bool(raw & _M_FLAG)
+    has_srid = bool(raw & _SRID_FLAG)
+    base = raw & 0x0FFFFFFF
+    if base >= 1000:  # ISO codes carry dimension — bail to generic path
+        return None
+    pos = 5
+    srid = 0
+    if has_srid:
+        (srid,) = struct.unpack_from("<I", buf, 5)
+        pos = 9
+    return base, has_z, has_m, srid, pos
+
+
+def parse_polygonal(bufs) -> RaggedPolygons | None:
+    """Parse a batch where every non-null row is a little-endian 2-D
+    Polygon or MultiPolygon. Returns None (caller falls back) otherwise."""
+    rows = [None if b is None else bytes(b) for b in bufs]
+    n = len(rows)
+    coord_parts: list[np.ndarray] = []
+    row_start = np.zeros(n + 1, dtype=np.int64)
+    ring_counts: list[int] = []
+    ring_row: list[int] = []
+    ring_part: list[int] = []
+    ring_hole: list[bool] = []
+    part_row: list[int] = []
+    null_mask = np.zeros(n, dtype=bool)
+    srid0 = None
+    srid_uniform = True
+    total = 0
+    part_id = 0
+    unpack = struct.unpack_from
+    for i, buf in enumerate(rows):
+        if buf is None:
+            null_mask[i] = True
+            row_start[i + 1] = total
+            continue
+        h = _header(buf)
+        if h is None:
+            return None
+        base, has_z, has_m, srid, pos = h
+        if has_z or has_m:
+            return None
+        if srid0 is None:
+            srid0 = srid
+        elif srid != srid0:
+            srid_uniform = False
+        if base == GeometryType.Polygon:
+            polys = [(buf, pos)]
+        elif base == GeometryType.MultiPolygon:
+            (nparts,) = unpack("<I", buf, pos)
+            pos += 4
+            polys = []
+            for _ in range(nparts):
+                # child header starts at pos: endian byte + type word (+srid)
+                if buf[pos] != 1:
+                    return None
+                (craw,) = unpack("<I", buf, pos + 1)
+                if craw & (_Z_FLAG | _M_FLAG):
+                    return None
+                cpos = pos + 5 + (4 if craw & _SRID_FLAG else 0)
+                if (craw & 0x0FFFFFFF) != GeometryType.Polygon:
+                    return None
+                polys.append((buf, cpos))
+                # advance past this polygon
+                (nrings,) = unpack("<I", buf, cpos)
+                p = cpos + 4
+                for _ in range(nrings):
+                    (npts,) = unpack("<I", buf, p)
+                    p += 4 + 16 * npts
+                pos = p
+        else:
+            return None
+        for buf_, p0 in polys:
+            (nrings,) = unpack("<I", buf_, p0)
+            p = p0 + 4
+            part_row.append(i)
+            for r in range(nrings):
+                (npts,) = unpack("<I", buf_, p)
+                p += 4
+                if len(buf_) < p + 16 * npts:
+                    return None
+                coord_parts.append(np.frombuffer(buf_, dtype="<f8", count=2 * npts, offset=p))
+                p += 16 * npts
+                ring_counts.append(npts)
+                ring_row.append(i)
+                ring_part.append(part_id)
+                ring_hole.append(r > 0)
+                total += npts
+            part_id += 1
+        row_start[i + 1] = total
+    rp = RaggedPolygons()
+    rp.n = n
+    rp.coords = (
+        np.concatenate(coord_parts).astype(np.float64).reshape(-1, 2)
+        if coord_parts else np.empty((0, 2))
+    )
+    rp.row_start = row_start
+    rp.ring_start = np.concatenate([[0], np.cumsum(np.array(ring_counts, dtype=np.int64))]).astype(np.int64)
+    rp.ring_row = np.array(ring_row, dtype=np.int64)
+    rp.ring_part = np.array(ring_part, dtype=np.int64)
+    rp.ring_hole = np.array(ring_hole, dtype=bool)
+    rp.part_row = np.array(part_row, dtype=np.int64)
+    rp.null_mask = null_mask
+    rp.srid = srid0 or 0
+    rp.srid_uniform = srid_uniform
+    return rp
+
+
+def parse_lineal(bufs) -> RaggedLines | None:
+    """Parse a batch where every non-null row is a little-endian 2-D
+    LineString or MultiLineString."""
+    rows = [None if b is None else bytes(b) for b in bufs]
+    n = len(rows)
+    coord_parts: list[np.ndarray] = []
+    row_start = np.zeros(n + 1, dtype=np.int64)
+    chain_counts: list[int] = []
+    chain_row: list[int] = []
+    null_mask = np.zeros(n, dtype=bool)
+    srid0 = None
+    srid_uniform = True
+    total = 0
+    unpack = struct.unpack_from
+    for i, buf in enumerate(rows):
+        if buf is None:
+            null_mask[i] = True
+            row_start[i + 1] = total
+            continue
+        h = _header(buf)
+        if h is None:
+            return None
+        base, has_z, has_m, srid, pos = h
+        if has_z or has_m:
+            return None
+        if srid0 is None:
+            srid0 = srid
+        elif srid != srid0:
+            srid_uniform = False
+        if base == GeometryType.LineString:
+            chains = [pos]
+        elif base == GeometryType.MultiLineString:
+            (nparts,) = unpack("<I", buf, pos)
+            pos += 4
+            chains = []
+            for _ in range(nparts):
+                if buf[pos] != 1:
+                    return None
+                (craw,) = unpack("<I", buf, pos + 1)
+                if craw & (_Z_FLAG | _M_FLAG) or (craw & 0x0FFFFFFF) != GeometryType.LineString:
+                    return None
+                cpos = pos + 5 + (4 if craw & _SRID_FLAG else 0)
+                chains.append(cpos)
+                (npts,) = unpack("<I", buf, cpos)
+                pos = cpos + 4 + 16 * npts
+        else:
+            return None
+        for p0 in chains:
+            (npts,) = unpack("<I", buf, p0)
+            p = p0 + 4
+            if len(buf) < p + 16 * npts:
+                return None
+            coord_parts.append(np.frombuffer(buf, dtype="<f8", count=2 * npts, offset=p))
+            chain_counts.append(npts)
+            chain_row.append(i)
+            total += npts
+        row_start[i + 1] = total
+    rl = RaggedLines()
+    rl.n = n
+    rl.coords = (
+        np.concatenate(coord_parts).astype(np.float64).reshape(-1, 2)
+        if coord_parts else np.empty((0, 2))
+    )
+    rl.row_start = row_start
+    rl.chain_start = np.concatenate([[0], np.cumsum(np.array(chain_counts, dtype=np.int64))]).astype(np.int64)
+    rl.chain_row = np.array(chain_row, dtype=np.int64)
+    rl.null_mask = null_mask
+    rl.srid = srid0 or 0
+    rl.srid_uniform = srid_uniform
+    return rl
+
+
+# ----------------------------------------------------------------------
+# Segment scaffolding shared by the measures
+# ----------------------------------------------------------------------
+
+def _ring_scaffold(rp: RaggedPolygons):
+    """Per-segment arrays for ring arithmetic.
+
+    Returns (rel_x, rel_y, seg_valid, ring_id_per_vertex). Coordinates are
+    translated to each ring's FIRST vertex — the same cancellation fix as
+    algos._ring_signed_area, and it makes the closing segment's cross term
+    identically zero, so open [start, end-1) segment sums equal the closed
+    shoelace."""
+    R = len(rp.ring_row)
+    counts = np.diff(rp.ring_start)
+    rid = np.repeat(np.arange(R, dtype=np.int64), counts)
+    firsts = rp.coords[rp.ring_start[:-1]] if R else np.empty((0, 2))
+    rel = rp.coords - firsts[rid] if R else rp.coords
+    seg_valid = rid[:-1] == rid[1:] if len(rid) else np.zeros(0, dtype=bool)
+    return rel[:, 0], rel[:, 1], seg_valid, rid
+
+
+def _per_ring(values: np.ndarray, ring_start: np.ndarray) -> np.ndarray:
+    """Sum a per-vertex array over each ring's [start, next_start) range."""
+    if len(ring_start) <= 1:
+        return np.zeros(0)
+    return np.add.reduceat(values, ring_start[:-1])
+
+
+def area(rp: RaggedPolygons) -> np.ndarray:
+    """Per-row area: Σ over parts of (|shell| − Σ|holes|); 0 for empties."""
+    x, y, valid, _ = _ring_scaffold(rp)
+    if not len(rp.ring_row):
+        return np.zeros(rp.n)
+    cross = np.zeros(len(x))
+    if len(x) > 1:
+        cross[:-1] = np.where(valid, x[:-1] * y[1:] - x[1:] * y[:-1], 0.0)
+    ring_signed = 0.5 * _per_ring(cross, rp.ring_start)
+    contrib = np.where(rp.ring_hole, -np.abs(ring_signed), np.abs(ring_signed))
+    return np.bincount(rp.ring_row, weights=contrib, minlength=rp.n)
+
+
+def perimeter(rp: RaggedPolygons) -> np.ndarray:
+    """Per-row boundary length (all rings; implicit closure like algos._closed)."""
+    if not len(rp.ring_row):
+        return np.zeros(rp.n)
+    c = rp.coords
+    seglen = np.zeros(len(c))
+    counts = np.diff(rp.ring_start)
+    rid = np.repeat(np.arange(len(counts), dtype=np.int64), counts)
+    if len(c) > 1:
+        d = np.diff(c, axis=0)
+        seglen[:-1] = np.where(rid[:-1] == rid[1:], np.sqrt((d * d).sum(axis=1)), 0.0)
+    ring_len = _per_ring(seglen, rp.ring_start)
+    # closure: dist(last, first) — zero when the ring is already closed
+    firsts = c[rp.ring_start[:-1]]
+    lasts = c[rp.ring_start[1:] - 1]
+    ring_len = ring_len + np.sqrt(((lasts - firsts) ** 2).sum(axis=1))
+    return np.bincount(rp.ring_row, weights=ring_len, minlength=rp.n)
+
+
+def length(rl: RaggedLines) -> np.ndarray:
+    """Per-row chain length (no closure)."""
+    if not len(rl.chain_row):
+        return np.zeros(rl.n)
+    c = rl.coords
+    counts = np.diff(rl.chain_start)
+    cid = np.repeat(np.arange(len(counts), dtype=np.int64), counts)
+    seglen = np.zeros(len(c))
+    if len(c) > 1:
+        d = np.diff(c, axis=0)
+        seglen[:-1] = np.where(cid[:-1] == cid[1:], np.sqrt((d * d).sum(axis=1)), 0.0)
+    chain_len = np.add.reduceat(seglen, rl.chain_start[:-1])
+    return np.bincount(rl.chain_row, weights=chain_len, minlength=rl.n)
+
+
+def bounds(rp) -> np.ndarray:
+    """(n, 4) [xmin, ymin, xmax, ymax]; NaN rows for empties. Works for both
+    RaggedPolygons and RaggedLines (only row_start/coords are used)."""
+    out = np.full((rp.n, 4), np.nan)
+    if not len(rp.coords):
+        return out
+    nonempty = rp.row_start[:-1] != rp.row_start[1:]
+    starts = rp.row_start[:-1][nonempty]
+    out[nonempty, 0] = np.minimum.reduceat(rp.coords[:, 0], starts)
+    out[nonempty, 1] = np.minimum.reduceat(rp.coords[:, 1], starts)
+    out[nonempty, 2] = np.maximum.reduceat(rp.coords[:, 0], starts)
+    out[nonempty, 3] = np.maximum.reduceat(rp.coords[:, 1], starts)
+    return out
+
+
+def centroid(rp: RaggedPolygons) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """(cx, cy, ok) per row — area-weighted centroid, holes subtracted,
+    sign-normalized exactly like algos.centroid. ok=False rows (zero total
+    area, empties) need the scalar fallback (length/point centroid)."""
+    x, y, valid, rid = _ring_scaffold(rp)
+    R = len(rp.ring_row)
+    if not R:
+        return np.zeros(rp.n), np.zeros(rp.n), np.zeros(rp.n, dtype=bool)
+    N = len(x)
+    cross = np.zeros(N)
+    mx = np.zeros(N)
+    my = np.zeros(N)
+    if N > 1:
+        cr = x[:-1] * y[1:] - x[1:] * y[:-1]
+        cross[:-1] = np.where(valid, cr, 0.0)
+        mx[:-1] = np.where(valid, (x[:-1] + x[1:]) * cr, 0.0)
+        my[:-1] = np.where(valid, (y[:-1] + y[1:]) * cr, 0.0)
+    a6 = _per_ring(cross, rp.ring_start) / 2.0  # signed ring area
+    ccx = _per_ring(mx, rp.ring_start) / 6.0
+    ccy = _per_ring(my, rp.ring_start) / 6.0
+    neg = a6 < 0
+    ccx = np.where(neg, -ccx, ccx)
+    ccy = np.where(neg, -ccy, ccy)
+    mag = np.abs(a6)
+    firsts = rp.coords[rp.ring_start[:-1]]
+    ccx = ccx + firsts[:, 0] * mag
+    ccy = ccy + firsts[:, 1] * mag
+    zero = a6 == 0  # degenerate rings contribute nothing (scalar `continue`)
+    sgn = np.where(rp.ring_hole, -1.0, 1.0)
+    w = np.where(zero, 0.0, sgn)
+    aa = np.bincount(rp.ring_row, weights=w * mag, minlength=rp.n)
+    cx = np.bincount(rp.ring_row, weights=w * ccx, minlength=rp.n)
+    cy = np.bincount(rp.ring_row, weights=w * ccy, minlength=rp.n)
+    ok = aa != 0
+    safe = np.where(ok, aa, 1.0)
+    return cx / safe, cy / safe, ok
+
+
+# ----------------------------------------------------------------------
+# Row-paired point-in-polygon (0 exterior / 1 boundary / 2 interior)
+# ----------------------------------------------------------------------
+
+def locate_points(rp: RaggedPolygons, px: np.ndarray, py: np.ndarray) -> np.ndarray:
+    """Locate (px[i], py[i]) in row i's polygon. Matches
+    predicates.point_in_polygon semantics: shell boundary → 1, outside
+    shell → 0, hole boundary → 1, inside hole → 0, else 2; a multipolygon
+    row takes the max over parts. Rings with fewer than 3 points are
+    ignored (scalar parity). Boundary tolerance is the same _EPS·scale²
+    rule as predicates._on_segment."""
+    R = len(rp.ring_row)
+    out = np.zeros(rp.n, dtype=np.int8)
+    if not R:
+        return out
+    counts = np.diff(rp.ring_start)
+    rid = np.repeat(np.arange(R, dtype=np.int64), counts)
+    c = rp.coords
+    N = len(c)
+    # per-segment endpoints in scalar arg order: i = s+1, j = s
+    # (predicates._point_in_ring walks pairs (ring[i], ring[j=i-1]))
+    if N < 2:
+        return out
+    seg_ok = (rid[:-1] == rid[1:]) & (counts[rid[:-1]] >= 3)
+    s_row = rp.ring_row[rid[:-1]]
+    pxs = px[s_row]
+    pys = py[s_row]
+    xi, yi = c[1:, 0], c[1:, 1]   # ring[i]
+    xj, yj = c[:-1, 0], c[:-1, 1]  # ring[j]
+    # boundary: |cross| <= EPS·scale² and p within the segment's eps-box
+    cross = (xj - xi) * (pys - yi) - (yj - yi) * (pxs - xi)
+    scale = np.maximum(np.maximum(np.abs(xj - xi), np.abs(yj - yi)), 1.0)
+    on = (
+        seg_ok
+        & (np.abs(cross) <= _EPS * scale * scale)
+        & (pxs >= np.minimum(xi, xj) - _EPS) & (pxs <= np.maximum(xi, xj) + _EPS)
+        & (pys >= np.minimum(yi, yj) - _EPS) & (pys <= np.maximum(yi, yj) + _EPS)
+    )
+    # ray cast (same arithmetic order as the scalar loop)
+    cond = seg_ok & ((yi > pys) != (yj > pys))
+    with np.errstate(divide="ignore", invalid="ignore"):
+        x_int = np.where(cond, (xj - xi) * (pys - yi) / np.where(yj == yi, 1.0, yj - yi) + xi, np.inf)
+    toggle = cond & (pxs < x_int)
+    seg_ring = rid[:-1]
+    ring_on = np.bincount(seg_ring[on], minlength=R) > 0
+    ring_in = (np.bincount(seg_ring[toggle], minlength=R) % 2).astype(bool)
+    # per-part classification
+    P = len(rp.part_row)
+    shell = ~rp.ring_hole
+    shell_on = np.bincount(rp.ring_part[shell & ring_on], minlength=P) > 0
+    shell_in = np.bincount(rp.ring_part[shell & ring_in], minlength=P) > 0
+    hole_on = np.bincount(rp.ring_part[rp.ring_hole & ring_on], minlength=P) > 0
+    hole_in = np.bincount(rp.ring_part[rp.ring_hole & ring_in], minlength=P) > 0
+    part_loc = np.where(
+        shell_on, 1,
+        np.where(~shell_in, 0, np.where(hole_on, 1, np.where(hole_in, 0, 2))),
+    ).astype(np.int8)
+    np.maximum.at(out, rp.part_row, part_loc)
+    return out

@@ -1,0 +1,169 @@
+"""Ragged-batch vectorization (geo/ragged.py): mixed polygon batches —
+holes, varying vertex counts, multipolygons — must produce the same results
+through the CSR fast path as the per-row scalar kernels, end-to-end through
+the Spark UDFs (VERDICT r3 next-round item 2)."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+import polars_st_spark as st
+from polars_st_spark.geo import algos, ragged
+from polars_st_spark.geo import predicates as P
+from polars_st_spark.geo.types import Geometry, GeometryType
+from polars_st_spark.geo.wkb import from_ewkb, to_ewkb
+
+
+def _mk_poly(rng, nv, cx, cy, r, hole=False, srid=0):
+    ang = np.sort(rng.uniform(0, 2 * np.pi, nv))
+    ring = np.stack([cx + r * np.cos(ang), cy + r * np.sin(ang)], axis=1)
+    ring = np.vstack([ring, ring[:1]])
+    rings = [ring]
+    if hole:
+        ha = np.linspace(0, 2 * np.pi, 6)[:-1]
+        hr = np.stack([cx + 0.3 * r * np.cos(ha), cy + 0.3 * r * np.sin(ha)], axis=1)
+        hr = np.vstack([hr, hr[:1]])[::-1].copy()
+        rings.append(hr)
+    return Geometry(GeometryType.Polygon, srid=srid, rings=rings)
+
+
+@pytest.fixture(scope="module")
+def mixed_polys():
+    rng = np.random.RandomState(42)
+    geoms = []
+    for i in range(120):
+        g = _mk_poly(rng, rng.randint(3, 12), rng.uniform(-500, 500),
+                     rng.uniform(-500, 500), rng.uniform(0.5, 40), hole=(i % 3 == 0))
+        if i % 7 == 0:
+            g2 = _mk_poly(rng, rng.randint(3, 8), rng.uniform(-500, 500),
+                          rng.uniform(-500, 500), rng.uniform(0.5, 20), hole=(i % 2 == 0))
+            g = Geometry(GeometryType.MultiPolygon, srid=0, geoms=[g.with_srid(0), g2])
+        geoms.append(g)
+    return geoms
+
+
+def test_ragged_measures_match_scalar_through_spark(spark, mixed_polys):
+    rows = [(i, to_ewkb(g)) for i, g in enumerate(mixed_polys)] + [(999, None)]
+    df = spark.createDataFrame(rows, "id int, geom binary")
+    out = {
+        r["id"]: r
+        for r in df.select(
+            "id",
+            st.st_area("geom").alias("a"),
+            st.st_length("geom").alias("l"),
+            st.st_bounds("geom").alias("b"),
+            st.st_x(st.st_centroid("geom")).alias("cx"),
+            st.st_y(st.st_centroid("geom")).alias("cy"),
+        ).collect()
+    }
+    assert out[999]["a"] is None and out[999]["b"] is None
+    for i, g in enumerate(mixed_polys):
+        r = out[i]
+        assert r["a"] == pytest.approx(algos.area(g), rel=1e-9)
+        assert r["l"] == pytest.approx(algos.length(g), rel=1e-9)
+        assert np.allclose(r["b"], list(g.bounds()))
+        ce = algos.centroid(g)
+        assert r["cx"] == pytest.approx(float(ce.coords[0]), rel=1e-9, abs=1e-9)
+        assert r["cy"] == pytest.approx(float(ce.coords[1]), rel=1e-9, abs=1e-9)
+
+
+def test_ragged_point_polygon_predicates_row_paired(spark, mixed_polys):
+    """Row-paired point column vs ragged polygon column through every
+    loc-expressible predicate, including exact-vertex boundary hits."""
+    rng = np.random.RandomState(7)
+    rows = []
+    expected = []
+    for i, g in enumerate(mixed_polys[:80]):
+        b = g.bounds()
+        kind = i % 4
+        if kind == 0:  # center-ish (inside or in-hole)
+            px, py = (b[0] + b[2]) / 2, (b[1] + b[3]) / 2
+        elif kind == 1:  # far outside
+            px, py = b[2] + 100.0, b[3] + 100.0
+        elif kind == 2:  # exact vertex → boundary
+            r0 = (g.rings or g.geoms[0].rings)[0]
+            px, py = float(r0[1, 0]), float(r0[1, 1])
+        else:  # random
+            px, py = rng.uniform(b[0], b[2]), rng.uniform(b[1], b[3])
+        pt = Geometry(GeometryType.Point, coords=np.array([px, py]))
+        rows.append((i, to_ewkb(pt), to_ewkb(g)))
+        expected.append((i, pt, g))
+    df = spark.createDataFrame(rows, "id int, pt binary, poly binary")
+    got = {
+        r["id"]: r
+        for r in df.select(
+            "id",
+            st.st_intersects("pt", F.col("poly")).alias("inter"),
+            st.st_within("pt", F.col("poly")).alias("within"),
+            st.st_covered_by("pt", F.col("poly")).alias("covby"),
+            st.st_touches("pt", F.col("poly")).alias("touches"),
+            st.st_contains("poly", F.col("pt")).alias("contains"),
+            st.st_covers("poly", F.col("pt")).alias("covers"),
+            st.st_disjoint("pt", F.col("poly")).alias("disj"),
+        ).collect()
+    }
+    for i, pt, g in expected:
+        r = got[i]
+        assert r["inter"] == P.intersects(pt, g), i
+        assert r["within"] == P.within(pt, g), i
+        assert r["covby"] == P.covered_by(pt, g), i
+        assert r["touches"] == P.touches(pt, g), i
+        assert r["contains"] == P.contains(g, pt), i
+        assert r["covers"] == P.covers(g, pt), i
+        assert r["disj"] == P.disjoint(pt, g), i
+
+
+def test_ragged_const_point_and_const_polygon(spark, mixed_polys):
+    """Constant-point vs polygon column, and point column vs constant
+    (holed) polygon, both through the loc fast path."""
+    g0 = mixed_polys[0]
+    b0 = g0.bounds()
+    qx, qy = (b0[0] + b0[2]) / 2, (b0[1] + b0[3]) / 2
+    qpt = Geometry(GeometryType.Point, coords=np.array([qx, qy]))
+    rows = [(i, to_ewkb(g)) for i, g in enumerate(mixed_polys[:40])]
+    df = spark.createDataFrame(rows, "id int, poly binary")
+    got = {
+        r["id"]: r["c"]
+        for r in df.select(
+            "id", st.st_contains("poly", to_ewkb(qpt)).alias("c")
+        ).collect()
+    }
+    for i, g in enumerate(mixed_polys[:40]):
+        assert got[i] == P.contains(g, qpt), i
+
+    # point column vs constant holed polygon
+    shell = np.array([[0.0, 0], [10, 0], [10, 10], [0, 10], [0, 0]])
+    hole = np.array([[4.0, 4], [4, 6], [6, 6], [6, 4], [4, 4]])
+    holed = Geometry(GeometryType.Polygon, rings=[shell, hole])
+    pts = [(-1.0, 5.0), (2.0, 5.0), (5.0, 5.0), (4.0, 5.0), (0.0, 5.0), (9.9, 9.9)]
+    pt_rows = [
+        (i, to_ewkb(Geometry(GeometryType.Point, coords=np.array(p))))
+        for i, p in enumerate(pts)
+    ]
+    pdf = spark.createDataFrame(pt_rows, "id int, pt binary")
+    got2 = {
+        r["id"]: (r["w"], r["t"])
+        for r in pdf.select(
+            "id",
+            st.st_within("pt", to_ewkb(holed)).alias("w"),
+            st.st_touches("pt", to_ewkb(holed)).alias("t"),
+        ).collect()
+    }
+    exp_within = [False, True, False, False, False, True]
+    exp_touch = [False, False, False, True, True, False]
+    for i in range(len(pts)):
+        assert got2[i] == (exp_within[i], exp_touch[i]), i
+
+
+def test_parse_rejects_foreign_layouts():
+    pt = Geometry(GeometryType.Point, coords=np.array([1.0, 2.0]))
+    poly = _mk_poly(np.random.RandomState(0), 5, 0, 0, 1)
+    # mixed point + polygon batch → polygonal parser bails
+    assert ragged.parse_polygonal([to_ewkb(pt), to_ewkb(poly)]) is None
+    # Z geometry → bails
+    gz = Geometry(GeometryType.Point, has_z=True, coords=np.array([1.0, 2, 3]))
+    assert ragged.parse_lineal([to_ewkb(gz)]) is None
+    # all-null batch parses (measures return all-null)
+    rp = ragged.parse_polygonal([None, None])
+    assert rp is not None and rp.null_mask.all()
+    assert np.all(ragged.area(rp) == 0)
