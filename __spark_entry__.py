@@ -1270,14 +1270,29 @@ def q_geoparquet_io(spark, sf):
 def q_utm_roundtrip(spark, sf):
     """Projected-CRS round-trips via the closed-form pipelines: 4326→UTM 31N
     (Krüger series), →Lambert-93 (LCC 2SP, EPSG:2154), →Conus Albers
-    (EPSG:5070), each →4326, for points inside UTM 31N's longitude band
-    (functions/transform.py conic forms per Snyder PP 1395; anchors verified
-    in tests/test_io_crs.py)."""
+    (EPSG:5070), plus the parameterized-TM family — 25832 (ETRS89/UTM 32N),
+    26910 (NAD83/UTM 10N) and 27700 (OSGB36 British National Grid, Airy 1830
+    + EPSG:1314 Helmert datum shift) — each →4326, with exact natural-origin
+    anchor columns (lon0 maps to the false easting bit-exactly)
+    (functions/transform.py per Snyder PP 1395 / Karney 2011; the OSGB
+    worked-example anchor is verified to mm in tests/test_io_crs.py)."""
     p = _cust_pts(spark, sf).where(F.col("x") < 6.0)
     p = p.withColumn("pt4326", st.st_set_srid("pt", 4326))
+    # in-band synthetic points for the new zones
+    p = p.withColumn("pt32", st.st_set_srid(
+        st.st_point(F.col("x") + 6.0, F.col("y") % 60 + 10.0), 4326))
+    p = p.withColumn("pt10", st.st_set_srid(
+        st.st_point(F.col("x") - 126.0, F.col("y") % 60 + 10.0), 4326))
+    p = p.withColumn("ptgb", st.st_set_srid(
+        st.st_point(F.col("x") - 4.0, F.col("y") % 9 + 50.0), 4326))
     back = st.st_to_srid(st.st_to_srid("pt4326", 32631), 4326)
     lcc_back = st.st_to_srid(st.st_to_srid("pt4326", 2154), 4326)
     alb_back = st.st_to_srid(st.st_to_srid("pt4326", 5070), 4326)
+    etrs_back = st.st_to_srid(st.st_to_srid("pt32", 25832), 4326)
+    nad_back = st.st_to_srid(st.st_to_srid("pt10", 26910), 4326)
+    gb_back = st.st_to_srid(st.st_to_srid("ptgb", 27700), 4326)
+    anchor32 = st.st_to_srid(st.st_set_srid(st.st_point(F.lit(9.0), F.lit(0.0)), 4326), 25832)
+    anchor10 = st.st_to_srid(st.st_set_srid(st.st_point(F.lit(-123.0), F.lit(0.0)), 4326), 26910)
     return p.select(
         "c_custkey",
         F.round(st.st_x(back), 6).alias("rt_x"),
@@ -1289,6 +1304,16 @@ def q_utm_roundtrip(spark, sf):
         F.round(st.st_x(alb_back), 6).alias("alb_x"),
         F.round(st.st_y(alb_back), 6).alias("alb_y"),
         st.st_srid(st.st_to_srid("pt4326", 5070)).alias("alb_srid"),
+        F.round(st.st_x(etrs_back), 6).alias("etrs_x"),
+        F.round(st.st_y(etrs_back), 6).alias("etrs_y"),
+        st.st_srid(st.st_to_srid("pt32", 25832)).alias("etrs_srid"),
+        F.round(st.st_x(nad_back), 6).alias("nad_x"),
+        F.round(st.st_y(nad_back), 6).alias("nad_y"),
+        F.round(st.st_x(gb_back), 6).alias("gb_x"),
+        F.round(st.st_y(gb_back), 6).alias("gb_y"),
+        st.st_srid(st.st_to_srid("ptgb", 27700)).alias("gb_srid"),
+        st.st_x(anchor32).alias("etrs_anchor_e"),
+        st.st_x(anchor10).alias("nad_anchor_e"),
     )
 
 
@@ -2184,7 +2209,13 @@ def oracle_sql() -> dict[str, str]:
             SELECT c_custkey, ROUND(x, 6) AS rt_x, ROUND(y, 6) AS rt_y,
                    32631 AS utm_srid,
                    ROUND(x, 6) AS lcc_x, ROUND(y, 6) AS lcc_y, 2154 AS lcc_srid,
-                   ROUND(x, 6) AS alb_x, ROUND(y, 6) AS alb_y, 5070 AS alb_srid
+                   ROUND(x, 6) AS alb_x, ROUND(y, 6) AS alb_y, 5070 AS alb_srid,
+                   ROUND(x + 6.0, 6) AS etrs_x,
+                   ROUND(y % 60 + 10.0, 6) AS etrs_y, 25832 AS etrs_srid,
+                   ROUND(x - 126.0, 6) AS nad_x, ROUND(y % 60 + 10.0, 6) AS nad_y,
+                   ROUND(x - 4.0, 6) AS gb_x, ROUND(y % 9 + 50.0, 6) AS gb_y,
+                   27700 AS gb_srid,
+                   500000.0 AS etrs_anchor_e, 500000.0 AS nad_anchor_e
             FROM ({_ORACLE_CUST}) WHERE x < 6.0""",
         "buffer_styles": f"""
             SELECT n_nationkey,

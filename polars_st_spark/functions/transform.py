@@ -253,27 +253,6 @@ _UTM_K0 = 0.9996
 _UTM_FE = 500000.0
 _UTM_FN_S = 10000000.0
 
-_n = _WGS84_F / (2.0 - _WGS84_F)
-_A_BAR = _WGS84_A / (1 + _n) * (1 + _n**2 / 4 + _n**4 / 64 + _n**6 / 256)
-_ALPHA = (
-    _n / 2 - 2 * _n**2 / 3 + 5 * _n**3 / 16 + 41 * _n**4 / 180 - 127 * _n**5 / 288 + 7891 * _n**6 / 37800,
-    13 * _n**2 / 48 - 3 * _n**3 / 5 + 557 * _n**4 / 1440 + 281 * _n**5 / 630 - 1983433 * _n**6 / 1935360,
-    61 * _n**3 / 240 - 103 * _n**4 / 140 + 15061 * _n**5 / 26880 + 167603 * _n**6 / 181440,
-    49561 * _n**4 / 161280 - 179 * _n**5 / 168 + 6601661 * _n**6 / 7257600,
-    34729 * _n**5 / 80640 - 3418889 * _n**6 / 1995840,
-    212378941 * _n**6 / 319334400,
-)
-_BETA = (
-    _n / 2 - 2 * _n**2 / 3 + 37 * _n**3 / 96 - _n**4 / 360 - 81 * _n**5 / 512 + 96199 * _n**6 / 604800,
-    _n**2 / 48 + _n**3 / 15 - 437 * _n**4 / 1440 + 46 * _n**5 / 105 - 1118711 * _n**6 / 3870720,
-    17 * _n**3 / 480 - 37 * _n**4 / 840 - 209 * _n**5 / 4480 + 5569 * _n**6 / 90720,
-    4397 * _n**4 / 161280 - 11 * _n**5 / 504 - 830251 * _n**6 / 7257600,
-    4583 * _n**5 / 161280 - 108847 * _n**6 / 3991680,
-    20648693 * _n**6 / 638668800,
-)
-_E_ECC = math.sqrt(_WGS84_F * (2.0 - _WGS84_F))
-
-
 def _utm_zone(srid: int) -> tuple[int, bool] | None:
     """(zone, is_north) for WGS84 UTM EPSG codes, else None."""
     if 32601 <= srid <= 32660:
@@ -284,37 +263,193 @@ def _utm_zone(srid: int) -> tuple[int, bool] | None:
 
 
 def _wgs84_to_utm(zone: int, north: bool):
-    lon0 = math.radians(zone * 6 - 183)
+    return _tm_forward_fn(
+        _WGS84_A, _WGS84_F, _UTM_K0, 0.0, zone * 6 - 183.0,
+        _UTM_FE, 0.0 if north else _UTM_FN_S,
+    )
 
-    def f(arr: np.ndarray) -> np.ndarray:
-        lam = np.radians(arr[:, 0]) - lon0
-        phi = np.radians(arr[:, 1])
-        es = (2 * math.sqrt(_n)) / (1 + _n)
+
+def _utm_to_wgs84(zone: int, north: bool):
+    return _tm_inverse_fn(
+        _WGS84_A, _WGS84_F, _UTM_K0, 0.0, zone * 6 - 183.0,
+        _UTM_FE, 0.0 if north else _UTM_FN_S,
+    )
+
+
+# ---- Generic Transverse Mercator: any ellipsoid / scale / natural origin,
+# plus Helmert 7-parameter datum shifts. Same Krüger series as the WGS84 UTM
+# path (Karney 2011, public formulas) with coefficients computed per
+# ellipsoid; parameters from the public EPSG registry. This matches the
+# reference's any-EPSG reprojection capability (functions.rs:1868-1939) for
+# the high-traffic TM family: 27700 (OSGB36 British National Grid, Airy 1830
+# with the EPSG:1314 Helmert shift), 25828-25838 (ETRS89 UTM) and
+# 26901-26923 (NAD83 UTM) — ETRS89/NAD83 are treated as coincident with
+# WGS84 (null datum shift, metre-level, the standard grid-free convention).
+
+_ELLIPSOIDS = {
+    "WGS84": (6378137.0, 1 / 298.257223563),
+    "GRS80": (6378137.0, 1 / 298.257222101),
+    "AIRY1830": (6377563.396, 1 / 299.3249646),
+}
+
+# Helmert position-vector params local-datum -> WGS84 (EPSG method 9606):
+# (tx, ty, tz metres, rx, ry, rz arc-seconds, scale ppm).
+# OSGB36: EPSG transformation 1314 (~2 m accuracy, the grid-free standard).
+_DATUM_TO_WGS84 = {
+    "OSGB36": ("AIRY1830", 446.448, -125.157, 542.060, 0.1502, 0.2470, 0.8421, -20.4894),
+}
+
+_TM_CONSTS_CACHE: dict = {}
+
+
+def _tm_consts(a: float, f: float):
+    """(n, A_bar, alpha, beta, e) Krüger series constants per ellipsoid."""
+    key = (a, f)
+    c = _TM_CONSTS_CACHE.get(key)
+    if c is not None:
+        return c
+    n = f / (2.0 - f)
+    A_bar = a / (1 + n) * (1 + n**2 / 4 + n**4 / 64 + n**6 / 256)
+    alpha = (
+        n / 2 - 2 * n**2 / 3 + 5 * n**3 / 16 + 41 * n**4 / 180 - 127 * n**5 / 288 + 7891 * n**6 / 37800,
+        13 * n**2 / 48 - 3 * n**3 / 5 + 557 * n**4 / 1440 + 281 * n**5 / 630 - 1983433 * n**6 / 1935360,
+        61 * n**3 / 240 - 103 * n**4 / 140 + 15061 * n**5 / 26880 + 167603 * n**6 / 181440,
+        49561 * n**4 / 161280 - 179 * n**5 / 168 + 6601661 * n**6 / 7257600,
+        34729 * n**5 / 80640 - 3418889 * n**6 / 1995840,
+        212378941 * n**6 / 319334400,
+    )
+    beta = (
+        n / 2 - 2 * n**2 / 3 + 37 * n**3 / 96 - n**4 / 360 - 81 * n**5 / 512 + 96199 * n**6 / 604800,
+        n**2 / 48 + n**3 / 15 - 437 * n**4 / 1440 + 46 * n**5 / 105 - 1118711 * n**6 / 3870720,
+        17 * n**3 / 480 - 37 * n**4 / 840 - 209 * n**5 / 4480 + 5569 * n**6 / 90720,
+        4397 * n**4 / 161280 - 11 * n**5 / 504 - 830251 * n**6 / 7257600,
+        4583 * n**5 / 161280 - 108847 * n**6 / 3991680,
+        20648693 * n**6 / 638668800,
+    )
+    e = math.sqrt(f * (2.0 - f))
+    c = (n, A_bar, alpha, beta, e)
+    _TM_CONSTS_CACHE[key] = c
+    return c
+
+
+def _geodetic_to_ecef(a: float, f: float, lon: np.ndarray, lat: np.ndarray) -> np.ndarray:
+    """(n, 3) geocentric XYZ at ellipsoid height 0."""
+    e2 = f * (2.0 - f)
+    lam = np.radians(lon)
+    phi = np.radians(lat)
+    s = np.sin(phi)
+    N = a / np.sqrt(1 - e2 * s * s)
+    return np.stack(
+        [N * np.cos(phi) * np.cos(lam), N * np.cos(phi) * np.sin(lam), N * (1 - e2) * s],
+        axis=1,
+    )
+
+
+def _ecef_to_geodetic(a: float, f: float, X: np.ndarray):
+    """(lon_deg, lat_deg) from geocentric XYZ (height discarded — the 2D
+    reprojection convention; Bowring-style fixed point, ~1e-12 rad)."""
+    e2 = f * (2.0 - f)
+    x, y, z = X[:, 0], X[:, 1], X[:, 2]
+    lon = np.arctan2(y, x)
+    p = np.hypot(x, y)
+    phi = np.arctan2(z, p * (1 - e2))
+    for _ in range(10):
+        s = np.sin(phi)
+        N = a / np.sqrt(1 - e2 * s * s)
+        h = p / np.cos(phi) - N
+        phi = np.arctan2(z, p * (1 - e2 * N / (N + h)))
+    return np.degrees(lon), np.degrees(phi)
+
+
+def _datum_fns(datum: str | None):
+    """(from_wgs84, to_wgs84) lon/lat-array shifts for a named datum, or
+    (None, None). The inverse uses the exact matrix inverse, so the only
+    round-trip loss is the 2D height-drop (~1e-6 deg for OSGB36)."""
+    if datum is None:
+        return None, None
+    ell, tx, ty, tz, rx, ry, rz, s_ppm = _DATUM_TO_WGS84[datum]
+    a_l, f_l = _ELLIPSOIDS[ell]
+    a_w, f_w = _ELLIPSOIDS["WGS84"]
+    as2r = math.pi / (180.0 * 3600.0)
+    rxr, ryr, rzr = rx * as2r, ry * as2r, rz * as2r
+    M = (1.0 + s_ppm * 1e-6) * np.array(
+        [[1.0, -rzr, ryr], [rzr, 1.0, -rxr], [-ryr, rxr, 1.0]]
+    )
+    T = np.array([tx, ty, tz])
+    Minv = np.linalg.inv(M)
+
+    def from_wgs84(lon, lat):
+        Xl = (_geodetic_to_ecef(a_w, f_w, lon, lat) - T) @ Minv.T
+        return _ecef_to_geodetic(a_l, f_l, Xl)
+
+    def to_wgs84(lon, lat):
+        X = _geodetic_to_ecef(a_l, f_l, lon, lat) @ M.T + T
+        return _ecef_to_geodetic(a_w, f_w, X)
+
+    return from_wgs84, to_wgs84
+
+
+def _tm_merid_y(phi0: float, es: float, alpha) -> float:
+    """Scaled meridian-arc ordinate of the TM series at (lat0, lon0) —
+    computed with the same numpy ops as the batch path, so projecting the
+    natural origin yields the false origin bit-exactly."""
+    if phi0 == 0.0:
+        return 0.0
+    p = np.array([phi0])
+    t = np.sinh(np.arctanh(np.sin(p)) - es * np.arctanh(es * np.sin(p)))
+    xi = np.arctan2(t, np.cos(np.array([0.0])))
+    y = xi.copy()
+    for j, a_j in enumerate(alpha, start=1):
+        y += a_j * np.sin(2 * j * xi) * np.cosh(np.array([0.0]))
+    return float(y[0])
+
+
+def _tm_forward_fn(a, f, k0, lat0, lon0, FE, FN, datum: str | None = None):
+    n, A_bar, alpha, _beta, _e = _tm_consts(a, f)
+    lam0 = math.radians(lon0)
+    kA = k0 * A_bar
+    es = (2 * math.sqrt(n)) / (1 + n)
+    y0 = _tm_merid_y(math.radians(lat0), es, alpha)
+    shift, _ = _datum_fns(datum)
+
+    def fwd(arr: np.ndarray) -> np.ndarray:
+        lon_d, lat_d = arr[:, 0], arr[:, 1]
+        if shift is not None:
+            lon_d, lat_d = shift(lon_d, lat_d)
+        lam = np.radians(lon_d) - lam0
+        phi = np.radians(lat_d)
         t = np.sinh(np.arctanh(np.sin(phi)) - es * np.arctanh(es * np.sin(phi)))
         xi = np.arctan2(t, np.cos(lam))
         eta = np.arctanh(np.sin(lam) / np.sqrt(1 + t * t))
         x = eta.copy()
         y = xi.copy()
-        for j, (a_j) in enumerate(_ALPHA, start=1):
+        for j, a_j in enumerate(alpha, start=1):
             x += a_j * np.cos(2 * j * xi) * np.sinh(2 * j * eta)
             y += a_j * np.sin(2 * j * xi) * np.cosh(2 * j * eta)
         out = arr.copy()
-        out[:, 0] = _UTM_FE + _UTM_K0 * _A_BAR * x
-        out[:, 1] = (0.0 if north else _UTM_FN_S) + _UTM_K0 * _A_BAR * y
+        out[:, 0] = FE + kA * x
+        # subtract the origin ordinate BEFORE scaling: the natural origin
+        # then maps to (FE, FN) bit-exactly (y == y0 cancels to zero)
+        out[:, 1] = FN + kA * (y - y0)
         return out
 
-    return f
+    return fwd
 
 
-def _utm_to_wgs84(zone: int, north: bool):
-    lon0 = math.radians(zone * 6 - 183)
+def _tm_inverse_fn(a, f, k0, lat0, lon0, FE, FN, datum: str | None = None):
+    n, A_bar, alpha, beta, e = _tm_consts(a, f)
+    lam0 = math.radians(lon0)
+    kA = k0 * A_bar
+    es = (2 * math.sqrt(n)) / (1 + n)
+    y0 = _tm_merid_y(math.radians(lat0), es, alpha)
+    _, unshift = _datum_fns(datum)
 
-    def f(arr: np.ndarray) -> np.ndarray:
-        xi = (arr[:, 1] - (0.0 if north else _UTM_FN_S)) / (_UTM_K0 * _A_BAR)
-        eta = (arr[:, 0] - _UTM_FE) / (_UTM_K0 * _A_BAR)
+    def inv(arr: np.ndarray) -> np.ndarray:
+        xi = (arr[:, 1] - FN) / kA + y0
+        eta = (arr[:, 0] - FE) / kA
         xi_p = xi.copy()
         eta_p = eta.copy()
-        for j, b_j in enumerate(_BETA, start=1):
+        for j, b_j in enumerate(beta, start=1):
             xi_p -= b_j * np.sin(2 * j * xi) * np.cosh(2 * j * eta)
             eta_p -= b_j * np.cos(2 * j * xi) * np.sinh(2 * j * eta)
         lam = np.arctan2(np.sinh(eta_p), np.cos(xi_p))
@@ -325,14 +460,42 @@ def _utm_to_wgs84(zone: int, north: bool):
             s = np.sin(phi)
             phi = 2 * np.arctan(
                 np.tan(np.pi / 4 + chi / 2)
-                * ((1 + _E_ECC * s) / (1 - _E_ECC * s)) ** (_E_ECC / 2)
+                * ((1 + e * s) / (1 - e * s)) ** (e / 2)
             ) - np.pi / 2
+        lon_d = np.degrees(lam + lam0)
+        lat_d = np.degrees(phi)
+        if unshift is not None:
+            lon_d, lat_d = unshift(lon_d, lat_d)
         out = arr.copy()
-        out[:, 0] = np.degrees(lam + lon0)
-        out[:, 1] = np.degrees(phi)
+        out[:, 0] = lon_d
+        out[:, 1] = lat_d
         return out
 
-    return f
+    return inv
+
+
+# EPSG -> (ellipsoid, k0, lat0, lon0, FE, FN, datum)
+_TM_CODES: dict[int, tuple] = {
+    # OSGB36 / British National Grid
+    27700: ("AIRY1830", 0.9996012717, 49.0, -2.0, 400000.0, -100000.0, "OSGB36"),
+}
+for _z in range(28, 39):  # ETRS89 / UTM zones 28N-38N
+    _TM_CODES[25800 + _z] = ("GRS80", 0.9996, 0.0, _z * 6 - 183.0, 500000.0, 0.0, None)
+for _z in range(1, 24):  # NAD83 / UTM zones 1N-23N
+    _TM_CODES[26900 + _z] = ("GRS80", 0.9996, 0.0, _z * 6 - 183.0, 500000.0, 0.0, None)
+
+
+def _tm_code_fns(srid: int):
+    """(forward, inverse) for a parameterized-TM EPSG code, or None."""
+    t = _TM_CODES.get(srid)
+    if t is None:
+        return None
+    ell, k0, lat0, lon0, FE, FN, datum = t
+    a_, f_ = _ELLIPSOIDS[ell]
+    return (
+        _tm_forward_fn(a_, f_, k0, lat0, lon0, FE, FN, datum),
+        _tm_inverse_fn(a_, f_, k0, lat0, lon0, FE, FN, datum),
+    )
 
 
 # ---- Conic projections: Lambert Conformal Conic (2SP) and Albers Equal
@@ -596,6 +759,9 @@ def _from_wgs84_fn(dst: int):
     uz = _utm_zone(dst)
     if uz is not None:
         return _wgs84_to_utm(*uz)
+    tm = _tm_code_fns(dst)
+    if tm is not None:
+        return tm[0]
     c = _CONIC_CODES.get(dst)
     if c is not None:
         kind, *params = c
@@ -610,6 +776,9 @@ def _to_wgs84_fn(src: int):
     uz = _utm_zone(src)
     if uz is not None:
         return _utm_to_wgs84(*uz)
+    tm = _tm_code_fns(src)
+    if tm is not None:
+        return tm[1]
     c = _CONIC_CODES.get(src)
     if c is not None:
         kind, *params = c

@@ -163,3 +163,53 @@ def test_utm_south_and_compose(spark):
     assert row["s"] == 32760
     assert 0 < row["e"] < 1000000 and 0 < row["n"] < 10000000  # southern false northing
     assert abs(row["via_merc_e"] - round(row["e"], 3)) < 0.001
+
+
+def test_parameterized_tm_codes(spark):
+    """Generic Transverse Mercator family: ETRS89/NAD83 UTM and OSGB36
+    British National Grid (Airy 1830 + Helmert datum shift)."""
+    import math
+
+    import numpy as np
+
+    from polars_st_spark.functions import transform as T
+
+    # OS worked example (public): OSGB36 geodetic lat 52°39'27.2531"N,
+    # lon 1°43'4.5177"E -> E 651409.903 N 313177.270 (TM math on Airy 1830,
+    # no datum shift involved) — must match to ~1 mm.
+    a_, f_ = T._ELLIPSOIDS["AIRY1830"]
+    fwd = T._tm_forward_fn(a_, f_, 0.9996012717, 49.0, -2.0, 400000.0, -100000.0, None)
+    lat = 52 + 39 / 60 + 27.2531 / 3600
+    lon = 1 + 43 / 60 + 4.5177 / 3600
+    e, n = fwd(np.array([[lon, lat]]))[0]
+    assert abs(e - 651409.903) < 2e-3 and abs(n - 313177.270) < 2e-3
+    # natural origin maps to the false origin bit-exactly
+    oe, on = fwd(np.array([[-2.0, 49.0]]))[0]
+    assert oe == 400000.0 and on == -100000.0
+
+    # column-level round-trips through every new family member
+    df = spark.createDataFrame(
+        [(1, 9.7, 52.37, 25832), (2, -123.1, 49.26, 26910), (3, -0.12, 51.51, 27700),
+         (4, 13.4, 52.52, 25833)],
+        ["id", "lon", "lat", "code"],
+    )
+    for code in (25832, 25833, 26910, 27700):
+        sub = df.where(F.col("code") == code)
+        pt = st.st_set_srid(st.st_point("lon", "lat"), 4326)
+        back = st.st_to_srid(st.st_to_srid(pt, code), 4326)
+        row = sub.select(
+            st.st_x(back).alias("lon2"), st.st_y(back).alias("lat2"),
+            st.st_srid(st.st_to_srid(pt, code)).alias("s"),
+        ).first()
+        lon0, lat0 = sub.select("lon", "lat").first()
+        tol = 5e-8 if code == 27700 else 1e-9  # datum height-drop ~2 mm
+        assert row["s"] == code
+        assert abs(row["lon2"] - lon0) < tol and abs(row["lat2"] - lat0) < tol
+
+    # OSGB36 datum shift is really applied: WGS84 Greenwich lon/lat lands
+    # ~100 m east of where a null-datum Airy TM would put it
+    null_fwd = T._tm_forward_fn(a_, f_, 0.9996012717, 49.0, -2.0, 400000.0, -100000.0, None)
+    real_fwd = T._tm_code_fns(27700)[0]
+    p = np.array([[-0.0014, 51.4779]])
+    shift_m = np.abs(real_fwd(p.copy()) - null_fwd(p.copy())).max()
+    assert 50.0 < shift_m < 200.0
