@@ -1353,6 +1353,17 @@ def q_curve_measures(spark, sf):
     apex = st.st_point(cx, F.col("y0") + 9.0)
     center = st.st_point(cx, "y0")
     below = st.st_point(cx, F.col("y0") - 5.0)
+    # CurvePolygon half-disk on the rect's bottom edge: EXACT area
+    # (πr²/2), perimeter (πr + 2r) and centroid (cy − y0 = 4r/3π) via the
+    # circular-segment closed forms (curves.exact_area / exact_centroid —
+    # GEOS 3.14 parity, no linearization deviation)
+    c = [F.col(n).cast("long") for n in ("x0", "y0", "x1", "y1")]
+    x0L, y0L, x1L, _ = c
+    cpoly = st.st_from_wkt(F.format_string(
+        "CURVEPOLYGON (COMPOUNDCURVE (CIRCULARSTRING (%d %d, %d %d, %d %d), "
+        "(%d %d, %d %d)))",
+        x0L, y0L, x0L + 9, y0L + 9, x1L, y0L, x1L, y0L, x0L, y0L))
+    cen = st.st_centroid(cpoly)
     return r.select(
         "n_nationkey",
         st.st_geometry_type(arc).alias("arc_t"),
@@ -1366,6 +1377,11 @@ def q_curve_measures(spark, sf):
         st.st_distance(arc, below).alias("d_below"),
         st.st_dwithin(arc, center, 9.0).alias("dw_strict"),
         st.st_dwithin(arc, center, 9.5).alias("dw_loose"),
+        st.st_geometry_type(cpoly).alias("cp_t"),
+        F.round(st.st_area(cpoly), 6).alias("cp_area"),
+        F.round(st.st_length(cpoly), 6).alias("cp_perim"),
+        F.round(st.st_x(cen), 6).alias("cp_cx"),
+        F.round(st.st_y(cen) - F.col("y0"), 6).alias("cp_cy_rel"),
     )
 
 
@@ -1552,10 +1568,18 @@ def q_multimodal_suite(spark, sf):
 # ---------------- rows-only checks (not SQL-expressible / transcendental) ----------------
 
 def q_buffer_area(spark, sf):
-    """Point buffers (n-gon area involves sin → rows-only check)."""
-    return _cust_pts(spark, sf).select(
+    """Buffer areas with closed-form oracles (r4: hash-checked, was
+    rows-only): the round point buffer is a regular 64-gon (area
+    0.5·n·r²·sin(2π/n), rounded to 6 dp), the square cap and the
+    mitre-join dilation / erosion of an axis rect are exact algebra."""
+    p = _cust_pts(spark, sf).withColumn(
+        "rect", st.st_rectangle("x", "y", F.col("x") + 4.0, F.col("y") + 3.0))
+    return p.select(
         "c_custkey",
-        st.st_area(st.st_buffer("pt", 2.0, quad_segs=16)).alias("buf_area"),
+        F.round(st.st_area(st.st_buffer("pt", 2.0, quad_segs=16)), 6).alias("buf_area"),
+        st.st_area(st.st_buffer("pt", 2.0, cap_style="square")).alias("sq_area"),
+        st.st_area(st.st_buffer("rect", 2.0, join_style="mitre")).alias("mitre_area"),
+        st.st_area(st.st_buffer("rect", -1.0)).alias("erode_area"),
     )
 
 
@@ -2178,6 +2202,13 @@ def oracle_sql() -> dict[str, str]:
                    ROUND(x / 2.0) * 2.0 AS px, ROUND(y / 2.0) * 2.0 AS py,
                    0.0 AS prec, 2 AS cdim, FALSE AS pt_has_z
             FROM ({_ORACLE_CUST})""",
+        "buffer_area": f"""
+            SELECT c_custkey,
+                   ROUND(0.5 * 64 * 4.0 * sin(2*pi()/64), 6) AS buf_area,
+                   16.0 AS sq_area,
+                   CAST(56 AS DOUBLE) AS mitre_area,
+                   CAST(2 AS DOUBLE) AS erode_area
+            FROM ({_ORACLE_CUST})""",
         "srid_roundtrip": f"""
             SELECT c_custkey, ROUND(x, 6) AS rt_x, ROUND(y, 6) AS rt_y,
                    4326 AS srid_back
@@ -2238,7 +2269,12 @@ def oracle_sql() -> dict[str, str]:
                    TRUE AS hit_apex, TRUE AS hit_end, FALSE AS hit_center,
                    9.0 AS d_center, 4.5 AS d_inside,
                    sqrt(106.0) AS d_below,
-                   FALSE AS dw_strict, TRUE AS dw_loose
+                   FALSE AS dw_strict, TRUE AS dw_loose,
+                   'CurvePolygon' AS cp_t,
+                   ROUND(pi() * 81.0 / 2.0, 6) AS cp_area,
+                   ROUND(9.0 * pi() + 18.0, 6) AS cp_perim,
+                   ROUND((n_nationkey % 5) * 20.0 + 9.0, 6) AS cp_cx,
+                   ROUND(12.0 / pi(), 6) AS cp_cy_rel
             FROM nation""",
     }
     # ---- round-3 consolidated suites (compose the singleton oracles) ----

@@ -183,7 +183,13 @@ def distance(a: Geometry, b: Geometry) -> float:
 
 
 def centroid(g: Geometry) -> Geometry:
-    """Area/length/point-weighted centroid of the highest-dimension parts."""
+    """Area/length/point-weighted centroid of the highest-dimension parts.
+    Curved geometries use the exact circular-segment closed forms
+    (curves.exact_centroid) — no linearization deviation."""
+    from polars_st_spark.geo.curves import _is_curved, exact_centroid
+
+    if _is_curved(g):
+        return exact_centroid(g)
     out = Geometry(GeometryType.Point, srid=g.srid, coords=None)
     dim = g.dimensions()
     if g.is_empty():

@@ -277,6 +277,193 @@ def exact_area(g: Geometry) -> float:
     return algos.area(g)
 
 
+def _ring_exact_area_moment(g: Geometry) -> tuple[float, float, float]:
+    """(signed_area, Mx, My) of one closed ring component: shoelace of the
+    arc-endpoint node polygon plus per-arc circular-segment closed forms —
+    segment area (r²/2)(θ − sin θ) and segment centroid at distance
+    4r·sin³(θ/2) / (3(θ − sin θ)) from the center along the arc bisector."""
+    nodes: list[np.ndarray] = []
+    seg_a = seg_mx = seg_my = 0.0
+
+    def consume(chain: Geometry):
+        nonlocal seg_a, seg_mx, seg_my
+        if chain.type_id == GeometryType.CircularString:
+            if chain.coords is None or len(chain.coords) < 3:
+                return
+            first = True
+            for p0, p1, p2 in _arc_triples(chain.coords):
+                if first:
+                    nodes.append(np.asarray(p0, dtype=np.float64)[:2])
+                    first = False
+                nodes.append(np.asarray(p2, dtype=np.float64)[:2])
+                params = arc_params(p0, p1, p2)
+                if params is None:
+                    nodes.insert(len(nodes) - 1, np.asarray(p1, dtype=np.float64)[:2])
+                else:
+                    ux, uy, r, a0, sweep = params
+                    th = abs(sweep)
+                    sa = 0.5 * r * r * (sweep - math.sin(sweep))  # signed
+                    denom = 3.0 * (th - math.sin(th))
+                    if denom > 0 and sa != 0.0:
+                        d = 4.0 * r * math.sin(th / 2.0) ** 3 / denom
+                        am = a0 + sweep / 2.0
+                        cx = ux + d * math.cos(am)
+                        cy = uy + d * math.sin(am)
+                        seg_a += sa
+                        seg_mx += sa * cx
+                        seg_my += sa * cy
+        elif chain.type_id == GeometryType.CompoundCurve:
+            for s in chain.geoms or []:
+                consume(s)
+        else:  # straight LineString chain
+            if chain.coords is not None:
+                nodes.extend(np.asarray(chain.coords, dtype=np.float64)[:, :2])
+
+    consume(g)
+    if len(nodes) < 2:
+        return seg_a, seg_mx, seg_my
+    pts = np.asarray(nodes, dtype=np.float64)
+    x, y = pts[:, 0], pts[:, 1]
+    xn, yn = np.roll(x, -1), np.roll(y, -1)
+    cross = x * yn - xn * y
+    a_p = 0.5 * float(cross.sum())
+    mx_p = float(((x + xn) * cross).sum()) / 6.0
+    my_p = float(((y + yn) * cross).sum()) / 6.0
+    return a_p + seg_a, mx_p + seg_mx, my_p + seg_my
+
+
+def _chain_exact_length_moment(g: Geometry) -> tuple[float, float, float]:
+    """(length, Mx, My) of a possibly-curved chain: straight segments use
+    midpoints; arcs use length rθ and the arc centroid at distance
+    r·sin(θ/2)/(θ/2) from the center along the bisector."""
+    ll = mx = my = 0.0
+
+    def consume(chain: Geometry):
+        nonlocal ll, mx, my
+        if chain.type_id == GeometryType.CircularString:
+            if chain.coords is None or len(chain.coords) < 3:
+                return
+            for p0, p1, p2 in _arc_triples(chain.coords):
+                params = arc_params(p0, p1, p2)
+                if params is None:
+                    for a, b in ((p0, p1), (p1, p2)):
+                        a = np.asarray(a, dtype=np.float64)[:2]
+                        b = np.asarray(b, dtype=np.float64)[:2]
+                        s = math.hypot(b[0] - a[0], b[1] - a[1])
+                        ll += s
+                        mx += s * (a[0] + b[0]) / 2.0
+                        my += s * (a[1] + b[1]) / 2.0
+                else:
+                    ux, uy, r, a0, sweep = params
+                    th = abs(sweep)
+                    s = r * th
+                    if s > 0:
+                        half = th / 2.0
+                        d = r * math.sin(half) / half if half > 0 else r
+                        am = a0 + sweep / 2.0
+                        ll += s
+                        mx += s * (ux + d * math.cos(am))
+                        my += s * (uy + d * math.sin(am))
+        elif chain.type_id == GeometryType.CompoundCurve:
+            for s in chain.geoms or []:
+                consume(s)
+        elif chain.coords is not None and len(chain.coords) >= 2:
+            c = np.asarray(chain.coords, dtype=np.float64)[:, :2]
+            dseg = np.diff(c, axis=0)
+            slen = np.sqrt((dseg * dseg).sum(axis=1))
+            mid = (c[:-1] + c[1:]) / 2.0
+            ll += float(slen.sum())
+            mx += float((mid[:, 0] * slen).sum())
+            my += float((mid[:, 1] * slen).sum())
+
+    consume(g)
+    return ll, mx, my
+
+
+def exact_centroid(g: Geometry) -> Geometry:
+    """Exact arc-aware centroid of a (possibly curved) geometry — the
+    closed-form counterpart of GEOS 3.14's exact curved centroid
+    (reference geometry model: src/wkb.rs:49-68). Areal parts use the
+    circular-segment area/centroid closed forms; degenerate-area input
+    falls back to arc-aware length weighting, then to the vertex mean."""
+    from polars_st_spark.geo import algos
+    from polars_st_spark.geo.types import _POLYGONAL_IDS
+
+    out = Geometry(GeometryType.Point, srid=g.srid, coords=None)
+    if g.is_empty():
+        return out
+
+    def areal_parts(gg: Geometry):
+        t = gg.type_id
+        if t == GeometryType.CurvePolygon:
+            yield [(_ring_exact_area_moment(r)) for r in (gg.geoms or [])]
+        elif t in _POLYGONAL_IDS and gg.rings:
+            yield [
+                (
+                    algos._ring_signed_area(r),
+                    # straight-ring moments via the same node formula
+                    *_straight_ring_moment(r),
+                )
+                for r in gg.rings
+            ]
+        elif gg.geoms:
+            for s in gg.geoms:
+                yield from areal_parts(s)
+
+    def _straight_ring_moment(r: np.ndarray) -> tuple[float, float]:
+        pts = np.asarray(r, dtype=np.float64)[:, :2]
+        x, y = pts[:, 0], pts[:, 1]
+        xn, yn = np.roll(x, -1), np.roll(y, -1)
+        cross = x * yn - xn * y
+        return float(((x + xn) * cross).sum()) / 6.0, float(((y + yn) * cross).sum()) / 6.0
+
+    aa = cx = cy = 0.0
+    for rings in areal_parts(g):
+        for k, (a_r, mx_r, my_r) in enumerate(rings):
+            if a_r == 0:
+                continue
+            if a_r < 0:
+                mx_r, my_r = -mx_r, -my_r
+            mag = abs(a_r)
+            sgn = 1.0 if k == 0 else -1.0
+            aa += sgn * mag
+            cx += sgn * mx_r
+            cy += sgn * my_r
+    if aa != 0:
+        out.coords = np.array([cx / aa, cy / aa])
+        return out
+
+    # dim-1: arc-aware length centroid over every chain component
+    def chains(gg: Geometry):
+        t = gg.type_id
+        if t in (GeometryType.CircularString, GeometryType.CompoundCurve):
+            yield gg
+        elif t == GeometryType.CurvePolygon:
+            yield from (gg.geoms or [])
+        elif t in _POLYGONAL_IDS and gg.rings:
+            for r in gg.rings:
+                yield Geometry(GeometryType.LineString, coords=r)
+        elif gg.coords is not None and gg.type_id == GeometryType.LineString:
+            yield gg
+        elif gg.geoms:
+            for s in gg.geoms:
+                yield from chains(s)
+
+    ll = mx = my = 0.0
+    for ch in chains(g):
+        l_, mx_, my_ = _chain_exact_length_moment(ch)
+        ll += l_
+        mx += mx_
+        my += my_
+    if ll != 0:
+        out.coords = np.array([mx / ll, my / ll])
+        return out
+    pts = extreme_points(g) if _is_curved(g) else g.all_coords()
+    if len(pts):
+        out.coords = np.array([float(pts[:, 0].mean()), float(pts[:, 1].mean())])
+    return out
+
+
 def _arc_extremes(p0, p1, p2) -> np.ndarray:
     """Endpoints plus the true axis extrema (N/E/S/W points of the circle
     that lie within the swept sector)."""

@@ -135,3 +135,42 @@ def test_exact_arc_line_arc_intersections():
     assert P.intersects(arc, from_wkt("CIRCULARSTRING (18 0, 27 9, 36 0)")) is True  # ext. tangent
     # same circle, complementary sectors: only the shared endpoints meet
     assert P.intersects(arc, from_wkt("CIRCULARSTRING (0 0, 9 -9, 18 0)")) is True
+
+
+def test_exact_centroid_closed_forms():
+    """Curved centroids use circular-segment closed forms (no
+    linearization): half-disk 4r/3π, full circle at its center, holed
+    disk by exact area-weighted subtraction, arc chain at 2r/π."""
+    import math
+
+    import numpy as np
+
+    from polars_st_spark.geo import algos
+    from polars_st_spark.geo.types import Geometry, GeometryType
+
+    def CS(*pts):
+        return Geometry(GeometryType.CircularString, coords=np.array(pts, dtype=float))
+
+    def LS(*pts):
+        return Geometry(GeometryType.LineString, coords=np.array(pts, dtype=float))
+
+    ring = Geometry(GeometryType.CompoundCurve,
+                    geoms=[CS([1, 0], [0, 1], [-1, 0]), LS([-1, 0], [1, 0])])
+    half = Geometry(GeometryType.CurvePolygon, geoms=[ring])
+    c = algos.centroid(half)
+    assert abs(c.coords[0]) < 1e-13
+    assert abs(c.coords[1] - 4 / (3 * math.pi)) < 1e-13
+
+    circ = Geometry(GeometryType.CurvePolygon, geoms=[CS([7, 7], [3, 7], [7, 7])])
+    c2 = algos.centroid(circ)
+    assert abs(c2.coords[0] - 5) < 1e-12 and abs(c2.coords[1] - 7) < 1e-12
+
+    holed = Geometry(GeometryType.CurvePolygon,
+                     geoms=[CS([2, 0], [-2, 0], [2, 0]), CS([1.5, 0], [-0.5, 0], [1.5, 0])])
+    c3 = algos.centroid(holed)
+    expect_x = (-math.pi * 0.5) / (4 * math.pi - math.pi)
+    assert abs(c3.coords[0] - expect_x) < 1e-12 and abs(c3.coords[1]) < 1e-12
+
+    arc = CS([1, 0], [0, 1], [-1, 0])
+    c4 = algos.centroid(arc)
+    assert abs(c4.coords[0]) < 1e-13 and abs(c4.coords[1] - 2 / math.pi) < 1e-12
