@@ -139,7 +139,9 @@ def overlay(a: Geometry, b: Geometry, op: str, _snapped: bool = False) -> Geomet
     # T-junctions among their own rings (edge passing through another ring's
     # vertex) — without self-noding the ring walk dead-ends there
     both = sa + sb
-    pieces = _split_at_crossings(sa, both) + _split_at_crossings(sb, both)
+    pieces_a = _split_at_crossings(sa, both)
+    pieces_b = _split_at_crossings(sb, both)
+    pieces = pieces_a + pieces_b
     out = _classify_and_stitch(
         pieces, lambda p: R(_inside(pa, p), _inside(pb, p)), srid, [sa, sb]
     )
@@ -155,18 +157,30 @@ def overlay(a: Geometry, b: Geometry, op: str, _snapped: bool = False) -> Geomet
     # within the noding envelope. On violation (or an impossible empty
     # union), snap the inputs to the node grid — collapsing the jitter to an
     # exact shared edge/touch, which classifies exactly — and retry once.
+    # The (~2x-cost) cross-check only runs when the cheap noding-derived
+    # suspicion signal fires: some noded vertex of one side sits NEAR (but
+    # not exactly on) the other side's boundary — the only configuration
+    # the probe capping can misclassify (ADVICE r3: don't pay the extra
+    # intersection overlay on the clean common path). Union is cross-checked
+    # under the same signal, not just for emptiness.
     if not _snapped and op != "intersection" and (pa or pb):
         scale, perim = 1.0, 0.0
         for p, q in both:
             scale = max(scale, abs(p[0]), abs(p[1]), abs(q[0]), abs(q[1]))
             perim += math.hypot(q[0] - p[0], q[1] - p[1])
         suspect = out.is_empty() and op == "union"
-        if not suspect and op in ("difference", "symmetric_difference"):
+        if not suspect and (
+            _near_coincident(pieces_a, sb, scale) or _near_coincident(pieces_b, sa, scale)
+        ):
             from polars_st_spark.geo.algos import area as _area
 
             aa, ab = _area(a), _area(b)
             ai = _area(overlay(a, b, "intersection", _snapped=True))
-            expected = aa - ai if op == "difference" else aa + ab - 2.0 * ai
+            expected = {
+                "union": aa + ab - ai,
+                "difference": aa - ai,
+                "symmetric_difference": aa + ab - 2.0 * ai,
+            }[op]
             envelope = max(1e-12, 1e-7 * scale * perim)
             suspect = abs(_area(out) - expected) > envelope
         if suspect:
@@ -175,6 +189,32 @@ def overlay(a: Geometry, b: Geometry, op: str, _snapped: bool = False) -> Geomet
                 _snap_to_grid(a, grid), _snap_to_grid(b, grid), op, _snapped=True
             )
     return out
+
+
+def _near_coincident(pieces, other_segs, scale) -> bool:
+    """Cheap suspicion signal: does any noded vertex of one side lie NEAR
+    (within 1e-7·scale) but not exactly on the other side's boundary?
+
+    Exactly-on (distance 0.0 — shared vertices, T-touches on axis-parallel
+    edges, noding split points) classifies exactly and is benign; only the
+    near-miss band can defeat the capped probes. O(V·E) vectorized; very
+    large inputs skip the scan and conservatively report True (the
+    cross-check then runs, as it always did before this gate existed)."""
+    if not pieces or not other_segs:
+        return False
+    pts = np.asarray([p for p, _ in pieces] + [q for _, q in pieces], dtype=np.float64)
+    if len(pts) * len(other_segs) > 4_000_000:
+        return True
+    from polars_st_spark.geo.algos import _seg_dist_point
+
+    band = 1e-7 * scale
+    px, py = pts[:, 0], pts[:, 1]
+    for p, q in other_segs:
+        d = _seg_dist_point(px, py, p[0], p[1], q[0], q[1])
+        near = d[(d > 0.0) & (d < band)]
+        if len(near):
+            return True
+    return False
 
 
 def _snap_to_grid(g: Geometry, grid: float) -> Geometry:

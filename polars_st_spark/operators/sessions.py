@@ -29,16 +29,36 @@ from pyspark.sql.window import Window
 __all__ = ["sessionize", "session_stats", "sessionize_stream"]
 
 
+def _require_fixed_offset_tz(spark) -> None:
+    """NTZ -> TIMESTAMP casting is a pure type change ONLY under a
+    fixed-offset session zone; under a DST-observing zone the epoch shift is
+    non-uniform, so session gaps spanning a DST transition would be off by
+    the DST delta (ADVICE r3). Raise loudly instead of silently mis-gapping."""
+    tz = spark.conf.get("spark.sql.session.timeZone", "UTC") or "UTC"
+    fixed = (
+        tz in ("UTC", "GMT", "Z", "Etc/UTC", "Etc/GMT", "Etc/Greenwich")
+        or tz.startswith(("+", "-", "UTC+", "UTC-", "GMT+", "GMT-", "Etc/GMT+", "Etc/GMT-"))
+    )
+    if not fixed:
+        raise ValueError(
+            f"TIMESTAMP_NTZ columns require a fixed-offset "
+            f"spark.sql.session.timeZone (e.g. 'UTC'); current zone {tz!r} "
+            f"observes DST, which would shift gaps across transitions. "
+            f"Set spark.conf.set('spark.sql.session.timeZone', 'UTC')."
+        )
+
+
 def _micros(df: DataFrame, ts_col: str):
     """Exact integer-microsecond ordinal for a timestamp column.
 
     ``unix_micros`` rejects TIMESTAMP_NTZ (how newer parquet readers surface
     TIMESTAMP(isAdjustedToUTC=false)); casting NTZ -> TIMESTAMP first is a
-    pure type change under a UTC session zone. Same pattern as
-    operators/asof.py:_ordinal."""
+    pure type change under a fixed-offset session zone — asserted by
+    ``_require_fixed_offset_tz``. Same pattern as operators/asof.py:_ordinal."""
     from pyspark.sql import types as T
 
     if isinstance(df.schema[ts_col].dataType, T.TimestampNTZType):
+        _require_fixed_offset_tz(df.sparkSession)
         return F.unix_micros(F.col(ts_col).cast("timestamp"))
     return F.unix_micros(F.col(ts_col))
 

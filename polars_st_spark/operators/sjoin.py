@@ -71,11 +71,25 @@ def st_sjoin(
     strategy: str = "auto",
     broadcast_threshold: int = 100_000,
     cell_size: float | None = None,
+    hot_cell_salt: int = 0,
+    hot_cell_threshold: int = 200_000,
+    hot_cell_fraction: float = 0.02,
 ) -> DataFrame:
     """Spatial join of two DataFrames on EWKB geometry columns.
 
     Returns left columns + right columns (conflicts suffixed), one row per
     matching pair; ``how='left'`` keeps unmatched left rows with nulls.
+
+    ``hot_cell_salt > 0`` (grid strategy only) protects against degenerate
+    cell skew — e.g. millions of coincident points landing in ONE grid cell,
+    which a hash shuffle sends to one reducer. A seeded
+    ``hot_cell_fraction`` sample of each side estimates per-cell row counts;
+    cells exceeding ``hot_cell_threshold`` (extrapolated) are split into
+    ``hot_cell_salt`` sub-keys: the hot side salts by row hash, the other
+    side replicates across all salts — the pair set is provably unchanged
+    (asserted in tests/test_sjoin.py). Off by default: detection costs a
+    sampled counting job, and AQE's skew-join split already covers moderate
+    skew at run time.
     """
     if predicate not in SJOIN_PREDICATES:
         raise ValueError(f"Unknown predicate {predicate!r}; valid: {sorted(SJOIN_PREDICATES)}")
@@ -104,7 +118,8 @@ def st_sjoin(
     if strategy == "broadcast":
         out = _sjoin_broadcast(left, right, predicate, base_how, lsuffix, rsuffix, left_on, right_on)
     elif strategy == "grid":
-        out = _sjoin_grid(left, right, predicate, base_how, lsuffix, rsuffix, left_on, right_on, cell_size)
+        out = _sjoin_grid(left, right, predicate, base_how, lsuffix, rsuffix, left_on, right_on,
+                          cell_size, hot_cell_salt, hot_cell_threshold, hot_cell_fraction)
     else:
         raise ValueError(f"Unknown strategy {strategy!r}")
 
@@ -253,7 +268,31 @@ def _sjoin_broadcast(left, right, predicate, how, lsuffix, rsuffix, left_on, rig
     return left.mapInPandas(gen, schema=out_schema)
 
 
-def _sjoin_grid(left, right, predicate, how, lsuffix, rsuffix, left_on, right_on, cell_size):
+def _hot_cells(left, right, left_on, right_on, prepare, threshold, fraction):
+    """{(cx, cy): (left_hot, right_hot)} from seeded per-side samples.
+
+    Sampling happens on the RAW inputs (before the bounds UDF), so detection
+    costs bounds on ~fraction of the rows, not a second full pass. Counts
+    extrapolate by 1/fraction; at 100 TB a genuinely hot cell (>threshold
+    rows) appears in any percent-level sample with near certainty."""
+    scale = 1.0 / fraction
+    hot: dict[tuple[int, int], list[bool]] = {}
+    for side, (df, geom) in enumerate(((left, left_on), (right, right_on))):
+        probe = df.sample(fraction=fraction, seed=7) if fraction < 1.0 else df
+        cells = prepare(probe, [geom], geom, "_prow", "_pbox")
+        rows = (
+            cells.groupBy("_cx", "_cy").count()
+            .where(F.col("count") * scale > threshold)
+            .limit(10_000)
+            .collect()
+        )
+        for r in rows:
+            hot.setdefault((r["_cx"], r["_cy"]), [False, False])[side] = True
+    return hot
+
+
+def _sjoin_grid(left, right, predicate, how, lsuffix, rsuffix, left_on, right_on, cell_size,
+                hot_cell_salt=0, hot_cell_threshold=200_000, hot_cell_fraction=0.02):
     """Grid-cell equi-join (hash shuffle on cell id), no post-hoc distinct."""
     if cell_size is None:
         cell_size = _estimate_cell_size(left, left_on)
@@ -324,7 +363,37 @@ def _sjoin_grid(left, right, predicate, how, lsuffix, rsuffix, left_on, right_on
 
     le = prepare(left, left.columns, left_on, "_lrow", "_lbox")
     re_ = prepare(right, right.columns, right_on, "_rrow", "_rbox")
-    joined = le.join(re_, on=["_cx", "_cy"], how="inner")
+    join_keys = ["_cx", "_cy"]
+    if hot_cell_salt and hot_cell_salt > 1:
+        hot = _hot_cells(left, right, left_on, right_on, prepare,
+                         hot_cell_threshold, hot_cell_fraction)
+        if hot:
+            s = int(hot_cell_salt)
+            spark = left.sparkSession
+            hot_df = spark.createDataFrame(
+                [(cx, cy, lh, rh) for (cx, cy), (lh, rh) in hot.items()],
+                "_cx long, _cy long, _lhot boolean, _rhot boolean",
+            )
+            seq = F.sequence(F.lit(0), F.lit(s - 1))
+            one = F.array(F.lit(0))
+            # hot side salts by row hash; the other side replicates across
+            # all s salts — every cross-cell pair still meets exactly once
+            le = (
+                le.join(F.broadcast(hot_df), on=["_cx", "_cy"], how="left")
+                .withColumn("_sl", F.when(F.col("_lhot"),
+                                          F.pmod(F.hash("_lrow"), F.lit(s))).otherwise(F.lit(0)))
+                .withColumn("_sr", F.explode(F.when(F.col("_rhot"), seq).otherwise(one)))
+                .drop("_lhot", "_rhot")
+            )
+            re_ = (
+                re_.join(F.broadcast(hot_df), on=["_cx", "_cy"], how="left")
+                .withColumn("_sr", F.when(F.col("_rhot"),
+                                          F.pmod(F.hash("_rrow"), F.lit(s))).otherwise(F.lit(0)))
+                .withColumn("_sl", F.explode(F.when(F.col("_lhot"), seq).otherwise(one)))
+                .drop("_lhot", "_rhot")
+            )
+            join_keys = ["_cx", "_cy", "_sl", "_sr"]
+    joined = le.join(re_, on=join_keys, how="inner")
     # bbox overlap
     joined = joined.where(
         (F.col("_lbox")[0] <= F.col("_rbox")[2])

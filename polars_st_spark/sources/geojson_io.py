@@ -96,22 +96,34 @@ def write_geojson(
     geometry_name: str = "geometry",
     max_rows: int = 1_000_000,
 ) -> None:
-    """Whole-file FeatureCollection (driver-side assembly — the single-file
-    contract matches the reference, geodataframe.py:499-526). Driver-bounded:
-    raises past ``max_rows`` instead of silently OOMing the driver; use
-    :func:`write_ndgeojson` (distributed, one Feature per line) for large
-    outputs."""
-    lines = [
-        r["value"]
-        for r in _feature_line(df, geometry_name).limit(max_rows + 1).collect()
-    ]
-    if len(lines) > max_rows:
-        raise ValueError(
-            f"write_geojson collects to the driver and the result exceeds "
-            f"max_rows={max_rows}; use write_ndgeojson for large outputs or "
-            f"raise max_rows explicitly"
-        )
-    with open(path, "w") as f:
-        f.write('{"type":"FeatureCollection","features":[\n')
-        f.write(",\n".join(lines))
-        f.write("\n]}\n")
+    """Whole-file FeatureCollection (the single-file contract matches the
+    reference, geodataframe.py:499-526), STREAMED through the driver: rows
+    arrive partition-at-a-time via ``toLocalIterator`` and are appended to
+    the file as they come, so driver memory is O(one partition), never
+    O(file) — no feature list, no joined string. Still row-bounded: raises
+    past ``max_rows`` (removing the partial temp file) instead of writing
+    unboundedly; use :func:`write_ndgeojson` (distributed, one Feature per
+    line) for outputs that shouldn't pass through the driver at all."""
+    import os
+
+    tmp = path + ".inprogress"
+    n = 0
+    try:
+        with open(tmp, "w") as f:
+            f.write('{"type":"FeatureCollection","features":[\n')
+            for r in _feature_line(df, geometry_name).toLocalIterator():
+                if n >= max_rows:
+                    raise ValueError(
+                        f"write_geojson streams through the driver and the result "
+                        f"exceeds max_rows={max_rows}; use write_ndgeojson for large "
+                        f"outputs or raise max_rows explicitly"
+                    )
+                if n:
+                    f.write(",\n")
+                f.write(r["value"])
+                n += 1
+            f.write("\n]}\n")
+        os.replace(tmp, path)
+    finally:
+        if os.path.exists(tmp):
+            os.remove(tmp)

@@ -49,7 +49,10 @@ def streaming_session_stats(
     w = stream.withWatermark(ts_col, watermark) if stream.isStreaming else stream
     if isinstance(stream.schema[ts_col].dataType, T.TimestampNTZType):
         # unix_micros rejects TIMESTAMP_NTZ; NTZ -> TIMESTAMP is a pure type
-        # change under a UTC session zone (operators/sessions.py:_micros)
+        # change only under a fixed-offset session zone — asserted (ADVICE r3)
+        from polars_st_spark.operators.sessions import _require_fixed_offset_tz
+
+        _require_fixed_offset_tz(stream.sparkSession)
         us = lambda c: F.unix_micros(c.cast("timestamp"))  # noqa: E731
     else:
         us = F.unix_micros

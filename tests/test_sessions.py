@@ -177,3 +177,27 @@ def test_streaming_session_stats_stream(spark, tmp_path):
     # closed: user 1's 2-event session and user 2's singleton; the 8h event's
     # session is still open (watermark == its start) and must NOT be emitted
     assert got == {(1, 2), (2, 1)}
+
+
+def test_ntz_requires_fixed_offset_zone(spark):
+    """NTZ sessionization under a DST-observing session zone raises loudly
+    instead of silently mis-gapping across transitions (ADVICE r3)."""
+    import datetime
+
+    import pytest
+
+    from polars_st_spark.operators.sessions import sessionize
+
+    df = spark.createDataFrame(
+        [(1, datetime.datetime(2024, 3, 10, 1, 30)), (1, datetime.datetime(2024, 3, 10, 3, 5))],
+        "user_id int, ts timestamp_ntz",
+    )
+    old = spark.conf.get("spark.sql.session.timeZone")
+    try:
+        spark.conf.set("spark.sql.session.timeZone", "America/Los_Angeles")
+        with pytest.raises(ValueError, match="fixed-offset"):
+            sessionize(df, "user_id", "ts", gap_minutes=60).collect()
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
+        assert sessionize(df, "user_id", "ts", gap_minutes=60).count() == 2
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", old)

@@ -137,3 +137,37 @@ def test_difference_all_ordered(spark):
     )
     out = difference_all_ordered(df, ["grp"], "geom", "ord")
     assert out.select(st.st_area("difference_geom")).first()[0] == 30.0  # 100-50-20
+
+
+def test_grid_hot_cell_salt_pair_set_unchanged(spark):
+    """Degenerate skew: thousands of coincident points in ONE grid cell.
+    Salting splits the hot cell across sub-keys; the pair set must be
+    identical to the unsalted join (every pair meets exactly once)."""
+    from pyspark.sql import functions as F
+
+    from polars_st_spark.operators.sjoin import st_sjoin
+
+    n_hot = 5000
+    pts = spark.range(n_hot + 200).select(
+        F.col("id").alias("pid"),
+        # ids < n_hot: all at (5, 5); the rest scattered on a diagonal
+        F.when(F.col("id") < n_hot, F.lit(5.0))
+        .otherwise((F.col("id") - n_hot) * 1.0).alias("x"),
+        F.when(F.col("id") < n_hot, F.lit(5.0))
+        .otherwise((F.col("id") - n_hot) * 1.0).alias("y"),
+    ).select("pid", st.st_point("x", "y").alias("geometry"))
+    rects = spark.range(20).select(
+        F.col("id").alias("rid"),
+        st.st_rectangle(F.col("id") * 10.0, F.col("id") * 10.0,
+                        F.col("id") * 10.0 + 8.0, F.col("id") * 10.0 + 8.0).alias("geometry"),
+    )
+    kw = dict(predicate="within", strategy="grid", cell_size=10.0)
+    plain = st_sjoin(pts, rects, **kw)
+    salted = st_sjoin(pts, rects, hot_cell_salt=8, hot_cell_threshold=100,
+                      hot_cell_fraction=1.0, **kw)
+    a = {(r["pid"], r["rid"]) for r in plain.collect()}
+    b = {(r["pid"], r["rid"]) for r in salted.collect()}
+    assert a == b and len(a) > n_hot  # the hot cell's rect matches all coincident pts
+
+    # salted plan really splits the hot cell: join keys include the salt cols
+    assert "_sl" in salted._jdf.queryExecution().optimizedPlan().toString()
