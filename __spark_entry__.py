@@ -1526,18 +1526,36 @@ def q_exact_dedup_groups(spark, sf):
 
 def q_knn_ann(spark, sf):
     """Both ANN scale paths on the same queries, tagged and unioned:
-    multi-probe LSH bucket equi-join and IVF cell equi-join (rows-only —
-    quantizer fit / hyperplane signs are not SQL-expressible; recall vs the
-    exact scan is measured in tests/test_pipeline_ops.py)."""
+    LSH bucket equi-join and IVF cell equi-join — HASH-CHECKED (r4, was
+    rows-only): the seeded hyperplanes and a fixed deterministic quantizer
+    (seed-99 unit vectors passed as ``centroids=``) are embedded as array
+    literals in the DuckDB oracle, which replays the bucket/cell topology in
+    SQL. Candidates come from the real operators (k unbounded), then both
+    engines rank on the ROUNDED cosine so last-ulp dot-product differences
+    cannot reorder the cut (same trick as knn_top3). Recall vs the exact
+    scan is still measured in tests/test_pipeline_ops.py."""
+    from pyspark.sql.window import Window
+
     emb = spark.read.parquet(f"{sf}/embeddings.parquet")
     queries_df = emb.where(F.col("vec_id") < 5)
-    lsh = _knn.cosine_topk_lsh(queries_df, emb, k=3, dim=64, n_planes=4).select(
-        F.lit("lsh").alias("method"), "query_id", "corpus_id",
-        F.round("cosine", 6).alias("cos_r"), "rank")
-    ivf = _knn.cosine_topk_ivf(queries_df, emb, k=3, n_cells=16, n_probe=4).select(
-        F.lit("ivf").alias("method"), "query_id", "corpus_id",
-        F.round("cosine", 6).alias("cos_r"), "rank")
-    return lsh.unionByName(ivf)
+    cents = _knn._hyperplanes(64, 16, seed=99)
+    big = 1_000_000  # no candidate cut — the rounded re-rank below cuts at 3
+    lsh = _knn.cosine_topk_lsh(queries_df, emb, k=big, dim=64, n_planes=4)
+    ivf = _knn.cosine_topk_ivf(queries_df, emb, k=big, n_cells=16, n_probe=4,
+                               centroids=cents)
+
+    def rerank(df, tag):
+        w = Window.partitionBy("query_id").orderBy(
+            F.col("cos_r").desc(), F.col("corpus_id").asc())
+        return (
+            df.withColumn("cos_r", F.round("cosine", 6))
+            .withColumn("rank2", F.row_number().over(w))
+            .where(F.col("rank2") <= 3)
+            .select(F.lit(tag).alias("method"), "query_id", "corpus_id",
+                    "cos_r", F.col("rank2").alias("rank"))
+        )
+
+    return rerank(lsh, "lsh").unionByName(rerank(ivf, "ivf"))
 
 
 def q_multimodal_suite(spark, sf):
@@ -1584,13 +1602,15 @@ def q_buffer_area(spark, sf):
 
 
 def q_to_srid_mercator(spark, sf):
-    """4326→3857 reprojection (ln/tan → rows-only check)."""
+    """4326→3857 reprojection, hash-checked (r4, was rows-only) against the
+    spherical-Mercator closed form in SQL — rounding to 3 dp (mm) absorbs
+    libm-vs-numpy last-ulp ln/tan differences at ~1e7 magnitudes."""
     p = _cust_pts(spark, sf).withColumn("pt4326", st.st_set_srid("pt", 4326))
     merc = st.st_to_srid("pt4326", 3857)
     return p.select(
         "c_custkey",
-        st.st_x(merc).alias("mx"),
-        st.st_y(merc).alias("my"),
+        F.round(st.st_x(merc), 3).alias("mx"),
+        F.round(st.st_y(merc), 3).alias("my"),
         st.st_srid(merc).alias("msrid"),
     )
 
@@ -1735,10 +1755,13 @@ _QUERIES = {
         "asof_join": q_asof_join,
         "predicate_join": q_predicate_join,
         "range_join": q_range_join,
-        # --- rows-only (transcendental / non-SQL-expressible) ---
+        # buffer_area, knn_ann and to_srid_mercator graduated to
+        # hash-checked in r4 (closed-form / literal-quantizer oracles)
         "buffer_area": q_buffer_area,
-        "to_srid_mercator": q_to_srid_mercator,
         "knn_ann": q_knn_ann,
+        "to_srid_mercator": q_to_srid_mercator,
+        # --- rows-only (engine hash family / binary payloads are not
+        # SQL-expressible; declared, row-count recorded) ---
         "simhash_dups": q_simhash_dups,
         "multimodal_suite": q_multimodal_suite,
         # ---------------- past the driver's 50-row window ----------------
@@ -1965,6 +1988,13 @@ def oracle_sql() -> dict[str, str]:
             SELECT a AS node, CAST(MIN(b) AS BIGINT) AS component
             FROM reach GROUP BY a""",
         "knn_top3": _oracle_knn(),
+        "knn_ann": _oracle_knn_ann(),
+        "to_srid_mercator": f"""
+            SELECT c_custkey,
+                   ROUND(6378137.0 * radians(x), 3) AS mx,
+                   ROUND(6378137.0 * ln(tan(pi()/4 + radians(y)/2)), 3) AS my,
+                   3857 AS msrid
+            FROM ({_ORACLE_CUST})""",
         "events_hourly": """
             SELECT user_id, date_trunc('hour', ts) AS hour,
                    COUNT(*) AS n_events, MIN(value) AS min_value, MAX(value) AS max_value
@@ -2489,6 +2519,74 @@ def _oracle_near_dup() -> str:
         )
         SELECT id_a, id_b, ROUND(jaccard, 6) AS jaccard_r
         FROM jac WHERE jaccard >= 0.05"""
+
+
+def _oracle_knn_ann() -> str:
+    """Replays q_knn_ann's LSH-bucket and IVF-cell candidate topology in
+    DuckDB: the seed-42 hyperplanes and seed-99 quantizer centroids are
+    embedded as DOUBLE[] literals (repr round-trips bit-exactly), buckets
+    are sign sums, the corpus cell is argmax over centroid dots, query
+    probes are the top-4 cells; ranking is on the 6-dp-rounded cosine —
+    identical to the Spark side."""
+    from polars_st_spark.operators.knn import _hyperplanes
+
+    planes = _hyperplanes(64, 4, seed=42)
+    cents = _hyperplanes(64, 16, seed=99)
+
+    def lit(vec):
+        return "[" + ",".join(repr(float(x)) for x in vec) + "]"
+
+    bucket = " + ".join(
+        f"(CASE WHEN list_dot_product(e, {lit(planes[p])}) >= 0 "
+        f"THEN {2 ** p} ELSE 0 END)"
+        for p in range(4)
+    )
+    dots = "[" + ",".join(f"list_dot_product(e, {lit(c)})" for c in cents) + "]"
+    idx16 = "[" + ",".join(str(i) for i in range(1, 17)) + "]"
+    cos = (
+        "ROUND(CASE WHEN sqrt(list_dot_product(qe, qe)) * "
+        "sqrt(list_dot_product(ce, ce)) > 0 "
+        "THEN list_dot_product(qe, ce) / "
+        "(sqrt(list_dot_product(qe, qe)) * sqrt(list_dot_product(ce, ce))) "
+        "ELSE 0.0 END, 6)"
+    )
+    return f"""
+        WITH feat AS (
+          SELECT vec_id, embedding::DOUBLE[] AS e,
+                 {bucket} AS bucket,
+                 {dots} AS dots
+          FROM embeddings
+        ),
+        corp AS (
+          SELECT vec_id, e, bucket,
+                 list_indexof(dots, list_max(dots)) - 1 AS cell
+          FROM feat
+        ),
+        qf AS (SELECT * FROM feat WHERE vec_id < 5),
+        qprobe AS (
+          SELECT vec_id, e,
+                 UNNEST(list_transform(
+                    list_sort(list_transform({idx16},
+                        i -> {{'d': -dots[i], 'i': i - 1}}))[1:4],
+                    s -> s['i'])) AS cell
+          FROM qf
+        ),
+        scored AS (
+          SELECT 'lsh' AS method, q.vec_id AS query_id, c.vec_id AS corpus_id,
+                 q.e AS qe, c.e AS ce
+          FROM qf q JOIN corp c ON q.bucket = c.bucket AND q.vec_id <> c.vec_id
+          UNION ALL
+          SELECT 'ivf', q.vec_id, c.vec_id, q.e, c.e
+          FROM qprobe q JOIN corp c ON q.cell = c.cell AND q.vec_id <> c.vec_id
+        ),
+        ranked AS (
+          SELECT method, query_id, corpus_id, {cos} AS cos_r,
+                 CAST(ROW_NUMBER() OVER (PARTITION BY method, query_id
+                      ORDER BY {cos} DESC, corpus_id ASC) AS INT) AS rank
+          FROM scored
+        )
+        SELECT method, query_id, corpus_id, cos_r, rank
+        FROM ranked WHERE rank <= 3"""
 
 
 def _oracle_knn() -> str:
