@@ -1233,21 +1233,35 @@ def q_embedding_dup(spark, sf):
 
 def q_geojson_io(spark, sf):
     """Sink/source round-trips (§2.1): write_ndgeojson → read_ndgeojson
-    (distributed, one Feature per line) and write_geojson → read_geojson
-    (whole FeatureCollection), areas re-derived after the round-trip."""
+    (distributed, one Feature per line), write_geojson → read_geojson
+    (streamed FeatureCollection), plus the r4 NATIVE no-GDAL formats —
+    Shapefile (.shp/.shx/.dbf from the public ESRI spec) and GeoPackage
+    (stdlib sqlite3 per OGC 12-128r19) — areas re-derived after each
+    round-trip."""
     from polars_st_spark.sources.geojson_io import (
         read_geojson, read_ndgeojson, write_geojson, write_ndgeojson)
+    from polars_st_spark.sources.geopackage_io import read_geopackage, write_geopackage
+    from polars_st_spark.sources.shapefile_io import read_shapefile, write_shapefile
 
     r = _nation_rects(spark, sf).select("n_nationkey", F.col("rect").alias("geometry"))
     nd_path = "/tmp/polars_st_gate_ndgeojson"
     fc_path = "/tmp/polars_st_gate_fc.geojson"
+    shp_path = "/tmp/polars_st_gate_shp.shp"
+    gpkg_path = "/tmp/polars_st_gate_gpkg.gpkg"
     write_ndgeojson(r, nd_path)
     write_geojson(r, fc_path)
+    write_shapefile(r, shp_path)
+    write_geopackage(r, gpkg_path)
     nd = read_ndgeojson(spark, nd_path).select(
         "n_nationkey", st.st_area("geometry").alias("nd_area"))
     fc = read_geojson(spark, fc_path).select(
         "n_nationkey", st.st_area("geometry").alias("fc_area"))
-    return nd.join(fc, "n_nationkey")
+    shp = read_shapefile(spark, shp_path).select(
+        F.col("n_nationke").alias("n_nationkey"),  # DBF caps names at 10 chars
+        st.st_area("geometry").alias("shp_area"))
+    gp = read_geopackage(spark, gpkg_path).select(
+        "n_nationkey", st.st_area("geometry").alias("gpkg_area"))
+    return nd.join(fc, "n_nationkey").join(shp, "n_nationkey").join(gp, "n_nationkey")
 
 
 def q_geoparquet_io(spark, sf):
@@ -2260,7 +2274,9 @@ def oracle_sql() -> dict[str, str]:
         "geojson_io": f"""
             SELECT n_nationkey,
                    (x1-x0)*(y1-y0) AS nd_area,
-                   (x1-x0)*(y1-y0) AS fc_area
+                   (x1-x0)*(y1-y0) AS fc_area,
+                   (x1-x0)*(y1-y0) AS shp_area,
+                   (x1-x0)*(y1-y0) AS gpkg_area
             FROM ({_ORACLE_NATION})""",
         "geoparquet_io": f"""
             SELECT c_custkey, x AS px, y AS py

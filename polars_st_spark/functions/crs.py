@@ -25,8 +25,29 @@ _BUILTIN = {
 }
 
 
+def _family_name(code: int) -> str | None:
+    """Human CRS name for the projection families the engine reprojects
+    (functions/transform.py _TM_CODES / _CONIC_CODES / UTM ranges)."""
+    if 32601 <= code <= 32660:
+        return f"WGS 84 / UTM zone {code - 32600}N"
+    if 32701 <= code <= 32760:
+        return f"WGS 84 / UTM zone {code - 32700}S"
+    if 25828 <= code <= 25838:
+        return f"ETRS89 / UTM zone {code - 25800}N"
+    if 26901 <= code <= 26923:
+        return f"NAD83 / UTM zone {code - 26900}N"
+    if 31466 <= code <= 31469:
+        return f"DHDN / 3-degree Gauss-Kruger zone {code - 31464}"
+    return {
+        27700: "OSGB36 / British National Grid",
+        2193: "NZGD2000 / New Zealand Transverse Mercator 2000",
+    }.get(code)
+
+
 def get_crs_from_code(code: int) -> str:
-    """SRID → CRS WKT definition (reference: crs.rs:11-18)."""
+    """SRID → CRS WKT definition (reference: crs.rs:11-18). Built-in WKT is
+    abbreviated (name + ID clause — enough for authority round-trips and
+    .prj sniffing); pyproj, when present, returns the full definition."""
     try:
         import pyproj
 
@@ -34,10 +55,16 @@ def get_crs_from_code(code: int) -> str:
     except ImportError:
         pass
     if code in _BUILTIN:
-        return _BUILTIN[code][0]
+        prefix = _BUILTIN[code][0]
+        kind, _, name = prefix.partition("[")
+        return f'{kind}[{name},ID["EPSG",{code}]]'
+    name = _family_name(code)
+    if name is not None:
+        kind = "GEOGCRS" if code in (4326, 4269) else "PROJCRS"
+        return f'{kind}["{name}",ID["EPSG",{code}]]'
     raise ValueError(
         f"Unknown EPSG code {code} (no pyproj in runtime; built-in table covers "
-        f"{sorted(_BUILTIN)})"
+        f"{sorted(_BUILTIN)} plus the UTM/ETRS89/NAD83/Gauss-Kruger families)"
     )
 
 
@@ -57,4 +84,9 @@ def get_crs_authority(definition: str) -> tuple[str, str] | None:
     for code, (wkt_prefix, auth, _) in _BUILTIN.items():
         if s.startswith(wkt_prefix):
             return (auth, str(code))
+    import re
+
+    hits = re.findall(r'(?:AUTHORITY|ID)\s*\[\s*"EPSG"\s*,\s*"?(\d+)"?\s*\]', s)
+    if hits:
+        return ("EPSG", hits[-1])
     return None

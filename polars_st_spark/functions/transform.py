@@ -290,13 +290,16 @@ _ELLIPSOIDS = {
     "WGS84": (6378137.0, 1 / 298.257223563),
     "GRS80": (6378137.0, 1 / 298.257222101),
     "AIRY1830": (6377563.396, 1 / 299.3249646),
+    "BESSEL1841": (6377397.155, 1 / 299.1528128),
 }
 
 # Helmert position-vector params local-datum -> WGS84 (EPSG method 9606):
 # (tx, ty, tz metres, rx, ry, rz arc-seconds, scale ppm).
 # OSGB36: EPSG transformation 1314 (~2 m accuracy, the grid-free standard).
+# DHDN: EPSG transformation 1777 (Germany west, ~3 m).
 _DATUM_TO_WGS84 = {
     "OSGB36": ("AIRY1830", 446.448, -125.157, 542.060, 0.1502, 0.2470, 0.8421, -20.4894),
+    "DHDN": ("BESSEL1841", 598.1, 73.7, 418.2, 0.202, 0.045, -2.455, 6.7),
 }
 
 _TM_CONSTS_CACHE: dict = {}
@@ -478,11 +481,17 @@ def _tm_inverse_fn(a, f, k0, lat0, lon0, FE, FN, datum: str | None = None):
 _TM_CODES: dict[int, tuple] = {
     # OSGB36 / British National Grid
     27700: ("AIRY1830", 0.9996012717, 49.0, -2.0, 400000.0, -100000.0, "OSGB36"),
+    # NZGD2000 / New Zealand Transverse Mercator (NZGD2000 ≡ WGS84 here)
+    2193: ("GRS80", 0.9996, 0.0, 173.0, 1600000.0, 10000000.0, None),
 }
 for _z in range(28, 39):  # ETRS89 / UTM zones 28N-38N
     _TM_CODES[25800 + _z] = ("GRS80", 0.9996, 0.0, _z * 6 - 183.0, 500000.0, 0.0, None)
 for _z in range(1, 24):  # NAD83 / UTM zones 1N-23N
     _TM_CODES[26900 + _z] = ("GRS80", 0.9996, 0.0, _z * 6 - 183.0, 500000.0, 0.0, None)
+for _z in range(2, 6):  # DHDN / 3-degree Gauss-Krüger zones 2-5 (Germany)
+    _TM_CODES[31464 + _z] = (
+        "BESSEL1841", 1.0, 0.0, _z * 3.0, _z * 1_000_000.0 + 500_000.0, 0.0, "DHDN",
+    )
 
 
 def _tm_code_fns(srid: int):

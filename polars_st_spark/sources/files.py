@@ -1,8 +1,10 @@
 """File-format dispatch: the reference's ``read_file``/``write_file``
 (reference: input.py:30-153, geodataframe.py:385-491) use GDAL via pyogrio,
 which is not present in this runtime. This module covers the formats that
-don't need GDAL natively (GeoJSON/ndjson/parquet) and raises a clear error
-with the dependency name for the rest (Shapefile, GeoPackage, ...).
+don't need GDAL natively — GeoJSON/ndjson/parquet, plus Shapefile
+(sources/shapefile_io.py, from the public ESRI spec) and GeoPackage
+(sources/geopackage_io.py, via the stdlib sqlite3) — and raises a clear
+error with the dependency name for the rest (FlatGeobuf, FileGDB, ...).
 """
 
 from __future__ import annotations
@@ -13,7 +15,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 __all__ = ["read_file", "write_file", "from_geopandas", "to_geopandas"]
 
-_GDAL_EXTS = {".shp", ".gpkg", ".fgb", ".gdb", ".tab", ".kml", ".gml"}
+_GDAL_EXTS = {".fgb", ".gdb", ".tab", ".kml", ".gml"}
 
 
 def read_file(spark: SparkSession, path: str, geometry_name: str = "geometry") -> DataFrame:
@@ -35,6 +37,14 @@ def read_file(spark: SparkSession, path: str, geometry_name: str = "geometry") -
         return read_ndgeojson(spark, path, geometry_name)
     if ext == ".parquet" or os.path.isdir(path):
         return spark.read.parquet(path)
+    if ext == ".shp":
+        from polars_st_spark.sources.shapefile_io import read_shapefile
+
+        return read_shapefile(spark, path, geometry_name)
+    if ext == ".gpkg":
+        from polars_st_spark.sources.geopackage_io import read_geopackage
+
+        return read_geopackage(spark, path, geometry_name=geometry_name)
     if ext in _GDAL_EXTS:
         try:
             import pyogrio  # noqa: F401
@@ -61,6 +71,14 @@ def write_file(df: DataFrame, path: str, geometry_name: str = "geometry") -> Non
     if ext == ".parquet" or ext == "":
         df.write.mode("overwrite").parquet(path)
         return
+    if ext == ".shp":
+        from polars_st_spark.sources.shapefile_io import write_shapefile
+
+        return write_shapefile(df, path, geometry_name)
+    if ext == ".gpkg":
+        from polars_st_spark.sources.geopackage_io import write_geopackage
+
+        return write_geopackage(df, path, geometry_name=geometry_name)
     if ext in _GDAL_EXTS:
         raise ImportError(
             f"Writing {ext} requires pyogrio/GDAL, not installed in this runtime "

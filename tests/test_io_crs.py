@@ -17,11 +17,13 @@ def test_file_dispatch_roundtrip(spark, tmp_path):
 
 
 def test_file_dispatch_gdal_error(spark, tmp_path):
+    # .shp/.gpkg are native since r4 (shapefile_io/geopackage_io); only the
+    # remaining GDAL-bound formats raise
     df = st.geodataframe(spark.createDataFrame([(1, "POINT (1 2)")], ["id", "geometry"]))
     with pytest.raises(ImportError, match="pyogrio"):
-        write_file(df, str(tmp_path / "out.shp"))
+        write_file(df, str(tmp_path / "out.fgb"))
     with pytest.raises(ImportError, match="pyogrio"):
-        read_file(spark, str(tmp_path / "missing.gpkg"))
+        read_file(spark, str(tmp_path / "missing.gdb"))
 
 
 def test_crs_helpers():
@@ -190,10 +192,10 @@ def test_parameterized_tm_codes(spark):
     # column-level round-trips through every new family member
     df = spark.createDataFrame(
         [(1, 9.7, 52.37, 25832), (2, -123.1, 49.26, 26910), (3, -0.12, 51.51, 27700),
-         (4, 13.4, 52.52, 25833)],
+         (4, 13.4, 52.52, 25833), (5, 174.78, -41.29, 2193), (6, 9.18, 48.78, 31467)],
         ["id", "lon", "lat", "code"],
     )
-    for code in (25832, 25833, 26910, 27700):
+    for code in (25832, 25833, 26910, 27700, 2193, 31467):
         sub = df.where(F.col("code") == code)
         pt = st.st_set_srid(st.st_point("lon", "lat"), 4326)
         back = st.st_to_srid(st.st_to_srid(pt, code), 4326)
@@ -202,7 +204,7 @@ def test_parameterized_tm_codes(spark):
             st.st_srid(st.st_to_srid(pt, code)).alias("s"),
         ).first()
         lon0, lat0 = sub.select("lon", "lat").first()
-        tol = 5e-8 if code == 27700 else 1e-9  # datum height-drop ~2 mm
+        tol = 5e-8 if code in (27700, 31467) else 1e-9  # datum height-drop ~2 mm
         assert row["s"] == code
         assert abs(row["lon2"] - lon0) < tol and abs(row["lat2"] - lat0) < tol
 
