@@ -91,6 +91,10 @@ def main() -> None:
     _knn.cosine_topk(emb.limit(1), emb.limit(50), k=1).count()
 
     def timed(fn):
+        # single-shot (methodology stable across rounds): a min-over-reps
+        # variant was tried and rejected — operators that cache internally
+        # (near_dup_pairs' staged signature table) get a CacheManager hit on
+        # the second rep and understate their true cost
         t0 = time.time()
         fn()
         return round(time.time() - t0, 3)
