@@ -337,8 +337,21 @@ def st_bounds(col) -> Column:
 # ----------------------------------------------------------------------
 
 def st_count_coordinates(col) -> Column:
-    """Counts stored coordinates (curve control points, not linearization)."""
-    return unary_scalar(lambda g: len(g.raw_coords()), "int")(col_or_lit(col))
+    """Counts stored coordinates (curve control points, not linearization).
+    Ragged polygon/line batches read the counts straight off the CSR row
+    offsets — no geometry objects."""
+
+    @pandas_udf("int")
+    def udf(s: pd.Series) -> pd.Series:
+        rg = ragged.parse_polygonal(s) or ragged.parse_lineal(s)
+        if rg is not None:
+            return _with_nulls(np.diff(rg.row_start).astype(np.int32), rg.null_mask)
+        return pd.Series(
+            [None if b is None else len(from_ewkb(bytes(b)).raw_coords()) for b in s],
+            dtype=object,
+        )
+
+    return udf(col_or_lit(col))
 
 
 def st_count_points(col) -> Column:

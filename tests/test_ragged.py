@@ -167,3 +167,82 @@ def test_parse_rejects_foreign_layouts():
     rp = ragged.parse_polygonal([None, None])
     assert rp is not None and rp.null_mask.all()
     assert np.all(ragged.area(rp) == 0)
+
+
+def test_ragged_property_random_batches():
+    """Property test (direct module level, no Spark): for arbitrary mixed
+    batches of polygons/multipolygons with holes, nulls and empties, the CSR
+    measures must match the scalar kernels; batches containing any
+    non-polygonal row must be rejected (None) rather than mis-parsed."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as hs
+
+    from polars_st_spark.geo.wkb import to_ewkb
+
+    def poly_from(seed, with_hole, multi):
+        rng = np.random.RandomState(seed)
+        g = _mk_poly(rng, rng.randint(3, 10), rng.uniform(-100, 100),
+                     rng.uniform(-100, 100), rng.uniform(0.1, 20), hole=with_hole)
+        if multi:
+            g2 = _mk_poly(rng, rng.randint(3, 6), rng.uniform(-100, 100),
+                          rng.uniform(-100, 100), rng.uniform(0.1, 5))
+            g = Geometry(GeometryType.MultiPolygon, geoms=[g, g2])
+        return g
+
+    row = hs.one_of(
+        hs.just(None),
+        hs.just("empty"),
+        hs.tuples(hs.integers(0, 10_000), hs.booleans(), hs.booleans()),
+    )
+
+    @settings(max_examples=40, deadline=None)
+    @given(hs.lists(row, min_size=1, max_size=12))
+    def check(spec):
+        geoms = []
+        for r in spec:
+            if r is None:
+                geoms.append(None)
+            elif r == "empty":
+                geoms.append(Geometry(GeometryType.Polygon, rings=[]))
+            else:
+                geoms.append(poly_from(*r))
+        bufs = [None if g is None else to_ewkb(g) for g in geoms]
+        rp = ragged.parse_polygonal(bufs)
+        assert rp is not None
+        a = ragged.area(rp)
+        per = ragged.perimeter(rp)
+        b = ragged.bounds(rp)
+        cx, cy, ok = ragged.centroid(rp)
+        for i, g in enumerate(geoms):
+            if g is None:
+                assert rp.null_mask[i]
+                continue
+            assert a[i] == pytest.approx(algos.area(g), rel=1e-9, abs=1e-9)
+            assert per[i] == pytest.approx(algos.length(g), rel=1e-9, abs=1e-9)
+            eb = g.bounds()
+            if np.isnan(eb[0]):
+                assert np.isnan(b[i]).all()
+            else:
+                assert np.allclose(b[i], list(eb))
+            ce = algos.centroid(g)
+            if ok[i]:
+                assert cx[i] == pytest.approx(float(ce.coords[0]), rel=1e-9, abs=1e-6)
+                assert cy[i] == pytest.approx(float(ce.coords[1]), rel=1e-9, abs=1e-6)
+        # row-paired point location agrees with the scalar locator
+        px = np.array([0.0 if g is None else (g.bounds()[0] + g.bounds()[2]) / 2
+                       if not np.isnan(g.bounds()[0]) else 0.0 for g in geoms])
+        py = np.array([0.0 if g is None else (g.bounds()[1] + g.bounds()[3]) / 2
+                       if not np.isnan(g.bounds()[1]) else 0.0 for g in geoms])
+        loc = ragged.locate_points(rp, px, py)
+        from polars_st_spark.geo import predicates as P
+        for i, g in enumerate(geoms):
+            if g is None or g.is_empty():
+                continue
+            pt = Geometry(GeometryType.Point, coords=np.array([px[i], py[i]]))
+            assert loc[i] == P._point_locate_areal(pt, g), i
+
+        # poisoned batch: adding a point row must reject the whole parse
+        pt_buf = to_ewkb(Geometry(GeometryType.Point, coords=np.array([1.0, 2.0])))
+        assert ragged.parse_polygonal(bufs + [pt_buf]) is None
+
+    check()
