@@ -256,7 +256,9 @@ def st_length(col) -> Column:
 
 def st_distance(col, other) -> Column:
     """NaN→NULL if either empty (reference: functions.rs:819-829).
-    Vectorized for uniform point batches."""
+    Vectorized for uniform point batches, ragged polygon batches vs a
+    constant point (CSR segment sweep), and point batches vs a constant
+    areal geometry."""
     other_g = geom_arg(other)
     if isinstance(other_g, Geometry) and other_g.type_id == GeometryType.Point and other_g.coords is not None:
         qx, qy = float(other_g.coords[0]), float(other_g.coords[1])
@@ -267,12 +269,42 @@ def st_distance(col, other) -> Column:
                 fast = batch_uniform(s)
                 if fast is not None and fast[0] == "point2d":
                     return pd.Series(np.sqrt((fast[1] - qx) ** 2 + (fast[2] - qy) ** 2))
+            rp = ragged.parse_polygonal(s)
+            if rp is not None:
+                n = len(s)
+                d = ragged.distance_to_points(rp, np.full(n, qx), np.full(n, qy))
+                return pd.Series(d)  # NaN (empty/null rows) -> NULL at Arrow
             return pd.Series(
                 [None if b is None else algos.distance(from_ewkb(bytes(b)), other_g) for b in s],
                 dtype=object,
             )
 
         return udf_fast(col_or_lit(col))
+    from polars_st_spark.geo.curves import _is_curved
+
+    if (
+        isinstance(other_g, Geometry)
+        and not other_g.is_empty()
+        and not _is_curved(other_g)
+        and other_g.type_id in (GeometryType.Polygon, GeometryType.MultiPolygon)
+    ):
+        # point column vs constant areal geometry
+        g2 = other_g
+
+        @pandas_udf("double")
+        def udf_pts(s: pd.Series) -> pd.Series:
+            if not s.isna().any():
+                fast = batch_uniform(s)
+                if fast is not None and fast[0] == "point2d":
+                    d = ragged.const_polygon_distance(g2, fast[1], fast[2])
+                    if d is not None:
+                        return pd.Series(d)
+            return pd.Series(
+                [None if b is None else algos.distance(from_ewkb(bytes(b)), g2) for b in s],
+                dtype=object,
+            )
+
+        return udf_pts(col_or_lit(col))
     udf, oc = binary_scalar(algos.distance, "double", other_g)
     return udf(col_or_lit(col)) if oc is None else udf(col_or_lit(col), oc)
 

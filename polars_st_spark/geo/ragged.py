@@ -455,3 +455,67 @@ def locate_points(rp: RaggedPolygons, px: np.ndarray, py: np.ndarray) -> np.ndar
     ).astype(np.int8)
     np.maximum.at(out, rp.part_row, part_loc)
     return out
+
+
+def distance_to_points(rp: RaggedPolygons, px: np.ndarray, py: np.ndarray) -> np.ndarray:
+    """Row-paired distance from (px[i], py[i]) to row i's polygon — 0 when
+    the point is inside or on the boundary (same rule as algos.distance via
+    intersects), else the min distance over all boundary segments (closure
+    segments included, like algos._closed). NaN for empty rows."""
+    from polars_st_spark.geo.algos import _seg_dist_point
+
+    out = np.full(rp.n, np.nan)
+    R = len(rp.ring_row)
+    if not R:
+        return out
+    loc = locate_points(rp, px, py)
+    counts = np.diff(rp.ring_start)
+    rid = np.repeat(np.arange(R, dtype=np.int64), counts)
+    c = rp.coords
+    best = np.full(rp.n, np.inf)
+    if len(c) > 1:
+        valid = rid[:-1] == rid[1:]
+        s_row = rp.ring_row[rid[:-1]]
+        d = _seg_dist_point(px[s_row], py[s_row], c[:-1, 0], c[:-1, 1], c[1:, 0], c[1:, 1])
+        d = np.where(valid, d, np.inf)
+        np.minimum.at(best, s_row, d)
+    # closure segment per ring (zero-length for already-closed rings)
+    firsts = c[rp.ring_start[:-1]]
+    lasts = c[rp.ring_start[1:] - 1]
+    dc = _seg_dist_point(px[rp.ring_row], py[rp.ring_row],
+                         lasts[:, 0], lasts[:, 1], firsts[:, 0], firsts[:, 1])
+    np.minimum.at(best, rp.ring_row, dc)
+    nonempty = rp.row_start[:-1] != rp.row_start[1:]
+    out[nonempty] = np.where(loc[nonempty] != 0, 0.0, best[nonempty])
+    return out
+
+
+def const_polygon_distance(g, px: np.ndarray, py: np.ndarray) -> np.ndarray | None:
+    """Distance from many points to ONE constant areal geometry (0 inside /
+    on boundary, else min segment distance), or None when ``g`` is not
+    purely areal. Loops over the constant's segments, vectorized over the
+    point batch."""
+    from polars_st_spark.geo.algos import _closed, _seg_dist_point
+    from polars_st_spark.geo.predicates import _decompose, _point_in_ring_vec
+
+    d = _decompose(g)
+    if not d.polys or d.lines or d.points:
+        return None
+    best = np.full(len(px), np.inf)
+    inside = np.zeros(len(px), dtype=bool)
+    for rings in d.polys:
+        st = _point_in_ring_vec(px, py, rings[0])
+        for hole in rings[1:]:
+            h = _point_in_ring_vec(px, py, hole)
+            undecided = st == 2
+            st = np.where(undecided & (h == 1), 1,
+                          np.where(undecided & (h == 2), 0, st)).astype(np.int8)
+        inside |= st != 0
+        for r in rings:
+            rc = _closed(np.asarray(r, dtype=np.float64))
+            for i in range(len(rc) - 1):
+                best = np.minimum(
+                    best,
+                    _seg_dist_point(px, py, rc[i, 0], rc[i, 1], rc[i + 1, 0], rc[i + 1, 1]),
+                )
+    return np.where(inside, 0.0, best)

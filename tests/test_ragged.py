@@ -246,3 +246,30 @@ def test_ragged_property_random_batches():
         assert ragged.parse_polygonal(bufs + [pt_buf]) is None
 
     check()
+
+
+def test_ragged_distance_paths(spark, mixed_polys):
+    """st_distance fast paths: ragged polygons vs constant point, and point
+    batch vs constant holed polygon — both match the scalar kernel."""
+    qx, qy = 3.0, 4.0
+    qpt = Geometry(GeometryType.Point, coords=np.array([qx, qy]))
+    rows = [(i, to_ewkb(g)) for i, g in enumerate(mixed_polys[:40])] + [(999, None)]
+    df = spark.createDataFrame(rows, "id int, poly binary")
+    got = {r["id"]: r["d"] for r in df.select(
+        "id", st.st_distance("poly", to_ewkb(qpt)).alias("d")).collect()}
+    assert got[999] is None
+    for i, g in enumerate(mixed_polys[:40]):
+        assert got[i] == pytest.approx(algos.distance(g, qpt), rel=1e-9, abs=1e-12), i
+
+    shell = np.array([[0.0, 0], [10, 0], [10, 10], [0, 10], [0, 0]])
+    hole = np.array([[4.0, 4], [4, 6], [6, 6], [6, 4], [4, 4]])
+    holed = Geometry(GeometryType.Polygon, rings=[shell, hole])
+    pts = [(-3.0, 5.0), (2.0, 5.0), (5.0, 5.0), (5.0, 4.5), (20.0, 10.0)]
+    pdf = spark.createDataFrame(
+        [(i, to_ewkb(Geometry(GeometryType.Point, coords=np.array(p))))
+         for i, p in enumerate(pts)], "id int, pt binary")
+    got2 = {r["id"]: r["d"] for r in pdf.select(
+        "id", st.st_distance("pt", to_ewkb(holed)).alias("d")).collect()}
+    exp = [3.0, 0.0, 1.0, 0.5, 10.0]  # in-hole rows measure to the hole ring
+    for i, e in enumerate(exp):
+        assert got2[i] == pytest.approx(e, abs=1e-12), i
