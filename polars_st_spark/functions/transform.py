@@ -212,11 +212,33 @@ def st_unary_union(col, grid_size: float | None = None) -> Column:
 # ----------------------------------------------------------------------
 
 def st_set_srid(col, srid: int) -> Column:
-    """Header patch only — vectorized per batch (reference: functions.rs:437-443)."""
+    """Header patch only (reference: functions.rs:437-443): pure byte
+    surgery on the top-level EWKB header — set/replace/strip the SRID flag
+    and field without building geometry objects. Nested collection children
+    don't serialize SRIDs (PostGIS convention), so the top-level patch is
+    the complete operation; geometries whose layout needs real restructuring
+    (big-endian input) fall back to decode/encode."""
+    new_srid = struct.pack("<I", srid)
+
+    def patch(b) -> bytes | None:
+        if b is None:
+            return None
+        bb = bytes(b)
+        if bb[0] != 1:  # big-endian: rewrite via the codec
+            return to_ewkb(from_ewkb(bb).with_srid(srid))
+        (raw,) = struct.unpack_from("<I", bb, 1)
+        has = bool(raw & 0x20000000)
+        if srid:
+            if has:
+                return bb[:5] + new_srid + bb[9:]
+            return bb[:1] + struct.pack("<I", raw | 0x20000000) + new_srid + bb[5:]
+        if not has:
+            return bb
+        return bb[:1] + struct.pack("<I", raw & ~0x20000000) + bb[9:]
 
     @pandas_udf("binary")
     def udf(s: pd.Series) -> pd.Series:
-        return s.map(lambda b: None if b is None else to_ewkb(from_ewkb(bytes(b)).with_srid(srid)))
+        return s.map(patch)
 
     return udf(col_or_lit(col))
 
@@ -984,11 +1006,15 @@ def st_polygonize(col) -> Column:
 def st_to_srid(col, srid: int) -> Column:
     """Reproject coordinates (reference: functions.rs:1868-1939).
 
-    Without pyproj in the runtime, supports the closed-form EPSG pairs
-    (4326↔3857); identity when source==target; raises otherwise. The
-    transformer lookup is cached per (src, dst) exactly like the reference's
-    per-call ProjCache (functions.rs:1900-1914).
-    """
+    Supports the closed-form EPSG pipelines (Mercator, UTM, parameterized
+    TM + datum shifts, LCC/Albers/LAEA); identity when source==target;
+    raises otherwise (pyproj auto-fallback when importable). The transformer
+    lookup is cached per (src, dst) exactly like the reference's per-call
+    ProjCache (functions.rs:1900-1914). Uniform 2-D point batches — the
+    dominant reprojection workload — project as ONE numpy call over the
+    whole Arrow batch (the pipelines are elementwise, so results are
+    bit-identical to the per-row path)."""
+    from polars_st_spark.geo.wkb import batch_uniform, header_info, points_to_ewkb
 
     def fn(g: Geometry) -> Geometry:
         src = g.srid
@@ -999,4 +1025,25 @@ def st_to_srid(col, srid: int) -> Column:
             raise ValueError(f"Unsupported SRID transform {src} -> {srid} (no pyproj in runtime)")
         return g.map_coords(f).with_srid(srid)
 
-    return unary_geom(fn)(col_or_lit(col))
+    @pandas_udf("binary")
+    def udf(s: pd.Series) -> pd.Series:
+        if not s.isna().any() and len(s):
+            fast = batch_uniform(s)
+            if fast is not None and fast[0] == "point2d":
+                src = header_info(bytes(s.iloc[0]))[3]
+                if src == srid:
+                    return s  # bytes already carry the target SRID
+                if src != 0:
+                    f = _lookup_transform(src, srid)
+                    if f is not None:
+                        arr = np.stack([fast[1], fast[2]], axis=1)
+                        out = f(arr.copy())
+                        return pd.Series(points_to_ewkb(out[:, 0], out[:, 1], srid=srid))
+        from polars_st_spark.geo.wkb import from_ewkb, to_ewkb
+
+        return pd.Series(
+            [None if b is None else to_ewkb(fn(from_ewkb(bytes(b)))) for b in s],
+            dtype=object,
+        )
+
+    return udf(col_or_lit(col))
