@@ -129,25 +129,117 @@ def st_force_3d(col, z: float = 0.0) -> Column:
     return unary_geom(lambda g: algos.force_3d(g, z))(col_or_lit(col))
 
 
+def _point_affine_udf(make_xy, fallback_fn):
+    """Pandas UDF with a uniform-2D-point-batch fast path: apply the
+    elementwise ``make_xy(x, y) -> (x', y')`` map to the whole batch and
+    re-encode in one shot (same arithmetic order as the scalar kernels —
+    bit-identical results); anything else decodes per row. ``make_xy=None``
+    means the op is the identity on a bare point (rotate/scale/skew about
+    its own center) and the input bytes pass through."""
+    from polars_st_spark.geo.wkb import batch_uniform, header_info, points_to_ewkb
+
+    @pandas_udf("binary")
+    def udf(s: pd.Series) -> pd.Series:
+        if not s.isna().any() and len(s):
+            fast = batch_uniform(s)
+            if fast is not None and fast[0] == "point2d":
+                if make_xy is None:
+                    return s
+                srid = header_info(bytes(s.iloc[0]))[3]
+                x2, y2 = make_xy(fast[1], fast[2])
+                return pd.Series(points_to_ewkb(
+                    np.asarray(x2, dtype=np.float64),
+                    np.asarray(y2, dtype=np.float64), srid=srid))
+        return pd.Series(
+            [None if b is None else to_ewkb(fallback_fn(from_ewkb(bytes(b)))) for b in s],
+            dtype=object,
+        )
+
+    return udf
+
+
+def _origin_const(origin):
+    """(ox, oy) when the origin is a constant coordinate, 'self' when it is
+    the geometry's own center/centroid (identity for bare points), else None."""
+    if isinstance(origin, (tuple, list)) and len(origin) >= 2:
+        return float(origin[0]), float(origin[1])
+    if origin in ("center", "centroid"):
+        return "self"
+    return None
+
+
 def st_affine_transform(col, matrix) -> Column:
-    return unary_geom(lambda g: algos.affine_transform(g, matrix))(col_or_lit(col))
+    m = [float(v) for v in matrix]
+    if len(m) == 6:
+        a, b, d, e, xoff, yoff = m
+    elif len(m) == 12:
+        a, b, _c, d, e, _f, _g, _h, _i, xoff, yoff, _z = m
+    else:
+        a = None
+    mk = None
+    if a is not None:
+        mk = lambda x, y: (a * x + b * y + xoff, d * x + e * y + yoff)  # noqa: E731
+    fb = lambda g: algos.affine_transform(g, matrix)  # noqa: E731
+    if mk is None:
+        return unary_geom(fb)(col_or_lit(col))
+    return _point_affine_udf(mk, fb)(col_or_lit(col))
 
 
 def st_translate(col, x: float = 0.0, y: float = 0.0, z: float = 0.0) -> Column:
-    return unary_geom(lambda g: algos.translate(g, x, y, z))(col_or_lit(col))
+    return _point_affine_udf(
+        lambda px, py: (px + x, py + y),
+        lambda g: algos.translate(g, x, y, z),
+    )(col_or_lit(col))
 
 
 def st_rotate(col, angle: float, origin="center") -> Column:
     """Angle in degrees (reference: functions.rs:1508-1548)."""
-    return unary_geom(lambda g: algos.rotate(g, angle, origin))(col_or_lit(col))
+    o = _origin_const(origin)
+    fb = lambda g: algos.rotate(g, angle, origin)  # noqa: E731
+    if o == "self":
+        return _point_affine_udf(None, fb)(col_or_lit(col))
+    if o is not None:
+        ox, oy = o
+        rad = math.radians(angle)
+        ca, sa = math.cos(rad), math.sin(rad)
+
+        def mk(x, y):
+            dx, dy = x - ox, y - oy
+            return ox + ca * dx - sa * dy, oy + sa * dx + ca * dy
+
+        return _point_affine_udf(mk, fb)(col_or_lit(col))
+    return unary_geom(fb)(col_or_lit(col))
 
 
 def st_scale(col, x: float = 1.0, y: float = 1.0, z: float = 1.0, origin="center") -> Column:
-    return unary_geom(lambda g: algos.scale(g, x, y, z, origin))(col_or_lit(col))
+    o = _origin_const(origin)
+    fb = lambda g: algos.scale(g, x, y, z, origin)  # noqa: E731
+    if o == "self":
+        return _point_affine_udf(None, fb)(col_or_lit(col))
+    if o is not None:
+        ox, oy = o
+        return _point_affine_udf(
+            lambda px, py: (ox + x * (px - ox), oy + y * (py - oy)), fb
+        )(col_or_lit(col))
+    return unary_geom(fb)(col_or_lit(col))
 
 
 def st_skew(col, x: float = 0.0, y: float = 0.0, origin="center") -> Column:
-    return unary_geom(lambda g: algos.skew(g, x, y, origin))(col_or_lit(col))
+    o = _origin_const(origin)
+    fb = lambda g: algos.skew(g, x, y, origin)  # noqa: E731
+    if o == "self":
+        return _point_affine_udf(None, fb)(col_or_lit(col))
+    if o is not None:
+        ox, oy = o
+        tx = math.tan(math.radians(x))
+        ty = math.tan(math.radians(y))
+
+        def mk(px, py):
+            dx, dy = px - ox, py - oy
+            return ox + dx + tx * dy, oy + ty * dx + dy
+
+        return _point_affine_udf(mk, fb)(col_or_lit(col))
+    return unary_geom(fb)(col_or_lit(col))
 
 
 def st_buffer(col, distance: float, quad_segs: int = 8, cap_style: str = "round",
