@@ -1299,12 +1299,24 @@ def q_utm_roundtrip(spark, sf):
         st.st_point(F.col("x") - 126.0, F.col("y") % 60 + 10.0), 4326))
     p = p.withColumn("ptgb", st.st_set_srid(
         st.st_point(F.col("x") - 4.0, F.col("y") % 9 + 50.0), 4326))
+    # r4b families: Dutch RD (oblique stereographic + Amersfoort datum),
+    # World Mercator, Antarctic Polar Stereographic, NY Long Island ftUS LCC
+    p = p.withColumn("ptrd", st.st_set_srid(
+        st.st_point(F.col("x") % 3 + 4.0, F.col("y") % 2.5 + 50.9), 4326))
+    p = p.withColumn("ptps", st.st_set_srid(
+        st.st_point(F.col("x") * 10.0, -(F.col("y") % 20) - 65.0), 4326))
+    p = p.withColumn("ptny", st.st_set_srid(
+        st.st_point(F.col("x") % 2 - 74.2, F.col("y") % 0.8 + 40.5), 4326))
     back = st.st_to_srid(st.st_to_srid("pt4326", 32631), 4326)
     lcc_back = st.st_to_srid(st.st_to_srid("pt4326", 2154), 4326)
     alb_back = st.st_to_srid(st.st_to_srid("pt4326", 5070), 4326)
     etrs_back = st.st_to_srid(st.st_to_srid("pt32", 25832), 4326)
     nad_back = st.st_to_srid(st.st_to_srid("pt10", 26910), 4326)
     gb_back = st.st_to_srid(st.st_to_srid("ptgb", 27700), 4326)
+    rd_back = st.st_to_srid(st.st_to_srid("ptrd", 28992), 4326)
+    wm_back = st.st_to_srid(st.st_to_srid("pt4326", 3395), 4326)
+    ps_back = st.st_to_srid(st.st_to_srid("ptps", 3031), 4326)
+    ny_back = st.st_to_srid(st.st_to_srid("ptny", 2263), 4326)
     anchor32 = st.st_to_srid(st.st_set_srid(st.st_point(F.lit(9.0), F.lit(0.0)), 4326), 25832)
     anchor10 = st.st_to_srid(st.st_set_srid(st.st_point(F.lit(-123.0), F.lit(0.0)), 4326), 26910)
     return p.select(
@@ -1328,6 +1340,18 @@ def q_utm_roundtrip(spark, sf):
         st.st_srid(st.st_to_srid("ptgb", 27700)).alias("gb_srid"),
         st.st_x(anchor32).alias("etrs_anchor_e"),
         st.st_x(anchor10).alias("nad_anchor_e"),
+        F.round(st.st_x(rd_back), 6).alias("rd_x"),
+        F.round(st.st_y(rd_back), 6).alias("rd_y"),
+        st.st_srid(st.st_to_srid("ptrd", 28992)).alias("rd_srid"),
+        F.round(st.st_x(wm_back), 6).alias("wm_x"),
+        F.round(st.st_y(wm_back), 6).alias("wm_y"),
+        st.st_srid(st.st_to_srid("pt4326", 3395)).alias("wm_srid"),
+        F.round(st.st_x(ps_back), 6).alias("ps_x"),
+        F.round(st.st_y(ps_back), 6).alias("ps_y"),
+        st.st_srid(st.st_to_srid("ptps", 3031)).alias("ps_srid"),
+        F.round(st.st_x(ny_back), 6).alias("ny_x"),
+        F.round(st.st_y(ny_back), 6).alias("ny_y"),
+        st.st_srid(st.st_to_srid("ptny", 2263)).alias("ny_srid"),
     )
 
 
@@ -2292,7 +2316,14 @@ def oracle_sql() -> dict[str, str]:
                    ROUND(x - 126.0, 6) AS nad_x, ROUND(y % 60 + 10.0, 6) AS nad_y,
                    ROUND(x - 4.0, 6) AS gb_x, ROUND(y % 9 + 50.0, 6) AS gb_y,
                    27700 AS gb_srid,
-                   500000.0 AS etrs_anchor_e, 500000.0 AS nad_anchor_e
+                   500000.0 AS etrs_anchor_e, 500000.0 AS nad_anchor_e,
+                   ROUND(x % 3 + 4.0, 6) AS rd_x, ROUND(y % 2.5 + 50.9, 6) AS rd_y,
+                   28992 AS rd_srid,
+                   ROUND(x, 6) AS wm_x, ROUND(y, 6) AS wm_y, 3395 AS wm_srid,
+                   ROUND(x * 10.0, 6) AS ps_x, ROUND(-(y % 20) - 65.0, 6) AS ps_y,
+                   3031 AS ps_srid,
+                   ROUND(x % 2 - 74.2, 6) AS ny_x, ROUND(y % 0.8 + 40.5, 6) AS ny_y,
+                   2263 AS ny_srid
             FROM ({_ORACLE_CUST}) WHERE x < 6.0""",
         "buffer_styles": f"""
             SELECT n_nationkey,

@@ -41,6 +41,14 @@ def _family_name(code: int) -> str | None:
     return {
         27700: "OSGB36 / British National Grid",
         2193: "NZGD2000 / New Zealand Transverse Mercator 2000",
+        3395: "WGS 84 / World Mercator",
+        3031: "WGS 84 / Antarctic Polar Stereographic",
+        3976: "WGS 84 / NSIDC Sea Ice Polar Stereographic South",
+        3413: "WGS 84 / NSIDC Sea Ice Polar Stereographic North",
+        3995: "WGS 84 / Arctic Polar Stereographic",
+        28992: "Amersfoort / RD New",
+        2229: "NAD83 / California zone 5 (ftUS)",
+        2263: "NAD83 / New York Long Island (ftUS)",
     }.get(code)
 
 

@@ -414,6 +414,10 @@ _ELLIPSOIDS = {
 _DATUM_TO_WGS84 = {
     "OSGB36": ("AIRY1830", 446.448, -125.157, 542.060, 0.1502, 0.2470, 0.8421, -20.4894),
     "DHDN": ("BESSEL1841", 598.1, 73.7, 418.2, 0.202, 0.045, -2.455, 6.7),
+    # Amersfoort -> WGS 84: the RDNAPTRANS-derived grid-free Helmert
+    # (EPSG 15934-family parameter set, ~0.5 m).
+    "AMERSFOORT": ("BESSEL1841", 565.2369, 50.0087, 465.658,
+                   -0.406857, 0.350733, -1.87035, 4.0812),
 }
 
 _TM_CONSTS_CACHE: dict = {}
@@ -648,6 +652,16 @@ _CONIC_CODES = {
     3577: ("albers", _GRS80_A, _GRS80_F, 0.0, 132.0, -18.0, -36.0, 0.0, 0.0),
     # ETRS89-extended / LAEA Europe (azimuthal: lat1/lat2 unused)
     3035: ("laea", _GRS80_A, _GRS80_F, 52.0, 10.0, 0.0, 0.0, 4321000.0, 3210000.0),
+    # NAD83 / California zone 5 (axis unit ftUS via _CODE_UNIT; the false
+    # origin is the exact metric equivalent of 6 561 666.667 / 1 640 416.667
+    # ftUS per the EPSG registry)
+    2229: ("lcc", _GRS80_A, _GRS80_F, 33.5, -118.0,
+           34.0 + 2.0 / 60.0, 35.0 + 28.0 / 60.0,
+           6561666.66666666 * 1200.0 / 3937.0, 1640416.66666666 * 1200.0 / 3937.0),
+    # NAD83 / New York Long Island (ftUS; FE 984 250 ftUS = exactly 300 km)
+    2263: ("lcc", _GRS80_A, _GRS80_F, 40.0 + 10.0 / 60.0, -74.0,
+           40.0 + 40.0 / 60.0, 41.0 + 2.0 / 60.0,
+           984250.0 * 1200.0 / 3937.0, 0.0),
 }
 
 
@@ -875,38 +889,290 @@ _CONIC_KINDS = {
 }
 
 
+# ---- Ellipsoidal Mercator (variant A, EPSG method 9804; Snyder PP 1395
+# pp. 44, eqs 7-6..7-8): x = FE + a k0 (λ−λ0),
+# y = FN + a k0 atanh(sin φ) − a k0 e atanh(e sin φ). The y expression is the
+# isometric latitude written through atanh — identical to
+# ln(tan(π/4+φ/2)·((1−e sinφ)/(1+e sinφ))^(e/2)) but numerically direct.
+# The inverse reuses the t(φ) fixed point (_phi_from_t).
+
+def _merc_forward(a, f, k0, lon0, FE, FN):
+    e = math.sqrt(f * (2.0 - f))
+    lam0 = math.radians(lon0)
+
+    def fn(arr: np.ndarray) -> np.ndarray:
+        phi = np.radians(arr[:, 1])
+        s = np.sin(phi)
+        out = arr.copy()
+        out[:, 0] = FE + a * k0 * (np.radians(arr[:, 0]) - lam0)
+        out[:, 1] = FN + a * k0 * (np.arctanh(s) - e * np.arctanh(e * s))
+        return out
+
+    return fn
+
+
+def _merc_inverse(a, f, k0, lon0, FE, FN):
+    e = math.sqrt(f * (2.0 - f))
+    lam0 = math.radians(lon0)
+
+    def fn(arr: np.ndarray) -> np.ndarray:
+        tp = np.exp(-(arr[:, 1] - FN) / (a * k0))
+        out = arr.copy()
+        out[:, 0] = np.degrees((arr[:, 0] - FE) / (a * k0) + lam0)
+        out[:, 1] = np.degrees(_phi_from_t(tp, e))
+        return out
+
+    return fn
+
+
+# ---- Polar Stereographic variant B (EPSG method 9829; Snyder PP 1395
+# pp. 160-162, eqs 21-33..21-41): the scale k0 is implied by the latitude of
+# the standard parallel lat_ts; aspect (north/south pole) follows
+# sign(lat_ts). Covers the polar science-grid workhorses 3031/3976 (Antarctic)
+# and 3413/3995 (Arctic), all on WGS84.
+
+def _pstereo_consts(a, f, lat_ts):
+    e = math.sqrt(f * (2.0 - f))
+    pF = math.radians(abs(lat_ts))
+    sF = math.sin(pF)
+    tF = math.tan(math.pi / 4 - pF / 2) * (
+        (1 + e * sF) / (1 - e * sF)
+    ) ** (e / 2)
+    mF = math.cos(pF) / math.sqrt(1 - (e * sF) ** 2)
+    # 2 a k0 = a mF / tF; also expressible via sqrt((1+e)^(1+e)(1−e)^(1−e))
+    two_ak0 = a * mF / tF
+    return e, two_ak0
+
+
+def _pstereo_forward(a, f, lat_ts, lon0, FE, FN):
+    e, two_ak0 = _pstereo_consts(a, f, lat_ts)
+    south = lat_ts < 0
+    lam0 = math.radians(lon0)
+
+    def fn(arr: np.ndarray) -> np.ndarray:
+        phi = np.radians(arr[:, 1])
+        lam = np.radians(arr[:, 0]) - lam0
+        if south:
+            phi = -phi
+            lam = -lam
+        es = e * np.sin(phi)
+        t = np.tan(np.pi / 4 - phi / 2) * ((1 + es) / (1 - es)) ** (e / 2)
+        # ρ = 2 a k0 t / sqrt((1+e)^(1+e)(1−e)^(1−e)); with the implied
+        # k0 = mF sqrt(...)/(2 tF) the radical cancels: ρ = a mF t / tF
+        rho = two_ak0 * t
+        x = rho * np.sin(lam)
+        y = -rho * np.cos(lam)  # north aspect: N decreases toward lon0
+        if south:
+            x, y = -x, -y
+        out = arr.copy()
+        out[:, 0] = FE + x
+        out[:, 1] = FN + y
+        return out
+
+    return fn
+
+
+def _pstereo_inverse(a, f, lat_ts, lon0, FE, FN):
+    e, two_ak0 = _pstereo_consts(a, f, lat_ts)
+    south = lat_ts < 0
+    lam0 = math.radians(lon0)
+
+    def fn(arr: np.ndarray) -> np.ndarray:
+        x = arr[:, 0] - FE
+        y = arr[:, 1] - FN
+        if south:
+            x, y = -x, -y
+        rho = np.hypot(x, y)
+        tp = rho / two_ak0
+        phi = _phi_from_t(tp, e)
+        lam = np.arctan2(x, -y)
+        if south:
+            phi = -phi
+            lam = -lam
+        out = arr.copy()
+        out[:, 0] = np.degrees(lam + lam0)
+        out[:, 1] = np.degrees(phi)
+        return out
+
+    return fn
+
+
+# ---- Oblique Stereographic (EPSG method 9809, the "double projection"
+# through a conformal sphere — EPSG Guidance Note 7-2 §3.2.7.1). The one
+# high-traffic user is 28992 Amersfoort / RD New (Netherlands), Bessel 1841
+# with the standard grid-free Helmert shift.
+
+def _osterea_consts(a, f, k0, lat0, lon0):
+    e = math.sqrt(f * (2.0 - f))
+    e2 = e * e
+    p0 = math.radians(lat0)
+    s0 = math.sin(p0)
+    rho0 = a * (1 - e2) / (1 - e2 * s0 * s0) ** 1.5
+    nu0 = a / math.sqrt(1 - e2 * s0 * s0)
+    R = math.sqrt(rho0 * nu0)
+    n = math.sqrt(1 + e2 * math.cos(p0) ** 4 / (1 - e2))
+    S1 = (1 + s0) / (1 - s0)
+    S2 = (1 - e * s0) / (1 + e * s0)
+    w1 = (S1 * S2**e) ** n
+    sin_chi0 = (w1 - 1) / (w1 + 1)
+    c = (n + s0) * (1 - sin_chi0) / ((n - s0) * (1 + sin_chi0))
+    w2 = c * w1
+    chi0 = math.asin((w2 - 1) / (w2 + 1))
+    lam0 = math.radians(lon0)
+    return e, R, n, c, chi0, lam0
+
+
+def _osterea_forward(a, f, k0, lat0, lon0, FE, FN, datum=None):
+    e, R, n, c, chi0, lam0 = _osterea_consts(a, f, k0, lat0, lon0)
+    shift, _ = _datum_fns(datum)
+
+    def fn(arr: np.ndarray) -> np.ndarray:
+        lon_d, lat_d = arr[:, 0], arr[:, 1]
+        if shift is not None:
+            lon_d, lat_d = shift(lon_d, lat_d)
+        phi = np.radians(lat_d)
+        Lam = n * (np.radians(lon_d) - lam0) + lam0
+        s = np.sin(phi)
+        Sa = (1 + s) / (1 - s)
+        Sb = (1 - e * s) / (1 + e * s)
+        w = c * (Sa * Sb**e) ** n
+        chi = np.arcsin((w - 1) / (w + 1))
+        dl = Lam - lam0
+        B = 1 + np.sin(chi) * math.sin(chi0) + np.cos(chi) * math.cos(chi0) * np.cos(dl)
+        out = arr.copy()
+        out[:, 0] = FE + 2 * R * k0 * np.cos(chi) * np.sin(dl) / B
+        out[:, 1] = FN + 2 * R * k0 * (
+            np.sin(chi) * math.cos(chi0) - np.cos(chi) * math.sin(chi0) * np.cos(dl)
+        ) / B
+        return out
+
+    return fn
+
+
+def _osterea_inverse(a, f, k0, lat0, lon0, FE, FN, datum=None):
+    e, R, n, c, chi0, lam0 = _osterea_consts(a, f, k0, lat0, lon0)
+    _, unshift = _datum_fns(datum)
+
+    def fn(arr: np.ndarray) -> np.ndarray:
+        x = arr[:, 0] - FE
+        y = arr[:, 1] - FN
+        g = 2 * R * k0 * math.tan(math.pi / 4 - chi0 / 2)
+        h = 4 * R * k0 * math.tan(chi0) + g
+        i = np.arctan2(x, h + y)
+        j = np.arctan2(x, g - y) - i
+        chi = chi0 + 2 * np.arctan((y - x * np.tan(j / 2)) / (2 * R * k0))
+        Lam = j + 2 * i + lam0
+        lam = (Lam - lam0) / n + lam0
+        # conformal-sphere latitude -> geodetic: invert
+        # w = c(Sa Sb^e)^n via the isometric form (GN7-2 iteration)
+        psi = 0.5 * np.log((1 + np.sin(chi)) / (c * (1 - np.sin(chi)))) / n
+        phi = 2 * np.arctan(np.exp(psi)) - np.pi / 2
+        e2 = e * e
+        for _ in range(8):
+            s = np.sin(phi)
+            psi_i = np.log(
+                np.tan(phi / 2 + np.pi / 4) * ((1 - e * s) / (1 + e * s)) ** (e / 2)
+            )
+            phi = phi - (psi_i - psi) * np.cos(phi) * (1 - e2 * s * s) / (1 - e2)
+        lon_d = np.degrees(lam)
+        lat_d = np.degrees(phi)
+        if unshift is not None:
+            lon_d, lat_d = unshift(lon_d, lat_d)
+        out = arr.copy()
+        out[:, 0] = lon_d
+        out[:, 1] = lat_d
+        return out
+
+    return fn
+
+
+# EPSG -> (kind, params...) for the non-conic, non-TM projections.
+# merc: (ellipsoid, k0, lon0, FE, FN) — 3395 World Mercator (variant A).
+# pstereo: (ellipsoid, lat_ts, lon0, FE, FN) — polar science grids.
+# osterea: (ellipsoid, k0, lat0, lon0, FE, FN, datum) — Dutch RD New;
+# Amersfoort origin 52°09'22.178"N 5°23'15.500"E per the EPSG registry.
+_MISC_CODES: dict[int, tuple] = {
+    3395: ("merc", "WGS84", 1.0, 0.0, 0.0, 0.0),
+    3031: ("pstereo", "WGS84", -71.0, 0.0, 0.0, 0.0),
+    3976: ("pstereo", "WGS84", -70.0, 0.0, 0.0, 0.0),
+    3413: ("pstereo", "WGS84", 70.0, -45.0, 0.0, 0.0),
+    3995: ("pstereo", "WGS84", 71.0, 0.0, 0.0, 0.0),
+    28992: ("osterea", "BESSEL1841", 0.9999079,
+            52.0 + 9.0 / 60.0 + 22.178 / 3600.0,
+            5.0 + 23.0 / 60.0 + 15.5 / 3600.0,
+            155000.0, 463000.0, "AMERSFOORT"),
+}
+
+_MISC_KINDS = {
+    "merc": (_merc_forward, _merc_inverse),
+    "pstereo": (_pstereo_forward, _pstereo_inverse),
+    "osterea": (_osterea_forward, _osterea_inverse),
+}
+
+
+def _misc_code_fns(srid: int):
+    t = _MISC_CODES.get(srid)
+    if t is None:
+        return None
+    kind, ell, *params = t
+    a_, f_ = _ELLIPSOIDS[ell]
+    fwd_f, inv_f = _MISC_KINDS[kind]
+    return fwd_f(a_, f_, *params), inv_f(a_, f_, *params)
+
+
+# US survey foot (exactly 1200/3937 m): state-plane CRSs whose axis unit is
+# ftUS. The projection math stays metric; coordinates are converted at the
+# boundary.
+_FTUS = 1200.0 / 3937.0
+_CODE_UNIT: dict[int, float] = {2229: _FTUS, 2263: _FTUS}
+
+
+def _unit_wrap(fwd, inv, unit: float):
+    def fwd_u(arr: np.ndarray) -> np.ndarray:
+        out = fwd(arr)
+        out[:, :2] /= unit
+        return out
+
+    def inv_u(arr: np.ndarray) -> np.ndarray:
+        a2 = arr.copy()
+        a2[:, :2] *= unit
+        return inv(a2)
+
+    return fwd_u, inv_u
+
+
+def _code_fns(code: int):
+    """(forward_from_wgs84, inverse_to_wgs84) for any supported projected
+    EPSG code, axis-unit conversion included, or None."""
+    if code == 3857:
+        return _wgs84_to_webmerc, _webmerc_to_wgs84
+    uz = _utm_zone(code)
+    if uz is not None:
+        return _wgs84_to_utm(*uz), _utm_to_wgs84(*uz)
+    pair = _tm_code_fns(code) or _misc_code_fns(code)
+    if pair is None:
+        c = _CONIC_CODES.get(code)
+        if c is not None:
+            kind, *params = c
+            pair = (_CONIC_KINDS[kind][0](*params), _CONIC_KINDS[kind][1](*params))
+    if pair is None:
+        return None
+    unit = _CODE_UNIT.get(code)
+    if unit is not None:
+        pair = _unit_wrap(pair[0], pair[1], unit)
+    return pair
+
+
 def _from_wgs84_fn(dst: int):
     """WGS84 lon/lat -> projected CRS ``dst``, or None if unsupported."""
-    if dst == 3857:
-        return _wgs84_to_webmerc
-    uz = _utm_zone(dst)
-    if uz is not None:
-        return _wgs84_to_utm(*uz)
-    tm = _tm_code_fns(dst)
-    if tm is not None:
-        return tm[0]
-    c = _CONIC_CODES.get(dst)
-    if c is not None:
-        kind, *params = c
-        return _CONIC_KINDS[kind][0](*params)
-    return None
+    pair = _code_fns(dst)
+    return pair[0] if pair is not None else None
 
 
 def _to_wgs84_fn(src: int):
     """Projected CRS ``src`` -> WGS84 lon/lat, or None if unsupported."""
-    if src == 3857:
-        return _webmerc_to_wgs84
-    uz = _utm_zone(src)
-    if uz is not None:
-        return _utm_to_wgs84(*uz)
-    tm = _tm_code_fns(src)
-    if tm is not None:
-        return tm[1]
-    c = _CONIC_CODES.get(src)
-    if c is not None:
-        kind, *params = c
-        return _CONIC_KINDS[kind][1](*params)
-    return None
+    pair = _code_fns(src)
+    return pair[1] if pair is not None else None
 
 
 def _lookup_transform(src: int, dst: int):

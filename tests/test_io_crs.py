@@ -79,14 +79,15 @@ def test_conic_projections():
 
     import numpy as np
     from polars_st_spark.functions.transform import (
-        _CONIC_CODES, _from_wgs84_fn, _to_wgs84_fn)
+        _CODE_UNIT, _CONIC_CODES, _from_wgs84_fn, _to_wgs84_fn)
 
     for code, (kind, a, f, lat0, lon0, lat1, lat2, FE, FN) in _CONIC_CODES.items():
         if kind == "laea":  # azimuthal: no standard parallels; test_laea_europe
             continue
+        unit = _CODE_UNIT.get(code, 1.0)  # ftUS state planes output feet
         fwd, inv = _from_wgs84_fn(code), _to_wgs84_fn(code)
         o = fwd(np.array([[lon0, lat0]], dtype=float))
-        assert abs(o[0, 0] - FE) < 1e-6 and abs(o[0, 1] - FN) < 1e-6, code
+        assert abs(o[0, 0] * unit - FE) < 1e-6 and abs(o[0, 1] * unit - FN) < 1e-6, code
         grid = np.array([[lo, la] for lo in (lon0 - 5, lon0, lon0 + 5)
                          for la in (min(lat1, lat2) - 3, lat0, max(lat1, lat2) + 3)])
         assert np.abs(inv(fwd(grid.copy()).copy()) - grid).max() < 1e-9, code
@@ -96,7 +97,7 @@ def test_conic_projections():
         npr = a / math.sqrt(1 - e2 * math.sin(phi) ** 2)
         dlam = 1e-6
         p = fwd(np.array([[lon0, lat1], [lon0 + math.degrees(dlam), lat1]], dtype=float))
-        k = float(np.hypot(*(p[1, :2] - p[0, :2]))) / (npr * math.cos(phi) * dlam)
+        k = float(np.hypot(*(p[1, :2] - p[0, :2]))) * unit / (npr * math.cos(phi) * dlam)
         assert abs(k - 1.0) < 1e-6, code
     # published anchor: Paris (2.3522E, 48.8566N) -> Lambert-93
     paris = _from_wgs84_fn(2154)(np.array([[2.3522, 48.8566]]))
@@ -215,3 +216,101 @@ def test_parameterized_tm_codes(spark):
     p = np.array([[-0.0014, 51.4779]])
     shift_m = np.abs(real_fwd(p.copy()) - null_fwd(p.copy())).max()
     assert 50.0 < shift_m < 200.0
+
+
+def test_mercator_polar_oblique_worked_examples():
+    """r4b projection families vs the published EPSG GN7-2 worked examples:
+    Mercator variant A (Makassar / NEIEZ params), Polar Stereographic
+    variant B (Australian Antarctic params) and Oblique Stereographic
+    (Amersfoort / RD New params) — all to ~1 mm, plus exact origin anchors
+    and 1e-9-degree round-trips."""
+    import numpy as np
+
+    from polars_st_spark.functions import transform as T
+
+    # Mercator variant A (EPSG method 9804) — GN7-2 example: Bessel 1841,
+    # k0=0.997, lon0=110E, FE=3900000, FN=900000; (120E, 3S) ->
+    # E 5009726.58, N 569150.82
+    a_, f_ = T._ELLIPSOIDS["BESSEL1841"]
+    fwd = T._merc_forward(a_, f_, 0.997, 110.0, 3900000.0, 900000.0)
+    inv = T._merc_inverse(a_, f_, 0.997, 110.0, 3900000.0, 900000.0)
+    out = fwd(np.array([[120.0, -3.0]]))
+    assert abs(out[0, 0] - 5009726.58) < 5e-3 and abs(out[0, 1] - 569150.82) < 5e-3
+    assert np.abs(inv(out) - [120.0, -3.0]).max() < 1e-9
+
+    # Polar Stereographic variant B (EPSG method 9829) — GN7-2 example:
+    # WGS84, lat_ts=71S, lon0=70E, FE=FN=6000000; (120E, 75S) ->
+    # E 7255380.79, N 7053389.56
+    a_, f_ = T._ELLIPSOIDS["WGS84"]
+    fwd = T._pstereo_forward(a_, f_, -71.0, 70.0, 6000000.0, 6000000.0)
+    inv = T._pstereo_inverse(a_, f_, -71.0, 70.0, 6000000.0, 6000000.0)
+    out = fwd(np.array([[120.0, -75.0]]))
+    assert abs(out[0, 0] - 7255380.79) < 5e-3 and abs(out[0, 1] - 7053389.56) < 5e-3
+    assert np.abs(inv(out) - [120.0, -75.0]).max() < 1e-9
+    # north aspect: the pole itself maps to the false origin
+    nf, ni = T._code_fns(3413)
+    assert np.abs(nf(np.array([[0.0, 90.0]]))).max() < 1e-6
+    rt = ni(nf(np.array([[-30.0, 70.0]])))
+    assert np.abs(rt - [-30.0, 70.0]).max() < 1e-9
+
+    # Oblique Stereographic (EPSG method 9809) — GN7-2 example
+    # (Amersfoort / RD New, projection only): (6E, 53N) ->
+    # E 196105.283, N 557057.739; natural origin -> exact false origin
+    a_, f_ = T._ELLIPSOIDS["BESSEL1841"]
+    lat0 = 52 + 9 / 60 + 22.178 / 3600
+    lon0 = 5 + 23 / 60 + 15.5 / 3600
+    fwd = T._osterea_forward(a_, f_, 0.9999079, lat0, lon0, 155000.0, 463000.0)
+    inv = T._osterea_inverse(a_, f_, 0.9999079, lat0, lon0, 155000.0, 463000.0)
+    out = fwd(np.array([[6.0, 53.0]]))
+    assert abs(out[0, 0] - 196105.283) < 2e-3 and abs(out[0, 1] - 557057.739) < 2e-3
+    assert np.abs(inv(out) - [6.0, 53.0]).max() < 1e-9
+    origin = fwd(np.array([[lon0, lat0]]))
+    assert abs(origin[0, 0] - 155000.0) < 1e-6 and abs(origin[0, 1] - 463000.0) < 1e-6
+
+    # 28992 with the Amersfoort datum shift: the OLV tower (the physical RD
+    # origin) at its WGS84 coordinates lands on (155000, 463000) within 5 cm
+    rf, ri = T._code_fns(28992)
+    tower = rf(np.array([[5.3872035, 52.1551722]]))
+    assert abs(tower[0, 0] - 155000.0) < 0.05 and abs(tower[0, 1] - 463000.0) < 0.05
+    rt = ri(tower)
+    assert np.abs(rt - [5.3872035, 52.1551722]).max() < 5e-8  # datum height-drop
+
+    # ftUS state planes: exact false-origin anchors in ftUS units
+    cf, ci = T._code_fns(2263)
+    o = cf(np.array([[-74.0, 40.0 + 10.0 / 60.0]]))
+    assert abs(o[0, 0] - 984250.0) < 1e-6 and abs(o[0, 1]) < 1e-6
+    rt = ci(cf(np.array([[-73.9857, 40.7484]])))
+    assert np.abs(rt - [-73.9857, 40.7484]).max() < 1e-9
+    cf5, ci5 = T._code_fns(2229)
+    o5 = cf5(np.array([[-118.0, 33.5]]))
+    assert abs(o5[0, 0] - 6561666.66666666) < 1e-5 and abs(o5[0, 1] - 1640416.66666666) < 1e-5
+    rt5 = ci5(cf5(np.array([[-118.25, 34.05]])))
+    assert np.abs(rt5 - [-118.25, 34.05]).max() < 1e-9
+
+    # World Mercator 3395: equator y=0, unit scale on the equator
+    mf, mi = T._code_fns(3395)
+    eq = mf(np.array([[10.0, 0.0]]))
+    assert abs(eq[0, 1]) < 1e-9
+    rt = mi(mf(np.array([[10.0, 51.5]])))
+    assert np.abs(rt - [10.0, 51.5]).max() < 1e-9
+
+
+def test_new_codes_column_level(spark):
+    """st_to_srid round-trips through the r4b codes at column level, and
+    get_crs_from_code knows the family names."""
+    rows = [(1, 5.9, 52.1, 28992), (2, -73.9, 40.75, 2263), (3, -118.3, 34.1, 2229),
+            (4, 10.0, 51.5, 3395), (5, -45.0, 82.0, 3413), (6, 100.0, -80.0, 3031)]
+    df = spark.createDataFrame(rows, ["id", "lon", "lat", "code"])
+    for _, lon, lat, code in rows:
+        sub = df.where(F.col("code") == code)
+        pt = st.st_set_srid(st.st_point("lon", "lat"), 4326)
+        proj = st.st_to_srid(pt, code)
+        back = st.st_to_srid(proj, 4326)
+        row = sub.select(
+            st.st_x(back).alias("lon2"), st.st_y(back).alias("lat2"),
+            st.st_srid(proj).alias("s"),
+        ).first()
+        tol = 5e-8 if code == 28992 else 1e-9  # datum height-drop
+        assert row["s"] == code
+        assert abs(row["lon2"] - lon) < tol and abs(row["lat2"] - lat) < tol
+        assert "EPSG" in get_crs_from_code(code)
