@@ -1234,10 +1234,12 @@ def q_embedding_dup(spark, sf):
 def q_geojson_io(spark, sf):
     """Sink/source round-trips (§2.1): write_ndgeojson → read_ndgeojson
     (distributed, one Feature per line), write_geojson → read_geojson
-    (streamed FeatureCollection), plus the r4 NATIVE no-GDAL formats —
-    Shapefile (.shp/.shx/.dbf from the public ESRI spec) and GeoPackage
-    (stdlib sqlite3 per OGC 12-128r19) — areas re-derived after each
+    (streamed FeatureCollection), plus the NATIVE no-GDAL formats —
+    Shapefile (.shp/.shx/.dbf from the public ESRI spec), GeoPackage
+    (stdlib sqlite3 per OGC 12-128r19) and FlatGeobuf (hand-rolled
+    FlatBuffers wire format, r4b) — areas re-derived after each
     round-trip."""
+    from polars_st_spark.sources.flatgeobuf_io import read_flatgeobuf, write_flatgeobuf
     from polars_st_spark.sources.geojson_io import (
         read_geojson, read_ndgeojson, write_geojson, write_ndgeojson)
     from polars_st_spark.sources.geopackage_io import read_geopackage, write_geopackage
@@ -1248,10 +1250,12 @@ def q_geojson_io(spark, sf):
     fc_path = "/tmp/polars_st_gate_fc.geojson"
     shp_path = "/tmp/polars_st_gate_shp.shp"
     gpkg_path = "/tmp/polars_st_gate_gpkg.gpkg"
+    fgb_path = "/tmp/polars_st_gate_fgb.fgb"
     write_ndgeojson(r, nd_path)
     write_geojson(r, fc_path)
     write_shapefile(r, shp_path)
     write_geopackage(r, gpkg_path)
+    write_flatgeobuf(r, fgb_path)
     nd = read_ndgeojson(spark, nd_path).select(
         "n_nationkey", st.st_area("geometry").alias("nd_area"))
     fc = read_geojson(spark, fc_path).select(
@@ -1261,7 +1265,10 @@ def q_geojson_io(spark, sf):
         st.st_area("geometry").alias("shp_area"))
     gp = read_geopackage(spark, gpkg_path).select(
         "n_nationkey", st.st_area("geometry").alias("gpkg_area"))
-    return nd.join(fc, "n_nationkey").join(shp, "n_nationkey").join(gp, "n_nationkey")
+    fgb = read_flatgeobuf(spark, fgb_path).select(
+        "n_nationkey", st.st_area("geometry").alias("fgb_area"))
+    return (nd.join(fc, "n_nationkey").join(shp, "n_nationkey")
+            .join(gp, "n_nationkey").join(fgb, "n_nationkey"))
 
 
 def q_geoparquet_io(spark, sf):
@@ -2300,7 +2307,8 @@ def oracle_sql() -> dict[str, str]:
                    (x1-x0)*(y1-y0) AS nd_area,
                    (x1-x0)*(y1-y0) AS fc_area,
                    (x1-x0)*(y1-y0) AS shp_area,
-                   (x1-x0)*(y1-y0) AS gpkg_area
+                   (x1-x0)*(y1-y0) AS gpkg_area,
+                   (x1-x0)*(y1-y0) AS fgb_area
             FROM ({_ORACLE_NATION})""",
         "geoparquet_io": f"""
             SELECT c_custkey, x AS px, y AS py

@@ -2,9 +2,10 @@
 (reference: input.py:30-153, geodataframe.py:385-491) use GDAL via pyogrio,
 which is not present in this runtime. This module covers the formats that
 don't need GDAL natively — GeoJSON/ndjson/parquet, plus Shapefile
-(sources/shapefile_io.py, from the public ESRI spec) and GeoPackage
-(sources/geopackage_io.py, via the stdlib sqlite3) — and raises a clear
-error with the dependency name for the rest (FlatGeobuf, FileGDB, ...).
+(sources/shapefile_io.py, from the public ESRI spec), GeoPackage
+(sources/geopackage_io.py, via the stdlib sqlite3) and FlatGeobuf
+(sources/flatgeobuf_io.py, from the public FlatBuffers wire format) — and
+raises a clear error with the dependency name for the rest (FileGDB, ...).
 """
 
 from __future__ import annotations
@@ -15,7 +16,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 __all__ = ["read_file", "write_file", "from_geopandas", "to_geopandas"]
 
-_GDAL_EXTS = {".fgb", ".gdb", ".tab", ".kml", ".gml"}
+_GDAL_EXTS = {".gdb", ".tab", ".kml", ".gml"}
 
 
 def read_file(spark: SparkSession, path: str, geometry_name: str = "geometry") -> DataFrame:
@@ -45,6 +46,10 @@ def read_file(spark: SparkSession, path: str, geometry_name: str = "geometry") -
         from polars_st_spark.sources.geopackage_io import read_geopackage
 
         return read_geopackage(spark, path, geometry_name=geometry_name)
+    if ext == ".fgb":
+        from polars_st_spark.sources.flatgeobuf_io import read_flatgeobuf
+
+        return read_flatgeobuf(spark, path, geometry_name)
     if ext in _GDAL_EXTS:
         try:
             import pyogrio  # noqa: F401
@@ -79,6 +84,10 @@ def write_file(df: DataFrame, path: str, geometry_name: str = "geometry") -> Non
         from polars_st_spark.sources.geopackage_io import write_geopackage
 
         return write_geopackage(df, path, geometry_name=geometry_name)
+    if ext == ".fgb":
+        from polars_st_spark.sources.flatgeobuf_io import write_flatgeobuf
+
+        return write_flatgeobuf(df, path, geometry_name)
     if ext in _GDAL_EXTS:
         raise ImportError(
             f"Writing {ext} requires pyogrio/GDAL, not installed in this runtime "
