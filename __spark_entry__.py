@@ -1187,6 +1187,17 @@ def q_ragged_poly_suite(spark, sf):
         (F.round(st.st_x(cen), 6) + z).alias("cx_r"),
         (F.round(st.st_y(cen), 6) + z).alias("cy_r"),
         st.st_contains("poly", F.col("pt")).alias("inside"),
+        # r4b: vectorized ragged affine (coordinate byte-splice) — exact
+        # bound shifts under translate, centroid swap under flip, and area
+        # invariance under an own-centroid rotation (per-row origin path)
+        (F.round(st.st_bounds(st.st_translate("poly", 7.25, -3.5))[2], 6) + z)
+            .alias("t_xmax"),
+        (F.round(st.st_bounds(st.st_translate("poly", 7.25, -3.5))[1], 6) + z)
+            .alias("t_ymin"),
+        (F.round(st.st_x(st.st_centroid(st.st_flip_coordinates("poly"))), 6) + z)
+            .alias("flip_cx"),
+        (F.round(st.st_area(st.st_rotate("poly", 37.0, origin="centroid")), 4) + z)
+            .alias("rotc_area"),
     )
 
 
@@ -2192,7 +2203,13 @@ def oracle_sql() -> dict[str, str]:
                    ROUND(cy + r * GREATEST(sin(2*pi()*FLOOR(n/4.0)/n),
                                            sin(2*pi()*CEIL(n/4.0)/n)), 6) + 0.0 AS ymax_r,
                    ROUND(cx, 6) + 0.0 AS cx_r, ROUND(cy, 6) + 0.0 AS cy_r,
-                   (t > 0.25 AND t < 1.0) AS inside
+                   (t > 0.25 AND t < 1.0) AS inside,
+                   ROUND(cx + r + 7.25, 6) + 0.0 AS t_xmax,
+                   ROUND(cy + r * LEAST(sin(2*pi()*FLOOR(3*n/4.0)/n),
+                                        sin(2*pi()*CEIL(3*n/4.0)/n)) - 3.5, 6) + 0.0
+                       AS t_ymin,
+                   ROUND(cy, 6) + 0.0 AS flip_cx,
+                   ROUND(0.5 * n * r * r * sin(2*pi()/n) - r*r/4.0, 4) + 0.0 AS rotc_area
             FROM b""",
         "parts_access": f"""
             SELECT n_nationkey, 1 AS ir_n, 1 AS ir_arr_n, 5 AS np_n,

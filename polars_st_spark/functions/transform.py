@@ -103,7 +103,6 @@ def st_disjoint_subset_union(col, grid_size: float | None = None) -> Column:
     return unary_geom(lambda g: setops.unary_union(g, grid_size))(col_or_lit(col))
 st_envelope = _u(algos.envelope)
 st_boundary = _u(algos.boundary)
-st_flip_coordinates = _u(algos.flip_coordinates)
 st_force_2d = _u(algos.force_2d)
 st_reverse = _u(algos.reverse_geom)
 st_extract_unique_points = _u(algos.extract_unique_points)
@@ -129,13 +128,25 @@ def st_force_3d(col, z: float = 0.0) -> Column:
     return unary_geom(lambda g: algos.force_3d(g, z))(col_or_lit(col))
 
 
-def _point_affine_udf(make_xy, fallback_fn):
-    """Pandas UDF with a uniform-2D-point-batch fast path: apply the
-    elementwise ``make_xy(x, y) -> (x', y')`` map to the whole batch and
-    re-encode in one shot (same arithmetic order as the scalar kernels —
-    bit-identical results); anything else decodes per row. ``make_xy=None``
-    means the op is the identity on a bare point (rotate/scale/skew about
-    its own center) and the input bytes pass through."""
+def _point_affine_udf(make_xy, fallback_fn, origin=None):
+    """Pandas UDF applying an elementwise coordinate map to whole batches.
+
+    Fast paths, in order:
+    1. uniform 2-D point batch — ``make_xy(x, y)`` on the stacked arrays,
+       one-shot re-encode (``make_xy=None`` = identity on bare points:
+       rotate/scale/skew about the point's own center);
+    2. ragged (Multi)Polygon / (Multi)LineString batch (r4b) — parse to CSR
+       (geo/ragged.py), map the flat coordinate matrix, splice the new
+       coordinates over the original bytes (headers/counts reused verbatim,
+       O(rings) Python). ``origin="center"``/``"centroid"`` ops get their
+       per-ROW origins from the ragged bounds/centroid kernels (bit-identical
+       to the scalar ``_origin_xy``) expanded to per-vertex arrays, so even
+       own-center rotations of mixed polygon batches stay vectorized;
+    3. per-row scalar fallback for everything else (Z/M, collections).
+
+    The numpy expressions mirror geo/algos.py exactly — same elementwise
+    ops, same order — so all paths agree bitwise."""
+    from polars_st_spark.geo import ragged
     from polars_st_spark.geo.wkb import batch_uniform, header_info, points_to_ewkb
 
     @pandas_udf("binary")
@@ -143,13 +154,45 @@ def _point_affine_udf(make_xy, fallback_fn):
         if not s.isna().any() and len(s):
             fast = batch_uniform(s)
             if fast is not None and fast[0] == "point2d":
-                if make_xy is None:
-                    return s
+                if make_xy is None or origin in ("center", "centroid"):
+                    return s  # affine about a point's own center = identity
                 srid = header_info(bytes(s.iloc[0]))[3]
                 x2, y2 = make_xy(fast[1], fast[2])
                 return pd.Series(points_to_ewkb(
                     np.asarray(x2, dtype=np.float64),
                     np.asarray(y2, dtype=np.float64), srid=srid))
+        if make_xy is not None and len(s):
+            vals = s.to_numpy()
+            parsed = ragged.parse_polygonal(vals)
+            is_poly = parsed is not None
+            if parsed is None:
+                parsed = ragged.parse_lineal(vals)
+            if parsed is not None and len(parsed.coords):
+                x = parsed.coords[:, 0]
+                y = parsed.coords[:, 1]
+                if origin in ("center", "centroid"):
+                    counts = np.diff(parsed.row_start)
+                    if origin == "center":
+                        b = ragged.bounds(parsed)
+                        ox_r = (b[:, 0] + b[:, 2]) / 2.0
+                        oy_r = (b[:, 1] + b[:, 3]) / 2.0
+                        ok = True
+                    else:
+                        if not is_poly:
+                            ok = False  # line centroid is length-weighted
+                        else:
+                            ox_r, oy_r, okm = ragged.centroid(parsed)
+                            ok = bool(np.all(okm | (counts == 0)))
+                    if ok:
+                        ox = np.repeat(np.nan_to_num(ox_r), counts)
+                        oy = np.repeat(np.nan_to_num(oy_r), counts)
+                        x2, y2 = make_xy(x, y, ox, oy)
+                        return pd.Series(ragged.splice_coords(
+                            vals, parsed, np.column_stack([x2, y2])), dtype=object)
+                else:
+                    x2, y2 = make_xy(x, y)
+                    return pd.Series(ragged.splice_coords(
+                        vals, parsed, np.column_stack([x2, y2])), dtype=object)
         return pd.Series(
             [None if b is None else to_ewkb(fallback_fn(from_ewkb(bytes(b)))) for b in s],
             dtype=object,
@@ -166,6 +209,13 @@ def _origin_const(origin):
     if origin in ("center", "centroid"):
         return "self"
     return None
+
+
+def st_flip_coordinates(col) -> Column:
+    """Swap x/y — batch byte-splice on point/polygon/line batches."""
+    return _point_affine_udf(
+        lambda x, y: (y, x), algos.flip_coordinates
+    )(col_or_lit(col))
 
 
 def st_affine_transform(col, matrix) -> Column:
@@ -196,12 +246,16 @@ def st_rotate(col, angle: float, origin="center") -> Column:
     """Angle in degrees (reference: functions.rs:1508-1548)."""
     o = _origin_const(origin)
     fb = lambda g: algos.rotate(g, angle, origin)  # noqa: E731
+    rad = math.radians(angle)
+    ca, sa = math.cos(rad), math.sin(rad)
     if o == "self":
-        return _point_affine_udf(None, fb)(col_or_lit(col))
+        def mk_self(x, y, ox, oy):
+            dx, dy = x - ox, y - oy
+            return ox + ca * dx - sa * dy, oy + sa * dx + ca * dy
+
+        return _point_affine_udf(mk_self, fb, origin=origin)(col_or_lit(col))
     if o is not None:
         ox, oy = o
-        rad = math.radians(angle)
-        ca, sa = math.cos(rad), math.sin(rad)
 
         def mk(x, y):
             dx, dy = x - ox, y - oy
@@ -215,7 +269,10 @@ def st_scale(col, x: float = 1.0, y: float = 1.0, z: float = 1.0, origin="center
     o = _origin_const(origin)
     fb = lambda g: algos.scale(g, x, y, z, origin)  # noqa: E731
     if o == "self":
-        return _point_affine_udf(None, fb)(col_or_lit(col))
+        return _point_affine_udf(
+            lambda px, py, ox, oy: (ox + x * (px - ox), oy + y * (py - oy)),
+            fb, origin=origin,
+        )(col_or_lit(col))
     if o is not None:
         ox, oy = o
         return _point_affine_udf(
@@ -227,12 +284,16 @@ def st_scale(col, x: float = 1.0, y: float = 1.0, z: float = 1.0, origin="center
 def st_skew(col, x: float = 0.0, y: float = 0.0, origin="center") -> Column:
     o = _origin_const(origin)
     fb = lambda g: algos.skew(g, x, y, origin)  # noqa: E731
+    tx = math.tan(math.radians(x))
+    ty = math.tan(math.radians(y))
     if o == "self":
-        return _point_affine_udf(None, fb)(col_or_lit(col))
+        def mk_self(px, py, ox, oy):
+            dx, dy = px - ox, py - oy
+            return ox + dx + tx * dy, oy + ty * dx + dy
+
+        return _point_affine_udf(mk_self, fb, origin=origin)(col_or_lit(col))
     if o is not None:
         ox, oy = o
-        tx = math.tan(math.radians(x))
-        ty = math.tan(math.radians(y))
 
         def mk(px, py):
             dx, dy = px - ox, py - oy
@@ -1240,7 +1301,11 @@ def st_set_precision(col, grid_size: float, mode: str = "valid_output") -> Colum
 
         return g.map_coords(f)
 
-    return unary_geom(snap)(col_or_lit(col))
+    return _point_affine_udf(
+        lambda x, y: (np.round(x / grid_size) * grid_size,
+                      np.round(y / grid_size) * grid_size),
+        snap,
+    )(col_or_lit(col))
 
 
 def st_delaunay_triangles(col, tolerance: float = 0.0, only_edges: bool = False) -> Column:

@@ -71,7 +71,7 @@ class RaggedPolygons:
 
     __slots__ = (
         "n", "coords", "row_start", "ring_start", "ring_row", "ring_part",
-        "ring_hole", "part_row", "null_mask", "srid", "srid_uniform",
+        "ring_hole", "part_row", "null_mask", "srid", "srid_uniform", "spans",
     )
 
 
@@ -79,7 +79,7 @@ class RaggedLines:
     """CSR batch of (Multi)LineString rows: chains instead of rings."""
 
     __slots__ = ("n", "coords", "row_start", "chain_start", "chain_row",
-                 "null_mask", "srid", "srid_uniform")
+                 "null_mask", "srid", "srid_uniform", "spans")
 
 
 def _header(buf: bytes):
@@ -113,6 +113,7 @@ def parse_polygonal(bufs) -> RaggedPolygons | None:
     ring_part: list[int] = []
     ring_hole: list[bool] = []
     part_row: list[int] = []
+    spans: list[tuple[int, int, int, int]] = []  # (row, byte_off, flat_off, npts)
     null_mask = np.zeros(n, dtype=bool)
     srid0 = None
     srid_uniform = True
@@ -170,6 +171,7 @@ def parse_polygonal(bufs) -> RaggedPolygons | None:
                 if len(buf_) < p + 16 * npts:
                     return None
                 coord_parts.append(np.frombuffer(buf_, dtype="<f8", count=2 * npts, offset=p))
+                spans.append((i, p, total, npts))
                 p += 16 * npts
                 ring_counts.append(npts)
                 ring_row.append(i)
@@ -193,6 +195,7 @@ def parse_polygonal(bufs) -> RaggedPolygons | None:
     rp.null_mask = null_mask
     rp.srid = srid0 or 0
     rp.srid_uniform = srid_uniform
+    rp.spans = spans
     return rp
 
 
@@ -205,6 +208,7 @@ def parse_lineal(bufs) -> RaggedLines | None:
     row_start = np.zeros(n + 1, dtype=np.int64)
     chain_counts: list[int] = []
     chain_row: list[int] = []
+    spans: list[tuple[int, int, int, int]] = []  # (row, byte_off, flat_off, npts)
     null_mask = np.zeros(n, dtype=bool)
     srid0 = None
     srid_uniform = True
@@ -249,6 +253,7 @@ def parse_lineal(bufs) -> RaggedLines | None:
             if len(buf) < p + 16 * npts:
                 return None
             coord_parts.append(np.frombuffer(buf, dtype="<f8", count=2 * npts, offset=p))
+            spans.append((i, p, total, npts))
             chain_counts.append(npts)
             chain_row.append(i)
             total += npts
@@ -265,6 +270,7 @@ def parse_lineal(bufs) -> RaggedLines | None:
     rl.null_mask = null_mask
     rl.srid = srid0 or 0
     rl.srid_uniform = srid_uniform
+    rl.spans = spans
     return rl
 
 
@@ -519,3 +525,17 @@ def const_polygon_distance(g, px: np.ndarray, py: np.ndarray) -> np.ndarray | No
                     _seg_dist_point(px, py, rc[i, 0], rc[i, 1], rc[i + 1, 0], rc[i + 1, 1]),
                 )
     return np.where(inside, 0.0, best)
+
+
+def splice_coords(bufs, parsed, new_coords: np.ndarray) -> list:
+    """Rebuild each row's EWKB with ``new_coords`` (same (N, 2) layout as
+    ``parsed.coords``) spliced over the original coordinate bytes. Because
+    only coordinates change, every header/count/type byte is reused verbatim
+    — a batch affine transform is a byte copy plus one contiguous f8 write
+    per ring (O(rings) Python, zero per-vertex work). Works for both
+    RaggedPolygons and RaggedLines (only ``spans`` is used)."""
+    rows = [None if b is None else bytearray(bytes(b)) for b in bufs]
+    flat = np.ascontiguousarray(new_coords, dtype="<f8")
+    for row, boff, foff, npts in parsed.spans:
+        rows[row][boff : boff + 16 * npts] = flat[foff : foff + npts].tobytes()
+    return [None if r is None else bytes(r) for r in rows]

@@ -273,3 +273,80 @@ def test_ragged_distance_paths(spark, mixed_polys):
     exp = [3.0, 0.0, 1.0, 0.5, 10.0]  # in-hole rows measure to the hole ring
     for i, e in enumerate(exp):
         assert got2[i] == pytest.approx(e, abs=1e-12), i
+
+
+def test_ragged_affine_splice_bitwise_parity(spark):
+    """r4b coordinate byte-splice: every affine-family op must agree BITWISE
+    with the per-row scalar kernels on mixed ragged batches — polygons with
+    holes, multipolygons, lines, nulls — for const, center, and centroid
+    origins (the last two exercising the per-row origin expansion)."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    import polars_st_spark as st
+    from polars_st_spark.geo import algos
+    from polars_st_spark.geo.wkb import to_ewkb
+    from polars_st_spark.geo.wkt import from_wkt as gwkt
+
+    poly_wkts = [
+        "POLYGON ((0 0, 4 0, 4 4, 0 4, 0 0), (1 1, 2 1, 2 2, 1 2, 1 1))",
+        "MULTIPOLYGON (((0 0, 1 0, 1 1, 0 1, 0 0)), "
+        "((5 5, 6 5, 6 6, 5 6, 5 5), (5.2 5.2, 5.8 5.2, 5.8 5.8, 5.2 5.8, 5.2 5.2)))",
+        "POLYGON ((10 10, 20 10, 17 19, 10 16, 10 10))",
+        None,
+        "POLYGON ((0.1 0.2, 0.3 0.2, 0.25 0.37, 0.1 0.2))",
+    ]
+    line_wkts = [
+        "LINESTRING (0 0, 3 4, 7 1)",
+        "MULTILINESTRING ((0 0, 1 1), (2 2, 3 3, 4 4))",
+        None,
+        "LINESTRING (5 5, 6 8)",
+    ]
+    M = [1.1, 0.2, -0.3, 0.9, 10.0, -5.0]
+    ops = {
+        "translate": (st.st_translate("g", 2.5, -1.25),
+                      lambda gg: algos.translate(gg, 2.5, -1.25)),
+        "rot_const": (st.st_rotate("g", 33.0, origin=(1.0, 2.0)),
+                      lambda gg: algos.rotate(gg, 33.0, (1.0, 2.0))),
+        "rot_center": (st.st_rotate("g", 33.0, origin="center"),
+                       lambda gg: algos.rotate(gg, 33.0, "center")),
+        "scale_center": (st.st_scale("g", 2.0, 0.5, origin="center"),
+                         lambda gg: algos.scale(gg, 2.0, 0.5, origin="center")),
+        "affine": (st.st_affine_transform("g", M),
+                   lambda gg: algos.affine_transform(gg, M)),
+        "flip": (st.st_flip_coordinates("g"), algos.flip_coordinates),
+    }
+    poly_only = {
+        "rot_centroid": (st.st_rotate("g", 33.0, origin="centroid"),
+                         lambda gg: algos.rotate(gg, 33.0, "centroid")),
+        "skew_centroid": (st.st_skew("g", 10.0, 5.0, origin="centroid"),
+                          lambda gg: algos.skew(gg, 10.0, 5.0, origin="centroid")),
+    }
+
+    def snap_scalar(gg):
+        def f(arr):
+            out = arr.copy()
+            out[:, :2] = np.round(arr[:, :2] / 0.5) * 0.5
+            return out
+        return gg.map_coords(f)
+
+    for wkts, extra in ((poly_wkts, poly_only), (line_wkts, {})):
+        all_ops = dict(ops, precision=(st.st_set_precision("g", 0.5), snap_scalar),
+                       **extra)
+        df = spark.createDataFrame(
+            [(i, w) for i, w in enumerate(wkts)], ["id", "wkt"])
+        base = df.select("id", F.when(
+            F.col("wkt").isNotNull(),
+            st.st_set_srid(st.st_from_wkt("wkt"), 4326)).alias("g"))
+        rows = base.select(
+            "id", *[c.alias(k) for k, (c, _) in all_ops.items()]
+        ).orderBy("id").collect()
+        for i, w in enumerate(wkts):
+            for k, (_, fn) in all_ops.items():
+                got = rows[i][k]
+                if w is None:
+                    assert got is None, (k, i)
+                    continue
+                src = gwkt(w)
+                src.srid = 4326
+                assert bytes(got) == to_ewkb(fn(src)), (k, i)
