@@ -1462,6 +1462,31 @@ def st_to_srid(col, srid: int) -> Column:
                         arr = np.stack([fast[1], fast[2]], axis=1)
                         out = f(arr.copy())
                         return pd.Series(points_to_ewkb(out[:, 0], out[:, 1], srid=srid))
+        if len(s):
+            # ragged (multi)polygon / line batches (r4b): one projection call
+            # over the whole flat coordinate matrix, coordinates spliced back
+            # over the original bytes, SRID header word patched per row. The
+            # pipelines are elementwise, so this is bit-identical to the
+            # scalar map_coords path.
+            from polars_st_spark.geo import ragged
+
+            vals = s.to_numpy()
+            parsed = ragged.parse_polygonal(vals) or ragged.parse_lineal(vals)
+            if (
+                parsed is not None
+                and parsed.srid_uniform
+                and parsed.srid
+                and not parsed.child_srid
+            ):
+                if parsed.srid == srid:
+                    return s
+                f = _lookup_transform(parsed.srid, srid)
+                if f is not None:
+                    out = f(parsed.coords.copy())
+                    return pd.Series(
+                        ragged.splice_coords(vals, parsed, out, set_srid=srid),
+                        dtype=object,
+                    )
         from polars_st_spark.geo.wkb import from_ewkb, to_ewkb
 
         return pd.Series(

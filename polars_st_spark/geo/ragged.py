@@ -72,6 +72,7 @@ class RaggedPolygons:
     __slots__ = (
         "n", "coords", "row_start", "ring_start", "ring_row", "ring_part",
         "ring_hole", "part_row", "null_mask", "srid", "srid_uniform", "spans",
+        "child_srid",
     )
 
 
@@ -79,7 +80,7 @@ class RaggedLines:
     """CSR batch of (Multi)LineString rows: chains instead of rings."""
 
     __slots__ = ("n", "coords", "row_start", "chain_start", "chain_row",
-                 "null_mask", "srid", "srid_uniform", "spans")
+                 "null_mask", "srid", "srid_uniform", "spans", "child_srid")
 
 
 def _header(buf: bytes):
@@ -117,6 +118,7 @@ def parse_polygonal(bufs) -> RaggedPolygons | None:
     null_mask = np.zeros(n, dtype=bool)
     srid0 = None
     srid_uniform = True
+    child_srid = False
     total = 0
     part_id = 0
     unpack = struct.unpack_from
@@ -148,6 +150,8 @@ def parse_polygonal(bufs) -> RaggedPolygons | None:
                 (craw,) = unpack("<I", buf, pos + 1)
                 if craw & (_Z_FLAG | _M_FLAG):
                     return None
+                if craw & _SRID_FLAG:
+                    child_srid = True
                 cpos = pos + 5 + (4 if craw & _SRID_FLAG else 0)
                 if (craw & 0x0FFFFFFF) != GeometryType.Polygon:
                     return None
@@ -196,6 +200,7 @@ def parse_polygonal(bufs) -> RaggedPolygons | None:
     rp.srid = srid0 or 0
     rp.srid_uniform = srid_uniform
     rp.spans = spans
+    rp.child_srid = child_srid
     return rp
 
 
@@ -212,6 +217,7 @@ def parse_lineal(bufs) -> RaggedLines | None:
     null_mask = np.zeros(n, dtype=bool)
     srid0 = None
     srid_uniform = True
+    child_srid = False
     total = 0
     unpack = struct.unpack_from
     for i, buf in enumerate(rows):
@@ -241,6 +247,8 @@ def parse_lineal(bufs) -> RaggedLines | None:
                 (craw,) = unpack("<I", buf, pos + 1)
                 if craw & (_Z_FLAG | _M_FLAG) or (craw & 0x0FFFFFFF) != GeometryType.LineString:
                     return None
+                if craw & _SRID_FLAG:
+                    child_srid = True
                 cpos = pos + 5 + (4 if craw & _SRID_FLAG else 0)
                 chains.append(cpos)
                 (npts,) = unpack("<I", buf, cpos)
@@ -271,6 +279,7 @@ def parse_lineal(bufs) -> RaggedLines | None:
     rl.srid = srid0 or 0
     rl.srid_uniform = srid_uniform
     rl.spans = spans
+    rl.child_srid = child_srid
     return rl
 
 
@@ -527,15 +536,24 @@ def const_polygon_distance(g, px: np.ndarray, py: np.ndarray) -> np.ndarray | No
     return np.where(inside, 0.0, best)
 
 
-def splice_coords(bufs, parsed, new_coords: np.ndarray) -> list:
+def splice_coords(bufs, parsed, new_coords: np.ndarray, set_srid: int | None = None) -> list:
     """Rebuild each row's EWKB with ``new_coords`` (same (N, 2) layout as
     ``parsed.coords``) spliced over the original coordinate bytes. Because
     only coordinates change, every header/count/type byte is reused verbatim
     — a batch affine transform is a byte copy plus one contiguous f8 write
     per ring (O(rings) Python, zero per-vertex work). Works for both
-    RaggedPolygons and RaggedLines (only ``spans`` is used)."""
+    RaggedPolygons and RaggedLines (only ``spans`` is used).
+
+    ``set_srid`` overwrites the top-level header SRID word (callers must
+    ensure every non-null row carries the SRID flag — true whenever
+    ``parsed.srid_uniform`` and ``parsed.srid != 0``)."""
     rows = [None if b is None else bytearray(bytes(b)) for b in bufs]
     flat = np.ascontiguousarray(new_coords, dtype="<f8")
     for row, boff, foff, npts in parsed.spans:
         rows[row][boff : boff + 16 * npts] = flat[foff : foff + npts].tobytes()
+    if set_srid is not None:
+        srid_word = struct.pack("<I", set_srid)
+        for r in rows:
+            if r is not None:
+                r[5:9] = srid_word
     return [None if r is None else bytes(r) for r in rows]

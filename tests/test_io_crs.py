@@ -17,11 +17,11 @@ def test_file_dispatch_roundtrip(spark, tmp_path):
 
 
 def test_file_dispatch_gdal_error(spark, tmp_path):
-    # .shp/.gpkg are native since r4 (shapefile_io/geopackage_io); only the
-    # remaining GDAL-bound formats raise
+    # .shp/.gpkg/.fgb are native since r4 (shapefile_io/geopackage_io/
+    # flatgeobuf_io); only the remaining GDAL-bound formats raise
     df = st.geodataframe(spark.createDataFrame([(1, "POINT (1 2)")], ["id", "geometry"]))
     with pytest.raises(ImportError, match="pyogrio"):
-        write_file(df, str(tmp_path / "out.fgb"))
+        write_file(df, str(tmp_path / "out.kml"))
     with pytest.raises(ImportError, match="pyogrio"):
         read_file(spark, str(tmp_path / "missing.gdb"))
 

@@ -350,3 +350,40 @@ def test_ragged_affine_splice_bitwise_parity(spark):
                 src = gwkt(w)
                 src.srid = 4326
                 assert bytes(got) == to_ewkb(fn(src)), (k, i)
+
+
+def test_ragged_to_srid_bitwise_parity(spark):
+    """r4b: batch reprojection of ragged polygon/line batches must agree
+    BITWISE with the scalar map_coords path, including the header SRID
+    patch, across Mercator / datum-shifted TM / LCC targets."""
+    from pyspark.sql import functions as F
+
+    import polars_st_spark as st
+    from polars_st_spark.functions.transform import _lookup_transform
+    from polars_st_spark.geo.wkb import to_ewkb
+    from polars_st_spark.geo.wkt import from_wkt as gwkt
+
+    wkts = [
+        "POLYGON ((-1 50.5, 1 50.5, 1.5 52, -0.5 52.5, -1 50.5),"
+        " (-0.2 51.2, 0.2 51.2, 0.2 51.6, -0.2 51.6, -0.2 51.2))",
+        "MULTIPOLYGON (((2 48, 3 48, 3 49, 2 49, 2 48)))",
+        None,
+        "LINESTRING (-0.5 51.0, 0.5 51.4, 1.2 52.1)",
+    ]
+    for dst in (3857, 27700, 2154):
+        df = spark.createDataFrame([(i, w) for i, w in enumerate(wkts)], ["id", "wkt"])
+        base = df.select("id", F.when(
+            F.col("wkt").isNotNull(),
+            st.st_set_srid(st.st_from_wkt("wkt"), 4326)).alias("g"))
+        # polygons and lines can't share one ragged batch — project per type
+        rows = base.select("id", st.st_to_srid("g", dst).alias("p")).orderBy("id").collect()
+        for i, w in enumerate(wkts):
+            got = rows[i]["p"]
+            if w is None:
+                assert got is None
+                continue
+            src = gwkt(w)
+            src.srid = 4326
+            f = _lookup_transform(4326, dst)
+            exp = to_ewkb(src.map_coords(f).with_srid(dst))
+            assert bytes(got) == exp, (dst, i)
