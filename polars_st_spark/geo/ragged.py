@@ -104,7 +104,160 @@ def _header(buf: bytes):
 
 def parse_polygonal(bufs) -> RaggedPolygons | None:
     """Parse a batch where every non-null row is a little-endian 2-D
-    Polygon or MultiPolygon. Returns None (caller falls back) otherwise."""
+    Polygon or MultiPolygon. Returns None (caller falls back) otherwise.
+
+    All-single-part batches (the common shape) go through
+    :func:`_parse_polygonal_vec` — structure words gathered with numpy, one
+    fancy-indexed byte gather for all coordinates, zero per-ring Python.
+    Batches containing MultiPolygons use the per-ring loop below."""
+    fast = _parse_polygonal_vec(bufs)
+    if fast is not _LOOP:
+        return fast
+    return _parse_polygonal_loop(bufs)
+
+
+_LOOP = object()  # sentinel: shape unsupported by the vectorized scan
+
+
+def _u32_at(u8: np.ndarray, off: np.ndarray) -> np.ndarray:
+    """Gather little-endian u32 values at arbitrary byte offsets."""
+    o = off.astype(np.int64)
+    return (
+        u8[o].astype(np.int64)
+        | (u8[o + 1].astype(np.int64) << 8)
+        | (u8[o + 2].astype(np.int64) << 16)
+        | (u8[o + 3].astype(np.int64) << 24)
+    )
+
+
+def _gather_rings(u8, order_off, order_npts):
+    """One coordinate matrix from per-ring byte spans (ragged arange +
+    a single fancy-index byte gather, then an f8 view)."""
+    sizes = order_npts * 16
+    total = int(sizes.sum())
+    if not total:
+        return np.empty((0, 2))
+    starts = np.cumsum(sizes) - sizes
+    # one repeat: arange relative to each ring's flat start, shifted to its
+    # byte offset in the concat buffer
+    idx = np.arange(total, dtype=np.int64) + np.repeat(order_off - starts, sizes)
+    return u8[idx].view("<f8").reshape(-1, 2)
+
+
+def _parse_polygonal_vec(bufs):
+    """Vectorized scan for batches of single-part 2-D Polygons. Returns a
+    RaggedPolygons, None (not polygonal at all), or _LOOP (MultiPolygon
+    present / malformed edge — use the per-ring loop)."""
+    rows = [None if b is None else bytes(b) for b in bufs]
+    n = len(rows)
+    null_mask = np.array([b is None for b in rows], dtype=bool)
+    nn = np.nonzero(~null_mask)[0]
+    if not len(nn):
+        rp = RaggedPolygons()
+        rp.n = n
+        rp.coords = np.empty((0, 2))
+        rp.row_start = np.zeros(n + 1, dtype=np.int64)
+        rp.ring_start = np.zeros(1, dtype=np.int64)
+        rp.ring_row = np.zeros(0, dtype=np.int64)
+        rp.ring_part = np.zeros(0, dtype=np.int64)
+        rp.ring_hole = np.zeros(0, dtype=bool)
+        rp.part_row = np.zeros(0, dtype=np.int64)
+        rp.null_mask = null_mask
+        rp.srid = 0
+        rp.srid_uniform = True
+        rp.spans = _EMPTY_SPANS
+        rp.child_srid = False
+        return rp
+    lens = np.array([len(rows[i]) for i in nn], dtype=np.int64)
+    if lens.min() < 9:
+        return None
+    concat = b"".join(rows[i] for i in nn)
+    u8 = np.frombuffer(concat, dtype=np.uint8)
+    starts = np.zeros(len(nn), dtype=np.int64)
+    starts[1:] = np.cumsum(lens)[:-1]
+    row_end = starts + lens
+    if (u8[starts] != 1).any():
+        return None
+    typ = _u32_at(u8, starts + 1)
+    if ((typ & (_Z_FLAG | _M_FLAG)) != 0).any():
+        return None
+    base = typ & 0x0FFFFFFF
+    if (base >= 1000).any():
+        return None
+    is_poly = base == GeometryType.Polygon
+    if not is_poly.all():
+        if ((base == GeometryType.MultiPolygon) | is_poly).all():
+            return _LOOP  # MultiPolygon rows: per-ring loop handles parts
+        return None
+    has_srid = (typ & _SRID_FLAG) != 0
+    srid_raw = _u32_at(u8, starts + 5)  # only meaningful where has_srid
+    srids = np.where(has_srid, srid_raw, 0)
+    srid0 = int(srids[0])
+    srid_uniform = bool((srids == srid0).all())
+    data_pos = starts + 5 + 4 * has_srid.astype(np.int64)
+    if (data_pos + 4 > row_end).any():
+        return _LOOP
+    nrings = _u32_at(u8, data_pos)
+    max_r = int(nrings.max()) if len(nrings) else 0
+    pos = data_pos + 4
+    lv_row, lv_j, lv_off, lv_npts = [], [], [], []
+    for j in range(max_r):
+        act = np.nonzero(nrings > j)[0]
+        pa = pos[act]
+        if (pa + 4 > row_end[act]).any():
+            return _LOOP
+        npts = _u32_at(u8, pa)
+        if (pa + 4 + 16 * npts > row_end[act]).any():
+            return _LOOP
+        lv_row.append(act)
+        lv_j.append(np.full(len(act), j, dtype=np.int64))
+        lv_off.append(pa + 4)
+        lv_npts.append(npts)
+        pos = pos.copy()
+        pos[act] = pa + 4 + 16 * npts
+    if max_r:
+        rrow = np.concatenate(lv_row)   # index into nn (non-null ordinal)
+        rj = np.concatenate(lv_j)
+        roff = np.concatenate(lv_off)   # concat-relative coord byte offset
+        rn = np.concatenate(lv_npts)
+        order = np.lexsort((rj, rrow))  # row-major, rings in order
+        rrow, rj, roff, rn = rrow[order], rj[order], roff[order], rn[order]
+    else:
+        rrow = rj = roff = rn = np.zeros(0, dtype=np.int64)
+    coords = _gather_rings(u8, roff, rn)
+    abs_row = nn[rrow] if len(rrow) else rrow  # batch row index per ring
+    rp = RaggedPolygons()
+    rp.n = n
+    rp.coords = coords
+    per_row_pts = np.zeros(n, dtype=np.int64)
+    if len(rrow):
+        np.add.at(per_row_pts, abs_row, rn)
+    rp.row_start = np.zeros(n + 1, dtype=np.int64)
+    rp.row_start[1:] = np.cumsum(per_row_pts)
+    rp.ring_start = np.concatenate([[0], np.cumsum(rn)]).astype(np.int64)
+    rp.ring_row = abs_row.astype(np.int64)
+    # single-part: one part per non-null row (loop parity: empty polygons
+    # still consume a part id), parts in row order
+    rp.part_row = nn.astype(np.int64)
+    rp.ring_part = rrow.astype(np.int64)
+    rp.ring_hole = rj > 0
+    rp.null_mask = null_mask
+    rp.srid = srid0
+    rp.srid_uniform = srid_uniform
+    rp.child_srid = False
+    if len(rrow):
+        rp.spans = (abs_row, roff - starts[rrow], rp.ring_start[:-1], rn)
+    else:
+        rp.spans = _EMPTY_SPANS
+    return rp
+
+
+_EMPTY_SPANS = (np.zeros(0, dtype=np.int64),) * 4
+
+
+def _parse_polygonal_loop(bufs) -> RaggedPolygons | None:
+    """Per-ring loop parse (handles MultiPolygons; structure words read in
+    Python, coordinates bulk-copied per ring)."""
     rows = [None if b is None else bytes(b) for b in bufs]
     n = len(rows)
     coord_parts: list[np.ndarray] = []
@@ -199,14 +352,87 @@ def parse_polygonal(bufs) -> RaggedPolygons | None:
     rp.null_mask = null_mask
     rp.srid = srid0 or 0
     rp.srid_uniform = srid_uniform
-    rp.spans = spans
+    rp.spans = _spans_arrays(spans)
     rp.child_srid = child_srid
     return rp
 
 
 def parse_lineal(bufs) -> RaggedLines | None:
     """Parse a batch where every non-null row is a little-endian 2-D
-    LineString or MultiLineString."""
+    LineString or MultiLineString. All-LineString batches use the
+    vectorized scan; MultiLineStrings take the per-chain loop."""
+    fast = _parse_lineal_vec(bufs)
+    if fast is not _LOOP:
+        return fast
+    return _parse_lineal_loop(bufs)
+
+
+def _parse_lineal_vec(bufs):
+    """Vectorized scan for batches of plain 2-D LineStrings (a LineString
+    body is exactly one chain: u32 npts + coords at the data position)."""
+    rows = [None if b is None else bytes(b) for b in bufs]
+    n = len(rows)
+    null_mask = np.array([b is None for b in rows], dtype=bool)
+    nn = np.nonzero(~null_mask)[0]
+    rl = RaggedLines()
+    rl.n = n
+    rl.null_mask = null_mask
+    rl.child_srid = False
+    if not len(nn):
+        rl.coords = np.empty((0, 2))
+        rl.row_start = np.zeros(n + 1, dtype=np.int64)
+        rl.chain_start = np.zeros(1, dtype=np.int64)
+        rl.chain_row = np.zeros(0, dtype=np.int64)
+        rl.srid = 0
+        rl.srid_uniform = True
+        rl.spans = _EMPTY_SPANS
+        return rl
+    lens = np.array([len(rows[i]) for i in nn], dtype=np.int64)
+    if lens.min() < 9:
+        return None
+    concat = b"".join(rows[i] for i in nn)
+    u8 = np.frombuffer(concat, dtype=np.uint8)
+    starts = np.zeros(len(nn), dtype=np.int64)
+    starts[1:] = np.cumsum(lens)[:-1]
+    row_end = starts + lens
+    if (u8[starts] != 1).any():
+        return None
+    typ = _u32_at(u8, starts + 1)
+    if ((typ & (_Z_FLAG | _M_FLAG)) != 0).any():
+        return None
+    base = typ & 0x0FFFFFFF
+    if (base >= 1000).any():
+        return None
+    is_line = base == GeometryType.LineString
+    if not is_line.all():
+        if ((base == GeometryType.MultiLineString) | is_line).all():
+            return _LOOP
+        return None
+    has_srid = (typ & _SRID_FLAG) != 0
+    srids = np.where(has_srid, _u32_at(u8, starts + 5), 0)
+    srid0 = int(srids[0])
+    data_pos = starts + 5 + 4 * has_srid.astype(np.int64)
+    if (data_pos + 4 > row_end).any():
+        return _LOOP
+    npts = _u32_at(u8, data_pos)
+    if (data_pos + 4 + 16 * npts > row_end).any():
+        return _LOOP
+    off = data_pos + 4
+    rl.coords = _gather_rings(u8, off, npts)
+    rl.row_start = np.zeros(n + 1, dtype=np.int64)
+    per_row = np.zeros(n, dtype=np.int64)
+    per_row[nn] = npts
+    rl.row_start[1:] = np.cumsum(per_row)
+    rl.chain_start = np.concatenate([[0], np.cumsum(npts)]).astype(np.int64)
+    rl.chain_row = nn.astype(np.int64)
+    rl.srid = srid0
+    rl.srid_uniform = bool((srids == srid0).all())
+    rl.spans = (nn.astype(np.int64), off - starts, rl.chain_start[:-1], npts)
+    return rl
+
+
+def _parse_lineal_loop(bufs) -> RaggedLines | None:
+    """Per-chain loop parse (handles MultiLineStrings)."""
     rows = [None if b is None else bytes(b) for b in bufs]
     n = len(rows)
     coord_parts: list[np.ndarray] = []
@@ -278,7 +504,7 @@ def parse_lineal(bufs) -> RaggedLines | None:
     rl.null_mask = null_mask
     rl.srid = srid0 or 0
     rl.srid_uniform = srid_uniform
-    rl.spans = spans
+    rl.spans = _spans_arrays(spans)
     rl.child_srid = child_srid
     return rl
 
@@ -536,6 +762,15 @@ def const_polygon_distance(g, px: np.ndarray, py: np.ndarray) -> np.ndarray | No
     return np.where(inside, 0.0, best)
 
 
+def _spans_arrays(spans: list) -> tuple:
+    """(row, byte_off, flat_off, npts) parallel int64 arrays from the loop
+    parsers' tuple list (the vectorized parser builds them directly)."""
+    if not spans:
+        return _EMPTY_SPANS
+    a = np.array(spans, dtype=np.int64)
+    return a[:, 0], a[:, 1], a[:, 2], a[:, 3]
+
+
 def splice_coords(bufs, parsed, new_coords: np.ndarray, set_srid: int | None = None) -> list:
     """Rebuild each row's EWKB with ``new_coords`` (same (N, 2) layout as
     ``parsed.coords``) spliced over the original coordinate bytes. Because
@@ -549,7 +784,7 @@ def splice_coords(bufs, parsed, new_coords: np.ndarray, set_srid: int | None = N
     ``parsed.srid_uniform`` and ``parsed.srid != 0``)."""
     rows = [None if b is None else bytearray(bytes(b)) for b in bufs]
     flat = np.ascontiguousarray(new_coords, dtype="<f8")
-    for row, boff, foff, npts in parsed.spans:
+    for row, boff, foff, npts in zip(*parsed.spans):
         rows[row][boff : boff + 16 * npts] = flat[foff : foff + npts].tobytes()
     if set_srid is not None:
         srid_word = struct.pack("<I", set_srid)

@@ -387,3 +387,58 @@ def test_ragged_to_srid_bitwise_parity(spark):
             f = _lookup_transform(4326, dst)
             exp = to_ewkb(src.map_coords(f).with_srid(dst))
             assert bytes(got) == exp, (dst, i)
+
+
+def test_vectorized_parse_equals_loop_parse():
+    """r4b numpy-scan parsers: field-by-field identical CSR output to the
+    per-ring loop parsers on single-part batches (holes, nulls, empties,
+    SRIDs), and _LOOP dispatch when a Multi row appears."""
+    from polars_st_spark.geo.wkb import to_ewkb
+
+    rng = np.random.RandomState(7)
+    bufs = []
+    for i in range(300):
+        if i % 11 == 0:
+            bufs.append(None)
+            continue
+        if i % 13 == 0:
+            bufs.append(to_ewkb(Geometry(GeometryType.Polygon, srid=4326, rings=[])))
+            continue
+        g = _mk_poly(rng, rng.randint(3, 9), rng.uniform(-50, 50),
+                     rng.uniform(-50, 50), rng.uniform(0.5, 10), hole=i % 3 == 0)
+        g.srid = 4326
+        bufs.append(to_ewkb(g))
+    fast = ragged._parse_polygonal_vec(bufs)
+    slow = ragged._parse_polygonal_loop(bufs)
+    assert fast is not ragged._LOOP and fast is not None
+    for attr in ("n", "srid", "srid_uniform", "child_srid"):
+        assert getattr(fast, attr) == getattr(slow, attr), attr
+    for attr in ("row_start", "ring_start", "ring_row", "ring_part",
+                 "ring_hole", "part_row", "null_mask"):
+        assert np.array_equal(getattr(fast, attr), getattr(slow, attr)), attr
+    assert np.array_equal(fast.coords, slow.coords)
+    for a, b in zip(fast.spans, slow.spans):
+        assert np.array_equal(a, b)
+
+    multi = Geometry(GeometryType.MultiPolygon, srid=4326, geoms=[
+        _mk_poly(rng, 4, 0, 0, 1)])
+    assert ragged._parse_polygonal_vec(bufs + [to_ewkb(multi)]) is ragged._LOOP
+    assert ragged.parse_polygonal(bufs + [to_ewkb(multi)]) is not None
+
+    # lineal
+    lbufs = []
+    for i in range(200):
+        if i % 9 == 0:
+            lbufs.append(None)
+            continue
+        pts = rng.rand(2 + i % 5, 2) * 100
+        lbufs.append(to_ewkb(Geometry(GeometryType.LineString, srid=3857, coords=pts)))
+    lf = ragged._parse_lineal_vec(lbufs)
+    ls = ragged._parse_lineal_loop(lbufs)
+    for attr in ("n", "srid", "srid_uniform"):
+        assert getattr(lf, attr) == getattr(ls, attr), attr
+    for attr in ("row_start", "chain_start", "chain_row", "null_mask"):
+        assert np.array_equal(getattr(lf, attr), getattr(ls, attr)), attr
+    assert np.array_equal(lf.coords, ls.coords)
+    for a, b in zip(lf.spans, ls.spans):
+        assert np.array_equal(a, b)
