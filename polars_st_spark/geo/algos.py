@@ -1617,21 +1617,41 @@ def _is_axis_rect(g: Geometry) -> bool:
 
 
 def offset_curve(g: Geometry, dist: float, quad_segs: int = 8, join_style: str = "round", mitre_limit: float = 5.0) -> Geometry:
-    """Parallel offset: per-segment offsets joined with arcs on outside turns
-    and line-intersection (miter) on inside turns (reference:
-    functions.rs:1302-1317; GEOS round-join semantics). Positive distance =
-    left of the line direction."""
+    """Parallel offset: per-segment offsets joined per ``join_style`` on
+    outside turns (round = arc, mitre = limited miter, bevel = straight
+    corner) and line-intersection trimming on inside turns (reference:
+    functions.rs:1302-1317; GEOS OffsetCurve semantics). Positive distance =
+    left of the line direction. Every chain of a MultiLineString is offset
+    (r4b); documented deviation: the raw curve is not globally re-noded, so
+    loops from distant self-intersections are kept as drawn."""
     chains = list(_iter_chains(g))
     if not chains or dist == 0:
         if chains and dist == 0:
-            return Geometry(GeometryType.LineString, srid=g.srid, coords=chains[0][:, :2].copy())
+            parts = [Geometry(GeometryType.LineString, srid=g.srid, coords=ch[:, :2].copy())
+                     for ch in chains]
+            return parts[0] if len(parts) == 1 else Geometry(
+                GeometryType.MultiLineString, srid=g.srid, geoms=parts)
         return Geometry(GeometryType.LineString, srid=g.srid, coords=np.empty((0, 2)))
-    c = chains[0][:, :2]
+    parts = [_offset_chain(ch[:, :2], dist, quad_segs, join_style, mitre_limit)
+             for ch in chains]
+    parts = [c for c in parts if len(c)]
+    if not parts:
+        return Geometry(GeometryType.LineString, srid=g.srid, coords=np.empty((0, 2)))
+    if len(parts) == 1:
+        return Geometry(GeometryType.LineString, srid=g.srid, coords=parts[0])
+    return Geometry(
+        GeometryType.MultiLineString, srid=g.srid,
+        geoms=[Geometry(GeometryType.LineString, srid=g.srid, coords=c) for c in parts],
+    )
+
+
+def _offset_chain(c: np.ndarray, dist: float, quad_segs: int, join_style: str,
+                  mitre_limit: float) -> np.ndarray:
     # collapse repeated points
     keep = [0] + [i for i in range(1, len(c)) if not np.allclose(c[i], c[i - 1])]
     c = c[keep]
     if len(c) < 2:
-        return Geometry(GeometryType.LineString, srid=g.srid, coords=np.empty((0, 2)))
+        return np.empty((0, 2))
     # per-segment left normals and offset endpoints
     segs = []
     for i in range(len(c) - 1):
@@ -1648,6 +1668,9 @@ def offset_curve(g: Geometry, dist: float, quad_segs: int = 8, join_style: str =
         outside = (dist > 0 and z < 0) or (dist < 0 and z > 0)
         if np.allclose(b_prev, a_next):
             out.append(b_prev)
+        elif outside and join_style == "bevel":
+            out.append(b_prev)
+            out.append(a_next)
         elif outside and join_style == "round":
             # arc around the vertex from b_prev to a_next
             a0 = math.atan2(b_prev[1] - v[1], b_prev[0] - v[0])
@@ -1685,7 +1708,7 @@ def offset_curve(g: Geometry, dist: float, quad_segs: int = 8, join_style: str =
     for p in out[1:]:
         if not np.allclose(p, final[-1]):
             final.append(p)
-    return Geometry(GeometryType.LineString, srid=g.srid, coords=np.array(final))
+    return np.array(final)
 
 
 def total_bounds_merge(bounds_list) -> list[float]:

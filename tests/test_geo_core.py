@@ -348,3 +348,37 @@ def test_srid_preserved_through_ops():
     assert algos.translate(g, 1, 1).srid == 4326
     i = setops.intersection(g, from_ewkt("SRID=4326;POLYGON ((2 2, 6 2, 6 6, 2 6, 2 2))"))
     assert i.srid == 4326
+
+
+def test_offset_curve_joins_and_multichain():
+    """r4b: offset_curve offsets EVERY chain of a MultiLineString, and the
+    outside-turn join honors round (arc), mitre (limited miter), and bevel
+    (straight corner) exactly on a right angle."""
+    import numpy as np
+
+    from polars_st_spark.geo import algos
+    from polars_st_spark.geo.types import GeometryType
+    from polars_st_spark.geo.wkt import from_wkt
+
+    m = from_wkt("MULTILINESTRING ((0 0, 10 0), (0 5, 10 5))")
+    o = algos.offset_curve(m, 1.0)
+    assert o.type_id == GeometryType.MultiLineString and len(o.geoms) == 2
+    assert np.allclose(o.geoms[0].coords, [[0, 1], [10, 1]])
+    assert np.allclose(o.geoms[1].coords, [[0, 6], [10, 6]])
+
+    L = from_wkt("LINESTRING (0 0, 10 0, 10 10)")
+    bev = algos.offset_curve(L, -1.0, join_style="bevel")
+    assert np.allclose(bev.coords, [[0, -1], [10, -1], [11, 0], [11, 10]])
+    # bevel length is exact: 10 + sqrt(2) + 10
+    d = np.diff(bev.coords, axis=0)
+    assert np.hypot(d[:, 0], d[:, 1]).sum() == pytest.approx(20 + np.sqrt(2))
+    mit = algos.offset_curve(L, -1.0, join_style="mitre")
+    assert np.allclose(mit.coords, [[0, -1], [11, -1], [11, 10]])
+    rnd = algos.offset_curve(L, -1.0, join_style="round", quad_segs=8)
+    assert len(rnd.coords) > 5  # quarter arc inserted
+    # arc points stay on the offset circle around the corner
+    arc = rnd.coords[2:-2]
+    assert np.allclose(np.hypot(arc[:, 0] - 10, arc[:, 1]), 1.0)
+    # inside turn trims to the line intersection regardless of style
+    ins = algos.offset_curve(L, 1.0, join_style="round")
+    assert np.allclose(ins.coords, [[0, 1], [9, 1], [9, 10]])
