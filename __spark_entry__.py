@@ -578,7 +578,9 @@ def q_exact_dedup(spark, sf):
 
 def q_simhash_dups(spark, sf):
     """SimHash near-dup pairs at hamming ≤ 6 via pigeonhole chunk LSH.
-    Rows-only: the 32-bit simhash is engine-defined, not SQL-expressible."""
+    Oracled (r4b): the md5-derived simhash is DuckDB-expressible (same CTE
+    as the `simhash` row), so the exact all-pairs bit_count(xor) join
+    certifies the chunk-LSH pair set value-by-value."""
     docs = spark.read.parquet(f"{sf}/documents.parquet")
     return _dedup.simhash_dup_pairs(docs, max_hamming=6).orderBy("id_a", "id_b")
 
@@ -2013,6 +2015,7 @@ def oracle_sql() -> dict[str, str]:
                      s -> ('0x' || substr(md5('0:' || s), 1, 8))::BIGINT)) AS fp
             FROM documents""",
         "simhash": _oracle_simhash(),
+        "simhash_dups": _oracle_simhash_dups(),
         "near_dup_pairs": _oracle_near_dup(),
         "ngram_jaccard": _oracle_ngram_jaccard(),
         "zorder_key": _oracle_zorder(),
@@ -2491,6 +2494,18 @@ def _oracle_simhash() -> str:
         for i in range(32)
     )
     return f"SELECT doc_id, {votes} AS simhash FROM documents"
+
+
+def _oracle_simhash_dups() -> str:
+    """Exact all-pairs hamming join over the oracle simhash — certifies the
+    engine's pigeonhole chunk-LSH shortcut (which is exact by construction:
+    a pair within hamming d must agree on one of d+1 chunks)."""
+    return f"""
+        WITH sh AS ({_oracle_simhash()})
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+               bit_count(xor(a.simhash, b.simhash)) AS hamming
+        FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        WHERE bit_count(xor(a.simhash, b.simhash)) <= 6"""
 
 
 def _oracle_zorder() -> str:
