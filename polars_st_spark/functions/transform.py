@@ -1378,12 +1378,18 @@ def st_node(col) -> Column:
 
 def st_build_area(col) -> Column:
     """Form polygons from closed linework (reference: functions.rs:1393-1395).
-    Supported for rings that close exactly; complex shared-edge coverage
-    assembly is not yet implemented."""
+
+    GEOS BuildArea semantics for disjoint/nested rings: rings nest by
+    containment depth — even depth = shell, odd depth = hole of its
+    immediate parent (input orientation is irrelevant), inner islands
+    become their own polygons. Rings must close exactly; shared-edge
+    coverage assembly (rings formed from partial edges of several chains)
+    is not implemented — a documented deviation."""
     import numpy as np
 
     def f(g: Geometry) -> Geometry:
         from polars_st_spark.geo.algos import line_merge as _lm
+        from polars_st_spark.geo.predicates import _point_in_ring_vec
 
         merged = _lm(g)
         chains = [merged.coords] if merged.type_id == GeometryType.LineString else [
@@ -1392,12 +1398,39 @@ def st_build_area(col) -> Column:
         rings = []
         for c in chains:
             if c is not None and len(c) >= 4 and np.allclose(c[0], c[-1]):
-                rings.append(c.copy())
+                rings.append(np.asarray(c, dtype=np.float64).copy())
         if not rings:
             return Geometry(GeometryType.Polygon, srid=g.srid, rings=[])
         if len(rings) == 1:
             return Geometry(GeometryType.Polygon, srid=g.srid, rings=rings)
-        polys = [Geometry(GeometryType.Polygon, srid=g.srid, rings=[r]) for r in rings]
+        # nesting depth: parent = smallest strictly-containing ring
+        def _abs_area(r):
+            x = r[:, 0] - r[0, 0]
+            y = r[:, 1] - r[0, 1]
+            return abs(0.5 * float(np.sum(x * np.roll(y, -1) - np.roll(x, -1) * y)))
+
+        areas = [_abs_area(r) for r in rings]
+        order = sorted(range(len(rings)), key=lambda i: -areas[i])
+        parent = [None] * len(rings)
+        for pos, i in enumerate(order):
+            # probe a vertex of ring i against larger rings, innermost wins
+            px = np.array([rings[i][0, 0]])
+            py = np.array([rings[i][0, 1]])
+            for j in reversed(order[:pos]):  # smallest enclosing candidate first
+                if _point_in_ring_vec(px, py, rings[j])[0] == 2:
+                    parent[i] = j
+                    break
+        depth = [0] * len(rings)
+        for i in order:  # parents come earlier in size order
+            depth[i] = 0 if parent[i] is None else depth[parent[i]] + 1
+        shells = {i: [rings[i]] for i in range(len(rings)) if depth[i] % 2 == 0}
+        for i in range(len(rings)):
+            if depth[i] % 2 == 1:
+                shells[parent[i]].append(rings[i])
+        polys = [Geometry(GeometryType.Polygon, srid=g.srid, rings=shells[i])
+                 for i in sorted(shells)]
+        if len(polys) == 1:
+            return polys[0]
         return Geometry(GeometryType.MultiPolygon, srid=g.srid, geoms=polys)
 
     return unary_geom(f)(col_or_lit(col))

@@ -204,3 +204,28 @@ def test_filter_pushdown_composition(geoms):
 def test_clip_by_rect(geoms):
     v = _vals(geoms.withColumn("out", st.st_area(st.st_clip_by_rect("geom", 2, 2, 6, 6))), "out")
     assert v[3] == 4.0
+
+
+def test_build_area_hole_nesting(spark):
+    """r4b: GEOS BuildArea nesting semantics — even containment depth =
+    shell, odd depth = hole of its parent, deeper islands stand alone."""
+    from pyspark.sql import functions as F
+
+    cases = [
+        (1, "MULTILINESTRING ((0 0, 10 0, 10 10, 0 10, 0 0),"
+            " (2 2, 8 2, 8 8, 2 8, 2 2))", 64.0, "Polygon"),
+        (2, "MULTILINESTRING ((0 0, 10 0, 10 10, 0 10, 0 0),"
+            " (2 2, 8 2, 8 8, 2 8, 2 2), (4 4, 6 4, 6 6, 4 6, 4 4))",
+         68.0, "MultiPolygon"),
+        (3, "MULTILINESTRING ((0 0, 1 0, 1 1, 0 1, 0 0),"
+            " (5 5, 6 5, 6 6, 5 6, 5 5))", 2.0, "MultiPolygon"),
+    ]
+    df = spark.createDataFrame([(i, w) for i, w, _, _ in cases], ["id", "wkt"])
+    rows = df.select(
+        "id",
+        st.st_area(st.st_build_area(st.st_from_wkt("wkt"))).alias("area"),
+        st.st_geometry_type(st.st_build_area(st.st_from_wkt("wkt"))).alias("t"),
+    ).orderBy("id").collect()
+    for (i, _, area, typ), r in zip(cases, rows):
+        assert r["area"] == pytest.approx(area), i
+        assert r["t"] == typ, i
