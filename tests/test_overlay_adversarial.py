@@ -100,3 +100,63 @@ def test_exact_shared_edge_no_sliver():
     b = rect(9, 0, 18, 18)
     assert abs(algos.area(overlay(a, b, "union")) - 324.0) < 1e-9
     assert algos.area(overlay(a, b, "intersection")) < 1e-9
+
+
+def test_overlay_area_identities_random_star_polygons():
+    """r4b fuzz, promoted: on VALID random star-shaped (concave) polygons,
+    the four overlay ops must satisfy the area identities
+    |A∪B| = |A|+|B|-|A∩B|, |A\\B| = |A|-|A∩B|, |AΔB| = |A\\B|+|B\\A|.
+    The generator rejects angular gaps ≥ π (the chord would leave its wedge
+    and can self-intersect — overlay on invalid input is undefined, as in
+    GEOS) and double-checks simplicity by brute force."""
+    import numpy as np
+
+    from polars_st_spark.geo import algos, setops
+    from polars_st_spark.geo.types import Geometry, GeometryType
+
+    def _simple(c):
+        def x(p1, p2, p3, p4):
+            d1 = p2 - p1
+            d2 = p4 - p3
+            den = d1[0] * d2[1] - d1[1] * d2[0]
+            if abs(den) < 1e-15:
+                return False
+            t = ((p3[0] - p1[0]) * d2[1] - (p3[1] - p1[1]) * d2[0]) / den
+            u = ((p3[0] - p1[0]) * d1[1] - (p3[1] - p1[1]) * d1[0]) / den
+            return 1e-12 < t < 1 - 1e-12 and 1e-12 < u < 1 - 1e-12
+
+        n = len(c) - 1
+        return not any(
+            x(c[i], c[i + 1], c[j], c[j + 1])
+            for i in range(n) for j in range(i + 2, n)
+            if not (i == 0 and j == n - 1)
+        )
+
+    def rand_poly(rng, cx, cy, r):
+        while True:
+            n = rng.randint(3, 9)
+            ang = np.sort(rng.uniform(0, 2 * np.pi, n))
+            gaps = np.diff(np.concatenate([ang, [ang[0] + 2 * np.pi]]))
+            if gaps.max() >= np.pi - 0.05:
+                continue
+            rad = rng.uniform(0.3 * r, r, n)
+            pts = np.stack([cx + rad * np.cos(ang), cy + rad * np.sin(ang)], axis=1)
+            pts = np.vstack([pts, pts[:1]])
+            if _simple(pts):
+                return Geometry(GeometryType.Polygon, rings=[pts])
+
+    rng = np.random.RandomState(7)
+    for _ in range(60):
+        a = rand_poly(rng, rng.uniform(-3, 3), rng.uniform(-3, 3), rng.uniform(1, 6))
+        b = rand_poly(rng, rng.uniform(-3, 3), rng.uniform(-3, 3), rng.uniform(1, 6))
+        A, B = algos.area(a), algos.area(b)
+        ai = algos.area(setops.intersection(a, b))
+        au = algos.area(setops.union(a, b))
+        ada = algos.area(setops.difference(a, b))
+        adb = algos.area(setops.difference(b, a))
+        asd = algos.area(setops.symmetric_difference(a, b))
+        tol = 1e-6 * max(A, B, 1.0)
+        assert abs((A + B - ai) - au) < tol
+        assert abs((A - ai) - ada) < tol
+        assert abs((B - ai) - adb) < tol
+        assert abs((ada + adb) - asd) < tol
