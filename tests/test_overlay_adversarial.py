@@ -160,3 +160,34 @@ def test_overlay_area_identities_random_star_polygons():
         assert abs((A - ai) - ada) < tol
         assert abs((B - ai) - adb) < tol
         assert abs((ada + adb) - asd) < tol
+
+
+def test_buffer_convex_closed_form_fuzz():
+    """Random convex polygons: round-join buffer area must match
+    A + P·d + (inscribed 4·quad_segs-gon circle area) to ~1e-4 relative
+    (exact up to the engine's per-corner arc chord allocation), and grow
+    monotonically with distance."""
+    import math
+
+    import numpy as np
+
+    from polars_st_spark.geo import algos
+    from polars_st_spark.geo.types import Geometry, GeometryType
+
+    rng = np.random.RandomState(3)
+    checked = 0
+    while checked < 12:
+        pts = rng.uniform(-6, 6, (12, 2))
+        g = algos.convex_hull(Geometry(GeometryType.MultiPoint, geoms=[
+            Geometry(GeometryType.Point, coords=p) for p in pts]))
+        if g.type_id != GeometryType.Polygon:
+            continue
+        checked += 1
+        d = rng.uniform(0.1, 3.0)
+        A, P = algos.area(g), algos.length(g)
+        k = 32  # 4 * quad_segs
+        exp = A + P * d + 0.5 * k * math.sin(2 * math.pi / k) * d * d
+        got = algos.area(algos.buffer(g, d, quad_segs=8))
+        assert abs(got - exp) < 1e-4 * max(exp, 1.0), (got, exp)
+        bigger = algos.area(algos.buffer(g, d * 1.5, quad_segs=8))
+        assert bigger > got
