@@ -220,11 +220,44 @@ def st_area(col) -> Column:
         rp = ragged.parse_polygonal(s)
         if rp is not None:
             return _with_nulls(ragged.area(rp), rp.null_mask)
+        mixed = _mixed_measure(s, "area")
+        if mixed is not None:
+            return mixed
         return pd.Series(
             [None if b is None else algos.area(from_ewkb(bytes(b))) for b in s], dtype=object
         )
 
     return udf(col_or_lit(col))
+
+
+def _mixed_measure(s: pd.Series, which: str):
+    """Mixed-family batches (points interleaved with polygons/lines): split
+    by a vectorized header scan and route each family through its ragged
+    kernel — points/multipoints contribute 0 to area/length. Returns None
+    (caller falls back) when the batch has collections/Z/M rows or a
+    family-subset parse fails."""
+    vals = s.to_numpy()
+    fam = ragged.split_families(vals)
+    if fam is None:
+        return None
+    n_fams = sum(1 for k in ("line", "poly") if len(fam[k]))
+    n_fams += 1 if (len(fam["point"]) or len(fam["mpoint"])) else 0
+    if n_fams < 2:
+        return None  # homogeneous: the dedicated paths already handle it
+    out = np.zeros(len(vals))
+    if len(fam["poly"]):
+        rp = ragged.parse_polygonal([vals[i] for i in fam["poly"]])
+        if rp is None:
+            return None
+        out[fam["poly"]] = ragged.area(rp) if which == "area" else ragged.perimeter(rp)
+    if which == "length" and len(fam["line"]):
+        rl = ragged.parse_lineal([vals[i] for i in fam["line"]])
+        if rl is None:
+            return None
+        out[fam["line"]] = ragged.length(rl)
+    null_mask = np.zeros(len(vals), dtype=bool)
+    null_mask[fam["null"]] = True
+    return _with_nulls(out, null_mask)
 
 
 def st_length(col) -> Column:
@@ -247,6 +280,9 @@ def st_length(col) -> Column:
         rp = ragged.parse_polygonal(s)
         if rp is not None:
             return _with_nulls(ragged.perimeter(rp), rp.null_mask)
+        mixed = _mixed_measure(s, "length")
+        if mixed is not None:
+            return mixed
         return pd.Series(
             [None if b is None else algos.length(from_ewkb(bytes(b))) for b in s], dtype=object
         )
@@ -356,12 +392,49 @@ def st_bounds(col) -> Column:
         rg = ragged.parse_polygonal(s) or ragged.parse_lineal(s)
         if rg is not None:
             return _with_nulls(ragged.bounds(rg), rg.null_mask)
+        mixed = _mixed_bounds(s)
+        if mixed is not None:
+            return mixed
         return pd.Series(
             [None if b is None else list(from_ewkb(bytes(b)).bounds()) for b in s],
             dtype=object,
         )
 
     return udf(col_or_lit(col))
+
+
+def _mixed_bounds(s: pd.Series):
+    """Bounds over mixed point/line/polygon batches: family split + the
+    ragged bounds kernels, bare points read straight from their header
+    bytes. MultiPoint rows (no vectorized coord path) fall back whole."""
+    vals = s.to_numpy()
+    fam = ragged.split_families(vals)
+    if fam is None or len(fam["mpoint"]):
+        return None
+    n_fams = sum(1 for k in ("point", "line", "poly") if len(fam[k]))
+    if n_fams < 2:
+        return None
+    out = np.full((len(vals), 4), np.nan)
+    for key, parse in (("poly", ragged.parse_polygonal), ("line", ragged.parse_lineal)):
+        idx = fam[key]
+        if len(idx):
+            rg = parse([vals[i] for i in idx])
+            if rg is None:
+                return None
+            out[idx] = ragged.bounds(rg)
+    if len(fam["point"]):
+        idx = fam["point"]
+        fastp = batch_uniform(pd.Series([vals[i] for i in idx]))
+        if fastp is None or fastp[0] != "point2d":
+            return None
+        x, y = fastp[1], fastp[2]
+        out[idx, 0] = x
+        out[idx, 1] = y
+        out[idx, 2] = x
+        out[idx, 3] = y
+    null_mask = np.zeros(len(vals), dtype=bool)
+    null_mask[fam["null"]] = True
+    return _with_nulls(out, null_mask)
 
 
 # ----------------------------------------------------------------------

@@ -792,3 +792,44 @@ def splice_coords(bufs, parsed, new_coords: np.ndarray, set_srid: int | None = N
             if r is not None:
                 r[5:9] = srid_word
     return [None if r is None else bytes(r) for r in rows]
+
+
+def split_families(bufs):
+    """Vectorized header scan splitting a batch by geometry family.
+
+    Returns ``{"null", "point", "mpoint", "line", "poly"} -> int64 row-index
+    arrays`` ("line" covers Multi, "poly" covers Multi), or None when any
+    row is big-endian / Z / M / ISO-coded / a GeometryCollection — the
+    caller falls back to the per-row path. Lets mixed batches (points
+    interleaved with polygons, etc.) route each family through its
+    vectorized kernel instead of dropping the whole batch to per-row
+    Python."""
+    rows = [None if b is None else bytes(b) for b in bufs]
+    nn_idx = [i for i, b in enumerate(rows) if b is not None]
+    null_idx = np.array([i for i, b in enumerate(rows) if b is None], dtype=np.int64)
+    empty = np.zeros(0, dtype=np.int64)
+    out = {"null": null_idx, "point": empty, "mpoint": empty,
+           "line": empty, "poly": empty}
+    if not nn_idx:
+        return out
+    if any(len(rows[i]) < 9 for i in nn_idx):
+        return None
+    heads = b"".join(rows[i][:5] for i in nn_idx)
+    hu = np.frombuffer(heads, dtype=np.uint8).reshape(-1, 5).astype(np.int64)
+    if (hu[:, 0] != 1).any():
+        return None
+    typ = hu[:, 1] | (hu[:, 2] << 8) | (hu[:, 3] << 16) | (hu[:, 4] << 24)
+    if ((typ & (_Z_FLAG | _M_FLAG)) != 0).any():
+        return None
+    base = typ & 0x0FFFFFFF
+    if (base >= 1000).any() | (base == GeometryType.GeometryCollection).any() \
+            | (base < 1).any():
+        return None
+    nn = np.array(nn_idx, dtype=np.int64)
+    out["point"] = nn[base == GeometryType.Point]
+    out["mpoint"] = nn[base == GeometryType.MultiPoint]
+    out["line"] = nn[(base == GeometryType.LineString)
+                     | (base == GeometryType.MultiLineString)]
+    out["poly"] = nn[(base == GeometryType.Polygon)
+                     | (base == GeometryType.MultiPolygon)]
+    return out

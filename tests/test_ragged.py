@@ -442,3 +442,60 @@ def test_vectorized_parse_equals_loop_parse():
     assert np.array_equal(lf.coords, ls.coords)
     for a, b in zip(lf.spans, ls.spans):
         assert np.array_equal(a, b)
+
+
+def test_mixed_family_measures(spark):
+    """r4b: batches mixing points, lines, and polygons route each family
+    through its vectorized kernel (header-scan split) — results identical
+    to the scalar kernels, NaN→NULL convention preserved."""
+    from pyspark.sql import functions as F
+
+    import polars_st_spark as st
+    from polars_st_spark.geo import algos
+    from polars_st_spark.geo.wkt import from_wkt as gwkt
+
+    wkts = [
+        "POINT (3 4)",
+        "POLYGON ((0 0, 4 0, 4 4, 0 4, 0 0), (1 1, 2 1, 2 2, 1 2, 1 1))",
+        "LINESTRING (0 0, 3 4)",
+        None,
+        "MULTIPOLYGON (((0 0, 1 0, 1 1, 0 1, 0 0)))",
+        "MULTILINESTRING ((0 0, 1 1), (2 2, 4 2))",
+        "MULTIPOINT (1 1, 2 2)",
+        "POINT EMPTY",
+    ]
+    df = spark.createDataFrame([(i, w) for i, w in enumerate(wkts)], ["id", "wkt"])
+    rows = df.select(
+        "id", F.when(F.col("wkt").isNotNull(), st.st_from_wkt("wkt")).alias("g")
+    ).select(
+        "id", st.st_area("g").alias("a"), st.st_length("g").alias("l"),
+        st.st_bounds("g").alias("b"),
+    ).orderBy("id").collect()
+    for i, w in enumerate(wkts):
+        r = rows[i]
+        if w is None:
+            assert r["a"] is None and r["l"] is None and r["b"] is None
+            continue
+        g = gwkt(w)
+        assert r["a"] == pytest.approx(algos.area(g), abs=1e-12)
+        assert r["l"] == pytest.approx(algos.length(g), abs=1e-12)
+        eb = g.bounds()
+        for u, v in zip(r["b"], eb):
+            if v != v:  # NaN -> NULL convention
+                assert u is None or u != u
+            else:
+                assert u == pytest.approx(v, abs=1e-12)
+
+    # without the multipoint/empty rows the mixed kernels fire end-to-end on
+    # a pure point+line+poly batch
+    pure = [w for w in wkts if w is not None and "MULTIPOINT" not in w
+            and "EMPTY" not in w]
+    df2 = spark.createDataFrame([(i, w) for i, w in enumerate(pure)], ["id", "wkt"])
+    rows2 = df2.select("id", st.st_from_wkt("wkt").alias("g")).select(
+        "id", st.st_area("g").alias("a"), st.st_length("g").alias("l"),
+        st.st_bounds("g").alias("b")).orderBy("id").collect()
+    for i, w in enumerate(pure):
+        g = gwkt(w)
+        assert rows2[i]["a"] == pytest.approx(algos.area(g), abs=1e-12)
+        assert rows2[i]["l"] == pytest.approx(algos.length(g), abs=1e-12)
+        assert list(rows2[i]["b"]) == pytest.approx(list(g.bounds()), abs=1e-12)
