@@ -58,21 +58,29 @@ def st_centroid(col) -> Column:
     from polars_st_spark.geo import ragged
     from polars_st_spark.geo.wkb import from_ewkb, points_to_ewkb, to_ewkb
 
+    def _emit(s, cx, cy, ok, null_mask, srid):
+        okm = ok & ~null_mask
+        out = np.empty(len(s), dtype=object)
+        out[:] = None
+        if okm.any():
+            enc = points_to_ewkb(cx[okm], cy[okm], srid=srid)
+            for j, i in enumerate(np.flatnonzero(okm)):
+                out[i] = enc[j]
+        for i in np.flatnonzero(~okm & ~null_mask):
+            out[i] = to_ewkb(algos.centroid(from_ewkb(bytes(s.iloc[i]))))
+        return pd.Series(out, dtype=object)
+
     @pandas_udf("binary")
     def udf(s: pd.Series) -> pd.Series:
         rp = ragged.parse_polygonal(s)
         if rp is not None and rp.srid_uniform:
             cx, cy, ok = ragged.centroid(rp)
-            okm = ok & ~rp.null_mask
-            out = np.empty(len(s), dtype=object)
-            out[:] = None
-            if okm.any():
-                enc = points_to_ewkb(cx[okm], cy[okm], srid=rp.srid)
-                for j, i in enumerate(np.flatnonzero(okm)):
-                    out[i] = enc[j]
-            for i in np.flatnonzero(~okm & ~rp.null_mask):
-                out[i] = to_ewkb(algos.centroid(from_ewkb(bytes(s.iloc[i]))))
-            return pd.Series(out, dtype=object)
+            return _emit(s, cx, cy, ok, rp.null_mask, rp.srid)
+        rl = ragged.parse_lineal(s)
+        if rl is not None and rl.srid_uniform:
+            # r4b: length-weighted line centroids, vectorized
+            cx, cy, ok = ragged.centroid_lines(rl)
+            return _emit(s, cx, cy, ok, rl.null_mask, rl.srid)
         return pd.Series(
             [None if b is None else to_ewkb(algos.centroid(from_ewkb(bytes(b)))) for b in s],
             dtype=object,

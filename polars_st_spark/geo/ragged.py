@@ -833,3 +833,29 @@ def split_families(bufs):
     out["poly"] = nn[(base == GeometryType.Polygon)
                      | (base == GeometryType.MultiPolygon)]
     return out
+
+
+def centroid_lines(rl: RaggedLines) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """(cx, cy, ok) per row — length-weighted centroid of (Multi)LineString
+    rows (same segment-midpoint formula as algos.centroid dim-1 branch).
+    ok=False rows (zero total length, empties) need the scalar point-mean
+    fallback."""
+    n = rl.n
+    c = rl.coords
+    N = len(c)
+    if N < 2:
+        return np.zeros(n), np.zeros(n), np.zeros(n, dtype=bool)
+    counts = np.diff(rl.chain_start)
+    cid = np.repeat(np.arange(len(counts), dtype=np.int64), counts)
+    valid = cid[:-1] == cid[1:]
+    d = np.diff(c, axis=0)
+    seg_len = np.where(valid, np.sqrt((d * d).sum(axis=1)), 0.0)
+    midx = (c[:-1, 0] + c[1:, 0]) / 2.0
+    midy = (c[:-1, 1] + c[1:, 1]) / 2.0
+    row = rl.chain_row[cid[:-1]]
+    ll = np.bincount(row, weights=seg_len, minlength=n)
+    cx = np.bincount(row, weights=midx * seg_len, minlength=n)
+    cy = np.bincount(row, weights=midy * seg_len, minlength=n)
+    ok = ll != 0
+    safe = np.where(ok, ll, 1.0)
+    return cx / safe, cy / safe, ok

@@ -499,3 +499,32 @@ def test_mixed_family_measures(spark):
         assert rows2[i]["a"] == pytest.approx(algos.area(g), abs=1e-12)
         assert rows2[i]["l"] == pytest.approx(algos.length(g), abs=1e-12)
         assert list(rows2[i]["b"]) == pytest.approx(list(g.bounds()), abs=1e-12)
+
+
+def test_ragged_line_centroid(spark):
+    """r4b: length-weighted centroid over ragged (Multi)LineString batches
+    matches the scalar kernel; zero-length rows take the point-mean
+    fallback."""
+    from pyspark.sql import functions as F
+
+    import polars_st_spark as st
+    from polars_st_spark.geo import algos
+    from polars_st_spark.geo.wkt import from_wkt as gwkt
+
+    wkts = ["LINESTRING (0 0, 10 0)",
+            "MULTILINESTRING ((0 0, 2 0), (10 0, 10 4))",
+            None, "LINESTRING (5 5, 5 5)", "LINESTRING (1 1, 2 3, 7 -2)"]
+    df = spark.createDataFrame([(i, w) for i, w in enumerate(wkts)], ["id", "wkt"])
+    rows = df.select(
+        "id", F.when(F.col("wkt").isNotNull(), st.st_from_wkt("wkt")).alias("g")
+    ).select(
+        "id", st.st_x(st.st_centroid("g")).alias("cx"),
+        st.st_y(st.st_centroid("g")).alias("cy"),
+    ).orderBy("id").collect()
+    for i, w in enumerate(wkts):
+        if w is None:
+            assert rows[i]["cx"] is None
+            continue
+        e = algos.centroid(gwkt(w)).coords
+        assert rows[i]["cx"] == pytest.approx(e[0], abs=1e-12)
+        assert rows[i]["cy"] == pytest.approx(e[1], abs=1e-12)
