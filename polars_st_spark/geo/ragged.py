@@ -859,3 +859,31 @@ def centroid_lines(rl: RaggedLines) -> tuple[np.ndarray, np.ndarray, np.ndarray]
     ok = ll != 0
     safe = np.where(ok, ll, 1.0)
     return cx / safe, cy / safe, ok
+
+
+def distance_lines_to_points(rl: RaggedLines, px: np.ndarray, py: np.ndarray) -> np.ndarray:
+    """Row-paired distance from (px[i], py[i]) to row i's (Multi)LineString —
+    min over all segment distances (vertex distances included, covering
+    degenerate single-point chains). NaN for empty rows (NaN→NULL
+    convention downstream)."""
+    from polars_st_spark.geo.algos import _seg_dist_point
+
+    out = np.full(rl.n, np.nan)
+    c = rl.coords
+    N = len(c)
+    if not N:
+        return out
+    counts = np.diff(rl.chain_start)
+    cid = np.repeat(np.arange(len(counts), dtype=np.int64), counts)
+    best = np.full(rl.n, np.inf)
+    vrow = rl.chain_row[cid]
+    dv = np.hypot(c[:, 0] - px[vrow], c[:, 1] - py[vrow])
+    np.minimum.at(best, vrow, dv)
+    if N > 1:
+        valid = cid[:-1] == cid[1:]
+        srow = rl.chain_row[cid[:-1]]
+        d = _seg_dist_point(px[srow], py[srow], c[:-1, 0], c[:-1, 1], c[1:, 0], c[1:, 1])
+        np.minimum.at(best, srow, np.where(valid, d, np.inf))
+    nonempty = rl.row_start[:-1] != rl.row_start[1:]
+    out[nonempty] = best[nonempty]
+    return out

@@ -528,3 +528,42 @@ def test_ragged_line_centroid(spark):
         e = algos.centroid(gwkt(w)).coords
         assert rows[i]["cx"] == pytest.approx(e[0], abs=1e-12)
         assert rows[i]["cy"] == pytest.approx(e[1], abs=1e-12)
+
+
+def test_column_pair_distance_vectorized(spark):
+    """r4b: row-paired st_distance over two COLUMNS — point×point hypot,
+    point×ragged-polygon (inside→0, holes), point×ragged-line — matches the
+    scalar kernel in both argument orders; empty→NULL preserved."""
+    from pyspark.sql import functions as F
+
+    import polars_st_spark as st
+    from polars_st_spark.geo import algos
+    from polars_st_spark.geo.wkt import from_wkt as gwkt
+
+    cases = {
+        "pp": [("POINT (0 0)", "POINT (3 4)"), ("POINT (1 2)", "POINT (1 2)"),
+               ("POINT (-5 0)", "POINT (7 -9)")],
+        "ppoly": [
+            ("POINT (1 1)", "POLYGON ((0 0, 4 0, 4 4, 0 4, 0 0))"),
+            ("POINT (10 0)",
+             "POLYGON ((0 0, 4 0, 4 4, 0 4, 0 0), (1 1, 2 1, 2 2, 1 2, 1 1))"),
+            ("POINT (1.5 1.5)",
+             "POLYGON ((0 0, 4 0, 4 4, 0 4, 0 0), (1 1, 2 1, 2 2, 1 2, 1 1))"),
+        ],
+        "pline": [("POINT (5 5)", "LINESTRING (0 0, 10 0)"),
+                  ("POINT (0 5)", "MULTILINESTRING ((0 0, 2 0), (8 0, 8 9))"),
+                  ("POINT (3 3)", "LINESTRING (1 1, 1 1)")],
+    }
+    for name, pairs in cases.items():
+        df = spark.createDataFrame(
+            [(i, a, b) for i, (a, b) in enumerate(pairs)], ["id", "wa", "wb"]
+        ).coalesce(1)  # one Arrow batch per path
+        rows = df.select(
+            "id",
+            st.st_distance(st.st_from_wkt("wa"), st.st_from_wkt("wb")).alias("ab"),
+            st.st_distance(st.st_from_wkt("wb"), st.st_from_wkt("wa")).alias("ba"),
+        ).orderBy("id").collect()
+        for i, (a, b) in enumerate(pairs):
+            e = algos.distance(gwkt(a), gwkt(b))
+            assert rows[i]["ab"] == pytest.approx(e, abs=1e-12), (name, i)
+            assert rows[i]["ba"] == pytest.approx(e, abs=1e-12), (name, i)
