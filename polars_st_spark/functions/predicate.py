@@ -297,12 +297,31 @@ def st_dwithin(col, other, distance: float) -> Column:
 
     @pandas_udf("boolean")
     def udf2(s1: pd.Series, s2: pd.Series) -> pd.Series:
-        if not s1.isna().any() and not s2.isna().any():
-            A = _as_boxes(batch_uniform(s1))
-            B = _as_boxes(batch_uniform(s2)) if A is not None else None
+        if len(s1) and not s1.isna().any() and not s2.isna().any():
+            fa = batch_uniform(s1)
+            fb = batch_uniform(s2)
+            A = _as_boxes(fa)
+            B = _as_boxes(fb) if A is not None else None
             if A is not None and B is not None and A[4] and B[4]:
                 d = np.sqrt((A[0] - B[0]) ** 2 + (A[1] - B[1]) ** 2)
                 return pd.Series(d < distance)
+            # point column vs ragged polygon/line column (either order, r4b):
+            # the CSR distance sweep + strict-< (NaN empties -> False, like
+            # the scalar kernel)
+            a_pt = fa is not None and fa[0] == "point2d"
+            b_pt = fb is not None and fb[0] == "point2d"
+            for pt, other_s in ((fa, s2), (fb, s1)) if (a_pt or b_pt) else ():
+                if pt is None or pt[0] != "point2d":
+                    continue
+                rp = RG.parse_polygonal(other_s)
+                if rp is not None:
+                    d = RG.distance_to_points(rp, pt[1], pt[2])
+                    return pd.Series(d < distance)
+                rl = RG.parse_lineal(other_s)
+                if rl is not None:
+                    d = RG.distance_lines_to_points(rl, pt[1], pt[2])
+                    return pd.Series(d < distance)
+                break
         return pd.Series(
             [
                 None if (a is None or b is None) else P.dwithin(from_ewkb(bytes(a)), from_ewkb(bytes(b)), distance)

@@ -567,3 +567,40 @@ def test_column_pair_distance_vectorized(spark):
             e = algos.distance(gwkt(a), gwkt(b))
             assert rows[i]["ab"] == pytest.approx(e, abs=1e-12), (name, i)
             assert rows[i]["ba"] == pytest.approx(e, abs=1e-12), (name, i)
+
+
+def test_column_pair_dwithin_vectorized(spark):
+    """r4b: st_dwithin over two columns takes the same CSR distance sweeps —
+    strict <, inside-polygon rows True at any positive distance, empty rows
+    False (scalar parity)."""
+    from pyspark.sql import functions as F
+
+    import polars_st_spark as st
+    from polars_st_spark.geo import predicates as P
+    from polars_st_spark.geo.wkt import from_wkt as gwkt
+
+    pairs = [
+        ("POINT (1 1)", "POLYGON ((0 0, 4 0, 4 4, 0 4, 0 0))"),
+        ("POINT (10 0)", "POLYGON ((0 0, 4 0, 4 4, 0 4, 0 0))"),
+        ("POINT (4.5 0)", "POLYGON ((0 0, 4 0, 4 4, 0 4, 0 0))"),
+    ]
+    for d in (0.4, 0.5, 0.6, 7.0):
+        df = spark.createDataFrame(
+            [(i, a, b) for i, (a, b) in enumerate(pairs)], ["id", "wa", "wb"]
+        ).coalesce(1)
+        rows = df.select(
+            "id",
+            st.st_dwithin(st.st_from_wkt("wa"), st.st_from_wkt("wb"), d).alias("ab"),
+            st.st_dwithin(st.st_from_wkt("wb"), st.st_from_wkt("wa"), d).alias("ba"),
+        ).orderBy("id").collect()
+        for i, (a, b) in enumerate(pairs):
+            e = P.dwithin(gwkt(a), gwkt(b), d)
+            assert rows[i]["ab"] == e and rows[i]["ba"] == e, (d, i)
+
+    # line side + empty
+    df2 = spark.createDataFrame(
+        [(0, "POINT (5 3)", "LINESTRING (0 0, 10 0)"),
+         (1, "POINT (5 3)", "LINESTRING EMPTY")], ["id", "wa", "wb"]).coalesce(1)
+    rows2 = df2.select("id", st.st_dwithin(
+        st.st_from_wkt("wa"), st.st_from_wkt("wb"), 3.5).alias("r")).orderBy("id").collect()
+    assert rows2[0]["r"] is True and rows2[1]["r"] is False
