@@ -145,9 +145,12 @@ def _gather_rings(u8, order_off, order_npts):
 
 
 def _parse_polygonal_vec(bufs):
-    """Vectorized scan for batches of single-part 2-D Polygons. Returns a
-    RaggedPolygons, None (not polygonal at all), or _LOOP (MultiPolygon
-    present / malformed edge — use the per-ring loop)."""
+    """Vectorized scan for 2-D Polygon / MultiPolygon batches: a two-level
+    loop over (part index, ring index) — each level gathers structure words
+    for ALL active rows at once, so Python iteration count is bounded by the
+    batch's maximum nesting, not its total ring count. Returns a
+    RaggedPolygons, None (not polygonal at all), or _LOOP (pathological
+    nesting / malformed edge — use the per-ring loop)."""
     rows = [None if b is None else bytes(b) for b in bufs]
     n = len(rows)
     null_mask = np.array([b is None for b in rows], dtype=bool)
@@ -185,9 +188,8 @@ def _parse_polygonal_vec(bufs):
     if (base >= 1000).any():
         return None
     is_poly = base == GeometryType.Polygon
-    if not is_poly.all():
-        if ((base == GeometryType.MultiPolygon) | is_poly).all():
-            return _LOOP  # MultiPolygon rows: per-ring loop handles parts
+    is_multi = base == GeometryType.MultiPolygon
+    if not (is_poly | is_multi).all():
         return None
     has_srid = (typ & _SRID_FLAG) != 0
     srid_raw = _u32_at(u8, starts + 5)  # only meaningful where has_srid
@@ -197,33 +199,78 @@ def _parse_polygonal_vec(bufs):
     data_pos = starts + 5 + 4 * has_srid.astype(np.int64)
     if (data_pos + 4 > row_end).any():
         return _LOOP
-    nrings = _u32_at(u8, data_pos)
-    max_r = int(nrings.max()) if len(nrings) else 0
-    pos = data_pos + 4
-    lv_row, lv_j, lv_off, lv_npts = [], [], [], []
-    for j in range(max_r):
-        act = np.nonzero(nrings > j)[0]
-        pa = pos[act]
-        if (pa + 4 > row_end[act]).any():
+    m = len(nn)
+    # per-row part counts: MultiPolygon reads its nparts word, Polygon = 1
+    nparts = np.where(is_multi, _u32_at(u8, data_pos), 1)
+    max_p = int(nparts.max()) if m else 0
+    if max_p > 64:  # pathological structure: per-ring loop is O(total rings)
+        return _LOOP
+    pos = data_pos + np.where(is_multi, 4, 0)  # per-row scan cursor
+    child_srid = False
+    pl_row, pl_p = [], []                      # part records (empty parts too)
+    rv_row, rv_p, rv_r, rv_off, rv_n = [], [], [], [], []
+    for p in range(max_p):
+        act = nparts > p
+        ca = act & is_multi  # rows with a child header to consume
+        if ca.any():
+            pca = pos[ca]
+            if (pca + 5 > row_end[ca]).any():
+                return _LOOP
+            if (u8[pca] != 1).any():
+                return _LOOP
+            craw = _u32_at(u8, pca + 1)
+            if ((craw & (_Z_FLAG | _M_FLAG)) != 0).any():
+                return _LOOP
+            if ((craw & 0x0FFFFFFF) != GeometryType.Polygon).any():
+                return _LOOP
+            csrid = (craw & _SRID_FLAG) != 0
+            if csrid.any():
+                child_srid = True
+            adv = np.zeros(m, dtype=np.int64)
+            adv[ca] = 5 + 4 * csrid.astype(np.int64)
+            pos = pos + adv
+        if (pos[act] + 4 > row_end[act]).any():
             return _LOOP
-        npts = _u32_at(u8, pa)
-        if (pa + 4 + 16 * npts > row_end[act]).any():
+        nr = np.zeros(m, dtype=np.int64)
+        nr[act] = _u32_at(u8, pos[act])
+        pos = pos + np.where(act, 4, 0)
+        pl_row.append(np.nonzero(act)[0])
+        pl_p.append(np.full(int(act.sum()), p, dtype=np.int64))
+        max_r = int(nr.max())
+        if max_r > 256:
             return _LOOP
-        lv_row.append(act)
-        lv_j.append(np.full(len(act), j, dtype=np.int64))
-        lv_off.append(pa + 4)
-        lv_npts.append(npts)
-        pos = pos.copy()
-        pos[act] = pa + 4 + 16 * npts
-    if max_r:
-        rrow = np.concatenate(lv_row)   # index into nn (non-null ordinal)
-        rj = np.concatenate(lv_j)
-        roff = np.concatenate(lv_off)   # concat-relative coord byte offset
-        rn = np.concatenate(lv_npts)
-        order = np.lexsort((rj, rrow))  # row-major, rings in order
-        rrow, rj, roff, rn = rrow[order], rj[order], roff[order], rn[order]
+        for r in range(max_r):
+            sub = nr > r
+            ps = pos[sub]
+            if (ps + 4 > row_end[sub]).any():
+                return _LOOP
+            npts = _u32_at(u8, ps)
+            if (ps + 4 + 16 * npts > row_end[sub]).any():
+                return _LOOP
+            rv_row.append(np.nonzero(sub)[0])
+            rv_p.append(np.full(int(sub.sum()), p, dtype=np.int64))
+            rv_r.append(np.full(int(sub.sum()), r, dtype=np.int64))
+            rv_off.append(ps + 4)
+            rv_n.append(npts)
+            adv = np.zeros(m, dtype=np.int64)
+            adv[sub] = 4 + 16 * npts
+            pos = pos + adv
+    zero = np.zeros(0, dtype=np.int64)
+    if rv_row:
+        rrow = np.concatenate(rv_row)   # index into nn (non-null ordinal)
+        rpp = np.concatenate(rv_p)
+        rj = np.concatenate(rv_r)
+        roff = np.concatenate(rv_off)   # concat-relative coord byte offset
+        rn = np.concatenate(rv_n)
+        order = np.lexsort((rj, rpp, rrow))  # row-major, parts then rings
+        rrow, rpp, rj = rrow[order], rpp[order], rj[order]
+        roff, rn = roff[order], rn[order]
     else:
-        rrow = rj = roff = rn = np.zeros(0, dtype=np.int64)
+        rrow = rpp = rj = roff = rn = zero
+    prow = np.concatenate(pl_row) if pl_row else zero
+    ppp = np.concatenate(pl_p) if pl_p else zero
+    porder = np.lexsort((ppp, prow))
+    prow, ppp = prow[porder], ppp[porder]
     coords = _gather_rings(u8, roff, rn)
     abs_row = nn[rrow] if len(rrow) else rrow  # batch row index per ring
     rp = RaggedPolygons()
@@ -236,15 +283,16 @@ def _parse_polygonal_vec(bufs):
     rp.row_start[1:] = np.cumsum(per_row_pts)
     rp.ring_start = np.concatenate([[0], np.cumsum(rn)]).astype(np.int64)
     rp.ring_row = abs_row.astype(np.int64)
-    # single-part: one part per non-null row (loop parity: empty polygons
-    # still consume a part id), parts in row order
-    rp.part_row = nn.astype(np.int64)
-    rp.ring_part = rrow.astype(np.int64)
+    # global part ids in (row, part) order; empty parts keep their id
+    # (loop parity)
+    K = max_p + 1
+    rp.part_row = nn[prow].astype(np.int64) if len(prow) else zero
+    rp.ring_part = np.searchsorted(prow * K + ppp, rrow * K + rpp).astype(np.int64)
     rp.ring_hole = rj > 0
     rp.null_mask = null_mask
     rp.srid = srid0
     rp.srid_uniform = srid_uniform
-    rp.child_srid = False
+    rp.child_srid = child_srid
     if len(rrow):
         rp.spans = (abs_row, roff - starts[rrow], rp.ring_start[:-1], rn)
     else:

@@ -420,10 +420,25 @@ def test_vectorized_parse_equals_loop_parse():
     for a, b in zip(fast.spans, slow.spans):
         assert np.array_equal(a, b)
 
-    multi = Geometry(GeometryType.MultiPolygon, srid=4326, geoms=[
-        _mk_poly(rng, 4, 0, 0, 1)])
-    assert ragged._parse_polygonal_vec(bufs + [to_ewkb(multi)]) is ragged._LOOP
-    assert ragged.parse_polygonal(bufs + [to_ewkb(multi)]) is not None
+    # MultiPolygon batches go vectorized too (r4c): field parity vs loop
+    mbufs = list(bufs)
+    for i in range(0, 60, 5):
+        parts = [_mk_poly(rng, rng.randint(3, 7), rng.uniform(-50, 50),
+                          rng.uniform(-50, 50), rng.uniform(0.5, 5),
+                          hole=i % 2 == 0) for _ in range(1 + i % 4)]
+        mg = Geometry(GeometryType.MultiPolygon, srid=4326, geoms=parts)
+        mbufs[i] = to_ewkb(mg)
+    mfast = ragged._parse_polygonal_vec(mbufs)
+    mslow = ragged._parse_polygonal_loop(mbufs)
+    assert mfast is not ragged._LOOP and mfast is not None
+    for attr in ("n", "srid", "srid_uniform", "child_srid"):
+        assert getattr(mfast, attr) == getattr(mslow, attr), attr
+    for attr in ("row_start", "ring_start", "ring_row", "ring_part",
+                 "ring_hole", "part_row", "null_mask"):
+        assert np.array_equal(getattr(mfast, attr), getattr(mslow, attr)), attr
+    assert np.array_equal(mfast.coords, mslow.coords)
+    for a, b in zip(mfast.spans, mslow.spans):
+        assert np.array_equal(a, b)
 
     # lineal
     lbufs = []
