@@ -106,10 +106,10 @@ def parse_polygonal(bufs) -> RaggedPolygons | None:
     """Parse a batch where every non-null row is a little-endian 2-D
     Polygon or MultiPolygon. Returns None (caller falls back) otherwise.
 
-    All-single-part batches (the common shape) go through
+    Both single-part and MultiPolygon batches go through
     :func:`_parse_polygonal_vec` — structure words gathered with numpy, one
-    fancy-indexed byte gather for all coordinates, zero per-ring Python.
-    Batches containing MultiPolygons use the per-ring loop below."""
+    fancy-indexed byte gather for all coordinates, Python iteration bounded
+    by the maximum nesting; pathological nesting uses the per-ring loop."""
     fast = _parse_polygonal_vec(bufs)
     if fast is not _LOOP:
         return fast
@@ -407,8 +407,8 @@ def _parse_polygonal_loop(bufs) -> RaggedPolygons | None:
 
 def parse_lineal(bufs) -> RaggedLines | None:
     """Parse a batch where every non-null row is a little-endian 2-D
-    LineString or MultiLineString. All-LineString batches use the
-    vectorized scan; MultiLineStrings take the per-chain loop."""
+    LineString or MultiLineString via the vectorized scan (per-chain loop
+    for pathological nesting)."""
     fast = _parse_lineal_vec(bufs)
     if fast is not _LOOP:
         return fast
@@ -416,8 +416,9 @@ def parse_lineal(bufs) -> RaggedLines | None:
 
 
 def _parse_lineal_vec(bufs):
-    """Vectorized scan for batches of plain 2-D LineStrings (a LineString
-    body is exactly one chain: u32 npts + coords at the data position)."""
+    """Vectorized scan for 2-D LineString / MultiLineString batches — one
+    level per chain index, gathered for all active rows at once (same
+    two-level trick as the polygonal scan, without the ring dimension)."""
     rows = [None if b is None else bytes(b) for b in bufs]
     n = len(rows)
     null_mask = np.array([b is None for b in rows], dtype=bool)
@@ -452,9 +453,8 @@ def _parse_lineal_vec(bufs):
     if (base >= 1000).any():
         return None
     is_line = base == GeometryType.LineString
-    if not is_line.all():
-        if ((base == GeometryType.MultiLineString) | is_line).all():
-            return _LOOP
+    is_multi = base == GeometryType.MultiLineString
+    if not (is_line | is_multi).all():
         return None
     has_srid = (typ & _SRID_FLAG) != 0
     srids = np.where(has_srid, _u32_at(u8, starts + 5), 0)
@@ -462,20 +462,73 @@ def _parse_lineal_vec(bufs):
     data_pos = starts + 5 + 4 * has_srid.astype(np.int64)
     if (data_pos + 4 > row_end).any():
         return _LOOP
-    npts = _u32_at(u8, data_pos)
-    if (data_pos + 4 + 16 * npts > row_end).any():
+    m = len(nn)
+    nchains = np.where(is_multi, _u32_at(u8, data_pos), 1)
+    max_c = int(nchains.max()) if m else 0
+    if max_c > 256:  # pathological: the per-chain loop is O(total chains)
         return _LOOP
-    off = data_pos + 4
-    rl.coords = _gather_rings(u8, off, npts)
+    pos = data_pos + np.where(is_multi, 4, 0)
+    child_srid = False
+    cv_row, cv_c, cv_off, cv_n = [], [], [], []
+    for c in range(max_c):
+        act = nchains > c
+        ca = act & is_multi
+        if ca.any():
+            pca = pos[ca]
+            if (pca + 5 > row_end[ca]).any():
+                return _LOOP
+            if (u8[pca] != 1).any():
+                return _LOOP
+            craw = _u32_at(u8, pca + 1)
+            if ((craw & (_Z_FLAG | _M_FLAG)) != 0).any():
+                return _LOOP
+            if ((craw & 0x0FFFFFFF) != GeometryType.LineString).any():
+                return _LOOP
+            csrid = (craw & _SRID_FLAG) != 0
+            if csrid.any():
+                child_srid = True
+            adv = np.zeros(m, dtype=np.int64)
+            adv[ca] = 5 + 4 * csrid.astype(np.int64)
+            pos = pos + adv
+        pa = pos[act]
+        if (pa + 4 > row_end[act]).any():
+            return _LOOP
+        np_c = _u32_at(u8, pa)
+        if (pa + 4 + 16 * np_c > row_end[act]).any():
+            return _LOOP
+        cv_row.append(np.nonzero(act)[0])
+        cv_c.append(np.full(int(act.sum()), c, dtype=np.int64))
+        cv_off.append(pa + 4)
+        cv_n.append(np_c)
+        adv = np.zeros(m, dtype=np.int64)
+        adv[act] = 4 + 16 * np_c
+        pos = pos + adv
+    zero = np.zeros(0, dtype=np.int64)
+    if cv_row:
+        crow = np.concatenate(cv_row)
+        cc = np.concatenate(cv_c)
+        coff = np.concatenate(cv_off)
+        cn = np.concatenate(cv_n)
+        order = np.lexsort((cc, crow))
+        crow, coff, cn = crow[order], coff[order], cn[order]
+    else:
+        crow = coff = cn = zero
+    rl.coords = _gather_rings(u8, coff, cn)
+    abs_row = nn[crow] if len(crow) else crow
     rl.row_start = np.zeros(n + 1, dtype=np.int64)
     per_row = np.zeros(n, dtype=np.int64)
-    per_row[nn] = npts
+    if len(crow):
+        np.add.at(per_row, abs_row, cn)
     rl.row_start[1:] = np.cumsum(per_row)
-    rl.chain_start = np.concatenate([[0], np.cumsum(npts)]).astype(np.int64)
-    rl.chain_row = nn.astype(np.int64)
+    rl.chain_start = np.concatenate([[0], np.cumsum(cn)]).astype(np.int64)
+    rl.chain_row = abs_row.astype(np.int64)
     rl.srid = srid0
     rl.srid_uniform = bool((srids == srid0).all())
-    rl.spans = (nn.astype(np.int64), off - starts, rl.chain_start[:-1], npts)
+    rl.child_srid = child_srid
+    if len(crow):
+        rl.spans = (abs_row, coff - starts[crow], rl.chain_start[:-1], cn)
+    else:
+        rl.spans = _EMPTY_SPANS
     return rl
 
 

@@ -448,8 +448,18 @@ def test_vectorized_parse_equals_loop_parse():
             continue
         pts = rng.rand(2 + i % 5, 2) * 100
         lbufs.append(to_ewkb(Geometry(GeometryType.LineString, srid=3857, coords=pts)))
+    # include MultiLineString rows: vectorized too (r4c)
+    for i in range(0, 200, 7):
+        if lbufs[i] is None:
+            continue
+        chains = [Geometry(GeometryType.LineString, srid=3857,
+                           coords=rng.rand(2 + rng.randint(0, 4), 2) * 50)
+                  for _ in range(1 + i % 3)]
+        lbufs[i] = to_ewkb(Geometry(GeometryType.MultiLineString, srid=3857,
+                                    geoms=chains))
     lf = ragged._parse_lineal_vec(lbufs)
     ls = ragged._parse_lineal_loop(lbufs)
+    assert lf is not ragged._LOOP and lf is not None
     for attr in ("n", "srid", "srid_uniform"):
         assert getattr(lf, attr) == getattr(ls, attr), attr
     for attr in ("row_start", "chain_start", "chain_row", "null_mask"):
