@@ -421,7 +421,8 @@ def st_bounds(col) -> Column:
                      c[:, :, 0].max(axis=1), c[:, :, 1].max(axis=1)], axis=1,
                 )
                 return pd.Series(list(b))
-        rg = ragged.parse_polygonal(s) or ragged.parse_lineal(s)
+        rg = (ragged.parse_polygonal(s) or ragged.parse_lineal(s)
+              or ragged.parse_multipoints(s))
         if rg is not None:
             return _with_nulls(ragged.bounds(rg), rg.null_mask)
         mixed = _mixed_bounds(s)
@@ -436,18 +437,19 @@ def st_bounds(col) -> Column:
 
 
 def _mixed_bounds(s: pd.Series):
-    """Bounds over mixed point/line/polygon batches: family split + the
-    ragged bounds kernels, bare points read straight from their header
-    bytes. MultiPoint rows (no vectorized coord path) fall back whole."""
+    """Bounds over mixed point/multipoint/line/polygon batches: family
+    split + the ragged bounds kernels, bare points read straight from their
+    header bytes."""
     vals = s.to_numpy()
     fam = ragged.split_families(vals)
-    if fam is None or len(fam["mpoint"]):
+    if fam is None:
         return None
-    n_fams = sum(1 for k in ("point", "line", "poly") if len(fam[k]))
+    n_fams = sum(1 for k in ("point", "mpoint", "line", "poly") if len(fam[k]))
     if n_fams < 2:
         return None
     out = np.full((len(vals), 4), np.nan)
-    for key, parse in (("poly", ragged.parse_polygonal), ("line", ragged.parse_lineal)):
+    for key, parse in (("poly", ragged.parse_polygonal), ("line", ragged.parse_lineal),
+                       ("mpoint", ragged.parse_multipoints)):
         idx = fam[key]
         if len(idx):
             rg = parse([vals[i] for i in idx])
@@ -480,7 +482,8 @@ def st_count_coordinates(col) -> Column:
 
     @pandas_udf("int")
     def udf(s: pd.Series) -> pd.Series:
-        rg = ragged.parse_polygonal(s) or ragged.parse_lineal(s)
+        rg = (ragged.parse_polygonal(s) or ragged.parse_lineal(s)
+              or ragged.parse_multipoints(s))
         if rg is not None:
             return _with_nulls(np.diff(rg.row_start).astype(np.int32), rg.null_mask)
         return pd.Series(

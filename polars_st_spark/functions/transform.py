@@ -81,6 +81,11 @@ def st_centroid(col) -> Column:
             # r4b: length-weighted line centroids, vectorized
             cx, cy, ok = ragged.centroid_lines(rl)
             return _emit(s, cx, cy, ok, rl.null_mask, rl.srid)
+        mp = ragged.parse_multipoints(s)
+        if mp is not None and mp.srid_uniform:
+            # r4c: point-mean centroids for MultiPoint batches
+            cx, cy, ok = ragged.centroid_points(mp)
+            return _emit(s, cx, cy, ok, mp.null_mask, mp.srid)
         return pd.Series(
             [None if b is None else to_ewkb(algos.centroid(from_ewkb(bytes(b)))) for b in s],
             dtype=object,

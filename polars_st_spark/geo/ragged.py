@@ -988,3 +988,122 @@ def distance_lines_to_points(rl: RaggedLines, px: np.ndarray, py: np.ndarray) ->
     nonempty = rl.row_start[:-1] != rl.row_start[1:]
     out[nonempty] = best[nonempty]
     return out
+
+
+def parse_multipoints(bufs) -> RaggedLines | None:
+    """Vectorized scan for 2-D MultiPoint batches into the RaggedLines
+    layout (one chain per point part — only ``coords`` / ``row_start`` /
+    ``chain_row`` / ``null_mask`` / ``srid`` are meaningful to callers).
+    Empty point parts (NaN coords) pass through as NaN rows. Returns None
+    for anything that is not purely little-endian 2-D MultiPoints."""
+    rows = [None if b is None else bytes(b) for b in bufs]
+    n = len(rows)
+    null_mask = np.array([b is None for b in rows], dtype=bool)
+    nn = np.nonzero(~null_mask)[0]
+    rl = RaggedLines()
+    rl.n = n
+    rl.null_mask = null_mask
+    rl.child_srid = False
+    rl.spans = _EMPTY_SPANS
+    if not len(nn):
+        rl.coords = np.empty((0, 2))
+        rl.row_start = np.zeros(n + 1, dtype=np.int64)
+        rl.chain_start = np.zeros(1, dtype=np.int64)
+        rl.chain_row = np.zeros(0, dtype=np.int64)
+        rl.srid = 0
+        rl.srid_uniform = True
+        return rl
+    lens = np.array([len(rows[i]) for i in nn], dtype=np.int64)
+    if lens.min() < 9:
+        return None
+    concat = b"".join(rows[i] for i in nn)
+    u8 = np.frombuffer(concat, dtype=np.uint8)
+    starts = np.zeros(len(nn), dtype=np.int64)
+    starts[1:] = np.cumsum(lens)[:-1]
+    row_end = starts + lens
+    if (u8[starts] != 1).any():
+        return None
+    typ = _u32_at(u8, starts + 1)
+    if ((typ & (_Z_FLAG | _M_FLAG)) != 0).any():
+        return None
+    if ((typ & 0x0FFFFFFF) != GeometryType.MultiPoint).any():
+        return None
+    has_srid = (typ & _SRID_FLAG) != 0
+    srids = np.where(has_srid, _u32_at(u8, starts + 5), 0)
+    srid0 = int(srids[0])
+    data_pos = starts + 5 + 4 * has_srid.astype(np.int64)
+    if (data_pos + 4 > row_end).any():
+        return None
+    m = len(nn)
+    npts = _u32_at(u8, data_pos)
+    max_p = int(npts.max()) if m else 0
+    if max_p > 4096:
+        return None
+    pos = data_pos + 4
+    pv_row, pv_p, pv_off = [], [], []
+    for p in range(max_p):
+        act = npts > p
+        pa = pos[act]
+        if (pa + 5 > row_end[act]).any():
+            return None
+        if (u8[pa] != 1).any():
+            return None
+        craw = _u32_at(u8, pa + 1)
+        if ((craw & (_Z_FLAG | _M_FLAG)) != 0).any():
+            return None
+        if ((craw & 0x0FFFFFFF) != GeometryType.Point).any():
+            return None
+        csrid = (craw & _SRID_FLAG) != 0
+        if csrid.any():
+            rl.child_srid = True
+        hdr = 5 + 4 * csrid.astype(np.int64)
+        if (pa + hdr + 16 > row_end[act]).any():
+            return None
+        pv_row.append(np.nonzero(act)[0])
+        pv_p.append(np.full(int(act.sum()), p, dtype=np.int64))
+        pv_off.append(pa + hdr)
+        adv = np.zeros(m, dtype=np.int64)
+        adv[act] = hdr + 16
+        pos = pos + adv
+    zero = np.zeros(0, dtype=np.int64)
+    if pv_row:
+        prow = np.concatenate(pv_row)
+        pp = np.concatenate(pv_p)
+        poff = np.concatenate(pv_off)
+        order = np.lexsort((pp, prow))
+        prow, poff = prow[order], poff[order]
+    else:
+        prow = poff = zero
+    ones = np.ones(len(prow), dtype=np.int64)
+    rl.coords = _gather_rings(u8, poff, ones)
+    abs_row = nn[prow] if len(prow) else prow
+    per_row = np.zeros(n, dtype=np.int64)
+    if len(prow):
+        np.add.at(per_row, abs_row, 1)
+    rl.row_start = np.zeros(n + 1, dtype=np.int64)
+    rl.row_start[1:] = np.cumsum(per_row)
+    rl.chain_start = np.arange(len(prow) + 1, dtype=np.int64)
+    rl.chain_row = abs_row.astype(np.int64)
+    rl.srid = srid0
+    rl.srid_uniform = bool((srids == srid0).all())
+    return rl
+
+
+def centroid_points(rl: RaggedLines) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """(cx, cy, ok) per row — arithmetic mean of the row's points (the
+    scalar dim-0 centroid). NaN coordinates (empty point parts) poison
+    their row -> ok False -> scalar fallback."""
+    n = rl.n
+    counts = np.diff(rl.row_start)
+    ok = counts > 0
+    cx = np.zeros(n)
+    cy = np.zeros(n)
+    if len(rl.coords):
+        row = np.repeat(np.arange(n, dtype=np.int64), counts)
+        cx = np.bincount(row, weights=rl.coords[:, 0], minlength=n)
+        cy = np.bincount(row, weights=rl.coords[:, 1], minlength=n)
+        bad = np.bincount(row, weights=(~np.isfinite(rl.coords).all(axis=1)).astype(float),
+                          minlength=n) > 0
+        ok = ok & ~bad
+    safe = np.where(counts > 0, counts, 1)
+    return cx / safe, cy / safe, ok

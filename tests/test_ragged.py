@@ -629,3 +629,45 @@ def test_column_pair_dwithin_vectorized(spark):
     rows2 = df2.select("id", st.st_dwithin(
         st.st_from_wkt("wa"), st.st_from_wkt("wb"), 3.5).alias("r")).orderBy("id").collect()
     assert rows2[0]["r"] is True and rows2[1]["r"] is False
+
+
+def test_multipoint_vectorized_paths(spark):
+    """r4c: MultiPoint batches take the vectorized scan for bounds /
+    centroid (point mean) / coordinate counts, and mixed batches including
+    multipoints vectorize bounds per family."""
+    from pyspark.sql import functions as F
+
+    import polars_st_spark as st
+    from polars_st_spark.geo import algos
+    from polars_st_spark.geo.wkt import from_wkt as gwkt
+
+    wkts = ["MULTIPOINT (1 1, 2 2, 5 -3)", "MULTIPOINT (0 0)", None,
+            "MULTIPOINT (4 4, 4 4)"]
+    df = spark.createDataFrame([(i, w) for i, w in enumerate(wkts)],
+                               ["id", "wkt"]).coalesce(1)
+    rows = df.select("id", F.when(
+        F.col("wkt").isNotNull(),
+        st.st_set_srid(st.st_from_wkt("wkt"), 4326)).alias("g")).select(
+        "id", st.st_bounds("g").alias("b"),
+        st.st_x(st.st_centroid("g")).alias("cx"),
+        st.st_count_coordinates("g").alias("nc"),
+        st.st_srid(st.st_centroid("g")).alias("srid"),
+    ).orderBy("id").collect()
+    for i, w in enumerate(wkts):
+        if w is None:
+            assert rows[i]["b"] is None
+            continue
+        g = gwkt(w)
+        assert list(rows[i]["b"]) == pytest.approx(list(g.bounds()), abs=1e-12)
+        assert rows[i]["cx"] == pytest.approx(algos.centroid(g).coords[0], abs=1e-12)
+        assert rows[i]["nc"] == len(g.geoms or [])
+        assert rows[i]["srid"] == 4326
+
+    mixed = ["POINT (0 0)", "MULTIPOINT (1 1, 3 5)",
+             "POLYGON ((0 0, 2 0, 2 2, 0 2, 0 0))", "LINESTRING (0 0, 1 7)"]
+    df2 = spark.createDataFrame([(i, w) for i, w in enumerate(mixed)],
+                                ["id", "wkt"]).coalesce(1)
+    rows2 = df2.select("id", st.st_from_wkt("wkt").alias("g")).select(
+        "id", st.st_bounds("g").alias("b")).orderBy("id").collect()
+    for i, w in enumerate(mixed):
+        assert list(rows2[i]["b"]) == pytest.approx(list(gwkt(w).bounds()), abs=1e-12)
