@@ -1,31 +1,37 @@
-"""Vectorized measures over RAGGED geometry batches (CSR layout).
+"""Vectorized kernels over RAGGED geometry batches (CSR layout).
 
 `batch_uniform` (geo/wkb.py) only fires when every row in an Arrow batch has
-the identical byte layout (all 2-D points, or single-ring polygons with the
-same vertex count). Real mixed data — polygons with holes, varying vertex
-counts, multipolygons — fell back to per-row Python object decode + scalar
-compute (VERDICT r3 "what's wrong" #3: the engine's biggest structural
-per-row cost at scale).
+the identical byte layout. Real mixed data — polygons with holes, varying
+vertex counts, multiparts — previously fell back to per-row Python object
+decode + scalar compute. This module removes that cost for every WKB
+family:
 
-This module closes that gap for the measure/predicate hot path:
-
-- :func:`parse_polygonal` / :func:`parse_lineal` parse a whole batch into a
-  CSR (offset-array) layout: one flat ``(N, 2)`` coordinate matrix plus
-  int offset arrays. Structure words (ring counts) are read per-ring in
-  Python — O(rings), cheap — while coordinates are bulk-copied per ring
-  with ``np.frombuffer`` (zero per-vertex Python).
+- :func:`parse_polygonal` / :func:`parse_lineal` /
+  :func:`parse_multipoints` parse a whole batch into a CSR (offset-array)
+  layout — one flat ``(N, 2)`` coordinate matrix plus int offset arrays —
+  via pure numpy scans: headers and structure words are gathered with
+  fancy-indexed u32 reads over one concatenated buffer, the Python loop
+  runs per NESTING LEVEL (part index × ring index, across all rows at
+  once), and all coordinates arrive in one byte-gather + f8 view.
+  Pathological nesting drops to per-ring loop parsers with identical
+  output (parity-tested field by field).
 - :func:`area`, :func:`perimeter`, :func:`length`, :func:`bounds`,
-  :func:`centroid` compute per-row results with numpy segment arithmetic
-  (``np.add.reduceat`` / ``bincount`` over the offsets) — no per-row loop.
-- :func:`locate_points` is a row-paired point-in-polygon (0 exterior /
-  1 boundary / 2 interior) matching geo/predicates semantics (same _EPS
-  boundary tolerance, same ray-cast arithmetic order), powering the
-  intersects/contains/within/covers family when one side is points and the
-  other is arbitrary polygons.
+  :func:`centroid`, :func:`centroid_lines`, :func:`centroid_points`
+  compute per-row results with reduceat/bincount segment arithmetic.
+- :func:`locate_points` / :func:`distance_to_points` /
+  :func:`distance_lines_to_points` are row-paired point×geometry kernels
+  matching geo/predicates semantics exactly (same _EPS boundary tolerance
+  and arithmetic order).
+- :func:`splice_coords` rebuilds per-row EWKB from transformed coordinates
+  by overwriting only the coordinate byte spans (headers/counts reused
+  verbatim) — the affine family and st_to_srid ride on it.
+- :func:`split_families` partitions a mixed batch by family from a
+  vectorized header scan so each subset takes its own kernel.
 
 The formulas mirror geo/algos.py exactly (shoelace translated to each
 ring's first vertex, |shell| − Σ|holes|, sign-normalized centroid moments)
-so the ragged path and the scalar fallback agree to float round-off.
+so the ragged paths and the scalar fallback agree to float round-off — and
+bitwise for the coordinate-splice transforms.
 """
 
 from __future__ import annotations
