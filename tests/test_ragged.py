@@ -671,3 +671,45 @@ def test_multipoint_vectorized_paths(spark):
         "id", st.st_bounds("g").alias("b")).orderBy("id").collect()
     for i, w in enumerate(mixed):
         assert list(rows2[i]["b"]) == pytest.approx(list(gwkt(w).bounds()), abs=1e-12)
+
+
+def test_parsers_never_crash_on_malformed_bytes():
+    """Corrupted/truncated/padded WKB must make the batch parsers return
+    None (or fall through) — never raise — since an exception inside a
+    pandas UDF kills the whole query."""
+    import math
+
+    from polars_st_spark.geo.wkb import to_ewkb
+
+    rng = np.random.RandomState(5)
+    valid = []
+    for i in range(20):
+        n = 3 + i % 5
+        ang = 2 * math.pi * np.arange(n + 1) / n
+        shell = np.stack([5 + 2 * np.cos(ang), 5 + 2 * np.sin(ang)], axis=1)
+        g = Geometry(GeometryType.Polygon, srid=4326, rings=[shell])
+        if i % 3 == 0:
+            g = Geometry(GeometryType.MultiPolygon, srid=4326, geoms=[
+                g, Geometry(GeometryType.Polygon, srid=4326, rings=[shell + 10])])
+        valid.append(to_ewkb(g))
+        valid.append(to_ewkb(Geometry(GeometryType.LineString, srid=4326,
+                                      coords=rng.rand(3, 2))))
+        valid.append(to_ewkb(Geometry(GeometryType.MultiPoint, srid=4326, geoms=[
+            Geometry(GeometryType.Point, srid=4326, coords=rng.rand(2))])))
+    for trial in range(600):
+        b = bytearray(valid[rng.randint(len(valid))])
+        mode = trial % 4
+        if mode == 0:
+            b = b[:rng.randint(0, len(b))]
+        elif mode == 1:
+            for _ in range(rng.randint(1, 6)):
+                b[rng.randint(len(b))] = rng.randint(256)
+        elif mode == 2:
+            off = rng.randint(max(1, len(b) - 4))
+            b[off:off + 4] = rng.randint(0, 256, 4).astype(np.uint8).tobytes()
+        else:
+            b = b + bytes(rng.randint(0, 256, rng.randint(1, 20)).astype(np.uint8))
+        batch = [bytes(b), valid[0], None, valid[1]]
+        for fn in (ragged.parse_polygonal, ragged.parse_lineal,
+                   ragged.parse_multipoints, ragged.split_families):
+            fn(batch)  # must not raise
