@@ -1327,6 +1327,8 @@ def q_utm_roundtrip(spark, sf):
         st.st_point(F.col("x") * 10.0, -(F.col("y") % 20) - 65.0), 4326))
     p = p.withColumn("ptny", st.st_set_srid(
         st.st_point(F.col("x") % 2 - 74.2, F.col("y") % 0.8 + 40.5), 4326))
+    p = p.withColumn("ptch", st.st_set_srid(
+        st.st_point(F.col("x") % 3 + 6.5, F.col("y") % 1.5 + 46.0), 4326))
     back = st.st_to_srid(st.st_to_srid("pt4326", 32631), 4326)
     lcc_back = st.st_to_srid(st.st_to_srid("pt4326", 2154), 4326)
     alb_back = st.st_to_srid(st.st_to_srid("pt4326", 5070), 4326)
@@ -1337,6 +1339,7 @@ def q_utm_roundtrip(spark, sf):
     wm_back = st.st_to_srid(st.st_to_srid("pt4326", 3395), 4326)
     ps_back = st.st_to_srid(st.st_to_srid("ptps", 3031), 4326)
     ny_back = st.st_to_srid(st.st_to_srid("ptny", 2263), 4326)
+    ch_back = st.st_to_srid(st.st_to_srid("ptch", 2056), 4326)
     anchor32 = st.st_to_srid(st.st_set_srid(st.st_point(F.lit(9.0), F.lit(0.0)), 4326), 25832)
     anchor10 = st.st_to_srid(st.st_set_srid(st.st_point(F.lit(-123.0), F.lit(0.0)), 4326), 26910)
     return p.select(
@@ -1372,6 +1375,9 @@ def q_utm_roundtrip(spark, sf):
         F.round(st.st_x(ny_back), 6).alias("ny_x"),
         F.round(st.st_y(ny_back), 6).alias("ny_y"),
         st.st_srid(st.st_to_srid("ptny", 2263)).alias("ny_srid"),
+        F.round(st.st_x(ch_back), 6).alias("ch_x"),
+        F.round(st.st_y(ch_back), 6).alias("ch_y"),
+        st.st_srid(st.st_to_srid("ptch", 2056)).alias("ch_srid"),
     )
 
 
@@ -2351,7 +2357,9 @@ def oracle_sql() -> dict[str, str]:
                    ROUND(x * 10.0, 6) AS ps_x, ROUND(-(y % 20) - 65.0, 6) AS ps_y,
                    3031 AS ps_srid,
                    ROUND(x % 2 - 74.2, 6) AS ny_x, ROUND(y % 0.8 + 40.5, 6) AS ny_y,
-                   2263 AS ny_srid
+                   2263 AS ny_srid,
+                   ROUND(x % 3 + 6.5, 6) AS ch_x, ROUND(y % 1.5 + 46.0, 6) AS ch_y,
+                   2056 AS ch_srid
             FROM ({_ORACLE_CUST}) WHERE x < 6.0""",
         "buffer_styles": f"""
             SELECT n_nationkey,

@@ -49,6 +49,8 @@ def _family_name(code: int) -> str | None:
         28992: "Amersfoort / RD New",
         2229: "NAD83 / California zone 5 (ftUS)",
         2263: "NAD83 / New York Long Island (ftUS)",
+        2056: "CH1903+ / LV95",
+        21781: "CH1903 / LV03",
     }.get(code)
 
 

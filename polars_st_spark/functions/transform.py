@@ -492,6 +492,8 @@ _DATUM_TO_WGS84 = {
     # (EPSG 15934-family parameter set, ~0.5 m).
     "AMERSFOORT": ("BESSEL1841", 565.2369, 50.0087, 465.658,
                    -0.406857, 0.350733, -1.87035, 4.0812),
+    # CH1903(+) -> WGS 84: the official Swisstopo translation-only shift.
+    "CH1903": ("BESSEL1841", 674.374, 15.056, 405.346, 0.0, 0.0, 0.0, 0.0),
 }
 
 _TM_CONSTS_CACHE: dict = {}
@@ -1160,6 +1162,86 @@ def _osterea_inverse(a, f, k0, lat0, lon0, FE, FN, datum=None):
     return fn
 
 
+# ---- Swiss Oblique Cylindrical ("Rosenmund", EPSG method 9815 as used by
+# CH1903 / CH1903+): the same Gauss conformal sphere as the Oblique
+# Stereographic, followed by a spherical rotation moving the projection
+# center onto the pseudo-equator and a plain spherical Mercator. Public
+# formulas: Swisstopo, "Formulas and constants for the calculation of the
+# Swiss conformal cylindrical projection".
+
+def _swiss_consts(a, f, lat0, lon0):
+    """Official Swisstopo constants: α, b0 = asin(sinφ0/α), R = a√(1−e²)/
+    (1−e²sin²φ0), and the additive K fixing S(φ0) → b0."""
+    e = math.sqrt(f * (2.0 - f))
+    e2 = e * e
+    phi0 = math.radians(lat0)
+    alpha = math.sqrt(1 + e2 / (1 - e2) * math.cos(phi0) ** 4)
+    b0 = math.asin(math.sin(phi0) / alpha)
+    R = a * math.sqrt(1 - e2) / (1 - e2 * math.sin(phi0) ** 2)
+    K = (math.log(math.tan(math.pi / 4 + b0 / 2))
+         - alpha * math.log(math.tan(math.pi / 4 + phi0 / 2))
+         + alpha * e / 2 * math.log((1 + e * math.sin(phi0)) / (1 - e * math.sin(phi0))))
+    return e, alpha, b0, R, K, math.radians(lon0)
+
+
+def _swiss_forward(a, f, k0, lat0, lon0, FE, FN, datum=None):
+    e, alpha, b0, R, K, lam0 = _swiss_consts(a, f, lat0, lon0)
+    shift, _ = _datum_fns(datum)
+    s0, c0 = math.sin(b0), math.cos(b0)
+
+    def fn(arr: np.ndarray) -> np.ndarray:
+        lon_d, lat_d = arr[:, 0], arr[:, 1]
+        if shift is not None:
+            lon_d, lat_d = shift(lon_d, lat_d)
+        phi = np.radians(lat_d)
+        sp = np.sin(phi)
+        S = (alpha * np.log(np.tan(np.pi / 4 + phi / 2))
+             - alpha * e / 2 * np.log((1 + e * sp) / (1 - e * sp)) + K)
+        b = 2 * np.arctan(np.exp(S)) - np.pi / 2
+        dl = alpha * (np.radians(lon_d) - lam0)
+        sb = c0 * np.sin(b) - s0 * np.cos(b) * np.cos(dl)
+        lp = np.arctan2(np.cos(b) * np.sin(dl),
+                        s0 * np.sin(b) + c0 * np.cos(b) * np.cos(dl))
+        out = arr.copy()
+        out[:, 0] = FE + R * k0 * lp
+        out[:, 1] = FN + R * k0 * np.arctanh(sb)
+        return out
+
+    return fn
+
+
+def _swiss_inverse(a, f, k0, lat0, lon0, FE, FN, datum=None):
+    e, alpha, b0, R, K, lam0 = _swiss_consts(a, f, lat0, lon0)
+    _, unshift = _datum_fns(datum)
+    s0, c0 = math.sin(b0), math.cos(b0)
+
+    def fn(arr: np.ndarray) -> np.ndarray:
+        lp = (arr[:, 0] - FE) / (R * k0)
+        sb = np.tanh((arr[:, 1] - FN) / (R * k0))
+        cb = np.sqrt(1.0 - sb * sb)
+        b = np.arcsin(np.clip(c0 * sb + s0 * cb * np.cos(lp), -1.0, 1.0))
+        dl = np.arctan2(cb * np.sin(lp), c0 * cb * np.cos(lp) - s0 * sb)
+        lam = lam0 + dl / alpha
+        # invert S(φ) = ln tan(π/4 + b/2): fixed point on φ (Swisstopo)
+        Sb_ = np.log(np.tan(np.pi / 4 + b / 2))
+        phi = b.copy()
+        for _ in range(10):
+            sp = np.sin(phi)
+            phi = 2 * np.arctan(np.exp(
+                (Sb_ - K) / alpha + e * np.arctanh(e * sp)
+            )) - np.pi / 2
+        lon_d = np.degrees(lam)
+        lat_d = np.degrees(phi)
+        if unshift is not None:
+            lon_d, lat_d = unshift(lon_d, lat_d)
+        out = arr.copy()
+        out[:, 0] = lon_d
+        out[:, 1] = lat_d
+        return out
+
+    return fn
+
+
 # EPSG -> (kind, params...) for the non-conic, non-TM projections.
 # merc: (ellipsoid, k0, lon0, FE, FN) — 3395 World Mercator (variant A).
 # pstereo: (ellipsoid, lat_ts, lon0, FE, FN) — polar science grids.
@@ -1175,12 +1257,23 @@ _MISC_CODES: dict[int, tuple] = {
             52.0 + 9.0 / 60.0 + 22.178 / 3600.0,
             5.0 + 23.0 / 60.0 + 15.5 / 3600.0,
             155000.0, 463000.0, "AMERSFOORT"),
+    # CH1903+ / LV95 and CH1903 / LV03 (Bessel 1841, Bern origin
+    # 46°57'08.66"N 7°26'22.50"E, k0=1, translation-only datum shift)
+    2056: ("swiss", "BESSEL1841", 1.0,
+           46.0 + 57.0 / 60.0 + 8.66 / 3600.0,
+           7.0 + 26.0 / 60.0 + 22.5 / 3600.0,
+           2600000.0, 1200000.0, "CH1903"),
+    21781: ("swiss", "BESSEL1841", 1.0,
+            46.0 + 57.0 / 60.0 + 8.66 / 3600.0,
+            7.0 + 26.0 / 60.0 + 22.5 / 3600.0,
+            600000.0, 200000.0, "CH1903"),
 }
 
 _MISC_KINDS = {
     "merc": (_merc_forward, _merc_inverse),
     "pstereo": (_pstereo_forward, _pstereo_inverse),
     "osterea": (_osterea_forward, _osterea_inverse),
+    "swiss": (_swiss_forward, _swiss_inverse),
 }
 
 

@@ -327,7 +327,7 @@ def test_every_registered_code_roundtrips():
     from polars_st_spark.functions import transform as T
 
     codes = (
-        [3857, 3395, 3031, 3976, 3413, 3995, 28992, 2229, 2263]
+        [3857, 3395, 3031, 3976, 3413, 3995, 28992, 2229, 2263, 2056, 21781]
         + list(T._TM_CODES)
         + list(T._CONIC_CODES)
         + list(range(32601, 32661)) + list(range(32701, 32761))
@@ -354,6 +354,7 @@ def test_every_registered_code_roundtrips():
             27700: (400000.0, -100000.0), 2193: (1600000.0, 10000000.0),
             28992: (155000.0, 463000.0),
             2229: (6561666.66666666, 1640416.66666666), 2263: (984250.0, 0.0),
+            2056: (2600000.0, 1200000.0), 21781: (600000.0, 200000.0),
             2154: (700000.0, 6600000.0), 3347: (6200000.0, 3000000.0),
             32140: (600000.0, 4000000.0), 3035: (4321000.0, 3210000.0),
         }
@@ -365,5 +366,34 @@ def test_every_registered_code_roundtrips():
         back = fwd(ll.copy())
         err = np.abs(back - pts).max() * unit
         # datum-shift codes lose ~2 mm to the 2-D height drop; others 1e-6
-        tol = 0.02 if code in (27700, 28992, 31466, 31467, 31468, 31469) else 1e-5
+        tol = (0.02 if code in (27700, 28992, 2056, 21781,
+                                31466, 31467, 31468, 31469) else 1e-5)
         assert err < tol, (code, err)
+
+
+def test_swiss_oblique_cylindrical():
+    """CH1903(+) LV95/LV03 (EPSG 2056/21781): the official Swisstopo worked
+    example (WGS84 46°02'38.87"N 8°43'49.79"E -> LV03 700000/100000) must
+    reproduce within 5 cm, the Bern origin within 0.5 m, LV95 = LV03 +
+    (2000000, 1000000) exactly, and round-trips hold to 1e-7 degrees."""
+    import numpy as np
+
+    from polars_st_spark.functions import transform as T
+
+    f03, i03 = T._code_fns(21781)
+    f95, i95 = T._code_fns(2056)
+    lat = 46 + 2 / 60 + 38.87 / 3600
+    lon = 8 + 43 / 60 + 49.79 / 3600
+    out = f03(np.array([[lon, lat]]))
+    assert abs(out[0, 0] - 700000.0) < 0.05 and abs(out[0, 1] - 100000.0) < 0.05
+    # Bern observatory (the CH1903 origin) at its published WGS84 position
+    bern = f95(np.array([[7 + 26 / 60 + 19.09 / 3600, 46 + 57 / 60 + 3.90 / 3600]]))
+    assert abs(bern[0, 0] - 2600000.0) < 0.5 and abs(bern[0, 1] - 1200000.0) < 0.5
+    # LV95 and LV03 differ exactly by the false-origin offset
+    p95 = f95(np.array([[lon, lat]]))
+    assert abs((p95[0, 0] - out[0, 0]) - 2000000.0) < 1e-6
+    assert abs((p95[0, 1] - out[0, 1]) - 1000000.0) < 1e-6
+    grid = np.array([[lo, la] for lo in (6.2, 7.5, 9.5) for la in (45.9, 46.8, 47.6)])
+    assert np.abs(i95(f95(grid.copy()).copy()) - grid).max() < 1e-7
+    from polars_st_spark.functions.crs import get_crs_from_code
+    assert "LV95" in get_crs_from_code(2056)
