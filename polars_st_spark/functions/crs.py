@@ -51,6 +51,8 @@ def _family_name(code: int) -> str | None:
         2263: "NAD83 / New York Long Island (ftUS)",
         2056: "CH1903+ / LV95",
         21781: "CH1903 / LV03",
+        29873: "Timbalai 1948 / RSO Borneo (m)",
+        26931: "NAD83 / Alaska zone 1",
     }.get(code)
 
 

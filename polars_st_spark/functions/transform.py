@@ -479,6 +479,7 @@ _ELLIPSOIDS = {
     "GRS80": (6378137.0, 1 / 298.257222101),
     "AIRY1830": (6377563.396, 1 / 299.3249646),
     "BESSEL1841": (6377397.155, 1 / 299.1528128),
+    "EVEREST1967": (6377298.556, 1 / 300.8017),
 }
 
 # Helmert position-vector params local-datum -> WGS84 (EPSG method 9606):
@@ -494,6 +495,8 @@ _DATUM_TO_WGS84 = {
                    -0.406857, 0.350733, -1.87035, 4.0812),
     # CH1903(+) -> WGS 84: the official Swisstopo translation-only shift.
     "CH1903": ("BESSEL1841", 674.374, 15.056, 405.346, 0.0, 0.0, 0.0, 0.0),
+    # Timbalai 1948 -> WGS 84: standard grid-free translation (~10 m).
+    "TIMBALAI": ("EVEREST1967", -679.0, 669.0, -48.0, 0.0, 0.0, 0.0, 0.0),
 }
 
 _TM_CONSTS_CACHE: dict = {}
@@ -1162,6 +1165,98 @@ def _osterea_inverse(a, f, k0, lat0, lon0, FE, FN, datum=None):
     return fn
 
 
+# ---- Hotine Oblique Mercator (EPSG methods 9812 variant A / 9815
+# variant B; EPSG Guidance Note 7-2 §3.2.6, formulas public). Used by the
+# rotated-grid national systems: Borneo RSO, Malaysia RSO, Alaska
+# state-plane zone 1. Variant B offsets the grid by the centre-to-aposphere
+# distance u_c; variant A ("azimuth natural origin") does not.
+
+def _hotine_consts(a, f, lat_c, lon_c, alpha_c, k_c):
+    e2 = f * (2.0 - f)
+    e = math.sqrt(e2)
+    pc = math.radians(lat_c)
+    lc = math.radians(lon_c)
+    ac = math.radians(alpha_c)
+    B = math.sqrt(1 + e2 * math.cos(pc) ** 4 / (1 - e2))
+    A = a * B * k_c * math.sqrt(1 - e2) / (1 - e2 * math.sin(pc) ** 2)
+    t0 = math.tan(math.pi / 4 - pc / 2) / (
+        (1 - e * math.sin(pc)) / (1 + e * math.sin(pc))
+    ) ** (e / 2)
+    D = B * math.sqrt(1 - e2) / (math.cos(pc) * math.sqrt(1 - e2 * math.sin(pc) ** 2))
+    D2 = max(D * D, 1.0)
+    sgn = 1.0 if lat_c >= 0 else -1.0
+    F_ = D + math.sqrt(D2 - 1) * sgn
+    H = F_ * t0 ** B
+    G = (F_ - 1.0 / F_) / 2.0
+    g0 = math.asin(math.sin(ac) / D)
+    l0 = lc - math.asin(G * math.tan(g0)) / B
+    uc = (A / B) * math.atan2(math.sqrt(D2 - 1), math.cos(ac)) * sgn
+    return e, B, A, H, g0, l0, uc
+
+
+def _hotine_forward(a, f, k_c, lat_c, lon_c, alpha_c, gamma_c, FE, FN,
+                    variant="B", datum=None):
+    e, B, A, H, g0, l0, uc = _hotine_consts(a, f, lat_c, lon_c, alpha_c, k_c)
+    gc = math.radians(gamma_c)
+    shift, _ = _datum_fns(datum)
+    u_shift = uc if variant == "B" else 0.0
+
+    def fn(arr: np.ndarray) -> np.ndarray:
+        lon_d, lat_d = arr[:, 0], arr[:, 1]
+        if shift is not None:
+            lon_d, lat_d = shift(lon_d, lat_d)
+        phi = np.radians(lat_d)
+        lam = np.radians(lon_d)
+        t = np.tan(np.pi / 4 - phi / 2) / (
+            (1 - e * np.sin(phi)) / (1 + e * np.sin(phi))
+        ) ** (e / 2)
+        Q = H / t ** B
+        S = (Q - 1 / Q) / 2
+        T = (Q + 1 / Q) / 2
+        V = np.sin(B * (lam - l0))
+        U = (-V * math.cos(g0) + S * math.sin(g0)) / T
+        v = A * np.log((1 - U) / (1 + U)) / (2 * B)
+        u = A * np.arctan2(S * math.cos(g0) + V * math.sin(g0),
+                           np.cos(B * (lam - l0))) / B - u_shift
+        out = arr.copy()
+        out[:, 0] = v * math.cos(gc) + u * math.sin(gc) + FE
+        out[:, 1] = u * math.cos(gc) - v * math.sin(gc) + FN
+        return out
+
+    return fn
+
+
+def _hotine_inverse(a, f, k_c, lat_c, lon_c, alpha_c, gamma_c, FE, FN,
+                    variant="B", datum=None):
+    e, B, A, H, g0, l0, uc = _hotine_consts(a, f, lat_c, lon_c, alpha_c, k_c)
+    gc = math.radians(gamma_c)
+    _, unshift = _datum_fns(datum)
+    u_shift = uc if variant == "B" else 0.0
+
+    def fn(arr: np.ndarray) -> np.ndarray:
+        vp = (arr[:, 0] - FE) * math.cos(gc) - (arr[:, 1] - FN) * math.sin(gc)
+        up = (arr[:, 1] - FN) * math.cos(gc) + (arr[:, 0] - FE) * math.sin(gc) + u_shift
+        Qp = np.exp(-B * vp / A)
+        Sp = (Qp - 1 / Qp) / 2
+        Tp = (Qp + 1 / Qp) / 2
+        Vp = np.sin(B * up / A)
+        Up = (Vp * math.cos(g0) + Sp * math.sin(g0)) / Tp
+        tp = (H / np.sqrt((1 + Up) / (1 - Up))) ** (1.0 / B)
+        phi = _phi_from_t(tp, e)
+        lam = l0 - np.arctan2(Sp * math.cos(g0) - Vp * math.sin(g0),
+                              np.cos(B * up / A)) / B
+        lon_d = np.degrees(lam)
+        lat_d = np.degrees(phi)
+        if unshift is not None:
+            lon_d, lat_d = unshift(lon_d, lat_d)
+        out = arr.copy()
+        out[:, 0] = lon_d
+        out[:, 1] = lat_d
+        return out
+
+    return fn
+
+
 # ---- Swiss Oblique Cylindrical ("Rosenmund", EPSG method 9815 as used by
 # CH1903 / CH1903+): the same Gauss conformal sphere as the Oblique
 # Stereographic, followed by a spherical rotation moving the projection
@@ -1267,6 +1362,17 @@ _MISC_CODES: dict[int, tuple] = {
             46.0 + 57.0 / 60.0 + 8.66 / 3600.0,
             7.0 + 26.0 / 60.0 + 22.5 / 3600.0,
             600000.0, 200000.0, "CH1903"),
+    # Timbalai 1948 / RSO Borneo (m) — Hotine variant B (the EPSG GN7-2
+    # worked-example CRS, reproduced to ~1 mm in tests)
+    29873: ("hotine", "EVEREST1967", 0.99984, 4.0, 115.0,
+            53.0 + 18.0 / 60.0 + 56.9537 / 3600.0,
+            53.0 + 7.0 / 60.0 + 48.3685 / 3600.0,
+            590476.87, 442857.65, "B", "TIMBALAI"),
+    # NAD83 / Alaska zone 1 — Hotine variant A (azimuth natural origin)
+    26931: ("hotine", "GRS80", 0.9999, 57.0, -(133.0 + 40.0 / 60.0),
+            323.0 + 7.0 / 60.0 + 48.3685 / 3600.0,
+            323.0 + 7.0 / 60.0 + 48.3685 / 3600.0,
+            5000000.0, -5000000.0, "A", None),
 }
 
 _MISC_KINDS = {
@@ -1274,6 +1380,7 @@ _MISC_KINDS = {
     "pstereo": (_pstereo_forward, _pstereo_inverse),
     "osterea": (_osterea_forward, _osterea_inverse),
     "swiss": (_swiss_forward, _swiss_inverse),
+    "hotine": (_hotine_forward, _hotine_inverse),
 }
 
 

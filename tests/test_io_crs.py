@@ -327,7 +327,8 @@ def test_every_registered_code_roundtrips():
     from polars_st_spark.functions import transform as T
 
     codes = (
-        [3857, 3395, 3031, 3976, 3413, 3995, 28992, 2229, 2263, 2056, 21781]
+        [3857, 3395, 3031, 3976, 3413, 3995, 28992, 2229, 2263, 2056, 21781,
+         29873, 26931]
         + list(T._TM_CODES)
         + list(T._CONIC_CODES)
         + list(range(32601, 32661)) + list(range(32701, 32761))
@@ -355,6 +356,7 @@ def test_every_registered_code_roundtrips():
             28992: (155000.0, 463000.0),
             2229: (6561666.66666666, 1640416.66666666), 2263: (984250.0, 0.0),
             2056: (2600000.0, 1200000.0), 21781: (600000.0, 200000.0),
+            29873: (590476.87, 442857.65), 26931: (800000.0, 600000.0),
             2154: (700000.0, 6600000.0), 3347: (6200000.0, 3000000.0),
             32140: (600000.0, 4000000.0), 3035: (4321000.0, 3210000.0),
         }
@@ -366,7 +368,7 @@ def test_every_registered_code_roundtrips():
         back = fwd(ll.copy())
         err = np.abs(back - pts).max() * unit
         # datum-shift codes lose ~2 mm to the 2-D height drop; others 1e-6
-        tol = (0.02 if code in (27700, 28992, 2056, 21781,
+        tol = (0.02 if code in (27700, 28992, 2056, 21781, 29873,
                                 31466, 31467, 31468, 31469) else 1e-5)
         assert err < tol, (code, err)
 
@@ -397,3 +399,42 @@ def test_swiss_oblique_cylindrical():
     assert np.abs(i95(f95(grid.copy()).copy()) - grid).max() < 1e-7
     from polars_st_spark.functions.crs import get_crs_from_code
     assert "LV95" in get_crs_from_code(2056)
+
+
+def test_hotine_oblique_mercator():
+    """Hotine OM: the EPSG GN7-2 worked example (Timbalai 1948 / RSO Borneo,
+    variant B: 5°23'14.1129"N 115°48'19.8196"E -> 679245.73 / 596562.78)
+    must reproduce within 5 mm projection-only; Alaska zone 1 (variant A)
+    round-trips to 1e-9 degrees with scale k_c at the projection centre."""
+    import math
+
+    import numpy as np
+
+    from polars_st_spark.functions import transform as T
+
+    a_, f_ = T._ELLIPSOIDS["EVEREST1967"]
+    fwd = T._hotine_forward(a_, f_, 0.99984, 4.0, 115.0,
+                            53 + 18 / 60 + 56.9537 / 3600,
+                            53 + 7 / 60 + 48.3685 / 3600,
+                            590476.87, 442857.65, "B", None)
+    inv = T._hotine_inverse(a_, f_, 0.99984, 4.0, 115.0,
+                            53 + 18 / 60 + 56.9537 / 3600,
+                            53 + 7 / 60 + 48.3685 / 3600,
+                            590476.87, 442857.65, "B", None)
+    lat = 5 + 23 / 60 + 14.1129 / 3600
+    lon = 115 + 48 / 60 + 19.8196 / 3600
+    out = fwd(np.array([[lon, lat]]))
+    assert abs(out[0, 0] - 679245.73) < 5e-3 and abs(out[0, 1] - 596562.78) < 5e-3
+    assert np.abs(inv(out) - [lon, lat]).max() < 1e-9
+
+    af, ai = T._code_fns(26931)
+    grid = np.array([[lo, la] for lo in (-140.0, -133.67, -131.0)
+                     for la in (55.0, 57.0, 59.5)])
+    assert np.abs(ai(af(grid.copy()).copy()) - grid).max() < 1e-9
+    d = 1e-7
+    p0 = af(np.array([[-133.0 - 40 / 60, 57.0], [-133.0 - 40 / 60 + d, 57.0]]))
+    e2 = T._GRS80_F * (2 - T._GRS80_F)
+    npr = T._GRS80_A / math.sqrt(1 - e2 * math.sin(math.radians(57)) ** 2)
+    k = float(np.hypot(*(p0[1, :2] - p0[0, :2]))) / (
+        npr * math.cos(math.radians(57)) * math.radians(d))
+    assert abs(k - 0.9999) < 1e-6
