@@ -180,3 +180,31 @@ def test_fgb_z_roundtrip(spark, tmp_path):
         st.st_to_wkt("geometry").alias("wkt")
     ).first()
     assert r["wkt"] in ("LINESTRING Z (0 0 5, 1 1 6)", "LINESTRING (0 0 5, 1 1 6)")
+
+
+def test_fgb_edge_cases(spark):
+    """Zero-row frames, unicode, NaN/±inf/-0.0 doubles, extreme longs, and
+    empty strings all survive the binary round-trip."""
+    df0 = spark.createDataFrame([], "id long, tag string, geometry binary")
+    p0 = "/tmp/fgb_edge0.fgb"
+    write_flatgeobuf(df0, p0)
+    back0 = read_flatgeobuf(spark, p0)
+    assert back0.count() == 0
+    assert [f.name for f in back0.schema.fields] == ["id", "tag", "geometry"]
+
+    rows = [
+        (1, "héllo wörld — ünïcödé ✓", float("nan"), -2**62, "POINT (1 2)"),
+        (2, "", float("inf"), 2**62, "POINT (3 4)"),
+        (3, "tab\there\nnewline", -0.0, 0, "POINT (5 6)"),
+    ]
+    df = spark.createDataFrame(rows, ["id", "tag", "val", "big", "wkt"]) \
+        .select("id", "tag", "val", "big", st.st_from_wkt("wkt").alias("geometry"))
+    p1 = "/tmp/fgb_edge1.fgb"
+    write_flatgeobuf(df, p1)
+    out = read_flatgeobuf(spark, p1).orderBy("id").collect()
+    assert out[0]["tag"] == "héllo wörld — ünïcödé ✓"
+    assert out[0]["val"] != out[0]["val"] or out[0]["val"] is None  # NaN/NULL
+    assert out[0]["big"] == -2**62
+    assert out[1]["val"] == float("inf")
+    assert out[1]["big"] == 2**62
+    assert out[2]["tag"] == "tab\there\nnewline"
