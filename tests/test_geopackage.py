@@ -75,3 +75,27 @@ def test_file_dispatch_gpkg(spark, tmp_path):
     write_file(df, p)
     back = read_file(spark, p)
     assert back.select(st.st_to_wkt("geometry")).first()[0] == "POINT (5 6)"
+
+
+def test_gpkg_edge_values(spark, tmp_path):
+    """Unicode, extreme longs, and ±inf survive the sqlite round-trip
+    (NaN surfaces as NULL — the engine's NaN→NULL convention)."""
+    import polars_st_spark as st
+    from polars_st_spark.sources.geopackage_io import (read_geopackage,
+                                                       write_geopackage)
+
+    rows = [
+        (1, "héllo ✓ 中文", float("nan"), -2**62, "POINT (1 2)"),
+        (2, "", float("inf"), 2**62, "POINT (3 4)"),
+    ]
+    df = spark.createDataFrame(rows, ["id", "tag", "val", "big", "wkt"]) \
+        .select("id", "tag", "val", "big", st.st_from_wkt("wkt").alias("geometry"))
+    p = str(tmp_path / "edge.gpkg")
+    write_geopackage(df, p)
+    out = read_geopackage(spark, p).orderBy("id").collect()
+    assert out[0]["tag"] == "héllo ✓ 中文"
+    assert out[0]["val"] is None or out[0]["val"] != out[0]["val"]
+    assert out[0]["big"] == -2**62
+    assert out[1]["tag"] == ""
+    assert out[1]["val"] == float("inf")
+    assert out[1]["big"] == 2**62
