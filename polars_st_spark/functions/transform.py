@@ -1675,8 +1675,11 @@ def st_polygonize(col) -> Column:
 def st_to_srid(col, srid: int) -> Column:
     """Reproject coordinates (reference: functions.rs:1868-1939).
 
-    Supports the closed-form EPSG pipelines (Mercator, UTM, parameterized
-    TM + datum shifts, LCC/Albers/LAEA); identity when source==target;
+    Supports the closed-form EPSG pipelines (Web/World Mercator, all UTM
+    zones, parameterized Transverse Mercator + Helmert datum shifts,
+    LCC/Albers/LAEA conics incl. ftUS state planes, polar stereographic,
+    oblique stereographic (Dutch RD), Swiss oblique cylindrical, Hotine
+    oblique Mercator); identity when source==target;
     raises otherwise (pyproj auto-fallback when importable). The transformer
     lookup is cached per (src, dst) exactly like the reference's per-call
     ProjCache (functions.rs:1900-1914). Uniform 2-D point batches — the
