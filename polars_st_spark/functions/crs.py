@@ -53,6 +53,7 @@ def _family_name(code: int) -> str | None:
         21781: "CH1903 / LV03",
         29873: "Timbalai 1948 / RSO Borneo (m)",
         26931: "NAD83 / Alaska zone 1",
+        5514: "S-JTSK / Krovak East North",
     }.get(code)
 
 

@@ -497,6 +497,8 @@ _DATUM_TO_WGS84 = {
     "CH1903": ("BESSEL1841", 674.374, 15.056, 405.346, 0.0, 0.0, 0.0, 0.0),
     # Timbalai 1948 -> WGS 84: standard grid-free translation (~10 m).
     "TIMBALAI": ("EVEREST1967", -679.0, 669.0, -48.0, 0.0, 0.0, 0.0, 0.0),
+    # S-JTSK -> WGS 84: the standard grid-free 7-parameter set (~1 m).
+    "SJTSK": ("BESSEL1841", 570.8, 85.7, 462.8, 4.998, 1.587, 5.261, 3.56),
 }
 
 _TM_CONSTS_CACHE: dict = {}
@@ -1257,6 +1259,89 @@ def _hotine_inverse(a, f, k_c, lat_c, lon_c, alpha_c, gamma_c, FE, FN,
     return fn
 
 
+# ---- Krovak (EPSG method 9819; EPSG GN7-2 §3.2.9, public formulas): the
+# S-JTSK oblique conformal conic of Czechia/Slovakia. Internally computes
+# the classic Southing/Westing plane; EPSG 5514 ("Krovak East North")
+# negates both axes.
+
+def _krovak_consts(a, f, lat_c, lon0, alpha_c, lat_1, k_p):
+    e2 = f * (2.0 - f)
+    e = math.sqrt(e2)
+    pc = math.radians(lat_c)
+    A_ = a * math.sqrt(1 - e2) / (1 - e2 * math.sin(pc) ** 2)
+    B_ = math.sqrt(1 + e2 * math.cos(pc) ** 4 / (1 - e2))
+    g0 = math.asin(math.sin(pc) / B_)
+    t0 = (math.tan(math.pi / 4 + g0 / 2)
+          * ((1 + e * math.sin(pc)) / (1 - e * math.sin(pc))) ** (e * B_ / 2)
+          / math.tan(math.pi / 4 + pc / 2) ** B_)
+    p1 = math.radians(lat_1)
+    n = math.sin(p1)
+    r0 = k_p * A_ / math.tan(p1)
+    return e, B_, t0, n, r0, math.radians(alpha_c), p1, math.radians(lon0)
+
+
+def _krovak_forward(a, f, k_p, lat_c, lon0, alpha_c, lat_1, FE, FN, datum=None):
+    e, B_, t0, n, r0, ac, p1, lam0 = _krovak_consts(a, f, lat_c, lon0, alpha_c, lat_1, k_p)
+    shift, _ = _datum_fns(datum)
+    tan_p1 = math.tan(math.pi / 4 + p1 / 2) ** n
+
+    def fn(arr: np.ndarray) -> np.ndarray:
+        lon_d, lat_d = arr[:, 0], arr[:, 1]
+        if shift is not None:
+            lon_d, lat_d = shift(lon_d, lat_d)
+        phi = np.radians(lat_d)
+        lam = np.radians(lon_d)
+        U = 2 * (np.arctan(
+            t0 * np.tan(phi / 2 + np.pi / 4) ** B_
+            / ((1 + e * np.sin(phi)) / (1 - e * np.sin(phi))) ** (e * B_ / 2)
+        ) - np.pi / 4)
+        V = B_ * (lam0 - lam)
+        T = np.arcsin(math.cos(ac) * np.sin(U) + math.sin(ac) * np.cos(U) * np.cos(V))
+        D = np.arcsin(np.cos(U) * np.sin(V) / np.cos(T))
+        th = n * D
+        r = r0 * tan_p1 / np.tan(T / 2 + np.pi / 4) ** n
+        out = arr.copy()
+        # EPSG 5514 axes: East = FE − Westing, North = FN − Southing
+        out[:, 0] = FE - r * np.sin(th)
+        out[:, 1] = FN - r * np.cos(th)
+        return out
+
+    return fn
+
+
+def _krovak_inverse(a, f, k_p, lat_c, lon0, alpha_c, lat_1, FE, FN, datum=None):
+    e, B_, t0, n, r0, ac, p1, lam0 = _krovak_consts(a, f, lat_c, lon0, alpha_c, lat_1, k_p)
+    _, unshift = _datum_fns(datum)
+    tan_p1 = math.tan(math.pi / 4 + p1 / 2)
+
+    def fn(arr: np.ndarray) -> np.ndarray:
+        Yp = FE - arr[:, 0]  # Westing
+        Xp = FN - arr[:, 1]  # Southing
+        r = np.hypot(Xp, Yp)
+        th = np.arctan2(Yp, Xp)
+        D = th / math.sin(p1)
+        T = 2 * (np.arctan((r0 / r) ** (1.0 / n) * tan_p1) - np.pi / 4)
+        U = np.arcsin(math.cos(ac) * np.sin(T) - math.sin(ac) * np.cos(T) * np.cos(D))
+        V = np.arcsin(np.cos(T) * np.sin(D) / np.cos(U))
+        lam = lam0 - V / B_
+        phi = U.copy()
+        for _ in range(8):
+            phi = 2 * (np.arctan(
+                t0 ** (-1.0 / B_) * np.tan(U / 2 + np.pi / 4) ** (1.0 / B_)
+                * ((1 + e * np.sin(phi)) / (1 - e * np.sin(phi))) ** (e / 2)
+            ) - np.pi / 4)
+        lon_d = np.degrees(lam)
+        lat_d = np.degrees(phi)
+        if unshift is not None:
+            lon_d, lat_d = unshift(lon_d, lat_d)
+        out = arr.copy()
+        out[:, 0] = lon_d
+        out[:, 1] = lat_d
+        return out
+
+    return fn
+
+
 # ---- Swiss Oblique Cylindrical ("Rosenmund", EPSG method 9815 as used by
 # CH1903 / CH1903+): the same Gauss conformal sphere as the Oblique
 # Stereographic, followed by a spherical rotation moving the projection
@@ -1373,6 +1458,10 @@ _MISC_CODES: dict[int, tuple] = {
             323.0 + 7.0 / 60.0 + 48.3685 / 3600.0,
             323.0 + 7.0 / 60.0 + 48.3685 / 3600.0,
             5000000.0, -5000000.0, "A", None),
+    # S-JTSK / Krovak East North (Czechia + Slovakia); lon0 is 24°50' E of
+    # Greenwich (= 42°30' E of Ferro per the registry)
+    5514: ("krovak", "BESSEL1841", 0.9999, 49.5, 24.0 + 50.0 / 60.0,
+           30.0 + 17.0 / 60.0 + 17.3031 / 3600.0, 78.5, 0.0, 0.0, "SJTSK"),
 }
 
 _MISC_KINDS = {
@@ -1381,6 +1470,7 @@ _MISC_KINDS = {
     "osterea": (_osterea_forward, _osterea_inverse),
     "swiss": (_swiss_forward, _swiss_inverse),
     "hotine": (_hotine_forward, _hotine_inverse),
+    "krovak": (_krovak_forward, _krovak_inverse),
 }
 
 

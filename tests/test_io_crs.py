@@ -328,7 +328,7 @@ def test_every_registered_code_roundtrips():
 
     codes = (
         [3857, 3395, 3031, 3976, 3413, 3995, 28992, 2229, 2263, 2056, 21781,
-         29873, 26931]
+         29873, 26931, 5514]
         + list(T._TM_CODES)
         + list(T._CONIC_CODES)
         + list(range(32601, 32661)) + list(range(32701, 32761))
@@ -357,6 +357,7 @@ def test_every_registered_code_roundtrips():
             2229: (6561666.66666666, 1640416.66666666), 2263: (984250.0, 0.0),
             2056: (2600000.0, 1200000.0), 21781: (600000.0, 200000.0),
             29873: (590476.87, 442857.65), 26931: (800000.0, 600000.0),
+            5514: (-650000.0, -1050000.0),
             2154: (700000.0, 6600000.0), 3347: (6200000.0, 3000000.0),
             32140: (600000.0, 4000000.0), 3035: (4321000.0, 3210000.0),
         }
@@ -368,7 +369,7 @@ def test_every_registered_code_roundtrips():
         back = fwd(ll.copy())
         err = np.abs(back - pts).max() * unit
         # datum-shift codes lose ~2 mm to the 2-D height drop; others 1e-6
-        tol = (0.02 if code in (27700, 28992, 2056, 21781, 29873,
+        tol = (0.02 if code in (27700, 28992, 2056, 21781, 29873, 5514,
                                 31466, 31467, 31468, 31469) else 1e-5)
         assert err < tol, (code, err)
 
@@ -438,3 +439,31 @@ def test_hotine_oblique_mercator():
     k = float(np.hypot(*(p0[1, :2] - p0[0, :2]))) / (
         npr * math.cos(math.radians(57)) * math.radians(d))
     assert abs(k - 0.9999) < 1e-6
+
+
+def test_krovak():
+    """S-JTSK / Krovak East North (EPSG 5514): the EPSG GN7-2 worked example
+    (50°12'32.4416"N 16°50'59.1790"E -> Southing 1050538.63 / Westing
+    568991.00, i.e. EN (-568991.00, -1050538.63)) must reproduce within
+    2 cm projection-only, and full-code round-trips hold across Czechia and
+    Slovakia."""
+    import numpy as np
+
+    from polars_st_spark.functions import transform as T
+
+    a_, f_ = T._ELLIPSOIDS["BESSEL1841"]
+    args = (a_, f_, 0.9999, 49.5, 24 + 50 / 60,
+            30 + 17 / 60 + 17.3031 / 3600, 78.5, 0.0, 0.0, None)
+    fwd = T._krovak_forward(*args)
+    inv = T._krovak_inverse(*args)
+    lat = 50 + 12 / 60 + 32.4416 / 3600
+    lon = 16 + 50 / 60 + 59.1790 / 3600
+    out = fwd(np.array([[lon, lat]]))
+    assert abs(out[0, 0] - (-568991.00)) < 0.02
+    assert abs(out[0, 1] - (-1050538.63)) < 0.02
+    assert np.abs(inv(out) - [lon, lat]).max() < 1e-9
+
+    kf, ki = T._code_fns(5514)
+    grid = np.array([[lo, la] for lo in (13.0, 15.5, 18.5, 21.0)
+                     for la in (48.3, 49.5, 50.8)])
+    assert np.abs(ki(kf(grid.copy()).copy()) - grid).max() < 5e-8
