@@ -38,7 +38,27 @@ def _family_name(code: int) -> str | None:
         return f"NAD83 / UTM zone {code - 26900}N"
     if 31466 <= code <= 31469:
         return f"DHDN / 3-degree Gauss-Kruger zone {code - 31464}"
+    if 23028 <= code <= 23038:
+        return f"ED50 / UTM zone {code - 23000}N"
+    if 26703 <= code <= 26722:
+        return f"NAD27 / UTM zone {code - 26700}N"
+    if 28348 <= code <= 28358:
+        return f"GDA94 / MGA zone {code - 28300}"
+    if 7846 <= code <= 7859:
+        return f"GDA2020 / MGA zone {code - 7800}"
+    if 31965 <= code <= 31976:
+        return f"SIRGAS 2000 / UTM zone {code - 31954}N"
+    if 31977 <= code <= 31985:
+        return f"SIRGAS 2000 / UTM zone {code - 31960}S"
+    if 28402 <= code <= 28432:
+        return f"Pulkovo 1942 / Gauss-Kruger zone {code - 28400}"
     return {
+        3006: "SWEREF99 TM",
+        3067: "ETRS89 / TM35FIN(E,N)",
+        3034: "ETRS89-extended / LCC Europe",
+        3005: "NAD83 / BC Albers",
+        3338: "NAD83 / Alaska Albers",
+        3832: "WGS 84 / PDC Mercator",
         27700: "OSGB36 / British National Grid",
         2193: "NZGD2000 / New Zealand Transverse Mercator 2000",
         3395: "WGS 84 / World Mercator",

@@ -480,6 +480,12 @@ _ELLIPSOIDS = {
     "AIRY1830": (6377563.396, 1 / 299.3249646),
     "BESSEL1841": (6377397.155, 1 / 299.1528128),
     "EVEREST1967": (6377298.556, 1 / 300.8017),
+    # International 1924 (Hayford) — ED50 and most mid-century European grids
+    "INTL1924": (6378388.0, 1 / 297.0),
+    # Clarke 1866 — NAD27 (f from the defining a/b pair 6378206.4/6356583.8)
+    "CLARKE1866": (6378206.4, (6378206.4 - 6356583.8) / 6378206.4),
+    # Krassowsky 1940 — Pulkovo 1942 Gauss-Krüger grids
+    "KRASSOWSKY1940": (6378245.0, 1 / 298.3),
 }
 
 # Helmert position-vector params local-datum -> WGS84 (EPSG method 9606):
@@ -499,6 +505,15 @@ _DATUM_TO_WGS84 = {
     "TIMBALAI": ("EVEREST1967", -679.0, 669.0, -48.0, 0.0, 0.0, 0.0, 0.0),
     # S-JTSK -> WGS 84: the standard grid-free 7-parameter set (~1 m).
     "SJTSK": ("BESSEL1841", 570.8, 85.7, 462.8, 4.998, 1.587, 5.261, 3.56),
+    # ED50 -> WGS 84: NIMA TR8350.2 mean solution for Western Europe
+    # (translation-only, ~3-10 m — the grid-free standard).
+    "ED50": ("INTL1924", -87.0, -98.0, -121.0, 0.0, 0.0, 0.0, 0.0),
+    # NAD27 -> WGS 84: NIMA TR8350.2 CONUS mean (translation-only, ~5-10 m;
+    # sub-metre work needs the NADCON grids, out of scope like all grid shifts).
+    "NAD27": ("CLARKE1866", -8.0, 160.0, 176.0, 0.0, 0.0, 0.0, 0.0),
+    # Pulkovo 1942 -> WGS 84: EPSG transformation 1254 (translation-only,
+    # ~15 m Russia-wide mean; regional 7-parameter sets exist per country).
+    "PULKOVO42": ("KRASSOWSKY1940", 28.0, -130.0, -95.0, 0.0, 0.0, 0.0, 0.0),
 }
 
 _TM_CONSTS_CACHE: dict = {}
@@ -691,6 +706,30 @@ for _z in range(2, 6):  # DHDN / 3-degree Gauss-Krüger zones 2-5 (Germany)
     _TM_CODES[31464 + _z] = (
         "BESSEL1841", 1.0, 0.0, _z * 3.0, _z * 1_000_000.0 + 500_000.0, 0.0, "DHDN",
     )
+for _z in range(28, 39):  # ED50 / UTM zones 28N-38N (pre-ETRS89 Europe)
+    _TM_CODES[23000 + _z] = (
+        "INTL1924", 0.9996, 0.0, _z * 6 - 183.0, 500000.0, 0.0, "ED50",
+    )
+for _z in range(3, 23):  # NAD27 / UTM zones 3N-22N
+    _TM_CODES[26700 + _z] = (
+        "CLARKE1866", 0.9996, 0.0, _z * 6 - 183.0, 500000.0, 0.0, "NAD27",
+    )
+for _z in range(48, 59):  # GDA94 / MGA zones 48-58 (Australia, southern FN)
+    _TM_CODES[28300 + _z] = ("GRS80", 0.9996, 0.0, _z * 6 - 183.0, 500000.0, 10000000.0, None)
+for _z in range(46, 60):  # GDA2020 / MGA zones 46-59
+    _TM_CODES[7800 + _z] = ("GRS80", 0.9996, 0.0, _z * 6 - 183.0, 500000.0, 10000000.0, None)
+for _z in range(11, 23):  # SIRGAS 2000 / UTM zones 11N-22N
+    _TM_CODES[31954 + _z] = ("GRS80", 0.9996, 0.0, _z * 6 - 183.0, 500000.0, 0.0, None)
+for _z in range(17, 26):  # SIRGAS 2000 / UTM zones 17S-25S (Brazil et al.)
+    _TM_CODES[31960 + _z] = ("GRS80", 0.9996, 0.0, _z * 6 - 183.0, 500000.0, 10000000.0, None)
+for _z in range(2, 33):  # Pulkovo 1942 / 6-degree Gauss-Krüger zones 2-32
+    _TM_CODES[28400 + _z] = (
+        "KRASSOWSKY1940", 1.0, 0.0, _z * 6 - 3.0, _z * 1_000_000.0 + 500_000.0, 0.0,
+        "PULKOVO42",
+    )
+# SWEREF99 TM (Sweden) and ETRS-TM35FIN (Finland): national single-zone TMs
+_TM_CODES[3006] = ("GRS80", 0.9996, 0.0, 15.0, 500000.0, 0.0, None)
+_TM_CODES[3067] = ("GRS80", 0.9996, 0.0, 27.0, 500000.0, 0.0, None)
 
 
 def _tm_code_fns(srid: int):
@@ -743,6 +782,13 @@ _CONIC_CODES = {
     2263: ("lcc", _GRS80_A, _GRS80_F, 40.0 + 10.0 / 60.0, -74.0,
            40.0 + 40.0 / 60.0, 41.0 + 2.0 / 60.0,
            984250.0 * 1200.0 / 3937.0, 0.0),
+    # ETRS89-extended / LCC Europe (the pan-European conformal companion
+    # to LAEA 3035, same grid origin at 52N 10E)
+    3034: ("lcc", _GRS80_A, _GRS80_F, 52.0, 10.0, 35.0, 65.0, 4000000.0, 2800000.0),
+    # NAD83 / BC Albers (British Columbia provincial standard)
+    3005: ("albers", _GRS80_A, _GRS80_F, 45.0, -126.0, 50.0, 58.5, 1000000.0, 0.0),
+    # NAD83 / Alaska Albers
+    3338: ("albers", _GRS80_A, _GRS80_F, 50.0, -154.0, 55.0, 65.0, 0.0, 0.0),
 }
 
 
@@ -1429,6 +1475,8 @@ def _swiss_inverse(a, f, k0, lat0, lon0, FE, FN, datum=None):
 # Amersfoort origin 52°09'22.178"N 5°23'15.500"E per the EPSG registry.
 _MISC_CODES: dict[int, tuple] = {
     3395: ("merc", "WGS84", 1.0, 0.0, 0.0, 0.0),
+    # WGS 84 / PDC Mercator (Pacific Disaster Center, central meridian 150E)
+    3832: ("merc", "WGS84", 1.0, 150.0, 0.0, 0.0),
     3031: ("pstereo", "WGS84", -71.0, 0.0, 0.0, 0.0),
     3976: ("pstereo", "WGS84", -70.0, 0.0, 0.0, 0.0),
     3413: ("pstereo", "WGS84", 70.0, -45.0, 0.0, 0.0),

@@ -218,6 +218,60 @@ def test_parameterized_tm_codes(spark):
     assert 50.0 < shift_m < 200.0
 
 
+def test_datum_utm_families_consistency():
+    """r4c zone families cross-checked against the independently-validated
+    WGS84 UTM Krüger path: same-ellipsoid datums must agree to sub-mm
+    (GRS80 vs WGS84 flattening differs at 1e-10), shifted datums must land
+    within the documented transformation magnitude and direction."""
+    import numpy as np
+
+    from polars_st_spark.functions import transform as T
+
+    # GDA94 MGA55 / GDA2020 MGA55 / SIRGAS UTM 23S == WGS84 UTM south zone
+    # (GRS80 ≈ WGS84 ellipsoid: sub-mm)
+    for code, wgs_code, pt in (
+        (28355, 32755, (147.3, -42.9)),     # Hobart, MGA zone 55
+        (7855, 32755, (144.96, -37.81)),    # Melbourne, MGA2020 zone 55
+        (31983, 32723, (-46.63, -23.55)),   # São Paulo, SIRGAS UTM 23S
+        (31972, 32618, (-74.07, 4.71)),     # Bogotá, SIRGAS UTM 18N
+        (3006, None, (15.0, 59.0)),         # SWEREF99 TM == UTM 33N params
+        (3067, None, (27.0, 61.0)),         # TM35FIN == UTM 35N params
+    ):
+        fwd = T._tm_code_fns(code)[0]
+        if wgs_code is not None:
+            wfwd = T._code_fns(wgs_code)[0]
+        elif code == 3006:
+            wfwd = T._code_fns(32633)[0]
+        else:
+            wfwd = T._code_fns(32635)[0]
+        a = fwd(np.array([list(pt)], dtype=float))
+        b = wfwd(np.array([list(pt)], dtype=float))
+        if code in (3006, 3067):  # northern: same FN too
+            assert np.abs(a - b).max() < 1e-3, (code, a, b)
+        else:
+            assert np.abs(a - b).max() < 1e-3, (code, a, b)
+
+    # ED50 UTM 31N vs WGS84 UTM 31N: the Paris-area offset is the classic
+    # ~100 m NE displacement of ED50 grids (ED50 coords are LARGER)
+    ed = T._tm_code_fns(23031)[0](np.array([[2.35, 48.85]]))
+    wgs = T._code_fns(32631)[0](np.array([[2.35, 48.85]]))
+    de, dn = (ed - wgs)[0, 0], (ed - wgs)[0, 1]
+    assert 30.0 < de < 160.0 and 100.0 < dn < 300.0, (de, dn)
+
+    # NAD27 UTM 14N vs NAD83 UTM 14N (Texas): NAD27 northings are ~200 m
+    # smaller in the south-central US
+    n27 = T._tm_code_fns(26714)[0](np.array([[-98.49, 29.42]]))
+    n83 = T._code_fns(26914)[0](np.array([[-98.49, 29.42]]))
+    d = (n27 - n83)[0]
+    assert abs(d[0]) < 80.0 and 100.0 < -d[1] < 300.0, d
+
+    # Pulkovo 1942 GK zone 7 (Moscow): easting carries the zone prefix
+    # 7 500 000 and the point sits west of the central meridian 39E
+    gk = T._tm_code_fns(28407)[0](np.array([[37.6176, 55.7558]]))
+    assert 7_300_000.0 < gk[0, 0] < 7_500_000.0
+    assert 6_100_000.0 < gk[0, 1] < 6_250_000.0
+
+
 def test_mercator_polar_oblique_worked_examples():
     """r4b projection families vs the published EPSG GN7-2 worked examples:
     Mercator variant A (Makassar / NEIEZ params), Polar Stereographic
@@ -327,8 +381,8 @@ def test_every_registered_code_roundtrips():
     from polars_st_spark.functions import transform as T
 
     codes = (
-        [3857, 3395, 3031, 3976, 3413, 3995, 28992, 2229, 2263, 2056, 21781,
-         29873, 26931, 5514]
+        [3857, 2229, 2263]
+        + list(T._MISC_CODES)
         + list(T._TM_CODES)
         + list(T._CONIC_CODES)
         + list(range(32601, 32661)) + list(range(32701, 32761))
@@ -361,16 +415,29 @@ def test_every_registered_code_roundtrips():
             2154: (700000.0, 6600000.0), 3347: (6200000.0, 3000000.0),
             32140: (600000.0, 4000000.0), 3035: (4321000.0, 3210000.0),
         }
-        fe, fn = anchors.get(code, (500000.0, 0.0) if 25000 < code < 33000 else (0.0, 0.0))
-        if code in (31466, 31467, 31468, 31469):
-            fe = (code - 31464) * 1_000_000.0 + 500_000.0
+        datum_shifted = False
+        if code in T._TM_CODES:
+            # anchor at the registry false origin: the natural origin always
+            # projects there, so the neighborhood is on-domain by construction
+            _ell, _k0, _lat0, _lon0, fe, fn, _datum = T._TM_CODES[code]
+            datum_shifted = _datum is not None
+        elif code in T._MISC_CODES:
+            t = T._MISC_CODES[code]
+            datum_shifted = isinstance(t[-1], str) and t[-1] in T._DATUM_TO_WGS84
+            fe, fn = {
+                28992: (155000.0, 463000.0), 2056: (2600000.0, 1200000.0),
+                21781: (600000.0, 200000.0), 29873: (590476.87, 442857.65),
+                26931: (800000.0, 600000.0), 5514: (-650000.0, -1050000.0),
+            }.get(code, (0.0, 0.0))
+        else:
+            fe, fn = anchors.get(
+                code, (500000.0, 0.0) if 25000 < code < 33000 else (0.0, 0.0))
         pts = offsets / unit + [fe, fn]
         ll = inv(pts.copy())
         back = fwd(ll.copy())
         err = np.abs(back - pts).max() * unit
         # datum-shift codes lose ~2 mm to the 2-D height drop; others 1e-6
-        tol = (0.02 if code in (27700, 28992, 2056, 21781, 29873, 5514,
-                                31466, 31467, 31468, 31469) else 1e-5)
+        tol = 0.02 if datum_shifted else 1e-5
         assert err < tol, (code, err)
 
 
