@@ -13,12 +13,12 @@ over DataFrame columns), re-expressed Spark-first:
 - everything composes with normal Spark SQL (Catalyst optimizes around it)
 """
 
-from polars_st_spark.frame import geodataframe, geom, sjoin, to_feature_dicts
+from polars_st_spark.frame import geodataframe, geom, plot, sjoin, to_feature_dicts
 from polars_st_spark.operators.predjoin import filter_pairs
 from polars_st_spark.functions import *  # noqa: F401,F403
 from polars_st_spark.functions import __all__ as _fn_all
 
 __version__ = "0.1.0"
 __all__ = list(_fn_all) + [
-    "geodataframe", "geom", "sjoin", "to_feature_dicts", "filter_pairs",
+    "geodataframe", "geom", "plot", "sjoin", "to_feature_dicts", "filter_pairs",
 ]

@@ -28,7 +28,7 @@ from polars_st_spark.functions.construct import (
 )
 from polars_st_spark.functions.scalar import st_to_geojson, st_to_wkt
 
-__all__ = ["geodataframe", "geom", "sjoin", "to_feature_dicts", "write_ndgeojson"]
+__all__ = ["geodataframe", "geom", "plot", "sjoin", "to_feature_dicts", "write_ndgeojson"]
 
 
 def geom(name: str = "geometry") -> Column:
@@ -124,6 +124,31 @@ def to_feature_dicts(
         }
         for r in rows
     ]
+
+
+def plot(
+    df: DataFrame,
+    geometry_name: str = "geometry",
+    max_rows: int = 100_000,
+    **mark_kwargs,
+):
+    """Draw a map plot via Altair (reference: geodataframe.py:555-598 —
+    ``alt.Chart({"values": to_dicts()}).mark_geoshape(**kwargs).interactive()``).
+
+    Driver-side by design, like the reference: the frame is collected into a
+    GeoJSON FeatureCollection (bounded by ``max_rows`` — plotting is a
+    small-result operation; aggregate/simplify first at scale), so columns
+    are reached in Altair encodings as ``properties.<name>``. Raises
+    ImportError when altair is not installed in the driver environment."""
+    try:
+        import altair as alt
+    except ImportError as exc:  # pragma: no cover - altair absent in runtime
+        raise ImportError(
+            "plot() defers to Altair like the reference; "
+            "pip install altair to enable it"
+        ) from exc
+    values = to_feature_dicts(df, geometry_name, max_rows=max_rows)
+    return alt.Chart({"values": values}).mark_geoshape(**mark_kwargs).interactive()
 
 
 def write_ndgeojson(df: DataFrame, path: str, geometry_name: str = "geometry") -> None:

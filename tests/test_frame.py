@@ -62,3 +62,63 @@ def test_driver_bounded_sinks_raise(spark, tmp_path):
     # within the bound both still work
     assert len(st.to_feature_dicts(df, max_rows=5)) == 5
     write_geojson(df, str(tmp_path / "ok.geojson"), max_rows=5)
+
+
+def test_plot_altair_shim(spark, monkeypatch):
+    """plot() mirrors the reference's altair shim (geodataframe.py:555-598):
+    Chart({"values": feature_dicts}).mark_geoshape(**kw).interactive().
+    altair is absent in this runtime, so the wiring is exercised through a
+    stub module and the no-altair path must raise a clear ImportError."""
+    import sys
+    import types
+
+    import pytest
+
+    df = st.geodataframe(
+        spark.createDataFrame(
+            [(1, "red", "POLYGON ((0 0, 0 2, 2 2, 2 0, 0 0))"),
+             (2, "blue", "POINT (2 1)")],
+            ["id", "color", "geometry"],
+        )
+    )
+
+    calls = {}
+
+    class _Chart:
+        def __init__(self, data):
+            calls["data"] = data
+
+        def mark_geoshape(self, **kw):
+            calls["mark"] = kw
+            return self
+
+        def interactive(self):
+            calls["interactive"] = True
+            return self
+
+    fake = types.ModuleType("altair")
+    fake.Chart = _Chart
+    monkeypatch.setitem(sys.modules, "altair", fake)
+    chart = st.plot(df, blend="difference")
+    assert calls["interactive"] and calls["mark"] == {"blend": "difference"}
+    feats = calls["data"]["values"]
+    assert len(feats) == 2 and feats[0]["type"] == "Feature"
+    assert {f["properties"]["color"] for f in feats} == {"red", "blue"}
+    assert isinstance(chart, _Chart)
+
+    # bounded like every driver-side sink
+    with pytest.raises(ValueError, match="max_rows"):
+        st.plot(df, max_rows=1)
+
+    monkeypatch.delitem(sys.modules, "altair")
+    import builtins
+    real_import = builtins.__import__
+
+    def no_altair(name, *a, **kw):
+        if name == "altair":
+            raise ImportError("no altair")
+        return real_import(name, *a, **kw)
+
+    monkeypatch.setattr(builtins, "__import__", no_altair)
+    with pytest.raises(ImportError, match="[Aa]ltair"):
+        st.plot(df)
