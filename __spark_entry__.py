@@ -48,6 +48,7 @@ def _ensure_workers(spark: SparkSession) -> None:
     _ensure_workers._done = spark
 from polars_st_spark.operators import dedup as _dedup
 from polars_st_spark.operators import knn as _knn
+from polars_st_spark.operators import sampling as _samp
 from polars_st_spark.operators import textops as _t
 from polars_st_spark.operators.multimodal import image_features
 from polars_st_spark.operators.sjoin import st_sjoin
@@ -544,6 +545,43 @@ def q_exact_dup_groups(spark, sf):
         .agg(F.count("*").alias("n_dups"), F.min("doc_id").alias("keep_id"))
         .where(F.col("n_dups") > 1)
     )
+
+
+def q_sample_suite(spark, sf):
+    """Deterministic sampling family (operators/sampling.py): consistent
+    Bernoulli keep-flag, per-stratum keep-flag, hash-range split labels, and
+    the token-budget gate — all pure-SQL md5 gates, so a DuckDB audit query
+    selects the identical rows (the 100 TB reproducibility contract)."""
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    u = _samp.hash_uniform("doc_id")
+    strat = F.when(F.col("lang") == "en", F.lit(1.0)).otherwise(
+        F.when(F.col("lang") == "fr", F.lit(0.25)).otherwise(F.lit(0.0)))
+    total = docs.agg(F.sum("n_chars")).first()[0]
+    frac = min(1.0, 100_000.0 / float(total))
+    return docs.select(
+        "doc_id",
+        (u < 0.3).alias("kept_30"),
+        (u < strat).alias("kept_strat"),
+        _samp.split_column("doc_id", {"train": 0.75, "val": 0.125, "test": 0.125})
+        .alias("split"),
+        (u < F.lit(frac)).alias("kept_budget"),
+    )
+
+
+def q_sample_topn(spark, sf):
+    """consistent_topn: exactly-n uniform sample as the n smallest hash
+    draws (TakeOrdered plan — per-partition heaps, no global sort)."""
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    return _samp.consistent_topn(docs, "doc_id", 25).select("doc_id", "lang", "n_chars")
+
+
+def q_pack_suite(spark, sf):
+    """Greedy sequence packing into 4000-token bins, per language (the group
+    key is the unit of parallelism — packing shards independently is how a
+    distributed packer must run). Oracle: recursive-CTE walk per group."""
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    packed = _samp.pack_greedy(docs, "lang", "doc_id", "n_chars", 4000)
+    return packed.select("doc_id", "lang", "bin", "bin_offset")
 
 
 def q_zorder_key(spark, sf):
@@ -1819,16 +1857,24 @@ _QUERIES = {
         "asof_join": q_asof_join,
         "predicate_join": q_predicate_join,
         "range_join": q_range_join,
-        # buffer_area, knn_ann and to_srid_mercator graduated to
-        # hash-checked in r4 (closed-form / literal-quantizer oracles)
-        "buffer_area": q_buffer_area,
+        # knn_ann graduated to hash-checked in r4 (literal-quantizer oracle)
         "knn_ann": q_knn_ann,
-        "to_srid_mercator": q_to_srid_mercator,
+        # r4c sampling/packing pipeline family (md5-gate + recursive-CTE oracles)
+        "sample_suite": q_sample_suite,
+        "pack_suite": q_pack_suite,
         # --- rows-only (engine hash family / binary payloads are not
         # SQL-expressible; declared, row-count recorded) ---
         "simhash_dups": q_simhash_dups,
         "multimodal_suite": q_multimodal_suite,
         # ---------------- past the driver's 50-row window ----------------
+        # buffer_area / to_srid_mercator singletons (hash-checked, r4): their
+        # operator families are certified in-window by buffer_styles and
+        # utm_roundtrip/srid_roundtrip; granular diagnosis via check_oracle.py
+        "buffer_area": q_buffer_area,
+        "to_srid_mercator": q_to_srid_mercator,
+        # consistent_topn singleton (hash-checked): the md5-gate family is
+        # certified in-window by sample_suite
+        "sample_topn": q_sample_topn,
         # xy_predicates' columns are folded into predicate_suite2 (in-window);
         # the singleton stays here for granular diagnosis via check_oracle.py
         "xy_predicates": q_xy_predicates,
@@ -2438,6 +2484,46 @@ def oracle_sql() -> dict[str, str]:
         SELECT MIN(doc_id) AS doc_id, substr(text, 1, 20) AS text,
                COUNT(*) AS n_dups
         FROM documents GROUP BY 2"""
+    # deterministic sampling gates: u(id) = md5('seed:' || id)[:8] / 2^32 —
+    # the same exactly-rounded double both engines compute (power-of-two
+    # denominator, < 2^53 numerator: no float drift anywhere)
+    u = "(('0x' || substr(md5('42:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT / 4294967296.0)"
+    d["sample_suite"] = f"""
+        SELECT doc_id,
+               {u} < 0.3 AS kept_30,
+               {u} < (CASE WHEN lang = 'en' THEN 1.0
+                           WHEN lang = 'fr' THEN 0.25 ELSE 0.0 END) AS kept_strat,
+               CASE WHEN {u} < 0.75 THEN 'train'
+                    WHEN {u} < 0.875 THEN 'val' ELSE 'test' END AS split,
+               {u} < least(1.0, 100000.0 / (SELECT SUM(n_chars) FROM documents))
+                   AS kept_budget
+        FROM documents"""
+    d["sample_topn"] = f"""
+        SELECT doc_id, lang, n_chars FROM documents
+        ORDER BY {u}, doc_id LIMIT 25"""
+    # greedy packing walk per language group as a recursive CTE: the
+    # accumulator resets exactly like operators/sampling.py pack_greedy
+    d["pack_suite"] = """
+        WITH RECURSIVE base AS (
+            SELECT doc_id, lang, n_chars,
+                   row_number() OVER (PARTITION BY lang ORDER BY doc_id) AS rn
+            FROM documents
+        ), pack AS (
+            SELECT doc_id, lang, n_chars, rn,
+                   0::BIGINT AS bin, 0::BIGINT AS bin_offset,
+                   n_chars::BIGINT AS acc
+            FROM base WHERE rn = 1
+            UNION ALL
+            SELECT b.doc_id, b.lang, b.n_chars, b.rn,
+                   CASE WHEN p.acc > 0 AND p.acc + b.n_chars > 4000
+                        THEN p.bin + 1 ELSE p.bin END,
+                   CASE WHEN p.acc > 0 AND p.acc + b.n_chars > 4000
+                        THEN 0::BIGINT ELSE p.acc END,
+                   CASE WHEN p.acc > 0 AND p.acc + b.n_chars > 4000
+                        THEN b.n_chars::BIGINT ELSE p.acc + b.n_chars END
+            FROM base b JOIN pack p ON b.lang = p.lang AND b.rn = p.rn + 1
+        )
+        SELECT doc_id, lang, bin, bin_offset FROM pack"""
     return d
 
 

@@ -1,0 +1,188 @@
+"""Deterministic sampling and sequence packing for training-data pipelines.
+
+A 100 TB corpus pipeline needs *reproducible* sampling: re-running the job,
+or running it on a grown corpus, must keep the same rows selected, and a
+DuckDB/Trino audit query must select the identical set. Spark's native
+``sample()``/``sampleBy()`` are seeded per-partition-RNG — deterministic only
+for one exact partitioning — so every operator here gates on a **content
+hash** instead: ``u(id) = int(md5(seed || ':' || id)[:8], 16) / 2^32`` is a
+uniform [0,1) draw that depends only on the row's id and the seed. All
+gates are pure Spark SQL (JVM codegen, no shuffle, no Python workers) and
+bit-identical in any engine with md5 (oracle parity).
+
+- :func:`consistent_sample` — keep rows with ``u(id) < fraction``. Growing
+  the corpus keeps previously-selected rows selected (consistent-hash
+  property), which makes incremental re-runs append-only.
+- :func:`stratified_sample` — per-stratum fractions (e.g. downsample crawl
+  data 10:1 but keep all books).
+- :func:`split_column` — deterministic train/val/test assignment by hash
+  range; a row never migrates between splits when other rows change.
+- :func:`sample_to_token_budget` — one aggregate pass computes the corpus
+  token total, then a consistent sample at ``budget / total``. Two jobs,
+  both full-scan-parallel; nothing collects to the driver but one float.
+- :func:`consistent_topn` — smallest-n by hash: a uniform
+  without-replacement n-sample computed as TakeOrdered (O(n) per partition
+  + O(n log n) driver merge — never a full sort at rest).
+- :func:`pack_greedy` — greedy sequence packing of documents into
+  fixed-token-capacity bins (context-window packing), per group, in a
+  deterministic order. The grouping key is the parallelism unit: packing is
+  embarrassingly parallel across groups (shards/languages/sources), which
+  is how packing runs at 100 TB — never a global serial scan.
+
+The reference engine has no sampling operators; these extend the pipeline
+mandate alongside dedup/knn/textops.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from polars_st_spark.functions.factory import col_or_lit
+
+__all__ = [
+    "consistent_sample",
+    "consistent_topn",
+    "hash_uniform",
+    "pack_greedy",
+    "sample_to_token_budget",
+    "split_column",
+    "stratified_sample",
+]
+
+
+def hash_uniform(id_col, seed: int = 42):
+    """Uniform [0, 1) draw from a row id: ``md5(seed:id)`` first 8 hex chars
+    as a 32-bit integer over 2^32. Pure SQL, engine-portable."""
+    c = col_or_lit(id_col).cast("string")
+    h = F.md5(F.concat(F.lit(f"{seed}:"), c))
+    return F.conv(F.substring(h, 1, 8), 16, 10).cast("double") / F.lit(float(2**32))
+
+
+def consistent_sample(
+    df: DataFrame, id_col: str, fraction: float, seed: int = 42
+) -> DataFrame:
+    """Deterministic Bernoulli(fraction) sample keyed on content hash.
+
+    Unlike ``df.sample()``, the selected set is a pure function of
+    (id, seed): stable across reruns, partitionings, and engines, and
+    monotone in ``fraction`` (a 1% sample is a subset of a 10% sample)."""
+    if not 0.0 <= fraction <= 1.0:
+        raise ValueError(f"fraction must be in [0, 1], got {fraction}")
+    return df.where(hash_uniform(id_col, seed) < fraction)
+
+
+def stratified_sample(
+    df: DataFrame,
+    strata_col: str,
+    fractions: dict,
+    id_col: str,
+    seed: int = 42,
+    default_fraction: float = 0.0,
+) -> DataFrame:
+    """Per-stratum deterministic sampling: keep a row of stratum ``s`` with
+    probability ``fractions.get(s, default_fraction)``. The standard corpus
+    rebalancing move (downsample web crawl, keep curated sources whole) as a
+    single codegen filter — no shuffle, no per-stratum jobs."""
+    frac = F.lit(float(default_fraction))
+    for value, f_ in fractions.items():
+        if not 0.0 <= f_ <= 1.0:
+            raise ValueError(f"fraction for {value!r} must be in [0, 1], got {f_}")
+        frac = F.when(F.col(strata_col) == value, F.lit(float(f_))).otherwise(frac)
+    return df.where(hash_uniform(id_col, seed) < frac)
+
+
+def split_column(id_col, splits: dict, seed: int = 42):
+    """Split-label column from hash ranges: ``splits`` maps label ->
+    fraction (must sum to <= 1; remainder gets the LAST label). A row's
+    label depends only on (id, seed) — adding or removing other rows never
+    migrates it between train and test (no leakage on incremental runs)."""
+    total = sum(splits.values())
+    if total > 1.0 + 1e-9:
+        raise ValueError(f"split fractions sum to {total} > 1")
+    u = hash_uniform(id_col, seed)
+    expr = None
+    acc = 0.0
+    labels = list(splits)
+    for label in labels[:-1]:
+        acc += splits[label]
+        cond = u < F.lit(acc)
+        expr = F.when(cond, F.lit(label)) if expr is None else expr.when(cond, F.lit(label))
+    last = F.lit(labels[-1])
+    return last if expr is None else expr.otherwise(last)
+
+
+def sample_to_token_budget(
+    df: DataFrame,
+    id_col: str,
+    token_col: str,
+    budget: float,
+    seed: int = 42,
+) -> DataFrame:
+    """Consistent sample sized so the expected token sum equals ``budget``:
+    one aggregate computes the corpus total (a single double to the
+    driver), the gate fraction is ``min(1, budget / total)``. Determinism
+    carries over from :func:`consistent_sample`."""
+    total = df.agg(F.sum(F.col(token_col).cast("double"))).first()[0]
+    if not total or total <= 0:
+        return df.where(F.lit(False))
+    return consistent_sample(df, id_col, min(1.0, float(budget) / float(total)), seed)
+
+
+def consistent_topn(df: DataFrame, id_col: str, n: int, seed: int = 42) -> DataFrame:
+    """Exactly-n uniform without-replacement sample: the n smallest hash
+    draws (ties broken by id). Spark executes orderBy+limit as TakeOrdered —
+    each partition keeps a local top-n heap, the driver merges n·partitions
+    candidates — O(n) memory, no global sort of the corpus."""
+    return (
+        df.withColumn("_u", hash_uniform(id_col, seed))
+        .orderBy(F.col("_u").asc(), F.col(id_col).asc())
+        .limit(n)
+        .drop("_u")
+    )
+
+
+def pack_greedy(
+    df: DataFrame,
+    group_col: str,
+    order_col: str,
+    token_col: str,
+    capacity: int,
+) -> DataFrame:
+    """Greedy sequence packing: within each group, walk rows in
+    ``order_col`` order and accumulate token counts; when a row would
+    overflow ``capacity``, start a new bin. Output adds ``bin`` (0-based
+    per group) and ``bin_offset`` (token start position inside the bin).
+
+    Rows larger than ``capacity`` get a bin of their own (callers truncate
+    or re-chunk upstream). The group key is the unit of parallelism — pack
+    per shard/source/language, the way a distributed packer must (a single
+    global greedy order would serialize the scan). One shuffle on the group
+    key; the per-group walk is a linear numpy pass inside applyInPandas."""
+    out_schema = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}" for f in df.schema.fields
+    ) + ", bin bigint, bin_offset bigint"
+
+    cap = int(capacity)
+
+    def pack(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(order_col, kind="mergesort").reset_index(drop=True)
+        toks = pdf[token_col].to_numpy()
+        bins = []
+        offs = []
+        b = 0
+        acc = 0
+        for t in toks:
+            t = int(t)
+            if acc > 0 and acc + t > cap:
+                b += 1
+                acc = 0
+            bins.append(b)
+            offs.append(acc)
+            acc += t
+        pdf["bin"] = pd.Series(bins, dtype="int64")
+        pdf["bin_offset"] = pd.Series(offs, dtype="int64")
+        return pdf
+
+    return df.groupBy(group_col).applyInPandas(pack, out_schema)

@@ -1,0 +1,136 @@
+"""Deterministic sampling + sequence packing (operators/sampling.py)."""
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from polars_st_spark.operators import sampling as S
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [(i, f"doc{i}", ["en", "es", "fr", "de"][i % 4], (i * 37) % 900 + 20)
+            for i in range(2000)]
+    return spark.createDataFrame(rows, ["doc_id", "name", "lang", "tokens"]).cache()
+
+
+def test_consistent_sample_deterministic_and_monotone(docs):
+    a = {r["doc_id"] for r in S.consistent_sample(docs, "doc_id", 0.1).collect()}
+    b = {r["doc_id"] for r in S.consistent_sample(docs, "doc_id", 0.1).collect()}
+    assert a == b  # rerun-stable
+    big = {r["doc_id"] for r in S.consistent_sample(docs, "doc_id", 0.4).collect()}
+    assert a <= big  # monotone in fraction (consistent-hash property)
+    # roughly binomial: 2000 * 0.1 within 5 sigma (~67)
+    assert 130 <= len(a) <= 270
+    # different seed -> different set
+    c = {r["doc_id"] for r in S.consistent_sample(docs, "doc_id", 0.1, seed=7).collect()}
+    assert c != a
+    # subset-stability: sampling a filtered corpus keeps the same survivors
+    sub = docs.where(F.col("doc_id") < 1000)
+    a_sub = {r["doc_id"] for r in S.consistent_sample(sub, "doc_id", 0.1).collect()}
+    assert a_sub == {i for i in a if i < 1000}
+
+
+def test_stratified_sample_rates(docs):
+    out = S.stratified_sample(
+        docs, "lang", {"en": 1.0, "es": 0.2}, "doc_id"
+    ).groupBy("lang").count().collect()
+    counts = {r["lang"]: r["count"] for r in out}
+    assert counts["en"] == 500  # fraction 1.0 keeps everything
+    assert 40 <= counts.get("es", 0) <= 170  # ~100
+    assert "fr" not in counts and "de" not in counts  # default 0.0
+
+
+def test_split_column_partition_and_stability(docs):
+    lab = S.split_column("doc_id", {"train": 0.8, "val": 0.1, "test": 0.1})
+    out = docs.select("doc_id", lab.alias("split"))
+    counts = {r["split"]: r["count"] for r in out.groupBy("split").count().collect()}
+    assert sum(counts.values()) == 2000 and set(counts) == {"train", "val", "test"}
+    assert counts["train"] > 1400
+    # a row's label is independent of the rest of the corpus
+    full = {r["doc_id"]: r["split"] for r in out.collect()}
+    sub = docs.where(F.col("doc_id") % 3 == 0).select("doc_id", lab.alias("split"))
+    for r in sub.collect():
+        assert full[r["doc_id"]] == r["split"]
+
+
+def test_sample_to_token_budget(docs):
+    total = docs.agg(F.sum("tokens")).first()[0]
+    budget = total * 0.25
+    out = S.sample_to_token_budget(docs, "doc_id", "tokens", budget)
+    got = out.agg(F.sum("tokens")).first()[0]
+    assert abs(got - budget) / budget < 0.2  # expected-value match
+    # budget >= total keeps everything; nonpositive total -> empty
+    assert S.sample_to_token_budget(docs, "doc_id", "tokens", total * 2).count() == 2000
+    empty = docs.where(F.lit(False))
+    assert S.sample_to_token_budget(empty, "doc_id", "tokens", 100).count() == 0
+
+
+def test_consistent_topn_exact(docs):
+    out = S.consistent_topn(docs, "doc_id", 25)
+    rows = out.collect()
+    assert len(rows) == 25 and "_u" not in out.columns
+    # equals the 25 smallest hash draws computed independently
+    want = {
+        r["doc_id"]
+        for r in docs.select("doc_id", S.hash_uniform("doc_id").alias("u"))
+        .orderBy("u", "doc_id").limit(25).collect()
+    }
+    assert {r["doc_id"] for r in rows} == want
+    # plan is TakeOrdered (per-partition heap), not a global Sort+Limit
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
+
+
+def _pack_reference(rows, cap):
+    """Independent driver-side greedy packer."""
+    out = {}
+    by_group = {}
+    for r in sorted(rows, key=lambda r: (r["lang"], r["doc_id"])):
+        by_group.setdefault(r["lang"], []).append(r)
+    for g, rs in by_group.items():
+        b, acc = 0, 0
+        for r in rs:
+            t = r["tokens"]
+            if acc > 0 and acc + t > cap:
+                b, acc = b + 1, 0
+            out[r["doc_id"]] = (b, acc)
+            acc += t
+    return out
+
+
+def test_pack_greedy_matches_reference(docs):
+    cap = 2048
+    got = S.pack_greedy(docs, "lang", "doc_id", "tokens", cap).collect()
+    assert len(got) == 2000
+    want = _pack_reference([r.asDict() for r in docs.collect()], cap)
+    for r in got:
+        assert (r["bin"], r["bin_offset"]) == want[r["doc_id"]], r
+    # no bin overflows except single-oversize-row bins
+    bins = {}
+    for r in got:
+        bins.setdefault((r["lang"], r["bin"]), []).append(r["tokens"])
+    for (_, _), toks in bins.items():
+        assert sum(toks) <= cap or len(toks) == 1
+
+
+def test_pack_greedy_oversize_rows_own_bin(spark):
+    df = spark.createDataFrame(
+        [(1, "a", 10), (2, "a", 5000), (3, "a", 10), (4, "a", 10)],
+        ["doc_id", "lang", "tokens"],
+    )
+    rows = {r["doc_id"]: (r["bin"], r["bin_offset"])
+            for r in S.pack_greedy(df, "lang", "doc_id", "tokens", 100).collect()}
+    assert rows[1] == (0, 0)
+    assert rows[2] == (1, 0)      # oversize row: bin of its own
+    assert rows[3] == (2, 0)      # next row starts a fresh bin
+    assert rows[4] == (2, 10)
+
+
+def test_validation_errors(docs):
+    with pytest.raises(ValueError, match="fraction"):
+        S.consistent_sample(docs, "doc_id", 1.5)
+    with pytest.raises(ValueError, match="fraction"):
+        S.stratified_sample(docs, "lang", {"en": -0.1}, "doc_id")
+    with pytest.raises(ValueError, match="sum"):
+        S.split_column("doc_id", {"a": 0.8, "b": 0.4})
