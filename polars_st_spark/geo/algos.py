@@ -1622,8 +1622,10 @@ def offset_curve(g: Geometry, dist: float, quad_segs: int = 8, join_style: str =
     corner) and line-intersection trimming on inside turns (reference:
     functions.rs:1302-1317; GEOS OffsetCurve semantics). Positive distance =
     left of the line direction. Every chain of a MultiLineString is offset
-    (r4b); documented deviation: the raw curve is not globally re-noded, so
-    loops from distant self-intersections are kept as drawn."""
+    (r4b); r4c: the raw curve is noded against itself and collapse loops —
+    self-intersection loops that dive closer to the source line than the
+    offset distance — are excised (the GEOS post-pass); valid self-touching
+    lobes that stay at ≥ dist are kept."""
     chains = list(_iter_chains(g))
     if not chains or dist == 0:
         if chains and dist == 0:
@@ -1632,8 +1634,12 @@ def offset_curve(g: Geometry, dist: float, quad_segs: int = 8, join_style: str =
             return parts[0] if len(parts) == 1 else Geometry(
                 GeometryType.MultiLineString, srid=g.srid, geoms=parts)
         return Geometry(GeometryType.LineString, srid=g.srid, coords=np.empty((0, 2)))
-    parts = [_offset_chain(ch[:, :2], dist, quad_segs, join_style, mitre_limit)
-             for ch in chains]
+    parts = [
+        _remove_offset_loops(
+            _offset_chain(ch[:, :2], dist, quad_segs, join_style, mitre_limit),
+            ch[:, :2], dist)
+        for ch in chains
+    ]
     parts = [c for c in parts if len(c)]
     if not parts:
         return Geometry(GeometryType.LineString, srid=g.srid, coords=np.empty((0, 2)))
@@ -1708,6 +1714,84 @@ def _offset_chain(c: np.ndarray, dist: float, quad_segs: int, join_style: str,
     for p in out[1:]:
         if not np.allclose(p, final[-1]):
             final.append(p)
+    return np.array(final)
+
+
+def _remove_offset_loops(curve: np.ndarray, src: np.ndarray, dist: float) -> np.ndarray:
+    """GEOS-style offset post-pass: node the raw offset polyline at its
+    self-intersections and excise collapse loops.
+
+    When the offset distance exceeds the local feature size, non-adjacent
+    offset segments cross and the curve doubles back in a loop that dives
+    closer to the source line than ``|dist|`` — GEOS discards those portions.
+    A loop is excised only when its closest approach to the source is below
+    ``|dist| · (1 - 1e-6)``; legitimately self-touching lobes (which stay at
+    the offset distance) are preserved, as are all join chords (bevel/round
+    chord midpoints sit slightly inside ``dist`` but are never part of a
+    crossing loop, so the distance test never sees them)."""
+    from polars_st_spark.geo.predicates import _seg_intersect_kind, _seg_param
+
+    n = len(curve) - 1
+    if n < 3:
+        return curve
+    # proper crossings between non-adjacent segments: (param_i, param_j, point)
+    crossings = []
+    for i in range(n - 2):
+        a, b = curve[i], curve[i + 1]
+        for j in range(i + 2, n):
+            c_, e = curve[j], curve[j + 1]
+            if _seg_intersect_kind(a, b, c_, e) != 2:
+                continue
+            den = (b[0] - a[0]) * (e[1] - c_[1]) - (b[1] - a[1]) * (e[0] - c_[0])
+            if den == 0:
+                continue
+            t = ((c_[0] - a[0]) * (e[1] - c_[1]) - (c_[1] - a[1]) * (e[0] - c_[0])) / den
+            if not 0.0 < t < 1.0:
+                continue
+            p = a + t * (b - a)
+            u = _seg_param(c_, e, p)
+            if not 0.0 < u < 1.0:
+                continue
+            crossings.append((i + t, j + u, p))
+    if not crossings:
+        return curve
+    # noded point walk: original vertices at integer params, crossing points
+    # (shared coords, twice each) at fractional params, in curve order
+    events = []  # (param, crossing_id or None, point)
+    for k in range(len(curve)):
+        events.append((float(k), None, curve[k]))
+    for cid, (t1, t2, p) in enumerate(crossings):
+        events.append((t1, cid, p))
+        events.append((t2, cid, p))
+    events.sort(key=lambda e: e[0])
+    thresh = abs(dist) * (1.0 - 1e-6)
+    out: list = []          # (crossing_id, point)
+    open_at: dict = {}      # crossing_id -> index in out of its first visit
+    for _param, cid, p in events:
+        if cid is not None and cid in open_at:
+            k = open_at[cid]
+            loop_pts = np.array([q for _c, q in out[k:]] + [p])
+            # closest approach of the candidate loop to the source line
+            mids = (loop_pts[:-1] + loop_pts[1:]) / 2.0
+            dmin = min(
+                min(_min_dist_point_to_chain(m, src) for m in mids),
+                min(_min_dist_point_to_chain(q, src) for q in loop_pts),
+            )
+            if dmin < thresh:
+                # collapse loop: cut back to the crossing point (kept once)
+                del out[k + 1:]
+                # crossings opened inside the loop can never close now
+                open_at = {c: i for c, i in open_at.items() if i <= k}
+                continue
+        if cid is not None and cid not in open_at:
+            open_at[cid] = len(out)
+        out.append((cid, p))
+    final = [out[0][1]]
+    for _c, p in out[1:]:
+        if not np.allclose(p, final[-1]):
+            final.append(p)
+    if len(final) < 2:
+        return np.empty((0, 2))
     return np.array(final)
 
 

@@ -382,3 +382,39 @@ def test_offset_curve_joins_and_multichain():
     # inside turn trims to the line intersection regardless of style
     ins = algos.offset_curve(L, 1.0, join_style="round")
     assert np.allclose(ins.coords, [[0, 1], [9, 1], [9, 10]])
+
+
+def test_offset_curve_collapse_loop_excised():
+    """r4c: the raw offset curve is noded against itself and collapse loops
+    (retrograde portions diving closer to the source than |dist|) are
+    excised — GEOS OffsetCurve post-pass. Valid curves pass unchanged."""
+    import numpy as np
+
+    from polars_st_spark.geo import algos
+    from polars_st_spark.geo.predicates import _seg_intersect_kind
+    from polars_st_spark.geo.wkt import from_wkt
+
+    def n_crossings(c):
+        n = len(c) - 1
+        k = 0
+        for i in range(n - 2):
+            for j in range(i + 2, n):
+                if _seg_intersect_kind(c[i], c[i + 1], c[j], c[j + 1]) == 2:
+                    k += 1
+        return k
+
+    zig = from_wkt("LINESTRING (0 0, 1 1, 2 0, 3 1, 4 0)")
+    src = zig.coords[:, :2]
+    # offset below by more than the tooth height: the raw curve loops at the
+    # valley and crosses itself twice
+    raw = algos._offset_chain(src, -1.5, 8, "round", 5.0)
+    assert n_crossings(raw) == 2
+    out = algos.offset_curve(zig, -1.5, join_style="round")
+    assert n_crossings(out.coords) == 0
+    # endpoints survive the excision; the curve got strictly shorter
+    assert np.allclose(out.coords[0], raw[0]) and np.allclose(out.coords[-1], raw[-1])
+    assert len(out.coords) < len(raw)
+    # a non-crossing offset is bit-identical to the raw chain
+    ok = algos.offset_curve(zig, -0.4, join_style="round")
+    raw_ok = algos._offset_chain(src, -0.4, 8, "round", 5.0)
+    assert np.array_equal(ok.coords, raw_ok)
