@@ -29,6 +29,7 @@ __all__ = [
     "geom_arg",
     "unary_geom",
     "unary_scalar",
+    "unary_scalar_param",
     "binary_scalar",
     "binary_geom",
 ]
@@ -98,6 +99,40 @@ def unary_scalar(fn: Callable[[Geometry], Any], return_type: str, name: str = "s
         return pd.Series(out, dtype=object)
 
     return udf
+
+
+def unary_scalar_param(
+    fn: Callable[[Geometry, Any], Any],
+    return_type: str,
+    param,
+    name: str = "st_fn",
+):
+    """geometry + numeric parameter → scalar column, with the reference's
+    broadcastable-Expr parameter semantics (src/arity.rs:63-85): a Python
+    scalar closes over the kernel (single-column UDF, vectorized fast paths
+    untouched), while a Column / column name zips a per-row parameter series
+    against the geometry batch. Null or NaN in either input → null out."""
+    if not isinstance(param, (Column, str)):
+
+        def single(col) -> Column:
+            return unary_scalar(lambda g: fn(g, param), return_type, name)(col_or_lit(col))
+
+        return single
+
+    p = col_or_lit(param)
+
+    @pandas_udf(return_type)
+    def udf(s: pd.Series, v: pd.Series) -> pd.Series:
+        out = [
+            None if g is None or pd.isna(x) else fn(g, x)
+            for g, x in zip(decode_batch(s), v)
+        ]
+        return pd.Series(out, dtype=object)
+
+    def paired(col) -> Column:
+        return udf(col_or_lit(col), p)
+
+    return paired
 
 
 def binary_scalar(

@@ -577,11 +577,18 @@ def st_parts(col) -> Column:
 
 
 def _indexed(fn):
-    def outer(col, index: int):
-        def inner(g: Geometry):
-            return fn(g, index)
+    """Index is broadcastable like the reference's Expr parameter
+    (functions.rs:631-671): Python int or per-row Column / column name."""
 
-        return unary_scalar(inner, "binary")(col_or_lit(col))
+    def outer(col, index):
+        from pyspark.sql import Column as _Col
+
+        from polars_st_spark.functions.factory import unary_scalar_param
+
+        if isinstance(index, (_Col, str)):
+            return unary_scalar_param(
+                lambda g, i: fn(g, int(i)), "binary", index)(col)
+        return unary_scalar(lambda g: fn(g, index), "binary")(col_or_lit(col))
 
     return outer
 

@@ -316,12 +316,20 @@ def st_skew(col, x: float = 0.0, y: float = 0.0, origin="center") -> Column:
     return unary_geom(fb)(col_or_lit(col))
 
 
-def st_buffer(col, distance: float, quad_segs: int = 8, cap_style: str = "round",
+def st_buffer(col, distance, quad_segs: int = 8, cap_style: str = "round",
               join_style: str = "round", mitre_limit: float = 5.0,
               single_sided: bool = False) -> Column:
-    return unary_geom(
-        lambda g: algos.buffer(g, distance, quad_segs, cap_style, join_style, mitre_limit, single_sided)
-    )(col_or_lit(col))
+    """``distance`` is broadcastable like the reference's Expr parameter
+    (functions.rs:1289-1300): a float applies to every row; a Column /
+    column name buffers each row by its own distance."""
+    from polars_st_spark.functions.factory import unary_scalar_param
+    from polars_st_spark.geo.wkb import to_ewkb as _enc
+
+    return unary_scalar_param(
+        lambda g, d: _enc(algos.buffer(
+            g, float(d), quad_segs, cap_style, join_style, mitre_limit, single_sided)),
+        "binary", distance,
+    )(col)
 
 
 def st_offset_curve(col, distance: float, quad_segs: int = 8,
@@ -333,7 +341,33 @@ def st_clip_by_rect(col, xmin: float, ymin: float, xmax: float, ymax: float) -> 
     return unary_geom(lambda g: setops.clip_by_rect(g, xmin, ymin, xmax, ymax))(col_or_lit(col))
 
 
-def st_snap(col, other, tolerance: float) -> Column:
+def st_snap(col, other, tolerance) -> Column:
+    """``tolerance`` broadcasts like the reference's ternary Expr parameter
+    (arity.rs:119-172): float or per-row Column."""
+    if isinstance(tolerance, (Column, str)):
+        tol = col_or_lit(tolerance)
+        og = geom_arg(other)
+        other_is_col = isinstance(og, Column)
+        const_g = None if other_is_col else og
+
+        @pandas_udf("binary")
+        def udf3(s1, s2, sv):
+            from polars_st_spark.geo.wkb import decode_batch, to_ewkb as _enc
+            import pandas as _pd
+
+            g2s = decode_batch(s2) if other_is_col else [const_g] * len(s1)
+            out = [
+                None if a is None or b is None or _pd.isna(x)
+                else _enc(algos.snap(a, b, float(x)))
+                for a, b, x in zip(decode_batch(s1), g2s, sv)
+            ]
+            return _pd.Series(out, dtype=object)
+
+        if other_is_col:
+            return udf3(col_or_lit(col), og, tol)
+        # constant other is closed over; the second input slot is unused —
+        # rebind the geometry column so no extra data ships
+        return udf3(col_or_lit(col), col_or_lit(col), tol)
     udf, oc = binary_geom(lambda a, b: algos.snap(a, b, tolerance), geom_arg(other))
     return udf(col_or_lit(col)) if oc is None else udf(col_or_lit(col), oc)
 
@@ -347,8 +381,16 @@ def st_line_merge(col, directed: bool = False) -> Column:
     return unary_geom(lambda g: algos.line_merge(g, directed))(col_or_lit(col))
 
 
-def st_interpolate(col, distance: float, normalized: bool = False) -> Column:
-    return unary_geom(lambda g: algos.line_interpolate_point(g, distance, normalized))(col_or_lit(col))
+def st_interpolate(col, distance, normalized: bool = False) -> Column:
+    """``distance`` is broadcastable (reference Expr parameter,
+    functions.rs:1700-1717): float or per-row Column."""
+    from polars_st_spark.functions.factory import unary_scalar_param
+    from polars_st_spark.geo.wkb import to_ewkb as _enc
+
+    return unary_scalar_param(
+        lambda g, d: _enc(algos.line_interpolate_point(g, float(d), normalized)),
+        "binary", distance,
+    )(col)
 
 
 # ----------------------------------------------------------------------

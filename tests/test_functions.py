@@ -229,3 +229,57 @@ def test_build_area_hole_nesting(spark):
     for (i, _, area, typ), r in zip(cases, rows):
         assert r["area"] == pytest.approx(area), i
         assert r["t"] == typ, i
+
+
+def test_broadcastable_expr_parameters(spark):
+    """r4c: scalar parameters that are broadcastable Exprs in the reference
+    (buffer distance functions.rs:1289-1300, get_* index functions.rs:631-671,
+    interpolate distance functions.rs:1700-1717, snap tolerance
+    arity.rs:119-172) accept a per-row Column here too; Python scalars keep
+    the closure path bit-identically."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    df = st.geodataframe(spark.createDataFrame(
+        [(1, "POINT (0 0)", 1.0, 0), (2, "POINT (0 0)", 2.0, 1),
+         (3, "LINESTRING (0 0, 10 0)", 0.5, 2), (4, None, 1.0, 0)],
+        ["id", "geometry", "d", "i"]))
+    rows = {r["id"]: r for r in df.select(
+        "id",
+        st.st_area(st.st_buffer("geometry", "d", quad_segs=64)).alias("barea"),
+        st.st_to_wkt(st.st_interpolate("geometry", F.col("d"))).alias("interp"),
+    ).collect()}
+    assert abs(rows[1]["barea"] - math.pi) < 2e-3
+    assert abs(rows[2]["barea"] - 4 * math.pi) < 8e-3
+    assert rows[3]["interp"] == "POINT (0.5 0)"
+    assert rows[4]["barea"] is None and rows[4]["interp"] is None
+    # scalar path unchanged: same value as the per-row path at equal distance
+    s1 = df.where(F.col("id") == 1).select(
+        st.st_area(st.st_buffer("geometry", 1.0, quad_segs=64)).alias("a")).first()["a"]
+    assert s1 == rows[1]["barea"]
+
+    # per-row index on get_point; out-of-range -> null
+    dfl = st.geodataframe(spark.createDataFrame(
+        [(1, "LINESTRING (0 0, 1 1, 2 2)", 0), (2, "LINESTRING (5 5, 6 6)", 1),
+         (3, "LINESTRING (9 9, 8 8)", 5)],
+        ["id", "geometry", "i"]))
+    pts = {r["id"]: r["p"] for r in dfl.select(
+        "id", st.st_to_wkt(st.st_get_point("geometry", "i")).alias("p")).collect()}
+    assert pts == {1: "POINT (0 0)", 2: "POINT (6 6)", 3: None}
+
+    # per-row snap tolerance, constant and column other
+    df3 = st.geodataframe(spark.createDataFrame(
+        [(1, "POINT (0.4 0)", 0.5), (2, "POINT (0.4 0)", 0.1)],
+        ["id", "geometry", "tol"]))
+    out = {r["id"]: r["s"] for r in df3.select(
+        "id", st.st_to_wkt(st.st_snap("geometry", "POINT (0 0)", "tol")).alias("s"),
+    ).collect()}
+    assert out == {1: "POINT (0 0)", 2: "POINT (0.4 0)"}
+    df4 = st.geodataframe(st.geodataframe(spark.createDataFrame(
+        [(1, "POINT (0.4 0)", "POINT (0 0)", 0.5),
+         (2, "POINT (0.4 0)", "POINT (0 0)", 0.1)],
+        ["id", "geometry", "g2", "tol"]), "g2"), "geometry")
+    out = {r["id"]: r["s"] for r in df4.select(
+        "id", st.st_to_wkt(st.st_snap("geometry", "g2", "tol")).alias("s")).collect()}
+    assert out == {1: "POINT (0 0)", 2: "POINT (0.4 0)"}
