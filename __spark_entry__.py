@@ -584,6 +584,14 @@ def q_pack_suite(spark, sf):
     return packed.select("doc_id", "lang", "bin", "bin_offset")
 
 
+def q_chunk_suite(spark, sf):
+    """Token-window chunking (operators/textops.py chunk_text): chunk 6
+    tokens, overlap 2 — pure split/sequence/posexplode/slice SQL."""
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    out = _t.chunk_text(docs, "doc_id", "text", chunk_tokens=6, overlap=2)
+    return out.select("doc_id", "chunk_idx", "chunk_text", "chunk_n_tokens")
+
+
 def q_zorder_key(spark, sf):
     """Morton (Z-order) clustering key of each customer point — pure bit
     arithmetic inside codegen (functions/zorder.py); oracle replays the
@@ -1875,6 +1883,7 @@ _QUERIES = {
         # consistent_topn singleton (hash-checked): the md5-gate family is
         # certified in-window by sample_suite
         "sample_topn": q_sample_topn,
+        "chunk_suite": q_chunk_suite,
         # xy_predicates' columns are folded into predicate_suite2 (in-window);
         # the singleton stays here for granular diagnosis via check_oracle.py
         "xy_predicates": q_xy_predicates,
@@ -2501,6 +2510,22 @@ def oracle_sql() -> dict[str, str]:
     d["sample_topn"] = f"""
         SELECT doc_id, lang, n_chars FROM documents
         ORDER BY {u}, doc_id LIMIT 25"""
+    # chunk_text: starts = range(0, n_tokens, step); chunk k slices tokens
+    # [k*step+1 .. k*step+chunk] (1-based inclusive, end clamped) — identical
+    # to Spark's sequence + slice
+    d["chunk_suite"] = r"""
+        WITH t AS (
+            SELECT doc_id,
+                   CASE WHEN trim(text) = '' THEN []::VARCHAR[]
+                        ELSE string_split_regex(trim(text), '\s+') END AS toks
+            FROM documents
+        ), e AS (
+            SELECT doc_id, toks, unnest(range(0, len(toks), 4)) AS s FROM t
+        )
+        SELECT doc_id, (s // 4)::INT AS chunk_idx,
+               array_to_string(list_slice(toks, s + 1, s + 6), ' ') AS chunk_text,
+               len(list_slice(toks, s + 1, s + 6))::INT AS chunk_n_tokens
+        FROM e"""
     # greedy packing walk per language group as a recursive CTE: the
     # accumulator resets exactly like operators/sampling.py pack_greedy
     d["pack_suite"] = """

@@ -31,9 +31,13 @@ from polars_st_spark.functions.scalar import st_to_geojson, st_to_wkt
 __all__ = ["geodataframe", "geom", "plot", "sjoin", "to_feature_dicts", "write_ndgeojson"]
 
 
-def geom(name: str = "geometry") -> Column:
+def geom(name: str = "geometry", *more_names: str):
     """Geometry column selector with the reference's default name
-    (reference: selectors.py:19-62)."""
+    (reference: selectors.py:19-62). Multiple names return a list of
+    Columns (the reference's multi-name `pl.col` shape); regex selection is
+    frame-scoped in Spark — use ``df.colRegex`` directly."""
+    if more_names:
+        return [F.col(name), *(F.col(n) for n in more_names)]
     return F.col(name)
 
 

@@ -21,6 +21,7 @@ from pyspark.sql import functions as F
 from polars_st_spark.functions.factory import col_or_lit
 
 __all__ = [
+    "chunk_text",
     "tokens",
     "token_count",
     "bpe_tokens",
@@ -349,3 +350,41 @@ def doc_fingerprint(text, n: int = 3) -> Column:
     """Rolling-hash document fingerprint: minimum shingle hash (min-sampling
     of the shingle hash stream — stable under small edits)."""
     return F.array_min(F.transform(shingles(text, n), lambda s: _h(0, s)))
+
+
+def chunk_text(
+    df,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    chunk_tokens: int = 512,
+    overlap: int = 0,
+):
+    """Split documents into (possibly overlapping) token-window chunks —
+    context-window chunking for training/embedding pipelines.
+
+    Tokens are whitespace splits of the ORIGINAL text (no lowercasing: the
+    chunk text must round-trip the content); chunk ``k`` covers tokens
+    ``[k·step, k·step + chunk_tokens)`` with ``step = chunk_tokens −
+    overlap``. Output rows: every input column plus ``chunk_idx`` (0-based),
+    ``chunk_text`` (tokens re-joined with single spaces) and
+    ``chunk_n_tokens``. Whitespace-only documents produce zero chunks.
+
+    Pure Spark SQL (split / sequence / posexplode / slice — JVM codegen,
+    no Python workers): the per-row explode is the scalable shape, and the
+    oracle is the identical expression in any SQL engine."""
+    if overlap >= chunk_tokens:
+        raise ValueError(f"overlap={overlap} must be < chunk_tokens={chunk_tokens}")
+    step = chunk_tokens - overlap
+    toks = F.split(F.trim(F.col(text_col)), r"\s+")
+    toks = F.when(F.trim(F.col(text_col)) == "", F.array().cast("array<string>")).otherwise(toks)
+    n = F.size(toks)
+    starts = F.when(n > 0, F.sequence(F.lit(0), n - 1, F.lit(step))).otherwise(
+        F.array().cast("array<int>"))
+    return (
+        df.withColumn("_toks", toks)
+        .select("*", F.posexplode(starts).alias("chunk_idx", "_start"))
+        .withColumn("_slice", F.slice(F.col("_toks"), F.col("_start") + 1, chunk_tokens))
+        .withColumn("chunk_text", F.array_join(F.col("_slice"), " "))
+        .withColumn("chunk_n_tokens", F.size(F.col("_slice")))
+        .drop("_toks", "_start", "_slice")
+    )

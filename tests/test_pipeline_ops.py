@@ -330,3 +330,29 @@ def test_image_resize_composes(spark):
     # resized payload feeds the feature extractor (pipeline composition)
     feats = image_features(small, "payload", "id", resize=(2, 2)).first()
     assert len(feats["features"]) == 3
+
+
+def test_chunk_text(spark):
+    """r4c chunk_text: token-window chunking with overlap, pure Spark SQL."""
+    import pytest
+    from polars_st_spark.operators.textops import chunk_text
+
+    df = spark.createDataFrame(
+        [(1, "a b c d e f g"), (2, "x y"), (3, "   "), (4, "solo")],
+        ["doc_id", "text"],
+    )
+    out = chunk_text(df, "doc_id", "text", chunk_tokens=3, overlap=1).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r["doc_id"], []).append(
+            (r["chunk_idx"], r["chunk_text"], r["chunk_n_tokens"]))
+    # step=2: starts 0,2,4,6 over 7 tokens
+    assert by_doc[1] == [(0, "a b c", 3), (1, "c d e", 3), (2, "e f g", 3), (3, "g", 1)]
+    assert by_doc[2] == [(0, "x y", 2)]
+    assert 3 not in by_doc  # whitespace-only doc -> zero chunks
+    assert by_doc[4] == [(0, "solo", 1)]
+    # every original column survives
+    assert {"doc_id", "text", "chunk_idx", "chunk_text", "chunk_n_tokens"} <= set(
+        chunk_text(df, chunk_tokens=3).columns)
+    with pytest.raises(ValueError, match="overlap"):
+        chunk_text(df, chunk_tokens=4, overlap=4)
