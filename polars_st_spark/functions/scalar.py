@@ -683,8 +683,26 @@ def st_to_ewkt(col, rounding_precision: int = 6, trim: bool = True,
     )(col_or_lit(col))
 
 
-def st_to_wkb(col, include_srid: bool = True) -> Column:
-    return unary_scalar(lambda g: to_ewkb(g, include_srid=include_srid), "binary")(col_or_lit(col))
+def st_to_wkb(col, output_dimension: int = 3, byte_order: int | None = None,
+              include_srid: bool = False) -> Column:
+    """Reference signature and defaults (geoexpr.py:394-415,
+    functions.rs:734-746): ``output_dimension`` caps the written dims (2
+    strips Z/M; 2-D stays 2-D under 3), ``byte_order`` None = native little
+    endian, 0 = big endian / XDR, 1 = little endian / NDR."""
+    bo = 1 if byte_order is None else byte_order
+    if bo not in (0, 1):
+        raise ValueError(f"byte_order must be None, 0 or 1, got {byte_order}")
+    if output_dimension not in (2, 3, 4):
+        raise ValueError(f"output_dimension must be 2, 3 or 4, got {output_dimension}")
+
+    def fn(g: Geometry):
+        if output_dimension == 2 and (g.has_z or g.has_m):
+            from polars_st_spark.geo.algos import force_2d
+
+            g = force_2d(g)
+        return to_ewkb(g, include_srid=include_srid, byte_order=bo)
+
+    return unary_scalar(fn, "binary")(col_or_lit(col))
 
 
 def st_to_geojson(col, indent: int | None = None) -> Column:

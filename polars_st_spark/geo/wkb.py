@@ -144,9 +144,14 @@ def _read_geometry(mv: memoryview, pos: int, inherited_srid: int) -> tuple[Geome
 # Writer (always little-endian)
 # ----------------------------------------------------------------------
 
-def to_ewkb(g: Geometry, include_srid: bool = True, _top: bool = True) -> bytes:
+def to_ewkb(g: Geometry, include_srid: bool = True, _top: bool = True,
+            byte_order: int = 1) -> bytes:
+    """EWKB bytes. ``byte_order``: 1 = little-endian/NDR (default, what the
+    engine stores), 0 = big-endian/XDR (the reference's to_wkb byte_order
+    parameter, functions.rs:734-746)."""
     parts: list[bytes] = []
-    _write_geometry(g, parts, include_srid and g.srid != 0, top=True)
+    _write_geometry(g, parts, include_srid and g.srid != 0, top=True,
+                    bo="<" if byte_order else ">", flag=1 if byte_order else 0)
     return b"".join(parts)
 
 
@@ -161,36 +166,38 @@ def _type_word(g: Geometry, with_srid: bool) -> int:
     return raw
 
 
-def _write_geometry(g: Geometry, parts: list[bytes], with_srid: bool, top: bool) -> None:
-    header = struct.pack("<BI", 1, _type_word(g, with_srid))
+def _write_geometry(g: Geometry, parts: list[bytes], with_srid: bool, top: bool,
+                    bo: str = "<", flag: int = 1) -> None:
+    header = struct.pack(f"{bo}BI", flag, _type_word(g, with_srid))
     parts.append(header)
     if with_srid:
-        parts.append(struct.pack("<I", g.srid))
+        parts.append(struct.pack(f"{bo}I", g.srid))
     ndim = g.ndim
     t = g.type_id
+    f8 = f"{bo}f8"
     if t == GeometryType.Point:
         if g.coords is None:
-            parts.append(struct.pack(f"<{ndim}d", *([float("nan")] * ndim)))
+            parts.append(struct.pack(f"{bo}{ndim}d", *([float("nan")] * ndim)))
         else:
-            parts.append(np.ascontiguousarray(g.coords[:ndim], dtype="<f8").tobytes())
+            parts.append(np.ascontiguousarray(g.coords[:ndim], dtype=f8).tobytes())
         return
     if t in _LINEAL_IDS:
         arr = g.coords if g.coords is not None else np.empty((0, ndim))
-        parts.append(struct.pack("<I", len(arr)))
-        parts.append(np.ascontiguousarray(arr[:, :ndim], dtype="<f8").tobytes())
+        parts.append(struct.pack(f"{bo}I", len(arr)))
+        parts.append(np.ascontiguousarray(arr[:, :ndim], dtype=f8).tobytes())
         return
     if t in _POLYGONAL_IDS:
         rings = g.rings or []
-        parts.append(struct.pack("<I", len(rings)))
+        parts.append(struct.pack(f"{bo}I", len(rings)))
         for r in rings:
-            parts.append(struct.pack("<I", len(r)))
-            parts.append(np.ascontiguousarray(r[:, :ndim], dtype="<f8").tobytes())
+            parts.append(struct.pack(f"{bo}I", len(r)))
+            parts.append(np.ascontiguousarray(r[:, :ndim], dtype=f8).tobytes())
         return
     geoms = g.geoms or []
-    parts.append(struct.pack("<I", len(geoms)))
+    parts.append(struct.pack(f"{bo}I", len(geoms)))
     for child in geoms:
         # nested geometries don't repeat the SRID (PostGIS convention)
-        _write_geometry(child, parts, False, top=False)
+        _write_geometry(child, parts, False, top=False, bo=bo, flag=flag)
 
 
 # ----------------------------------------------------------------------

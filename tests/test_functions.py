@@ -283,3 +283,32 @@ def test_broadcastable_expr_parameters(spark):
     out = {r["id"]: r["s"] for r in df4.select(
         "id", st.st_to_wkt(st.st_snap("geometry", "g2", "tol")).alias("s")).collect()}
     assert out == {1: "POINT (0 0)", 2: "POINT (0.4 0)"}
+
+
+def test_to_wkb_reference_params(spark):
+    """r4c: st_to_wkb carries the reference's full signature
+    (geoexpr.py:394-415): output_dimension (2 strips Z), byte_order
+    (0 = XDR big endian, parseable back), include_srid default False."""
+    import pytest
+    from polars_st_spark.geo.wkb import from_ewkb
+
+    df = st.geodataframe(
+        spark.createDataFrame([(1, "SRID=4326;POINT Z (1 2 3)")], ["id", "geometry"]),
+        geometry_format="ewkt")
+    r = df.select(
+        st.st_to_wkb("geometry").alias("ndr"),
+        st.st_to_wkb("geometry", byte_order=0).alias("xdr"),
+        st.st_to_wkb("geometry", output_dimension=2).alias("d2"),
+        st.st_to_wkb("geometry", include_srid=True).alias("with_srid"),
+    ).first()
+    assert r["ndr"][0] == 1 and r["xdr"][0] == 0  # NDR vs XDR flag byte
+    a, b = from_ewkb(bytes(r["ndr"])), from_ewkb(bytes(r["xdr"]))
+    assert a.coords.tolist() == b.coords.tolist() == [1.0, 2.0, 3.0]
+    assert a.srid == 0  # include_srid defaults False like the reference
+    c = from_ewkb(bytes(r["d2"]))
+    assert c.coords.tolist() == [1.0, 2.0] and not c.has_z
+    assert from_ewkb(bytes(r["with_srid"])).srid == 4326
+    with pytest.raises(ValueError, match="byte_order"):
+        st.st_to_wkb("geometry", byte_order=2)
+    with pytest.raises(ValueError, match="output_dimension"):
+        st.st_to_wkb("geometry", output_dimension=5)
