@@ -222,6 +222,19 @@ def main() -> None:
             emb.where(F.col("vec_id") < 20), emb, k=10, strategy="sql"
         ).count()
     )
+    # - p4: the r4c pipeline family (deterministic sampling gate + greedy
+    #   packing + token-window chunking) in one pass over documents — all
+    #   codegen/applyInPandas, measures the non-geometry pipeline surface
+    from polars_st_spark.operators import sampling as _samp
+    from polars_st_spark.operators.textops import chunk_text as _chunk
+
+    def _p4():
+        kept = _samp.stratified_sample(
+            docs, "lang", {"en": 1.0, "es": 0.5, "fr": 0.5, "de": 0.5}, "doc_id")
+        packed = _samp.pack_greedy(kept, "lang", "doc_id", "n_chars", 8192)
+        return _chunk(packed, "doc_id", "text", chunk_tokens=256, overlap=32).count()
+
+    variants["p4_sample_pack_chunk"] = timed(_p4)
 
     total = round(sum(queries.values()), 3)
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]

@@ -134,3 +134,36 @@ def test_validation_errors(docs):
         S.stratified_sample(docs, "lang", {"en": -0.1}, "doc_id")
     with pytest.raises(ValueError, match="sum"):
         S.split_column("doc_id", {"a": 0.8, "b": 0.4})
+
+
+def test_sampling_and_chunking_streaming(spark, tmp_path):
+    """The md5 sampling gates and chunk_text are stateless codegen
+    expressions, so they run unchanged under Structured Streaming — and the
+    streamed output selects exactly the batch-mode rows (the deterministic
+    contract carries over to continuous pipelines)."""
+    from pyspark.sql import functions as F
+
+    from polars_st_spark.operators.textops import chunk_text
+
+    src = str(tmp_path / "src")
+    chk = str(tmp_path / "chk")
+    df = spark.range(200).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("tok "), F.repeat(F.lit("w "), (F.col("id") % 7).cast("int"))).alias("text"),
+    )
+    df.write.mode("overwrite").parquet(src)
+    stream = spark.readStream.schema(df.schema).parquet(src)
+    gated = S.consistent_sample(stream, "doc_id", 0.35).withColumn(
+        "split", S.split_column("doc_id", {"train": 0.75, "val": 0.25}))
+    chunked = chunk_text(gated, "doc_id", "text", chunk_tokens=3, overlap=1)
+    q = (chunked.writeStream.format("memory").queryName("samp_stream")
+         .option("checkpointLocation", chk).trigger(availableNow=True).start())
+    q.awaitTermination(60)
+    got = spark.sql("select * from samp_stream").collect()
+    want = {(r["doc_id"], r["chunk_idx"], r["chunk_text"], r["split"])
+            for r in chunk_text(
+                S.consistent_sample(df, "doc_id", 0.35).withColumn(
+                    "split", S.split_column("doc_id", {"train": 0.75, "val": 0.25})),
+                "doc_id", "text", chunk_tokens=3, overlap=1).collect()}
+    assert {(r["doc_id"], r["chunk_idx"], r["chunk_text"], r["split"]) for r in got} == want
+    assert 0 < len(got)
