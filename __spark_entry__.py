@@ -592,6 +592,42 @@ def q_chunk_suite(spark, sf):
     return out.select("doc_id", "chunk_idx", "chunk_text", "chunk_n_tokens")
 
 
+def q_hygiene_suite(spark, sf):
+    """Corpus-hygiene family (operators/filters.py) in one row per doc:
+    Gopher repetition/quality signals, the Gopher keep-mask, PII scrubbing
+    (hash of the scrubbed text, with a synthetic email+IP injected so the
+    scrubber provably fires), C4 corpus-level line dedup (hash of the
+    rebuilt text), and GPT-3-style benchmark decontamination (docs with
+    doc_id % 97 == 0 act as the "benchmark"; any doc sharing a word 6-gram
+    with them is flagged). Line structure is synthesized deterministically
+    (word-boundary regex → newlines) since the corpus is single-line.
+
+    Per-doc signals are pure codegen Column expressions (zero shuffle — the
+    top-n-gram mode uses a sort + run-length scan per row, not an
+    explode/groupBy); line dedup shuffles once on line md5; decontamination
+    broadcasts the benchmark n-gram set (map-side semi-join)."""
+    from polars_st_spark.operators import filters as _hyg
+
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    ml = F.regexp_replace(F.col("text"), " (data|table|row) ", "\n")
+    base = docs.select("doc_id", "text", ml.alias("mtext"))
+    sig = _hyg.repetition_signals(base, "mtext", "doc_id")
+    synth = F.concat(
+        F.col("text"), F.lit(" reach user"), F.col("doc_id").cast("string"),
+        F.lit("@mail.com or 10.0.0."), (F.col("doc_id") % 250).cast("string"),
+    )
+    pii = base.select("doc_id", F.md5(_hyg.pii_scrub(synth)).alias("pii_hash"))
+    ld = _hyg.line_dedup(
+        base.select("doc_id", F.col("mtext").alias("text")), min_count=2
+    ).select("doc_id", F.md5("text").alias("dedup_hash"))
+    dec = _hyg.decontaminate(
+        base.select("doc_id", "text"),
+        docs.where(F.col("doc_id") % 97 == 0),
+        n=6, mode="tag",
+    ).select("doc_id", "contaminated")
+    return sig.join(pii, "doc_id").join(ld, "doc_id").join(dec, "doc_id")
+
+
 def q_zorder_key(spark, sf):
     """Morton (Z-order) clustering key of each customer point — pure bit
     arithmetic inside codegen (functions/zorder.py); oracle replays the
@@ -1857,7 +1893,11 @@ _QUERIES = {
         "dedup_pairs": q_dedup_pairs,
         "near_dup_groups": q_near_dup_groups,
         "exact_dedup_groups": q_exact_dedup_groups,
-        "concomp": q_concomp,
+        # corpus-hygiene family (r4d): repetition/quality signals, PII scrub,
+        # C4 line dedup, benchmark decontamination — takes concomp's window
+        # slot (concomp's alternating-star algorithm stays certified
+        # in-window transitively: near_dup_groups calls it and hash-matches)
+        "hygiene_suite": q_hygiene_suite,
         "embedding_dup": q_embedding_dup,
         "knn_top3": q_knn_top3,
         "sessionize": q_sessionize,
@@ -1880,6 +1920,9 @@ _QUERIES = {
         # utm_roundtrip/srid_roundtrip; granular diagnosis via check_oracle.py
         "buffer_area": q_buffer_area,
         "to_srid_mercator": q_to_srid_mercator,
+        # connected-components singleton (hash-checked; displaced from the
+        # window by hygiene_suite — near_dup_groups certifies it in-window)
+        "concomp": q_concomp,
         # consistent_topn singleton (hash-checked): the md5-gate family is
         # certified in-window by sample_suite
         "sample_topn": q_sample_topn,
@@ -2549,6 +2592,117 @@ def oracle_sql() -> dict[str, str]:
             FROM base b JOIN pack p ON b.lang = p.lang AND b.rn = p.rn + 1
         )
         SELECT doc_id, lang, bin, bin_offset FROM pack"""
+    # corpus-hygiene family: per-doc Gopher signals + keep-mask, PII scrub
+    # hash, C4 line dedup hash, GPT-3 n-gram decontamination flag. Every
+    # compared double is a ratio of exact integers (identical IEEE division
+    # on both engines); hashes are md5 over byte-identical strings. The
+    # DuckDB mode statistic uses unnest + GROUP BY where Spark uses the
+    # shuffle-free per-row run-length scan — independent computations, same
+    # value (the cross-check is the point).
+    pii_sql = (
+        "md5(regexp_replace(regexp_replace(regexp_replace(regexp_replace("
+        "text || ' reach user' || doc_id || '@mail.com or 10.0.0.' || (doc_id % 250), "
+        r"'[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'), "
+        r"'\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g'), "
+        r"'\b(?:\+\d{1,3}[ -]?)?(?:\(\d{2,4}\)[ -]?)?\d{3}[ -]\d{3,4}[ -]?\d{0,4}\b', "
+        "'<PHONE>', 'g'), "
+        r"'\b\d{3}-\d{2}-\d{4}\b', '<SSN>', 'g'))"
+    )
+    mt = r"regexp_split_to_array(trim(lower(mtext)), '\s+')"
+
+    def sh(src_tokens: str, n: int) -> str:
+        return (
+            f"CASE WHEN len({src_tokens}) >= {n} THEN "
+            f"list_transform(range(1, len({src_tokens}) - {n - 2}), "
+            f"i -> array_to_string(({src_tokens})[i:i+{n - 1}], ' ')) "
+            f"ELSE [array_to_string({src_tokens}, ' ')] END"
+        )
+
+    stops = "['the','and','of','to','a','in','is','it','that','for']"
+    d["hygiene_suite"] = f"""
+        WITH base AS (
+            SELECT doc_id, text,
+                   regexp_replace(text, ' (data|table|row) ', chr(10), 'g') AS mtext
+            FROM documents
+        ), tok AS (
+            SELECT doc_id, text, mtext, {mt} AS t,
+                   list_filter(string_split(mtext, chr(10)),
+                               x -> trim(x) <> '') AS ls
+            FROM base
+        ), sig AS (
+            SELECT doc_id,
+                   len(ls)::INT AS n_lines,
+                   CASE WHEN len(ls) > 0
+                        THEN (len(ls) - len(list_distinct(ls))) / len(ls)
+                        ELSE 0.0 END AS dup_line_frac,
+                   CASE WHEN coalesce(list_aggregate(list_transform(ls, x -> len(x)), 'sum'), 0) > 0
+                        THEN (list_aggregate(list_transform(ls, x -> len(x)), 'sum')
+                              - list_aggregate(list_transform(list_distinct(ls), x -> len(x)), 'sum'))
+                             / list_aggregate(list_transform(ls, x -> len(x)), 'sum')
+                        ELSE 0.0 END AS dup_line_char_frac,
+                   CASE WHEN len(t) > 0
+                        THEN coalesce(list_aggregate(list_transform(t, x -> len(x)), 'sum'), 0) / len(t)
+                        ELSE 0.0 END AS mean_word_len,
+                   CASE WHEN len(t) > 0
+                        THEN len(list_filter(t, x -> regexp_matches(x, '[a-zA-Z]'))) / len(t)
+                        ELSE 0.0 END AS alpha_word_frac,
+                   len(list_intersect(list_distinct(t), {stops})) AS stop_hits,
+                   len(t) AS n_words, len(mtext) AS mlen
+            FROM tok
+        ), g2 AS (
+            SELECT doc_id, g, count(*) AS cnt FROM (
+                SELECT doc_id, unnest({sh("t", 2)}) AS g FROM tok
+            ) GROUP BY 1, 2
+        ), t2 AS (
+            SELECT doc_id, max(cnt * len(g)) AS top FROM g2 GROUP BY 1
+        ), g3 AS (
+            SELECT doc_id, g, count(*) AS cnt FROM (
+                SELECT doc_id, unnest({sh("t", 3)}) AS g FROM tok
+            ) GROUP BY 1, 2
+        ), t3 AS (
+            SELECT doc_id, max(cnt * len(g)) AS top FROM g3 GROUP BY 1
+        ), lines_e AS (
+            SELECT doc_id, unnest(range(1, len(ls) + 1)) AS idx,
+                   unnest(ls) AS line
+            FROM tok
+        ), ranked AS (
+            SELECT doc_id, idx, line,
+                   count(*) OVER (PARTITION BY md5(line)) AS cnt,
+                   row_number() OVER (PARTITION BY md5(line)
+                                      ORDER BY doc_id, idx) AS rn
+            FROM lines_e
+        ), rebuilt AS (
+            SELECT doc_id, string_agg(line, chr(10) ORDER BY idx) AS s
+            FROM ranked WHERE cnt < 2 OR rn = 1 GROUP BY doc_id
+        ), bg AS (
+            SELECT DISTINCT unnest({sh(_ORACLE_TOKENS, 6)}) AS g
+            FROM documents WHERE doc_id % 97 = 0
+        ), dirty AS (
+            SELECT DISTINCT doc_id FROM (
+                SELECT doc_id, unnest(list_distinct({sh(_ORACLE_TOKENS, 6)})) AS g
+                FROM documents
+            ) dg JOIN bg USING (g)
+        )
+        SELECT sig.doc_id, sig.n_lines, sig.dup_line_frac, sig.dup_line_char_frac,
+               CASE WHEN sig.mlen > 0 THEN t2.top / sig.mlen ELSE 0.0 END
+                   AS top2gram_char_frac,
+               CASE WHEN sig.mlen > 0 THEN t3.top / sig.mlen ELSE 0.0 END
+                   AS top3gram_char_frac,
+               sig.mean_word_len, sig.alpha_word_frac,
+               (sig.n_words BETWEEN 50 AND 100000)
+                   AND sig.mean_word_len BETWEEN 3.0 AND 10.0
+                   AND sig.alpha_word_frac >= 0.8
+                   AND sig.stop_hits >= 2
+                   AND sig.dup_line_frac <= 0.3
+                   AND (CASE WHEN sig.mlen > 0 THEN t2.top / sig.mlen ELSE 0.0 END) <= 0.2
+                   AS gopher_keep,
+               pii.pii_hash,
+               md5(coalesce(rebuilt.s, '')) AS dedup_hash,
+               sig.doc_id IN (SELECT doc_id FROM dirty) AS contaminated
+        FROM sig
+        JOIN t2 USING (doc_id) JOIN t3 USING (doc_id)
+        JOIN (SELECT doc_id, {pii_sql} AS pii_hash FROM documents) pii USING (doc_id)
+        LEFT JOIN rebuilt USING (doc_id)"""
     return d
 
 

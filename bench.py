@@ -235,6 +235,25 @@ def main() -> None:
         return _chunk(packed, "doc_id", "text", chunk_tokens=256, overlap=32).count()
 
     variants["p4_sample_pack_chunk"] = timed(_p4)
+    # - p5: corpus hygiene — per-doc Gopher signals (shuffle-free codegen),
+    #   C4 line dedup (one line-hash shuffle), 6-gram decontamination
+    #   (broadcast semi-join) in one pass
+    from polars_st_spark.operators import filters as _hyg
+
+    def _p5():
+        ml = F.regexp_replace(F.col("text"), " (data|table|row) ", "\n")
+        base = docs.select("doc_id", "text", ml.alias("mtext"))
+        sig = _hyg.repetition_signals(base, "mtext", "doc_id")
+        ld = _hyg.line_dedup(base.select("doc_id", F.col("mtext").alias("text")))
+        dec = _hyg.decontaminate(
+            base.select("doc_id", "text"),
+            docs.where(F.col("doc_id") % 97 == 0), n=6, mode="tag")
+        return (
+            sig.join(ld.select("doc_id", F.length("text").alias("clean_len")), "doc_id")
+            .join(dec.select("doc_id", "contaminated"), "doc_id").count()
+        )
+
+    variants["p5_hygiene"] = timed(_p5)
 
     total = round(sum(queries.values()), 3)
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
