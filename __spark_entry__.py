@@ -1704,6 +1704,27 @@ def q_knn_ann(spark, sf):
     return rerank(lsh, "lsh").unionByName(rerank(ivf, "ivf"))
 
 
+def q_pq_suite(spark, sf):
+    """Vector quantization (operators/quant.py), hash-checked: PQ codes
+    against a FIXED deterministic codebook (seed-77 md5-derived unit
+    vectors — embedded as DOUBLE[] literals in the oracle, which replays
+    the sequential-sum squared distances and first-min argmin in SQL) plus
+    int8 scalar quantization of three sample dims (closed-form round).
+    The k-means-fitted codebook path is exercised in tests/test_quant.py;
+    the fixed codebook isolates the ASSIGNMENT kernel for the oracle."""
+    from polars_st_spark.operators import quant as _q
+
+    emb = spark.read.parquet(f"{sf}/embeddings.parquet")
+    books = _knn._hyperplanes(8, 128, seed=77).reshape(8, 16, 8)
+    coded = _q.pq_encode(emb, books)
+    q8 = _q.int8_quantize(coded)
+    return q8.select(
+        "vec_id",
+        *[F.col("pq_code")[j].alias(f"c{j}") for j in range(8)],
+        *[F.col("q8")[j].cast("int").alias(f"q8_{j}") for j in range(3)],
+    )
+
+
 def q_multimodal_suite(spark, sf):
     """Image + audio plumbing in one row: mapInPandas feature extraction over
     binary payloads, aligned to (doc_id, modality, m0, m1, m2) and unioned
@@ -1970,6 +1991,7 @@ _QUERIES = {
         "zorder_key": q_zorder_key,
         "knn_lsh": q_knn_lsh,
         "knn_ivf": q_knn_ivf,
+        "pq_suite": q_pq_suite,
         "multimodal_features": q_multimodal_features,
         "multimodal_audio": q_multimodal_audio,
     }
@@ -2152,6 +2174,7 @@ def oracle_sql() -> dict[str, str]:
             FROM reach GROUP BY a""",
         "knn_top3": _oracle_knn(),
         "knn_ann": _oracle_knn_ann(),
+        "pq_suite": _oracle_pq_suite(),
         "to_srid_mercator": f"""
             SELECT c_custkey,
                    ROUND(6378137.0 * radians(x), 3) AS mx,
@@ -2947,6 +2970,39 @@ def _oracle_knn_ann() -> str:
         )
         SELECT method, query_id, corpus_id, cos_r, rank
         FROM ranked WHERE rank <= 3"""
+
+
+def _oracle_pq_suite() -> str:
+    """Replays q_pq_suite in DuckDB: the seed-77 codebook as literals,
+    per-centroid squared distance as an explicitly left-associated sum of
+    ``(e[i]-c)*(e[i]-c)`` terms (identical IEEE sequence to the encoder's
+    sequential dim accumulation), argmin as first-index-of-min, int8 codes
+    as the same clip/scale/round closed form (argument always ≥ 0, so
+    HALF_UP and away-from-zero rounding agree)."""
+    from polars_st_spark.operators.knn import _hyperplanes
+
+    books = _hyperplanes(8, 128, seed=77).reshape(8, 16, 8)
+    code_cols = []
+    for j in range(8):
+        dl = "[" + ",".join(
+            " + ".join(
+                f"(e[{j * 8 + i + 1}]-({float(books[j][t][i])!r}))"
+                f"*(e[{j * 8 + i + 1}]-({float(books[j][t][i])!r}))"
+                for i in range(8)
+            )
+            for t in range(16)
+        ) + "]"
+        code_cols.append(
+            f"(list_indexof({dl}, list_min({dl})) - 1)::INT AS c{j}"
+        )
+    q8_cols = ", ".join(
+        f"(CAST(round((least(greatest(e[{i + 1}], -1.0), 1.0) - (-1.0)) * 127.0) "
+        f"AS INT) - 127) AS q8_{i}"
+        for i in range(3)
+    )
+    return f"""
+        SELECT vec_id, {', '.join(code_cols)}, {q8_cols}
+        FROM (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings)"""
 
 
 def _oracle_knn() -> str:

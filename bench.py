@@ -208,6 +208,11 @@ def main() -> None:
     ragged = li_rects.withColumn("poly", st.st_polygon(F.array(shell, hole))).select(
         "l_orderkey", "poly").cache()
     ragged.count()
+    # same full-partition warmup b1 gets: first-use codegen + worker spin-up
+    # for this plan shape costs ~3s and is not the operator being measured
+    ragged.sample(fraction=0.02, seed=1).select(
+        F.sum(st.st_area("poly")), F.sum(st.st_length("poly"))
+    ).collect()
     variants["b1g_elementwise_ragged"] = timed(
         lambda: ragged.select(
             F.sum(st.st_area("poly")).alias("a"),

@@ -1,0 +1,277 @@
+"""Vector quantization for embedding columns: product quantization (PQ)
+and int8 scalar quantization.
+
+PQ (Jégou, Douze & Schmid, "Product Quantization for Nearest Neighbor
+Search", TPAMI 2011 — public) splits a d-dim vector into ``m`` subspaces
+and stores, per subspace, the id of the nearest of ``k`` learned
+centroids: a 64-dim float32 vector (256 B) compresses to ``m`` small ints
+(8 B at m=8, k≤256) — the standard way a 100 TB embedding corpus fits in
+executor memory for scanning. Search uses asymmetric distance computation
+(ADC): each query precomputes an ``(m, k)`` lookup table of subspace
+distances, and a corpus vector's approximate distance is ``m`` table
+lookups — no float vector ever touched at scan time.
+
+Scale design mirrors operators/knn.py:
+
+- :func:`pq_codebooks` fits on a bounded seeded driver sample (constant
+  cost at any corpus size; same contract as ``ivf_centroids``).
+- :func:`pq_encode` assigns codes with one Arrow-batched numpy pass —
+  the codebook (m·k·dsub floats) ships in the UDF closure.
+- :func:`pq_topk` scans codes batch-at-a-time, emits only local top-k
+  per query, then a global window rank — shuffle volume
+  O(batches · q · k), never the score matrix (the
+  ``cosine_topk_vectorized`` pattern).
+
+Determinism contract: distance accumulation is sequential over subspace
+dims (``acc += (x_i - c_i)²`` in dim order), so the oracle can replay
+the identical IEEE double sequence with a left-to-right SQL list sum;
+argmin ties break to the lowest centroid id on both sides.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+__all__ = [
+    "int8_dequantize",
+    "int8_quantize",
+    "pq_codebooks",
+    "pq_encode",
+    "pq_topk",
+]
+
+
+def _seq_sq_dists(x: np.ndarray, cents: np.ndarray) -> np.ndarray:
+    """(batch, k) squared distances accumulated sequentially over dims —
+    bit-reproducible against a left-to-right SQL sum (np.sum's pairwise
+    reduction would round differently on near-ties)."""
+    acc = np.zeros((x.shape[0], cents.shape[0]), dtype=np.float64)
+    for i in range(x.shape[1]):
+        d = x[:, i, None] - cents[None, :, i]
+        acc += d * d
+    return acc
+
+
+def pq_codebooks(
+    corpus: DataFrame,
+    vec_col: str = "embedding",
+    m: int = 8,
+    k: int = 16,
+    seed: int = 42,
+    sample_size: int | None = None,
+    iters: int = 10,
+) -> np.ndarray:
+    """Fit PQ codebooks: independent k-means per subspace on ONE bounded
+    seeded driver sample (shared across subspaces — one corpus pass).
+    Returns ``(m, k, d // m)`` float64 centroids. ``d`` must divide by
+    ``m``. Same bounded-sample contract as ``knn.ivf_centroids`` (the
+    seeded oversample-then-trim below mirrors it): the index build cost
+    is constant in corpus size."""
+    sample_size = sample_size or 256 * k
+    v = corpus.select(F.col(vec_col).alias("v"))
+    n_total = v.count()
+    if n_total > sample_size:
+        frac = min(1.0, 1.2 * sample_size / n_total)
+        rows = v.sample(fraction=frac, seed=seed).collect()
+        if len(rows) < min(sample_size, n_total) // 2:
+            rows = v.limit(sample_size).collect()
+        elif len(rows) > sample_size:
+            idx = np.random.RandomState(seed).choice(len(rows), sample_size, replace=False)
+            rows = [rows[i] for i in sorted(idx)]
+    else:
+        rows = v.collect()
+    x = np.array([r["v"] for r in rows], dtype=np.float64)
+    d = x.shape[1]
+    if d % m:
+        raise ValueError(f"dim {d} not divisible by m={m}")
+    dsub = d // m
+    if len(x) < k:
+        raise ValueError(f"sample has {len(x)} vectors < k={k}")
+    rng = np.random.RandomState(seed)
+    books = np.empty((m, k, dsub), dtype=np.float64)
+    for j in range(m):
+        xs = x[:, j * dsub : (j + 1) * dsub]
+        # k-means++ init, Lloyd iterations (squared Euclidean)
+        cents = [xs[rng.randint(len(xs))]]
+        for _ in range(1, k):
+            dist = np.min(_seq_sq_dists(xs, np.stack(cents)), axis=1)
+            tot = dist.sum()
+            if tot <= 0:
+                cents.append(xs[rng.randint(len(xs))])
+                continue
+            cents.append(xs[rng.choice(len(xs), p=dist / tot)])
+        c = np.stack(cents)
+        for _ in range(iters):
+            assign = np.argmin(_seq_sq_dists(xs, c), axis=1)
+            for t in range(k):
+                members = xs[assign == t]
+                if len(members):
+                    c[t] = members.mean(axis=0)
+                else:  # dead centroid: steal the worst-served point
+                    worst = np.argmax(np.min(_seq_sq_dists(xs, c), axis=1))
+                    c[t] = xs[worst]
+        books[j] = c
+    return books
+
+
+def pq_encode(
+    df: DataFrame,
+    codebooks: np.ndarray,
+    vec_col: str = "embedding",
+    out_col: str = "pq_code",
+) -> DataFrame:
+    """Append ``out_col: array<int>`` of length ``m`` — per-subspace
+    nearest-centroid ids. One Arrow-batched numpy pass (vectorized over
+    the batch and the codebook; sequential over dims for oracle-exact
+    IEEE rounding); ties take the lowest centroid id (np.argmin)."""
+    mm, kk, dsub = codebooks.shape
+    books = codebooks.copy()
+
+    @F.pandas_udf("array<int>")
+    def enc(s: pd.Series) -> pd.Series:
+        if not len(s):
+            return pd.Series([], dtype=object)
+        x = np.stack(s.to_numpy()).astype(np.float64)
+        codes = np.empty((len(x), mm), dtype=np.int32)
+        for j in range(mm):
+            xs = x[:, j * dsub : (j + 1) * dsub]
+            codes[:, j] = np.argmin(_seq_sq_dists(xs, books[j]), axis=1)
+        return pd.Series(list(codes))
+
+    return df.withColumn(out_col, enc(F.col(vec_col)))
+
+
+def pq_topk(
+    queries: DataFrame,
+    corpus_codes: DataFrame,
+    codebooks: np.ndarray,
+    k: int = 10,
+    query_id: str = "vec_id",
+    corpus_id: str = "vec_id",
+    query_vec: str = "embedding",
+    code_col: str = "pq_code",
+    max_query_rows: int = 100_000,
+) -> DataFrame:
+    """Approximate top-k nearest neighbors by PQ asymmetric distance:
+    (query_id, corpus_id, adc_dist, rank), rank 1 = closest, ties on the
+    rounded distance break by corpus id.
+
+    Each corpus Arrow batch builds the (q, m, k_cent) query lookup tables
+    once (closure-shipped codebook), gathers per-subspace distances for
+    its codes, and emits only its LOCAL top-k per query; a global window
+    rank reduces batches × k to the final top-k — identical shuffle shape
+    to ``cosine_topk_vectorized``. Measured recall@10 vs the exact scan
+    lives in tests/test_quant.py."""
+    from pyspark.sql.types import DoubleType, StructField, StructType
+    from pyspark.sql.window import Window
+
+    mm, kcent, dsub = codebooks.shape
+    qid_type = queries.schema[query_id].dataType
+    cid_type = corpus_codes.schema[corpus_id].dataType
+    cand_schema = StructType([
+        StructField("query_id", qid_type),
+        StructField("corpus_id", cid_type),
+        StructField("adc_dist", DoubleType()),
+    ])
+    qrows = (
+        queries.select(F.col(query_id).alias("qid"), F.col(query_vec).alias("qv"))
+        .limit(max_query_rows + 1)
+        .collect()
+    )
+    if len(qrows) > max_query_rows:
+        raise ValueError(
+            f"query side exceeds max_query_rows={max_query_rows}; raise the "
+            "limit explicitly or pre-filter the query side"
+        )
+    if not qrows:
+        empty = corpus_codes.sparkSession.createDataFrame([], cand_schema)
+        return empty.withColumn("rank", F.lit(1).cast("int")).where(F.lit(False))
+    qids = np.array([r["qid"] for r in qrows])
+    Q = np.array([r["qv"] for r in qrows], dtype=np.float64)
+    books = codebooks.copy()
+    # (q, m, k_cent) ADC lookup tables — built once, shipped to every task
+    luts = np.empty((len(Q), mm, kcent), dtype=np.float64)
+    for j in range(mm):
+        luts[:, j, :] = _seq_sq_dists(Q[:, j * dsub : (j + 1) * dsub], books[j])
+
+    topk = k
+
+    def score(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            ids = pdf["_cid"].to_numpy()
+            codes = np.stack(pdf["_code"].to_numpy()).astype(np.int64)  # (b, m)
+            # dists[b, q] = sum_j luts[q, j, codes[b, j]]
+            dists = np.zeros((len(ids), len(qids)), dtype=np.float64)
+            for j in range(mm):
+                dists += luts[:, j, :][:, codes[:, j]].T  # (b, q)
+            mask = ids[:, None] == qids[None, :]
+            dists[mask] = np.inf  # self-match
+            kk = min(topk, len(ids))
+            part = np.argpartition(dists, kk - 1, axis=0)[:kk]
+            out_q, out_c, out_d = [], [], []
+            for qi in range(len(qids)):
+                rows = part[:, qi]
+                out_q.extend([qids[qi]] * len(rows))
+                out_c.extend(ids[rows])
+                out_d.extend(dists[rows, qi])
+            yield pd.DataFrame({"query_id": out_q, "corpus_id": out_c, "adc_dist": out_d})
+
+    cand = corpus_codes.select(
+        F.col(corpus_id).alias("_cid"), F.col(code_col).alias("_code")
+    ).mapInPandas(score, cand_schema)
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("adc_dist").asc(), F.col("corpus_id").asc()
+    )
+    return (
+        cand.where(F.col("adc_dist") != float("inf"))
+        .withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "corpus_id", "adc_dist", "rank")
+    )
+
+
+def int8_quantize(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    out_col: str = "q8",
+    vmin: float = -1.0,
+    vmax: float = 1.0,
+) -> DataFrame:
+    """Symmetric linear int8 quantization to ``array<tinyint>`` (4×
+    compression of float32): ``round((clip(x) - vmin) / (vmax - vmin) *
+    254) - 127``. Pure Spark SQL — codegen, no Python. Range is a fixed
+    [vmin, vmax] contract (embedding models emit bounded activations);
+    values outside clip."""
+    scale = 254.0 / (vmax - vmin)
+    x = F.col(vec_col)
+    q = F.transform(
+        x,
+        lambda v: (
+            F.round(
+                (F.least(F.greatest(v.cast("double"), F.lit(vmin)), F.lit(vmax)) - vmin)
+                * scale
+            ).cast("int")
+            - 127
+        ).cast("tinyint"),
+    )
+    return df.withColumn(out_col, q)
+
+
+def int8_dequantize(
+    df: DataFrame,
+    q_col: str = "q8",
+    out_col: str = "embedding_dq",
+    vmin: float = -1.0,
+    vmax: float = 1.0,
+) -> DataFrame:
+    """Inverse of :func:`int8_quantize` (midpoint reconstruction)."""
+    scale = (vmax - vmin) / 254.0
+    return df.withColumn(
+        out_col,
+        F.transform(F.col(q_col), lambda v: (v.cast("double") + 127.0) * scale + vmin),
+    )

@@ -1,0 +1,103 @@
+"""Product quantization + int8 scalar quantization (operators/quant.py)."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from polars_st_spark.operators import quant as Q
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet").cache()
+
+
+@pytest.fixture(scope="module")
+def books(emb):
+    return Q.pq_codebooks(emb, m=8, k=16, seed=42)
+
+
+def test_codebooks_shape_and_determinism(emb, books):
+    assert books.shape == (8, 16, 8)  # 64-dim / m=8
+    again = Q.pq_codebooks(emb, m=8, k=16, seed=42)
+    assert np.array_equal(books, again)
+    other = Q.pq_codebooks(emb, m=8, k=16, seed=7)
+    assert not np.array_equal(books, other)
+    with pytest.raises(ValueError, match="divisible"):
+        Q.pq_codebooks(emb, m=7, k=16)
+
+
+def test_encode_matches_driver_numpy(emb, books):
+    sub = emb.where(F.col("vec_id") < 200)
+    got = {r["vec_id"]: list(r["pq_code"])
+           for r in Q.pq_encode(sub, books).select("vec_id", "pq_code").collect()}
+    rows = sub.select("vec_id", "embedding").collect()
+    for r in rows:
+        x = np.array(r["embedding"], dtype=np.float64)
+        want = [int(np.argmin(Q._seq_sq_dists(x[None, j * 8:(j + 1) * 8], books[j])[0]))
+                for j in range(8)]
+        assert got[r["vec_id"]] == want, r["vec_id"]
+
+
+def test_pq_topk_matches_driver_adc(emb, books):
+    """The distributed batch-local-top-k + global-rank plan returns exactly
+    the driver-side brute-force ADC ranking (same doubles, same tie rule)."""
+    codes = Q.pq_encode(emb, books).cache()
+    q = emb.where(F.col("vec_id") < 10)
+    got = {}
+    for r in Q.pq_topk(q, codes, books, k=5).collect():
+        got.setdefault(r["query_id"], []).append((r["rank"], r["corpus_id"], r["adc_dist"]))
+    crows = codes.select("vec_id", "pq_code").collect()
+    cids = np.array([r["vec_id"] for r in crows])
+    cmat = np.array([r["pq_code"] for r in crows], dtype=np.int64)
+    for r in q.select("vec_id", "embedding").collect():
+        qv = np.array(r["embedding"], dtype=np.float64)
+        luts = np.stack([Q._seq_sq_dists(qv[None, j * 8:(j + 1) * 8], books[j])[0]
+                         for j in range(8)])  # (m, k)
+        dists = luts[np.arange(8)[None, :], cmat].sum(axis=1)
+        dists[cids == r["vec_id"]] = np.inf
+        order = sorted(zip(dists, cids))[:5]
+        want = [(i + 1, int(cid), float(d)) for i, (d, cid) in enumerate(order)]
+        have = sorted(got[r["vec_id"]])
+        assert [(rk, cid) for rk, cid, _ in have] == [(rk, cid) for rk, cid, _ in want]
+        for (_, _, da), (_, _, db) in zip(have, want):
+            assert da == pytest.approx(db, abs=1e-9)
+
+
+def test_pq_recall_vs_exact_euclidean(emb, books):
+    """Measured recall@10 of the ADC scan vs the exact Euclidean top-10.
+    Near-uniform 64-d embeddings are the hardest case for PQ (no cluster
+    structure to exploit); m=8 subspaces × 16 centroids still lands well
+    above random (10/6000 ≈ 0.002)."""
+    rows = emb.select("vec_id", "embedding").collect()
+    ids = np.array([r["vec_id"] for r in rows])
+    X = np.array([r["embedding"] for r in rows], dtype=np.float64)
+    truth = {}
+    for qi in range(30):
+        d = ((X - X[qi]) ** 2).sum(axis=1)
+        d[qi] = np.inf
+        truth[ids[qi]] = set(ids[np.argsort(d)[:10]])
+    codes = Q.pq_encode(emb, books)
+    q = emb.where(F.col("vec_id") < 30)
+    got = {}
+    for r in Q.pq_topk(q, codes, books, k=10).collect():
+        got.setdefault(r["query_id"], set()).add(r["corpus_id"])
+    rec = sum(len(truth[k] & got.get(k, set())) / 10 for k in truth) / len(truth)
+    assert rec > 0.15, rec  # measured ~0.3-0.5 on sf0.01; far above 0.002 random
+
+
+def test_int8_roundtrip(spark, emb):
+    sub = emb.where(F.col("vec_id") < 100)
+    dq = Q.int8_dequantize(Q.int8_quantize(sub))
+    rows = dq.select("embedding", "q8", "embedding_dq").collect()
+    step = 2.0 / 254.0
+    for r in rows:
+        x = np.clip(np.array(r["embedding"], dtype=np.float64), -1.0, 1.0)
+        err = np.abs(np.array(r["embedding_dq"]) - x)
+        assert err.max() <= step / 2 + 1e-12
+        assert all(-127 <= v <= 127 for v in r["q8"])
+    # codes are the exact round() the closed form prescribes
+    r0 = rows[0]
+    x0 = np.array(r0["embedding"], dtype=np.float64)
+    want = np.round((np.clip(x0, -1, 1) + 1.0) * 254.0 / 2.0) - 127
+    assert list(r0["q8"]) == [int(v) for v in want]
