@@ -201,3 +201,29 @@ def test_decontaminate_no_broadcast_same_result(spark):
     a = {r["doc_id"] for r in H.decontaminate(train, bench, n=9).collect()}
     b = {r["doc_id"] for r in H.decontaminate(train, bench, n=9, broadcast=False).collect()}
     assert a == b
+
+
+def test_hygiene_signals_streaming_parity(spark, tmp_path):
+    """The per-doc signals are stateless codegen expressions, so they run
+    unchanged under Structured Streaming and match batch output exactly."""
+    src = str(tmp_path / "src")
+    chk = str(tmp_path / "chk")
+    df = spark.range(80).select(
+        F.col("id").alias("doc_id"),
+        F.concat(
+            F.lit("alpha beta "), F.repeat(F.lit("gamma "), (F.col("id") % 5).cast("int")),
+            F.lit("\ndelta"), (F.col("id") % 3).cast("string"),
+            F.lit(" mail"), F.col("id").cast("string"), F.lit("@x.io"),
+        ).alias("text"),
+    )
+    df.write.mode("overwrite").parquet(src)
+    stream = spark.readStream.schema(df.schema).parquet(src)
+    out = H.repetition_signals(stream).withColumn(
+        "scrub", H.pii_scrub(F.lit("reach a@b.co now")))
+    q = (out.writeStream.format("memory").queryName("hyg_stream")
+         .option("checkpointLocation", chk).trigger(availableNow=True).start())
+    q.awaitTermination(60)
+    got = {tuple(r) for r in spark.sql("select * from hyg_stream").collect()}
+    want = {tuple(r) for r in H.repetition_signals(df).withColumn(
+        "scrub", H.pii_scrub(F.lit("reach a@b.co now"))).collect()}
+    assert got == want and len(got) == 80

@@ -83,3 +83,65 @@ def test_dedup_sig_single_pass_with_cache(spark):
     out = D.near_dup_pairs(docs, threshold=0.05, hash_family="md5")
     plan = explain_str(out)
     assert "InMemoryTableScan" in plan
+
+
+def test_hygiene_signals_no_shuffle(spark):
+    """Per-doc hygiene signals (incl. the top-n-gram mode) are one codegen
+    projection: NO Exchange, NO Python workers anywhere in the plan."""
+    from polars_st_spark.operators import filters as H
+
+    docs = spark.range(100).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("w"), (F.col("id") % 9).cast("string"), F.lit(" x y z")).alias("text"),
+    )
+    plan = explain_str(H.repetition_signals(docs))
+    assert "Exchange" not in plan
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+
+
+def test_decontaminate_broadcast_semi_join(spark):
+    """Decontamination must be a map-side broadcast semi-join: the corpus
+    n-gram side sees no hash-partition Exchange before the join."""
+    from polars_st_spark.operators import filters as H
+
+    docs = spark.range(200).select(
+        F.col("id").alias("doc_id"),
+        F.lit("a b c d e f g h i j k l").alias("text"))
+    bench = spark.range(3).select(
+        F.col("id").alias("doc_id"), F.lit("a b c d e f g h").alias("text"))
+    plan = explain_str(H.decontaminate(docs, bench, n=8, mode="tag"))
+    assert "BroadcastHashJoin" in plan and "LeftSemi" in plan
+    # the big side reaches the semi-join without a hash repartition
+    semi_seg = plan.split("LeftSemi")[0]
+    assert "Exchange hashpartitioning" not in semi_seg.split("BroadcastExchange")[0]
+
+
+def test_line_dedup_single_line_shuffle(spark):
+    """line_dedup shuffles once on the line hash and once to reassemble
+    docs — no joins against corpus text, no extra exchanges."""
+    from polars_st_spark.operators import filters as H
+
+    docs = spark.range(50).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("l"), (F.col("id") % 5).cast("string"), F.lit("\nu"),
+                 F.col("id").cast("string")).alias("text"))
+    plan = explain_str(H.line_dedup(docs))
+    # window on line-hash + groupBy doc + rejoin to carry non-text cols:
+    # <= 4 hash exchanges total (2 would be the no-extra-columns floor)
+    assert _count(plan, "Exchange") <= 4
+
+
+def test_pq_encode_single_arrow_pass(spark):
+    """pq_encode is one ArrowEvalPython over the corpus — the codebook is
+    closure-shipped, never joined."""
+    import numpy as np
+
+    from polars_st_spark.operators import quant as Q
+
+    emb = spark.range(64).select(
+        F.col("id").alias("vec_id"),
+        F.array(*[(F.col("id") % (i + 2)).cast("double") for i in range(16)]).alias("embedding"))
+    books = np.arange(2 * 4 * 8, dtype=np.float64).reshape(2, 4, 8) / 64.0
+    plan = explain_str(Q.pq_encode(emb, books))
+    assert _count(plan, "ArrowEvalPython") == 1
+    assert "Exchange" not in plan
