@@ -1725,6 +1725,36 @@ def q_pq_suite(spark, sf):
     )
 
 
+def q_tfidf_suite(spark, sf):
+    """Vocabulary/TF-IDF/BM25 (operators/tfidf.py), hash-checked: one row
+    per (doc, term) with raw tf, document frequency, smoothed IDF and
+    TF-IDF (6-dp rounded — ln is the one non-exactly-rounded primitive),
+    plus the doc's BM25 score for the fixed 2-term query ('data','table').
+    Two terms keep the score a single commutative double addition, so
+    cross-engine summation order cannot reorder it; n_docs and avg_dl are
+    exact-integer-division scalars passed explicitly on both sides."""
+    from polars_st_spark.operators import tfidf as _tfidf
+
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    agg = docs.select(
+        F.sum(F.size(_t.tokens("text"))).alias("tot"), F.count("*").alias("n")
+    ).first()
+    n, avgdl = agg["n"], agg["tot"] / agg["n"]
+    ti = _tfidf.tf_idf(docs, n_docs=n)
+    bm = _tfidf.bm25_search(
+        docs, ["data", "table"], n=1_000_000, n_docs=n, avg_dl=avgdl
+    ).select("doc_id", F.round("score", 6).alias("bm25_r"))
+    return (
+        ti.select(
+            "doc_id", "term", "tf", "doc_freq",
+            F.round("idf", 6).alias("idf_r"),
+            F.round("tfidf", 6).alias("tfidf_r"),
+        )
+        .join(bm, "doc_id", "left")
+        .withColumn("bm25_r", F.coalesce("bm25_r", F.lit(0.0)))
+    )
+
+
 def q_multimodal_suite(spark, sf):
     """Image + audio plumbing in one row: mapInPandas feature extraction over
     binary payloads, aligned to (doc_id, modality, m0, m1, m2) and unioned
@@ -1992,6 +2022,7 @@ _QUERIES = {
         "knn_lsh": q_knn_lsh,
         "knn_ivf": q_knn_ivf,
         "pq_suite": q_pq_suite,
+        "tfidf_suite": q_tfidf_suite,
         "multimodal_features": q_multimodal_features,
         "multimodal_audio": q_multimodal_audio,
     }
@@ -2175,6 +2206,7 @@ def oracle_sql() -> dict[str, str]:
         "knn_top3": _oracle_knn(),
         "knn_ann": _oracle_knn_ann(),
         "pq_suite": _oracle_pq_suite(),
+        "tfidf_suite": _oracle_tfidf_suite(),
         "to_srid_mercator": f"""
             SELECT c_custkey,
                    ROUND(6378137.0 * radians(x), 3) AS mx,
@@ -2970,6 +3002,51 @@ def _oracle_knn_ann() -> str:
         )
         SELECT method, query_id, corpus_id, cos_r, rank
         FROM ranked WHERE rank <= 3"""
+
+
+def _oracle_tfidf_suite() -> str:
+    """Replays q_tfidf_suite: raw-count tf / doc_freq via unnest + GROUP BY,
+    sklearn smoothed IDF, BM25 with the identical parenthesization (every
+    float literal injected as the repr of the Python-computed double). The
+    only non-exactly-rounded primitive is ln — both columns using it are
+    6-dp rounded on both engines."""
+    k1, b = 1.2, 0.75
+    return f"""
+        WITH toks AS (
+            SELECT doc_id, unnest({_ORACLE_TOKENS}) AS term FROM documents
+        ), tc AS (
+            SELECT doc_id, term, count(*) AS tf
+            FROM toks WHERE term <> '' GROUP BY 1, 2
+        ), dfreq AS (
+            SELECT term, count(*) AS doc_freq FROM tc GROUP BY 1
+        ), scal AS (
+            SELECT count(*) AS n,
+                   (SELECT sum(len({_ORACLE_TOKENS})) FROM documents)::DOUBLE
+                       / count(*) AS avgdl
+            FROM documents
+        ), dl AS (
+            SELECT doc_id, len({_ORACLE_TOKENS}) AS dl FROM documents
+        ), hits AS (
+            SELECT doc_id, term, tf FROM tc WHERE term IN ('data', 'table')
+        ), bdf AS (
+            SELECT term, count(*) AS bdf FROM hits GROUP BY 1
+        ), bs AS (
+            SELECT h.doc_id,
+                   sum((ln(1.0 + (((n::DOUBLE - bdf) + 0.5) / (bdf + 0.5)))
+                        * (tf::DOUBLE * ({k1 + 1.0!r})))
+                       / (tf::DOUBLE + {k1!r} * (({1.0 - b!r})
+                          + (({b!r} * dl::DOUBLE) / avgdl)))) AS score
+            FROM hits h JOIN dl USING (doc_id) JOIN bdf USING (term)
+                 CROSS JOIN scal
+            GROUP BY 1
+        )
+        SELECT tc.doc_id, tc.term, tc.tf, dfreq.doc_freq,
+               round(ln((n + 1)::DOUBLE / (doc_freq + 1)) + 1.0, 6) AS idf_r,
+               round(tc.tf::DOUBLE * (ln((n + 1)::DOUBLE / (doc_freq + 1)) + 1.0),
+                     6) AS tfidf_r,
+               coalesce(round(bs.score, 6), 0.0) AS bm25_r
+        FROM tc JOIN dfreq USING (term) CROSS JOIN scal
+                LEFT JOIN bs ON bs.doc_id = tc.doc_id"""
 
 
 def _oracle_pq_suite() -> str:
