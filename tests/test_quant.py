@@ -101,3 +101,31 @@ def test_int8_roundtrip(spark, emb):
     x0 = np.array(r0["embedding"], dtype=np.float64)
     want = np.round((np.clip(x0, -1, 1) + 1.0) * 254.0 / 2.0) - 127
     assert list(r0["q8"]) == [int(v) for v in want]
+
+
+def test_pq_topk_ivf_recall_and_consistency(emb, books):
+    """IVF-ADC: candidates restricted to probed cells, ADC within batches.
+    With all cells probed it must equal the plain ADC scan exactly; with
+    n_probe < n_cells recall stays well above random."""
+    from polars_st_spark.operators.knn import ivf_centroids
+
+    from pyspark.sql import functions as F
+
+    cents = ivf_centroids(emb, n_cells=8, seed=42)
+    q = emb.where(F.col("vec_id") < 10)
+    # full probe == plain ADC scan (same distances, same tie rule)
+    full = Q.pq_topk_ivf(q, emb, books, centroids=cents, n_probe=8, k=5)
+    plain = Q.pq_topk(q, Q.pq_encode(emb, books), books, k=5)
+    fr = {(r["query_id"], r["rank"]): r["corpus_id"] for r in full.collect()}
+    pr = {(r["query_id"], r["rank"]): r["corpus_id"] for r in plain.collect()}
+    assert fr == pr
+    # partial probe: recall of the ADC scan's own top-5 stays high
+    part = Q.pq_topk_ivf(q, emb, books, centroids=cents, n_probe=4, k=5)
+    got = {}
+    for r in part.collect():
+        got.setdefault(r["query_id"], set()).add(r["corpus_id"])
+    truth = {}
+    for (qid, _), cid in pr.items():
+        truth.setdefault(qid, set()).add(cid)
+    rec = sum(len(truth[k_] & got.get(k_, set())) / 5 for k_ in truth) / len(truth)
+    assert rec > 0.4, rec
