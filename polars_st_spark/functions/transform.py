@@ -1595,7 +1595,24 @@ def _unit_wrap(fwd, inv, unit: float):
     return fwd_u, inv_u
 
 
-def _code_fns(code: int):
+# proj4-registered custom CRSs (functions/proj4.py register_proj4):
+# code -> (forward_from_wgs84, inverse_to_wgs84). Driver-side registry;
+# st_to_srid snapshots it into the UDF closure so executors see it.
+_CUSTOM_CRS: dict[int, tuple] = {}
+
+
+def _code_fns(code: int, custom: dict | None = None):
+    """(forward, inverse) for a supported EPSG code OR a proj4-registered
+    custom code (the ``custom`` snapshot takes precedence; falls back to
+    the driver-global registry for driver-side use)."""
+    reg = custom if custom is not None else _CUSTOM_CRS
+    pair = reg.get(code)
+    if pair is not None:
+        return pair
+    return _code_fns_builtin(code)
+
+
+def _code_fns_builtin(code: int):
     """(forward_from_wgs84, inverse_to_wgs84) for any supported projected
     EPSG code, axis-unit conversion included, or None."""
     if code == 3857:
@@ -1617,32 +1634,41 @@ def _code_fns(code: int):
     return pair
 
 
-def _from_wgs84_fn(dst: int):
+def _from_wgs84_fn(dst: int, custom: dict | None = None):
     """WGS84 lon/lat -> projected CRS ``dst``, or None if unsupported."""
-    pair = _code_fns(dst)
+    pair = _code_fns(dst, custom)
     return pair[0] if pair is not None else None
 
 
-def _to_wgs84_fn(src: int):
+def _to_wgs84_fn(src: int, custom: dict | None = None):
     """Projected CRS ``src`` -> WGS84 lon/lat, or None if unsupported."""
-    pair = _code_fns(src)
+    pair = _code_fns(src, custom)
     return pair[1] if pair is not None else None
 
 
-def _lookup_transform(src: int, dst: int):
-    f = _TRANSFORMS.get((src, dst))
-    if f is not None:
-        return f
+def _lookup_transform(src: int, dst: int, custom: dict | None = None):
+    # custom-code transforms bypass the global cache: the snapshot travels
+    # in the UDF closure and re-registration must not see stale entries
+    reg = custom if custom is not None else _CUSTOM_CRS
+    cacheable = src not in reg and dst not in reg
+    if cacheable:
+        f = _TRANSFORMS.get((src, dst))
+        if f is not None:
+            return f
+    else:
+        f = None
     if src == 4326:
-        f = _from_wgs84_fn(dst)
+        f = _from_wgs84_fn(dst, custom)
     elif dst == 4326:
-        f = _to_wgs84_fn(src)
+        f = _to_wgs84_fn(src, custom)
     else:
         # compose through 4326 (e.g. 3857 -> UTM, Lambert-93 -> Albers)
-        f1, f2 = _to_wgs84_fn(src), _from_wgs84_fn(dst)
+        f1, f2 = _to_wgs84_fn(src, custom), _from_wgs84_fn(dst, custom)
         if f1 is not None and f2 is not None:
             g1, g2 = f1, f2
             f = lambda arr: g2(g1(arr))  # noqa: E731
+    if not cacheable:
+        return f
     if f is None:
         try:
             import pyproj
@@ -1868,11 +1894,15 @@ def st_to_srid(col, srid: int) -> Column:
     bit-identical to the per-row path)."""
     from polars_st_spark.geo.wkb import batch_uniform, header_info, points_to_ewkb
 
+    # snapshot of proj4-registered CRSs, captured into the UDF closure so
+    # executors (which import a pristine module copy) can resolve them
+    _custom = dict(_CUSTOM_CRS) if _CUSTOM_CRS else None
+
     def fn(g: Geometry) -> Geometry:
         src = g.srid
         if src == srid or g.is_empty() and src == 0:
             return g.with_srid(srid)
-        f = _lookup_transform(src, srid)
+        f = _lookup_transform(src, srid, _custom)
         if f is None:
             raise ValueError(f"Unsupported SRID transform {src} -> {srid} (no pyproj in runtime)")
         return g.map_coords(f).with_srid(srid)
@@ -1886,7 +1916,7 @@ def st_to_srid(col, srid: int) -> Column:
                 if src == srid:
                     return s  # bytes already carry the target SRID
                 if src != 0:
-                    f = _lookup_transform(src, srid)
+                    f = _lookup_transform(src, srid, _custom)
                     if f is not None:
                         arr = np.stack([fast[1], fast[2]], axis=1)
                         out = f(arr.copy())
@@ -1909,7 +1939,7 @@ def st_to_srid(col, srid: int) -> Column:
             ):
                 if parsed.srid == srid:
                     return s
-                f = _lookup_transform(parsed.srid, srid)
+                f = _lookup_transform(parsed.srid, srid, _custom)
                 if f is not None:
                     out = f(parsed.coords.copy())
                     return pd.Series(
