@@ -1725,6 +1725,29 @@ def q_pq_suite(spark, sf):
     )
 
 
+def q_geohash_suite(spark, sf):
+    """Geohash encode/decode (functions/geohash.py) over customer points,
+    hash-checked: precision-5 and -9 hashes from the numeric coordinates
+    (pure codegen bit arithmetic), the same hash computed through the
+    geometry path (st_geohash over the point's bbox center — must equal the
+    numeric path exactly), and the precision-9 decoded cell center (exact
+    power-of-two arithmetic, bit-identical doubles)."""
+    from polars_st_spark.functions import geohash as _gh
+
+    pts = _cust_pts(spark, sf)
+    lon_c, lat_c = _gh.geohash_decode_xy(F.col("gh9"), 9)
+    return (
+        pts.select(
+            "c_custkey",
+            _gh.geohash_xy("x", "y", 5).alias("gh5"),
+            _gh.geohash_xy("x", "y", 9).alias("gh9"),
+            _gh.st_geohash("pt", 9).alias("gh9_geom"),
+        )
+        .withColumn("dlon", lon_c)
+        .withColumn("dlat", lat_c)
+    )
+
+
 def q_tfidf_suite(spark, sf):
     """Vocabulary/TF-IDF/BM25 (operators/tfidf.py), hash-checked: one row
     per (doc, term) with raw tf, document frequency, smoothed IDF and
@@ -2023,6 +2046,7 @@ _QUERIES = {
         "knn_ivf": q_knn_ivf,
         "pq_suite": q_pq_suite,
         "tfidf_suite": q_tfidf_suite,
+        "geohash_suite": q_geohash_suite,
         "multimodal_features": q_multimodal_features,
         "multimodal_audio": q_multimodal_audio,
     }
@@ -2207,6 +2231,7 @@ def oracle_sql() -> dict[str, str]:
         "knn_ann": _oracle_knn_ann(),
         "pq_suite": _oracle_pq_suite(),
         "tfidf_suite": _oracle_tfidf_suite(),
+        "geohash_suite": _oracle_geohash_suite(),
         "to_srid_mercator": f"""
             SELECT c_custkey,
                    ROUND(6378137.0 * radians(x), 3) AS mx,
@@ -3002,6 +3027,68 @@ def _oracle_knn_ann() -> str:
         )
         SELECT method, query_id, corpus_id, cos_r, rank
         FROM ranked WHERE rank <= 3"""
+
+
+def _oracle_geohash_suite() -> str:
+    """Replays q_geohash_suite bit-for-bit in DuckDB: identical quantize
+    arithmetic, interleave/extract as generated shift/mask chains over the
+    same bit positions, base-32 lookup via substring, decode centers as
+    exact power-of-two multiplies."""
+    from polars_st_spark.functions.geohash import _B32, _bit_split, _lon_lat_positions
+
+    def quant(col: str, lo: float, span: float, bits: int) -> str:
+        n = float(1 << bits)
+        return (
+            f"least({(1 << bits) - 1}, greatest(0, "
+            f"floor((({col} - ({lo!r})) / {span!r}) * {n!r})))::BIGINT"
+        )
+
+    def encode(xcol: str, ycol: str, p: int) -> str:
+        lon_bits, lat_bits = _bit_split(p)
+        lon_pos, lat_pos = _lon_lat_positions(lon_bits, lat_bits)
+        qlon = quant(xcol, -180.0, 360.0, lon_bits)
+        qlat = quant(ycol, -90.0, 180.0, lat_bits)
+        terms = [f"((({qlon} >> {i}) & 1) << {pos})" for i, pos in enumerate(lon_pos)]
+        terms += [f"((({qlat} >> {i}) & 1) << {pos})" for i, pos in enumerate(lat_pos)]
+        v = "(" + " | ".join(terms) + ")"
+        chars = [
+            f"substring('{_B32}', (({v} >> {5 * (p - 1 - i)}) & 31)::INT + 1, 1)"
+            for i in range(p)
+        ]
+        return " || ".join(chars)
+
+    p = 9
+    lon_bits, lat_bits = _bit_split(p)
+    lon_pos, lat_pos = _lon_lat_positions(lon_bits, lat_bits)
+    digits = []
+    for i in range(p):
+        digits.append(
+            f"((greatest(strpos('{_B32}', substring(gh9, {i + 1}, 1)), 1) - 1)"
+            f"::BIGINT << {5 * (p - 1 - i)})"
+        )
+    v = "(" + " | ".join(digits) + ")"
+    qlon = "(" + " | ".join(
+        f"((({v} >> {pos}) & 1) << {i})" for i, pos in enumerate(lon_pos)
+    ) + ")"
+    qlat = "(" + " | ".join(
+        f"((({v} >> {pos}) & 1) << {i})" for i, pos in enumerate(lat_pos)
+    ) + ")"
+    dlon = f"(({qlon}::DOUBLE + 0.5) * {360.0 / (1 << lon_bits)!r} + (-180.0))"
+    dlat = f"(({qlat}::DOUBLE + 0.5) * {180.0 / (1 << lat_bits)!r} + (-90.0))"
+    return f"""
+        WITH pts AS (
+            SELECT c_custkey, ((c_custkey % 97) + 0.5) AS x,
+                   (((c_custkey * 7) % 89) + 0.5) AS y
+            FROM customer
+        ), enc AS (
+            SELECT c_custkey,
+                   {encode("x", "y", 5)} AS gh5,
+                   {encode("x", "y", 9)} AS gh9
+            FROM pts
+        )
+        SELECT c_custkey, gh5, gh9, gh9 AS gh9_geom,
+               {dlon} AS dlon, {dlat} AS dlat
+        FROM enc"""
 
 
 def _oracle_tfidf_suite() -> str:
