@@ -1725,6 +1725,32 @@ def q_pq_suite(spark, sf):
     )
 
 
+def q_nearest_join(spark, sf):
+    """k-nearest spatial join (operators/nearest.py), hash-checked: every
+    customer point's nation rectangles within distance 9 via the GRID
+    strategy (cell equi-join on the max_distance lattice — the 100 TB
+    path), k set above the right-side row count so the cut is by distance
+    alone; both engines then re-rank on (6-dp distance, nationkey) so the
+    operator's internal content-hash tie order cannot leak into the
+    compared values. Oracle: closed-form point-rectangle distance over the
+    tiny cross product."""
+    from pyspark.sql.window import Window
+
+    from polars_st_spark.operators.nearest import st_sjoin_nearest
+
+    cust = _cust_pts(spark, sf).select("c_custkey", F.col("pt").alias("geometry"))
+    nat = _nation_rects(spark, sf).select(
+        "n_nationkey", F.col("rect").alias("geometry"))
+    out = st_sjoin_nearest(cust, nat, k=100, max_distance=9.0)
+    w = Window.partitionBy("c_custkey").orderBy(
+        F.col("dist_r").asc(), F.col("n_nationkey").asc())
+    return (
+        out.select(
+            "c_custkey", "n_nationkey", F.round("distance", 6).alias("dist_r"))
+        .withColumn("rank", F.row_number().over(w))
+    )
+
+
 def q_geohash_suite(spark, sf):
     """Geohash encode/decode (functions/geohash.py) over customer points,
     hash-checked: precision-5 and -9 hashes from the numeric coordinates
@@ -2047,6 +2073,7 @@ _QUERIES = {
         "pq_suite": q_pq_suite,
         "tfidf_suite": q_tfidf_suite,
         "geohash_suite": q_geohash_suite,
+        "nearest_join": q_nearest_join,
         "multimodal_features": q_multimodal_features,
         "multimodal_audio": q_multimodal_audio,
     }
@@ -2232,6 +2259,7 @@ def oracle_sql() -> dict[str, str]:
         "pq_suite": _oracle_pq_suite(),
         "tfidf_suite": _oracle_tfidf_suite(),
         "geohash_suite": _oracle_geohash_suite(),
+        "nearest_join": _oracle_nearest_join(),
         "to_srid_mercator": f"""
             SELECT c_custkey,
                    ROUND(6378137.0 * radians(x), 3) AS mx,
@@ -3027,6 +3055,36 @@ def _oracle_knn_ann() -> str:
         )
         SELECT method, query_id, corpus_id, cos_r, rank
         FROM ranked WHERE rank <= 3"""
+
+
+def _oracle_nearest_join() -> str:
+    """Closed-form point-rectangle distance (clamped axis gaps, sqrt of
+    exactly-rounded sums) over the customer × nation cross product,
+    filtered at 9.0 and ranked on (rounded distance, nationkey)."""
+    return """
+        WITH pts AS (
+            SELECT c_custkey, ((c_custkey % 97) + 0.5) AS px,
+                   (((c_custkey * 7) % 89) + 0.5) AS py
+            FROM customer
+        ), rects AS (
+            SELECT n_nationkey,
+                   (n_nationkey % 5) * 20.0 AS x0,
+                   floor(n_nationkey / 5) * 20.0 AS y0,
+                   (n_nationkey % 5) * 20.0 + 18.0 AS x1,
+                   floor(n_nationkey / 5) * 20.0 + 18.0 AS y1
+            FROM nation
+        ), scored AS (
+            SELECT c_custkey, n_nationkey,
+                   sqrt(greatest(x0 - px, px - x1, 0.0)
+                        * greatest(x0 - px, px - x1, 0.0)
+                        + greatest(y0 - py, py - y1, 0.0)
+                        * greatest(y0 - py, py - y1, 0.0)) AS dist
+            FROM pts CROSS JOIN rects
+        )
+        SELECT c_custkey, n_nationkey, round(dist, 6) AS dist_r,
+               CAST(row_number() OVER (PARTITION BY c_custkey
+                    ORDER BY round(dist, 6) ASC, n_nationkey ASC) AS INT) AS rank
+        FROM scored WHERE dist <= 9.0"""
 
 
 def _oracle_geohash_suite() -> str:

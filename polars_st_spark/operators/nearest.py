@@ -1,0 +1,157 @@
+"""Nearest-neighbor spatial join: for each left geometry, the ``k``
+closest right geometries (the geopandas ``sjoin_nearest`` surface — the
+reference engine itself stops at predicate joins, SURVEY §2.9; this
+extends the join family for the pipeline mandate).
+
+Two strategies, chosen by whether a distance cap exists:
+
+- ``max_distance`` set (the 100 TB path): right geometries are assigned to
+  every cell of a ``max_distance``-sized grid that their bbox EXPANDED by
+  ``max_distance`` touches; left geometries to every cell their own bbox
+  touches (one cell for points). For any pair within the cap the closest
+  left point's cell is in both sets, so candidates come from one hash
+  equi-join on cell id — never a cross product — then duplicates from
+  multi-cell pairs are dropped on (left row, right row), the exact
+  distance kernel filters, and a per-left-row top-k window ranks.
+  Replication is bounded: ceil(w/d+2)·ceil(h/d+2) cells per right row
+  (compact geometries ⇒ ~9), bbox cells per left row.
+- ``max_distance`` None: the right side is broadcast and every pair is
+  scored (exact, simple — correct only when the right side is small, the
+  dimension-table case; raises above ``broadcast_limit`` rows instead of
+  melting the cluster).
+
+Ties on distance break by a content hash of the full right row —
+deterministic across runs and partitionings, no reliance on row order
+(rows identical in every column are interchangeable either way).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from polars_st_spark.functions.scalar import st_bounds, st_distance
+
+__all__ = ["st_sjoin_nearest"]
+
+
+def st_sjoin_nearest(
+    left: DataFrame,
+    right: DataFrame,
+    k: int = 1,
+    max_distance: float | None = None,
+    how: str = "inner",
+    lsuffix: str = "",
+    rsuffix: str = "_right",
+    left_on: str = "geometry",
+    right_on: str = "geometry",
+    distance_col: str = "distance",
+    broadcast_limit: int = 1_000_000,
+) -> DataFrame:
+    """k-nearest spatial join. Output: left columns + matched right columns
+    (name conflicts suffixed) + ``distance_col``; ``how='left'`` keeps
+    unmatched left rows (possible only with ``max_distance``) with nulls.
+    Rank ties on identical distances resolve by right-geometry content
+    hash, so results are deterministic and rerun-stable."""
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    if how not in ("inner", "left"):
+        raise ValueError(f"how must be 'inner' or 'left', got {how!r}")
+    from pyspark.sql.window import Window
+
+    # stage a unique left row id BEFORE any join (monotonic id is evaluated
+    # per source row only when staged in its own projection)
+    lid = "__nn_lrow"
+    lstaged = left.select(F.monotonically_increasing_id().alias(lid), "*")
+
+    # suffix conflicting columns like st_sjoin
+    overlap = [c for c in right.columns if c in left.columns]
+    rsel = [
+        F.col(c).alias(c + rsuffix) if c in overlap else F.col(c)
+        for c in right.columns
+    ]
+    rid = "__nn_rrow"
+    rstaged = right.select(*rsel).select(
+        F.monotonically_increasing_id().alias(rid), "*"
+    )
+    r_geom = right_on + rsuffix if right_on in overlap else right_on
+
+    tie = F.xxhash64(*[F.col(c) for c in rstaged.columns if c != rid])
+    dist = st_distance(F.col(left_on), F.col(r_geom))
+
+    if max_distance is None:
+        n_right = rstaged.count()
+        if n_right > broadcast_limit:
+            raise ValueError(
+                f"right side has {n_right} rows > broadcast_limit="
+                f"{broadcast_limit}; pass max_distance= for the scalable "
+                "grid strategy (or raise broadcast_limit explicitly)"
+            )
+        cand = lstaged.crossJoin(F.broadcast(rstaged))
+    else:
+        d = float(max_distance)
+        if d <= 0:
+            raise ValueError("max_distance must be positive")
+        def cell_array(b, pad: float):
+            # all (cx, cy) cells touched by bbox b expanded by pad — a flat
+            # array of structs via sequence/transform, JVM-side
+            cx0 = F.floor((b[0] - pad) / d).cast("long")
+            cx1 = F.floor((b[2] + pad) / d).cast("long")
+            cy0 = F.floor((b[1] - pad) / d).cast("long")
+            cy1 = F.floor((b[3] + pad) / d).cast("long")
+            return F.flatten(
+                F.transform(
+                    F.sequence(cx0, cx1),
+                    lambda cx: F.transform(
+                        F.sequence(cy0, cy1),
+                        lambda cy: F.struct(cx.alias("cx"), cy.alias("cy")),
+                    ),
+                )
+            )
+
+        # left: own-bbox cells (one for points). right: bbox ⊕ d cells.
+        # The closest left point lies in the left bbox AND within d of the
+        # right bbox, so its cell is in both sets — no pair escapes.
+        # The bounds UDF result must be STAGED as a column before the
+        # higher-order cell lambda (Spark rejects Python UDFs inside
+        # lambda functions at analysis).
+        l2 = (
+            lstaged.withColumn("__nn_b", st_bounds(F.col(left_on)))
+            .withColumn("__nn_cell", F.explode(cell_array(F.col("__nn_b"), 0.0)))
+            .drop("__nn_b")
+        )
+        r2 = (
+            rstaged.withColumn("__nn_b", st_bounds(F.col(r_geom)))
+            .withColumn("__nn_cell", F.explode(cell_array(F.col("__nn_b"), d)))
+            .drop("__nn_b")
+        )
+        cand = (
+            l2.join(r2, on="__nn_cell")
+            .drop("__nn_cell")
+            # a pair can share several cells when the left bbox spans cells
+            .dropDuplicates([lid, rid])
+            .where(dist <= F.lit(d))
+        )
+
+    w = Window.partitionBy(lid).orderBy(dist.asc(), tie.asc())
+    ranked = (
+        cand.withColumn(distance_col, dist)
+        .withColumn("__nn_rank", F.row_number().over(w))
+        .where(F.col("__nn_rank") <= k)
+        .drop("__nn_rank")
+    )
+    ranked = ranked.drop(rid)
+    if how == "inner":
+        return ranked.drop(lid)
+    # how='left': rejoin unmatched left rows with null right columns
+    matched = ranked
+    out_cols = [c for c in matched.columns if c != lid]
+    unmatched = lstaged.join(
+        matched.select(lid).distinct(), on=lid, how="left_anti"
+    )
+    for c in out_cols:
+        if c not in unmatched.columns:
+            unmatched = unmatched.withColumn(c, F.lit(None))
+    return matched.select(*out_cols).unionByName(
+        unmatched.select(*out_cols)
+    )

@@ -1,0 +1,121 @@
+"""k-nearest spatial join (operators/nearest.py)."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+import polars_st_spark as st
+from polars_st_spark.operators.nearest import st_sjoin_nearest
+
+
+@pytest.fixture(scope="module")
+def frames(spark):
+    rng = np.random.RandomState(5)
+    lpts = rng.uniform(0, 100, size=(200, 2))
+    rpts = rng.uniform(0, 100, size=(40, 2))
+    left = spark.createDataFrame(
+        [(i, float(x), float(y)) for i, (x, y) in enumerate(lpts)],
+        ["lid_val", "x", "y"],
+    ).select("lid_val", st.st_point("x", "y").alias("geometry"))
+    right = spark.createDataFrame(
+        [(i, float(x), float(y)) for i, (x, y) in enumerate(rpts)],
+        ["rid_val", "x", "y"],
+    ).select("rid_val", st.st_point("x", "y").alias("geometry"))
+    return left, right, lpts, rpts
+
+
+def _brute(lpts, rpts, k, max_d=None):
+    want = {}
+    for i, p in enumerate(lpts):
+        d = np.hypot(*(rpts - p).T)
+        order = np.argsort(d, kind="stable")
+        hits = [(j, d[j]) for j in order if max_d is None or d[j] <= max_d][:k]
+        want[i] = hits
+    return want
+
+
+def test_broadcast_matches_brute(frames):
+    left, right, lpts, rpts = frames
+    out = st_sjoin_nearest(left, right, k=1)
+    got = {r["lid_val"]: (r["rid_val"], r["distance"]) for r in out.collect()}
+    want = _brute(lpts, rpts, 1)
+    assert len(got) == len(lpts)
+    for i, hits in want.items():
+        j, d = hits[0]
+        assert got[i][0] == j
+        assert got[i][1] == pytest.approx(d, abs=1e-9)
+
+
+def test_k3_matches_brute(frames):
+    left, right, lpts, rpts = frames
+    out = st_sjoin_nearest(left, right, k=3)
+    got = {}
+    for r in out.collect():
+        got.setdefault(r["lid_val"], []).append((r["rid_val"], r["distance"]))
+    want = _brute(lpts, rpts, 3)
+    for i, hits in want.items():
+        gs = sorted(got[i], key=lambda t: t[1])
+        assert [g[0] for g in gs] == [h[0] for h in hits]
+
+
+def test_grid_equals_broadcast(frames):
+    left, right, lpts, rpts = frames
+    bcast = st_sjoin_nearest(left, right, k=2, max_distance=None)
+    grid = st_sjoin_nearest(left, right, k=2, max_distance=200.0)  # covers all
+    b = {(r["lid_val"], r["rid_val"]) for r in bcast.collect()}
+    g = {(r["lid_val"], r["rid_val"]) for r in grid.collect()}
+    assert b == g
+
+
+def test_max_distance_filters_and_left_join(frames):
+    left, right, lpts, rpts = frames
+    out = st_sjoin_nearest(left, right, k=1, max_distance=3.0)
+    got = {r["lid_val"]: r["distance"] for r in out.collect()}
+    want = _brute(lpts, rpts, 1, max_d=3.0)
+    assert set(got) == {i for i, h in want.items() if h}
+    for i in got:
+        assert got[i] == pytest.approx(want[i][0][1], abs=1e-9)
+    # how='left': unmatched rows kept with null distance
+    lj = st_sjoin_nearest(left, right, k=1, max_distance=3.0, how="left")
+    rows = lj.collect()
+    assert len({r["lid_val"] for r in rows}) == len(lpts)
+    nulls = [r for r in rows if r["distance"] is None]
+    assert len(nulls) == len(lpts) - len(got)
+    assert all(r["rid_val"] is None for r in nulls)
+
+
+def test_grid_with_rect_geometries(spark):
+    """Non-point left geometries spanning several cells still find every
+    neighbor (bbox-cell assignment + pair dedup)."""
+    left = spark.createDataFrame([(0, 0.0), (1, 50.0)], ["lid_val", "x0"]).select(
+        "lid_val",
+        st.st_rectangle(F.col("x0"), F.lit(0.0), F.col("x0") + 25.0, F.lit(8.0))
+        .alias("geometry"))
+    right = spark.createDataFrame(
+        [(i, float(i * 10), 9.0) for i in range(9)], ["rid_val", "x", "y"]
+    ).select("rid_val", st.st_point("x", "y").alias("geometry"))
+    out = st_sjoin_nearest(left, right, k=2, max_distance=5.0)
+    got = {}
+    for r in out.collect():
+        got.setdefault(r["lid_val"], set()).add(r["rid_val"])
+    # rect 0: [0,25]x[0,8]; points at y=9 (distance 1) above x=0,10,20 -> any 2
+    assert got[0] <= {0, 1, 2} and len(got[0]) == 2
+    assert got[1] <= {5, 6, 7} and len(got[1]) == 2
+    dists = {(r["lid_val"], r["rid_val"]): r["distance"] for r in out.collect()}
+    for key, dv in dists.items():
+        assert dv == pytest.approx(1.0, abs=1e-9)
+
+
+def test_validation_and_suffix(frames, spark):
+    left, right, _, _ = frames
+    with pytest.raises(ValueError, match="k must"):
+        st_sjoin_nearest(left, right, k=0)
+    with pytest.raises(ValueError, match="how"):
+        st_sjoin_nearest(left, right, how="full")
+    with pytest.raises(ValueError, match="max_distance must"):
+        st_sjoin_nearest(left, right, max_distance=-1.0)
+    with pytest.raises(ValueError, match="broadcast_limit"):
+        st_sjoin_nearest(left, right, broadcast_limit=5)
+    out = st_sjoin_nearest(left, right, k=1)
+    assert "geometry" in out.columns and "geometry_right" in out.columns
+    assert "distance" in out.columns
