@@ -1964,7 +1964,10 @@ _QUERIES = {
         "affine2": q_affine2,
         "valid_make": q_valid_make,
         "fold_suite": q_fold_suite,
-        "union_two_phase": q_union_two_phase,
+        # pq_suite takes union_two_phase's slot (r4d): union_all stays
+        # certified in-window by union_flagship; the two-phase variant moves
+        # past the window for granular diagnosis
+        "pq_suite": q_pq_suite,
         "unary_disjoint": q_unary_disjoint,
         "ragged_poly_suite": q_ragged_poly_suite,
         "precision_meta": q_precision_meta,
@@ -2001,7 +2004,10 @@ _QUERIES = {
         "embedding_dup": q_embedding_dup,
         "knn_top3": q_knn_top3,
         "sessionize": q_sessionize,
-        "session_window": q_session_window,
+        # tfidf_suite takes session_window's slot (r4d): sessionization stays
+        # certified in-window by sessionize (identical rows contract); the
+        # native session_window path moves past the window
+        "tfidf_suite": q_tfidf_suite,
         "asof_join": q_asof_join,
         "predicate_join": q_predicate_join,
         "range_join": q_range_join,
@@ -2023,6 +2029,10 @@ _QUERIES = {
         # connected-components singleton (hash-checked; displaced from the
         # window by hygiene_suite — near_dup_groups certifies it in-window)
         "concomp": q_concomp,
+        # displaced by pq_suite / tfidf_suite (r4d); families certified
+        # in-window by union_flagship / sessionize
+        "union_two_phase": q_union_two_phase,
+        "session_window": q_session_window,
         # consistent_topn singleton (hash-checked): the md5-gate family is
         # certified in-window by sample_suite
         "sample_topn": q_sample_topn,
@@ -2070,8 +2080,6 @@ _QUERIES = {
         "zorder_key": q_zorder_key,
         "knn_lsh": q_knn_lsh,
         "knn_ivf": q_knn_ivf,
-        "pq_suite": q_pq_suite,
-        "tfidf_suite": q_tfidf_suite,
         "geohash_suite": q_geohash_suite,
         "nearest_join": q_nearest_join,
         "multimodal_features": q_multimodal_features,
