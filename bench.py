@@ -89,13 +89,18 @@ def main() -> None:
     # compile the wide cosine/rank expression tree once (first-use codegen of
     # the aggregate dot product dominated a cold p2 at ~10s)
     _knn.cosine_topk(emb.limit(1), emb.limit(50), k=1).count()
-    # compile the dedup higher-order-function tree once on a 200-doc slice:
-    # first-use codegen/JIT dominated a cold p1 at 4-6s vs its 1.4s steady
-    # state (measured r4). materialize=None keeps the tiny plan out of the
-    # cache manager, so the measured run's own cache is cold as intended.
-    # (the r2-era warmup that was removed ran FULL-SIZE and its shuffle state
-    # tripled the next Arrow query; the 200-row slice shows no such effect)
-    _dedup.near_dup_pairs(docs.limit(200), threshold=0.05, materialize=None).count()
+    # compile the dedup higher-order-function tree once on a ~2% sampled
+    # slice: first-use codegen/JIT dominated a cold p1 at 4-6s vs its ~1s
+    # steady state (measured r4). A limit(200) warmup touches ONE scan
+    # partition (the round-2 b1 lesson) and left the xxhash64 headline
+    # varying 1.3-4.2s across runs; the fraction sample touches every
+    # partition with ~2% of the rows. materialize=None keeps the warmup
+    # plan out of the cache manager, so the measured run's cache is cold.
+    # (the r2-era warmup that was removed ran FULL-SIZE and its shuffle
+    # state tripled the next Arrow query; the 2% slice shows no such effect)
+    _dedup.near_dup_pairs(
+        docs.sample(fraction=0.02, seed=1), threshold=0.05, materialize=None
+    ).count()
 
     def timed(fn):
         # single-shot (methodology stable across rounds): a min-over-reps
