@@ -333,6 +333,7 @@ def decontaminate(
     benchmark_text_col: str = "text",
     mode: str = "filter",
     broadcast: bool = True,
+    bloom_fpp: float | None = None,
 ) -> DataFrame:
     """Benchmark decontamination (GPT-3 §C): a training document is
     *contaminated* when it shares any word ``n``-gram with any benchmark
@@ -346,6 +347,15 @@ def decontaminate(
     corpus. Set ``broadcast=False`` for a giant blocklist: the check becomes
     a shuffled semi-join on the n-gram string (uniform key). Only doc ids
     and n-grams move — never document text.
+
+    ``bloom_fpp`` (with ``broadcast=True``) inserts a Bloom prescreen for
+    the large-blocklist case: the benchmark n-gram set is folded into a
+    Bloom filter (one aggregation over the benchmark side; a few MB even
+    for 10⁸ n-grams vs gigabytes for the literal set), the corpus is
+    filtered map-side against the broadcast filter, and ONLY the
+    prescreen survivors (true hits + ~fpp false positives) reach the exact
+    semi-join — so the result is still EXACT, but the shuffled/joined
+    volume drops from every doc n-gram to roughly the contaminated ones.
     """
     if mode not in ("filter", "tag"):
         raise ValueError(f"mode must be 'filter' or 'tag', got {mode!r}")
@@ -356,6 +366,8 @@ def decontaminate(
     bench_grams = benchmark.select(
         F.explode(F.array_distinct(shingles(F.col(benchmark_text_col), n))).alias("_g")
     ).distinct()
+    if bloom_fpp is not None:
+        doc_grams = _bloom_prescreen(doc_grams, bench_grams, bloom_fpp)
     if broadcast:
         bench_grams = F.broadcast(bench_grams)
     dirty_ids = doc_grams.join(bench_grams, on="_g", how="left_semi").select("_id").distinct()
@@ -368,3 +380,75 @@ def decontaminate(
     )
     return tagged.select(*[df[c] for c in df.columns],
                          F.coalesce(F.col("_dirty"), F.lit(False)).alias("contaminated"))
+
+
+def _bloom_prescreen(doc_grams: DataFrame, bench_grams: DataFrame, fpp: float) -> DataFrame:
+    """Filter (id, n-gram) rows to those whose n-gram MIGHT be in the
+    benchmark set, exactly-vectorized end to end:
+
+    - bit positions are ``pmod(xxhash64(i, gram), m)`` computed JVM-side
+      (whole-stage codegen) on BOTH sides — no string hashing in Python;
+    - the build side folds its positions into per-partition numpy bitmaps
+      (mapInPandas) which the driver ORs into one m-bit array (driver
+      memory m/8 bytes — ~12 MB per 10⁷ benchmark n-grams at 1% fpp);
+    - the probe side tests k positions per n-gram with one broadcast
+      numpy gather per Arrow batch.
+
+    False positives pass through (the exact semi-join after catches
+    them); false negatives are impossible, so exactness holds. Standard
+    Bloom sizing: m = -n·ln(fpp)/ln²2, k = m/n·ln2 (public formula).
+    """
+    if not 0.0 < fpp < 1.0:
+        raise ValueError(f"bloom_fpp must be in (0, 1), got {fpp!r}")
+    import math
+
+    import numpy as np
+    import pandas as pd
+
+    n_items = max(1024, bench_grams.count())
+    m = int(math.ceil(-n_items * math.log(fpp) / (math.log(2.0) ** 2)))
+    m = max(8, (m + 7) // 8 * 8)
+    k = max(1, round(m / n_items * math.log(2.0)))
+
+    def positions(g: Column) -> Column:
+        return F.array(*[F.pmod(F.xxhash64(F.lit(i), g), F.lit(m)) for i in range(k)])
+
+    nbytes = m // 8
+
+    def build(batches):
+        bits = np.zeros(nbytes, dtype=np.uint8)
+        any_rows = False
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            any_rows = True
+            pos = np.concatenate(pdf["_pos"].to_list()).astype(np.int64)
+            np.bitwise_or.at(bits, pos >> 3, np.uint8(1) << (pos & 7).astype(np.uint8))
+        if any_rows:
+            yield pd.DataFrame({"bm": [bits.tobytes()]})
+
+    partials = (
+        bench_grams.select(positions(F.col("_g")).alias("_pos"))
+        .mapInPandas(build, "bm binary")
+    )
+    bitmap = np.zeros(nbytes, dtype=np.uint8)
+    for row in partials.toLocalIterator():
+        bitmap |= np.frombuffer(row["bm"], dtype=np.uint8)
+    bc = doc_grams.sparkSession.sparkContext.broadcast(bitmap)
+
+    # no type hints: postponed-annotation strings would resolve `pd` in the
+    # module globals, where pandas is only imported locally
+    @F.pandas_udf("boolean")
+    def might(pos_s):
+        bm = bc.value
+        if not len(pos_s):
+            return pd.Series([], dtype=bool)
+        pos = np.stack(pos_s.to_numpy()).astype(np.int64)  # (rows, k)
+        hit = (bm[pos >> 3] >> (pos & 7).astype(np.uint8)) & 1
+        return pd.Series(hit.all(axis=1))
+
+    return (
+        doc_grams.withColumn("_pos", positions(F.col("_g")))
+        .where(might(F.col("_pos")))
+        .drop("_pos")
+    )

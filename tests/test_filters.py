@@ -227,3 +227,32 @@ def test_hygiene_signals_streaming_parity(spark, tmp_path):
     want = {tuple(r) for r in H.repetition_signals(df).withColumn(
         "scrub", H.pii_scrub(F.lit("reach a@b.co now"))).collect()}
     assert got == want and len(got) == 80
+
+
+def test_decontaminate_bloom_prescreen_exact(spark):
+    """The Bloom prescreen changes the plan, never the result: tagged
+    output equals the exact path at any fpp."""
+    import random
+
+    rng = random.Random(13)
+    words = [f"w{i}" for i in range(60)]
+    bench_rows = [(900 + j, " ".join(rng.choice(words) for _ in range(25)))
+                  for j in range(5)]
+    # plant a benchmark 4-gram inside every third train doc
+    leak = " ".join(bench_rows[0][1].split()[3:7])
+    train = spark.createDataFrame(
+        [(i, " ".join(rng.choice(words) for _ in range(30))
+              + (f" {leak} tail" if i % 3 == 0 else ""))
+         for i in range(150)],
+        ["doc_id", "text"])
+    bench = spark.createDataFrame(bench_rows, ["doc_id", "text"])
+    exact = {(r["doc_id"], r["contaminated"])
+             for r in H.decontaminate(train, bench, n=4, mode="tag").collect()}
+    assert any(c for _, c in exact) and any(not c for _, c in exact)
+    for fpp in (0.5, 0.01):
+        bloom = {(r["doc_id"], r["contaminated"])
+                 for r in H.decontaminate(train, bench, n=4, mode="tag",
+                                          bloom_fpp=fpp).collect()}
+        assert bloom == exact, fpp
+    with pytest.raises(ValueError, match="bloom_fpp"):
+        H.decontaminate(train, bench, bloom_fpp=1.5).collect()
