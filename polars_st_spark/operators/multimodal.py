@@ -4,12 +4,16 @@ Media payloads are opaque ``binary`` columns with a typed metadata struct —
 the Spark-idiomatic layout for multimodal training data at scale (payload
 stays columnar in Parquet, metadata prunes/filters without touching bytes).
 
-The image/audio codec libraries are not present in this runtime, so the
-*decode* kernels are stubbed: ``decode="fake"`` produces a deterministic
-pseudo-decode (seeded from the payload hash) so the full Spark plumbing —
-schema, Arrow batching, mapInPandas partition flow, batch shapes — is real
-and tested; ``decode="real"`` raises NotImplementedError until a codec
-(Pillow/ffmpeg) is available.
+``decode="real"`` decodes the codec-free formats end to end — BMP images
+(BITMAPINFOHEADER 24/32-bpp, hand-parsed per the public Windows BMP spec:
+bottom-up rows, 4-byte padding, BGR order) and PCM WAV audio (stdlib
+``wave``) — with numpy nearest-neighbor resizing and a BMP re-encoder, so
+the image/audio pipeline runs REAL bytes with zero external codecs.
+Compressed formats (png/jpeg/mp3/mp4) still raise NotImplementedError
+naming the codec they need (Pillow/ffmpeg — absent in this runtime).
+``decode="fake"`` remains: a deterministic pseudo-decode seeded from the
+payload hash, exercising the identical Spark plumbing (schema, Arrow
+batching, mapInPandas flow) for any payload bytes.
 """
 
 from __future__ import annotations
@@ -73,6 +77,83 @@ def attach_media_metadata(df: DataFrame, payload_col: str, media_type: str = "im
     )
 
 
+import struct
+
+
+def _decode_bmp(data: bytes) -> np.ndarray:
+    """(h, w, 3) RGB uint8 from an uncompressed 24/32-bpp BMP (public
+    Windows BITMAPFILEHEADER/BITMAPINFOHEADER layout)."""
+    if len(data) < 54 or data[:2] != b"BM":
+        raise ValueError("not a BMP payload (missing 'BM' magic)")
+    (pix_off,) = struct.unpack_from("<I", data, 10)
+    (hdr_size, w, h) = struct.unpack_from("<Iii", data, 14)
+    (planes, bpp) = struct.unpack_from("<HH", data, 26)
+    (compression,) = struct.unpack_from("<I", data, 30)
+    if compression != 0 or bpp not in (24, 32):
+        raise ValueError(f"unsupported BMP (bpp={bpp}, compression={compression}); "
+                         "only uncompressed 24/32-bpp is codec-free")
+    flip = h > 0  # positive height = bottom-up row order
+    h = abs(h)
+    nch = bpp // 8
+    stride = (w * nch + 3) // 4 * 4
+    rows = np.frombuffer(data, dtype=np.uint8, count=stride * h, offset=pix_off)
+    img = rows.reshape(h, stride)[:, : w * nch].reshape(h, w, nch)
+    if flip:
+        img = img[::-1]
+    return img[:, :, [2, 1, 0]].copy()  # BGR(A) -> RGB, alpha dropped
+
+
+def _encode_bmp(img: np.ndarray) -> bytes:
+    """Uncompressed 24-bpp BMP bytes from an (h, w, 3) RGB uint8 array."""
+    h, w = img.shape[:2]
+    stride = (w * 3 + 3) // 4 * 4
+    body = np.zeros((h, stride), dtype=np.uint8)
+    body[:, : w * 3] = img[::-1, :, [2, 1, 0]].reshape(h, w * 3)  # RGB->BGR, bottom-up
+    pix = body.tobytes()
+    header = struct.pack("<2sIHHI", b"BM", 54 + len(pix), 0, 0, 54)
+    info = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(pix), 2835, 2835, 0, 0)
+    return header + info + pix
+
+
+def _resize_nearest(img: np.ndarray, h: int, w: int) -> np.ndarray:
+    """Nearest-neighbor resample (pixel-center mapping) — pure numpy."""
+    sh, sw = img.shape[:2]
+    yi = np.minimum(((np.arange(h) + 0.5) * sh / h).astype(np.int64), sh - 1)
+    xi = np.minimum(((np.arange(w) + 0.5) * sw / w).astype(np.int64), sw - 1)
+    return img[yi[:, None], xi[None, :]]
+
+
+def _decode_wav(data: bytes) -> tuple[np.ndarray, int]:
+    """(mono float64 samples in [-1, 1], sample_rate) from a PCM WAV via
+    the stdlib ``wave`` module (no codec dependency)."""
+    import io
+    import wave
+
+    with wave.open(io.BytesIO(data), "rb") as wf:
+        nch = wf.getnchannels()
+        width = wf.getsampwidth()
+        rate = wf.getframerate()
+        raw = wf.readframes(wf.getnframes())
+    if width == 2:
+        pcm = np.frombuffer(raw, dtype="<i2").astype(np.float64) / 32768.0
+    elif width == 1:
+        pcm = (np.frombuffer(raw, dtype=np.uint8).astype(np.float64) - 128.0) / 128.0
+    else:
+        raise ValueError(f"unsupported WAV sample width {width} (8/16-bit PCM only)")
+    if nch > 1:
+        pcm = pcm.reshape(-1, nch).mean(axis=1)
+    return pcm, rate
+
+
+def _real_decode_image(payload: bytes, h: int, w: int) -> np.ndarray:
+    if payload[:2] == b"BM":
+        return _resize_nearest(_decode_bmp(payload), h, w)
+    raise NotImplementedError(
+        "real decode of non-BMP images (png/jpeg/...) requires Pillow/opencv, "
+        "not present in this runtime; BMP decodes natively"
+    )
+
+
 def _fake_decode(payload: bytes, h: int = 8, w: int = 8) -> np.ndarray:
     """Deterministic pseudo-decode: pixels from the md5 stream of the payload."""
     need = h * w * 3
@@ -97,12 +178,7 @@ def image_features(
     Output: (id, height, width, channels, features array<float>). Arrow-batched;
     one Python pass per partition, no driver collection.
     """
-    if decode == "real":
-        raise NotImplementedError(
-            "real image decode requires Pillow/opencv, not present in this runtime; "
-            "use decode='fake' for plumbing tests"
-        )
-    if decode != "fake":
+    if decode not in ("real", "fake"):
         raise ValueError(f"decode must be 'real' or 'fake', got {decode!r}")
     h, w = resize
     schema = StructType(
@@ -121,9 +197,11 @@ def image_features(
             for i, payload in zip(pdf[id_col], pdf[payload_col]):
                 if payload is None:
                     continue
-                img = _fake_decode(bytes(payload), h, w)
+                raw = bytes(payload)
+                img = (_real_decode_image(raw, h, w) if decode == "real"
+                       else _fake_decode(raw, h, w))
                 ids.append(i)
-                feats.append(img.mean(axis=(0, 1)).astype(np.float32).tolist())
+                feats.append(img[:, :, :3].mean(axis=(0, 1)).astype(np.float32).tolist())
             yield pd.DataFrame(
                 {
                     id_col: ids,
@@ -148,11 +226,7 @@ def image_resize(
     column shape (payload in, payload out) so resize stages compose in a
     pipeline. Fake decode produces the deterministic pseudo-image; the
     "re-encode" is its raw RGB bytes."""
-    if decode == "real":
-        raise NotImplementedError(
-            "real image decode requires Pillow/opencv, not present in this runtime"
-        )
-    if decode != "fake":
+    if decode not in ("real", "fake"):
         raise ValueError(f"decode must be 'real' or 'fake', got {decode!r}")
     h, w = size
     schema = StructType(
@@ -171,7 +245,13 @@ def image_resize(
                 if payload is None:
                     continue
                 ids.append(i)
-                payloads.append(_fake_decode(bytes(payload), h, w).tobytes())
+                raw = bytes(payload)
+                if decode == "real":
+                    # decode -> nearest resize -> BMP re-encode: payload out
+                    # is a real image again, so resize stages compose
+                    payloads.append(_encode_bmp(_real_decode_image(raw, h, w)[:, :, :3]))
+                else:
+                    payloads.append(_fake_decode(raw, h, w).tobytes())
             yield pd.DataFrame({id_col: ids, "payload": payloads, "height": h, "width": w})
 
     return df.mapInPandas(gen, schema=schema)
@@ -189,11 +269,7 @@ def audio_features(
     zero-crossing rate, and low/high band energy split. Fake decode derives a
     deterministic int16 PCM stream from the payload's md5 stream; real decode
     needs an audio codec (soundfile/ffmpeg) and raises until one exists."""
-    if decode == "real":
-        raise NotImplementedError(
-            "real audio decode requires soundfile/ffmpeg, not present in this runtime"
-        )
-    if decode != "fake":
+    if decode not in ("real", "fake"):
         raise ValueError(f"decode must be 'real' or 'fake', got {decode!r}")
     schema = StructType(
         [
@@ -212,12 +288,16 @@ def audio_features(
             for i, payload in zip(pdf[id_col], pdf[payload_col]):
                 if payload is None:
                     continue
-                raw = _fake_decode(bytes(payload), 1, (n_samples * 2 + 2) // 3).reshape(-1)
-                pcm = raw[: n_samples * 2].view(np.uint8).astype(np.uint16)
-                pcm = (pcm[0::2].astype(np.int32) | (pcm[1::2].astype(np.int32) << 8))
-                pcm = (pcm - 32768).astype(np.float64) / 32768.0
+                if decode == "real":
+                    pcm, rate = _decode_wav(bytes(payload))
+                else:
+                    raw = _fake_decode(bytes(payload), 1, (n_samples * 2 + 2) // 3).reshape(-1)
+                    pcm = raw[: n_samples * 2].view(np.uint8).astype(np.uint16)
+                    pcm = (pcm[0::2].astype(np.int32) | (pcm[1::2].astype(np.int32) << 8))
+                    pcm = (pcm - 32768).astype(np.float64) / 32768.0
+                    rate = sample_rate
                 rows["id"].append(i)
-                rows["dur"].append(len(pcm) / sample_rate)
+                rows["dur"].append(len(pcm) / rate)
                 rows["rms"].append(float(np.sqrt(np.mean(pcm * pcm))))
                 rows["zcr"].append(float(np.mean(np.signbit(pcm[1:]) != np.signbit(pcm[:-1]))))
                 spec = np.abs(np.fft.rfft(pcm)) ** 2

@@ -1,0 +1,108 @@
+"""Real codec-free media decode (operators/multimodal.py decode='real'):
+BMP images (hand-parsed spec) and PCM WAV audio (stdlib wave)."""
+
+import io
+import math
+import struct
+import wave
+
+import numpy as np
+import pytest
+
+from polars_st_spark.operators import multimodal as M
+
+
+def _gradient_img(h, w):
+    img = np.zeros((h, w, 3), dtype=np.uint8)
+    img[:, :, 0] = np.arange(w, dtype=np.uint8)[None, :] * 7
+    img[:, :, 1] = np.arange(h, dtype=np.uint8)[:, None] * 11
+    img[:, :, 2] = 201
+    return img
+
+
+def test_bmp_roundtrip_including_padding():
+    for h, w in [(8, 8), (5, 7), (1, 1), (3, 2)]:  # odd widths exercise padding
+        img = _gradient_img(h, w)
+        back = M._decode_bmp(M._encode_bmp(img))
+        assert np.array_equal(back, img), (h, w)
+
+
+def test_bmp_32bpp_and_errors():
+    # hand-build a 2x1 32-bpp BMP (BGRA, top-down via negative height)
+    pix = bytes([10, 20, 30, 255, 40, 50, 60, 255])
+    header = struct.pack("<2sIHHI", b"BM", 54 + len(pix), 0, 0, 54)
+    info = struct.pack("<IiiHHIIiiII", 40, 2, -1, 1, 32, 0, len(pix), 0, 0, 0, 0)
+    img = M._decode_bmp(header + info + pix)
+    assert img.shape == (1, 2, 3)
+    assert img[0, 0].tolist() == [30, 20, 10]  # BGR -> RGB
+    assert img[0, 1].tolist() == [60, 50, 40]
+    with pytest.raises(ValueError, match="magic"):
+        M._decode_bmp(b"XX" + bytes(60))
+    bad_info = struct.pack("<IiiHHIIiiII", 40, 2, 1, 1, 8, 0, 0, 0, 0, 0, 0)
+    with pytest.raises(ValueError, match="unsupported BMP"):
+        M._decode_bmp(header + bad_info + pix)
+
+
+def test_image_features_real_bmp(spark):
+    # two solid-color BMPs: features are exactly the channel values
+    red = np.zeros((6, 6, 3), dtype=np.uint8); red[:, :, 0] = 200
+    blue = np.zeros((4, 10, 3), dtype=np.uint8); blue[:, :, 2] = 90
+    df = spark.createDataFrame(
+        [(0, bytearray(M._encode_bmp(red))), (1, bytearray(M._encode_bmp(blue)))],
+        ["id", "payload"])
+    out = {r["id"]: r for r in
+           M.image_features(df, "payload", "id", decode="real", resize=(4, 4)).collect()}
+    assert out[0]["features"] == pytest.approx([200.0, 0.0, 0.0])
+    assert out[1]["features"] == pytest.approx([0.0, 0.0, 90.0])
+    assert out[0]["height"] == 4 and out[0]["width"] == 4
+
+
+def test_image_resize_real_composes(spark):
+    img = _gradient_img(16, 16)
+    df = spark.createDataFrame([(0, bytearray(M._encode_bmp(img)))], ["id", "payload"])
+    once = M.image_resize(df, "payload", "id", size=(8, 8), decode="real")
+    # output payload is itself a valid BMP -> a second real stage composes
+    twice = M.image_resize(once, "payload", "id", size=(4, 4), decode="real")
+    row = twice.collect()[0]
+    back = M._decode_bmp(bytes(row["payload"]))
+    assert back.shape == (4, 4, 3)
+    want = M._resize_nearest(M._resize_nearest(img, 8, 8), 4, 4)
+    assert np.array_equal(back, want)
+
+
+def _wav_bytes(freq, rate, seconds, amp=0.5, nch=1, width=2):
+    n = int(rate * seconds)
+    t = np.arange(n) / rate
+    sig = (amp * np.sin(2 * math.pi * freq * t) * 32767).astype("<i2")
+    if nch == 2:
+        sig = np.repeat(sig, 2)
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as wf:
+        wf.setnchannels(nch)
+        wf.setsampwidth(width)
+        wf.setframerate(rate)
+        wf.writeframes(sig.tobytes())
+    return buf.getvalue()
+
+
+def test_audio_features_real_wav(spark):
+    payload = _wav_bytes(440.0, 16000, 0.5)
+    stereo = _wav_bytes(100.0, 8000, 0.25, nch=2)
+    df = spark.createDataFrame(
+        [(0, bytearray(payload)), (1, bytearray(stereo))], ["id", "payload"])
+    out = {r["id"]: r for r in
+           M.audio_features(df, "payload", "id", decode="real").collect()}
+    a = out[0]
+    assert a["duration_s"] == pytest.approx(0.5, abs=1e-6)
+    assert a["rms"] == pytest.approx(0.5 / math.sqrt(2), rel=1e-2)  # sine RMS
+    # zcr of a 440 Hz sine at 16 kHz: 2 crossings per cycle
+    assert a["zero_crossing_rate"] == pytest.approx(2 * 440 / 16000, rel=0.05)
+    assert a["low_band_energy"] > 0.95  # 440 Hz << Nyquist/2
+    b = out[1]
+    assert b["duration_s"] == pytest.approx(0.25, abs=1e-6)
+
+
+def test_non_bmp_real_raises(spark):
+    df = spark.createDataFrame([(0, bytearray(b"\x89PNG then junk"))], ["id", "payload"])
+    with pytest.raises(Exception, match="Pillow|BMP"):
+        M.image_features(df, "payload", "id", decode="real").collect()

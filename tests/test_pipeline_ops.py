@@ -239,8 +239,10 @@ def test_multimodal_plumbing(spark):
     assert feats1 == feats2
     frames = frame_sample(df.limit(2), "payload", "media_id", every_n=25, n_frames=100)
     assert frames.count() == 8  # 2 media × 4 frames
-    with pytest.raises(NotImplementedError):
-        image_features(df, "payload", "media_id", decode="real")
+    # real decode now handles BMP natively (tests/test_multimodal_real.py);
+    # non-BMP compressed payloads still fail at execution naming the codec
+    with pytest.raises(Exception, match="Pillow|BMP"):
+        image_features(df, "payload", "media_id", decode="real").collect()
 
 
 def test_lsh_recall(spark):
