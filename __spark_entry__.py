@@ -1804,6 +1804,83 @@ def q_tfidf_suite(spark, sf):
     )
 
 
+def q_multimodal_real(spark, sf):
+    """REAL media decode, hash-checked (r4d — multimodal graduates from
+    rows-only): per doc a solid-color 6×5 BMP (odd width exercises row
+    padding) and a ±amp square-wave 16-bit PCM WAV are built from doc_id,
+    decoded by the real kernels (hand-parsed BMP / stdlib wave), and the
+    features compared against closed forms: solid-color mean = the color
+    exactly; square-wave RMS = amp_int/32768 exactly (dyadic), ZCR =
+    transitions/(n−1), duration = n/rate — every compared double is an
+    exactly-rounded IEEE expression DuckDB replays from doc_id alone."""
+    import io as _io
+    import wave as _wave
+
+    import numpy as _np
+    import pandas as _pd
+
+    from polars_st_spark.operators.multimodal import (
+        _encode_bmp,
+        audio_features,
+    )
+
+    docs = spark.read.parquet(f"{sf}/documents.parquet").select("doc_id").where(
+        F.col("doc_id") < 100
+    )
+
+    @F.pandas_udf("binary")
+    def bmp_payload(ids):
+        out = []
+        for i in ids:
+            img = _np.zeros((6, 5, 3), dtype=_np.uint8)
+            img[:, :, 0] = int(i) % 256
+            img[:, :, 1] = (int(i) * 7) % 256
+            img[:, :, 2] = (int(i) * 13) % 256
+            out.append(_encode_bmp(img))
+        return _pd.Series(out)
+
+    @F.pandas_udf("binary")
+    def wav_payload(ids):
+        out = []
+        for i in ids:
+            n = 800 + int(i) % 5
+            amp = (int(i) % 9 + 1) * 3000 + 7
+            cycle = _np.array([amp] * 4 + [-amp] * 4, dtype="<i2")
+            sig = _np.tile(cycle, n // 8 + 1)[:n]
+            buf = _io.BytesIO()
+            with _wave.open(buf, "wb") as wf:
+                wf.setnchannels(1)
+                wf.setsampwidth(2)
+                wf.setframerate(16000)
+                wf.writeframes(sig.tobytes())
+            out.append(buf.getvalue())
+        return _pd.Series(out)
+
+    with_payloads = docs.select(
+        "doc_id", bmp_payload("doc_id").alias("img"), wav_payload("doc_id").alias("wav")
+    )
+    img = image_features(
+        with_payloads.select("doc_id", "img"), "img", "doc_id",
+        decode="real", resize=(4, 4),
+    ).select(
+        "doc_id",
+        F.lit("image").alias("modality"),
+        F.col("features")[0].cast("double").alias("m0"),
+        F.col("features")[1].cast("double").alias("m1"),
+        F.col("features")[2].cast("double").alias("m2"),
+    )
+    aud = audio_features(
+        with_payloads.select("doc_id", "wav"), "wav", "doc_id", decode="real"
+    ).select(
+        "doc_id",
+        F.lit("audio").alias("modality"),
+        F.col("duration_s").cast("double").alias("m0"),
+        F.col("rms").cast("double").alias("m1"),
+        F.col("zero_crossing_rate").cast("double").alias("m2"),
+    )
+    return img.unionByName(aud)
+
+
 def q_multimodal_suite(spark, sf):
     """Image + audio plumbing in one row: mapInPandas feature extraction over
     binary payloads, aligned to (doc_id, modality, m0, m1, m2) and unioned
@@ -2019,7 +2096,10 @@ _QUERIES = {
         # --- rows-only (engine hash family / binary payloads are not
         # SQL-expressible; declared, row-count recorded) ---
         "simhash_dups": q_simhash_dups,
-        "multimodal_suite": q_multimodal_suite,
+        # REAL-decode media row (r4d): hash-checked closed forms — takes the
+        # window slot of the rows-only plumbing row, leaving the window with
+        # ZERO unoracled entries
+        "multimodal_real": q_multimodal_real,
         # ---------------- past the driver's 50-row window ----------------
         # buffer_area / to_srid_mercator singletons (hash-checked, r4): their
         # operator families are certified in-window by buffer_styles and
@@ -2029,6 +2109,9 @@ _QUERIES = {
         # connected-components singleton (hash-checked; displaced from the
         # window by hygiene_suite — near_dup_groups certifies it in-window)
         "concomp": q_concomp,
+        # fake-decode plumbing row (rows-only: md5 pseudo-decode is not
+        # SQL-expressible); its real-decode sibling is in-window and oracled
+        "multimodal_suite": q_multimodal_suite,
         # displaced by pq_suite / tfidf_suite (r4d); families certified
         # in-window by union_flagship / sessionize
         "union_two_phase": q_union_two_phase,
@@ -2268,6 +2351,7 @@ def oracle_sql() -> dict[str, str]:
         "tfidf_suite": _oracle_tfidf_suite(),
         "geohash_suite": _oracle_geohash_suite(),
         "nearest_join": _oracle_nearest_join(),
+        "multimodal_real": _oracle_multimodal_real(),
         "to_srid_mercator": f"""
             SELECT c_custkey,
                    ROUND(6378137.0 * radians(x), 3) AS mx,
@@ -3063,6 +3147,33 @@ def _oracle_knn_ann() -> str:
         )
         SELECT method, query_id, corpus_id, cos_r, rank
         FROM ranked WHERE rank <= 3"""
+
+
+def _oracle_multimodal_real() -> str:
+    """Closed forms from doc_id alone (no media bytes in SQL): solid-color
+    means are the colors; square-wave RMS is amp/32768 exactly (sqrt of an
+    exact dyadic square), ZCR is transitions/(n-1), duration n/rate; each
+    passes through a FLOAT cast exactly like the engine's float32 schema."""
+    return """
+        WITH ids AS (SELECT doc_id FROM documents WHERE doc_id < 100),
+        aud AS (
+            SELECT doc_id,
+                   800 + doc_id % 5 AS n,
+                   (doc_id % 9 + 1) * 3000 + 7 AS amp
+            FROM ids
+        )
+        SELECT doc_id, 'image' AS modality,
+               (doc_id % 256)::DOUBLE AS m0,
+               ((doc_id * 7) % 256)::DOUBLE AS m1,
+               ((doc_id * 13) % 256)::DOUBLE AS m2
+        FROM ids
+        UNION ALL
+        SELECT doc_id, 'audio' AS modality,
+               CAST(CAST(n / 16000.0 AS FLOAT) AS DOUBLE) AS m0,
+               CAST(CAST(amp / 32768.0 AS FLOAT) AS DOUBLE) AS m1,
+               CAST(CAST(((n - 1) // 4) / CAST(n - 1 AS DOUBLE) AS FLOAT) AS DOUBLE)
+                   AS m2
+        FROM aud"""
 
 
 def _oracle_nearest_join() -> str:
