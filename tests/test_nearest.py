@@ -119,3 +119,33 @@ def test_validation_and_suffix(frames, spark):
     out = st_sjoin_nearest(left, right, k=1)
     assert "geometry" in out.columns and "geometry_right" in out.columns
     assert "distance" in out.columns
+
+
+def test_randomized_grid_matches_brute(spark):
+    """Seeded random configs: grid strategy == driver brute force for
+    varying densities, caps, and k (the property the cell math must hold)."""
+    rng = np.random.RandomState(17)
+    for trial in range(4):
+        nl, nr = rng.randint(30, 120), rng.randint(5, 40)
+        span = rng.choice([10.0, 100.0, 1000.0])
+        k = int(rng.randint(1, 4))
+        max_d = float(span * rng.uniform(0.02, 0.3))
+        lp = rng.uniform(0, span, size=(nl, 2))
+        rp = rng.uniform(0, span, size=(nr, 2))
+        left = spark.createDataFrame(
+            [(i, float(x), float(y)) for i, (x, y) in enumerate(lp)],
+            ["lid_val", "x", "y"],
+        ).select("lid_val", st.st_point("x", "y").alias("geometry"))
+        right = spark.createDataFrame(
+            [(i, float(x), float(y)) for i, (x, y) in enumerate(rp)],
+            ["rid_val", "x", "y"],
+        ).select("rid_val", st.st_point("x", "y").alias("geometry"))
+        got = {}
+        for r in st_sjoin_nearest(left, right, k=k, max_distance=max_d).collect():
+            got.setdefault(r["lid_val"], []).append((r["rid_val"], r["distance"]))
+        want = _brute(lp, rp, k, max_d=max_d)
+        for i, hits in want.items():
+            gs = sorted(got.get(i, []), key=lambda t: t[1])
+            # compare by distance multiset (rank ties may pick either id)
+            assert [round(g[1], 9) for g in gs] == [round(h[1], 9) for h in hits], (
+                trial, i)

@@ -190,3 +190,52 @@ def test_register_guards():
         P.register_proj4(32633, "+proj=utm +zone=33 +ellps=WGS84")
     with pytest.raises(ValueError, match="nonzero"):
         P.register_proj4(0, "+proj=utm +zone=33 +ellps=WGS84")
+
+
+def test_randomized_param_roundtrips():
+    """Seeded random projection parameters: every family round-trips its
+    region and maps the natural origin to the false origin (the invariants
+    any parameter combination must satisfy)."""
+    import random
+
+    rng = random.Random(23)
+    ellps = ["WGS84", "GRS80", "airy", "bessel", "intl", "clrk66", "krass"]
+    for _ in range(12):
+        e = rng.choice(ellps)
+        fe, fn = rng.uniform(0, 1e6), rng.uniform(-1e5, 1e6)
+        lat0 = rng.uniform(-60, 60)
+        lon0 = rng.uniform(-170, 170)
+        kind = rng.choice(["tmerc", "lcc2", "lcc1", "aea", "laea", "merc"])
+        if kind == "tmerc":
+            defn = (f"+proj=tmerc +lat_0={lat0} +lon_0={lon0} "
+                    f"+k={rng.uniform(0.9995, 1.0)} +x_0={fe} +y_0={fn} +ellps={e}")
+        elif kind == "lcc2":
+            l1, l2 = sorted((abs(lat0) + 2, abs(lat0) + rng.uniform(4, 12)))
+            lat0 = (l1 + l2) / 2
+            defn = (f"+proj=lcc +lat_0={lat0} +lon_0={lon0} +lat_1={l1} "
+                    f"+lat_2={l2} +x_0={fe} +y_0={fn} +ellps={e}")
+        elif kind == "lcc1":
+            lat0 = abs(lat0) + 5
+            defn = (f"+proj=lcc +lat_0={lat0} +lat_1={lat0} +lon_0={lon0} "
+                    f"+k_0={rng.uniform(0.999, 1.0)} +x_0={fe} +y_0={fn} +ellps={e}")
+        elif kind == "aea":
+            l1, l2 = sorted((abs(lat0) + 2, abs(lat0) + rng.uniform(4, 12)))
+            defn = (f"+proj=aea +lat_0={lat0} +lon_0={lon0} +lat_1={l1} "
+                    f"+lat_2={l2} +x_0={fe} +y_0={fn} +ellps={e}")
+        elif kind == "laea":
+            defn = f"+proj=laea +lat_0={lat0} +lon_0={lon0} +x_0={fe} +y_0={fn} +ellps={e}"
+        else:
+            lat0 = 0.0
+            defn = (f"+proj=merc +lon_0={lon0} +lat_ts={rng.uniform(0, 40)} "
+                    f"+x_0={fe} +y_0={fn} +ellps={e}")
+        fwd, inv = P.build_proj4(defn)
+        # natural origin -> false origin (exact to float noise)
+        org = fwd(np.array([[lon0, lat0]]))
+        assert abs(org[0, 0] - fe) < 1e-5 and abs(org[0, 1] - fn) < 1e-5, defn
+        # regional round-trip
+        pts = np.array([
+            [lon0 + dx, lat0 + dy]
+            for dx in (-2.0, 0.7, 3.1) for dy in (-1.5, 0.4, 2.2)
+        ])
+        back = inv(fwd(pts.copy()).copy())
+        assert np.max(np.abs(back - pts)) < 1e-7, defn
