@@ -264,6 +264,29 @@ def main() -> None:
         )
 
     variants["p5_hygiene"] = timed(_p5)
+    # - p6: k-nearest spatial join, grid strategy (cell equi-join on the
+    #   max_distance lattice) — customers × nations at sf grain
+    from polars_st_spark.operators.nearest import st_sjoin_nearest as _nn
+
+    variants["p6_nearest_join"] = timed(
+        lambda: _nn(
+            cust.withColumnRenamed("pt", "geometry"),
+            nations.withColumnRenamed("rect", "geometry"),
+            k=2, max_distance=9.0,
+        ).count()
+    )
+    # - p7: TF-IDF + BM25 over the documents corpus (two uniform-key
+    #   shuffles + broadcast query scoring)
+    from polars_st_spark.operators import tfidf as _tfidf
+
+    def _p7():
+        n = docs.count()
+        ti = _tfidf.tf_idf(docs, n_docs=n).count()
+        bm = _tfidf.bm25_search(docs, ["data", "table"], n=10, n_docs=n,
+                                avg_dl=100.0).count()
+        return ti + bm
+
+    variants["p7_tfidf_bm25"] = timed(_p7)
 
     total = round(sum(queries.values()), 3)
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]

@@ -22,6 +22,7 @@ __all__ = [
     "streaming_exact_dedup",
     "streaming_minhash_tag",
     "streaming_session_stats",
+    "streaming_interval_join",
 ]
 
 
@@ -157,3 +158,44 @@ def windowed_spatial_agg(
         .groupBy(F.window(ts_col, window_duration).alias("window"))
         .agg(agg_col.alias("agg_geom"))
     )
+
+
+def streaming_interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_ts: str = "ts",
+    right_ts: str = "ts",
+    on: str = "user_id",
+    lower: str = "0 seconds",
+    upper: str = "10 minutes",
+    watermark: str = "30 minutes",
+    how: str = "inner",
+) -> DataFrame:
+    """Stream-stream event-time interval join: pair rows sharing ``on``
+    with ``right_ts ∈ [left_ts + lower, left_ts + upper]``. Both sides are
+    watermarked, and the time-range predicate bounds the JVM join state
+    (Spark drops buffered rows once the watermark clears their interval) —
+    the canonical bounded-state stream-stream join shape; without the
+    range condition the state would grow forever.
+
+    Works identically on batch DataFrames (watermarks are no-ops), which is
+    how the parity test pins batch ≡ streaming output. Right columns are
+    suffixed ``_r`` on name conflicts. ``how`` supports inner and
+    leftOuter (outer emits the unmatched row once the watermark passes)."""
+    if how not in ("inner", "leftOuter"):
+        raise ValueError(f"how must be 'inner' or 'leftOuter', got {how!r}")
+    lw = left.withWatermark(left_ts, watermark) if left.isStreaming else left
+    rsel = [
+        F.col(c).alias(c + "_r") if c in left.columns else F.col(c)
+        for c in right.columns
+    ]
+    r_on = on + "_r" if on in left.columns else on
+    r_ts = right_ts + "_r" if right_ts in left.columns else right_ts
+    rview = right.select(*rsel)
+    rw = rview.withWatermark(r_ts, watermark) if right.isStreaming else rview
+    cond = (
+        (F.col(on) == F.col(r_on))
+        & (F.col(r_ts) >= F.col(left_ts) + F.expr(f"INTERVAL {lower}"))
+        & (F.col(r_ts) <= F.col(left_ts) + F.expr(f"INTERVAL {upper}"))
+    )
+    return lw.join(rw, cond, how)

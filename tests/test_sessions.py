@@ -201,3 +201,41 @@ def test_ntz_requires_fixed_offset_zone(spark):
         assert sessionize(df, "user_id", "ts", gap_minutes=60).count() == 2
     finally:
         spark.conf.set("spark.sql.session.timeZone", old)
+
+
+def test_streaming_interval_join_batch_parity(spark, tmp_path):
+    """Stream-stream interval join: the availableNow streamed result equals
+    the identical batch join (watermarks are no-ops in batch)."""
+    from pyspark.sql import functions as F
+
+    from polars_st_spark.streaming import streaming_interval_join
+
+    base = spark.range(300).select(
+        (F.col("id") % 20).alias("user_id"),
+        F.timestamp_seconds(F.lit(1_700_000_000) + F.col("id") * 37).alias("ts"),
+        F.col("id").alias("ev"),
+    )
+    clicks = spark.range(200).select(
+        (F.col("id") % 20).alias("user_id"),
+        F.timestamp_seconds(F.lit(1_700_000_050) + F.col("id") * 53).alias("ts"),
+        F.col("id").alias("click"),
+    )
+    lsrc, rsrc, chk = str(tmp_path / "l"), str(tmp_path / "r"), str(tmp_path / "c")
+    base.write.mode("overwrite").parquet(lsrc)
+    clicks.write.mode("overwrite").parquet(rsrc)
+    ls = spark.readStream.schema(base.schema).parquet(lsrc)
+    rs = spark.readStream.schema(clicks.schema).parquet(rsrc)
+    out = streaming_interval_join(ls, rs, lower="0 seconds", upper="3 minutes")
+    q = (out.writeStream.format("memory").queryName("ij_stream")
+         .option("checkpointLocation", chk).trigger(availableNow=True).start())
+    q.awaitTermination(90)
+    got = {(r["user_id"], r["ev"], r["click"])
+           for r in spark.sql("select * from ij_stream").collect()}
+    want = {(r["user_id"], r["ev"], r["click"])
+            for r in streaming_interval_join(base, clicks, lower="0 seconds",
+                                             upper="3 minutes").collect()}
+    assert got == want and len(got) > 50
+    import pytest as _pt
+
+    with _pt.raises(ValueError, match="how"):
+        streaming_interval_join(base, clicks, how="full")
