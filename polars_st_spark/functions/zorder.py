@@ -25,7 +25,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["zorder_key_xy", "st_zorder_key", "zorder_repartition"]
+__all__ = ["zorder_key_nd", "zorder_key_xy", "st_zorder_key", "zorder_repartition"]
 
 _SPREAD_STEPS = (
     (8, 0x00FF00FF),
@@ -121,3 +121,39 @@ def zorder_repartition(
     parts = num_partitions or df.sparkSession.sparkContext.defaultParallelism
     out = out.repartitionByRange(parts, F.col(tmp)).sortWithinPartitions(tmp)
     return out if key_name else out.drop(tmp)
+
+
+def zorder_key_nd(
+    cols: list,
+    extents: list[tuple[float, float]],
+    bits: int | None = None,
+) -> Column:
+    """Morton key over ``d`` NUMERIC columns — multi-dimensional clustering
+    for composite keys (e.g. (x, y, timestamp) layout, or any column set a
+    table is commonly range-filtered on; cf. Delta/Iceberg multi-column
+    Z-ordering, public designs). ``extents[i] = (lo, hi)`` per column;
+    ``bits`` defaults to the largest per-dim width fitting 63 bits total
+    (e.g. 31 for d=2, 21 for d=3, 15 for d=4).
+
+    Built from single-reference bit terms (linear expression-tree growth —
+    the geohash lesson: self-referencing magic-mask dilation doubles the
+    tree per step), all inside whole-stage codegen."""
+    d = len(cols)
+    if d < 1 or d != len(extents):
+        raise ValueError("cols and extents must be same nonzero length")
+    if bits is None:
+        bits = 63 // d
+    if not 1 <= bits <= 63 // d:
+        raise ValueError(f"bits must be in [1, {63 // d}] for {d} dims")
+    out = None
+    for j, (c, (lo, hi)) in enumerate(zip(cols, extents)):
+        if hi <= lo:
+            raise ValueError(f"extent {j}: hi must exceed lo")
+        c = F.col(c) if isinstance(c, str) else c
+        q = _quantize(c.cast("double"), lo, hi, 1 << bits)
+        for i in range(bits):
+            bit = F.shiftrightunsigned(q, i).bitwiseAND(F.lit(1)) if i else q.bitwiseAND(F.lit(1))
+            pos = i * d + j
+            term = F.shiftleft(bit, pos) if pos else bit
+            out = term if out is None else out.bitwiseOR(term)
+    return out

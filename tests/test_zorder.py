@@ -114,3 +114,46 @@ def test_writer_zorder_roundtrip(spark, tmp_path):
     back = read_geoparquet(spark, path, bbox=(0, 0, 10, 10))
     expect = {int(r["i"]) for _, r in pdf.iterrows() if r["x"] <= 10 and r["y"] <= 10}
     assert {r["i"] for r in back.select("i").collect()} == expect
+
+
+def test_zorder_key_nd(spark):
+    from pyspark.sql import functions as F
+
+    from polars_st_spark.functions.zorder import zorder_key_nd, zorder_key_xy
+
+    df = spark.range(200).select(
+        (F.col("id") % 17 * 1.0).alias("x"),
+        (F.col("id") % 13 * 1.0).alias("y"),
+        (F.col("id") * 11.0 % 97).alias("t"),
+    )
+    # d=2 must agree with the 2-D key (same quantization, same interleave)
+    both = df.select(
+        zorder_key_nd(["x", "y"], [(0.0, 17.0), (0.0, 13.0)], bits=16).alias("nd"),
+        zorder_key_xy("x", "y", (0.0, 0.0, 17.0, 13.0), bits=16).alias("xy"),
+    ).collect()
+    assert all(r["nd"] == r["xy"] for r in both)
+    # d=3: locality sanity — sorting by the key keeps dimension-near rows near
+    rows = df.select(
+        "x", "y", "t",
+        zorder_key_nd(["x", "y", "t"], [(0.0, 17.0), (0.0, 13.0), (0.0, 97.0)]).alias("z"),
+    ).collect()
+    assert len({r["z"] for r in rows}) > 150  # keys discriminate
+    srt = sorted(rows, key=lambda r: r["z"])
+    jumps = [abs(a["x"] - b["x"]) + abs(a["y"] - b["y"]) + abs(a["t"] - b["t"]) / 8
+             for a, b in zip(srt, srt[1:])]
+    import random
+    rnd = rows[:]
+    random.Random(1).shuffle(rnd)
+    rjumps = [abs(a["x"] - b["x"]) + abs(a["y"] - b["y"]) + abs(a["t"] - b["t"]) / 8
+              for a, b in zip(rnd, rnd[1:])]
+    assert sum(jumps) < 0.6 * sum(rjumps)  # curve order beats random order
+    # plan stays codegen-only
+    from polars_st_spark.plans import explain_str
+    plan = explain_str(df.select(zorder_key_nd(["x", "y", "t"],
+                                               [(0.0, 17.0), (0.0, 13.0), (0.0, 97.0)])))
+    assert "ArrowEvalPython" not in plan and "Exchange" not in plan
+    import pytest as _pt
+    with _pt.raises(ValueError, match="bits"):
+        zorder_key_nd(["x", "y", "t"], [(0, 1), (0, 1), (0, 1)], bits=22)
+    with _pt.raises(ValueError, match="extent"):
+        zorder_key_nd(["x"], [(1.0, 1.0)])
