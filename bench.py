@@ -311,6 +311,10 @@ def main() -> None:
                 k: round(queries[k] / base["queries"][k], 2)
                 for k in queries if base["queries"].get(k)
             }
+            vf = base.get("variant_floors", {})
+            payload["variants_vs_floor"] = {
+                k: round(variants[k] / vf[k], 2) for k in variants if vf.get(k)
+            }
     print(json.dumps(payload))
     spark.stop()
 

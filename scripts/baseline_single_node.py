@@ -198,6 +198,97 @@ def p3(docs: pd.DataFrame) -> None:
                             - min(punct * 2.0, 0.5), 1.0), 0.0)
 
 
+def p5(docs: pd.DataFrame) -> None:
+    """Hygiene floor: Gopher signals + C4 line dedup + 6-gram decontamination
+    in one process (Counter/dict/set — no framework overhead)."""
+    from collections import Counter
+
+    sub = re.compile(r" (data|table|row) ")
+    stop = set(_STOP["en"])
+    bench_grams: set = set()
+    # benchmark = doc_id % 97 == 0 (same as the bench variant)
+    texts = list(zip(docs.doc_id, docs.text))
+    for i, t in texts:
+        if i % 97 == 0:
+            toks = _WS.split(t.strip().lower())
+            bench_grams.update(" ".join(toks[j:j + 6]) for j in range(len(toks) - 5))
+    first_seen: dict = {}
+    n_contam = 0
+    for i, t in texts:
+        mt = sub.sub("\n", t)
+        ls = [x for x in mt.split("\n") if x.strip()]
+        toks = _WS.split(mt.strip().lower())
+        # dup-line fracs
+        if ls:
+            (len(ls) - len(set(ls))) / len(ls)
+            tot = sum(map(len, ls))
+            (tot - sum(map(len, set(ls)))) / tot if tot else 0.0
+        # top-2gram char frac
+        if toks:
+            grams = [" ".join(toks[j:j + 2]) for j in range(len(toks) - 1)] or [mt]
+            c = Counter(grams)
+            max(cnt * len(g) for g, cnt in c.items()) / max(len(mt), 1)
+            sum(map(len, toks)) / len(toks)
+            sum(1 for w in toks if any(ch.isalpha() for ch in w)) / len(toks)
+            len(set(toks) & stop)
+        # line dedup (corpus-wide first-occurrence)
+        for j, line in enumerate(ls):
+            first_seen.setdefault(line, (i, j))
+        # decontamination
+        g6 = {" ".join(toks[j:j + 6]) for j in range(len(toks) - 5)}
+        if g6 & bench_grams:
+            n_contam += 1
+
+
+def p6(cust: pd.DataFrame, nat: pd.DataFrame) -> None:
+    """Nearest-join floor: vectorized point-rectangle distances (n_pts × 25
+    matrix), top-2 within 9.0."""
+    px = cust.x.to_numpy()[:, None]
+    py = cust.y.to_numpy()[:, None]
+    dx = np.maximum(np.maximum(nat.x0.to_numpy()[None, :] - px,
+                               px - nat.x1.to_numpy()[None, :]), 0.0)
+    dy = np.maximum(np.maximum(nat.y0.to_numpy()[None, :] - py,
+                               py - nat.y1.to_numpy()[None, :]), 0.0)
+    d = np.hypot(dx, dy)
+    d[d > 9.0] = np.inf
+    part = np.argpartition(d, 1, axis=1)[:, :2]
+    int((np.take_along_axis(d, part, axis=1) < np.inf).sum())
+
+
+def p7(docs: pd.DataFrame) -> None:
+    """TF-IDF + BM25 floor: Counter term counts, doc-frequency dict, smoothed
+    IDF, BM25 for a 2-term query."""
+    import math
+    from collections import Counter
+
+    n = len(docs)
+    dfreq: Counter = Counter()
+    percounts = []
+    dls = []
+    for t in docs.text:
+        toks = _WS.split(t.strip().lower())
+        c = Counter(toks)
+        percounts.append(c)
+        dls.append(len(toks))
+        dfreq.update(c.keys())
+    for c in percounts:
+        for term, tf in c.items():
+            tf * (math.log((n + 1) / (dfreq[term] + 1)) + 1.0)
+    avgdl = sum(dls) / n
+    q = ["data", "table"]
+    bdf = {t: sum(1 for c in percounts if t in c) for t in q}
+    scores = []
+    for c, dl in zip(percounts, dls):
+        s = 0.0
+        for t in q:
+            tf = c.get(t, 0)
+            if tf:
+                idf = math.log(1 + (n - bdf[t] + 0.5) / (bdf[t] + 0.5))
+                s += idf * tf * 2.2 / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl))
+        scores.append(s)
+    sorted(scores, reverse=True)[:10]
+
+
 def main() -> None:
     li = li_rects()
     nat = nation_rects()
@@ -215,9 +306,17 @@ def main() -> None:
         "p2_knn": timed(lambda: p2(emb)),
         "p3_textstats": timed(lambda: p3(docs)),
     }
+    # floors for the bench VARIANTS (recorded under a separate key so the
+    # headline floor set stays comparable across rounds)
+    variants = {
+        "p5_hygiene": timed(lambda: p5(docs)),
+        "p6_nearest_join": timed(lambda: p6(cust, nat)),
+        "p7_tfidf_bm25": timed(lambda: p7(docs)),
+    }
     out = {
         "sf": SF.rstrip("/").rsplit("sf", 1)[-1],
         "queries": queries,
+        "variant_floors": variants,
         "total": round(sum(queries.values()), 3),
         "method": "single-process numpy/pandas, closed-form geometry on the "
                   "derived columns, same hash/text algorithms as the engine "
