@@ -10,9 +10,11 @@ Two strategies, chosen by whether a distance cap exists:
   ``max_distance`` touches; left geometries to every cell their own bbox
   touches (one cell for points). For any pair within the cap the closest
   left point's cell is in both sets, so candidates come from one hash
-  equi-join on cell id — never a cross product — then duplicates from
-  multi-cell pairs are dropped on (left row, right row), the exact
-  distance kernel filters, and a per-left-row top-k window ranks.
+  equi-join on cell id — never a cross product — then multi-cell pairs
+  are deduplicated by a REFERENCE-CELL filter (each pair counts only in
+  the lexicographically smallest common cell — a codegen predicate, not
+  a shuffle), the exact distance kernel filters, and a per-left-row
+  top-k window ranks.
   Replication is bounded: ceil(w/d+2)·ceil(h/d+2) cells per right row
   (compact geometries ⇒ ~9), bbox cells per left row.
 - ``max_distance`` None: the right side is broadcast and every pair is
@@ -70,13 +72,10 @@ def st_sjoin_nearest(
         F.col(c).alias(c + rsuffix) if c in overlap else F.col(c)
         for c in right.columns
     ]
-    rid = "__nn_rrow"
-    rstaged = right.select(*rsel).select(
-        F.monotonically_increasing_id().alias(rid), "*"
-    )
+    rstaged = right.select(*rsel)
     r_geom = right_on + rsuffix if right_on in overlap else right_on
 
-    tie = F.xxhash64(*[F.col(c) for c in rstaged.columns if c != rid])
+    tie = F.xxhash64(*[F.col(c) for c in rstaged.columns])
     dist = st_distance(F.col(left_on), F.col(r_geom))
 
     if max_distance is None:
@@ -115,21 +114,26 @@ def st_sjoin_nearest(
         # The bounds UDF result must be STAGED as a column before the
         # higher-order cell lambda (Spark rejects Python UDFs inside
         # lambda functions at analysis).
-        l2 = (
-            lstaged.withColumn("__nn_b", st_bounds(F.col(left_on)))
-            .withColumn("__nn_cell", F.explode(cell_array(F.col("__nn_b"), 0.0)))
-            .drop("__nn_b")
+        l2 = lstaged.withColumn("__nn_lb", st_bounds(F.col(left_on))).withColumn(
+            "__nn_cell", F.explode(cell_array(F.col("__nn_lb"), 0.0))
         )
-        r2 = (
-            rstaged.withColumn("__nn_b", st_bounds(F.col(r_geom)))
-            .withColumn("__nn_cell", F.explode(cell_array(F.col("__nn_b"), d)))
-            .drop("__nn_b")
+        r2 = rstaged.withColumn("__nn_rb", st_bounds(F.col(r_geom))).withColumn(
+            "__nn_cell", F.explode(cell_array(F.col("__nn_rb"), d))
         )
+        # reference-cell dedup (the grid-sjoin trick): a pair sharing several
+        # cells is counted ONLY in the lexicographically smallest common one
+        # — a codegen filter on the join output instead of a dropDuplicates
+        # SHUFFLE of every candidate pair
+        ref_cx = F.greatest(
+            F.floor(F.col("__nn_lb")[0] / d), F.floor((F.col("__nn_rb")[0] - d) / d)
+        ).cast("long")
+        ref_cy = F.greatest(
+            F.floor(F.col("__nn_lb")[1] / d), F.floor((F.col("__nn_rb")[1] - d) / d)
+        ).cast("long")
         cand = (
             l2.join(r2, on="__nn_cell")
-            .drop("__nn_cell")
-            # a pair can share several cells when the left bbox spans cells
-            .dropDuplicates([lid, rid])
+            .where((F.col("__nn_cell.cx") == ref_cx) & (F.col("__nn_cell.cy") == ref_cy))
+            .drop("__nn_cell", "__nn_lb", "__nn_rb")
             .where(dist <= F.lit(d))
         )
 
@@ -140,7 +144,6 @@ def st_sjoin_nearest(
         .where(F.col("__nn_rank") <= k)
         .drop("__nn_rank")
     )
-    ranked = ranked.drop(rid)
     if how == "inner":
         return ranked.drop(lid)
     # how='left': rejoin unmatched left rows with null right columns
