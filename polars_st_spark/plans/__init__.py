@@ -13,7 +13,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["materialize_bbox", "bbox_filter", "push_window_filter", "explain_str"]
+__all__ = ["materialize_bbox", "bbox_filter", "push_window_filter", "explain_str", "write_bucketed"]
 
 BBOX_COLS = ("bbox_xmin", "bbox_ymin", "bbox_xmax", "bbox_ymax")
 
@@ -65,3 +65,29 @@ def push_window_filter(
 def explain_str(df: DataFrame, mode: str = "formatted") -> str:
     """The formatted plan as a string (for assertions on pushdown/codegen)."""
     return df._sc._jvm.PythonSQLUtils.explainString(df._jdf.queryExecution(), mode)  # type: ignore[attr-defined]
+
+
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    bucket_cols: list[str],
+    n_buckets: int = 64,
+    sort_cols: list[str] | None = None,
+    mode: str = "overwrite",
+    fmt: str = "parquet",
+) -> None:
+    """Persist ``df`` as a BUCKETED managed table: rows are hash-partitioned
+    into ``n_buckets`` files per partition by ``bucket_cols`` at write time,
+    so every later equi-join or aggregation on those keys between bucketed
+    tables (same keys, same bucket count) runs WITHOUT a shuffle — the
+    classic co-location investment for fact tables that are joined
+    repeatedly at 100 TB (pay one shuffle at ingest, never again).
+
+    Spark only honors bucket metadata through the catalog, hence
+    ``saveAsTable`` (a path-based ``save`` silently drops bucketing).
+    Read back with ``spark.table(table)``; tests/test_plans.py asserts the
+    bucketed self-join plan has no Exchange."""
+    w = df.write.format(fmt).mode(mode).bucketBy(n_buckets, *bucket_cols)
+    if sort_cols:
+        w = w.sortBy(*sort_cols)
+    w.saveAsTable(table)

@@ -145,3 +145,29 @@ def test_pq_encode_single_arrow_pass(spark):
     plan = explain_str(Q.pq_encode(emb, books))
     assert _count(plan, "ArrowEvalPython") == 1
     assert "Exchange" not in plan
+
+
+def test_bucketed_join_no_shuffle(spark, tmp_path):
+    """Two tables bucketed on the join key (same bucket count) join with
+    ZERO Exchange — the pay-once co-location contract of write_bucketed."""
+    from polars_st_spark.plans import write_bucketed
+
+    spark.conf.set("spark.sql.sources.bucketing.enabled", "true")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        a = spark.range(5000).select(F.col("id").alias("k"), (F.col("id") * 2).alias("va"))
+        b = spark.range(5000).select(F.col("id").alias("k"), (F.col("id") * 3).alias("vb"))
+        write_bucketed(a, "bk_a", ["k"], n_buckets=8)
+        write_bucketed(b, "bk_b", ["k"], n_buckets=8)
+        joined = spark.table("bk_a").join(spark.table("bk_b"), on="k")
+        plan = explain_str(joined)
+        assert "SortMergeJoin" in plan
+        assert _count(plan, "Exchange") == 0, plan
+        assert joined.count() == 5000
+        # and a groupBy on the bucket key needs no exchange either
+        agg_plan = explain_str(spark.table("bk_a").groupBy("k").agg(F.sum("va")))
+        assert _count(agg_plan, "Exchange") == 0
+    finally:
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+        spark.sql("DROP TABLE IF EXISTS bk_a")
+        spark.sql("DROP TABLE IF EXISTS bk_b")
