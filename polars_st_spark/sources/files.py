@@ -36,7 +36,7 @@ def read_file(spark: SparkSession, path: str, geometry_name: str = "geometry") -
         from polars_st_spark.sources.geojson_io import read_ndgeojson
 
         return read_ndgeojson(spark, path, geometry_name)
-    if ext == ".parquet" or os.path.isdir(path):
+    if ext == ".parquet":
         return spark.read.parquet(path)
     if ext == ".shp":
         from polars_st_spark.sources.shapefile_io import read_shapefile
@@ -50,6 +50,31 @@ def read_file(spark: SparkSession, path: str, geometry_name: str = "geometry") -
         from polars_st_spark.sources.flatgeobuf_io import read_flatgeobuf
 
         return read_flatgeobuf(spark, path, geometry_name)
+    if ext in (".csv", ".tsv"):
+        # GDAL's CSV driver equivalent: header CSV with a WKT geometry
+        # column (sniffed: the declared geometry_name, else the first of
+        # WKT/wkt/geom/the first column whose values parse as WKT) —
+        # distributed spark.read.csv + st_from_wkt, no GDAL
+        from pyspark.sql import functions as F
+
+        from polars_st_spark.functions.construct import st_from_wkt
+
+        sep = "\t" if ext == ".tsv" else ","
+        df = spark.read.option("header", "true").option("sep", sep).csv(path)
+        cand = [geometry_name, "WKT", "wkt", "geometry", "geom"]
+        col = next((c for c in cand if c in df.columns), None)
+        if col is None:
+            raise ValueError(
+                f"CSV {path} has no geometry column (looked for {cand}); "
+                f"pass geometry_name= matching a WKT column"
+            )
+        return df.withColumn(geometry_name, st_from_wkt(F.col(col))).drop(
+            *([col] if col != geometry_name else [])
+        )
+    if ext == "" and os.path.isdir(path):
+        # extensionless directory: parquet dataset (a Spark csv/json sink
+        # directory keeps its .csv/.json extension and is handled above)
+        return spark.read.parquet(path)
     if ext in _GDAL_EXTS:
         try:
             import pyogrio  # noqa: F401
@@ -88,6 +113,19 @@ def write_file(df: DataFrame, path: str, geometry_name: str = "geometry") -> Non
         from polars_st_spark.sources.flatgeobuf_io import write_flatgeobuf
 
         return write_flatgeobuf(df, path, geometry_name)
+    if ext in (".csv", ".tsv"):
+        # CSV writer: geometry serialized as a WKT column (round-trips with
+        # the reader above), written distributed by Spark's csv sink
+        from pyspark.sql import functions as F
+
+        from polars_st_spark.functions.scalar import st_to_wkt
+
+        sep = "\t" if ext == ".tsv" else ","
+        out = df.withColumn(geometry_name, st_to_wkt(F.col(geometry_name)))
+        out.write.mode("overwrite").option("header", "true").option(
+            "sep", sep
+        ).csv(path)
+        return
     if ext in _GDAL_EXTS:
         raise ImportError(
             f"Writing {ext} requires pyogrio/GDAL, not installed in this runtime "

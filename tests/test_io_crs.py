@@ -534,3 +534,34 @@ def test_krovak():
     grid = np.array([[lo, la] for lo in (13.0, 15.5, 18.5, 21.0)
                      for la in (48.3, 49.5, 50.8)])
     assert np.abs(ki(kf(grid.copy()).copy()) - grid).max() < 5e-8
+
+
+def test_csv_wkt_roundtrip(spark, tmp_path):
+    """read_file/write_file .csv/.tsv: geometry as a WKT column (the GDAL
+    CSV-driver equivalent, no GDAL), distributed both ways."""
+    from pyspark.sql import functions as F
+
+    from polars_st_spark.sources.files import read_file, write_file
+
+    df = spark.range(20).select(
+        F.col("id"),
+        st.st_point(F.col("id") * 1.0, F.col("id") * -2.0).alias("geometry"))
+    p = str(tmp_path / "pts.csv")
+    write_file(df, p)
+    back = read_file(spark, p)
+    got = sorted((r["id"], r["x"], r["y"]) for r in back.select(
+        F.col("id").cast("long").alias("id"),
+        st.st_x("geometry").alias("x"), st.st_y("geometry").alias("y")).collect())
+    assert got == [(i, float(i), float(-2 * i)) for i in range(20)]
+    # hand-written csv with a WKT column name
+    manual = tmp_path / "manual.csv"
+    manual.write_text("name,WKT\na,\"LINESTRING (0 0, 1 1)\"\nb,POINT (5 6)\n")
+    m = read_file(spark, str(manual))
+    assert m.count() == 2 and "geometry" in m.columns
+    assert {r["t"] for r in m.select(st.st_geometry_type("geometry").alias("t")).collect()} == {
+        "LineString", "Point"}
+    # no WKT-ish column -> clear error
+    bad = tmp_path / "bad.csv"
+    bad.write_text("a,b\n1,2\n")
+    with pytest.raises(ValueError, match="geometry column"):
+        read_file(spark, str(bad))
