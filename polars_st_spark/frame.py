@@ -28,7 +28,8 @@ from polars_st_spark.functions.construct import (
 )
 from polars_st_spark.functions.scalar import st_to_geojson, st_to_wkt
 
-__all__ = ["geodataframe", "geom", "plot", "sjoin", "to_feature_dicts", "write_ndgeojson"]
+__all__ = ["geodataframe", "geom", "plot", "sjoin", "to_feature_dicts",
+           "to_ewkt", "to_geojson", "to_wkb", "to_wkt", "write_ndgeojson"]
 
 
 def geom(name: str = "geometry", *more_names: str):
@@ -159,3 +160,47 @@ def write_ndgeojson(df: DataFrame, path: str, geometry_name: str = "geometry") -
     from polars_st_spark.sources.geojson_io import write_ndgeojson as _w
 
     _w(df, path, geometry_name)
+
+
+def _convert_geo_columns(df: DataFrame, fn, only: str | None) -> DataFrame:
+    from pyspark.sql import types as T
+
+    cols = [only] if only else [
+        f.name for f in df.schema.fields if isinstance(f.dataType, T.BinaryType)
+    ]
+    out = df
+    for c in cols:
+        out = out.withColumn(c, fn(c))
+    return out
+
+
+def to_wkt(df: DataFrame, geometry_name: str | None = None, **kwargs) -> DataFrame:
+    """Serialize every geometry (binary) column — or just ``geometry_name``
+    — to WKT strings (reference: geodataframe.py to_wkt, which converts all
+    geo columns of the frame)."""
+    from polars_st_spark.functions.scalar import st_to_wkt
+
+    return _convert_geo_columns(df, lambda c: st_to_wkt(c, **kwargs), geometry_name)
+
+
+def to_ewkt(df: DataFrame, geometry_name: str | None = None, **kwargs) -> DataFrame:
+    """Frame-level EWKT serialization (reference: geodataframe.py to_ewkt)."""
+    from polars_st_spark.functions.scalar import st_to_ewkt
+
+    return _convert_geo_columns(df, lambda c: st_to_ewkt(c, **kwargs), geometry_name)
+
+
+def to_wkb(df: DataFrame, geometry_name: str | None = None, **kwargs) -> DataFrame:
+    """Frame-level WKB re-serialization (reference: geodataframe.py to_wkb —
+    useful for include_srid / byte-order normalization before export)."""
+    from polars_st_spark.functions.scalar import st_to_wkb
+
+    return _convert_geo_columns(df, lambda c: st_to_wkb(c, **kwargs), geometry_name)
+
+
+def to_geojson(df: DataFrame, geometry_name: str | None = None, **kwargs) -> DataFrame:
+    """Frame-level GeoJSON-geometry serialization (reference:
+    geodataframe.py to_geojson)."""
+    from polars_st_spark.functions.scalar import st_to_geojson
+
+    return _convert_geo_columns(df, lambda c: st_to_geojson(c, **kwargs), geometry_name)

@@ -122,3 +122,26 @@ def test_plot_altair_shim(spark, monkeypatch):
     monkeypatch.setattr(builtins, "__import__", no_altair)
     with pytest.raises(ImportError, match="[Aa]ltair"):
         st.plot(df)
+
+
+def test_frame_level_serializers(spark):
+    from pyspark.sql import functions as F
+
+    from polars_st_spark import frame as fr
+
+    df = spark.range(3).select(
+        F.col("id"),
+        st.st_point(F.col("id") * 1.0, F.lit(1.0)).alias("geometry"),
+        st.st_point(F.lit(9.0), F.lit(9.0)).alias("other_geom"),
+    )
+    w = fr.to_wkt(df)  # converts BOTH binary columns
+    types = dict(w.dtypes)
+    assert types["geometry"] == "string" and types["other_geom"] == "string"
+    assert w.select("geometry").first()[0] == "POINT (0 1)"
+    only = fr.to_ewkt(df, "geometry")
+    t2 = dict(only.dtypes)
+    assert t2["geometry"] == "string" and t2["other_geom"] == "binary"
+    gj = fr.to_geojson(df, "geometry").select("geometry").first()[0]
+    assert '"Point"' in gj
+    wkb = fr.to_wkb(df, "geometry").select("geometry").first()[0]
+    assert bytes(wkb)[0] in (0, 1)  # byte-order marker, SRID flag stripped
