@@ -13,7 +13,17 @@ over DataFrame columns), re-expressed Spark-first:
 - everything composes with normal Spark SQL (Catalyst optimizes around it)
 """
 
-from polars_st_spark.frame import geodataframe, geom, plot, sjoin, to_feature_dicts
+from polars_st_spark.frame import (
+    geodataframe,
+    geom,
+    plot,
+    sjoin,
+    to_ewkt,
+    to_feature_dicts,
+    to_geojson,
+    to_wkb,
+    to_wkt,
+)
 from polars_st_spark.operators.predjoin import filter_pairs
 from polars_st_spark.functions import *  # noqa: F401,F403
 from polars_st_spark.functions import __all__ as _fn_all
