@@ -210,11 +210,24 @@ def minhash_signature_xxhash_from_shingles(shingle_col, k: int = 16) -> Column:
 
     NOT bit-compatible with the md5 family (`minhash_signature_from_shingles`),
     which is kept for cross-engine oracle parity; this is the production
-    default at scale (VERDICT r2 perf item 2)."""
+    default at scale (VERDICT r2 perf item 2).
+
+    The per-function closure MUST be single-parameter: PySpark treats a
+    two-parameter lambda as an (element, INDEX) lambda, so the classic
+    ``lambda s, i=i:`` capture gets its default SHADOWED by the element
+    position — every "function" silently becomes ``xxhash64(position,
+    shingle)`` and the whole family collapses to one hash (caught by the
+    end-to-end pipeline test; the md5 family and all gate queries were
+    unaffected)."""
     sh = col_or_lit(shingle_col)
-    return F.array(
-        *[F.array_min(F.transform(sh, lambda s, i=i: F.xxhash64(F.lit(i), s))) for i in range(k)]
-    )
+
+    def _fn(i: int):
+        def f(s):
+            return F.xxhash64(F.lit(i), s)
+
+        return f
+
+    return F.array(*[F.array_min(F.transform(sh, _fn(i))) for i in range(k)])
 
 
 def lsh_bands_xxhash(signature, bands: int = 4, rows_per_band: int = 4) -> Column:

@@ -1,0 +1,71 @@
+"""End-to-end pretraining pipeline (operators/pipeline.py)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from polars_st_spark.operators.pipeline import pretraining_pipeline
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    prose = ("the data pipeline reads and cleans a corpus of documents for "
+             "training and it keeps the good ones in the final set")
+    rows = [
+        (0, prose),
+        (1, prose),                                  # exact dup of 0
+        (2, prose + " with one tiny extra suffix"),  # near dup of 0
+        (3, "short junk"),                           # fails quality
+        (4, "completely different prose about storage engines and file formats "
+            "that is long enough for the filter and has the and of to in it"),
+        (5, "benchmark overlap document " + " ".join(f"tok{i}" for i in range(20))
+            + " the and of to a in is it that for making this long enough now"),
+        (6, "contact me at a@b.co " + prose),        # PII + near dup of 0
+    ]
+    bench = [(100, "benchmark overlap document " + " ".join(f"tok{i}" for i in range(20)))]
+    return (spark.createDataFrame(rows, ["doc_id", "text"]).cache(),
+            spark.createDataFrame(bench, ["doc_id", "text"]).cache())
+
+
+def test_full_pipeline(corpus):
+    docs, bench = corpus
+    out = pretraining_pipeline(
+        docs, benchmark=bench,
+        quality_kwargs={"min_words": 10, "min_stopword_hits": 1},
+        near_dup_threshold=0.5, decontam_n=8,
+        # 8 bands of 2: candidate recall ~1.0 at J≈0.8 (4×4 banding misses
+        # ~16% of such pairs — the tunable the operator exposes for exactly
+        # this)
+        near_dup_kwargs={"bands": 8},
+    )
+    rows = {r["doc_id"]: r["text"] for r in out.collect()}
+    # 3 fails quality; 1 exact-dups 0; 2 and 6 near-dup 0; 5 is contaminated
+    assert set(rows) == {0, 4}
+    assert "@" not in rows[0] and "<EMAIL>" not in rows[0]  # 0 had no PII
+
+
+def test_pipeline_stage_toggles(corpus):
+    docs, bench = corpus
+    # no quality, no dedup, no benchmark: only the scrub runs
+    out = pretraining_pipeline(docs, quality=False, exact_dedup=False,
+                               near_dup_threshold=None)
+    rows = {r["doc_id"]: r["text"] for r in out.collect()}
+    assert set(rows) == set(range(7))
+    assert "<EMAIL>" in rows[6] and "a@b.co" not in rows[6]
+    # chunking output shape
+    ch = pretraining_pipeline(docs, quality=False, exact_dedup=False,
+                              near_dup_threshold=None, scrub=False,
+                              chunk_tokens=5, chunk_overlap=1)
+    assert ch.columns == ["doc_id", "chunk_idx", "chunk_text", "chunk_n_tokens"]
+    assert ch.where(F.col("doc_id") == 3).count() == 1  # 2 tokens -> 1 chunk
+
+
+def test_pipeline_bloom_variant_equal(corpus):
+    docs, bench = corpus
+    a = {r["doc_id"] for r in pretraining_pipeline(
+        docs, benchmark=bench, near_dup_kwargs={"bands": 8},
+        quality_kwargs={"min_words": 10, "min_stopword_hits": 1}).collect()}
+    b = {r["doc_id"] for r in pretraining_pipeline(
+        docs, benchmark=bench, near_dup_kwargs={"bands": 8},
+        quality_kwargs={"min_words": 10, "min_stopword_hits": 1},
+        decontam_bloom_fpp=0.01).collect()}
+    assert a == b
