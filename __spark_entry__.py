@@ -1804,6 +1804,28 @@ def q_tfidf_suite(spark, sf):
     )
 
 
+def q_pipeline_e2e(spark, sf):
+    """END-TO-END pretraining pipeline (operators/pipeline.py),
+    hash-checked as ONE composition: Gopher quality filter → exact dedup →
+    MinHash-LSH near-dup keep (md5 family, threshold 0.3) → 8-gram
+    decontamination against the doc_id%97 benchmark subset → PII scrub →
+    6-token/2-overlap chunking, over 60-char text prefixes (truncation
+    manufactures exact and near duplicates). The oracle replays every
+    stage in one DuckDB CTE chain, reusing the per-stage oracle fragments
+    — certifying not just each operator but their composition."""
+    from polars_st_spark.operators.pipeline import pretraining_pipeline
+
+    docs = spark.read.parquet(f"{sf}/documents.parquet").select(
+        "doc_id", F.substring("text", 1, 60).alias("text"))
+    bench = docs.where(F.col("doc_id") % 97 == 0)
+    return pretraining_pipeline(
+        docs, benchmark=bench,
+        quality_kwargs={"min_words": 8, "min_stopword_hits": 1},
+        near_dup_threshold=0.3, near_dup_kwargs={"hash_family": "md5"},
+        decontam_n=8, chunk_tokens=6, chunk_overlap=2, materialize=None,
+    )
+
+
 def q_multimodal_real(spark, sf):
     """REAL media decode, hash-checked (r4d — multimodal graduates from
     rows-only): per doc a solid-color 6×5 BMP (odd width exercises row
@@ -2165,6 +2187,7 @@ _QUERIES = {
         "knn_ivf": q_knn_ivf,
         "geohash_suite": q_geohash_suite,
         "nearest_join": q_nearest_join,
+        "pipeline_e2e": q_pipeline_e2e,
         "multimodal_features": q_multimodal_features,
         "multimodal_audio": q_multimodal_audio,
     }
@@ -2352,6 +2375,7 @@ def oracle_sql() -> dict[str, str]:
         "geohash_suite": _oracle_geohash_suite(),
         "nearest_join": _oracle_nearest_join(),
         "multimodal_real": _oracle_multimodal_real(),
+        "pipeline_e2e": _oracle_pipeline_e2e(),
         "to_srid_mercator": f"""
             SELECT c_custkey,
                    ROUND(6378137.0 * radians(x), 3) AS mx,
@@ -3017,10 +3041,12 @@ def _oracle_ngram_jaccard() -> str:
         FROM jac WHERE jaccard >= 0.02"""
 
 
-def _oracle_near_dup_groups() -> str:
+def _oracle_near_dup_groups(src: str = "documents", threshold: float = 0.05) -> str:
     # minhash-LSH pairs (same CTE stack as _oracle_near_dup) -> recursive
-    # min-label reachability -> (doc_id, group_id, keep)
-    inner = _oracle_near_dup()
+    # min-label reachability -> (doc_id, group_id, keep). ``src`` lets the
+    # end-to-end pipeline oracle run the identical stack over an upstream
+    # CTE instead of the raw table.
+    inner = _oracle_near_dup(src, threshold)
     return f"""
         WITH RECURSIVE pairs AS MATERIALIZED (
           SELECT id_a, id_b FROM ({inner})
@@ -3029,7 +3055,7 @@ def _oracle_near_dup_groups() -> str:
           SELECT id_a AS s, id_b AS d FROM pairs
           UNION SELECT id_b, id_a FROM pairs
         ),
-        nodes AS (SELECT doc_id FROM documents),
+        nodes AS (SELECT doc_id FROM {src}),
         reach AS (
           SELECT doc_id AS a, doc_id AS b FROM nodes
           UNION
@@ -3042,7 +3068,7 @@ def _oracle_near_dup_groups() -> str:
         FROM comp"""
 
 
-def _oracle_near_dup() -> str:
+def _oracle_near_dup(src: str = "documents", threshold: float = 0.05) -> str:
     sh = _oracle_shingles()
     sig = ", ".join(
         f"list_min(list_transform(sh, s -> ('0x' || substr(md5('{i}:' || s), 1, 8))::BIGINT)) AS mh{i}"
@@ -3059,7 +3085,7 @@ def _oracle_near_dup() -> str:
     )
     return f"""
         WITH shs AS MATERIALIZED (
-          SELECT doc_id, {sh} AS sh FROM documents
+          SELECT doc_id, {sh} AS sh FROM {src}
         ),
         sigs AS MATERIALIZED (
           SELECT doc_id, {sig} FROM shs
@@ -3078,7 +3104,7 @@ def _oracle_near_dup() -> str:
                      JOIN shs sb ON cands.id_b = sb.doc_id
         )
         SELECT id_a, id_b, ROUND(jaccard, 6) AS jaccard_r
-        FROM jac WHERE jaccard >= 0.05"""
+        FROM jac WHERE jaccard >= {threshold}"""
 
 
 def _oracle_knn_ann() -> str:
@@ -3147,6 +3173,86 @@ def _oracle_knn_ann() -> str:
         )
         SELECT method, query_id, corpus_id, cos_r, rank
         FROM ranked WHERE rank <= 3"""
+
+
+def _oracle_pipeline_e2e() -> str:
+    """One CTE chain replaying pretraining_pipeline stage by stage over the
+    60-char prefixes, reusing the per-stage oracle fragments (the near-dup
+    stack runs as a WITH-RECURSIVE subquery over the deduped CTE)."""
+    t = r"regexp_split_to_array(trim(lower(text)), '\s+')"
+
+    def sh_expr(n: int) -> str:
+        return (
+            f"CASE WHEN len({t}) >= {n} THEN "
+            f"list_transform(range(1, len({t}) - {n - 2}), "
+            f"i -> array_to_string(({t})[i:i+{n - 1}], ' ')) "
+            f"ELSE [array_to_string({t}, ' ')] END"
+        )
+
+    stops = "['the','and','of','to','a','in','is','it','that','for']"
+    pii = (
+        "regexp_replace(regexp_replace(regexp_replace(regexp_replace(text, "
+        r"'[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'), "
+        r"'\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g'), "
+        r"'\b(?:\+\d{1,3}[ -]?)?(?:\(\d{2,4}\)[ -]?)?\d{3}[ -]\d{3,4}[ -]?\d{0,4}\b', "
+        "'<PHONE>', 'g'), "
+        r"'\b\d{3}-\d{2}-\d{4}\b', '<SSN>', 'g')"
+    )
+    nd = _oracle_near_dup_groups("e", 0.3)
+    return rf"""
+        WITH src AS (
+            SELECT doc_id, substr(text, 1, 60) AS text FROM documents
+        ), tok AS (
+            SELECT doc_id, text, {t} AS tt FROM src
+        ), g2c AS (
+            SELECT doc_id, max(cnt * len(g)) AS top FROM (
+                SELECT doc_id, g, count(*) AS cnt FROM (
+                    SELECT doc_id, unnest({sh_expr(2)}) AS g FROM src
+                ) GROUP BY 1, 2
+            ) GROUP BY 1
+        ), q AS (
+            SELECT tok.doc_id, tok.text
+            FROM tok JOIN g2c USING (doc_id)
+            WHERE len(tt) BETWEEN 8 AND 100000
+              AND (coalesce(list_aggregate(list_transform(tt, x -> len(x)), 'sum'), 0)
+                   / len(tt)) BETWEEN 3.0 AND 10.0
+              AND (len(list_filter(tt, x -> regexp_matches(x, '[a-zA-Z]')))
+                   / len(tt)) >= 0.8
+              AND len(list_intersect(list_distinct(tt), {stops})) >= 1
+              AND (CASE WHEN len(tok.text) > 0 THEN top / len(tok.text)
+                        ELSE 0.0 END) <= 0.2
+        ), e AS (
+            SELECT doc_id, text FROM (
+                SELECT q.*, row_number() OVER (PARTITION BY md5(text)
+                                               ORDER BY doc_id) AS rn FROM q
+            ) WHERE rn = 1
+        ), keeps AS (
+            SELECT doc_id FROM ({nd}) WHERE keep
+        ), nd_kept AS (
+            SELECT e.* FROM e JOIN keeps USING (doc_id)
+        ), bg AS (
+            SELECT DISTINCT unnest({sh_expr(8)}) AS g
+            FROM src WHERE doc_id % 97 = 0
+        ), dirty AS (
+            SELECT DISTINCT doc_id FROM (
+                SELECT doc_id, unnest(list_distinct({sh_expr(8)})) AS g
+                FROM nd_kept
+            ) dg JOIN bg USING (g)
+        ), fin AS (
+            SELECT doc_id, {pii} AS text FROM nd_kept
+            WHERE doc_id NOT IN (SELECT doc_id FROM dirty)
+        ), ftok AS (
+            SELECT doc_id,
+                   CASE WHEN trim(text) = '' THEN []::VARCHAR[]
+                        ELSE string_split_regex(trim(text), '\s+') END AS toks
+            FROM fin
+        ), starts AS (
+            SELECT doc_id, toks, unnest(range(0, len(toks), 4)) AS s FROM ftok
+        )
+        SELECT doc_id, (s // 4)::INT AS chunk_idx,
+               array_to_string(list_slice(toks, s + 1, s + 6), ' ') AS chunk_text,
+               len(list_slice(toks, s + 1, s + 6))::INT AS chunk_n_tokens
+        FROM starts"""
 
 
 def _oracle_multimodal_real() -> str:
