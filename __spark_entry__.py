@@ -1822,7 +1822,7 @@ def q_pipeline_e2e(spark, sf):
         docs, benchmark=bench,
         quality_kwargs={"min_words": 8, "min_stopword_hits": 1},
         near_dup_threshold=0.3, near_dup_kwargs={"hash_family": "md5"},
-        decontam_n=8, chunk_tokens=6, chunk_overlap=2, materialize=None,
+        decontam_n=8, chunk_tokens=6, chunk_overlap=2,
     )
 
 

@@ -287,6 +287,18 @@ def main() -> None:
         return ti + bm
 
     variants["p7_tfidf_bm25"] = timed(_p7)
+    # - p8: the composed end-to-end corpus build (quality -> exact dedup ->
+    #   near-dup keep -> decontamination -> scrub -> chunk) in one plan
+    from polars_st_spark.operators.pipeline import pretraining_pipeline as _pp
+
+    variants["p8_pipeline_e2e"] = timed(
+        lambda: _pp(
+            docs, benchmark=docs.where(F.col("doc_id") % 97 == 0),
+            quality_kwargs={"min_words": 10, "min_stopword_hits": 1},
+            near_dup_threshold=0.3, decontam_n=8,
+            chunk_tokens=128, chunk_overlap=16,
+        ).count()
+    )
 
     total = round(sum(queries.values()), 3)
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
