@@ -358,3 +358,46 @@ def test_chunk_text(spark):
         chunk_text(df, chunk_tokens=3).columns)
     with pytest.raises(ValueError, match="overlap"):
         chunk_text(df, chunk_tokens=4, overlap=4)
+
+
+def test_minhash_xxhash_family_independence(spark):
+    """Regression for the (element, index) lambda shadowing bug: the k
+    xxhash64 MinHash functions must be genuinely independent — with one
+    collapsed family every signature position agrees for every doc, and
+    prefix-shifted near-dups silently escape LSH."""
+    from pyspark.sql import functions as F
+
+    from polars_st_spark.operators.textops import (
+        minhash_signature_xxhash_from_shingles,
+        shingles_from_tokens,
+        tokens,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, f"alpha beta gamma delta epsilon zeta eta theta doc{i} iota kappa")
+         for i in range(20)], ["doc_id", "text"])
+    sigs = docs.select(
+        tokens(F.col("text")).alias("t")
+    ).select(
+        minhash_signature_xxhash_from_shingles(
+            F.array_distinct(shingles_from_tokens("t", 3)), 16).alias("sig")
+    ).collect()
+    distinct_positions = {len(set(r["sig"])) for r in sigs}
+    # a healthy 16-function family over ~10 shingles has many distinct mins;
+    # the collapsed family had exactly 1 for every doc
+    assert all(n >= 8 for n in distinct_positions), distinct_positions
+    # and the signature is invariant under a position shift of the shingle
+    # set (minhash is a SET function — the positional hash wasn't)
+    a = docs.where(F.col("doc_id") == 0).select(
+        minhash_signature_xxhash_from_shingles(
+            F.array_distinct(shingles_from_tokens(tokens(F.col("text")), 3)), 16
+        ).alias("s")).first()["s"]
+    shifted = spark.createDataFrame(
+        [("prefix words here alpha beta gamma delta epsilon zeta eta theta doc0 iota kappa",)],
+        ["text"])
+    b = shifted.select(
+        minhash_signature_xxhash_from_shingles(
+            F.array_distinct(shingles_from_tokens(tokens(F.col("text")), 3)), 16
+        ).alias("s")).first()["s"]
+    agree = sum(1 for x, y in zip(a, b) if x == y)
+    assert agree >= 8, agree  # J ≈ 0.75 -> most positions agree; was 0
