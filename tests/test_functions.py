@@ -312,3 +312,20 @@ def test_to_wkb_reference_params(spark):
         st.st_to_wkb("geometry", byte_order=2)
     with pytest.raises(ValueError, match="output_dimension"):
         st.st_to_wkb("geometry", output_dimension=5)
+
+
+def test_geom_arg_wkt_vs_column_sniffing(spark):
+    """VERDICT r3 cosmetic: the string form of a geometry argument is WKT
+    only when it parses like WKT (type keyword + structure); bare or even
+    geometry-ish column names resolve as columns."""
+    from pyspark.sql import functions as F
+
+    df = spark.range(3).select(
+        st.st_point(F.col("id") * 1.0, F.lit(0.0)).alias("points"))
+    assert df.select(st.st_distance("points", "points")).first()[0] == 0.0
+    assert df.orderBy(F.col("id").desc()).select(
+        st.st_distance("points", "POINT (0 0)")).collect()[0][0] == 2.0
+    assert df.select(
+        st.st_distance("points", "SRID=4326;POINT (1 0)")).first()[0] == 1.0
+    assert df.select(st.st_is_empty(
+        st.st_intersection("points", "POLYGON EMPTY"))).first()[0] is True
