@@ -92,6 +92,17 @@ def connected_components(
     e = _canon(
         edges.select(F.col(src).alias("_u"), F.col(dst).alias("_v"))
     )
+    # edge-free input (clean corpus: no near-dup pairs at all) skips the
+    # whole iteration — otherwise a no-op dedup still pays 2+ star rounds
+    # of checkpointed shuffles (visible in the e2e pipeline latency)
+    e = e.localCheckpoint(eager=True) if materialize == "local" else e.checkpoint(eager=True)
+    if _signature(e)[0] == 0:
+        return (
+            edges.select(F.col(src).alias("node"))
+            .unionByName(edges.select(F.col(dst).alias("node")))
+            .distinct()
+            .withColumn("component", F.col("node"))
+        )
     prev = None
     for _ in range(max_iter):
         e = _star(_star(e, large=True), large=False)
