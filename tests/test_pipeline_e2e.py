@@ -69,3 +69,27 @@ def test_pipeline_bloom_variant_equal(corpus):
         quality_kwargs={"min_words": 10, "min_stopword_hits": 1},
         decontam_bloom_fpp=0.01).collect()}
     assert a == b
+
+
+def test_stateless_pipeline_stages_stream(spark, tmp_path, corpus):
+    """The stateless subset (quality filter -> scrub -> chunk) runs under
+    Structured Streaming unchanged and matches batch output — continuous
+    ingest pipelines reuse the same operators (dedup stages are batch-only:
+    they need corpus-wide state)."""
+    docs, _ = corpus
+    src, chk = str(tmp_path / "src"), str(tmp_path / "chk")
+    docs.write.mode("overwrite").parquet(src)
+    stream = spark.readStream.schema(docs.schema).parquet(src)
+    out = pretraining_pipeline(
+        stream, quality_kwargs={"min_words": 10, "min_stopword_hits": 1},
+        exact_dedup=False, near_dup_threshold=None,
+        chunk_tokens=8, chunk_overlap=2)
+    q = (out.writeStream.format("memory").queryName("pipe_stream")
+         .option("checkpointLocation", chk).trigger(availableNow=True).start())
+    q.awaitTermination(60)
+    got = {tuple(r) for r in spark.sql("select * from pipe_stream").collect()}
+    want = {tuple(r) for r in pretraining_pipeline(
+        docs, quality_kwargs={"min_words": 10, "min_stopword_hits": 1},
+        exact_dedup=False, near_dup_threshold=None,
+        chunk_tokens=8, chunk_overlap=2).collect()}
+    assert got == want and len(got) > 0
