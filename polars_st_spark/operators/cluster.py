@@ -1,0 +1,308 @@
+"""Distributed k-means and semantic deduplication (SemDeDup) over
+embedding columns.
+
+K-means is the workhorse behind corpus curation at scale: SemDeDup
+(Abbas et al., "SemDeDup: Data-efficient learning at web-scale through
+semantic deduplication", 2023 — public) clusters document embeddings and
+removes near-identical *meanings* (paraphrases, templated boilerplate)
+that survive lexical MinHash dedup — cosine-similar pairs are only ever
+searched WITHIN a cluster, which is what makes the quadratic step
+tractable at 100 TB.
+
+Scale design (mirrors operators/knn.py and quant.py):
+
+- :func:`kmeans_fit` keeps exactly ``k x d`` doubles of driver state.
+  Each Lloyd iteration is ONE map-side-combined aggregation: the
+  assignment is an Arrow-batched numpy argmin (pandas UDF; the centroid
+  matrix ships in the closure), and the centroid update is a plain
+  ``groupBy(cluster).agg(sum(element), count)`` — partial sums combine
+  map-side, so the shuffle per iteration is ``O(partitions x k x d)``
+  regardless of corpus size. No iteration ever collects vectors.
+- :func:`kmeans_assign` is the stateless assignment kernel (usable on
+  its own for IVF-style routing); distances accumulate SEQUENTIALLY over
+  dims so an oracle can replay the identical IEEE double sequence with a
+  left-to-right SQL sum (same contract as quant._seq_sq_dists).
+- :func:`semantic_dedup` routes vectors to clusters, then runs the
+  pairwise cosine scan per cluster via ``applyInPandas`` — one BLAS
+  gram matrix per cluster, never a global all-pairs join. Cluster sizes
+  are bounded by choosing ``k ~ n / target_cluster_size`` (the SemDeDup
+  paper uses 50k clusters for 100M+ docs); a ``max_cluster_rows`` guard
+  raises instead of silently densifying a degenerate cluster.
+
+Determinism contract (what the driver-gate oracle relies on): with
+fixed-point integer-valued inputs (the gate pre-quantizes embeddings to
+``round(x * 2^20)``), every dot product and per-dim sum is an exact
+integer below 2^53, so results are bit-identical regardless of
+accumulation order; centroid means and cosines are then single IEEE
+divisions both engines round identically. With general float inputs the
+results are deterministic for a fixed partitioning but carry the usual
+last-bit float-association noise (tested against numpy with tolerances).
+
+Reference parity note: the polars-st reference has no clustering
+operator — this module is part of the training-data-pipeline mandate
+(driver brief), not §2 parity.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    BooleanType,
+    IntegerType,
+    StructField,
+    StructType,
+)
+
+__all__ = [
+    "kmeans_assign",
+    "kmeans_fit",
+    "semantic_dedup",
+]
+
+
+def _assign_batch(x: np.ndarray, cents: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """(assignments, distances) for a batch: squared Euclidean accumulated
+    sequentially over dims (bit-reproducible vs a left-to-right SQL sum),
+    argmin ties to the lowest centroid id (np.argmin first occurrence)."""
+    acc = np.zeros((x.shape[0], cents.shape[0]), dtype=np.float64)
+    for i in range(x.shape[1]):
+        d = x[:, i, None] - cents[None, :, i]
+        acc += d * d
+    a = np.argmin(acc, axis=1)
+    return a, acc[np.arange(len(a)), a]
+
+
+def kmeans_assign(
+    df: DataFrame,
+    centroids: np.ndarray,
+    vec_col: str = "embedding",
+    out_col: str = "cluster",
+    dist_col: str | None = None,
+) -> DataFrame:
+    """Assign each row to its nearest centroid (squared Euclidean).
+
+    ``centroids`` is a small ``(k, d)`` ndarray shipped in the UDF
+    closure (driver state stays ``k x d`` — for SemDeDup-scale k=50k,
+    d=768 that is ~300 MB, still broadcast-friendly). Returns ``df`` with
+    an int ``out_col`` (and optionally the squared distance in
+    ``dist_col``). Arrow-batched pandas UDF; one pass, no shuffle.
+    """
+    cents = np.asarray(centroids, dtype=np.float64)
+    if cents.ndim != 2:
+        raise ValueError(f"centroids must be (k, d), got shape {cents.shape}")
+
+    from pyspark.sql.pandas.functions import pandas_udf
+
+    # NOTE: no type hints on the inner fn — string annotations resolve in
+    # module globals and break with locally-imported pandas (memory:
+    # spark-expression-tree-pitfalls item 4).
+    @pandas_udf("struct<c: int, d: double>")
+    def _assign(v):
+        import pandas as pd
+
+        if len(v) == 0:
+            return pd.DataFrame({"c": [], "d": []})
+        x = np.array(list(v), dtype=np.float64)
+        a, dist = _assign_batch(x, cents)
+        return pd.DataFrame({"c": a.astype(np.int32), "d": dist})
+
+    tmp = df.withColumn("_ka", _assign(F.col(vec_col)))
+    out = tmp.withColumn(out_col, F.col("_ka.c"))
+    if dist_col is not None:
+        out = out.withColumn(dist_col, F.col("_ka.d"))
+    return out.drop("_ka")
+
+
+def _init_centroids(
+    df: DataFrame, k: int, vec_col: str, seed: int, sample_size: int | None
+) -> np.ndarray:
+    """k-means++ on a bounded seeded driver sample (the quant.pq_codebooks
+    contract: constant index-build cost at any corpus size)."""
+    sample_size = sample_size or max(50 * k, 1000)
+    v = df.select(F.col(vec_col).alias("v"))
+    n_total = v.count()
+    if n_total > sample_size:
+        frac = min(1.0, 1.2 * sample_size / n_total)
+        rows = v.sample(fraction=frac, seed=seed).collect()
+        if len(rows) < min(sample_size, n_total) // 2:
+            rows = v.limit(sample_size).collect()
+        elif len(rows) > sample_size:
+            idx = np.random.RandomState(seed).choice(len(rows), sample_size, replace=False)
+            rows = [rows[i] for i in sorted(idx)]
+    else:
+        rows = v.collect()
+    x = np.array([r["v"] for r in rows], dtype=np.float64)
+    if len(x) < k:
+        raise ValueError(f"sample has {len(x)} vectors < k={k}")
+    rng = np.random.RandomState(seed)
+    cents = [x[rng.randint(len(x))]]
+    for _ in range(1, k):
+        acc = np.zeros((len(x), len(cents)), dtype=np.float64)
+        c = np.stack(cents)
+        for i in range(x.shape[1]):
+            d = x[:, i, None] - c[None, :, i]
+            acc += d * d
+        dist = np.min(acc, axis=1)
+        tot = dist.sum()
+        if tot <= 0:
+            cents.append(x[rng.randint(len(x))])
+        else:
+            cents.append(x[rng.choice(len(x), p=dist / tot)])
+    return np.stack(cents)
+
+
+def kmeans_fit(
+    df: DataFrame,
+    k: int = 8,
+    vec_col: str = "embedding",
+    iters: int = 10,
+    seed: int = 42,
+    init_centroids: np.ndarray | None = None,
+    sample_size: int | None = None,
+) -> np.ndarray:
+    """Distributed Lloyd's: returns the final ``(k, d)`` centroids.
+
+    Per iteration: Arrow-batched assignment (no shuffle), then ONE
+    aggregation ``groupBy(cluster).agg(count, sum(e[0]), ...,
+    sum(e[d-1]))`` whose partials combine map-side — shuffle volume is
+    ``O(partitions x k x d)`` doubles, independent of corpus size. The
+    k-row result is collected (bounded driver state) and divided into
+    means in numpy. An empty cluster keeps its previous centroid (the
+    standard distributed convention — re-seeding would need an extra
+    corpus pass; callers who care re-run with a different seed).
+
+    Determinism: for a fixed partitioning the float partial-sum order is
+    fixed; with integer-valued (fixed-point) inputs the sums are exact
+    and the result is bit-identical in ANY order — the driver-gate oracle
+    uses that mode. ``init_centroids`` overrides the seeded k-means++
+    sample init (and makes the whole fit reproducible cross-engine).
+    """
+    if init_centroids is not None:
+        cents = np.asarray(init_centroids, dtype=np.float64).copy()
+        if cents.shape[0] != k:
+            k = cents.shape[0]
+    else:
+        cents = _init_centroids(df, k, vec_col, seed, sample_size)
+    d = cents.shape[1]
+
+    vec = df.select(F.col(vec_col).alias("_v"))
+    for _ in range(iters):
+        assigned = kmeans_assign(vec, cents, vec_col="_v", out_col="_c")
+        sums = (
+            assigned.groupBy("_c")
+            .agg(
+                F.count(F.lit(1)).alias("_n"),
+                *[
+                    F.sum(F.element_at(F.col("_v"), i + 1).cast("double")).alias(f"_s{i}")
+                    for i in range(d)
+                ],
+            )
+            .collect()
+        )
+        new = cents.copy()
+        for r in sums:
+            c = r["_n"]
+            new[r["_c"]] = np.array([r[f"_s{i}"] for i in range(d)], dtype=np.float64) / c
+        cents = new
+    return cents
+
+
+def semantic_dedup(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroids: np.ndarray | None = None,
+    k: int = 8,
+    threshold: float = 0.99,
+    iters: int = 5,
+    seed: int = 42,
+    max_cluster_rows: int = 2_000_000,
+    keep_vec: bool = False,
+) -> DataFrame:
+    """SemDeDup: flag vectors whose cosine similarity to a LOWER-id
+    vector in the same cluster reaches ``threshold``.
+
+    Returns one row per input row: ``(id, cluster, is_dup, dup_of)``
+    where ``dup_of`` is the smallest qualifying lower id (NULL for
+    keepers) — ``filter(~is_dup)`` is the deduplicated corpus, and the
+    greedy keep-lowest-id rule makes the kept set deterministic and
+    independent of evaluation order (a row is a dup iff ANY lower-id
+    near-neighbor exists, regardless of whether that neighbor is itself
+    a dup — the SemDeDup epsilon-ball pruning rule).
+
+    The pairwise scan runs per cluster via ``applyInPandas``: one BLAS
+    gram matrix per cluster, so total work is ``sum(|cluster|^2)`` —
+    bounded by choosing ``k ~ n / target_cluster_size``, never a global
+    all-pairs join. A cluster larger than ``max_cluster_rows`` raises
+    (degenerate clustering — re-fit with larger k) instead of silently
+    attempting an unboundedly dense gram matrix.
+
+    Pass ``centroids`` to skip the fit (e.g. the gate's fixed-seed
+    centroids, or centroids reused across daily corpus snapshots so
+    cluster ids stay stable).
+    """
+    if centroids is None:
+        centroids = kmeans_fit(
+            df, k=k, vec_col=vec_col, iters=iters, seed=seed
+        )
+    id_type = df.schema[id_col].dataType
+
+    fields = [
+        StructField("id", id_type),
+        StructField("cluster", IntegerType()),
+        StructField("is_dup", BooleanType()),
+        StructField("dup_of", id_type),
+    ]
+    if keep_vec:
+        fields.append(StructField("vec", df.schema[vec_col].dataType))
+    out_schema = StructType(fields)
+
+    thr = float(threshold)
+    cap = int(max_cluster_rows)
+
+    def scan(key, pdf):
+        import pandas as pd
+
+        n = len(pdf)
+        if n > cap:
+            raise ValueError(
+                f"cluster {key[0]} has {n} rows > max_cluster_rows={cap}; "
+                "re-fit with a larger k (target_cluster_size ~ n/k)"
+            )
+        ids = pdf["_id"].to_numpy()
+        order = np.argsort(ids, kind="stable")
+        ids = ids[order]
+        x = np.array(list(pdf["_v"].iloc[order]), dtype=np.float64)
+        # gram matrix on the RAW vectors, then one product + one division
+        # per pair: with fixed-point integer inputs every dot and squared
+        # norm is an exact integer < 2^53, so cos is two IEEE ops an SQL
+        # oracle reproduces bit-identically (dot / (sqrt(ss_i)*sqrt(ss_j)))
+        g = x @ x.T
+        norms = np.sqrt(np.einsum("ij,ij->i", x, x))
+        norms[norms == 0] = 1.0
+        sims = g / np.outer(norms, norms)
+        # strictly-lower-triangular mask: candidate j must have a smaller id
+        dup_mask = np.tril(sims >= thr, k=-1)
+        any_dup = dup_mask.any(axis=1)
+        dup_of = np.full(n, None, dtype=object)
+        for i in np.nonzero(any_dup)[0]:
+            dup_of[i] = ids[np.nonzero(dup_mask[i])[0][0]]
+        data = {
+            "id": ids,
+            "cluster": np.full(n, key[0], dtype=np.int32),
+            "is_dup": any_dup,
+            "dup_of": dup_of,
+        }
+        if keep_vec:
+            data["vec"] = list(pdf["_v"].iloc[order])
+        return pd.DataFrame(data)
+
+    assigned = kmeans_assign(
+        df.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_v")),
+        centroids,
+        vec_col="_v",
+        out_col="_c",
+    )
+    return assigned.groupBy("_c").applyInPandas(scan, out_schema)
