@@ -1725,6 +1725,75 @@ def q_pq_suite(spark, sf):
     )
 
 
+def _fp_embeddings(spark, sf, extra_dups: int = 0):
+    """Embeddings quantized to 2^16 fixed point (integer-valued doubles):
+    every dot product / squared distance is then an exact integer (|v| <=
+    2^16.2, 64-dim sums < 2^39 << 2^53), so k-means and cosine results are
+    bit-identical across engines REGARDLESS of accumulation order — the
+    trick that lets an iterative clustering algorithm be hash-checked.
+    ``extra_dups`` unions exact copies of the first n vectors under
+    vec_id+10000 (guaranteed is_dup rows for the SemDeDup gate)."""
+    emb = spark.read.parquet(f"{sf}/embeddings.parquet").select("vec_id", "embedding")
+    if extra_dups:
+        emb = emb.unionByName(
+            emb.where(F.col("vec_id") < extra_dups).select(
+                (F.col("vec_id") + 10_000).alias("vec_id"), "embedding"
+            )
+        )
+    return emb.select(
+        "vec_id",
+        F.transform(
+            F.col("embedding"), lambda x: F.round(x.cast("double") * F.lit(65536.0))
+        ).alias("e"),
+    )
+
+
+def q_kmeans_suite(spark, sf):
+    """Distributed k-means (operators/cluster.py), hash-checked END TO END
+    through one full Lloyd iteration: fixed-point embeddings (see
+    _fp_embeddings), init = the vec_id<4 vectors, c0/d0 = first assignment
+    (sequential-dim squared distance — d0 is an exact integer), centroids
+    updated via the map-side-partial groupBy-sum path, c1 = re-assignment
+    against the UPDATED centroids (certifying the update transitively;
+    the iteration-2 distances are IEEE-identical because the centroid
+    means are single exact-sum/count divisions on both engines)."""
+    import numpy as np
+
+    from polars_st_spark.operators import cluster as _cl
+
+    fp = _fp_embeddings(spark, sf)
+    init = np.array(
+        [r["e"] for r in fp.where(F.col("vec_id") < 4).orderBy("vec_id").collect()],
+        dtype=np.float64,
+    )
+    a0 = _cl.kmeans_assign(fp, init, vec_col="e", out_col="c0", dist_col="d0")
+    cents1 = _cl.kmeans_fit(fp, vec_col="e", iters=1, init_centroids=init)
+    out = _cl.kmeans_assign(a0, cents1, vec_col="e", out_col="c1")
+    return out.select("vec_id", "c0", "d0", "c1")
+
+
+def q_semdedup(spark, sf):
+    """SemDeDup semantic dedup (operators/cluster.py), hash-checked: route
+    fixed-point embeddings (plus 5 planted exact duplicates under
+    vec_id+10000) to the vec_id<4 centroids, then flag every vector whose
+    within-cluster cosine to a LOWER id reaches 0.45 and report that
+    smallest dup_of id. Cosine = exact-integer gram entry / (sqrt * sqrt)
+    — two IEEE ops the SQL oracle replays bit-identically."""
+    import numpy as np
+
+    from polars_st_spark.operators import cluster as _cl
+
+    fp = _fp_embeddings(spark, sf, extra_dups=5)
+    init = np.array(
+        [r["e"] for r in fp.where(F.col("vec_id") < 4).orderBy("vec_id").collect()],
+        dtype=np.float64,
+    )
+    out = _cl.semantic_dedup(
+        fp, id_col="vec_id", vec_col="e", centroids=init, threshold=0.45
+    )
+    return out.select(F.col("id").alias("vec_id"), "cluster", "is_dup", "dup_of")
+
+
 def q_nearest_join(spark, sf):
     """k-nearest spatial join (operators/nearest.py), hash-checked: every
     customer point's nation rectangles within distance 9 via the GRID
@@ -2088,7 +2157,10 @@ _QUERIES = {
         "line_interpolate": q_line_interpolate,
         "hausdorff_translate": q_hausdorff_translate,
         "equals_suite": q_equals_suite,
-        "collect_count": q_collect_count,
+        # kmeans_suite takes collect_count's slot (r4e): collect stays
+        # certified in-window by fold_suite and the count_* extractors by
+        # parts_access/line_ops; the singleton moves past the window
+        "kmeans_suite": q_kmeans_suite,
         "sjoin_strategies": q_sjoin_strategies,
         # --- pipeline operators ---
         "doc_suite": q_doc_suite,
@@ -2100,7 +2172,12 @@ _QUERIES = {
         # slot (concomp's alternating-star algorithm stays certified
         # in-window transitively: near_dup_groups calls it and hash-matches)
         "hygiene_suite": q_hygiene_suite,
-        "embedding_dup": q_embedding_dup,
+        # semdedup takes embedding_dup's slot (r4e): the exact cosine
+        # kernel stays certified in-window by knn_top3, and SemDeDup is
+        # the stated 100 TB path for embedding near-dup (cluster-bounded
+        # pairs instead of the all-pairs baseline, which moves past the
+        # window for granular diagnosis)
+        "semdedup": q_semdedup,
         "knn_top3": q_knn_top3,
         "sessionize": q_sessionize,
         # tfidf_suite takes session_window's slot (r4d): sessionization stays
@@ -2128,6 +2205,10 @@ _QUERIES = {
         # utm_roundtrip/srid_roundtrip; granular diagnosis via check_oracle.py
         "buffer_area": q_buffer_area,
         "to_srid_mercator": q_to_srid_mercator,
+        # displaced by kmeans_suite / semdedup (r4e); families certified
+        # in-window by fold_suite+parts_access / knn_top3+semdedup
+        "collect_count": q_collect_count,
+        "embedding_dup": q_embedding_dup,
         # connected-components singleton (hash-checked; displaced from the
         # window by hygiene_suite — near_dup_groups certifies it in-window)
         "concomp": q_concomp,
@@ -2371,6 +2452,8 @@ def oracle_sql() -> dict[str, str]:
         "knn_top3": _oracle_knn(),
         "knn_ann": _oracle_knn_ann(),
         "pq_suite": _oracle_pq_suite(),
+        "kmeans_suite": _oracle_kmeans_suite(),
+        "semdedup": _oracle_semdedup(),
         "tfidf_suite": _oracle_tfidf_suite(),
         "geohash_suite": _oracle_geohash_suite(),
         "nearest_join": _oracle_nearest_join(),
@@ -3450,6 +3533,93 @@ def _oracle_pq_suite() -> str:
     return f"""
         SELECT vec_id, {', '.join(code_cols)}, {q8_cols}
         FROM (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings)"""
+
+
+# fixed-point embedding list shared by the k-means / SemDeDup oracles
+# (matches _fp_embeddings: exact-integer doubles, order-independent sums)
+_FP_E = "list_transform(embedding::DOUBLE[], x -> round(x * 65536.0))"
+
+
+def _sqdist_chain(fa: str, ca: str, d: int = 64) -> str:
+    """Left-associated 64-term squared-distance sum — the identical IEEE
+    sequence to cluster._assign_batch's sequential dim accumulation."""
+    return " + ".join(
+        f"({fa}[{i}]-{ca}[{i}])*({fa}[{i}]-{ca}[{i}])" for i in range(1, d + 1)
+    )
+
+
+def _oracle_kmeans_suite() -> str:
+    """Replays q_kmeans_suite: assignment = first-min argmin over the
+    left-associated distance chains; the Lloyd update = per-dim AVG (an
+    exact integer sum / count, so the division is the only rounding step
+    on either engine); empty clusters keep their init centroid."""
+    dist0 = _sqdist_chain("f.e", "i.e")
+    dist1 = _sqdist_chain("f.e", "c.e")
+    avgs = ", ".join(f"avg(f.e[{i}])" for i in range(1, 65))
+    return f"""
+        WITH fp AS (SELECT vec_id, {_FP_E} AS e FROM embeddings),
+        init AS (SELECT vec_id AS cid, e FROM fp WHERE vec_id < 4),
+        a0 AS (SELECT f.vec_id, i.cid, {dist0} AS dist FROM fp f CROSS JOIN init i),
+        asg0 AS (
+          SELECT vec_id, cid AS c0, dist AS d0 FROM (
+            SELECT vec_id, cid, dist,
+                   ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist ASC, cid ASC) AS rn
+            FROM a0
+          ) WHERE rn = 1
+        ),
+        cent1 AS (
+          SELECT a.c0 AS cid, [{avgs}] AS e
+          FROM asg0 a JOIN fp f USING (vec_id)
+          GROUP BY a.c0
+        ),
+        cents AS (SELECT i.cid, COALESCE(c.e, i.e) AS e FROM init i LEFT JOIN cent1 c USING (cid)),
+        a1 AS (SELECT f.vec_id, c.cid, {dist1} AS dist FROM fp f CROSS JOIN cents c),
+        asg1 AS (
+          SELECT vec_id, cid AS c1 FROM (
+            SELECT vec_id, cid,
+                   ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist ASC, cid ASC) AS rn
+            FROM a1
+          ) WHERE rn = 1
+        )
+        SELECT a0.vec_id, a0.c0::INT AS c0, a0.d0 AS d0, a1.c1::INT AS c1
+        FROM asg0 a0 JOIN asg1 a1 USING (vec_id)"""
+
+
+def _oracle_semdedup() -> str:
+    """Replays q_semdedup: same fixed-point routing as the k-means oracle,
+    then within-cluster lower-id pairs with cosine = exact-integer dot /
+    (sqrt * sqrt) — the two IEEE ops the applyInPandas kernel performs."""
+    dist0 = _sqdist_chain("f.e", "i.e")
+    return f"""
+        WITH base AS (
+          SELECT vec_id, embedding FROM embeddings
+          UNION ALL
+          SELECT vec_id + 10000 AS vec_id, embedding FROM embeddings WHERE vec_id < 5
+        ),
+        fp AS (SELECT vec_id, {_FP_E} AS e FROM base),
+        init AS (SELECT vec_id AS cid, e FROM fp WHERE vec_id < 4),
+        a0 AS (SELECT f.vec_id, i.cid, {dist0} AS dist FROM fp f CROSS JOIN init i),
+        asg AS (
+          SELECT vec_id, cid AS cluster FROM (
+            SELECT vec_id, cid,
+                   ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist ASC, cid ASC) AS rn
+            FROM a0
+          ) WHERE rn = 1
+        ),
+        pairs AS (
+          SELECT hi.vec_id AS v, MIN(lo.vec_id) AS dup_of
+          FROM asg hi
+          JOIN asg lo ON lo.cluster = hi.cluster AND lo.vec_id < hi.vec_id
+          JOIN fp fh ON fh.vec_id = hi.vec_id
+          JOIN fp fl ON fl.vec_id = lo.vec_id
+          WHERE list_dot_product(fh.e, fl.e)
+                / (sqrt(list_dot_product(fh.e, fh.e)) * sqrt(list_dot_product(fl.e, fl.e)))
+                >= 0.45
+          GROUP BY hi.vec_id
+        )
+        SELECT a.vec_id, a.cluster::INT AS cluster,
+               (p.dup_of IS NOT NULL) AS is_dup, p.dup_of AS dup_of
+        FROM asg a LEFT JOIN pairs p ON p.v = a.vec_id"""
 
 
 def _oracle_knn() -> str:
