@@ -1641,6 +1641,17 @@ def q_doc_suite(spark, sf):
     )
 
 
+def q_ngram_coverage(spark, sf):
+    """Cross-document n-gram duplicate coverage (operators/dedup.py
+    ngram_coverage), hash-checked: every distinct word-5-gram shingle is
+    owned by its smallest doc_id; per doc, the count and fraction of
+    shingles owned by another document (the shuffle-native approximation
+    of suffix-array substring dedup). borrowed_frac is one exact-integer
+    division, identical on both engines."""
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    return _dedup.ngram_coverage(docs, n=5)
+
+
 def q_dedup_pairs(spark, sf):
     """Near-dup candidate pairs by BOTH verify paths, tagged and unioned:
     MinHash-LSH (bands → equi-join → Jaccard verify) and exhaustive word-3-
@@ -2203,6 +2214,10 @@ _QUERIES = {
         # buffer_area / to_srid_mercator singletons (hash-checked, r4): their
         # operator families are certified in-window by buffer_styles and
         # utm_roundtrip/srid_roundtrip; granular diagnosis via check_oracle.py
+        # new r4e family (window already carries the full inventory; this
+        # row is hash-checked via scripts/check_oracle.py like the rest of
+        # the past-window set)
+        "ngram_coverage": q_ngram_coverage,
         "buffer_area": q_buffer_area,
         "to_srid_mercator": q_to_srid_mercator,
         # displaced by kmeans_suite / semdedup (r4e); families certified
@@ -2454,6 +2469,20 @@ def oracle_sql() -> dict[str, str]:
         "pq_suite": _oracle_pq_suite(),
         "kmeans_suite": _oracle_kmeans_suite(),
         "semdedup": _oracle_semdedup(),
+        "ngram_coverage": f"""
+            WITH sh AS (
+              SELECT doc_id, unnest(list_distinct({_oracle_shingles(5)})) AS s
+              FROM documents
+            ),
+            owner AS (SELECT s, MIN(doc_id) AS owner FROM sh GROUP BY s)
+            SELECT sh.doc_id,
+                   COUNT(*) AS n_shingles,
+                   CAST(SUM(CASE WHEN o.owner <> sh.doc_id THEN 1 ELSE 0 END) AS BIGINT)
+                       AS n_borrowed,
+                   CAST(SUM(CASE WHEN o.owner <> sh.doc_id THEN 1 ELSE 0 END) AS DOUBLE)
+                       / COUNT(*) AS borrowed_frac
+            FROM sh JOIN owner o USING (s)
+            GROUP BY sh.doc_id""",
         "tfidf_suite": _oracle_tfidf_suite(),
         "geohash_suite": _oracle_geohash_suite(),
         "nearest_join": _oracle_nearest_join(),

@@ -33,6 +33,7 @@ __all__ = [
     "minhash_candidates",
     "near_dup_pairs",
     "simhash_dup_pairs",
+    "ngram_coverage",
     "ngram_jaccard_pairs",
 ]
 
@@ -279,4 +280,57 @@ def simhash_dup_pairs(
         )
         .where(F.col("hamming") <= max_hamming)
         .select("id_a", "id_b", "hamming")
+    )
+
+
+def ngram_coverage(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 5,
+) -> DataFrame:
+    """Cross-document n-gram duplicate coverage via a shingle inverted
+    index — the distributed approximation of suffix-array exact substring
+    dedup (Lee et al., "Deduplicating Training Data Makes Language Models
+    Better", 2022 — public — dedups 50-token spans; here the unit is a
+    word n-gram shingle, the granularity a shuffle-based engine can own).
+
+    Every distinct shingle is "owned" by the smallest doc id containing
+    it; a document's ``borrowed_frac`` is the fraction of its distinct
+    shingles owned by some OTHER document. Near-copies of earlier docs
+    score ~1.0, fresh text ~0.0 — ``filter(borrowed_frac < tau)`` is the
+    curation step. Returns ``(id, n_shingles, n_borrowed, borrowed_frac)``
+    at one row per input document.
+
+    Scale: per-doc `array_distinct` bounds the explode at O(doc tokens);
+    ownership is a map-side-combined min-agg on the shingle key (the
+    inverted index, one hash shuffle of O(total distinct shingles) rows);
+    the join back is the same equi-key. No all-pairs joins, no driver
+    state. Skewed boilerplate shingles (one shingle in millions of docs)
+    combine map-side in both the min-agg and the count, so a hot key costs
+    one reducer O(partitions), not O(occurrences).
+    """
+    from polars_st_spark.operators.textops import shingles_from_tokens, tokens
+
+    toks = docs.select(F.col(id_col).alias("_id"), tokens(text_col).alias("_t"))
+    sh = toks.select(
+        "_id",
+        F.explode(F.array_distinct(shingles_from_tokens(F.col("_t"), n))).alias("_s"),
+    )
+    owner = sh.groupBy("_s").agg(F.min("_id").alias("_owner"))
+    per_doc = (
+        sh.join(owner, "_s")
+        .groupBy("_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            F.sum(
+                F.when(F.col("_owner") != F.col("_id"), 1).otherwise(0)
+            ).alias("n_borrowed"),
+        )
+    )
+    return per_doc.select(
+        F.col("_id").alias(id_col),
+        "n_shingles",
+        "n_borrowed",
+        (F.col("n_borrowed") / F.col("n_shingles")).alias("borrowed_frac"),
     )

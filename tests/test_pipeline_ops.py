@@ -401,3 +401,27 @@ def test_minhash_xxhash_family_independence(spark):
         ).alias("s")).first()["s"]
     agree = sum(1 for x, y in zip(a, b) if x == y)
     assert agree >= 8, agree  # J ≈ 0.75 -> most positions agree; was 0
+
+
+def test_ngram_coverage(spark):
+    rows = [
+        (1, "alpha beta gamma delta epsilon zeta eta theta"),
+        (2, "alpha beta gamma delta epsilon zeta eta theta"),   # full copy of 1
+        (3, "alpha beta gamma delta epsilon iota kappa lam mu"),  # partial overlap
+        (4, "completely different words with no overlap at all here"),
+        (5, "tiny"),                                              # < n tokens
+        (6, "tiny"),                                              # copy of the short doc
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r for r in dedup.ngram_coverage(df, n=5).collect()}
+    assert len(got) == 6
+    # doc 1 owns all its shingles; doc 2 borrows every one of them
+    assert got[1]["n_borrowed"] == 0 and got[1]["borrowed_frac"] == 0.0
+    assert got[2]["n_borrowed"] == got[2]["n_shingles"] == got[1]["n_shingles"]
+    assert got[2]["borrowed_frac"] == 1.0
+    # doc 3 shares exactly its first 5-gram "alpha beta gamma delta epsilon"
+    assert got[3]["n_borrowed"] == 1
+    assert got[4]["n_borrowed"] == 0
+    # sub-n docs fall back to a single whole-doc shingle
+    assert got[5]["n_shingles"] == 1 and got[5]["n_borrowed"] == 0
+    assert got[6]["n_shingles"] == 1 and got[6]["n_borrowed"] == 1
