@@ -568,6 +568,18 @@ def q_sample_suite(spark, sf):
     )
 
 
+def q_temperature_mix(spark, sf):
+    """Temperature-based mixture rebalancing (operators/sampling.py
+    temperature_mixture), hash-checked: alpha=0.5 keep-rates over the lang
+    groups — rate_g = (sqrt(n_g/N)/n_g)/max_h(...), a normalizer-free
+    chain of exactly-rounded ops — gated on the md5 content hash, so the
+    oracle selects the identical row set."""
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    return _samp.temperature_mixture(docs, "lang", "doc_id", alpha=0.5).select(
+        "doc_id", "lang"
+    )
+
+
 def q_sample_topn(spark, sf):
     """consistent_topn: exactly-n uniform sample as the n smallest hash
     draws (TakeOrdered plan — per-partition heaps, no global sort)."""
@@ -2218,6 +2230,7 @@ _QUERIES = {
         # row is hash-checked via scripts/check_oracle.py like the rest of
         # the past-window set)
         "ngram_coverage": q_ngram_coverage,
+        "temperature_mix": q_temperature_mix,
         "buffer_area": q_buffer_area,
         "to_srid_mercator": q_to_srid_mercator,
         # displaced by kmeans_suite / semdedup (r4e); families certified
@@ -2889,6 +2902,17 @@ def oracle_sql() -> dict[str, str]:
     d["sample_topn"] = f"""
         SELECT doc_id, lang, n_chars FROM documents
         ORDER BY {u}, doc_id LIMIT 25"""
+    # temperature mixture: rate chain is divide -> sqrt -> divide -> max ->
+    # divide, each exactly rounded, so the DuckDB rates equal the driver's
+    # Python-float rates bit for bit
+    d["temperature_mix"] = f"""
+        WITH c AS (SELECT lang, COUNT(*) AS n FROM documents GROUP BY lang),
+        tot AS (SELECT CAST(SUM(n) AS DOUBLE) AS nn FROM c),
+        r AS (SELECT lang, sqrt(n / (SELECT nn FROM tot)) / n AS rr FROM c),
+        rates AS (SELECT lang, rr / (SELECT MAX(rr) FROM r) AS rate FROM r)
+        SELECT d.doc_id, d.lang
+        FROM documents d JOIN rates USING (lang)
+        WHERE {u} < rate"""
     # chunk_text: starts = range(0, n_tokens, step); chunk k slices tokens
     # [k*step+1 .. k*step+chunk] (1-based inclusive, end clamped) — identical
     # to Spark's sequence + slice

@@ -38,11 +38,14 @@ from __future__ import annotations
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.types import DoubleType, StructField, StructType
 
 from polars_st_spark.functions.factory import col_or_lit
 
 __all__ = [
     "consistent_sample",
+    "temperature_mixture",
+    "temperature_rates",
     "consistent_topn",
     "hash_uniform",
     "pack_greedy",
@@ -186,3 +189,73 @@ def pack_greedy(
         return pdf
 
     return df.groupBy(group_col).applyInPandas(pack, out_schema)
+
+
+def temperature_rates(
+    df: DataFrame, group_col: str, alpha: float = 0.5
+) -> "list[tuple]":
+    """Per-group keep-rates for temperature-based mixture rebalancing (the
+    multilingual alpha-sampling rule of mBERT/XLM-R — Conneau et al.,
+    "Unsupervised Cross-lingual Representation Learning at Scale", 2020 —
+    public): move group shares from ``p_g = n_g/N`` toward
+    ``q_g ∝ p_g^alpha`` (alpha<1 flattens head groups, lifts tails).
+    Realized by DOWN-sampling only: ``rate_g = (p_g^alpha / n_g) /
+    max_h(p_h^alpha / n_h)`` — the normalizing sum cancels, so no
+    cross-group accumulation order enters the floats, and at the default
+    ``alpha=0.5`` the whole chain is exactly-rounded IEEE ops
+    (divide, sqrt, divide, max, divide — a SQL audit query reproduces the
+    rates bit-identically; other alphas go through ``pow``).
+
+    One map-side-combined groupBy-count (``#groups`` rows to the driver —
+    bounded: languages, sources, domains after bucketing). Returns
+    ``[(group, rate), ...]``.
+    """
+    import math
+
+    n_by = {r[0]: r[1] for r in df.groupBy(group_col).count().collect()}
+    total = sum(n_by.values())
+    if not total:
+        return []
+
+    def ratio(n: int) -> float:
+        if alpha == 0.5:
+            return math.sqrt(n / total) / n
+        return (n / total) ** alpha / n
+
+    rr = {g: ratio(n) for g, n in n_by.items()}
+    mx = max(rr.values())
+    return [(g, r / mx) for g, r in rr.items()]
+
+
+def temperature_mixture(
+    df: DataFrame,
+    group_col: str,
+    id_col: str,
+    alpha: float = 0.5,
+    seed: int = 42,
+) -> DataFrame:
+    """Deterministic temperature-resample: keep each row of group ``g``
+    with probability ``rate_g`` (see :func:`temperature_rates`) gated on
+    the content hash ``u(id)`` — reproducible across reruns, partitionings
+    and engines, and monotone in alpha like :func:`consistent_sample` is
+    in fraction. The rate table is broadcast-joined (null-safe, so a NULL
+    group is its own stratum); the filter itself is pure codegen."""
+    rates = temperature_rates(df, group_col, alpha)
+    if not rates:
+        return df.where(F.lit(False))
+    spark = df.sparkSession
+    gtype = df.schema[group_col].dataType
+    rdf = spark.createDataFrame(
+        [(g, float(r)) for g, r in rates],
+        StructType([
+            StructField("_tm_g", gtype),
+            StructField("_tm_rate", DoubleType()),
+        ]),
+    )
+    joined = df.join(
+        F.broadcast(rdf), on=df[group_col].eqNullSafe(rdf["_tm_g"]), how="left"
+    )
+    return (
+        joined.where(hash_uniform(id_col, seed) < F.col("_tm_rate"))
+        .drop("_tm_g", "_tm_rate")
+    )

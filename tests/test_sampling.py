@@ -167,3 +167,46 @@ def test_sampling_and_chunking_streaming(spark, tmp_path):
                 "doc_id", "text", chunk_tokens=3, overlap=1).collect()}
     assert {(r["doc_id"], r["chunk_idx"], r["chunk_text"], r["split"]) for r in got} == want
     assert 0 < len(got)
+
+
+def test_temperature_rates_flatten_head(spark):
+    df = spark.createDataFrame(
+        [(i, "en" if i < 800 else ("fr" if i < 950 else "sw")) for i in range(1000)],
+        "doc_id long, lang string",
+    )
+    rates = dict(S.temperature_rates(df, "lang", alpha=0.5))
+    # rarest group keeps everything; head group is cut hardest
+    assert rates["sw"] == 1.0
+    assert rates["fr"] < 1.0 and rates["en"] < rates["fr"]
+    # expected post-sample shares follow p^0.5 proportions: n_g * rate_g ∝ sqrt(n_g)
+    import math
+    k = {g: n * rates[g] / math.sqrt(n) for g, n in (("en", 800), ("fr", 150), ("sw", 50))}
+    assert max(k.values()) == pytest.approx(min(k.values()), rel=1e-12)
+
+
+def test_temperature_alpha_one_is_identity(spark):
+    df = spark.createDataFrame(
+        [(i, "a" if i % 3 else "b") for i in range(90)], "doc_id long, g string")
+    out = S.temperature_mixture(df, "g", "doc_id", alpha=1.0)
+    assert out.count() == 90  # every rate is 1.0: alpha=1 keeps the mixture
+
+
+def test_temperature_mixture_deterministic_and_null_group(spark):
+    df = spark.createDataFrame(
+        [(i, None if i % 10 == 0 else "en") for i in range(500)],
+        "doc_id long, lang string",
+    )
+    a = {r["doc_id"] for r in S.temperature_mixture(df, "lang", "doc_id").collect()}
+    b = {r["doc_id"] for r in S.temperature_mixture(df, "lang", "doc_id").collect()}
+    assert a == b and 0 < len(a) < 500
+    # the NULL stratum is rarer -> keeps a larger fraction than 'en'
+    null_kept = sum(1 for i in a if i % 10 == 0)
+    assert null_kept / 50 > (len(a) - null_kept) / 450
+    # kept set matches the closed-form gate exactly
+    rates = dict(S.temperature_rates(df, "lang"))
+    want = {
+        r["doc_id"]
+        for r in df.withColumn("u", S.hash_uniform("doc_id")).collect()
+        if r["u"] < rates[r["lang"]]
+    }
+    assert a == want
