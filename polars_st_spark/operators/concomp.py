@@ -10,11 +10,14 @@ public) converges in O(log n) rounds of pure DataFrame ops:
 - large-star: every node connects its LARGER neighbors to its smallest
   known neighbor;  small-star: the smaller-or-equal ones (plus itself).
 - each half-round is ONE shuffle (window-min over the src partition — no
-  groupBy+rejoin, no collect_list hub blowup), so a round is 2 shuffles
+  groupBy+rejoin, no collect_list hub blowup); the large-star output feeds
+  the small-star WITHOUT an intermediate dedup (window-min is multiset-
+  safe), so a full round is 3 shuffles (2 windows + 1 closing distinct)
   regardless of component shape; skewed hub nodes cost a wide partition,
   not a driver spill.
-- convergence is checked with a count+xor-hash signature of the edge set
-  (cheap action per round) rather than a full sort-compare.
+- convergence is checked with a count+xor-hash signature of the edge set;
+  checkpoints are lazy and the signature action materializes them, so a
+  round costs exactly ONE job.
 
 At the fixpoint every edge points to its component's minimum id, which
 becomes the component label. Isolated nodes (no edges) keep themselves.
@@ -39,9 +42,16 @@ def _canon(edges: DataFrame) -> DataFrame:
     )
 
 
-def _star(edges: DataFrame, large: bool) -> DataFrame:
+def _star(edges: DataFrame, large: bool, canon: bool = True) -> DataFrame:
     """One star half-round over SYMMETRIZED edges: for each node u with
-    neighborhood N(u), attach the selected neighbors to m = min(N(u), u)."""
+    neighborhood N(u), attach the selected neighbors to m = min(N(u), u).
+
+    ``canon=False`` skips the dedup shuffle on the output: a window MIN is
+    identical over a multiset, so a large-star half-round can feed the
+    small-star directly with duplicate (and self-loop) edges — at most a
+    2x row inflation for ONE half-round, in exchange for one fewer
+    shuffle per full round (the fixpoint edge set is still canonicalized
+    by the small-star's closing _canon)."""
     sym = edges.unionByName(
         edges.select(F.col("_v").alias("_u"), F.col("_u").alias("_v"))
     )
@@ -56,7 +66,7 @@ def _star(edges: DataFrame, large: bool) -> DataFrame:
         out = ann.where(F.col("_v") <= F.col("_u")).select(
             F.col("_v").alias("_u"), F.col("_m").alias("_v")
         ).unionByName(ann.select("_u", F.col("_m").alias("_v")))
-    return _canon(out)
+    return _canon(out) if canon else out
 
 
 def _signature(edges: DataFrame) -> tuple[int, int]:
@@ -94,8 +104,12 @@ def connected_components(
     )
     # edge-free input (clean corpus: no near-dup pairs at all) skips the
     # whole iteration — otherwise a no-op dedup still pays 2+ star rounds
-    # of checkpointed shuffles (visible in the e2e pipeline latency)
-    e = e.localCheckpoint(eager=True) if materialize == "local" else e.checkpoint(eager=True)
+    # of checkpointed shuffles (visible in the e2e pipeline latency).
+    # Checkpoints are LAZY: the signature action right after is what
+    # materializes them — one job per round instead of two (the round
+    # count is what dominates wall-time on small inputs; at scale the
+    # saved job is a saved full pass over the edge set).
+    e = e.localCheckpoint(eager=False) if materialize == "local" else e.checkpoint(eager=False)
     if _signature(e)[0] == 0:
         return (
             edges.select(F.col(src).alias("node"))
@@ -105,8 +119,10 @@ def connected_components(
         )
     prev = None
     for _ in range(max_iter):
-        e = _star(_star(e, large=True), large=False)
-        e = e.localCheckpoint(eager=True) if materialize == "local" else e.checkpoint(eager=True)
+        # fused round: large-star feeds small-star WITHOUT the intermediate
+        # dedup shuffle (window-min is multiset-safe); 3 shuffles per round
+        e = _star(_star(e, large=True, canon=False), large=False)
+        e = e.localCheckpoint(eager=False) if materialize == "local" else e.checkpoint(eager=False)
         sig = _signature(e)
         if sig == prev:
             break
