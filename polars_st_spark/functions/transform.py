@@ -772,6 +772,22 @@ for _z in range(2, 33):  # Pulkovo 1942 / 6-degree Gauss-Krüger zones 2-32
 # SWEREF99 TM (Sweden) and ETRS-TM35FIN (Finland): national single-zone TMs
 _TM_CODES[3006] = ("GRS80", 0.9996, 0.0, 15.0, 500000.0, 0.0, None)
 _TM_CODES[3067] = ("GRS80", 0.9996, 0.0, 27.0, 500000.0, 0.0, None)
+# JGD2011 / Japan Plane Rectangular CS zones I-XIX (EPSG 6669-6687):
+# k0=0.9999, no false origin, per-zone natural origins (public EPSG
+# registry values; JGD2011 is ITRF-based, treated as ≡WGS84 like NZGD2000)
+for _i, (_la, _lo) in enumerate([
+    (33.0, 129.5), (33.0, 131.0), (36.0, 132.0 + 1 / 6), (33.0, 133.5),
+    (36.0, 134.0 + 1 / 3), (36.0, 136.0), (36.0, 137.0 + 1 / 6),
+    (36.0, 138.5), (36.0, 139.0 + 5 / 6), (40.0, 140.0 + 5 / 6),
+    (44.0, 140.25), (44.0, 142.25), (44.0, 144.25), (26.0, 142.0),
+    (26.0, 127.5), (26.0, 124.0), (26.0, 131.0), (20.0, 136.0),
+    (26.0, 154.0),
+]):
+    _TM_CODES[6669 + _i] = ("GRS80", 0.9999, _la, _lo, 0.0, 0.0, None)
+# Korea 2000 belts (EPSG 5185-5188: West/Central/East/East Sea):
+# k0=1, lat0=38, FE=200000, FN=600000, GRS80 (≡WGS84-compatible datum)
+for _i, _lo in enumerate([125.0, 127.0, 129.0, 131.0]):
+    _TM_CODES[5185 + _i] = ("GRS80", 1.0, 38.0, _lo, 200000.0, 600000.0, None)
 
 
 def _tm_code_fns(srid: int):

@@ -565,3 +565,44 @@ def test_csv_wkt_roundtrip(spark, tmp_path):
     bad.write_text("a,b\n1,2\n")
     with pytest.raises(ValueError, match="geometry column"):
         read_file(spark, str(bad))
+
+
+def test_jgd2011_and_korea2000_tm_codes(spark):
+    """r4e zone families: JGD2011 Japan Plane Rectangular CS I-XIX
+    (EPSG 6669-6687, k0=0.9999, zero false origin) and Korea 2000 belts
+    (5185-5188, k0=1, FE/FN 200000/600000). Origin exactness, round-trip
+    identity, and a coarse geography anchor for Tokyo in zone IX."""
+    import numpy as np
+
+    from polars_st_spark.functions import transform as T
+
+    # natural origin -> false origin, bit-exact, for every new code
+    for code in list(range(6669, 6688)) + list(range(5185, 5189)):
+        _, _, lat0, lon0, fe, fn, _ = T._TM_CODES[code]
+        fwd, inv = T._tm_code_fns(code)
+        x, y = fwd(np.array([[lon0, lat0]]))[0]
+        assert (x, y) == (fe, fn), code
+        # round-trip a grid around the origin to 1e-9 deg
+        lons = np.linspace(lon0 - 0.8, lon0 + 0.8, 5)
+        lats = np.linspace(lat0 - 0.8, lat0 + 0.8, 5)
+        pts = np.array([[lo, la] for lo in lons for la in lats])
+        back = inv(fwd(pts.copy()))
+        assert np.abs(back - pts).max() < 1e-9, code
+
+    # Tokyo (139.74E, 35.65N) in zone IX (EPSG 6677): ~8.4 km west and
+    # ~38.8 km south of the (139°50'E, 36N) origin
+    fwd9 = T._tm_code_fns(6677)[0]
+    x, y = fwd9(np.array([[139.74, 35.65]]))[0]
+    assert -9000 < x < -8000 and -39400 < y < -38400
+
+    # column path: st_to_srid dispatches the new codes and round-trips
+    df = spark.createDataFrame(
+        [(1, 139.74, 35.65, 6677), (2, 126.98, 37.57, 5186)],
+        ["id", "lon", "lat", "code"],
+    )
+    for code in (6677, 5186):
+        sub = df.where(F.col("code") == code)
+        pt = st.st_set_srid(st.st_point("lon", "lat"), 4326)
+        back = sub.select(
+            st.st_x(st.st_to_srid(st.st_to_srid(pt, code), 4326)).alias("lon2")).first()
+        assert abs(back["lon2"] - sub.first()["lon"]) < 1e-9
