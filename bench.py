@@ -291,6 +291,27 @@ def main() -> None:
     #   near-dup keep -> decontamination -> scrub -> chunk) in one plan
     from polars_st_spark.operators.pipeline import pretraining_pipeline as _pp
 
+    # - p9: SemDeDup — distributed k-means fit (3 Lloyd rounds, one
+    #   map-side-combined agg per round) + cluster-bounded pairwise cosine
+    from polars_st_spark.operators import cluster as _cl
+
+    def _p9():
+        cents = _cl.kmeans_fit(emb, k=8, vec_col="embedding", iters=3, seed=7)
+        return _cl.semantic_dedup(
+            emb, id_col="vec_id", centroids=cents, threshold=0.9
+        ).where(F.col("is_dup")).count()
+
+    variants["p9_semdedup"] = timed(_p9)
+    # - p10: corpus curation sweep — cross-doc shingle ownership + the
+    #   temperature-mixture gate (count of the curated-kept set)
+    def _p10():
+        cov = _dedup.ngram_coverage(docs, n=5).where(F.col("borrowed_frac") < 0.5)
+        mixed = _samp.temperature_mixture(
+            cov.join(docs.select("doc_id", "lang"), "doc_id"), "lang", "doc_id"
+        )
+        return mixed.count()
+
+    variants["p10_curation"] = timed(_p10)
     variants["p8_pipeline_e2e"] = timed(
         lambda: _pp(
             docs, benchmark=docs.where(F.col("doc_id") % 97 == 0),
