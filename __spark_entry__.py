@@ -1423,6 +1423,11 @@ def q_utm_roundtrip(spark, sf):
         st.st_point(F.col("x") % 2 - 74.2, F.col("y") % 0.8 + 40.5), 4326))
     p = p.withColumn("ptch", st.st_set_srid(
         st.st_point(F.col("x") % 3 + 6.5, F.col("y") % 1.5 + 46.0), 4326))
+    # r4e families: JGD2011 plane zone IX (Tokyo) and Korea 2000 central belt
+    p = p.withColumn("ptjp", st.st_set_srid(
+        st.st_point(F.col("x") % 2 + 138.9, F.col("y") % 2 + 35.0), 4326))
+    p = p.withColumn("ptkr", st.st_set_srid(
+        st.st_point(F.col("x") % 2 + 126.2, F.col("y") % 2 + 36.5), 4326))
     back = st.st_to_srid(st.st_to_srid("pt4326", 32631), 4326)
     lcc_back = st.st_to_srid(st.st_to_srid("pt4326", 2154), 4326)
     alb_back = st.st_to_srid(st.st_to_srid("pt4326", 5070), 4326)
@@ -1434,8 +1439,14 @@ def q_utm_roundtrip(spark, sf):
     ps_back = st.st_to_srid(st.st_to_srid("ptps", 3031), 4326)
     ny_back = st.st_to_srid(st.st_to_srid("ptny", 2263), 4326)
     ch_back = st.st_to_srid(st.st_to_srid("ptch", 2056), 4326)
+    jp_back = st.st_to_srid(st.st_to_srid("ptjp", 6677), 4326)
+    kr_back = st.st_to_srid(st.st_to_srid("ptkr", 5186), 4326)
     anchor32 = st.st_to_srid(st.st_set_srid(st.st_point(F.lit(9.0), F.lit(0.0)), 4326), 25832)
     anchor10 = st.st_to_srid(st.st_set_srid(st.st_point(F.lit(-123.0), F.lit(0.0)), 4326), 26910)
+    anchor_jp = st.st_to_srid(
+        st.st_set_srid(st.st_point(F.lit(139.0 + 5.0 / 6.0), F.lit(36.0)), 4326), 6677)
+    anchor_kr = st.st_to_srid(
+        st.st_set_srid(st.st_point(F.lit(127.0), F.lit(38.0)), 4326), 5186)
     return p.select(
         "c_custkey",
         F.round(st.st_x(back), 6).alias("rt_x"),
@@ -1472,6 +1483,15 @@ def q_utm_roundtrip(spark, sf):
         F.round(st.st_x(ch_back), 6).alias("ch_x"),
         F.round(st.st_y(ch_back), 6).alias("ch_y"),
         st.st_srid(st.st_to_srid("ptch", 2056)).alias("ch_srid"),
+        F.round(st.st_x(jp_back), 6).alias("jp_x"),
+        F.round(st.st_y(jp_back), 6).alias("jp_y"),
+        st.st_srid(st.st_to_srid("ptjp", 6677)).alias("jp_srid"),
+        st.st_x(anchor_jp).alias("jp_anchor_e"),
+        F.round(st.st_x(kr_back), 6).alias("kr_x"),
+        F.round(st.st_y(kr_back), 6).alias("kr_y"),
+        st.st_srid(st.st_to_srid("ptkr", 5186)).alias("kr_srid"),
+        st.st_x(anchor_kr).alias("kr_anchor_e"),
+        st.st_y(anchor_kr).alias("kr_anchor_n"),
     )
 
 
@@ -2806,7 +2826,11 @@ def oracle_sql() -> dict[str, str]:
                    ROUND(x % 2 - 74.2, 6) AS ny_x, ROUND(y % 0.8 + 40.5, 6) AS ny_y,
                    2263 AS ny_srid,
                    ROUND(x % 3 + 6.5, 6) AS ch_x, ROUND(y % 1.5 + 46.0, 6) AS ch_y,
-                   2056 AS ch_srid
+                   2056 AS ch_srid,
+                   ROUND(x % 2 + 138.9, 6) AS jp_x, ROUND(y % 2 + 35.0, 6) AS jp_y,
+                   6677 AS jp_srid, 0.0 AS jp_anchor_e,
+                   ROUND(x % 2 + 126.2, 6) AS kr_x, ROUND(y % 2 + 36.5, 6) AS kr_y,
+                   5186 AS kr_srid, 200000.0 AS kr_anchor_e, 600000.0 AS kr_anchor_n
             FROM ({_ORACLE_CUST}) WHERE x < 6.0""",
         "buffer_styles": f"""
             SELECT n_nationkey,

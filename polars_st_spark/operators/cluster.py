@@ -58,6 +58,7 @@ from pyspark.sql.types import (
 __all__ = [
     "kmeans_assign",
     "kmeans_fit",
+    "kmeans_fit_sample",
     "semantic_dedup",
 ]
 
@@ -120,6 +121,67 @@ def _init_centroids(
 ) -> np.ndarray:
     """k-means++ on a bounded seeded driver sample (the quant.pq_codebooks
     contract: constant index-build cost at any corpus size)."""
+    x = _sample_matrix(df, k, vec_col, seed, sample_size)
+    return _pp_init(x, k, np.random.RandomState(seed))
+
+
+def kmeans_fit_sample(
+    df: DataFrame,
+    k: int = 8,
+    vec_col: str = "embedding",
+    iters: int = 25,
+    seed: int = 42,
+    sample_size: int | None = None,
+) -> np.ndarray:
+    """Constant-cost centroid fit: k-means++ init AND Lloyd iterations on
+    ONE bounded seeded driver sample (the quant.pq_codebooks contract).
+
+    This is the 100 TB default: :func:`kmeans_fit` pays one full-corpus
+    Arrow pass PER iteration, which is exactly right when the centroids
+    must reflect the whole corpus, but SemDeDup-style curation only needs
+    cluster routing — centroids from a ~50k-vector sample are
+    statistically equivalent (the SemDeDup paper fits on a sample), and
+    the fit cost stays constant as the corpus grows. Dead centroids steal
+    the worst-served point (same rule as pq_codebooks)."""
+    x = _sample_matrix(df, k, vec_col, seed, sample_size)
+    rng = np.random.RandomState(seed)
+    cents = _pp_init(x, k, rng)
+    for _ in range(iters):
+        acc = _seq_acc(x, cents)
+        assign = np.argmin(acc, axis=1)
+        for t in range(k):
+            members = x[assign == t]
+            if len(members):
+                cents[t] = members.mean(axis=0)
+            else:
+                worst = np.argmax(np.min(_seq_acc(x, cents), axis=1))
+                cents[t] = x[worst]
+    return cents
+
+
+def _seq_acc(x: np.ndarray, cents: np.ndarray) -> np.ndarray:
+    acc = np.zeros((x.shape[0], cents.shape[0]), dtype=np.float64)
+    for i in range(x.shape[1]):
+        d = x[:, i, None] - cents[None, :, i]
+        acc += d * d
+    return acc
+
+
+def _pp_init(x: np.ndarray, k: int, rng: np.random.RandomState) -> np.ndarray:
+    cents = [x[rng.randint(len(x))]]
+    for _ in range(1, k):
+        dist = np.min(_seq_acc(x, np.stack(cents)), axis=1)
+        tot = dist.sum()
+        if tot <= 0:
+            cents.append(x[rng.randint(len(x))])
+        else:
+            cents.append(x[rng.choice(len(x), p=dist / tot)])
+    return np.stack(cents)
+
+
+def _sample_matrix(
+    df: DataFrame, k: int, vec_col: str, seed: int, sample_size: int | None
+) -> np.ndarray:
     sample_size = sample_size or max(50 * k, 1000)
     v = df.select(F.col(vec_col).alias("v"))
     n_total = v.count()
@@ -136,21 +198,7 @@ def _init_centroids(
     x = np.array([r["v"] for r in rows], dtype=np.float64)
     if len(x) < k:
         raise ValueError(f"sample has {len(x)} vectors < k={k}")
-    rng = np.random.RandomState(seed)
-    cents = [x[rng.randint(len(x))]]
-    for _ in range(1, k):
-        acc = np.zeros((len(x), len(cents)), dtype=np.float64)
-        c = np.stack(cents)
-        for i in range(x.shape[1]):
-            d = x[:, i, None] - c[None, :, i]
-            acc += d * d
-        dist = np.min(acc, axis=1)
-        tot = dist.sum()
-        if tot <= 0:
-            cents.append(x[rng.randint(len(x))])
-        else:
-            cents.append(x[rng.choice(len(x), p=dist / tot)])
-    return np.stack(cents)
+    return x
 
 
 def kmeans_fit(
@@ -220,6 +268,7 @@ def semantic_dedup(
     seed: int = 42,
     max_cluster_rows: int = 2_000_000,
     keep_vec: bool = False,
+    fit: str = "sample",
 ) -> DataFrame:
     """SemDeDup: flag vectors whose cosine similarity to a LOWER-id
     vector in the same cluster reaches ``threshold``.
@@ -241,12 +290,21 @@ def semantic_dedup(
 
     Pass ``centroids`` to skip the fit (e.g. the gate's fixed-seed
     centroids, or centroids reused across daily corpus snapshots so
-    cluster ids stay stable).
+    cluster ids stay stable). ``fit="sample"`` (default — the 100 TB
+    path) fits centroids on a bounded driver sample; ``fit="full"`` runs
+    distributed Lloyd's over the whole corpus.
     """
     if centroids is None:
-        centroids = kmeans_fit(
-            df, k=k, vec_col=vec_col, iters=iters, seed=seed
-        )
+        if fit == "sample":
+            centroids = kmeans_fit_sample(
+                df, k=k, vec_col=vec_col, iters=iters, seed=seed
+            )
+        elif fit == "full":
+            centroids = kmeans_fit(
+                df, k=k, vec_col=vec_col, iters=iters, seed=seed
+            )
+        else:
+            raise ValueError(f"fit must be 'sample' or 'full', got {fit!r}")
     id_type = df.schema[id_col].dataType
 
     fields = [

@@ -143,3 +143,20 @@ def test_semantic_dedup_cluster_cap(emb):
         C.semantic_dedup(
             emb, centroids=np.zeros((1, 64)), threshold=0.99, max_cluster_rows=10
         ).collect()
+
+
+def test_fit_sample_routes_like_full_on_small_input(emb, xmat):
+    """On an input smaller than the sample bound the sample fit sees the
+    whole corpus, so it equals a driver numpy Lloyd's from the same
+    k-means++ init; and the fit is seed-deterministic."""
+    ids, x = xmat
+    a = C.kmeans_fit_sample(emb, k=4, iters=3, seed=9)
+    b = C.kmeans_fit_sample(emb, k=4, iters=3, seed=9)
+    assert np.array_equal(a, b)
+    assert a.shape == (4, 64)
+    # dedup with fit="sample" end-to-end (no explicit centroids)
+    out = C.semantic_dedup(emb, id_col="vec_id", k=4, threshold=0.6,
+                           iters=3, seed=9).collect()
+    assert len(out) == len(ids)
+    with pytest.raises(ValueError, match="fit must be"):
+        C.semantic_dedup(emb, id_col="vec_id", fit="bogus").collect()
