@@ -1673,6 +1673,21 @@ def q_doc_suite(spark, sf):
     )
 
 
+def q_script_suite(spark, sf):
+    """Unicode script detection (operators/textops.py script_fracs /
+    dominant_script), hash-checked: per-script fractions of the
+    non-whitespace character count (codegen regexp_replace length deltas —
+    ranges written in the Java∩RE2 \\x{...} portable subset) and the
+    argmax script with deterministic ties."""
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    fr = _t.script_fracs("text")
+    return docs.select(
+        "doc_id",
+        *[fr[k].alias(f"{k}_frac") for k in sorted(fr)],
+        _t.dominant_script("text").alias("dom_script"),
+    )
+
+
 def q_ngram_coverage(spark, sf):
     """Cross-document n-gram duplicate coverage (operators/dedup.py
     ngram_coverage), hash-checked: every distinct word-5-gram shingle is
@@ -2251,6 +2266,7 @@ _QUERIES = {
         # the past-window set)
         "ngram_coverage": q_ngram_coverage,
         "temperature_mix": q_temperature_mix,
+        "script_suite": q_script_suite,
         "buffer_area": q_buffer_area,
         "to_srid_mercator": q_to_srid_mercator,
         # displaced by kmeans_suite / semdedup (r4e); families certified
@@ -2502,6 +2518,7 @@ def oracle_sql() -> dict[str, str]:
         "pq_suite": _oracle_pq_suite(),
         "kmeans_suite": _oracle_kmeans_suite(),
         "semdedup": _oracle_semdedup(),
+        "script_suite": _oracle_script_suite(),
         "ngram_coverage": f"""
             WITH sh AS (
               SELECT doc_id, unnest(list_distinct({_oracle_shingles(5)})) AS s
@@ -3623,6 +3640,35 @@ def _sqdist_chain(fa: str, ca: str, d: int = 64) -> str:
     return " + ".join(
         f"({fa}[{i}]-{ca}[{i}])*({fa}[{i}]-{ca}[{i}])" for i in range(1, d + 1)
     )
+
+
+def _oracle_script_suite() -> str:
+    """Replays q_script_suite: the same portable \\x{...} ranges (generated
+    from textops.SCRIPT_RANGES so they cannot drift), RE2 needs the 'g'
+    flag for remove-all; dominant script via DuckDB struct list_max —
+    identical (score, -rank) tie rule."""
+    from polars_st_spark.operators.textops import SCRIPT_RANGES
+
+    names = sorted(SCRIPT_RANGES)
+    cnt = {
+        k: f"(length(text) - length(regexp_replace(text, '[{SCRIPT_RANGES[k]}]', '', 'g')))"
+        for k in names
+    }
+    denom = r"length(regexp_replace(text, '\s', '', 'g'))"
+    fracs = ", ".join(
+        f"CASE WHEN {denom} > 0 THEN CAST({cnt[k]} AS DOUBLE) / {denom} "
+        f"ELSE 0.0 END AS {k}_frac"
+        for k in names
+    )
+    structs = ", ".join(
+        f"struct_pack(score := {cnt[k]}, rnk := {-i}, script := '{k}')"
+        for i, k in enumerate(names)
+    )
+    return f"""
+        SELECT doc_id, {fracs},
+               CASE WHEN best['score'] > 0 THEN best['script'] ELSE 'und' END
+                   AS dom_script
+        FROM (SELECT doc_id, text, list_max([{structs}]) AS best FROM documents)"""
 
 
 def _oracle_kmeans_suite() -> str:

@@ -31,6 +31,9 @@ __all__ = [
     "quality_score",
     "lang_scores",
     "lang_predict",
+    "dominant_script",
+    "script_counts",
+    "script_fracs",
     "shingles",
     "minhash_signature",
     "minhash_signature_from_shingles",
@@ -401,3 +404,52 @@ def chunk_text(
         .withColumn("chunk_n_tokens", F.size(F.col("_slice")))
         .drop("_toks", "_start", "_slice")
     )
+
+
+# Unicode script ranges in the Java-regex ∩ RE2 portable subset (\x{...}
+# hex escapes, explicit ranges — named script classes spell differently
+# across engines). "cjk" folds Han + kana + hangul: the practical
+# CJK-document signal for corpus routing.
+SCRIPT_RANGES = {
+    "arabic": r"\x{0600}-\x{06FF}",
+    "cjk": r"\x{3040}-\x{30FF}\x{4E00}-\x{9FFF}\x{AC00}-\x{D7AF}",
+    "cyrillic": r"\x{0400}-\x{04FF}",
+    "digit": r"0-9",
+    "latin": r"A-Za-z\x{00C0}-\x{024F}",
+}
+
+
+def script_counts(text) -> dict:
+    """Per-script character counts (pure codegen: length delta after
+    regexp_replace removal — no explode, no UDF)."""
+    c = col_or_lit(text)
+    return {
+        name: F.length(c) - F.length(F.regexp_replace(c, f"[{rng}]", ""))
+        for name, rng in SCRIPT_RANGES.items()
+    }
+
+
+def script_fracs(text) -> dict:
+    """Per-script fractions of the NON-WHITESPACE character count (0.0 for
+    empty docs) — the corpus-routing signal: a 'zh'-labelled crawl page
+    that is 90% Latin is mislabelled or boilerplate. One exact integer
+    division per script (engine-portable)."""
+    c = col_or_lit(text)
+    denom = F.length(F.regexp_replace(c, r"\s", ""))
+    return {
+        name: F.when(denom > 0, cnt.cast("double") / denom.cast("double")).otherwise(F.lit(0.0))
+        for name, cnt in script_counts(c).items()
+    }
+
+
+def dominant_script(text) -> Column:
+    """Argmax script by character count; 'und' when no scripted characters.
+    Ties break toward the alphabetically-first script name (the
+    lang_predict struct-max rule)."""
+    counts = script_counts(text)
+    ranked = [
+        F.struct(v.alias("score"), F.lit(-i).alias("rank"), F.lit(k).alias("script"))
+        for i, (k, v) in enumerate(sorted(counts.items()))
+    ]
+    best = F.array_max(F.array(*ranked))
+    return F.when(best["score"] > 0, best["script"]).otherwise(F.lit("und"))

@@ -425,3 +425,34 @@ def test_ngram_coverage(spark):
     # sub-n docs fall back to a single whole-doc shingle
     assert got[5]["n_shingles"] == 1 and got[5]["n_borrowed"] == 0
     assert got[6]["n_shingles"] == 1 and got[6]["n_borrowed"] == 1
+
+
+def test_script_detection(spark):
+    rows = [
+        (1, "hello world plain ascii"),
+        (2, "Привет мир как дела сегодня"),
+        (3, "漢字とひらがなとカタカナの文書です"),
+        (4, "مرحبا بالعالم هذا نص عربي"),
+        (5, "mixed 漢字 and latin text here"),
+        (6, "12345 67890"),
+        (7, ""),
+        (8, "¡güten Tag señor Ångström!"),  # extended-Latin accents count as latin
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    fr = textops.script_fracs("text")
+    got = {
+        r["doc_id"]: r
+        for r in df.select(
+            "doc_id",
+            *[v.alias(k) for k, v in fr.items()],
+            textops.dominant_script("text").alias("dom"),
+        ).collect()
+    }
+    assert got[1]["dom"] == "latin" and got[1]["latin"] > 0.9
+    assert got[2]["dom"] == "cyrillic" and got[2]["cyrillic"] > 0.9
+    assert got[3]["dom"] == "cjk" and got[3]["cjk"] == 1.0
+    assert got[4]["dom"] == "arabic"
+    assert got[5]["dom"] == "latin" and 0 < got[5]["cjk"] < 0.2
+    assert got[6]["dom"] == "digit" and got[6]["digit"] == 1.0
+    assert got[7]["dom"] == "und" and got[7]["latin"] == 0.0
+    assert got[8]["dom"] == "latin" and got[8]["latin"] > 0.8
