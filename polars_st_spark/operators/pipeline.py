@@ -10,16 +10,22 @@ lineage, all public):
     3. near-dup dedup     — MinHash-LSH pairs → connected components →
                             keep the cluster minimum (band equi-joins,
                             O(log n) star rounds; never all-pairs)
-    4. decontamination    — drop docs sharing a word n-gram with the
+    4. semantic dedup     — optional SemDeDup stage when an embeddings
+                            frame is supplied: cluster-bounded cosine
+                            pruning of paraphrase/template dups that
+                            survive lexical MinHash (operators/cluster.py)
+    5. decontamination    — drop docs sharing a word n-gram with the
                             benchmark set (broadcast semi-join; optional
                             exact-preserving Bloom prescreen)
-    5. PII scrub          — chained codegen regex replacement
-    6. chunking           — overlapping token windows (pure SQL)
+    6. PII scrub          — chained codegen regex replacement
+    7. chunking           — overlapping token windows (pure SQL)
 
 Each stage is the already-oracled operator; the composition itself is
 hash-checked end to end by the ``pipeline_e2e`` gate row (one CTE chain
-replaying stages 1-6 in DuckDB). Stages toggle off via parameters, so a
-corpus build picks its subset without re-plumbing.
+replaying the lexical stages in DuckDB; the optional semantic stage's
+operator has its own ``semdedup`` gate row and the composition is
+pytest-verified). Stages toggle off via parameters, so a corpus build
+picks its subset without re-plumbing.
 """
 
 from __future__ import annotations
@@ -40,6 +46,10 @@ def pretraining_pipeline(
     exact_dedup: bool = True,
     near_dup_threshold: float | None = 0.5,
     near_dup_kwargs: dict | None = None,
+    embeddings: DataFrame | None = None,
+    embedding_col: str = "embedding",
+    semantic_threshold: float = 0.99,
+    semantic_kwargs: dict | None = None,
     decontam_n: int = 8,
     decontam_bloom_fpp: float | None = None,
     scrub: bool = True,
@@ -83,6 +93,19 @@ def pretraining_pipeline(
         )
         keep = groups.where(F.col("keep")).select(id_col)
         out = out.join(keep, on=id_col, how="left_semi")
+    if embeddings is not None:
+        # SemDeDup over the SURVIVORS only: join the embedding frame to the
+        # current id set first (semi-join pushes the dedup work down to the
+        # post-lexical-dedup corpus), then drop flagged rows
+        from polars_st_spark.operators.cluster import semantic_dedup
+
+        emb = embeddings.join(out.select(id_col), on=id_col, how="left_semi")
+        flags = semantic_dedup(
+            emb, id_col=id_col, vec_col=embedding_col,
+            threshold=semantic_threshold, **(semantic_kwargs or {}),
+        )
+        keep_sem = flags.where(~F.col("is_dup")).select(F.col("id").alias(id_col))
+        out = out.join(keep_sem, on=id_col, how="left_semi")
     if benchmark is not None:
         out = H.decontaminate(
             out, benchmark, n=decontam_n, text_col=text_col, id_col=id_col,

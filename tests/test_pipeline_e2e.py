@@ -93,3 +93,32 @@ def test_stateless_pipeline_stages_stream(spark, tmp_path, corpus):
         exact_dedup=False, near_dup_threshold=None,
         chunk_tokens=8, chunk_overlap=2).collect()}
     assert got == want and len(got) > 0
+
+
+def test_pipeline_semantic_stage(spark):
+    """The optional SemDeDup stage drops exactly the flagged semantic dups
+    among the lexical survivors and composes with the other stages."""
+    import numpy as np
+
+    from polars_st_spark.operators.pipeline import pretraining_pipeline
+
+    rng = np.random.RandomState(3)
+    base = rng.randn(20, 8)
+    base[7] = base[3] + 1e-9   # 7 is a semantic dup of 3
+    base[15] = base[11]        # 15 duplicates 11 exactly
+    docs = spark.createDataFrame(
+        [(i, "the quick brown fox jumps over the lazy dog number %d ok fine" % i)
+         for i in range(20)],
+        "doc_id long, text string",
+    )
+    emb = spark.createDataFrame(
+        [(i, [float(v) for v in base[i]]) for i in range(20)],
+        "doc_id long, embedding array<double>",
+    )
+    out = pretraining_pipeline(
+        docs, quality=False, exact_dedup=False, near_dup_threshold=None,
+        embeddings=emb, semantic_threshold=0.999,
+        semantic_kwargs={"centroids": np.zeros((1, 8))}, scrub=False,
+    )
+    kept = {r["doc_id"] for r in out.select("doc_id").collect()}
+    assert kept == set(range(20)) - {7, 15}
