@@ -138,7 +138,12 @@ def _u32_at(u8: np.ndarray, off: np.ndarray) -> np.ndarray:
 
 def _gather_rings(u8, order_off, order_npts):
     """One coordinate matrix from per-ring byte spans (ragged arange +
-    a single fancy-index byte gather, then an f8 view)."""
+    a single fancy-index byte gather, then an f8 view).
+
+    The index array IS the parse cost (profiled: arange+repeat dominate
+    the whole polygonal parse), so it is built in int32 whenever the
+    concat buffer allows — Arrow batches are far below 2 GiB, and the
+    int64 branch keeps correctness for pathological callers."""
     sizes = order_npts * 16
     total = int(sizes.sum())
     if not total:
@@ -146,7 +151,13 @@ def _gather_rings(u8, order_off, order_npts):
     starts = np.cumsum(sizes) - sizes
     # one repeat: arange relative to each ring's flat start, shifted to its
     # byte offset in the concat buffer
-    idx = np.arange(total, dtype=np.int64) + np.repeat(order_off - starts, sizes)
+    shift = order_off - starts
+    if total < 2**31 and len(u8) < 2**31:
+        idx = np.arange(total, dtype=np.int32)
+        idx += np.repeat(shift.astype(np.int32), sizes)
+    else:
+        idx = np.arange(total, dtype=np.int64)
+        idx += np.repeat(shift, sizes)
     return u8[idx].view("<f8").reshape(-1, 2)
 
 
