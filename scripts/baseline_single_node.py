@@ -289,6 +289,70 @@ def p7(docs: pd.DataFrame) -> None:
     sorted(scores, reverse=True)[:10]
 
 
+def p9(emb: pd.DataFrame) -> None:
+    """SemDeDup floor: numpy Lloyd's (k=8, 3 rounds) + per-cluster gram
+    matrix with the greedy lower-id rule — the identical FLOP shape to the
+    engine's kmeans_fit + semantic_dedup, single process."""
+    x = np.array(list(emb.embedding), dtype=np.float64)
+    ids = emb.vec_id.to_numpy()
+    cents = x[:8].copy()
+    for it in range(4):  # 3 update rounds + final assignment
+        d = ((x[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+        a = d.argmin(axis=1)
+        if it == 3:
+            break
+        for t in range(8):
+            m = x[a == t]
+            if len(m):
+                cents[t] = m.mean(axis=0)
+    total = 0
+    for t in range(8):
+        sel = np.nonzero(a == t)[0]
+        sel = sel[np.argsort(ids[sel])]
+        xx = x[sel]
+        norms = np.linalg.norm(xx, axis=1)
+        norms[norms == 0] = 1.0
+        u = xx / norms[:, None]
+        sims = u @ u.T
+        total += int(np.tril(sims >= 0.9, -1).any(axis=1).sum())
+
+
+def p10(docs: pd.DataFrame) -> None:
+    """Curation-sweep floor: dict-based shingle ownership + borrowed-frac
+    filter, then the md5 temperature gate — same algorithms, one process."""
+    import hashlib
+    import math
+
+    ids = docs.doc_id.to_numpy()
+    owner: dict = {}
+    shingle_sets = []
+    for i, t in zip(ids, docs.text):
+        toks = _WS.split(t.strip().lower())
+        if len(toks) >= 5:
+            sh = {" ".join(toks[j:j + 5]) for j in range(len(toks) - 4)}
+        else:
+            sh = {" ".join(toks)}
+        shingle_sets.append(sh)
+        for s_ in sh:
+            o = owner.get(s_)
+            if o is None or i < o:
+                owner[s_] = i
+    keep_mask = []
+    for i, sh in zip(ids, shingle_sets):
+        borrowed = sum(1 for s_ in sh if owner[s_] != i)
+        keep_mask.append(borrowed / len(sh) < 0.5)
+    kd = docs[np.array(keep_mask)]
+    counts = kd.lang.value_counts().to_dict()
+    total = sum(counts.values())
+    rr = {g: math.sqrt(nn / total) / nn for g, nn in counts.items()}
+    mx = max(rr.values())
+    n_kept = 0
+    for i, g in zip(kd.doc_id, kd.lang):
+        u = int(hashlib.md5(f"42:{i}".encode()).hexdigest()[:8], 16) / 2**32
+        if u < rr[g] / mx:
+            n_kept += 1
+
+
 def main() -> None:
     li = li_rects()
     nat = nation_rects()
@@ -312,6 +376,8 @@ def main() -> None:
         "p5_hygiene": timed(lambda: p5(docs)),
         "p6_nearest_join": timed(lambda: p6(cust, nat)),
         "p7_tfidf_bm25": timed(lambda: p7(docs)),
+        "p9_semdedup": timed(lambda: p9(emb)),
+        "p10_curation": timed(lambda: p10(docs)),
     }
     out = {
         "sf": SF.rstrip("/").rsplit("sf", 1)[-1],
