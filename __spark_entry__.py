@@ -1673,6 +1673,46 @@ def q_doc_suite(spark, sf):
     )
 
 
+def q_url_suite(spark, sf):
+    """URL/domain curation (operators/weburl.py), hash-checked: URLs
+    synthesized deterministically from (source, lang, doc_id) — covering
+    ccTLD second-level registries, tracking params and fragments — then
+    host extraction, the eTLD+1 heuristic, tracking-param canonicalization
+    (exact split/filter/rejoin) and a domain blocklist keep-flag."""
+    from polars_st_spark.operators import weburl as _w
+
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    tld = (
+        F.when(F.col("lang") == "en", F.lit("com"))
+        .when(F.col("lang") == "fr", F.lit("co.uk"))
+        .when(F.col("lang") == "de", F.lit("de"))
+        .when(F.col("lang") == "es", F.lit("com"))
+        .otherwise(F.lit("com.cn"))
+    )
+    tail = (
+        F.when(F.col("doc_id") % 3 == 0,
+               F.concat(F.lit("?utm_source=x&id="), F.col("doc_id").cast("string")))
+        .when(F.col("doc_id") % 3 == 1,
+              F.concat(F.lit("?id="), F.col("doc_id").cast("string"), F.lit("&gclid=z#top")))
+        .otherwise(F.lit(""))
+    )
+    u = docs.select(
+        "doc_id",
+        F.concat(
+            F.lit("https://"), F.col("source"), F.lit(".example."), tld,
+            F.lit("/doc/"), F.col("doc_id").cast("string"), tail,
+        ).alias("url"),
+    )
+    flagged = _w.domain_blocklist_filter(u, "url", ["example.co.uk"], keep_col="kept")
+    return flagged.select(
+        "doc_id",
+        _w.url_host("url").alias("host"),
+        _w.registered_domain(_w.url_host("url")).alias("dom"),
+        _w.url_strip_tracking("url").alias("clean"),
+        "kept",
+    )
+
+
 def q_script_suite(spark, sf):
     """Unicode script detection (operators/textops.py script_fracs /
     dominant_script), hash-checked: per-script fractions of the
@@ -2267,6 +2307,7 @@ _QUERIES = {
         "ngram_coverage": q_ngram_coverage,
         "temperature_mix": q_temperature_mix,
         "script_suite": q_script_suite,
+        "url_suite": q_url_suite,
         "buffer_area": q_buffer_area,
         "to_srid_mercator": q_to_srid_mercator,
         # displaced by kmeans_suite / semdedup (r4e); families certified
@@ -2519,6 +2560,7 @@ def oracle_sql() -> dict[str, str]:
         "kmeans_suite": _oracle_kmeans_suite(),
         "semdedup": _oracle_semdedup(),
         "script_suite": _oracle_script_suite(),
+        "url_suite": _oracle_url_suite(),
         "ngram_coverage": f"""
             WITH sh AS (
               SELECT doc_id, unnest(list_distinct({_oracle_shingles(5)})) AS s
@@ -3640,6 +3682,53 @@ def _sqdist_chain(fa: str, ca: str, d: int = 64) -> str:
     return " + ".join(
         f"({fa}[{i}]-{ca}[{i}])*({fa}[{i}]-{ca}[{i}])" for i in range(1, d + 1)
     )
+
+
+def _oracle_url_suite() -> str:
+    """Replays q_url_suite in DuckDB: same URL synthesis, same host regex
+    (no lookbehind — RE2-safe), eTLD+1 via list negative indexing, the
+    split/filter/rejoin canonicalization, and the blocklist flag."""
+    host_re = r"^[a-zA-Z][a-zA-Z0-9+.-]*://(?:[^/?#@]*@)?([^/:?#]+)"
+    return f"""
+        WITH u AS (
+          SELECT doc_id,
+                 'https://' || source || '.example.' ||
+                 CASE WHEN lang = 'en' THEN 'com' WHEN lang = 'fr' THEN 'co.uk'
+                      WHEN lang = 'de' THEN 'de' WHEN lang = 'es' THEN 'com'
+                      ELSE 'com.cn' END ||
+                 '/doc/' || CAST(doc_id AS VARCHAR) ||
+                 CASE WHEN doc_id % 3 = 0 THEN '?utm_source=x&id=' || CAST(doc_id AS VARCHAR)
+                      WHEN doc_id % 3 = 1 THEN '?id=' || CAST(doc_id AS VARCHAR) || '&gclid=z#top'
+                      ELSE '' END AS url
+          FROM documents
+        ),
+        h AS (
+          SELECT doc_id, url,
+                 lower(regexp_extract(url, '{host_re}', 1)) AS host,
+                 string_split(lower(regexp_extract(url, '{host_re}', 1)), '.') AS p,
+                 regexp_extract(url, '^([^?#]*)', 1) AS base,
+                 regexp_extract(url, '\\?([^#]*)', 1) AS q,
+                 regexp_extract(url, '(#.*)$', 1) AS frag
+          FROM u
+        ),
+        d AS (
+          SELECT *,
+                 CASE WHEN len(p) >= 3 AND list_contains(
+                          ['co','com','net','org','ac','gov','edu'], p[-2])
+                      THEN p[-3] || '.' || p[-2] || '.' || p[-1]
+                      WHEN len(p) >= 2 THEN p[-2] || '.' || p[-1]
+                      ELSE host END AS dom,
+                 list_filter(string_split(q, '&'),
+                     x -> NOT regexp_matches(x,
+                         '^(?:utm_[A-Za-z0-9_]+|fbclid|gclid|msclkid)=')) AS kept_params
+          FROM h
+        )
+        SELECT doc_id, host, dom,
+               base || CASE WHEN q <> '' AND len(kept_params) > 0
+                            THEN '?' || array_to_string(kept_params, '&')
+                            ELSE '' END || frag AS clean,
+               NOT list_contains(['example.co.uk'], dom) AS kept
+        FROM d"""
 
 
 def _oracle_script_suite() -> str:
