@@ -1673,6 +1673,14 @@ def q_doc_suite(spark, sf):
     )
 
 
+def q_domain_cap(spark, sf):
+    """Per-group cap (operators/sampling.py group_cap), hash-checked: at
+    most 20 docs per source, chosen as the 20 smallest (u(id), id) pairs —
+    the RefinedWeb per-domain cap, reproducible by any SQL engine."""
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    return _samp.group_cap(docs, "source", "doc_id", 20).select("doc_id", "source")
+
+
 def q_url_suite(spark, sf):
     """URL/domain curation (operators/weburl.py), hash-checked: URLs
     synthesized deterministically from (source, lang, doc_id) — covering
@@ -2308,6 +2316,7 @@ _QUERIES = {
         "temperature_mix": q_temperature_mix,
         "script_suite": q_script_suite,
         "url_suite": q_url_suite,
+        "domain_cap": q_domain_cap,
         "buffer_area": q_buffer_area,
         "to_srid_mercator": q_to_srid_mercator,
         # displaced by kmeans_suite / semdedup (r4e); families certified
@@ -2985,6 +2994,9 @@ def oracle_sql() -> dict[str, str]:
     d["sample_topn"] = f"""
         SELECT doc_id, lang, n_chars FROM documents
         ORDER BY {u}, doc_id LIMIT 25"""
+    d["domain_cap"] = f"""
+        SELECT doc_id, source FROM documents
+        QUALIFY ROW_NUMBER() OVER (PARTITION BY source ORDER BY {u} ASC, doc_id ASC) <= 20"""
     # temperature mixture: rate chain is divide -> sqrt -> divide -> max ->
     # divide, each exactly rounded, so the DuckDB rates equal the driver's
     # Python-float rates bit for bit

@@ -44,6 +44,7 @@ from polars_st_spark.functions.factory import col_or_lit
 
 __all__ = [
     "consistent_sample",
+    "group_cap",
     "temperature_mixture",
     "temperature_rates",
     "consistent_topn",
@@ -233,14 +234,20 @@ def temperature_mixture(
     id_col: str,
     alpha: float = 0.5,
     seed: int = 42,
+    rates: "list[tuple] | None" = None,
 ) -> DataFrame:
     """Deterministic temperature-resample: keep each row of group ``g``
     with probability ``rate_g`` (see :func:`temperature_rates`) gated on
     the content hash ``u(id)`` — reproducible across reruns, partitionings
     and engines, and monotone in alpha like :func:`consistent_sample` is
     in fraction. The rate table is broadcast-joined (null-safe, so a NULL
-    group is its own stratum); the filter itself is pure codegen."""
-    rates = temperature_rates(df, group_col, alpha)
+    group is its own stratum); the filter itself is pure codegen.
+
+    Pass precomputed ``rates`` (from :func:`temperature_rates` on a batch
+    snapshot) to skip the counting pass — the streaming shape: rates fixed
+    per epoch, the gate applied to the stream is stateless codegen."""
+    if rates is None:
+        rates = temperature_rates(df, group_col, alpha)
     if not rates:
         return df.where(F.lit(False))
     spark = df.sparkSession
@@ -258,4 +265,34 @@ def temperature_mixture(
     return (
         joined.where(hash_uniform(id_col, seed) < F.col("_tm_rate"))
         .drop("_tm_g", "_tm_rate")
+    )
+
+
+def group_cap(
+    df: DataFrame,
+    group_col: str,
+    id_col: str,
+    n: int,
+    seed: int = 42,
+) -> DataFrame:
+    """Keep at most ``n`` rows per group, chosen uniformly and
+    DETERMINISTICALLY: rank rows inside each group by the content hash
+    ``u(id)`` (ties by id) and keep rank <= n. The RefinedWeb-style
+    per-domain cap — a single hash shuffle on the group key; the kept set
+    is a pure function of (ids, seed), so re-crawls keep the same
+    representatives and an SQL audit reproduces the cut exactly. A hot
+    group (one domain = half the crawl) costs one wide window partition —
+    rank<=n needs no global sort of the group, Spark's window TopN stays
+    streaming-friendly per partition."""
+    from pyspark.sql.window import Window
+
+    if n < 1:
+        raise ValueError(f"n must be >= 1, got {n}")
+    w = Window.partitionBy(group_col).orderBy(
+        hash_uniform(id_col, seed).asc(), F.col(id_col).asc()
+    )
+    return (
+        df.withColumn("_gc_rank", F.row_number().over(w))
+        .where(F.col("_gc_rank") <= n)
+        .drop("_gc_rank")
     )

@@ -210,3 +210,37 @@ def test_temperature_mixture_deterministic_and_null_group(spark):
         if r["u"] < rates[r["lang"]]
     }
     assert a == want
+
+
+def test_group_cap(spark):
+    df = spark.createDataFrame(
+        [(i, "big" if i < 900 else "small") for i in range(1000)],
+        "doc_id long, dom string",
+    )
+    out = S.group_cap(df, "dom", "doc_id", 50)
+    counts = {r["dom"]: r["n"] for r in out.groupBy("dom").agg(F.count("*").alias("n")).collect()}
+    assert counts == {"big": 50, "small": 50}
+    # deterministic and a pure function of (id, seed): rerun == same set
+    a = {r["doc_id"] for r in out.collect()}
+    b = {r["doc_id"] for r in S.group_cap(df, "dom", "doc_id", 50).collect()}
+    assert a == b
+    # closed-form replica: per group, the n smallest (u(id), id)
+    import hashlib
+    def u(i):
+        return int(hashlib.md5(f"42:{i}".encode()).hexdigest()[:8], 16) / 2**32
+    want = set()
+    for dom, ids in (("big", range(900)), ("small", range(900, 1000))):
+        want |= {i for _, i in sorted((u(i), i) for i in ids)[:50]}
+    assert a == want
+    with pytest.raises(ValueError, match="n must be"):
+        S.group_cap(df, "dom", "doc_id", 0)
+
+
+def test_temperature_mixture_precomputed_rates(spark):
+    df = spark.createDataFrame(
+        [(i, "a" if i % 4 else "b") for i in range(400)], "doc_id long, g string")
+    rates = S.temperature_rates(df, "g")
+    via_rates = {r["doc_id"] for r in S.temperature_mixture(
+        df, "g", "doc_id", rates=rates).collect()}
+    direct = {r["doc_id"] for r in S.temperature_mixture(df, "g", "doc_id").collect()}
+    assert via_rates == direct and via_rates
