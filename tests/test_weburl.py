@@ -84,3 +84,42 @@ def test_strip_tracking_runs_and_fragments(spark):
     assert got[3] == "https://a.b/p?id=1#frag"
     assert got[4] == "https://a.b/p#onlyfrag"
     assert got[5] == "https://a.b/p#frag"
+
+
+def test_weburl_and_script_streaming_parity(spark, tmp_path):
+    """URL canonicalization/domain ops and script detection are stateless
+    codegen, so they run unchanged under Structured Streaming and match
+    batch output exactly (the curation-front-door streaming shape)."""
+    from polars_st_spark.operators import textops
+
+    src = str(tmp_path / "src")
+    chk = str(tmp_path / "chk")
+    df = spark.range(60).select(
+        F.col("id").alias("doc_id"),
+        F.concat(
+            F.lit("https://s"), (F.col("id") % 7).cast("string"),
+            F.lit(".example."),
+            F.when(F.col("id") % 2 == 0, F.lit("com")).otherwise(F.lit("co.uk")),
+            F.lit("/p?utm_source=a&id="), F.col("id").cast("string"),
+        ).alias("url"),
+        F.concat(F.lit("text body "), F.col("id").cast("string")).alias("text"),
+    )
+    df.write.mode("overwrite").parquet(src)
+    stream = spark.readStream.schema(df.schema).parquet(src)
+
+    def shape(d):
+        flagged = W.domain_blocklist_filter(d, "url", ["example.co.uk"], keep_col="ok")
+        return flagged.select(
+            "doc_id",
+            W.registered_domain(W.url_host("url")).alias("dom"),
+            W.url_strip_tracking("url").alias("clean"),
+            "ok",
+            textops.dominant_script("text").alias("script"),
+        )
+
+    q = (shape(stream).writeStream.format("memory").queryName("url_stream")
+         .option("checkpointLocation", chk).trigger(availableNow=True).start())
+    q.awaitTermination(60)
+    got = {tuple(r) for r in spark.sql("select * from url_stream").collect()}
+    want = {tuple(r) for r in shape(df).collect()}
+    assert got == want and len(got) == 60
