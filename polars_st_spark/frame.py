@@ -143,16 +143,26 @@ def plot(
     Driver-side by design, like the reference: the frame is collected into a
     GeoJSON FeatureCollection (bounded by ``max_rows`` — plotting is a
     small-result operation; aggregate/simplify first at scale), so columns
-    are reached in Altair encodings as ``properties.<name>``. Raises
-    ImportError when altair is not installed in the driver environment."""
+    are reached in Altair encodings as ``properties.<name>``.
+
+    When altair is importable, returns the same ``alt.Chart`` the
+    reference returns. Without altair, returns the equivalent VEGA-LITE
+    SPEC DICT (what ``chart.to_dict()`` would serialize — a chart IS its
+    JSON spec; paste it into any Vega-Lite renderer), so plotting works
+    in altair-less runtimes too."""
+    values = to_feature_dicts(df, geometry_name, max_rows=max_rows)
     try:
         import altair as alt
-    except ImportError as exc:  # pragma: no cover - altair absent in runtime
-        raise ImportError(
-            "plot() defers to Altair like the reference; "
-            "pip install altair to enable it"
-        ) from exc
-    values = to_feature_dicts(df, geometry_name, max_rows=max_rows)
+    except ImportError:
+        return {
+            "$schema": "https://vega.github.io/schema/vega-lite/v5.json",
+            "data": {"values": values},
+            "mark": {"type": "geoshape", **mark_kwargs},
+            # .interactive(): pan/zoom via an interval param bound to scales
+            "params": [
+                {"name": "grid", "select": "interval", "bind": "scales"}
+            ],
+        }
     return alt.Chart({"values": values}).mark_geoshape(**mark_kwargs).interactive()
 
 

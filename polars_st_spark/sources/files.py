@@ -14,7 +14,8 @@ import os
 
 from pyspark.sql import DataFrame, SparkSession
 
-__all__ = ["read_file", "write_file", "from_geopandas", "to_geopandas"]
+__all__ = ["read_file", "write_file", "from_geopandas", "to_geopandas",
+           "from_shapely", "to_shapely"]
 
 _GDAL_EXTS = {".gdb", ".tab", ".kml", ".gml"}
 
@@ -180,3 +181,42 @@ def to_geopandas(df: DataFrame, geometry_name: str = "geometry"):
         lambda b: None if b is None else shapely.from_wkb(bytes(b))
     )
     return gpd.GeoDataFrame(pdf, geometry=geometry_name, crs=crs)
+
+
+def from_shapely(spark: SparkSession, geoms, column_name: str = "geometry") -> DataFrame:
+    """Shapely geometry sequence → one-column Spark DataFrame of EWKB
+    (reference: geoexpr.py:429-444 ``from_shapely``). Spark has no Object
+    dtype (SURVEY §1.4), so the interchange crosses the boundary as WKB —
+    lossless for geometry + SRID. Requires shapely at the call site; a
+    driver-side constructor by nature (the inputs are driver objects)."""
+    try:
+        import shapely
+    except ImportError as e:
+        raise ImportError("from_shapely requires shapely (not in this runtime)") from e
+    rows = [
+        (None if g is None else bytes(shapely.to_wkb(g, include_srid=True)),)
+        for g in geoms
+    ]
+    return spark.createDataFrame(rows, f"{column_name} binary")
+
+
+def to_shapely(
+    df: DataFrame, geometry_name: str = "geometry", max_rows: int = 1_000_000
+) -> list:
+    """Collect a geometry column as a list of shapely objects (reference:
+    geoexpr.py ``to_shapely``). Bounded driver collect — raises past
+    ``max_rows`` instead of silently OOMing the driver (the
+    to_feature_dicts contract)."""
+    try:
+        import shapely
+    except ImportError as e:
+        raise ImportError("to_shapely requires shapely (not in this runtime)") from e
+    rows = df.select(geometry_name).limit(max_rows + 1).collect()
+    if len(rows) > max_rows:
+        raise ValueError(
+            f"to_shapely collects to the driver and the result exceeds "
+            f"max_rows={max_rows}; raise max_rows explicitly for larger results"
+        )
+    return [
+        None if r[0] is None else shapely.from_wkb(bytes(r[0])) for r in rows
+    ]

@@ -68,7 +68,7 @@ def test_plot_altair_shim(spark, monkeypatch):
     """plot() mirrors the reference's altair shim (geodataframe.py:555-598):
     Chart({"values": feature_dicts}).mark_geoshape(**kw).interactive().
     altair is absent in this runtime, so the wiring is exercised through a
-    stub module and the no-altair path must raise a clear ImportError."""
+    stub module; the no-altair path returns the equivalent Vega-Lite spec dict."""
     import sys
     import types
 
@@ -120,8 +120,11 @@ def test_plot_altair_shim(spark, monkeypatch):
         return real_import(name, *a, **kw)
 
     monkeypatch.setattr(builtins, "__import__", no_altair)
-    with pytest.raises(ImportError, match="[Aa]ltair"):
-        st.plot(df)
+    # no altair -> the equivalent Vega-Lite spec dict (a chart IS its JSON)
+    spec = st.plot(df, blend="difference")
+    assert spec["mark"] == {"type": "geoshape", "blend": "difference"}
+    assert spec["params"][0]["bind"] == "scales"
+    assert len(spec["data"]["values"]) == 2
 
 
 def test_frame_level_serializers(spark):
@@ -145,3 +148,47 @@ def test_frame_level_serializers(spark):
     assert '"Point"' in gj
     wkb = fr.to_wkb(df, "geometry").select("geometry").first()[0]
     assert bytes(wkb)[0] in (0, 1)  # byte-order marker, SRID flag stripped
+
+
+def test_shapely_interop_envelope(spark):
+    """from_shapely/to_shapely (reference geoexpr.py:429-444): real WKB
+    interchange when shapely is importable, a clear ImportError naming the
+    missing dependency otherwise (this runtime has no shapely)."""
+    import pytest as _pt
+
+    from polars_st_spark.sources.files import from_shapely, to_shapely
+
+    try:
+        import shapely  # noqa: F401
+    except ImportError:
+        with _pt.raises(ImportError, match="from_shapely requires shapely"):
+            from_shapely(spark, [])
+        df = spark.createDataFrame([(b"\x00",)], "geometry binary")
+        with _pt.raises(ImportError, match="to_shapely requires shapely"):
+            to_shapely(df)
+        return
+    pts = [shapely.Point(1.0, 2.0), None]
+    df = from_shapely(spark, pts)
+    back = to_shapely(df)
+    assert back[0].equals(pts[0]) and back[1] is None
+
+
+def test_plot_spec_without_altair(spark):
+    """plot() returns the reference's chart when altair exists, and the
+    equivalent Vega-Lite spec dict when it does not — either way the data
+    values are the frame's GeoJSON features."""
+    import polars_st_spark as st
+
+    df = spark.createDataFrame([(1,)], "id int").select(
+        "id", st.st_point(F.lit(1.0), F.lit(2.0)).alias("geometry"))
+    out = st.plot(df, fill="red")
+    try:
+        import altair  # noqa: F401
+        values = out.data["values"]
+        assert out.mark.type == "geoshape" if hasattr(out.mark, "type") else True
+    except ImportError:
+        assert out["mark"] == {"type": "geoshape", "fill": "red"}
+        assert out["params"][0]["bind"] == "scales"
+        values = out["data"]["values"]
+    assert values[0]["geometry"]["type"] == "Point"
+    assert values[0]["properties"] == {"id": 1}
