@@ -171,3 +171,53 @@ def test_bucketed_join_no_shuffle(spark, tmp_path):
         spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
         spark.sql("DROP TABLE IF EXISTS bk_a")
         spark.sql("DROP TABLE IF EXISTS bk_b")
+
+
+def test_url_and_script_ops_pure_codegen(spark):
+    """URL curation + script detection are single codegen projections:
+    no Exchange, no Python workers."""
+    from polars_st_spark.operators import textops as T
+    from polars_st_spark.operators import weburl as W
+
+    df = spark.range(50).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("https://a"), F.col("id").cast("string"),
+                 F.lit(".example.co.uk/p?utm_a=1&id=2")).alias("url"),
+        F.lit("some text").alias("text"),
+    )
+    out = df.select(
+        W.registered_domain(W.url_host("url")).alias("dom"),
+        W.url_strip_tracking("url").alias("clean"),
+        T.dominant_script("text").alias("script"),
+        *[v.alias(k) for k, v in T.script_fracs("text").items()],
+    )
+    plan = explain_str(out)
+    assert "Exchange" not in plan
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+
+
+def test_ngram_coverage_partial_aggregation(spark):
+    """The shingle-ownership min-agg combines map-side: the plan shows a
+    partial HashAggregate before its Exchange (hot boilerplate shingles
+    cost O(partitions) at the reducer, not O(occurrences))."""
+    from polars_st_spark.operators.dedup import ngram_coverage
+
+    docs = spark.range(50).select(
+        F.col("id").alias("doc_id"),
+        F.lit("one two three four five six seven").alias("text"),
+    )
+    plan = explain_str(ngram_coverage(docs))
+    assert "partial_min" in plan or "partial" in plan.lower()
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+
+
+def test_group_cap_single_shuffle(spark):
+    """group_cap is one hash Exchange (the window partition) and zero
+    Python workers."""
+    from polars_st_spark.operators.sampling import group_cap
+
+    df = spark.range(100).select(
+        F.col("id").alias("doc_id"), (F.col("id") % 5).cast("string").alias("dom"))
+    plan = explain_str(group_cap(df, "dom", "doc_id", 3))
+    assert plan.count("Exchange") <= 2  # hashpartitioning (+AQE coalesce read)
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
