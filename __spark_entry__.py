@@ -1673,6 +1673,15 @@ def q_doc_suite(spark, sf):
     )
 
 
+def q_corpus_stats(spark, sf):
+    """Corpus profile aggregate (operators/textops.py corpus_stats),
+    hash-checked per lang: doc count, exact-integer token total/mean, R-7
+    interpolated p50/p90 token counts (Spark percentile == DuckDB
+    quantile_cont, verified identical), mean quality at 6 dp."""
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    return _t.corpus_stats(docs, group_col="lang")
+
+
 def q_domain_cap(spark, sf):
     """Per-group cap (operators/sampling.py group_cap), hash-checked: at
     most 20 docs per source, chosen as the 20 smallest (u(id), id) pairs —
@@ -2317,6 +2326,7 @@ _QUERIES = {
         "script_suite": q_script_suite,
         "url_suite": q_url_suite,
         "domain_cap": q_domain_cap,
+        "corpus_stats": q_corpus_stats,
         "buffer_area": q_buffer_area,
         "to_srid_mercator": q_to_srid_mercator,
         # displaced by kmeans_suite / semdedup (r4e); families certified
@@ -2994,6 +3004,17 @@ def oracle_sql() -> dict[str, str]:
     d["sample_topn"] = f"""
         SELECT doc_id, lang, n_chars FROM documents
         ORDER BY {u}, doc_id LIMIT 25"""
+    d["corpus_stats"] = f"""
+        WITH lq AS ({d['lang_quality']}),
+        t AS (SELECT doc_id, lang, len({_ORACLE_TOKENS}) AS tc FROM documents)
+        SELECT t.lang, COUNT(*) AS n_docs,
+               CAST(SUM(t.tc) AS BIGINT) AS total_tokens,
+               CAST(SUM(t.tc) AS DOUBLE) / COUNT(*) AS mean_tokens,
+               quantile_cont(t.tc, 0.5) AS p50_tokens,
+               quantile_cont(t.tc, 0.9) AS p90_tokens,
+               ROUND(AVG(lq.quality), 6) AS mean_quality
+        FROM t JOIN lq USING (doc_id)
+        GROUP BY t.lang"""
     d["domain_cap"] = f"""
         SELECT doc_id, source FROM documents
         QUALIFY ROW_NUMBER() OVER (PARTITION BY source ORDER BY {u} ASC, doc_id ASC) <= 20"""

@@ -21,6 +21,7 @@ from pyspark.sql import functions as F
 from polars_st_spark.functions.factory import col_or_lit
 
 __all__ = [
+    "corpus_stats",
     "chunk_text",
     "tokens",
     "token_count",
@@ -453,3 +454,38 @@ def dominant_script(text) -> Column:
     ]
     best = F.array_max(F.array(*ranked))
     return F.when(best["score"] > 0, best["script"]).otherwise(F.lit("und"))
+
+
+def corpus_stats(
+    docs,
+    text_col: str = "text",
+    group_col: str | None = None,
+    percentiles: tuple = (0.5, 0.9),
+):
+    """One-pass corpus profile per group (or one global row): doc count,
+    token total/mean, EXACT interpolated token-count percentiles, mean
+    quality score. The build-monitoring aggregate every corpus run reports.
+
+    Scale: count/sum/avg combine map-side; Spark's exact ``percentile``
+    aggregates a count-per-distinct-value map, and distinct token counts
+    are small-integer bounded (thousands), so per-group state stays tiny
+    at any corpus size — no sort, no collect. Both Spark ``percentile``
+    and DuckDB/Postgres ``quantile_cont`` implement the same linear
+    interpolation (R-7), which is what makes the profile auditable
+    cross-engine."""
+    tc = token_count(text_col)
+    q = quality_score(text_col)
+    staged = docs.withColumn("_tc", tc).withColumn("_q", q)
+    aggs = [
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("_tc").alias("total_tokens"),
+        (F.sum("_tc").cast("double") / F.count(F.lit(1))).alias("mean_tokens"),
+        *[
+            F.percentile("_tc", float(p)).alias(f"p{int(p * 100)}_tokens")
+            for p in percentiles
+        ],
+        F.round(F.avg("_q"), 6).alias("mean_quality"),
+    ]
+    if group_col is None:
+        return staged.agg(*aggs)
+    return staged.groupBy(group_col).agg(*aggs)

@@ -456,3 +456,19 @@ def test_script_detection(spark):
     assert got[6]["dom"] == "digit" and got[6]["digit"] == 1.0
     assert got[7]["dom"] == "und" and got[7]["latin"] == 0.0
     assert got[8]["dom"] == "latin" and got[8]["latin"] > 0.8
+
+
+def test_corpus_stats(spark):
+    df = spark.createDataFrame(
+        [(i, "en" if i < 6 else "fr", "w " * (i + 1)) for i in range(10)],
+        "doc_id long, lang string, text string",
+    )
+    from polars_st_spark.operators.textops import corpus_stats
+
+    got = {r["lang"]: r for r in corpus_stats(df, group_col="lang").collect()}
+    assert got["en"]["n_docs"] == 6 and got["en"]["total_tokens"] == 21
+    assert got["en"]["mean_tokens"] == 3.5
+    assert got["en"]["p50_tokens"] == 3.5        # R-7 midpoint of 1..6
+    assert got["fr"]["p90_tokens"] == 9.7  # R-7: h=2.7 over 7,8,9,10
+    glob = corpus_stats(df).first()
+    assert glob["n_docs"] == 10 and glob["total_tokens"] == 55
