@@ -232,6 +232,17 @@ def _mk(name: str, fn, ret="boolean"):
                             r = _loc_predicate(name, loc, point_is_a=False)
                             if r is not None:
                                 return pd.Series(r)
+                if name in ("intersects", "disjoint"):
+                    # row-paired polygon×polygon: CSR probe + segment-pair
+                    # kernel (geo/ragged.polys_intersect) — the sjoin
+                    # refinement hot path vectorized; None = pair product
+                    # too large for one allocation, scalar loop amortizes
+                    rpa = RG.parse_polygonal(s1)
+                    rpb = RG.parse_polygonal(s2) if rpa is not None else None
+                    if rpa is not None and rpb is not None:
+                        r = RG.polys_intersect(rpa, rpb)
+                        if r is not None:
+                            return pd.Series(r if name == "intersects" else ~r)
             return pd.Series(
                 [
                     None if (a is None or b is None) else fn(from_ewkb(bytes(a)), from_ewkb(bytes(b)))

@@ -53,6 +53,8 @@ __all__ = [
     "bounds",
     "centroid",
     "locate_points",
+    "locate_points_multi",
+    "polys_intersect",
 ]
 
 _Z_FLAG = 0x80000000
@@ -1124,3 +1126,236 @@ def centroid_points(rl: RaggedLines) -> tuple[np.ndarray, np.ndarray, np.ndarray
         ok = ok & ~bad
     safe = np.where(counts > 0, counts, 1)
     return cx / safe, cy / safe, ok
+
+
+def locate_points_multi(
+    rp: RaggedPolygons, px: np.ndarray, py: np.ndarray, prow: np.ndarray
+) -> np.ndarray:
+    """Locate K probe points, point k against the polygons of row
+    ``prow[k]`` — the many-points-per-row generalization of
+    :func:`locate_points` (same 0/1/2 semantics, same _EPS arithmetic).
+    Drives the polygon×polygon intersects kernel, where every RING first
+    vertex of one side probes the other side's row."""
+    K = len(px)
+    out = np.zeros(K, dtype=np.int8)
+    R = len(rp.ring_row)
+    c = rp.coords
+    if not R or not K or len(c) < 2:
+        return out
+    order = np.argsort(prow, kind="stable")
+    px_s, py_s = px[order], py[order]
+    pt_counts = np.bincount(prow[order], minlength=rp.n)
+    pt_start = np.concatenate([[0], np.cumsum(pt_counts)])
+
+    counts = np.diff(rp.ring_start)
+    rid = np.repeat(np.arange(R, dtype=np.int64), counts)
+    seg_ok = (rid[:-1] == rid[1:]) & (counts[rid[:-1]] >= 3)
+    seg_sel = np.nonzero(seg_ok)[0]
+    if len(seg_sel):
+        seg_ring = rid[seg_sel]
+        seg_row = rp.ring_row[seg_ring]
+        sizes = pt_counts[seg_row]
+        total = int(sizes.sum())
+    else:
+        total = 0
+    ring_pt_counts = pt_counts[rp.ring_row]
+    ring_pt_start = np.concatenate([[0], np.cumsum(ring_pt_counts)])
+    RPN = int(ring_pt_start[-1])
+    ring_on = np.zeros(RPN, dtype=bool)
+    ring_in = np.zeros(RPN, dtype=bool)
+    if total:
+        starts = np.cumsum(sizes) - sizes
+        ramp = np.arange(total, dtype=np.int64) - np.repeat(starts, sizes)
+        segp = np.repeat(np.arange(len(seg_sel)), sizes)
+        ptp = np.repeat(pt_start[seg_row], sizes) + ramp
+        PX, PY = px_s[ptp], py_s[ptp]
+        XI, YI = c[1:, 0][seg_sel][segp], c[1:, 1][seg_sel][segp]
+        XJ, YJ = c[:-1, 0][seg_sel][segp], c[:-1, 1][seg_sel][segp]
+        cross = (XJ - XI) * (PY - YI) - (YJ - YI) * (PX - XI)
+        scale = np.maximum(np.maximum(np.abs(XJ - XI), np.abs(YJ - YI)), 1.0)
+        on = (
+            (np.abs(cross) <= _EPS * scale * scale)
+            & (PX >= np.minimum(XI, XJ) - _EPS) & (PX <= np.maximum(XI, XJ) + _EPS)
+            & (PY >= np.minimum(YI, YJ) - _EPS) & (PY <= np.maximum(YI, YJ) + _EPS)
+        )
+        cond = (YI > PY) != (YJ > PY)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            x_int = np.where(
+                cond,
+                (XJ - XI) * (PY - YI) / np.where(YJ == YI, 1.0, YJ - YI) + XI,
+                np.inf,
+            )
+        toggle = cond & (PX < x_int)
+        pairkey = ring_pt_start[seg_ring][segp] + ramp
+        ring_on = np.bincount(pairkey[on], minlength=RPN) > 0
+        ring_in = (np.bincount(pairkey[toggle], minlength=RPN) % 2).astype(bool)
+
+    Pn = len(rp.part_row)
+    part_pt_counts = pt_counts[rp.part_row]
+    part_pt_start = np.concatenate([[0], np.cumsum(part_pt_counts)])
+    PPN = int(part_pt_start[-1])
+    if not PPN:
+        return out
+    rp_ring = np.repeat(np.arange(R, dtype=np.int64), ring_pt_counts)
+    rp_t = np.arange(RPN, dtype=np.int64) - np.repeat(ring_pt_start[:-1], ring_pt_counts)
+    pp_idx = part_pt_start[rp.ring_part[rp_ring]] + rp_t
+    shell_ring = ~rp.ring_hole[rp_ring]
+    shell_on = np.bincount(pp_idx[shell_ring & ring_on], minlength=PPN) > 0
+    shell_in = np.bincount(pp_idx[shell_ring & ring_in], minlength=PPN) > 0
+    hole_on = np.bincount(pp_idx[~shell_ring & ring_on], minlength=PPN) > 0
+    hole_in = np.bincount(pp_idx[~shell_ring & ring_in], minlength=PPN) > 0
+    part_loc = np.where(
+        shell_on, 1,
+        np.where(~shell_in, 0, np.where(hole_on, 1, np.where(hole_in, 0, 2))),
+    ).astype(np.int8)
+    pp_part = np.repeat(np.arange(Pn, dtype=np.int64), part_pt_counts)
+    pp_t = np.arange(PPN, dtype=np.int64) - np.repeat(part_pt_start[:-1], part_pt_counts)
+    pt_sorted_idx = pt_start[rp.part_row[pp_part]] + pp_t
+    tmp = np.zeros(K, dtype=np.int8)
+    np.maximum.at(tmp, pt_sorted_idx, part_loc)
+    out[order] = tmp
+    return out
+
+
+def _row_segments(rp: RaggedPolygons, row_mask: np.ndarray):
+    """(ax, ay, bx, by, row) for every ring segment of rows in row_mask —
+    consecutive coord pairs within a ring, scalar _line_segments order
+    (rings arrive closed in WKB, matching predicates.chains())."""
+    counts = np.diff(rp.ring_start)
+    c = rp.coords
+    if len(c) < 2:
+        z = np.zeros(0)
+        return z, z, z, z, np.zeros(0, dtype=np.int64)
+    rid = np.repeat(np.arange(len(counts), dtype=np.int64), counts)
+    ok = (rid[:-1] == rid[1:]) & row_mask[rp.ring_row[rid[:-1]]]
+    sel = np.nonzero(ok)[0]
+    row = rp.ring_row[rid[sel]]
+    return c[sel, 0], c[sel, 1], c[sel + 1, 0], c[sel + 1, 1], row
+
+
+def polys_intersect(
+    rpa: RaggedPolygons,
+    rpb: RaggedPolygons,
+    max_pairs: int = 64_000_000,
+    chunk: int = 1 << 20,
+) -> np.ndarray | None:
+    """Row-paired polygon×polygon ``intersects`` over two CSR batches —
+    predicates.intersects vectorized with the identical decision sequence:
+    bbox prune, ring-first-vertex probes in BOTH directions
+    (:func:`locate_points_multi`, covers full containment incl. holes),
+    then the all-segment-pair crossing test replicating
+    ``_seg_intersect_kind``'s exact tolerance arithmetic (proper cross,
+    collinear overlap/abutment, endpoint touch). Segment pairs evaluate in
+    bounded chunks (~20 doubles of temporaries per pair); a batch whose
+    pair product exceeds ``max_pairs`` returns None and the caller falls
+    back to the scalar loop (a few enormous polygons amortize better
+    per-row than as one giant allocation)."""
+    n = rpa.n
+    if rpb.n != n:
+        raise ValueError(f"row counts differ: {n} vs {rpb.n}")
+    out = np.zeros(n, dtype=bool)
+    ba, bb_ = bounds(rpa), bounds(rpb)
+    with np.errstate(invalid="ignore"):
+        cand = (
+            (ba[:, 0] <= bb_[:, 2]) & (bb_[:, 0] <= ba[:, 2])
+            & (ba[:, 1] <= bb_[:, 3]) & (bb_[:, 1] <= ba[:, 3])
+        )
+    cand &= ~(np.isnan(ba[:, 0]) | np.isnan(bb_[:, 0]))
+    if not cand.any():
+        return out
+    # ring-first-vertex probes, both directions (scalar: first vertex of
+    # every chain of one side located in the other side's polygons)
+    for src, dst in ((rpa, rpb), (rpb, rpa)):
+        rsel = np.nonzero(cand[src.ring_row])[0]
+        if not len(rsel):
+            continue
+        firsts = src.ring_start[:-1][rsel]
+        loc = locate_points_multi(
+            dst, src.coords[firsts, 0], src.coords[firsts, 1], src.ring_row[rsel]
+        )
+        out[src.ring_row[rsel][loc != 0]] = True
+    rem = cand & ~out
+    if not rem.any():
+        return out
+    ax, ay, bx, by, rowA = _row_segments(rpa, rem)
+    cx, cy, ex, ey, rowB = _row_segments(rpb, rem)
+    nb = np.bincount(rowB, minlength=n)
+    offsB = np.concatenate([[0], np.cumsum(nb)])
+    # pair enumeration without any division: per A-segment, a contiguous
+    # block of its row's B-segments — ia by one repeat, ib by the
+    # arange-minus-repeated-shift trick (_gather_rings pattern)
+    sizes_b = nb[rowA]
+    total = int(sizes_b.sum())
+    if total > max_pairs:
+        return None
+    if not total:
+        return out
+    blk_start = np.cumsum(sizes_b) - sizes_b
+    shift = blk_start - offsB[rowA]
+    if total < 2**31:
+        ia_all = np.repeat(np.arange(len(ax), dtype=np.int32), sizes_b)
+        ib_all = np.arange(total, dtype=np.int32)
+        ib_all -= np.repeat(shift.astype(np.int32), sizes_b)
+    else:
+        ia_all = np.repeat(np.arange(len(ax), dtype=np.int64), sizes_b)
+        ib_all = np.arange(total, dtype=np.int64)
+        ib_all -= np.repeat(shift, sizes_b)
+
+    def on_seg(px_, py_, sx, sy, tx, ty):
+        cr = (tx - sx) * (py_ - sy) - (ty - sy) * (px_ - sx)
+        sc = np.maximum(np.maximum(np.abs(tx - sx), np.abs(ty - sy)), 1.0)
+        return (
+            (np.abs(cr) <= _EPS * sc * sc)
+            & (px_ >= np.minimum(sx, tx) - _EPS) & (px_ <= np.maximum(sx, tx) + _EPS)
+            & (py_ >= np.minimum(sy, ty) - _EPS) & (py_ <= np.maximum(sy, ty) + _EPS)
+        )
+
+    for lo in range(0, total, chunk):
+        ia = ia_all[lo:lo + chunk]
+        ib = ib_all[lo:lo + chunk]
+        AX, AY, BX, BY = ax[ia], ay[ia], bx[ia], by[ia]
+        CX, CY, EX, EY = cx[ib], cy[ib], ex[ib], ey[ib]
+        # _seg_intersect_kind's exact arithmetic, vectorized (orientations
+        # carry a consistent sign flip vs the scalar — bit-exact negation,
+        # and every condition below is invariant under it)
+        d1 = (AX - CX) * (EY - CY) - (AY - CY) * (EX - CX)
+        d2 = (BX - CX) * (EY - CY) - (BY - CY) * (EX - CX)
+        d3 = (CX - AX) * (BY - AY) - (CY - AY) * (BX - AX)
+        d4 = (EX - AX) * (BY - AY) - (EY - AY) * (BX - AX)
+        scale_ab = np.maximum(np.maximum(np.abs(BX - AX), np.abs(BY - AY)), 1.0)
+        scale_ce = np.maximum(np.maximum(np.abs(EX - CX), np.abs(EY - CY)), 1.0)
+        tol = _EPS * scale_ce * scale_ab
+        nonzero = (
+            ((d1 > tol) & (d2 < -tol)) | ((d1 < -tol) & (d2 > tol))
+        ) & (((d3 > tol) & (d4 < -tol)) | ((d3 < -tol) & (d4 > tol)))
+        # boundary-ish pairs (some orientation within tolerance) are rare —
+        # evaluate the collinear/touch branches only on that subset
+        near1 = np.abs(d1) <= tol
+        near2 = np.abs(d2) <= tol
+        near3 = np.abs(d3) <= tol
+        near4 = np.abs(d4) <= tol
+        bnd = (near1 | near2 | near3 | near4) & ~nonzero
+        bsel = np.nonzero(bnd)[0]
+        if len(bsel):
+            sA = (AX[bsel], AY[bsel], BX[bsel], BY[bsel])
+            sB = (CX[bsel], CY[bsel], EX[bsel], EY[bsel])
+            n1, n2, n3, n4 = near1[bsel], near2[bsel], near3[bsel], near4[bsel]
+            allcol = n1 & n2 & n3 & n4
+            axis_x = np.abs(sA[2] - sA[0]) >= np.abs(sA[3] - sA[1])
+            a1 = np.where(axis_x, sA[0], sA[1])
+            b1 = np.where(axis_x, sA[2], sA[3])
+            c1 = np.where(axis_x, sB[0], sB[1])
+            e1 = np.where(axis_x, sB[2], sB[3])
+            col_hit = (
+                np.minimum(np.maximum(a1, b1), np.maximum(c1, e1))
+                >= np.maximum(np.minimum(a1, b1), np.minimum(c1, e1)) - _EPS
+            )
+            touch = (
+                (n1 & on_seg(sA[0], sA[1], sB[0], sB[1], sB[2], sB[3]))
+                | (n2 & on_seg(sA[2], sA[3], sB[0], sB[1], sB[2], sB[3]))
+                | (n3 & on_seg(sB[0], sB[1], sA[0], sA[1], sA[2], sA[3]))
+                | (n4 & on_seg(sB[2], sB[3], sA[0], sA[1], sA[2], sA[3]))
+            )
+            nonzero[bsel] = np.where(allcol, col_hit, touch)
+        out[rowA[ia[nonzero]]] = True
+    return out

@@ -713,3 +713,106 @@ def test_parsers_never_crash_on_malformed_bytes():
         for fn in (ragged.parse_polygonal, ragged.parse_lineal,
                    ragged.parse_multipoints, ragged.split_families):
             fn(batch)  # must not raise
+
+
+def _wkb_polygon(rings):
+    import struct
+    out = b"\x01" + struct.pack("<I", 3) + struct.pack("<I", len(rings))
+    for ring in rings:
+        out += struct.pack("<I", len(ring))
+        for xy in ring:
+            out += struct.pack("<dd", *xy)
+    return out
+
+
+def _star(cx, cy, r, n, rot, inner=0.45):
+    import math
+    pts = []
+    for k in range(2 * n):
+        rr = r if k % 2 == 0 else r * inner
+        a = rot + math.pi * k / n
+        pts.append((cx + rr * math.cos(a), cy + rr * math.sin(a)))
+    pts.append(pts[0])
+    return pts
+
+
+def test_polys_intersect_matches_scalar():
+    """Vectorized polygon×polygon intersects == scalar predicates.intersects
+    over random concave stars incl. holes, touching and containment cases."""
+    import numpy as np
+
+    from polars_st_spark.geo import predicates as P
+    from polars_st_spark.geo import ragged as R
+    from polars_st_spark.geo.wkb import from_ewkb
+
+    rng = np.random.RandomState(7)
+    A, B = [], []
+    for i in range(400):
+        ax, ay = rng.uniform(0, 10, 2)
+        bx = ax + rng.uniform(-3, 3)
+        by = ay + rng.uniform(-3, 3)
+        ra = rng.uniform(0.5, 2.0)
+        rb = rng.uniform(0.5, 2.0)
+        shell_a = _star(ax, ay, ra, 3 + i % 4, rng.uniform(0, 3))
+        rings_a = [shell_a]
+        if i % 3 == 0:  # add a hole
+            rings_a.append(list(reversed(_star(ax, ay, ra * 0.3, 4, 0.1))))
+        rings_b = [_star(bx, by, rb, 3 + (i * 7) % 4, rng.uniform(0, 3))]
+        if i % 10 == 0:  # B tiny, often inside A (or inside A's hole)
+            rings_b = [_star(ax, ay, ra * (0.12 if i % 20 else 0.6), 3, 0.3)]
+        A.append(_wkb_polygon(rings_a))
+        B.append(_wkb_polygon(rings_b))
+    # exact-touch pair: unit squares sharing an edge; and identical pair
+    sq = [(0, 0), (1, 0), (1, 1), (0, 1), (0, 0)]
+    sq2 = [(1, 0), (2, 0), (2, 1), (1, 1), (1, 0)]
+    A += [_wkb_polygon([sq]), _wkb_polygon([sq])]
+    B += [_wkb_polygon([sq2]), _wkb_polygon([sq])]
+    rpa = R.parse_polygonal(A)
+    rpb = R.parse_polygonal(B)
+    assert rpa is not None and rpb is not None
+    got = R.polys_intersect(rpa, rpb)
+    assert got is not None
+    want = np.array([
+        P.intersects(from_ewkb(a), from_ewkb(b)) for a, b in zip(A, B)
+    ])
+    mism = np.nonzero(got != want)[0]
+    assert not len(mism), mism[:10]
+    assert want.any() and not want.all()  # both outcomes exercised
+    # tiny max_pairs forces the fallback signal
+    assert R.polys_intersect(rpa, rpb, max_pairs=10) is None
+
+
+def test_st_intersects_polygon_pairs_spark(spark):
+    """Column-level st_intersects/st_disjoint over ragged polygon PAIRS
+    (holes, varying vertex counts) goes through the vectorized kernel and
+    equals the scalar per-row answers."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    import polars_st_spark as st
+    from polars_st_spark.geo import predicates as P
+    from polars_st_spark.geo.wkb import from_ewkb
+
+    rng = np.random.RandomState(11)
+    rows = []
+    for i in range(300):
+        ax, ay = rng.uniform(0, 8, 2)
+        sa = _star(ax, ay, rng.uniform(0.5, 1.8), 3 + i % 5, rng.uniform(0, 3))
+        ra = [sa] + ([list(reversed(_star(ax, ay, 0.3, 4, 0.2)))] if i % 4 == 0 else [])
+        bxx, byy = ax + rng.uniform(-2.5, 2.5), ay + rng.uniform(-2.5, 2.5)
+        rb = [_star(bxx, byy, rng.uniform(0.5, 1.8), 3 + (i * 3) % 5, rng.uniform(0, 3))]
+        rows.append((i, bytearray(_wkb_polygon(ra)), bytearray(_wkb_polygon(rb))))
+    df = spark.createDataFrame(rows, "id long, ga binary, gb binary")
+    got = {
+        r["id"]: (r["i"], r["d"])
+        for r in df.select(
+            "id",
+            st.st_intersects("ga", F.col("gb")).alias("i"),
+            st.st_disjoint("ga", F.col("gb")).alias("d"),
+        ).collect()
+    }
+    for i, ga, gb in rows:
+        want = P.intersects(from_ewkb(bytes(ga)), from_ewkb(bytes(gb)))
+        assert got[i] == (want, not want), i
+    vals = {v[0] for v in got.values()}
+    assert vals == {True, False}
