@@ -410,21 +410,18 @@ def _sjoin_grid(left, right, predicate, how, lsuffix, rsuffix, left_on, right_on
         (F.floor(ix / cs).cast("long") == F.col("_cx"))
         & (F.floor(iy / cs).cast("long") == F.col("_cy"))
     )
-    pred_fn = SJOIN_PREDICATES[predicate]
-    if pred_fn is not None:
-        from pyspark.sql.functions import pandas_udf
+    if SJOIN_PREDICATES[predicate] is not None:
+        # refine through the COLUMN-level predicate functions so every
+        # vectorized batch path applies (point-in-axis-rect intervals,
+        # CSR point×polygon locates, and the ragged polygon×polygon
+        # segment-pair kernel) — a bespoke per-row UDF here would re-pay
+        # Python object decode on exactly the sjoin hot path
+        from polars_st_spark.functions import predicate as FP
 
-        @pandas_udf("boolean")
-        def pred_udf(lg: pd.Series, rg: pd.Series) -> pd.Series:
-            out = [
-                False
-                if (a is None or b is None)
-                else pred_fn(from_ewkb(bytes(a)), from_ewkb(bytes(b)))
-                for a, b in zip(lg, rg)
-            ]
-            return pd.Series(out, dtype=object)
-
-        joined = joined.where(pred_udf(F.col("_lrow")[left_on], F.col("_rrow")[right_on]))
+        col_pred = getattr(FP, f"st_{predicate}")
+        joined = joined.where(
+            col_pred(F.col("_lrow")[left_on], F.col("_rrow")[right_on])
+        )
     out = joined.select(
         *[F.col("_lrow")[c].alias(n) for c, n in zip(left.columns, lnames)],
         *[F.col("_rrow")[c].alias(n) for c, n in zip(right.columns, rnames)],
