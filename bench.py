@@ -224,6 +224,19 @@ def main() -> None:
             F.sum(st.st_length("poly")).alias("l"),
         ).collect()
     )
+    # - b2g: row-paired polygon×polygon intersects over the same ragged
+    #   holed n-gons vs a shifted copy — the CSR segment-pair kernel
+    #   (geo/ragged.polys_intersect), i.e. the sjoin refinement hot path
+    ragged2 = ragged.withColumn(
+        "poly2", st.st_translate("poly", 0.8, 0.4)).cache()
+    ragged2.count()
+    ragged2.sample(fraction=0.02, seed=1).select(
+        F.sum(st.st_intersects("poly", F.col("poly2")).cast("int"))).collect()
+    variants["b2g_predicate_ragged"] = timed(
+        lambda: ragged2.select(
+            F.sum(st.st_intersects("poly", F.col("poly2")).cast("int"))
+        ).collect()
+    )
     variants["p1m_minhash_md5"] = timed(
         lambda: _dedup.near_dup_pairs(docs, threshold=0.05, hash_family="md5").count()
     )
