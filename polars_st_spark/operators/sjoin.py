@@ -184,15 +184,26 @@ def _sjoin_broadcast(left, right, predicate, how, lsuffix, rsuffix, left_on, rig
     _FAST_POINT_PREDS = {"intersects": False, "covered_by": False, "within": True}
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from polars_st_spark.geo import ragged as RG
         from polars_st_spark.geo.algos import _is_axis_rect
         from polars_st_spark.geo.wkb import batch_uniform
 
         rpdf = bc.value
-        rgeoms = [None if b is None else from_ewkb(bytes(b)) for b in rpdf[right_on]]
+        right_wkbs = [None if b is None else bytes(b) for b in rpdf[right_on]]
+        rgeoms = [None if b is None else from_ewkb(b) for b in right_wkbs]
         rbounds = np.array(
             [g.bounds() if g is not None else (np.nan,) * 4 for g in rgeoms]
         ).reshape(-1, 4)
         tree = STRtree(rbounds)
+        # tree-side all polygonal (and intersects asked) -> candidate pairs
+        # can batch through the CSR polygon×polygon kernel instead of the
+        # per-candidate scalar predicate
+        rt_nonnull = [b for b in right_wkbs if b is not None]
+        right_polygonal = (
+            predicate == "intersects"
+            and len(rt_nonnull) > 0
+            and RG.parse_polygonal(rt_nonnull) is not None
+        )
         rview = rpdf.rename(columns=dict(zip(rpdf.columns, rnames)))
         # vectorized probe applies when every right geometry is an axis rect
         # and the predicate reduces to an interval test on point probes
@@ -237,6 +248,47 @@ def _sjoin_broadcast(left, right, predicate, how, lsuffix, rsuffix, left_on, rig
                 rpart.loc[[k for k, j in enumerate(ri) if j < 0], :] = None
                 yield pd.concat([lpart, rpart], axis=1)
                 continue
+            if right_polygonal and not lgeo.isnull().values.any():
+                rpa_all = RG.parse_polygonal(list(lgeo))
+                if rpa_all is not None:
+                    bl = RG.bounds(rpa_all)
+                    cand_i: list[int] = []
+                    cand_j: list[int] = []
+                    for i in range(len(lgeo)):
+                        if bl[i, 0] != bl[i, 0]:  # NaN = empty
+                            continue
+                        for j in tree.query(bl[i, 0], bl[i, 1], bl[i, 2], bl[i, 3]):
+                            if right_wkbs[int(j)] is not None:
+                                cand_i.append(i)
+                                cand_j.append(int(j))
+                    hit = None
+                    if cand_i:
+                        rpa = RG.parse_polygonal([bytes(lgeo.iloc[i]) for i in cand_i])
+                        rpb = RG.parse_polygonal([right_wkbs[j] for j in cand_j])
+                        if rpa is not None and rpb is not None:
+                            hit = RG.polys_intersect(rpa, rpb)
+                    else:
+                        hit = np.zeros(0, dtype=bool)
+                    if hit is not None:  # None = pair blowup, scalar amortizes
+                        matched_rows = np.zeros(len(lgeo), dtype=bool)
+                        for k in np.nonzero(hit)[0]:
+                            li.append(cand_i[k])
+                            ri.append(cand_j[k])
+                            matched_rows[cand_i[k]] = True
+                        if how == "left":
+                            for i in np.nonzero(~matched_rows)[0]:
+                                li.append(int(i))
+                                ri.append(-1)
+                        if not li:
+                            continue
+                        lpart = pdf.iloc[li].reset_index(drop=True)
+                        lpart.columns = lnames
+                        rpart = rview.reindex(
+                            [j if j >= 0 else None for j in ri]
+                        ).reset_index(drop=True)
+                        rpart.loc[[k for k, j in enumerate(ri) if j < 0], :] = None
+                        yield pd.concat([lpart, rpart], axis=1)
+                        continue
             for i, b in enumerate(lgeo):
                 if b is None:
                     if how == "left":

@@ -171,3 +171,58 @@ def test_grid_hot_cell_salt_pair_set_unchanged(spark):
 
     # salted plan really splits the hot cell: join keys include the salt cols
     assert "_sl" in salted._jdf.queryExecution().optimizedPlan().toString()
+
+
+def test_broadcast_sjoin_polygon_pairs_batched(spark):
+    """Broadcast sjoin with POLYGONAL probes and a polygonal tree side goes
+    through the batched CSR pair kernel — identical pair set to brute-force
+    scalar predicates, incl. how='left' unmatched rows."""
+    import math
+
+    import numpy as np
+
+    from polars_st_spark.geo import predicates as P
+    from polars_st_spark.geo.wkb import from_ewkb
+    from polars_st_spark.operators.sjoin import st_sjoin
+
+    def wkb_poly(rings):
+        import struct
+        out = b"\x01" + struct.pack("<I", 3) + struct.pack("<I", len(rings))
+        for ring in rings:
+            out += struct.pack("<I", len(ring))
+            for xy in ring:
+                out += struct.pack("<dd", *xy)
+        return out
+
+    def star(cx, cy, r, n, rot):
+        pts = [(cx + (r if k % 2 == 0 else r * 0.45) * math.cos(rot + math.pi * k / n),
+                cy + (r if k % 2 == 0 else r * 0.45) * math.sin(rot + math.pi * k / n))
+               for k in range(2 * n)]
+        return pts + [pts[0]]
+
+    rng = np.random.RandomState(3)
+    lrows = [(i, bytearray(wkb_poly([star(*rng.uniform(0, 20, 2), 1.2, 3 + i % 4,
+                                          rng.uniform(0, 3))])))
+             for i in range(150)]
+    rrows = [(100 + j, bytearray(wkb_poly([star(*rng.uniform(0, 20, 2), 1.5, 5, 0.7)])))
+             for j in range(12)]
+    ldf = spark.createDataFrame(lrows, "lid long, geometry binary")
+    rdf = spark.createDataFrame(rrows, "rid long, geometry binary")
+    got = {
+        (r["lid"], r["rid"])
+        for r in st_sjoin(ldf, rdf, predicate="intersects",
+                          strategy="broadcast").collect()
+    }
+    want = {
+        (i, j)
+        for i, lb in lrows
+        for j, rb in rrows
+        if P.intersects(from_ewkb(bytes(lb)), from_ewkb(bytes(rb)))
+    }
+    assert got == want and want
+    left = st_sjoin(ldf, rdf, predicate="intersects", strategy="broadcast",
+                    how="left").collect()
+    matched_l = {p[0] for p in want}
+    assert {r["lid"] for r in left} == {i for i, _ in lrows}
+    assert {r["lid"] for r in left if r["rid"] is None} == (
+        {i for i, _ in lrows} - matched_l)
