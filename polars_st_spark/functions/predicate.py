@@ -233,14 +233,21 @@ def _mk(name: str, fn, ret="boolean"):
                             if r is not None:
                                 return pd.Series(r)
                 if name in ("intersects", "disjoint"):
-                    # row-paired polygon×polygon: CSR probe + segment-pair
-                    # kernel (geo/ragged.polys_intersect) — the sjoin
-                    # refinement hot path vectorized; None = pair product
-                    # too large for one allocation, scalar loop amortizes
+                    # row-paired polygonal/lineal pairs: CSR probe +
+                    # segment-pair kernel (geo/ragged.pairs_intersect) —
+                    # the sjoin refinement hot path vectorized; None =
+                    # pair product too large for one allocation, the
+                    # scalar loop amortizes better there
                     rpa = RG.parse_polygonal(s1)
-                    rpb = RG.parse_polygonal(s2) if rpa is not None else None
+                    if rpa is None:
+                        rpa = RG.parse_lineal(s1)
+                    rpb = None
+                    if rpa is not None:
+                        rpb = RG.parse_polygonal(s2)
+                        if rpb is None:
+                            rpb = RG.parse_lineal(s2)
                     if rpa is not None and rpb is not None:
-                        r = RG.polys_intersect(rpa, rpb)
+                        r = RG.pairs_intersect(rpa, rpb)
                         if r is not None:
                             return pd.Series(r if name == "intersects" else ~r)
             return pd.Series(

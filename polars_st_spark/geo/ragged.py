@@ -54,6 +54,7 @@ __all__ = [
     "centroid",
     "locate_points",
     "locate_points_multi",
+    "pairs_intersect",
     "polys_intersect",
 ]
 
@@ -1217,39 +1218,56 @@ def locate_points_multi(
     return out
 
 
-def _row_segments(rp: RaggedPolygons, row_mask: np.ndarray):
-    """(ax, ay, bx, by, row) for every ring segment of rows in row_mask —
-    consecutive coord pairs within a ring, scalar _line_segments order
-    (rings arrive closed in WKB, matching predicates.chains())."""
-    counts = np.diff(rp.ring_start)
-    c = rp.coords
+def _unit_arrays(p):
+    """(unit_start, unit_row) — rings for polygons, chains for lines. The
+    'unit' is scalar predicates.chains()'s chain: segments never span a
+    unit boundary and the unit's FIRST vertex is the containment probe."""
+    if isinstance(p, RaggedPolygons):
+        return p.ring_start, p.ring_row
+    return p.chain_start, p.chain_row
+
+
+def _row_segments(p, row_mask: np.ndarray):
+    """(ax, ay, bx, by, row) for every unit segment of rows in row_mask —
+    consecutive coord pairs within a ring/chain, scalar _line_segments
+    order (rings arrive closed in WKB, matching predicates.chains())."""
+    unit_start, unit_row = _unit_arrays(p)
+    counts = np.diff(unit_start)
+    c = p.coords
     if len(c) < 2:
         z = np.zeros(0)
         return z, z, z, z, np.zeros(0, dtype=np.int64)
     rid = np.repeat(np.arange(len(counts), dtype=np.int64), counts)
-    ok = (rid[:-1] == rid[1:]) & row_mask[rp.ring_row[rid[:-1]]]
+    ok = (rid[:-1] == rid[1:]) & row_mask[unit_row[rid[:-1]]]
     sel = np.nonzero(ok)[0]
-    row = rp.ring_row[rid[sel]]
+    row = unit_row[rid[sel]]
     return c[sel, 0], c[sel, 1], c[sel + 1, 0], c[sel + 1, 1], row
 
 
-def polys_intersect(
-    rpa: RaggedPolygons,
-    rpb: RaggedPolygons,
+def polys_intersect(rpa, rpb, max_pairs: int = 64_000_000, chunk: int = 1 << 20):
+    """Back-compat name: see :func:`pairs_intersect`."""
+    return pairs_intersect(rpa, rpb, max_pairs=max_pairs, chunk=chunk)
+
+
+def pairs_intersect(
+    rpa,
+    rpb,
     max_pairs: int = 64_000_000,
     chunk: int = 1 << 20,
 ) -> np.ndarray | None:
-    """Row-paired polygon×polygon ``intersects`` over two CSR batches —
-    predicates.intersects vectorized with the identical decision sequence:
-    bbox prune, ring-first-vertex probes in BOTH directions
-    (:func:`locate_points_multi`, covers full containment incl. holes),
-    then the all-segment-pair crossing test replicating
+    """Row-paired ``intersects`` over two CSR batches, each side
+    RaggedPolygons or RaggedLines (polygon×polygon, line×polygon,
+    line×line) — predicates.intersects vectorized with the identical
+    decision sequence: bbox prune, unit-first-vertex probes against any
+    POLYGONAL side (:func:`locate_points_multi`, covers full containment
+    incl. holes), then the all-segment-pair crossing test replicating
     ``_seg_intersect_kind``'s exact tolerance arithmetic (proper cross,
-    collinear overlap/abutment, endpoint touch). Segment pairs evaluate in
-    bounded chunks (~20 doubles of temporaries per pair); a batch whose
-    pair product exceeds ``max_pairs`` returns None and the caller falls
-    back to the scalar loop (a few enormous polygons amortize better
-    per-row than as one giant allocation)."""
+    collinear overlap/abutment, endpoint touch — which is all a line×line
+    intersect needs). Segment pairs evaluate in bounded chunks (~20
+    doubles of temporaries per pair); a batch whose pair product exceeds
+    ``max_pairs`` returns None and the caller falls back to the scalar
+    loop (a few enormous geometries amortize better per-row than as one
+    giant allocation)."""
     n = rpa.n
     if rpb.n != n:
         raise ValueError(f"row counts differ: {n} vs {rpb.n}")
@@ -1263,17 +1281,21 @@ def polys_intersect(
     cand &= ~(np.isnan(ba[:, 0]) | np.isnan(bb_[:, 0]))
     if not cand.any():
         return out
-    # ring-first-vertex probes, both directions (scalar: first vertex of
-    # every chain of one side located in the other side's polygons)
+    # unit-first-vertex probes, both directions where the TARGET side is
+    # polygonal (scalar: first vertex of every chain of one side located
+    # in the other side's polygons — a lineal target has no interior)
     for src, dst in ((rpa, rpb), (rpb, rpa)):
-        rsel = np.nonzero(cand[src.ring_row])[0]
+        if not isinstance(dst, RaggedPolygons):
+            continue
+        u_start, u_row = _unit_arrays(src)
+        rsel = np.nonzero(cand[u_row])[0]
         if not len(rsel):
             continue
-        firsts = src.ring_start[:-1][rsel]
+        firsts = u_start[:-1][rsel]
         loc = locate_points_multi(
-            dst, src.coords[firsts, 0], src.coords[firsts, 1], src.ring_row[rsel]
+            dst, src.coords[firsts, 0], src.coords[firsts, 1], u_row[rsel]
         )
-        out[src.ring_row[rsel][loc != 0]] = True
+        out[u_row[rsel][loc != 0]] = True
     rem = cand & ~out
     if not rem.any():
         return out

@@ -195,14 +195,18 @@ def _sjoin_broadcast(left, right, predicate, how, lsuffix, rsuffix, left_on, rig
             [g.bounds() if g is not None else (np.nan,) * 4 for g in rgeoms]
         ).reshape(-1, 4)
         tree = STRtree(rbounds)
-        # tree-side all polygonal (and intersects asked) -> candidate pairs
-        # can batch through the CSR polygon×polygon kernel instead of the
-        # per-candidate scalar predicate
+        # tree side all polygonal or all lineal (and intersects asked) ->
+        # candidate pairs can batch through the CSR pair kernel instead of
+        # the per-candidate scalar predicate
+        def _parse_any(wkbs):
+            p = RG.parse_polygonal(wkbs)
+            return p if p is not None else RG.parse_lineal(wkbs)
+
         rt_nonnull = [b for b in right_wkbs if b is not None]
-        right_polygonal = (
+        right_batched = (
             predicate == "intersects"
             and len(rt_nonnull) > 0
-            and RG.parse_polygonal(rt_nonnull) is not None
+            and _parse_any(rt_nonnull) is not None
         )
         rview = rpdf.rename(columns=dict(zip(rpdf.columns, rnames)))
         # vectorized probe applies when every right geometry is an axis rect
@@ -248,8 +252,8 @@ def _sjoin_broadcast(left, right, predicate, how, lsuffix, rsuffix, left_on, rig
                 rpart.loc[[k for k, j in enumerate(ri) if j < 0], :] = None
                 yield pd.concat([lpart, rpart], axis=1)
                 continue
-            if right_polygonal and not lgeo.isnull().values.any():
-                rpa_all = RG.parse_polygonal(list(lgeo))
+            if right_batched and not lgeo.isnull().values.any():
+                rpa_all = _parse_any(list(lgeo))
                 if rpa_all is not None:
                     bl = RG.bounds(rpa_all)
                     cand_i: list[int] = []
@@ -263,10 +267,10 @@ def _sjoin_broadcast(left, right, predicate, how, lsuffix, rsuffix, left_on, rig
                                 cand_j.append(int(j))
                     hit = None
                     if cand_i:
-                        rpa = RG.parse_polygonal([bytes(lgeo.iloc[i]) for i in cand_i])
-                        rpb = RG.parse_polygonal([right_wkbs[j] for j in cand_j])
+                        rpa = _parse_any([bytes(lgeo.iloc[i]) for i in cand_i])
+                        rpb = _parse_any([right_wkbs[j] for j in cand_j])
                         if rpa is not None and rpb is not None:
-                            hit = RG.polys_intersect(rpa, rpb)
+                            hit = RG.pairs_intersect(rpa, rpb)
                     else:
                         hit = np.zeros(0, dtype=bool)
                     if hit is not None:  # None = pair blowup, scalar amortizes

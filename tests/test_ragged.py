@@ -816,3 +816,76 @@ def test_st_intersects_polygon_pairs_spark(spark):
         assert got[i] == (want, not want), i
     vals = {v[0] for v in got.values()}
     assert vals == {True, False}
+
+
+def _wkb_linestring(pts):
+    import struct
+    out = b"\x01" + struct.pack("<I", 2) + struct.pack("<I", len(pts))
+    for xy in pts:
+        out += struct.pack("<dd", *xy)
+    return out
+
+
+def _wkb_multiline(chains):
+    import struct
+    out = b"\x01" + struct.pack("<I", 5) + struct.pack("<I", len(chains))
+    for ch in chains:
+        out += _wkb_linestring(ch)
+    return out
+
+
+def test_pairs_intersect_lines_matches_scalar():
+    """line×polygon and line×line pair batches through the generalized
+    kernel == scalar predicates.intersects (crossings, touches, collinear
+    overlap, containment in polygon/hole, multi-chain lines)."""
+    import numpy as np
+
+    from polars_st_spark.geo import predicates as P
+    from polars_st_spark.geo import ragged as R
+    from polars_st_spark.geo.wkb import from_ewkb
+
+    rng = np.random.RandomState(13)
+    LA, PB, LB = [], [], []
+    for i in range(400):
+        ax, ay = rng.uniform(0, 10, 2)
+        # wandering polyline (sometimes multi-chain)
+        pts = [(ax + t * rng.uniform(-1, 1), ay + t * rng.uniform(-1, 1))
+               for t in np.linspace(0, 2.5, 4 + i % 4)]
+        if i % 5 == 0:
+            la = _wkb_multiline([pts[:3], [(p[0] + 0.5, p[1]) for p in pts[2:]]])
+        else:
+            la = _wkb_linestring(pts)
+        rings = [_star(ax + rng.uniform(-2, 2), ay + rng.uniform(-2, 2),
+                       rng.uniform(0.5, 2.0), 3 + i % 4, rng.uniform(0, 3))]
+        if i % 3 == 0:
+            rings.append(list(reversed(_star(ax, ay, 0.4, 4, 0.1))))
+        LA.append(la)
+        PB.append(_wkb_polygon(rings))
+        pts2 = [(ax + 1 + t * rng.uniform(-1, 1), ay - 1 + t * rng.uniform(-1, 1))
+                for t in np.linspace(0, 2.5, 3 + (i * 7) % 4)]
+        LB.append(_wkb_linestring(pts2))
+    # planted exact cases: line along a square edge; line fully in hole
+    sq = [(0, 0), (4, 0), (4, 4), (0, 4), (0, 0)]
+    hole = [(1, 1), (1, 3), (3, 3), (3, 1), (1, 1)]
+    LA += [_wkb_linestring([(0, 0), (4, 0)]), _wkb_linestring([(1.5, 1.5), (2.5, 2.5)])]
+    PB += [_wkb_polygon([sq]), _wkb_polygon([sq, hole])]
+    LB += [_wkb_linestring([(0, -1), (0, 5)]), _wkb_linestring([(10, 10), (11, 11)])]
+
+    la = R.parse_lineal(LA)
+    pb = R.parse_polygonal(PB)
+    lb = R.parse_lineal(LB)
+    assert la is not None and pb is not None and lb is not None
+    for other_parsed, other_wkb in ((pb, PB), (lb, LB)):
+        got = R.pairs_intersect(la, other_parsed)
+        assert got is not None
+        want = np.array([
+            P.intersects(from_ewkb(a), from_ewkb(b))
+            for a, b in zip(LA, other_wkb)
+        ])
+        mism = np.nonzero(got != want)[0]
+        assert not len(mism), (len(mism), mism[:5])
+        assert want.any() and not want.all()
+    # polygon×line direction (probe side swap)
+    got = R.pairs_intersect(pb, la)
+    want = np.array([P.intersects(from_ewkb(b), from_ewkb(a)) for a, b in zip(LA, PB)])
+    assert (got == want).all()
