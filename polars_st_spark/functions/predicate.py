@@ -250,6 +250,32 @@ def _mk(name: str, fn, ret="boolean"):
                         r = RG.pairs_intersect(rpa, rpb)
                         if r is not None:
                             return pd.Series(r if name == "intersects" else ~r)
+                if name in ("within", "contains", "covers", "covered_by",
+                            "contains_properly"):
+                    # conservative CSR containment: certain rows vectorized
+                    # (strictly-inside / provably-outside / proper-crossing),
+                    # boundary-contact rows fall back to the scalar DE-9IM
+                    # kernel row-by-row — exact either way
+                    swap = name in ("contains", "covers", "contains_properly")
+                    sA_, sB_ = (s2, s1) if swap else (s1, s2)
+                    pb2 = RG.parse_polygonal(sB_)
+                    pa2 = None
+                    if pb2 is not None:
+                        pa2 = RG.parse_polygonal(sA_)
+                        if pa2 is None:
+                            pa2 = RG.parse_lineal(sA_)
+                    if pa2 is not None and pb2 is not None:
+                        res, dec = RG.pairs_within(pa2, pb2)
+                        undec = np.nonzero(~dec)[0]
+                        if len(undec):
+                            out_res = res.astype(object)
+                            for k in undec:
+                                out_res[k] = fn(
+                                    from_ewkb(bytes(s1.iloc[k])),
+                                    from_ewkb(bytes(s2.iloc[k])),
+                                )
+                            return pd.Series(out_res, dtype=object)
+                        return pd.Series(res)
             return pd.Series(
                 [
                     None if (a is None or b is None) else fn(from_ewkb(bytes(a)), from_ewkb(bytes(b)))

@@ -55,6 +55,7 @@ __all__ = [
     "locate_points",
     "locate_points_multi",
     "pairs_intersect",
+    "pairs_within",
     "polys_intersect",
 ]
 
@@ -1299,8 +1300,30 @@ def pairs_intersect(
     rem = cand & ~out
     if not rem.any():
         return out
-    ax, ay, bx, by, rowA = _row_segments(rpa, rem)
-    cx, cy, ex, ey, rowB = _row_segments(rpb, rem)
+    flags = _segpair_flags(rpa, rpb, rem, max_pairs, chunk)
+    if flags is None:
+        return None
+    out |= flags[0]
+    return out
+
+
+def _segpair_flags(
+    rpa,
+    rpb,
+    row_mask: np.ndarray,
+    max_pairs: int = 64_000_000,
+    chunk: int = 1 << 20,
+):
+    """Per-row segment-pair classification over the masked rows:
+    ``(any_nonzero, any_proper, any_contact)`` bool arrays — nonzero =
+    _seg_intersect_kind != 0, proper = kind 2, contact = kind 1/3 (touch
+    or collinear). None when the pair product exceeds max_pairs."""
+    n = rpa.n
+    any_nonzero = np.zeros(n, dtype=bool)
+    any_proper = np.zeros(n, dtype=bool)
+    any_contact = np.zeros(n, dtype=bool)
+    ax, ay, bx, by, rowA = _row_segments(rpa, row_mask)
+    cx, cy, ex, ey, rowB = _row_segments(rpb, row_mask)
     nb = np.bincount(rowB, minlength=n)
     offsB = np.concatenate([[0], np.cumsum(nb)])
     # pair enumeration without any division: per A-segment, a contiguous
@@ -1311,7 +1334,7 @@ def pairs_intersect(
     if total > max_pairs:
         return None
     if not total:
-        return out
+        return any_nonzero, any_proper, any_contact
     blk_start = np.cumsum(sizes_b) - sizes_b
     shift = blk_start - offsB[rowA]
     if total < 2**31:
@@ -1347,16 +1370,17 @@ def pairs_intersect(
         scale_ab = np.maximum(np.maximum(np.abs(BX - AX), np.abs(BY - AY)), 1.0)
         scale_ce = np.maximum(np.maximum(np.abs(EX - CX), np.abs(EY - CY)), 1.0)
         tol = _EPS * scale_ce * scale_ab
-        nonzero = (
+        proper = (
             ((d1 > tol) & (d2 < -tol)) | ((d1 < -tol) & (d2 > tol))
         ) & (((d3 > tol) & (d4 < -tol)) | ((d3 < -tol) & (d4 > tol)))
+        nonzero = proper.copy()
         # boundary-ish pairs (some orientation within tolerance) are rare —
         # evaluate the collinear/touch branches only on that subset
         near1 = np.abs(d1) <= tol
         near2 = np.abs(d2) <= tol
         near3 = np.abs(d3) <= tol
         near4 = np.abs(d4) <= tol
-        bnd = (near1 | near2 | near3 | near4) & ~nonzero
+        bnd = (near1 | near2 | near3 | near4) & ~proper
         bsel = np.nonzero(bnd)[0]
         if len(bsel):
             sA = (AX[bsel], AY[bsel], BX[bsel], BY[bsel])
@@ -1379,5 +1403,92 @@ def pairs_intersect(
                 | (n4 & on_seg(sB[2], sB[3], sA[0], sA[1], sA[2], sA[3]))
             )
             nonzero[bsel] = np.where(allcol, col_hit, touch)
-        out[rowA[ia[nonzero]]] = True
-    return out
+        rows_nz = rowA[ia[nonzero]]
+        any_nonzero[rows_nz] = True
+        any_proper[rowA[ia[proper]]] = True
+        any_contact[rowA[ia[nonzero & ~proper]]] = True
+    return any_nonzero, any_proper, any_contact
+
+
+def pairs_within(
+    rpa,
+    rpb,
+    max_pairs: int = 64_000_000,
+    chunk: int = 1 << 20,
+) -> tuple[np.ndarray, np.ndarray]:
+    """Row-paired conservative ``within`` (is A inside B) over CSR
+    batches; ``rpb`` must be polygonal, ``rpa`` polygonal or lineal.
+    Returns ``(result, decided)`` — rows where ``decided`` is False carry
+    boundary contact and need the scalar relate() fallback; certain rows
+    are exact:
+
+    - certain FALSE: an A vertex strictly outside closure(B) (loc 0), a
+      proper boundary crossing, ``bbox(A) ⊄ bbox(B)``, or (areal A) a
+      hole of B whose first vertex lies strictly inside A — each implies
+      interior(A) ∩ exterior(B) ≠ ∅ for the within/covered_by/contains/
+      covers family regardless of any other contact.
+    - certain TRUE: every A vertex strictly interior (loc 2), zero
+      segment contact of any kind, and no B-hole first vertex inside or
+      on A — the no-contact case where within == covered_by.
+
+    The conservative split keeps parity with the scalar DE-9IM verdicts:
+    anything within _EPS of a boundary stays undecided."""
+    n = rpa.n
+    if rpb.n != n:
+        raise ValueError(f"row counts differ: {n} vs {rpb.n}")
+    if not isinstance(rpb, RaggedPolygons):
+        raise ValueError("pairs_within needs a polygonal container side")
+    result = np.zeros(n, dtype=bool)
+    decided = np.zeros(n, dtype=bool)
+    ba, bb_ = bounds(rpa), bounds(rpb)
+    nan_rows = np.isnan(ba[:, 0]) | np.isnan(bb_[:, 0])
+    with np.errstate(invalid="ignore"):
+        inbox = (
+            (ba[:, 0] >= bb_[:, 0]) & (ba[:, 1] >= bb_[:, 1])
+            & (ba[:, 2] <= bb_[:, 2]) & (ba[:, 3] <= bb_[:, 3])
+        )
+    decided |= ~inbox & ~nan_rows  # a coordinate provably outside closure(B)
+    active = inbox & ~nan_rows
+    if not active.any():
+        return result, decided
+    rows_per_coord = np.repeat(
+        np.arange(n, dtype=np.int64), np.diff(rpa.row_start)
+    )
+    csel = np.nonzero(active[rows_per_coord])[0]
+    locs = locate_points_multi(
+        rpb, rpa.coords[csel, 0], rpa.coords[csel, 1], rows_per_coord[csel]
+    )
+    prow = rows_per_coord[csel]
+    any0 = np.zeros(n, dtype=bool)
+    any1 = np.zeros(n, dtype=bool)
+    any0[prow[locs == 0]] = True
+    any1[prow[locs == 1]] = True
+    flags = _segpair_flags(rpa, rpb, active, max_pairs, chunk)
+    if flags is None:
+        # pair product too large to classify: certain-False from vertex
+        # locations still stands; nothing becomes certain-True
+        certain_false = active & any0
+        decided |= certain_false
+        return result, decided
+    _, any_proper, any_contact = flags
+    hole_in = np.zeros(n, dtype=bool)
+    hole_on = np.zeros(n, dtype=bool)
+    if isinstance(rpa, RaggedPolygons):
+        hidx = np.nonzero(rpb.ring_hole & active[rpb.ring_row])[0]
+        if len(hidx):
+            firsts = rpb.ring_start[:-1][hidx]
+            hloc = locate_points_multi(
+                rpa, rpb.coords[firsts, 0], rpb.coords[firsts, 1],
+                rpb.ring_row[hidx],
+            )
+            hrow = rpb.ring_row[hidx]
+            hole_in[hrow[hloc == 2]] = True
+            hole_on[hrow[hloc == 1]] = True
+    certain_false = active & (any0 | any_proper | hole_in)
+    certain_true = (
+        active & ~any0 & ~any1 & ~any_proper & ~any_contact
+        & ~hole_in & ~hole_on
+    )
+    decided |= certain_false | certain_true
+    result[certain_true] = True
+    return result, decided

@@ -889,3 +889,68 @@ def test_pairs_intersect_lines_matches_scalar():
     got = R.pairs_intersect(pb, la)
     want = np.array([P.intersects(from_ewkb(b), from_ewkb(a)) for a, b in zip(LA, PB)])
     assert (got == want).all()
+
+
+def test_containment_family_matches_scalar(spark):
+    """st_within/contains/covers/covered_by/contains_properly over ragged
+    polygon and line pairs == scalar DE-9IM verdicts — the conservative
+    kernel decides strictly-inside/outside rows and hands boundary-contact
+    rows (shared edges, vertex touches) to the scalar fallback."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    import polars_st_spark as st
+    from polars_st_spark.geo import predicates as P
+    from polars_st_spark.geo.wkb import from_ewkb
+
+    rng = np.random.RandomState(23)
+    rows = []
+    i = 0
+    for _ in range(120):
+        cx, cy = rng.uniform(0, 10, 2)
+        big = _star(cx, cy, 2.0, 4 + i % 3, 0.2)
+        holed = [big, list(reversed(_star(cx, cy, 0.5, 4, 0.1)))]
+        small = _star(cx + rng.uniform(-1, 1) * 0.4, cy + rng.uniform(-1, 1) * 0.4,
+                      rng.uniform(0.2, 2.6), 3, 0.7)
+        inner_line = [(cx - 0.8, cy + 0.9), (cx + 0.8, cy + 0.9)]
+        far = _star(cx + 6, cy + 6, 1.0, 3, 0.0)
+        rows.append((i, bytearray(_wkb_polygon([small])), bytearray(_wkb_polygon(holed)))); i += 1
+        rows.append((i, bytearray(_wkb_linestring(inner_line)), bytearray(_wkb_polygon(holed)))); i += 1
+        rows.append((i, bytearray(_wkb_polygon([far])), bytearray(_wkb_polygon([big])))); i += 1
+        # guaranteed strictly-inside: tiny triangle in a holed square
+        bigsq = [(cx - 2, cy - 2), (cx + 2, cy - 2), (cx + 2, cy + 2),
+                 (cx - 2, cy + 2), (cx - 2, cy - 2)]
+        sqhole = list(reversed(
+            [(cx - .4, cy - .4), (cx + .4, cy - .4), (cx + .4, cy + .4),
+             (cx - .4, cy + .4), (cx - .4, cy - .4)]))
+        tri = [(cx + 1.0, cy), (cx + 1.3, cy + 0.2), (cx + 1.1, cy + 0.4),
+               (cx + 1.0, cy)]
+        rows.append((i, bytearray(_wkb_polygon([tri])),
+                     bytearray(_wkb_polygon([bigsq, sqhole])))); i += 1
+    # exact boundary-contact cases -> undecided path -> scalar fallback
+    sq = [(0, 0), (4, 0), (4, 4), (0, 4), (0, 0)]
+    inner_sq = [(0, 0), (2, 0), (2, 2), (0, 2), (0, 0)]  # shares two edges
+    rows.append((i, bytearray(_wkb_polygon([inner_sq])), bytearray(_wkb_polygon([sq])))); i += 1
+    rows.append((i, bytearray(_wkb_polygon([sq])), bytearray(_wkb_polygon([sq])))); i += 1
+    rows.append((i, bytearray(_wkb_linestring([(0, 0), (4, 0)])), bytearray(_wkb_polygon([sq])))); i += 1
+
+    df = spark.createDataFrame(rows, "id long, ga binary, gb binary")
+    preds = {
+        "within": (st.st_within, P.within),
+        "contains": (st.st_contains, P.contains),
+        "covers": (st.st_covers, P.covers),
+        "covered_by": (st.st_covered_by, P.covered_by),
+        "contains_properly": (st.st_contains_properly, P.contains_properly),
+    }
+    got_rows = df.select(
+        "id", *[col_fn("ga", F.col("gb")).alias(k) for k, (col_fn, _) in preds.items()]
+    ).collect()
+    got = {r["id"]: r for r in got_rows}
+    n_true = 0
+    for rid, ga, gb in rows:
+        a, b = from_ewkb(bytes(ga)), from_ewkb(bytes(gb))
+        for k, (_, scalar_fn) in preds.items():
+            want = scalar_fn(a, b)
+            assert got[rid][k] == want, (rid, k, want)
+            n_true += bool(want)
+    assert n_true > 50  # plenty of positive verdicts exercised
