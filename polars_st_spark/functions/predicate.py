@@ -152,6 +152,18 @@ def _const_box(o: Geometry):
     return None
 
 
+def _scalar_fill(res: np.ndarray, dec: np.ndarray, fn, s1, s2) -> pd.Series:
+    """Certain rows from a trivalent CSR kernel + scalar fills for the
+    undecided remainder."""
+    undec = np.nonzero(~dec)[0]
+    if not len(undec):
+        return pd.Series(res)
+    out_res = res.astype(object)
+    for k in undec:
+        out_res[k] = fn(from_ewkb(bytes(s1.iloc[k])), from_ewkb(bytes(s2.iloc[k])))
+    return pd.Series(out_res, dtype=object)
+
+
 def _mk(name: str, fn, ret="boolean"):
     def outer(col, other) -> Column:
         o = geom_arg(other)
@@ -266,16 +278,22 @@ def _mk(name: str, fn, ret="boolean"):
                             pa2 = RG.parse_lineal(sA_)
                     if pa2 is not None and pb2 is not None:
                         res, dec = RG.pairs_within(pa2, pb2)
-                        undec = np.nonzero(~dec)[0]
-                        if len(undec):
-                            out_res = res.astype(object)
-                            for k in undec:
-                                out_res[k] = fn(
-                                    from_ewkb(bytes(s1.iloc[k])),
-                                    from_ewkb(bytes(s2.iloc[k])),
-                                )
-                            return pd.Series(out_res, dtype=object)
-                        return pd.Series(res)
+                        return _scalar_fill(res, dec, fn, s1, s2)
+                if name == "touches":
+                    # conservative trivalent: no-common-point / proper-cross
+                    # / strictly-interior-vertex rows decide vectorized;
+                    # real boundary-contact rows go to the scalar kernel
+                    pa3 = RG.parse_polygonal(s1)
+                    if pa3 is None:
+                        pa3 = RG.parse_lineal(s1)
+                    pb3 = None
+                    if pa3 is not None:
+                        pb3 = RG.parse_polygonal(s2)
+                        if pb3 is None:
+                            pb3 = RG.parse_lineal(s2)
+                    if pa3 is not None and pb3 is not None:
+                        res, dec = RG.pairs_touches(pa3, pb3)
+                        return _scalar_fill(res, dec, fn, s1, s2)
             return pd.Series(
                 [
                     None if (a is None or b is None) else fn(from_ewkb(bytes(a)), from_ewkb(bytes(b)))

@@ -55,6 +55,7 @@ __all__ = [
     "locate_points",
     "locate_points_multi",
     "pairs_intersect",
+    "pairs_touches",
     "pairs_within",
     "polys_intersect",
 ]
@@ -1491,4 +1492,60 @@ def pairs_within(
     )
     decided |= certain_false | certain_true
     result[certain_true] = True
+    return result, decided
+
+
+def pairs_touches(
+    rpa,
+    rpb,
+    max_pairs: int = 64_000_000,
+    chunk: int = 1 << 20,
+) -> tuple[np.ndarray, np.ndarray]:
+    """Row-paired conservative ``touches`` over CSR batches (polygonal or
+    lineal sides). ``(result, decided)``:
+
+    - certain FALSE: no intersection at all (bbox-disjoint or zero contact
+      and zero containment signal — touches requires SOME common point),
+      any PROPER boundary crossing (interiors meet), or any vertex of one
+      side strictly interior to a polygonal other side.
+    - everything else (real boundary contact without an interior signal)
+      stays undecided — that is exactly the interesting adjacency set, and
+      it goes to the scalar DE-9IM kernel. In an sjoin the overwhelming
+      majority of bbox candidates are decided here for free."""
+    n = rpa.n
+    if rpb.n != n:
+        raise ValueError(f"row counts differ: {n} vs {rpb.n}")
+    result = np.zeros(n, dtype=bool)
+    decided = np.zeros(n, dtype=bool)
+    inter = pairs_intersect(rpa, rpb, max_pairs=max_pairs, chunk=chunk)
+    if inter is None:
+        return result, decided
+    decided |= ~inter  # no common point -> touches False, certain
+    act = inter.copy()
+    if not act.any():
+        return result, decided
+    flags = _segpair_flags(rpa, rpb, act, max_pairs, chunk)
+    if flags is None:
+        return result, decided
+    _, any_proper, _ = flags
+    strict_in = np.zeros(n, dtype=bool)
+    for src, dst in ((rpa, rpb), (rpb, rpa)):
+        if not isinstance(dst, RaggedPolygons):
+            continue
+        u_start, u_row = _unit_arrays(src)
+        counts = np.diff(u_start)
+        # a strictly-interior vertex implies interiors meet ONLY for a
+        # unit with extent (>=2 points) — a degenerate single-point chain
+        # has no interior and stays undecided
+        unit_per_coord = np.repeat(np.arange(len(counts), dtype=np.int64), counts)
+        rows_per_coord = u_row[unit_per_coord]
+        csel = np.nonzero(act[rows_per_coord] & (counts[unit_per_coord] >= 2))[0]
+        if not len(csel):
+            continue
+        loc = locate_points_multi(
+            dst, src.coords[csel, 0], src.coords[csel, 1], rows_per_coord[csel]
+        )
+        strict_in[rows_per_coord[csel][loc == 2]] = True
+    certain_false = act & (any_proper | strict_in)
+    decided |= certain_false
     return result, decided

@@ -954,3 +954,51 @@ def test_containment_family_matches_scalar(spark):
             assert got[rid][k] == want, (rid, k, want)
             n_true += bool(want)
     assert n_true > 50  # plenty of positive verdicts exercised
+
+
+def test_touches_pairs_matches_scalar(spark):
+    """st_touches over ragged pairs == scalar: disjoint and overlapping
+    rows decide in the kernel; genuine adjacency (shared edges, vertex
+    touches, line-ends-on-boundary) goes through the scalar fallback."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    import polars_st_spark as st
+    from polars_st_spark.geo import predicates as P
+    from polars_st_spark.geo.wkb import from_ewkb
+
+    rng = np.random.RandomState(31)
+    rows = []
+    i = 0
+    sq = [(0, 0), (2, 0), (2, 2), (0, 2), (0, 0)]
+    adj = [(2, 0), (4, 0), (4, 2), (2, 2), (2, 0)]          # shared edge
+    corner = [(2, 2), (3, 2), (3, 3), (2, 3), (2, 2)]        # vertex touch
+    inside = [(0.5, 0.5), (1.5, 0.5), (1.5, 1.5), (0.5, 0.5)]
+    apart = [(10, 10), (11, 10), (11, 11), (10, 10)]
+    overlap = [(1, 1), (3, 1), (3, 3), (1, 3), (1, 1)]
+    for pair in [(sq, adj), (sq, corner), (sq, inside), (sq, apart), (sq, overlap)]:
+        rows.append((i, bytearray(_wkb_polygon([pair[0]])),
+                     bytearray(_wkb_polygon([pair[1]])))); i += 1
+    # line cases: end-on-boundary (touch), crossing (not touch), apart
+    rows.append((i, bytearray(_wkb_linestring([(-1, 1), (0, 1)])),
+                 bytearray(_wkb_polygon([sq])))); i += 1
+    rows.append((i, bytearray(_wkb_linestring([(-1, 1), (3, 1)])),
+                 bytearray(_wkb_polygon([sq])))); i += 1
+    rows.append((i, bytearray(_wkb_linestring([(5, 5), (6, 6)])),
+                 bytearray(_wkb_polygon([sq])))); i += 1
+    # random star pairs for volume
+    for _ in range(150):
+        cx, cy = rng.uniform(0, 10, 2)
+        a = _star(cx, cy, rng.uniform(0.5, 2), 4, 0.3)
+        b = _star(cx + rng.uniform(-2.5, 2.5), cy + rng.uniform(-2.5, 2.5),
+                  rng.uniform(0.5, 2), 5, 1.0)
+        rows.append((i, bytearray(_wkb_polygon([a])), bytearray(_wkb_polygon([b])))); i += 1
+    df = spark.createDataFrame(rows, "id long, ga binary, gb binary")
+    got = {r["id"]: r["t"] for r in df.select(
+        "id", st.st_touches("ga", F.col("gb")).alias("t")).collect()}
+    trues = 0
+    for rid, ga, gb in rows:
+        want = P.touches(from_ewkb(bytes(ga)), from_ewkb(bytes(gb)))
+        assert got[rid] == want, (rid, want)
+        trues += bool(want)
+    assert trues >= 3  # adjacency, corner, line-end cases are genuine touches
