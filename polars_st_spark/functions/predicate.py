@@ -210,12 +210,16 @@ def _mk(name: str, fn, ret="boolean"):
             return udf1(col_or_lit(col))
 
         loc_ok2 = ret == "boolean" and name in _LOC_NAMES
+        pair_ok = ret == "boolean" and name in (
+            "intersects", "disjoint", "within", "contains", "covers",
+            "covered_by", "contains_properly", "touches", "crosses", "overlaps",
+        )
 
         @pandas_udf(ret)
         def udf2(s1: pd.Series, s2: pd.Series) -> pd.Series:
             if (
                 ret == "boolean"
-                and (name in _FAST_NAMES or loc_ok2)
+                and (name in _FAST_NAMES or loc_ok2 or pair_ok)
                 and not s1.isna().any()
                 and not s2.isna().any()
             ):
@@ -293,6 +297,21 @@ def _mk(name: str, fn, ret="boolean"):
                             pb3 = RG.parse_lineal(s2)
                     if pa3 is not None and pb3 is not None:
                         res, dec = RG.pairs_touches(pa3, pb3)
+                        return _scalar_fill(res, dec, fn, s1, s2)
+                if name in ("crosses", "overlaps"):
+                    # dimension-rule + proper-cross + strict-containment
+                    # certainty; genuine boundary interplay goes scalar
+                    pa4 = RG.parse_polygonal(s1)
+                    if pa4 is None:
+                        pa4 = RG.parse_lineal(s1)
+                    pb4 = None
+                    if pa4 is not None:
+                        pb4 = RG.parse_polygonal(s2)
+                        if pb4 is None:
+                            pb4 = RG.parse_lineal(s2)
+                    if pa4 is not None and pb4 is not None:
+                        kern = RG.pairs_crosses if name == "crosses" else RG.pairs_overlaps
+                        res, dec = kern(pa4, pb4)
                         return _scalar_fill(res, dec, fn, s1, s2)
             return pd.Series(
                 [

@@ -55,6 +55,8 @@ __all__ = [
     "locate_points",
     "locate_points_multi",
     "pairs_intersect",
+    "pairs_crosses",
+    "pairs_overlaps",
     "pairs_touches",
     "pairs_within",
     "polys_intersect",
@@ -1548,4 +1550,144 @@ def pairs_touches(
         strict_in[rows_per_coord[csel][loc == 2]] = True
     certain_false = act & (any_proper | strict_in)
     decided |= certain_false
+    return result, decided
+
+
+def _strict_within_signal(rpa, rpb, act, max_pairs, chunk):
+    """(strict_true, contact) helper: rows of ``act`` where EVERY A vertex
+    sits strictly inside B with zero segment contact (the pairs_within
+    certain-TRUE core), plus the per-row contact flag. B must be
+    polygonal."""
+    n = rpa.n
+    strict = np.zeros(n, dtype=bool)
+    flags = _segpair_flags(rpa, rpb, act, max_pairs, chunk)
+    if flags is None:
+        return None
+    _, any_proper, any_contact = flags
+    rows_per_coord = np.repeat(np.arange(n, dtype=np.int64), np.diff(rpa.row_start))
+    csel = np.nonzero(act[rows_per_coord])[0]
+    ok_in = np.zeros(n, dtype=bool)
+    if len(csel):
+        locs = locate_points_multi(
+            rpb, rpa.coords[csel, 0], rpa.coords[csel, 1], rows_per_coord[csel]
+        )
+        prow = rows_per_coord[csel]
+        bad = np.zeros(n, dtype=bool)
+        bad[prow[locs != 2]] = True
+        seen = np.zeros(n, dtype=bool)
+        seen[prow] = True
+        ok_in = seen & ~bad
+    strict = act & ok_in & ~any_proper & ~any_contact
+    return strict, any_proper, any_contact
+
+
+def pairs_crosses(rpa, rpb, max_pairs: int = 64_000_000, chunk: int = 1 << 20):
+    """Row-paired conservative ``crosses``: (result, decided).
+
+    - areal×areal: ALWAYS False (SFS dimension rule) — fully decided.
+    - any family: no common point → False.
+    - lineal×lineal and lineal×areal (either order): a PROPER segment
+      crossing puts interior points of the line on both sides → True;
+      a line with every vertex strictly interior and zero contact lies
+      within the polygon → False. Contact-only rows stay undecided."""
+    n = rpa.n
+    result = np.zeros(n, dtype=bool)
+    decided = np.zeros(n, dtype=bool)
+    a_poly = isinstance(rpa, RaggedPolygons)
+    b_poly = isinstance(rpb, RaggedPolygons)
+    if a_poly and b_poly:
+        return result, np.ones(n, dtype=bool)
+    inter = pairs_intersect(rpa, rpb, max_pairs=max_pairs, chunk=chunk)
+    if inter is None:
+        return result, decided
+    decided |= ~inter
+    act = inter.copy()
+    if not act.any():
+        return result, decided
+    flags = _segpair_flags(rpa, rpb, act, max_pairs, chunk)
+    if flags is None:
+        return result, decided
+    _, any_proper, any_contact = flags
+    if a_poly or b_poly:
+        # line vs polygon: a proper crossing puts line-interior points in
+        # both the polygon's interior and exterior — certain TRUE whatever
+        # other boundary contact exists
+        sure_true = act & any_proper
+    else:
+        # line vs line: crosses needs a 0-DIMENSIONAL interior meeting —
+        # a proper crossing is certain only with no collinear/touch
+        # contact that could raise the intersection to 1-dimensional
+        sure_true = act & any_proper & ~any_contact
+    result[sure_true] = True
+    decided |= sure_true
+    act &= ~sure_true
+    if a_poly != b_poly:
+        act &= ~any_proper  # proper+contact mixed rows were decided above
+        if act.any():
+            line, poly = (rpa, rpb) if b_poly else (rpb, rpa)
+            sig = _strict_within_signal(line, poly, act, max_pairs, chunk)
+            if sig is not None:
+                strict, _, _ = sig
+                decided |= strict  # line entirely interior -> crosses False
+    return result, decided
+
+
+def pairs_overlaps(rpa, rpb, max_pairs: int = 64_000_000, chunk: int = 1 << 20):
+    """Row-paired conservative ``overlaps``: (result, decided).
+
+    - mixed dimensions: ALWAYS False (SFS equal-dimension rule).
+    - no common point → False.
+    - areal×areal: a PROPER crossing proves interiors meet AND each side
+      spills past the other → True; one side strictly inside the other
+      (every vertex interior, zero contact) → False.
+    - lineal×lineal: a proper crossing with NO collinear/touch contact is
+      a 0-dimensional intersection → False. Everything else undecided."""
+    n = rpa.n
+    result = np.zeros(n, dtype=bool)
+    decided = np.zeros(n, dtype=bool)
+    a_poly = isinstance(rpa, RaggedPolygons)
+    b_poly = isinstance(rpb, RaggedPolygons)
+    if a_poly != b_poly:
+        return result, np.ones(n, dtype=bool)
+    inter = pairs_intersect(rpa, rpb, max_pairs=max_pairs, chunk=chunk)
+    if inter is None:
+        return result, decided
+    decided |= ~inter
+    act = inter.copy()
+    if not act.any():
+        return result, decided
+    flags = _segpair_flags(rpa, rpb, act, max_pairs, chunk)
+    if flags is None:
+        return result, decided
+    _, any_proper, any_contact = flags
+    if a_poly and b_poly:
+        result[act & any_proper] = True
+        decided |= act & any_proper
+        act &= ~any_proper
+        if act.any():
+            for line_like, poly_like in ((rpa, rpb), (rpb, rpa)):
+                sig = _strict_within_signal(line_like, poly_like, act, max_pairs, chunk)
+                if sig is not None:
+                    strict, _, _ = sig
+                    # hole caveat: a strictly-inside A with a B hole inside
+                    # it is NOT within — but overlaps is then TRUE, not
+                    # False, so strictness alone cannot decide; require no
+                    # holes inside (probe B hole firsts)
+                    hole_in = np.zeros(n, dtype=bool)
+                    if isinstance(poly_like, RaggedPolygons) and isinstance(line_like, RaggedPolygons):
+                        hidx = np.nonzero(poly_like.ring_hole & strict[poly_like.ring_row])[0]
+                        if len(hidx):
+                            firsts = poly_like.ring_start[:-1][hidx]
+                            hloc = locate_points_multi(
+                                line_like, poly_like.coords[firsts, 0],
+                                poly_like.coords[firsts, 1], poly_like.ring_row[hidx],
+                            )
+                            hole_in[poly_like.ring_row[hidx][hloc != 0]] = True
+                    dec_rows = strict & ~hole_in
+                    decided |= dec_rows  # contained -> overlaps False
+                    act &= ~dec_rows
+    else:
+        # lineal×lineal: proper-only intersection is 0-dimensional
+        zero_dim = act & any_proper & ~any_contact
+        decided |= zero_dim
     return result, decided

@@ -1002,3 +1002,57 @@ def test_touches_pairs_matches_scalar(spark):
         assert got[rid] == want, (rid, want)
         trues += bool(want)
     assert trues >= 3  # adjacency, corner, line-end cases are genuine touches
+
+
+def test_crosses_overlaps_pairs_match_scalar(spark):
+    """st_crosses/st_overlaps over ragged pairs == scalar DE-9IM for every
+    dimension combination (polygon/polygon, line/polygon both directions,
+    line/line incl. collinear overlaps and X-crossings)."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    import polars_st_spark as st
+    from polars_st_spark.geo import predicates as P
+    from polars_st_spark.geo.wkb import from_ewkb
+
+    rng = np.random.RandomState(41)
+    rows = []
+    i = 0
+    sq = [(0, 0), (2, 0), (2, 2), (0, 2), (0, 0)]
+    overlap_sq = [(1, 1), (3, 1), (3, 3), (1, 3), (1, 1)]
+    inside_sq = [(0.5, 0.5), (1.5, 0.5), (1.5, 1.5), (0.5, 1.5), (0.5, 0.5)]
+    cases = [
+        (_wkb_polygon([sq]), _wkb_polygon([overlap_sq])),        # overlap
+        (_wkb_polygon([sq]), _wkb_polygon([inside_sq])),         # containment
+        (_wkb_linestring([(-1, 1), (3, 1)]), _wkb_polygon([sq])),  # line crosses poly
+        (_wkb_polygon([sq]), _wkb_linestring([(-1, 1), (3, 1)])),  # reversed dims
+        (_wkb_linestring([(0.2, 1), (1.8, 1)]), _wkb_polygon([sq])),  # line within
+        (_wkb_linestring([(0, 0), (2, 2)]), _wkb_linestring([(0, 2), (2, 0)])),  # X
+        (_wkb_linestring([(0, 0), (2, 0)]), _wkb_linestring([(1, 0), (3, 0)])),  # collinear overlap
+        (_wkb_linestring([(0, 0), (2, 0)]), _wkb_linestring([(2, 0), (3, 1)])),  # endpoint touch
+        (_wkb_linestring([(0, 0), (2, 2), (0, 4)]),
+         _wkb_linestring([(2, 0), (0, 2), (2, 4)])),             # double X
+    ]
+    for a, b in cases:
+        rows.append((i, bytearray(a), bytearray(b))); i += 1
+    for _ in range(120):
+        cx, cy = rng.uniform(0, 10, 2)
+        a = _star(cx, cy, rng.uniform(0.5, 2), 4, 0.3)
+        b = _star(cx + rng.uniform(-2.5, 2.5), cy + rng.uniform(-2.5, 2.5),
+                  rng.uniform(0.5, 2), 5, 1.0)
+        line = [(cx - 2 + t, cy - 1 + 0.8 * t) for t in np.linspace(0, 4, 5)]
+        rows.append((i, bytearray(_wkb_polygon([a])), bytearray(_wkb_polygon([b])))); i += 1
+        rows.append((i, bytearray(_wkb_linestring(line)), bytearray(_wkb_polygon([a])))); i += 1
+    df = spark.createDataFrame(rows, "id long, ga binary, gb binary")
+    got = {r["id"]: (r["c"], r["o"]) for r in df.select(
+        "id",
+        st.st_crosses("ga", F.col("gb")).alias("c"),
+        st.st_overlaps("ga", F.col("gb")).alias("o"),
+    ).collect()}
+    nc = no = 0
+    for rid, ga, gb in rows:
+        a, b = from_ewkb(bytes(ga)), from_ewkb(bytes(gb))
+        want = (P.crosses(a, b), P.overlaps(a, b))
+        assert got[rid] == want, (rid, got[rid], want)
+        nc += want[0]; no += want[1]
+    assert nc >= 3 and no >= 2  # both verdicts exercised positively
