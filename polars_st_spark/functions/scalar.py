@@ -365,6 +365,21 @@ def st_distance(col, other) -> Column:
                         return pd.Series(
                             ragged.distance_lines_to_points(rl, pt[1], pt[2]))
                     break
+                if not (a_pt or b_pt):
+                    # geometry×geometry pairs (r4e): intersects -> 0, else
+                    # the scalar candidate set vectorized (pairs_distance)
+                    pa = ragged.parse_polygonal(s1)
+                    if pa is None:
+                        pa = ragged.parse_lineal(s1)
+                    pb = None
+                    if pa is not None:
+                        pb = ragged.parse_polygonal(s2)
+                        if pb is None:
+                            pb = ragged.parse_lineal(s2)
+                    if pa is not None and pb is not None:
+                        d = ragged.pairs_distance(pa, pb)
+                        if d is not None:
+                            return pd.Series(d)  # NaN -> NULL at Arrow
             return pd.Series(
                 [None if (a is None or b is None)
                  else algos.distance(from_ewkb(bytes(a)), from_ewkb(bytes(b)))

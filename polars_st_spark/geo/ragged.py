@@ -56,6 +56,7 @@ __all__ = [
     "locate_points_multi",
     "pairs_intersect",
     "pairs_crosses",
+    "pairs_distance",
     "pairs_overlaps",
     "pairs_touches",
     "pairs_within",
@@ -1691,3 +1692,118 @@ def pairs_overlaps(rpa, rpb, max_pairs: int = 64_000_000, chunk: int = 1 << 20):
         zero_dim = act & any_proper & ~any_contact
         decided |= zero_dim
     return result, decided
+
+
+def _vertex_targets(p, row_mask):
+    """(vx, vy, vrow) all vertices of masked rows; plus (px, py, prow)
+    isolated single-point units (degenerate chains/rings) which act as
+    point targets exactly like algos._min_dist_point_to_chain's len==1
+    branch."""
+    unit_start, unit_row = _unit_arrays(p)
+    counts = np.diff(unit_start)
+    unit_per_coord = np.repeat(np.arange(len(counts), dtype=np.int64), counts)
+    rows_per_coord = unit_row[unit_per_coord]
+    sel = np.nonzero(row_mask[rows_per_coord])[0]
+    vx, vy = p.coords[sel, 0], p.coords[sel, 1]
+    vrow = rows_per_coord[sel]
+    one = np.nonzero((counts == 1) & row_mask[unit_row])[0]
+    pts = unit_start[:-1][one]
+    return vx, vy, vrow, p.coords[pts, 0], p.coords[pts, 1], unit_row[one]
+
+
+def _min_vertex_to_side(best, vsrc, ssrc, row_mask, max_pairs, chunk):
+    """Fold min distance from every vertex of ``vsrc`` to every segment
+    (and isolated point) of ``ssrc`` into ``best`` — _seg_dist_point /
+    hypot arithmetic identical to algos.distance's candidate set. Returns
+    False when the pair product exceeds max_pairs."""
+    vx, vy, vrow, qx, qy, qrow = _vertex_targets(vsrc, row_mask)
+    ax, ay, bx, by, srow = _row_segments(ssrc, row_mask)
+    n = len(best)
+    nv = np.bincount(vrow, minlength=n)
+    offsV = np.concatenate([[0], np.cumsum(nv)])
+    order = np.argsort(vrow, kind="stable")
+    vx_s, vy_s = vx[order], vy[order]
+    # segment × vertices-of-row product (the _segpair_flags block pattern)
+    sizes = nv[srow]
+    total = int(sizes.sum())
+    if total > max_pairs:
+        return False
+    if total:
+        blk = np.cumsum(sizes) - sizes
+        shift = blk - offsV[srow]
+        if total < 2**31:
+            is_all = np.repeat(np.arange(len(ax), dtype=np.int32), sizes)
+            iv_all = np.arange(total, dtype=np.int32)
+            iv_all -= np.repeat(shift.astype(np.int32), sizes)
+        else:
+            is_all = np.repeat(np.arange(len(ax), dtype=np.int64), sizes)
+            iv_all = np.arange(total, dtype=np.int64)
+            iv_all -= np.repeat(shift, sizes)
+        for lo in range(0, total, chunk):
+            isg = is_all[lo:lo + chunk]
+            iv = iv_all[lo:lo + chunk]
+            PX, PY = vx_s[iv], vy_s[iv]
+            AX, AY, BX, BY = ax[isg], ay[isg], bx[isg], by[isg]
+            dx, dy = BX - AX, BY - AY
+            ll = dx * dx + dy * dy
+            with np.errstate(divide="ignore", invalid="ignore"):
+                t = np.where(
+                    ll > 0,
+                    ((PX - AX) * dx + (PY - AY) * dy) / np.where(ll == 0, 1, ll),
+                    0.0,
+                )
+            t = np.clip(t, 0.0, 1.0)
+            cxp, cyp = AX + t * dx, AY + t * dy
+            d = np.sqrt((PX - cxp) ** 2 + (PY - cyp) ** 2)
+            np.minimum.at(best, srow[isg], d)
+    # vertices vs isolated point targets (hypot, the scalar len==1 branch)
+    if len(qrow):
+        nq = np.bincount(qrow, minlength=n)
+        offsQ = np.concatenate([[0], np.cumsum(nq)])
+        qorder = np.argsort(qrow, kind="stable")
+        qx_s, qy_s = qx[qorder], qy[qorder]
+        sizes = nq[vrow]
+        total = int(sizes.sum())
+        if total > max_pairs:
+            return False
+        if total:
+            blk = np.cumsum(sizes) - sizes
+            shift = blk - offsQ[vrow]
+            ivx = np.repeat(np.arange(len(vx), dtype=np.int64), sizes)
+            iq = np.arange(total, dtype=np.int64) - np.repeat(shift, sizes)
+            d = np.hypot(vx[ivx] - qx_s[iq], vy[ivx] - qy_s[iq])
+            np.minimum.at(best, vrow[ivx], d)
+    return True
+
+
+def pairs_distance(
+    rpa,
+    rpb,
+    max_pairs: int = 64_000_000,
+    chunk: int = 1 << 20,
+) -> np.ndarray | None:
+    """Row-paired ``distance`` over CSR batches (polygonal/lineal sides):
+    0.0 where the pair intersects, NaN where either side is empty, else
+    the minimum over the IDENTICAL candidate set algos.distance scans
+    (every vertex of one side against every segment / isolated point of
+    the other, both directions, same _seg_dist_point arithmetic) — so
+    results are float-equal to the scalar kernel. None when the pair
+    product exceeds ``max_pairs`` (caller falls back per-row)."""
+    n = rpa.n
+    if rpb.n != n:
+        raise ValueError(f"row counts differ: {n} vs {rpb.n}")
+    inter = pairs_intersect(rpa, rpb, max_pairs=max_pairs, chunk=chunk)
+    if inter is None:
+        return None
+    out = np.zeros(n, dtype=np.float64)
+    empty = (np.diff(rpa.row_start) == 0) | (np.diff(rpb.row_start) == 0)
+    out[empty] = np.nan
+    rem = ~inter & ~empty
+    if rem.any():
+        best = np.full(n, np.inf)
+        if not _min_vertex_to_side(best, rpa, rpb, rem, max_pairs, chunk):
+            return None
+        if not _min_vertex_to_side(best, rpb, rpa, rem, max_pairs, chunk):
+            return None
+        out[rem] = best[rem]
+    return out

@@ -1056,3 +1056,41 @@ def test_crosses_overlaps_pairs_match_scalar(spark):
         assert got[rid] == want, (rid, got[rid], want)
         nc += want[0]; no += want[1]
     assert nc >= 3 and no >= 2  # both verdicts exercised positively
+
+
+def test_pairs_distance_matches_scalar(spark):
+    """st_distance over ragged geometry pairs == scalar algos.distance
+    float-for-float (identical candidate set): disjoint polygons, lines,
+    intersecting pairs (0.0), degenerate 1-point chains."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    import polars_st_spark as st
+    from polars_st_spark.geo import algos
+    from polars_st_spark.geo.wkb import from_ewkb
+
+    rng = np.random.RandomState(53)
+    rows = []
+    i = 0
+    for _ in range(150):
+        cx, cy = rng.uniform(0, 20, 2)
+        a = _star(cx, cy, rng.uniform(0.4, 1.6), 4, 0.3)
+        b = _star(cx + rng.uniform(-4, 4), cy + rng.uniform(-4, 4),
+                  rng.uniform(0.4, 1.6), 5, 1.0)
+        line = [(cx + 2 + t, cy - 2 + 0.5 * t) for t in np.linspace(0, 3, 4)]
+        rows.append((i, bytearray(_wkb_polygon([a])), bytearray(_wkb_polygon([b])))); i += 1
+        rows.append((i, bytearray(_wkb_linestring(line)), bytearray(_wkb_polygon([a])))); i += 1
+        rows.append((i, bytearray(_wkb_linestring(line)),
+                     bytearray(_wkb_linestring([(cx, cy), (cx + 1, cy + 1)])))); i += 1
+    # degenerate: 1-point linestring both sides
+    rows.append((i, bytearray(_wkb_linestring([(0, 0)])),
+                 bytearray(_wkb_linestring([(3, 4)])))); i += 1
+    df = spark.createDataFrame(rows, "id long, ga binary, gb binary")
+    got = {r["id"]: r["d"] for r in df.select(
+        "id", st.st_distance("ga", F.col("gb")).alias("d")).collect()}
+    zeros = 0
+    for rid, ga, gb in rows:
+        want = algos.distance(from_ewkb(bytes(ga)), from_ewkb(bytes(gb)))
+        assert got[rid] == want, (rid, got[rid], want)
+        zeros += want == 0.0
+    assert zeros > 5 and got[i - 1] == 5.0
