@@ -402,7 +402,22 @@ def st_dwithin(col, other, distance: float) -> Column:
                 if rl is not None:
                     d = RG.distance_lines_to_points(rl, pt[1], pt[2])
                     return pd.Series(d < distance)
-                break
+            if not (a_pt or b_pt):
+                # geometry×geometry pairs (r4e): the row-paired distance
+                # kernel + strict-< (NaN empties -> False, scalar parity)
+                pa = RG.parse_polygonal(s1)
+                if pa is None:
+                    pa = RG.parse_lineal(s1)
+                pb = None
+                if pa is not None:
+                    pb = RG.parse_polygonal(s2)
+                    if pb is None:
+                        pb = RG.parse_lineal(s2)
+                if pa is not None and pb is not None:
+                    d = RG.pairs_distance(pa, pb)
+                    if d is not None:
+                        with np.errstate(invalid="ignore"):
+                            return pd.Series(d < distance)
         return pd.Series(
             [
                 None if (a is None or b is None) else P.dwithin(from_ewkb(bytes(a)), from_ewkb(bytes(b)), distance)

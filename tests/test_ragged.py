@@ -1094,3 +1094,28 @@ def test_pairs_distance_matches_scalar(spark):
         assert got[rid] == want, (rid, got[rid], want)
         zeros += want == 0.0
     assert zeros > 5 and got[i - 1] == 5.0
+
+
+def test_dwithin_pairs_matches_scalar(spark):
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    import polars_st_spark as st
+    from polars_st_spark.geo import predicates as P
+    from polars_st_spark.geo.wkb import from_ewkb
+
+    rng = np.random.RandomState(61)
+    rows = []
+    for i in range(200):
+        cx, cy = rng.uniform(0, 20, 2)
+        a = _star(cx, cy, 1.0, 4, 0.3)
+        b = _star(cx + rng.uniform(-4, 4), cy + rng.uniform(-4, 4), 1.0, 3, 0.9)
+        rows.append((i, bytearray(_wkb_polygon([a])), bytearray(_wkb_polygon([b]))))
+    df = spark.createDataFrame(rows, "id long, ga binary, gb binary")
+    got = {r["id"]: r["w"] for r in df.select(
+        "id", st.st_dwithin("ga", F.col("gb"), 1.5).alias("w")).collect()}
+    for rid, ga, gb in rows:
+        want = P.dwithin(from_ewkb(bytes(ga)), from_ewkb(bytes(gb)), 1.5)
+        assert got[rid] == want, rid
+    vals = set(got.values())
+    assert vals == {True, False}
