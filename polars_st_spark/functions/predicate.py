@@ -338,7 +338,6 @@ st_touches = _mk("touches", P.touches)
 st_overlaps = _mk("overlaps", P.overlaps)
 st_equals = _mk("equals", P.equals)
 st_equals_identical = _mk("equals_identical", P.equals_identical)
-st_relate = _mk("relate", P.relate, ret="string")
 
 
 def st_equals_exact(col, other, tolerance: float = 0.0) -> Column:
@@ -348,11 +347,134 @@ def st_equals_exact(col, other, tolerance: float = 0.0) -> Column:
     return udf(col_or_lit(col)) if oc is None else udf(col_or_lit(col), oc)
 
 
-def st_relate_pattern(col, other, pattern: str) -> Column:
-    udf, oc = binary_scalar(
-        lambda a, b: P.relate_pattern(a, b, pattern), "boolean", geom_arg(other)
+# point-vs-areal DE-9IM matrices by point location (0 exterior / 1 boundary
+# / 2 interior); the polygon side's EI=2 / EB=1 terms hold for any
+# non-degenerate areal geometry (scalar dimension shortcut + shell probes)
+_PT_POLY_MATS = ("FF0FFF212", "F0FFFF212", "0FFFFF212")  # A point, B areal
+_POLY_PT_MATS = ("FF2FF10F2", "FF20F1FF2", "0F2FF1FF2")  # A areal, B point
+
+
+def _parse_family(s: pd.Series):
+    p = RG.parse_polygonal(s)
+    if p is None:
+        p = RG.parse_lineal(s)
+    return p
+
+
+def _relate_matrices(s1: pd.Series, s2: pd.Series):
+    """(matrices object-array, decided bool-array) from the vectorized
+    CSR kernels (point×point, point×polygon both directions, and
+    geo.ragged.pairs_relate for polygonal/lineal pairs), or None when no
+    batch shape applies. Decided rows are exact scalar parity; undecided
+    rows need the per-row DE-9IM kernel."""
+    n = len(s1)
+    fa = batch_uniform(s1)
+    fb = batch_uniform(s2)
+    a_pt = fa is not None and fa[0] == "point2d"
+    b_pt = fb is not None and fb[0] == "point2d"
+    if a_pt and b_pt:
+        # scalar point-point coincidence uses the _EPS tolerance
+        eq = (np.abs(fa[1] - fb[1]) <= RG._EPS) & (np.abs(fa[2] - fb[2]) <= RG._EPS)
+        mats = np.where(eq, "0FFFFFFF2", "FF0FFF0F2").astype(object)
+        return mats, np.ones(n, dtype=bool)
+    if a_pt or b_pt:
+        rp = RG.parse_polygonal(s2 if a_pt else s1)
+        if rp is None:
+            return None
+        pt = fa if a_pt else fb
+        loc = RG.locate_points(rp, pt[1], pt[2])
+        table = _PT_POLY_MATS if a_pt else _POLY_PT_MATS
+        mats = np.choose(loc, table).astype(object)
+        _, _, deg = RG._family_meta(rp)  # collapsed rings → scalar
+        mats[deg] = None
+        return mats, ~deg
+    pa = _parse_family(s1)
+    pb = _parse_family(s2) if pa is not None else None
+    if pa is None or pb is None:
+        return None
+    return RG.pairs_relate(pa, pb)
+
+
+def _relate_series(s1: pd.Series, s2: pd.Series) -> pd.Series:
+    if not s1.isna().any() and not s2.isna().any():
+        rm = _relate_matrices(s1, s2)
+        if rm is not None:
+            return _scalar_fill(rm[0], rm[1], P.relate, s1, s2)
+    return pd.Series(
+        [
+            None if (a is None or b is None)
+            else P.relate(from_ewkb(bytes(a)), from_ewkb(bytes(b)))
+            for a, b in zip(s1, s2)
+        ],
+        dtype=object,
     )
-    return udf(col_or_lit(col)) if oc is None else udf(col_or_lit(col), oc)
+
+
+_REL_CONST_MAX = 1 << 26  # cap on replicated constant bytes per batch
+
+
+def st_relate(col, other) -> Column:
+    """DE-9IM intersection matrix string (reference: functions.rs:1052-1060).
+
+    Vectorized via the conservative CSR kernels: disjoint, point-location
+    and strict-containment rows decide in numpy; genuine boundary
+    interplay falls back to the scalar kernel row-by-row."""
+    o = geom_arg(other)
+    if isinstance(o, Geometry):
+        ob = bytes(to_ewkb(o))
+
+        @pandas_udf("string")
+        def udf1(s: pd.Series) -> pd.Series:
+            if len(s) * len(ob) <= _REL_CONST_MAX:
+                return _relate_series(s, pd.Series([ob] * len(s)))
+            return pd.Series(
+                [None if b is None else P.relate(from_ewkb(bytes(b)), o) for b in s],
+                dtype=object,
+            )
+
+        return udf1(col_or_lit(col))
+
+    @pandas_udf("string")
+    def udf2(s1: pd.Series, s2: pd.Series) -> pd.Series:
+        return _relate_series(s1, s2)
+
+    return udf2(col_or_lit(col), o)
+
+
+def st_relate_pattern(col, other, pattern: str) -> Column:
+    """relate() matched against a DE-9IM pattern (T/F/0/1/2/*), through
+    the same vectorized matrix path as :func:`st_relate`."""
+    o = geom_arg(other)
+
+    def match(ser: pd.Series) -> pd.Series:
+        return pd.Series(
+            [None if m is None else P._matches(pattern, m) for m in ser],
+            dtype=object,
+        )
+
+    if isinstance(o, Geometry):
+        ob = bytes(to_ewkb(o))
+
+        @pandas_udf("boolean")
+        def udf1(s: pd.Series) -> pd.Series:
+            if len(s) * len(ob) <= _REL_CONST_MAX:
+                return match(_relate_series(s, pd.Series([ob] * len(s))))
+            return pd.Series(
+                [
+                    None if b is None
+                    else P.relate_pattern(from_ewkb(bytes(b)), o, pattern)
+                    for b in s
+                ],
+                dtype=object,
+            )
+
+        return udf1(col_or_lit(col))
+
+    @pandas_udf("boolean")
+    def udf2(s1: pd.Series, s2: pd.Series) -> pd.Series:
+        return match(_relate_series(s1, s2))
+
+    return udf2(col_or_lit(col), o)
 
 
 def st_dwithin(col, other, distance: float) -> Column:

@@ -58,6 +58,7 @@ __all__ = [
     "pairs_crosses",
     "pairs_distance",
     "pairs_overlaps",
+    "pairs_relate",
     "pairs_touches",
     "pairs_within",
     "polys_intersect",
@@ -1774,6 +1775,150 @@ def _min_vertex_to_side(best, vsrc, ssrc, row_mask, max_pairs, chunk):
             d = np.hypot(vx[ivx] - qx_s[iq], vy[ivx] - qy_s[iq])
             np.minimum.at(best, vrow[ivx], d)
     return True
+
+
+def _lineal_has_boundary(rl: RaggedLines) -> np.ndarray:
+    """Per-row bool: does the lineal row have mod-2 boundary points?
+
+    Chain endpoints rounded to 12 decimals (exact parity with scalar
+    predicates._line_boundary_points), odd multiplicity within a row →
+    the row's boundary is nonempty (dim 0); even everywhere → closed
+    (boundary F). Single-point chains count their lone vertex twice,
+    exactly like the scalar (chain[0] and chain[-1] are the same point)."""
+    n = rl.n
+    has = np.zeros(n, dtype=bool)
+    counts = np.diff(rl.chain_start)
+    ok = counts >= 1
+    if not ok.any():
+        return has
+    first = rl.chain_start[:-1][ok]
+    last = (rl.chain_start[1:] - 1)[ok]
+    crow = rl.chain_row[ok]
+    idx = np.concatenate([first, last])
+    row = np.concatenate([crow, crow])
+    x = np.round(rl.coords[idx, 0], 12)
+    y = np.round(rl.coords[idx, 1], 12)
+    order = np.lexsort((y, x, row))
+    rx, ry, rr = x[order], y[order], row[order]
+    new = np.ones(len(rr), dtype=bool)
+    if len(rr) > 1:
+        new[1:] = (rr[1:] != rr[:-1]) | (rx[1:] != rx[:-1]) | (ry[1:] != ry[:-1])
+    gid = np.cumsum(new) - 1
+    cnt = np.bincount(gid)
+    odd_groups = (cnt % 2).astype(bool)
+    group_rows = rr[new]
+    has[group_rows[odd_groups]] = True
+    return has
+
+
+def _family_meta(p):
+    """(dim_char, bdim_chars, degenerate_rows) for one CSR side.
+
+    dim/bdim are the per-row DE-9IM dimension symbols the family
+    contributes when probed against the other side's EXTERIOR (polygonal:
+    interior '2' / boundary '1'; lineal: interior '1' / boundary '0' or
+    'F' by the mod-2 rule). degenerate rows — units too small to carry
+    the family's claimed dimension (ring < 4 points or |ring area| == 0,
+    chain < 2 points) — must stay undecided: the scalar kernel's sampled
+    probes treat them differently than the closed-form shortcut would."""
+    n = p.n
+    if isinstance(p, RaggedPolygons):
+        deg = np.zeros(n, dtype=bool)
+        counts = np.diff(p.ring_start)
+        if len(counts):
+            bad = counts < 4
+            x, y, valid, _ = _ring_scaffold(p)
+            cross = np.zeros(len(x))
+            if len(x) > 1:
+                cross[:-1] = np.where(valid, x[:-1] * y[1:] - x[1:] * y[:-1], 0.0)
+            ring_signed = 0.5 * _per_ring(cross, p.ring_start)
+            bad |= ring_signed == 0.0
+            deg[p.ring_row[bad]] = True
+        bdim = np.full(n, "1", dtype="<U1")
+        return "2", bdim, deg
+    deg = np.zeros(n, dtype=bool)
+    counts = np.diff(p.chain_start)
+    if len(counts):
+        deg[p.chain_row[counts < 2]] = True
+    bdim = np.where(_lineal_has_boundary(p), "0", "F").astype("<U1")
+    return "1", bdim, deg
+
+
+def pairs_relate(
+    rpa,
+    rpb,
+    max_pairs: int = 64_000_000,
+    chunk: int = 1 << 20,
+):
+    """Row-paired conservative DE-9IM ``relate`` over CSR batches
+    (polygonal or lineal sides). Returns ``(matrices, decided)`` —
+    ``matrices`` an object array of 9-char DE-9IM strings for decided
+    rows (None elsewhere); undecided rows carry genuine boundary
+    interplay and go to the scalar kernel. None when the segment-pair
+    product exceeds ``max_pairs``. Decided buckets, each with exact
+    scalar parity:
+
+    - NO COMMON POINT (:func:`pairs_intersect` False): the matrix is
+      closed-form from the two families' dimensions — ``FF{dimA} FF{bdimA}
+      {dimB}{bdimB} 2`` with the lineal boundary symbol from the per-row
+      mod-2 endpoint rule (:func:`_lineal_has_boundary`).
+    - STRICT CONTAINMENT (:func:`pairs_within` certain-TRUE, either
+      direction; container side polygonal): every vertex of the inner
+      side strictly interior with zero segment contact pins every cell —
+      polygon-in-polygon ``2FF1FF212``, line-in-polygon
+      ``1FF{bdim}FF212``, and their transposes for B-inside-A.
+
+    Rows with degenerate units (collapsed rings, single-point chains) or
+    NaN bounds (empties) always stay undecided — the scalar path's
+    sampling answers those its own way."""
+    n = rpa.n
+    if rpb.n != n:
+        raise ValueError(f"row counts differ: {n} vs {rpb.n}")
+    mats = np.full(n, None, dtype=object)
+    decided = np.zeros(n, dtype=bool)
+    inter = pairs_intersect(rpa, rpb, max_pairs=max_pairs, chunk=chunk)
+    if inter is None:
+        return None
+    ba, bb_ = bounds(rpa), bounds(rpb)
+    bad = np.isnan(ba[:, 0]) | np.isnan(bb_[:, 0])
+    dim_a, bdim_a, deg_a = _family_meta(rpa)
+    dim_b, bdim_b, deg_b = _family_meta(rpb)
+    bad |= deg_a | deg_b
+
+    dis = ~inter & ~bad
+    if dis.any():
+        for sa in np.unique(bdim_a[dis]):
+            for sb in np.unique(bdim_b[dis]):
+                m = dis & (bdim_a == sa) & (bdim_b == sb)
+                mats[m] = f"FF{dim_a}FF{sa}{dim_b}{sb}2"
+        decided |= dis
+
+    act = inter & ~bad
+    if act.any():
+        if isinstance(rpb, RaggedPolygons):
+            res, dec = pairs_within(rpa, rpb, max_pairs=max_pairs, chunk=chunk)
+            inside = act & dec & res
+            if inside.any():
+                if isinstance(rpa, RaggedPolygons):
+                    mats[inside] = "2FF1FF212"
+                else:
+                    for sa in np.unique(bdim_a[inside]):
+                        m = inside & (bdim_a == sa)
+                        mats[m] = f"1FF{sa}FF212"
+                decided |= inside
+                act &= ~inside
+        if act.any() and isinstance(rpa, RaggedPolygons):
+            res, dec = pairs_within(rpb, rpa, max_pairs=max_pairs, chunk=chunk)
+            inside = act & dec & res
+            if inside.any():
+                if isinstance(rpb, RaggedPolygons):
+                    mats[inside] = "212FF1FF2"
+                else:
+                    for sb in np.unique(bdim_b[inside]):
+                        m = inside & (bdim_b == sb)
+                        mats[m] = f"1{sb}2FF1FF2"
+                decided |= inside
+    return mats, decided
 
 
 def pairs_distance(

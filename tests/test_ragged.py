@@ -1119,3 +1119,144 @@ def test_dwithin_pairs_matches_scalar(spark):
         assert got[rid] == want, rid
     vals = set(got.values())
     assert vals == {True, False}
+
+
+def test_relate_pairs_matches_scalar(spark):
+    """r4f: st_relate over ragged pairs == scalar DE-9IM everywhere —
+    disjoint / strict-containment / point-location rows decide in the CSR
+    kernel (every matrix cell pinned closed-form), boundary-interplay rows
+    fall back per-row. Covers every family combination plus the mod-2
+    lineal boundary rule (closed rings -> F, open chains -> 0)."""
+    from polars_st_spark.geo.wkt import from_wkt as gwkt
+
+    pairs = [
+        # polygon x polygon: disjoint / within / contains / overlap / edge
+        ("POLYGON ((0 0, 2 0, 2 2, 0 2, 0 0))",
+         "POLYGON ((10 10, 11 10, 11 11, 10 11, 10 10))"),
+        ("POLYGON ((1 1, 2 1, 2 2, 1 2, 1 1))",
+         "POLYGON ((0 0, 5 0, 5 5, 0 5, 0 0))"),
+        ("POLYGON ((0 0, 5 0, 5 5, 0 5, 0 0))",
+         "POLYGON ((1 1, 2 1, 2 2, 1 2, 1 1))"),
+        ("POLYGON ((0 0, 3 0, 3 3, 0 3, 0 0))",
+         "POLYGON ((1 1, 4 1, 4 4, 1 4, 1 1))"),
+        ("POLYGON ((0 0, 2 0, 2 2, 0 2, 0 0))",
+         "POLYGON ((2 0, 4 0, 4 2, 2 2, 2 0))"),
+        # B inside A's hole -> genuinely disjoint
+        ("POLYGON ((0 0, 10 0, 10 10, 0 10, 0 0), (2 2, 8 2, 8 8, 2 8, 2 2))",
+         "POLYGON ((4 4, 5 4, 5 5, 4 5, 4 4))"),
+        # line x polygon: inside open / inside closed ring / disjoint / crossing
+        ("LINESTRING (1 1, 2 2)", "POLYGON ((0 0, 5 0, 5 5, 0 5, 0 0))"),
+        ("LINESTRING (1 1, 2 1, 2 2, 1 2, 1 1)",
+         "POLYGON ((0 0, 5 0, 5 5, 0 5, 0 0))"),
+        ("LINESTRING (10 10, 12 12)", "POLYGON ((0 0, 5 0, 5 5, 0 5, 0 0))"),
+        ("LINESTRING (-1 1, 6 1)", "POLYGON ((0 0, 5 0, 5 5, 0 5, 0 0))"),
+        # line x line: disjoint open/closed, crossing, endpoint touch,
+        # multi-chain with an even shared endpoint
+        ("LINESTRING (0 0, 1 1)", "LINESTRING (5 5, 6 5)"),
+        ("LINESTRING (0 0, 1 0, 1 1, 0 1, 0 0)", "LINESTRING (5 5, 6 5)"),
+        ("LINESTRING (0 0, 1 1)", "LINESTRING (0 1, 1 0)"),
+        ("LINESTRING (0 0, 1 1)", "LINESTRING (1 1, 2 2)"),
+        ("MULTILINESTRING ((0 0, 1 0), (1 0, 1 1))", "LINESTRING (9 9, 9 8)"),
+        # degenerates and empties (always scalar, still exact)
+        ("POLYGON EMPTY", "POLYGON ((0 0, 1 0, 1 1, 0 1, 0 0))"),
+        ("LINESTRING (0 0, 0 0)", "LINESTRING (5 5, 6 6)"),
+        ("POLYGON ((0 0, 1 0, 0 0, 1 0, 0 0))",
+         "POLYGON ((5 5, 6 5, 6 6, 5 6, 5 5))"),
+    ]
+    df = spark.createDataFrame(
+        [(i, a, b) for i, (a, b) in enumerate(pairs)], ["id", "wa", "wb"]
+    ).coalesce(1)
+    rows = df.select(
+        "id",
+        st.st_relate(st.st_from_wkt("wa"), st.st_from_wkt("wb")).alias("ab"),
+        st.st_relate(st.st_from_wkt("wb"), st.st_from_wkt("wa")).alias("ba"),
+        st.st_relate_pattern(
+            st.st_from_wkt("wa"), st.st_from_wkt("wb"), "T********"
+        ).alias("pat"),
+    ).orderBy("id").collect()
+    for i, (a, b) in enumerate(pairs):
+        ga, gb = gwkt(a), gwkt(b)
+        assert rows[i]["ab"] == P.relate(ga, gb), (i, "ab")
+        assert rows[i]["ba"] == P.relate(gb, ga), (i, "ba")
+        assert rows[i]["pat"] == P.relate_pattern(ga, gb, "T********"), (i, "pat")
+
+
+def test_relate_point_batches_and_const(spark):
+    """r4f: uniform point batches fully decide relate (point x point with
+    the scalar _EPS coincidence rule, point x polygon via locate_points in
+    BOTH argument orders), and the constant-geometry form takes the same
+    kernel path via replication."""
+    from polars_st_spark.geo.wkt import from_wkt as gwkt
+
+    poly = "POLYGON ((0 0, 5 0, 5 5, 0 5, 0 0), (2 2, 3 2, 3 3, 2 3, 2 2))"
+    pts = ["POINT (1 1)", "POINT (0 2)", "POINT (5 5)", "POINT (9 9)",
+           "POINT (2.5 2.5)", "POINT (2 2.5)"]
+    df = spark.createDataFrame(
+        [(i, w) for i, w in enumerate(pts)], ["id", "w"]).coalesce(1)
+    rows = df.select(
+        "id",
+        st.st_relate(st.st_from_wkt("w"), gwkt(poly)).alias("pc"),
+        st.st_relate(st.st_from_wkt(F.lit(poly)), st.st_from_wkt("w")).alias("cp"),
+        st.st_relate_pattern(st.st_from_wkt("w"), gwkt(poly), "F0*******").alias("onb"),
+    ).orderBy("id").collect()
+    gp = gwkt(poly)
+    for i, w in enumerate(pts):
+        g = gwkt(w)
+        assert rows[i]["pc"] == P.relate(g, gp), (i, "pc")
+        assert rows[i]["cp"] == P.relate(gp, g), (i, "cp")
+        assert rows[i]["onb"] == P.relate_pattern(g, gp, "F0*******"), (i, "onb")
+
+    # point x point column pair, incl. sub-EPS coincidence
+    ppairs = [("POINT (1 1)", "POINT (1 1)"), ("POINT (1 1)", "POINT (2 2)"),
+              ("POINT (1 1)", "POINT (1.0000000000000004 1)")]
+    df2 = spark.createDataFrame(
+        [(i, a, b) for i, (a, b) in enumerate(ppairs)], ["id", "wa", "wb"]
+    ).coalesce(1)
+    rows2 = df2.select("id", st.st_relate(
+        st.st_from_wkt("wa"), st.st_from_wkt("wb")).alias("r")).orderBy("id").collect()
+    for i, (a, b) in enumerate(ppairs):
+        assert rows2[i]["r"] == P.relate(gwkt(a), gwkt(b)), i
+
+
+def test_pairs_relate_kernel_random_volume():
+    """r4f: pairs_relate on 300 random star/walk pairs per family combo —
+    every decided row equals the scalar matrix, and the disjoint +
+    containment majority actually decides (no silent all-undecided)."""
+    import pandas as pd
+
+    from polars_st_spark.functions.predicate import _relate_matrices
+    from polars_st_spark.geo.wkt import from_wkt as gwkt
+
+    rng = np.random.RandomState(7)
+
+    def star_wkt(cx, cy, r, n):
+        ang = np.linspace(0, 2 * np.pi, n * 2, endpoint=False)
+        rad = np.where(np.arange(n * 2) % 2 == 0, r, r * 0.5)
+        rad = rad * (1 + rng.uniform(-0.3, 0.3, n * 2))
+        xs, ys = cx + rad * np.cos(ang), cy + rad * np.sin(ang)
+        pts = ", ".join(f"{x} {y}" for x, y in zip(xs, ys))
+        return f"POLYGON (({pts}, {xs[0]} {ys[0]}))"
+
+    def walk_wkt(cx, cy, r, n):
+        xs = cx + np.cumsum(rng.uniform(-r, r, n))
+        ys = cy + np.cumsum(rng.uniform(-r, r, n))
+        return "LINESTRING (" + ", ".join(f"{x} {y}" for x, y in zip(xs, ys)) + ")"
+
+    for mode in ("pp", "lp", "pl", "ll"):
+        cases = []
+        for _ in range(300):
+            cx, cy = rng.uniform(0, 20, 2)
+            dx, dy = rng.uniform(-3, 3, 2)
+            mk_a = star_wkt if mode[0] == "p" else walk_wkt
+            mk_b = star_wkt if mode[1] == "p" else walk_wkt
+            cases.append((
+                mk_a(cx, cy, rng.uniform(0.5, 2), rng.randint(3, 7)),
+                mk_b(cx + dx, cy + dy, rng.uniform(0.5, 4), rng.randint(3, 7)),
+            ))
+        s1 = pd.Series([bytes(to_ewkb(gwkt(a))) for a, _ in cases])
+        s2 = pd.Series([bytes(to_ewkb(gwkt(b))) for _, b in cases])
+        mats, dec = _relate_matrices(s1, s2)
+        assert dec.sum() >= 60, mode
+        for i, (a, b) in enumerate(cases):
+            if dec[i]:
+                assert mats[i] == P.relate(gwkt(a), gwkt(b)), (mode, i)
