@@ -2145,9 +2145,25 @@ def q_to_srid_mercator(spark, sf):
 
 
 def q_knn_lsh(spark, sf):
+    """Single-probe LSH ANN — HASH-CHECKED (r4f, was rows-only): the seed-42
+    hyperplanes are deterministic, so the DuckDB oracle replays the
+    sign-sum bucket topology from DOUBLE[] literals; both engines rank on
+    the 6-dp-rounded cosine so last-ulp dot-product differences cannot
+    reorder the cut (same trick as knn_ann/knn_top3). The operator runs
+    with its production interface (bucket equi-join, never all-pairs)."""
+    from pyspark.sql.window import Window
+
     emb = spark.read.parquet(f"{sf}/embeddings.parquet")
     queries = emb.where(F.col("vec_id") < 5)
-    return _knn.cosine_topk_lsh(queries, emb, k=3, dim=64, n_planes=4)
+    cand = _knn.cosine_topk_lsh(queries, emb, k=1_000_000, dim=64, n_planes=4)
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_r").desc(), F.col("corpus_id").asc())
+    return (
+        cand.withColumn("cos_r", F.round("cosine", 6))
+        .withColumn("rank2", F.row_number().over(w))
+        .where(F.col("rank2") <= 3)
+        .select("query_id", "corpus_id", "cos_r", F.col("rank2").alias("rank"))
+    )
 
 
 def q_knn_ivf(spark, sf):
@@ -2575,6 +2591,7 @@ def oracle_sql() -> dict[str, str]:
             FROM reach GROUP BY a""",
         "knn_top3": _oracle_knn(),
         "knn_ann": _oracle_knn_ann(),
+        "knn_lsh": _oracle_knn_lsh(),
         "pq_suite": _oracle_pq_suite(),
         "kmeans_suite": _oracle_kmeans_suite(),
         "semdedup": _oracle_semdedup(),
@@ -3425,6 +3442,48 @@ def _oracle_knn_ann() -> str:
         )
         SELECT method, query_id, corpus_id, cos_r, rank
         FROM ranked WHERE rank <= 3"""
+
+
+def _oracle_knn_lsh() -> str:
+    """Replays q_knn_lsh: seed-42 hyperplanes as DOUBLE[] literals, sign-sum
+    buckets, bucket equi-join, 6-dp-rounded cosine ranking."""
+    from polars_st_spark.operators.knn import _hyperplanes
+
+    planes = _hyperplanes(64, 4, seed=42)
+
+    def lit(vec):
+        return "[" + ",".join(repr(float(x)) for x in vec) + "]"
+
+    bucket = " + ".join(
+        f"(CASE WHEN list_dot_product(e, {lit(planes[p])}) >= 0 "
+        f"THEN {2 ** p} ELSE 0 END)"
+        for p in range(4)
+    )
+    cos = (
+        "ROUND(CASE WHEN sqrt(list_dot_product(qe, qe)) * "
+        "sqrt(list_dot_product(ce, ce)) > 0 "
+        "THEN list_dot_product(qe, ce) / "
+        "(sqrt(list_dot_product(qe, qe)) * sqrt(list_dot_product(ce, ce))) "
+        "ELSE 0.0 END, 6)"
+    )
+    return f"""
+        WITH feat AS (
+          SELECT vec_id, embedding::DOUBLE[] AS e, {bucket} AS bucket
+          FROM embeddings
+        ),
+        qf AS (SELECT * FROM feat WHERE vec_id < 5),
+        scored AS (
+          SELECT q.vec_id AS query_id, c.vec_id AS corpus_id,
+                 q.e AS qe, c.e AS ce
+          FROM qf q JOIN feat c ON q.bucket = c.bucket AND q.vec_id <> c.vec_id
+        ),
+        ranked AS (
+          SELECT query_id, corpus_id, {cos} AS cos_r,
+                 CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                      ORDER BY {cos} DESC, corpus_id ASC) AS INT) AS rank
+          FROM scored
+        )
+        SELECT query_id, corpus_id, cos_r, rank FROM ranked WHERE rank <= 3"""
 
 
 def _oracle_pipeline_e2e() -> str:
