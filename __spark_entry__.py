@@ -1682,6 +1682,27 @@ def q_corpus_stats(spark, sf):
     return _t.corpus_stats(docs, group_col="lang")
 
 
+def q_classifier_suite(spark, sf):
+    """Hashed-feature linear quality classifier (operators/classify.py) —
+    the fastText/DCLM corpus-filter shape, hash-checked: deterministic
+    milli-integer weights (w[i] = ((i*2654435761) mod 2001) - 1000, 256
+    buckets) keep the token/bigram feature sum exact-integer BIGINT, so
+    DuckDB replays the md5-bucket lookup and the single final /1000.0
+    bit-for-bit. Unigram and unigram+bigram scores plus the keep flag."""
+    from polars_st_spark.operators import classify as _cls
+
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    w = [((i * 2654435761) % 2001) - 1000 for i in range(256)]
+    uni = _cls.linear_score_milli("text", w, milli_intercept=250)
+    both = _cls.linear_score_milli("text", w, milli_intercept=250, bigrams=True)
+    return docs.select(
+        "doc_id",
+        uni.alias("score_uni"),
+        both.alias("score_bi"),
+        (both > F.lit(0.0)).alias("keep"),
+    )
+
+
 def q_domain_cap(spark, sf):
     """Per-group cap (operators/sampling.py group_cap), hash-checked: at
     most 20 docs per source, chosen as the 20 smallest (u(id), id) pairs —
@@ -2343,6 +2364,7 @@ _QUERIES = {
         "url_suite": q_url_suite,
         "domain_cap": q_domain_cap,
         "corpus_stats": q_corpus_stats,
+        "classifier_suite": q_classifier_suite,
         "buffer_area": q_buffer_area,
         "to_srid_mercator": q_to_srid_mercator,
         # displaced by kmeans_suite / semdedup (r4e); families certified
@@ -3035,6 +3057,34 @@ def oracle_sql() -> dict[str, str]:
     d["domain_cap"] = f"""
         SELECT doc_id, source FROM documents
         QUALIFY ROW_NUMBER() OVER (PARTITION BY source ORDER BY {u} ASC, doc_id ASC) <= 20"""
+    # hashed-feature linear classifier: md5-bucket weight lookup, exact
+    # BIGINT milli-weight sums, one final /1000.0 (operators/classify.py)
+    _clf_w = "[" + ",".join(
+        str(((i * 2654435761) % 2001) - 1000) for i in range(256)
+    ) + "]"
+    _clf_term = (
+        f"{_clf_w}[(('0x' || substr(md5('0:' || s), 1, 8))::BIGINT % 256) + 1]"
+    )
+    d["classifier_suite"] = f"""
+        WITH t AS (SELECT doc_id, {_ORACLE_TOKENS} AS toks FROM documents),
+        f AS (
+          SELECT doc_id, toks,
+                 CASE WHEN len(toks) >= 2 THEN list_concat(
+                        toks, list_transform(range(1, len(toks)),
+                                             i -> toks[i] || ' ' || toks[i + 1]))
+                      ELSE list_concat(toks, [array_to_string(toks, ' ')])
+                 END AS feats
+          FROM t
+        ),
+        s AS (
+          SELECT doc_id,
+                 (250 + COALESCE(list_sum(list_transform(toks, s -> {_clf_term})), 0))
+                   / 1000.0 AS score_uni,
+                 (250 + COALESCE(list_sum(list_transform(feats, s -> {_clf_term})), 0))
+                   / 1000.0 AS score_bi
+          FROM f
+        )
+        SELECT doc_id, score_uni, score_bi, score_bi > 0.0 AS keep FROM s"""
     # temperature mixture: rate chain is divide -> sqrt -> divide -> max ->
     # divide, each exactly rounded, so the DuckDB rates equal the driver's
     # Python-float rates bit for bit
