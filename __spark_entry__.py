@@ -1682,6 +1682,15 @@ def q_corpus_stats(spark, sf):
     return _t.corpus_stats(docs, group_col="lang")
 
 
+def q_shuffle_suite(spark, sf):
+    """Deterministic global shuffle (operators/sampling.py seeded_shuffle),
+    hash-checked: shard = floor(u*8) and pos = rank of u within the shard
+    (ties by doc_id) are pure functions of (doc_id, seed), so DuckDB
+    replays the whole permutation from the md5-uniform draw."""
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    return _samp.seeded_shuffle(docs, "doc_id", 8).select("doc_id", "shard", "pos")
+
+
 def q_classifier_suite(spark, sf):
     """Hashed-feature linear quality classifier (operators/classify.py) —
     the fastText/DCLM corpus-filter shape, hash-checked: deterministic
@@ -2365,6 +2374,7 @@ _QUERIES = {
         "domain_cap": q_domain_cap,
         "corpus_stats": q_corpus_stats,
         "classifier_suite": q_classifier_suite,
+        "shuffle_suite": q_shuffle_suite,
         "buffer_area": q_buffer_area,
         "to_srid_mercator": q_to_srid_mercator,
         # displaced by kmeans_suite / semdedup (r4e); families certified
@@ -3057,6 +3067,13 @@ def oracle_sql() -> dict[str, str]:
     d["domain_cap"] = f"""
         SELECT doc_id, source FROM documents
         QUALIFY ROW_NUMBER() OVER (PARTITION BY source ORDER BY {u} ASC, doc_id ASC) <= 20"""
+    d["shuffle_suite"] = f"""
+        WITH s AS (SELECT doc_id, {u} AS uu FROM documents)
+        SELECT doc_id, CAST(FLOOR(uu * 8) AS INT) AS shard,
+               CAST(ROW_NUMBER() OVER (
+                    PARTITION BY CAST(FLOOR(uu * 8) AS INT)
+                    ORDER BY uu ASC, doc_id ASC) AS INT) AS pos
+        FROM s"""
     # hashed-feature linear classifier: md5-bucket weight lookup, exact
     # BIGINT milli-weight sums, one final /1000.0 (operators/classify.py)
     _clf_w = "[" + ",".join(

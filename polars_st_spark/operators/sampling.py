@@ -51,6 +51,7 @@ __all__ = [
     "hash_uniform",
     "pack_greedy",
     "sample_to_token_budget",
+    "seeded_shuffle",
     "split_column",
     "stratified_sample",
 ]
@@ -115,6 +116,44 @@ def split_column(id_col, splits: dict, seed: int = 42):
         expr = F.when(cond, F.lit(label)) if expr is None else expr.when(cond, F.lit(label))
     last = F.lit(labels[-1])
     return last if expr is None else expr.otherwise(last)
+
+
+def seeded_shuffle(
+    df: DataFrame,
+    id_col: str,
+    n_shards: int,
+    seed: int = 42,
+    shard_name: str = "shard",
+    pos_name: str = "pos",
+) -> DataFrame:
+    """Deterministic global shuffle into ``n_shards`` balanced shards — the
+    ordering step of a training-data shard writer.
+
+    One uniform draw ``u = hash_uniform(id, seed)`` drives everything:
+    ``shard = floor(u * n_shards)`` (balanced in expectation) and ``pos`` =
+    rank of ``u`` within the shard (ties broken by id). The permutation is
+    a pure function of (id, seed) — reruns, repartitionings, and engines
+    agree — and a different ``seed`` gives an independent permutation
+    (epoch reshuffling without rewriting the corpus).
+
+    Scale: ONE hash shuffle (the window partition on ``shard``) and a
+    per-shard external sort — no global sort barrier. Each shard is sorted
+    by one task, so pick ``n_shards`` of at least a few × the executor
+    count; to materialize, write with
+    ``df.repartition(n_shards, shard).sortWithinPartitions(shard, pos)``
+    so file order equals shuffle order."""
+    from pyspark.sql.window import Window
+
+    if n_shards < 1:
+        raise ValueError(f"n_shards must be >= 1, got {n_shards}")
+    u = hash_uniform(id_col, seed)
+    out = df.withColumn("_shuffle_u", u).withColumn(
+        shard_name, F.floor(F.col("_shuffle_u") * n_shards).cast("int")
+    )
+    w = Window.partitionBy(shard_name).orderBy(
+        F.col("_shuffle_u").asc(), col_or_lit(id_col).asc()
+    )
+    return out.withColumn(pos_name, F.row_number().over(w)).drop("_shuffle_u")
 
 
 def sample_to_token_budget(

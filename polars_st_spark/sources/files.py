@@ -39,6 +39,9 @@ def read_file(spark: SparkSession, path: str, geometry_name: str = "geometry") -
         return read_ndgeojson(spark, path, geometry_name)
     if ext == ".parquet":
         return spark.read.parquet(path)
+    if ext == ".orc":
+        # Spark-native columnar alternative; EWKB binary round-trips as-is
+        return spark.read.orc(path)
     if ext == ".shp":
         from polars_st_spark.sources.shapefile_io import read_shapefile
 
@@ -101,6 +104,9 @@ def write_file(df: DataFrame, path: str, geometry_name: str = "geometry") -> Non
         return write_ndgeojson(df, path, geometry_name)
     if ext == ".parquet" or ext == "":
         df.write.mode("overwrite").parquet(path)
+        return
+    if ext == ".orc":
+        df.write.mode("overwrite").orc(path)
         return
     if ext == ".shp":
         from polars_st_spark.sources.shapefile_io import write_shapefile

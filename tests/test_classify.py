@@ -88,3 +88,27 @@ def test_classifier_plan_is_codegen_only(docs):
     # inlined per token: each weight literal may appear a bounded number
     # of times (tree + detail sections), never per-token
     assert 0 < plan.count("-587") <= 4  # W[2], a distinctive weight
+
+
+def test_classifier_streaming_matches_batch(spark, tmp_path):
+    """The classifier score is a stateless codegen expression, so the same
+    Column runs under Structured Streaming and selects exactly the
+    batch-mode keep set — the continuous corpus-filter deployment shape."""
+    src = str(tmp_path / "src")
+    chk = str(tmp_path / "chk")
+    df = spark.range(100).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("doc word "), F.repeat(F.lit("tok "), (F.col("id") % 9).cast("int"))).alias("text"),
+    )
+    df.write.mode("overwrite").parquet(src)
+    stream = spark.readStream.schema(df.schema).parquet(src)
+    scored = C.classify(stream, "text", [w / 1000.0 for w in W], threshold=0.0)
+    q = (scored.writeStream.format("memory").queryName("clf_stream")
+         .option("checkpointLocation", chk).trigger(availableNow=True).start())
+    q.awaitTermination(60)
+    got = {(r["doc_id"], r["q_score"], r["q_keep"]) for r in
+           spark.sql("select doc_id, q_score, q_keep from clf_stream").collect()}
+    want = {(r["doc_id"], r["q_score"], r["q_keep"]) for r in
+            C.classify(df, "text", [w / 1000.0 for w in W], threshold=0.0)
+            .select("doc_id", "q_score", "q_keep").collect()}
+    assert got == want and len(got) == 100

@@ -606,3 +606,23 @@ def test_jgd2011_and_korea2000_tm_codes(spark):
         back = sub.select(
             st.st_x(st.st_to_srid(st.st_to_srid(pt, code), 4326)).alias("lon2")).first()
         assert abs(back["lon2"] - sub.first()["lon"]) < 1e-9
+
+
+def test_orc_roundtrip(spark, tmp_path):
+    """r4f: .orc joins the format envelope — Spark-native columnar, the
+    EWKB binary column round-trips byte-identical (incl. SRID header)."""
+    df = st.geodataframe(spark.createDataFrame(
+        [(1, "SRID=4326;POINT (1 2)"),
+         (2, "SRID=4326;POLYGON ((0 0, 2 0, 2 2, 0 2, 0 0))")],
+        ["id", "geometry"]))
+    p = str(tmp_path / "out.orc")
+    write_file(df, p)
+    back = read_file(spark, p)
+    got = {r["id"]: (r["wkt"], r["srid"]) for r in back.select(
+        "id", st.st_to_wkt("geometry").alias("wkt"),
+        st.st_srid("geometry").alias("srid")).collect()}
+    assert got[1] == ("POINT (1 2)", 4326)
+    assert got[2][1] == 4326
+    raw = {r["id"]: bytes(r["geometry"]) for r in df.collect()}
+    rawb = {r["id"]: bytes(r["geometry"]) for r in back.collect()}
+    assert raw == rawb

@@ -244,3 +244,45 @@ def test_temperature_mixture_precomputed_rates(spark):
         df, "g", "doc_id", rates=rates).collect()}
     direct = {r["doc_id"] for r in S.temperature_mixture(df, "g", "doc_id").collect()}
     assert via_rates == direct and via_rates
+
+
+def test_seeded_shuffle_permutation_properties(docs):
+    """seeded_shuffle: every row appears once, shard = floor(u*n), pos is a
+    1..shard_size dense rank ordered by the uniform draw, all shards are
+    populated at 8 shards × ~100 docs, and the permutation is identical
+    across reruns but changes with the seed."""
+    out = S.seeded_shuffle(docs, "doc_id", 8).select("doc_id", "shard", "pos")
+    rows = out.collect()
+    n = docs.count()
+    assert len(rows) == n
+    assert {r["doc_id"] for r in rows} == {r["doc_id"] for r in docs.collect()}
+    by_shard = {}
+    for r in rows:
+        assert 0 <= r["shard"] < 8
+        by_shard.setdefault(r["shard"], []).append(r["pos"])
+    assert len(by_shard) == 8
+    for poss in by_shard.values():
+        assert sorted(poss) == list(range(1, len(poss) + 1))
+    # determinism + seed independence
+    again = {(r["doc_id"], r["shard"], r["pos"]) for r in
+             S.seeded_shuffle(docs, "doc_id", 8).collect()}
+    assert again == {(r["doc_id"], r["shard"], r["pos"]) for r in rows}
+    other = {(r["doc_id"], r["shard"], r["pos"]) for r in
+             S.seeded_shuffle(docs, "doc_id", 8, seed=7).collect()}
+    assert other != again
+    # u-driven ordering: within a shard, pos order == hash_uniform order
+    u = {r["doc_id"]: r["uu"] for r in docs.select(
+        "doc_id", S.hash_uniform("doc_id").alias("uu")).collect()}
+    for shard, _ in by_shard.items():
+        srows = sorted((r for r in rows if r["shard"] == shard),
+                       key=lambda r: r["pos"])
+        us = [u[r["doc_id"]] for r in srows]
+        assert us == sorted(us)
+
+
+def test_seeded_shuffle_single_shard_and_validation(docs):
+    one = S.seeded_shuffle(docs, "doc_id", 1).collect()
+    assert {r["shard"] for r in one} == {0}
+    assert sorted(r["pos"] for r in one) == list(range(1, len(one) + 1))
+    with pytest.raises(ValueError):
+        S.seeded_shuffle(docs, "doc_id", 0)
