@@ -1682,6 +1682,30 @@ def q_corpus_stats(spark, sf):
     return _t.corpus_stats(docs, group_col="lang")
 
 
+_BPE_MERGES = [
+    ("t", "h"), ("th", "e"), ("i", "n"), ("a", "n"), ("an", "d"),
+    ("e", "r"), ("in", "g"), ("o", "n"), ("r", "e"), ("a", "t"),
+    ("e", "n"), ("o", "r"), ("e", "s"), ("the", "r"),
+]
+
+
+def q_bpe_suite(spark, sf):
+    """Word-level BPE encoding (textops.bpe_encode) against a fixed
+    well-formed merges table, hash-checked: the chained literal-replace
+    plan (doubled-separator algebra — one replace per ranked merge, no
+    regex, no UDF) is replayed verbatim by DuckDB's replace(), so counts
+    and the first-20-token head match bit-for-bit."""
+    from polars_st_spark.operators.textops import bpe_encode
+
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    tok = bpe_encode("text", _BPE_MERGES)
+    return docs.select(
+        "doc_id",
+        F.size(tok).alias("n_bpe2"),
+        F.array_join(F.slice(tok, 1, 20), " ").alias("head"),
+    )
+
+
 def q_shuffle_suite(spark, sf):
     """Deterministic global shuffle (operators/sampling.py seeded_shuffle),
     hash-checked: shard = floor(u*8) and pos = rank of u within the shard
@@ -2375,6 +2399,7 @@ _QUERIES = {
         "corpus_stats": q_corpus_stats,
         "classifier_suite": q_classifier_suite,
         "shuffle_suite": q_shuffle_suite,
+        "bpe_suite": q_bpe_suite,
         "buffer_area": q_buffer_area,
         "to_srid_mercator": q_to_srid_mercator,
         # displaced by kmeans_suite / semdedup (r4e); families certified
@@ -3067,6 +3092,26 @@ def oracle_sql() -> dict[str, str]:
     d["domain_cap"] = f"""
         SELECT doc_id, source FROM documents
         QUALIFY ROW_NUMBER() OVER (PARTITION BY source ORDER BY {u} ASC, doc_id ASC) <= 20"""
+    # BPE encode: the same doubled-separator replace chain, verbatim
+    _S = "\x1f"
+    _bpe_core = (
+        f"'{_S}{_S}' || array_to_string(regexp_extract_all(w, '.'), "
+        f"'{_S}{_S}') || '{_S}{_S}'"
+    )
+    for _a, _b in _BPE_MERGES:
+        _bpe_core = (
+            f"replace({_bpe_core}, '{_S}{_a}{_S}{_S}{_b}{_S}', "
+            f"'{_S}{_a}{_b}{_S}')"
+        )
+    _bpe_all = (
+        f"flatten(list_transform({_ORACLE_TOKENS}, w -> "
+        f"list_filter(string_split({_bpe_core}, '{_S}{_S}'), t -> t <> '')))"
+    )
+    d["bpe_suite"] = f"""
+        WITH b AS (SELECT doc_id, {_bpe_all} AS toks FROM documents)
+        SELECT doc_id, CAST(len(toks) AS INT) AS n_bpe2,
+               array_to_string(toks[1:20], ' ') AS head
+        FROM b"""
     d["shuffle_suite"] = f"""
         WITH s AS (SELECT doc_id, {u} AS uu FROM documents)
         SELECT doc_id, CAST(FLOOR(uu * 8) AS INT) AS shard,

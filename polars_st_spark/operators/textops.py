@@ -27,6 +27,8 @@ __all__ = [
     "token_count",
     "bpe_tokens",
     "bpe_token_count",
+    "bpe_encode",
+    "bpe_encode_count",
     "punct_ratio",
     "stopword_ratio",
     "quality_score",
@@ -83,6 +85,55 @@ def bpe_token_count(text) -> Column:
     """Number of non-whitespace BPE-ish tokens — the LLM-ish doc-length
     metric next to the whitespace `token_count`."""
     return F.size(F.filter(bpe_tokens(text), lambda t: F.trim(t) != ""))
+
+
+_BPE_SEP = "\x1f"  # unit separator — never appears in natural text
+
+
+def bpe_encode(text, merges, lowercase: bool = True) -> Column:
+    """Word-level byte-pair encoding against a RANKED merges table —
+    ``array<string>`` of subword tokens, pure Spark SQL (whole-stage
+    codegen, no UDF).
+
+    Each whitespace word becomes its character sequence joined by a
+    doubled ``\\x1f`` separator and wrapped in one; each merge ``(a, b)``
+    is then ONE literal ``replace`` of ``\\x1f a \\x1f\\x1f b \\x1f`` with
+    ``\\x1f ab \\x1f`` — the doubled-separator algebra makes adjacent
+    merge sites share a separator, so a single left-to-right scan merges
+    every non-overlapping occurrence (including runs) exactly like the
+    reference BPE implementations, while intra-token false matches are
+    impossible (tokens never contain the separator). Applying the merges
+    once each, in rank order, equals the iterative lowest-rank-first
+    algorithm for any WELL-FORMED merges table (one produced by BPE
+    training: the constituents of merge r are built by merges ranked
+    before r — Sennrich et al. 2016; the subword-nmt/GPT-2 apply loop).
+
+    Literal ``replace`` (not regex) on both engines means merge tokens
+    need no escaping and the DuckDB oracle replays the chain verbatim.
+    Scale: per-row codegen string work, no shuffle; K merges = K scans
+    per word."""
+    c = col_or_lit(text)
+    words = tokens(c) if lowercase else F.split(F.trim(c), r"\s+")
+    S = _BPE_SEP
+
+    def encode_word(w):
+        s = F.concat(
+            F.lit(S + S),
+            F.array_join(F.regexp_extract_all(w, F.lit("."), 0), S + S),
+            F.lit(S + S),
+        )
+        for a, b in merges:
+            if S in a or S in b:
+                raise ValueError("merge tokens must not contain \\x1f")
+            s = F.replace(s, F.lit(S + a + S + S + b + S), F.lit(S + a + b + S))
+        return F.filter(F.split(s, S + S), lambda t: t != "")
+
+    return F.flatten(F.transform(words, encode_word))
+
+
+def bpe_encode_count(text, merges, lowercase: bool = True) -> Column:
+    """Token count under the merges table — the post-BPE document length."""
+    return F.size(bpe_encode(text, merges, lowercase))
 
 
 def punct_ratio(text) -> Column:
