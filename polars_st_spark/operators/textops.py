@@ -29,6 +29,7 @@ __all__ = [
     "bpe_token_count",
     "bpe_encode",
     "bpe_encode_count",
+    "train_bpe",
     "punct_ratio",
     "stopword_ratio",
     "quality_score",
@@ -134,6 +135,80 @@ def bpe_encode(text, merges, lowercase: bool = True) -> Column:
 def bpe_encode_count(text, merges, lowercase: bool = True) -> Column:
     """Token count under the merges table — the post-BPE document length."""
     return F.size(bpe_encode(text, merges, lowercase))
+
+
+def train_bpe(
+    df,
+    text_col: str = "text",
+    n_merges: int = 64,
+    sample_size: int = 10_000,
+    seed: int = 42,
+    lowercase: bool = True,
+) -> list:
+    """Fit a BPE merges table on a bounded seeded sample of the corpus —
+    the shape real tokenizer training takes (HF/sentencepiece train on a
+    corpus slice, not the full crawl). Driver cost is bounded by
+    ``sample_size`` documents at ANY corpus size (the ivf_centroids
+    contract: Bernoulli oversample, collect, seeded trim — never
+    ``limit()``, which is storage-order biased).
+
+    Training runs on the word-FREQUENCY table (unique words weighted by
+    count), each round merging the highest-frequency adjacent pair, ties
+    broken by lexicographically smallest pair — fully deterministic for a
+    given (corpus, seed). The result is well-formed by construction
+    (constituents of merge r exist before r), so :func:`bpe_encode`'s
+    single-pass rank-order application reproduces the iterative encoder
+    exactly."""
+    import numpy as np
+
+    texts = df.select(F.col(text_col).cast("string").alias("t"))
+    n_total = texts.count()
+    if n_total > sample_size:
+        frac = min(1.0, 1.2 * sample_size / n_total)
+        rows = texts.sample(fraction=frac, seed=seed).collect()
+        if len(rows) < min(sample_size, n_total) // 2:
+            rows = texts.limit(sample_size).collect()
+        elif len(rows) > sample_size:
+            idx = np.random.RandomState(seed).choice(
+                len(rows), sample_size, replace=False)
+            rows = [rows[i] for i in sorted(idx)]
+    else:
+        rows = texts.collect()
+
+    from collections import Counter
+
+    freq = Counter()
+    for r in rows:
+        t = r["t"] or ""
+        if lowercase:
+            t = t.lower()
+        freq.update(t.split())
+    seqs = {w: tuple(w) for w in freq}
+    merges: list = []
+    for _ in range(n_merges):
+        counts: Counter = Counter()
+        for w, s in seqs.items():
+            c = freq[w]
+            for i in range(len(s) - 1):
+                counts[(s[i], s[i + 1])] += c
+        if not counts:
+            break
+        best = min(counts, key=lambda p: (-counts[p], p))
+        merges.append(best)
+        a, b = best
+        for w, s in seqs.items():
+            if a not in s:  # cheap prefilter; tuple membership is per-token
+                continue
+            out, i = [], 0
+            while i < len(s):
+                if i < len(s) - 1 and s[i] == a and s[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(s[i])
+                    i += 1
+            seqs[w] = tuple(out)
+    return merges
 
 
 def punct_ratio(text) -> Column:

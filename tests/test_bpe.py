@@ -106,3 +106,28 @@ def test_bpe_plan_is_codegen_only(spark):
     df = spark.createDataFrame([(0, "the plan")], ["id", "text"])
     plan = explain_str(df.select(bpe_encode_count("text", merges).alias("n")))
     assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+
+
+def test_train_bpe_deterministic_and_well_formed(spark):
+    """train_bpe: deterministic for (corpus, seed), well-formed (merge r's
+    constituents exist before r), and encoding with the trained table
+    compresses the corpus (fewer tokens than characters)."""
+    from polars_st_spark.operators.textops import train_bpe
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    m1 = train_bpe(docs, "text", n_merges=32, sample_size=200)
+    m2 = train_bpe(docs, "text", n_merges=32, sample_size=200)
+    assert m1 == m2 and len(m1) == 32
+    # well-formedness: every non-char constituent was produced earlier
+    produced = set()
+    for a, b in m1:
+        assert (len(a) == 1 or a in produced) and (len(b) == 1 or b in produced)
+        produced.add(a + b)
+    # single-pass bpe_encode over the trained table == iterative reference
+    rows = docs.limit(20).select(
+        "doc_id", F.col("text"), bpe_encode("text", m1).alias("tok")).collect()
+    for r in rows:
+        assert r["tok"] == ref_bpe(r["text"], m1), r["doc_id"]
+        nchars = sum(len(w) for w in r["text"].lower().split())
+        assert len(r["tok"]) <= nchars
+    assert any(len(t) > 1 for r in rows for t in r["tok"])  # real compression
