@@ -237,6 +237,14 @@ def main() -> None:
             F.sum(st.st_intersects("poly", F.col("poly2")).cast("int"))
         ).collect()
     )
+    # - b2r: full DE-9IM matrices over the same ragged pairs — the r4f
+    #   conservative relate kernel (disjoint/containment rows closed-form,
+    #   boundary interplay scalar); counts distinct matrices
+    variants["b2r_relate_ragged"] = timed(
+        lambda: ragged2.select(
+            F.count_distinct(st.st_relate("poly", F.col("poly2")))
+        ).collect()
+    )
     variants["p1m_minhash_md5"] = timed(
         lambda: _dedup.near_dup_pairs(docs, threshold=0.05, hash_family="md5").count()
     )

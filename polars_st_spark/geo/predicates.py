@@ -453,6 +453,36 @@ def _relate_line_poly(dl: _Decomp, dp: _Decomp, bl, im: _IM, swap: bool) -> None
                     up(_I, tgt, 1)
 
 
+def _split_midpoints(a2: np.ndarray, b2: np.ndarray, rings) -> list:
+    """Midpoints of segment ab split at every crossing with the rings'
+    boundary (same param extraction as _relate_line_poly); degenerate
+    sub-pieces (< 1e-12 of the segment) are skipped."""
+    ts = {0.0, 1.0}
+    for c, e in _poly_segments(rings):
+        c2, e2 = c[:2], e[:2]
+        kind = _seg_intersect_kind(a2, b2, c2, e2)
+        if kind == 0:
+            continue
+        if kind == 2:
+            den = (a2[0] - b2[0]) * (c2[1] - e2[1]) - (a2[1] - b2[1]) * (c2[0] - e2[0])
+            if den != 0:
+                t = ((a2[0] - c2[0]) * (c2[1] - e2[1]) - (a2[1] - c2[1]) * (c2[0] - e2[0])) / den
+                ts.add(min(max(t, 0.0), 1.0))
+        else:
+            for p in (c2, e2):
+                if _on_segment(p, a2, b2):
+                    ts.add(min(max(_seg_param(a2, b2, p), 0.0), 1.0))
+            for p in (a2, b2):
+                if _on_segment(p, c2, e2):
+                    ts.add(min(max(_seg_param(a2, b2, p), 0.0), 1.0))
+    tl = sorted(ts)
+    return [
+        a2 + ((t0 + t1) / 2.0) * (b2 - a2)
+        for t0, t1 in zip(tl[:-1], tl[1:])
+        if t1 - t0 >= 1e-12
+    ]
+
+
 def _relate_poly_poly(da: _Decomp, db: _Decomp, im: _IM) -> None:
     for ra in da.polys:
         for rb in db.polys:
@@ -470,25 +500,30 @@ def _relate_poly_poly(da: _Decomp, db: _Decomp, im: _IM) -> None:
                         im.up(_B, _B, 1)
                     elif kind == 1:
                         im.up(_B, _B, 0)
-            # boundary-segment midpoints: catches a boundary piece lying in the
-            # other polygon's interior with only endpoint contacts (no proper
-            # crossing), which implies interior overlap on one side
+            # boundary-segment SUB-PIECE midpoints: each segment is split at
+            # every crossing parameter before classifying, so a boundary
+            # chunk that enters and exits the other polygon WITHIN one
+            # segment (whole-segment midpoint outside) is still seen —
+            # unsplit midpoints missed IB/BI on transversal overlaps (bug
+            # found by the r4f pairs_relate kernel cross-check)
             for a, b in _poly_segments(ra):
-                loc = point_in_polygon((a[:2] + b[:2]) / 2.0, rb)
-                if loc == 2:
-                    im.up(_B, _I, 1)
-                    im.up(_I, _I, 2)
-                    im.up(_E, _I, 2)
-                elif loc == 0:
-                    im.up(_B, _E, 1)
+                for mid in _split_midpoints(a[:2], b[:2], rb):
+                    loc = point_in_polygon(mid, rb)
+                    if loc == 2:
+                        im.up(_B, _I, 1)
+                        im.up(_I, _I, 2)
+                        im.up(_E, _I, 2)
+                    elif loc == 0:
+                        im.up(_B, _E, 1)
             for c, e in _poly_segments(rb):
-                loc = point_in_polygon((c[:2] + e[:2]) / 2.0, ra)
-                if loc == 2:
-                    im.up(_I, _B, 1)
-                    im.up(_I, _I, 2)
-                    im.up(_I, _E, 2)
-                elif loc == 0:
-                    im.up(_E, _B, 1)
+                for mid in _split_midpoints(c[:2], e[:2], ra):
+                    loc = point_in_polygon(mid, ra)
+                    if loc == 2:
+                        im.up(_I, _B, 1)
+                        im.up(_I, _I, 2)
+                        im.up(_I, _E, 2)
+                    elif loc == 0:
+                        im.up(_E, _B, 1)
             # vertex containment (covers interior-interior when no crossing)
             for v in ra[0]:
                 loc = point_in_polygon(v[:2], rb)

@@ -1260,6 +1260,7 @@ def pairs_intersect(
     rpb,
     max_pairs: int = 64_000_000,
     chunk: int = 1 << 20,
+    _flags=None,
 ) -> np.ndarray | None:
     """Row-paired ``intersects`` over two CSR batches, each side
     RaggedPolygons or RaggedLines (polygon×polygon, line×polygon,
@@ -1305,10 +1306,11 @@ def pairs_intersect(
     rem = cand & ~out
     if not rem.any():
         return out
-    flags = _segpair_flags(rpa, rpb, rem, max_pairs, chunk)
+    flags = _flags if _flags is not None else _segpair_flags(
+        rpa, rpb, rem, max_pairs, chunk)
     if flags is None:
         return None
-    out |= flags[0]
+    out |= rem & flags[0]
     return out
 
 
@@ -1420,6 +1422,7 @@ def pairs_within(
     rpb,
     max_pairs: int = 64_000_000,
     chunk: int = 1 << 20,
+    _flags=None,
 ) -> tuple[np.ndarray, np.ndarray]:
     """Row-paired conservative ``within`` (is A inside B) over CSR
     batches; ``rpb`` must be polygonal, ``rpa`` polygonal or lineal.
@@ -1468,7 +1471,8 @@ def pairs_within(
     any1 = np.zeros(n, dtype=bool)
     any0[prow[locs == 0]] = True
     any1[prow[locs == 1]] = True
-    flags = _segpair_flags(rpa, rpb, active, max_pairs, chunk)
+    flags = _flags if _flags is not None else _segpair_flags(
+        rpa, rpb, active, max_pairs, chunk)
     if flags is None:
         # pair product too large to classify: certain-False from vertex
         # locations still stands; nothing becomes certain-True
@@ -1867,6 +1871,16 @@ def pairs_relate(
       side strictly interior with zero segment contact pins every cell —
       polygon-in-polygon ``2FF1FF212``, line-in-polygon
       ``1FF{bdim}FF212``, and their transposes for B-inside-A.
+    - TRANSVERSAL OVERLAP (areal×areal only): at least one PROPER
+      boundary crossing and zero touch/collinear contact. Each transversal
+      crossing puts all four quadrant sets (int∩int, int∩ext, ext∩int,
+      ext∩ext) locally nonempty and sends each boundary through the
+      other's interior and exterior, while crossing points are 0-dim —
+      every cell of ``212101212`` is pinned at its maximum, and any
+      configuration that could raise BB to 1 (a collinear shared run) or
+      alter an F is contact, which is excluded. This is the common
+      overlap shape in a spatial-join refinement, so the bulk of
+      candidate pairs never reach the scalar kernel.
 
     Rows with degenerate units (collapsed rings, single-point chains) or
     NaN bounds (empties) always stay undecided — the scalar path's
@@ -1876,10 +1890,23 @@ def pairs_relate(
         raise ValueError(f"row counts differ: {n} vs {rpb.n}")
     mats = np.full(n, None, dtype=object)
     decided = np.zeros(n, dtype=bool)
-    inter = pairs_intersect(rpa, rpb, max_pairs=max_pairs, chunk=chunk)
+    # ONE segment-pair sweep serves every bucket below: the flags are
+    # per-row and orientation-symmetric (crossing/contact of (A,B) ==
+    # (B,A)), so pairs_intersect and both pairs_within directions reuse it
+    ba, bb_ = bounds(rpa), bounds(rpb)
+    with np.errstate(invalid="ignore"):
+        overlap = (
+            (ba[:, 0] <= bb_[:, 2]) & (bb_[:, 0] <= ba[:, 2])
+            & (ba[:, 1] <= bb_[:, 3]) & (bb_[:, 1] <= ba[:, 3])
+        )
+    overlap &= ~(np.isnan(ba[:, 0]) | np.isnan(bb_[:, 0]))
+    shared = _segpair_flags(rpa, rpb, overlap, max_pairs, chunk)
+    if shared is None:
+        return None
+    inter = pairs_intersect(
+        rpa, rpb, max_pairs=max_pairs, chunk=chunk, _flags=shared)
     if inter is None:
         return None
-    ba, bb_ = bounds(rpa), bounds(rpb)
     bad = np.isnan(ba[:, 0]) | np.isnan(bb_[:, 0])
     dim_a, bdim_a, deg_a = _family_meta(rpa)
     dim_b, bdim_b, deg_b = _family_meta(rpb)
@@ -1896,7 +1923,8 @@ def pairs_relate(
     act = inter & ~bad
     if act.any():
         if isinstance(rpb, RaggedPolygons):
-            res, dec = pairs_within(rpa, rpb, max_pairs=max_pairs, chunk=chunk)
+            res, dec = pairs_within(
+                rpa, rpb, max_pairs=max_pairs, chunk=chunk, _flags=shared)
             inside = act & dec & res
             if inside.any():
                 if isinstance(rpa, RaggedPolygons):
@@ -1908,7 +1936,8 @@ def pairs_relate(
                 decided |= inside
                 act &= ~inside
         if act.any() and isinstance(rpa, RaggedPolygons):
-            res, dec = pairs_within(rpb, rpa, max_pairs=max_pairs, chunk=chunk)
+            res, dec = pairs_within(
+                rpb, rpa, max_pairs=max_pairs, chunk=chunk, _flags=shared)
             inside = act & dec & res
             if inside.any():
                 if isinstance(rpb, RaggedPolygons):
@@ -1918,6 +1947,18 @@ def pairs_relate(
                         m = inside & (bdim_b == sb)
                         mats[m] = f"1{sb}2FF1FF2"
                 decided |= inside
+        if (
+            act.any()
+            and isinstance(rpa, RaggedPolygons)
+            and isinstance(rpb, RaggedPolygons)
+        ):
+            rem = act & ~decided
+            if rem.any():
+                _, any_proper, any_contact = shared
+                cross = rem & any_proper & ~any_contact
+                if cross.any():
+                    mats[cross] = "212101212"
+                    decided |= cross
     return mats, decided
 
 

@@ -1260,3 +1260,100 @@ def test_pairs_relate_kernel_random_volume():
         for i, (a, b) in enumerate(cases):
             if dec[i]:
                 assert mats[i] == P.relate(gwkt(a), gwkt(b)), (mode, i)
+
+
+def test_relate_matrix_consistent_with_boolean_predicates(spark):
+    """Cross-implementation consistency fuzz: the DE-9IM matrix from
+    st_relate (CSR kernel + scalar fill) must IMPLY every boolean
+    predicate's answer (each computed by its own independent kernel path)
+    via the predicate's defining pattern — 200 random mixed-family pairs."""
+    from pyspark.sql import functions as F
+
+    import polars_st_spark as st
+    from polars_st_spark.geo import predicates as P
+
+    rng = np.random.RandomState(99)
+
+    def poly(cx, cy, r, n):
+        ang = np.sort(rng.uniform(0, 2 * np.pi, n))
+        xs, ys = cx + r * np.cos(ang), cy + r * np.sin(ang)
+        pts = ", ".join(f"{x} {y}" for x, y in zip(xs, ys))
+        return f"POLYGON (({pts}, {xs[0]} {ys[0]}))"
+
+    def line(cx, cy, r, n):
+        xs = cx + np.cumsum(rng.uniform(-r, r, n))
+        ys = cy + np.cumsum(rng.uniform(-r, r, n))
+        return "LINESTRING (" + ", ".join(f"{x} {y}" for x, y in zip(xs, ys)) + ")"
+
+    def point(cx, cy):
+        return f"POINT ({cx} {cy})"
+
+    mk = [lambda cx, cy: poly(cx, cy, rng.uniform(0.5, 3), rng.randint(3, 8)),
+          lambda cx, cy: line(cx, cy, 1.5, rng.randint(2, 6)),
+          lambda cx, cy: point(cx, cy)]
+    pairs = []
+    for _ in range(200):
+        cx, cy = rng.uniform(0, 12, 2)
+        dx, dy = rng.uniform(-2, 2, 2)
+        a = mk[rng.randint(0, 3)](cx, cy)
+        b = mk[rng.randint(0, 3)](cx + dx, cy + dy)
+        pairs.append((a, b))
+    df = spark.createDataFrame(
+        [(i, a, b) for i, (a, b) in enumerate(pairs)], ["id", "wa", "wb"])
+    ga, gb = st.st_from_wkt("wa"), st.st_from_wkt(F.col("wb"))
+    rows = df.select(
+        "id",
+        st.st_relate(ga, gb).alias("m"),
+        st.st_intersects(ga, gb).alias("intersects"),
+        st.st_disjoint(ga, gb).alias("disjoint"),
+        st.st_within(ga, gb).alias("within"),
+        st.st_contains(ga, gb).alias("contains"),
+        st.st_touches(ga, gb).alias("touches"),
+        st.st_crosses(ga, gb).alias("crosses"),
+        st.st_overlaps(ga, gb).alias("overlaps"),
+        st.st_covers(ga, gb).alias("covers"),
+        st.st_covered_by(ga, gb).alias("covered_by"),
+    ).collect()
+    for r in rows:
+        m = r["m"]
+        a, b = pairs[r["id"]]
+        da = 2 if "POLYGON" in a else (1 if "LINESTRING" in a else 0)
+        db = 2 if "POLYGON" in b else (1 if "LINESTRING" in b else 0)
+        want = {
+            "intersects": not P._matches("FF*FF****", m),
+            "disjoint": P._matches("FF*FF****", m),
+            "within": P._matches("T*F**F***", m),
+            "contains": P._matches("T*****FF*", m),
+            "covers": (P._matches("T*****FF*", m) or P._matches("*T****FF*", m)
+                       or P._matches("***T**FF*", m) or P._matches("****T*FF*", m)),
+            "covered_by": (P._matches("T*F**F***", m) or P._matches("*TF**F***", m)
+                           or P._matches("**FT*F***", m) or P._matches("**F*TF***", m)),
+            "touches": (P._matches("FT*******", m) or P._matches("F**T*****", m)
+                        or P._matches("F***T****", m)),
+            "crosses": (
+                P._matches("T*T******", m) if (da < db) else
+                P._matches("T*****T**", m) if (da > db) else
+                (P._matches("0********", m) if da == 1 else False)),
+            "overlaps": (
+                P._matches("T*T***T**", m) if (da == db and da != 1) else
+                P._matches("1*T***T**", m) if da == db else False),
+        }
+        for name, w in want.items():
+            assert r[name] == w, (r["id"], name, m, a[:40], b[:40])
+
+
+def test_relate_poly_poly_subsegment_boundary_chunk():
+    """r4f scalar fix (found by the pairs_relate kernel cross-check): a
+    boundary run that enters and exits the other polygon WITHIN one
+    segment — whole-segment midpoint and both endpoints outside — must
+    still contribute IB/BI=1. Unsplit midpoint sampling returned F."""
+    from polars_st_spark.geo.wkt import from_wkt as gwkt
+
+    A = gwkt("POLYGON ((0 0, 10 0, 10 10, 0 10, 0 0))")
+    B = gwkt("POLYGON ((-20 5, 11 5, 11 30, -20 30, -20 5))")
+    assert P.relate(A, B) == "212101212"
+    assert P.relate(B, A) == "212101212"
+    # corner clip within one segment, midpoint outside
+    C = gwkt("POLYGON ((-30 2, 2 -30, 40 -30, -30 40, -30 2))")
+    m = P.relate(A, C)
+    assert m[1] == "1" and m[3] == "1", m
