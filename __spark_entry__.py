@@ -975,17 +975,30 @@ def q_serialization_suite(spark, sf):
 
 
 def q_relate_suite(spark, sf):
-    """DE-9IM relate / relate_pattern on closed-form point-in-rect configs."""
+    """DE-9IM relate / relate_pattern on closed-form configs: point
+    locations, plus (r4f) areal overlaps — collinear-edge partial overlap
+    (scalar path), transversal diagonal overlap (kernel cross bucket), and
+    the sub-segment boundary-chunk class (a slab through the rect whose
+    boundary run has no vertex or whole-segment midpoint inside — the
+    scalar midpoint-sampling bug pairs_relate uncovered; IB/BI must be 1)."""
     r = _nation_rects(spark, sf)
     ctr = st.st_centroid("rect")
     corner = st.st_point("x0", "y0")
+    slab = st.st_rectangle(
+        F.col("x0") - 60.0, F.col("y0") + 8.0,
+        F.col("x1") + 2.0, F.col("y0") + 10.0)
     return r.select(
         "n_nationkey",
         st.st_relate("rect", ctr).alias("rel_in"),
         st.st_relate("rect", "POINT (1000 1000)").alias("rel_out"),
         st.st_relate("rect", corner).alias("rel_corner"),
+        st.st_relate("rect", st.st_translate("rect", 9.0, 0.0)).alias("rel_overlap"),
+        st.st_relate("rect", st.st_translate("rect", 9.0, 9.0)).alias("rel_cross"),
+        st.st_relate("rect", slab).alias("rel_chunk"),
         st.st_relate_pattern("rect", ctr, "T*****FF*").alias("rp_in"),
         st.st_relate_pattern("rect", corner, "T*****FF*").alias("rp_corner"),
+        st.st_relate_pattern(
+            "rect", st.st_translate("rect", 9.0, 9.0), "T*T***T**").alias("rp_overlaps"),
     )
 
 
@@ -2801,7 +2814,11 @@ def oracle_sql() -> dict[str, str]:
         "relate_suite": """
             SELECT n_nationkey,
                    '0F2FF1FF2' AS rel_in, 'FF2FF10F2' AS rel_out,
-                   'FF20F1FF2' AS rel_corner, TRUE AS rp_in, FALSE AS rp_corner
+                   'FF20F1FF2' AS rel_corner,
+                   '212111212' AS rel_overlap,
+                   '212101212' AS rel_cross,
+                   '212101212' AS rel_chunk,
+                   TRUE AS rp_in, FALSE AS rp_corner, TRUE AS rp_overlaps
             FROM nation""",
         "predicate_suite2": f"""
             SELECT n_nationkey, TRUE AS touches18, TRUE AS overlaps9,
