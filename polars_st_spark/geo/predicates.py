@@ -424,6 +424,11 @@ def _relate_line_poly(dl: _Decomp, dp: _Decomp, bl, im: _IM, swap: bool) -> None
                         if den != 0:
                             t = ((a2[0] - c2[0]) * (c2[1] - e2[1]) - (a2[1] - c2[1]) * (c2[0] - e2[0])) / den
                             ts.add(min(max(t, 0.0), 1.0))
+                        # the crossing POINT: strictly interior to both
+                        # segments, so line-interior × ring-boundary, dim 0
+                        # (missed before r4f — piece midpoints are strictly
+                        # in/out for a transversal crossing)
+                        up(_I, _B, 0)
                     elif kind == 3:
                         for p in (c2, e2):
                             if _on_segment(p, a2, b2):
@@ -435,6 +440,13 @@ def _relate_line_poly(dl: _Decomp, dp: _Decomp, bl, im: _IM, swap: bool) -> None
                         for p in (c2, e2):
                             if _on_segment(p, a2, b2):
                                 ts.add(min(max(_seg_param(a2, b2, p), 0.0), 1.0))
+                        # the touch point itself (a ring vertex on the
+                        # line's interior, or a line vertex on the ring):
+                        # line side I unless it is a chain boundary point
+                        pt = _touch_point(a, b, c, e)
+                        if pt is not None:
+                            la = _B if _is_boundary_pt(pt, bl) else _I
+                            up(la, _B, 0)
                 # classify endpoints (dim 0)
                 for p in (a2, b2):
                     loc = point_in_polygon(p, rings)
@@ -453,12 +465,12 @@ def _relate_line_poly(dl: _Decomp, dp: _Decomp, bl, im: _IM, swap: bool) -> None
                     up(_I, tgt, 1)
 
 
-def _split_midpoints(a2: np.ndarray, b2: np.ndarray, rings) -> list:
-    """Midpoints of segment ab split at every crossing with the rings'
-    boundary (same param extraction as _relate_line_poly); degenerate
+def _split_midpoints_segs(a2: np.ndarray, b2: np.ndarray, seg_pairs) -> list:
+    """Midpoints of segment ab split at every crossing with the given
+    segments (same param extraction as _relate_line_poly); degenerate
     sub-pieces (< 1e-12 of the segment) are skipped."""
     ts = {0.0, 1.0}
-    for c, e in _poly_segments(rings):
+    for c, e in seg_pairs:
         c2, e2 = c[:2], e[:2]
         kind = _seg_intersect_kind(a2, b2, c2, e2)
         if kind == 0:
@@ -481,6 +493,19 @@ def _split_midpoints(a2: np.ndarray, b2: np.ndarray, rings) -> list:
         for t0, t1 in zip(tl[:-1], tl[1:])
         if t1 - t0 >= 1e-12
     ]
+
+
+def _split_midpoints(a2: np.ndarray, b2: np.ndarray, rings) -> list:
+    return _split_midpoints_segs(
+        a2, b2, ((c, e) for c, e in _poly_segments(rings)))
+
+
+def _all_segments(d: _Decomp):
+    """Every boundary/line segment of a decomposition."""
+    for chain in d.lines:
+        yield from _line_segments(chain)
+    for rings in d.polys:
+        yield from _poly_segments(rings)
 
 
 def _relate_poly_poly(da: _Decomp, db: _Decomp, im: _IM) -> None:
@@ -592,7 +617,14 @@ def _exterior_terms(da: _Decomp, db: _Decomp, ba, bb, im: _IM) -> None:
                 samples.append((v[:2], 1))  # boundary sample of polygon
         for chain in d.lines:
             for a, b in _line_segments(chain):
-                samples.append(((a[:2] + b[:2]) / 2.0, 1))
+                # split at crossings with the other geometry first — the
+                # whole-segment midpoint can coincide with the crossing
+                # point (an X-cross through the middle), hiding the
+                # interior-in-exterior pieces on both flanks (bug found by
+                # the r4f pairs_relate kernel cross-check)
+                for mid in _split_midpoints_segs(
+                        a[:2], b[:2], _all_segments(other)):
+                    samples.append((mid, 1))
         for p in d.points:
             samples.append((p, 0))
         bpts = _line_boundary_points(d.lines)

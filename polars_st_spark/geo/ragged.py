@@ -1947,19 +1947,98 @@ def pairs_relate(
                         m = inside & (bdim_b == sb)
                         mats[m] = f"1{sb}2FF1FF2"
                 decided |= inside
-        if (
-            act.any()
-            and isinstance(rpa, RaggedPolygons)
-            and isinstance(rpb, RaggedPolygons)
-        ):
-            rem = act & ~decided
-            if rem.any():
-                _, any_proper, any_contact = shared
-                cross = rem & any_proper & ~any_contact
-                if cross.any():
+        rem = act & ~decided
+        if rem.any():
+            _, any_proper, any_contact = shared
+            cross = rem & any_proper & ~any_contact
+            if cross.any():
+                a_poly = isinstance(rpa, RaggedPolygons)
+                b_poly = isinstance(rpb, RaggedPolygons)
+                if a_poly and b_poly:
                     mats[cross] = "212101212"
                     decided |= cross
+                elif a_poly != b_poly:
+                    # transversal line×polygon: II/IB/IE and the E row are
+                    # pinned by any crossing; the line-boundary row comes
+                    # from the mod-2 boundary points — fully-closed rows
+                    # have none (F row), simple-open rows (every chain
+                    # endpoint unique, so boundary == endpoints) classify
+                    # by endpoint location; anything else stays undecided
+                    line, poly = (rpb, rpa) if a_poly else (rpa, rpb)
+                    line_bdim = bdim_b if a_poly else bdim_a
+                    e_in, e_out, e_on, simple = _endpoint_locs(line, poly, cross)
+                    closed = cross & (line_bdim == "F")
+                    open_ok = cross & (line_bdim == "0") & simple & ~e_on
+                    for m_base, bi_f, be_f in (
+                        [(closed, None, None)]
+                        + [(open_ok & (e_in == i) & (e_out == o), i, o)
+                           for i in (True, False) for o in (True, False)]
+                    ):
+                        if not m_base.any():
+                            continue
+                        bi = "F" if bi_f is None else ("0" if bi_f else "F")
+                        be = "F" if be_f is None else ("0" if be_f else "F")
+                        if a_poly:  # transpose of the line-vs-poly matrix
+                            mats[m_base] = f"1{bi}20F11{be}2"
+                        else:
+                            mats[m_base] = f"101{bi}F{be}212"
+                    decided |= closed | open_ok
+                else:
+                    # transversal line×line: crossing points are interior
+                    # on both sides; no-contact keeps every endpoint off
+                    # the other line, so the boundary rows reduce to the
+                    # per-row mod-2 dims
+                    for sa in np.unique(bdim_a[cross]):
+                        for sb in np.unique(bdim_b[cross]):
+                            m = cross & (bdim_a == sa) & (bdim_b == sb)
+                            mats[m] = f"0F1FF{sa}1{sb}2"
+                    decided |= cross
     return mats, decided
+
+
+def _endpoint_locs(line: RaggedLines, poly: RaggedPolygons, mask: np.ndarray):
+    """(any_in, any_out, any_on, simple) per row over the chain endpoints
+    of ``line`` located in ``poly`` (rows in mask). ``simple`` = every
+    endpoint coordinate (12-dp rounded, the scalar boundary rule) appears
+    exactly once in its row — then boundary points == endpoints and the
+    locations classify the DE-9IM boundary row exactly."""
+    n = line.n
+    any_in = np.zeros(n, dtype=bool)
+    any_out = np.zeros(n, dtype=bool)
+    any_on = np.zeros(n, dtype=bool)
+    simple = np.zeros(n, dtype=bool)
+    counts = np.diff(line.chain_start)
+    ok = counts >= 1
+    if not ok.any():
+        return any_in, any_out, any_on, simple
+    first = line.chain_start[:-1][ok]
+    last = (line.chain_start[1:] - 1)[ok]
+    crow = line.chain_row[ok]
+    idx = np.concatenate([first, last])
+    row = np.concatenate([crow, crow])
+    rx = np.round(line.coords[idx, 0], 12)
+    ry = np.round(line.coords[idx, 1], 12)
+    order = np.lexsort((ry, rx, row))
+    sr, sx, sy = row[order], rx[order], ry[order]
+    new = np.ones(len(sr), dtype=bool)
+    if len(sr) > 1:
+        new[1:] = (sr[1:] != sr[:-1]) | (sx[1:] != sx[:-1]) | (sy[1:] != sy[:-1])
+    gid = np.cumsum(new) - 1
+    cnt = np.bincount(gid)
+    dup_rows = sr[new][cnt != 1]
+    simple[np.unique(row)] = True
+    simple[dup_rows] = False
+    sel = np.nonzero(mask[row])[0]
+    if not len(sel):
+        return any_in, any_out, any_on, simple
+    loc = locate_points_multi(
+        poly, line.coords[idx[sel], 0], line.coords[idx[sel], 1], row[sel]
+    )
+    r = row[sel]
+    any_in[r[loc == 2]] = True
+    any_on[r[loc == 1]] = True
+    any_out[r[loc == 0]] = True
+    return any_in, any_out, any_on, simple
 
 
 def pairs_distance(

@@ -1357,3 +1357,13 @@ def test_relate_poly_poly_subsegment_boundary_chunk():
     C = gwkt("POLYGON ((-30 2, 2 -30, 40 -30, -30 40, -30 2))")
     m = P.relate(A, C)
     assert m[1] == "1" and m[3] == "1", m
+    # same sampling family, lineal cases (r4f): an X-cross whose segment
+    # midpoints coincide with the crossing point must still see IE/EI=1
+    assert P.relate(gwkt("LINESTRING (0 0, 1 1)"),
+                    gwkt("LINESTRING (0 1, 1 0)")) == "0F1FF0102"
+    # and a transversal line x polygon crossing records the dim-0
+    # crossing point (line interior x ring boundary -> IB=0)
+    assert P.relate(gwkt("LINESTRING (-1 1, 6 1)"),
+                    gwkt("POLYGON ((0 0, 5 0, 5 5, 0 5, 0 0))")) == "101FF0212"
+    assert P.relate(gwkt("LINESTRING (-1 1, 2 1)"),
+                    gwkt("POLYGON ((0 0, 5 0, 5 5, 0 5, 0 0))")) == "1010F0212"
