@@ -82,10 +82,13 @@ def main() -> None:
         F.count(_t.lang_predict("text")),
         F.sum(_t.quality_score("text")),
     ).collect()
-    li_rects.sample(fraction=0.02, seed=1).select(
+    # 25% slice for the geometry warmups: at 2% the first timed geometry
+    # query still paid ~0.8s of worker/JIT ramp (measured r4: first run
+    # 1.43s vs 0.57s steady-state; at 25% the first run lands at 0.66s).
+    li_rects.sample(fraction=0.25, seed=1).select(
         F.sum(st.st_area("rect")), F.sum(st.st_length("rect"))
     ).collect()
-    cust.sample(fraction=0.02, seed=1).select(F.count(st.st_x("pt"))).collect()
+    cust.sample(fraction=0.25, seed=1).select(F.count(st.st_x("pt"))).collect()
     # compile the wide cosine/rank expression tree once (first-use codegen of
     # the aggregate dot product dominated a cold p2 at ~10s)
     _knn.cosine_topk(emb.limit(1), emb.limit(50), k=1).count()
