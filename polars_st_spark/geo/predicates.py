@@ -409,60 +409,67 @@ def _relate_line_poly(dl: _Decomp, dp: _Decomp, bl, im: _IM, swap: bool) -> None
     def up(i, j, d):
         im.up(j, i, d) if swap else im.up(i, j, d)
 
+    if not dl.lines or not dp.polys:
+        return
+    # one pass per line segment against ALL polygon components: splits
+    # accumulate across every component's boundary, and piece/endpoint
+    # classification uses the union location (_loc_in_polys) — classifying
+    # against one component at a time misread a piece inside another
+    # component as exterior (same multi-component bug as _relate_poly_poly)
+    segs_p = [(c, e) for rings in dp.polys for c, e in _poly_segments(rings)]
     for chain in dl.lines:
-        for rings in dp.polys:
-            for a, b in _line_segments(chain):
-                a2, b2 = a[:2], b[:2]
-                ts = {0.0, 1.0}
-                for c, e in _poly_segments(rings):
-                    c2, e2 = c[:2], e[:2]
-                    kind = _seg_intersect_kind(a2, b2, c2, e2)
-                    if kind == 0:
-                        continue
-                    if kind == 2:
-                        den = (a2[0] - b2[0]) * (c2[1] - e2[1]) - (a2[1] - b2[1]) * (c2[0] - e2[0])
-                        if den != 0:
-                            t = ((a2[0] - c2[0]) * (c2[1] - e2[1]) - (a2[1] - c2[1]) * (c2[0] - e2[0])) / den
-                            ts.add(min(max(t, 0.0), 1.0))
-                        # the crossing POINT: strictly interior to both
-                        # segments, so line-interior × ring-boundary, dim 0
-                        # (missed before r4f — piece midpoints are strictly
-                        # in/out for a transversal crossing)
-                        up(_I, _B, 0)
-                    elif kind == 3:
-                        for p in (c2, e2):
-                            if _on_segment(p, a2, b2):
-                                ts.add(min(max(_seg_param(a2, b2, p), 0.0), 1.0))
-                    else:  # endpoint touch
-                        for p in (a2, b2):
-                            if _on_segment(p, c2, e2):
-                                ts.add(_seg_param(a2, b2, p))
-                        for p in (c2, e2):
-                            if _on_segment(p, a2, b2):
-                                ts.add(min(max(_seg_param(a2, b2, p), 0.0), 1.0))
-                        # the touch point itself (a ring vertex on the
-                        # line's interior, or a line vertex on the ring):
-                        # line side I unless it is a chain boundary point
-                        pt = _touch_point(a, b, c, e)
-                        if pt is not None:
-                            la = _B if _is_boundary_pt(pt, bl) else _I
-                            up(la, _B, 0)
-                # classify endpoints (dim 0)
-                for p in (a2, b2):
-                    loc = point_in_polygon(p, rings)
-                    la = _B if _is_boundary_pt(p, bl) else _I
-                    tgt = {2: _I, 1: _B, 0: _E}[loc]
-                    up(la, tgt, 0)
-                # classify each sub-piece midpoint (dim 1, line interior)
-                tl = sorted(ts)
-                for t0, t1 in zip(tl[:-1], tl[1:]):
-                    if t1 - t0 < 1e-12:
-                        continue
-                    tm = (t0 + t1) / 2.0
-                    mid = a2 + tm * (b2 - a2)
-                    loc = point_in_polygon(mid, rings)
-                    tgt = {2: _I, 1: _B, 0: _E}[loc]
-                    up(_I, tgt, 1)
+        for a, b in _line_segments(chain):
+            a2, b2 = a[:2], b[:2]
+            ts = {0.0, 1.0}
+            for c, e in segs_p:
+                c2, e2 = c[:2], e[:2]
+                kind = _seg_intersect_kind(a2, b2, c2, e2)
+                if kind == 0:
+                    continue
+                if kind == 2:
+                    den = (a2[0] - b2[0]) * (c2[1] - e2[1]) - (a2[1] - b2[1]) * (c2[0] - e2[0])
+                    if den != 0:
+                        t = ((a2[0] - c2[0]) * (c2[1] - e2[1]) - (a2[1] - c2[1]) * (c2[0] - e2[0])) / den
+                        ts.add(min(max(t, 0.0), 1.0))
+                    # the crossing POINT: strictly interior to both
+                    # segments, so line-interior × ring-boundary, dim 0
+                    # (missed before r4f — piece midpoints are strictly
+                    # in/out for a transversal crossing)
+                    up(_I, _B, 0)
+                elif kind == 3:
+                    for p in (c2, e2):
+                        if _on_segment(p, a2, b2):
+                            ts.add(min(max(_seg_param(a2, b2, p), 0.0), 1.0))
+                else:  # endpoint touch
+                    for p in (a2, b2):
+                        if _on_segment(p, c2, e2):
+                            ts.add(_seg_param(a2, b2, p))
+                    for p in (c2, e2):
+                        if _on_segment(p, a2, b2):
+                            ts.add(min(max(_seg_param(a2, b2, p), 0.0), 1.0))
+                    # the touch point itself (a ring vertex on the
+                    # line's interior, or a line vertex on the ring):
+                    # line side I unless it is a chain boundary point
+                    pt = _touch_point(a, b, c, e)
+                    if pt is not None:
+                        la = _B if _is_boundary_pt(pt, bl) else _I
+                        up(la, _B, 0)
+            # classify endpoints (dim 0)
+            for p in (a2, b2):
+                loc = _loc_in_polys(p, dp.polys)
+                la = _B if _is_boundary_pt(p, bl) else _I
+                tgt = {2: _I, 1: _B, 0: _E}[loc]
+                up(la, tgt, 0)
+            # classify each sub-piece midpoint (dim 1, line interior)
+            tl = sorted(ts)
+            for t0, t1 in zip(tl[:-1], tl[1:]):
+                if t1 - t0 < 1e-12:
+                    continue
+                tm = (t0 + t1) / 2.0
+                mid = a2 + tm * (b2 - a2)
+                loc = _loc_in_polys(mid, dp.polys)
+                tgt = {2: _I, 1: _B, 0: _E}[loc]
+                up(_I, tgt, 1)
 
 
 def _split_midpoints_segs(a2: np.ndarray, b2: np.ndarray, seg_pairs) -> list:
@@ -508,10 +515,33 @@ def _all_segments(d: _Decomp):
         yield from _poly_segments(rings)
 
 
+def _loc_in_polys(p: np.ndarray, polys) -> int:
+    """Locate p against the UNION of polygon components: 2 when inside any
+    component, else 1 when on any component's boundary, else 0. Valid
+    multi-component operands have disjoint interiors, so the max over
+    components is the union location. Exterior-side relate signals must use
+    this, never a single component: a point outside component X may be
+    inside component Y (bug found by the r4g adjacency kernel work —
+    relate(rect, multipolygon) wrongly reported IE/BE against the far
+    component)."""
+    best = 0
+    for rings in polys:
+        loc = point_in_polygon(p, rings)
+        if loc == 2:
+            return 2
+        if loc > best:
+            best = loc
+    return best
+
+
 def _relate_poly_poly(da: _Decomp, db: _Decomp, im: _IM) -> None:
+    if not da.polys or not db.polys:
+        return
+    # segment-kind sweep over every component pair (positive signals only —
+    # component-local is fine for those)
+    crossed = False
     for ra in da.polys:
         for rb in db.polys:
-            crossed = False
             for a, b in _poly_segments(ra):
                 for c, e in _poly_segments(rb):
                     kind = _seg_intersect_kind(a[:2], b[:2], c[:2], e[:2])
@@ -525,60 +555,67 @@ def _relate_poly_poly(da: _Decomp, db: _Decomp, im: _IM) -> None:
                         im.up(_B, _B, 1)
                     elif kind == 1:
                         im.up(_B, _B, 0)
-            # boundary-segment SUB-PIECE midpoints: each segment is split at
-            # every crossing parameter before classifying, so a boundary
-            # chunk that enters and exits the other polygon WITHIN one
-            # segment (whole-segment midpoint outside) is still seen —
-            # unsplit midpoints missed IB/BI on transversal overlaps (bug
-            # found by the r4f pairs_relate kernel cross-check)
-            for a, b in _poly_segments(ra):
-                for mid in _split_midpoints(a[:2], b[:2], rb):
-                    loc = point_in_polygon(mid, rb)
-                    if loc == 2:
-                        im.up(_B, _I, 1)
-                        im.up(_I, _I, 2)
-                        im.up(_E, _I, 2)
-                    elif loc == 0:
-                        im.up(_B, _E, 1)
-            for c, e in _poly_segments(rb):
-                for mid in _split_midpoints(c[:2], e[:2], ra):
-                    loc = point_in_polygon(mid, ra)
-                    if loc == 2:
-                        im.up(_I, _B, 1)
-                        im.up(_I, _I, 2)
-                        im.up(_I, _E, 2)
-                    elif loc == 0:
-                        im.up(_E, _B, 1)
-            # vertex containment (covers interior-interior when no crossing)
-            for v in ra[0]:
-                loc = point_in_polygon(v[:2], rb)
-                if loc == 2:
-                    im.up(_B, _I, 1)
-                    im.up(_I, _I, 2)
-                elif loc == 0:
-                    im.up(_B, _E, 1)
-            for v in rb[0]:
-                loc = point_in_polygon(v[:2], ra)
-                if loc == 2:
-                    im.up(_I, _B, 1)
-                    im.up(_I, _I, 2)
-                elif loc == 0:
-                    im.up(_E, _B, 1)
-            # representative interior points
-            pa = _rep_interior_point(ra)
-            pb = _rep_interior_point(rb)
-            if pa is not None:
-                loc = point_in_polygon(pa, rb)
-                if loc == 2:
-                    im.up(_I, _I, 2)
-                elif loc == 0 and not crossed:
-                    im.up(_I, _E, 2)
-            if pb is not None:
-                loc = point_in_polygon(pb, ra)
-                if loc == 2:
-                    im.up(_I, _I, 2)
-                elif loc == 0 and not crossed:
-                    im.up(_E, _I, 2)
+    # boundary-segment SUB-PIECE midpoints: each segment is split at every
+    # crossing parameter with the WHOLE other boundary before classifying
+    # against the WHOLE other union, so a boundary chunk that enters and
+    # exits the other polygon WITHIN one segment is still seen (unsplit
+    # midpoints missed IB/BI on transversal overlaps — bug found by the
+    # r4f pairs_relate kernel cross-check), and a chunk outside one
+    # component but inside another is not misread as exterior
+    segs_a = [(a, b) for ra in da.polys for a, b in _poly_segments(ra)]
+    segs_b = [(c, e) for rb in db.polys for c, e in _poly_segments(rb)]
+    for a, b in segs_a:
+        for mid in _split_midpoints_segs(a[:2], b[:2], segs_b):
+            loc = _loc_in_polys(mid, db.polys)
+            if loc == 2:
+                im.up(_B, _I, 1)
+                im.up(_I, _I, 2)
+                im.up(_E, _I, 2)
+            elif loc == 0:
+                im.up(_B, _E, 1)
+    for c, e in segs_b:
+        for mid in _split_midpoints_segs(c[:2], e[:2], segs_a):
+            loc = _loc_in_polys(mid, da.polys)
+            if loc == 2:
+                im.up(_I, _B, 1)
+                im.up(_I, _I, 2)
+                im.up(_I, _E, 2)
+            elif loc == 0:
+                im.up(_E, _B, 1)
+    # vertex containment (covers interior-interior when no crossing)
+    for ra in da.polys:
+        for v in ra[0]:
+            loc = _loc_in_polys(v[:2], db.polys)
+            if loc == 2:
+                im.up(_B, _I, 1)
+                im.up(_I, _I, 2)
+            elif loc == 0:
+                im.up(_B, _E, 1)
+    for rb in db.polys:
+        for v in rb[0]:
+            loc = _loc_in_polys(v[:2], da.polys)
+            if loc == 2:
+                im.up(_I, _B, 1)
+                im.up(_I, _I, 2)
+            elif loc == 0:
+                im.up(_E, _B, 1)
+    # representative interior points, one per component, against the union
+    for ra in da.polys:
+        pa = _rep_interior_point(ra)
+        if pa is not None:
+            loc = _loc_in_polys(pa, db.polys)
+            if loc == 2:
+                im.up(_I, _I, 2)
+            elif loc == 0 and not crossed:
+                im.up(_I, _E, 2)
+    for rb in db.polys:
+        pb = _rep_interior_point(rb)
+        if pb is not None:
+            loc = _loc_in_polys(pb, da.polys)
+            if loc == 2:
+                im.up(_I, _I, 2)
+            elif loc == 0 and not crossed:
+                im.up(_E, _I, 2)
 
 
 def _rep_interior_point(rings: list[np.ndarray]) -> np.ndarray | None:

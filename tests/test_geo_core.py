@@ -256,6 +256,26 @@ def test_relate():
     assert m == "0FFFFF212"
 
 
+def test_relate_multipolygon_union_location():
+    """Exterior-side relate signals must classify against the UNION of the
+    other side's components, not one component at a time (r4g fix: a rect
+    inside one component used to pick up IE/BE from being outside the far
+    component)."""
+    a = from_wkt("POLYGON ((9 0, 10 0, 10 1, 9 1, 9 0))")
+    b = from_wkt(
+        "MULTIPOLYGON (((-10 -10, 10 -10, 10 10, -10 10, -10 -10)),"
+        " ((20 20, 30 20, 30 30, 20 30, 20 20)))"
+    )
+    # a sits inside the first component, sharing a boundary run on x=10
+    assert P.relate(a, b) == "2FF11F212"
+    assert P.relate(b, a) == "212F11FF2"
+    # line strictly inside the first component: pieces must not read as
+    # exterior against the far component
+    line = from_wkt("LINESTRING (0 0, 1 1)")
+    assert P.relate(line, b) == "1FF0FF212"
+    assert P.relate(b, line) == "102FF1FF2"
+
+
 # ---------------------------------------------------------------- set ops
 
 def test_clip_by_rect():
