@@ -1322,13 +1322,16 @@ def _segpair_flags(
     chunk: int = 1 << 20,
 ):
     """Per-row segment-pair classification over the masked rows:
-    ``(any_nonzero, any_proper, any_contact)`` bool arrays — nonzero =
-    _seg_intersect_kind != 0, proper = kind 2, contact = kind 1/3 (touch
-    or collinear). None when the pair product exceeds max_pairs."""
+    ``(any_nonzero, any_proper, any_contact, any_run)`` bool arrays —
+    nonzero = _seg_intersect_kind != 0, proper = kind 2, contact = kind 1/3
+    (touch or collinear), run = kind 3 only (collinear overlap of POSITIVE
+    length — the scalar's BB=1 signal; endpoint-only collinear contact is
+    kind 1). None when the pair product exceeds max_pairs."""
     n = rpa.n
     any_nonzero = np.zeros(n, dtype=bool)
     any_proper = np.zeros(n, dtype=bool)
     any_contact = np.zeros(n, dtype=bool)
+    any_run = np.zeros(n, dtype=bool)
     ax, ay, bx, by, rowA = _row_segments(rpa, row_mask)
     cx, cy, ex, ey, rowB = _row_segments(rpb, row_mask)
     nb = np.bincount(rowB, minlength=n)
@@ -1341,7 +1344,7 @@ def _segpair_flags(
     if total > max_pairs:
         return None
     if not total:
-        return any_nonzero, any_proper, any_contact
+        return any_nonzero, any_proper, any_contact, any_run
     blk_start = np.cumsum(sizes_b) - sizes_b
     shift = blk_start - offsB[rowA]
     if total < 2**31:
@@ -1399,10 +1402,12 @@ def _segpair_flags(
             b1 = np.where(axis_x, sA[2], sA[3])
             c1 = np.where(axis_x, sB[0], sB[1])
             e1 = np.where(axis_x, sB[2], sB[3])
-            col_hit = (
+            ov = (
                 np.minimum(np.maximum(a1, b1), np.maximum(c1, e1))
-                >= np.maximum(np.minimum(a1, b1), np.minimum(c1, e1)) - _EPS
+                - np.maximum(np.minimum(a1, b1), np.minimum(c1, e1))
             )
+            col_hit = ov >= -_EPS
+            run_hit = allcol & (ov > _EPS)  # scalar kind-3 condition
             touch = (
                 (n1 & on_seg(sA[0], sA[1], sB[0], sB[1], sB[2], sB[3]))
                 | (n2 & on_seg(sA[2], sA[3], sB[0], sB[1], sB[2], sB[3]))
@@ -1410,11 +1415,13 @@ def _segpair_flags(
                 | (n4 & on_seg(sB[2], sB[3], sA[0], sA[1], sA[2], sA[3]))
             )
             nonzero[bsel] = np.where(allcol, col_hit, touch)
+            if run_hit.any():
+                any_run[rowA[ia[bsel[run_hit]]]] = True
         rows_nz = rowA[ia[nonzero]]
         any_nonzero[rows_nz] = True
         any_proper[rowA[ia[proper]]] = True
         any_contact[rowA[ia[nonzero & ~proper]]] = True
-    return any_nonzero, any_proper, any_contact
+    return any_nonzero, any_proper, any_contact, any_run
 
 
 def pairs_within(
@@ -1479,7 +1486,7 @@ def pairs_within(
         certain_false = active & any0
         decided |= certain_false
         return result, decided
-    _, any_proper, any_contact = flags
+    _, any_proper, any_contact, _ = flags
     hole_in = np.zeros(n, dtype=bool)
     hole_on = np.zeros(n, dtype=bool)
     if isinstance(rpa, RaggedPolygons):
@@ -1535,7 +1542,7 @@ def pairs_touches(
     flags = _segpair_flags(rpa, rpb, act, max_pairs, chunk)
     if flags is None:
         return result, decided
-    _, any_proper, _ = flags
+    _, any_proper, _, _ = flags
     strict_in = np.zeros(n, dtype=bool)
     for src, dst in ((rpa, rpb), (rpb, rpa)):
         if not isinstance(dst, RaggedPolygons):
@@ -1569,7 +1576,7 @@ def _strict_within_signal(rpa, rpb, act, max_pairs, chunk):
     flags = _segpair_flags(rpa, rpb, act, max_pairs, chunk)
     if flags is None:
         return None
-    _, any_proper, any_contact = flags
+    _, any_proper, any_contact, _ = flags
     rows_per_coord = np.repeat(np.arange(n, dtype=np.int64), np.diff(rpa.row_start))
     csel = np.nonzero(act[rows_per_coord])[0]
     ok_in = np.zeros(n, dtype=bool)
@@ -1613,7 +1620,7 @@ def pairs_crosses(rpa, rpb, max_pairs: int = 64_000_000, chunk: int = 1 << 20):
     flags = _segpair_flags(rpa, rpb, act, max_pairs, chunk)
     if flags is None:
         return result, decided
-    _, any_proper, any_contact = flags
+    _, any_proper, any_contact, _ = flags
     if a_poly or b_poly:
         # line vs polygon: a proper crossing puts line-interior points in
         # both the polygon's interior and exterior — certain TRUE whatever
@@ -1665,7 +1672,7 @@ def pairs_overlaps(rpa, rpb, max_pairs: int = 64_000_000, chunk: int = 1 << 20):
     flags = _segpair_flags(rpa, rpb, act, max_pairs, chunk)
     if flags is None:
         return result, decided
-    _, any_proper, any_contact = flags
+    _, any_proper, any_contact, _ = flags
     if a_poly and b_poly:
         result[act & any_proper] = True
         decided |= act & any_proper
@@ -1848,6 +1855,313 @@ def _family_meta(p):
     return "1", bdim, deg
 
 
+def _contact_split_params(rpa, rpb, row_mask, max_pairs, chunk):
+    """Contact-point split parameters for the contact-only relate bucket.
+
+    Over the masked rows, finds every OTHER-side vertex lying on a
+    segment (the scalar's ``_split_midpoints_segs`` split set for rows
+    with no proper crossings) and returns, per side, the segment arrays
+    plus ``(seg_idx, t)`` split params — t computed with the scalar
+    ``_seg_param`` dominant-axis formula, clipped to [0, 1]. Returns None
+    when the pair product exceeds ``max_pairs``."""
+    ax, ay, bx, by, rowA = _row_segments(rpa, row_mask)
+    cx, cy, ex, ey, rowB = _row_segments(rpb, row_mask)
+    n = rpa.n
+    nb = np.bincount(rowB, minlength=n)
+    offsB = np.concatenate([[0], np.cumsum(nb)])
+    sizes_b = nb[rowA]
+    total = int(sizes_b.sum())
+    if total > max_pairs:
+        return None
+    segA = (ax, ay, bx, by, rowA)
+    segB = (cx, cy, ex, ey, rowB)
+    pa_seg: list = []
+    pa_t: list = []
+    pb_seg: list = []
+    pb_t: list = []
+    if not total:
+        return segA, segB, pa_seg, pa_t, pb_seg, pb_t
+
+    blk_start = np.cumsum(sizes_b) - sizes_b
+    shift = blk_start - offsB[rowA]
+    ia_all = np.repeat(np.arange(len(ax), dtype=np.int64), sizes_b)
+    ib_all = np.arange(total, dtype=np.int64)
+    ib_all -= np.repeat(shift, sizes_b)
+
+    def on_seg(px_, py_, sx, sy, tx, ty):
+        cr = (tx - sx) * (py_ - sy) - (ty - sy) * (px_ - sx)
+        sc = np.maximum(np.maximum(np.abs(tx - sx), np.abs(ty - sy)), 1.0)
+        return (
+            (np.abs(cr) <= _EPS * sc * sc)
+            & (px_ >= np.minimum(sx, tx) - _EPS) & (px_ <= np.maximum(sx, tx) + _EPS)
+            & (py_ >= np.minimum(sy, ty) - _EPS) & (py_ <= np.maximum(sy, ty) + _EPS)
+        )
+
+    def seg_param(px_, py_, sx, sy, tx, ty):
+        # scalar _seg_param: dominant axis, 0 when the axis extent is 0
+        dx, dy = tx - sx, ty - sy
+        use_x = np.abs(dx) >= np.abs(dy)
+        den = np.where(use_x, dx, dy)
+        num = np.where(use_x, px_ - sx, py_ - sy)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            t = np.where(den != 0, num / np.where(den != 0, den, 1.0), 0.0)
+        return np.clip(t, 0.0, 1.0)
+
+    for lo in range(0, total, chunk):
+        ia = ia_all[lo:lo + chunk]
+        ib = ib_all[lo:lo + chunk]
+        AX, AY, BX, BY = ax[ia], ay[ia], bx[ia], by[ia]
+        CX, CY, EX, EY = cx[ib], cy[ib], ex[ib], ey[ib]
+        # B endpoints on segment A -> split params on A
+        for px_, py_ in ((CX, CY), (EX, EY)):
+            hit = on_seg(px_, py_, AX, AY, BX, BY)
+            if hit.any():
+                pa_seg.append(ia[hit])
+                pa_t.append(seg_param(px_[hit], py_[hit],
+                                      AX[hit], AY[hit], BX[hit], BY[hit]))
+        # A endpoints on segment B -> split params on B
+        for px_, py_ in ((AX, AY), (BX, BY)):
+            hit = on_seg(px_, py_, CX, CY, EX, EY)
+            if hit.any():
+                pb_seg.append(ib[hit])
+                pb_t.append(seg_param(px_[hit], py_[hit],
+                                      CX[hit], CY[hit], EX[hit], EY[hit]))
+    return segA, segB, pa_seg, pa_t, pb_seg, pb_t
+
+
+def _chunk_midpoints(seg, split_seg, split_t):
+    """Sub-chunk midpoints of every segment, split at the collected
+    params (plus 0 and 1), skipping sub-pieces shorter than 1e-12 in
+    param space — the scalar ``_split_midpoints_segs`` construction.
+    Returns ``(mx, my, seg_idx)``."""
+    ax, ay, bx, by, rowA = seg
+    ns = len(ax)
+    base_seg = np.concatenate([np.arange(ns, dtype=np.int64)] * 2 + (
+        [np.concatenate(split_seg)] if split_seg else []))
+    base_t = np.concatenate([np.zeros(ns), np.ones(ns)] + (
+        [np.concatenate(split_t)] if split_t else []))
+    order = np.lexsort((base_t, base_seg))
+    s, t = base_seg[order], base_t[order]
+    same = (s[1:] == s[:-1])
+    dt = t[1:] - t[:-1]
+    keep = same & (dt >= 1e-12)
+    tm = (t[1:][keep] + t[:-1][keep]) / 2.0
+    sm = s[1:][keep]
+    mx = ax[sm] + tm * (bx[sm] - ax[sm])
+    my = ay[sm] + tm * (by[sm] - ay[sm])
+    return mx, my, sm
+
+
+def _run_side_parity(runs, seg, n, max_pairs, chunk):
+    """Exact side-membership at shared-run midpoints by crossing parity.
+
+    For each run (midpoint m on a segment with direction d), casts the
+    two rays m ± t·n (n the unit normal of d, t > 0) against every
+    segment of the same row from ``seg`` and counts proper crossings.
+    The parity of the count is the membership of the infinitesimal
+    side-point m + 0⁺·n (resp. −n) in the polygon whose boundary ``seg``
+    is — no epsilon probe point is ever constructed. Returns
+    ``(odd_pos, odd_neg, bad_row)``; any grazing configuration (vertex
+    within tolerance of the ray line, segment along the ray line, or a
+    crossing within tolerance of m that is not the incident collinear
+    boundary) marks the row undecided instead of guessing."""
+    mx, my, ndx, ndy, runrow = runs
+    sx, sy, tx, ty, segrow = seg
+    R = len(mx)
+    odd_pos = np.zeros(R, dtype=bool)
+    odd_neg = np.zeros(R, dtype=bool)
+    bad_row = np.zeros(n, dtype=bool)
+    if not R or not len(sx):
+        return odd_pos, odd_neg, bad_row
+    nseg = np.bincount(segrow, minlength=n)
+    offs = np.concatenate([[0], np.cumsum(nseg)])
+    sizes = nseg[runrow]
+    total = int(sizes.sum())
+    if total > max_pairs:
+        bad_row[:] = True
+        return odd_pos, odd_neg, bad_row
+    if not total:
+        return odd_pos, odd_neg, bad_row
+    blk = np.cumsum(sizes) - sizes
+    shift = blk - offs[runrow]
+    ri_all = np.repeat(np.arange(R, dtype=np.int64), sizes)
+    si_all = np.arange(total, dtype=np.int64)
+    si_all -= np.repeat(shift, sizes)
+    cnt_pos = np.zeros(R, dtype=np.int64)
+    cnt_neg = np.zeros(R, dtype=np.int64)
+    for lo in range(0, total, chunk):
+        ri = ri_all[lo:lo + chunk]
+        si = si_all[lo:lo + chunk]
+        MX, MY = mx[ri], my[ri]
+        NX, NY = ndx[ri], ndy[ri]
+        PX, PY, QX, QY = sx[si], sy[si], tx[si], ty[si]
+        p_mx, p_my = PX - MX, PY - MY
+        q_mx, q_my = QX - MX, QY - MY
+        s1 = NX * p_my - NY * p_mx
+        s2 = NX * q_my - NY * q_mx
+        sc = np.maximum(1.0, np.maximum(
+            np.maximum(np.abs(p_mx), np.abs(p_my)),
+            np.maximum(np.abs(q_mx), np.abs(q_my))))
+        tol = _EPS * sc
+        near1 = np.abs(s1) <= tol
+        near2 = np.abs(s2) <= tol
+        # segment lying along the ray LINE (both endpoints on it):
+        # degenerate only if it extends away from m — a boundary running
+        # along the probe ray breaks parity counting. A micro segment at m
+        # itself contributes nothing. (A single vertex ON the ray line is
+        # NOT degenerate: the half-open sign rule below counts the two
+        # segments sharing it consistently — both see the identical
+        # floating s value — so the crossing parity stays exact, the
+        # standard robust even-odd treatment.)
+        both = near1 & near2
+        away = both & (np.maximum(
+            np.abs(p_mx * NX + p_my * NY),
+            np.abs(q_mx * NX + q_my * NY)) > tol)
+        # half-open crossing rule: EXACT sign comparisons, no tolerance
+        crossing = ((s1 > 0.0) != (s2 > 0.0)) & ~both
+        wx, wy = QX - PX, QY - PY
+        den = NX * wy - NY * wx
+        num = p_mx * wy - p_my * wx
+        with np.errstate(divide="ignore", invalid="ignore"):
+            tdist = np.where(crossing, num / np.where(den != 0, den, 1.0), 0.0)
+        # segments PARALLEL to the run direction with |t| <= tol are the
+        # incident collinear boundary itself (the run's parent segment and
+        # the other side's coincident piece — t is exactly 0 only in exact
+        # arithmetic, so the test must be geometric, not t != 0); a
+        # NON-parallel crossing that close to m is a sliver -> undecided.
+        # run direction d = (NY, -NX) (unit, normal rotated back)
+        scw = np.maximum(1.0, np.maximum(np.abs(wx), np.abs(wy)))
+        par = np.abs(NY * wy + NX * wx) <= _EPS * scw
+        nearm = crossing & (np.abs(tdist) <= tol) & ~par
+        badp = away | nearm
+        if badp.any():
+            bad_row[runrow[ri[badp]]] = True
+        pos = crossing & (tdist > tol)
+        neg = crossing & (tdist < -tol)
+        np.add.at(cnt_pos, ri[pos], 1)
+        np.add.at(cnt_neg, ri[neg], 1)
+    odd_pos = (cnt_pos & 1).astype(bool)
+    odd_neg = (cnt_neg & 1).astype(bool)
+    return odd_pos, odd_neg, bad_row
+
+
+def _contact_only_matrices(rpa, rpb, co, any_run, max_pairs, chunk):
+    """Closed-form DE-9IM matrices for areal×areal rows whose boundaries
+    CONTACT (touch points and/or collinear shared runs) without any
+    proper crossing — the dominant shape in coverage data (adjacent
+    parcels, admin polygons), where every pair previously fell back to
+    the scalar kernel.
+
+    Derivation (valid polygons; every boundary point locally separates
+    interior from exterior): classify every boundary SUB-CHUNK midpoint
+    (split at all contact points, exactly the fixed scalar's
+    ``_split_midpoints_segs`` set) against the other side's component
+    union -> per-row flags ia/oa (some chunk of ∂A strictly inside /
+    outside B) and ib/ob; chunks ON the other boundary are shared runs,
+    whose two sides' membership in A and B comes from the exact crossing
+    parity of ``_run_side_parity``. Then:
+
+      II=2 iff ia|ib|ss_ii      IB=1 iff ib      IE=2 iff oa|ib|ss_ie
+      BI=1 iff ia               BB=1 iff run     BE=1 iff oa
+      EI=2 iff ob|ia|ss_ei      EB=1 iff ob      EE=2
+
+    (a chunk of ∂B strictly inside A has int(A) on BOTH its sides, so it
+    also pins II=2 and IE=2; ss_* are the shared-run side signals that
+    decide the equals / component-equal / hole-filling shapes). Rows
+    where any signal is tolerance-ambiguous stay undecided and take the
+    scalar fallback. Returns ``(mats, decided)`` or ``(None, None)``
+    when the pair product exceeds ``max_pairs``."""
+    n = rpa.n
+    sp = _contact_split_params(rpa, rpb, co, max_pairs, chunk)
+    if sp is None:
+        return None, None
+    segA, segB, pa_seg, pa_t, pb_seg, pb_t = sp
+    amx, amy, aseg = _chunk_midpoints(segA, pa_seg, pa_t)
+    bmx, bmy, bseg = _chunk_midpoints(segB, pb_seg, pb_t)
+    arow = segA[4][aseg]
+    brow = segB[4][bseg]
+    locA = locate_points_multi(rpb, amx, amy, arow)
+    locB = locate_points_multi(rpa, bmx, bmy, brow)
+
+    def any_per_row(rows_, mask_):
+        out = np.zeros(n, dtype=bool)
+        if mask_.any():
+            out[rows_[mask_]] = True
+        return out
+
+    ia = any_per_row(arow, locA == 2)
+    oa = any_per_row(arow, locA == 0)
+    ib = any_per_row(brow, locB == 2)
+    ob = any_per_row(brow, locB == 0)
+    run_a = any_per_row(arow, locA == 1)
+    run_b = any_per_row(brow, locB == 1)
+    # tolerance-consistency gate: the segment-sweep run flag and both
+    # sides' ON-chunk sightings must agree, else the row is ambiguous
+    ok = co & (run_a == any_run) & (run_b == any_run)
+
+    ss_ii = np.zeros(n, dtype=bool)
+    ss_ie = np.zeros(n, dtype=bool)
+    ss_ei = np.zeros(n, dtype=bool)
+    withrun = ok & any_run
+    if withrun.any():
+        rsel = np.nonzero((locA == 1) & withrun[arow])[0]
+        if len(rsel):
+            sm = aseg[rsel]
+            dx = segA[2][sm] - segA[0][sm]
+            dy = segA[3][sm] - segA[1][sm]
+            ln = np.hypot(dx, dy)
+            ok_len = ln > 0
+            ndx = np.where(ok_len, -dy / np.where(ok_len, ln, 1.0), 0.0)
+            ndy = np.where(ok_len, dx / np.where(ok_len, ln, 1.0), 0.0)
+            ok[arow[rsel[~ok_len]]] = False
+            runs = (amx[rsel], amy[rsel], ndx, ndy, arow[rsel])
+            apos, aneg, badA = _run_side_parity(runs, segA, n, max_pairs, chunk)
+            bpos, bneg, badB = _run_side_parity(runs, segB, n, max_pairs, chunk)
+            ok &= ~badA & ~badB
+            rr = arow[rsel]
+            # m is on BOTH boundaries: exactly one side must be interior
+            # on each — a parity contradiction marks the row undecided
+            contra = (apos == aneg) | (bpos == bneg)
+            if contra.any():
+                ok[rr[contra]] = False
+            sii = (apos & bpos) | (aneg & bneg)
+            sie = (apos & ~bpos) | (aneg & ~bneg)
+            sei = (~apos & bpos) | (~aneg & bneg)
+            ss_ii |= any_per_row(rr, sii)
+            ss_ie |= any_per_row(rr, sie)
+            ss_ei |= any_per_row(rr, sei)
+
+    mats = np.full(n, None, dtype=object)
+    # one string per distinct flag combination (<= 2^6 keys), assigned by mask
+    key = (
+        ia.astype(np.int32)
+        | (oa.astype(np.int32) << 1)
+        | (ib.astype(np.int32) << 2)
+        | (ob.astype(np.int32) << 3)
+        | (any_run.astype(np.int32) << 4)
+        | ((ia | ib | ss_ii).astype(np.int32) << 5)
+        | ((oa | ib | ss_ie).astype(np.int32) << 6)
+        | ((ob | ia | ss_ei).astype(np.int32) << 7)
+    )
+    key = np.where(ok, key, -1)
+    for k in np.unique(key):
+        if k < 0:
+            continue
+        m = (
+            ("2" if k & 32 else "F")
+            + ("1" if k & 4 else "F")
+            + ("2" if k & 64 else "F")
+            + ("1" if k & 1 else "F")
+            + ("1" if k & 16 else "0")
+            + ("1" if k & 2 else "F")
+            + ("2" if k & 128 else "F")
+            + ("1" if k & 8 else "F")
+            + "2"
+        )
+        mats[key == k] = m
+    return mats, ok
+
+
 def pairs_relate(
     rpa,
     rpb,
@@ -1949,7 +2263,7 @@ def pairs_relate(
                 decided |= inside
         rem = act & ~decided
         if rem.any():
-            _, any_proper, any_contact = shared
+            _, any_proper, any_contact, any_run = shared
             cross = rem & any_proper & ~any_contact
             if cross.any():
                 a_poly = isinstance(rpa, RaggedPolygons)
@@ -1993,6 +2307,29 @@ def pairs_relate(
                             m = cross & (bdim_a == sa) & (bdim_b == sb)
                             mats[m] = f"0F1FF{sa}1{sb}2"
                     decided |= cross
+        rem = act & ~decided
+        if rem.any() and isinstance(rpa, RaggedPolygons) and isinstance(rpb, RaggedPolygons):
+            _, any_proper, any_contact, any_run = shared
+            # MIXED areal×areal (r4g): a proper crossing pins every cell at
+            # its maximum regardless of any additional contact — the
+            # crossing sends each boundary through the other's interior and
+            # exterior (IB=BI=BE=EB=1, II=IE=EI=2) — except BB, which is 1
+            # exactly when some collinear run of positive length exists
+            # (scalar kind 3) and otherwise 0 (crossing/touch points)
+            mixed = rem & any_proper & any_contact
+            if mixed.any():
+                mats[mixed & any_run] = "212111212"
+                mats[mixed & ~any_run] = "212101212"
+                decided |= mixed
+            # CONTACT-ONLY areal×areal (r4g): touch / shared-boundary rows
+            co = rem & any_contact & ~any_proper
+            if co.any():
+                co_mats, co_dec = _contact_only_matrices(
+                    rpa, rpb, co, any_run, max_pairs, chunk)
+                if co_mats is not None:
+                    sel = co & co_dec
+                    mats[sel] = co_mats[sel]
+                    decided |= sel
     return mats, decided
 
 

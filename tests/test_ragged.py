@@ -1367,3 +1367,114 @@ def test_relate_poly_poly_subsegment_boundary_chunk():
                     gwkt("POLYGON ((0 0, 5 0, 5 5, 0 5, 0 0))")) == "101FF0212"
     assert P.relate(gwkt("LINESTRING (-1 1, 2 1)"),
                     gwkt("POLYGON ((0 0, 5 0, 5 5, 0 5, 0 0))")) == "1010F0212"
+
+
+def _ewkb_list(wkts):
+    from polars_st_spark.geo.wkt import from_wkt as gwkt
+    from polars_st_spark.geo.wkb import to_ewkb
+
+    return [to_ewkb(gwkt(w)) for w in wkts]
+
+
+def test_relate_contact_only_bucket():
+    """r4g: contact-only areal×areal rows (touch points / shared collinear
+    runs, no proper crossing) decide closed-form in the CSR kernel — the
+    dominant coverage-data shape (adjacent parcels) previously always fell
+    back to the scalar. Every canonical contact topology must be decided
+    AND byte-identical to the scalar DE-9IM."""
+    from polars_st_spark.geo import ragged as R
+    from polars_st_spark.geo.wkt import from_wkt as gwkt
+
+    sq = lambda x0, y0, x1, y1: (
+        f"POLYGON (({x0} {y0}, {x1} {y0}, {x1} {y1}, {x0} {y1}, {x0} {y0}))")
+    sq_cw = lambda x0, y0, x1, y1: (
+        f"POLYGON (({x0} {y0}, {x0} {y1}, {x1} {y1}, {x1} {y0}, {x0} {y0}))")
+    pairs = [
+        (sq(0, 0, 1, 1), sq(1, 0, 2, 1)),            # full shared edge
+        (sq(0, 0, 1, 1), sq_cw(1, 0, 2, 1)),         # CW ring, same topology
+        (sq(0, 0, 2, 2), "POLYGON ((2 1, 4 1, 4 3, 2 3, 2 1))"),  # partial run
+        (sq(0, 0, 1, 1), sq(1, 1, 2, 2)),            # corner point touch
+        (sq(0, 0, 1, 1), sq(0, 0, 1, 1)),            # equals
+        (sq(0, 0, 3, 3), sq(0, 0, 1, 1)),            # contained, shared corner runs
+        (sq(0, 0, 3, 3), sq(1, 0, 2, 1)),            # contained, one shared edge
+        # A exactly fills B's hole (IE=2 comes only from run-side parity)
+        (sq(2, 2, 8, 8),
+         "POLYGON ((0 0, 10 0, 10 10, 0 10, 0 0), (2 2, 8 2, 8 8, 2 8, 2 2))"),
+        # B inside A's hole, touching the hole ring from inside
+        ("POLYGON ((0 0, 10 0, 10 10, 0 10, 0 0), (2 2, 8 2, 8 8, 2 8, 2 2))",
+         sq(2, 2, 4, 4)),
+        # component-equal: A equals one component of multipolygon B
+        (sq(0, 0, 1, 1),
+         "MULTIPOLYGON (((0 0, 1 0, 1 1, 0 1, 0 0)), ((5 5, 6 5, 6 6, 5 6, 5 5)))"),
+        # multipolygon A, one component adjacent to B
+        ("MULTIPOLYGON (((0 0, 1 0, 1 1, 0 1, 0 0)), ((5 5, 6 5, 6 6, 5 6, 5 5)))",
+         sq(1, 0, 2, 1)),
+        # T-junction: B's vertex on the interior of A's edge, B outside
+        (sq(0, 0, 4, 4), "POLYGON ((4 1, 6 2, 4 3, 4 1))"),
+        # collinear sub-run with B extending past A's edge on both ends
+        (sq(0, 0, 1, 1), "POLYGON ((1 -5, 2 -5, 2 5, 1 5, 1 -5))"),
+    ]
+    A = R.parse_polygonal(_ewkb_list([a for a, _ in pairs]))
+    B = R.parse_polygonal(_ewkb_list([b for _, b in pairs]))
+    mats, dec = R.pairs_relate(A, B)
+    for i, (wa, wb) in enumerate(pairs):
+        expect = P.relate(gwkt(wa), gwkt(wb))
+        assert dec[i], (i, wa, wb, "undecided")
+        assert mats[i] == expect, (i, wa, wb, mats[i], expect)
+    # swapped orientation too
+    mats2, dec2 = R.pairs_relate(B, A)
+    for i, (wa, wb) in enumerate(pairs):
+        expect = P.relate(gwkt(wb), gwkt(wa))
+        assert dec2[i] and mats2[i] == expect, (i, "swap", mats2[i], expect)
+
+
+def test_relate_mixed_crossing_contact_bucket():
+    """r4g: areal×areal rows with BOTH a proper crossing and boundary
+    contact decide closed-form — every cell is pinned by the crossing
+    except BB, which is 1 exactly when a positive-length collinear run
+    exists and 0 for touch/crossing points only."""
+    from polars_st_spark.geo import ragged as R
+    from polars_st_spark.geo.wkt import from_wkt as gwkt
+
+    pairs = [
+        # crossing + collinear bottom-edge run -> BB=1
+        ("POLYGON ((0 0, 2 0, 2 2, 0 2, 0 0))",
+         "POLYGON ((1 0, 3 0, 3 1, 1 1, 1 0))"),
+        # crossing + vertex-vertex corner touch only -> BB=0
+        ("POLYGON ((0 0, 2 0, 2 2, 0 2, 0 0))",
+         "POLYGON ((0 0, 3 -1, 3 0.5, 2.5 0.5, 0 0))"),
+    ]
+    A = R.parse_polygonal(_ewkb_list([a for a, _ in pairs]))
+    B = R.parse_polygonal(_ewkb_list([b for _, b in pairs]))
+    mats, dec = R.pairs_relate(A, B)
+    for i, (wa, wb) in enumerate(pairs):
+        expect = P.relate(gwkt(wa), gwkt(wb))
+        assert dec[i], (i, "undecided")
+        assert mats[i] == expect, (i, mats[i], expect)
+    assert mats[0] == "212111212"
+    assert mats[1] == "212101212"
+
+
+def test_relate_grid_adjacency_sweep():
+    """Every adjacent pair (edge + corner neighbors) of a 5x5 unit grid:
+    all decided by the contact-only bucket, all equal to the scalar."""
+    from polars_st_spark.geo import ragged as R
+    from polars_st_spark.geo.wkt import from_wkt as gwkt
+
+    sq = lambda x0, y0: (
+        f"POLYGON (({x0} {y0}, {x0+1} {y0}, {x0+1} {y0+1}, {x0} {y0+1}, {x0} {y0}))")
+    wa, wb = [], []
+    for x in range(5):
+        for y in range(5):
+            for dx, dy in ((1, 0), (0, 1), (1, 1), (1, -1)):
+                nx, ny = x + dx, y + dy
+                if 0 <= nx < 5 and 0 <= ny < 5:
+                    wa.append(sq(x, y))
+                    wb.append(sq(nx, ny))
+    A = R.parse_polygonal(_ewkb_list(wa))
+    B = R.parse_polygonal(_ewkb_list(wb))
+    mats, dec = R.pairs_relate(A, B)
+    assert dec.all(), f"undecided: {int((~dec).sum())} of {len(dec)}"
+    for i in range(len(wa)):
+        expect = P.relate(gwkt(wa[i]), gwkt(wb[i]))
+        assert mats[i] == expect, (i, wa[i], wb[i], mats[i], expect)
