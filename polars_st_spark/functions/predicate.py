@@ -164,6 +164,81 @@ def _scalar_fill(res: np.ndarray, dec: np.ndarray, fn, s1, s2) -> pd.Series:
     return pd.Series(out_res, dtype=object)
 
 
+def _transpose_mat(m: str) -> str:
+    return m[0] + m[3] + m[6] + m[1] + m[4] + m[7] + m[2] + m[5] + m[8]
+
+
+def _matrix_predicate(name: str, m: str, da: int, db: int) -> bool:
+    """Evaluate a boolean pair predicate from a DE-9IM matrix with the
+    scalar kernel's exact pattern logic (geo/predicates.py). ``m`` is
+    relate(inner, outer) for the containment family (the dispatch's
+    already-swapped parse order) and relate(a, b) otherwise."""
+    M = P._matches
+    if name in ("within", "contains"):
+        return M("T*F**F***", m)
+    if name in ("covers", "covered_by"):
+        mt = _transpose_mat(m)  # covers(outer, inner) on relate(outer, inner)
+        return (M("T*****FF*", mt) or M("*T****FF*", mt)
+                or M("***T**FF*", mt) or M("****T*FF*", mt))
+    if name == "contains_properly":
+        return M("T**FF*FF*", _transpose_mat(m))
+    if name == "touches":
+        return M("FT*******", m) or M("F**T*****", m) or M("F***T****", m)
+    if name == "crosses":
+        if da < db:
+            return M("T*T******", m)
+        if da > db:
+            return M("T*****T**", m)
+        if da == 1 and db == 1:
+            return M("0********", m)
+        return False
+    if name == "overlaps":
+        if da != db:
+            return False
+        return M("1*T***T**" if da == 1 else "T*T***T**", m)
+    raise ValueError(name)
+
+
+def _relate_fill(res, dec, fn, s1, s2, name, sA, sB) -> pd.Series:
+    """Stage 2 for the boolean pair predicates (r4g): rows the trivalent
+    kernel left undecided carry genuine boundary contact — exactly the
+    shapes the full DE-9IM CSR kernel's contact buckets decide
+    closed-form. Run ``pairs_relate`` on just the undecided subset and
+    read the predicate off each decided matrix with the scalar's own
+    pattern; only rows the relate kernel ALSO leaves undecided take the
+    per-row scalar fallback. ``sA/sB`` are in the matrix-evaluation order
+    (inner, outer for the containment family); ``s1/s2`` stay in caller
+    order for the scalar fn."""
+    undec = np.nonzero(~dec)[0]
+    if not len(undec):
+        return pd.Series(res)
+    out_res = res.astype(object)
+    solved = np.zeros(len(undec), dtype=bool)
+    sub = [k for k in undec if sA.iloc[k] is not None and sB.iloc[k] is not None]
+    if len(sub) >= 4:
+        bA = pd.Series([sA.iloc[k] for k in sub])
+        bB = pd.Series([sB.iloc[k] for k in sub])
+        qa, da = RG.parse_polygonal(bA), 2
+        if qa is None:
+            qa, da = RG.parse_lineal(bA), 1
+        qb, db = RG.parse_polygonal(bB), 2
+        if qb is None:
+            qb, db = RG.parse_lineal(bB), 1
+        if qa is not None and qb is not None:
+            rr = RG.pairs_relate(qa, qb)
+            if rr is not None:
+                mats, dec2 = rr
+                pos = {k: j for j, k in enumerate(undec)}
+                for j, k in enumerate(sub):
+                    if dec2[j]:
+                        out_res[k] = _matrix_predicate(name, mats[j], da, db)
+                        solved[pos[k]] = True
+    for j, k in enumerate(undec):
+        if not solved[j]:
+            out_res[k] = fn(from_ewkb(bytes(s1.iloc[k])), from_ewkb(bytes(s2.iloc[k])))
+    return pd.Series(out_res, dtype=object)
+
+
 def _mk(name: str, fn, ret="boolean"):
     def outer(col, other) -> Column:
         o = geom_arg(other)
@@ -282,7 +357,7 @@ def _mk(name: str, fn, ret="boolean"):
                             pa2 = RG.parse_lineal(sA_)
                     if pa2 is not None and pb2 is not None:
                         res, dec = RG.pairs_within(pa2, pb2)
-                        return _scalar_fill(res, dec, fn, s1, s2)
+                        return _relate_fill(res, dec, fn, s1, s2, name, sA_, sB_)
                 if name == "touches":
                     # conservative trivalent: no-common-point / proper-cross
                     # / strictly-interior-vertex rows decide vectorized;
@@ -297,7 +372,7 @@ def _mk(name: str, fn, ret="boolean"):
                             pb3 = RG.parse_lineal(s2)
                     if pa3 is not None and pb3 is not None:
                         res, dec = RG.pairs_touches(pa3, pb3)
-                        return _scalar_fill(res, dec, fn, s1, s2)
+                        return _relate_fill(res, dec, fn, s1, s2, name, s1, s2)
                 if name in ("crosses", "overlaps"):
                     # dimension-rule + proper-cross + strict-containment
                     # certainty; genuine boundary interplay goes scalar
@@ -312,7 +387,7 @@ def _mk(name: str, fn, ret="boolean"):
                     if pa4 is not None and pb4 is not None:
                         kern = RG.pairs_crosses if name == "crosses" else RG.pairs_overlaps
                         res, dec = kern(pa4, pb4)
-                        return _scalar_fill(res, dec, fn, s1, s2)
+                        return _relate_fill(res, dec, fn, s1, s2, name, s1, s2)
             return pd.Series(
                 [
                     None if (a is None or b is None) else fn(from_ewkb(bytes(a)), from_ewkb(bytes(b)))

@@ -1478,3 +1478,40 @@ def test_relate_grid_adjacency_sweep():
     for i in range(len(wa)):
         expect = P.relate(gwkt(wa[i]), gwkt(wb[i]))
         assert mats[i] == expect, (i, wa[i], wb[i], mats[i], expect)
+
+
+def test_predicate_stage2_relate_fill(spark):
+    """r4g: boolean pair predicates on boundary-contact rows (trivalent
+    kernel undecided) resolve through the contact-bucket relate kernel,
+    not the per-row scalar — verified by value parity with the scalar on
+    every contact topology and direction."""
+    cases = [
+        ("POLYGON ((0 0, 1 0, 1 1, 0 1, 0 0))",
+         "POLYGON ((1 0, 2 0, 2 1, 1 1, 1 0))"),      # edge adjacency
+        ("POLYGON ((0 0, 3 0, 3 3, 0 3, 0 0))",
+         "POLYGON ((0 0, 1 0, 1 1, 0 1, 0 0))"),      # contains w/ shared corner
+        ("POLYGON ((0 0, 1 0, 1 1, 0 1, 0 0))",
+         "POLYGON ((0 0, 3 0, 3 3, 0 3, 0 0))"),      # within w/ shared corner
+        ("POLYGON ((0 0, 1 0, 1 1, 0 1, 0 0))",
+         "POLYGON ((0 0, 1 0, 1 1, 0 1, 0 0))"),      # equals (covers both ways)
+        ("POLYGON ((0 0, 1 0, 1 1, 0 1, 0 0))",
+         "POLYGON ((1 1, 2 1, 2 2, 1 2, 1 1))"),      # corner touch
+        ("POLYGON ((0 0, 2 0, 2 2, 0 2, 0 0))",
+         "POLYGON ((1 0, 3 0, 3 1, 1 1, 1 0))"),      # overlap + collinear run
+    ]
+    df = spark.createDataFrame(
+        [(i, a, b) for i, (a, b) in enumerate(cases)], ["id", "wa", "wb"]
+    ).coalesce(1)
+    g = df.select(
+        "id", st.st_from_wkt("wa").alias("ga"), st.st_from_wkt("wb").alias("gb"))
+    names = ["within", "contains", "covers", "covered_by",
+             "contains_properly", "touches", "overlaps", "crosses"]
+    cols = [getattr(st, f"st_{n}")("ga", "gb").alias(n) for n in names]
+    rows = g.select("id", *cols).orderBy("id").collect()
+    from polars_st_spark.geo.wkt import from_wkt as gwkt
+
+    for i, (wa, wb) in enumerate(cases):
+        ga, gb = gwkt(wa), gwkt(wb)
+        for n in names:
+            expect = getattr(P, n)(ga, gb)
+            assert rows[i][n] == expect, (i, n, wa, wb, rows[i][n], expect)
