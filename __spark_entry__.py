@@ -995,10 +995,45 @@ def q_relate_suite(spark, sf):
         st.st_relate("rect", st.st_translate("rect", 9.0, 0.0)).alias("rel_overlap"),
         st.st_relate("rect", st.st_translate("rect", 9.0, 9.0)).alias("rel_cross"),
         st.st_relate("rect", slab).alias("rel_chunk"),
+        # r4g contact buckets: shared-edge adjacency, corner point touch,
+        # and self-equality — the coverage-topology shapes now decided
+        # closed-form by the kernel (geo/ragged.py _contact_only_matrices)
+        st.st_relate("rect", st.st_translate("rect", 18.0, 0.0)).alias("rel_adj"),
+        st.st_relate("rect", st.st_translate("rect", 18.0, 18.0)).alias("rel_ctouch"),
+        st.st_relate("rect", "rect").alias("rel_self"),
+        st.st_touches("rect", st.st_translate("rect", 18.0, 0.0)).alias("adj_touch"),
         st.st_relate_pattern("rect", ctr, "T*****FF*").alias("rp_in"),
         st.st_relate_pattern("rect", corner, "T*****FF*").alias("rp_corner"),
         st.st_relate_pattern(
             "rect", st.st_translate("rect", 9.0, 9.0), "T*T***T**").alias("rp_overlaps"),
+    )
+
+
+def q_adjacency_relate(spark, sf):
+    """Coverage-topology DE-9IM at lineitem grain (r4g): each row pairs a
+    rect with a horizontally shifted copy whose offset class — equals /
+    collinear-run overlap / shared-edge adjacency / disjoint — is selected
+    by a numeric column, so every class's full matrix is a known constant
+    the DuckDB oracle replays as a CASE literal. Exercises the
+    contact-only + mixed relate kernel buckets (geo/ragged.py
+    _contact_only_matrices) and the stage-2 predicate resolution
+    (functions/predicate.py _relate_fill) over the whole table."""
+    li = spark.read.parquet(f"{sf}/lineitem.parquet")
+    x0 = (F.col("l_orderkey") % 1000).cast("double")
+    y0 = (F.col("l_linenumber") % 7).cast("double")
+    cls = F.col("l_quantity").cast("int") % 4
+    dx = F.element_at(
+        F.array(F.lit(0.0), F.lit(1.0), F.lit(2.0), F.lit(5.0)), cls + 1)
+    d = li.select(
+        "l_orderkey", "l_linenumber", cls.alias("cls"),
+        st.st_rectangle(x0, y0, x0 + 2.0, y0 + 2.0).alias("ra"),
+        st.st_rectangle(x0 + dx, y0, x0 + dx + 2.0, y0 + 2.0).alias("rb"),
+    )
+    return d.select(
+        "l_orderkey", "l_linenumber", "cls",
+        st.st_relate("ra", "rb").alias("mat"),
+        st.st_touches("ra", "rb").alias("tch"),
+        st.st_overlaps("ra", "rb").alias("ovl"),
     )
 
 
@@ -2481,6 +2516,7 @@ _QUERIES = {
         "pipeline_e2e": q_pipeline_e2e,
         "multimodal_features": q_multimodal_features,
         "multimodal_audio": q_multimodal_audio,
+        "adjacency_relate": q_adjacency_relate,
     }
 
 
@@ -2686,6 +2722,14 @@ def oracle_sql() -> dict[str, str]:
         "nearest_join": _oracle_nearest_join(),
         "multimodal_real": _oracle_multimodal_real(),
         "pipeline_e2e": _oracle_pipeline_e2e(),
+        "adjacency_relate": """
+            SELECT l_orderkey, l_linenumber, CAST(l_quantity AS INT) % 4 AS cls,
+                   CASE CAST(l_quantity AS INT) % 4
+                        WHEN 0 THEN '2FFF1FFF2' WHEN 1 THEN '212111212'
+                        WHEN 2 THEN 'FF2F11212' ELSE 'FF2FF1212' END AS mat,
+                   CAST(l_quantity AS INT) % 4 = 2 AS tch,
+                   CAST(l_quantity AS INT) % 4 = 1 AS ovl
+            FROM lineitem""",
         "to_srid_mercator": f"""
             SELECT c_custkey,
                    ROUND(6378137.0 * radians(x), 3) AS mx,
@@ -2818,6 +2862,8 @@ def oracle_sql() -> dict[str, str]:
                    '212111212' AS rel_overlap,
                    '212101212' AS rel_cross,
                    '212101212' AS rel_chunk,
+                   'FF2F11212' AS rel_adj, 'FF2F01212' AS rel_ctouch,
+                   '2FFF1FFF2' AS rel_self, TRUE AS adj_touch,
                    TRUE AS rp_in, FALSE AS rp_corner, TRUE AS rp_overlaps
             FROM nation""",
         "predicate_suite2": f"""

@@ -248,6 +248,21 @@ def main() -> None:
             F.count_distinct(st.st_relate("poly", F.col("poly2")))
         ).collect()
     )
+    # coverage-topology relate: every lineitem rect against its shared-edge
+    # neighbor — 600k full DE-9IM matrices through the r4g contact-only
+    # bucket (0% kernel-decided before it; the scalar path needs ~13 min)
+    variants["b2a_relate_adjacent"] = timed(
+        lambda: li_rects.select(
+            F.count_distinct(
+                st.st_relate(
+                    "rect",
+                    st.st_rectangle(
+                        "x1", "y0",
+                        F.col("x1") + (F.col("x1") - F.col("x0")), "y1"),
+                )
+            )
+        ).collect()
+    )
     variants["p1m_minhash_md5"] = timed(
         lambda: _dedup.near_dup_pairs(docs, threshold=0.05, hash_family="md5").count()
     )
