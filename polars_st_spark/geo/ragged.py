@@ -1877,10 +1877,12 @@ def _contact_split_params(rpa, rpb, row_mask, max_pairs, chunk):
     segB = (cx, cy, ex, ey, rowB)
     pa_seg: list = []
     pa_t: list = []
+    pa_xy: list = []  # the hitting OTHER-side vertex (exact coords)
     pb_seg: list = []
     pb_t: list = []
+    pb_xy: list = []
     if not total:
-        return segA, segB, pa_seg, pa_t, pb_seg, pb_t
+        return segA, segB, pa_seg, pa_t, pb_seg, pb_t, pa_xy, pb_xy
 
     blk_start = np.cumsum(sizes_b) - sizes_b
     shift = blk_start - offsB[rowA]
@@ -1919,6 +1921,7 @@ def _contact_split_params(rpa, rpb, row_mask, max_pairs, chunk):
                 pa_seg.append(ia[hit])
                 pa_t.append(seg_param(px_[hit], py_[hit],
                                       AX[hit], AY[hit], BX[hit], BY[hit]))
+                pa_xy.append(np.stack([px_[hit], py_[hit]], axis=1))
         # A endpoints on segment B -> split params on B
         for px_, py_ in ((AX, AY), (BX, BY)):
             hit = on_seg(px_, py_, CX, CY, EX, EY)
@@ -1926,7 +1929,8 @@ def _contact_split_params(rpa, rpb, row_mask, max_pairs, chunk):
                 pb_seg.append(ib[hit])
                 pb_t.append(seg_param(px_[hit], py_[hit],
                                       CX[hit], CY[hit], EX[hit], EY[hit]))
-    return segA, segB, pa_seg, pa_t, pb_seg, pb_t
+                pb_xy.append(np.stack([px_[hit], py_[hit]], axis=1))
+    return segA, segB, pa_seg, pa_t, pb_seg, pb_t, pa_xy, pb_xy
 
 
 def _chunk_midpoints(seg, split_seg, split_t):
@@ -2075,7 +2079,7 @@ def _contact_only_matrices(rpa, rpb, co, any_run, max_pairs, chunk):
     sp = _contact_split_params(rpa, rpb, co, max_pairs, chunk)
     if sp is None:
         return None, None
-    segA, segB, pa_seg, pa_t, pb_seg, pb_t = sp
+    segA, segB, pa_seg, pa_t, pb_seg, pb_t, _pa_xy, _pb_xy = sp
     amx, amy, aseg = _chunk_midpoints(segA, pa_seg, pa_t)
     bmx, bmy, bseg = _chunk_midpoints(segB, pb_seg, pb_t)
     arow = segA[4][aseg]
@@ -2159,6 +2163,314 @@ def _contact_only_matrices(rpa, rpb, co, any_run, max_pairs, chunk):
             + "2"
         )
         mats[key == k] = m
+    return mats, ok
+
+
+def _line_boundary_meta(rl: RaggedLines, mask: np.ndarray):
+    """Per-row lineal boundary for the contact buckets: ``(bx, by, brow,
+    eligible)``. Boundary points are the chain endpoints whose 12-dp
+    rounded coordinate appears an ODD number of times in the row (the
+    scalar ``_line_boundary_points`` mod-2 rule). ``eligible`` marks rows
+    where every odd group has multiplicity exactly 1 (simple endpoints)
+    or the row has no boundary at all — other configurations (T-nodes
+    with multiplicity 3+) keep their scalar fallback."""
+    n = rl.n
+    eligible = np.zeros(n, dtype=bool)
+    counts = np.diff(rl.chain_start)
+    okc = counts >= 1
+    empty = np.zeros((0,), dtype=np.float64)
+    if not okc.any():
+        eligible[mask] = True  # no chains at all -> no boundary
+        return empty, empty, np.zeros(0, dtype=np.int64), eligible
+    first = rl.chain_start[:-1][okc]
+    last = (rl.chain_start[1:] - 1)[okc]
+    crow = rl.chain_row[okc]
+    idx = np.concatenate([first, last])
+    row = np.concatenate([crow, crow])
+    rx = np.round(rl.coords[idx, 0], 12)
+    ry = np.round(rl.coords[idx, 1], 12)
+    order = np.lexsort((ry, rx, row))
+    sr, sx_, sy_ = row[order], rx[order], ry[order]
+    sidx = idx[order]
+    new = np.ones(len(sr), dtype=bool)
+    if len(sr) > 1:
+        new[1:] = (sr[1:] != sr[:-1]) | (sx_[1:] != sx_[:-1]) | (sy_[1:] != sy_[:-1])
+    gid = np.cumsum(new) - 1
+    cnt = np.bincount(gid)
+    odd = (cnt & 1).astype(bool)
+    # eligible: every odd group in the row has multiplicity 1
+    bad_rows = np.unique(sr[new][odd[gid[new]] & (cnt[gid[new]] != 1)])
+    eligible[:] = False
+    eligible[np.unique(row)] = True
+    eligible[bad_rows] = False
+    sel = new & odd[gid]
+    bidx = sidx[sel]
+    return rl.coords[bidx, 0], rl.coords[bidx, 1], sr[sel], eligible
+
+
+def _points_on_rows(px, py, prow, seg, n, max_pairs, chunk):
+    """Per probe point: does it lie ON any segment of its row in ``seg``
+    (the scalar ``_on_segment`` arithmetic)?"""
+    sx, sy, tx, ty, segrow = seg
+    K = len(px)
+    out = np.zeros(K, dtype=bool)
+    if not K or not len(sx):
+        return out
+    nseg = np.bincount(segrow, minlength=n)
+    offs = np.concatenate([[0], np.cumsum(nseg)])
+    sizes = nseg[prow]
+    total = int(sizes.sum())
+    if total > max_pairs or not total:
+        return None if total > max_pairs else out
+    blk = np.cumsum(sizes) - sizes
+    shift = blk - offs[prow]
+    pi_all = np.repeat(np.arange(K, dtype=np.int64), sizes)
+    si_all = np.arange(total, dtype=np.int64)
+    si_all -= np.repeat(shift, sizes)
+    for lo in range(0, total, chunk):
+        pi = pi_all[lo:lo + chunk]
+        si = si_all[lo:lo + chunk]
+        PX, PY = px[pi], py[pi]
+        SX, SY, TX, TY = sx[si], sy[si], tx[si], ty[si]
+        cr = (TX - SX) * (PY - SY) - (TY - SY) * (PX - SX)
+        sc = np.maximum(np.maximum(np.abs(TX - SX), np.abs(TY - SY)), 1.0)
+        hit = (
+            (np.abs(cr) <= _EPS * sc * sc)
+            & (PX >= np.minimum(SX, TX) - _EPS) & (PX <= np.maximum(SX, TX) + _EPS)
+            & (PY >= np.minimum(SY, TY) - _EPS) & (PY <= np.maximum(SY, TY) + _EPS)
+        )
+        out[pi[hit]] = True
+    return out
+
+
+def _points_match_boundary(px, py, prow, bx, by, brow, n):
+    """Per probe point: within _EPS (both axes, the scalar _is_boundary_pt
+    rule) of some boundary point of its row."""
+    K = len(px)
+    out = np.zeros(K, dtype=bool)
+    if not K or not len(bx):
+        return out
+    nb = np.bincount(brow, minlength=n)
+    offs = np.concatenate([[0], np.cumsum(nb)])
+    order = np.argsort(brow, kind="stable")
+    obx, oby = bx[order], by[order]
+    sizes = nb[prow]
+    total = int(sizes.sum())
+    if not total:
+        return out
+    blk = np.cumsum(sizes) - sizes
+    shift = blk - offs[prow]
+    pi = np.repeat(np.arange(K, dtype=np.int64), sizes)
+    bi = np.arange(total, dtype=np.int64) - np.repeat(shift, sizes)
+    hit = (np.abs(px[pi] - obx[bi]) <= _EPS) & (np.abs(py[pi] - oby[bi]) <= _EPS)
+    out[pi[hit]] = True
+    return out
+
+
+def _assemble_mats(n, ok, cells):
+    """Compose 9-char matrices from per-row cell strings (object array)."""
+    mats = np.full(n, None, dtype=object)
+    sel = np.nonzero(ok)[0]
+    if not len(sel):
+        return mats
+    joined = cells[0][sel]
+    for c in cells[1:]:
+        joined = np.char.add(joined, c[sel])
+    mats[sel] = joined.astype(object)
+    return mats
+
+
+def _cellwhere(flag, yes, no="F"):
+    return np.where(flag, yes, no).astype("<U1")
+
+
+def _contact_only_line_line(rpa: RaggedLines, rpb: RaggedLines, co, any_run,
+                            max_pairs, chunk):
+    """Closed-form DE-9IM for line×line rows whose only interaction is
+    contact (endpoint touches / collinear runs, no proper crossing) — the
+    road-network node shape. Restricted to rows whose boundaries are the
+    mod-2 simple cases (every odd endpoint has multiplicity 1, or no
+    boundary at all); other rows keep the scalar fallback.
+
+      II: 1 with a collinear run, else 0 when some contact point is
+          interior to BOTH sides (not matching either boundary set), else F
+      IB/BI/BB: 0 from boundary-endpoint locations on the other line
+          (on-segment -> interior side, _EPS-match -> boundary side)
+      IE/EI: 1 when some boundary sub-chunk midpoint is OFF the other
+          line, else F (the A-subset-of-B case)
+      BE/EB: 0 when a boundary endpoint is off the other line
+      EE: 2."""
+    n = rpa.n
+    sp = _contact_split_params(rpa, rpb, co, max_pairs, chunk)
+    if sp is None:
+        return None, None
+    segA, segB, pa_seg, pa_t, pb_seg, pb_t, pa_xy, pb_xy = sp
+    bax, bay, barow, elig_a = _line_boundary_meta(rpa, co)
+    bbx, bby, bbrow, elig_b = _line_boundary_meta(rpb, co)
+    ok = co & elig_a & elig_b
+
+    # chunk midpoints of each side vs ON-ness of the other
+    amx, amy, aseg = _chunk_midpoints(segA, pa_seg, pa_t)
+    bmx, bmy, bseg = _chunk_midpoints(segB, pb_seg, pb_t)
+    arow = segA[4][aseg]
+    brow = segB[4][bseg]
+    a_on = _points_on_rows(amx, amy, arow, segB, n, max_pairs, chunk)
+    b_on = _points_on_rows(bmx, bmy, brow, segA, n, max_pairs, chunk)
+    if a_on is None or b_on is None:
+        return None, None
+
+    def any_rows(rows_, m_):
+        out = np.zeros(n, dtype=bool)
+        if m_.any():
+            out[rows_[m_]] = True
+        return out
+
+    a_off = any_rows(arow, ~a_on)
+    b_off = any_rows(brow, ~b_on)
+    # consistency: a chunk midpoint ON the other line implies (and is
+    # implied by) a collinear run — tolerance disagreements go scalar
+    ok &= (any_rows(arow, a_on) == any_run) & (any_rows(brow, b_on) == any_run)
+
+    # contact points (exact vertex coords) classified per side
+    hx = ([a[:, 0] for a in pa_xy] + [b[:, 0] for b in pb_xy])
+    hy = ([a[:, 1] for a in pa_xy] + [b[:, 1] for b in pb_xy])
+    hrow = ([segA[4][s] for s in pa_seg] + [segB[4][s] for s in pb_seg])
+    ii0 = np.zeros(n, dtype=bool)
+    if hx:
+        hx = np.concatenate(hx); hy = np.concatenate(hy)
+        hrow = np.concatenate(hrow)
+        on_ba = _points_match_boundary(hx, hy, hrow, bax, bay, barow, n)
+        on_bb = _points_match_boundary(hx, hy, hrow, bbx, bby, bbrow, n)
+        ii0 = any_rows(hrow, ~on_ba & ~on_bb)
+
+    # boundary-endpoint locations: A endpoints vs B and vice versa
+    def bnd_locs(bx_, by_, brow_, other_seg, other_bx, other_by, other_brow):
+        on_seg_ = _points_on_rows(bx_, by_, brow_, other_seg, n, max_pairs, chunk)
+        if on_seg_ is None:
+            return None
+        match_ = _points_match_boundary(
+            bx_, by_, brow_, other_bx, other_by, other_brow, n)
+        interior_ = any_rows(brow_, on_seg_ & ~match_)
+        bnd_ = any_rows(brow_, match_)
+        off_ = any_rows(brow_, ~on_seg_ & ~match_)
+        return interior_, bnd_, off_
+
+    la = bnd_locs(bax, bay, barow, segB, bbx, bby, bbrow)
+    lb = bnd_locs(bbx, bby, bbrow, segA, bax, bay, barow)
+    if la is None or lb is None:
+        return None, None
+    bi_in, bb_a, be_off = la   # A boundary vs B: interior / boundary / off
+    ib_in, _bb_b, eb_off = lb  # B boundary vs A
+
+    cells = [
+        _cellwhere(any_run, "1", "F"),  # II placeholder, refined below
+        _cellwhere(ib_in, "0"),
+        _cellwhere(a_off, "1"),
+        _cellwhere(bi_in, "0"),
+        _cellwhere(bb_a, "0"),
+        _cellwhere(be_off, "0"),
+        _cellwhere(b_off, "1"),
+        _cellwhere(eb_off, "0"),
+        np.full(n, "2", dtype="<U1"),
+    ]
+    cells[0] = np.where(any_run, "1", np.where(ii0, "0", "F")).astype("<U1")
+    return _assemble_mats(n, ok, cells), ok
+
+
+def _contact_only_line_poly(line: RaggedLines, poly: RaggedPolygons, co,
+                            any_run, swap, max_pairs, chunk):
+    """Closed-form DE-9IM for line×polygon rows whose boundaries contact
+    without a proper crossing (a line running along or touching a
+    polygon edge). Line rows restricted like the line×line bucket.
+
+    Line-side rows (before the optional transpose for polygon×line):
+      II: 1 when a line sub-chunk midpoint is strictly inside, else F
+      IB: 1 with a collinear run, 0 when a contact point is interior to
+          the line (not an endpoint), else F
+      IE: 1 when a sub-chunk midpoint is strictly outside, else F
+      BI/BB/BE: 0 from endpoint locations (empty-boundary rows -> F)
+      EI: 2 always (a 2-D interior is never covered by a line)
+      EB: 1 when some shell vertex is clearly off the line (the scalar's
+          probe sample); rows with no such vertex stay undecided
+      EE: 2."""
+    n = line.n
+    sp = _contact_split_params(line, poly, co, max_pairs, chunk)
+    if sp is None:
+        return None, None
+    segL, segP, pl_seg, pl_t, pp_seg, pp_t, pl_xy, pp_xy = sp
+    blx, bly, blrow, elig = _line_boundary_meta(line, co)
+    ok = co & elig
+
+    lmx, lmy, lseg = _chunk_midpoints(segL, pl_seg, pl_t)
+    lrow = segL[4][lseg]
+    loc = locate_points_multi(poly, lmx, lmy, lrow)
+
+    def any_rows(rows_, m_):
+        out = np.zeros(n, dtype=bool)
+        if m_.any():
+            out[rows_[m_]] = True
+        return out
+
+    li = any_rows(lrow, loc == 2)
+    lo = any_rows(lrow, loc == 0)
+    lon = any_rows(lrow, loc == 1)
+    ok &= lon == any_run
+
+    # contact points interior to the line (IB=0 signal without a run)
+    hx = ([a[:, 0] for a in pl_xy] + [b[:, 0] for b in pp_xy])
+    hy = ([a[:, 1] for a in pl_xy] + [b[:, 1] for b in pp_xy])
+    hrow = ([segL[4][s] for s in pl_seg] + [segP[4][s] for s in pp_seg])
+    ib0 = np.zeros(n, dtype=bool)
+    if hx:
+        hx = np.concatenate(hx); hy = np.concatenate(hy)
+        hrow = np.concatenate(hrow)
+        mb = _points_match_boundary(hx, hy, hrow, blx, bly, blrow, n)
+        ib0 = any_rows(hrow, ~mb)
+
+    # boundary-point (not chain-endpoint!) locations: a closed or
+    # even-degree node is line-INTERIOR, so only the mod-2 boundary set
+    # classifies the B row (empty set -> F row automatically)
+    e_in = np.zeros(n, dtype=bool)
+    e_on = np.zeros(n, dtype=bool)
+    e_out = np.zeros(n, dtype=bool)
+    if len(blrow):
+        bloc = locate_points_multi(poly, blx, bly, blrow)
+        e_in = any_rows(blrow, bloc == 2)
+        e_on = any_rows(blrow, bloc == 1)
+        e_out = any_rows(blrow, bloc == 0)
+
+    # EB: some shell-ring vertex of the polygon clearly off the line (the
+    # scalar's _exterior_terms vertex sample). Enumerate shell vertices.
+    counts_r = np.diff(poly.ring_start)
+    vring = np.repeat(np.arange(len(poly.ring_row), dtype=np.int64), counts_r)
+    shell_sel = ~poly.ring_hole[vring] & co[poly.ring_row[vring]]
+    svx = poly.coords[shell_sel, 0]
+    svy = poly.coords[shell_sel, 1]
+    svrow = poly.ring_row[vring[shell_sel]]
+    on_line = _points_on_rows(svx, svy, svrow, segL, n, max_pairs, chunk)
+    if on_line is None:
+        return None, None
+    near_b = _points_match_boundary(svx, svy, svrow, blx, bly, blrow, n)
+    eb1 = any_rows(svrow, ~on_line & ~near_b)
+    ok &= eb1 | ~co  # no clearly-off shell vertex -> undecided
+
+    cells = [
+        _cellwhere(li, "1"),
+        np.where(any_run, "1", np.where(ib0, "0", "F")).astype("<U1"),
+        _cellwhere(lo, "1"),
+        _cellwhere(e_in, "0"),
+        _cellwhere(e_on, "0"),
+        _cellwhere(e_out, "0"),
+        np.full(n, "2", dtype="<U1"),
+        _cellwhere(eb1, "1"),
+        np.full(n, "2", dtype="<U1"),
+    ]
+    mats = _assemble_mats(n, ok, cells)
+    if swap:
+        sel = np.nonzero(ok)[0]
+        for i in sel:
+            m = mats[i]
+            mats[i] = m[0] + m[3] + m[6] + m[1] + m[4] + m[7] + m[2] + m[5] + m[8]
     return mats, ok
 
 
@@ -2329,6 +2641,28 @@ def pairs_relate(
                 if co_mats is not None:
                     sel = co & co_dec
                     mats[sel] = co_mats[sel]
+                    decided |= sel
+        # CONTACT-ONLY lineal combinations (r4g): network-node touches and
+        # boundary-following lines
+        rem = act & ~decided
+        if rem.any():
+            _, any_proper, any_contact, any_run = shared
+            co = rem & any_contact & ~any_proper
+            if co.any():
+                a_poly = isinstance(rpa, RaggedPolygons)
+                b_poly = isinstance(rpb, RaggedPolygons)
+                res = (None, None)
+                if a_poly != b_poly:
+                    line, poly_, swap = (
+                        (rpb, rpa, True) if a_poly else (rpa, rpb, False))
+                    res = _contact_only_line_poly(
+                        line, poly_, co, any_run, swap, max_pairs, chunk)
+                elif not a_poly and not b_poly:
+                    res = _contact_only_line_line(
+                        rpa, rpb, co, any_run, max_pairs, chunk)
+                if res[0] is not None:
+                    sel = co & res[1]
+                    mats[sel] = res[0][sel]
                     decided |= sel
     return mats, decided
 

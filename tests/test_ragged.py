@@ -1515,3 +1515,43 @@ def test_predicate_stage2_relate_fill(spark):
         for n in names:
             expect = getattr(P, n)(ga, gb)
             assert rows[i][n] == expect, (i, n, wa, wb, rows[i][n], expect)
+
+
+def test_relate_contact_only_lineal_buckets():
+    """r4g: line×line and line×polygon contact-only rows (network-node
+    touches, collinear runs, boundary-following lines) decide closed-form
+    and byte-match the scalar, in both operand orders."""
+    from polars_st_spark.geo import ragged as R
+    from polars_st_spark.geo.wkt import from_wkt as gwkt
+
+    ll = [
+        ("LINESTRING (0 0, 1 1)", "LINESTRING (1 1, 2 2)"),
+        ("LINESTRING (0 0, 2 0)", "LINESTRING (1 0, 1 2)"),
+        ("LINESTRING (0 0, 2 0)", "LINESTRING (1 0, 3 0)"),
+        ("LINESTRING (0 0, 2 0)", "LINESTRING (0 0, 2 0)"),
+        ("LINESTRING (0 0, 1 0, 1 1, 0 1, 0 0)", "LINESTRING (1 0, 2 0)"),
+        ("LINESTRING (0 0, 2 0)", "LINESTRING (0.5 0, 1.5 0)"),
+        ("MULTILINESTRING ((0 0, 1 0), (1 0, 1 1))", "LINESTRING (1 0, 2 0)"),
+    ]
+    lp = [
+        ("LINESTRING (1 0, 3 0)", "POLYGON ((0 0, 4 0, 4 4, 0 4, 0 0))"),
+        ("LINESTRING (-1 -1, 0 0)", "POLYGON ((0 0, 4 0, 4 4, 0 4, 0 0))"),
+        ("LINESTRING (0 0, 4 0)", "POLYGON ((0 0, 4 0, 4 4, 0 4, 0 0))"),
+        ("LINESTRING (1 0, 2 2)", "POLYGON ((0 0, 4 0, 4 4, 0 4, 0 0))"),
+        ("LINESTRING (1 0, 2 -2)", "POLYGON ((0 0, 4 0, 4 4, 0 4, 0 0))"),
+        ("LINESTRING (0 0, 1 0, 1 1, 0 1, 0 0)",
+         "POLYGON ((1 0, 2 0, 2 1, 1 1, 1 0))"),
+    ]
+    for pairs, b_kind in ((ll, "line"), (lp, "poly")):
+        A = R.parse_lineal(_ewkb_list([a for a, _ in pairs]))
+        if b_kind == "line":
+            B = R.parse_lineal(_ewkb_list([b for _, b in pairs]))
+        else:
+            B = R.parse_polygonal(_ewkb_list([b for _, b in pairs]))
+        mats, dec = R.pairs_relate(A, B)
+        mats2, dec2 = R.pairs_relate(B, A)
+        for i, (wa, wb) in enumerate(pairs):
+            exp = P.relate(gwkt(wa), gwkt(wb))
+            assert dec[i] and mats[i] == exp, (b_kind, i, mats[i], exp)
+            expT = P.relate(gwkt(wb), gwkt(wa))
+            assert dec2[i] and mats2[i] == expT, (b_kind, i, "swap", mats2[i], expT)
