@@ -472,10 +472,17 @@ def _relate_line_poly(dl: _Decomp, dp: _Decomp, bl, im: _IM, swap: bool) -> None
                 up(_I, tgt, 1)
 
 
-def _split_midpoints_segs(a2: np.ndarray, b2: np.ndarray, seg_pairs) -> list:
+def _split_midpoints_segs(a2: np.ndarray, b2: np.ndarray, seg_pairs,
+                          avoid_pts=()) -> list:
     """Midpoints of segment ab split at every crossing with the given
     segments (same param extraction as _relate_line_poly); degenerate
-    sub-pieces (< 1e-12 of the segment) are skipped."""
+    sub-pieces (< 1e-12 of the segment) are skipped. ``avoid_pts``:
+    bisect a piece whose midpoint lands within _EPS of one of these
+    points (a line's OWN boundary points — on self-overlapping
+    multilines a chain midpoint can coincide with another chain's
+    endpoint, and a boundary-point sample is NOT an interior sample:
+    the exterior-terms probe lost EI/IE=1 there, bug found by the r4g
+    lineal relate kernel cross-check)."""
     ts = {0.0, 1.0}
     for c, e in seg_pairs:
         c2, e2 = c[:2], e[:2]
@@ -495,11 +502,20 @@ def _split_midpoints_segs(a2: np.ndarray, b2: np.ndarray, seg_pairs) -> list:
                 if _on_segment(p, c2, e2):
                     ts.add(min(max(_seg_param(a2, b2, p), 0.0), 1.0))
     tl = sorted(ts)
-    return [
-        a2 + ((t0 + t1) / 2.0) * (b2 - a2)
-        for t0, t1 in zip(tl[:-1], tl[1:])
-        if t1 - t0 >= 1e-12
-    ]
+    out = []
+    for t0, t1 in zip(tl[:-1], tl[1:]):
+        if t1 - t0 < 1e-12:
+            continue
+        lo, hi = t0, t1
+        mid = a2 + ((lo + hi) / 2.0) * (b2 - a2)
+        for _ in range(3):
+            if not any(abs(mid[0] - p[0]) <= _EPS and abs(mid[1] - p[1]) <= _EPS
+                       for p in avoid_pts):
+                break
+            hi = (lo + hi) / 2.0
+            mid = a2 + ((lo + hi) / 2.0) * (b2 - a2)
+        out.append(mid)
+    return out
 
 
 def _split_midpoints(a2: np.ndarray, b2: np.ndarray, rings) -> list:
@@ -652,6 +668,7 @@ def _exterior_terms(da: _Decomp, db: _Decomp, ba, bb, im: _IM) -> None:
                 samples.append((p, 2))
             for v in rings[0]:
                 samples.append((v[:2], 1))  # boundary sample of polygon
+        bpts = _line_boundary_points(d.lines)
         for chain in d.lines:
             for a, b in _line_segments(chain):
                 # split at crossings with the other geometry first — the
@@ -660,11 +677,10 @@ def _exterior_terms(da: _Decomp, db: _Decomp, ba, bb, im: _IM) -> None:
                 # interior-in-exterior pieces on both flanks (bug found by
                 # the r4f pairs_relate kernel cross-check)
                 for mid in _split_midpoints_segs(
-                        a[:2], b[:2], _all_segments(other)):
+                        a[:2], b[:2], _all_segments(other), avoid_pts=bpts):
                     samples.append((mid, 1))
         for p in d.points:
             samples.append((p, 0))
-        bpts = _line_boundary_points(d.lines)
         for p, sdim in samples:
             loc_other = _locate_point_in_decomp(p, other, other_b)
             if loc_other == _E:

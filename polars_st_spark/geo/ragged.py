@@ -1855,15 +1855,19 @@ def _family_meta(p):
     return "1", bdim, deg
 
 
-def _contact_split_params(rpa, rpb, row_mask, max_pairs, chunk):
-    """Contact-point split parameters for the contact-only relate bucket.
+def _contact_split_params(rpa, rpb, row_mask, max_pairs, chunk,
+                          with_crossings: bool = False):
+    """Contact-point split parameters for the contact relate buckets.
 
     Over the masked rows, finds every OTHER-side vertex lying on a
-    segment (the scalar's ``_split_midpoints_segs`` split set for rows
-    with no proper crossings) and returns, per side, the segment arrays
-    plus ``(seg_idx, t)`` split params — t computed with the scalar
-    ``_seg_param`` dominant-axis formula, clipped to [0, 1]. Returns None
-    when the pair product exceeds ``max_pairs``."""
+    segment (the scalar's ``_split_midpoints_segs`` split set) and
+    returns, per side, the segment arrays plus ``(seg_idx, t)`` split
+    params — t computed with the scalar ``_seg_param`` dominant-axis
+    formula, clipped to [0, 1]. With ``with_crossings`` the PROPER
+    crossing parameters are collected too (the scalar's kind-2 den/t
+    formula, both sides), which the mixed lineal buckets need so chunk
+    flanks around a crossing classify strictly in/out. Returns None when
+    the pair product exceeds ``max_pairs``."""
     ax, ay, bx, by, rowA = _row_segments(rpa, row_mask)
     cx, cy, ex, ey, rowB = _row_segments(rpb, row_mask)
     n = rpa.n
@@ -1881,8 +1885,13 @@ def _contact_split_params(rpa, rpb, row_mask, max_pairs, chunk):
     pb_seg: list = []
     pb_t: list = []
     pb_xy: list = []
+    ca_seg: list = []  # proper-crossing split params (no hit point)
+    ca_t: list = []
+    cb_seg: list = []
+    cb_t: list = []
     if not total:
-        return segA, segB, pa_seg, pa_t, pb_seg, pb_t, pa_xy, pb_xy
+        return (segA, segB, pa_seg, pa_t, pb_seg, pb_t, pa_xy, pb_xy,
+                ca_seg, ca_t, cb_seg, cb_t)
 
     blk_start = np.cumsum(sizes_b) - sizes_b
     shift = blk_start - offsB[rowA]
@@ -1930,7 +1939,41 @@ def _contact_split_params(rpa, rpb, row_mask, max_pairs, chunk):
                 pb_t.append(seg_param(px_[hit], py_[hit],
                                       CX[hit], CY[hit], EX[hit], EY[hit]))
                 pb_xy.append(np.stack([px_[hit], py_[hit]], axis=1))
-    return segA, segB, pa_seg, pa_t, pb_seg, pb_t, pa_xy, pb_xy
+        if with_crossings:
+            # proper-crossing split params (scalar _relate_line_poly /
+            # _split_midpoints_segs kind-2 branch: den / t, clipped)
+            d1 = (AX - CX) * (EY - CY) - (AY - CY) * (EX - CX)
+            d2 = (BX - CX) * (EY - CY) - (BY - CY) * (EX - CX)
+            d3 = (CX - AX) * (BY - AY) - (CY - AY) * (BX - AX)
+            d4 = (EX - AX) * (BY - AY) - (EY - AY) * (BX - AX)
+            sca = np.maximum(np.maximum(np.abs(BX - AX), np.abs(BY - AY)), 1.0)
+            scc = np.maximum(np.maximum(np.abs(EX - CX), np.abs(EY - CY)), 1.0)
+            tol = _EPS * sca * scc
+            proper = (
+                ((d1 > tol) & (d2 < -tol)) | ((d1 < -tol) & (d2 > tol))
+            ) & (((d3 > tol) & (d4 < -tol)) | ((d3 < -tol) & (d4 > tol)))
+            if proper.any():
+                pm = np.nonzero(proper)[0]
+                denA = ((AX[pm] - BX[pm]) * (CY[pm] - EY[pm])
+                        - (AY[pm] - BY[pm]) * (CX[pm] - EX[pm]))
+                okA = denA != 0
+                tA = np.where(okA,
+                              ((AX[pm] - CX[pm]) * (CY[pm] - EY[pm])
+                               - (AY[pm] - CY[pm]) * (CX[pm] - EX[pm]))
+                              / np.where(okA, denA, 1.0), 0.0)
+                ca_seg.append(ia[pm[okA]])
+                ca_t.append(np.clip(tA[okA], 0.0, 1.0))
+                denB = ((CX[pm] - EX[pm]) * (AY[pm] - BY[pm])
+                        - (CY[pm] - EY[pm]) * (AX[pm] - BX[pm]))
+                okB = denB != 0
+                tB = np.where(okB,
+                              ((CX[pm] - AX[pm]) * (AY[pm] - BY[pm])
+                               - (CY[pm] - AY[pm]) * (AX[pm] - BX[pm]))
+                              / np.where(okB, denB, 1.0), 0.0)
+                cb_seg.append(ib[pm[okB]])
+                cb_t.append(np.clip(tB[okB], 0.0, 1.0))
+    return (segA, segB, pa_seg, pa_t, pb_seg, pb_t, pa_xy, pb_xy,
+            ca_seg, ca_t, cb_seg, cb_t)
 
 
 def _chunk_midpoints(seg, split_seg, split_t):
@@ -2079,7 +2122,7 @@ def _contact_only_matrices(rpa, rpb, co, any_run, max_pairs, chunk):
     sp = _contact_split_params(rpa, rpb, co, max_pairs, chunk)
     if sp is None:
         return None, None
-    segA, segB, pa_seg, pa_t, pb_seg, pb_t, _pa_xy, _pb_xy = sp
+    segA, segB, pa_seg, pa_t, pb_seg, pb_t, *_rest = sp
     amx, amy, aseg = _chunk_midpoints(segA, pa_seg, pa_t)
     bmx, bmy, bseg = _chunk_midpoints(segB, pb_seg, pb_t)
     arow = segA[4][aseg]
@@ -2285,7 +2328,7 @@ def _cellwhere(flag, yes, no="F"):
 
 
 def _contact_only_line_line(rpa: RaggedLines, rpb: RaggedLines, co, any_run,
-                            max_pairs, chunk):
+                            crossed, max_pairs, chunk):
     """Closed-form DE-9IM for line×line rows whose only interaction is
     contact (endpoint touches / collinear runs, no proper crossing) — the
     road-network node shape. Restricted to rows whose boundaries are the
@@ -2301,17 +2344,20 @@ def _contact_only_line_line(rpa: RaggedLines, rpb: RaggedLines, co, any_run,
       BE/EB: 0 when a boundary endpoint is off the other line
       EE: 2."""
     n = rpa.n
-    sp = _contact_split_params(rpa, rpb, co, max_pairs, chunk)
+    sp = _contact_split_params(rpa, rpb, co, max_pairs, chunk,
+                               with_crossings=True)
     if sp is None:
         return None, None
-    segA, segB, pa_seg, pa_t, pb_seg, pb_t, pa_xy, pb_xy = sp
+    (segA, segB, pa_seg, pa_t, pb_seg, pb_t, pa_xy, pb_xy,
+     ca_seg, ca_t, cb_seg, cb_t) = sp
     bax, bay, barow, elig_a = _line_boundary_meta(rpa, co)
     bbx, bby, bbrow, elig_b = _line_boundary_meta(rpb, co)
     ok = co & elig_a & elig_b
 
-    # chunk midpoints of each side vs ON-ness of the other
-    amx, amy, aseg = _chunk_midpoints(segA, pa_seg, pa_t)
-    bmx, bmy, bseg = _chunk_midpoints(segB, pb_seg, pb_t)
+    # chunk midpoints of each side vs ON-ness of the other (split at
+    # touch AND proper-crossing params, the scalar _split_midpoints_segs set)
+    amx, amy, aseg = _chunk_midpoints(segA, pa_seg + ca_seg, pa_t + ca_t)
+    bmx, bmy, bseg = _chunk_midpoints(segB, pb_seg + cb_seg, pb_t + cb_t)
     arow = segA[4][aseg]
     brow = segB[4][bseg]
     a_on = _points_on_rows(amx, amy, arow, segB, n, max_pairs, chunk)
@@ -2373,12 +2419,15 @@ def _contact_only_line_line(rpa: RaggedLines, rpb: RaggedLines, co, any_run,
         _cellwhere(eb_off, "0"),
         np.full(n, "2", dtype="<U1"),
     ]
-    cells[0] = np.where(any_run, "1", np.where(ii0, "0", "F")).astype("<U1")
+    # a proper crossing is interior x interior dim 0 (scalar kind-2 rule,
+    # unconditional — even when the crossing point is a chain endpoint)
+    cells[0] = np.where(
+        any_run, "1", np.where(ii0 | crossed, "0", "F")).astype("<U1")
     return _assemble_mats(n, ok, cells), ok
 
 
 def _contact_only_line_poly(line: RaggedLines, poly: RaggedPolygons, co,
-                            any_run, swap, max_pairs, chunk):
+                            any_run, crossed, swap, max_pairs, chunk):
     """Closed-form DE-9IM for line×polygon rows whose boundaries contact
     without a proper crossing (a line running along or touching a
     polygon edge). Line rows restricted like the line×line bucket.
@@ -2394,14 +2443,16 @@ def _contact_only_line_poly(line: RaggedLines, poly: RaggedPolygons, co,
           probe sample); rows with no such vertex stay undecided
       EE: 2."""
     n = line.n
-    sp = _contact_split_params(line, poly, co, max_pairs, chunk)
+    sp = _contact_split_params(line, poly, co, max_pairs, chunk,
+                               with_crossings=True)
     if sp is None:
         return None, None
-    segL, segP, pl_seg, pl_t, pp_seg, pp_t, pl_xy, pp_xy = sp
+    (segL, segP, pl_seg, pl_t, pp_seg, pp_t, pl_xy, pp_xy,
+     cl_seg, cl_t, cp_seg, cp_t) = sp
     blx, bly, blrow, elig = _line_boundary_meta(line, co)
     ok = co & elig
 
-    lmx, lmy, lseg = _chunk_midpoints(segL, pl_seg, pl_t)
+    lmx, lmy, lseg = _chunk_midpoints(segL, pl_seg + cl_seg, pl_t + cl_t)
     lrow = segL[4][lseg]
     loc = locate_points_multi(poly, lmx, lmy, lrow)
 
@@ -2456,7 +2507,8 @@ def _contact_only_line_poly(line: RaggedLines, poly: RaggedPolygons, co,
 
     cells = [
         _cellwhere(li, "1"),
-        np.where(any_run, "1", np.where(ib0, "0", "F")).astype("<U1"),
+        # a proper crossing point is line-interior x ring-boundary dim 0
+        np.where(any_run, "1", np.where(ib0 | crossed, "0", "F")).astype("<U1"),
         _cellwhere(lo, "1"),
         _cellwhere(e_in, "0"),
         _cellwhere(e_on, "0"),
@@ -2642,12 +2694,14 @@ def pairs_relate(
                     sel = co & co_dec
                     mats[sel] = co_mats[sel]
                     decided |= sel
-        # CONTACT-ONLY lineal combinations (r4g): network-node touches and
-        # boundary-following lines
+        # CONTACT / MIXED lineal combinations (r4g): network-node touches,
+        # boundary-following lines, and crossing+contact rows — the chunk
+        # split set includes proper-crossing params, so any interacting
+        # lineal row with simple mod-2 boundaries composes closed-form
         rem = act & ~decided
         if rem.any():
             _, any_proper, any_contact, any_run = shared
-            co = rem & any_contact & ~any_proper
+            co = rem & (any_contact | any_proper)
             if co.any():
                 a_poly = isinstance(rpa, RaggedPolygons)
                 b_poly = isinstance(rpb, RaggedPolygons)
@@ -2656,10 +2710,11 @@ def pairs_relate(
                     line, poly_, swap = (
                         (rpb, rpa, True) if a_poly else (rpa, rpb, False))
                     res = _contact_only_line_poly(
-                        line, poly_, co, any_run, swap, max_pairs, chunk)
+                        line, poly_, co, any_run, any_proper, swap,
+                        max_pairs, chunk)
                 elif not a_poly and not b_poly:
                     res = _contact_only_line_line(
-                        rpa, rpb, co, any_run, max_pairs, chunk)
+                        rpa, rpb, co, any_run, any_proper, max_pairs, chunk)
                 if res[0] is not None:
                     sel = co & res[1]
                     mats[sel] = res[0][sel]

@@ -1555,3 +1555,18 @@ def test_relate_contact_only_lineal_buckets():
             assert dec[i] and mats[i] == exp, (b_kind, i, mats[i], exp)
             expT = P.relate(gwkt(wb), gwkt(wa))
             assert dec2[i] and mats2[i] == expT, (b_kind, i, "swap", mats2[i], expT)
+
+
+def test_relate_self_overlapping_multiline_exterior_terms():
+    """r4g scalar fix (found by the lineal relate kernel cross-check): on a
+    self-overlapping multiline, every chain's sub-piece midpoint can
+    coincide with another chain's (mod-2 boundary) endpoint, so the
+    exterior-terms probe sampled only BOUNDARY points and lost EI=1. The
+    probe now bisects away from the geometry's own boundary points."""
+    from polars_st_spark.geo.wkt import from_wkt as gwkt
+
+    a = gwkt("MULTILINESTRING ((0 3, 0 2, 1 2), (1 2, 0 1))")
+    b = gwkt("MULTILINESTRING ((3 0, 3 -2), (3 1, 3 -1))")
+    # disjoint; B's interior is 1-dimensional and lies in A's exterior
+    assert P.relate(a, b) == "FF1FF0102"
+    assert P.relate(b, a) == "FF1FF0102"
