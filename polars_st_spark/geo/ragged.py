@@ -1171,31 +1171,53 @@ def locate_points_multi(
     ring_on = np.zeros(RPN, dtype=bool)
     ring_in = np.zeros(RPN, dtype=bool)
     if total:
+        # per-SEGMENT precompute (S-sized, cache-resident), then the
+        # point×segment product in bounded chunks — one unchunked pass
+        # materialized ~25 pair-sized temporaries and was memory-bandwidth
+        # bound (the hottest kernel in sjoin refinement and the relate
+        # contact buckets). Every expression keeps the original operation
+        # order, so results are bit-identical.
+        XI_s, YI_s = c[1:, 0][seg_sel], c[1:, 1][seg_sel]
+        XJ_s, YJ_s = c[:-1, 0][seg_sel], c[:-1, 1][seg_sel]
+        dx_s = XJ_s - XI_s
+        dy_s = YJ_s - YI_s
+        sc_s = np.maximum(np.maximum(np.abs(dx_s), np.abs(dy_s)), 1.0)
+        tol_s = _EPS * sc_s * sc_s
+        minx_s = np.minimum(XI_s, XJ_s) - _EPS
+        maxx_s = np.maximum(XI_s, XJ_s) + _EPS
+        miny_s = np.minimum(YI_s, YJ_s) - _EPS
+        maxy_s = np.maximum(YI_s, YJ_s) + _EPS
+        dy_safe = np.where(YJ_s == YI_s, 1.0, dy_s)
         starts = np.cumsum(sizes) - sizes
         ramp = np.arange(total, dtype=np.int64) - np.repeat(starts, sizes)
         segp = np.repeat(np.arange(len(seg_sel)), sizes)
         ptp = np.repeat(pt_start[seg_row], sizes) + ramp
-        PX, PY = px_s[ptp], py_s[ptp]
-        XI, YI = c[1:, 0][seg_sel][segp], c[1:, 1][seg_sel][segp]
-        XJ, YJ = c[:-1, 0][seg_sel][segp], c[:-1, 1][seg_sel][segp]
-        cross = (XJ - XI) * (PY - YI) - (YJ - YI) * (PX - XI)
-        scale = np.maximum(np.maximum(np.abs(XJ - XI), np.abs(YJ - YI)), 1.0)
-        on = (
-            (np.abs(cross) <= _EPS * scale * scale)
-            & (PX >= np.minimum(XI, XJ) - _EPS) & (PX <= np.maximum(XI, XJ) + _EPS)
-            & (PY >= np.minimum(YI, YJ) - _EPS) & (PY <= np.maximum(YI, YJ) + _EPS)
-        )
-        cond = (YI > PY) != (YJ > PY)
-        with np.errstate(divide="ignore", invalid="ignore"):
-            x_int = np.where(
-                cond,
-                (XJ - XI) * (PY - YI) / np.where(YJ == YI, 1.0, YJ - YI) + XI,
-                np.inf,
-            )
-        toggle = cond & (PX < x_int)
         pairkey = ring_pt_start[seg_ring][segp] + ramp
-        ring_on = np.bincount(pairkey[on], minlength=RPN) > 0
-        ring_in = (np.bincount(pairkey[toggle], minlength=RPN) % 2).astype(bool)
+        on_cnt = np.zeros(RPN, dtype=np.int64)
+        tg_cnt = np.zeros(RPN, dtype=np.int64)
+        CH = 1 << 21
+        for lo in range(0, total, CH):
+            sp = segp[lo:lo + CH]
+            PX = px_s[ptp[lo:lo + CH]]
+            PY = py_s[ptp[lo:lo + CH]]
+            XI = XI_s[sp]
+            YI = YI_s[sp]
+            dx = dx_s[sp]
+            pyi = PY - YI
+            cross = dx * pyi - dy_s[sp] * (PX - XI)
+            on = (
+                (np.abs(cross) <= tol_s[sp])
+                & (PX >= minx_s[sp]) & (PX <= maxx_s[sp])
+                & (PY >= miny_s[sp]) & (PY <= maxy_s[sp])
+            )
+            cond = (YI > PY) != (YJ_s[sp] > PY)
+            x_int = np.where(cond, dx * pyi / dy_safe[sp] + XI, np.inf)
+            toggle = cond & (PX < x_int)
+            pk = pairkey[lo:lo + CH]
+            on_cnt += np.bincount(pk[on], minlength=RPN)
+            tg_cnt += np.bincount(pk[toggle], minlength=RPN)
+        ring_on = on_cnt > 0
+        ring_in = (tg_cnt & 1).astype(bool)
 
     Pn = len(rp.part_row)
     part_pt_counts = pt_counts[rp.part_row]
