@@ -1696,6 +1696,36 @@ def q_sjoin_strategies(spark, sf):
     return b.unionByName(g)
 
 
+def q_sjoin_touches(spark, sf):
+    """Spatial join with the TOUCHES predicate over a coverage grid (r4h):
+    each customer key maps injectively to a 2x2 grid cell, so every cell
+    touches exactly its present 8-neighborhood — shared edges AND corner
+    points. Candidates come from both physical strategies (broadcast
+    STRtree / grid equi-join), refinement resolves through the
+    contact-bucket relate kernel (stage-2 _relate_fill) — the adjacency
+    workload that was per-row scalar before r4g. Oracle: integer grid
+    adjacency as an 8-offset equi-join."""
+    c = spark.read.parquet(f"{sf}/customer.parquet")
+    cells = c.select(
+        "c_custkey",
+        ((F.col("c_custkey") % 50) * 2.0).alias("x0"),
+        (F.floor(F.col("c_custkey") / 50) * 2.0).alias("y0"),
+    ).select(
+        "c_custkey",
+        st.st_rectangle(
+            "x0", "y0", F.col("x0") + 2.0, F.col("y0") + 2.0
+        ).alias("geometry"),
+    )
+    right = cells.select(
+        F.col("c_custkey").alias("o_key"), "geometry")
+    b = st_sjoin(cells, right, predicate="touches", strategy="broadcast").select(
+        F.lit("broadcast").alias("strategy"), "c_custkey", "o_key")
+    g = st_sjoin(cells, right, predicate="touches", strategy="grid",
+                 cell_size=10.0).select(
+        F.lit("grid").alias("strategy"), "c_custkey", "o_key")
+    return b.unionByName(g)
+
+
 def q_doc_suite(spark, sf):
     """Per-document text-pipeline scalars in one pass: token counts, BPE-ish
     counts, language-ID + quality, MinHash signature, fingerprint, SimHash
@@ -2517,6 +2547,7 @@ _QUERIES = {
         "multimodal_features": q_multimodal_features,
         "multimodal_audio": q_multimodal_audio,
         "adjacency_relate": q_adjacency_relate,
+        "sjoin_touches": q_sjoin_touches,
     }
 
 
@@ -2722,6 +2753,22 @@ def oracle_sql() -> dict[str, str]:
         "nearest_join": _oracle_nearest_join(),
         "multimodal_real": _oracle_multimodal_real(),
         "pipeline_e2e": _oracle_pipeline_e2e(),
+        "sjoin_touches": """
+            WITH g AS (
+              SELECT c_custkey AS k, c_custkey % 50 AS gx, c_custkey // 50 AS gy
+              FROM customer
+            ),
+            nb AS (
+              SELECT k, gx + dx AS gx, gy + dy AS gy
+              FROM g, (VALUES (-1,-1),(-1,0),(-1,1),(0,-1),(0,1),(1,-1),(1,0),(1,1)) d(dx, dy)
+            ),
+            pairs AS (
+              SELECT a.k AS c_custkey, nb.k AS o_key
+              FROM g a JOIN nb ON a.gx = nb.gx AND a.gy = nb.gy
+            )
+            SELECT s.strategy, p.c_custkey, p.o_key
+            FROM (VALUES ('broadcast'), ('grid')) s(strategy)
+            CROSS JOIN pairs p""",
         "adjacency_relate": """
             SELECT l_orderkey, l_linenumber, CAST(l_quantity AS INT) % 4 AS cls,
                    CASE CAST(l_quantity AS INT) % 4

@@ -239,7 +239,67 @@ def _relate_fill(res, dec, fn, s1, s2, name, sA, sB) -> pd.Series:
     return pd.Series(out_res, dtype=object)
 
 
+_PAIRED_KERNEL_NAMES = frozenset({
+    "intersects", "disjoint", "within", "contains", "covers", "covered_by",
+    "contains_properly", "touches", "crosses", "overlaps",
+})
+
+
+def eval_pairs_predicate(name: str, s1: pd.Series, s2: pd.Series, fn) -> pd.Series:
+    """Row-paired boolean pair predicate over aligned null-free EWKB
+    Series through the full batched stack: the family's trivalent CSR
+    kernel where one exists, the DE-9IM contact buckets for its undecided
+    boundary-contact rows (stage-2 ``_relate_fill``), and the per-row
+    scalar only as the last resort. Shared by the Column predicate
+    dispatch and (r4h) the sjoin broadcast refinement, so STRtree
+    candidate verification is batch-speed for every predicate, not just
+    intersects. Callers route null rows elsewhere."""
+    def parse_any(s):
+        pp = RG.parse_polygonal(s)
+        return pp if pp is not None else RG.parse_lineal(s)
+
+    if name in ("intersects", "disjoint"):
+        # row-paired polygonal/lineal pairs: CSR probe + segment-pair
+        # kernel; None = pair product too large for one allocation, the
+        # scalar loop amortizes better there
+        rpa = parse_any(s1)
+        rpb = parse_any(s2) if rpa is not None else None
+        if rpa is not None and rpb is not None:
+            r = RG.pairs_intersect(rpa, rpb)
+            if r is not None:
+                return pd.Series(r if name == "intersects" else ~r)
+    elif name in ("within", "contains", "covers", "covered_by",
+                  "contains_properly"):
+        # conservative CSR containment: certain rows vectorized,
+        # boundary-contact rows resolve through the relate contact buckets
+        swap = name in ("contains", "covers", "contains_properly")
+        sA_, sB_ = (s2, s1) if swap else (s1, s2)
+        pb2 = RG.parse_polygonal(sB_)
+        pa2 = parse_any(sA_) if pb2 is not None else None
+        if pa2 is not None and pb2 is not None:
+            res, dec = RG.pairs_within(pa2, pb2)
+            return _relate_fill(res, dec, fn, s1, s2, name, sA_, sB_)
+    elif name == "touches":
+        pa3 = parse_any(s1)
+        pb3 = parse_any(s2) if pa3 is not None else None
+        if pa3 is not None and pb3 is not None:
+            res, dec = RG.pairs_touches(pa3, pb3)
+            return _relate_fill(res, dec, fn, s1, s2, name, s1, s2)
+    elif name in ("crosses", "overlaps"):
+        pa4 = parse_any(s1)
+        pb4 = parse_any(s2) if pa4 is not None else None
+        if pa4 is not None and pb4 is not None:
+            kern = RG.pairs_crosses if name == "crosses" else RG.pairs_overlaps
+            res, dec = kern(pa4, pb4)
+            return _relate_fill(res, dec, fn, s1, s2, name, s1, s2)
+    return pd.Series(
+        [fn(from_ewkb(bytes(a)), from_ewkb(bytes(b))) for a, b in zip(s1, s2)],
+        dtype=object,
+    )
+
+
 def _mk(name: str, fn, ret="boolean"):
+
     def outer(col, other) -> Column:
         o = geom_arg(other)
         if isinstance(o, Geometry):
@@ -323,71 +383,11 @@ def _mk(name: str, fn, ret="boolean"):
                             r = _loc_predicate(name, loc, point_is_a=False)
                             if r is not None:
                                 return pd.Series(r)
-                if name in ("intersects", "disjoint"):
-                    # row-paired polygonal/lineal pairs: CSR probe +
-                    # segment-pair kernel (geo/ragged.pairs_intersect) —
-                    # the sjoin refinement hot path vectorized; None =
-                    # pair product too large for one allocation, the
-                    # scalar loop amortizes better there
-                    rpa = RG.parse_polygonal(s1)
-                    if rpa is None:
-                        rpa = RG.parse_lineal(s1)
-                    rpb = None
-                    if rpa is not None:
-                        rpb = RG.parse_polygonal(s2)
-                        if rpb is None:
-                            rpb = RG.parse_lineal(s2)
-                    if rpa is not None and rpb is not None:
-                        r = RG.pairs_intersect(rpa, rpb)
-                        if r is not None:
-                            return pd.Series(r if name == "intersects" else ~r)
-                if name in ("within", "contains", "covers", "covered_by",
-                            "contains_properly"):
-                    # conservative CSR containment: certain rows vectorized
-                    # (strictly-inside / provably-outside / proper-crossing),
-                    # boundary-contact rows fall back to the scalar DE-9IM
-                    # kernel row-by-row — exact either way
-                    swap = name in ("contains", "covers", "contains_properly")
-                    sA_, sB_ = (s2, s1) if swap else (s1, s2)
-                    pb2 = RG.parse_polygonal(sB_)
-                    pa2 = None
-                    if pb2 is not None:
-                        pa2 = RG.parse_polygonal(sA_)
-                        if pa2 is None:
-                            pa2 = RG.parse_lineal(sA_)
-                    if pa2 is not None and pb2 is not None:
-                        res, dec = RG.pairs_within(pa2, pb2)
-                        return _relate_fill(res, dec, fn, s1, s2, name, sA_, sB_)
-                if name == "touches":
-                    # conservative trivalent: no-common-point / proper-cross
-                    # / strictly-interior-vertex rows decide vectorized;
-                    # real boundary-contact rows go to the scalar kernel
-                    pa3 = RG.parse_polygonal(s1)
-                    if pa3 is None:
-                        pa3 = RG.parse_lineal(s1)
-                    pb3 = None
-                    if pa3 is not None:
-                        pb3 = RG.parse_polygonal(s2)
-                        if pb3 is None:
-                            pb3 = RG.parse_lineal(s2)
-                    if pa3 is not None and pb3 is not None:
-                        res, dec = RG.pairs_touches(pa3, pb3)
-                        return _relate_fill(res, dec, fn, s1, s2, name, s1, s2)
-                if name in ("crosses", "overlaps"):
-                    # dimension-rule + proper-cross + strict-containment
-                    # certainty; genuine boundary interplay goes scalar
-                    pa4 = RG.parse_polygonal(s1)
-                    if pa4 is None:
-                        pa4 = RG.parse_lineal(s1)
-                    pb4 = None
-                    if pa4 is not None:
-                        pb4 = RG.parse_polygonal(s2)
-                        if pb4 is None:
-                            pb4 = RG.parse_lineal(s2)
-                    if pa4 is not None and pb4 is not None:
-                        kern = RG.pairs_crosses if name == "crosses" else RG.pairs_overlaps
-                        res, dec = kern(pa4, pb4)
-                        return _relate_fill(res, dec, fn, s1, s2, name, s1, s2)
+                if name in _PAIRED_KERNEL_NAMES:
+                    # full batched stack: family CSR kernel -> relate
+                    # contact buckets -> per-row scalar (shared with the
+                    # sjoin broadcast refinement)
+                    return eval_pairs_predicate(name, s1, s2, fn)
             return pd.Series(
                 [
                     None if (a is None or b is None) else fn(from_ewkb(bytes(a)), from_ewkb(bytes(b)))

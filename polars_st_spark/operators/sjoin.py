@@ -203,8 +203,10 @@ def _sjoin_broadcast(left, right, predicate, how, lsuffix, rsuffix, left_on, rig
             return p if p is not None else RG.parse_lineal(wkbs)
 
         rt_nonnull = [b for b in right_wkbs if b is not None]
+        from polars_st_spark.functions.predicate import (
+            _PAIRED_KERNEL_NAMES, eval_pairs_predicate)
         right_batched = (
-            predicate == "intersects"
+            predicate in _PAIRED_KERNEL_NAMES
             and len(rt_nonnull) > 0
             and _parse_any(rt_nonnull) is not None
         )
@@ -265,15 +267,21 @@ def _sjoin_broadcast(left, right, predicate, how, lsuffix, rsuffix, left_on, rig
                             if right_wkbs[int(j)] is not None:
                                 cand_i.append(i)
                                 cand_j.append(int(j))
-                    hit = None
+                    # candidate verification through the full batched
+                    # predicate stack (family kernel -> relate contact
+                    # buckets -> scalar) — r4h: was intersects-only, every
+                    # other predicate paid the per-candidate scalar loop
                     if cand_i:
-                        rpa = _parse_any([bytes(lgeo.iloc[i]) for i in cand_i])
-                        rpb = _parse_any([right_wkbs[j] for j in cand_j])
-                        if rpa is not None and rpb is not None:
-                            hit = RG.pairs_intersect(rpa, rpb)
+                        hv = eval_pairs_predicate(
+                            predicate,
+                            pd.Series([bytes(lgeo.iloc[i]) for i in cand_i]),
+                            pd.Series([right_wkbs[j] for j in cand_j]),
+                            pred_fn,
+                        )
+                        hit = np.asarray(list(hv), dtype=bool)
                     else:
                         hit = np.zeros(0, dtype=bool)
-                    if hit is not None:  # None = pair blowup, scalar amortizes
+                    if hit is not None:
                         matched_rows = np.zeros(len(lgeo), dtype=bool)
                         for k in np.nonzero(hit)[0]:
                             li.append(cand_i[k])
