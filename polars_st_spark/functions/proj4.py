@@ -146,13 +146,18 @@ def _datum_pair(params: dict, a_l: float, f_l: float):
     return from_wgs84, to_wgs84
 
 
-def _lcc1sp(a, f, k0, lat0, lon0, FE, FN):
+def _lcc1sp(a, f, k0, lat0, lat1, lon0, FE, FN):
     """Lambert Conformal Conic 1SP (EPSG 9801; Snyder 15-1..15-11 with
-    n = sin φ0 and the k0 scale) — the 2SP core degenerates (0/0 in n)
-    when the parallels coincide, so 1SP gets its own closed form."""
+    n = sin φ1 and the k0 scale) — the 2SP core degenerates (0/0 in n)
+    when the parallels coincide, so 1SP gets its own closed form.
+    PROJ semantics: the cone constant n and F come from the standard
+    parallel ``lat1``; the false-northing origin ``rho0`` is evaluated at
+    ``lat0`` (they coincide in the plain EPSG 9801 case but differ when a
+    proj4 string gives +lat_1 != +lat_0)."""
     from polars_st_spark.functions.transform import _phi_from_t
 
     e = math.sqrt(f * (2.0 - f))
+    p1 = math.radians(lat1)
     p0 = math.radians(lat0)
 
     def t_of(p):
@@ -163,8 +168,8 @@ def _lcc1sp(a, f, k0, lat0, lon0, FE, FN):
     def m_of(p):
         return math.cos(p) / math.sqrt(1 - (e * math.sin(p)) ** 2)
 
-    n = math.sin(p0)
-    F_ = m_of(p0) / (n * t_of(p0) ** n)
+    n = math.sin(p1)
+    F_ = m_of(p1) / (n * t_of(p1) ** n)
     rho0 = a * F_ * k0 * t_of(p0) ** n
     lam0 = math.radians(lon0)
 
@@ -243,7 +248,10 @@ def _base_projection(params: dict, a: float, f: float):
         lat1 = _f(params, "lat_1", lat0)
         lat2 = params.get("lat_2")
         if lat2 is None or float(lat2) == lat1:
-            return _lcc1sp(a, f, k0, lat1 if "lat_1" in params else lat0, lon0, FE, FN)
+            # PROJ: cone constant from lat_1 (falling back to lat_0 when
+            # absent); rho0 evaluated at lat_0 (default 0)
+            return _lcc1sp(a, f, k0, lat0, lat1 if "lat_1" in params else lat0,
+                           lon0, FE, FN)
         return (
             T._lcc_forward(a, f, lat0, lon0, lat1, float(lat2), FE, FN),
             T._lcc_inverse(a, f, lat0, lon0, lat1, float(lat2), FE, FN),

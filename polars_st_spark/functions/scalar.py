@@ -715,6 +715,12 @@ def st_to_wkb(col, output_dimension: int = 3, byte_order: int | None = None,
             from polars_st_spark.geo.algos import force_2d
 
             g = force_2d(g)
+        elif output_dimension == 3 and g.has_z and g.has_m:
+            # GEOS WKBWriter caps at 3 dims by dropping M and keeping XYZ
+            # (an XYM-only geometry already fits in 3 dims and keeps M)
+            from polars_st_spark.geo.algos import drop_m
+
+            g = drop_m(g)
         return to_ewkb(g, include_srid=include_srid, byte_order=bo)
 
     return unary_scalar(fn, "binary")(col_or_lit(col))

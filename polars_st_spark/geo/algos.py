@@ -733,6 +733,29 @@ def force_2d(g: Geometry) -> Geometry:
     return f(g)
 
 
+def drop_m(g: Geometry) -> Geometry:
+    """Strip the M ordinate, keeping X/Y (and Z when present) — the
+    GEOS WKBWriter semantics for output_dimension=3 on XYZM input."""
+    if not g.has_m:
+        return g
+    keep = 3 if g.has_z else 2
+
+    def f(t: Geometry) -> Geometry:
+        if t.type_id == GeometryType.Point:
+            c = None if t.coords is None else t.coords[:keep].copy()
+            return Geometry(t.type_id, srid=t.srid, has_z=t.has_z, coords=c)
+        if t.type_id in _LINEAL_IDS:
+            c = None if t.coords is None else t.coords[:, :keep].copy()
+            return Geometry(t.type_id, srid=t.srid, has_z=t.has_z, coords=c)
+        if t.type_id in _POLYGONAL_IDS:
+            return Geometry(t.type_id, srid=t.srid, has_z=t.has_z,
+                            rings=[r[:, :keep].copy() for r in (t.rings or [])])
+        return Geometry(t.type_id, srid=t.srid, has_z=t.has_z,
+                        geoms=[f(s) for s in (t.geoms or [])])
+
+    return f(g)
+
+
 def force_3d(g: Geometry, z: float = 0.0) -> Geometry:
     if g.has_z:
         return g

@@ -59,6 +59,11 @@ def st_sjoin_nearest(
         raise ValueError("k must be >= 1")
     if how not in ("inner", "left"):
         raise ValueError(f"how must be 'inner' or 'left', got {how!r}")
+    if distance_col in left.columns or distance_col in right.columns:
+        raise ValueError(
+            f"distance_col={distance_col!r} collides with an existing input "
+            "column; pass a different distance_col"
+        )
     from pyspark.sql.window import Window
 
     # stage a unique left row id BEFORE any join (monotonic id is evaluated
@@ -86,7 +91,11 @@ def st_sjoin_nearest(
                 f"{broadcast_limit}; pass max_distance= for the scalable "
                 "grid strategy (or raise broadcast_limit explicitly)"
             )
-        cand = lstaged.crossJoin(F.broadcast(rstaged))
+        # null/empty left geometries produce null distance for EVERY
+        # candidate; drop those pairs so the strategies agree (the grid
+        # path never cells such rows) and how='left' routes them to the
+        # unmatched set instead of k arbitrary null-distance matches
+        cand = lstaged.crossJoin(F.broadcast(rstaged)).where(dist.isNotNull())
     else:
         d = float(max_distance)
         if d <= 0:
@@ -137,7 +146,7 @@ def st_sjoin_nearest(
             .where(dist <= F.lit(d))
         )
 
-    w = Window.partitionBy(lid).orderBy(dist.asc(), tie.asc())
+    w = Window.partitionBy(lid).orderBy(dist.asc_nulls_last(), tie.asc())
     ranked = (
         cand.withColumn(distance_col, dist)
         .withColumn("__nn_rank", F.row_number().over(w))
@@ -152,9 +161,10 @@ def st_sjoin_nearest(
     unmatched = lstaged.join(
         matched.select(lid).distinct(), on=lid, how="left_anti"
     )
+    mtypes = {f.name: f.dataType for f in matched.schema.fields}
     for c in out_cols:
         if c not in unmatched.columns:
-            unmatched = unmatched.withColumn(c, F.lit(None))
+            unmatched = unmatched.withColumn(c, F.lit(None).cast(mtypes[c]))
     return matched.select(*out_cols).unionByName(
         unmatched.select(*out_cols)
     )

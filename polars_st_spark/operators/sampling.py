@@ -232,7 +232,8 @@ def pack_greedy(
 
 
 def temperature_rates(
-    df: DataFrame, group_col: str, alpha: float = 0.5
+    df: DataFrame, group_col: str, alpha: float = 0.5,
+    max_groups: int = 100_000,
 ) -> "list[tuple]":
     """Per-group keep-rates for temperature-based mixture rebalancing (the
     multilingual alpha-sampling rule of mBERT/XLM-R — Conneau et al.,
@@ -252,6 +253,17 @@ def temperature_rates(
     """
     import math
 
+    # bounded-collect contract (same as the other driver-side group tables):
+    # the count query is map-side combined, but the driver list is #groups
+    # rows — raise instead of silently materializing a runaway cardinality
+    # (e.g. the caller passed a document id as the stratum by mistake)
+    n_groups = df.select(group_col).distinct().limit(max_groups + 1).count()
+    if n_groups > max_groups:
+        raise ValueError(
+            f"temperature_rates: {group_col!r} has more than "
+            f"{max_groups} distinct values — not a stratum column; raise "
+            "max_groups explicitly if this cardinality is intended"
+        )
     n_by = {r[0]: r[1] for r in df.groupBy(group_col).count().collect()}
     total = sum(n_by.values())
     if not total:

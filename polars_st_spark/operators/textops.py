@@ -148,9 +148,11 @@ def train_bpe(
     """Fit a BPE merges table on a bounded seeded sample of the corpus —
     the shape real tokenizer training takes (HF/sentencepiece train on a
     corpus slice, not the full crawl). Driver cost is bounded by
-    ``sample_size`` documents at ANY corpus size (the ivf_centroids
-    contract: Bernoulli oversample, collect, seeded trim — never
-    ``limit()``, which is storage-order biased).
+    ``sample_size`` documents at ANY corpus size: a CONTENT-hash-gated
+    oversample (a row is picked iff ``xxhash64(seed, text)`` falls under
+    the fraction — stable under reruns AND repartitioning, unlike
+    ``.sample(seed=)``'s per-partition RNG or storage-order ``limit()``),
+    then a content-hash-sorted trim to ``sample_size``.
 
     Training runs on the word-FREQUENCY table (unique words weighted by
     count), each round merging the highest-frequency adjacent pair, ties
@@ -159,21 +161,26 @@ def train_bpe(
     (constituents of merge r exist before r), so :func:`bpe_encode`'s
     single-pass rank-order application reproduces the iterative encoder
     exactly."""
-    import numpy as np
+    import hashlib
 
     texts = df.select(F.col(text_col).cast("string").alias("t"))
     n_total = texts.count()
     if n_total > sample_size:
+        # CONTENT-hash gated sample (not .sample(seed=), whose per-partition
+        # RNG makes the picked set depend on the partition layout): a row is
+        # in iff xxhash64(seed, text) lands under the oversampled fraction —
+        # rerun- and repartition-stable by construction
         frac = min(1.0, 1.2 * sample_size / n_total)
-        rows = texts.sample(fraction=frac, seed=seed).collect()
-        if len(rows) < min(sample_size, n_total) // 2:
-            rows = texts.limit(sample_size).collect()
-        elif len(rows) > sample_size:
-            idx = np.random.RandomState(seed).choice(
-                len(rows), sample_size, replace=False)
-            rows = [rows[i] for i in sorted(idx)]
+        h = F.xxhash64(F.lit(int(seed)), F.col("t"))
+        u = (((h % F.lit(2**32)) + F.lit(2**32)) % F.lit(2**32)) / F.lit(float(2**32))
+        rows = texts.where(u < F.lit(frac)).collect()
     else:
         rows = texts.collect()
+    # content-hash sort BEFORE the trim: collect() row order also depends on
+    # the partition layout, so the trim keys on row CONTENT too
+    rows.sort(key=lambda r: hashlib.md5((r["t"] or "").encode()).digest())
+    if len(rows) > sample_size:
+        rows = rows[:sample_size]
 
     from collections import Counter
 

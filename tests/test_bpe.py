@@ -118,6 +118,11 @@ def test_train_bpe_deterministic_and_well_formed(spark):
     m1 = train_bpe(docs, "text", n_merges=32, sample_size=200)
     m2 = train_bpe(docs, "text", n_merges=32, sample_size=200)
     assert m1 == m2 and len(m1) == 32
+    # partition-layout independence: the content-hash sort before the
+    # seeded trim makes the fit invariant under repartitioning
+    m3 = train_bpe(docs.repartition(7, "doc_id"), "text",
+                   n_merges=32, sample_size=200)
+    assert m3 == m1
     # well-formedness: every non-char constituent was produced earlier
     produced = set()
     for a, b in m1:

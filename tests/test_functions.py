@@ -312,6 +312,19 @@ def test_to_wkb_reference_params(spark):
         st.st_to_wkb("geometry", byte_order=2)
     with pytest.raises(ValueError, match="output_dimension"):
         st.st_to_wkb("geometry", output_dimension=5)
+    # output_dimension=3 on XYZM drops M keeping XYZ (GEOS WKBWriter caps
+    # at 3 dims); an XYM-only geometry already fits and keeps its M
+    df2 = st.geodataframe(
+        spark.createDataFrame(
+            [(1, "POINT ZM (1 2 3 4)"), (2, "POINT M (1 2 9)")],
+            ["id", "geometry"]),
+        geometry_format="wkt")
+    zm = {r["id"]: from_ewkb(bytes(r["w"])) for r in df2.select(
+        "id", st.st_to_wkb("geometry", output_dimension=3).alias("w")).collect()}
+    assert zm[1].coords.tolist() == [1.0, 2.0, 3.0]
+    assert zm[1].has_z and not zm[1].has_m
+    assert zm[2].coords.tolist() == [1.0, 2.0, 9.0]
+    assert zm[2].has_m and not zm[2].has_z
 
 
 def test_geom_arg_wkt_vs_column_sniffing(spark):

@@ -149,3 +149,37 @@ def test_randomized_grid_matches_brute(spark):
             # compare by distance multiset (rank ties may pick either id)
             assert [round(g[1], 9) for g in gs] == [round(h[1], 9) for h in hits], (
                 trial, i)
+
+
+def test_null_geometry_left_rows(frames, spark):
+    """A NULL left geometry must never receive matches (broadcast path) and
+    must land in the unmatched set under how='left' — strategy parity with
+    the grid path, which never cells such rows (ADVICE r4)."""
+    left, right, _, _ = frames
+    nul = spark.createDataFrame([(9999,)], ["lid_val"]).select(
+        "lid_val", F.lit(None).cast("binary").alias("geometry"))
+    lmix = left.limit(5).unionByName(nul)
+    inner = st_sjoin_nearest(lmix, right, k=2)
+    assert inner.where(F.col("lid_val") == 9999).count() == 0
+    lj = st_sjoin_nearest(lmix, right, k=2, how="left",
+                          max_distance=None)
+    rows = lj.where(F.col("lid_val") == 9999).collect()
+    assert len(rows) == 1
+    assert rows[0]["rid_val"] is None and rows[0]["distance"] is None
+
+
+def test_distance_col_collision_raises(frames):
+    left, right, _, _ = frames
+    with pytest.raises(ValueError, match="distance_col"):
+        st_sjoin_nearest(left.withColumn("distance", F.lit(1.0)), right)
+
+
+def test_left_join_null_types_match(frames):
+    """how='left' null fill must carry the matched-side types (unionByName
+    would otherwise coerce or fail on binary/double columns)."""
+    left, right, _, _ = frames
+    out = st_sjoin_nearest(left, right, k=1, max_distance=0.5, how="left")
+    sch = {f.name: f.dataType.simpleString() for f in out.schema.fields}
+    assert sch["geometry_right"] == "binary"
+    assert sch["distance"] == "double"
+    out.collect()
