@@ -4,6 +4,12 @@
 Prints ONE JSON line:
   {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
 
+`queries`/`value` are FIRST-shot timings (comparable with rounds 1-4);
+`queries_median3`/`value_median3` are per-query medians of 3 reps — the
+variance-aware number (identical-code totals spread 7.3-12.5s on this VM,
+so single shots cannot answer 2x-contract questions; see README "Bench
+variance"). `queries_reps` carries all raw reps for audit.
+
 Query set maps to BASELINE.md:
 - b1_elementwise: st_area+st_length over lineitem-derived rects (B1)
 - b2_predicate:   st_contains column-vs-column over joined pairs (B2)
@@ -106,21 +112,44 @@ def main() -> None:
     ).count()
 
     def timed(fn):
-        # single-shot (methodology stable across rounds): a min-over-reps
-        # variant was tried and rejected — operators that cache internally
-        # (near_dup_pairs' staged signature table) get a CacheManager hit on
-        # the second rep and understate their true cost
+        # single-shot for the variants (methodology stable across rounds)
         t0 = time.time()
         fn()
         return round(time.time() - t0, 3)
 
+    # Headline queries run THREE reps each: `queries` keeps the FIRST shot
+    # (round-over-round comparable with r1-r4), `queries_median3` the
+    # median. Identical-code totals on this VM spread 7.3-12.5s across runs
+    # (ambient noisy-neighbor; the r3->r4 "b1 regression" 0.58->1.26s was
+    # exactly this — standalone steady state is 0.45-0.63s), so single
+    # shots cannot resolve 2x-contract questions; the median can. A
+    # min-over-reps variant stays rejected: operators that cache internally
+    # (near_dup_pairs' staged signature table) get a CacheManager hit on
+    # later reps — p1 unpersists its staged table between reps so every
+    # rep does full work.
     queries = {}
+    queries_reps = {}
 
-    queries["b1_elementwise"] = timed(
+    def headline(name, fn, cleanup=None, reps=3):
+        ts = []
+        for i in range(reps):
+            t0 = time.time()
+            fn()
+            ts.append(round(time.time() - t0, 3))
+            if cleanup is not None and i < reps - 1:
+                cleanup()
+        queries[name] = ts[0]
+        queries_reps[name] = ts
+
+    def med3(ts):
+        return sorted(ts)[len(ts) // 2]
+
+    headline(
+        "b1_elementwise",
         lambda: li_rects.select(
             F.sum(st.st_area("rect")).alias("a"),
             F.sum(st.st_length("rect")).alias("l"),
-        ).collect()
+        ).collect(),
     )
 
     # Column-vs-column predicate over all pairs, via the library's documented
@@ -130,7 +159,8 @@ def main() -> None:
     nations5 = nations.where(F.col("n_nationkey") < 5).select(
         "n_nationkey", "x0", "y0", "x1", "y1", F.col("rect").alias("nrect")
     )
-    queries["b2_predicate"] = timed(
+    headline(
+        "b2_predicate",
         lambda: st.filter_pairs(
             li_rects.select("l_orderkey", "x0", "y0", "x1", "y1", "rect"),
             nations5,
@@ -140,48 +170,63 @@ def main() -> None:
             lbox=("x0", "y0", "x1", "y1"),
             rbox=("x0", "y0", "x1", "y1"),
             broadcast=True,
-        ).count()
+        ).count(),
     )
 
-    queries["b3_grouped_union"] = timed(
+    headline(
+        "b3_grouped_union",
         lambda: li_rects.groupBy("l_suppkey")
         .agg(st.st_union_all("rect").alias("u"))
-        .select(F.sum(st.st_area("u"))).collect()
+        .select(F.sum(st.st_area("u"))).collect(),
     )
 
-    queries["b4_sjoin"] = timed(
+    headline(
+        "b4_sjoin",
         lambda: st_sjoin(
             cust.withColumnRenamed("pt", "geometry"),
             nations.withColumnRenamed("rect", "geometry"),
             predicate="within",
             strategy="broadcast",
-        ).count()
+        ).count(),
     )
 
-    queries["b5_flagship"] = timed(
+    headline(
+        "b5_flagship",
         lambda: E._supp_rects(spark, sf_dir)
         .groupBy("s_nationkey")
         .agg(st.st_intersection_all("rect").alias("g"))
         .select("s_nationkey", st.st_area("g"), st.st_to_wkt("g"))
-        .collect()
+        .collect(),
     )
 
-    queries["p1_minhash_dedup"] = timed(
-        lambda: _dedup.near_dup_pairs(docs, threshold=0.05).count()
-    )
+    _p1_last = {}
 
-    queries["p2_knn"] = timed(
+    def _p1():
+        out = _dedup.near_dup_pairs(docs, threshold=0.05)
+        _p1_last["df"] = out
+        out.count()
+
+    def _p1_cleanup():
+        sig = getattr(_p1_last.get("df"), "_staged_sig", None)
+        if sig is not None:
+            sig.unpersist(blocking=True)
+
+    headline("p1_minhash_dedup", _p1, cleanup=_p1_cleanup)
+
+    headline(
+        "p2_knn",
         lambda: _knn.cosine_topk(  # default strategy: Arrow/BLAS local top-k
             emb.where(F.col("vec_id") < 20), emb, k=10
-        ).count()
+        ).count(),
     )
 
-    queries["p3_textstats"] = timed(
+    headline(
+        "p3_textstats",
         lambda: docs.select(
             F.sum(_t.token_count("text")),
             F.count(_t.lang_predict("text")),
             F.sum(_t.quality_score("text")),
-        ).collect()
+        ).collect(),
     )
 
     # scale-path variants, reported separately so the headline total stays
@@ -250,7 +295,20 @@ def main() -> None:
     )
     # coverage-topology relate: every lineitem rect against its shared-edge
     # neighbor — 600k full DE-9IM matrices through the r4g contact-only
-    # bucket (0% kernel-decided before it; the scalar path needs ~13 min)
+    # bucket (0% kernel-decided before it; the scalar path needs ~13 min).
+    # Same warmup contract as b1/b1g: the relate expression tree + contact
+    # kernel first-use cost (~4-5s of codegen/ramp, measured r5) is not the
+    # operator; a 2% sampled pass pays it on every worker.
+    li_rects.sample(fraction=0.02, seed=1).select(
+        F.count_distinct(
+            st.st_relate(
+                "rect",
+                st.st_rectangle(
+                    "x1", "y0",
+                    F.col("x1") + (F.col("x1") - F.col("x0")), "y1"),
+            )
+        )
+    ).collect()
     variants["b2a_relate_adjacent"] = timed(
         lambda: li_rects.select(
             F.count_distinct(
@@ -361,12 +419,16 @@ def main() -> None:
     )
 
     total = round(sum(queries.values()), 3)
+    medians = {k: med3(v) for k, v in queries_reps.items()}
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     payload = {
         "metric": "headline_suite_seconds",
         "value": total,
         "unit": "sec",
         "queries": queries,
+        "queries_reps": queries_reps,
+        "queries_median3": medians,
+        "value_median3": round(sum(medians.values()), 3),
         "variants": variants,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }
@@ -383,6 +445,14 @@ def main() -> None:
                 k: round(queries[k] / base["queries"][k], 2)
                 for k in queries if base["queries"].get(k)
             }
+            payload["vs_floor_median3"] = {
+                k: round(medians[k] / base["queries"][k], 2)
+                for k in medians if base["queries"].get(k)
+            }
+            ftot = sum(v for k, v in base["queries"].items() if k in medians)
+            if ftot:
+                payload["total_vs_floor_median3"] = round(
+                    payload["value_median3"] / ftot, 2)
             vf = base.get("variant_floors", {})
             payload["variants_vs_floor"] = {
                 k: round(variants[k] / vf[k], 2) for k in variants if vf.get(k)

@@ -87,7 +87,7 @@ class RaggedPolygons:
     __slots__ = (
         "n", "coords", "row_start", "ring_start", "ring_row", "ring_part",
         "ring_hole", "part_row", "null_mask", "srid", "srid_uniform", "spans",
-        "child_srid",
+        "child_srid", "_bbox",
     )
 
 
@@ -95,7 +95,8 @@ class RaggedLines:
     """CSR batch of (Multi)LineString rows: chains instead of rings."""
 
     __slots__ = ("n", "coords", "row_start", "chain_start", "chain_row",
-                 "null_mask", "srid", "srid_uniform", "spans", "child_srid")
+                 "null_mask", "srid", "srid_uniform", "spans", "child_srid",
+                 "_bbox")
 
 
 def _header(buf: bytes):
@@ -726,6 +727,17 @@ def bounds(rp) -> np.ndarray:
     return out
 
 
+def bounds_cached(rp) -> np.ndarray:
+    """Per-batch memoized :func:`bounds` — the pair kernels consult row
+    bboxes several times per batch (overlap gate, probe prune); the batch
+    is immutable after parse, so one computation serves them all."""
+    b = getattr(rp, "_bbox", None)
+    if b is None:
+        b = bounds(rp)
+        rp._bbox = b
+    return b
+
+
 def centroid(rp: RaggedPolygons) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
     """(cx, cy, ok) per row — area-weighted centroid, holes subtracted,
     sign-normalized exactly like algos.centroid. ok=False rows (zero total
@@ -1142,13 +1154,43 @@ def locate_points_multi(
     ``prow[k]`` — the many-points-per-row generalization of
     :func:`locate_points` (same 0/1/2 semantics, same _EPS arithmetic).
     Drives the polygon×polygon intersects kernel, where every RING first
-    vertex of one side probes the other side's row."""
+    vertex of one side probes the other side's row.
+
+    Probes strictly outside their row's bbox expanded by ``_EPS`` are
+    location 0 with NO segment product: ``on`` needs the probe inside a
+    segment bbox ± _EPS (a subset of the row bbox ± _EPS), and the
+    half-open ray parity of any point beyond the bbox is exactly even —
+    so the prune is exact, and on contact-heavy shapes (coverage
+    adjacency, sjoin refinement) it removes most of the pair product."""
     K = len(px)
     out = np.zeros(K, dtype=np.int8)
     R = len(rp.ring_row)
     c = rp.coords
     if not R or not K or len(c) < 2:
         return out
+    bb = bounds_cached(rp)
+    with np.errstate(invalid="ignore"):
+        inb = (
+            (px >= bb[prow, 0] - _EPS) & (px <= bb[prow, 2] + _EPS)
+            & (py >= bb[prow, 1] - _EPS) & (py <= bb[prow, 3] + _EPS)
+        )
+    # NaN bboxes (empty rows) compare False — pruned to 0, same as the
+    # no-segment result the core produces for them
+    if not inb.all():
+        if inb.any():
+            out[inb] = _locate_points_multi_core(
+                rp, px[inb], py[inb], prow[inb])
+        return out
+    return _locate_points_multi_core(rp, px, py, prow)
+
+
+def _locate_points_multi_core(
+    rp: RaggedPolygons, px: np.ndarray, py: np.ndarray, prow: np.ndarray
+) -> np.ndarray:
+    K = len(px)
+    out = np.zeros(K, dtype=np.int8)
+    R = len(rp.ring_row)
+    c = rp.coords
     order = np.argsort(prow, kind="stable")
     px_s, py_s = px[order], py[order]
     pt_counts = np.bincount(prow[order], minlength=rp.n)

@@ -226,7 +226,12 @@ def near_dup_pairs(
     family only through LSH candidate recall — verification is exact either
     way."""
     sig = _sig_table(df, text_col, id_col, k, bands, shingle_n, materialize, hash_family)
-    return _verify_from_sig(sig, _candidates_from_sig(sig), threshold)
+    out = _verify_from_sig(sig, _candidates_from_sig(sig), threshold)
+    # unpersist handle for benchmarks/diagnostics: repeated identical calls
+    # otherwise hit the CacheManager on the staged signature table and
+    # understate steady-state cost (bench.py median-of-3 uses this)
+    out._staged_sig = sig
+    return out
 
 
 def simhash_dup_pairs(

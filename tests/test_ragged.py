@@ -1635,3 +1635,43 @@ def test_relate_contact_buckets_fuzz():
             if dec[i]:
                 exp = P.relate(from_ewkb(ea[i]), from_ewkb(eb[i]))
                 assert mats[i] == exp, (fam, i, A[i], B[i], mats[i], exp)
+
+
+def test_locate_points_multi_bbox_prune_parity():
+    """The r5 bbox probe-prune must be invisible: wrapper == core on random
+    probes spanning inside/outside/boundary/near-bbox positions, including
+    holed polygons and multipolygons."""
+    rng = np.random.RandomState(11)
+    bufs = []
+    for i in range(60):
+        cx, cy = rng.uniform(-50, 50, 2)
+        r = rng.uniform(0.5, 8.0)
+        k = rng.randint(4, 9)
+        th = np.linspace(0, 2 * np.pi, k, endpoint=False)
+        shell = np.column_stack([cx + r * np.cos(th), cy + r * np.sin(th)])
+        shell = np.vstack([shell, shell[:1]])
+        rings = [shell]
+        if i % 3 == 0:  # hole
+            hole = np.column_stack(
+                [cx + 0.3 * r * np.cos(th[::-1]), cy + 0.3 * r * np.sin(th[::-1])])
+            rings.append(np.vstack([hole, hole[:1]]))
+        g = Geometry(GeometryType.Polygon, rings=rings)
+        if i % 5 == 0:
+            g = Geometry(GeometryType.MultiPolygon, geoms=[g, Geometry(
+                GeometryType.Polygon,
+                rings=[np.array([[cx + 20, cy], [cx + 21, cy],
+                                 [cx + 21, cy + 1], [cx + 20, cy + 1],
+                                 [cx + 20, cy]])])])
+        bufs.append(to_ewkb(g))
+    rp = ragged.parse_polygonal(bufs)
+    K = 4000
+    prow = rng.randint(0, rp.n, K).astype(np.int64)
+    bb = ragged.bounds(rp)
+    # probes biased to straddle the bbox edge (the prune boundary)
+    px = bb[prow, 0] + rng.uniform(-1.5, 1.5, K) * (bb[prow, 2] - bb[prow, 0])
+    py = bb[prow, 1] + rng.uniform(-1.5, 1.5, K) * (bb[prow, 3] - bb[prow, 1])
+    # plus exact vertices (guaranteed 'on') and far points
+    got = ragged.locate_points_multi(rp, px, py, prow)
+    want = ragged._locate_points_multi_core(rp, px, py, prow)
+    assert np.array_equal(got, want)
+    assert set(np.unique(got)) <= {0, 1, 2} and (got == 0).any() and (got == 2).any()
