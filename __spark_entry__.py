@@ -1107,7 +1107,10 @@ def q_cast_multi(spark, sf):
 
 def q_line_ops(spark, sf):
     """segmentize / remove_repeated_points / line_merge / node /
-    extract_unique_points / offset_curve / absolute interpolate."""
+    extract_unique_points / offset_curve / absolute interpolate; r5: the
+    general lineal×areal clip (line ∩/− a planted CONCAVE L-polygon and a
+    HOLED rect — previously NotImplementedError; reference gets these from
+    GEOS overlay, src/functions.rs:1096-1192) with closed-form oracles."""
     r = _nation_rects(spark, sf)
     diag = st.st_linestring(F.array(F.array("x0", "y0"), F.array("x1", "y1")))
     cx = (F.col("x0") + F.col("x1")) / 2.0
@@ -1120,6 +1123,29 @@ def q_line_ops(spark, sf):
         F.array(F.array("x0", "y1"), F.array("x1", "y0"))))
     dup_line = st.st_linestring(F.array(
         F.array("x0", "y0"), F.array("x0", "y0"), F.array("x1", "y1")))
+    # planted concave L (18x18 rect minus its upper-right 9x9 quadrant):
+    # bottom arm spans the full width, the top arm only the left half —
+    # a horizontal probe line has exact closed-form clip lengths
+    x0c, y0c, x1c, y1c = F.col("x0"), F.col("y0"), F.col("x1"), F.col("y1")
+    lshape = st.st_polygon(F.array(F.array(
+        F.array(x0c, y0c), F.array(x1c, y0c), F.array(x1c, cy),
+        F.array(cx, cy), F.array(cx, y1c), F.array(x0c, y1c),
+        F.array(x0c, y0c))))
+    line_bot = st.st_linestring(F.array(       # through the bottom arm
+        F.array(x0c - 1.0, y0c + 4.5), F.array(x1c + 1.0, y0c + 4.5)))
+    line_top = st.st_linestring(F.array(       # through the top arm
+        F.array(x0c - 1.0, y0c + 13.5), F.array(x1c + 1.0, y0c + 13.5)))
+    # grazes the L exactly at its right-arm corner vertex (x1, cy)
+    line_tch = st.st_linestring(F.array(
+        F.array(x1c - 1.0, cy + 1.0), F.array(x1c + 1.0, cy - 1.0)))
+    holed = st.st_polygon(F.array(
+        F.array(F.array(x0c, y0c), F.array(x1c, y0c), F.array(x1c, y1c),
+                F.array(x0c, y1c), F.array(x0c, y0c)),
+        F.array(F.array(cx - 2.0, cy - 2.0), F.array(cx - 2.0, cy + 2.0),
+                F.array(cx + 2.0, cy + 2.0), F.array(cx + 2.0, cy - 2.0),
+                F.array(cx - 2.0, cy - 2.0))))
+    line_mid = st.st_linestring(F.array(
+        F.array(x0c - 1.0, cy), F.array(x1c + 1.0, cy)))
     return r.select(
         "n_nationkey",
         st.st_count_coordinates(st.st_segmentize(diag, 7.0)).alias("seg_n"),
@@ -1131,6 +1157,13 @@ def q_line_ops(spark, sf):
         st.st_count_geometries(st.st_extract_unique_points(dup_line)).alias("uniq_n"),
         st.st_length(st.st_offset_curve(diag, 1.0)).alias("oc_len"),
         F.round(st.st_x(st.st_interpolate(diag, 2.5)), 6).alias("interp_x"),
+        F.round(st.st_length(st.st_intersection(line_bot, lshape)), 6).alias("lc_int1"),
+        F.round(st.st_length(st.st_intersection(line_top, lshape)), 6).alias("lc_int2"),
+        F.round(st.st_length(st.st_difference(line_top, lshape)), 6).alias("lc_diff2"),
+        st.st_to_wkt(st.st_intersection(line_tch, lshape)).alias("lc_touch"),
+        F.round(st.st_length(st.st_intersection(line_mid, holed)), 6).alias("lc_hole_int"),
+        F.round(st.st_length(st.st_difference(line_mid, holed)), 6).alias("lc_hole_diff"),
+        st.st_count_geometries(st.st_union(line_top, lshape)).alias("lc_union_n"),
     )
 
 
@@ -2971,7 +3004,16 @@ def oracle_sql() -> dict[str, str]:
                    'LineString' AS lm_t,
                    4 AS node_n, 2 AS uniq_n,
                    sqrt((x1-x0)*(x1-x0) + (y1-y0)*(y1-y0)) AS oc_len,
-                   ROUND(x0 + 2.5*(x1-x0)/sqrt((x1-x0)*(x1-x0) + (y1-y0)*(y1-y0)), 6) AS interp_x
+                   ROUND(x0 + 2.5*(x1-x0)/sqrt((x1-x0)*(x1-x0) + (y1-y0)*(y1-y0)), 6) AS interp_x,
+                   -- concave-L clip closed forms: bottom arm full width,
+                   -- top arm left half; probe line overhangs 1 each side
+                   x1 - x0 AS lc_int1,
+                   (x1 - x0) / 2 AS lc_int2,
+                   (x1 - x0) / 2 + 2 AS lc_diff2,
+                   'POINT (' || CAST(x1 AS INT) || ' ' || CAST(y0 + 9 AS INT) || ')' AS lc_touch,
+                   x1 - x0 - 4 AS lc_hole_int,
+                   6.0 AS lc_hole_diff,
+                   3 AS lc_union_n
             FROM ({_ORACLE_NATION})""",
         "snap_shortest": f"""
             SELECT n_nationkey,

@@ -363,7 +363,8 @@ def _intersection_impl(a: Geometry, b: Geometry) -> Geometry:
                 for chain in _decompose(line).lines:
                     parts.extend(_clip_chain(chain, *rp))
                 return _lines_result(parts, a.srid)
-            raise NotImplementedError("line ∩ non-rectangle polygon")
+            # general (concave, holed) polygon: split-and-classify clip (r5)
+            return _line_polygon_intersection(line, poly)
     # polygon vs polygon with a convex side
     if a.dimensions() == 2 and b.dimensions() == 2:
         if a.type_id == GeometryType.Polygon and b.type_id == GeometryType.Polygon:
@@ -438,6 +439,240 @@ def _cross_point(p, q, c, e):
     return np.array([p[0] + t * (q[0] - p[0]), p[1] + t * (q[1] - p[1])])
 
 
+# ----------------------------------------------------------------------
+# General lineal × areal / lineal × lineal clipping (r5 — closes the
+# "line ∩/− concave polygon" gap; the reference gets every combination
+# from GEOS overlay, src/functions.rs:1096-1192)
+#
+# Split-and-classify: each chain segment splits at every contact with the
+# other side's edges (proper crossings, endpoint touches, collinear-run
+# ends), then each sub-piece classifies by its MIDPOINT location —
+# interior/boundary of a closed polygon for ∩, strict exterior for −.
+# Exactly the scalar relate machinery's split discipline, so tolerance
+# behavior matches the predicates.
+# ----------------------------------------------------------------------
+
+def _areal_edges(g: Geometry) -> list[tuple[np.ndarray, np.ndarray]]:
+    segs = []
+    for rings in _decompose(g).polys:
+        for ring in rings:
+            r = _closed(np.asarray(ring, dtype=float))
+            for i in range(len(r) - 1):
+                segs.append((r[i, :2], r[i + 1, :2]))
+    return segs
+
+
+def _lineal_edges(g: Geometry) -> list[tuple[np.ndarray, np.ndarray]]:
+    segs = []
+    for chain in _decompose(g).lines:
+        c = np.asarray(chain, dtype=float)
+        for i in range(len(c) - 1):
+            segs.append((c[i, :2], c[i + 1, :2]))
+    return segs
+
+
+def _seg_split_params(p: np.ndarray, q: np.ndarray, segs) -> list[float]:
+    """Sorted params t in [0,1] splitting segment pq at every contact with
+    ``segs`` (crossing points, touch points, collinear-overlap ends)."""
+    from polars_st_spark.geo.predicates import _on_segment, _seg_intersect_kind
+
+    ts = {0.0, 1.0}
+    d = q - p
+    axis = 0 if abs(d[0]) >= abs(d[1]) else 1
+    for c, e in segs:
+        kind = _seg_intersect_kind(p, q, c, e)
+        if kind == 0:
+            continue
+        if kind == 2:
+            den = (p[0] - q[0]) * (c[1] - e[1]) - (p[1] - q[1]) * (c[0] - e[0])
+            if den != 0:
+                t = ((p[0] - c[0]) * (c[1] - e[1])
+                     - (p[1] - c[1]) * (c[0] - e[0])) / den
+                ts.add(min(max(t, 0.0), 1.0))
+            continue
+        # touch (1) or collinear overlap (3): any edge endpoint lying on pq
+        # is a split point (p/q on the edge are params 0/1, already present)
+        for cand in (c, e):
+            if _on_segment(cand, p, q) and d[axis] != 0:
+                ts.add(min(max((cand[axis] - p[axis]) / d[axis], 0.0), 1.0))
+    return sorted(ts)
+
+
+def _clip_chain_general(chain: np.ndarray, segs, locfn, keep: str):
+    """Maximal sub-chains of ``chain`` kept by the midpoint rule, plus (for
+    ``keep='in'``) isolated touch points not covered by any kept piece.
+
+    keep='in'  : midpoint location >= 1 (closed other side — GEOS ∩)
+    keep='out' : midpoint location == 0 (strict exterior — GEOS −)
+    """
+    c = np.asarray(chain, dtype=float)[:, :2]
+    pieces: list[np.ndarray] = []
+    cur: list[np.ndarray] | None = None
+    split_pts: list[np.ndarray] = []
+    for si in range(len(c) - 1):
+        p, q = c[si], c[si + 1]
+        if p[0] == q[0] and p[1] == q[1]:
+            continue
+        ts = _seg_split_params(p, q, segs)
+        if keep == "in":
+            split_pts.extend(p + t * (q - p) for t in ts)
+        for t0, t1 in zip(ts[:-1], ts[1:]):
+            if t1 - t0 <= 1e-12:
+                continue
+            mid = p + ((t0 + t1) / 2.0) * (q - p)
+            loc = locfn(mid)
+            if (loc >= 1) if keep == "in" else (loc == 0):
+                a_ = p + t0 * (q - p)
+                b_ = p + t1 * (q - p)
+                if cur is not None and np.allclose(cur[-1], a_):
+                    cur.append(b_)
+                else:
+                    if cur is not None and len(cur) >= 2:
+                        pieces.append(np.asarray(cur))
+                    cur = [a_, b_]
+            else:
+                if cur is not None and len(cur) >= 2:
+                    pieces.append(np.asarray(cur))
+                cur = None
+    if cur is not None and len(cur) >= 2:
+        pieces.append(np.asarray(cur))
+    touch_pts: list[np.ndarray] = []
+    if keep == "in":
+        from polars_st_spark.geo.predicates import _on_segment
+
+        for pt in split_pts:
+            if locfn(pt) < 1:
+                continue
+            covered = any(
+                _on_segment(pt, piece[i], piece[i + 1])
+                for piece in pieces
+                for i in range(len(piece) - 1)
+            )
+            if not covered and not any(np.allclose(pt, u) for u in touch_pts):
+                touch_pts.append(pt)
+    return pieces, touch_pts
+
+
+def _poly_locfn(poly: Geometry):
+    rings_list = _decompose(poly).polys
+
+    def loc(pt):
+        best = 0
+        for rings in rings_list:
+            l = point_in_polygon(pt, rings)
+            if l == 2:
+                return 2
+            best = max(best, l)
+        return best
+
+    return loc
+
+
+def _line_locfn(line: Geometry):
+    from polars_st_spark.geo.predicates import _on_segment
+
+    segs = _lineal_edges(line)
+
+    def loc(pt):
+        return 1 if any(_on_segment(pt, c, e) for c, e in segs) else 0
+
+    return loc
+
+
+def _mixed_clip_result(pieces, touch_pts, srid: int, empty_like) -> Geometry:
+    if pieces and touch_pts:
+        parts = [Geometry(GeometryType.LineString, srid=srid, coords=p)
+                 for p in pieces]
+        parts += [Geometry(GeometryType.Point, srid=srid, coords=p)
+                  for p in touch_pts]
+        return Geometry(GeometryType.GeometryCollection, srid=srid, geoms=parts)
+    if pieces:
+        return _lines_result(pieces, srid)
+    if touch_pts:
+        if len(touch_pts) == 1:
+            return Geometry(GeometryType.Point, srid=srid, coords=touch_pts[0])
+        return Geometry(
+            GeometryType.MultiPoint, srid=srid,
+            geoms=[Geometry(GeometryType.Point, srid=srid, coords=p)
+                   for p in touch_pts],
+        )
+    return empty_like
+
+
+def _line_polygon_intersection(line: Geometry, poly: Geometry) -> Geometry:
+    segs = _areal_edges(poly)
+    locfn = _poly_locfn(poly)
+    pieces: list[np.ndarray] = []
+    pts: list[np.ndarray] = []
+    for chain in _decompose(line).lines:
+        ps, tp = _clip_chain_general(chain, segs, locfn, "in")
+        pieces.extend(ps)
+        pts.extend(tp)
+    # a touch point already covered by a piece from ANOTHER chain is dup
+    pts = [p for p in pts if not any(
+        np.allclose(p, piece[i]) or np.allclose(p, piece[i + 1])
+        for piece in pieces for i in range(len(piece) - 1))]
+    return _mixed_clip_result(
+        pieces, pts, line.srid,
+        Geometry(GeometryType.LineString, srid=line.srid, coords=np.empty((0, 2))),
+    )
+
+
+def _line_minus_polygon(line: Geometry, poly: Geometry) -> Geometry:
+    segs = _areal_edges(poly)
+    locfn = _poly_locfn(poly)
+    pieces: list[np.ndarray] = []
+    for chain in _decompose(line).lines:
+        ps, _ = _clip_chain_general(chain, segs, locfn, "out")
+        pieces.extend(ps)
+    return _lines_result(pieces, line.srid)
+
+
+def _node_chain_at_contacts(chain: np.ndarray, segs) -> list[np.ndarray]:
+    """Split a chain at every interior contact param against ``segs`` (the
+    lineal-union noding step): crossing points AND interior-vertex touches
+    become piece endpoints, so output pieces pairwise touch only at
+    endpoints — the invariant `collect` needs."""
+    from polars_st_spark.geo.predicates import _on_segment
+
+    c = np.asarray(chain, dtype=float)[:, :2]
+    pieces: list[np.ndarray] = []
+    cur: list[np.ndarray] = [c[0]]
+    for i in range(len(c) - 1):
+        p, q = c[i], c[i + 1]
+        if p[0] == q[0] and p[1] == q[1]:
+            continue
+        for t in _seg_split_params(p, q, segs):
+            if t <= 1e-12 or t >= 1 - 1e-12:
+                continue
+            pt = p + t * (q - p)
+            cur.append(pt)
+            pieces.append(np.asarray(cur))
+            cur = [pt]
+        cur.append(q)
+        # an interior CHAIN VERTEX in contact also nodes (t=1/t=0 params
+        # are excluded above, so handle the shared-vertex case here)
+        if i < len(c) - 2 and any(_on_segment(q, s, e) for s, e in segs):
+            pieces.append(np.asarray(cur))
+            cur = [q]
+    if len(cur) >= 2:
+        pieces.append(np.asarray(cur))
+    return pieces
+
+
+def _line_minus_line(a: Geometry, b: Geometry) -> Geometry:
+    """GEOS semantics: removes the collinear-overlap runs (the 1-dim common
+    part); isolated crossing points don't split the result's point set but
+    DO node the output (GEOS returns the survivor pieces merged)."""
+    segs = _lineal_edges(b)
+    locfn = _line_locfn(b)
+    pieces: list[np.ndarray] = []
+    for chain in _decompose(a).lines:
+        ps, _ = _clip_chain_general(chain, segs, locfn, "out")
+        pieces.extend(ps)
+    return _lines_result(pieces, a.srid)
+
+
 def union(a: Geometry, b: Geometry, grid_size: float | None = None) -> Geometry:
     if a.is_empty():
         return b.copy()
@@ -503,6 +738,10 @@ def difference(a: Geometry, b: Geometry, grid_size: float | None = None) -> Geom
             for chain in _decompose(a).lines:
                 parts.extend(_chain_outside_rect(chain, *rb2))
             return _lines_result(parts, a.srid)
+        # general (concave, holed) polygon: split-and-classify clip (r5)
+        return _line_minus_polygon(a, b)
+    if a.dimensions() == 1 and b.dimensions() == 1:
+        return _line_minus_line(a, b)
     if a.dimensions() == 2 and b.dimensions() == 2:
         from polars_st_spark.geo.overlay import overlay as _overlay
 
@@ -710,6 +949,37 @@ def union_all(geoms, grid_size: float | None = None) -> Geometry:
                     merged_pair = _overlay(a, b, "union")
                     rest = [g for g in kept if g is not a and g is not b]
                     return union_all(rest + [merged_pair], grid_size)
+                # mixed line/polygon overlap: the union is the polygon plus
+                # the line's strictly-exterior pieces (GEOS collection
+                # semantics); line/line overlap dissolves the collinear
+                # common runs (r5 — both previously raised)
+                dims = (a.dimensions(), b.dimensions())
+                if dims in ((1, 2), (2, 1)):
+                    line, poly = (a, b) if dims == (1, 2) else (b, a)
+                    outside = _line_minus_polygon(line, poly)
+                    rest = [g for g in kept if g is not a and g is not b]
+                    rest.append(poly)
+                    if not outside.is_empty():
+                        rest.append(outside)
+                    return union_all(rest, grid_size) if len(rest) > 1 else rest[0]
+                if dims == (1, 1):
+                    # GEOS lineal union = node + dissolve: b's linework plus
+                    # a's collinear-exclusive remainder, both NODED at every
+                    # mutual contact so the surviving pieces pairwise only
+                    # touch at endpoints (the collect invariant; also what
+                    # stops this recursion)
+                    amb = _line_minus_line(a, b)
+                    a_segs = _lineal_edges(amb)
+                    b_segs = _lineal_edges(b)
+                    pieces: list[np.ndarray] = []
+                    for ch in _decompose(b).lines:
+                        pieces.extend(_node_chain_at_contacts(ch, a_segs))
+                    for ch in _decompose(amb).lines:
+                        pieces.extend(_node_chain_at_contacts(ch, b_segs))
+                    merged_line = _lines_result(pieces, srid)
+                    rest = [g for g in kept if g is not a and g is not b]
+                    rest.append(merged_line)
+                    return union_all(rest, grid_size) if len(rest) > 1 else rest[0]
                 raise NotImplementedError(
                     f"union of overlapping {a.type_name}/{b.type_name} (non-areal)"
                 )
