@@ -272,6 +272,20 @@ def main() -> None:
             F.sum(st.st_length("poly")).alias("l"),
         ).collect()
     )
+    # - b1c: constructive ops over the same ragged batch — r5 vectorized
+    #   Douglas-Peucker keep-mask + level-synchronous monotone-chain hull
+    #   with batched EWKB assembly (geo/ragged.py), ~12-15x the per-row
+    #   factory path at equal bytes
+    ragged.sample(fraction=0.02, seed=1).select(
+        F.sum(st.st_count_coordinates(st.st_simplify("poly", 0.05))),
+        F.sum(st.st_area(st.st_convex_hull("poly"))),
+    ).collect()
+    variants["b1c_constructive_ragged"] = timed(
+        lambda: ragged.select(
+            F.sum(st.st_count_coordinates(st.st_simplify("poly", 0.05))).alias("n"),
+            F.sum(st.st_area(st.st_convex_hull("poly"))).alias("ha"),
+        ).collect()
+    )
     # - b2g: row-paired polygon×polygon intersects over the same ragged
     #   holed n-gons vs a shifted copy — the CSR segment-pair kernel
     #   (geo/ragged.polys_intersect), i.e. the sjoin refinement hot path

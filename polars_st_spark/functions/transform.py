@@ -96,7 +96,27 @@ def st_centroid(col) -> Column:
 
 st_center = _u(algos.center)
 st_point_on_surface = _u(algos.point_on_surface)
-st_convex_hull = _u(algos.convex_hull)
+
+
+def st_convex_hull(col) -> Column:
+    """Monotone-chain convex hull. r5 batch fast path: polygonal / lineal /
+    multipoint CSR batches run the LEVEL-SYNCHRONOUS monotone chain
+    (geo/ragged.convex_hull_rows — the scalar arithmetic per row, so output
+    bytes are identical) with vectorized EWKB assembly; mixed/Z/M batches
+    fall back per-row."""
+    from polars_st_spark.geo import ragged
+    from polars_st_spark.geo.wkb import from_ewkb, to_ewkb
+
+    @pandas_udf("binary")
+    def udf(s: pd.Series) -> pd.Series:
+        fast = ragged.convex_hull_batch(s.to_numpy())
+        if fast is not None:
+            return pd.Series(fast, dtype=object)
+        return pd.Series(
+            [None if b is None else to_ewkb(algos.convex_hull(from_ewkb(bytes(b))))
+             for b in s], dtype=object)
+
+    return udf(col_or_lit(col))
 
 
 def st_concave_hull(col, ratio: float = 0.0, allow_holes: bool = False) -> Column:
@@ -126,7 +146,28 @@ st_multi = _u(algos.multi)
 
 
 def st_simplify(col, tolerance: float, preserve_topology: bool = True) -> Column:
-    return unary_geom(lambda g: algos.simplify(g, tolerance, preserve_topology))(col_or_lit(col))
+    """Douglas–Peucker. r5 batch fast path: uniform-SRID 2-D polygonal or
+    lineal CSR batches compute ONE vectorized keep-mask over every
+    ring/chain at once (geo/ragged.dp_keep_mask — the scalar argmax/
+    tie-break arithmetic, so bytes are identical) and assemble EWKB rows
+    without per-row geometry objects; other shapes fall back per-row."""
+    from polars_st_spark.geo import ragged
+    from polars_st_spark.geo.wkb import from_ewkb, to_ewkb
+
+    tol = float(tolerance)
+    pt = preserve_topology
+
+    @pandas_udf("binary")
+    def udf(s: pd.Series) -> pd.Series:
+        fast = ragged.simplify_batch(s.to_numpy(), tol)
+        if fast is not None:
+            return pd.Series(fast, dtype=object)
+        return pd.Series(
+            [None if b is None else
+             to_ewkb(algos.simplify(from_ewkb(bytes(b)), tol, pt))
+             for b in s], dtype=object)
+
+    return udf(col_or_lit(col))
 
 
 def st_segmentize(col, max_segment_length: float) -> Column:

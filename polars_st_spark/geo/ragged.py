@@ -2905,3 +2905,532 @@ def pairs_distance(
             return None
         out[rem] = best[rem]
     return out
+
+
+# ----------------------------------------------------------------------
+# Vectorized constructive ops over CSR batches (r5 — VERDICT r4 #4:
+# simplify / convex_hull previously fell to the per-row factory fallback
+# on ragged batches)
+# ----------------------------------------------------------------------
+
+def dp_keep_mask(coords: np.ndarray, unit_start: np.ndarray, tol: float) -> np.ndarray:
+    """Douglas–Peucker keep-mask for EVERY unit (ring/chain) of a CSR batch
+    at once. Exact scalar parity with ``algos._dp_simplify``: the same
+    ``_seg_dist_point`` arithmetic, strict ``> tol``, and the same
+    first-of-max tie-break — the kept vertex SET of DP is independent of
+    interval processing order, so level-synchronous processing (all active
+    intervals per pass) gives identical output to the scalar's stack.
+
+    Units shorter than 3 points keep every vertex (the scalar's
+    ``len(c) < 3`` passthrough)."""
+    from polars_st_spark.geo.algos import _seg_dist_point
+
+    us = np.asarray(unit_start, dtype=np.int64)
+    n = int(us[-1]) if len(us) else 0
+    keep = np.zeros(n, dtype=bool)
+    if not n or len(us) < 2:
+        return keep
+    lengths = np.diff(us)
+    unit_of = np.repeat(np.arange(len(lengths), dtype=np.int64), lengths)
+    keep[(lengths < 3)[unit_of]] = True
+    big = lengths >= 3
+    I = us[:-1][big]
+    J = (us[1:] - 1)[big]
+    keep[I] = True
+    keep[J] = True
+    x, y = coords[:, 0], coords[:, 1]
+    while len(I):
+        m = J - I - 1
+        total = int(m.sum())
+        starts = np.cumsum(m) - m
+        ramp = np.arange(total, dtype=np.int64) - np.repeat(starts, m)
+        pidx = np.repeat(I + 1, m) + ramp
+        iv = np.repeat(np.arange(len(I), dtype=np.int64), m)
+        d = _seg_dist_point(x[pidx], y[pidx], x[I][iv], y[I][iv], x[J][iv], y[J][iv])
+        dmax = np.maximum.reduceat(d, starts)
+        # first index achieving the max inside each interval (float-equal
+        # compare against the interval's own reduceat max — exact)
+        cand = d == dmax[iv]
+        kpos = np.minimum.reduceat(np.where(cand, pidx, np.iinfo(np.int64).max), starts)
+        split = dmax > tol
+        kpos = kpos[split]
+        keep[kpos] = True
+        I2 = np.concatenate([I[split], kpos])
+        J2 = np.concatenate([kpos, J[split]])
+        live = J2 - I2 >= 2
+        I, J = I2[live], J2[live]
+    return keep
+
+
+def encode_polygonal_rows(
+    n: int,
+    row_type: np.ndarray,
+    part_row: np.ndarray,
+    ring_part: np.ndarray,
+    ring_npts: np.ndarray,
+    coords: np.ndarray,
+    srid: int,
+    null_mask: np.ndarray,
+) -> list:
+    """Assemble little-endian EWKB Polygon/MultiPolygon rows from CSR
+    pieces without per-row Python geometry objects — byte-identical to
+    ``to_ewkb(Geometry(...))`` on the same structure.
+
+    row_type: 3 (Polygon) or 6 (MultiPolygon) per row; part_row: owning
+    row per part (parts in row order); ring_part: owning part per ring;
+    ring_npts: vertex count per ring (rings in part order); coords:
+    (sum(ring_npts), 2) concatenated vertices."""
+    row_type = np.asarray(row_type, dtype=np.int64)
+    part_row = np.asarray(part_row, dtype=np.int64)
+    ring_part = np.asarray(ring_part, dtype=np.int64)
+    ring_npts = np.asarray(ring_npts, dtype=np.int64)
+    with_srid = srid != 0
+    hdr = 5 + (4 if with_srid else 0)
+    P = len(part_row)
+    R = len(ring_part)
+    ring_bytes = 4 + 16 * ring_npts
+    part_nrings = np.bincount(ring_part, minlength=P)
+    part_ring_bytes = np.zeros(P, dtype=np.int64)
+    np.add.at(part_ring_bytes, ring_part, ring_bytes)
+    # per-part payload: nrings word + its rings
+    part_payload = 4 + part_ring_bytes
+    row_nparts = np.bincount(part_row, minlength=n)
+    row_part_payload = np.zeros(n, dtype=np.int64)
+    np.add.at(row_part_payload, part_row, part_payload)
+    is_multi = row_type == 6
+    # Polygon row: hdr + (nrings + rings); Multi row: hdr + nparts word +
+    # per part (5-byte header + payload)
+    row_len = np.where(
+        is_multi,
+        hdr + 4 + row_part_payload + 5 * row_nparts,
+        hdr + row_part_payload - 4 * row_nparts + 4,
+    )
+    row_len[null_mask] = 0
+    row_off = np.concatenate([[0], np.cumsum(row_len)])
+    buf = np.zeros(int(row_off[-1]), dtype=np.uint8)
+    rows = np.nonzero(~null_mask)[0]
+    # --- row headers ---
+    ro = row_off[rows]
+    buf[ro] = 1
+    word = np.where(row_type[rows] == 6, 6, 3).astype(np.uint32)
+    if with_srid:
+        word = word | np.uint32(_SRID_FLAG)
+    w8 = word.astype("<u4").reshape(-1, 1).view(np.uint8)
+    buf[ro[:, None] + np.arange(1, 5)] = w8
+    pos = ro + 5
+    if with_srid:
+        s8 = np.full(len(rows), srid, dtype="<u4").reshape(-1, 1).view(np.uint8)
+        buf[pos[:, None] + np.arange(4)] = s8
+        pos = pos + 4
+    # count word right after the header: nparts for multi rows (written
+    # here); single-polygon rows get their nrings via the part pass below
+    row_pos = np.zeros(n, dtype=np.int64)
+    row_pos[rows] = pos
+    multi_rows = rows[is_multi[rows]]
+    if len(multi_rows):
+        mr8 = row_nparts[multi_rows].astype("<u4").reshape(-1, 1).view(np.uint8)
+        buf[row_pos[multi_rows][:, None] + np.arange(4)] = mr8
+    # --- part positions ---
+    # parts are laid out in (row, part) order; compute each part's start
+    part_off = np.zeros(P, dtype=np.int64)
+    cur = row_pos.copy()
+    cur[is_multi] += 4  # skip nparts word
+    # sequential within row: prefix-sum part payloads per row
+    part_span = np.where(is_multi[part_row], 5 + part_payload, part_payload)
+    # order: part_row is nondecreasing (parts in row order)
+    gstart = np.concatenate([[0], np.cumsum(part_span)])[:-1]
+    row_first_part = np.searchsorted(part_row, np.arange(n), side="left")
+    part_off = cur[part_row] + gstart - gstart[row_first_part[part_row]]
+    # multi parts carry their own 5-byte header (no srid inside parts)
+    mp = is_multi[part_row]
+    if mp.any():
+        po = part_off[mp]
+        buf[po] = 1
+        pw = np.full(mp.sum(), 3, dtype="<u4").reshape(-1, 1).view(np.uint8)
+        buf[po[:, None] + np.arange(1, 5)] = pw
+    ring_count_pos = part_off + np.where(mp, 5, 0)
+    rc8 = part_nrings.astype("<u4").reshape(-1, 1).view(np.uint8)
+    buf[ring_count_pos[:, None] + np.arange(4)] = rc8
+    # --- ring headers + coordinates ---
+    ring_span = ring_bytes
+    rstart_in_part = np.concatenate([[0], np.cumsum(ring_span)])[:-1]
+    part_first_ring = np.searchsorted(ring_part, np.arange(P), side="left")
+    ring_off = (ring_count_pos + 4)[ring_part] + rstart_in_part - rstart_in_part[part_first_ring[ring_part]]
+    rn8 = ring_npts.astype("<u4").reshape(-1, 1).view(np.uint8)
+    buf[ring_off[:, None] + np.arange(4)] = rn8
+    # coordinate bytes: each vertex is 16 bytes at ring_off+4 + 16*pos
+    N = int(ring_npts.sum())
+    if N:
+        vring = np.repeat(np.arange(R, dtype=np.int64), ring_npts)
+        vramp = np.arange(N, dtype=np.int64) - np.repeat(
+            np.cumsum(ring_npts) - ring_npts, ring_npts)
+        voff = ring_off[vring] + 4 + 16 * vramp
+        cb = np.ascontiguousarray(coords[:, :2], dtype="<f8").view(np.uint8).reshape(N, 16)
+        buf[voff[:, None] + np.arange(16)] = cb
+    bts = buf.tobytes()
+    out = []
+    for i in range(n):
+        if null_mask[i]:
+            out.append(None)
+        else:
+            out.append(bts[row_off[i]:row_off[i + 1]])
+    return out
+
+
+def encode_lineal_rows(
+    n: int,
+    row_type: np.ndarray,
+    chain_row: np.ndarray,
+    chain_npts: np.ndarray,
+    coords: np.ndarray,
+    srid: int,
+    null_mask: np.ndarray,
+) -> list:
+    """Assemble little-endian EWKB LineString/MultiLineString rows from CSR
+    pieces — byte-identical to ``to_ewkb`` on the same structure.
+    row_type: 2 (LineString) or 5 (MultiLineString) per row."""
+    row_type = np.asarray(row_type, dtype=np.int64)
+    chain_row = np.asarray(chain_row, dtype=np.int64)
+    chain_npts = np.asarray(chain_npts, dtype=np.int64)
+    with_srid = srid != 0
+    hdr = 5 + (4 if with_srid else 0)
+    C = len(chain_row)
+    chain_bytes = 4 + 16 * chain_npts      # npts word + vertices
+    row_nchains = np.bincount(chain_row, minlength=n)
+    row_chain_bytes = np.zeros(n, dtype=np.int64)
+    np.add.at(row_chain_bytes, chain_row, chain_bytes)
+    is_multi = row_type == 5
+    # LineString row: hdr + npts + pts (exactly one chain);
+    # Multi row: hdr + nchains + per chain (5-byte header + payload)
+    row_len = np.where(
+        is_multi,
+        hdr + 4 + row_chain_bytes + 5 * row_nchains,
+        hdr + row_chain_bytes,
+    )
+    # an empty LineString row (0 chains) still writes npts=0
+    row_len[~is_multi & (row_nchains == 0)] = hdr + 4
+    row_len[null_mask] = 0
+    row_off = np.concatenate([[0], np.cumsum(row_len)])
+    buf = np.zeros(int(row_off[-1]), dtype=np.uint8)
+    rows = np.nonzero(~null_mask)[0]
+    ro = row_off[rows]
+    buf[ro] = 1
+    word = np.where(row_type[rows] == 5, 5, 2).astype(np.uint32)
+    if with_srid:
+        word = word | np.uint32(_SRID_FLAG)
+    buf[ro[:, None] + np.arange(1, 5)] = word.astype("<u4").reshape(-1, 1).view(np.uint8)
+    pos = ro + 5
+    if with_srid:
+        s8 = np.full(len(rows), srid, dtype="<u4").reshape(-1, 1).view(np.uint8)
+        buf[pos[:, None] + np.arange(4)] = s8
+        pos = pos + 4
+    row_pos = np.zeros(n, dtype=np.int64)
+    row_pos[rows] = pos
+    multi_rows = rows[is_multi[rows]]
+    if len(multi_rows):
+        mr8 = row_nchains[multi_rows].astype("<u4").reshape(-1, 1).view(np.uint8)
+        buf[row_pos[multi_rows][:, None] + np.arange(4)] = mr8
+    # chain positions (chains in row order)
+    chain_span = np.where(is_multi[chain_row], 5 + chain_bytes, chain_bytes)
+    gstart = np.concatenate([[0], np.cumsum(chain_span)])[:-1]
+    row_first_chain = np.searchsorted(chain_row, np.arange(n), side="left")
+    cur = row_pos.copy()
+    cur[is_multi] += 4
+    chain_off = cur[chain_row] + gstart - gstart[row_first_chain[chain_row]]
+    mc = is_multi[chain_row]
+    if mc.any():
+        co = chain_off[mc]
+        buf[co] = 1
+        cw = np.full(int(mc.sum()), 2, dtype="<u4").reshape(-1, 1).view(np.uint8)
+        buf[co[:, None] + np.arange(1, 5)] = cw
+    npts_pos = chain_off + np.where(mc, 5, 0)
+    cn8 = chain_npts.astype("<u4").reshape(-1, 1).view(np.uint8)
+    buf[npts_pos[:, None] + np.arange(4)] = cn8
+    N = int(chain_npts.sum())
+    if N:
+        vchain = np.repeat(np.arange(C, dtype=np.int64), chain_npts)
+        vramp = np.arange(N, dtype=np.int64) - np.repeat(
+            np.cumsum(chain_npts) - chain_npts, chain_npts)
+        voff = npts_pos[vchain] + 4 + 16 * vramp
+        cb = np.ascontiguousarray(coords[:, :2], dtype="<f8").view(np.uint8).reshape(N, 16)
+        buf[voff[:, None] + np.arange(16)] = cb
+    bts = buf.tobytes()
+    out = []
+    for i in range(n):
+        out.append(None if null_mask[i] else bts[row_off[i]:row_off[i + 1]])
+    return out
+
+
+def convex_hull_rows(coords: np.ndarray, row_start: np.ndarray, n: int):
+    """Per-row convex hulls over a CSR batch via a LEVEL-SYNCHRONOUS
+    Andrew monotone chain: every active row performs exactly one stack
+    push or pop per pass, with the scalar ``algos.convex_hull`` cross
+    arithmetic evaluated in the same per-row order — so the output is
+    bit-identical to the scalar kernel for every input, including the
+    near-collinear float-noise cases where any OTHER hull algorithm's
+    different arithmetic would disagree (a QuickHull variant was tried and
+    rejected for exactly that).
+
+    Returns ``(kind, ring_npts, ring_coords, deg_pts)``:
+    kind per row — 0 empty, 1 point, 2 line (2-point), 3 polygon;
+    ring_npts — closing-vertex-inclusive counts for polygon rows (in row
+    order); ring_coords — their concatenated CCW vertices; deg_pts —
+    (n, 4) [ax, ay, bx, by] endpoints for point/line rows."""
+    rs = np.asarray(row_start, dtype=np.int64)
+    npts_row = np.diff(rs)
+    row_of = np.repeat(np.arange(n, dtype=np.int64), npts_row)
+    x, y = coords[:, 0], coords[:, 1]
+    # scalar prologue: np.unique(axis=0) per row == sort by (row, x, y) +
+    # consecutive dedup (np.unique sorts rows lexicographically)
+    order = np.lexsort((y, x, row_of))
+    rr, xx, yy = row_of[order], x[order], y[order]
+    first = np.ones(len(rr), dtype=bool)
+    if len(rr) > 1:
+        first[1:] = (rr[1:] != rr[:-1]) | (xx[1:] != xx[:-1]) | (yy[1:] != yy[:-1])
+    rr, xx, yy = rr[first], xx[first], yy[first]
+    cnt = np.bincount(rr, minlength=n)
+    start = np.concatenate([[0], np.cumsum(cnt)])
+    kind = np.zeros(n, dtype=np.int8)
+    kind[cnt == 1] = 1
+    deg_pts = np.full((n, 4), np.nan)
+    one = cnt == 1
+    deg_pts[one, 0] = xx[start[:-1][one]]
+    deg_pts[one, 1] = yy[start[:-1][one]]
+    multi = np.nonzero(cnt >= 2)[0]
+    A_i = start[:-1][multi]
+    B_i = (start[1:] - 1)[multi]
+    deg_pts[multi, 0], deg_pts[multi, 1] = xx[A_i], yy[A_i]
+    deg_pts[multi, 2], deg_pts[multi, 3] = xx[B_i], yy[B_i]
+    M = len(multi)
+    if not M:
+        return kind, np.empty(0, np.int64), np.empty((0, 2)), deg_pts
+
+    mcnt = cnt[multi]
+    sbase = np.concatenate([[0], np.cumsum(mcnt)])[:-1]
+
+    def half_chains(ascending: bool):
+        """Scalar `half()` for every multi row at once. Returns per-row
+        (stack xs, stack ys CSR buffer, tops)."""
+        sx = np.empty(int(mcnt.sum()))
+        sy = np.empty(int(mcnt.sum()))
+        top = np.zeros(M, dtype=np.int64)
+        if ascending:
+            ip = start[:-1][multi].copy()
+            end = start[1:][multi]
+            step = 1
+        else:
+            ip = (start[1:] - 1)[multi].copy()
+            end = start[:-1][multi] - 1
+            step = -1
+        act = np.arange(M, dtype=np.int64)
+        while len(act):
+            live = ip[act] != end[act]
+            act = act[live]
+            if not len(act):
+                break
+            ia = ip[act]
+            px, py = xx[ia], yy[ia]
+            t = top[act]
+            can = t >= 2
+            o1 = sbase[act] + np.maximum(t - 1, 0)
+            o2 = sbase[act] + np.maximum(t - 2, 0)
+            # the scalar's exact expression and operand order
+            cr = ((sx[o1] - sx[o2]) * (py - sy[o2])
+                  - (sy[o1] - sy[o2]) * (px - sx[o2]))
+            pop = can & (cr <= 0)
+            top[act[pop]] -= 1
+            push = ~pop
+            ap = act[push]
+            off = sbase[ap] + top[ap]
+            sx[off] = px[push]
+            sy[off] = py[push]
+            top[ap] += 1
+            ip[ap] += step
+        return sx, sy, top
+
+    lx, ly, ltop = half_chains(True)
+    ux, uy, utop = half_chains(False)
+    # hull = lower[:-1] + upper[:-1]; < 3 points -> LineString(P0, Pend)
+    hull_n = (ltop - 1) + (utop - 1)
+    is_poly = hull_n >= 3
+    kind[multi[is_poly]] = 3
+    kind[multi[~is_poly]] = 2
+    pr = np.nonzero(is_poly)[0]        # indices into multi
+    ring_npts = hull_n[pr] + 1
+    roff = np.concatenate([[0], np.cumsum(ring_npts)])
+    total = int(roff[-1])
+    ring_coords = np.empty((total, 2))
+    # scatter lower chains [0 .. ltop-1): positions roff + i
+    ln = (ltop - 1)[pr]
+    un = (utop - 1)[pr]
+    if total:
+        li = np.arange(int(ln.sum()), dtype=np.int64)
+        lw = li - np.repeat(np.cumsum(ln) - ln, ln)
+        lrow = np.repeat(np.arange(len(pr)), ln)
+        src = sbase[pr][lrow] + lw
+        dst = roff[:-1][lrow] + lw
+        ring_coords[dst, 0] = lx[src]
+        ring_coords[dst, 1] = ly[src]
+        ui = np.arange(int(un.sum()), dtype=np.int64)
+        uw = ui - np.repeat(np.cumsum(un) - un, un)
+        urow = np.repeat(np.arange(len(pr)), un)
+        usrc = sbase[pr][urow] + uw
+        udst = roff[:-1][urow] + ln[urow] + uw
+        ring_coords[udst, 0] = ux[usrc]
+        ring_coords[udst, 1] = uy[usrc]
+        # closing vertex = first vertex
+        ring_coords[roff[1:] - 1] = ring_coords[roff[:-1]]
+        # GEOS emits CCW: flip rows whose signed area is negative, with the
+        # scalar _ring_signed_area arithmetic (translate to first vertex)
+        ring_of = np.repeat(np.arange(len(pr)), ring_npts)
+        fx = ring_coords[roff[:-1], 0][ring_of]
+        fy = ring_coords[roff[:-1], 1][ring_of]
+        tx = ring_coords[:, 0] - fx
+        ty = ring_coords[:, 1] - fy
+        nxt = np.arange(total, dtype=np.int64) + 1
+        nxt[roff[1:] - 1] = roff[:-1]      # np.roll(-1) within each ring
+        contrib = tx * ty[nxt] - tx[nxt] * ty
+        area2 = np.add.reduceat(contrib, roff[:-1])
+        # reduceat sums sequentially while the scalar _ring_signed_area
+        # uses np.sum (pairwise) — different rounding can flip the SIGN of
+        # a near-degenerate sliver. Decide borderline rows with the exact
+        # scalar arithmetic; solidly-positive rows skip it.
+        mag = np.add.reduceat(np.abs(contrib), roff[:-1])
+        suspicious = area2 < 1e-9 * np.maximum(mag, 1e-300)
+        if suspicious.any():
+            from polars_st_spark.geo.algos import _ring_signed_area
+
+            for j in np.nonzero(suspicious)[0]:
+                seg = ring_coords[roff[j]:roff[j + 1]]
+                if _ring_signed_area(seg) < 0:
+                    ring_coords[roff[j]:roff[j + 1]] = seg[::-1]
+    return kind, ring_npts, ring_coords, deg_pts
+
+
+def _rows_type_byte(vals, null_mask) -> np.ndarray:
+    out = np.zeros(len(vals), dtype=np.int64)
+    for i, b in enumerate(vals):
+        if not null_mask[i]:
+            out[i] = b[1]
+    return out
+
+
+def simplify_batch(vals, tol: float):
+    """Whole-batch Douglas–Peucker for uniform-SRID 2-D polygonal or lineal
+    batches: one CSR parse, one vectorized keep-mask over every ring/chain
+    (:func:`dp_keep_mask`), one vectorized EWKB assembly — byte-identical
+    to ``to_ewkb(algos.simplify(from_ewkb(b), tol))`` per row. Returns a
+    list of bytes/None, or None when the batch shape needs the scalar path
+    (mixed families, Z/M, mixed SRIDs, unclosed or empty rings)."""
+    rp = parse_polygonal(vals)
+    if rp is not None:
+        if not rp.srid_uniform:
+            return None
+        npr = np.diff(rp.ring_start)
+        if (npr == 0).any():
+            return None
+        rs_, re_ = rp.ring_start[:-1], rp.ring_start[1:] - 1
+        if len(rs_) and not (
+            (rp.coords[rs_, 0] == rp.coords[re_, 0])
+            & (rp.coords[rs_, 1] == rp.coords[re_, 1])
+        ).all():
+            return None  # unclosed ring: scalar _closed() would append
+        keep = dp_keep_mask(rp.coords, rp.ring_start, tol)
+        R = len(rp.ring_row)
+        ring_kept = (np.add.reduceat(keep.astype(np.int64), rp.ring_start[:-1])
+                     if R else np.empty(0, np.int64))
+        ring_ok = ring_kept >= 4
+        ring_of_coord = np.repeat(np.arange(R, dtype=np.int64), npr)
+        cmask = keep & ring_ok[ring_of_coord]
+        return encode_polygonal_rows(
+            rp.n, _rows_type_byte(vals, rp.null_mask), rp.part_row,
+            rp.ring_part[ring_ok], ring_kept[ring_ok], rp.coords[cmask],
+            rp.srid, rp.null_mask)
+    rl = parse_lineal(vals)
+    if rl is not None:
+        if not rl.srid_uniform:
+            return None
+        keep = dp_keep_mask(rl.coords, rl.chain_start, tol)
+        C = len(rl.chain_row)
+        chain_kept = (np.add.reduceat(keep.astype(np.int64), rl.chain_start[:-1])
+                      if C else np.empty(0, np.int64))
+        return encode_lineal_rows(
+            rl.n, _rows_type_byte(vals, rl.null_mask), rl.chain_row,
+            chain_kept, rl.coords[keep], rl.srid, rl.null_mask)
+    return None
+
+
+def convex_hull_batch(vals):
+    """Whole-batch convex hull for uniform-SRID 2-D polygonal / lineal /
+    multipoint batches (:func:`convex_hull_rows` level-synchronous
+    monotone chain + vectorized EWKB assembly). Byte-identical to the
+    scalar ``algos.convex_hull``. None → scalar fallback."""
+    from polars_st_spark.geo.wkb import points_to_ewkb, to_ewkb
+    from polars_st_spark.geo.types import empty_collection
+
+    p = parse_polygonal(vals)
+    if p is None:
+        p = parse_lineal(vals)
+    if p is None:
+        p = parse_multipoints(vals)
+    if p is None:
+        # mixed-family batch: split by header scan, hull each family's
+        # sub-batch through this same path, merge by row index
+        fam = split_families(vals)
+        if fam is None:
+            return None
+        out: list = [None] * len(vals)
+        for key in ("mpoint", "line", "poly"):
+            idx = fam[key]
+            if len(idx):
+                sub = convex_hull_batch(np.asarray(vals, dtype=object)[idx])
+                if sub is None:
+                    return None
+                for j, i in enumerate(idx):
+                    out[i] = sub[j]
+        if len(fam["point"]):
+            from polars_st_spark.geo.algos import convex_hull as _ch
+            from polars_st_spark.geo.wkb import from_ewkb as _fe, to_ewkb as _te
+
+            for i in fam["point"]:
+                out[i] = _te(_ch(_fe(bytes(vals[i]))))
+        return out
+    if not p.srid_uniform:
+        return None
+    srid = p.srid
+    n = p.n
+    kind, ring_npts, ring_coords, deg = convex_hull_rows(p.coords, p.row_start, n)
+    out: list = [None] * n
+    poly_rows = np.nonzero(kind == 3)[0]
+    if len(poly_rows):
+        pm = np.ones(n, dtype=bool)
+        pm[poly_rows] = False
+        enc = encode_polygonal_rows(
+            n, np.full(n, 3, dtype=np.int64), poly_rows,
+            np.arange(len(poly_rows), dtype=np.int64), ring_npts,
+            ring_coords, srid, pm)
+        for r in poly_rows:
+            out[r] = enc[r]
+    line_rows = np.nonzero(kind == 2)[0]
+    if len(line_rows):
+        lm = np.ones(n, dtype=bool)
+        lm[line_rows] = False
+        lc = np.empty((2 * len(line_rows), 2))
+        lc[0::2, 0], lc[0::2, 1] = deg[line_rows, 0], deg[line_rows, 1]
+        lc[1::2, 0], lc[1::2, 1] = deg[line_rows, 2], deg[line_rows, 3]
+        enc = encode_lineal_rows(
+            n, np.full(n, 2, dtype=np.int64), line_rows,
+            np.full(len(line_rows), 2, dtype=np.int64), lc, srid, lm)
+        for r in line_rows:
+            out[r] = enc[r]
+    pt_rows = np.nonzero(kind == 1)[0]
+    if len(pt_rows):
+        pb = points_to_ewkb(deg[pt_rows, 0], deg[pt_rows, 1], srid=srid)
+        for j, r in enumerate(pt_rows):
+            out[r] = pb[j]
+    empty_rows = np.nonzero((kind == 0) & ~p.null_mask)[0]
+    if len(empty_rows):
+        eb = to_ewkb(empty_collection(srid))
+        for r in empty_rows:
+            out[r] = eb
+    return out

@@ -1675,3 +1675,113 @@ def test_locate_points_multi_bbox_prune_parity():
     want = ragged._locate_points_multi_core(rp, px, py, prow)
     assert np.array_equal(got, want)
     assert set(np.unique(got)) <= {0, 1, 2} and (got == 0).any() and (got == 2).any()
+
+
+def test_simplify_batch_bit_parity():
+    """simplify_batch == to_ewkb(scalar simplify) byte-for-byte across
+    polygons with holes, multipolygons, grid slivers, lines, multilines,
+    nulls — including rings that DP collapses below 4 points (dropped)."""
+    from polars_st_spark.geo import algos as A
+
+    rng = np.random.RandomState(31)
+    for family in ("poly", "line"):
+        for srid in (0, 4326):
+            bufs = []
+            for i in range(250):
+                if family == "poly":
+                    k = rng.randint(4, 30)
+                    th = np.sort(rng.uniform(0, 2 * np.pi, k))
+                    r = rng.uniform(0.2, 4.0, k)
+                    shell = np.column_stack([5 * i + r * np.cos(th), r * np.sin(th)])
+                    rings = [np.vstack([shell, shell[:1]])]
+                    if i % 3 == 0:
+                        h = np.array([[5*i-.1,-.1],[5*i-.1,.1],[5*i+.1,.1],
+                                      [5*i+.1,-.1],[5*i-.1,-.1]])
+                        rings.append(h)
+                    g = Geometry(GeometryType.Polygon, srid=srid, rings=rings)
+                    if i % 5 == 0:
+                        g = Geometry(GeometryType.MultiPolygon, srid=srid, geoms=[
+                            Geometry(GeometryType.Polygon, rings=rings),
+                            Geometry(GeometryType.Polygon, rings=[np.array(
+                                [[5*i+8,0],[5*i+9,0],[5*i+9,1],[5*i+8,1],[5*i+8,0]])])])
+                else:
+                    k = rng.randint(2, 40)
+                    c = np.cumsum(rng.uniform(-1, 1, (k, 2)), axis=0)
+                    g = Geometry(GeometryType.LineString, srid=srid, coords=c)
+                    if i % 4 == 0:
+                        c2 = np.cumsum(rng.uniform(-1, 1, (rng.randint(2, 9), 2)), axis=0)
+                        g = Geometry(GeometryType.MultiLineString, srid=srid, geoms=[
+                            Geometry(GeometryType.LineString, coords=c),
+                            Geometry(GeometryType.LineString, coords=c2)])
+                bufs.append(to_ewkb(g))
+            vals = np.array(bufs + [None], dtype=object)
+            for tol in (0.05, 0.8, 5.0):
+                got = ragged.simplify_batch(vals, tol)
+                assert got is not None
+                assert got[-1] is None
+                for b, g_ in zip(bufs, got):
+                    assert g_ == to_ewkb(A.simplify(from_ewkb(b), tol))
+
+
+def test_convex_hull_batch_bit_parity():
+    """convex_hull_batch == scalar hull bytes — including near-collinear
+    float-noise shapes where only the exact monotone-chain arithmetic
+    agrees, integer-grid tie cases, duplicate points, and degenerate
+    (point / collinear) rows."""
+    from polars_st_spark.geo import algos as A
+
+    rng = np.random.RandomState(57)
+    for srid in (0, 3857):
+        bufs = []
+        for i in range(300):
+            mode = i % 6
+            if mode == 0:
+                c = rng.uniform(0, 10, (rng.randint(4, 40), 2))
+                g = Geometry(GeometryType.Polygon, rings=[np.vstack([c, c[:1]])])
+            elif mode == 1:
+                c = rng.randint(0, 5, (rng.randint(4, 25), 2)).astype(float)
+                g = Geometry(GeometryType.Polygon, rings=[np.vstack([c, c[:1]])])
+            elif mode == 2:  # near-collinear (float noise decides)
+                t = np.sort(rng.uniform(0, 5, rng.randint(2, 8)))
+                g = Geometry(GeometryType.LineString,
+                             coords=np.column_stack([t, 2 * t + 1]))
+            elif mode == 3:
+                c = np.cumsum(rng.uniform(-1, 1, (rng.randint(2, 20), 2)), axis=0)
+                g = Geometry(GeometryType.LineString, coords=c)
+            elif mode == 4:  # duplicates
+                c = np.repeat(rng.uniform(0, 3, (3, 2)), 3, axis=0)
+                g = Geometry(GeometryType.LineString, coords=c)
+            else:
+                c1 = rng.uniform(0, 4, (6, 2))
+                c2 = rng.uniform(5, 9, (5, 2))
+                g = Geometry(GeometryType.MultiPolygon, geoms=[
+                    Geometry(GeometryType.Polygon, rings=[np.vstack([c1, c1[:1]])]),
+                    Geometry(GeometryType.Polygon, rings=[np.vstack([c2, c2[:1]])])])
+            g = g.with_srid(srid) if srid else g
+            bufs.append(to_ewkb(g))
+        vals = np.array(bufs + [None], dtype=object)
+        got = ragged.convex_hull_batch(vals)
+        assert got is not None and got[-1] is None
+        for b, g_ in zip(bufs, got):
+            assert g_ == to_ewkb(A.convex_hull(from_ewkb(b)))
+
+
+def test_simplify_hull_spark_surface(spark):
+    """st_simplify / st_convex_hull batch paths through the Spark column
+    surface, mixed with nulls."""
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [(i, float(i)) for i in range(40)], ["id", "t"])
+    zig = st.st_linestring(F.transform(
+        F.sequence(F.lit(0), F.lit(12)),
+        lambda k: F.array(F.col("t") + k.cast("double"),
+                          F.when(k % 2 == 0, F.lit(0.001)).otherwise(F.lit(-0.001)))))
+    rows = df.select(
+        "id",
+        st.st_count_coordinates(st.st_simplify(zig, 0.01)).alias("n"),
+        st.st_geometry_type(st.st_convex_hull(zig)).alias("ht"),
+    ).collect()
+    for r in rows:
+        assert r["n"] == 2          # zigzag collapses to its endpoints
+        assert r["ht"] == "Polygon"
