@@ -379,13 +379,16 @@ def main() -> None:
     #   max_distance lattice) — customers × nations at sf grain
     from polars_st_spark.operators.nearest import st_sjoin_nearest as _nn
 
-    variants["p6_nearest_join"] = timed(
-        lambda: _nn(
-            cust.withColumnRenamed("pt", "geometry"),
-            nations.withColumnRenamed("rect", "geometry"),
-            k=2, max_distance=9.0,
-        ).count()
-    )
+    # p6 gets two reps (VERDICT r4 #5: diagnose its 3x run-to-run spread —
+    # the candidate volume is deterministic, so a spread here is ambient;
+    # nearest_cell_stats() gives the per-cell histogram offline)
+    _p6 = lambda: _nn(  # noqa: E731
+        cust.withColumnRenamed("pt", "geometry"),
+        nations.withColumnRenamed("rect", "geometry"),
+        k=2, max_distance=9.0,
+    ).count()
+    variants["p6_nearest_join"] = timed(_p6)
+    variants["p6_nearest_join_rep2"] = timed(_p6)
     # - p7: TF-IDF + BM25 over the documents corpus (two uniform-key
     #   shuffles + broadcast query scoring)
     from polars_st_spark.operators import tfidf as _tfidf

@@ -183,3 +183,26 @@ def test_left_join_null_types_match(frames):
     assert sch["geometry_right"] == "binary"
     assert sch["distance"] == "double"
     out.collect()
+
+
+def test_cell_stats_and_candidate_cap(frames, spark):
+    """nearest_cell_stats reports the hot-cell histogram; the
+    max_cell_candidates guard raises on a degenerate cell and passes
+    under a sufficient cap (VERDICT r4 #5)."""
+    from polars_st_spark.operators.nearest import nearest_cell_stats
+
+    left, right, lpts, rpts = frames
+    stats = nearest_cell_stats(left, right, max_distance=10.0).collect()
+    assert stats and stats[0]["product"] == max(r["product"] for r in stats)
+    total = sum(r["n_left"] for r in stats)
+    assert all(r["n_left"] >= 1 and r["n_right"] >= 1 for r in stats)
+    # coincident pile-up: 50 identical left points x 40 right in one cell
+    pile = spark.createDataFrame(
+        [(i, 50.0, 50.0) for i in range(50)], ["lid_val", "x", "y"]
+    ).select("lid_val", st.st_point("x", "y").alias("geometry"))
+    with pytest.raises(ValueError, match="max_cell_candidates"):
+        st_sjoin_nearest(pile, right, k=1, max_distance=200.0,
+                         max_cell_candidates=100).count()
+    out = st_sjoin_nearest(pile, right, k=1, max_distance=200.0,
+                           max_cell_candidates=10_000)
+    assert out.count() == 50
