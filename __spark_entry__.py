@@ -1641,6 +1641,13 @@ def q_curve_measures(spark, sf):
         F.round(st.st_length(cpoly), 6).alias("cp_perim"),
         F.round(st.st_x(cen), 6).alias("cp_cx"),
         F.round(st.st_y(cen) - F.col("y0"), 6).alias("cp_cy_rel"),
+        # r5: EXACT arc buffer (offset of an arc is an arc — curves.
+        # arc_buffer_exact): tube + round caps as a CurvePolygon of four
+        # arcs; area 2dL+πd² = 40π and perimeter (r+d)π+(r−d)π+2πd = 22π
+        # in closed form — a linearized buffer could not hit either
+        st.st_geometry_type(st.st_buffer(arc, 2.0)).alias("ab_t"),
+        F.round(st.st_area(st.st_buffer(arc, 2.0)), 6).alias("ab_area"),
+        F.round(st.st_length(st.st_buffer(arc, 2.0)), 6).alias("ab_perim"),
     )
 
 
@@ -3162,7 +3169,10 @@ def oracle_sql() -> dict[str, str]:
                    ROUND(pi() * 81.0 / 2.0, 6) AS cp_area,
                    ROUND(9.0 * pi() + 18.0, 6) AS cp_perim,
                    ROUND((n_nationkey % 5) * 20.0 + 9.0, 6) AS cp_cx,
-                   ROUND(12.0 / pi(), 6) AS cp_cy_rel
+                   ROUND(12.0 / pi(), 6) AS cp_cy_rel,
+                   'CurvePolygon' AS ab_t,
+                   ROUND(40.0 * pi(), 6) AS ab_area,
+                   ROUND(22.0 * pi(), 6) AS ab_perim
             FROM nation""",
     }
     # ---- round-3 consolidated suites (compose the singleton oracles) ----

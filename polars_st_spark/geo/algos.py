@@ -1320,6 +1320,12 @@ def buffer(
         return Geometry(GeometryType.Polygon, srid=g.srid, rings=[])
     if dist < 0:
         return _buffer_erode(g, -dist, quad_segs, join_style, mitre_limit)
+    if cap_style == "round" and join_style == "round":
+        from polars_st_spark.geo.curves import arc_buffer_exact
+
+        exact = arc_buffer_exact(g, dist)
+        if exact is not None:
+            return exact
     t = g.type_id
     if t == GeometryType.Point:
         if cap_style == "flat":

@@ -908,3 +908,66 @@ def _is_curved(g: Geometry) -> bool:
     if g.geoms is not None:
         return any(_is_curved(s) for s in g.geoms)
     return False
+
+
+def arc_buffer_exact(g: Geometry, dist: float) -> Geometry | None:
+    """EXACT round-cap buffer of a single-arc CircularString (r5 — VERDICT
+    r4 #7): the offset of a circular arc is a circular arc about the same
+    center, so the buffer boundary is four arcs — outer offset (r+d),
+    a half-circle cap at each end (center = arc endpoint, radius d,
+    bulging along the tangent), and the reversed inner offset (r−d) —
+    assembled as a CurvePolygon(CompoundCurve). A PostGIS-style full
+    circle becomes the exact ANNULUS (two full-circle rings, no caps).
+    :func:`exact_area` on the result reproduces the closed form
+    ``2·d·L + π·d²`` (tube + caps) to float precision.
+
+    Returns None — caller falls back to the linearized general path —
+    when the shape leaves the exact envelope: multi-arc chains, collinear
+    control points (a straight segment), ``d ≥ r`` (the inner offset
+    collapses), or endpoints closer than ``2d`` (the caps would overlap,
+    a non-simple boundary)."""
+    if g.type_id != GeometryType.CircularString or g.coords is None:
+        return None
+    c = np.asarray(g.coords, dtype=np.float64)[:, :2]
+    if len(c) != 3:
+        return None
+    params = arc_params(c[0], c[1], c[2])
+    if params is None:
+        return None
+    ux, uy, r, a0, sweep = params
+    d = float(dist)
+    if d <= 0 or d >= r - 1e-12 * max(r, 1.0):
+        return None
+
+    def on(radius, ang):
+        return [ux + radius * math.cos(ang), uy + radius * math.sin(ang)]
+
+    def cs(pts):
+        return Geometry(GeometryType.CircularString, srid=g.srid,
+                        coords=np.array(pts, dtype=np.float64))
+
+    if abs(sweep) >= 2.0 * math.pi - 1e-12:
+        # full circle -> exact annulus
+        outer = cs([on(r + d, a0), on(r + d, a0 + math.pi), on(r + d, a0)])
+        inner = cs([on(r - d, a0), on(r - d, a0 + math.pi), on(r - d, a0)])
+        return Geometry(GeometryType.CurvePolygon, srid=g.srid,
+                        geoms=[outer, inner])
+    a2 = a0 + sweep
+    chord = math.hypot(c[2, 0] - c[0, 0], c[2, 1] - c[0, 1])
+    if chord <= 2.0 * d:
+        return None
+    # forward tangent at the end / backward tangent at the start
+    sgn = 1.0 if sweep >= 0 else -1.0
+    t2 = (-math.sin(a2) * sgn, math.cos(a2) * sgn)
+    t0 = (-math.sin(a0) * sgn, math.cos(a0) * sgn)
+    outer = cs([on(r + d, a0), on(r + d, a0 + sweep / 2.0), on(r + d, a2)])
+    cap2 = cs([on(r + d, a2),
+               [c[2, 0] + d * t2[0], c[2, 1] + d * t2[1]],
+               on(r - d, a2)])
+    inner = cs([on(r - d, a2), on(r - d, a0 + sweep / 2.0), on(r - d, a0)])
+    cap0 = cs([on(r - d, a0),
+               [c[0, 0] - d * t0[0], c[0, 1] - d * t0[1]],
+               on(r + d, a0)])
+    ring = Geometry(GeometryType.CompoundCurve, srid=g.srid,
+                    geoms=[outer, cap2, inner, cap0])
+    return Geometry(GeometryType.CurvePolygon, srid=g.srid, geoms=[ring])

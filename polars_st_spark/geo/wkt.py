@@ -374,10 +374,20 @@ def _write(g: Geometry, prec: int, trim: bool, outdim: int, old_3d: bool) -> str
     if t == GeometryType.GeometryCollection:
         inner = ", ".join(_write(s, prec, trim, outdim, old_3d) for s in g.geoms)
         return f"{name}{tag} ({inner})"
-    # Multi*: write children without their type names
+    # Multi*: write children without their type names — EXCEPT curved
+    # components inside curve containers, which keep their tag (PostGIS
+    # convention: `CURVEPOLYGON (COMPOUNDCURVE (CIRCULARSTRING (...), ...))`
+    # — an untagged nested list would be ambiguous with a plain ring)
+    _curved_kids = (GeometryType.CircularString, GeometryType.CompoundCurve,
+                    GeometryType.CurvePolygon)
     parts = []
     for s in g.geoms:
         body = _write(s, prec, trim, outdim, old_3d)
+        if t in (GeometryType.CompoundCurve, GeometryType.CurvePolygon,
+                 GeometryType.MultiCurve, GeometryType.MultiSurface) \
+                and s.type_id in _curved_kids:
+            parts.append(body)
+            continue
         # strip "TYPE [TAG] " prefix, keep parens/EMPTY
         stripped = body.split(" ", 1)[1] if " " in body else body
         if stripped.startswith(("Z ", "M ", "ZM ")):

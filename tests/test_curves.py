@@ -174,3 +174,48 @@ def test_exact_centroid_closed_forms():
     arc = CS([1, 0], [0, 1], [-1, 0])
     c4 = algos.centroid(arc)
     assert abs(c4.coords[0]) < 1e-13 and abs(c4.coords[1] - 2 / math.pi) < 1e-12
+
+
+def test_arc_buffer_exact_and_curved_wkt_roundtrip():
+    """r5: buffer of a single-arc CircularString is EXACT (four-arc
+    CurvePolygon; area 2dL+pi d^2, perimeter (r+d+r-d+2d)*pi for a
+    semicircle), the full circle becomes an exact annulus, out-of-envelope
+    shapes fall back to the linearized polygon, and the curved WKT writer
+    tags nested components so CURVEPOLYGON(COMPOUNDCURVE(...)) round-trips."""
+    import math
+
+    import numpy as np
+
+    from polars_st_spark.geo import algos
+    from polars_st_spark.geo.curves import exact_area, exact_length
+    from polars_st_spark.geo.types import Geometry, GeometryType
+    from polars_st_spark.geo.wkb import from_ewkb, to_ewkb
+    from polars_st_spark.geo.wkt import from_wkt, to_wkt
+
+    arc = Geometry(GeometryType.CircularString,
+                   coords=np.array([[0, 0], [9, 9], [18, 0]], float))
+    b = algos.buffer(arc, 2.0)
+    assert b.type_id == GeometryType.CurvePolygon
+    assert abs(exact_area(b) - 40 * math.pi) < 1e-9
+    assert abs(exact_length(b) - 22 * math.pi) < 1e-9
+    # WKT and EWKB round-trips preserve the curved structure
+    w = to_wkt(b)
+    assert w.startswith("CURVEPOLYGON (COMPOUNDCURVE (CIRCULARSTRING")
+    assert to_wkt(from_wkt(w)) == w
+    assert to_wkt(from_ewkb(to_ewkb(b))) == w
+    # full circle -> exact annulus
+    fc = Geometry(GeometryType.CircularString,
+                  coords=np.array([[1, 0], [-1, 0], [1, 0]], float))
+    ann = algos.buffer(fc, 0.25)
+    assert ann.type_id == GeometryType.CurvePolygon and len(ann.geoms) == 2
+    assert abs(exact_area(ann) - math.pi * (1.25**2 - 0.75**2)) < 1e-12
+    # envelope fallbacks stay polygons: d >= r, collinear, overlapping caps
+    assert algos.buffer(arc, 10.0).type_id == GeometryType.Polygon
+    col = Geometry(GeometryType.CircularString,
+                   coords=np.array([[0, 0], [1, 0], [2, 0]], float))
+    assert algos.buffer(col, 0.5).type_id == GeometryType.Polygon
+    near_full = Geometry(GeometryType.CircularString,
+                         coords=np.array([[1, 0], [-1, 0], [0.999, -0.04]], float))
+    assert algos.buffer(near_full, 0.5).type_id == GeometryType.Polygon
+    # flat caps keep the general path
+    assert algos.buffer(arc, 2.0, cap_style="flat").type_id == GeometryType.Polygon
