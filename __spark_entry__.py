@@ -1766,6 +1766,46 @@ def q_sjoin_touches(spark, sf):
     return b.unionByName(g)
 
 
+def q_line_clip_scale(spark, sf):
+    """r5: the general lineal×areal clip kernel at LINEITEM grain — every
+    row builds a concave L-polygon (its 4×4 rect minus the upper-right 2×2
+    quadrant) and clips two horizontal probe lines (through the full-width
+    bottom arm and the half-width top arm). Per-supplier sums of the
+    clipped lengths are exact INTEGERS (4 / 2 / 4 per row), so the oracle
+    is closed-form count arithmetic — no float accumulation order in the
+    hash. Exercises geo/setops._clip_chain_general on 6k-600k rows."""
+    li = _li_rects(spark, sf)
+    cx = F.col("x0") + 2.0
+    cy = F.col("y0") + 2.0
+    x0c, y0c, x1c, y1c = (F.col(n) for n in ("x0", "y0", "x1", "y1"))
+    lshape = st.st_polygon(F.array(F.array(
+        F.array(x0c, y0c), F.array(x1c, y0c), F.array(x1c, cy),
+        F.array(cx, cy), F.array(cx, y1c), F.array(x0c, y1c),
+        F.array(x0c, y0c))))
+    line_bot = st.st_linestring(F.array(
+        F.array(x0c - 1.0, y0c + 1.0), F.array(x1c + 1.0, y0c + 1.0)))
+    line_top = st.st_linestring(F.array(
+        F.array(x0c - 1.0, y0c + 3.0), F.array(x1c + 1.0, y0c + 3.0)))
+    return (
+        li.select(
+            "l_suppkey",
+            st.st_length(st.st_intersection(line_bot, lshape)).alias("b"),
+            st.st_length(st.st_intersection(line_top, lshape)).alias("t"),
+            st.st_length(st.st_difference(line_top, lshape)).alias("d"),
+        )
+        .groupBy("l_suppkey")
+        .agg(
+            # round-to-int before the sum: the clip endpoints come from
+            # 1/6-step params, so a length can land at 3.999999999999999x
+            # (a bare long cast would truncate)
+            F.sum(F.round(F.col("b")).cast("long")).alias("sum_bot"),
+            F.sum(F.round(F.col("t")).cast("long")).alias("sum_top"),
+            F.sum(F.round(F.col("d")).cast("long")).alias("sum_diff"),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+    )
+
+
 def q_doc_suite(spark, sf):
     """Per-document text-pipeline scalars in one pass: token counts, BPE-ish
     counts, language-ID + quality, MinHash signature, fingerprint, SimHash
@@ -2588,6 +2628,7 @@ _QUERIES = {
         "multimodal_audio": q_multimodal_audio,
         "adjacency_relate": q_adjacency_relate,
         "sjoin_touches": q_sjoin_touches,
+        "line_clip_scale": q_line_clip_scale,
     }
 
 
@@ -2823,6 +2864,13 @@ def oracle_sql() -> dict[str, str]:
                    ROUND(6378137.0 * ln(tan(pi()/4 + radians(y)/2)), 3) AS my,
                    3857 AS msrid
             FROM ({_ORACLE_CUST})""",
+        "line_clip_scale": """
+            SELECT l_suppkey,
+                   CAST(4 * COUNT(*) AS BIGINT) AS sum_bot,
+                   CAST(2 * COUNT(*) AS BIGINT) AS sum_top,
+                   CAST(4 * COUNT(*) AS BIGINT) AS sum_diff,
+                   COUNT(*) AS n_rows
+            FROM lineitem GROUP BY l_suppkey""",
         "events_hourly": """
             SELECT user_id, date_trunc('hour', ts) AS hour,
                    COUNT(*) AS n_events, MIN(value) AS min_value, MAX(value) AS max_value
