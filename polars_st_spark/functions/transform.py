@@ -447,8 +447,46 @@ def _b(fn):
 
 
 st_union = _b(setops.union)
-st_intersection = _b(setops.intersection)
-st_difference = _b(setops.difference)
+
+
+def _clip_b(mode: str, scalar_fn):
+    """Binary setop wrapper with the r5 CSR batch path for row-paired
+    line×polygon pairs (geo/ragged.clip_line_poly_batch — bit-identical to
+    the scalar dispatch; rows the scalar routes through special paths run
+    scalar row-wise inside the same UDF). Other shapes fall back whole-
+    batch to the per-row kernel."""
+
+    def outer(col, other, grid_size: float | None = None) -> Column:
+        oc = geom_arg(other)
+        if grid_size is not None or not isinstance(oc, Column):
+            udf, occ = binary_geom(lambda a, b: scalar_fn(a, b, grid_size), oc)
+            return udf(col_or_lit(col)) if occ is None else udf(col_or_lit(col), occ)
+        from polars_st_spark.geo import ragged as _rg
+        from polars_st_spark.geo.wkb import from_ewkb as _fe, to_ewkb as _te
+
+        @pandas_udf("binary")
+        def udf2(s1: pd.Series, s2: pd.Series) -> pd.Series:
+            v1, v2 = s1.to_numpy(), s2.to_numpy()
+            fast = _rg.clip_line_poly_batch(v1, v2, mode)
+            if fast is not None:
+                out, need = fast
+                for i in np.nonzero(need)[0]:
+                    b1, b2 = v1[i], v2[i]
+                    out[i] = None if (b1 is None or b2 is None) else _te(
+                        scalar_fn(_fe(bytes(b1)), _fe(bytes(b2)), None))
+                return pd.Series(out, dtype=object)
+            return pd.Series(
+                [None if (b1 is None or b2 is None) else _te(
+                    scalar_fn(_fe(bytes(b1)), _fe(bytes(b2)), None))
+                 for b1, b2 in zip(v1, v2)], dtype=object)
+
+        return udf2(col_or_lit(col), oc)
+
+    return outer
+
+
+st_intersection = _clip_b("in", setops.intersection)
+st_difference = _clip_b("out", setops.difference)
 st_symmetric_difference = _b(setops.symmetric_difference)
 
 

@@ -3434,3 +3434,337 @@ def convex_hull_batch(vals):
         for r in empty_rows:
             out[r] = eb
     return out
+
+
+# ----------------------------------------------------------------------
+# Row-paired line × polygon clipping (r5): the CSR batch path behind
+# st_intersection / st_difference for lineal×areal pairs — the scalar
+# split-and-classify kernel (geo/setops._clip_chain_general) vectorized
+# with the pair-sweep + locate machinery, bit-identical output bytes.
+# ----------------------------------------------------------------------
+
+def _line_segments_chainwise(rl: RaggedLines):
+    """(ax, ay, bx, by, seg_chain, seg_row) — line segments in chain order
+    with degenerate (p == q) segments removed, mirroring the scalar
+    clipper's `continue`."""
+    co = rl.coords
+    ch_counts = np.diff(rl.chain_start)
+    ch_of = np.repeat(np.arange(len(rl.chain_row), dtype=np.int64), ch_counts)
+    if len(co) < 2:
+        e = np.empty(0)
+        return e, e, e, e, np.empty(0, np.int64), np.empty(0, np.int64)
+    ok = ch_of[:-1] == ch_of[1:]
+    sel = np.nonzero(ok)[0]
+    ax, ay = co[sel, 0], co[sel, 1]
+    bx, by = co[sel + 1, 0], co[sel + 1, 1]
+    nondeg = ~((ax == bx) & (ay == by))
+    sel = sel[nondeg]
+    ax, ay, bx, by = ax[nondeg], ay[nondeg], bx[nondeg], by[nondeg]
+    seg_chain = ch_of[sel]
+    return ax, ay, bx, by, seg_chain, rl.chain_row[seg_chain]
+
+
+def _poly_edges(rp: RaggedPolygons):
+    """(cx, cy, ex, ey, edge_row) — every ring edge of every row."""
+    pc = rp.coords
+    r_counts = np.diff(rp.ring_start)
+    r_of = np.repeat(np.arange(len(rp.ring_row), dtype=np.int64), r_counts)
+    if len(pc) < 2:
+        e = np.empty(0)
+        return e, e, e, e, np.empty(0, np.int64)
+    ok = r_of[:-1] == r_of[1:]
+    sel = np.nonzero(ok)[0]
+    return (pc[sel, 0], pc[sel, 1], pc[sel + 1, 0], pc[sel + 1, 1],
+            rp.ring_row[r_of[sel]])
+
+
+def pairs_clip_line_poly(rl: RaggedLines, rp: RaggedPolygons, mode: str,
+                         max_pairs: int = 64_000_000, chunk: int = 1 << 20):
+    """Split params + chunk classification for row-paired line×polygon
+    clips. Returns ``(chain_row, chain_npts, coords, touch_risk)`` where
+    the first three describe the kept maximal sub-chains per row (chains
+    in row order) and ``touch_risk`` flags rows that may carry an
+    isolated boundary touch point (mode 'in' only — those rows need the
+    scalar mixed-output path). None when the pair product exceeds
+    ``max_pairs``.
+
+    Bit parity with the scalar ``_clip_chain_general``: the same
+    `_seg_intersect_kind` orientation/tolerance arithmetic decides which
+    contacts split (proper crossings by the den/t formula, endpoint
+    touches by `_on_segment` gated on kind != 0 and not-proper), params
+    dedup exact-equal, sub-chunks shorter than 1e-12 in param space skip
+    WITHOUT closing the open chain, midpoints classify through
+    `locate_points_multi` (same `_EPS` arithmetic as point_in_polygon),
+    and chunk merging uses np.allclose's |a−b| <= atol + rtol·|b| rule."""
+    n = rl.n
+    ax, ay, bx, by, seg_chain, seg_row = _line_segments_chainwise(rl)
+    cx_, cy_, ex_, ey_, edge_row = _poly_edges(rp)
+    S = len(ax)
+    out_empty = (np.empty(0, np.int64), np.empty(0, np.int64),
+                 np.empty((0, 2)), np.zeros(n, dtype=bool))
+    if not S:
+        return out_empty
+    ne = np.bincount(edge_row, minlength=n)
+    offsE = np.concatenate([[0], np.cumsum(ne)])
+    sizes = ne[seg_row]
+    total = int(sizes.sum())
+    if total > max_pairs:
+        return None
+    par_seg = [np.arange(S, dtype=np.int64), np.arange(S, dtype=np.int64)]
+    par_t = [np.zeros(S), np.ones(S)]
+    if total:
+        blk = np.cumsum(sizes) - sizes
+        shift = blk - offsE[seg_row]
+        is_all = np.repeat(np.arange(S, dtype=np.int64), sizes)
+        ie_all = np.arange(total, dtype=np.int64)
+        ie_all -= np.repeat(shift, sizes)
+        for lo in range(0, total, chunk):
+            ia = is_all[lo:lo + chunk]
+            ie = ie_all[lo:lo + chunk]
+            AX, AY, BX, BY = ax[ia], ay[ia], bx[ia], by[ia]
+            CX, CY, EX, EY = cx_[ie], cy_[ie], ex_[ie], ey_[ie]
+            # scalar _seg_intersect_kind orientations (exact operand order)
+            d1 = (EX - CX) * (AY - CY) - (EY - CY) * (AX - CX)
+            d2 = (EX - CX) * (BY - CY) - (EY - CY) * (BX - CX)
+            d3 = (BX - AX) * (CY - AY) - (BY - AY) * (CX - AX)
+            d4 = (BX - AX) * (EY - AY) - (BY - AY) * (EX - AX)
+            scA = np.maximum(np.maximum(np.abs(BX - AX), np.abs(BY - AY)), 1.0)
+            scB = np.maximum(np.maximum(np.abs(EX - CX), np.abs(EY - CY)), 1.0)
+            tol = _EPS * scB * scA
+            proper = (
+                ((d1 > tol) & (d2 < -tol)) | ((d1 < -tol) & (d2 > tol))
+            ) & (((d3 > tol) & (d4 < -tol)) | ((d3 < -tol) & (d4 > tol)))
+            pm = np.nonzero(proper)[0]
+            if len(pm):
+                den = ((AX[pm] - BX[pm]) * (CY[pm] - EY[pm])
+                       - (AY[pm] - BY[pm]) * (CX[pm] - EX[pm]))
+                okd = den != 0
+                t = ((AX[pm] - CX[pm]) * (CY[pm] - EY[pm])
+                     - (AY[pm] - CY[pm]) * (CX[pm] - EX[pm]))
+                t = np.where(okd, t / np.where(okd, den, 1.0), 0.0)
+                par_seg.append(ia[pm[okd]])
+                par_t.append(np.minimum(np.maximum(t[okd], 0.0), 1.0))
+            # non-proper contact (kind 1/3): endpoint-on-AB params, gated
+            # on the pair being nonzero by the scalar's kind logic
+            near1 = np.abs(d1) <= tol
+            near2 = np.abs(d2) <= tol
+            near3 = np.abs(d3) <= tol
+            near4 = np.abs(d4) <= tol
+            bnd = (near1 | near2 | near3 | near4) & ~proper
+            bsel = np.nonzero(bnd)[0]
+            if not len(bsel):
+                continue
+            sA = (AX[bsel], AY[bsel], BX[bsel], BY[bsel])
+            sB = (CX[bsel], CY[bsel], EX[bsel], EY[bsel])
+            n1, n2, n3, n4 = near1[bsel], near2[bsel], near3[bsel], near4[bsel]
+            allcol = n1 & n2 & n3 & n4
+            scAb = scA[bsel]
+
+            def on_ab(px_, py_):
+                cr = ((sA[2] - sA[0]) * (py_ - sA[1])
+                      - (sA[3] - sA[1]) * (px_ - sA[0]))
+                return (
+                    (np.abs(cr) <= _EPS * scAb * scAb)
+                    & (px_ >= np.minimum(sA[0], sA[2]) - _EPS)
+                    & (px_ <= np.maximum(sA[0], sA[2]) + _EPS)
+                    & (py_ >= np.minimum(sA[1], sA[3]) - _EPS)
+                    & (py_ <= np.maximum(sA[1], sA[3]) + _EPS)
+                )
+
+            def on_ce(px_, py_):
+                cr = ((sB[2] - sB[0]) * (py_ - sB[1])
+                      - (sB[3] - sB[1]) * (px_ - sB[0]))
+                scBb = scB[bsel]
+                return (
+                    (np.abs(cr) <= _EPS * scBb * scBb)
+                    & (px_ >= np.minimum(sB[0], sB[2]) - _EPS)
+                    & (px_ <= np.maximum(sB[0], sB[2]) + _EPS)
+                    & (py_ >= np.minimum(sB[1], sB[3]) - _EPS)
+                    & (py_ <= np.maximum(sB[1], sB[3]) + _EPS)
+                )
+
+            # kind != 0 for non-proper pairs: collinear with overlap, or a
+            # touch (any near endpoint genuinely on the other segment)
+            axis_x = np.abs(sA[2] - sA[0]) >= np.abs(sA[3] - sA[1])
+            a1 = np.where(axis_x, sA[0], sA[1])
+            b1 = np.where(axis_x, sA[2], sA[3])
+            c1 = np.where(axis_x, sB[0], sB[1])
+            e1 = np.where(axis_x, sB[2], sB[3])
+            ov_lo = np.maximum(np.minimum(a1, b1), np.minimum(c1, e1))
+            ov_hi = np.minimum(np.maximum(a1, b1), np.maximum(c1, e1))
+            col_hit = ov_hi >= ov_lo - _EPS
+            touch = (
+                (n1 & on_ce(sA[0], sA[1])) | (n2 & on_ce(sA[2], sA[3]))
+                | (n3 & on_ab(sB[0], sB[1])) | (n4 & on_ab(sB[2], sB[3]))
+            )
+            nz = np.where(allcol, col_hit, touch)
+            # scalar: for cand in (C, E): if _on_segment(cand, A, B) and
+            # the dominant-axis extent is nonzero -> param
+            dx = sA[2] - sA[0]
+            dy = sA[3] - sA[1]
+            use_x = np.abs(dx) >= np.abs(dy)
+            dax = np.where(use_x, dx, dy)
+            for px_, py_ in ((sB[0], sB[1]), (sB[2], sB[3])):
+                hit = nz & on_ab(px_, py_) & (dax != 0)
+                if hit.any():
+                    num = np.where(use_x, px_ - sA[0], py_ - sA[1])
+                    tv = num[hit] / dax[hit]
+                    par_seg.append(ia[bsel[hit]])
+                    par_t.append(np.minimum(np.maximum(tv, 0.0), 1.0))
+    pseg = np.concatenate(par_seg)
+    pt = np.concatenate(par_t)
+    order = np.lexsort((pt, pseg))
+    pseg, pt = pseg[order], pt[order]
+    # exact-equal dedup (the scalar's float set)
+    first = np.ones(len(pseg), dtype=bool)
+    first[1:] = (pseg[1:] != pseg[:-1]) | (pt[1:] != pt[:-1])
+    pseg, pt = pseg[first], pt[first]
+    # chunks between consecutive params of the same segment
+    same = pseg[1:] == pseg[:-1]
+    t0 = pt[:-1][same]
+    t1 = pt[1:][same]
+    cseg = pseg[1:][same]
+    valid = t1 - t0 > 1e-12
+    t0, t1, cseg = t0[valid], t1[valid], cseg[valid]
+    mid_t = (t0 + t1) / 2.0
+    mx = ax[cseg] + mid_t * (bx[cseg] - ax[cseg])
+    my = ay[cseg] + mid_t * (by[cseg] - ay[cseg])
+    loc = locate_points_multi(rp, mx, my, seg_row[cseg])
+    keepm = (loc >= 1) if mode == "in" else (loc == 0)
+    touch_risk = np.zeros(n, dtype=bool)
+    if mode == "in":
+        # boundary params whose BOTH flanking chunks are dropped can be an
+        # isolated touch point — classify them and flag their rows for the
+        # scalar mixed-output path (conservative: a point covered by a
+        # remote piece of a self-crossing line over-flags, never under)
+        bx_pts = ax[pseg] + pt * (bx[pseg] - ax[pseg])
+        by_pts = ay[pseg] + pt * (by[pseg] - ay[pseg])
+        bloc = locate_points_multi(rp, bx_pts, by_pts, seg_row[pseg])
+        onb = bloc >= 1
+        if onb.any():
+            # map params -> flanking chunks: chunk i spans params (j, j+1)
+            # of the same segment; a param's flanks are the valid chunks
+            # ending/starting at it
+            cov = np.zeros(len(pseg), dtype=bool)
+            vidx = np.nonzero(same)[0][valid]     # param index of chunk start
+            kept_idx = vidx[keepm]
+            cov[kept_idx] = True                  # start param covered
+            cov[kept_idx + 1] = True              # end param covered
+            risky = onb & ~cov
+            if risky.any():
+                touch_risk[seg_row[pseg[risky]]] = True
+    # assemble kept chunks into maximal chains (scalar merge discipline)
+    kidx = np.nonzero(keepm)[0]
+    if not len(kidx):
+        return (np.empty(0, np.int64), np.empty(0, np.int64),
+                np.empty((0, 2)), touch_risk)
+    ks, kt0, kt1 = cseg[kidx], t0[kidx], t1[kidx]
+    a_x = ax[ks] + kt0 * (bx[ks] - ax[ks])
+    a_y = ay[ks] + kt0 * (by[ks] - ay[ks])
+    b_x = ax[ks] + kt1 * (bx[ks] - ax[ks])
+    b_y = ay[ks] + kt1 * (by[ks] - ay[ks])
+    kchain = seg_chain[ks]
+    # merged with previous kept chunk iff: consecutive valid chunks with
+    # nothing dropped between (adjacent in the kept array AND no unkept
+    # valid chunk between them), same chain, and endpoints allclose
+    prev_kidx = kidx[:-1]
+    adj = kidx[1:] == prev_kidx + 1
+    # valid-chunk adjacency must also hold in param space: consecutive
+    # valid chunks of the same segment always are; crossing a segment
+    # boundary is fine when the chain continues (coords match exactly)
+    samechain = kchain[1:] == kchain[:-1]
+    close = (
+        (np.abs(b_x[:-1] - a_x[1:]) <= 1e-8 + 1e-5 * np.abs(a_x[1:]))
+        & (np.abs(b_y[:-1] - a_y[1:]) <= 1e-8 + 1e-5 * np.abs(a_y[1:]))
+    )
+    merged = np.concatenate([[False], adj & samechain & close])
+    starts = np.nonzero(~merged)[0]
+    run_len = np.diff(np.concatenate([starts, [len(kidx)]]))
+    chain_row_out = seg_row[ks[starts]]
+    chain_npts = run_len + 1
+    total_pts = int(chain_npts.sum())
+    coords = np.empty((total_pts, 2))
+    out_off = np.concatenate([[0], np.cumsum(chain_npts)])
+    # first point of each run
+    coords[out_off[:-1], 0] = a_x[starts]
+    coords[out_off[:-1], 1] = a_y[starts]
+    # each chunk contributes its end point at position (within-run idx + 1)
+    run_of = np.repeat(np.arange(len(starts), dtype=np.int64), run_len)
+    within = np.arange(len(kidx), dtype=np.int64) - starts[run_of]
+    pos = out_off[:-1][run_of] + within + 1
+    coords[pos, 0] = b_x
+    coords[pos, 1] = b_y
+    return chain_row_out, chain_npts, coords, touch_risk
+
+
+def clip_line_poly_batch(vals_l, vals_p, mode: str):
+    """Whole-batch line×polygon intersection ('in') / difference ('out').
+    Returns ``(out, need_scalar)`` — ``out`` a list of EWKB/None per row
+    with ``None`` at positions flagged in ``need_scalar`` (rows the
+    SCALAR dispatch routes through other code paths, kept scalar for bit
+    parity: MultiPolygon right sides, axis-rect ('in') / rectilinear
+    ('out') polygons, isolated-touch-point rows) — or None when the batch
+    shape can't take the CSR path at all."""
+    rl = parse_lineal(vals_l)
+    if rl is None or not rl.srid_uniform:
+        return None
+    rp = parse_polygonal(vals_p)
+    if rp is None:
+        return None
+    n = rl.n
+    need_scalar = np.zeros(n, dtype=bool)
+    ptype = _rows_type_byte(vals_p, rp.null_mask)
+    need_scalar |= ptype == 6
+    # axis-parallel-edge census per row
+    cx_, cy_, ex_, ey_, edge_row = _poly_edges(rp)
+    axis_par = (cx_ == ex_) | (cy_ == ey_)
+    n_edges = np.bincount(edge_row, minlength=n)
+    n_axis = np.zeros(n, dtype=np.int64)
+    if len(edge_row):
+        np.add.at(n_axis, edge_row, axis_par.astype(np.int64))
+    all_axis = (n_edges > 0) & (n_axis == n_edges)
+    if mode == "out":
+        # the scalar difference clips by the exact rectilinear region
+        need_scalar |= all_axis
+    else:
+        # the scalar intersection special-cases only the plain axis RECT
+        nrings = np.bincount(rp.ring_row, minlength=n)
+        need_scalar |= all_axis & (nrings == 1) & (n_edges == 4)
+    res = pairs_clip_line_poly(rl, rp, mode)
+    if res is None:
+        return None
+    chain_row, chain_npts, coords, touch_risk = res
+    if mode == "in":
+        need_scalar |= touch_risk
+    nulls = rl.null_mask | rp.null_mask
+    inter = pairs_intersect(rl, rp)
+    if inter is None:
+        return None
+    # INTERSECTING MultiLineString left rows keep the scalar path: its
+    # per-chain recursion groups pieces per chain, so chains with
+    # differing piece counts produce GEOMETRYCOLLECTION(MULTILINESTRING,
+    # LINESTRING, ...) — a structure the flat kernel doesn't reproduce.
+    # Disjoint multilines are fine (empty / verbatim copy below).
+    ltype = _rows_type_byte(vals_l, rl.null_mask)
+    need_scalar |= (ltype == 5) & inter
+    passthrough = np.zeros(n, dtype=bool)
+    if mode == "out":
+        # disjoint rows: the scalar returns a.copy() verbatim (original
+        # vertices, original Multi/empty type) — pass the input bytes
+        passthrough = ~inter & ~nulls & ~need_scalar
+    emit = ~nulls & ~need_scalar & ~passthrough
+    csel = emit[chain_row]
+    chain_row2 = chain_row[csel]
+    chain_npts2 = chain_npts[csel]
+    cof = np.repeat(np.arange(len(chain_row), dtype=np.int64), chain_npts)
+    coords2 = coords[emit[chain_row][cof]]
+    nchains = np.bincount(chain_row2, minlength=n)
+    row_type = np.where(nchains > 1, 5, 2)
+    enc_null = ~emit
+    out = encode_lineal_rows(
+        n, row_type, chain_row2, chain_npts2, coords2, rl.srid, enc_null)
+    for i in np.nonzero(passthrough)[0]:
+        out[i] = bytes(vals_l[i])
+    for i in np.nonzero(nulls & ~need_scalar)[0]:
+        out[i] = None
+    return out, need_scalar

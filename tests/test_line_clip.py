@@ -174,3 +174,114 @@ def test_spark_column_surface(spark):
     ).collect()
     for r in rows:
         assert abs(r["li"] - 2.0) < 1e-12 and abs(r["ld"] - 4.0) < 1e-12
+
+
+def test_clip_batch_bit_parity_fuzz():
+    """r5 CSR batch path (ragged.clip_line_poly_batch) == scalar setops
+    bytes on adversarial shapes: stars, holes, multilines, disjoint,
+    covered, boundary-collinear, axis-rects (flagged), multipolygons
+    (flagged), vertex touches (flagged), nulls."""
+    import numpy as np
+
+    from polars_st_spark.geo import ragged, setops as S
+    from polars_st_spark.geo.types import Geometry, GeometryType
+    from polars_st_spark.geo.wkb import from_ewkb, to_ewkb
+
+    rng = np.random.RandomState(77)
+
+    def star(cx, cy, n, rmin, rmax):
+        th = np.sort(rng.uniform(0, 2 * np.pi, n))
+        r = rng.uniform(rmin, rmax, n)
+        ring = np.column_stack([cx + r * np.cos(th), cy + r * np.sin(th)])
+        return np.vstack([ring, ring[:1]])
+
+    lines, polys = [], []
+    for i in range(400):
+        m = i % 10
+        cx, cy = rng.uniform(-3, 3, 2)
+        if m in (0, 1, 2, 3):
+            rings = [star(cx, cy, rng.randint(5, 11), 0.7, 3.0)]
+            if m == 1:
+                rings.append(np.ascontiguousarray(star(cx, cy, 6, 0.1, 0.3)[::-1]))
+            P = Geometry(GeometryType.Polygon, rings=rings)
+            L = Geometry(GeometryType.LineString,
+                         coords=rng.uniform(-5, 5, (rng.randint(2, 6), 2)))
+        elif m == 4:
+            P = Geometry(GeometryType.Polygon, rings=[star(cx, cy, 7, 0.7, 2.5)])
+            L = Geometry(GeometryType.MultiLineString, geoms=[
+                Geometry(GeometryType.LineString, coords=rng.uniform(-5, 5, (3, 2))),
+                Geometry(GeometryType.LineString, coords=rng.uniform(-5, 5, (2, 2)))])
+        elif m == 5:
+            P = Geometry(GeometryType.Polygon, rings=[star(cx + 100, cy, 6, 0.5, 1.5)])
+            L = Geometry(GeometryType.MultiLineString, geoms=[
+                Geometry(GeometryType.LineString, coords=rng.uniform(-2, 2, (3, 2)))])
+        elif m == 6:
+            P = Geometry(GeometryType.Polygon, rings=[np.array(
+                [[cx-5, cy-5], [cx+5, cy-5], [cx+5.1, cy+5],
+                 [cx-5, cy+5.2], [cx-5, cy-5]])])
+            L = Geometry(GeometryType.LineString, coords=cx + rng.uniform(-1, 1, (4, 2)))
+        elif m == 7:
+            P = Geometry(GeometryType.Polygon, rings=[np.array(
+                [[0, 0], [4, 0], [4, 2], [2, 2], [2, 4], [0, 4], [0, 0]],
+                float) + [cx, cy]])
+            L = Geometry(GeometryType.LineString,
+                         coords=np.array([[-1, 0], [5, 0]], float) + [cx, cy])
+        elif m == 8:
+            P = Geometry(GeometryType.Polygon, rings=[np.array(
+                [[0, 0], [3, 0], [3, 2], [0, 2], [0, 0]], float) + [cx, cy]])
+            L = Geometry(GeometryType.LineString,
+                         coords=np.array([[-1, 1], [4, 1]], float) + [cx, cy])
+        else:
+            P = Geometry(GeometryType.MultiPolygon, geoms=[
+                Geometry(GeometryType.Polygon, rings=[star(cx, cy, 6, 0.5, 1.5)]),
+                Geometry(GeometryType.Polygon, rings=[star(cx + 4, cy, 5, 0.5, 1.0)])])
+            L = Geometry(GeometryType.LineString, coords=rng.uniform(-5, 8, (3, 2)))
+        lines.append(to_ewkb(L))
+        polys.append(to_ewkb(P))
+    lines.append(None)
+    polys.append(to_ewkb(Geometry(GeometryType.Polygon, rings=[star(0, 0, 5, 1, 2)])))
+    vl = np.array(lines, dtype=object)
+    vp = np.array(polys, dtype=object)
+    for mode, fn in (("in", S.intersection), ("out", S.difference)):
+        out, need = ragged.clip_line_poly_batch(vl, vp, mode)
+        n_batched = 0
+        for i in range(len(vl)):
+            if need[i]:
+                continue
+            if vl[i] is None or polys[i] is None:
+                assert out[i] is None
+                continue
+            assert out[i] == to_ewkb(fn(from_ewkb(vl[i]), from_ewkb(polys[i]))), (mode, i)
+            n_batched += 1
+        assert n_batched > 200  # the bulk takes the batch path
+
+
+def test_clip_batch_spark_surface(spark):
+    """st_intersection / st_difference column pairs hit the batch path and
+    produce the closed-form concave-L clip values."""
+    from pyspark.sql import functions as F
+
+    import polars_st_spark as st
+
+    df = spark.createDataFrame([(i, float(5 * (i % 9))) for i in range(300)],
+                               ["id", "dx"])
+    lshape = st.st_polygon(F.array(F.array(
+        F.array(F.col("dx"), F.lit(0.0)),
+        F.array(F.col("dx") + 4.0, F.lit(0.0)),
+        F.array(F.col("dx") + 4.0, F.lit(2.0)),
+        F.array(F.col("dx") + 2.0, F.lit(2.0)),
+        F.array(F.col("dx") + 2.0, F.lit(4.0)),
+        F.array(F.col("dx"), F.lit(4.0)),
+        F.array(F.col("dx"), F.lit(0.0)))))
+    probe = st.st_linestring(F.array(
+        F.array(F.col("dx") - 1.0, F.lit(3.0)),
+        F.array(F.col("dx") + 5.0, F.lit(3.0))))
+    rows = df.withColumn("g", lshape).withColumn("p", probe).select(
+        "id",
+        st.st_length(st.st_intersection("p", "g")).alias("li"),
+        st.st_length(st.st_difference("p", "g")).alias("ld"),
+        st.st_geometry_type(st.st_intersection("p", "g")).alias("ti"),
+    ).collect()
+    for r in rows:
+        assert abs(r["li"] - 2.0) < 1e-12 and abs(r["ld"] - 4.0) < 1e-12
+        assert r["ti"] == "LineString"
