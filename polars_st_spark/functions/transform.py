@@ -137,7 +137,24 @@ def st_disjoint_subset_union(col, grid_size: float | None = None) -> Column:
 st_envelope = _u(algos.envelope)
 st_boundary = _u(algos.boundary)
 st_force_2d = _u(algos.force_2d)
-st_reverse = _u(algos.reverse_geom)
+
+
+def st_reverse(col) -> Column:
+    """Reverse vertex order per ring/chain. r5 batch fast path: a pure
+    per-unit index reversal byte-spliced over the original EWKB
+    (geo/ragged.reverse_units_batch) — bit-identical, no per-row objects."""
+    from polars_st_spark.geo import ragged
+
+    @pandas_udf("binary")
+    def udf(s: pd.Series) -> pd.Series:
+        fast = ragged.reverse_units_batch(s.to_numpy())
+        if fast is not None:
+            return pd.Series(fast, dtype=object)
+        return pd.Series(
+            [None if b is None else to_ewkb(algos.reverse_geom(from_ewkb(bytes(b))))
+             for b in s], dtype=object)
+
+    return udf(col_or_lit(col))
 st_extract_unique_points = _u(algos.extract_unique_points)
 st_minimum_rotated_rectangle = _u(algos.minimum_rotated_rectangle)
 st_make_valid = _u(algos.make_valid)
@@ -175,7 +192,31 @@ def st_segmentize(col, max_segment_length: float) -> Column:
 
 
 def st_remove_repeated_points(col, tolerance: float = 0.0) -> Column:
-    return unary_geom(lambda g: algos.remove_repeated_points(g, tolerance))(col_or_lit(col))
+    """r5 batch fast path: one vectorized consecutive-distance keep-mask
+    per ring/chain + masked EWKB assembly (geo/ragged.remove_repeated_
+    batch, bit-identical); rows hitting the scalar's take-first-min_n
+    collapse rule run scalar inside the same UDF."""
+    from polars_st_spark.geo import ragged
+
+    tol = float(tolerance)
+
+    @pandas_udf("binary")
+    def udf(s: pd.Series) -> pd.Series:
+        vals = s.to_numpy()
+        fast = ragged.remove_repeated_batch(vals, tol)
+        if fast is not None:
+            out, need = fast
+            for i in np.nonzero(need)[0]:
+                b = vals[i]
+                out[i] = None if b is None else to_ewkb(
+                    algos.remove_repeated_points(from_ewkb(bytes(b)), tol))
+            return pd.Series(out, dtype=object)
+        return pd.Series(
+            [None if b is None else
+             to_ewkb(algos.remove_repeated_points(from_ewkb(bytes(b)), tol))
+             for b in s], dtype=object)
+
+    return udf(col_or_lit(col))
 
 
 def st_force_3d(col, z: float = 0.0) -> Column:

@@ -3352,8 +3352,16 @@ def simplify_batch(vals, tol: float):
             return None
         keep = dp_keep_mask(rl.coords, rl.chain_start, tol)
         C = len(rl.chain_row)
-        chain_kept = (np.add.reduceat(keep.astype(np.int64), rl.chain_start[:-1])
-                      if C else np.empty(0, np.int64))
+        Nc = len(rl.coords)
+        if C and Nc:
+            # empty chains at the batch end would put len(coords) in the
+            # reduceat starts — clamp, then zero them out
+            ccounts = np.diff(rl.chain_start)
+            chain_kept = np.add.reduceat(
+                keep.astype(np.int64), np.minimum(rl.chain_start[:-1], Nc - 1))
+            chain_kept = np.where(ccounts == 0, 0, chain_kept)
+        else:
+            chain_kept = np.zeros(C, dtype=np.int64)
         return encode_lineal_rows(
             rl.n, _rows_type_byte(vals, rl.null_mask), rl.chain_row,
             chain_kept, rl.coords[keep], rl.srid, rl.null_mask)
@@ -3767,4 +3775,94 @@ def clip_line_poly_batch(vals_l, vals_p, mode: str):
         out[i] = bytes(vals_l[i])
     for i in np.nonzero(nulls & ~need_scalar)[0]:
         out[i] = None
+    return out, need_scalar
+
+
+def reverse_units_batch(vals):
+    """Whole-batch st_reverse for 2-D polygonal/lineal batches: the new
+    coordinate array is a pure per-ring/per-chain index reversal of the
+    old one, so the result byte-splices over the original EWKB (headers
+    and counts untouched) — bit-identical to the scalar. None → fallback."""
+    p = parse_polygonal(vals)
+    us = None
+    if p is not None:
+        us = p.ring_start
+    else:
+        p = parse_lineal(vals)
+        if p is not None:
+            us = p.chain_start
+    if p is None or not p.srid_uniform:
+        return None
+    N = len(p.coords)
+    if not N:
+        return splice_coords(vals, p, p.coords)
+    counts = np.diff(us)
+    u_of = np.repeat(np.arange(len(counts), dtype=np.int64), counts)
+    within = np.arange(N, dtype=np.int64) - us[:-1][u_of]
+    rev = us[:-1][u_of] + counts[u_of] - 1 - within
+    return splice_coords(vals, p, p.coords[rev])
+
+
+def remove_repeated_batch(vals, tol: float):
+    """Whole-batch st_remove_repeated_points: one vectorized consecutive-
+    distance keep-mask per ring/chain + masked EWKB re-assembly —
+    bit-identical to the scalar ``algos.remove_repeated_points``. Rows
+    where any unit would fall under the minimum vertex count (the
+    scalar's take-first-min_n rule) return None in the list and are
+    flagged via the second element; whole-batch None → full fallback."""
+    rp = parse_polygonal(vals)
+    if rp is not None:
+        if not rp.srid_uniform:
+            return None
+        us, min_n, row_of_unit = rp.ring_start, 4, rp.ring_row
+    else:
+        rl = parse_lineal(vals)
+        if rl is None or not rl.srid_uniform:
+            return None
+        rp = rl
+        us, min_n, row_of_unit = rl.chain_start, 2, rl.chain_row
+    co = rp.coords
+    N = len(co)
+    n = rp.n
+    need_scalar = np.zeros(n, dtype=bool)
+    counts = np.diff(us)
+    if N:
+        d = np.sqrt(((np.diff(co[:, :2], axis=0)) ** 2).sum(axis=1))
+        keep = np.ones(N, dtype=bool)
+        keep[1:] = d > tol
+        # the first vertex of every unit is always kept and the scalar's
+        # consecutive-distance never spans units
+        keep[us[:-1][counts > 0]] = True
+    else:
+        keep = np.zeros(0, dtype=bool)
+    if len(counts) and N:
+        kept_per_unit = np.add.reduceat(
+            keep.astype(np.int64), np.minimum(us[:-1], N - 1))
+        kept_per_unit = np.where(counts == 0, 0, kept_per_unit)
+    else:
+        kept_per_unit = np.zeros(len(counts), dtype=np.int64)
+    # scalar rule: units with >= 2 input points collapsing under min_n
+    # take the FIRST min_n original vertices — per-row scalar fallback
+    bad = (counts >= 2) & (kept_per_unit < np.minimum(min_n, counts))
+    if bad.any():
+        need_scalar[row_of_unit[bad]] = True
+    # drop the units (and their kept coords) of rows going scalar — a
+    # nulled row slot must carry NO units or the encoder's offset math
+    # would write them at position 0 over other rows
+    emit_unit = ~need_scalar[row_of_unit]
+    u_of_coord = np.repeat(np.arange(len(counts), dtype=np.int64), counts)
+    keep2 = keep & emit_unit[u_of_coord]
+    enc_null = rp.null_mask | need_scalar
+    if min_n == 4:
+        out = encode_polygonal_rows(
+            n, _rows_type_byte(vals, rp.null_mask),
+            rp.part_row[~need_scalar[rp.part_row]],
+            # ring_part indexes the FULL part table; re-map to the kept one
+            np.searchsorted(np.nonzero(~need_scalar[rp.part_row])[0],
+                            rp.ring_part[emit_unit]),
+            kept_per_unit[emit_unit], co[keep2], rp.srid, enc_null)
+    else:
+        out = encode_lineal_rows(
+            n, _rows_type_byte(vals, rp.null_mask), rp.chain_row[emit_unit],
+            kept_per_unit[emit_unit], co[keep2], rp.srid, enc_null)
     return out, need_scalar

@@ -1785,3 +1785,59 @@ def test_simplify_hull_spark_surface(spark):
     for r in rows:
         assert r["n"] == 2          # zigzag collapses to its endpoints
         assert r["ht"] == "Polygon"
+
+
+def test_reverse_and_remove_repeated_batch_parity():
+    """r5: st_reverse (per-unit index reversal byte-splice) and
+    st_remove_repeated_points (vectorized keep-mask + masked re-encode)
+    match the scalar byte-for-byte; rows hitting the scalar's
+    take-first-min_n collapse rule are flagged for per-row handling."""
+    from polars_st_spark.geo import algos as A
+
+    rng = np.random.RandomState(3)
+    for fam in ("poly", "line"):
+        for srid in (0, 4326):
+            bufs = []
+            for i in range(150):
+                if fam == "poly":
+                    k = rng.randint(4, 12)
+                    c = rng.uniform(0, 9, (k, 2)).round(1)
+                    ring = np.repeat(np.vstack([c, c[:1]]),
+                                     rng.randint(1, 3, k + 1), axis=0)
+                    g = Geometry(GeometryType.Polygon, srid=srid, rings=[ring])
+                    if i % 4 == 0:
+                        g = Geometry(GeometryType.MultiPolygon, srid=srid, geoms=[
+                            Geometry(GeometryType.Polygon, rings=[ring]),
+                            Geometry(GeometryType.Polygon, rings=[np.array(
+                                [[20, 0], [21, 0], [21, 1], [20, 1], [20, 0]],
+                                float)])])
+                    if i % 17 == 0:  # DP-collapse candidate (flag path)
+                        g = Geometry(GeometryType.Polygon, srid=srid, rings=[
+                            np.array([[0, 0], [1e-9, 0], [0, 1e-9], [0, 0]])])
+                else:
+                    c = np.repeat(
+                        rng.uniform(0, 9, (rng.randint(2, 10), 2)).round(1),
+                        2, axis=0)
+                    g = Geometry(GeometryType.LineString, srid=srid, coords=c)
+                    if i % 5 == 0:
+                        g = Geometry(GeometryType.MultiLineString, srid=srid,
+                                     geoms=[
+                            Geometry(GeometryType.LineString, coords=c),
+                            Geometry(GeometryType.LineString,
+                                     coords=rng.uniform(0, 9, (3, 2)))])
+                    if i % 13 == 0:
+                        g = Geometry(GeometryType.LineString, srid=srid,
+                                     coords=np.array([[0, 0], [0.1, 0], [0.2, 0]]))
+                bufs.append(to_ewkb(g))
+            vals = np.array(bufs + [None], dtype=object)
+            rv = ragged.reverse_units_batch(vals)
+            assert rv is not None and rv[-1] is None
+            for b, got in zip(bufs, rv):
+                assert got == to_ewkb(A.reverse_geom(from_ewkb(b)))
+            for tol in (0.0, 0.5):
+                out, need = ragged.remove_repeated_batch(vals, tol)
+                for i, b in enumerate(bufs):
+                    if need[i]:
+                        continue
+                    want = to_ewkb(A.remove_repeated_points(from_ewkb(b), tol))
+                    assert out[i] == want, (fam, srid, tol, i)
