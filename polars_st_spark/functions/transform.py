@@ -188,7 +188,25 @@ def st_simplify(col, tolerance: float, preserve_topology: bool = True) -> Column
 
 
 def st_segmentize(col, max_segment_length: float) -> Column:
-    return unary_geom(lambda g: algos.segmentize(g, max_segment_length))(col_or_lit(col))
+    """r5 batch fast path: vectorized per-segment subdivision over ragged
+    polygonal/lineal batches (geo/ragged.segmentize_batch — linspace-exact
+    params, bit-identical to the scalar)."""
+    from polars_st_spark.geo import ragged
+
+    ml = float(max_segment_length)
+    if ml <= 0:
+        raise ValueError("max_segment_length must be positive")
+
+    @pandas_udf("binary")
+    def udf(s: pd.Series) -> pd.Series:
+        fast = ragged.segmentize_batch(s.to_numpy(), ml)
+        if fast is not None:
+            return pd.Series(fast, dtype=object)
+        return pd.Series(
+            [None if b is None else to_ewkb(algos.segmentize(from_ewkb(bytes(b)), ml))
+             for b in s], dtype=object)
+
+    return udf(col_or_lit(col))
 
 
 def st_remove_repeated_points(col, tolerance: float = 0.0) -> Column:

@@ -3866,3 +3866,94 @@ def remove_repeated_batch(vals, tol: float):
             n, _rows_type_byte(vals, rp.null_mask), rp.chain_row[emit_unit],
             kept_per_unit[emit_unit], co[keep2], rp.srid, enc_null)
     return out, need_scalar
+
+
+def segmentize_batch(vals, max_len: float):
+    """Whole-batch st_segmentize for uniform-SRID 2-D polygonal/lineal
+    batches: per-segment subdivision counts ``max(1, ceil(len/max_len))``,
+    interpolation params reproducing np.linspace's ``i·(1/n)`` values with
+    the exact 1.0 endpoint, and the batched EWKB writers — bit-identical
+    to the scalar ``algos.segmentize``. None → fallback (mixed families,
+    Z/M, mixed SRIDs, unclosed rings — the scalar closes them first)."""
+    rp = parse_polygonal(vals)
+    if rp is not None:
+        if not rp.srid_uniform:
+            return None
+        npr = np.diff(rp.ring_start)
+        if (npr == 0).any():
+            return None
+        rs_, re_ = rp.ring_start[:-1], rp.ring_start[1:] - 1
+        if len(rs_) and not (
+            (rp.coords[rs_, 0] == rp.coords[re_, 0])
+            & (rp.coords[rs_, 1] == rp.coords[re_, 1])
+        ).all():
+            return None
+        us, polyg = rp.ring_start, True
+        p = rp
+    else:
+        rl = parse_lineal(vals)
+        if rl is None or not rl.srid_uniform:
+            return None
+        us, polyg = rl.chain_start, False
+        p = rl
+    co = p.coords
+    N = len(co)
+    counts = np.diff(us)
+    U = len(counts)
+    if not N or not U:
+        new_counts = np.zeros(U, dtype=np.int64)
+        out_co = np.empty((0, 2))
+    else:
+        u_of = np.repeat(np.arange(U, dtype=np.int64), counts)
+        seg_ok = (u_of[:-1] == u_of[1:]) if N > 1 else np.zeros(0, bool)
+        ssel = np.nonzero(seg_ok)[0]
+        ax, ay = co[ssel, 0], co[ssel, 1]
+        bx, by = co[ssel + 1, 0], co[ssel + 1, 1]
+        # scalar: n = max(1, ceil(hypot / max_len)) per segment
+        seg_len = np.hypot(bx - ax, by - ay)
+        nseg = np.maximum(1, np.ceil(seg_len / max_len)).astype(np.int64)
+        # output layout: per unit, 1 leading vertex + sum(nseg) points
+        seg_unit = u_of[ssel]
+        add_per_unit = np.zeros(U, dtype=np.int64)
+        if len(ssel):
+            np.add.at(add_per_unit, seg_unit, nseg)
+        new_counts = np.where(counts > 0, np.minimum(counts, 1), 0) + add_per_unit
+        # a 1-point unit keeps its single vertex; empty stays empty
+        new_counts = np.where(counts == 1, 1, new_counts)
+        total_new = int(new_counts.sum())
+        out_co = np.empty((total_new, 2))
+        new_off = np.concatenate([[0], np.cumsum(new_counts)])
+        # leading vertex of every nonempty unit
+        lead = np.nonzero(counts > 0)[0]
+        out_co[new_off[:-1][lead], 0] = co[us[:-1][lead], 0]
+        out_co[new_off[:-1][lead], 1] = co[us[:-1][lead], 1]
+        if len(ssel):
+            # interpolated points per segment: t_i = i*(1/n) for i=1..n,
+            # last forced to the exact endpoint like np.linspace
+            T = int(nseg.sum())
+            sidx = np.repeat(np.arange(len(ssel), dtype=np.int64), nseg)
+            ramp = np.arange(T, dtype=np.int64) - np.repeat(
+                np.cumsum(nseg) - nseg, nseg) + 1
+            inv = 1.0 / nseg.astype(np.float64)
+            t = ramp.astype(np.float64) * inv[sidx]
+            # np.linspace pins only the PARAM endpoint to exactly 1.0; the
+            # scalar then still computes a + 1.0*(b-a) — reproduce that,
+            # don't substitute b itself
+            t[ramp == nseg[sidx]] = 1.0
+            px = ax[sidx] + t * (bx[sidx] - ax[sidx])
+            py = ay[sidx] + t * (by[sidx] - ay[sidx])
+            # destination: unit offset + 1 (lead) + cumulative points of
+            # prior segments in the unit + ramp-1
+            segs_before = np.cumsum(nseg) - nseg
+            unit_first_seg = np.searchsorted(seg_unit, np.arange(U), side="left")
+            seg_base = segs_before - segs_before[unit_first_seg[seg_unit]]
+            dst = new_off[:-1][seg_unit[sidx]] + 1 + seg_base[sidx] + ramp - 1
+            out_co[dst, 0] = px
+            out_co[dst, 1] = py
+    if polyg:
+        return encode_polygonal_rows(
+            p.n, _rows_type_byte(vals, p.null_mask), p.part_row,
+            p.ring_part, new_counts, out_co, p.srid, p.null_mask)
+    return encode_lineal_rows(
+        p.n, _rows_type_byte(vals, p.null_mask), p.chain_row,
+        new_counts, out_co, p.srid, p.null_mask)

@@ -1841,3 +1841,36 @@ def test_reverse_and_remove_repeated_batch_parity():
                         continue
                     want = to_ewkb(A.remove_repeated_points(from_ewkb(b), tol))
                     assert out[i] == want, (fam, srid, tol, i)
+
+
+def test_segmentize_batch_parity():
+    """r5: segmentize_batch == scalar bytes — linspace-exact interpolation
+    params (t pinned to 1.0 but the endpoint still computed a + 1.0*(b-a)
+    like the scalar), holes, multis, degenerate segments, both SRIDs."""
+    from polars_st_spark.geo import algos as A
+
+    rng = np.random.RandomState(8)
+    for srid in (0, 4326):
+        bufs = []
+        for i in range(120):
+            if i % 2:
+                k = rng.randint(4, 10)
+                th = np.sort(rng.uniform(0, 2 * np.pi, k))
+                r = rng.uniform(1, 5, k)
+                ring = np.column_stack([10 * i + r * np.cos(th), r * np.sin(th)])
+                ring = np.vstack([ring, ring[:1]])
+                g = Geometry(GeometryType.Polygon, srid=srid, rings=[ring])
+            else:
+                c = np.cumsum(rng.uniform(-2, 2, (rng.randint(2, 12), 2)), axis=0)
+                if i % 10 == 0:
+                    c[1] = c[0]  # degenerate segment
+                g = Geometry(GeometryType.LineString, srid=srid, coords=c)
+            bufs.append(to_ewkb(g))
+        # polygonal and lineal must parse separately
+        for sel in (bufs[1::2], bufs[0::2]):
+            vals = np.array(list(sel) + [None], dtype=object)
+            for ml in (0.7, 3.0):
+                got = ragged.segmentize_batch(vals, ml)
+                assert got is not None and got[-1] is None
+                for b, o in zip(sel, got):
+                    assert o == to_ewkb(A.segmentize(from_ewkb(b), ml))
