@@ -134,8 +134,44 @@ def st_disjoint_subset_union(col, grid_size: float | None = None) -> Column:
     """Union optimized for mostly-disjoint inputs; falls back to unary_union
     (reference: expressions.rs:962-969, functions.rs:1170-1176)."""
     return unary_geom(lambda g: setops.unary_union(g, grid_size))(col_or_lit(col))
-st_envelope = _u(algos.envelope)
-st_boundary = _u(algos.boundary)
+def st_envelope(col) -> Column:
+    """Axis-aligned bounding geometry. r5 batch fast path: cached per-row
+    CSR bounds classify to point / degenerate-line / rect groups, each
+    written by its batched encoder (geo/ragged.envelope_batch) —
+    bit-identical to the scalar."""
+    from polars_st_spark.geo import ragged
+
+    @pandas_udf("binary")
+    def udf(s: pd.Series) -> pd.Series:
+        fast = ragged.envelope_batch(s.to_numpy())
+        if fast is not None:
+            return pd.Series(fast, dtype=object)
+        return pd.Series(
+            [None if b is None else to_ewkb(algos.envelope(from_ewkb(bytes(b))))
+             for b in s], dtype=object)
+
+    return udf(col_or_lit(col))
+
+
+def st_boundary(col) -> Column:
+    """GEOS boundary. r5 batch fast path for polygonal batches: rings
+    re-labelled as LineString chains through the batched lineal writer
+    (geo/ragged.boundary_polygonal_batch, bit-identical); lineal and
+    other inputs keep the per-row mod-2 endpoint path."""
+    from polars_st_spark.geo import ragged
+
+    @pandas_udf("binary")
+    def udf(s: pd.Series) -> pd.Series:
+        fast = ragged.boundary_polygonal_batch(s.to_numpy())
+        if fast is not None:
+            return pd.Series(fast, dtype=object)
+        return pd.Series(
+            [None if b is None else to_ewkb(algos.boundary(from_ewkb(bytes(b))))
+             for b in s], dtype=object)
+
+    return udf(col_or_lit(col))
+
+
 st_force_2d = _u(algos.force_2d)
 
 

@@ -3957,3 +3957,114 @@ def segmentize_batch(vals, max_len: float):
     return encode_lineal_rows(
         p.n, _rows_type_byte(vals, p.null_mask), p.chain_row,
         new_counts, out_co, p.srid, p.null_mask)
+
+
+def boundary_polygonal_batch(vals):
+    """Whole-batch st_boundary for 2-D polygonal batches: every ring
+    becomes a LineString chain (1 ring → LineString, else
+    MultiLineString), assembled by the batched lineal writer —
+    bit-identical to the scalar. None → fallback (incl. unclosed rings,
+    which the scalar closes first)."""
+    rp = parse_polygonal(vals)
+    if rp is None or not rp.srid_uniform:
+        return None
+    npr = np.diff(rp.ring_start)
+    if (npr == 0).any():
+        return None
+    rs_, re_ = rp.ring_start[:-1], rp.ring_start[1:] - 1
+    if len(rs_) and not (
+        (rp.coords[rs_, 0] == rp.coords[re_, 0])
+        & (rp.coords[rs_, 1] == rp.coords[re_, 1])
+    ).all():
+        return None
+    nrings = np.bincount(rp.ring_row, minlength=rp.n)
+    # exactly one ring -> bare LineString; zero (POLYGON EMPTY) or many ->
+    # MultiLineString, matching the scalar's len(rings) == 1 special case
+    row_type = np.where(nrings == 1, 2, 5)
+    return encode_lineal_rows(
+        rp.n, row_type, rp.ring_row, npr, rp.coords, rp.srid, rp.null_mask)
+
+
+def envelope_batch(vals):
+    """Whole-batch st_envelope: per-row bounds classify to empty-Point /
+    Point / degenerate-diagonal LineString / axis-rect Polygon, each
+    group encoded by its batched writer — bit-identical to the scalar
+    ``algos.envelope``. Mixed families route through the header split."""
+    from polars_st_spark.geo.wkb import points_to_ewkb, to_ewkb
+    from polars_st_spark.geo.types import Geometry, GeometryType
+
+    p = parse_polygonal(vals)
+    if p is None:
+        p = parse_lineal(vals)
+    if p is None:
+        p = parse_multipoints(vals)
+    if p is None:
+        fam = split_families(vals)
+        if fam is None:
+            return None
+        out: list = [None] * len(vals)
+        for key in ("mpoint", "line", "poly"):
+            idx = fam[key]
+            if len(idx):
+                sub = envelope_batch(np.asarray(vals, dtype=object)[idx])
+                if sub is None:
+                    return None
+                for j, i in enumerate(idx):
+                    out[i] = sub[j]
+        if len(fam["point"]):
+            from polars_st_spark.geo.algos import envelope as _env
+            from polars_st_spark.geo.wkb import from_ewkb as _fe
+
+            for i in fam["point"]:
+                out[i] = to_ewkb(_env(_fe(bytes(vals[i]))))
+        return out
+    if not p.srid_uniform:
+        return None
+    n = p.n
+    srid = p.srid
+    b = bounds_cached(p)
+    with np.errstate(invalid="ignore"):
+        is_nan = np.isnan(b[:, 0])
+        is_pt = (b[:, 0] == b[:, 2]) & (b[:, 1] == b[:, 3]) & ~is_nan
+        is_ln = ((b[:, 0] == b[:, 2]) | (b[:, 1] == b[:, 3])) & ~is_pt & ~is_nan
+    is_poly = ~is_nan & ~is_pt & ~is_ln & ~p.null_mask
+    is_nan &= ~p.null_mask
+    is_pt &= ~p.null_mask
+    is_ln &= ~p.null_mask
+    out = [None] * n
+    ptr = np.nonzero(is_pt | is_nan)[0]
+    if len(ptr):
+        # empty rows: the scalar emits POINT (NaN NaN) — same encoder path
+        pb = points_to_ewkb(b[ptr, 0], b[ptr, 1], srid=srid)
+        for j, i in enumerate(ptr):
+            out[i] = pb[j]
+    lnr = np.nonzero(is_ln)[0]
+    if len(lnr):
+        lc = np.empty((2 * len(lnr), 2))
+        lc[0::2, 0], lc[0::2, 1] = b[lnr, 0], b[lnr, 1]
+        lc[1::2, 0], lc[1::2, 1] = b[lnr, 2], b[lnr, 3]
+        lm = np.ones(n, dtype=bool)
+        lm[lnr] = False
+        enc = encode_lineal_rows(
+            n, np.full(n, 2, dtype=np.int64), lnr,
+            np.full(len(lnr), 2, dtype=np.int64), lc, srid, lm)
+        for i in lnr:
+            out[i] = enc[i]
+    pr = np.nonzero(is_poly)[0]
+    if len(pr):
+        rc = np.empty((5 * len(pr), 2))
+        x0, y0, x1, y1 = b[pr, 0], b[pr, 1], b[pr, 2], b[pr, 3]
+        rc[0::5, 0], rc[0::5, 1] = x0, y0
+        rc[1::5, 0], rc[1::5, 1] = x1, y0
+        rc[2::5, 0], rc[2::5, 1] = x1, y1
+        rc[3::5, 0], rc[3::5, 1] = x0, y1
+        rc[4::5, 0], rc[4::5, 1] = x0, y0
+        pm = np.ones(n, dtype=bool)
+        pm[pr] = False
+        enc = encode_polygonal_rows(
+            n, np.full(n, 3, dtype=np.int64), pr,
+            np.arange(len(pr), dtype=np.int64),
+            np.full(len(pr), 5, dtype=np.int64), rc, srid, pm)
+        for i in pr:
+            out[i] = enc[i]
+    return out

@@ -1874,3 +1874,46 @@ def test_segmentize_batch_parity():
                 assert got is not None and got[-1] is None
                 for b, o in zip(sel, got):
                     assert o == to_ewkb(A.segmentize(from_ewkb(b), ml))
+
+
+def test_envelope_boundary_batch_parity():
+    """r5: envelope_batch (mixed point/line/rect outputs incl. empties and
+    degenerate bboxes) and boundary_polygonal_batch (1 ring -> LineString,
+    0/many -> MultiLineString) match the scalar byte-for-byte."""
+    from polars_st_spark.geo import algos as A
+
+    rng = np.random.RandomState(4)
+    for srid in (0, 4326):
+        polys, lines = [], []
+        for i in range(120):
+            if i % 4 == 3:
+                polys.append(to_ewkb(Geometry(GeometryType.Polygon,
+                                              srid=srid, rings=[])))
+            else:
+                k = rng.randint(4, 9)
+                c = rng.uniform(0, 9, (k, 2))
+                rings = [np.vstack([c, c[:1]])]
+                if i % 4 == 1:
+                    rings.append(np.array([[4, 4], [4.2, 4], [4.2, 4.2],
+                                           [4, 4.2], [4, 4]]))
+                polys.append(to_ewkb(Geometry(GeometryType.Polygon,
+                                              srid=srid, rings=rings)))
+            if i % 3 == 0:  # degenerate vertical line bbox
+                lines.append(to_ewkb(Geometry(
+                    GeometryType.LineString, srid=srid,
+                    coords=np.array([[2.0, 0], [2.0, 5], [2.0, 3]]))))
+            else:
+                lines.append(to_ewkb(Geometry(
+                    GeometryType.LineString, srid=srid,
+                    coords=np.cumsum(rng.uniform(-1, 1, (4, 2)), axis=0))))
+        for sel in (polys, lines):
+            vals = np.array(list(sel) + [None], dtype=object)
+            got = ragged.envelope_batch(vals)
+            assert got is not None and got[-1] is None
+            for b, o in zip(sel, got):
+                assert o == to_ewkb(A.envelope(from_ewkb(b)))
+        vals = np.array(polys + [None], dtype=object)
+        gb = ragged.boundary_polygonal_batch(vals)
+        assert gb is not None and gb[-1] is None
+        for b, o in zip(polys, gb):
+            assert o == to_ewkb(A.boundary(from_ewkb(b)))
