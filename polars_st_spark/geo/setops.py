@@ -809,6 +809,16 @@ def symmetric_difference(a: Geometry, b: Geometry, grid_size: float | None = Non
         return d2
     if d2.is_empty():
         return d1
+    if a.dimensions() == 1 and b.dimensions() == 1:
+        # lineal⊕lineal: GEOS returns fully NODED linework — the two
+        # exclusive sides can still cross each other (r5)
+        segs1 = _lineal_edges(d1)
+        segs2 = _lineal_edges(d2)
+        pieces = [p for ch in _decompose(d1).lines
+                  for p in _node_chain_at_contacts(ch, segs2)]
+        pieces += [p for ch in _decompose(d2).lines
+                   for p in _node_chain_at_contacts(ch, segs1)]
+        return _lines_result(pieces, a.srid)
     return collect([d1, d2], srid=a.srid, dissolve=True)
 
 

@@ -285,3 +285,22 @@ def test_clip_batch_spark_surface(spark):
     for r in rows:
         assert abs(r["li"] - 2.0) < 1e-12 and abs(r["ld"] - 4.0) < 1e-12
         assert r["ti"] == "LineString"
+
+
+def test_symmetric_difference_lines_noded():
+    """r5: lineal symmetric difference nodes the two exclusive sides at
+    mutual crossings (GEOS parity) — piece interiors never cross."""
+    l1 = line([(0, 0), (4, 0)])
+    l2 = line([(1, -1), (1, 1), (2, -1), (2, 1)])
+    sd = S.symmetric_difference(l1, l2)
+    assert abs(glen(sd) - (4.0 + glen(l2))) < 1e-9
+    # every piece pair only touches at endpoints
+    parts = [g for g in (sd.geoms or [sd])]
+    from polars_st_spark.geo.predicates import crosses
+    for i in range(len(parts)):
+        for j in range(i + 1, len(parts)):
+            assert not crosses(parts[i], parts[j]), (i, j)
+    # collinear overlap removed from both sides
+    l3 = line([(2, 0), (6, 0)])
+    sd2 = S.symmetric_difference(l1, l3)
+    assert abs(glen(sd2) - 4.0) < 1e-12
