@@ -29,6 +29,7 @@ deterministic across runs and partitionings, no reliance on row order
 
 from __future__ import annotations
 
+import numpy as np
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -50,6 +51,7 @@ def st_sjoin_nearest(
     distance_col: str = "distance",
     broadcast_limit: int = 1_000_000,
     max_cell_candidates: int | None = None,
+    strategy: str = "auto",
 ) -> DataFrame:
     """k-nearest spatial join. Output: left columns + matched right columns
     (name conflicts suffixed) + ``distance_col``; ``how='left'`` keeps
@@ -65,7 +67,15 @@ def st_sjoin_nearest(
     smaller ``max_distance``, pre-aggregate coincident points, or raise
     the cap). Costs one extra count aggregation on each staged cell table;
     leave None (default) to skip. :func:`nearest_cell_stats` returns the
-    same histogram for offline diagnosis."""
+    same histogram for offline diagnosis.
+
+    ``strategy`` (max_distance None only): ``"auto"``/``"strtree"`` (r5
+    default) broadcasts the right side and answers each left row with an
+    EXPANDING-RING STRtree query — work is O(n_left · (k + log n_right))
+    instead of the ``"cross"`` plan's O(n_left · n_right) full cross-join
+    scoring (kept available for audit; identical distances, ties may pick
+    a different equal-distance row — strtree ties break on a stable
+    content digest of the right row)."""
     if k < 1:
         raise ValueError("k must be >= 1")
     if how not in ("inner", "left"):
@@ -95,6 +105,8 @@ def st_sjoin_nearest(
     dist = st_distance(F.col(left_on), F.col(r_geom))
 
     if max_distance is None:
+        if strategy not in ("auto", "strtree", "cross"):
+            raise ValueError(f"strategy must be auto/strtree/cross, got {strategy!r}")
         n_right = rstaged.count()
         if n_right > broadcast_limit:
             raise ValueError(
@@ -102,6 +114,10 @@ def st_sjoin_nearest(
                 f"{broadcast_limit}; pass max_distance= for the scalable "
                 "grid strategy (or raise broadcast_limit explicitly)"
             )
+        if strategy in ("auto", "strtree"):
+            ranked = _nearest_strtree(
+                lstaged, rstaged, k, left_on, r_geom, distance_col, lid)
+            return _finish_how(ranked, lstaged, lid, how)
         # null/empty left geometries produce null distance for EVERY
         # candidate; drop those pairs so the strategies agree (the grid
         # path never cells such rows) and how='left' routes them to the
@@ -186,6 +202,10 @@ def st_sjoin_nearest(
         .where(F.col("__nn_rank") <= k)
         .drop("__nn_rank")
     )
+    return _finish_how(ranked, lstaged, lid, how)
+
+
+def _finish_how(ranked: DataFrame, lstaged: DataFrame, lid: str, how: str) -> DataFrame:
     if how == "inner":
         return ranked.drop(lid)
     # how='left': rejoin unmatched left rows with null right columns
@@ -201,6 +221,140 @@ def st_sjoin_nearest(
     return matched.select(*out_cols).unionByName(
         unmatched.select(*out_cols)
     )
+
+
+def _nearest_strtree(
+    lstaged: DataFrame,
+    rstaged: DataFrame,
+    k: int,
+    left_on: str,
+    r_geom: str,
+    distance_col: str,
+    lid: str,
+) -> DataFrame:
+    """Broadcast expanding-ring STRtree k-NN (the r5 no-cap default).
+
+    The right table is collected (``broadcast_limit``-guarded by the
+    caller) with its bboxes; each worker bulk-loads one STR-packed R-tree
+    and answers every left row with an expanding box query: start at a
+    density-derived radius, double until >= k candidates AND the k-th
+    candidate distance fits inside the ring (an item whose bbox misses a
+    box expanded by r is > r away — Chebyshev bound), then rank exact
+    distances. Ties break on a stable content digest of the right row
+    (rerun- and partitioning-independent). Null/empty left rows emit
+    nothing — how='left' routes them to the unmatched set."""
+    import pandas as pd
+    from pyspark.sql.types import DoubleType, StructField, StructType
+
+    spark = lstaged.sparkSession
+    rpdf = rstaged.toPandas()
+    n_right = len(rpdf)
+    rbounds = _driver_bounds(rpdf[r_geom].to_numpy())
+    digest = pd.util.hash_pandas_object(rpdf, index=False).to_numpy() \
+        if n_right else np.empty(0, dtype=np.uint64)
+    bc = spark.sparkContext.broadcast((rpdf, rbounds, digest))
+    out_schema = StructType(
+        list(lstaged.schema.fields)
+        + list(rstaged.schema.fields)
+        + [StructField(distance_col, DoubleType())]
+    )
+    lcols = list(lstaged.columns)
+    rcols = list(rstaged.columns)
+
+    def fn(batches):
+        from polars_st_spark.geo import algos
+        from polars_st_spark.geo.index import STRtree
+        from polars_st_spark.geo.wkb import from_ewkb
+
+        rpdf_, rb, dg = bc.value
+        tree = STRtree(rb)
+        with np.errstate(invalid="ignore"):
+            valid = ~np.isnan(rb[:, 0])
+        nv = int(valid.sum())
+        if nv:
+            gx0, gy0 = np.nanmin(rb[:, 0]), np.nanmin(rb[:, 1])
+            gx1, gy1 = np.nanmax(rb[:, 2]), np.nanmax(rb[:, 3])
+            span = max(gx1 - gx0, gy1 - gy0, 1e-9)
+            r0 = max(span * ((min(k, nv) / nv) ** 0.5), span * 1e-6)
+        rcache: dict = {}
+
+        def rget(j):
+            g = rcache.get(j)
+            if g is None:
+                g = from_ewkb(bytes(rpdf_[r_geom].iloc[j]))
+                rcache[j] = g
+            return g
+
+        for pdf in batches:
+            if not nv or not len(pdf):
+                yield pd.DataFrame(columns=lcols + rcols + [distance_col])
+                continue
+            lb = _driver_bounds(pdf[left_on].to_numpy())
+            li_out: list = []
+            ri_out: list = []
+            d_out: list = []
+            for i in range(len(pdf)):
+                if np.isnan(lb[i, 0]):
+                    continue
+                gl = from_ewkb(bytes(pdf[left_on].iloc[i]))
+                r = r0
+                kk = min(k, nv)
+                while True:
+                    cand = tree.query(lb[i, 0] - r, lb[i, 1] - r,
+                                      lb[i, 2] + r, lb[i, 3] + r)
+                    if len(cand) >= kk or len(cand) == nv:
+                        ds = np.array([algos.distance(gl, rget(j)) for j in cand])
+                        ok = ~np.isnan(ds)
+                        cand2, ds2 = cand[ok], ds[ok]
+                        if len(cand2) >= kk or len(cand) == nv:
+                            if len(cand2):
+                                order = np.lexsort((dg[cand2], ds2))
+                                top = order[:kk]
+                                dk = ds2[top[-1]] if len(top) else np.inf
+                                if dk <= r or len(cand) == nv:
+                                    for t in top:
+                                        li_out.append(i)
+                                        ri_out.append(cand2[t])
+                                        d_out.append(ds2[t])
+                                    break
+                            elif len(cand) == nv:
+                                break
+                    r *= 2.0
+                    if r > 4 * span and len(cand) == nv:
+                        break
+            if not li_out:
+                yield pd.DataFrame(columns=lcols + rcols + [distance_col])
+                continue
+            out = pdf.iloc[li_out][lcols].reset_index(drop=True)
+            rsel = rpdf_.iloc[ri_out][rcols].reset_index(drop=True)
+            for c in rcols:
+                out[c] = rsel[c]
+            out[distance_col] = np.asarray(d_out, dtype=np.float64)
+            yield out
+
+    return lstaged.mapInPandas(fn, schema=out_schema)
+
+
+def _driver_bounds(bufs) -> np.ndarray:
+    """(n, 4) bboxes of EWKB values (NaN for null/empty/odd rows) —
+    vectorized through the CSR parsers with a scalar fallback."""
+    from polars_st_spark.geo import ragged
+    from polars_st_spark.geo.wkb import from_ewkb
+
+    for parser in (ragged.parse_polygonal, ragged.parse_lineal,
+                   ragged.parse_multipoints):
+        p = parser(bufs)
+        if p is not None:
+            return ragged.bounds(p)
+    out = np.full((len(bufs), 4), np.nan)
+    for i, b in enumerate(bufs):
+        if b is None:
+            continue
+        g = from_ewkb(bytes(b))
+        bb = g.bounds()
+        if bb[0] == bb[0]:
+            out[i] = bb
+    return out
 
 
 def nearest_cell_stats(

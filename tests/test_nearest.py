@@ -206,3 +206,29 @@ def test_cell_stats_and_candidate_cap(frames, spark):
     out = st_sjoin_nearest(pile, right, k=1, max_distance=200.0,
                            max_cell_candidates=10_000)
     assert out.count() == 50
+
+
+def test_strtree_equals_cross_strategy(frames, spark):
+    """r5 expanding-ring STRtree path == cross-join scoring on distances
+    (ties may differ in id, never in distance), k>1, rect right side."""
+    left, right, lpts, rpts = frames
+    for k in (1, 3):
+        a = st_sjoin_nearest(left, right, k=k, strategy="strtree")
+        b = st_sjoin_nearest(left, right, k=k, strategy="cross")
+        da, db = {}, {}
+        for r in a.collect():
+            da.setdefault(r["lid_val"], []).append(round(r["distance"], 9))
+        for r in b.collect():
+            db.setdefault(r["lid_val"], []).append(round(r["distance"], 9))
+        assert {k_: sorted(v) for k_, v in da.items()} == \
+               {k_: sorted(v) for k_, v in db.items()}
+    # rect right geometries (non-point bounds) through the expanding ring
+    rects = spark.createDataFrame(
+        [(i, float(10 * i), 0.0) for i in range(12)], ["rid_val", "x", "y"]
+    ).select("rid_val", st.st_rectangle(
+        "x", "y", F.col("x") + 4.0, F.col("y") + 4.0).alias("geometry"))
+    got = {r["lid_val"]: r["rid_val"] for r in
+           st_sjoin_nearest(left.limit(20), rects, k=1).collect()}
+    brute = st_sjoin_nearest(left.limit(20), rects, k=1, strategy="cross")
+    want = {r["lid_val"]: r["rid_val"] for r in brute.collect()}
+    assert got == want
