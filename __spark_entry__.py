@@ -1394,14 +1394,21 @@ def q_precision_meta(spark, sf):
 
 def q_srid_roundtrip(spark, sf):
     """to_srid 4326→3857→4326 closed-form round-trip (hash-checked at 6 dp;
-    the one-way Mercator values stay rows-only in to_srid_mercator)."""
+    the one-way Mercator values stay rows-only in to_srid_mercator); r5:
+    the crs helpers graduate to Column form — per-row EPSG code → WKT
+    (functions/crs.py get_crs_from_code, ID-clause abbreviation) and
+    WKT → 'EPSG:code' authority round-trip, both string closed forms."""
     p = _cust_pts(spark, sf).withColumn("pt4326", st.st_set_srid("pt", 4326))
     back = st.st_to_srid(st.st_to_srid("pt4326", 3857), 4326)
+    utm_code = (F.lit(32601) + (F.col("c_custkey") % 60)).cast("int")
+    wkt = st.st_crs_from_code(utm_code)
     return p.select(
         "c_custkey",
         F.round(st.st_x(back), 6).alias("rt_x"),
         F.round(st.st_y(back), 6).alias("rt_y"),
         st.st_srid(back).alias("srid_back"),
+        wkt.alias("crs_wkt"),
+        st.st_crs_authority(wkt).alias("crs_auth"),
     )
 
 
@@ -3138,7 +3145,11 @@ def oracle_sql() -> dict[str, str]:
             FROM ({_ORACLE_CUST})""",
         "srid_roundtrip": f"""
             SELECT c_custkey, ROUND(x, 6) AS rt_x, ROUND(y, 6) AS rt_y,
-                   4326 AS srid_back
+                   4326 AS srid_back,
+                   'PROJCRS["WGS 84 / UTM zone ' ||
+                     CAST(1 + c_custkey % 60 AS INT) || 'N",ID["EPSG",' ||
+                     CAST(32601 + c_custkey % 60 AS INT) || ']]' AS crs_wkt,
+                   'EPSG:' || CAST(32601 + c_custkey % 60 AS INT) AS crs_auth
             FROM ({_ORACLE_CUST})""",
         "embedding_dup": """
             WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)

@@ -10,6 +10,8 @@ from polars_st_spark.functions.agg import *  # noqa: F401,F403
 from polars_st_spark.functions.agg import __all__ as _agg_all
 from polars_st_spark.functions.construct import *  # noqa: F401,F403
 from polars_st_spark.functions.construct import __all__ as _construct_all
+from polars_st_spark.functions.crs import *  # noqa: F401,F403
+from polars_st_spark.functions.crs import __all__ as _crs_all
 from polars_st_spark.functions.predicate import *  # noqa: F401,F403
 from polars_st_spark.functions.predicate import __all__ as _predicate_all
 from polars_st_spark.functions.scalar import *  # noqa: F401,F403
@@ -22,4 +24,5 @@ from polars_st_spark.functions.zorder import __all__ as _zorder_all
 __all__ = (
     list(_construct_all) + list(_scalar_all) + list(_predicate_all)
     + list(_transform_all) + list(_agg_all) + list(_zorder_all)
+    + list(_crs_all)
 )

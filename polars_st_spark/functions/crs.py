@@ -8,7 +8,8 @@ is used transparently.
 
 from __future__ import annotations
 
-__all__ = ["get_crs_from_code", "get_crs_authority"]
+__all__ = ["get_crs_from_code", "get_crs_authority",
+           "st_crs_from_code", "st_crs_authority"]
 
 _BUILTIN = {
     4326: ('GEOGCRS["WGS 84"', "EPSG", "WGS 84 geographic 2D (lat/lon degrees)"),
@@ -123,3 +124,51 @@ def get_crs_authority(definition: str) -> tuple[str, str] | None:
     if hits:
         return ("EPSG", hits[-1])
     return None
+
+
+def st_crs_from_code(col):
+    """Column form of :func:`get_crs_from_code` — per-row EPSG code →
+    CRS WKT string (r5: graduates the crs helpers from driver-only to a
+    distributed, oracle-checkable surface). Unknown codes → NULL (the
+    driver form raises; a NULL is the elementwise convention)."""
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    from polars_st_spark.functions.factory import col_or_lit
+
+    @pandas_udf("string")
+    def udf(s):
+        out = []
+        for v in s:
+            if v is None or v != v:
+                out.append(None)
+                continue
+            try:
+                out.append(get_crs_from_code(int(v)))
+            except ValueError:
+                out.append(None)
+        return pd.Series(out, dtype=object)
+
+    return udf(col_or_lit(col))
+
+
+def st_crs_authority(col):
+    """Column form of :func:`get_crs_authority` — CRS WKT / 'AUTH:code'
+    string → 'AUTH:code' string (None when undetectable)."""
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    from polars_st_spark.functions.factory import col_or_lit
+
+    @pandas_udf("string")
+    def udf(s):
+        out = []
+        for v in s:
+            if v is None:
+                out.append(None)
+                continue
+            a = get_crs_authority(str(v))
+            out.append(None if a is None else f"{a[0]}:{a[1]}")
+        return pd.Series(out, dtype=object)
+
+    return udf(col_or_lit(col))

@@ -626,3 +626,32 @@ def test_orc_roundtrip(spark, tmp_path):
     raw = {r["id"]: bytes(r["geometry"]) for r in df.collect()}
     rawb = {r["id"]: bytes(r["geometry"]) for r in back.collect()}
     assert raw == rawb
+
+
+def test_crs_column_wrappers(spark):
+    """r5: st_crs_from_code / st_crs_authority — distributed forms of the
+    crs helpers; unknown codes/definitions yield NULL, not errors."""
+    from pyspark.sql import functions as F
+
+    import polars_st_spark as st
+
+    df = spark.createDataFrame(
+        [(32601,), (32733,), (4326,), (27700,), (999999,), (None,)],
+        ["code"])
+    rows = df.select(
+        "code",
+        st.st_crs_from_code("code").alias("wkt"),
+        st.st_crs_authority(st.st_crs_from_code("code")).alias("auth"),
+    ).collect()
+    got = {r["code"]: (r["wkt"], r["auth"]) for r in rows}
+    assert got[32601] == ('PROJCRS["WGS 84 / UTM zone 1N",ID["EPSG",32601]]',
+                          "EPSG:32601")
+    assert got[32733][1] == "EPSG:32733"
+    assert got[4326] == ('GEOGCRS["WGS 84",ID["EPSG",4326]]', "EPSG:4326")
+    assert got[27700][1] == "EPSG:27700"
+    assert got[999999] == (None, None)
+    assert got[None] == (None, None)
+    # 'AUTH:code' passthrough form
+    one = spark.range(1).select(
+        st.st_crs_authority(F.lit("epsg:3857")).alias("a")).first()
+    assert one["a"] == "EPSG:3857"
