@@ -342,3 +342,38 @@ def test_geom_arg_wkt_vs_column_sniffing(spark):
         st.st_distance("points", "SRID=4326;POINT (1 0)")).first()[0] == 1.0
     assert df.select(st.st_is_empty(
         st.st_intersection("points", "POLYGON EMPTY"))).first()[0] is True
+
+
+def test_point_buffer_batch_parity(spark):
+    """r5: uniform point-batch buffers (round n-gon / square, scalar and
+    per-row distance, srid) are byte-identical to the per-row kernel."""
+    from polars_st_spark.geo import algos
+    from polars_st_spark.geo.wkb import from_ewkb, to_ewkb
+
+    df = spark.createDataFrame(
+        [(i, float(i % 13), float((i * 7) % 11), 0.5 + (i % 5) * 0.25)
+         for i in range(120)], ["id", "x", "y", "d"])
+    pts = df.select(
+        "id", "d", st.st_point("x", "y").alias("pt"),
+        st.st_set_srid(st.st_point("x", "y"), 4326).alias("pt4326"))
+    rows = pts.select(
+        "id", "d", "pt", "pt4326",
+        st.st_buffer("pt", 1.5).alias("b1"),
+        st.st_buffer("pt", 1.5, cap_style="square").alias("b2"),
+        st.st_buffer("pt", "d").alias("b3"),
+        st.st_buffer("pt4326", 2.0, quad_segs=4).alias("b4"),
+    ).collect()
+    for r in rows:
+        g = from_ewkb(bytes(r["pt"]))
+        g4 = from_ewkb(bytes(r["pt4326"]))
+        assert bytes(r["b1"]) == to_ewkb(algos.buffer(g, 1.5))
+        assert bytes(r["b2"]) == to_ewkb(algos.buffer(g, 1.5, cap_style="square"))
+        assert bytes(r["b3"]) == to_ewkb(algos.buffer(g, float(r["d"])))
+        assert bytes(r["b4"]) == to_ewkb(algos.buffer(g4, 2.0, quad_segs=4))
+    # negative / zero / flat distances stay on the per-row path
+    one = pts.limit(3).select(
+        st.st_area(st.st_buffer("pt", -1.0)).alias("neg"),
+        st.st_area(st.st_buffer("pt", 1.0, cap_style="flat")).alias("flat"),
+    ).collect()
+    for r in one:
+        assert r["neg"] == 0.0 and r["flat"] == 0.0
