@@ -632,6 +632,10 @@ def _clip_b(mode: str, scalar_fn):
         def udf2(s1: pd.Series, s2: pd.Series) -> pd.Series:
             v1, v2 = s1.to_numpy(), s2.to_numpy()
             fast = _rg.clip_line_poly_batch(v1, v2, mode)
+            if fast is None and mode == "in":
+                # polygon ∩ line order: same clip, polygon side's SRID
+                fast = _rg.clip_line_poly_batch(v2, v1, "in",
+                                                use_poly_srid=True)
             if fast is not None:
                 out, need = fast
                 for i in np.nonzero(need)[0]:

@@ -3705,19 +3705,26 @@ def pairs_clip_line_poly(rl: RaggedLines, rp: RaggedPolygons, mode: str,
     return chain_row_out, chain_npts, coords, touch_risk
 
 
-def clip_line_poly_batch(vals_l, vals_p, mode: str):
+def clip_line_poly_batch(vals_l, vals_p, mode: str,
+                         use_poly_srid: bool = False):
     """Whole-batch line×polygon intersection ('in') / difference ('out').
     Returns ``(out, need_scalar)`` — ``out`` a list of EWKB/None per row
     with ``None`` at positions flagged in ``need_scalar`` (rows the
     SCALAR dispatch routes through other code paths, kept scalar for bit
     parity: MultiPolygon right sides, axis-rect ('in') / rectilinear
     ('out') polygons, isolated-touch-point rows) — or None when the batch
-    shape can't take the CSR path at all."""
+    shape can't take the CSR path at all.
+
+    ``use_poly_srid`` serves the SWAPPED intersection order (polygon
+    column ∩ line column): the scalar propagates the FIRST argument's
+    SRID, so the output takes the polygon side's."""
     rl = parse_lineal(vals_l)
     if rl is None or not rl.srid_uniform:
         return None
     rp = parse_polygonal(vals_p)
     if rp is None:
+        return None
+    if use_poly_srid and not rp.srid_uniform:
         return None
     n = rl.n
     need_scalar = np.zeros(n, dtype=bool)
@@ -3770,7 +3777,8 @@ def clip_line_poly_batch(vals_l, vals_p, mode: str):
     row_type = np.where(nchains > 1, 5, 2)
     enc_null = ~emit
     out = encode_lineal_rows(
-        n, row_type, chain_row2, chain_npts2, coords2, rl.srid, enc_null)
+        n, row_type, chain_row2, chain_npts2, coords2,
+        rp.srid if use_poly_srid else rl.srid, enc_null)
     for i in np.nonzero(passthrough)[0]:
         out[i] = bytes(vals_l[i])
     for i in np.nonzero(nulls & ~need_scalar)[0]:

@@ -304,3 +304,33 @@ def test_symmetric_difference_lines_noded():
     l3 = line([(2, 0), (6, 0)])
     sd2 = S.symmetric_difference(l1, l3)
     assert abs(glen(sd2) - 4.0) < 1e-12
+
+
+def test_clip_batch_swapped_order(spark):
+    """r5: polygon-column ∩ line-column (swapped args) takes the batch
+    path too and carries the polygon side's SRID like the scalar."""
+    from pyspark.sql import functions as F
+
+    import polars_st_spark as st
+
+    df = spark.createDataFrame([(i, float(5 * (i % 9))) for i in range(200)],
+                               ["id", "dx"])
+    lshape = st.st_set_srid(st.st_polygon(F.array(F.array(
+        F.array(F.col("dx"), F.lit(0.0)),
+        F.array(F.col("dx") + 4.0, F.lit(0.0)),
+        F.array(F.col("dx") + 4.0, F.lit(2.0)),
+        F.array(F.col("dx") + 2.0, F.lit(2.0)),
+        F.array(F.col("dx") + 2.0, F.lit(4.0)),
+        F.array(F.col("dx"), F.lit(4.0)),
+        F.array(F.col("dx"), F.lit(0.0))))), 3857)
+    probe = st.st_linestring(F.array(
+        F.array(F.col("dx") - 1.0, F.lit(3.0)),
+        F.array(F.col("dx") + 5.0, F.lit(3.0))))
+    rows = df.withColumn("g", lshape).withColumn("p", probe).select(
+        "id",
+        st.st_length(st.st_intersection("g", "p")).alias("li"),
+        st.st_srid(st.st_intersection("g", "p")).alias("srid"),
+    ).collect()
+    for r in rows:
+        assert abs(r["li"] - 2.0) < 1e-12
+        assert r["srid"] == 3857   # scalar propagates the FIRST arg's srid
