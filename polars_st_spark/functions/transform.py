@@ -631,6 +631,11 @@ def _clip_b(mode: str, scalar_fn):
         @pandas_udf("binary")
         def udf2(s1: pd.Series, s2: pd.Series) -> pd.Series:
             v1, v2 = s1.to_numpy(), s2.to_numpy()
+            if mode == "in":
+                # uniform axis-rect pairs: min/max closed form (bbox clip)
+                rfast = _rg.rect_pair_intersection_batch(v1, v2)
+                if rfast is not None:
+                    return pd.Series(rfast, dtype=object)
             fast = _rg.clip_line_poly_batch(v1, v2, mode)
             if fast is None and mode == "in":
                 # polygon ∩ line order: same clip, polygon side's SRID

@@ -4076,3 +4076,106 @@ def envelope_batch(vals):
         for i in pr:
             out[i] = enc[i]
     return out
+
+
+def rect_pair_intersection_batch(vals_a, vals_b):
+    """Whole-batch st_intersection for uniform axis-rect×axis-rect pairs
+    (bbox clipping — the tile/extent workload): the min/max closed form
+    classifies each row to rect / degenerate-line / point / empty and
+    writes each group with its batched encoder — bit-identical to the
+    scalar dispatch (the region branch emits the same canonical rect ring;
+    touching pairs fall through to the same line/point outputs; disjoint
+    pairs give POLYGON EMPTY regardless of which early-exit fires).
+    None → fallback."""
+    from polars_st_spark.geo.wkb import batch_uniform, header_info, points_to_ewkb
+
+    if any(b is None for b in vals_a) or any(b is None for b in vals_b):
+        return None
+    fa = batch_uniform(vals_a)
+    fb = batch_uniform(vals_b)
+    if (fa is None or fb is None or fa[0] != "ring" or fb[0] != "ring"
+            or not fa[2] or not fb[2]
+            or fa[1].shape[1] != 5 or fb[1].shape[1] != 5):
+        return None
+    ca, cb = fa[1], fb[1]
+    srid = header_info(bytes(vals_a[0]))[3]
+    ax0, ay0 = ca[:, 0, 0], ca[:, 0, 1]
+    ax1, ay1 = ca[:, 2, 0], ca[:, 2, 1]
+    bx0, by0 = cb[:, 0, 0], cb[:, 0, 1]
+    bx1, by1 = cb[:, 2, 0], cb[:, 2, 1]
+    ix0 = np.maximum(ax0, bx0)
+    iy0 = np.maximum(ay0, by0)
+    ix1 = np.minimum(ax1, bx1)
+    iy1 = np.minimum(ay1, by1)
+    n = len(ca)
+    empty = (ix0 > ix1) | (iy0 > iy1)
+    ispt = ~empty & (ix0 == ix1) & (iy0 == iy1)
+    isln = ~empty & ~ispt & ((ix0 == ix1) | (iy0 == iy1))
+    isrc = ~empty & ~ispt & ~isln
+    # the scalar's region branch quantizes coordinates to 12 decimals
+    # (geo/rectregion.py); round commutes with max/min (monotone), so the
+    # rounded clip equals clipping the rounded bounds. Rows whose ROUNDED
+    # overlap degenerates fall through to the raw-axis branch exactly like
+    # the scalar (region empty -> raw _mk_rect / line / point).
+    if isrc.any():
+        ri = np.nonzero(isrc)[0]
+
+        def _r12(arr):
+            return np.array([round(float(v), 12) for v in arr])
+
+        rx0 = np.maximum(_r12(ax0[ri]), _r12(bx0[ri]))
+        ry0 = np.maximum(_r12(ay0[ri]), _r12(by0[ri]))
+        rx1 = np.minimum(_r12(ax1[ri]), _r12(bx1[ri]))
+        ry1 = np.minimum(_r12(ay1[ri]), _r12(by1[ri]))
+        rounded_ok = (rx1 > rx0) & (ry1 > ry0)
+        ix0[ri[rounded_ok]] = rx0[rounded_ok]
+        iy0[ri[rounded_ok]] = ry0[rounded_ok]
+        ix1[ri[rounded_ok]] = rx1[rounded_ok]
+        iy1[ri[rounded_ok]] = ry1[rounded_ok]
+        # rounded-degenerate rows keep the raw bounds (_mk_rect fallthrough)
+    out: list = [None] * n
+    er = np.nonzero(empty)[0]
+    if len(er):
+        em = np.ones(n, dtype=bool)
+        em[er] = False
+        enc = encode_polygonal_rows(
+            n, np.full(n, 3, dtype=np.int64), np.empty(0, np.int64),
+            np.empty(0, np.int64), np.empty(0, np.int64),
+            np.empty((0, 2)), srid, em)
+        for i in er:
+            out[i] = enc[i]
+    pr = np.nonzero(ispt)[0]
+    if len(pr):
+        pb = points_to_ewkb(ix0[pr], iy0[pr], srid=srid)
+        for j, i in enumerate(pr):
+            out[i] = pb[j]
+    lr = np.nonzero(isln)[0]
+    if len(lr):
+        lc = np.empty((2 * len(lr), 2))
+        lc[0::2, 0], lc[0::2, 1] = ix0[lr], iy0[lr]
+        lc[1::2, 0], lc[1::2, 1] = ix1[lr], iy1[lr]
+        lm = np.ones(n, dtype=bool)
+        lm[lr] = False
+        enc = encode_lineal_rows(
+            n, np.full(n, 2, dtype=np.int64), lr,
+            np.full(len(lr), 2, dtype=np.int64), lc, srid, lm)
+        for i in lr:
+            out[i] = enc[i]
+    rr = np.nonzero(isrc)[0]
+    if len(rr):
+        rc = np.empty((5 * len(rr), 2))
+        x0, y0, x1, y1 = ix0[rr], iy0[rr], ix1[rr], iy1[rr]
+        rc[0::5, 0], rc[0::5, 1] = x0, y0
+        rc[1::5, 0], rc[1::5, 1] = x1, y0
+        rc[2::5, 0], rc[2::5, 1] = x1, y1
+        rc[3::5, 0], rc[3::5, 1] = x0, y1
+        rc[4::5, 0], rc[4::5, 1] = x0, y0
+        rm = np.ones(n, dtype=bool)
+        rm[rr] = False
+        enc = encode_polygonal_rows(
+            n, np.full(n, 3, dtype=np.int64), rr,
+            np.arange(len(rr), dtype=np.int64),
+            np.full(len(rr), 5, dtype=np.int64), rc, srid, rm)
+        for i in rr:
+            out[i] = enc[i]
+    return out

@@ -1917,3 +1917,42 @@ def test_envelope_boundary_batch_parity():
         assert gb is not None and gb[-1] is None
         for b, o in zip(polys, gb):
             assert o == to_ewkb(A.boundary(from_ewkb(b)))
+
+
+def test_rect_pair_intersection_batch_parity():
+    """r5: uniform axis-rect pair intersection == the scalar dispatch
+    byte-for-byte — including the region branch's 12-decimal coordinate
+    quantization, touching edges (line), corner touches (point), disjoint
+    (POLYGON EMPTY), containment, and sub-1e-12 sliver overlaps that
+    round degenerate and fall to the raw axis branch."""
+    from polars_st_spark.geo import setops as S
+
+    rng = np.random.RandomState(12)
+
+    def rect(x0, y0, x1, y1, srid=0):
+        return Geometry(GeometryType.Polygon, srid=srid, rings=[np.array(
+            [[x0, y0], [x1, y0], [x1, y1], [x0, y1], [x0, y0]], float)])
+
+    for srid in (0, 4326):
+        va, vb = [], []
+        for i in range(280):
+            m = i % 7
+            x0, y0 = rng.uniform(0, 10, 2)
+            w, h = rng.uniform(0.5, 4, 2)
+            a = rect(x0, y0, x0 + w, y0 + h, srid)
+            b = {
+                0: rect(x0 + w/2, y0 + h/2, x0 + w/2 + 2, y0 + h/2 + 2, srid),
+                1: rect(x0 + w + 5, y0, x0 + w + 6, y0 + 1, srid),
+                2: rect(x0 + w, y0, x0 + w + 2, y0 + h, srid),
+                3: rect(x0 + w, y0 + h, x0 + w + 1, y0 + h + 1, srid),
+                4: rect(x0 + w/4, y0 + h/4, x0 + w/2, y0 + h/2, srid),
+                5: rect(x0 + w + 1e-13, y0, x0 + w + 2, y0 + h, srid),
+                6: rect(x0 + w - 3e-13, y0, x0 + w + 2, y0 + h, srid),
+            }[m]
+            va.append(to_ewkb(a))
+            vb.append(to_ewkb(b))
+        out = ragged.rect_pair_intersection_batch(
+            np.array(va, dtype=object), np.array(vb, dtype=object))
+        assert out is not None
+        for a_, b_, o in zip(va, vb, out):
+            assert o == to_ewkb(S.intersection(from_ewkb(a_), from_ewkb(b_)))
