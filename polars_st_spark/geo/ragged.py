@@ -3486,6 +3486,47 @@ def _poly_edges(rp: RaggedPolygons):
             rp.ring_row[r_of[sel]])
 
 
+def _rings_as_axis_rect(rp: RaggedPolygons):
+    """Per-ring vectorized mirror of the scalar axis-rect tests.
+
+    Returns ``(rect2, rect_full)`` over all rings:
+    ``rect2``     — the ``_is_axis_rect`` body: 4 effective points whose
+                    12-dp-rounded x and y each take exactly two values;
+    ``rect_full`` — additionally the ``_ring_as_rect`` corner bijection
+                    (all four (x, y) corner combinations present), the
+                    ``geometry_to_region`` convertibility test.
+    """
+    npts = np.diff(rp.ring_start)
+    nr = len(npts)
+    rect2 = np.zeros(nr, dtype=bool)
+    rect_full = np.zeros(nr, dtype=bool)
+    if nr == 0:
+        return rect2, rect_full
+    base = rp.ring_start[:-1]
+    first = rp.coords[base]
+    last = rp.coords[np.maximum(rp.ring_start[1:] - 1, base)]
+    closed = (npts >= 2) & (first[:, 0] == last[:, 0]) & (first[:, 1] == last[:, 1])
+    eff = np.where(closed, npts - 1, npts)
+    ci = np.nonzero(eff == 4)[0]
+    if not len(ci):
+        return rect2, rect_full
+    idx = base[ci][:, None] + np.arange(4, dtype=np.int64)[None, :]
+    rx = np.round(rp.coords[idx, 0], 12)
+    ry = np.round(rp.coords[idx, 1], 12)
+    xmin, xmax = rx.min(axis=1), rx.max(axis=1)
+    ymin, ymax = ry.min(axis=1), ry.max(axis=1)
+    two_x = (xmin < xmax) & ((rx == xmin[:, None]) | (rx == xmax[:, None])).all(axis=1)
+    two_y = (ymin < ymax) & ((ry == ymin[:, None]) | (ry == ymax[:, None])).all(axis=1)
+    r2 = two_x & two_y
+    rect2[ci] = r2
+    is_x0 = rx == xmin[:, None]
+    is_y0 = ry == ymin[:, None]
+    bij = ((is_x0 & is_y0).any(axis=1) & (is_x0 & ~is_y0).any(axis=1)
+           & (~is_x0 & is_y0).any(axis=1) & (~is_x0 & ~is_y0).any(axis=1))
+    rect_full[ci] = r2 & bij
+    return rect2, rect_full
+
+
 def pairs_clip_line_poly(rl: RaggedLines, rp: RaggedPolygons, mode: str,
                          max_pairs: int = 64_000_000, chunk: int = 1 << 20):
     """Split params + chunk classification for row-paired line×polygon
@@ -3730,21 +3771,27 @@ def clip_line_poly_batch(vals_l, vals_p, mode: str,
     need_scalar = np.zeros(n, dtype=bool)
     ptype = _rows_type_byte(vals_p, rp.null_mask)
     need_scalar |= ptype == 6
-    # axis-parallel-edge census per row
-    cx_, cy_, ex_, ey_, edge_row = _poly_edges(rp)
-    axis_par = (cx_ == ex_) | (cy_ == ey_)
-    n_edges = np.bincount(edge_row, minlength=n)
-    n_axis = np.zeros(n, dtype=np.int64)
-    if len(edge_row):
-        np.add.at(n_axis, edge_row, axis_par.astype(np.int64))
-    all_axis = (n_edges > 0) & (n_axis == n_edges)
+    # mirror the SCALAR dispatch's special-path tests exactly (r5: the old
+    # all-axis-edge census flagged every rectilinear polygon — e.g. a 6-edge
+    # L-shape — back to scalar for 'out', though the scalar region algebra
+    # only fires when EVERY ring is a 4-point axis RECTANGLE)
+    rect2, rect_full = _rings_as_axis_rect(rp)
+    nrings = np.bincount(rp.ring_row, minlength=n)
+    n_rect_full = np.bincount(rp.ring_row[rect_full], minlength=n)
+    single_rect2 = np.zeros(n, dtype=bool)
+    si = np.nonzero(nrings == 1)[0]
+    if len(si):
+        first_ring = np.searchsorted(rp.ring_row, si)
+        single_rect2[si] = rect2[first_ring]
+    single_rect2 &= ptype == 3  # _is_axis_rect requires a plain Polygon
     if mode == "out":
-        # the scalar difference clips by the exact rectilinear region
-        need_scalar |= all_axis
+        # scalar difference: geometry_to_region (all rings _ring_as_rect)
+        # else _axis_rect (single-ring 12-dp axis rect) else general clip
+        need_scalar |= (nrings > 0) & (n_rect_full == nrings)
+        need_scalar |= single_rect2
     else:
-        # the scalar intersection special-cases only the plain axis RECT
-        nrings = np.bincount(rp.ring_row, minlength=n)
-        need_scalar |= all_axis & (nrings == 1) & (n_edges == 4)
+        # scalar intersection special-cases only _axis_rect polygons
+        need_scalar |= single_rect2
     res = pairs_clip_line_poly(rl, rp, mode)
     if res is None:
         return None
