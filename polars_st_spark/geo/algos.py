@@ -1511,14 +1511,11 @@ def _cap_pieces(p, u_out, dist: float, cap_style: str, quad_segs: int, srid: int
 
 
 def _union_pieces(pieces: list[Geometry], srid: int) -> Geometry:
-    from polars_st_spark.geo.overlay import overlay
+    from polars_st_spark.geo.overlay import union_many
 
     if not pieces:
         return Geometry(GeometryType.Polygon, srid=srid, rings=[])
-    acc = pieces[0]
-    for piece in pieces[1:]:
-        acc = overlay(acc, piece, "union")
-    return acc
+    return union_many(pieces, srid)
 
 
 def _buffer_general(g: Geometry, dist: float, quad_segs: int,
