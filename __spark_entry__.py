@@ -1813,6 +1813,30 @@ def q_line_clip_scale(spark, sf):
     )
 
 
+def q_buffer_lines(spark, sf):
+    """r5: LINE buffers through the vectorized overlay union engine
+    (geo/overlay.union_many — one-shot node/classify/stitch of the stroke
+    rect + join fan + cap pieces), with per-row distances and exact
+    closed-form areas: flat-cap diagonal stroke = 2dL, square cap adds
+    4d^2, and the axis-aligned L path with a round join = 14d - d^2 (inner
+    corner overlap) + 4 d^2 sin(pi/16) (the 8-slice quarter fan)."""
+    # customer is a single parquet row-group: spread the per-row buffers
+    p = _cust_pts(spark, sf).repartition(16)
+    d = (0.25 + (F.col("c_custkey") % 4) * 0.25).alias("d")
+    xc, yc = F.col("x"), F.col("y")
+    diag = st.st_linestring(F.array(
+        F.array(xc, yc), F.array(xc + 3.0, yc + 4.0)))
+    lpath = st.st_linestring(F.array(
+        F.array(xc, yc), F.array(xc + 4.0, yc), F.array(xc + 4.0, yc + 3.0)))
+    p = p.withColumn("d", d)
+    return p.select(
+        "c_custkey",
+        F.round(st.st_area(st.st_buffer(diag, "d", cap_style="flat")), 6).alias("flat_area"),
+        F.round(st.st_area(st.st_buffer(diag, "d", cap_style="square")), 6).alias("sq_area"),
+        F.round(st.st_area(st.st_buffer(lpath, "d", cap_style="flat")), 6).alias("l_area"),
+    )
+
+
 def q_doc_suite(spark, sf):
     """Per-document text-pipeline scalars in one pass: token counts, BPE-ish
     counts, language-ID + quality, MinHash signature, fingerprint, SimHash
@@ -2636,6 +2660,7 @@ _QUERIES = {
         "adjacency_relate": q_adjacency_relate,
         "sjoin_touches": q_sjoin_touches,
         "line_clip_scale": q_line_clip_scale,
+        "buffer_lines": q_buffer_lines,
     }
 
 
@@ -2878,6 +2903,14 @@ def oracle_sql() -> dict[str, str]:
                    CAST(4 * COUNT(*) AS BIGINT) AS sum_diff,
                    COUNT(*) AS n_rows
             FROM lineitem GROUP BY l_suppkey""",
+        "buffer_lines": f"""
+            SELECT c_custkey,
+                   ROUND(10 * d, 6) AS flat_area,
+                   ROUND(10 * d + 4 * d * d, 6) AS sq_area,
+                   ROUND(14 * d - d * d + 4 * d * d * SIN(PI() / 16), 6) AS l_area
+            FROM (SELECT c_custkey,
+                         CAST(0.25 + (c_custkey % 4) * 0.25 AS DOUBLE) AS d
+                  FROM ({_ORACLE_CUST}))""",
         "events_hourly": """
             SELECT user_id, date_trunc('hour', ts) AS hour,
                    COUNT(*) AS n_events, MIN(value) AS min_value, MAX(value) AS max_value

@@ -286,6 +286,32 @@ def main() -> None:
             F.sum(st.st_area(st.st_convex_hull("poly"))).alias("ha"),
         ).collect()
     )
+    # - b1b: LINE buffers (round join, per-row distance) — the r5
+    #   vectorized overlay union engine (geo/overlay.union_many: one-shot
+    #   node/classify/stitch of stroke + join + cap pieces; was 517 ms/row
+    #   through the incremental pairwise overlay, now ~4 ms/row)
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet").select(
+        "c_custkey",
+        ((F.col("c_custkey") % 97) + 0.5).alias("x"),
+        (((F.col("c_custkey") * 7) % 89) + 0.5).alias("y"),
+        (0.25 + (F.col("c_custkey") % 4) * 0.25).alias("d"),
+    )
+    lpath = st.st_linestring(F.array(
+        F.array(F.col("x"), F.col("y")),
+        F.array(F.col("x") + 4.0, F.col("y")),
+        F.array(F.col("x") + 4.0, F.col("y") + 3.0)))
+    # customer at sf0.1 is a single parquet row-group: spread the per-row
+    # buffer work across the executor threads
+    cust_l = cust.withColumn("lp", lpath).repartition(64).cache()
+    cust_l.count()
+    cust_l.sample(fraction=0.02, seed=1).select(
+        F.sum(st.st_area(st.st_buffer("lp", "d", cap_style="flat")))
+    ).collect()
+    variants["b1b_buffer_lines"] = timed(
+        lambda: cust_l.select(
+            F.sum(st.st_area(st.st_buffer("lp", "d", cap_style="flat"))).alias("a")
+        ).collect()
+    )
     # - b2g: row-paired polygon×polygon intersects over the same ragged
     #   holed n-gons vs a shifted copy — the CSR segment-pair kernel
     #   (geo/ragged.polys_intersect), i.e. the sjoin refinement hot path
