@@ -978,10 +978,33 @@ def union_all(geoms, grid_size: float | None = None) -> Geometry:
                 if ra and rb:
                     continue  # rect pair resolved below
                 if a.dimensions() == 2 and b.dimensions() == 2:
-                    from polars_st_spark.geo.overlay import overlay as _overlay
+                    from polars_st_spark.geo.overlay import union_many
 
-                    merged_pair = _overlay(a, b, "union")
-                    rest = [g for g in kept if g is not a and g is not b]
+                    # grow the full overlapping-areal cluster and union it
+                    # in ONE multi-piece pass — the old pair-merge restarted
+                    # the whole fold once per overlap (r5)
+                    comp = {i, j}
+                    frontier = [i, j]
+                    while frontier:
+                        u = frontier.pop()
+                        for k2 in range(len(kept)):
+                            if k2 in comp or kept[k2].dimensions() != 2:
+                                continue
+                            with np.errstate(invalid="ignore"):
+                                boxok = (
+                                    kb[k2, 0] <= kb[u, 2] + _eps
+                                    and kb[u, 0] <= kb[k2, 2] + _eps
+                                    and kb[k2, 1] <= kb[u, 3] + _eps
+                                    and kb[u, 1] <= kb[k2, 3] + _eps
+                                )
+                            if not boxok:
+                                continue
+                            if intersects(kept[u], kept[k2]) and not touches(
+                                    kept[u], kept[k2]):
+                                comp.add(k2)
+                                frontier.append(k2)
+                    merged_pair = union_many([kept[k] for k in sorted(comp)], srid)
+                    rest = [g for k2, g in enumerate(kept) if k2 not in comp]
                     return union_all(rest + [merged_pair], grid_size)
                 # mixed line/polygon overlap: the union is the polygon plus
                 # the line's strictly-exterior pieces (GEOS collection
