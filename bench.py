@@ -290,7 +290,7 @@ def main() -> None:
     #   vectorized overlay union engine (geo/overlay.union_many: one-shot
     #   node/classify/stitch of stroke + join + cap pieces; was 517 ms/row
     #   through the incremental pairwise overlay, now ~4 ms/row)
-    cust = spark.read.parquet(f"{sf_dir}/customer.parquet").select(
+    bl_cust = spark.read.parquet(f"{sf_dir}/customer.parquet").select(
         "c_custkey",
         ((F.col("c_custkey") % 97) + 0.5).alias("x"),
         (((F.col("c_custkey") * 7) % 89) + 0.5).alias("y"),
@@ -302,7 +302,7 @@ def main() -> None:
         F.array(F.col("x") + 4.0, F.col("y") + 3.0)))
     # customer at sf0.1 is a single parquet row-group: spread the per-row
     # buffer work across the executor threads
-    cust_l = cust.withColumn("lp", lpath).repartition(64).cache()
+    cust_l = bl_cust.withColumn("lp", lpath).repartition(64).cache()
     cust_l.count()
     cust_l.sample(fraction=0.02, seed=1).select(
         F.sum(st.st_area(st.st_buffer("lp", "d", cap_style="flat")))
