@@ -1760,25 +1760,76 @@ def _remove_offset_loops(curve: np.ndarray, src: np.ndarray, dist: float) -> np.
     n = len(curve) - 1
     if n < 3:
         return curve
-    # proper crossings between non-adjacent segments: (param_i, param_j, point)
+    # proper crossings between non-adjacent segments: (param_i, param_j,
+    # point) — vectorized over the i<j-1 pair product (bbox-pruned; a
+    # proper crossing point lies in both segments' closed boxes, so the
+    # prune is exact), reproducing the scalar formulas elementwise
+    from polars_st_spark.geo.predicates import _EPS
+
     crossings = []
-    for i in range(n - 2):
-        a, b = curve[i], curve[i + 1]
-        for j in range(i + 2, n):
-            c_, e = curve[j], curve[j + 1]
-            if _seg_intersect_kind(a, b, c_, e) != 2:
-                continue
-            den = (b[0] - a[0]) * (e[1] - c_[1]) - (b[1] - a[1]) * (e[0] - c_[0])
-            if den == 0:
-                continue
-            t = ((c_[0] - a[0]) * (e[1] - c_[1]) - (c_[1] - a[1]) * (e[0] - c_[0])) / den
-            if not 0.0 < t < 1.0:
-                continue
-            p = a + t * (b - a)
-            u = _seg_param(c_, e, p)
-            if not 0.0 < u < 1.0:
-                continue
-            crossings.append((i + t, j + u, p))
+    SA = curve[:-1]
+    SB = curve[1:]
+    bbx0 = np.minimum(SA[:, 0], SB[:, 0])
+    bbx1 = np.maximum(SA[:, 0], SB[:, 0])
+    bby0 = np.minimum(SA[:, 1], SB[:, 1])
+    bby1 = np.maximum(SA[:, 1], SB[:, 1])
+    CH = 1 << 21
+    total = n * n
+    for lo in range(0, total, CH):
+        hi = min(lo + CH, total)
+        idx = np.arange(lo, hi, dtype=np.int64)
+        ii = idx // n
+        jj = idx - ii * n
+        sel = (
+            (jj >= ii + 2)
+            & (bbx0[ii] <= bbx1[jj]) & (bbx0[jj] <= bbx1[ii])
+            & (bby0[ii] <= bby1[jj]) & (bby0[jj] <= bby1[ii])
+        )
+        m = np.nonzero(sel)[0]
+        if not len(m):
+            continue
+        ii = ii[m]
+        jj = jj[m]
+        ax, ay = SA[ii, 0], SA[ii, 1]
+        bx, by = SB[ii, 0], SB[ii, 1]
+        cx, cy = SA[jj, 0], SA[jj, 1]
+        ex, ey = SB[jj, 0], SB[jj, 1]
+        # _seg_intersect_kind proper test, elementwise
+        d1 = (ex - cx) * (ay - cy) - (ey - cy) * (ax - cx)
+        d2 = (ex - cx) * (by - cy) - (ey - cy) * (bx - cx)
+        d3 = (bx - ax) * (cy - ay) - (by - ay) * (cx - ax)
+        d4 = (bx - ax) * (ey - ay) - (by - ay) * (ex - ax)
+        tol = _EPS * (
+            np.maximum(np.maximum(np.abs(ex - cx), np.abs(ey - cy)), 1.0)
+            * np.maximum(np.maximum(np.abs(bx - ax), np.abs(by - ay)), 1.0)
+        )
+        proper = (
+            ((d1 > tol) & (d2 < -tol)) | ((d1 < -tol) & (d2 > tol))
+        ) & (((d3 > tol) & (d4 < -tol)) | ((d3 < -tol) & (d4 > tol)))
+        pm = np.nonzero(proper)[0]
+        if not len(pm):
+            continue
+        ii, jj = ii[pm], jj[pm]
+        ax, ay, bx, by = ax[pm], ay[pm], bx[pm], by[pm]
+        cx, cy, ex, ey = cx[pm], cy[pm], ex[pm], ey[pm]
+        den = (bx - ax) * (ey - cy) - (by - ay) * (ex - cx)
+        ok = den != 0
+        t = np.where(ok, ((cx - ax) * (ey - cy) - (cy - ay) * (ex - cx))
+                     / np.where(ok, den, 1.0), 0.0)
+        ok &= (t > 0.0) & (t < 1.0)
+        px_ = ax + t * (bx - ax)
+        py_ = ay + t * (by - ay)
+        # scalar _seg_param dominant-axis formula
+        dx2, dy2 = ex - cx, ey - cy
+        use_x = np.abs(dx2) >= np.abs(dy2)
+        den2 = np.where(use_x, dx2, dy2)
+        num2 = np.where(use_x, px_ - cx, py_ - cy)
+        u = np.where(den2 != 0, num2 / np.where(den2 != 0, den2, 1.0), 0.0)
+        ok &= (u > 0.0) & (u < 1.0)
+        km = np.nonzero(ok)[0]
+        for k in km:
+            crossings.append((float(ii[k] + t[k]), float(jj[k] + u[k]),
+                              np.array([px_[k], py_[k]])))
     if not crossings:
         return curve
     # noded point walk: original vertices at integer params, crossing points
@@ -1798,11 +1849,17 @@ def _remove_offset_loops(curve: np.ndarray, src: np.ndarray, dist: float) -> np.
             k = open_at[cid]
             loop_pts = np.array([q for _c, q in out[k:]] + [p])
             # closest approach of the candidate loop to the source line
+            # (midpoints + vertices, one broadcast batch)
             mids = (loop_pts[:-1] + loop_pts[1:]) / 2.0
-            dmin = min(
-                min(_min_dist_point_to_chain(m, src) for m in mids),
-                min(_min_dist_point_to_chain(q, src) for q in loop_pts),
-            )
+            probe = np.vstack([mids, loop_pts])
+            if len(src) == 1:
+                dmin = float(np.hypot(probe[:, 0] - src[0, 0],
+                                      probe[:, 1] - src[0, 1]).min())
+            else:
+                dmin = float(_seg_dist_point(
+                    probe[:, 0][:, None], probe[:, 1][:, None],
+                    src[:-1, 0][None, :], src[:-1, 1][None, :],
+                    src[1:, 0][None, :], src[1:, 1][None, :]).min())
             if dmin < thresh:
                 # collapse loop: cut back to the crossing point (kept once)
                 del out[k + 1:]
