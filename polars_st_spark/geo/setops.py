@@ -382,34 +382,136 @@ def _intersection_impl(a: Geometry, b: Geometry) -> Geometry:
 
 
 def _line_line_intersection(a: Geometry, b: Geometry) -> Geometry:
-    from polars_st_spark.geo.predicates import _seg_intersect_kind
+    from polars_st_spark.geo.predicates import (
+        _EPS, _on_segment, _seg_intersect_kind)
 
     pts = []
     segs = []
     for ca in _decompose(a).lines:
         for cb in _decompose(b).lines:
-            for i in range(len(ca) - 1):
-                for j in range(len(cb) - 1):
-                    p, q, c, e = ca[i, :2], ca[i + 1, :2], cb[j, :2], cb[j + 1, :2]
-                    kind = _seg_intersect_kind(p, q, c, e)
-                    if kind == 2 or kind == 1:
-                        pt = _cross_point(p, q, c, e)
-                        if pt is not None:
-                            pts.append(pt)
-                    elif kind == 3:
-                        axis = 0 if abs(q[0] - p[0]) >= abs(q[1] - p[1]) else 1
-                        lo = max(min(p[axis], q[axis]), min(c[axis], e[axis]))
-                        hi = min(max(p[axis], q[axis]), max(c[axis], e[axis]))
-                        tdir = (q - p) / (q[axis] - p[axis])
-                        s0 = p + (lo - p[axis]) * tdir
-                        s1 = p + (hi - p[axis]) * tdir
+            # vectorized over the segment product of this chain pair, in
+            # the scalar's i-major j-minor emission order (the per-pair
+            # formulas are _seg_intersect_kind / _cross_point elementwise)
+            A0 = np.asarray(ca, dtype=float)[:, :2]
+            B0 = np.asarray(cb, dtype=float)[:, :2]
+            na, nb = len(A0) - 1, len(B0) - 1
+            if na < 1 or nb < 1:
+                continue
+            CH = 1 << 21
+            for lo_ in range(0, na * nb, CH):
+                hi_ = min(lo_ + CH, na * nb)
+                idx = np.arange(lo_, hi_, dtype=np.int64)
+                ii = idx // nb
+                jj = idx - ii * nb
+                px, py = A0[ii, 0], A0[ii, 1]
+                qx, qy = A0[ii + 1, 0], A0[ii + 1, 1]
+                cx, cy = B0[jj, 0], B0[jj, 1]
+                ex, ey = B0[jj + 1, 0], B0[jj + 1, 1]
+                d1 = (ex - cx) * (py - cy) - (ey - cy) * (px - cx)
+                d2 = (ex - cx) * (qy - cy) - (ey - cy) * (qx - cx)
+                d3 = (qx - px) * (cy - py) - (qy - py) * (cx - px)
+                d4 = (qx - px) * (ey - py) - (qy - py) * (ex - px)
+                tol = _EPS * (
+                    np.maximum(np.maximum(np.abs(ex - cx), np.abs(ey - cy)), 1.0)
+                    * np.maximum(np.maximum(np.abs(qx - px), np.abs(qy - py)), 1.0)
+                )
+                proper = (
+                    ((d1 > tol) & (d2 < -tol)) | ((d1 < -tol) & (d2 > tol))
+                ) & (((d3 > tol) & (d4 < -tol)) | ((d3 < -tol) & (d4 > tol)))
+                near1 = np.abs(d1) <= tol
+                near2 = np.abs(d2) <= tol
+                near3 = np.abs(d3) <= tol
+                near4 = np.abs(d4) <= tol
+                allnear = near1 & near2 & near3 & near4
+                axis_x = np.abs(qx - px) >= np.abs(qy - py)
+                a1v = np.where(axis_x, px, py)
+                b1v = np.where(axis_x, qx, qy)
+                c1v = np.where(axis_x, cx, cy)
+                e1v = np.where(axis_x, ex, ey)
+                lo_ax = np.maximum(np.minimum(a1v, b1v), np.minimum(c1v, e1v))
+                hi_ax = np.minimum(np.maximum(a1v, b1v), np.maximum(c1v, e1v))
+                kind3 = allnear & (hi_ax - lo_ax > _EPS)
+                kind1_col = allnear & ~kind3 & (hi_ax >= lo_ax - _EPS)
+
+                def on_seg(ptx, pty, sx, sy, tx, ty):
+                    cr = (tx - sx) * (pty - sy) - (ty - sy) * (ptx - sx)
+                    sc = np.maximum(
+                        np.maximum(np.abs(tx - sx), np.abs(ty - sy)), 1.0)
+                    return (
+                        (np.abs(cr) <= _EPS * sc * sc)
+                        & (ptx >= np.minimum(sx, tx) - _EPS)
+                        & (ptx <= np.maximum(sx, tx) + _EPS)
+                        & (pty >= np.minimum(sy, ty) - _EPS)
+                        & (pty <= np.maximum(sy, ty) + _EPS)
+                    )
+
+                touched = (
+                    (near1 & on_seg(px, py, cx, cy, ex, ey))
+                    | (near2 & on_seg(qx, qy, cx, cy, ex, ey))
+                    | (near3 & on_seg(cx, cy, px, py, qx, qy))
+                    | (near4 & on_seg(ex, ey, px, py, qx, qy))
+                )
+                kind12 = proper | (~allnear & touched) | kind1_col
+                if kind3.any():
+                    km = np.nonzero(kind3)[0]
+                    den_ax = np.where(axis_x[km], qx[km] - px[km],
+                                      qy[km] - py[km])
+                    tdx = (qx[km] - px[km]) / den_ax
+                    tdy = (qy[km] - py[km]) / den_ax
+                    pv = np.where(axis_x[km], px[km], py[km])
+                    for k_, m_ in enumerate(km):
+                        s0 = np.array([px[m_] + (lo_ax[m_] - pv[k_]) * tdx[k_],
+                                       py[m_] + (lo_ax[m_] - pv[k_]) * tdy[k_]])
+                        s1 = np.array([px[m_] + (hi_ax[m_] - pv[k_]) * tdx[k_],
+                                       py[m_] + (hi_ax[m_] - pv[k_]) * tdy[k_]])
                         segs.append(np.array([s0, s1]))
+                if kind12.any():
+                    km = np.nonzero(kind12)[0]
+                    den = ((px[km] - qx[km]) * (cy[km] - ey[km])
+                           - (py[km] - qy[km]) * (cx[km] - ex[km]))
+                    ok = den != 0
+                    t = np.where(ok, ((px[km] - cx[km]) * (cy[km] - ey[km])
+                                      - (py[km] - cy[km]) * (cx[km] - ex[km]))
+                                 / np.where(ok, den, 1.0), 0.0)
+                    ptx = px[km] + t * (qx[km] - px[km])
+                    pty = py[km] + t * (qy[km] - py[km])
+                    for k_, m_ in enumerate(km):
+                        if ok[k_]:
+                            pts.append(np.array([ptx[k_], pty[k_]]))
+                        else:
+                            # scalar _cross_point den==0 fallback: first
+                            # endpoint lying on the other segment
+                            pq = (np.array([px[m_], py[m_]]),
+                                  np.array([qx[m_], qy[m_]]))
+                            ce = (np.array([cx[m_], cy[m_]]),
+                                  np.array([ex[m_], ey[m_]]))
+                            got = None
+                            for cand in pq:
+                                if _on_segment(cand, ce[0], ce[1]):
+                                    got = cand
+                                    break
+                            if got is None:
+                                for cand in ce:
+                                    if _on_segment(cand, pq[0], pq[1]):
+                                        got = cand
+                                        break
+                            if got is not None:
+                                pts.append(np.asarray(got, dtype=float))
     if segs:
         return _lines_result(segs, a.srid)
+    # order-preserving first-keep dedupe with np.allclose's tolerance
+    # (|p-q| <= atol + rtol*|q| per component), one vector compare per
+    # candidate instead of a scalar allclose per kept point
     uniq = []
+    kx = np.empty(0)
+    ky = np.empty(0)
     for p in pts:
-        if not any(np.allclose(p, q) for q in uniq):
+        close = ((np.abs(p[0] - kx) <= 1e-8 + 1e-5 * np.abs(kx))
+                 & (np.abs(p[1] - ky) <= 1e-8 + 1e-5 * np.abs(ky)))
+        if not close.any():
             uniq.append(p)
+            kx = np.append(kx, p[0])
+            ky = np.append(ky, p[1])
     if not uniq:
         return Geometry(GeometryType.Point, srid=a.srid, coords=None)
     if len(uniq) == 1:
@@ -498,58 +600,235 @@ def _seg_split_params(p: np.ndarray, q: np.ndarray, segs) -> list[float]:
     return sorted(ts)
 
 
-def _clip_chain_general(chain: np.ndarray, segs, locfn, keep: str):
+def _chain_split_params_vec(c: np.ndarray, segs):
+    """Per-chain-segment sorted split params, vectorized over the whole
+    (chain segment × other segment) product — elementwise the exact
+    ``_seg_split_params`` arithmetic (kind-2 den/t, touch/collinear
+    endpoint projection on the chain segment's dominant axis), with an
+    exact bbox prune (every split source needs the two segments' boxes
+    dilated by _EPS to meet).
+
+    Returns ``list[np.ndarray]`` of sorted unique params per chain
+    segment (``None`` entries for degenerate zero-length segments)."""
+    from polars_st_spark.geo.predicates import _EPS
+
+    n = len(c) - 1
+    P = c[:-1]
+    Q = c[1:]
+    degen = (P[:, 0] == Q[:, 0]) & (P[:, 1] == Q[:, 1])
+    m = len(segs)
+    out_i = [np.arange(n, dtype=np.int64), np.arange(n, dtype=np.int64)]
+    out_t = [np.zeros(n), np.ones(n)]
+    if m:
+        O = np.empty((m, 4), dtype=np.float64)
+        for k, (cc, ee) in enumerate(segs):
+            O[k, 0], O[k, 1], O[k, 2], O[k, 3] = cc[0], cc[1], ee[0], ee[1]
+        pbx0 = np.minimum(P[:, 0], Q[:, 0])
+        pbx1 = np.maximum(P[:, 0], Q[:, 0])
+        pby0 = np.minimum(P[:, 1], Q[:, 1])
+        pby1 = np.maximum(P[:, 1], Q[:, 1])
+        obx0 = np.minimum(O[:, 0], O[:, 2])
+        obx1 = np.maximum(O[:, 0], O[:, 2])
+        oby0 = np.minimum(O[:, 1], O[:, 3])
+        oby1 = np.maximum(O[:, 1], O[:, 3])
+        margin = 4.0 * _EPS
+        CH = 1 << 21
+        total = n * m
+        for lo in range(0, total, CH):
+            hi = min(lo + CH, total)
+            idx = np.arange(lo, hi, dtype=np.int64)
+            ii = idx // m
+            jj = idx - ii * m
+            near = (
+                ~degen[ii]
+                & (pbx0[ii] <= obx1[jj] + margin) & (obx0[jj] <= pbx1[ii] + margin)
+                & (pby0[ii] <= oby1[jj] + margin) & (oby0[jj] <= pby1[ii] + margin)
+            )
+            sel = np.nonzero(near)[0]
+            if not len(sel):
+                continue
+            ii = ii[sel]
+            jj = jj[sel]
+            px, py = P[ii, 0], P[ii, 1]
+            qx, qy = Q[ii, 0], Q[ii, 1]
+            cx, cy = O[jj, 0], O[jj, 1]
+            ex, ey = O[jj, 2], O[jj, 3]
+            d1 = (ex - cx) * (py - cy) - (ey - cy) * (px - cx)
+            d2 = (ex - cx) * (qy - cy) - (ey - cy) * (qx - cx)
+            d3 = (qx - px) * (cy - py) - (qy - py) * (cx - px)
+            d4 = (qx - px) * (ey - py) - (qy - py) * (ex - px)
+            sc_pq = np.maximum(np.maximum(np.abs(qx - px), np.abs(qy - py)), 1.0)
+            sc_ce = np.maximum(np.maximum(np.abs(ex - cx), np.abs(ey - cy)), 1.0)
+            tol = _EPS * sc_ce * sc_pq
+            proper = (
+                ((d1 > tol) & (d2 < -tol)) | ((d1 < -tol) & (d2 > tol))
+            ) & (((d3 > tol) & (d4 < -tol)) | ((d3 < -tol) & (d4 > tol)))
+            pm = np.nonzero(proper)[0]
+            if len(pm):
+                den = ((px[pm] - qx[pm]) * (cy[pm] - ey[pm])
+                       - (py[pm] - qy[pm]) * (cx[pm] - ex[pm]))
+                ok = den != 0
+                t = ((px[pm] - cx[pm]) * (cy[pm] - ey[pm])
+                     - (py[pm] - cy[pm]) * (cx[pm] - ex[pm]))
+                t = t[ok] / den[ok]
+                out_i.append(ii[pm[ok]])
+                out_t.append(np.minimum(np.maximum(t, 0.0), 1.0))
+            # touch / collinear contact: project the other segment's
+            # endpoints where they lie ON the chain segment
+            near1 = np.abs(d1) <= tol
+            near2 = np.abs(d2) <= tol
+            near3 = np.abs(d3) <= tol
+            near4 = np.abs(d4) <= tol
+            allnear = near1 & near2 & near3 & near4
+            axis_x = np.abs(qx - px) >= np.abs(qy - py)
+            a1v = np.where(axis_x, px, py)
+            b1v = np.where(axis_x, qx, qy)
+            c1v = np.where(axis_x, cx, cy)
+            e1v = np.where(axis_x, ex, ey)
+            lo_ = np.maximum(np.minimum(a1v, b1v), np.minimum(c1v, e1v))
+            hi_ = np.minimum(np.maximum(a1v, b1v), np.maximum(c1v, e1v))
+            col_hit = hi_ >= lo_ - _EPS
+
+            def on_seg(ptx, pty, sx, sy, tx, ty):
+                cr = (tx - sx) * (pty - sy) - (ty - sy) * (ptx - sx)
+                sc = np.maximum(np.maximum(np.abs(tx - sx), np.abs(ty - sy)), 1.0)
+                return (
+                    (np.abs(cr) <= _EPS * sc * sc)
+                    & (ptx >= np.minimum(sx, tx) - _EPS)
+                    & (ptx <= np.maximum(sx, tx) + _EPS)
+                    & (pty >= np.minimum(sy, ty) - _EPS)
+                    & (pty <= np.maximum(sy, ty) + _EPS)
+                )
+
+            touched = (
+                (near1 & on_seg(px, py, cx, cy, ex, ey))
+                | (near2 & on_seg(qx, qy, cx, cy, ex, ey))
+                | (near3 & on_seg(cx, cy, px, py, qx, qy))
+                | (near4 & on_seg(ex, ey, px, py, qx, qy))
+            )
+            contact = ~proper & np.where(allnear, col_hit, touched)
+            cm = np.nonzero(contact)[0]
+            if len(cm):
+                daxis = np.where(axis_x[cm], qx[cm] - px[cm], qy[cm] - py[cm])
+                ok0 = daxis != 0
+                safe = np.where(ok0, daxis, 1.0)
+                for candx, candy in ((cx[cm], cy[cm]), (ex[cm], ey[cm])):
+                    keep_ = ok0 & on_seg(candx, candy, px[cm], py[cm],
+                                         qx[cm], qy[cm])
+                    cv = np.where(axis_x[cm], candx, candy)
+                    pv = np.where(axis_x[cm], px[cm], py[cm])
+                    t = np.minimum(np.maximum((cv - pv) / safe, 0.0), 1.0)
+                    out_i.append(ii[cm[keep_]])
+                    out_t.append(t[keep_])
+    all_i = np.concatenate(out_i)
+    all_t = np.concatenate(out_t)
+    order = np.lexsort((all_t, all_i))
+    s, t = all_i[order], all_t[order]
+    uniq = np.ones(len(s), dtype=bool)
+    uniq[1:] = (s[1:] != s[:-1]) | (t[1:] != t[:-1])
+    s, t = s[uniq], t[uniq]
+    bounds_ = np.searchsorted(s, np.arange(n + 1))
+    out: list = []
+    for si in range(n):
+        if degen[si]:
+            out.append(None)
+        else:
+            out.append(t[bounds_[si]:bounds_[si + 1]])
+    return out
+
+
+def _clip_chain_general(chain: np.ndarray, segs, locfn, keep: str,
+                        locfn_batch=None):
     """Maximal sub-chains of ``chain`` kept by the midpoint rule, plus (for
     ``keep='in'``) isolated touch points not covered by any kept piece.
 
     keep='in'  : midpoint location >= 1 (closed other side — GEOS ∩)
     keep='out' : midpoint location == 0 (strict exterior — GEOS −)
-    """
+
+    ``locfn_batch`` (optional) evaluates many probe points at once —
+    ``f(px, py) -> int array`` with the same 0/1/2 values as ``locfn``;
+    when given, all midpoint (and touch-candidate) locations run in one
+    vectorized pass instead of per-probe scalar calls."""
     c = np.asarray(chain, dtype=float)[:, :2]
+    n = len(c) - 1
+    if n < 1:
+        return [], []
+    ts_per_seg = _chain_split_params_vec(c, segs)
+    # midpoint location for every candidate sub-piece
+    mid_seg: list = []
+    mid_t0: list = []
+    mid_t1: list = []
+    for si in range(n):
+        ts = ts_per_seg[si]
+        if ts is None or len(ts) < 2:
+            continue
+        dt = ts[1:] - ts[:-1]
+        keep_m = dt > 1e-12
+        mid_seg.append(np.full(int(keep_m.sum()), si, dtype=np.int64))
+        mid_t0.append(ts[:-1][keep_m])
+        mid_t1.append(ts[1:][keep_m])
+    if not mid_seg:
+        return [], []
+    mseg = np.concatenate(mid_seg)
+    mt0 = np.concatenate(mid_t0)
+    mt1 = np.concatenate(mid_t1)
+    Pm = c[:-1][mseg]
+    Dm = c[1:][mseg] - Pm
+    mx = Pm[:, 0] + ((mt0 + mt1) / 2.0) * Dm[:, 0]
+    my = Pm[:, 1] + ((mt0 + mt1) / 2.0) * Dm[:, 1]
+    if locfn_batch is not None:
+        locs = np.asarray(locfn_batch(mx, my))
+    else:
+        locs = np.array([locfn(np.array([mx[k], my[k]]))
+                         for k in range(len(mx))])
+    kept = (locs >= 1) if keep == "in" else (locs == 0)
     pieces: list[np.ndarray] = []
     cur: list[np.ndarray] | None = None
-    split_pts: list[np.ndarray] = []
-    for si in range(len(c) - 1):
-        p, q = c[si], c[si + 1]
-        if p[0] == q[0] and p[1] == q[1]:
+    for k in range(len(mseg)):
+        if not kept[k]:
+            if cur is not None and len(cur) >= 2:
+                pieces.append(np.asarray(cur))
+            cur = None
             continue
-        ts = _seg_split_params(p, q, segs)
-        if keep == "in":
-            split_pts.extend(p + t * (q - p) for t in ts)
-        for t0, t1 in zip(ts[:-1], ts[1:]):
-            if t1 - t0 <= 1e-12:
-                continue
-            mid = p + ((t0 + t1) / 2.0) * (q - p)
-            loc = locfn(mid)
-            if (loc >= 1) if keep == "in" else (loc == 0):
-                a_ = p + t0 * (q - p)
-                b_ = p + t1 * (q - p)
-                if cur is not None and np.allclose(cur[-1], a_):
-                    cur.append(b_)
-                else:
-                    if cur is not None and len(cur) >= 2:
-                        pieces.append(np.asarray(cur))
-                    cur = [a_, b_]
-            else:
-                if cur is not None and len(cur) >= 2:
-                    pieces.append(np.asarray(cur))
-                cur = None
+        p = c[mseg[k]]
+        q = c[mseg[k] + 1]
+        a_ = p + mt0[k] * (q - p)
+        b_ = p + mt1[k] * (q - p)
+        if cur is not None and np.allclose(cur[-1], a_):
+            cur.append(b_)
+        else:
+            if cur is not None and len(cur) >= 2:
+                pieces.append(np.asarray(cur))
+            cur = [a_, b_]
     if cur is not None and len(cur) >= 2:
         pieces.append(np.asarray(cur))
     touch_pts: list[np.ndarray] = []
     if keep == "in":
         from polars_st_spark.geo.predicates import _on_segment
 
-        for pt in split_pts:
-            if locfn(pt) < 1:
+        split_pts: list[np.ndarray] = []
+        for si in range(n):
+            ts = ts_per_seg[si]
+            if ts is None:
                 continue
-            covered = any(
-                _on_segment(pt, piece[i], piece[i + 1])
-                for piece in pieces
-                for i in range(len(piece) - 1)
-            )
-            if not covered and not any(np.allclose(pt, u) for u in touch_pts):
-                touch_pts.append(pt)
+            p, q = c[si], c[si + 1]
+            split_pts.extend(p + t * (q - p) for t in ts)
+        if split_pts:
+            sp = np.asarray(split_pts)
+            if locfn_batch is not None:
+                sl = np.asarray(locfn_batch(sp[:, 0], sp[:, 1]))
+            else:
+                sl = np.array([locfn(pt) for pt in split_pts])
+            for pt, l_ in zip(split_pts, sl):
+                if l_ < 1:
+                    continue
+                covered = any(
+                    _on_segment(pt, piece[i], piece[i + 1])
+                    for piece in pieces
+                    for i in range(len(piece) - 1)
+                )
+                if not covered and not any(np.allclose(pt, u) for u in touch_pts):
+                    touch_pts.append(pt)
     return pieces, touch_pts
 
 
@@ -579,6 +858,66 @@ def _line_locfn(line: Geometry):
     return loc
 
 
+def _poly_locfn_batch(poly: Geometry):
+    """Batched ``_poly_locfn``: int array 0/1/2 over many probes."""
+    from polars_st_spark.geo.predicates import poly_locate_vec
+
+    rings_list = _decompose(poly).polys
+
+    def loc(px, py):
+        best = np.zeros(len(px), dtype=np.int8)
+        for rings in rings_list:
+            todo = best < 2
+            if not todo.any():
+                break
+            i = np.nonzero(todo)[0]
+            l_ = poly_locate_vec(rings, px[i], py[i])
+            best[i] = np.maximum(best[i], l_)
+        return best
+
+    return loc
+
+
+def _line_locfn_batch(line: Geometry):
+    """Batched ``_line_locfn``: 1 where the probe lies on any segment."""
+    from polars_st_spark.geo.predicates import _EPS
+
+    segs = _lineal_edges(line)
+    m = len(segs)
+    if not m:
+        return lambda px, py: np.zeros(len(px), dtype=np.int8)
+    O = np.empty((m, 4), dtype=np.float64)
+    for k, (cc, ee) in enumerate(segs):
+        O[k, 0], O[k, 1], O[k, 2], O[k, 3] = cc[0], cc[1], ee[0], ee[1]
+    sx, sy, tx, ty = O[:, 0], O[:, 1], O[:, 2], O[:, 3]
+    sc = np.maximum(np.maximum(np.abs(tx - sx), np.abs(ty - sy)), 1.0)
+    tol = _EPS * sc * sc
+    bx0 = np.minimum(sx, tx) - _EPS
+    bx1 = np.maximum(sx, tx) + _EPS
+    by0 = np.minimum(sy, ty) - _EPS
+    by1 = np.maximum(sy, ty) + _EPS
+
+    def loc(px, py):
+        P = len(px)
+        out = np.zeros(P, dtype=np.int8)
+        CH = max(1, (1 << 22) // m)
+        for lo in range(0, P, CH):
+            hi = min(lo + CH, P)
+            PX = px[lo:hi, None]
+            PY = py[lo:hi, None]
+            cr = ((tx - sx)[None, :] * (PY - sy[None, :])
+                  - (ty - sy)[None, :] * (PX - sx[None, :]))
+            on = (
+                (np.abs(cr) <= tol[None, :])
+                & (PX >= bx0[None, :]) & (PX <= bx1[None, :])
+                & (PY >= by0[None, :]) & (PY <= by1[None, :])
+            )
+            out[lo:hi] = on.any(axis=1).astype(np.int8)
+        return out
+
+    return loc
+
+
 def _mixed_clip_result(pieces, touch_pts, srid: int, empty_like) -> Geometry:
     if pieces and touch_pts:
         parts = [Geometry(GeometryType.LineString, srid=srid, coords=p)
@@ -602,10 +941,11 @@ def _mixed_clip_result(pieces, touch_pts, srid: int, empty_like) -> Geometry:
 def _line_polygon_intersection(line: Geometry, poly: Geometry) -> Geometry:
     segs = _areal_edges(poly)
     locfn = _poly_locfn(poly)
+    locb = _poly_locfn_batch(poly)
     pieces: list[np.ndarray] = []
     pts: list[np.ndarray] = []
     for chain in _decompose(line).lines:
-        ps, tp = _clip_chain_general(chain, segs, locfn, "in")
+        ps, tp = _clip_chain_general(chain, segs, locfn, "in", locfn_batch=locb)
         pieces.extend(ps)
         pts.extend(tp)
     # a touch point already covered by a piece from ANOTHER chain is dup
@@ -621,11 +961,44 @@ def _line_polygon_intersection(line: Geometry, poly: Geometry) -> Geometry:
 def _line_minus_polygon(line: Geometry, poly: Geometry) -> Geometry:
     segs = _areal_edges(poly)
     locfn = _poly_locfn(poly)
+    locb = _poly_locfn_batch(poly)
     pieces: list[np.ndarray] = []
     for chain in _decompose(line).lines:
-        ps, _ = _clip_chain_general(chain, segs, locfn, "out")
+        ps, _ = _clip_chain_general(chain, segs, locfn, "out", locfn_batch=locb)
         pieces.extend(ps)
     return _lines_result(pieces, line.srid)
+
+
+def _on_any_seg_batch(segs, px: np.ndarray, py: np.ndarray) -> np.ndarray:
+    """Vectorized ``any(_on_segment(pt, s, e) for s, e in segs)`` per probe."""
+    from polars_st_spark.geo.predicates import _EPS
+
+    P = len(px)
+    out = np.zeros(P, dtype=bool)
+    m = len(segs)
+    if not m or not P:
+        return out
+    O = np.empty((m, 4), dtype=np.float64)
+    for k, (cc, ee) in enumerate(segs):
+        O[k, 0], O[k, 1], O[k, 2], O[k, 3] = cc[0], cc[1], ee[0], ee[1]
+    sx, sy, tx, ty = O[:, 0], O[:, 1], O[:, 2], O[:, 3]
+    sc = np.maximum(np.maximum(np.abs(tx - sx), np.abs(ty - sy)), 1.0)
+    tol = (_EPS * sc * sc)[None, :]
+    bx0 = (np.minimum(sx, tx) - _EPS)[None, :]
+    bx1 = (np.maximum(sx, tx) + _EPS)[None, :]
+    by0 = (np.minimum(sy, ty) - _EPS)[None, :]
+    by1 = (np.maximum(sy, ty) + _EPS)[None, :]
+    CH = max(1, (1 << 22) // m)
+    for lo in range(0, P, CH):
+        hi = min(lo + CH, P)
+        PX = px[lo:hi, None]
+        PY = py[lo:hi, None]
+        cr = ((tx - sx)[None, :] * (PY - sy[None, :])
+              - (ty - sy)[None, :] * (PX - sx[None, :]))
+        on = ((np.abs(cr) <= tol)
+              & (PX >= bx0) & (PX <= bx1) & (PY >= by0) & (PY <= by1))
+        out[lo:hi] = on.any(axis=1)
+    return out
 
 
 def _node_chain_at_contacts(chain: np.ndarray, segs) -> list[np.ndarray]:
@@ -633,16 +1006,21 @@ def _node_chain_at_contacts(chain: np.ndarray, segs) -> list[np.ndarray]:
     lineal-union noding step): crossing points AND interior-vertex touches
     become piece endpoints, so output pieces pairwise touch only at
     endpoints — the invariant `collect` needs."""
-    from polars_st_spark.geo.predicates import _on_segment
-
     c = np.asarray(chain, dtype=float)[:, :2]
+    n = len(c) - 1
+    if n < 1:
+        return []
+    ts_per_seg = _chain_split_params_vec(c, segs)
+    vtx_contact = (_on_any_seg_batch(segs, c[1:-1, 0], c[1:-1, 1])
+                   if n >= 2 else np.zeros(0, dtype=bool))
     pieces: list[np.ndarray] = []
     cur: list[np.ndarray] = [c[0]]
-    for i in range(len(c) - 1):
+    for i in range(n):
         p, q = c[i], c[i + 1]
-        if p[0] == q[0] and p[1] == q[1]:
+        ts = ts_per_seg[i]
+        if ts is None:  # degenerate zero-length segment
             continue
-        for t in _seg_split_params(p, q, segs):
+        for t in ts:
             if t <= 1e-12 or t >= 1 - 1e-12:
                 continue
             pt = p + t * (q - p)
@@ -652,7 +1030,7 @@ def _node_chain_at_contacts(chain: np.ndarray, segs) -> list[np.ndarray]:
         cur.append(q)
         # an interior CHAIN VERTEX in contact also nodes (t=1/t=0 params
         # are excluded above, so handle the shared-vertex case here)
-        if i < len(c) - 2 and any(_on_segment(q, s, e) for s, e in segs):
+        if i < n - 1 and vtx_contact[i]:
             pieces.append(np.asarray(cur))
             cur = [q]
     if len(cur) >= 2:
@@ -666,9 +1044,10 @@ def _line_minus_line(a: Geometry, b: Geometry) -> Geometry:
     DO node the output (GEOS returns the survivor pieces merged)."""
     segs = _lineal_edges(b)
     locfn = _line_locfn(b)
+    locb = _line_locfn_batch(b)
     pieces: list[np.ndarray] = []
     for chain in _decompose(a).lines:
-        ps, _ = _clip_chain_general(chain, segs, locfn, "out")
+        ps, _ = _clip_chain_general(chain, segs, locfn, "out", locfn_batch=locb)
         pieces.extend(ps)
     return _lines_result(pieces, a.srid)
 
@@ -686,7 +1065,14 @@ def difference(a: Geometry, b: Geometry, grid_size: float | None = None) -> Geom
         return a.copy()
     if b.is_empty() or not intersects(a, b):
         return a.copy()
-    if covers(b, a):
+    # the covers() precheck only short-circuits what the lineal clip paths
+    # already produce natively (all midpoints covered -> empty LineString,
+    # byte-identical to _empty_like_overlay) — and the scalar relate behind
+    # covers() is O(n·m) on big lines, dwarfing the clip itself. The batch
+    # kernel never ran the precheck either, so skipping it here REMOVES a
+    # latent epsilon-divergence source between the two paths.
+    if not (a.dimensions() == 1 and b.geoms is None
+            and b.dimensions() >= 1) and covers(b, a):
         return _empty_like_overlay(a, a)
     # subtracting a lower-dimension geometry leaves a unchanged (GEOS semantics)
     if b.dimensions() < a.dimensions():
