@@ -799,12 +799,23 @@ def locate_points(rp: RaggedPolygons, px: np.ndarray, py: np.ndarray) -> np.ndar
     # (predicates._point_in_ring walks pairs (ring[i], ring[j=i-1]))
     if N < 2:
         return out
-    seg_ok = (rid[:-1] == rid[1:]) & (counts[rid[:-1]] >= 3)
-    s_row = rp.ring_row[rid[:-1]]
+    # scalar _point_in_ring walks pairs (ring[i], ring[j=i-1]) INCLUDING
+    # the wrap pair (ring[0], ring[n-1]) — degenerate for bitwise-closed
+    # rings, the actual closing edge for rings stored open; append it
+    wrap_r = np.nonzero(counts >= 3)[0]
+    ia_ = np.concatenate([np.arange(1, N, dtype=np.int64),
+                          rp.ring_start[:-1][wrap_r]])
+    ja_ = np.concatenate([np.arange(0, N - 1, dtype=np.int64),
+                          rp.ring_start[1:][wrap_r] - 1])
+    seg_ok = np.concatenate([
+        (rid[:-1] == rid[1:]) & (counts[rid[:-1]] >= 3),
+        np.ones(len(wrap_r), dtype=bool)])
+    seg_ring_all = np.concatenate([rid[:-1], wrap_r])
+    s_row = rp.ring_row[seg_ring_all]
     pxs = px[s_row]
     pys = py[s_row]
-    xi, yi = c[1:, 0], c[1:, 1]   # ring[i]
-    xj, yj = c[:-1, 0], c[:-1, 1]  # ring[j]
+    xi, yi = c[ia_, 0], c[ia_, 1]   # ring[i]
+    xj, yj = c[ja_, 0], c[ja_, 1]  # ring[j]
     # boundary: |cross| <= EPS·scale² and p within the segment's eps-box
     cross = (xj - xi) * (pys - yi) - (yj - yi) * (pxs - xi)
     scale = np.maximum(np.maximum(np.abs(xj - xi), np.abs(yj - yi)), 1.0)
@@ -819,9 +830,8 @@ def locate_points(rp: RaggedPolygons, px: np.ndarray, py: np.ndarray) -> np.ndar
     with np.errstate(divide="ignore", invalid="ignore"):
         x_int = np.where(cond, (xj - xi) * (pys - yi) / np.where(yj == yi, 1.0, yj - yi) + xi, np.inf)
     toggle = cond & (pxs < x_int)
-    seg_ring = rid[:-1]
-    ring_on = np.bincount(seg_ring[on], minlength=R) > 0
-    ring_in = (np.bincount(seg_ring[toggle], minlength=R) % 2).astype(bool)
+    ring_on = np.bincount(seg_ring_all[on], minlength=R) > 0
+    ring_in = (np.bincount(seg_ring_all[toggle], minlength=R) % 2).astype(bool)
     # per-part classification
     P = len(rp.part_row)
     shell = ~rp.ring_hole
@@ -1200,8 +1210,14 @@ def _locate_points_multi_core(
     rid = np.repeat(np.arange(R, dtype=np.int64), counts)
     seg_ok = (rid[:-1] == rid[1:]) & (counts[rid[:-1]] >= 3)
     seg_sel = np.nonzero(seg_ok)[0]
-    if len(seg_sel):
-        seg_ring = rid[seg_sel]
+    # scalar _point_in_ring includes the wrap pair (ring[0], ring[n-1]) —
+    # degenerate for bitwise-closed rings, the closing edge for rings
+    # stored open; append one per located ring (i = first, j = last)
+    wrap_r = np.nonzero(counts >= 3)[0]
+    ia_ = np.concatenate([seg_sel + 1, rp.ring_start[:-1][wrap_r]])
+    ja_ = np.concatenate([seg_sel, rp.ring_start[1:][wrap_r] - 1])
+    if len(ia_):
+        seg_ring = np.concatenate([rid[seg_sel], wrap_r])
         seg_row = rp.ring_row[seg_ring]
         sizes = pt_counts[seg_row]
         total = int(sizes.sum())
@@ -1219,8 +1235,8 @@ def _locate_points_multi_core(
         # bound (the hottest kernel in sjoin refinement and the relate
         # contact buckets). Every expression keeps the original operation
         # order, so results are bit-identical.
-        XI_s, YI_s = c[1:, 0][seg_sel], c[1:, 1][seg_sel]
-        XJ_s, YJ_s = c[:-1, 0][seg_sel], c[:-1, 1][seg_sel]
+        XI_s, YI_s = c[ia_, 0], c[ia_, 1]
+        XJ_s, YJ_s = c[ja_, 0], c[ja_, 1]
         dx_s = XJ_s - XI_s
         dy_s = YJ_s - YI_s
         sc_s = np.maximum(np.maximum(np.abs(dx_s), np.abs(dy_s)), 1.0)
@@ -1232,7 +1248,7 @@ def _locate_points_multi_core(
         dy_safe = np.where(YJ_s == YI_s, 1.0, dy_s)
         starts = np.cumsum(sizes) - sizes
         ramp = np.arange(total, dtype=np.int64) - np.repeat(starts, sizes)
-        segp = np.repeat(np.arange(len(seg_sel)), sizes)
+        segp = np.repeat(np.arange(len(ia_)), sizes)
         ptp = np.repeat(pt_start[seg_row], sizes) + ramp
         pairkey = ring_pt_start[seg_ring][segp] + ramp
         on_cnt = np.zeros(RPN, dtype=np.int64)
@@ -1300,18 +1316,39 @@ def _unit_arrays(p):
 def _row_segments(p, row_mask: np.ndarray):
     """(ax, ay, bx, by, row) for every unit segment of rows in row_mask —
     consecutive coord pairs within a ring/chain, scalar _line_segments
-    order (rings arrive closed in WKB, matching predicates.chains())."""
+    order. Polygonal rings that are NOT bitwise-closed additionally get
+    the closing edge (last → first) in last position, matching
+    ``predicates.chains()`` / ``_poly_segments`` (which run ``_closed``
+    first); bitwise-closed rings and line chains are untouched. Rows stay
+    contiguous (consumers enumerate per-row blocks)."""
     unit_start, unit_row = _unit_arrays(p)
     counts = np.diff(unit_start)
     c = p.coords
-    if len(c) < 2:
+    U = len(counts)
+    if len(c) < 2 or not U:
         z = np.zeros(0)
         return z, z, z, z, np.zeros(0, dtype=np.int64)
-    rid = np.repeat(np.arange(len(counts), dtype=np.int64), counts)
-    ok = (rid[:-1] == rid[1:]) & row_mask[unit_row[rid[:-1]]]
-    sel = np.nonzero(ok)[0]
-    row = unit_row[rid[sel]]
-    return c[sel, 0], c[sel, 1], c[sel + 1, 0], c[sel + 1, 1], row
+    s = unit_start[:-1]
+    e_ = unit_start[1:]
+    if isinstance(p, RaggedPolygons):
+        first = c[s]
+        last = c[np.maximum(e_ - 1, s)]
+        unclosed = (counts >= 2) & (
+            (first[:, 0] != last[:, 0]) | (first[:, 1] != last[:, 1]))
+    else:
+        unclosed = np.zeros(U, dtype=bool)
+    ns_unit = (np.maximum(counts - 1, 0) + unclosed) * row_mask[unit_row]
+    tot = int(ns_unit.sum())
+    if not tot:
+        z = np.zeros(0)
+        return z, z, z, z, np.zeros(0, dtype=np.int64)
+    u_of = np.repeat(np.arange(U, dtype=np.int64), ns_unit)
+    off = np.cumsum(ns_unit) - ns_unit
+    k = np.arange(tot, dtype=np.int64) - off[u_of]
+    cons = k < counts[u_of] - 1
+    i0 = np.where(cons, s[u_of] + k, e_[u_of] - 1)
+    i1 = np.where(cons, s[u_of] + k + 1, s[u_of])
+    return c[i0, 0], c[i0, 1], c[i1, 0], c[i1, 1], unit_row[u_of]
 
 
 def polys_intersect(rpa, rpb, max_pairs: int = 64_000_000, chunk: int = 1 << 20):
@@ -3473,17 +3510,36 @@ def _line_segments_chainwise(rl: RaggedLines):
 
 
 def _poly_edges(rp: RaggedPolygons):
-    """(cx, cy, ex, ey, edge_row) — every ring edge of every row."""
+    """(cx, cy, ex, ey, edge_row) — every ring edge of every row, the
+    scalar ``_areal_edges`` set: consecutive stored edges plus, for rings
+    NOT bitwise-closed (``_closed`` would append the first vertex), the
+    closing edge (last → first) in last position. Edge rows stay
+    row-contiguous (consumers enumerate per-row blocks)."""
     pc = rp.coords
     r_counts = np.diff(rp.ring_start)
-    r_of = np.repeat(np.arange(len(rp.ring_row), dtype=np.int64), r_counts)
-    if len(pc) < 2:
+    R = len(rp.ring_row)
+    if len(pc) < 2 or not R:
         e = np.empty(0)
         return e, e, e, e, np.empty(0, np.int64)
-    ok = r_of[:-1] == r_of[1:]
-    sel = np.nonzero(ok)[0]
-    return (pc[sel, 0], pc[sel, 1], pc[sel + 1, 0], pc[sel + 1, 1],
-            rp.ring_row[r_of[sel]])
+    s = rp.ring_start[:-1]
+    e_ = rp.ring_start[1:]
+    first = pc[s]
+    last = pc[np.maximum(e_ - 1, s)]
+    unclosed = (r_counts >= 2) & (
+        (first[:, 0] != last[:, 0]) | (first[:, 1] != last[:, 1]))
+    ne_ring = np.maximum(r_counts - 1, 0) + unclosed
+    tot = int(ne_ring.sum())
+    if not tot:
+        z = np.empty(0)
+        return z, z, z, z, np.empty(0, np.int64)
+    r_of = np.repeat(np.arange(R, dtype=np.int64), ne_ring)
+    off = np.cumsum(ne_ring) - ne_ring
+    k = np.arange(tot, dtype=np.int64) - off[r_of]
+    cons = k < r_counts[r_of] - 1
+    i0 = np.where(cons, s[r_of] + k, e_[r_of] - 1)
+    i1 = np.where(cons, s[r_of] + k + 1, s[r_of])
+    return (pc[i0, 0], pc[i0, 1], pc[i1, 0], pc[i1, 1],
+            rp.ring_row[r_of])
 
 
 def _rings_as_axis_rect(rp: RaggedPolygons):
