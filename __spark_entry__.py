@@ -367,9 +367,37 @@ def q_envelope_center(spark, sf):
 
 def q_constructive_suite(spark, sf):
     """Boundary length, minimum clearance, point-on-surface, minimum rotated
-    rectangle, simplify — each with a closed-form value on rectangles."""
+    rectangle, simplify — each with a closed-form value on rectangles.
+
+    r5 pc_* columns: polygon×polygon overlay through the batch SH kernel
+    (geo/shclip.py) — square ∩ half-offset diamond is the triangle of area
+    4; the concave L (4×4 minus its upper-right 2×2) ∩ a diamond centered
+    on the L's lower-left square is area 6 (two unit corner-cuts off the
+    8-area diamond, zero mass past the x+y=4 chord); difference against a
+    far diamond passes the 4×4 L through verbatim (area 12)."""
     r = _nation_rects(spark, sf)
     pos = st.st_point_on_surface("rect")
+    x0c, y0c = F.col("x0"), F.col("y0")
+    sq4 = st.st_polygon(F.array(F.array(
+        F.array(x0c, y0c), F.array(x0c + 4.0, y0c),
+        F.array(x0c + 4.0, y0c + 4.0), F.array(x0c, y0c + 4.0),
+        F.array(x0c, y0c))))
+    diamond = st.st_polygon(F.array(F.array(
+        F.array(x0c + 2.0, y0c + 2.0), F.array(x0c + 4.0, y0c),
+        F.array(x0c + 6.0, y0c + 2.0), F.array(x0c + 4.0, y0c + 4.0),
+        F.array(x0c + 2.0, y0c + 2.0))))
+    lshape = st.st_polygon(F.array(F.array(
+        F.array(x0c, y0c), F.array(x0c + 4.0, y0c),
+        F.array(x0c + 4.0, y0c + 2.0), F.array(x0c + 2.0, y0c + 2.0),
+        F.array(x0c + 2.0, y0c + 4.0), F.array(x0c, y0c + 4.0),
+        F.array(x0c, y0c))))
+    diamond2 = st.st_polygon(F.array(F.array(
+        F.array(x0c + 1.0, y0c - 1.0), F.array(x0c + 3.0, y0c + 1.0),
+        F.array(x0c + 1.0, y0c + 3.0), F.array(x0c - 1.0, y0c + 1.0),
+        F.array(x0c + 1.0, y0c - 1.0))))
+    far = st.st_polygon(F.array(F.array(
+        F.array(x0c + 100.0, y0c), F.array(x0c + 102.0, y0c + 1.0),
+        F.array(x0c + 100.0, y0c + 2.0), F.array(x0c + 100.0, y0c))))
     return r.select(
         "n_nationkey",
         st.st_length(st.st_boundary("rect")).alias("boundary_len"),
@@ -378,6 +406,9 @@ def q_constructive_suite(spark, sf):
         st.st_y(pos).alias("pos_y"),
         st.st_area(st.st_minimum_rotated_rectangle("rect")).alias("mrr_area"),
         st.st_count_coordinates(st.st_simplify("rect", 0.1)).alias("simplified_n"),
+        F.round(st.st_area(st.st_intersection(sq4, diamond)), 9).alias("pc_inter_area"),
+        F.round(st.st_area(st.st_intersection(lshape, diamond2)), 9).alias("pc_concave_area"),
+        F.round(st.st_area(st.st_difference(lshape, far)), 9).alias("pc_diff_disjoint"),
     )
 
 
@@ -2756,7 +2787,10 @@ def oracle_sql() -> dict[str, str]:
                    LEAST(x1-x0, y1-y0) AS clearance,
                    (x0+x1)/2 AS pos_x, (y0+y1)/2 AS pos_y,
                    (x1-x0)*(y1-y0) AS mrr_area,
-                   5 AS simplified_n
+                   5 AS simplified_n,
+                   4.0 AS pc_inter_area,
+                   6.0 AS pc_concave_area,
+                   12.0 AS pc_diff_disjoint
             FROM ({_ORACLE_NATION})""",
         "ring_orientation": """
             SELECT n_nationkey, TRUE AS ccw, FALSE AS ccw_rev,

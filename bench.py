@@ -286,6 +286,27 @@ def main() -> None:
             F.sum(st.st_area(st.st_convex_hull("poly"))).alias("ha"),
         ).collect()
     )
+    # - b1p: row-paired polygon×polygon intersection over the holed n-gons
+    #   vs a per-row convex diamond — the r5 level-sync Sutherland–Hodgman
+    #   batch kernel (geo/shclip.clip_poly_poly_batch); 600k clips at sf0.1
+    diam = st.st_polygon(F.array(F.array(
+        F.array(F.col("x0") + r_c / 2, F.col("y0") - r_c),
+        F.array(F.col("x0") + 3 * r_c / 2, F.col("y0")),
+        F.array(F.col("x0") + r_c / 2, F.col("y0") + r_c),
+        F.array(F.col("x0") - r_c / 2, F.col("y0")),
+        F.array(F.col("x0") + r_c / 2, F.col("y0") - r_c))))
+    ragged_p = li_rects.withColumn("poly", st.st_polygon(F.array(shell, hole))) \
+        .withColumn("clipd", diam).select("l_orderkey", "poly", "clipd").cache()
+    ragged_p.count()
+    ragged_p.sample(fraction=0.02, seed=1).select(
+        F.sum(st.st_area(st.st_intersection("poly", F.col("clipd"))))
+    ).collect()
+    variants["b1p_poly_clip_pairs"] = timed(
+        lambda: ragged_p.select(
+            F.sum(st.st_area(st.st_intersection("poly", F.col("clipd")))).alias("a")
+        ).collect()
+    )
+    ragged_p.unpersist()
     # - b1b: LINE buffers (round join, per-row distance) — the r5
     #   vectorized overlay union engine (geo/overlay.union_many: one-shot
     #   node/classify/stitch of stroke + join + cap pieces; was 517 ms/row

@@ -626,6 +626,7 @@ def _clip_b(mode: str, scalar_fn):
             udf, occ = binary_geom(lambda a, b: scalar_fn(a, b, grid_size), oc)
             return udf(col_or_lit(col)) if occ is None else udf(col_or_lit(col), occ)
         from polars_st_spark.geo import ragged as _rg
+        from polars_st_spark.geo import shclip as _shc
         from polars_st_spark.geo.wkb import from_ewkb as _fe, to_ewkb as _te
 
         @pandas_udf("binary")
@@ -641,6 +642,9 @@ def _clip_b(mode: str, scalar_fn):
                 # polygon ∩ line order: same clip, polygon side's SRID
                 fast = _rg.clip_line_poly_batch(v2, v1, "in",
                                                 use_poly_srid=True)
+            if fast is None:
+                # polygon × polygon: SH convex lane + disjoint fast lanes
+                fast = _shc.clip_poly_poly_batch(v1, v2, mode)
             if fast is not None:
                 out, need = fast
                 for i in np.nonzero(need)[0]:
