@@ -645,6 +645,9 @@ def _clip_b(mode: str, scalar_fn):
             if fast is None:
                 # polygon × polygon: SH convex lane + disjoint fast lanes
                 fast = _shc.clip_poly_poly_batch(v1, v2, mode)
+            if fast is None and mode == "out":
+                # uniformly lower-dimensional right side: a.copy() rows
+                fast = _shc.difference_lower_dim_batch(v1, v2)
             if fast is not None:
                 out, need = fast
                 for i in np.nonzero(need)[0]:

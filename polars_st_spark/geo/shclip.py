@@ -253,6 +253,54 @@ def _subject_units(rp, rows: np.ndarray, lanepos: np.ndarray):
     return coords, eff, urow, uring_k
 
 
+def _puntal_nulls(vals) -> np.ndarray | None:
+    """null_mask when every non-null row is a 2-D LE Point or MultiPoint
+    (their coordinate values never matter to the lower-dim passthrough);
+    None otherwise."""
+    nulls = np.zeros(len(vals), dtype=bool)
+    for i, b in enumerate(vals):
+        if b is None:
+            nulls[i] = True
+            continue
+        h = RG._header(bytes(b))
+        if h is None or h[0] not in (1, 4) or h[1] or h[2]:
+            return None
+    return nulls
+
+
+def difference_lower_dim_batch(vals_a, vals_b):
+    """Whole-batch ``st_difference`` passthrough when the right side is
+    uniformly LOWER-dimensional than the left (areal − lineal, areal −
+    multipoint, lineal − multipoint): GEOS semantics (and the scalar's
+    ``b.dimensions() < a.dimensions()`` short-circuit, which fires before
+    any collection fold) return ``a.copy()`` verbatim — the ``covers(b,
+    a)`` precheck is identically False across dimensions once the left
+    side has positive measure. Degenerate left rows (zero area / zero
+    length — a sliver lying exactly on ``b`` CAN be covered by it) are
+    flagged back to the scalar. Returns ``(out, need_scalar)`` or None."""
+    ra = RG.parse_polygonal(vals_a)
+    if ra is not None:
+        meas = RG.area(ra)
+        b_nulls = _puntal_nulls(vals_b)
+        if b_nulls is None:
+            rb = RG.parse_lineal(vals_b)
+            b_nulls = rb.null_mask if rb is not None else None
+    else:
+        ra = RG.parse_lineal(vals_a)
+        if ra is None:
+            return None
+        meas = RG.length(ra)
+        b_nulls = _puntal_nulls(vals_b)
+    if b_nulls is None:
+        return None
+    nulls = ra.null_mask | b_nulls
+    need_scalar = ~nulls & (meas <= 0.0)
+    out: list = [None] * ra.n
+    for i in np.nonzero(~nulls & ~need_scalar)[0]:
+        out[i] = bytes(vals_a[i])
+    return out, need_scalar
+
+
 def clip_poly_poly_batch(vals_a, vals_b, mode: str):
     """Whole-batch polygon×polygon intersection ('in') / difference
     ('out'). Returns ``(out, need_scalar)`` — EWKB/None per row with

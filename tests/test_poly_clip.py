@@ -161,3 +161,34 @@ def test_poly_clip_spark_surface(spark):
         assert abs(r["ai"] - 4.0) < 1e-9
         assert abs(r["ad"] - 16.0) < 1e-12
         assert r["disj"] is True
+
+
+def test_difference_lower_dim_passthrough():
+    """st_difference with a uniformly lower-dimensional right side passes
+    the left bytes through verbatim; degenerate (zero-measure) left rows
+    are flagged back to the scalar (a sliver ON the line IS covered)."""
+    rng = np.random.default_rng(3)
+    A, B = [], []
+    for i in range(60):
+        cx, cy = rng.uniform(-100, 100, 2)
+        A.append(_poly([_hexagon(cx, cy, 3)]))
+        B.append(Geometry(GeometryType.LineString,
+                          coords=np.array([[cx - 5, cy], [cx + 5, cy]],
+                                          dtype=float)))
+    va = np.array([to_ewkb(a) for a in A] + [None], dtype=object)
+    vb = np.array([to_ewkb(b) for b in B]
+                  + [to_ewkb(B[0])], dtype=object)
+    out, need = shclip.difference_lower_dim_batch(va, vb)
+    assert not need.any()
+    assert out[-1] is None
+    for i in range(60):
+        assert out[i] == va[i]
+        assert out[i] == to_ewkb(S.difference(A[i], B[i]))
+    # zero-area sliver lying exactly on the line: covered -> scalar flag
+    sl = _poly([np.array([[0, 0], [5, 0], [5, 0], [0, 0]], dtype=float)])
+    ln = Geometry(GeometryType.LineString,
+                  coords=np.array([[-1, 0], [6, 0]], dtype=float))
+    out, need = shclip.difference_lower_dim_batch(
+        np.array([to_ewkb(sl)], dtype=object),
+        np.array([to_ewkb(ln)], dtype=object))
+    assert need[0]
