@@ -610,7 +610,43 @@ def _b(fn):
     return outer
 
 
-st_union = _b(setops.union)
+def _union_b(op: str, scalar_fn):
+    """st_union / st_symmetric_difference with the r5 disjoint fast lane
+    (geo/shclip.union_symdiff_disjoint_batch): disjoint plain-Polygon
+    pairs collect to MultiPolygon(a, b) whole-batch; empty sides pass the
+    other side's bytes through; everything else runs the scalar row-wise
+    inside the same UDF."""
+
+    def outer(col, other, grid_size: float | None = None) -> Column:
+        oc = geom_arg(other)
+        if grid_size is not None or not isinstance(oc, Column):
+            udf, occ = binary_geom(lambda a, b: scalar_fn(a, b, grid_size), oc)
+            return udf(col_or_lit(col)) if occ is None else udf(col_or_lit(col), occ)
+        from polars_st_spark.geo import shclip as _shc
+        from polars_st_spark.geo.wkb import from_ewkb as _fe, to_ewkb as _te
+
+        @pandas_udf("binary")
+        def udf2(s1: pd.Series, s2: pd.Series) -> pd.Series:
+            v1, v2 = s1.to_numpy(), s2.to_numpy()
+            fast = _shc.union_symdiff_disjoint_batch(v1, v2, op)
+            if fast is not None:
+                out, need = fast
+                for i in np.nonzero(need)[0]:
+                    b1, b2 = v1[i], v2[i]
+                    out[i] = None if (b1 is None or b2 is None) else _te(
+                        scalar_fn(_fe(bytes(b1)), _fe(bytes(b2)), None))
+                return pd.Series(out, dtype=object)
+            return pd.Series(
+                [None if (b1 is None or b2 is None) else _te(
+                    scalar_fn(_fe(bytes(b1)), _fe(bytes(b2)), None))
+                 for b1, b2 in zip(v1, v2)], dtype=object)
+
+        return udf2(col_or_lit(col), oc)
+
+    return outer
+
+
+st_union = _union_b("union", setops.union)
 
 
 def _clip_b(mode: str, scalar_fn):
@@ -667,7 +703,7 @@ def _clip_b(mode: str, scalar_fn):
 
 st_intersection = _clip_b("in", setops.intersection)
 st_difference = _clip_b("out", setops.difference)
-st_symmetric_difference = _b(setops.symmetric_difference)
+st_symmetric_difference = _union_b("symdiff", setops.symmetric_difference)
 
 
 def st_unary_union(col, grid_size: float | None = None) -> Column:

@@ -301,6 +301,84 @@ def difference_lower_dim_batch(vals_a, vals_b):
     return out, need_scalar
 
 
+def union_symdiff_disjoint_batch(vals_a, vals_b, op: str):
+    """Whole-batch polygon×polygon ``st_union`` / ``st_symmetric_difference``
+    fast lanes. Returns ``(out, need_scalar)`` or None.
+
+    Scalar semantics mirrored exactly:
+    * a empty → ``b.copy()`` (verbatim right bytes), else b empty →
+      ``a.copy()`` — both ops short-circuit the same way;
+    * DISJOINT plain-Polygon pairs → ``collect([a, b], dissolve=True)`` =
+      MultiPolygon(a, b) with a's SRID, parts and rings in input order
+      (union reaches the identical collect through union_all's absorption
+      scan — nothing absorbs or merges across a disjoint pair);
+    * every other live row is flagged scalar: intersecting pairs, Multi
+      sides (union_all flattens and can merge a side's OWN parts), and —
+      union only — both-rectilinear pairs (union_all's region algebra
+      rebuilds rects in canonical corner order before the disjoint
+      short-circuit can apply)."""
+    ra = RG.parse_polygonal(vals_a)
+    if ra is None or not ra.srid_uniform:
+        return None
+    rb = RG.parse_polygonal(vals_b)
+    if rb is None:
+        return None
+    n = ra.n
+    nulls = ra.null_mask | rb.null_mask
+    a_empty = (np.diff(ra.row_start) == 0) & ~ra.null_mask
+    b_empty = (np.diff(rb.row_start) == 0) & ~rb.null_mask
+    live = ~nulls & ~a_empty & ~b_empty
+    inter = RG.pairs_intersect(ra, rb)
+    if inter is None:
+        return None
+    ta = RG._rows_type_byte(vals_a, ra.null_mask)
+    tb = RG._rows_type_byte(vals_b, rb.null_mask)
+    lane = live & ~inter & (ta == 3) & (tb == 3)
+    if op == "union":
+        lane &= ~(_rows_all_region(ra) & _rows_all_region(rb))
+    need_scalar = live & ~lane
+    lanepos = np.full(n, -1, dtype=np.int64)
+    lane_rows = np.nonzero(lane)[0]
+    lanepos[lane_rows] = np.arange(len(lane_rows))
+
+    sa = np.nonzero(lane[ra.ring_row])[0]
+    sb = np.nonzero(lane[rb.ring_row])[0]
+    rows_all = np.concatenate([ra.ring_row[sa], rb.ring_row[sb]])
+    side = np.concatenate([np.zeros(len(sa), dtype=np.int64),
+                           np.ones(len(sb), dtype=np.int64)])
+    npts = np.concatenate([
+        ra.ring_start[sa + 1] - ra.ring_start[sa],
+        rb.ring_start[sb + 1] - rb.ring_start[sb]])
+    starts = np.concatenate([ra.ring_start[sa], rb.ring_start[sb]])
+    order = np.lexsort((side, rows_all))  # stable: ring order kept per side
+    rows_o = rows_all[order]
+    side_o = side[order]
+    npts_o = npts[order]
+    starts_o = starts[order]
+    R2 = len(rows_o)
+    tot = int(npts_o.sum())
+    r_of = np.repeat(np.arange(R2, dtype=np.int64), npts_o)
+    off = np.cumsum(npts_o) - npts_o
+    i_ = np.arange(tot, dtype=np.int64) - off[r_of]
+    src = starts_o[r_of] + i_
+    coords = np.empty((tot, 2), dtype=np.float64)
+    ma = side_o[r_of] == 0
+    coords[ma] = ra.coords[src[ma]]
+    coords[~ma] = rb.coords[src[~ma]]
+    # two parts per lane row (each side non-empty): global part id
+    ring_part = lanepos[rows_o] * 2 + side_o
+    part_row = np.repeat(lane_rows, 2)
+    enc_null = ~lane
+    out = RG.encode_polygonal_rows(
+        n, np.full(n, 6, dtype=np.int64), part_row, ring_part, npts_o,
+        coords, ra.srid, enc_null)
+    for i in np.nonzero(a_empty & ~nulls)[0]:
+        out[i] = bytes(vals_b[i])
+    for i in np.nonzero(b_empty & ~a_empty & ~nulls)[0]:
+        out[i] = bytes(vals_a[i])
+    return out, need_scalar
+
+
 def clip_poly_poly_batch(vals_a, vals_b, mode: str):
     """Whole-batch polygon×polygon intersection ('in') / difference
     ('out'). Returns ``(out, need_scalar)`` — EWKB/None per row with

@@ -192,3 +192,52 @@ def test_difference_lower_dim_passthrough():
         np.array([to_ewkb(sl)], dtype=object),
         np.array([to_ewkb(ln)], dtype=object))
     assert need[0]
+
+
+def test_union_symdiff_disjoint_lane():
+    """st_union / st_symmetric_difference disjoint Polygon pairs collect
+    to MultiPolygon(a, b) whole-batch, bit-identical to the scalar;
+    intersecting / touching / Multi / (union) rect-rect rows are flagged
+    back to the scalar."""
+    rng = np.random.default_rng(11)
+    A, B = [], []
+    for i in range(140):
+        cx, cy = rng.uniform(-1e4, 1e4, 2)
+        r = rng.uniform(1, 50)
+        k = i % 7
+        if k == 0:
+            A.append(_poly([_hexagon(cx, cy, r, cw=bool(rng.integers(2)))]))
+            B.append(_poly([_hexagon(cx + 5 * r, cy, r)]))
+        elif k == 1:
+            A.append(_poly([_hexagon(cx, cy, r),
+                            _hexagon(cx, cy, 0.3 * r)[::-1]]))
+            B.append(_poly([_hexagon(cx + 5 * r, cy, r)]))
+        elif k == 2:
+            A.append(_poly([_hexagon(cx, cy, r)]))
+            B.append(_poly([_hexagon(cx + 0.5 * r, cy, r)]))
+        elif k == 3:
+            A.append(_poly([_rect(cx, cy, cx + 2, cy + 2)]))
+            B.append(_poly([_rect(cx + 2, cy, cx + 4, cy + 2)]))
+        elif k == 4:
+            A.append(_poly([_rect(cx, cy, cx + 2, cy + 2)]))
+            B.append(_poly([_rect(cx + 5, cy, cx + 7, cy + 2)]))
+        elif k == 5:
+            A.append(Geometry(GeometryType.MultiPolygon, geoms=[
+                _poly([_hexagon(cx, cy, r)]),
+                _poly([_hexagon(cx + 4 * r, cy, r)])]))
+            B.append(_poly([_hexagon(cx + 10 * r, cy, r)]))
+        else:
+            A.append(_poly([]))
+            B.append(_poly([_hexagon(cx, cy, r)]))
+    va = np.array([to_ewkb(g) for g in A], dtype=object)
+    vb = np.array([to_ewkb(g) for g in B], dtype=object)
+    for op, fn in (("union", S.union), ("symdiff", S.symmetric_difference)):
+        out, need = shclip.union_symdiff_disjoint_batch(va, vb, op)
+        nfast = 0
+        for i in range(len(va)):
+            if need[i]:
+                continue
+            assert out[i] == to_ewkb(fn(from_ewkb(va[i]), from_ewkb(vb[i]))), \
+                (op, i)
+            nfast += 1
+        assert nfast > 50
