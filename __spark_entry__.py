@@ -2418,6 +2418,52 @@ def q_to_srid_mercator(spark, sf):
     )
 
 
+def q_ntv2_datum_shift(spark, sf):
+    """NTv2 grid-shift datum transform (functions/ntv2.py; reference does
+    grid datums via proj4rs — functions.rs:1868-1939), hash-checked: the
+    synthetic 3x5 grid's node shifts are AFFINE in (lon_west, lat) with
+    dyadic coefficients, so bilinear interpolation reproduces the affine
+    closed form EXACTLY (all weights/products/sums are exact dyadic
+    float64 ops; node values are float32-exact), and the oracle computes
+    the same closed form in SQL — identical bits, no rounding needed."""
+    import numpy as np
+
+    from polars_st_spark.functions.ntv2 import (
+        NTv2SubGrid,
+        make_ntv2_bytes,
+        register_nadgrid,
+    )
+    from polars_st_spark.functions.proj4 import register_proj4
+
+    lon_w = 1.0 + np.arange(5.0)  # grid columns at 1..5 degrees WEST
+    lat_g = np.arange(3.0)  # grid rows at 0..2 degrees
+    LO, LA = np.meshgrid(lon_w, lat_g)
+    grid = NTv2SubGrid(
+        name="GATE", parent="NONE",
+        s_lat=0.0, n_lat=7200.0, e_long=3600.0, w_long=18000.0,
+        lat_inc=3600.0, long_inc=3600.0,
+        lat_shift=10.5 + 0.5 * LO - 0.25 * LA,
+        lon_shift=-20.25 + 0.125 * LO + 0.75 * LA,
+    )
+    register_nadgrid("gate_affine.gsb", make_ntv2_bytes([grid]))
+    register_proj4(
+        900927, "+proj=longlat +ellps=clrk66 +nadgrids=gate_affine.gsb"
+    )
+    c = spark.read.parquet(f"{sf}/customer.parquet").select(
+        "c_custkey",
+        (-(1.0 + (F.col("c_custkey") % 8) * 0.5)).alias("lon"),
+        ((F.col("c_custkey") % 5) * 0.5).alias("lat"),
+    )
+    pt = st.st_set_srid(st.st_point("lon", "lat"), 900927)
+    shifted = st.st_to_srid(pt, 4326)
+    return c.select(
+        "c_custkey",
+        st.st_x(shifted).alias("nlon"),
+        st.st_y(shifted).alias("nlat"),
+        st.st_srid(shifted).alias("nsrid"),
+    )
+
+
 def q_knn_lsh(spark, sf):
     """Single-probe LSH ANN — HASH-CHECKED (r4f, was rows-only): the seed-42
     hyperplanes are deterministic, so the DuckDB oracle replays the
@@ -2622,6 +2668,9 @@ _QUERIES = {
         "bpe_suite": q_bpe_suite,
         "buffer_area": q_buffer_area,
         "to_srid_mercator": q_to_srid_mercator,
+        # NTv2 grid-shift datum (r5): family certified in-window by
+        # utm_roundtrip/srid_roundtrip; hash-checked via check_oracle.py
+        "ntv2_datum_shift": q_ntv2_datum_shift,
         # displaced by kmeans_suite / semdedup (r4e); families certified
         # in-window by fold_suite+parts_access / knn_top3+semdedup
         "collect_count": q_collect_count,
@@ -2930,6 +2979,15 @@ def oracle_sql() -> dict[str, str]:
                    ROUND(6378137.0 * ln(tan(pi()/4 + radians(y)/2)), 3) AS my,
                    3857 AS msrid
             FROM ({_ORACLE_CUST})""",
+        "ntv2_datum_shift": """
+            SELECT c_custkey,
+                   lon - (-20.25 + 0.125 * (-lon) + 0.75 * lat) / 3600.0 AS nlon,
+                   lat + (10.5 + 0.5 * (-lon) - 0.25 * lat) / 3600.0 AS nlat,
+                   4326 AS nsrid
+            FROM (SELECT c_custkey,
+                         -(1.0 + (c_custkey % 8) * 0.5) AS lon,
+                         (c_custkey % 5) * 0.5 AS lat
+                  FROM customer)""",
         "line_clip_scale": """
             SELECT l_suppkey,
                    CAST(4 * COUNT(*) AS BIGINT) AS sum_bot,

@@ -12,7 +12,11 @@ Polar Stereographic (variant B), Oblique Stereographic, Swiss oblique
 cylindrical, Hotine Oblique Mercator A/B, Krovak, and geographic
 (longlat) — with any ellipsoid (+ellps/+a/+b/+rf/+f), any Helmert
 ``+towgs84`` 3- or 7-parameter datum shift (position-vector convention,
-EPSG 9606 — the proj convention), and axis units (+units/+to_meter).
+EPSG 9606 — the proj convention), NTv2 grid-shift datums via
+``+nadgrids=`` (register the ``.gsb`` bytes first with
+``functions.ntv2.register_nadgrid``; grids resolve at ``build_proj4``
+time, so register them BEFORE ``register_proj4``), and axis units
+(+units/+to_meter).
 
 The proj parameter language is public (PROJ documentation); all
 projection math references Snyder PP 1395 / EPSG Guidance Note 7-2 and
@@ -342,7 +346,13 @@ def build_proj4(defn: str | dict):
     params = parse_proj4(defn) if isinstance(defn, str) else dict(defn)
     a, f = _ellipsoid(params)
     base_fwd, base_inv = _base_projection(params, a, f)
-    shift_from, shift_to = _datum_pair(params, a, f)
+    if params.get("nadgrids") and params["nadgrids"] is not True:
+        # grid-shift datum (NTv2); takes precedence over +towgs84 like PROJ
+        from polars_st_spark.functions.ntv2 import grid_pair
+
+        shift_from, shift_to = grid_pair(str(params["nadgrids"]))
+    else:
+        shift_from, shift_to = _datum_pair(params, a, f)
     unit = _UNITS.get(params.get("units", "m"))
     if unit is None:
         raise ValueError(f"proj4: unsupported +units={params['units']!r}")
