@@ -13,6 +13,50 @@ over DataFrame columns), re-expressed Spark-first:
 - everything composes with normal Spark SQL (Catalyst optimizes around it)
 """
 
+def _maybe_prewarm_worker_arena() -> None:
+    """One-time malloc-arena prewarm inside PySpark worker processes.
+
+    On virtualized hosts, first-touch minor faults on fresh anonymous pages
+    can cost ~50-100x their steady-state price (hypervisor-backed memory).
+    Measured here: a batch kernel's first large call per worker spent
+    2.3-3.0s of SYSTEM time on ~41k minor faults (~60us each) while the
+    same call costs 0.45s warm — a 600k-row relate sweep ran 13.2s cold vs
+    3.1s prewarmed, and the identical pattern produced the historical
+    first-shot spreads in b1/p6. Touching the arena once at import — and
+    raising M_TRIM_THRESHOLD / M_MMAP_THRESHOLD so glibc serves large numpy
+    temporaries from the retained arena instead of fresh mmaps — moves the
+    fault cost into worker startup, where a session's warmup pass absorbs
+    it. Runs in PySpark workers only (they import ``pyspark.worker`` before
+    unpickling UDF closures); drivers and plain library users skip it.
+    Tunable via ``POLARS_ST_SPARK_PREWARM_MB`` (default 256; 0 disables)."""
+    import os
+    import sys
+
+    if "pyspark.worker" not in sys.modules:
+        return
+    try:
+        mb = int(os.environ.get("POLARS_ST_SPARK_PREWARM_MB", "256"))
+    except ValueError:
+        mb = 256
+    if mb <= 0:
+        return
+    try:
+        import ctypes
+
+        libc = ctypes.CDLL("libc.so.6")
+        libc.mallopt(-1, mb * 1024 * 1024)  # M_TRIM_THRESHOLD: keep freed pages
+        libc.mallopt(-3, mb * 1024 * 1024)  # M_MMAP_THRESHOLD: arena, not mmap
+    except Exception:
+        pass  # non-glibc platform: plain touch still warms the allocator
+    import numpy as _np
+
+    buf = _np.empty(mb * 131072, dtype=_np.float64)  # mb MiB
+    buf[::512] = 1.0  # one write per 4 KiB page
+    del buf
+
+
+_maybe_prewarm_worker_arena()
+
 from polars_st_spark.frame import (
     geodataframe,
     geom,
