@@ -428,9 +428,20 @@ def main() -> None:
 
     # p6 gets two reps (VERDICT r4 #5: diagnose its 3x run-to-run spread —
     # the candidate volume is deterministic, so a spread here is ambient;
-    # nearest_cell_stats() gives the per-cell histogram offline)
+    # nearest_cell_stats() gives the per-cell histogram offline).
+    # Plan-shape warmup first (same contract as b1/b2a): an interleaved A/B
+    # this round showed the FIRST run of ANY nearest-join plan costs 35-50s
+    # in JVM codegen/JIT of its many generated classes (2 UDF stages +
+    # explode + join + window) while the steady state is ~2.4s and the
+    # in-UDF Python time is ~0.01s/batch — the 2% sampled pass compiles the
+    # identical plan shape so the timed runs measure the operator.
     _p6 = lambda: _nn(  # noqa: E731
         cust.withColumnRenamed("pt", "geometry"),
+        nations.withColumnRenamed("rect", "geometry"),
+        k=2, max_distance=9.0,
+    ).count()
+    _nn(
+        cust.sample(fraction=0.02, seed=1).withColumnRenamed("pt", "geometry"),
         nations.withColumnRenamed("rect", "geometry"),
         k=2, max_distance=9.0,
     ).count()
@@ -447,6 +458,10 @@ def main() -> None:
                                 avg_dl=100.0).count()
         return ti + bm
 
+    # plan-shape warmup (see p6 note)
+    _tfidf.tf_idf(docs.sample(fraction=0.02, seed=1), n_docs=1000).count()
+    _tfidf.bm25_search(docs.sample(fraction=0.02, seed=1), ["data", "table"],
+                       n=10, n_docs=1000, avg_dl=100.0).count()
     variants["p7_tfidf_bm25"] = timed(_p7)
     # - p8: the composed end-to-end corpus build (quality -> exact dedup ->
     #   near-dup keep -> decontamination -> scrub -> chunk) in one plan
@@ -462,6 +477,11 @@ def main() -> None:
             emb, id_col="vec_id", centroids=cents, threshold=0.9
         ).where(F.col("is_dup")).count()
 
+    # plan-shape warmup (see p6 note)
+    _w9 = _cl.kmeans_fit(emb.sample(fraction=0.05, seed=1), k=8,
+                         vec_col="embedding", iters=1, seed=7)
+    _cl.semantic_dedup(emb.sample(fraction=0.05, seed=1), id_col="vec_id",
+                       centroids=_w9, threshold=0.9).count()
     variants["p9_semdedup"] = timed(_p9)
     # - p10: corpus curation sweep — cross-doc shingle ownership + the
     #   temperature-mixture gate (count of the curated-kept set)
@@ -472,7 +492,21 @@ def main() -> None:
         )
         return mixed.count()
 
+    # plan-shape warmup (same contract as p6/b1/b2a: JVM codegen/JIT of a
+    # complex composed plan costs tens of seconds ONCE per shape on this
+    # VM; a sampled pass compiles the same generated classes untimed)
+    sdocs = docs.sample(fraction=0.02, seed=1)
+    cov_w = _dedup.ngram_coverage(sdocs, n=5).where(F.col("borrowed_frac") < 0.5)
+    _samp.temperature_mixture(
+        cov_w.join(docs.select("doc_id", "lang"), "doc_id"), "lang", "doc_id"
+    ).count()
     variants["p10_curation"] = timed(_p10)
+    _pp(
+        sdocs, benchmark=docs.where(F.col("doc_id") % 97 == 0),
+        quality_kwargs={"min_words": 10, "min_stopword_hits": 1},
+        near_dup_threshold=0.3, decontam_n=8,
+        chunk_tokens=128, chunk_overlap=16,
+    ).count()
     variants["p8_pipeline_e2e"] = timed(
         lambda: _pp(
             docs, benchmark=docs.where(F.col("doc_id") % 97 == 0),
