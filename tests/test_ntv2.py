@@ -139,6 +139,35 @@ def test_nadgrids_resolution_rules():
     assert lon[0] == 1.0 and lat[0] == 2.0
 
 
+def test_ntv2_reprojection_plan_shape(spark):
+    """Grid-shift reprojection is map-only: the registered grid ships
+    inside the UDF closure, so the plan has NO Exchange and a single
+    ArrowEvalPython — the 100 TB contract for st_to_srid."""
+    import polars_st_spark as st
+    from polars_st_spark.plans import explain_str
+    from pyspark.sql import functions as F
+
+    N.register_nadgrid("plan_affine.gsb", N.make_ntv2_bytes([_affine_grid()]))
+    P.register_proj4(900928, "+proj=longlat +ellps=clrk66 +nadgrids=plan_affine.gsb")
+    try:
+        df = spark.range(100).select(
+            st.st_set_srid(
+                st.st_point(F.lit(2.0) + F.col("id") * 0.01, F.lit(1.0)), 900928
+            ).alias("pt")
+        )
+        plan = explain_str(df.select(st.st_to_srid("pt", 4326).alias("g")))
+        assert "Exchange" not in plan
+        n_arrow = sum(
+            1 for line in plan.splitlines()
+            if line.strip().startswith("(") and "ArrowEvalPython" in line
+            and ")" in line.split("ArrowEvalPython")[0]
+        )
+        assert n_arrow <= 2  # point/srid construction + the reprojection
+    finally:
+        P.unregister_proj4(900928)
+        N.unregister_nadgrid("plan_affine.gsb")
+
+
 def test_proj4_nadgrids_integration(spark):
     import polars_st_spark as st
     from pyspark.sql import functions as F
