@@ -31,9 +31,29 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 
+def _vm_fault_cost_us() -> float:
+    """Measure this host's FRESH-page first-touch cost (µs/4KiB page) so
+    every bench record carries the VM-health context needed to interpret
+    it: this environment backs guest memory lazily (README "Bench
+    variance"), the cost ranges ~0.2µs (fully backed) to ~95µs (cold or
+    reclaimed), and it drifts over the VM's lifetime — identical code
+    measured 6.1s→17.6s medians as this number rose. 64 MiB probe, freed
+    immediately."""
+    import numpy as np
+
+    n_pages = (64 << 20) >> 12
+    t0 = time.time()
+    buf = np.empty(n_pages * 512, dtype=np.float64)
+    buf[::512] = 1.0
+    dt = time.time() - t0
+    del buf
+    return round(dt / n_pages * 1e6, 2)
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    vm_fault_us = _vm_fault_cost_us()
     from pyspark.sql import SparkSession
     from pyspark.sql import functions as F
 
@@ -529,6 +549,10 @@ def main() -> None:
         "value_median3": round(sum(medians.values()), 3),
         "variants": variants,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        # host-health context: fresh-page fault cost at bench start
+        # (µs/4KiB; ~0.2 = backed/healthy, 30-95 = lazy/reclaimed VM state
+        # that inflates every first-touch — see README "Bench variance")
+        "vm_fault_us_per_page": vm_fault_us,
     }
     # ratio vs the measured single-node floor (scripts/baseline_single_node.py
     # -> BASELINE_MEASURED.json): closed-form numpy/pandas single process, no
