@@ -323,11 +323,8 @@ def main() -> None:
     ragged = li_rects.withColumn("poly", st.st_polygon(F.array(shell, hole))).select(
         "l_orderkey", "poly").cache()
     ragged.count()
-    # same full-partition warmup b1 gets: first-use codegen + worker spin-up
-    # for this plan shape costs ~3s and is not the operator being measured
-    ragged.sample(fraction=0.02, seed=1).select(
-        F.sum(st.st_area("poly")), F.sum(st.st_length("poly"))
-    ).collect()
+    # (sampled warmups removed r5: timed() runs one full-size untimed
+    # warm pass per variant, which subsumes them)
     variants["b1g_elementwise_ragged"] = timed(
         lambda: ragged.select(
             F.sum(st.st_area("poly")).alias("a"),
@@ -338,10 +335,6 @@ def main() -> None:
     #   Douglas-Peucker keep-mask + level-synchronous monotone-chain hull
     #   with batched EWKB assembly (geo/ragged.py), ~12-15x the per-row
     #   factory path at equal bytes
-    ragged.sample(fraction=0.02, seed=1).select(
-        F.sum(st.st_count_coordinates(st.st_simplify("poly", 0.05))),
-        F.sum(st.st_area(st.st_convex_hull("poly"))),
-    ).collect()
     variants["b1c_constructive_ragged"] = timed(
         lambda: ragged.select(
             F.sum(st.st_count_coordinates(st.st_simplify("poly", 0.05))).alias("n"),
@@ -360,9 +353,6 @@ def main() -> None:
     ragged_p = li_rects.withColumn("poly", st.st_polygon(F.array(shell, hole))) \
         .withColumn("clipd", diam).select("l_orderkey", "poly", "clipd").cache()
     ragged_p.count()
-    ragged_p.sample(fraction=0.02, seed=1).select(
-        F.sum(st.st_area(st.st_intersection("poly", F.col("clipd"))))
-    ).collect()
     variants["b1p_poly_clip_pairs"] = timed(
         lambda: ragged_p.select(
             F.sum(st.st_area(st.st_intersection("poly", F.col("clipd")))).alias("a")
@@ -387,9 +377,6 @@ def main() -> None:
     # buffer work across the executor threads
     cust_l = bl_cust.withColumn("lp", lpath).repartition(64).cache()
     cust_l.count()
-    cust_l.sample(fraction=0.02, seed=1).select(
-        F.sum(st.st_area(st.st_buffer("lp", "d", cap_style="flat")))
-    ).collect()
     variants["b1b_buffer_lines"] = timed(
         lambda: cust_l.select(
             F.sum(st.st_area(st.st_buffer("lp", "d", cap_style="flat"))).alias("a")
@@ -401,8 +388,6 @@ def main() -> None:
     ragged2 = ragged.withColumn(
         "poly2", st.st_translate("poly", 0.8, 0.4)).cache()
     ragged2.count()
-    ragged2.sample(fraction=0.02, seed=1).select(
-        F.sum(st.st_intersects("poly", F.col("poly2")).cast("int"))).collect()
     variants["b2g_predicate_ragged"] = timed(
         lambda: ragged2.select(
             F.sum(st.st_intersects("poly", F.col("poly2")).cast("int"))
@@ -418,20 +403,8 @@ def main() -> None:
     )
     # coverage-topology relate: every lineitem rect against its shared-edge
     # neighbor — 600k full DE-9IM matrices through the r4g contact-only
-    # bucket (0% kernel-decided before it; the scalar path needs ~13 min).
-    # Same warmup contract as b1/b1g: the relate expression tree + contact
-    # kernel first-use cost (~4-5s of codegen/ramp, measured r5) is not the
-    # operator; a 2% sampled pass pays it on every worker.
-    li_rects.sample(fraction=0.02, seed=1).select(
-        F.count_distinct(
-            st.st_relate(
-                "rect",
-                st.st_rectangle(
-                    "x1", "y0",
-                    F.col("x1") + (F.col("x1") - F.col("x0")), "y1"),
-            )
-        )
-    ).collect()
+    # bucket (0% kernel-decided before it; the scalar path needs ~13 min);
+    # timed()'s full-size warm pass covers codegen/JIT ramp
     variants["b2a_relate_adjacent"] = timed(
         lambda: li_rects.select(
             F.count_distinct(
@@ -594,9 +567,12 @@ def main() -> None:
     # -> BASELINE_MEASURED.json): closed-form numpy/pandas single process, no
     # geometry materialization — a conservative lower bound, not a peer engine
     base_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BASELINE_MEASURED.json")
-    if os.path.exists(base_path):
+    try:
         with open(base_path) as f:
             base = json.load(f)
+    except (OSError, ValueError):
+        base = None  # missing/corrupt floor file: still print the payload
+    if base is not None:
         if str(base.get("sf")) == str(payload["sf"]):
             payload["baseline_floor_sec"] = base["queries"]
             payload["vs_floor"] = {

@@ -44,8 +44,14 @@ def _maybe_prewarm_worker_arena() -> None:
         import ctypes
 
         libc = ctypes.CDLL("libc.so.6")
-        libc.mallopt(-1, mb * 1024 * 1024)  # M_TRIM_THRESHOLD: keep freed pages
-        libc.mallopt(-3, mb * 1024 * 1024)  # M_MMAP_THRESHOLD: arena, not mmap
+        # Thresholds STRICTLY ABOVE the prewarm allocation (2x), so the
+        # probe is served from the brk arena (below M_MMAP_THRESHOLD —
+        # an mmap'd probe would be munmapped on free and the host would
+        # reclaim the pages) and the freed top chunk stays below
+        # M_TRIM_THRESHOLD (so glibc RETAINS it for the kernels' later
+        # temporaries — the entire point of the prewarm).
+        libc.mallopt(-1, 2 * mb * 1024 * 1024)  # M_TRIM_THRESHOLD
+        libc.mallopt(-3, 2 * mb * 1024 * 1024)  # M_MMAP_THRESHOLD
     except Exception:
         pass  # non-glibc platform: plain touch still warms the allocator
     import numpy as _np

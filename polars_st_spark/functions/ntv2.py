@@ -217,7 +217,10 @@ def parse_ntv2(data: bytes) -> list[NTv2SubGrid]:
     for _ in range(n_file):
         hdr = {}
         for r in range(11):
-            name = data[off + r * 16 : off + r * 16 + 8].decode("ascii", "replace").strip()
+            raw = data[off + r * 16 : off + r * 16 + 8]
+            # spec says space-padded but real writers NUL-pad too (the
+            # overview check above tolerates both) — strip both
+            name = raw.decode("ascii", "replace").strip("\x00 ")
             hdr[name] = off + r * 16
         try:
             sub = sval(hdr["SUB_NAME"])

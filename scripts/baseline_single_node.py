@@ -388,9 +388,13 @@ def main() -> None:
                   "derived columns, same hash/text algorithms as the engine "
                   "(shapely unavailable in runtime — see BASELINE.md)",
     }
+    # atomic replace: bench.py may kill this process on timeout, and a
+    # truncated BASELINE_MEASURED.json must never shadow the committed one
     path = os.path.join(ROOT, "BASELINE_MEASURED.json")
-    with open(path, "w") as f:
+    tmp = path + ".tmp"
+    with open(tmp, "w") as f:
         json.dump(out, f, indent=1)
+    os.replace(tmp, path)
     print(json.dumps(out))
 
 

@@ -55,6 +55,19 @@ def test_binary_roundtrip():
     np.testing.assert_allclose(b.lon_shift, g.lon_shift, atol=1e-4)
 
 
+def test_parse_nul_padded_record_names():
+    # some writers NUL-pad the 8-char record names instead of space-padding;
+    # PROJ reads those files, so must we
+    good = N.make_ntv2_bytes([_affine_grid()])
+    padded = good.replace(b"SUB_NAME", b"SUB_NAME")  # names are 8 chars already
+    padded = bytearray(good)
+    for name in (b"S_LAT   ", b"N_LAT   ", b"E_LONG  ", b"W_LONG  "):
+        i = padded.index(name)
+        padded[i : i + 8] = name.rstrip() + b"\x00" * (8 - len(name.rstrip()))
+    back = N.parse_ntv2(bytes(padded))
+    assert back[0].s_lat == 0.0 and back[0].w_long == -3600.0
+
+
 def test_parse_rejects_garbage():
     with pytest.raises(ValueError, match="NUM_OREC"):
         N.parse_ntv2(b"\x00" * 200)
