@@ -50,8 +50,13 @@ def _maybe_prewarm_worker_arena() -> None:
         # reclaim the pages) and the freed top chunk stays below
         # M_TRIM_THRESHOLD (so glibc RETAINS it for the kernels' later
         # temporaries — the entire point of the prewarm).
-        libc.mallopt(-1, 2 * mb * 1024 * 1024)  # M_TRIM_THRESHOLD
-        libc.mallopt(-3, 2 * mb * 1024 * 1024)  # M_MMAP_THRESHOLD
+        # mallopt takes C ints: clamp so PREWARM_MB >= 1024 can't overflow
+        # (ctypes would raise, the except would swallow it, and the
+        # retention thresholds would silently stay at defaults).
+        libc.mallopt.argtypes = (ctypes.c_int, ctypes.c_int)
+        thresh = min(2 * mb * 1024 * 1024, 2**31 - 1)
+        libc.mallopt(-1, thresh)  # M_TRIM_THRESHOLD
+        libc.mallopt(-3, thresh)  # M_MMAP_THRESHOLD
     except Exception:
         pass  # non-glibc platform: plain touch still warms the allocator
     import numpy as _np

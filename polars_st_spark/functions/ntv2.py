@@ -212,6 +212,22 @@ def parse_ntv2(data: bytes) -> list[NTv2SubGrid]:
     n_file = ival(32)
     if n_srec != 11:
         raise ValueError(f"NTv2: NUM_SREC={n_srec}, expected 11")
+    # GS_TYPE governs the node-value unit. PROJ only accepts SECONDS;
+    # silently treating MINUTES/DEGREES files as seconds would mis-scale
+    # every shift by 60x/3600x, so reject anything else explicitly.
+    gs_type = None
+    for r in range(n_orec):
+        raw = data[r * 16 : r * 16 + 8]
+        if raw.decode("ascii", "replace").strip("\x00 ") == "GS_TYPE":
+            gs_type = sval(r * 16)
+            break
+    if gs_type is None:
+        raise ValueError("NTv2: overview header has no GS_TYPE record")
+    if gs_type.upper() != "SECONDS":
+        raise ValueError(
+            f"NTv2: GS_TYPE={gs_type!r} unsupported — only SECONDS grids "
+            "are accepted (matching PROJ)"
+        )
     off = n_orec * 16
     grids: list[NTv2SubGrid] = []
     for _ in range(n_file):
@@ -231,11 +247,23 @@ def parse_ntv2(data: bytes) -> list[NTv2SubGrid]:
             count = ival(hdr["GS_COUNT"])
         except KeyError as e:
             raise ValueError(f"NTv2: subgrid header missing record {e}") from None
+        if not (lat_inc > 0.0 and lon_inc > 0.0):
+            raise ValueError(
+                f"NTv2: non-positive LAT_INC/LONG_INC "
+                f"({lat_inc}, {lon_inc}) in subgrid {sub!r}"
+            )
         ncols = int(round((w_lon - e_lon) / lon_inc)) + 1
         nrows = int(round((n_lat - s_lat) / lat_inc)) + 1
         if nrows * ncols != count:
             raise ValueError(
                 f"NTv2: GS_COUNT={count} != nrows*ncols={nrows}*{ncols} in {sub!r}"
+            )
+        if nrows < 2 or ncols < 2:
+            # a single-row/column grid cannot be bilinearly interpolated
+            # (the index clip would wrap to the far edge and read wrong nodes)
+            raise ValueError(
+                f"NTv2: degenerate subgrid {sub!r} ({nrows}x{ncols}) — "
+                "at least 2 rows and 2 columns are required"
             )
         off += 11 * 16
         node = np.frombuffer(data, dtype=endian + "f4", count=count * 4, offset=off)
@@ -288,9 +316,24 @@ def _resolve(names: str) -> list[NTv2SubGrid]:
                 "to make it optional)"
             )
         grids.extend(found)
-    # finest (smallest cell) first so child grids win over their parents,
-    # matching PROJ's most-detailed-subgrid selection
-    grids.sort(key=lambda g: g.lat_inc * g.long_inc)
+    # Finest (smallest cell) first so child grids win over their parents,
+    # matching PROJ's most-detailed-subgrid selection. Cell-area ties are
+    # broken by the NTv2 PARENT hierarchy — deeper descendants first — so
+    # equal-increment overlapping subgrids resolve like PROJ's
+    # densest-containing-subgrid walk instead of registration order.
+    by_name = {g.name: g for g in grids}
+
+    def depth(g: NTv2SubGrid) -> int:
+        d, seen = 0, {g.name}
+        while g.parent and g.parent != "NONE" and g.parent in by_name:
+            g = by_name[g.parent]
+            if g.name in seen:  # defensive: cyclic PARENT chain
+                break
+            seen.add(g.name)
+            d += 1
+        return d
+
+    grids.sort(key=lambda g: (g.lat_inc * g.long_inc, -depth(g)))
     return grids
 
 

@@ -14,8 +14,12 @@ Fast paths, tried in order:
 
 General concave areal×areal combinations fall through to the
 classify-and-stitch overlay (geo/overlay.py) — supported for all four ops.
-Remaining NotImplementedError cases are mixed-dimension exotics (e.g. line
-minus concave polygon), documented per call site.
+Line ∩/− arbitrary (concave / holed) polygons route through
+_line_clip_polygon/_line_minus_polygon, line−line is noded at mutual
+crossings, and mixed-dimension unions assemble collections. The remaining
+NotImplementedError cases are curved-type exotics (CircularString /
+CurvePolygon operands beyond the exact single-arc paths), documented per
+call site.
 """
 
 from __future__ import annotations
@@ -1286,9 +1290,11 @@ def union_all(geoms, grid_size: float | None = None) -> Geometry:
     (reference: expressions.rs:985-999).
 
     Strategy: flatten to primitive parts; exact slab-decomposition when all
-    parts are axis-aligned rectangles; otherwise absorb covered parts and
-    collect parts whose interiors don't overlap. Overlapping concave inputs
-    need a general clipper — NotImplementedError (SURVEY §7)."""
+    parts are axis-aligned rectangles; otherwise absorb covered parts
+    (bbox-prefiltered scan), collect parts whose interiors don't overlap,
+    and send overlapping areal clusters through the one-shot
+    classify-and-stitch overlay (overlay.union_many) — concave and holed
+    inputs included."""
     gs = _nonnull(geoms)
     parts: list[Geometry] = []
     for g in gs:

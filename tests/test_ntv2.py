@@ -221,3 +221,57 @@ def test_proj4_nadgrids_integration(spark):
     finally:
         P.unregister_proj4(code)
         N.unregister_nadgrid("test_affine.gsb")
+
+
+def test_parse_rejects_non_seconds_gs_type():
+    # GS_TYPE governs node units; only SECONDS is supported (PROJ-compatible).
+    # A MINUTES file silently read as seconds would be 60x wrong.
+    g = _affine_grid()
+    data = bytearray(N.make_ntv2_bytes([g]))
+    i = data.find(b"GS_TYPE ")
+    assert i >= 0
+    data[i + 8 : i + 16] = b"MINUTES "
+    with pytest.raises(ValueError, match="GS_TYPE"):
+        N.parse_ntv2(bytes(data))
+
+
+def test_parse_rejects_degenerate_single_row_grid():
+    # nrows == 1: bilinear needs >= 2x2 nodes (index clip would wrap)
+    g = _affine_grid(s_lat=0.0, n_lat=0.0)  # one row
+    data = N.make_ntv2_bytes([g])
+    with pytest.raises(ValueError, match="degenerate"):
+        N.parse_ntv2(data)
+
+
+def test_parse_rejects_zero_increment():
+    g = _affine_grid()
+    data = bytearray(N.make_ntv2_bytes([g]))
+    i = data.find(b"LAT_INC ")
+    assert i >= 0
+    import struct as _s
+    data[i + 8 : i + 16] = _s.pack("<d", 0.0)
+    with pytest.raises(ValueError, match="LAT_INC|non-positive"):
+        N.parse_ntv2(bytes(data))
+
+
+def test_equal_increment_tie_breaks_by_parent_depth():
+    # Two subgrids with IDENTICAL increments where the child overlaps the
+    # parent: the child's shifts must win inside the child's bounds (PROJ's
+    # densest-containing-subgrid walk), regardless of registration order.
+    parent = _affine_grid(name="PAR", parent="NONE",
+                          s_lat=0.0, n_lat=7200.0,
+                          e_long=-18000.0, w_long=-3600.0, inc=3600.0)
+    child = _affine_grid(name="CHI", parent="PAR",
+                         s_lat=0.0, n_lat=3600.0,
+                         e_long=-10800.0, w_long=-3600.0, inc=3600.0,
+                         ca=100.0, cb=0.0, cc=0.0, da=-200.0, db=0.0, dc=0.0)
+    for order in ([parent, child], [child, parent]):
+        N.register_nadgrid("tie.gsb", order)
+        try:
+            # (2 deg E, 0.5 deg N) is inside the child (west-sec in [-10800,-3600])
+            lon, lat = np.array([2.0]), np.array([0.5])
+            out_lon, out_lat = N._forward_shift(N._resolve("tie.gsb"), lon, lat)
+            np.testing.assert_allclose(out_lat[0], 0.5 + 100.0 / 3600.0, atol=1e-7)
+            np.testing.assert_allclose(out_lon[0], 2.0 + 200.0 / 3600.0, atol=1e-7)
+        finally:
+            N.unregister_nadgrid("tie.gsb")
