@@ -29,10 +29,21 @@ SF = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
 ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
+REPS = int(os.environ.get("BASELINE_FLOOR_REPS", "3"))
+
+
 def timed(fn):
-    t0 = time.time()
-    fn()
-    return round(time.time() - t0, 3)
+    """Median of REPS runs (default 3) — symmetric with the engine's
+    queries_median3 so the vs_floor ratios compare median to median, not
+    median to a single shot (round-5 verdict: the single-shot floor's p1
+    term was the one place floor noise moved the headline ratio)."""
+    ts = []
+    for _ in range(REPS):
+        t0 = time.time()
+        fn()
+        ts.append(round(time.time() - t0, 3))
+    timed.last_reps = ts
+    return sorted(ts)[len(ts) // 2]
 
 
 def li_rects() -> pd.DataFrame:
@@ -360,33 +371,40 @@ def main() -> None:
     docs = pd.read_parquet(f"{SF}/documents.parquet")
     emb = pd.read_parquet(f"{SF}/embeddings.parquet")
 
-    queries = {
-        "b1_elementwise": timed(lambda: b1(li)),
-        "b2_predicate": timed(lambda: b2(li, nat)),
-        "b3_grouped_union": timed(lambda: b3(li)),
-        "b4_sjoin": timed(lambda: b4(cust, nat)),
-        "b5_flagship": timed(b5),
-        "p1_minhash_dedup": timed(lambda: p1(docs)),
-        "p2_knn": timed(lambda: p2(emb)),
-        "p3_textstats": timed(lambda: p3(docs)),
-    }
+    queries = {}
+    queries_reps = {}
+
+    def run(name, fn, into=None):
+        (into if into is not None else queries)[name] = timed(fn)
+        queries_reps[name] = timed.last_reps
+
+    run("b1_elementwise", lambda: b1(li))
+    run("b2_predicate", lambda: b2(li, nat))
+    run("b3_grouped_union", lambda: b3(li))
+    run("b4_sjoin", lambda: b4(cust, nat))
+    run("b5_flagship", b5)
+    run("p1_minhash_dedup", lambda: p1(docs))
+    run("p2_knn", lambda: p2(emb))
+    run("p3_textstats", lambda: p3(docs))
     # floors for the bench VARIANTS (recorded under a separate key so the
     # headline floor set stays comparable across rounds)
-    variants = {
-        "p5_hygiene": timed(lambda: p5(docs)),
-        "p6_nearest_join": timed(lambda: p6(cust, nat)),
-        "p7_tfidf_bm25": timed(lambda: p7(docs)),
-        "p9_semdedup": timed(lambda: p9(emb)),
-        "p10_curation": timed(lambda: p10(docs)),
-    }
+    variants = {}
+    run("p5_hygiene", lambda: p5(docs), into=variants)
+    run("p6_nearest_join", lambda: p6(cust, nat), into=variants)
+    run("p7_tfidf_bm25", lambda: p7(docs), into=variants)
+    run("p9_semdedup", lambda: p9(emb), into=variants)
+    run("p10_curation", lambda: p10(docs), into=variants)
     out = {
         "sf": SF.rstrip("/").rsplit("sf", 1)[-1],
         "queries": queries,
+        "queries_reps": queries_reps,
+        "floor_reps": REPS,
         "variant_floors": variants,
         "total": round(sum(queries.values()), 3),
         "method": "single-process numpy/pandas, closed-form geometry on the "
                   "derived columns, same hash/text algorithms as the engine "
-                  "(shapely unavailable in runtime — see BASELINE.md)",
+                  "(shapely unavailable in runtime — see BASELINE.md); "
+                  "per-query value is the MEDIAN of floor_reps runs",
     }
     # atomic replace: bench.py may kill this process on timeout, and a
     # truncated BASELINE_MEASURED.json must never shadow the committed one
