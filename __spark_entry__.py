@@ -2486,13 +2486,48 @@ def q_knn_lsh(spark, sf):
     )
 
 
+def _ivf_gate_centroids(sf):
+    """Replay the production IVF fit OUTSIDE Spark so the DuckDB oracle can
+    embed the identical centroids as literals (the r4 knn_lsh graduation
+    trick). At gate scales the corpus (<= 2000 rows) is below the
+    ivf_centroids sample bound, so the production fit reduces to
+    fit_spherical_kmeans over the full corpus in file order — which pandas
+    reads identically. Deterministic: seeded k-means++ + Lloyd."""
+    import numpy as np
+    import pandas as pd
+
+    from polars_st_spark.operators.knn import _unit_rows, fit_spherical_kmeans
+
+    emb = pd.read_parquet(f"{sf}/embeddings.parquet", columns=["embedding"])
+    x = _unit_rows(np.stack(emb["embedding"].to_numpy()).astype(np.float64))
+    return fit_spherical_kmeans(x, n_cells=16, seed=42, iters=10)
+
+
 def q_knn_ivf(spark, sf):
-    """IVF ANN: seeded k-means coarse quantizer, cell equi-join (rows-only:
-    the quantizer fit is not SQL-expressible). operators/knn.py
-    cosine_topk_ivf; measured recall vs exact in test_ivf_recall."""
+    """IVF ANN — HASH-CHECKED (r6, was rows-only): the data-fitted coarse
+    quantizer is replayed by fitting the same seeded spherical k-means from
+    the gate parquet outside Spark (_ivf_gate_centroids) and pinning the
+    centroids as DOUBLE[] literals in the oracle CTE. The operator runs its
+    production interface (cell equi-join on the fitted index, never
+    all-pairs; `centroids=` is the documented index-reuse path). Ranking is
+    on the 6-dp-rounded cosine so last-ulp dot-product differences cannot
+    reorder the cut (same trick as knn_ann/knn_lsh)."""
+    from pyspark.sql.window import Window
+
     emb = spark.read.parquet(f"{sf}/embeddings.parquet")
     queries = emb.where(F.col("vec_id") < 5)
-    return _knn.cosine_topk_ivf(queries, emb, k=3, n_cells=16, n_probe=4)
+    cand = _knn.cosine_topk_ivf(
+        queries, emb, k=1_000_000, n_cells=16, n_probe=4,
+        centroids=_ivf_gate_centroids(sf),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_r").desc(), F.col("corpus_id").asc())
+    return (
+        cand.withColumn("cos_r", F.round("cosine", 6))
+        .withColumn("rank2", F.row_number().over(w))
+        .where(F.col("rank2") <= 3)
+        .select("query_id", "corpus_id", "cos_r", F.col("rank2").alias("rank"))
+    )
 
 
 def q_multimodal_audio(spark, sf):
@@ -2925,6 +2960,9 @@ def oracle_sql() -> dict[str, str]:
         "knn_top3": _oracle_knn(),
         "knn_ann": _oracle_knn_ann(),
         "knn_lsh": _oracle_knn_lsh(),
+        # knn_ivf graduated to hash-checked in r6 (literal fitted-centroid
+        # replay — the quantizer fit runs outside Spark and is pinned)
+        "knn_ivf": _oracle_knn_ivf(),
         "pq_suite": _oracle_pq_suite(),
         "kmeans_suite": _oracle_kmeans_suite(),
         "semdedup": _oracle_semdedup(),
@@ -3934,6 +3972,64 @@ def _oracle_knn_lsh() -> str:
           SELECT q.vec_id AS query_id, c.vec_id AS corpus_id,
                  q.e AS qe, c.e AS ce
           FROM qf q JOIN feat c ON q.bucket = c.bucket AND q.vec_id <> c.vec_id
+        ),
+        ranked AS (
+          SELECT query_id, corpus_id, {cos} AS cos_r,
+                 CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                      ORDER BY {cos} DESC, corpus_id ASC) AS INT) AS rank
+          FROM scored
+        )
+        SELECT query_id, corpus_id, cos_r, rank FROM ranked WHERE rank <= 3"""
+
+
+def _oracle_knn_ivf() -> str:
+    """Replays q_knn_ivf with the DATA-FITTED quantizer pinned as literals:
+    the same seeded spherical-k-means fit runs outside Spark
+    (_ivf_gate_centroids) on the gate parquet and the 16 unit centroids are
+    embedded as DOUBLE[] literals. Corpus cell = argmax of centroid dots
+    (first-max, matching np.argmax); query probes = top-4 cells (ties →
+    smaller index, unreachable with real data); ranking on the 6-dp-rounded
+    cosine. The gate sf dir defaults to the driver's gate scale (sf0.01);
+    scripts/check_oracle.py overrides via SPARK_GRAFT_ORACLE_SF_DIR for the
+    two-scale sweep."""
+    sf = os.environ.get("SPARK_GRAFT_ORACLE_SF_DIR", "/root/testdata/sf0.01")
+    cents = _ivf_gate_centroids(sf)
+
+    def lit(vec):
+        return "[" + ",".join(repr(float(x)) for x in vec) + "]"
+
+    dots = "[" + ",".join(f"list_dot_product(e, {lit(c)})" for c in cents) + "]"
+    idx16 = "[" + ",".join(str(i) for i in range(1, 17)) + "]"
+    cos = (
+        "ROUND(CASE WHEN sqrt(list_dot_product(qe, qe)) * "
+        "sqrt(list_dot_product(ce, ce)) > 0 "
+        "THEN list_dot_product(qe, ce) / "
+        "(sqrt(list_dot_product(qe, qe)) * sqrt(list_dot_product(ce, ce))) "
+        "ELSE 0.0 END, 6)"
+    )
+    return f"""
+        WITH feat AS (
+          SELECT vec_id, embedding::DOUBLE[] AS e,
+                 {dots} AS dots
+          FROM embeddings
+        ),
+        corp AS (
+          SELECT vec_id, e,
+                 list_indexof(dots, list_max(dots)) - 1 AS cell
+          FROM feat
+        ),
+        qprobe AS (
+          SELECT vec_id, e,
+                 UNNEST(list_transform(
+                    list_sort(list_transform({idx16},
+                        i -> {{'d': -dots[i], 'i': i - 1}}))[1:4],
+                    s -> s['i'])) AS cell
+          FROM feat WHERE vec_id < 5
+        ),
+        scored AS (
+          SELECT q.vec_id AS query_id, c.vec_id AS corpus_id,
+                 q.e AS qe, c.e AS ce
+          FROM qprobe q JOIN corp c ON q.cell = c.cell AND q.vec_id <> c.vec_id
         ),
         ranked AS (
           SELECT query_id, corpus_id, {cos} AS cos_r,

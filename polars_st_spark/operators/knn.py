@@ -341,6 +341,17 @@ def ivf_centroids(
     else:
         rows = v.collect()
     x = _unit_rows(np.array([r["v"] for r in rows], dtype=np.float64))
+    return fit_spherical_kmeans(x, n_cells=n_cells, seed=seed, iters=iters)
+
+
+def fit_spherical_kmeans(
+    x: np.ndarray, n_cells: int, seed: int = 42, iters: int = 10
+) -> np.ndarray:
+    """Seeded spherical k-means on pre-unit-normalized rows ``x`` —
+    deterministic given (x, n_cells, seed, iters). Split out from
+    :func:`ivf_centroids` so the correctness oracle can replay the exact
+    fit outside Spark (literal-centroid replay, see __spark_entry__
+    ``_oracle_knn_ivf``)."""
     if len(x) < n_cells:
         raise ValueError(f"corpus sample has {len(x)} vectors < n_cells={n_cells}")
     rng = np.random.RandomState(seed)

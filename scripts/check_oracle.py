@@ -41,6 +41,12 @@ def rows_key(cols, rows):
 def main():
     sf = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     only = set(sys.argv[2:])
+    # data-parameterized oracles (knn_ivf's fitted-centroid replay) must fit
+    # from the SAME sf the views point at; the driver's own gate runs at the
+    # default (sf0.01) without this var
+    import os
+
+    os.environ["SPARK_GRAFT_ORACLE_SF_DIR"] = sf
     spark = (
         SparkSession.builder.master("local[8]")
         .appName("oracle-check")
