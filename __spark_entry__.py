@@ -2286,13 +2286,17 @@ def q_pipeline_e2e(spark, sf):
 
 def q_multimodal_real(spark, sf):
     """REAL media decode, hash-checked (r4d — multimodal graduates from
-    rows-only): per doc a solid-color 6×5 BMP (odd width exercises row
-    padding) and a ±amp square-wave 16-bit PCM WAV are built from doc_id,
-    decoded by the real kernels (hand-parsed BMP / stdlib wave), and the
-    features compared against closed forms: solid-color mean = the color
-    exactly; square-wave RMS = amp_int/32768 exactly (dyadic), ZCR =
-    transitions/(n−1), duration = n/rate — every compared double is an
-    exactly-rounded IEEE expression DuckDB replays from doc_id alone."""
+    rows-only; r6 adds PNG): per doc a solid-color 6×5 BMP (odd width
+    exercises row padding), a ±amp square-wave 16-bit PCM WAV, and a 5×4
+    gradient PNG encoded with per-row filter cycling (decode exercises zlib
+    inflate + ALL FIVE RFC 2083 scanline filters + CRC checks) are built
+    from doc_id, decoded by the real kernels (hand-parsed BMP / stdlib
+    wave / stdlib-zlib PNG), and the features compared against closed
+    forms: solid-color mean = the color exactly; square-wave RMS =
+    amp_int/32768 exactly (dyadic), ZCR = transitions/(n−1), duration =
+    n/rate; PNG channel means = integer-sum/16 dyadics — every compared
+    double is an exactly-rounded IEEE expression DuckDB replays from
+    doc_id alone."""
     import io as _io
     import wave as _wave
 
@@ -2301,12 +2305,27 @@ def q_multimodal_real(spark, sf):
 
     from polars_st_spark.operators.multimodal import (
         _encode_bmp,
+        _encode_png,
         audio_features,
     )
 
     docs = spark.read.parquet(f"{sf}/documents.parquet").select("doc_id").where(
         F.col("doc_id") < 100
     )
+
+    @F.pandas_udf("binary")
+    def png_payload(ids):
+        # 5x4 RGB gradient encoded with per-row filter cycling, so decode
+        # exercises ALL FIVE RFC 2083 scanline filters (row r uses r % 5:
+        # None/Sub/Up/Average/Paeth) plus zlib inflate and CRC checks
+        out = []
+        r = _np.arange(5)[:, None, None]
+        c = _np.arange(4)[None, :, None]
+        k = _np.arange(3)[None, None, :]
+        for i in ids:
+            img = ((int(i) * (k + 1) * 5 + r * 37 + c * 11) % 256).astype(_np.uint8)
+            out.append(_encode_png(img, filters="cycle"))
+        return _pd.Series(out)
 
     @F.pandas_udf("binary")
     def bmp_payload(ids):
@@ -2337,7 +2356,10 @@ def q_multimodal_real(spark, sf):
         return _pd.Series(out)
 
     with_payloads = docs.select(
-        "doc_id", bmp_payload("doc_id").alias("img"), wav_payload("doc_id").alias("wav")
+        "doc_id",
+        bmp_payload("doc_id").alias("img"),
+        wav_payload("doc_id").alias("wav"),
+        png_payload("doc_id").alias("png"),
     )
     img = image_features(
         with_payloads.select("doc_id", "img"), "img", "doc_id",
@@ -2358,7 +2380,20 @@ def q_multimodal_real(spark, sf):
         F.col("rms").cast("double").alias("m1"),
         F.col("zero_crossing_rate").cast("double").alias("m2"),
     )
-    return img.unionByName(aud)
+    # r6: REAL stdlib PNG decode (zlib inflate + all five scanline filters).
+    # resize (4,4) over 5 rows selects rows [0,1,3,4] (nearest-neighbor pixel
+    # centers); channel means are exact integer/16 dyadics the oracle replays.
+    png = image_features(
+        with_payloads.select("doc_id", "png"), "png", "doc_id",
+        decode="real", resize=(4, 4),
+    ).select(
+        "doc_id",
+        F.lit("png").alias("modality"),
+        F.col("features")[0].cast("double").alias("m0"),
+        F.col("features")[1].cast("double").alias("m1"),
+        F.col("features")[2].cast("double").alias("m2"),
+    )
+    return img.unionByName(aud).unionByName(png)
 
 
 def q_multimodal_suite(spark, sf):
@@ -4123,9 +4158,22 @@ def _oracle_pipeline_e2e() -> str:
 def _oracle_multimodal_real() -> str:
     """Closed forms from doc_id alone (no media bytes in SQL): solid-color
     means are the colors; square-wave RMS is amp/32768 exactly (sqrt of an
-    exact dyadic square), ZCR is transitions/(n-1), duration n/rate; each
-    passes through a FLOAT cast exactly like the engine's float32 schema."""
-    return """
+    exact dyadic square), ZCR is transitions/(n-1), duration n/rate; the
+    PNG gradient's channel means are integer-sum/16 dyadics over the
+    nearest-neighbor-selected rows [0,1,3,4] (the decode itself — inflate +
+    unfilter — is certified because any byte error shifts the integer sum);
+    each passes through a FLOAT cast exactly like the engine's float32
+    schema."""
+
+    def png_mean(k: int) -> str:
+        terms = " + ".join(
+            f"((doc_id * {(k + 1) * 5} + {r * 37 + c * 11}) % 256)"
+            for r in (0, 1, 3, 4)
+            for c in range(4)
+        )
+        return f"CAST(CAST(({terms}) / 16.0 AS FLOAT) AS DOUBLE)"
+
+    return f"""
         WITH ids AS (SELECT doc_id FROM documents WHERE doc_id < 100),
         aud AS (
             SELECT doc_id,
@@ -4144,7 +4192,13 @@ def _oracle_multimodal_real() -> str:
                CAST(CAST(amp / 32768.0 AS FLOAT) AS DOUBLE) AS m1,
                CAST(CAST(((n - 1) // 4) / CAST(n - 1 AS DOUBLE) AS FLOAT) AS DOUBLE)
                    AS m2
-        FROM aud"""
+        FROM aud
+        UNION ALL
+        SELECT doc_id, 'png' AS modality,
+               {png_mean(0)} AS m0,
+               {png_mean(1)} AS m1,
+               {png_mean(2)} AS m2
+        FROM ids"""
 
 
 def _oracle_nearest_join() -> str:

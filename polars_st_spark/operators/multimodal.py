@@ -4,13 +4,15 @@ Media payloads are opaque ``binary`` columns with a typed metadata struct —
 the Spark-idiomatic layout for multimodal training data at scale (payload
 stays columnar in Parquet, metadata prunes/filters without touching bytes).
 
-``decode="real"`` decodes the codec-free formats end to end — BMP images
-(BITMAPINFOHEADER 24/32-bpp, hand-parsed per the public Windows BMP spec:
-bottom-up rows, 4-byte padding, BGR order) and PCM WAV audio (stdlib
-``wave``) — with numpy nearest-neighbor resizing and a BMP re-encoder, so
-the image/audio pipeline runs REAL bytes with zero external codecs.
-Compressed formats (png/jpeg/mp3/mp4) still raise NotImplementedError
-naming the codec they need (Pillow/ffmpeg — absent in this runtime).
+``decode="real"`` decodes the dependency-free formats end to end — BMP
+images (BITMAPINFOHEADER 24/32-bpp, hand-parsed per the public Windows BMP
+spec: bottom-up rows, 4-byte padding, BGR order), 8-bit PNG (r6: pure
+stdlib — chunk walk + zlib inflate + the five RFC 2083 scanline filters;
+gray/RGB/palette/alpha color types, CRC-verified) and PCM WAV audio
+(stdlib ``wave``) — with numpy nearest-neighbor resizing and BMP/PNG
+re-encoders, so the image/audio pipeline runs REAL bytes with zero
+external codecs. Formats needing a real codec (jpeg/mp3/mp4) still raise
+NotImplementedError naming the dependency (Pillow/ffmpeg — absent here).
 ``decode="fake"`` remains: a deterministic pseudo-decode seeded from the
 payload hash, exercising the identical Spark plumbing (schema, Arrow
 batching, mapInPandas flow) for any payload bytes.
@@ -115,6 +117,160 @@ def _encode_bmp(img: np.ndarray) -> bytes:
     return header + info + pix
 
 
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+# channels per PNG color type (public PNG spec / RFC 2083 §4.1.1)
+_PNG_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
+
+
+def _paeth(a: np.ndarray, b: np.ndarray, c: np.ndarray) -> np.ndarray:
+    """Paeth predictor (RFC 2083 §6.6) — vectorized over one pixel's bytes."""
+    p = a.astype(np.int32) + b.astype(np.int32) - c.astype(np.int32)
+    pa = np.abs(p - a)
+    pb = np.abs(p - b)
+    pc = np.abs(p - c)
+    return np.where((pa <= pb) & (pa <= pc), a, np.where(pb <= pc, b, c)).astype(np.uint8)
+
+
+def _decode_png(data: bytes) -> np.ndarray:
+    """(h, w, channels) uint8 from an 8-bit non-interlaced PNG — pure
+    stdlib: chunk walk + zlib inflate + the five scanline filters
+    (None/Sub/Up/Average/Paeth, RFC 2083 §6). Supports color types
+    0 (gray), 2 (RGB), 3 (palette), 4 (gray+alpha), 6 (RGBA). CRCs are
+    verified. 16-bit and interlaced files raise naming the limitation."""
+    import zlib
+
+    if data[:8] != _PNG_SIG:
+        raise ValueError("not a PNG payload (bad signature)")
+    pos = 8
+    ihdr = None
+    plte = None
+    idat = bytearray()
+    while pos + 8 <= len(data):
+        (length,) = struct.unpack_from(">I", data, pos)
+        ctype = data[pos + 4 : pos + 8]
+        body = data[pos + 8 : pos + 8 + length]
+        (crc,) = struct.unpack_from(">I", data, pos + 8 + length)
+        if zlib.crc32(ctype + body) & 0xFFFFFFFF != crc:
+            raise ValueError(f"PNG: CRC mismatch in {ctype!r} chunk")
+        if ctype == b"IHDR":
+            ihdr = struct.unpack(">IIBBBBB", body)
+        elif ctype == b"PLTE":
+            plte = np.frombuffer(body, dtype=np.uint8).reshape(-1, 3)
+        elif ctype == b"IDAT":
+            idat.extend(body)
+        elif ctype == b"IEND":
+            break
+        pos += 12 + length
+    if ihdr is None:
+        raise ValueError("PNG: missing IHDR chunk")
+    w, h, depth, color, comp, filt, interlace = ihdr
+    if comp != 0 or filt != 0:
+        raise ValueError(f"PNG: unknown compression/filter method ({comp}/{filt})")
+    if interlace != 0:
+        raise ValueError("PNG: Adam7 interlacing not supported (pass 0)")
+    if depth != 8:
+        raise ValueError(f"PNG: only 8-bit depth supported, got {depth}")
+    nch = _PNG_CHANNELS.get(color)
+    if nch is None:
+        raise ValueError(f"PNG: unknown color type {color}")
+    raw = zlib.decompress(bytes(idat))
+    stride = w * nch
+    if len(raw) != h * (stride + 1):
+        raise ValueError(
+            f"PNG: inflated size {len(raw)} != expected {h * (stride + 1)}"
+        )
+    lines = np.frombuffer(raw, dtype=np.uint8).reshape(h, stride + 1)
+    out = np.zeros((h, stride), dtype=np.uint8)
+    zero = np.zeros(nch, dtype=np.uint8)
+    for r in range(h):
+        ftype = int(lines[r, 0])
+        row = lines[r, 1:].copy()
+        prev = out[r - 1] if r else np.zeros(stride, dtype=np.uint8)
+        if ftype == 0:  # None
+            out[r] = row
+        elif ftype == 1:  # Sub: cumulative sum per byte lane (mod 256)
+            lanes = row.reshape(w, nch).astype(np.int64)
+            out[r] = (np.cumsum(lanes, axis=0) % 256).astype(np.uint8).reshape(stride)
+        elif ftype == 2:  # Up
+            out[r] = row + prev  # uint8 wraps mod 256
+        elif ftype == 3:  # Average
+            cur = out[r]
+            for px in range(w):
+                s = slice(px * nch, (px + 1) * nch)
+                a = cur[(px - 1) * nch : px * nch] if px else zero
+                avg = (a.astype(np.int32) + prev[s].astype(np.int32)) >> 1
+                cur[s] = row[s] + avg.astype(np.uint8)
+        elif ftype == 4:  # Paeth
+            cur = out[r]
+            for px in range(w):
+                s = slice(px * nch, (px + 1) * nch)
+                a = cur[(px - 1) * nch : px * nch] if px else zero
+                c = prev[(px - 1) * nch : px * nch] if px else zero
+                cur[s] = row[s] + _paeth(a, prev[s], c)
+        else:
+            raise ValueError(f"PNG: unknown filter type {ftype} in row {r}")
+    img = out.reshape(h, w, nch)
+    if color == 3:
+        if plte is None:
+            raise ValueError("PNG: palette image without PLTE chunk")
+        img = plte[img[:, :, 0]]
+    return img
+
+
+def _png_chunk(ctype: bytes, body: bytes) -> bytes:
+    import zlib
+
+    return (
+        struct.pack(">I", len(body)) + ctype + body
+        + struct.pack(">I", zlib.crc32(ctype + body) & 0xFFFFFFFF)
+    )
+
+
+def _encode_png(img: np.ndarray, filters: str = "none") -> bytes:
+    """8-bit non-interlaced PNG bytes from (h, w) gray or (h, w, {1,2,3,4})
+    arrays. ``filters="none"`` writes filter-0 rows; ``filters="cycle"``
+    applies filter type ``r % 5`` to row r (computing the filtered residual
+    per RFC 2083 §6) so round-trip tests exercise every decode branch."""
+    import zlib
+
+    if img.ndim == 2:
+        img = img[:, :, None]
+    h, w, nch = img.shape
+    color = {1: 0, 2: 4, 3: 2, 4: 6}.get(nch)
+    if color is None:
+        raise ValueError(f"cannot encode {nch}-channel image as PNG")
+    flat = img.astype(np.uint8).reshape(h, w * nch)
+    zero_px = np.zeros(nch, dtype=np.uint8)
+    lines = bytearray()
+    for r in range(h):
+        ftype = (r % 5) if filters == "cycle" else 0
+        row = flat[r]
+        prev = flat[r - 1] if r else np.zeros(w * nch, dtype=np.uint8)
+        if ftype == 0:
+            resid = row
+        elif ftype == 1:
+            a = np.concatenate([zero_px, row[:-nch]])
+            resid = row - a
+        elif ftype == 2:
+            resid = row - prev
+        elif ftype == 3:
+            a = np.concatenate([zero_px, row[:-nch]]).astype(np.int32)
+            resid = (row - ((a + prev.astype(np.int32)) >> 1).astype(np.uint8))
+        else:  # 4
+            a = np.concatenate([zero_px, row[:-nch]])
+            c = np.concatenate([zero_px, prev[:-nch]])
+            resid = row - _paeth(a, prev, c)
+        lines.append(ftype)
+        lines.extend(resid.astype(np.uint8).tobytes())
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color, 0, 0, 0)
+    return (
+        _PNG_SIG
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(bytes(lines), 6))
+        + _png_chunk(b"IEND", b"")
+    )
+
+
 def _resize_nearest(img: np.ndarray, h: int, w: int) -> np.ndarray:
     """Nearest-neighbor resample (pixel-center mapping) — pure numpy."""
     sh, sw = img.shape[:2]
@@ -145,12 +301,22 @@ def _decode_wav(data: bytes) -> tuple[np.ndarray, int]:
     return pcm, rate
 
 
+def _to_rgb(img: np.ndarray) -> np.ndarray:
+    """(h, w, any) → (h, w, 3) RGB: gray replicated, alpha dropped."""
+    nch = img.shape[2]
+    if nch >= 3:
+        return img[:, :, :3]
+    return np.repeat(img[:, :, :1], 3, axis=2)
+
+
 def _real_decode_image(payload: bytes, h: int, w: int) -> np.ndarray:
     if payload[:2] == b"BM":
         return _resize_nearest(_decode_bmp(payload), h, w)
+    if payload[:8] == _PNG_SIG:
+        return _resize_nearest(_to_rgb(_decode_png(payload)), h, w)
     raise NotImplementedError(
-        "real decode of non-BMP images (png/jpeg/...) requires Pillow/opencv, "
-        "not present in this runtime; BMP decodes natively"
+        "real decode of non-BMP/PNG images (jpeg/...) requires Pillow/opencv, "
+        "not present in this runtime; BMP and 8-bit PNG decode natively"
     )
 
 

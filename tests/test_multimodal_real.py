@@ -106,3 +106,86 @@ def test_non_bmp_real_raises(spark):
     df = spark.createDataFrame([(0, bytearray(b"\x89PNG then junk"))], ["id", "payload"])
     with pytest.raises(Exception, match="Pillow|BMP"):
         M.image_features(df, "payload", "id", decode="real").collect()
+
+
+def test_png_roundtrip_all_filters_and_channels():
+    rng = np.random.RandomState(7)
+    for nch in (1, 2, 3, 4):
+        for filters in ("none", "cycle"):
+            for h, w in [(1, 1), (7, 5), (16, 16), (33, 9)]:
+                img = rng.randint(0, 256, (h, w, nch), dtype=np.uint8)
+                back = M._decode_png(M._encode_png(img, filters=filters))
+                assert np.array_equal(back, img), (nch, filters, h, w)
+
+
+def test_png_hand_crafted_filters():
+    """Filter math checked against hand-computed residuals (RFC 2083 §6),
+    independent of the encoder."""
+    import zlib
+
+    def craft(w, h, color, lines):
+        ihdr = struct.pack(">IIBBBBB", w, h, 8, color, 0, 0, 0)
+        return (M._PNG_SIG + M._png_chunk(b"IHDR", ihdr)
+                + M._png_chunk(b"IDAT", zlib.compress(lines))
+                + M._png_chunk(b"IEND", b""))
+
+    # Sub on gray: raw [10, 250, 8] -> residuals [10, 240, 14] (mod 256)
+    out = M._decode_png(craft(3, 1, 0, bytes([1, 10, 240, 14])))
+    assert out.reshape(-1).tolist() == [10, 250, 8]
+    # Up: row0 raw [5, 200], row1 raw [7, 190] -> residuals [2, 246]
+    out = M._decode_png(craft(2, 2, 0, bytes([0, 5, 200, 2, 2, 246])))
+    assert out.reshape(2, 2).tolist() == [[5, 200], [7, 190]]
+    # Average: row0 [4, 8], row1 raw [10, 20]; preds: (0+4)//2=2, (10+8)//2=9
+    out = M._decode_png(craft(2, 2, 0, bytes([0, 4, 8, 3, 8, 11])))
+    assert out.reshape(2, 2).tolist() == [[4, 8], [10, 20]]
+    # Paeth: row0 [3, 9], row1 raw [5, 12]; p(a=0,b=3,c=0)=3, p(a=5,b=9,c=3)=9
+    out = M._decode_png(craft(2, 2, 0, bytes([0, 3, 9, 4, 2, 3])))
+    assert out.reshape(2, 2).tolist() == [[3, 9], [5, 12]]
+
+
+def test_png_palette_and_errors():
+    import zlib
+
+    plte = np.array([[255, 0, 0], [0, 255, 0], [0, 0, 255], [9, 8, 7]], np.uint8)
+    idx = np.array([[0, 3], [2, 1]], np.uint8)
+    lines = b"".join(b"\x00" + idx[r].tobytes() for r in range(2))
+    data = (M._PNG_SIG
+            + M._png_chunk(b"IHDR", struct.pack(">IIBBBBB", 2, 2, 8, 3, 0, 0, 0))
+            + M._png_chunk(b"PLTE", plte.tobytes())
+            + M._png_chunk(b"IDAT", zlib.compress(lines))
+            + M._png_chunk(b"IEND", b""))
+    assert np.array_equal(M._decode_png(data), plte[idx])
+    # corrupted CRC is detected
+    bad = bytearray(M._encode_png(np.zeros((2, 2, 3), np.uint8)))
+    bad[20] ^= 0xFF
+    with pytest.raises(ValueError, match="CRC"):
+        M._decode_png(bytes(bad))
+    # 16-bit depth raises naming the limitation
+    deep = (M._PNG_SIG
+            + M._png_chunk(b"IHDR", struct.pack(">IIBBBBB", 1, 1, 16, 0, 0, 0, 0))
+            + M._png_chunk(b"IDAT", zlib.compress(bytes([0, 0, 0])))
+            + M._png_chunk(b"IEND", b""))
+    with pytest.raises(ValueError, match="8-bit"):
+        M._decode_png(deep)
+    with pytest.raises(ValueError, match="signature"):
+        M._decode_png(b"\x89PNG then junk")
+
+
+def test_image_features_real_png(spark):
+    img = np.arange(4 * 4 * 3, dtype=np.uint8).reshape(4, 4, 3)
+    df = spark.createDataFrame(
+        [(1, bytearray(M._encode_png(img, filters="cycle")))], ["id", "payload"])
+    row = M.image_features(df, "payload", "id", decode="real",
+                           resize=(4, 4)).collect()[0]
+    exp = img.mean(axis=(0, 1))
+    assert [round(v, 4) for v in row["features"]] == [round(float(e), 4) for e in exp]
+
+
+def test_image_resize_real_png_to_bmp(spark):
+    # PNG in, resized BMP out: the two real codecs compose in one pipeline
+    img = np.arange(8 * 8 * 3, dtype=np.uint8).reshape(8, 8, 3)
+    df = spark.createDataFrame(
+        [(1, bytearray(M._encode_png(img)))], ["id", "payload"])
+    out = M.image_resize(df, "payload", "id", size=(4, 4), decode="real").collect()[0]
+    back = M._decode_bmp(bytes(out["payload"]))
+    assert np.array_equal(back, M._resize_nearest(img, 4, 4))
