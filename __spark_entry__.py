@@ -1661,6 +1661,13 @@ def q_curve_measures(spark, sf):
         "(%d %d, %d %d)))",
         x0L, y0L, x0L + 9, y0L + 9, x1L, y0L, x1L, y0L, x0L, y0L))
     cen = st.st_centroid(cpoly)
+    # G1 segment + half-circle chain (all control points integral): seg
+    # (x0,y0+30)→(x0+8,y0+30) heading (1,0), then CCW half-circle r=6
+    # about (x0+8,y0+36) to (x0+8,y0+42)
+    ccurve = st.st_from_wkt(F.format_string(
+        "COMPOUNDCURVE ((%d %d, %d %d), CIRCULARSTRING (%d %d, %d %d, %d %d))",
+        x0L, y0L + 30, x0L + 8, y0L + 30,
+        x0L + 8, y0L + 30, x0L + 14, y0L + 36, x0L + 8, y0L + 42))
     return r.select(
         "n_nationkey",
         st.st_geometry_type(arc).alias("arc_t"),
@@ -1686,6 +1693,13 @@ def q_curve_measures(spark, sf):
         st.st_geometry_type(st.st_buffer(arc, 2.0)).alias("ab_t"),
         F.round(st.st_area(st.st_buffer(arc, 2.0)), 6).alias("ab_area"),
         F.round(st.st_length(st.st_buffer(arc, 2.0)), 6).alias("ab_perim"),
+        # r6: EXACT COMPOUND-CHAIN buffer (curves._chain_buffer_exact —
+        # VERDICT r5 task #7): straight segment + G1 half-circle arc;
+        # L = 8+6π, d = 1.5 → area 2dL+πd² = 24+20.25π and perimeter
+        # 16+15π in closed form (offsets 7.5π/4.5π + two 1.5π caps)
+        st.st_geometry_type(st.st_buffer(ccurve, 1.5)).alias("cb_t"),
+        F.round(st.st_area(st.st_buffer(ccurve, 1.5)), 6).alias("cb_area"),
+        F.round(st.st_length(st.st_buffer(ccurve, 1.5)), 6).alias("cb_perim"),
     )
 
 
@@ -3429,7 +3443,10 @@ def oracle_sql() -> dict[str, str]:
                    ROUND(12.0 / pi(), 6) AS cp_cy_rel,
                    'CurvePolygon' AS ab_t,
                    ROUND(40.0 * pi(), 6) AS ab_area,
-                   ROUND(22.0 * pi(), 6) AS ab_perim
+                   ROUND(22.0 * pi(), 6) AS ab_perim,
+                   'CurvePolygon' AS cb_t,
+                   ROUND(24.0 + 20.25 * pi(), 6) AS cb_area,
+                   ROUND(16.0 + 15.0 * pi(), 6) AS cb_perim
             FROM nation""",
     }
     # ---- round-3 consolidated suites (compose the singleton oracles) ----

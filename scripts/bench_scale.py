@@ -1,0 +1,302 @@
+"""Scale-ramp proof (round-6 task #1): run the headline suite plus the
+heavy variants at sf0.1 AND at the derived 10x dataset
+(scripts/make_scale_data.py -> scale_data/sf1), same code and methodology,
+and record per-query wall ratios next to the input-row ratio.
+
+The bar (VERDICT r5): near-linear scaling — <= ~12-15x wall at 10x rows per
+query — or the cliff found and fixed. Each query runs ONE untimed full-size
+warm pass (JVM codegen/JIT + this host's first-touch fault storms, see
+README "Bench variance") then 3 timed reps; the compared number is the
+median. Output: BENCH_SCALE_r06.json at the repo root plus one compact
+stdout JSON line.
+
+Usage: python scripts/bench_scale.py [small_dir] [big_dir] [factor]
+"""
+
+from __future__ import annotations
+
+import json
+import math
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+SMALL = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+BIG = sys.argv[2] if len(sys.argv) > 2 else "/root/repo/scale_data/sf1"
+FACTOR = int(sys.argv[3]) if len(sys.argv) > 3 else 10
+REPS = int(os.environ.get("BENCH_SCALE_REPS", "3"))
+
+
+def run_suite(spark, sf_dir: str) -> dict:
+    """Times every suite query at one scale. Returns {name: {reps, median,
+    rows_in, rows_out}}."""
+    from pyspark.sql import functions as F
+
+    import polars_st_spark as st
+    import __spark_entry__ as E
+    from polars_st_spark.operators import dedup as _dedup
+    from polars_st_spark.operators import knn as _knn
+    from polars_st_spark.operators import textops as _t
+    from polars_st_spark.operators.nearest import st_sjoin_nearest as _nn
+    from polars_st_spark.operators.pipeline import pretraining_pipeline as _pp
+    from polars_st_spark.operators.sjoin import st_sjoin
+
+    ncpu = int(spark.sparkContext.defaultParallelism)
+    li = E._li_rects(spark, sf_dir).repartition(ncpu).cache()
+    n_li = li.count()
+    cust = E._cust_pts(spark, sf_dir).repartition(ncpu).cache()
+    n_cust = cust.count()
+    nations = E._nation_rects(spark, sf_dir)
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").repartition(ncpu).cache()
+    n_docs = docs.count()
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").repartition(ncpu).cache()
+    n_emb = emb.count()
+
+    # ragged/holed polygon pair inputs (the b1p kernel stress shape)
+    n_c = (F.lit(3) + F.col("l_linenumber") % 5).cast("int")
+    r_c = (F.lit(1.0) + (F.col("l_quantity").cast("int") % 10)).cast("double")
+    two_pi = F.lit(2.0 * math.pi)
+    shell = F.transform(
+        F.sequence(F.lit(0), n_c),
+        lambda k: F.array(
+            F.col("x0") + r_c * F.cos(two_pi * (k % n_c) / n_c),
+            F.col("y0") + r_c * F.sin(two_pi * (k % n_c) / n_c),
+        ),
+    )
+    hole = F.array(
+        F.array(F.col("x0") - r_c / 4, F.col("y0") - r_c / 4),
+        F.array(F.col("x0") - r_c / 4, F.col("y0") + r_c / 4),
+        F.array(F.col("x0") + r_c / 4, F.col("y0") + r_c / 4),
+        F.array(F.col("x0") + r_c / 4, F.col("y0") - r_c / 4),
+        F.array(F.col("x0") - r_c / 4, F.col("y0") - r_c / 4),
+    )
+    diam = st.st_polygon(F.array(F.array(
+        F.array(F.col("x0") + r_c / 2, F.col("y0") - r_c),
+        F.array(F.col("x0") + 3 * r_c / 2, F.col("y0")),
+        F.array(F.col("x0") + r_c / 2, F.col("y0") + r_c),
+        F.array(F.col("x0") - r_c / 2, F.col("y0")),
+        F.array(F.col("x0") + r_c / 2, F.col("y0") - r_c))))
+    ragged_p = (li.withColumn("poly", st.st_polygon(F.array(shell, hole)))
+                .withColumn("clipd", diam)
+                .select("l_orderkey", "poly", "clipd").cache())
+    ragged_p.count()
+    # per-row-distance line buffers (the b1b overlay stress shape)
+    bl = spark.read.parquet(f"{sf_dir}/customer.parquet").select(
+        "c_custkey",
+        ((F.col("c_custkey") % 97) + 0.5).alias("x"),
+        (((F.col("c_custkey") * 7) % 89) + 0.5).alias("y"),
+        (0.25 + (F.col("c_custkey") % 4) * 0.25).alias("d"),
+    )
+    lpath = st.st_linestring(F.array(
+        F.array(F.col("x"), F.col("y")),
+        F.array(F.col("x") + 4.0, F.col("y")),
+        F.array(F.col("x") + 4.0, F.col("y") + 3.0)))
+    cust_l = bl.withColumn("lp", lpath).repartition(max(64, ncpu)).cache()
+    cust_l.count()
+
+    nations5 = nations.where(F.col("n_nationkey") < 5).select(
+        "n_nationkey", "x0", "y0", "x1", "y1", F.col("rect").alias("nrect"))
+
+    results: dict[str, dict] = {}
+    staged = {}
+
+    def q_b1():
+        li.select(F.sum(st.st_area("rect")), F.sum(st.st_length("rect"))).collect()
+        return n_li
+
+    def q_b2():
+        return st.filter_pairs(
+            li.select("l_orderkey", "x0", "y0", "x1", "y1", "rect"), nations5,
+            predicate="intersects", lcol="rect", rcol="nrect",
+            lbox=("x0", "y0", "x1", "y1"), rbox=("x0", "y0", "x1", "y1"),
+            broadcast=True).count()
+
+    def q_b3():
+        return (li.groupBy("l_suppkey").agg(st.st_union_all("rect").alias("u"))
+                .select(F.sum(st.st_area("u"))).collect() and n_li)
+
+    def q_b4():
+        return st_sjoin(
+            cust.withColumnRenamed("pt", "geometry"),
+            nations.withColumnRenamed("rect", "geometry"),
+            predicate="within", strategy="broadcast").count()
+
+    def q_b4g():
+        # forced GRID strategy: the 100 TB cell-equi-join path that the
+        # stats gate never picks at gate grain (VERDICT r5 task #1)
+        return st_sjoin(
+            cust.withColumnRenamed("pt", "geometry"),
+            nations.withColumnRenamed("rect", "geometry"),
+            predicate="within", strategy="grid").count()
+
+    def q_b5():
+        return (E._supp_rects(spark, sf_dir).groupBy("s_nationkey")
+                .agg(st.st_intersection_all("rect").alias("g"))
+                .select("s_nationkey", st.st_area("g"), st.st_to_wkt("g"))
+                .collect() and n_li)
+
+    def q_p1():
+        out = _dedup.near_dup_pairs(docs, threshold=0.05)
+        staged["p1"] = out
+        return out.count()
+
+    def p1_cleanup():
+        sig = getattr(staged.get("p1"), "_staged_sig", None)
+        if sig is not None:
+            sig.unpersist(blocking=True)
+
+    def q_p2():
+        return _knn.cosine_topk(emb.where(F.col("vec_id") < 20), emb, k=10).count()
+
+    def q_p3():
+        docs.select(F.sum(_t.token_count("text")), F.count(_t.lang_predict("text")),
+                    F.sum(_t.quality_score("text"))).collect()
+        return n_docs
+
+    def q_b2a():
+        li.select(F.count_distinct(st.st_relate(
+            "rect", st.st_rectangle(
+                "x1", "y0", F.col("x1") + (F.col("x1") - F.col("x0")), "y1"),
+        ))).collect()
+        return n_li
+
+    def q_b1p():
+        ragged_p.select(F.sum(st.st_area(
+            st.st_intersection("poly", F.col("clipd"))))).collect()
+        return n_li
+
+    def q_b1b():
+        cust_l.select(F.sum(st.st_area(
+            st.st_buffer("lp", "d", cap_style="flat")))).collect()
+        return n_cust
+
+    def q_p6():
+        return _nn(cust.withColumnRenamed("pt", "geometry"),
+                   nations.withColumnRenamed("rect", "geometry"),
+                   k=2, max_distance=9.0).count()
+
+    def q_p8(materialize="cache"):
+        return _pp(
+            docs, benchmark=docs.where(F.col("doc_id") % 97 == 0),
+            quality_kwargs={"min_words": 10, "min_stopword_hits": 1},
+            near_dup_threshold=0.3, decontam_n=8,
+            chunk_tokens=128, chunk_overlap=16, materialize=materialize,
+        ).count()
+
+    suite = [
+        ("b1_elementwise", q_b1, None, n_li),
+        ("b2_predicate", q_b2, None, n_li),
+        ("b3_grouped_union", q_b3, None, n_li),
+        ("b4_sjoin", q_b4, None, n_cust),
+        ("b4g_sjoin_grid", q_b4g, None, n_cust),
+        ("b5_flagship", q_b5, None, None),
+        ("p1_minhash_dedup", q_p1, p1_cleanup, n_docs),
+        ("p2_knn", q_p2, None, n_emb),
+        ("p3_textstats", q_p3, None, n_docs),
+        ("b2a_relate_adjacent", q_b2a, None, n_li),
+        ("b1p_poly_clip_pairs", q_b1p, None, n_li),
+        ("b1b_buffer_lines", q_b1b, None, n_cust),
+        ("p6_nearest_join", q_p6, None, n_cust),
+    ]
+    for name, fn, cleanup, rows_in in suite:
+        fn()  # untimed full-size warm pass (codegen/JIT + fault storms)
+        if cleanup:
+            cleanup()
+        ts, rows_out = [], None
+        for i in range(REPS):
+            t0 = time.time()
+            rows_out = fn()
+            ts.append(round(time.time() - t0, 3))
+            if cleanup and i < REPS - 1:
+                cleanup()
+        results[name] = {
+            "reps": ts, "median": sorted(ts)[len(ts) // 2],
+            "rows_in": rows_in, "rows_out": rows_out,
+        }
+        print(f"  {name}: median {results[name]['median']}s reps={ts}",
+              file=sys.stderr)
+    # p8 warms with materialize=None so the timed run's caches are cold
+    q_p8(materialize=None)
+    ts = []
+    for _ in range(REPS):
+        t0 = time.time()
+        rows_out = q_p8()
+        ts.append(round(time.time() - t0, 3))
+    results["p8_pipeline_e2e"] = {
+        "reps": ts, "median": sorted(ts)[len(ts) // 2],
+        "rows_in": n_docs, "rows_out": rows_out,
+    }
+    print(f"  p8_pipeline_e2e: median {results['p8_pipeline_e2e']['median']}s "
+          f"reps={ts}", file=sys.stderr)
+    for c in (li, cust, docs, emb, ragged_p, cust_l):
+        c.unpersist(blocking=True)
+    return results
+
+
+def main() -> None:
+    from pyspark.sql import SparkSession
+
+    import bench as _bench
+
+    vm_fault_us = _bench._vm_fault_cost_us()
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    spark = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName("polars-st-spark-bench-scale")
+        .config("spark.sql.shuffle.partitions", cpus)
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.driver.memory", "48g")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "20000")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    print("== small:", SMALL, file=sys.stderr)
+    small = run_suite(spark, SMALL)
+    print("== big:", BIG, file=sys.stderr)
+    big = run_suite(spark, BIG)
+    queries = {}
+    for name in small:
+        s, b = small[name], big[name]
+        ratio = round(b["median"] / s["median"], 2) if s["median"] else None
+        queries[name] = {
+            "small_median": s["median"], "big_median": b["median"],
+            "small_reps": s["reps"], "big_reps": b["reps"],
+            "wall_ratio": ratio,
+            "rows_in_ratio": (round(b["rows_in"] / s["rows_in"], 2)
+                              if s.get("rows_in") else None),
+            "rows_out_small": s["rows_out"], "rows_out_big": b["rows_out"],
+        }
+    payload = {
+        "metric": "scale_ramp_wall_ratio",
+        "factor_rows": FACTOR,
+        "small_dir": SMALL,
+        "big_dir": BIG,
+        "reps": REPS,
+        "vm_fault_us_per_page": vm_fault_us,
+        "queries": queries,
+        "small_total": round(sum(q["small_median"] for q in queries.values()), 3),
+        "big_total": round(sum(q["big_median"] for q in queries.values()), 3),
+    }
+    payload["total_wall_ratio"] = round(
+        payload["big_total"] / payload["small_total"], 2)
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    path = os.path.join(root, "BENCH_SCALE_r06.json")
+    tmp = path + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(payload, f, indent=1)
+    os.replace(tmp, path)
+    compact = {
+        "metric": payload["metric"], "factor_rows": FACTOR,
+        "total_wall_ratio": payload["total_wall_ratio"],
+        "per_query_wall_ratio": {k: v["wall_ratio"] for k, v in queries.items()},
+        "detail_file": "BENCH_SCALE_r06.json",
+    }
+    print(json.dumps(compact))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

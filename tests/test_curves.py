@@ -219,3 +219,68 @@ def test_arc_buffer_exact_and_curved_wkt_roundtrip():
     assert algos.buffer(near_full, 0.5).type_id == GeometryType.Polygon
     # flat caps keep the general path
     assert algos.buffer(arc, 2.0, cap_style="flat").type_id == GeometryType.Polygon
+
+
+def test_chain_buffer_exact_multi_arc_and_compound():
+    """r6: exact buffers of G1 arc/segment CHAINS (curves._chain_buffer_exact):
+    the Minkowski tube formula area = 2dL + pi d^2 must hold to float
+    precision, and perimeter = 2L_seg + sum offset arcs + 2 pi d."""
+    import numpy as np
+
+    from polars_st_spark.geo import algos
+    from polars_st_spark.geo.curves import exact_area, exact_length
+    from polars_st_spark.geo.types import Geometry, GeometryType
+    from polars_st_spark.geo.wkb import from_ewkb, to_ewkb
+    from polars_st_spark.geo.wkt import from_wkt, to_wkt
+
+    # two G1 arcs (r=10 quarter + r=5 quarter), multi-arc CircularString
+    s2 = math.sqrt(2.0)
+    g = Geometry(GeometryType.CircularString, coords=np.array([
+        [10, 0], [10 / s2, 10 / s2], [0, 10],
+        [-5 / s2, 5 + 5 / s2], [-5, 5]], float))
+    L = 10 * math.pi / 2 + 5 * math.pi / 2
+    assert abs(exact_length(g) - L) < 1e-9
+    d = 1.5
+    b = algos.buffer(g, d)
+    assert b.type_id == GeometryType.CurvePolygon
+    assert abs(exact_area(b) - (2 * d * L + math.pi * d * d)) < 1e-9
+    # perimeter: offsets (10±d, 5±d quarters) + two half-circle caps
+    exp_perim = (11.5 + 8.5 + 6.5 + 3.5) * math.pi / 2 + 2 * math.pi * d
+    assert abs(exact_length(b) - exp_perim) < 1e-9
+    # serialization round-trips preserve the curved boundary
+    w = to_wkt(b)
+    assert to_wkt(from_ewkb(to_ewkb(b))) == w
+
+    # CompoundCurve: straight segment + G1 half-circle (the gate shape)
+    cc = from_wkt("COMPOUNDCURVE ((0 30, 8 30), "
+                  "CIRCULARSTRING (8 30, 14 36, 8 42))")
+    L2 = 8 + 6 * math.pi
+    assert abs(exact_length(cc) - L2) < 1e-9
+    b2 = algos.buffer(cc, 1.5)
+    assert b2.type_id == GeometryType.CurvePolygon
+    assert abs(exact_area(b2) - (24 + 20.25 * math.pi)) < 1e-9
+    assert abs(exact_length(b2) - (16 + 15 * math.pi)) < 1e-9
+
+    # envelope fallbacks -> linearized Polygon path:
+    # corner (non-G1) joint
+    corner = from_wkt("COMPOUNDCURVE ((0 0, 10 0), (10 0, 10 10))")
+    assert algos.buffer(corner, 1.0).type_id == GeometryType.Polygon
+    # d >= smallest arc radius
+    assert algos.buffer(g, 6.0).type_id == GeometryType.Polygon
+    # caps would overlap (near-closed chain)
+    nc = Geometry(GeometryType.CircularString, coords=np.array([
+        [10, 0], [0, 10], [-10, 0], [0, -10], [9.9, -0.5]], float))
+    assert algos.buffer(nc, 5.1).type_id == GeometryType.Polygon
+    # non-adjacent clearance <= 2d with every arc still satisfying d < r:
+    # a G1 S-chain whose first and last SEGMENTS run 2.0 apart — at d=1.2
+    # the tubes would overlap (2.4 > 2.0), so the exact path must decline
+    hp = from_wkt(
+        "COMPOUNDCURVE ((0 0, 30 0), CIRCULARSTRING (30 0, 36 6, 30 12), "
+        "(30 12, 10 12), CIRCULARSTRING (10 12, 5 7, 10 2), (10 2, 25 2))")
+    assert abs(exact_length(hp) - (30 + 6 * math.pi + 20 + 5 * math.pi + 15)) < 1e-9
+    assert algos.buffer(hp, 1.2).type_id == GeometryType.Polygon
+    # and the SAME chain at a safe distance stays exact (tube formula)
+    L3 = 65 + 11 * math.pi
+    b3 = algos.buffer(hp, 0.5)
+    assert b3.type_id == GeometryType.CurvePolygon
+    assert abs(exact_area(b3) - (2 * 0.5 * L3 + math.pi * 0.25)) < 1e-9
