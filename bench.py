@@ -538,11 +538,15 @@ def main() -> None:
             chunk_tokens=128, chunk_overlap=16, materialize=materialize,
         ).count()
 
-    # warmup with materialize=None: same stage plans, but nothing lands in
-    # the CacheManager, so the timed run's internal caches are COLD (the
-    # p1 rep-cleanup lesson — a cached warmup would hand the timed run its
-    # intermediate tables and it would measure almost nothing)
-    _p8(materialize=None)
+    # warmup with materialize="checkpoint": localCheckpoint materializes the
+    # stage boundaries OUTSIDE the CacheManager, so the timed run's internal
+    # caches are still COLD (the p1 rep-cleanup lesson) while the warm pass
+    # costs one pipeline run. materialize=None is NOT usable here: with no
+    # stage cut, every downstream stage that scans its input twice doubles
+    # the whole upstream recompute — the r6 scale ramp measured the None
+    # composition at >>10x the cache-mode cost at 10x grain (recompute tree
+    # ~2^stages).
+    _p8(materialize="checkpoint")
     variants["p8_pipeline_e2e"] = timed(_p8, warm=False)
 
     total = round(sum(queries.values()), 3)

@@ -93,6 +93,15 @@ def pretraining_pipeline(
         )
         keep = groups.where(F.col("keep")).select(id_col)
         out = out.join(keep, on=id_col, how="left_semi")
+        # second stage boundary: decontamination scans its input TWICE
+        # (doc-gram explode + the final anti-join), and the semantic stage
+        # adds two more consumers — without a cut each scan re-runs the
+        # near-dup keep join. Composed stages multiply: at 10x bench grain
+        # the uncut composition measured ~2x per uncut consumer (r6 scale
+        # ramp), which is also why callers warming with materialize=None
+        # should prefer "checkpoint" (materializes outside the CacheManager
+        # without handing the timed run warm caches).
+        out = _materialize(out, materialize)
     if embeddings is not None:
         # SemDeDup over the SURVIVORS only: join the embedding frame to the
         # current id set first (semi-join pushes the dedup work down to the

@@ -78,10 +78,16 @@ def run_suite(spark, sf_dir: str) -> dict:
         F.array(F.col("x0") + r_c / 2, F.col("y0") + r_c),
         F.array(F.col("x0") - r_c / 2, F.col("y0")),
         F.array(F.col("x0") + r_c / 2, F.col("y0") - r_c))))
+    # Heavy derived caches are built LAZILY right before the query that
+    # uses them and unpersisted right after (scoped_caches below): on a
+    # lazily-backed VM, gigabytes of long-lived cached rows amplify page
+    # reclamation churn into every later query's first touches — the r6
+    # scale run's first attempt measured b4g growing 18->66->146s per rep
+    # purely from session-long footprint, while a fresh-session probe runs
+    # the identical plan at 1.1s steady.
     ragged_p = (li.withColumn("poly", st.st_polygon(F.array(shell, hole)))
                 .withColumn("clipd", diam)
-                .select("l_orderkey", "poly", "clipd").cache())
-    ragged_p.count()
+                .select("l_orderkey", "poly", "clipd"))
     # per-row-distance line buffers (the b1b overlay stress shape)
     bl = spark.read.parquet(f"{sf_dir}/customer.parquet").select(
         "c_custkey",
@@ -93,8 +99,7 @@ def run_suite(spark, sf_dir: str) -> dict:
         F.array(F.col("x"), F.col("y")),
         F.array(F.col("x") + 4.0, F.col("y")),
         F.array(F.col("x") + 4.0, F.col("y") + 3.0)))
-    cust_l = bl.withColumn("lp", lpath).repartition(max(64, ncpu)).cache()
-    cust_l.count()
+    cust_l = bl.withColumn("lp", lpath).repartition(max(64, ncpu))
 
     nations5 = nations.where(F.col("n_nationkey") < 5).select(
         "n_nationkey", "x0", "y0", "x1", "y1", F.col("rect").alias("nrect"))
@@ -185,22 +190,26 @@ def run_suite(spark, sf_dir: str) -> dict:
             chunk_tokens=128, chunk_overlap=16, materialize=materialize,
         ).count()
 
+    # (name, fn, cleanup, rows_in, scoped_cache) — scoped_cache is a heavy
+    # derived frame cached only for this query's reps, unpersisted after
     suite = [
-        ("b1_elementwise", q_b1, None, n_li),
-        ("b2_predicate", q_b2, None, n_li),
-        ("b3_grouped_union", q_b3, None, n_li),
-        ("b4_sjoin", q_b4, None, n_cust),
-        ("b4g_sjoin_grid", q_b4g, None, n_cust),
-        ("b5_flagship", q_b5, None, None),
-        ("p1_minhash_dedup", q_p1, p1_cleanup, n_docs),
-        ("p2_knn", q_p2, None, n_emb),
-        ("p3_textstats", q_p3, None, n_docs),
-        ("b2a_relate_adjacent", q_b2a, None, n_li),
-        ("b1p_poly_clip_pairs", q_b1p, None, n_li),
-        ("b1b_buffer_lines", q_b1b, None, n_cust),
-        ("p6_nearest_join", q_p6, None, n_cust),
+        ("b1_elementwise", q_b1, None, n_li, None),
+        ("b2_predicate", q_b2, None, n_li, None),
+        ("b3_grouped_union", q_b3, None, n_li, None),
+        ("b4_sjoin", q_b4, None, n_cust, None),
+        ("b4g_sjoin_grid", q_b4g, None, n_cust, None),
+        ("b5_flagship", q_b5, None, None, None),
+        ("p1_minhash_dedup", q_p1, p1_cleanup, n_docs, None),
+        ("p2_knn", q_p2, None, n_emb, None),
+        ("p3_textstats", q_p3, None, n_docs, None),
+        ("b2a_relate_adjacent", q_b2a, None, n_li, None),
+        ("b1p_poly_clip_pairs", q_b1p, None, n_li, ragged_p),
+        ("b1b_buffer_lines", q_b1b, None, n_cust, cust_l),
+        ("p6_nearest_join", q_p6, None, n_cust, None),
     ]
-    for name, fn, cleanup, rows_in in suite:
+    for name, fn, cleanup, rows_in, scoped in suite:
+        if scoped is not None:
+            scoped.cache().count()
         fn()  # untimed full-size warm pass (codegen/JIT + fault storms)
         if cleanup:
             cleanup()
@@ -211,26 +220,31 @@ def run_suite(spark, sf_dir: str) -> dict:
             ts.append(round(time.time() - t0, 3))
             if cleanup and i < REPS - 1:
                 cleanup()
+        if scoped is not None:
+            scoped.unpersist(blocking=True)
         results[name] = {
-            "reps": ts, "median": sorted(ts)[len(ts) // 2],
+            "reps": ts, "median": sorted(ts)[len(ts) // 2], "min": min(ts),
             "rows_in": rows_in, "rows_out": rows_out,
         }
         print(f"  {name}: median {results[name]['median']}s reps={ts}",
               file=sys.stderr)
-    # p8 warms with materialize=None so the timed run's caches are cold
-    q_p8(materialize=None)
+    # p8 warms with materialize="checkpoint": materializes stage boundaries
+    # outside the CacheManager (timed caches stay cold) at ~1x pipeline
+    # cost — materialize=None would re-run the uncut upstream once per
+    # downstream scan (recompute tree ~2^stages; >10 min at 10x grain)
+    q_p8(materialize="checkpoint")
     ts = []
     for _ in range(REPS):
         t0 = time.time()
         rows_out = q_p8()
         ts.append(round(time.time() - t0, 3))
     results["p8_pipeline_e2e"] = {
-        "reps": ts, "median": sorted(ts)[len(ts) // 2],
+        "reps": ts, "median": sorted(ts)[len(ts) // 2], "min": min(ts),
         "rows_in": n_docs, "rows_out": rows_out,
     }
     print(f"  p8_pipeline_e2e: median {results['p8_pipeline_e2e']['median']}s "
           f"reps={ts}", file=sys.stderr)
-    for c in (li, cust, docs, emb, ragged_p, cust_l):
+    for c in (li, cust, docs, emb):
         c.unpersist(blocking=True)
     return results
 
@@ -240,21 +254,35 @@ def main() -> None:
 
     import bench as _bench
 
-    vm_fault_us = _bench._vm_fault_cost_us()
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
-    spark = (
-        SparkSession.builder.master(f"local[{cpus}]")
-        .appName("polars-st-spark-bench-scale")
-        .config("spark.sql.shuffle.partitions", cpus)
-        .config("spark.sql.adaptive.enabled", "true")
-        .config("spark.driver.memory", "48g")
-        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "20000")
-        .config("spark.ui.enabled", "false")
-        .getOrCreate()
-    )
+
+    def fresh_session():
+        # one JVM per scale: a long-lived session on this lazily-backed VM
+        # accumulates reclaimed-page churn that inflated the first r6
+        # attempt's later queries 3-30x (identical plans run 1.1s in a
+        # fresh session); per-scale sessions give both sides the same
+        # starting state, which is the whole point of the ratio
+        return (
+            SparkSession.builder.master(f"local[{cpus}]")
+            .appName("polars-st-spark-bench-scale")
+            .config("spark.sql.shuffle.partitions", cpus)
+            .config("spark.sql.adaptive.enabled", "true")
+            .config("spark.driver.memory", "48g")
+            .config("spark.sql.execution.arrow.maxRecordsPerBatch", "20000")
+            .config("spark.ui.enabled", "false")
+            .getOrCreate()
+        )
+
+    faults = {}
+    faults["small"] = _bench._vm_fault_cost_us()
+    spark = fresh_session()
     spark.sparkContext.setLogLevel("ERROR")
     print("== small:", SMALL, file=sys.stderr)
     small = run_suite(spark, SMALL)
+    spark.stop()
+    faults["big"] = _bench._vm_fault_cost_us()
+    spark = fresh_session()
+    spark.sparkContext.setLogLevel("ERROR")
     print("== big:", BIG, file=sys.stderr)
     big = run_suite(spark, BIG)
     queries = {}
@@ -265,6 +293,10 @@ def main() -> None:
             "small_median": s["median"], "big_median": b["median"],
             "small_reps": s["reps"], "big_reps": b["reps"],
             "wall_ratio": ratio,
+            # ratio of per-query minima: the algorithmic floor on a host
+            # whose ambient fault storms hit random reps (see faults_us)
+            "wall_ratio_min": (round(b["min"] / s["min"], 2)
+                               if s.get("min") else None),
             "rows_in_ratio": (round(b["rows_in"] / s["rows_in"], 2)
                               if s.get("rows_in") else None),
             "rows_out_small": s["rows_out"], "rows_out_big": b["rows_out"],
@@ -275,13 +307,17 @@ def main() -> None:
         "small_dir": SMALL,
         "big_dir": BIG,
         "reps": REPS,
-        "vm_fault_us_per_page": vm_fault_us,
+        # fresh-page fault cost measured immediately before each suite
+        # (µs/4KiB; ~0.2 healthy, 30-160 degraded — README "Bench variance")
+        "vm_fault_us_per_page": faults,
         "queries": queries,
         "small_total": round(sum(q["small_median"] for q in queries.values()), 3),
         "big_total": round(sum(q["big_median"] for q in queries.values()), 3),
     }
     payload["total_wall_ratio"] = round(
         payload["big_total"] / payload["small_total"], 2)
+    payload["total_wall_ratio_min"] = round(
+        sum(b["min"] for b in big.values()) / sum(s["min"] for s in small.values()), 2)
     root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     path = os.path.join(root, "BENCH_SCALE_r06.json")
     tmp = path + ".tmp"
