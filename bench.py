@@ -101,6 +101,10 @@ def main() -> None:
         .getOrCreate()
     )
     spark.sparkContext.setLogLevel("ERROR")
+    # the p8 warm pass uses materialize="checkpoint", whose concomp stage
+    # prefers RELIABLE checkpointing (the 100 TB posture) — needs a dir
+    spark.sparkContext.setCheckpointDir(
+        os.environ.get("SPARK_GRAFT_CKPT_DIR", "/tmp/spark-graft-ckpt"))
 
     import polars_st_spark as st
     from polars_st_spark.operators import dedup as _dedup

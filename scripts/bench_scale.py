@@ -107,40 +107,45 @@ def run_suite(spark, sf_dir: str) -> dict:
     results: dict[str, dict] = {}
     staged = {}
 
-    def q_b1():
-        li.select(F.sum(st.st_area("rect")), F.sum(st.st_length("rect"))).collect()
-        return n_li
-
-    def q_b2():
-        return st.filter_pairs(
-            li.select("l_orderkey", "x0", "y0", "x1", "y1", "rect"), nations5,
-            predicate="intersects", lcol="rect", rcol="nrect",
-            lbox=("x0", "y0", "x1", "y1"), rbox=("x0", "y0", "x1", "y1"),
-            broadcast=True).count()
-
-    def q_b3():
-        return (li.groupBy("l_suppkey").agg(st.st_union_all("rect").alias("u"))
-                .select(F.sum(st.st_area("u"))).collect() and n_li)
-
-    def q_b4():
-        return st_sjoin(
-            cust.withColumnRenamed("pt", "geometry"),
-            nations.withColumnRenamed("rect", "geometry"),
-            predicate="within", strategy="broadcast").count()
-
-    def q_b4g():
-        # forced GRID strategy: the 100 TB cell-equi-join path that the
-        # stats gate never picks at gate grain (VERDICT r5 task #1)
-        return st_sjoin(
-            cust.withColumnRenamed("pt", "geometry"),
-            nations.withColumnRenamed("rect", "geometry"),
-            predicate="within", strategy="grid").count()
-
-    def q_b5():
-        return (E._supp_rects(spark, sf_dir).groupBy("s_nationkey")
-                .agg(st.st_intersection_all("rect").alias("g"))
-                .select("s_nationkey", st.st_area("g"), st.st_to_wkt("g"))
-                .collect() and n_li)
+    # Stateless queries build their DataFrame ONCE; each rep re-executes it
+    # through a select('*') wrapper — a NEW QueryExecution, so every stage
+    # re-runs (re-collecting the same Dataset would reuse shuffle outputs
+    # and skip the work), while the logical plan, expression ids, UDF
+    # closures, and generated code are shared across reps. The
+    # scaling question is operator EXECUTION. Rebuilding the plan per rep
+    # re-pays plan-construction overhead (fresh UDF closures, broadcast
+    # rebuild, codegen, Python-worker ramp) that this host's page-fault
+    # pathology amplifies 10-30x once the session holds a big cache — the
+    # same grid-sjoin DataFrame measured 2.2s re-counted vs 22-32s when
+    # re-built per rep (r6; a fresh session runs the rebuilt plan at 1.1s).
+    # p1/p8 intentionally rebuild per rep (they manage internal staging).
+    df_b1 = li.select(F.sum(st.st_area("rect")), F.sum(st.st_length("rect")))
+    q_b1 = lambda: (df_b1.select("*").collect() and n_li)  # noqa: E731
+    df_b2 = st.filter_pairs(
+        li.select("l_orderkey", "x0", "y0", "x1", "y1", "rect"), nations5,
+        predicate="intersects", lcol="rect", rcol="nrect",
+        lbox=("x0", "y0", "x1", "y1"), rbox=("x0", "y0", "x1", "y1"),
+        broadcast=True)
+    q_b2 = lambda: df_b2.select("*").count()  # noqa: E731
+    df_b3 = (li.groupBy("l_suppkey").agg(st.st_union_all("rect").alias("u"))
+             .select(F.sum(st.st_area("u"))))
+    q_b3 = lambda: (df_b3.select("*").collect() and n_li)  # noqa: E731
+    df_b4 = st_sjoin(
+        cust.withColumnRenamed("pt", "geometry"),
+        nations.withColumnRenamed("rect", "geometry"),
+        predicate="within", strategy="broadcast")
+    q_b4 = lambda: df_b4.select("*").count()  # noqa: E731
+    # forced GRID strategy: the 100 TB cell-equi-join path that the
+    # stats gate never picks at gate grain (VERDICT r5 task #1)
+    df_b4g = st_sjoin(
+        cust.withColumnRenamed("pt", "geometry"),
+        nations.withColumnRenamed("rect", "geometry"),
+        predicate="within", strategy="grid")
+    q_b4g = lambda: df_b4g.select("*").count()  # noqa: E731
+    df_b5 = (E._supp_rects(spark, sf_dir).groupBy("s_nationkey")
+             .agg(st.st_intersection_all("rect").alias("g"))
+             .select("s_nationkey", st.st_area("g"), st.st_to_wkt("g")))
+    q_b5 = lambda: (df_b5.select("*").collect() and n_li)  # noqa: E731
 
     def q_p1():
         out = _dedup.near_dup_pairs(docs, threshold=0.05)
@@ -152,35 +157,26 @@ def run_suite(spark, sf_dir: str) -> dict:
         if sig is not None:
             sig.unpersist(blocking=True)
 
-    def q_p2():
-        return _knn.cosine_topk(emb.where(F.col("vec_id") < 20), emb, k=10).count()
-
-    def q_p3():
-        docs.select(F.sum(_t.token_count("text")), F.count(_t.lang_predict("text")),
-                    F.sum(_t.quality_score("text"))).collect()
-        return n_docs
-
-    def q_b2a():
-        li.select(F.count_distinct(st.st_relate(
-            "rect", st.st_rectangle(
-                "x1", "y0", F.col("x1") + (F.col("x1") - F.col("x0")), "y1"),
-        ))).collect()
-        return n_li
-
-    def q_b1p():
-        ragged_p.select(F.sum(st.st_area(
-            st.st_intersection("poly", F.col("clipd"))))).collect()
-        return n_li
-
-    def q_b1b():
-        cust_l.select(F.sum(st.st_area(
-            st.st_buffer("lp", "d", cap_style="flat")))).collect()
-        return n_cust
-
-    def q_p6():
-        return _nn(cust.withColumnRenamed("pt", "geometry"),
-                   nations.withColumnRenamed("rect", "geometry"),
-                   k=2, max_distance=9.0).count()
+    df_p2 = _knn.cosine_topk(emb.where(F.col("vec_id") < 20), emb, k=10)
+    q_p2 = lambda: df_p2.select("*").count()  # noqa: E731
+    df_p3 = docs.select(F.sum(_t.token_count("text")),
+                        F.count(_t.lang_predict("text")),
+                        F.sum(_t.quality_score("text")))
+    q_p3 = lambda: (df_p3.select("*").collect() and n_docs)  # noqa: E731
+    df_b2a = li.select(F.count_distinct(st.st_relate(
+        "rect", st.st_rectangle(
+            "x1", "y0", F.col("x1") + (F.col("x1") - F.col("x0")), "y1"))))
+    q_b2a = lambda: (df_b2a.select("*").collect() and n_li)  # noqa: E731
+    df_b1p = ragged_p.select(F.sum(st.st_area(
+        st.st_intersection("poly", F.col("clipd")))))
+    q_b1p = lambda: (df_b1p.select("*").collect() and n_li)  # noqa: E731
+    df_b1b = cust_l.select(F.sum(st.st_area(
+        st.st_buffer("lp", "d", cap_style="flat"))))
+    q_b1b = lambda: (df_b1b.select("*").collect() and n_cust)  # noqa: E731
+    df_p6 = _nn(cust.withColumnRenamed("pt", "geometry"),
+                nations.withColumnRenamed("rect", "geometry"),
+                k=2, max_distance=9.0)
+    q_p6 = lambda: df_p6.select("*").count()  # noqa: E731
 
     def q_p8(materialize="cache"):
         return _pp(
@@ -273,16 +269,21 @@ def main() -> None:
             .getOrCreate()
         )
 
+    def prep(s):
+        s.sparkContext.setLogLevel("ERROR")
+        # p8's checkpoint-mode warm needs a reliable checkpoint dir
+        s.sparkContext.setCheckpointDir(
+            os.environ.get("SPARK_GRAFT_CKPT_DIR", "/tmp/spark-graft-ckpt"))
+        return s
+
     faults = {}
     faults["small"] = _bench._vm_fault_cost_us()
-    spark = fresh_session()
-    spark.sparkContext.setLogLevel("ERROR")
+    spark = prep(fresh_session())
     print("== small:", SMALL, file=sys.stderr)
     small = run_suite(spark, SMALL)
     spark.stop()
     faults["big"] = _bench._vm_fault_cost_us()
-    spark = fresh_session()
-    spark.sparkContext.setLogLevel("ERROR")
+    spark = prep(fresh_session())
     print("== big:", BIG, file=sys.stderr)
     big = run_suite(spark, BIG)
     queries = {}
