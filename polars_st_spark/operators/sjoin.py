@@ -359,7 +359,7 @@ def _sjoin_grid(left, right, predicate, how, lsuffix, rsuffix, left_on, right_on
                 hot_cell_salt=0, hot_cell_threshold=200_000, hot_cell_fraction=0.02):
     """Grid-cell equi-join (hash shuffle on cell id), no post-hoc distinct."""
     if cell_size is None:
-        cell_size = _estimate_cell_size(left, left_on)
+        cell_size = _estimate_cell_size(left, left_on, right, right_on)
     from polars_st_spark.functions.scalar import st_bounds
 
     lnames, rnames = _suffix_schema(left, right, lsuffix, rsuffix)
@@ -509,8 +509,8 @@ def _sjoin_grid(left, right, predicate, how, lsuffix, rsuffix, left_on, right_on
     return out
 
 
-def _estimate_cell_size(df: DataFrame, geom_col: str) -> float:
-    """Sample bbox sizes to pick a grid cell ~2× the median bbox extent."""
+def _median_extent(df: DataFrame, geom_col: str) -> float:
+    """Median bbox extent (max of w/h medians) from a 1000-row sample."""
     from polars_st_spark.functions.scalar import st_bounds
 
     sample = (
@@ -524,6 +524,25 @@ def _estimate_cell_size(df: DataFrame, geom_col: str) -> float:
         .agg(F.expr("percentile(w, 0.5)").alias("mw"), F.expr("percentile(h, 0.5)").alias("mh"))
         .first()
     )
-    mw = sample["mw"] or 1.0
-    mh = sample["mh"] or 1.0
-    return max(max(mw, mh) * 2.0, 1e-9)
+    return max(sample["mw"] or 0.0, sample["mh"] or 0.0)
+
+
+def _estimate_cell_size(left: DataFrame, left_on: str,
+                        right: DataFrame | None = None,
+                        right_on: str | None = None) -> float:
+    """Pick the grid cell from BOTH sides' sampled bbox extents.
+
+    Two failure modes bound the choice: a cell much smaller than a side's
+    typical geometry explodes that side into O((extent/cell)²) covering
+    cells (a point-left / large-polygon-right join with a left-only
+    estimate would shatter every right row into thousands of rows — the
+    r6 hardening), while a cell much larger than the typical LEFT geometry
+    admits distant false candidates. Cell = max(2× median left extent,
+    median right extent / 8, 1.0 fallback) keeps covering-cell replication
+    ≤ ~81 per right row and ≤ ~2.25 per left row at any geometry scale."""
+    m_left = _median_extent(left, left_on)
+    m_right = _median_extent(right, right_on) if right is not None else 0.0
+    cell = max(m_left * 2.0, m_right / 8.0)
+    if cell <= 0.0:
+        cell = 1.0  # both sides points/degenerate: any cell works
+    return max(cell, 1e-9)

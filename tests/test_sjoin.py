@@ -226,3 +226,28 @@ def test_broadcast_sjoin_polygon_pairs_batched(spark):
     assert {r["lid"] for r in left} == {i for i, _ in lrows}
     assert {r["lid"] for r in left if r["rid"] is None} == (
         {i for i, _ in lrows} - matched_l)
+
+
+def test_grid_cell_size_considers_both_sides(spark):
+    """r6: a point LEFT with large polygon RIGHT must not shatter the right
+    side into thousands of covering cells — the auto cell is bounded below
+    by median_right_extent / 8 (and the grid result still matches
+    broadcast exactly)."""
+    from polars_st_spark.operators.sjoin import _estimate_cell_size, st_sjoin
+
+    pts = spark.range(200).select(
+        F.col("id").alias("pid"),
+        st.st_point((F.col("id") % 40) * 25.0 + 0.5,
+                    (F.col("id") % 25) * 40.0 + 0.5).alias("geometry"))
+    rects = spark.range(4).select(
+        F.col("id").alias("rid"),
+        st.st_rectangle(F.col("id") * 250.0, F.lit(0.0),
+                        F.col("id") * 250.0 + 1000.0, F.lit(1000.0)).alias("geometry"))
+    cell = _estimate_cell_size(pts, "geometry", rects, "geometry")
+    assert cell >= 1000.0 / 8.0 - 1e-9  # bounded by the right side's extent
+    g = st_sjoin(pts, rects, predicate="within", strategy="grid")
+    b = st_sjoin(pts, rects, predicate="within", strategy="broadcast")
+    assert sorted((r["pid"], r["rid"]) for r in g.collect()) == \
+           sorted((r["pid"], r["rid"]) for r in b.collect())
+    # both sides degenerate (points vs points) falls back to a unit cell
+    assert _estimate_cell_size(pts, "geometry", pts, "geometry") == 1.0
