@@ -392,7 +392,10 @@ def _cell_assign_udf(centroids: np.ndarray, n_probe: int):
         if not len(s):
             return pd.Series([], dtype=object)
         x = _unit_rows(np.stack(s.to_numpy()).astype(np.float64))
-        order = np.argsort(-(x @ c_t), axis=1)[:, :n_probe]
+        # stable sort: on near-equal centroid dots the smaller cell index
+        # wins, matching the oracle's first-max / smaller-index tie rule
+        # (np.argmax for the corpus side is first-max already)
+        order = np.argsort(-(x @ c_t), axis=1, kind="stable")[:, :n_probe]
         return pd.Series(list(order.astype(np.int32)))
 
     return cells

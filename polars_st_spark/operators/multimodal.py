@@ -136,7 +136,12 @@ def _decode_png(data: bytes) -> np.ndarray:
     stdlib: chunk walk + zlib inflate + the five scanline filters
     (None/Sub/Up/Average/Paeth, RFC 2083 §6). Supports color types
     0 (gray), 2 (RGB), 3 (palette), 4 (gray+alpha), 6 (RGBA). CRCs are
-    verified. 16-bit and interlaced files raise naming the limitation."""
+    verified. 16-bit and interlaced files raise naming the limitation.
+
+    Size envelope: None/Sub/Up filtered rows unfilter vectorized; Average
+    and Paeth rows carry a sequential per-pixel data dependency and run an
+    interpreter loop — fine for thumbnail-scale gates, O(h*w) Python ops
+    for megapixel inputs (swap in an optimized codec for those)."""
     import zlib
 
     if data[:8] != _PNG_SIG:
@@ -147,6 +152,11 @@ def _decode_png(data: bytes) -> np.ndarray:
     idat = bytearray()
     while pos + 8 <= len(data):
         (length,) = struct.unpack_from(">I", data, pos)
+        if pos + 12 + length > len(data):
+            raise ValueError(
+                f"PNG: truncated chunk at offset {pos} "
+                f"(declared {length} bytes, {len(data) - pos - 12} available)"
+            )
         ctype = data[pos + 4 : pos + 8]
         body = data[pos + 8 : pos + 8 + length]
         (crc,) = struct.unpack_from(">I", data, pos + 8 + length)

@@ -539,9 +539,40 @@ def _estimate_cell_size(left: DataFrame, left_on: str,
     r6 hardening), while a cell much larger than the typical LEFT geometry
     admits distant false candidates. Cell = max(2× median left extent,
     median right extent / 8, 1.0 fallback) keeps covering-cell replication
-    ≤ ~81 per right row and ≤ ~2.25 per left row at any geometry scale."""
-    m_left = _median_extent(left, left_on)
-    m_right = _median_extent(right, right_on) if right is not None else 0.0
+    ≤ ~81 per right row and ≤ ~2.25 per left row at any geometry scale.
+
+    Both sides' samples run in ONE Spark action (side-tagged union →
+    groupBy(side) percentile), so auto-sizing costs a single planning job
+    regardless of side count."""
+    if right is None:
+        m_left, m_right = _median_extent(left, left_on), 0.0
+    else:
+        from polars_st_spark.functions.scalar import st_bounds
+
+        def _side(df, geom, tag):
+            return (
+                df.select(st_bounds(geom).alias("b"))
+                .where(~F.isnan(F.col("b")[0]))
+                .limit(1000)
+                .select(
+                    F.lit(tag).alias("_side"),
+                    (F.col("b")[2] - F.col("b")[0]).alias("w"),
+                    (F.col("b")[3] - F.col("b")[1]).alias("h"),
+                )
+            )
+
+        rows = (
+            _side(left, left_on, 0)
+            .unionByName(_side(right, right_on, 1))
+            .groupBy("_side")
+            .agg(
+                F.expr("percentile(w, 0.5)").alias("mw"),
+                F.expr("percentile(h, 0.5)").alias("mh"),
+            )
+            .collect()
+        )
+        med = {r["_side"]: max(r["mw"] or 0.0, r["mh"] or 0.0) for r in rows}
+        m_left, m_right = med.get(0, 0.0), med.get(1, 0.0)
     cell = max(m_left * 2.0, m_right / 8.0)
     if cell <= 0.0:
         cell = 1.0  # both sides points/degenerate: any cell works

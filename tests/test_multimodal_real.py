@@ -169,6 +169,15 @@ def test_png_palette_and_errors():
         M._decode_png(deep)
     with pytest.raises(ValueError, match="signature"):
         M._decode_png(b"\x89PNG then junk")
+    # truncated file and corrupted chunk length raise the module's
+    # ValueError contract, not a raw struct.error (r6 ADVICE)
+    whole = M._encode_png(np.zeros((3, 3, 3), np.uint8))
+    with pytest.raises(ValueError, match="truncated"):
+        M._decode_png(whole[:20])
+    hacked = bytearray(whole)
+    hacked[8:12] = struct.pack(">I", 1 << 30)  # IHDR claims 1 GiB body
+    with pytest.raises(ValueError, match="truncated"):
+        M._decode_png(bytes(hacked))
 
 
 def test_image_features_real_png(spark):
