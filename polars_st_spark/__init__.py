@@ -14,51 +14,63 @@ over DataFrame columns), re-expressed Spark-first:
 """
 
 def _maybe_prewarm_worker_arena() -> None:
-    """One-time malloc-arena prewarm inside PySpark worker processes.
+    """One-time malloc-arena retention setup inside PySpark worker processes.
 
-    On virtualized hosts, first-touch minor faults on fresh anonymous pages
-    can cost ~50-100x their steady-state price (hypervisor-backed memory).
-    Measured here: a batch kernel's first large call per worker spent
-    2.3-3.0s of SYSTEM time on ~41k minor faults (~60us each) while the
-    same call costs 0.45s warm — a 600k-row relate sweep ran 13.2s cold vs
-    3.1s prewarmed, and the identical pattern produced the historical
-    first-shot spreads in b1/p6. Touching the arena once at import — and
-    raising M_TRIM_THRESHOLD / M_MMAP_THRESHOLD so glibc serves large numpy
-    temporaries from the retained arena instead of fresh mmaps — moves the
-    fault cost into worker startup, where a session's warmup pass absorbs
-    it. Runs in PySpark workers only (they import ``pyspark.worker`` before
-    unpickling UDF closures); drivers and plain library users skip it.
-    Tunable via ``POLARS_ST_SPARK_PREWARM_MB`` (default 256; 0 disables)."""
+    Two independent knobs, decoupled in r7 after per-stage accumulator
+    profiling ("time to initialize Python workers") attributed a 75s/task
+    worker-init storm to the old coupled default:
+
+    1. **Retention thresholds (the load-bearing part, always on).** Raising
+       M_TRIM_THRESHOLD / M_MMAP_THRESHOLD makes glibc serve the batch
+       kernels' large numpy temporaries from the retained brk arena instead
+       of fresh mmaps, so first-touch faults are paid ONCE per worker
+       lifetime instead of once per call — on virtualized hosts a fresh
+       anonymous page faults at ~50-100x its steady price (measured here:
+       a 600k-row relate sweep 13.2s with per-call mmap churn vs 3.1s with
+       a retained arena). Costs nothing at startup. Tunable via
+       ``POLARS_ST_SPARK_MALLOC_THRESH_MB`` (default 512; 0 disables).
+
+    2. **Eager page touch (OFF by default since r7).** Touching N MiB at
+       import moves the arena's first-touch faults into worker startup.
+       That looked free when one long-lived session amortized it, but it
+       is quadratically wrong at session/worker spawn: local[32] forks 32
+       workers that each touch eagerly and CONCURRENTLY, and the
+       hypervisor's page-backing path serializes under that load —
+       measured r7: 256 MiB x 32 workers = 74.5s PER TASK of
+       "time to initialize Python workers" (a 222s first query; 5.2s with
+       the touch off; the kernels re-fault lazily at ~their own data size
+       instead, which the retained arena then holds). Re-enable for
+       long-lived fixed-worker deployments via
+       ``POLARS_ST_SPARK_PREWARM_MB`` (default 0)."""
     import os
     import sys
 
     if "pyspark.worker" not in sys.modules:
         return
     try:
-        mb = int(os.environ.get("POLARS_ST_SPARK_PREWARM_MB", "256"))
+        thresh_mb = int(os.environ.get("POLARS_ST_SPARK_MALLOC_THRESH_MB", "512"))
     except ValueError:
-        mb = 256
+        thresh_mb = 512
+    if thresh_mb > 0:
+        try:
+            import ctypes
+
+            libc = ctypes.CDLL("libc.so.6")
+            # mallopt takes C ints: clamp so big values can't overflow
+            # (ctypes would raise, the except would swallow it, and the
+            # retention thresholds would silently stay at defaults).
+            libc.mallopt.argtypes = (ctypes.c_int, ctypes.c_int)
+            thresh = min(thresh_mb * 1024 * 1024, 2**31 - 1)
+            libc.mallopt(-1, thresh)  # M_TRIM_THRESHOLD
+            libc.mallopt(-3, thresh)  # M_MMAP_THRESHOLD
+        except Exception:
+            pass  # non-glibc platform: retention is a no-op
+    try:
+        mb = int(os.environ.get("POLARS_ST_SPARK_PREWARM_MB", "0"))
+    except ValueError:
+        mb = 0
     if mb <= 0:
         return
-    try:
-        import ctypes
-
-        libc = ctypes.CDLL("libc.so.6")
-        # Thresholds STRICTLY ABOVE the prewarm allocation (2x), so the
-        # probe is served from the brk arena (below M_MMAP_THRESHOLD —
-        # an mmap'd probe would be munmapped on free and the host would
-        # reclaim the pages) and the freed top chunk stays below
-        # M_TRIM_THRESHOLD (so glibc RETAINS it for the kernels' later
-        # temporaries — the entire point of the prewarm).
-        # mallopt takes C ints: clamp so PREWARM_MB >= 1024 can't overflow
-        # (ctypes would raise, the except would swallow it, and the
-        # retention thresholds would silently stay at defaults).
-        libc.mallopt.argtypes = (ctypes.c_int, ctypes.c_int)
-        thresh = min(2 * mb * 1024 * 1024, 2**31 - 1)
-        libc.mallopt(-1, thresh)  # M_TRIM_THRESHOLD
-        libc.mallopt(-3, thresh)  # M_MMAP_THRESHOLD
-    except Exception:
-        pass  # non-glibc platform: plain touch still warms the allocator
     import numpy as _np
 
     buf = _np.empty(mb * 131072, dtype=_np.float64)  # mb MiB

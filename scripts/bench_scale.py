@@ -1,94 +1,274 @@
-"""Scale-ramp proof (round-6 task #1): run the headline suite plus the
-heavy variants at sf0.1 AND at the derived 10x dataset
-(scripts/make_scale_data.py -> scale_data/sf1), same code and methodology,
-and record per-query wall ratios next to the input-row ratio.
+"""Scale-ramp proof: run the headline suite plus the heavy variants at a
+small scale AND at a derived bigger dataset (scripts/make_scale_data.py),
+same code and methodology, and record per-query wall ratios next to the
+input-row ratio.
 
-The bar (VERDICT r5): near-linear scaling — <= ~12-15x wall at 10x rows per
-query — or the cliff found and fixed. Each query runs ONE untimed full-size
-warm pass (JVM codegen/JIT + this host's first-touch fault storms, see
-README "Bench variance") then 3 timed reps; the compared number is the
-median. Output: BENCH_SCALE_r06.json at the repo root plus one compact
-stdout JSON line.
+The bar (VERDICT r5/r6): near-linear scaling — ≤ ~1.2-1.5x the row factor
+in wall per query — or the cliff found and fixed.
 
-Usage: python scripts/bench_scale.py [small_dir] [big_dir] [factor]
+Isolation protocol (r7): every (query, scale) pair runs in its OWN fresh
+process/JVM. The r6 run shared one session per scale and its later queries
+showed monotone rising reps (b1p 6.1→20.1→37.1s) — the same shared-session
+churn the variant bench had (JIT code-cache fill + heap/page churn across
+~14 unique plans), so medians measured the session, not the operator.
+Per-(query, scale) sessions give every rep the same starting state; each
+subprocess record carries a fresh-page fault probe and pure-JVM sentinel
+timings before/after (bench.py protocol) so any residual outlier is
+self-interpreting.
+
+Within one session: ONE untimed full-size warm pass (codegen/tiered JIT),
+then REPS timed reps re-executing the SAME DataFrame through a select('*')
+wrapper — a new QueryExecution (every stage re-runs) with the logical plan,
+UDF closures, and generated code shared, so reps measure operator
+EXECUTION, not plan rebuild.
+
+Usage:
+  python scripts/bench_scale.py [small_dir] [big_dir] [factor]
+Env:
+  BENCH_SCALE_REPS=3
+  BENCH_SCALE_QUERIES=b1_elementwise,p2_knn   (filter; default all)
+  BENCH_SCALE_OUT=BENCH_SCALE_r07.json        (output filename at repo root)
 """
 
 from __future__ import annotations
 
 import json
-import math
 import os
 import sys
 import time
 
-sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, _ROOT)
+
+import bench as _bench  # probes + shared input builders  # noqa: E402
 
 SMALL = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
-BIG = sys.argv[2] if len(sys.argv) > 2 else "/root/repo/scale_data/sf1"
+BIG = sys.argv[2] if len(sys.argv) > 2 else os.path.join(_ROOT, "scale_data", "sf1")
 FACTOR = int(sys.argv[3]) if len(sys.argv) > 3 else 10
 REPS = int(os.environ.get("BENCH_SCALE_REPS", "3"))
 
 
-def run_suite(spark, sf_dir: str) -> dict:
-    """Times every suite query at one scale. Returns {name: {reps, median,
-    rows_in, rows_out}}."""
+def _build_session(cpus: str):
+    code_mb = os.environ.get("BENCH_CODE_CACHE_MB", "512")
+    os.environ["PYSPARK_SUBMIT_ARGS"] = (
+        f"--conf spark.driver.extraJavaOptions=-XX:ReservedCodeCacheSize={code_mb}m"
+        " pyspark-shell"
+    )
+    from pyspark.sql import SparkSession
+
+    spark = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName("polars-st-spark-bench-scale")
+        .config("spark.sql.shuffle.partitions", cpus)
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.driver.memory", "48g")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "20000")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    spark.sparkContext.setCheckpointDir(
+        os.environ.get("SPARK_GRAFT_CKPT_DIR", "/tmp/spark-graft-ckpt"))
+    return spark
+
+
+def _protocol(fn, rows_in, cleanup=None, warm=True):
+    """One untimed warm pass then REPS timed reps; median is the number."""
+    if warm:
+        fn()
+        if cleanup is not None:
+            cleanup()
+    ts, rows_out = [], None
+    for i in range(REPS):
+        t0 = time.time()
+        rows_out = fn()
+        ts.append(round(time.time() - t0, 3))
+        if cleanup is not None and i < REPS - 1:
+            cleanup()
+    return {"reps": ts, "median": sorted(ts)[len(ts) // 2], "min": min(ts),
+            "rows_in": rows_in, "rows_out": rows_out}
+
+
+# ---------------------------------------------------------------------------
+# Per-query runners: each is self-contained (loads + caches its own inputs,
+# unpersists after) and returns the _protocol record. One subprocess each.
+# ---------------------------------------------------------------------------
+
+def q_b1(spark, sf_dir, ncpu):
+    from pyspark.sql import functions as F
+
+    import polars_st_spark as st
+
+    li = _bench._li_rects_cached(spark, sf_dir, ncpu)
+    n = li.count()
+    df = li.select(F.sum(st.st_area("rect")), F.sum(st.st_length("rect")))
+    out = _protocol(lambda: (df.select("*").collect(), n)[1], n)
+    li.unpersist()
+    return out
+
+
+def q_b2(spark, sf_dir, ncpu):
     from pyspark.sql import functions as F
 
     import polars_st_spark as st
     import __spark_entry__ as E
+
+    li = _bench._li_rects_cached(spark, sf_dir, ncpu)
+    n = li.count()
+    nations5 = E._nation_rects(spark, sf_dir).where(F.col("n_nationkey") < 5).select(
+        "n_nationkey", "x0", "y0", "x1", "y1", F.col("rect").alias("nrect"))
+    df = st.filter_pairs(
+        li.select("l_orderkey", "x0", "y0", "x1", "y1", "rect"), nations5,
+        predicate="intersects", lcol="rect", rcol="nrect",
+        lbox=("x0", "y0", "x1", "y1"), rbox=("x0", "y0", "x1", "y1"),
+        broadcast=True)
+    out = _protocol(lambda: df.select("*").count(), n)
+    li.unpersist()
+    return out
+
+
+def q_b3(spark, sf_dir, ncpu):
+    from pyspark.sql import functions as F
+
+    import polars_st_spark as st
+
+    li = _bench._li_rects_cached(spark, sf_dir, ncpu)
+    n = li.count()
+    df = (li.groupBy("l_suppkey").agg(st.st_union_all("rect").alias("u"))
+          .select(F.sum(st.st_area("u"))))
+    out = _protocol(lambda: (df.select("*").collect(), n)[1], n)
+    li.unpersist()
+    return out
+
+
+def _q_b4(strategy):
+    def run(spark, sf_dir, ncpu):
+        import __spark_entry__ as E
+        from polars_st_spark.operators.sjoin import st_sjoin
+
+        cust = E._cust_pts(spark, sf_dir).repartition(ncpu).cache()
+        n = cust.count()
+        nations = E._nation_rects(spark, sf_dir)
+        df = st_sjoin(
+            cust.withColumnRenamed("pt", "geometry"),
+            nations.withColumnRenamed("rect", "geometry"),
+            predicate="within", strategy=strategy)
+        out = _protocol(lambda: df.select("*").count(), n)
+        cust.unpersist()
+        return out
+
+    return run
+
+
+def q_b5(spark, sf_dir, ncpu):
+    import polars_st_spark as st
+    import __spark_entry__ as E
+
+    supp = E._supp_rects(spark, sf_dir).repartition(ncpu).cache()
+    n = supp.count()
+    df = (supp.groupBy("s_nationkey")
+          .agg(st.st_intersection_all("rect").alias("g"))
+          .select("s_nationkey", st.st_area("g"), st.st_to_wkt("g")))
+    out = _protocol(lambda: (df.select("*").collect(), n)[1], n)
+    supp.unpersist()
+    return out
+
+
+def q_p1(spark, sf_dir, ncpu):
     from polars_st_spark.operators import dedup as _dedup
+
+    docs = _bench._docs_cached(spark, sf_dir, ncpu)
+    n = docs.count()
+    staged = {}
+
+    def run():
+        out = _dedup.near_dup_pairs(docs, threshold=0.05)
+        staged["df"] = out
+        return out.count()
+
+    def cleanup():
+        sig = getattr(staged.get("df"), "_staged_sig", None)
+        if sig is not None:
+            sig.unpersist(blocking=True)
+
+    out = _protocol(run, n, cleanup=cleanup)
+    docs.unpersist()
+    return out
+
+
+def q_p2(spark, sf_dir, ncpu):
+    from pyspark.sql import functions as F
+
     from polars_st_spark.operators import knn as _knn
+
+    emb = _bench._emb_cached(spark, sf_dir, ncpu)
+    n = emb.count()
+    df = _knn.cosine_topk(emb.where(F.col("vec_id") < 20), emb, k=10)
+    out = _protocol(lambda: df.select("*").count(), n)
+    emb.unpersist()
+    return out
+
+
+def q_p3(spark, sf_dir, ncpu):
+    from pyspark.sql import functions as F
+
     from polars_st_spark.operators import textops as _t
-    from polars_st_spark.operators.nearest import st_sjoin_nearest as _nn
-    from polars_st_spark.operators.pipeline import pretraining_pipeline as _pp
-    from polars_st_spark.operators.sjoin import st_sjoin
 
-    ncpu = int(spark.sparkContext.defaultParallelism)
-    li = E._li_rects(spark, sf_dir).repartition(ncpu).cache()
-    n_li = li.count()
-    cust = E._cust_pts(spark, sf_dir).repartition(ncpu).cache()
-    n_cust = cust.count()
-    nations = E._nation_rects(spark, sf_dir)
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").repartition(ncpu).cache()
-    n_docs = docs.count()
-    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").repartition(ncpu).cache()
-    n_emb = emb.count()
+    docs = _bench._docs_cached(spark, sf_dir, ncpu)
+    n = docs.count()
+    df = docs.select(F.sum(_t.token_count("text")),
+                     F.count(_t.lang_predict("text")),
+                     F.sum(_t.quality_score("text")))
+    out = _protocol(lambda: (df.select("*").collect(), n)[1], n)
+    docs.unpersist()
+    return out
 
-    # ragged/holed polygon pair inputs (the b1p kernel stress shape)
-    n_c = (F.lit(3) + F.col("l_linenumber") % 5).cast("int")
-    r_c = (F.lit(1.0) + (F.col("l_quantity").cast("int") % 10)).cast("double")
-    two_pi = F.lit(2.0 * math.pi)
-    shell = F.transform(
-        F.sequence(F.lit(0), n_c),
-        lambda k: F.array(
-            F.col("x0") + r_c * F.cos(two_pi * (k % n_c) / n_c),
-            F.col("y0") + r_c * F.sin(two_pi * (k % n_c) / n_c),
-        ),
-    )
-    hole = F.array(
-        F.array(F.col("x0") - r_c / 4, F.col("y0") - r_c / 4),
-        F.array(F.col("x0") - r_c / 4, F.col("y0") + r_c / 4),
-        F.array(F.col("x0") + r_c / 4, F.col("y0") + r_c / 4),
-        F.array(F.col("x0") + r_c / 4, F.col("y0") - r_c / 4),
-        F.array(F.col("x0") - r_c / 4, F.col("y0") - r_c / 4),
-    )
+
+def q_b2a(spark, sf_dir, ncpu):
+    from pyspark.sql import functions as F
+
+    import polars_st_spark as st
+
+    li = _bench._li_rects_cached(spark, sf_dir, ncpu)
+    n = li.count()
+    df = li.select(F.count_distinct(st.st_relate(
+        "rect", st.st_rectangle(
+            "x1", "y0", F.col("x1") + (F.col("x1") - F.col("x0")), "y1"))))
+    out = _protocol(lambda: (df.select("*").collect(), n)[1], n)
+    li.unpersist()
+    return out
+
+
+def q_b1p(spark, sf_dir, ncpu):
+    from pyspark.sql import functions as F
+
+    import polars_st_spark as st
+
+    li = _bench._li_rects_cached(spark, sf_dir, ncpu)
+    n = li.count()
+    shell, hole, r_c = _bench._ragged_exprs()
     diam = st.st_polygon(F.array(F.array(
         F.array(F.col("x0") + r_c / 2, F.col("y0") - r_c),
         F.array(F.col("x0") + 3 * r_c / 2, F.col("y0")),
         F.array(F.col("x0") + r_c / 2, F.col("y0") + r_c),
         F.array(F.col("x0") - r_c / 2, F.col("y0")),
         F.array(F.col("x0") + r_c / 2, F.col("y0") - r_c))))
-    # Heavy derived caches are built LAZILY right before the query that
-    # uses them and unpersisted right after (scoped_caches below): on a
-    # lazily-backed VM, gigabytes of long-lived cached rows amplify page
-    # reclamation churn into every later query's first touches — the r6
-    # scale run's first attempt measured b4g growing 18->66->146s per rep
-    # purely from session-long footprint, while a fresh-session probe runs
-    # the identical plan at 1.1s steady.
     ragged_p = (li.withColumn("poly", st.st_polygon(F.array(shell, hole)))
                 .withColumn("clipd", diam)
-                .select("l_orderkey", "poly", "clipd"))
-    # per-row-distance line buffers (the b1b overlay stress shape)
+                .select("l_orderkey", "poly", "clipd").cache())
+    ragged_p.count()
+    li.unpersist()
+    df = ragged_p.select(F.sum(st.st_area(st.st_intersection("poly", F.col("clipd")))))
+    out = _protocol(lambda: (df.select("*").collect(), n)[1], n)
+    ragged_p.unpersist()
+    return out
+
+
+def q_b1b(spark, sf_dir, ncpu):
+    from pyspark.sql import functions as F
+
+    import polars_st_spark as st
+
     bl = spark.read.parquet(f"{sf_dir}/customer.parquet").select(
         "c_custkey",
         ((F.col("c_custkey") % 97) + 0.5).alias("x"),
@@ -99,86 +279,38 @@ def run_suite(spark, sf_dir: str) -> dict:
         F.array(F.col("x"), F.col("y")),
         F.array(F.col("x") + 4.0, F.col("y")),
         F.array(F.col("x") + 4.0, F.col("y") + 3.0)))
-    cust_l = bl.withColumn("lp", lpath).repartition(max(64, ncpu))
+    cust_l = bl.withColumn("lp", lpath).repartition(max(64, ncpu)).cache()
+    n = cust_l.count()
+    df = cust_l.select(F.sum(st.st_area(st.st_buffer("lp", "d", cap_style="flat"))))
+    out = _protocol(lambda: (df.select("*").collect(), n)[1], n)
+    cust_l.unpersist()
+    return out
 
-    nations5 = nations.where(F.col("n_nationkey") < 5).select(
-        "n_nationkey", "x0", "y0", "x1", "y1", F.col("rect").alias("nrect"))
 
-    results: dict[str, dict] = {}
-    staged = {}
+def q_p6(spark, sf_dir, ncpu):
+    import __spark_entry__ as E
+    from polars_st_spark.operators.nearest import st_sjoin_nearest as _nn
 
-    # Stateless queries build their DataFrame ONCE; each rep re-executes it
-    # through a select('*') wrapper — a NEW QueryExecution, so every stage
-    # re-runs (re-collecting the same Dataset would reuse shuffle outputs
-    # and skip the work), while the logical plan, expression ids, UDF
-    # closures, and generated code are shared across reps. The
-    # scaling question is operator EXECUTION. Rebuilding the plan per rep
-    # re-pays plan-construction overhead (fresh UDF closures, broadcast
-    # rebuild, codegen, Python-worker ramp) that this host's page-fault
-    # pathology amplifies 10-30x once the session holds a big cache — the
-    # same grid-sjoin DataFrame measured 2.2s re-counted vs 22-32s when
-    # re-built per rep (r6; a fresh session runs the rebuilt plan at 1.1s).
-    # p1/p8 intentionally rebuild per rep (they manage internal staging).
-    df_b1 = li.select(F.sum(st.st_area("rect")), F.sum(st.st_length("rect")))
-    q_b1 = lambda: (df_b1.select("*").collect() and n_li)  # noqa: E731
-    df_b2 = st.filter_pairs(
-        li.select("l_orderkey", "x0", "y0", "x1", "y1", "rect"), nations5,
-        predicate="intersects", lcol="rect", rcol="nrect",
-        lbox=("x0", "y0", "x1", "y1"), rbox=("x0", "y0", "x1", "y1"),
-        broadcast=True)
-    q_b2 = lambda: df_b2.select("*").count()  # noqa: E731
-    df_b3 = (li.groupBy("l_suppkey").agg(st.st_union_all("rect").alias("u"))
-             .select(F.sum(st.st_area("u"))))
-    q_b3 = lambda: (df_b3.select("*").collect() and n_li)  # noqa: E731
-    df_b4 = st_sjoin(
-        cust.withColumnRenamed("pt", "geometry"),
-        nations.withColumnRenamed("rect", "geometry"),
-        predicate="within", strategy="broadcast")
-    q_b4 = lambda: df_b4.select("*").count()  # noqa: E731
-    # forced GRID strategy: the 100 TB cell-equi-join path that the
-    # stats gate never picks at gate grain (VERDICT r5 task #1)
-    df_b4g = st_sjoin(
-        cust.withColumnRenamed("pt", "geometry"),
-        nations.withColumnRenamed("rect", "geometry"),
-        predicate="within", strategy="grid")
-    q_b4g = lambda: df_b4g.select("*").count()  # noqa: E731
-    df_b5 = (E._supp_rects(spark, sf_dir).groupBy("s_nationkey")
-             .agg(st.st_intersection_all("rect").alias("g"))
-             .select("s_nationkey", st.st_area("g"), st.st_to_wkt("g")))
-    q_b5 = lambda: (df_b5.select("*").collect() and n_li)  # noqa: E731
+    cust = E._cust_pts(spark, sf_dir).repartition(ncpu).cache()
+    n = cust.count()
+    nations = E._nation_rects(spark, sf_dir)
+    df = _nn(cust.withColumnRenamed("pt", "geometry"),
+             nations.withColumnRenamed("rect", "geometry"),
+             k=2, max_distance=9.0)
+    out = _protocol(lambda: df.select("*").count(), n)
+    cust.unpersist()
+    return out
 
-    def q_p1():
-        out = _dedup.near_dup_pairs(docs, threshold=0.05)
-        staged["p1"] = out
-        return out.count()
 
-    def p1_cleanup():
-        sig = getattr(staged.get("p1"), "_staged_sig", None)
-        if sig is not None:
-            sig.unpersist(blocking=True)
+def q_p8(spark, sf_dir, ncpu):
+    from pyspark.sql import functions as F
 
-    df_p2 = _knn.cosine_topk(emb.where(F.col("vec_id") < 20), emb, k=10)
-    q_p2 = lambda: df_p2.select("*").count()  # noqa: E731
-    df_p3 = docs.select(F.sum(_t.token_count("text")),
-                        F.count(_t.lang_predict("text")),
-                        F.sum(_t.quality_score("text")))
-    q_p3 = lambda: (df_p3.select("*").collect() and n_docs)  # noqa: E731
-    df_b2a = li.select(F.count_distinct(st.st_relate(
-        "rect", st.st_rectangle(
-            "x1", "y0", F.col("x1") + (F.col("x1") - F.col("x0")), "y1"))))
-    q_b2a = lambda: (df_b2a.select("*").collect() and n_li)  # noqa: E731
-    df_b1p = ragged_p.select(F.sum(st.st_area(
-        st.st_intersection("poly", F.col("clipd")))))
-    q_b1p = lambda: (df_b1p.select("*").collect() and n_li)  # noqa: E731
-    df_b1b = cust_l.select(F.sum(st.st_area(
-        st.st_buffer("lp", "d", cap_style="flat"))))
-    q_b1b = lambda: (df_b1b.select("*").collect() and n_cust)  # noqa: E731
-    df_p6 = _nn(cust.withColumnRenamed("pt", "geometry"),
-                nations.withColumnRenamed("rect", "geometry"),
-                k=2, max_distance=9.0)
-    q_p6 = lambda: df_p6.select("*").count()  # noqa: E731
+    from polars_st_spark.operators.pipeline import pretraining_pipeline as _pp
 
-    def q_p8(materialize="cache"):
+    docs = _bench._docs_cached(spark, sf_dir, ncpu)
+    n = docs.count()
+
+    def run(materialize="cache"):
         return _pp(
             docs, benchmark=docs.where(F.col("doc_id") % 97 == 0),
             quality_kwargs={"min_words": 10, "min_stopword_hits": 1},
@@ -186,154 +318,136 @@ def run_suite(spark, sf_dir: str) -> dict:
             chunk_tokens=128, chunk_overlap=16, materialize=materialize,
         ).count()
 
-    # (name, fn, cleanup, rows_in, scoped_cache) — scoped_cache is a heavy
-    # derived frame cached only for this query's reps, unpersisted after
-    suite = [
-        ("b1_elementwise", q_b1, None, n_li, None),
-        ("b2_predicate", q_b2, None, n_li, None),
-        ("b3_grouped_union", q_b3, None, n_li, None),
-        ("b4_sjoin", q_b4, None, n_cust, None),
-        ("b4g_sjoin_grid", q_b4g, None, n_cust, None),
-        ("b5_flagship", q_b5, None, None, None),
-        ("p1_minhash_dedup", q_p1, p1_cleanup, n_docs, None),
-        ("p2_knn", q_p2, None, n_emb, None),
-        ("p3_textstats", q_p3, None, n_docs, None),
-        ("b2a_relate_adjacent", q_b2a, None, n_li, None),
-        ("b1p_poly_clip_pairs", q_b1p, None, n_li, ragged_p),
-        ("b1b_buffer_lines", q_b1b, None, n_cust, cust_l),
-        ("p6_nearest_join", q_p6, None, n_cust, None),
-    ]
-    for name, fn, cleanup, rows_in, scoped in suite:
-        if scoped is not None:
-            scoped.cache().count()
-        fn()  # untimed full-size warm pass (codegen/JIT + fault storms)
-        if cleanup:
-            cleanup()
-        ts, rows_out = [], None
-        for i in range(REPS):
-            t0 = time.time()
-            rows_out = fn()
-            ts.append(round(time.time() - t0, 3))
-            if cleanup and i < REPS - 1:
-                cleanup()
-        if scoped is not None:
-            scoped.unpersist(blocking=True)
-        results[name] = {
-            "reps": ts, "median": sorted(ts)[len(ts) // 2], "min": min(ts),
-            "rows_in": rows_in, "rows_out": rows_out,
-        }
-        print(f"  {name}: median {results[name]['median']}s reps={ts}",
-              file=sys.stderr)
-    # p8 warms with materialize="checkpoint": materializes stage boundaries
-    # outside the CacheManager (timed caches stay cold) at ~1x pipeline
-    # cost — materialize=None would re-run the uncut upstream once per
-    # downstream scan (recompute tree ~2^stages; >10 min at 10x grain)
-    q_p8(materialize="checkpoint")
-    ts = []
-    for _ in range(REPS):
-        t0 = time.time()
-        rows_out = q_p8()
-        ts.append(round(time.time() - t0, 3))
-    results["p8_pipeline_e2e"] = {
-        "reps": ts, "median": sorted(ts)[len(ts) // 2], "min": min(ts),
-        "rows_in": n_docs, "rows_out": rows_out,
-    }
-    print(f"  p8_pipeline_e2e: median {results['p8_pipeline_e2e']['median']}s "
-          f"reps={ts}", file=sys.stderr)
-    for c in (li, cust, docs, emb):
-        c.unpersist(blocking=True)
-    return results
+    # warm with materialize="checkpoint": stage boundaries materialize
+    # OUTSIDE the CacheManager so timed reps' internal caches stay cold;
+    # materialize=None recomputes the uncut upstream ~2^stages (measured
+    # >>10x at 10x grain, r6)
+    run(materialize="checkpoint")
+    out = _protocol(run, n, warm=False)
+    docs.unpersist()
+    return out
+
+
+QUERIES = {
+    "b1_elementwise": q_b1,
+    "b2_predicate": q_b2,
+    "b3_grouped_union": q_b3,
+    "b4_sjoin": _q_b4("broadcast"),
+    "b4g_sjoin_grid": _q_b4("grid"),
+    "b5_flagship": q_b5,
+    "p1_minhash_dedup": q_p1,
+    "p2_knn": q_p2,
+    "p3_textstats": q_p3,
+    "b2a_relate_adjacent": q_b2a,
+    "b1p_poly_clip_pairs": q_b1p,
+    "b1b_buffer_lines": q_b1b,
+    "p6_nearest_join": q_p6,
+    "p8_pipeline_e2e": q_p8,
+}
+
+
+def _one_main(name: str, sf_dir: str) -> None:
+    """Subprocess entry: one (query, scale) in a fresh session; last stdout
+    line is the record."""
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    fault = _bench._vm_fault_cost_us()
+    spark = _build_session(cpus)
+    _bench._sentinel(spark)  # compile the sentinel plan (untimed)
+    rec = {"query": name, "sf_dir": sf_dir, "fault_us": fault}
+    rec["sentinel_before"] = _bench._sentinel(spark)
+    rec.update(QUERIES[name](spark, sf_dir, int(cpus)))
+    rec["sentinel_after"] = _bench._sentinel(spark)
+    rec["code_cache_used_mb"] = _bench._code_cache_mb(spark)
+    print(json.dumps(rec))
+    spark.stop()
+
+
+def _run_one_subproc(name: str, sf_dir: str) -> dict:
+    import subprocess
+
+    me = os.path.abspath(__file__)
+    env = dict(os.environ)
+    try:
+        r = subprocess.run([sys.executable, me, "--one", name, sf_dir],
+                           capture_output=True, text=True, timeout=3600, env=env)
+        for line in reversed(r.stdout.strip().splitlines()):
+            if line.startswith("{"):
+                rec = json.loads(line)
+                if rec.get("query") == name:
+                    return rec
+        return {"error": f"no record (rc={r.returncode}): {r.stderr[-300:]}"}
+    except Exception as e:
+        return {"error": str(e)[:300]}
 
 
 def main() -> None:
-    from pyspark.sql import SparkSession
+    spec = os.environ.get("BENCH_SCALE_QUERIES", "").strip()
+    names = ([s.strip() for s in spec.split(",") if s.strip() in QUERIES]
+             if spec else list(QUERIES))
+    out_name = os.environ.get("BENCH_SCALE_OUT", "BENCH_SCALE_r07.json")
 
-    import bench as _bench
-
-    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
-
-    def fresh_session():
-        # one JVM per scale: a long-lived session on this lazily-backed VM
-        # accumulates reclaimed-page churn that inflated the first r6
-        # attempt's later queries 3-30x (identical plans run 1.1s in a
-        # fresh session); per-scale sessions give both sides the same
-        # starting state, which is the whole point of the ratio
-        return (
-            SparkSession.builder.master(f"local[{cpus}]")
-            .appName("polars-st-spark-bench-scale")
-            .config("spark.sql.shuffle.partitions", cpus)
-            .config("spark.sql.adaptive.enabled", "true")
-            .config("spark.driver.memory", "48g")
-            .config("spark.sql.execution.arrow.maxRecordsPerBatch", "20000")
-            .config("spark.ui.enabled", "false")
-            .getOrCreate()
-        )
-
-    def prep(s):
-        s.sparkContext.setLogLevel("ERROR")
-        # p8's checkpoint-mode warm needs a reliable checkpoint dir
-        s.sparkContext.setCheckpointDir(
-            os.environ.get("SPARK_GRAFT_CKPT_DIR", "/tmp/spark-graft-ckpt"))
-        return s
-
-    faults = {}
-    faults["small"] = _bench._vm_fault_cost_us()
-    spark = prep(fresh_session())
-    print("== small:", SMALL, file=sys.stderr)
-    small = run_suite(spark, SMALL)
-    spark.stop()
-    faults["big"] = _bench._vm_fault_cost_us()
-    spark = prep(fresh_session())
-    print("== big:", BIG, file=sys.stderr)
-    big = run_suite(spark, BIG)
     queries = {}
-    for name in small:
-        s, b = small[name], big[name]
-        ratio = round(b["median"] / s["median"], 2) if s["median"] else None
-        queries[name] = {
-            "small_median": s["median"], "big_median": b["median"],
-            "small_reps": s["reps"], "big_reps": b["reps"],
-            "wall_ratio": ratio,
-            # ratio of per-query minima: the algorithmic floor on a host
-            # whose ambient fault storms hit random reps (see faults_us)
-            "wall_ratio_min": (round(b["min"] / s["min"], 2)
-                               if s.get("min") else None),
-            "rows_in_ratio": (round(b["rows_in"] / s["rows_in"], 2)
-                              if s.get("rows_in") else None),
-            "rows_out_small": s["rows_out"], "rows_out_big": b["rows_out"],
-        }
+    for name in names:
+        # interleave scales per query (small then big back-to-back) so both
+        # sides of each ratio see maximally-similar ambient host state
+        s = _run_one_subproc(name, SMALL)
+        b = _run_one_subproc(name, BIG)
+        rec = {}
+        if "error" in s or "error" in b:
+            rec["error"] = {"small": s.get("error"), "big": b.get("error")}
+        else:
+            rec.update({
+                "small_median": s["median"], "big_median": b["median"],
+                "small_reps": s["reps"], "big_reps": b["reps"],
+                "wall_ratio": (round(b["median"] / s["median"], 2)
+                               if s["median"] else None),
+                "wall_ratio_min": (round(b["min"] / s["min"], 2)
+                                   if s.get("min") else None),
+                "rows_in_ratio": (round(b["rows_in"] / s["rows_in"], 2)
+                                  if s.get("rows_in") else None),
+                "rows_out_small": s["rows_out"], "rows_out_big": b["rows_out"],
+                "fault_us": {"small": s["fault_us"], "big": b["fault_us"]},
+                "sentinels": {
+                    "small": [s["sentinel_before"], s["sentinel_after"]],
+                    "big": [b["sentinel_before"], b["sentinel_after"]],
+                },
+            })
+        queries[name] = rec
+        print(f"  {name}: ratio {rec.get('wall_ratio')} "
+              f"(small {rec.get('small_median')}s big {rec.get('big_median')}s)",
+              file=sys.stderr)
+
+    ok = {k: v for k, v in queries.items() if "error" not in v}
     payload = {
         "metric": "scale_ramp_wall_ratio",
         "factor_rows": FACTOR,
         "small_dir": SMALL,
         "big_dir": BIG,
         "reps": REPS,
-        # fresh-page fault cost measured immediately before each suite
-        # (µs/4KiB; ~0.2 healthy, 30-160 degraded — README "Bench variance")
-        "vm_fault_us_per_page": faults,
+        "isolation": "fresh_session_per_query_per_scale",
         "queries": queries,
-        "small_total": round(sum(q["small_median"] for q in queries.values()), 3),
-        "big_total": round(sum(q["big_median"] for q in queries.values()), 3),
+        "small_total": round(sum(q["small_median"] for q in ok.values()), 3),
+        "big_total": round(sum(q["big_median"] for q in ok.values()), 3),
     }
-    payload["total_wall_ratio"] = round(
-        payload["big_total"] / payload["small_total"], 2)
-    payload["total_wall_ratio_min"] = round(
-        sum(b["min"] for b in big.values()) / sum(s["min"] for s in small.values()), 2)
-    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    path = os.path.join(root, "BENCH_SCALE_r06.json")
+    if payload["small_total"]:
+        payload["total_wall_ratio"] = round(
+            payload["big_total"] / payload["small_total"], 2)
+    path = os.path.join(_ROOT, out_name)
     tmp = path + ".tmp"
     with open(tmp, "w") as f:
         json.dump(payload, f, indent=1)
     os.replace(tmp, path)
     compact = {
         "metric": payload["metric"], "factor_rows": FACTOR,
-        "total_wall_ratio": payload["total_wall_ratio"],
-        "per_query_wall_ratio": {k: v["wall_ratio"] for k, v in queries.items()},
-        "detail_file": "BENCH_SCALE_r06.json",
+        "total_wall_ratio": payload.get("total_wall_ratio"),
+        "per_query_wall_ratio": {k: v.get("wall_ratio") for k, v in queries.items()},
+        "detail_file": out_name,
     }
     print(json.dumps(compact))
-    spark.stop()
 
 
 if __name__ == "__main__":
-    main()
+    if len(sys.argv) >= 4 and sys.argv[1] == "--one":
+        _one_main(sys.argv[2], sys.argv[3])
+    else:
+        main()
