@@ -2308,9 +2308,14 @@ def q_multimodal_real(spark, sf):
     wave / stdlib-zlib PNG), and the features compared against closed
     forms: solid-color mean = the color exactly; square-wave RMS =
     amp_int/32768 exactly (dyadic), ZCR = transitions/(n−1), duration =
-    n/rate; PNG channel means = integer-sum/16 dyadics — every compared
-    double is an exactly-rounded IEEE expression DuckDB replays from
-    doc_id alone."""
+    n/rate; PNG channel means = integer-sum/16 dyadics; r7 adds baseline
+    JPEG: a solid-gray 13×21 JPEG (odd size exercises MCU edge padding) is
+    DC-only after quantization, so the decoded value has the exact closed
+    form round(q·round(8(c−128)/q)/8 + 128) with the quality-90 Annex-K DC
+    step q=3 — tie-free for every gate color (k·3/8 hits .5 only at
+    k≡4 mod 8, excluded by the color mapping; verified over all 100 ids) —
+    every compared double is an exactly-rounded IEEE expression DuckDB
+    replays from doc_id alone."""
     import io as _io
     import wave as _wave
 
@@ -2353,6 +2358,19 @@ def q_multimodal_real(spark, sf):
         return _pd.Series(out)
 
     @F.pandas_udf("binary")
+    def jpeg_payload(ids):
+        # solid-gray 13x21 baseline JPEG at quality 90: DC-only blocks, so
+        # the decoded value is the exact closed form in the oracle; odd
+        # dimensions exercise MCU edge-replication padding + crop
+        from polars_st_spark.operators.jpeg import encode_jpeg
+
+        out = []
+        for i in ids:
+            c = (int(i) * 11 + 30) % 200 + 20
+            out.append(encode_jpeg(_np.full((13, 21), c, _np.uint8), quality=90))
+        return _pd.Series(out)
+
+    @F.pandas_udf("binary")
     def wav_payload(ids):
         out = []
         for i in ids:
@@ -2374,6 +2392,7 @@ def q_multimodal_real(spark, sf):
         bmp_payload("doc_id").alias("img"),
         wav_payload("doc_id").alias("wav"),
         png_payload("doc_id").alias("png"),
+        jpeg_payload("doc_id").alias("jpg"),
     )
     img = image_features(
         with_payloads.select("doc_id", "img"), "img", "doc_id",
@@ -2407,7 +2426,20 @@ def q_multimodal_real(spark, sf):
         F.col("features")[1].cast("double").alias("m1"),
         F.col("features")[2].cast("double").alias("m2"),
     )
-    return img.unionByName(aud).unionByName(png)
+    # r7: REAL baseline-JPEG decode (T.81 Huffman + dequant + float IDCT):
+    # flat gray decodes to one exact value everywhere, so each channel mean
+    # is that value — an exactly-replayable integer expression
+    jpg = image_features(
+        with_payloads.select("doc_id", "jpg"), "jpg", "doc_id",
+        decode="real", resize=(4, 4),
+    ).select(
+        "doc_id",
+        F.lit("jpeg").alias("modality"),
+        F.col("features")[0].cast("double").alias("m0"),
+        F.col("features")[1].cast("double").alias("m1"),
+        F.col("features")[2].cast("double").alias("m2"),
+    )
+    return img.unionByName(aud).unionByName(png).unionByName(jpg)
 
 
 def q_multimodal_suite(spark, sf):
@@ -4201,6 +4233,17 @@ def _oracle_multimodal_real() -> str:
         )
         return f"CAST(CAST(({terms}) / 16.0 AS FLOAT) AS DOUBLE)"
 
+    # r7 baseline-JPEG closed form: solid gray c quantizes to a DC-only
+    # block — decoded value = round(q*round(8*(c-128)/q)/8 + 128), q=3 (the
+    # quality-90 Annex-K luminance DC step). k's fraction is in {0,1/3,2/3}
+    # (never .5) and k%8==4 (.5 in the second round) is excluded by the
+    # color mapping over all gate ids, so half-even (numpy) and half-away
+    # (DuckDB) agree. Integer value <= 255: exact through the FLOAT cast.
+    jpg_val = (
+        "CAST(CAST(ROUND(3 * ROUND(8 * (((doc_id * 11 + 30) % 200 + 20)"
+        " - 128) / 3.0) / 8.0 + 128) AS FLOAT) AS DOUBLE)"
+    )
+
     return f"""
         WITH ids AS (SELECT doc_id FROM documents WHERE doc_id < 100),
         aud AS (
@@ -4226,6 +4269,10 @@ def _oracle_multimodal_real() -> str:
                {png_mean(0)} AS m0,
                {png_mean(1)} AS m1,
                {png_mean(2)} AS m2
+        FROM ids
+        UNION ALL
+        SELECT doc_id, 'jpeg' AS modality,
+               {jpg_val} AS m0, {jpg_val} AS m1, {jpg_val} AS m2
         FROM ids"""
 
 

@@ -1,0 +1,106 @@
+"""Baseline JPEG codec (operators/jpeg.py): round-trip accuracy across
+sampling/restart variants, exactness on DC-only content, header probing,
+the documented envelope errors, and the Spark image_features path over
+real JPEG bytes."""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+import pytest
+
+from polars_st_spark.operators import multimodal as M
+from polars_st_spark.operators.jpeg import (
+    decode_jpeg,
+    decode_jpeg_size,
+    encode_jpeg,
+)
+
+
+def _smooth_rgb(h=33, w=47):
+    yy, xx = np.mgrid[0:h, 0:w]
+    return np.stack(
+        [(yy * 3 + 20) % 200 + 20, (xx * 2 + 50) % 200 + 20,
+         ((yy + xx) * 2) % 200 + 20], -1).astype(np.uint8)
+
+
+def test_flat_gray_dc_only_exact():
+    # a constant image quantizes to a DC-only block: decode must be exact
+    img = np.full((16, 24), 120, np.uint8)
+    out = decode_jpeg(encode_jpeg(img, quality=90))
+    assert out.shape == (16, 24)
+    assert int(np.abs(out.astype(int) - 120).max()) == 0
+
+
+@pytest.mark.parametrize("subsample", ["444", "420"])
+@pytest.mark.parametrize("restart", [0, 2])
+def test_roundtrip_smooth(subsample, restart):
+    img = _smooth_rgb()
+    data = encode_jpeg(img, quality=95, subsample=subsample,
+                       restart_interval=restart)
+    out = decode_jpeg(data)
+    assert out.shape == img.shape
+    err = np.abs(out.astype(float) - img).mean()
+    # 4:4:4 stays within quantization error; 4:2:0 adds chroma box-average
+    assert err < (1.0 if subsample == "444" else 2.5), err
+
+
+def test_roundtrip_odd_sizes_and_gray_restart():
+    g = (np.mgrid[0:13, 0:21][0] * 5 % 251).astype(np.uint8)
+    out = decode_jpeg(encode_jpeg(g, quality=95, restart_interval=1))
+    assert out.shape == (13, 21)
+    assert np.abs(out.astype(float) - g).mean() < 1.0
+
+
+def test_header_probe_and_quality_tradeoff():
+    img = _smooth_rgb(32, 48)
+    hi = encode_jpeg(img, quality=95)
+    lo = encode_jpeg(img, quality=20)
+    assert decode_jpeg_size(hi) == (32, 48, 3)
+    assert len(lo) < len(hi)  # coarser tables compress harder
+    # low quality still reconstructs the smooth ramp approximately
+    assert np.abs(decode_jpeg(lo).astype(float) - img).mean() < 12.0
+
+
+def test_envelope_errors():
+    with pytest.raises(ValueError, match="SOI"):
+        decode_jpeg(b"notajpeg")
+    data = bytearray(encode_jpeg(np.zeros((8, 8), np.uint8)))
+    # flip SOF0 -> SOF2: progressive must raise naming the limitation
+    idx = bytes(data).find(b"\xff\xc0")
+    data[idx + 1] = 0xC2
+    with pytest.raises(ValueError, match="progressive"):
+        decode_jpeg(bytes(data))
+    # truncated segment
+    whole = encode_jpeg(_smooth_rgb(16, 16))
+    with pytest.raises(ValueError, match="truncated|exhausted|MCU"):
+        decode_jpeg(whole[:40])
+    # 12-bit precision rejected
+    data = bytearray(encode_jpeg(np.zeros((8, 8), np.uint8)))
+    idx = bytes(data).find(b"\xff\xc0")
+    data[idx + 4] = 12
+    with pytest.raises(ValueError, match="8-bit"):
+        decode_jpeg(bytes(data))
+
+
+def test_byte_stuffing_roundtrip():
+    # content chosen to produce 0xFF bytes in the entropy stream with high
+    # probability: noisy high-frequency blocks at high quality
+    rng = np.random.default_rng(3)
+    img = rng.integers(0, 256, (24, 24, 3), dtype=np.uint8)
+    data = encode_jpeg(img, quality=100)
+    assert b"\xff\x00" in data  # stuffing actually exercised
+    out = decode_jpeg(data)
+    assert out.shape == img.shape  # decodes cleanly through the unstuffer
+
+
+def test_image_features_real_jpeg(spark):
+    img = _smooth_rgb(16, 16)
+    payload = encode_jpeg(img, quality=95)
+    df = spark.createDataFrame([(1, bytearray(payload))], ["id", "payload"])
+    row = M.image_features(df, "payload", "id", decode="real",
+                           resize=(16, 16)).collect()[0]
+    exp = decode_jpeg(payload).mean(axis=(0, 1)).astype(np.float32)
+    got = np.array(row["features"], dtype=np.float32)
+    assert np.allclose(got, exp, atol=1e-4), (got, exp)
