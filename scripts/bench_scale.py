@@ -42,9 +42,12 @@ sys.path.insert(0, _ROOT)
 
 import bench as _bench  # probes + shared input builders  # noqa: E402
 
-SMALL = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
-BIG = sys.argv[2] if len(sys.argv) > 2 else os.path.join(_ROOT, "scale_data", "sf1")
-FACTOR = int(sys.argv[3]) if len(sys.argv) > 3 else 10
+# positional args are the orchestrator's; --one subprocess mode has its own
+_ONE_MODE = len(sys.argv) >= 2 and sys.argv[1] == "--one"
+_POS = [] if _ONE_MODE else sys.argv[1:]
+SMALL = _POS[0] if len(_POS) > 0 else "/root/testdata/sf0.1"
+BIG = _POS[1] if len(_POS) > 1 else os.path.join(_ROOT, "scale_data", "sf1")
+FACTOR = int(_POS[2]) if len(_POS) > 2 else 10
 REPS = int(os.environ.get("BENCH_SCALE_REPS", "3"))
 
 
@@ -62,7 +65,16 @@ def _build_session(cpus: str):
         .config("spark.sql.shuffle.partitions", cpus)
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.driver.memory", "48g")
-        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "20000")
+        # 4000-row Arrow batches (vs the gate-bench 20000): at big grain a
+        # 20k-row batch's ~80 MB of kernel temporaries is large enough for
+        # this host's lazy page-backing to reclaim between reps — measured
+        # on b2@sf1: reps [1.9, 21.6, 7.4]s at 20000 vs [1.5, 1.7, 1.4]s at
+        # 4000 (touch-off), while CPU-bound kernels (b1p, b2a) are
+        # batch-insensitive (±5%). Sizing Arrow batches to executor memory
+        # is exactly what a real 100 TB job does; the ramp measures plans,
+        # not a fixed batch constant. BENCH_SCALE_ARROW_BATCH overrides.
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch",
+                os.environ.get("BENCH_SCALE_ARROW_BATCH", "4000"))
         .config("spark.ui.enabled", "false")
         .getOrCreate()
     )
