@@ -34,9 +34,12 @@ def test_prewarm_runs_in_worker_context():
     )
     # default: retention thresholds only, no eager touch — worker import
     # must stay cheap (RSS well under the old 256 MiB touch)
+    # bare import is ~126 MB; the (off-by-default) 256 MiB touch would push
+    # it past ~380 MB — 240 separates the two with margin for ambient
+    # loader variance under a fully loaded test host
     code_rss = code + (
         "rss_mb = resource.getrusage(resource.RUSAGE_SELF).ru_maxrss / 1024\n"
-        "assert rss_mb < 200, f'eager touch ran by default: {rss_mb} MB'\n"
+        "assert rss_mb < 240, f'eager touch ran by default: {rss_mb} MB'\n"
         "print('rss-ok')\n"
     )
     r = subprocess.run([sys.executable, "-c", code_rss], capture_output=True,
