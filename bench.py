@@ -111,8 +111,11 @@ def _refresh_floor(sf_dir: str) -> bool:
 def _code_cache_mb(spark) -> dict:
     """{pool: used_mb} for the JIT CodeHeap pools + their summed max.
     When 'profiled nmethods' used approaches its max the JVM stops
-    compiling new hot paths and late plans run interpreted — the r6
-    late-suite failure signature."""
+    compiling new hot paths and late plans run interpreted. Recorded so
+    the hypothesis is checkable in every record — the r7 controlled
+    reproduction measured 71 of 240 MB at the end of the full legacy
+    suite, RULING THIS OUT as the r6 mechanism (the worker-init storm
+    was; see BENCH_P6_ROOTCAUSE_r07.md)."""
     out = {}
     try:
         pools = spark._jvm.java.lang.management.ManagementFactory.getMemoryPoolMXBeans()
