@@ -3780,10 +3780,12 @@ def oracle_sql() -> dict[str, str]:
     # literals, which means oracle construction does filesystem I/O + a
     # k-means fit. Unlike every other entry (pure string building), that
     # can fail when the gate parquet is absent — degrade to omitting THIS
-    # entry (rows-only for it) instead of raising out of oracle_sql().
+    # entry (rows-only for it) ONLY on dataset-absence errors; a genuine
+    # bug in the k-means replay (shape/API error) must propagate, not be
+    # silently downgraded to rows-only checking.
     try:
         d["knn_ivf"] = _oracle_knn_ivf()
-    except Exception as e:
+    except (FileNotFoundError, OSError) as e:
         import warnings
 
         warnings.warn(f"knn_ivf oracle skipped (gate dataset unavailable: {e})")

@@ -45,13 +45,31 @@ def _maybe_prewarm_worker_arena() -> None:
     import os
     import sys
 
+    # Observable sentinel for tests: how many MiB the LAST call actually
+    # touched (0 when the touch is off/gated). Asserting this instead of an
+    # absolute subprocess RSS makes the gating test immune to ambient host
+    # load (the r7 flake: a 240 MB RSS threshold failed at 619 MB under a
+    # concurrent Spark session, passed standalone).
+    globals().setdefault("_prewarm_touched_mb", 0)
+
     if "pyspark.worker" not in sys.modules:
         return
     try:
         thresh_mb = int(os.environ.get("POLARS_ST_SPARK_MALLOC_THRESH_MB", "512"))
     except ValueError:
         thresh_mb = 512
+    try:
+        mb = int(os.environ.get("POLARS_ST_SPARK_PREWARM_MB", "0"))
+    except ValueError:
+        mb = 0
     if thresh_mb > 0:
+        # Couple the retention floor to an enabled eager touch: if the touch
+        # buffer (mb MiB) exceeded M_MMAP_THRESHOLD it would be served by
+        # mmap and munmapped on free — a silently ineffective prewarm. Keep
+        # the thresholds at >= 2x the touch size so the buffer stays in (and
+        # seeds) the retained brk arena.
+        if mb > 0:
+            thresh_mb = max(thresh_mb, 2 * mb)
         try:
             import ctypes
 
@@ -65,10 +83,15 @@ def _maybe_prewarm_worker_arena() -> None:
             libc.mallopt(-3, thresh)  # M_MMAP_THRESHOLD
         except Exception:
             pass  # non-glibc platform: retention is a no-op
-    try:
-        mb = int(os.environ.get("POLARS_ST_SPARK_PREWARM_MB", "0"))
-    except ValueError:
-        mb = 0
+    elif mb > 0:
+        import warnings
+
+        warnings.warn(
+            "POLARS_ST_SPARK_PREWARM_MB is set but retention is disabled "
+            "(POLARS_ST_SPARK_MALLOC_THRESH_MB=0): the touched buffer will "
+            "be munmapped on free, making the prewarm ineffective."
+        )
+    globals()["_prewarm_touched_mb"] = 0
     if mb <= 0:
         return
     import numpy as _np
@@ -76,6 +99,7 @@ def _maybe_prewarm_worker_arena() -> None:
     buf = _np.empty(mb * 131072, dtype=_np.float64)  # mb MiB
     buf[::512] = 1.0  # one write per 4 KiB page
     del buf
+    globals()["_prewarm_touched_mb"] = mb
 
 
 _maybe_prewarm_worker_arena()

@@ -292,15 +292,21 @@ def _decode_scan(data, pos, sof, scomps, qt, huff_dc, huff_ac, restart_interval)
     while i < n:
         b = data[i]
         if b == 0xFF:
-            nxt = data[i + 1] if i + 1 < n else 0xD9
+            # T.81 B.1.1.2: a marker may be preceded by any number of 0xFF
+            # fill bytes (FF FF ... D0 is still an RST0). Skip the fill run
+            # before classifying the terminator byte.
+            j = i + 1
+            while j < n and data[j] == 0xFF:
+                j += 1
+            nxt = data[j] if j < n else 0xD9
             if nxt == 0x00:
                 out.append(0xFF)
-                i += 2
+                i = j + 1
                 continue
             if 0xD0 <= nxt <= 0xD7:  # RSTn boundary
                 intervals.append(bytes(out))
                 out = bytearray()
-                i += 2
+                i = j + 1
                 continue
             break  # EOI or the next real marker
         out.append(b)

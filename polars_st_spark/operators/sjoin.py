@@ -99,6 +99,23 @@ def st_sjoin(
     if how not in ("inner", "left", "right", "full", "semi", "anti"):
         raise ValueError(f"how must be inner/left/right/full/semi/anti, got {how!r}")
 
+    if strategy == "broadcast":
+        # The broadcast path collects the ENTIRE right side through the
+        # driver. The auto path only picks it under a 64 MB Catalyst-stats
+        # guard below; a caller who hardcodes strategy='broadcast' on a big
+        # side would get a driver OOM instead of an error. Bounded sanity
+        # probe: limit(n+1).count() never scans past the cap.
+        cap = max(int(broadcast_threshold), 1) * 10
+        n_right = right.limit(cap + 1).count()
+        if n_right > cap:
+            raise ValueError(
+                f"strategy='broadcast' was forced but the right side has more "
+                f"than {cap} rows (10x broadcast_threshold={broadcast_threshold}); "
+                "the broadcast path collects the right side through the driver. "
+                "Use strategy='grid' or 'auto', or raise broadcast_threshold "
+                "if the driver really has the memory."
+            )
+
     if strategy == "auto":
         # Prefer Catalyst's size-in-bytes estimate (free — no job); fall back
         # to a bounded count probe only when stats are unavailable. The

@@ -104,3 +104,25 @@ def test_image_features_real_jpeg(spark):
     exp = decode_jpeg(payload).mean(axis=(0, 1)).astype(np.float32)
     got = np.array(row["features"], dtype=np.float32)
     assert np.allclose(got, exp, atol=1e-4), (got, exp)
+
+
+def test_fill_bytes_before_markers():
+    # T.81 B.1.1.2: any marker may be preceded by 0xFF fill bytes. Some
+    # encoders emit FF FF D0..D7 / FF FF D9 — the unstuffer must treat the
+    # fill run as part of the marker, not as end-of-scan (which raised
+    # 'entropy data covers X of Y MCUs' before r8).
+    img = _smooth_rgb(32, 32)
+    data = encode_jpeg(img, quality=90, restart_interval=1)
+    sos = data.find(b"\xff\xda")
+    assert sos > 0
+    body = data[sos:]
+    # inject two fill bytes before every RSTn and before EOI; valid streams
+    # only contain FF as FF00 (stuffed), FFDn (RST) or FFD9 (EOI), so the
+    # 2-byte replace is unambiguous
+    for m in list(range(0xD0, 0xD8)) + [0xD9]:
+        body = body.replace(bytes([0xFF, m]), bytes([0xFF, 0xFF, 0xFF, m]))
+    padded = data[:sos] + body
+    assert padded != data
+    ref = decode_jpeg(data)
+    out = decode_jpeg(padded)
+    assert np.array_equal(out, ref)

@@ -23,35 +23,49 @@ def test_prewarm_skips_outside_worker():
 def test_prewarm_runs_in_worker_context():
     # in a SUBPROCESS: the hook calls mallopt, which cannot be undone and
     # would lower this pytest process's mmap/trim thresholds for every
-    # later test (exactly the fault-churn pathology the retention prevents)
+    # later test (exactly the fault-churn pathology the retention prevents).
+    #
+    # r8: the old absolute-RSS assertion (rss_mb < 240) was flaky under
+    # ambient host load (619 MB measured while a concurrent Spark session
+    # loaded the box; 126 MB standalone — third threshold incident). Assert
+    # the hook's own sentinel (_prewarm_touched_mb: MiB the last call
+    # actually touched) plus a WITHIN-process differential RSS for the
+    # opt-in path — both are independent of the subprocess's absolute
+    # baseline and of anything else running on the host.
     import subprocess
 
     code = (
         "import sys; sys.modules['pyspark.worker'] = sys\n"
-        "import resource, polars_st_spark as st\n"  # import-time hook fires
+        "import os, resource\n"
+        "import polars_st_spark as st\n"  # import-time hook fires (defaults)
+        "assert st._prewarm_touched_mb == 0, "
+        "f'eager touch ran by default: {st._prewarm_touched_mb} MiB'\n"
         "st._maybe_prewarm_worker_arena()\n"  # idempotent when called again
-        "print('prewarm-ok')\n"
+        "assert st._prewarm_touched_mb == 0\n"
+        "print('default-off-ok')\n"
+        # opt-in: sentinel reports the touch AND the process's own max-RSS
+        # grows by about the touch size (differential, not absolute)
+        "before = resource.getrusage(resource.RUSAGE_SELF).ru_maxrss / 1024\n"
+        "os.environ['POLARS_ST_SPARK_PREWARM_MB'] = '64'\n"
+        "st._maybe_prewarm_worker_arena()\n"
+        "after = resource.getrusage(resource.RUSAGE_SELF).ru_maxrss / 1024\n"
+        "assert st._prewarm_touched_mb == 64, st._prewarm_touched_mb\n"
+        "delta = after - before\n"
+        "assert delta > 48, f'opt-in touch did not allocate: +{delta} MiB'\n"
+        "print('optin-ok', round(delta, 1))\n"
+        # disabled again via env: sentinel resets to 0
+        "os.environ['POLARS_ST_SPARK_PREWARM_MB'] = '0'\n"
+        "st._maybe_prewarm_worker_arena()\n"
+        "assert st._prewarm_touched_mb == 0\n"
+        "print('reset-ok')\n"
     )
-    # default: retention thresholds only, no eager touch — worker import
-    # must stay cheap (RSS well under the old 256 MiB touch)
-    # bare import is ~126 MB; the (off-by-default) 256 MiB touch would push
-    # it past ~380 MB — 240 separates the two with margin for ambient
-    # loader variance under a fully loaded test host
-    code_rss = code + (
-        "rss_mb = resource.getrusage(resource.RUSAGE_SELF).ru_maxrss / 1024\n"
-        "assert rss_mb < 240, f'eager touch ran by default: {rss_mb} MB'\n"
-        "print('rss-ok')\n"
-    )
-    r = subprocess.run([sys.executable, "-c", code_rss], capture_output=True,
-                       text=True, env=dict(os.environ), timeout=120)
-    assert r.returncode == 0, r.stderr
-    assert "prewarm-ok" in r.stdout and "rss-ok" in r.stdout
-    # opt-in eager touch still works (long-lived fixed-worker deployments)
-    env = dict(os.environ, POLARS_ST_SPARK_PREWARM_MB="2")
+    env = dict(os.environ)
+    env.pop("POLARS_ST_SPARK_PREWARM_MB", None)
     r = subprocess.run([sys.executable, "-c", code], capture_output=True,
                        text=True, env=env, timeout=120)
     assert r.returncode == 0, r.stderr
-    assert "prewarm-ok" in r.stdout
+    for mark in ("default-off-ok", "optin-ok", "reset-ok"):
+        assert mark in r.stdout, r.stdout
 
 
 def test_prewarm_env_disable(monkeypatch):

@@ -251,3 +251,24 @@ def test_grid_cell_size_considers_both_sides(spark):
            sorted((r["pid"], r["rid"]) for r in b.collect())
     # both sides degenerate (points vs points) falls back to a unit cell
     assert _estimate_cell_size(pts, "geometry", pts, "geometry") == 1.0
+
+
+def test_forced_broadcast_oversized_right_raises(spark):
+    """strategy='broadcast' forced on an oversized right side must raise a
+    clear error BEFORE collecting it through the driver (the auto path is
+    guarded by Catalyst size stats; the forced path gets a bounded
+    limit(cap+1).count() probe). broadcast_threshold scales the cap (10x)."""
+    pts = spark.range(2).select(
+        F.col("id").alias("pt_id"),
+        st.st_point(F.col("id") * 1.0, F.col("id") * 1.0).alias("geometry"))
+    big_right = spark.range(30).select(
+        F.col("id").alias("zone_id"),
+        st.st_rectangle(F.col("id") * 1.0, F.lit(0.0),
+                        F.col("id") + 1.0, F.lit(1.0)).alias("geometry"))
+    with pytest.raises(ValueError, match="broadcast.*forced|forced.*broadcast"):
+        st_sjoin(pts, big_right, predicate="intersects",
+                 strategy="broadcast", broadcast_threshold=2)
+    # the same forced strategy on a side within the cap still works
+    out = st_sjoin(pts, big_right.limit(5), predicate="intersects",
+                   strategy="broadcast", broadcast_threshold=2)
+    assert out.count() >= 1
