@@ -2612,29 +2612,40 @@ def q_knn_ivf(spark, sf):
 
 
 def q_multimodal_audio(spark, sf):
-    """Audio plumbing: deterministic fake PCM decode → scalar features
-    (rows-only: FFT band split is not SQL-expressible)."""
+    """Audio plumbing: deterministic fake PCM decode → scalar features.
+
+    Hash-checked since r8: the fake PCM stream is an md5 hex chain the
+    DuckDB oracle replays bit-for-bit, and every emitted double is exact —
+    rms = sqrt of an exact dyadic (integer sums / powers of two, IEEE sqrt
+    correctly rounded), zcr = one correctly-rounded integer division
+    (count/2047), dur = 2048/16000 exactly — so the float32 gate columns are
+    bit-identical to the oracle's CAST(x AS FLOAT). The FFT band split stays
+    library-only (not SQL-expressible)."""
     from polars_st_spark.operators.multimodal import audio_features
 
-    docs = spark.read.parquet(f"{sf}/documents.parquet").limit(50)
+    docs = spark.read.parquet(f"{sf}/documents.parquet").where(F.col("doc_id") < 50)
     payloads = docs.select("doc_id", F.encode("text", "utf-8").alias("payload"))
     out = audio_features(payloads, "payload", "doc_id", n_samples=2048)
     return out.select(
         "doc_id",
-        F.round("duration_s", 5).alias("dur"),
-        F.round("rms", 5).alias("rms"),
-        F.round("zero_crossing_rate", 5).alias("zcr"),
+        F.col("duration_s").alias("dur"),
+        F.col("rms").alias("rms"),
+        F.col("zero_crossing_rate").alias("zcr"),
     )
 
 
 def q_multimodal_features(spark, sf):
     """Binary payload plumbing: deterministic pseudo-decode features.
 
-    Gate output is scalar-only (f0/f1/f2 floats) — the driver's pandas
+    Hash-checked since r8: the fake pixel stream is an md5 hex chain
+    (seed = md5(payload hex); block_k = md5(seed || ':' || k)) the DuckDB
+    oracle replays, and each channel mean is an exact dyadic (16-byte sum /
+    16, representable in float32), so round(·, 5) is the identity on both
+    sides. Gate output is scalar-only (f0/f1/f2) — the driver's pandas
     canonicalizer cannot hash array<float> cells; the array API stays in the
     library (`operators/multimodal.py image_features`).
     """
-    docs = spark.read.parquet(f"{sf}/documents.parquet").limit(50)
+    docs = spark.read.parquet(f"{sf}/documents.parquet").where(F.col("doc_id") < 50)
     payloads = docs.select("doc_id", F.encode("text", "utf-8").alias("payload"))
     feats = image_features(payloads, "payload", "doc_id", decode="fake", resize=(4, 4))
     return feats.select(
@@ -3067,6 +3078,8 @@ def oracle_sql() -> dict[str, str]:
         "geohash_suite": _oracle_geohash_suite(),
         "nearest_join": _oracle_nearest_join(),
         "multimodal_real": _oracle_multimodal_real(),
+        "multimodal_features": _oracle_multimodal_features(),
+        "multimodal_audio": _oracle_multimodal_audio(),
         "pipeline_e2e": _oracle_pipeline_e2e(),
         "sjoin_touches": """
             WITH g AS (
@@ -4215,6 +4228,82 @@ def _oracle_pipeline_e2e() -> str:
                array_to_string(list_slice(toks, s + 1, s + 6), ' ') AS chunk_text,
                len(list_slice(toks, s + 1, s + 6))::INT AS chunk_n_tokens
         FROM starts"""
+
+
+def _FAKE_STREAM_CTE(n_blocks: int) -> str:
+    """Replay operators/multimodal._fake_decode's md5 hex chain in SQL:
+    seed = md5(utf-8 payload) hex; block_k = md5(seed || ':' || k); the
+    byte stream is the concatenation of the raw block digests — here kept
+    as one hex string per doc (2 chars per byte)."""
+    return f"""
+        d AS (SELECT doc_id, md5(text) AS seed FROM documents WHERE doc_id < 50),
+        blocks AS (
+          SELECT doc_id,
+                 string_agg(md5(seed || ':' || k), '' ORDER BY k) AS hx
+          FROM d, range({n_blocks}) r(k)
+          GROUP BY doc_id
+        )"""
+
+
+def _oracle_multimodal_features() -> str:
+    """image_features(decode='fake', resize=(4,4)) replay (r8 graduation
+    from rows-only): 48 stream bytes = 3 md5 blocks; channel mean c =
+    sum of bytes at positions ≡ c (mod 3) / 16 — an exact dyadic with at
+    most 4 decimal digits, representable in float32, so round(·,5) is the
+    identity on both engines and the doubles compare bit-equal."""
+    return f"""
+        WITH {_FAKE_STREAM_CTE(3)},
+        b AS (
+          SELECT doc_id, n,
+                 ('0x' || substr(hx, (2 * n + 1)::INT, 2))::INT AS v
+          FROM blocks, range(48) r(n)
+        )
+        SELECT doc_id,
+               4 AS height, 4 AS width, 3 AS channels,
+               round(SUM(CASE WHEN n % 3 = 0 THEN v END) / 16.0, 5) AS f0,
+               round(SUM(CASE WHEN n % 3 = 1 THEN v END) / 16.0, 5) AS f1,
+               round(SUM(CASE WHEN n % 3 = 2 THEN v END) / 16.0, 5) AS f2
+        FROM b GROUP BY doc_id"""
+
+
+def _oracle_multimodal_audio() -> str:
+    """audio_features(decode='fake', n_samples=2048) replay (r8 graduation
+    from rows-only): 2048 little-endian uint16 samples from the first 4096
+    stream bytes (257 blocks cover the 4098-byte fake frame), s = u - 32768,
+    pcm = s/32768. Every compared double is exact or correctly rounded ONCE:
+    rms = sqrt((Σs² / 2048) / 2³⁰) — the sum is an exact int64 (< 2⁴¹), the
+    two divisions are by powers of two (exact), sqrt is IEEE
+    correctly-rounded — numpy's pairwise mean is bit-identical because every
+    partial sum is exact; zcr = crossings/2047 (one correctly-rounded
+    division; signbit(pcm) ⇔ s < 0 since s = 0 gives +0.0); dur =
+    2048/16000 = 0.128 exactly. The gate emits the library's raw float32
+    columns and the oracle CASTs to FLOAT, so both sides widen the same
+    float32 bit pattern."""
+    return f"""
+        WITH {_FAKE_STREAM_CTE(257)},
+        s AS (
+          SELECT doc_id, i,
+                 (('0x' || substr(hx, (4 * i + 3)::INT, 2)
+                        || substr(hx, (4 * i + 1)::INT, 2))::INT - 32768) AS sv
+          FROM blocks, range(2048) r(i)
+        ),
+        s2 AS (
+          SELECT doc_id, sv,
+                 lag(sv) OVER (PARTITION BY doc_id ORDER BY i) AS pv
+          FROM s
+        ),
+        feat AS (
+          SELECT doc_id,
+                 SUM(sv::BIGINT * sv::BIGINT) AS ss,
+                 SUM(CASE WHEN pv IS NOT NULL AND ((sv < 0) <> (pv < 0))
+                          THEN 1 ELSE 0 END) AS zc
+          FROM s2 GROUP BY doc_id
+        )
+        SELECT doc_id,
+               CAST(0.128 AS FLOAT) AS dur,
+               CAST(sqrt((ss / 2048.0) / 1073741824.0) AS FLOAT) AS rms,
+               CAST(zc / 2047.0 AS FLOAT) AS zcr
+        FROM feat"""
 
 
 def _oracle_multimodal_real() -> str:

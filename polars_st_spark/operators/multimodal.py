@@ -342,13 +342,19 @@ def _real_decode_image(payload: bytes, h: int, w: int) -> np.ndarray:
 
 
 def _fake_decode(payload: bytes, h: int = 8, w: int = 8) -> np.ndarray:
-    """Deterministic pseudo-decode: pixels from the md5 stream of the payload."""
+    """Deterministic pseudo-decode: pixels from the md5 stream of the payload.
+
+    The stream chains over ASCII hex (seed = md5(payload).hexdigest();
+    block_k = md5(f"{seed}:{k}")) rather than raw digest bytes, so an ANSI
+    SQL oracle whose md5() only accepts VARCHAR (DuckDB) can replay it
+    bit-for-bit — that is what graduates the multimodal_features /
+    multimodal_audio gates from rows-only to hash-checked (r8)."""
     need = h * w * 3
     out = bytearray()
     counter = 0
-    seed = hashlib.md5(payload).digest()
+    seed = hashlib.md5(payload).hexdigest()
     while len(out) < need:
-        out.extend(hashlib.md5(seed + counter.to_bytes(4, "little")).digest())
+        out.extend(hashlib.md5(f"{seed}:{counter}".encode()).digest())
         counter += 1
     return np.frombuffer(bytes(out[:need]), dtype=np.uint8).reshape(h, w, 3)
 
