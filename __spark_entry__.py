@@ -2371,6 +2371,21 @@ def q_multimodal_real(spark, sf):
         return _pd.Series(out)
 
     @F.pandas_udf("binary")
+    def pjpeg_payload(ids):
+        # r8: solid-gray 11x19 PROGRESSIVE JPEG at quality 85 (DC step 5):
+        # the scan script (DC Al=1 -> AC bands -> AC/DC refinements) must
+        # reassemble the DC-only coefficients exactly; decoded value is the
+        # q=5 closed form in the oracle, tie-free over the color map
+        from polars_st_spark.operators.jpeg import encode_jpeg
+
+        out = []
+        for i in ids:
+            c = (int(i) * 13 + 40) % 180 + 30
+            out.append(encode_jpeg(_np.full((11, 19), c, _np.uint8),
+                                   quality=85, progressive=True))
+        return _pd.Series(out)
+
+    @F.pandas_udf("binary")
     def wav_payload(ids):
         out = []
         for i in ids:
@@ -2393,6 +2408,7 @@ def q_multimodal_real(spark, sf):
         wav_payload("doc_id").alias("wav"),
         png_payload("doc_id").alias("png"),
         jpeg_payload("doc_id").alias("jpg"),
+        pjpeg_payload("doc_id").alias("pjpg"),
     )
     img = image_features(
         with_payloads.select("doc_id", "img"), "img", "doc_id",
@@ -2439,7 +2455,20 @@ def q_multimodal_real(spark, sf):
         F.col("features")[1].cast("double").alias("m1"),
         F.col("features")[2].cast("double").alias("m2"),
     )
-    return img.unionByName(aud).unionByName(png).unionByName(jpg)
+    # r8: progressive JPEG (SOF2 spectral selection + successive
+    # approximation) — same DC-only closed form idea at quality 85 (q=5)
+    pjpg = image_features(
+        with_payloads.select("doc_id", "pjpg"), "pjpg", "doc_id",
+        decode="real", resize=(4, 4),
+    ).select(
+        "doc_id",
+        F.lit("pjpeg").alias("modality"),
+        F.col("features")[0].cast("double").alias("m0"),
+        F.col("features")[1].cast("double").alias("m1"),
+        F.col("features")[2].cast("double").alias("m2"),
+    )
+    return (img.unionByName(aud).unionByName(png).unionByName(jpg)
+            .unionByName(pjpg))
 
 
 def q_multimodal_suite(spark, sf):
@@ -4335,6 +4364,16 @@ def _oracle_multimodal_real() -> str:
         " - 128) / 3.0) / 8.0 + 128) AS FLOAT) AS DOUBLE)"
     )
 
+    # r8 progressive-JPEG closed form: same DC-only algebra at quality 85
+    # (Annex-K luminance DC step q=5). Quantization ties are impossible
+    # (16*delta is even, never ≡5 mod 10) and reconstruction ties require
+    # qv ≡ 4 (mod 8), excluded by this color map over all gate ids — so
+    # numpy's half-even and DuckDB's half-away rounding agree.
+    pjpg_val = (
+        "CAST(CAST(ROUND(5 * ROUND(8 * (((doc_id * 13 + 40) % 180 + 30)"
+        " - 128) / 5.0) / 8.0 + 128) AS FLOAT) AS DOUBLE)"
+    )
+
     return f"""
         WITH ids AS (SELECT doc_id FROM documents WHERE doc_id < 100),
         aud AS (
@@ -4364,6 +4403,10 @@ def _oracle_multimodal_real() -> str:
         UNION ALL
         SELECT doc_id, 'jpeg' AS modality,
                {jpg_val} AS m0, {jpg_val} AS m1, {jpg_val} AS m2
+        FROM ids
+        UNION ALL
+        SELECT doc_id, 'pjpeg' AS modality,
+               {pjpg_val} AS m0, {pjpg_val} AS m1, {pjpg_val} AS m2
         FROM ids"""
 
 

@@ -1,22 +1,29 @@
-"""Baseline JPEG codec in pure stdlib + numpy (no Pillow/libjpeg).
+"""JPEG codec in pure stdlib + numpy (no Pillow/libjpeg).
 
-Implements the ITU-T T.81 (1992) baseline sequential DCT process:
+Implements the ITU-T T.81 (1992) baseline sequential AND progressive DCT
+processes:
 
-- decoder: marker walk (SOI/APPn/COM/DQT/DHT/DRI/SOF0/SOS/EOI), canonical
-  Huffman decode of the entropy-coded segment with 0xFF00 byte-unstuffing
-  and RSTn restart handling, dequantization, inverse zigzag, separable
-  float IDCT, H×V chroma upsampling (4:4:4 / 4:2:2 / 4:2:0 via nearest
-  replication per T.81 A.1.1), JFIF YCbCr→RGB.
-- encoder: 4:4:4 (or grayscale) baseline with the Annex K example quant
-  tables (quality-scaled per the common IJG linear mapping) and the
-  Annex K typical Huffman tables.
+- decoder: marker walk (SOI/APPn/COM/DQT/DHT/DRI/SOF0/SOF2/SOS/EOI),
+  canonical Huffman decode of the entropy-coded segment with 0xFF00
+  byte-unstuffing and RSTn restart handling, dequantization, inverse
+  zigzag, separable float IDCT, H×V chroma upsampling (4:4:4 / 4:2:2 /
+  4:2:0 via nearest replication per T.81 A.1.1), JFIF YCbCr→RGB.
+  Progressive (SOF2, Annex G.2): multi-scan coefficient accumulation with
+  spectral selection (per-band AC scans, interleaved or single-component
+  DC scans) and successive approximation (DC appended-bit refinement, AC
+  correction-bit refinement with EOBn run codes), then one batched IDCT.
+- encoder: 4:4:4 / 4:2:0 (or grayscale) with the Annex K example quant
+  tables (quality-scaled per the common IJG linear mapping); baseline with
+  the Annex K typical Huffman tables, or ``progressive=True`` emitting a
+  spectral-selection + successive-approximation scan script whose decoded
+  output is bit-identical to the baseline encoding's (same coefficients).
 
 Envelope (documented like the PNG codec in operators/multimodal.py):
-baseline sequential 8-bit only — progressive (SOF2), arithmetic coding,
-hierarchical, and 12-bit inputs raise ValueError naming the limitation.
-The Huffman bit loop is interpreter-bound: fine for the thumbnail-scale
-gate payloads this module decodes inside mapInPandas batches; swap in an
-optimized codec for megapixel inputs.
+8-bit Huffman processes only — arithmetic coding, hierarchical, and 12-bit
+inputs raise ValueError naming the limitation. The Huffman bit loop is
+interpreter-bound: fine for the thumbnail-scale gate payloads this module
+decodes inside mapInPandas batches; swap in an optimized codec for
+megapixel inputs.
 
 Reference parity: the reference exposes no media codecs (this module
 serves the driver's multimodal-pipeline mandate, like the PNG path);
@@ -205,8 +212,10 @@ def _extend(v: int, t: int) -> int:
 
 def decode_jpeg(data: bytes) -> np.ndarray:
     """(h, w) uint8 grayscale or (h, w, 3) uint8 RGB from a baseline
-    sequential 8-bit JPEG/JFIF payload. See module docstring for the
-    envelope; malformed inputs raise ValueError."""
+    sequential (SOF0) or progressive (SOF2, spectral selection +
+    successive approximation, T.81 Annex G.2) 8-bit JPEG/JFIF payload.
+    See module docstring for the envelope; malformed inputs raise
+    ValueError."""
     if len(data) < 4 or data[0:2] != b"\xff\xd8":
         raise ValueError("not a JPEG payload (missing SOI)")
     pos = 2
@@ -215,13 +224,22 @@ def decode_jpeg(data: bytes) -> np.ndarray:
     huff_ac: dict[int, tuple] = {}
     sof = None
     restart_interval = 0
-    while pos + 4 <= len(data):
+    progressive = False
+    coefs = None  # progressive: per-component accumulated coefficients
+    n_scans = 0
+    while pos + 2 <= len(data):
         if data[pos] != 0xFF:
             raise ValueError(f"JPEG: expected marker at offset {pos}")
-        marker = data[pos + 1]
+        while pos + 1 < len(data) and data[pos + 1] == 0xFF:
+            pos += 1  # T.81 B.1.1.2 fill bytes before the marker byte
+        marker = data[pos + 1] if pos + 1 < len(data) else 0xD9
         if marker == 0xD8:  # stray SOI
             pos += 2
             continue
+        if marker == 0xD9:  # EOI
+            break
+        if pos + 4 > len(data):
+            raise ValueError(f"JPEG: truncated segment 0xFF{marker:02X}")
         (seglen,) = struct.unpack_from(">H", data, pos + 2)
         if pos + 2 + seglen > len(data):
             raise ValueError(f"JPEG: truncated segment 0xFF{marker:02X}")
@@ -251,7 +269,7 @@ def decode_jpeg(data: bytes) -> np.ndarray:
                 b += 17 + n
                 tbl = _build_decode_table(bits, values)
                 (huff_dc if tc == 0 else huff_ac)[th] = tbl
-        elif marker == 0xC0:  # SOF0 baseline
+        elif marker in (0xC0, 0xC2):  # SOF0 baseline / SOF2 progressive
             prec, h, w, ncomp = body[0], *struct.unpack_from(">HH", body, 1), body[5]
             if prec != 8:
                 raise ValueError(f"JPEG: only 8-bit precision supported, got {prec}")
@@ -260,11 +278,15 @@ def decode_jpeg(data: bytes) -> np.ndarray:
                 cid, hv, tq = body[6 + 3 * i : 9 + 3 * i]
                 comps.append({"id": cid, "h": hv >> 4, "v": hv & 0xF, "tq": tq})
             sof = {"h": h, "w": w, "comps": comps}
-        elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7,
+            progressive = marker == 0xC2
+        elif marker in (0xC1, 0xC3, 0xC5, 0xC6, 0xC7,
                         0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
-            kind = {0xC2: "progressive (SOF2)"}.get(marker, f"SOF{marker - 0xC0}")
+            kind = ("arithmetic-coded" if marker in (0xC9, 0xCA, 0xCB, 0xCD,
+                                                     0xCE, 0xCF) else "") or \
+                f"SOF{marker - 0xC0}"
             raise ValueError(
-                f"JPEG: only baseline sequential (SOF0) supported, got {kind}")
+                "JPEG: only baseline sequential (SOF0) and progressive "
+                f"(SOF2) supported, got {kind}")
         elif marker == 0xDD:  # DRI
             (restart_interval,) = struct.unpack_from(">H", body, 0)
         elif marker == 0xDA:  # SOS — entropy data follows
@@ -274,17 +296,34 @@ def decode_jpeg(data: bytes) -> np.ndarray:
                 cid, tt = body[1 + 2 * i], body[2 + 2 * i]
                 scomps.append({"id": cid, "dc": tt >> 4, "ac": tt & 0xF})
             if sof is None:
-                raise ValueError("JPEG: SOS before SOF0")
-            return _decode_scan(data, pos, sof, scomps, qt, huff_dc, huff_ac,
-                                restart_interval)
+                raise ValueError("JPEG: SOS before SOF")
+            if not progressive:
+                return _decode_scan(data, pos, sof, scomps, qt, huff_dc,
+                                    huff_ac, restart_interval)
+            ss, se = body[1 + 2 * ns], body[2 + 2 * ns]
+            a = body[3 + 2 * ns]
+            ah, al = a >> 4, a & 0xF
+            if coefs is None:
+                coefs = _alloc_coefs(sof)
+            intervals, end = _split_entropy(data, pos)
+            _progressive_scan(intervals, sof, scomps, ss, se, ah, al,
+                              huff_dc, huff_ac, restart_interval, coefs)
+            n_scans += 1
+            pos = end
         # APPn / COM / others: skipped
+    if progressive and n_scans:
+        planes = _idct_planes(coefs, sof, qt)
+        return _planes_to_image(planes, sof)
     raise ValueError("JPEG: no SOS marker found")
 
 
-def _decode_scan(data, pos, sof, scomps, qt, huff_dc, huff_ac, restart_interval):
+def _split_entropy(data, pos):
     """Un-stuff the entropy-coded segment (0xFF00 → 0xFF), splitting at
     RSTn markers into restart intervals (T.81 F.2.1.3.1: each interval is
-    independently byte-aligned with DC predictors reset)."""
+    independently byte-aligned with DC predictors reset). Returns
+    (intervals, end) where ``end`` is the offset of the first byte of the
+    marker that terminated the scan (so a progressive multi-scan walk can
+    resume marker parsing there)."""
     intervals: list[bytes] = []
     out = bytearray()
     i = pos
@@ -312,6 +351,11 @@ def _decode_scan(data, pos, sof, scomps, qt, huff_dc, huff_ac, restart_interval)
         out.append(b)
         i += 1
     intervals.append(bytes(out))
+    return intervals, min(i, n)
+
+
+def _decode_scan(data, pos, sof, scomps, qt, huff_dc, huff_ac, restart_interval):
+    intervals, _ = _split_entropy(data, pos)
     return _entropy_decode(intervals, sof, scomps, qt, huff_dc, huff_ac,
                            restart_interval)
 
@@ -387,7 +431,16 @@ def _entropy_decode(intervals, sof, scomps, qt, huff_dc, huff_ac,
         raise ValueError(
             f"JPEG: entropy data covers {mcu_done} of {n_mcu} MCUs")
 
-    # upsample each plane to full resolution (nearest replication) and crop
+    return _planes_to_image(planes, sof)
+
+
+def _planes_to_image(planes, sof):
+    """Upsample each component plane to full resolution (nearest
+    replication per T.81 A.1.1), crop, and JFIF YCbCr→RGB convert."""
+    h, w = sof["h"], sof["w"]
+    comps = sof["comps"]
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
     full = []
     for c in comps:
         p = planes[c["id"]]
@@ -407,20 +460,252 @@ def _entropy_decode(intervals, sof, scomps, qt, huff_dc, huff_ac,
     return np.clip(np.round(rgb), 0, 255).astype(np.uint8)
 
 
+# ---------------------------------------------------------------------------
+# Progressive decoding (T.81 Annex G.2: spectral selection + successive
+# approximation over the same canonical-Huffman / IDCT core)
+# ---------------------------------------------------------------------------
+
+def _mcu_geometry(sof):
+    comps = sof["comps"]
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+    mcux = -(-sof["w"] // (8 * hmax))
+    mcuy = -(-sof["h"] // (8 * vmax))
+    return hmax, vmax, mcux, mcuy
+
+
+def _alloc_coefs(sof):
+    """Per-component accumulated DCT coefficients in ZIGZAG order, on the
+    MCU-padded block grid (blocks_y, blocks_x, 64)."""
+    _, _, mcux, mcuy = _mcu_geometry(sof)
+    return {c["id"]: np.zeros((mcuy * c["v"], mcux * c["h"], 64), dtype=np.int32)
+            for c in sof["comps"]}
+
+
+def _comp_blocks_used(sof, c):
+    """Block grid for a NON-interleaved scan (T.81 A.2.2): ceil of the
+    component's own sample dimensions / 8 — may be smaller than the
+    MCU-padded allocation grid."""
+    hmax, vmax, _, _ = _mcu_geometry(sof)
+    cw = -(-sof["w"] * c["h"] // hmax)
+    ch = -(-sof["h"] * c["v"] // vmax)
+    return -(-ch // 8), -(-cw // 8)
+
+
+def _progressive_scan(intervals, sof, scomps, ss, se, ah, al,
+                      huff_dc, huff_ac, restart_interval, coefs):
+    """Apply one progressive scan to the accumulated coefficient store.
+
+    DC scans (Ss=Se=0) may be interleaved (MCU walk, ns>=1) or single
+    component; AC scans must be single-component (T.81 G.1.1.1). Ah=0 is a
+    first scan, Ah>0 a successive-approximation refinement. Restart
+    intervals reset DC predictors AND the EOB run."""
+    comps = sof["comps"]
+    by_id = {c["id"]: c for c in comps}
+    _, _, mcux, mcuy = _mcu_geometry(sof)
+    order = []
+    for sc in scomps:
+        c = by_id.get(sc["id"])
+        if c is None:
+            raise ValueError(f"JPEG: SOS component {sc['id']} not in SOF")
+        order.append((c, sc))
+
+    if ss == 0:  # DC scan
+        if se != 0:
+            raise ValueError("JPEG: progressive scan with Ss=0 must have Se=0")
+        tables = {}
+        for c, sc in order:
+            if ah == 0:
+                if sc["dc"] not in huff_dc:
+                    raise ValueError("JPEG: SOS references an undefined Huffman table")
+                tables[c["id"]] = huff_dc[sc["dc"]]
+        interleaved = len(order) > 1
+        if interleaved:
+            n_units = mcux * mcuy
+        else:
+            bh, bw = _comp_blocks_used(sof, order[0][0])
+            n_units = bh * bw
+        interval_len = restart_interval if restart_interval else n_units
+        done = 0
+        for seg in intervals:
+            if done >= n_units:
+                break
+            br = _BitReader(seg)
+            preds = {c["id"]: 0 for c, _ in order}
+            k_units = min(interval_len, n_units - done)
+            for u in range(k_units):
+                m = done + u
+                if interleaved:
+                    my, mx = divmod(m, mcux)
+                    for c, sc in order:
+                        for byy in range(c["v"]):
+                            for bxx in range(c["h"]):
+                                blk = coefs[c["id"]][my * c["v"] + byy,
+                                                     mx * c["h"] + bxx]
+                                _dc_unit(br, blk, tables.get(c["id"]),
+                                         preds, c, ah, al)
+                else:
+                    c, sc = order[0]
+                    byy, bxx = divmod(m, bw)
+                    _dc_unit(br, coefs[c["id"]][byy, bxx],
+                             tables.get(c["id"]), preds, c, ah, al)
+            done += k_units
+        if done < n_units:
+            raise ValueError(f"JPEG: entropy data covers {done} of {n_units} units")
+        return
+
+    # AC scan: exactly one component (T.81 G.1.1.1)
+    if len(order) != 1:
+        raise ValueError("JPEG: progressive AC scan must have exactly one component")
+    c, sc = order[0]
+    if sc["ac"] not in huff_ac:
+        raise ValueError("JPEG: SOS references an undefined Huffman table")
+    act = huff_ac[sc["ac"]]
+    if not (1 <= ss <= se <= 63):
+        raise ValueError(f"JPEG: bad spectral band Ss={ss} Se={se}")
+    bh, bw = _comp_blocks_used(sof, c)
+    arr = coefs[c["id"]]
+    n_units = bh * bw
+    interval_len = restart_interval if restart_interval else n_units
+    done = 0
+    for seg in intervals:
+        if done >= n_units:
+            break
+        br = _BitReader(seg)
+        eobrun = 0
+        k_units = min(interval_len, n_units - done)
+        for u in range(k_units):
+            byy, bxx = divmod(done + u, bw)
+            blk = arr[byy, bxx]
+            if ah == 0:
+                eobrun = _ac_first(br, blk, act, ss, se, al, eobrun)
+            else:
+                eobrun = _ac_refine(br, blk, act, ss, se, al, eobrun)
+        done += k_units
+    if done < n_units:
+        raise ValueError(f"JPEG: entropy data covers {done} of {n_units} units")
+
+
+def _dc_unit(br, blk, dct, preds, c, ah, al):
+    if ah == 0:  # first DC scan: baseline diff coding of (DC >> Al)
+        t = _huff_decode(br, dct)
+        diff = _extend(br.read_bits(t), t) if t else 0
+        preds[c["id"]] += diff
+        blk[0] = preds[c["id"]] << al
+    else:  # refinement: one appended magnitude bit (T.81 G.2.1)
+        if br.read_bit():
+            blk[0] |= 1 << al
+
+
+def _ac_first(br, blk, act, ss, se, al, eobrun):
+    """First AC scan of a band (Ah=0): baseline run/size coding of the
+    point-transformed coefficients plus EOBn run codes (T.81 G.2.2)."""
+    if eobrun > 0:
+        return eobrun - 1
+    k = ss
+    while k <= se:
+        rs = _huff_decode(br, act)
+        r, s = rs >> 4, rs & 0xF
+        if s == 0:
+            if r == 15:  # ZRL
+                k += 16
+                continue
+            eobrun = (1 << r) - 1  # EOBn: current block ends here
+            if r:
+                eobrun += br.read_bits(r)
+            return eobrun
+        k += r
+        if k > se:
+            raise ValueError("JPEG: AC index overrun in progressive scan")
+        blk[k] = _extend(br.read_bits(s), s) << al
+        k += 1
+    return 0
+
+
+def _ac_refine(br, blk, act, ss, se, al, eobrun):
+    """AC refinement scan (Ah>0): each already-nonzero coefficient in the
+    band receives one correction bit; run/size codes position newly
+    significant coefficients of magnitude 1 (T.81 G.2.2 correction-bit
+    procedure)."""
+    p1 = 1 << al
+    m1 = -1 << al
+    k = ss
+    if eobrun == 0:
+        while k <= se:
+            rs = _huff_decode(br, act)
+            r, s = rs >> 4, rs & 0xF
+            if s == 0:
+                if r != 15:
+                    eobrun = 1 << r
+                    if r:
+                        eobrun += br.read_bits(r)
+                    break
+                val = 0  # ZRL: skip 16 zero-history coefficients
+            else:
+                if s != 1:
+                    raise ValueError(
+                        "JPEG: invalid magnitude in AC refinement scan")
+                val = p1 if br.read_bit() else m1
+            # advance past r zero-history positions, applying correction
+            # bits to already-nonzero coefficients along the way
+            while k <= se:
+                if blk[k] != 0:
+                    if br.read_bit() and (int(blk[k]) & p1) == 0:
+                        blk[k] += p1 if blk[k] >= 0 else m1
+                else:
+                    if r == 0:
+                        break
+                    r -= 1
+                k += 1
+            if val != 0 and k <= se:
+                blk[k] = val
+            if k <= se:
+                k += 1
+    if eobrun > 0:
+        # EOB: correction bits still flow to the remaining nonzero coefs
+        while k <= se:
+            if blk[k] != 0:
+                if br.read_bit() and (int(blk[k]) & p1) == 0:
+                    blk[k] += p1 if blk[k] >= 0 else m1
+            k += 1
+        eobrun -= 1
+    return eobrun
+
+
+def _idct_planes(coefs, sof, qt):
+    """Dequantize + inverse-zigzag + batched IDCT every accumulated block
+    (one einsum per component, not per block)."""
+    planes = {}
+    for c in sof["comps"]:
+        if c["tq"] not in qt:
+            raise ValueError("JPEG: SOF references an undefined quant table")
+        q = qt[c["tq"]].astype(np.float64)
+        arr = coefs[c["id"]]
+        bh, bw = arr.shape[:2]
+        zz = arr.reshape(bh * bw, 64).astype(np.float64) * q
+        nat = np.zeros_like(zz)
+        nat[:, _ZIGZAG] = zz
+        pix = np.einsum("ij,njk,kl->nil", _DCT_C.T,
+                        nat.reshape(-1, 8, 8), _DCT_C) + 128.0
+        planes[c["id"]] = pix.reshape(bh, bw, 8, 8).transpose(
+            0, 2, 1, 3).reshape(bh * 8, bw * 8)
+    return planes
+
+
 def decode_jpeg_size(data: bytes) -> tuple:
-    """(h, w, ncomp) from the SOF0 header without full decode."""
+    """(h, w, ncomp) from the SOF0/SOF2 header without full decode."""
     pos = 2
     while pos + 4 <= len(data):
         if data[pos] != 0xFF:
             raise ValueError("JPEG: bad marker stream")
         marker = data[pos + 1]
         (seglen,) = struct.unpack_from(">H", data, pos + 2)
-        if marker == 0xC0:
+        if marker in (0xC0, 0xC2):
             body = data[pos + 4 : pos + 2 + seglen]
             h, w = struct.unpack_from(">HH", body, 1)
             return h, w, body[5]
         pos += 2 + seglen
-    raise ValueError("JPEG: no SOF0 header")
+    raise ValueError("JPEG: no SOF0/SOF2 header")
 
 
 # ---------------------------------------------------------------------------
@@ -520,15 +805,210 @@ def _pad_to(p: np.ndarray, hh: int, ww: int) -> np.ndarray:
     return pp
 
 
+# Progressive AC scans need EOBn symbols (0x10..0xE0), which the Annex K
+# AC tables do not define. One flat canonical table with every (r, s) pair
+# r=0..15, s=0..10 at code length 8 (176 symbols < 256, Kraft-valid, no
+# all-ones code) keeps the encoder simple; payload sizes here don't need
+# optimal tables.
+_HUFF_AC_PROG = (
+    [0, 0, 0, 0, 0, 0, 0, 176, 0, 0, 0, 0, 0, 0, 0, 0],
+    [(r << 4) | s for r in range(16) for s in range(11)],
+)
+
+
+class _ProgACWriter:
+    """Cross-block AC scan state (T.81 G.1.2.2): a pending EOB run plus the
+    two correction-bit buffers a refinement scan needs — bits attached to
+    the pending run (flushed with the EOBn symbol) and bits buffered within
+    the current block (flushed after that block's next run/size symbol)."""
+
+    __slots__ = ("bw", "ac", "eobrun", "run_corr", "corr")
+
+    def __init__(self, bw, ac_tab):
+        self.bw = bw
+        self.ac = ac_tab
+        self.eobrun = 0
+        self.run_corr: list[int] = []  # correction bits owned by the run
+        self.corr: list[int] = []  # correction bits of the current block
+
+    def emit_eobrun(self):
+        if self.eobrun > 0:
+            nbits = self.eobrun.bit_length() - 1
+            code, ln = self.ac[nbits << 4]
+            self.bw.write(code, ln)
+            if nbits:
+                self.bw.write(self.eobrun - (1 << nbits), nbits)
+            self.eobrun = 0
+        for b in self.run_corr:
+            self.bw.write(b, 1)
+        self.run_corr = []
+
+    def flush_corr(self):
+        for b in self.corr:
+            self.bw.write(b, 1)
+        self.corr = []
+
+    def end_block(self, r):
+        """Block produced no further symbols: fold trailing zeros and any
+        buffered correction bits into the EOB run."""
+        if r > 0 or self.corr:
+            self.eobrun += 1
+            self.run_corr.extend(self.corr)
+            self.corr = []
+            if self.eobrun == 0x7FFF:
+                self.emit_eobrun()
+
+
+def _enc_dc_scan(bw, zzs, comps, enc_dc, ah, al, restart_interval):
+    """One progressive DC scan (interleaved over all components).
+    Ah=0: diff coding of DC >> Al (arithmetic shift, G.1.2.1);
+    Ah>0: one appended magnitude bit per block."""
+    cv0, ch0 = comps[0][1], comps[0][0]
+    mcuy = zzs[0].shape[0] // cv0
+    mcux = zzs[0].shape[1] // ch0
+    preds = [0] * len(zzs)
+    rst = 0
+    since = 0
+    for m in range(mcux * mcuy):
+        if restart_interval and since == restart_interval:
+            bw.restart(rst)
+            rst = (rst + 1) & 7
+            since = 0
+            preds = [0] * len(zzs)
+        my, mx = divmod(m, mcux)
+        for ci, (zz, (ch, cv, cq, ht)) in enumerate(zip(zzs, comps)):
+            for by in range(cv):
+                for bx in range(ch):
+                    v = int(zz[my * cv + by, mx * ch + bx, 0])
+                    if ah == 0:
+                        d = (v >> al) - preds[ci]
+                        preds[ci] = v >> al
+                        t = _category(d)
+                        code, ln = enc_dc[ht][t]
+                        bw.write(code, ln)
+                        if t:
+                            bw.write(d if d > 0 else d + (1 << t) - 1, t)
+                    else:
+                        bw.write((v >> al) & 1, 1)
+        since += 1
+
+
+def _enc_ac_first_scan(bw, zz, ss, se, al, ac_tab, restart_interval):
+    """First AC scan of a band: run/size coding of |coef| >> Al with sign,
+    EOBn codes for runs of band-empty blocks (G.1.2.2)."""
+    bh, bwid = zz.shape[:2]
+    pw = _ProgACWriter(bw, ac_tab)
+    rst = 0
+    since = 0
+    for m in range(bh * bwid):
+        if restart_interval and since == restart_interval:
+            pw.emit_eobrun()
+            bw.restart(rst)
+            rst = (rst + 1) & 7
+            since = 0
+        byy, bxx = divmod(m, bwid)
+        blk = zz[byy, bxx]
+        r = 0
+        for k in range(ss, se + 1):
+            v = int(blk[k])
+            t = (-v if v < 0 else v) >> al
+            if t == 0:
+                r += 1
+                continue
+            pw.emit_eobrun()
+            while r > 15:
+                code, ln = ac_tab[0xF0]
+                bw.write(code, ln)
+                r -= 16
+            s = t.bit_length()
+            sv = t if v > 0 else -t
+            code, ln = ac_tab[(r << 4) | s]
+            bw.write(code, ln)
+            bw.write(sv if sv > 0 else sv + (1 << s) - 1, s)
+            r = 0
+        pw.end_block(r)
+        since += 1
+    pw.emit_eobrun()
+
+
+def _enc_ac_refine_scan(bw, zz, ss, se, al, ac_tab, restart_interval):
+    """AC refinement scan: correction bits for already-nonzero coefficients,
+    run/size symbols (s=1 only) positioning newly significant magnitude-1
+    coefficients (G.1.2.3). Correction bits buffered within the current
+    block flush after its next symbol; bits from band-empty blocks attach
+    to the pending EOB run (libjpeg's BE/BR split, re-derived from the
+    decoder's consumption order)."""
+    bh, bwid = zz.shape[:2]
+    pw = _ProgACWriter(bw, ac_tab)
+    rst = 0
+    since = 0
+    for m in range(bh * bwid):
+        if restart_interval and since == restart_interval:
+            pw.emit_eobrun()
+            bw.restart(rst)
+            rst = (rst + 1) & 7
+            since = 0
+        byy, bxx = divmod(m, bwid)
+        blk = zz[byy, bxx]
+        absv = [(-int(v) if v < 0 else int(v)) >> al for v in blk[ss:se + 1]]
+        eob = -1  # band-relative index of the last newly-significant coef
+        for i, t in enumerate(absv):
+            if t == 1:
+                eob = i
+        r = 0
+        for i, t in enumerate(absv):
+            if t == 0:
+                r += 1
+                continue
+            while r > 15 and i <= eob:
+                pw.emit_eobrun()
+                code, ln = ac_tab[0xF0]
+                bw.write(code, ln)
+                r -= 16
+                pw.flush_corr()
+            if t > 1:  # already significant: one correction bit
+                pw.corr.append(t & 1)
+                continue
+            # newly significant (magnitude exactly 1 at this approximation)
+            pw.emit_eobrun()
+            code, ln = ac_tab[(r << 4) | 1]
+            bw.write(code, ln)
+            bw.write(1 if int(blk[ss + i]) > 0 else 0, 1)
+            pw.flush_corr()
+            r = 0
+        pw.end_block(r)
+        since += 1
+    pw.emit_eobrun()
+
+
+def _quantized_blocks(padded, qtabs):
+    """Per component: (bh, bw, 64) int64 ZIGZAG-order quantized DCT
+    coefficients (batched einsum, same math as _encode_block)."""
+    out = []
+    for (p, ch, cv, cq, ht) in padded:
+        hh, ww = p.shape
+        bh, bwid = hh // 8, ww // 8
+        blocks = p.reshape(bh, 8, bwid, 8).transpose(0, 2, 1, 3).reshape(-1, 8, 8)
+        coef = np.einsum("ij,njk,kl->nil", _DCT_C, blocks - 128.0, _DCT_C.T)
+        zz = np.round(coef.reshape(-1, 64)[:, _ZIGZAG] / qtabs[cq]).astype(np.int64)
+        out.append(zz.reshape(bh, bwid, 64))
+    return out
+
+
 def encode_jpeg(img: np.ndarray, quality: int = 90, subsample: str = "444",
-                restart_interval: int = 0) -> bytes:
-    """Baseline JPEG bytes from (h, w) gray or (h, w, 3) RGB uint8.
+                restart_interval: int = 0, progressive: bool = False) -> bytes:
+    """Baseline (SOF0) or progressive (SOF2) JPEG bytes from (h, w) gray
+    or (h, w, 3) RGB uint8.
 
     ``subsample``: "444" (no chroma subsampling) or "420" (2x2 box-averaged
     chroma, the common camera default). ``restart_interval``: emit RSTn
-    every N MCUs (DRI; 0 = none). Annex K tables scaled by ``quality``
-    (IJG linear mapping). Lossy: decode(encode(x)) approximates x within
-    quantization error."""
+    every N MCUs (DRI; 0 = none). ``progressive``: emit a spectral-selection
+    + successive-approximation scan script (DC Al=1 → AC bands 1-5 / 6-63 at
+    Al=2 → AC refinements Al=1, Al=0 → DC refinement) — same quantized
+    coefficients as baseline, so the decoded image is bit-identical to the
+    baseline encoding's. Annex K tables scaled by ``quality`` (IJG linear
+    mapping). Lossy: decode(encode(x)) approximates x within quantization
+    error."""
     img = np.asarray(img)
     if img.ndim == 2:
         img = img[:, :, None]
@@ -569,25 +1049,23 @@ def encode_jpeg(img: np.ndarray, quality: int = 90, subsample: str = "444",
     sof = bytes([8]) + struct.pack(">HH", h, w) + bytes([len(comps)])
     for i, (_, ch, cv, cq, _) in enumerate(comps):
         sof += bytes([i + 1, (ch << 4) | cv, cq])
-    out += _seg(0xC0, sof)
+    out += _seg(0xC2 if progressive else 0xC0, sof)
 
     def dht(tc, th, spec):
         bits, values = spec
         return _seg(0xC4, bytes([tc << 4 | th]) + bytes(bits) + bytes(values))
 
-    out += dht(0, 0, _HUFF_DC_LUM) + dht(1, 0, _HUFF_AC_LUM)
-    if nch == 3:
-        out += dht(0, 1, _HUFF_DC_CHROM) + dht(1, 1, _HUFF_AC_CHROM)
+    if progressive:
+        out += dht(0, 0, _HUFF_DC_LUM) + dht(1, 0, _HUFF_AC_PROG)
+        if nch == 3:
+            out += dht(0, 1, _HUFF_DC_CHROM)
+    else:
+        out += dht(0, 0, _HUFF_DC_LUM) + dht(1, 0, _HUFF_AC_LUM)
+        if nch == 3:
+            out += dht(0, 1, _HUFF_DC_CHROM) + dht(1, 1, _HUFF_AC_CHROM)
     if restart_interval:
         out += _seg(0xDD, struct.pack(">H", restart_interval))
-    sos = bytes([len(comps)])
-    for i, (_, _, _, _, ht) in enumerate(comps):
-        sos += bytes([i + 1, (ht << 4) | ht])
-    sos += bytes([0, 63, 0])
-    out += _seg(0xDA, sos)
 
-    enc_dc = [_build_encode_table(*_HUFF_DC_LUM), _build_encode_table(*_HUFF_DC_CHROM)]
-    enc_ac = [_build_encode_table(*_HUFF_AC_LUM), _build_encode_table(*_HUFF_AC_CHROM)]
     hmax = max(c[1] for c in comps)
     vmax = max(c[2] for c in comps)
     mcux = -(-w // (8 * hmax))
@@ -596,6 +1074,66 @@ def encode_jpeg(img: np.ndarray, quality: int = 90, subsample: str = "444",
         (_pad_to(p, mcuy * cv * 8, mcux * ch * 8), ch, cv, cq, ht)
         for (p, ch, cv, cq, ht) in comps
     ]
+
+    if progressive:
+        enc_dc = [_build_encode_table(*_HUFF_DC_LUM),
+                  _build_encode_table(*_HUFF_DC_CHROM)]
+        enc_ac_prog = _build_encode_table(*_HUFF_AC_PROG)
+        zzs = _quantized_blocks(padded, qtabs)
+        specs = [(ch, cv, cq, ht) for (_, ch, cv, cq, ht) in padded]
+
+        def sos_seg(comp_ids, ss, se, ah, al):
+            body = bytes([len(comp_ids)])
+            for i in comp_ids:
+                ht = specs[i][3]
+                body += bytes([i + 1, (ht << 4) | 0])  # Td=ht, Ta=0 (prog AC)
+            return _seg(0xDA, body + bytes([ss, se, (ah << 4) | al]))
+
+        def run_scan(comp_ids, ss, se, ah, al):
+            nonlocal out
+            out += sos_seg(comp_ids, ss, se, ah, al)
+            bw = _BitWriter()
+            if ss == 0:
+                _enc_dc_scan(bw, [zzs[i] for i in comp_ids],
+                             [specs[i] for i in comp_ids], enc_dc, ah, al,
+                             restart_interval)
+            else:
+                (i,) = comp_ids
+                c = {"h": specs[i][0], "v": specs[i][1]}
+                sof_d = {"h": h, "w": w,
+                         "comps": [{"h": s[0], "v": s[1]} for s in specs]}
+                bh, bwid = _comp_blocks_used(sof_d, c)
+                zz = zzs[i][:bh, :bwid]
+                if ah == 0:
+                    _enc_ac_first_scan(bw, zz, ss, se, al, enc_ac_prog,
+                                       restart_interval)
+                else:
+                    _enc_ac_refine_scan(bw, zz, ss, se, al, enc_ac_prog,
+                                        restart_interval)
+            out += bw.flush()
+
+        all_ids = list(range(len(comps)))
+        run_scan(all_ids, 0, 0, 0, 1)  # DC first, Al=1
+        for i in all_ids:
+            run_scan([i], 1, 5, 0, 2)  # low AC band first, Al=2
+        for i in all_ids:
+            run_scan([i], 6, 63, 0, 2)  # high AC band first, Al=2
+        for i in all_ids:
+            run_scan([i], 1, 63, 2, 1)  # AC refinement Al=1
+        for i in all_ids:
+            run_scan([i], 1, 63, 1, 0)  # AC refinement Al=0
+        run_scan(all_ids, 0, 0, 1, 0)  # DC refinement
+        out += b"\xff\xd9"  # EOI
+        return bytes(out)
+
+    sos = bytes([len(comps)])
+    for i, (_, _, _, _, ht) in enumerate(comps):
+        sos += bytes([i + 1, (ht << 4) | ht])
+    sos += bytes([0, 63, 0])
+    out += _seg(0xDA, sos)
+
+    enc_dc = [_build_encode_table(*_HUFF_DC_LUM), _build_encode_table(*_HUFF_DC_CHROM)]
+    enc_ac = [_build_encode_table(*_HUFF_AC_LUM), _build_encode_table(*_HUFF_AC_CHROM)]
     bw = _BitWriter()
     preds = [0] * len(comps)
     rst_n = 0

@@ -9,13 +9,14 @@ images (BITMAPINFOHEADER 24/32-bpp, hand-parsed per the public Windows BMP
 spec: bottom-up rows, 4-byte padding, BGR order), 8-bit PNG (r6: pure
 stdlib — chunk walk + zlib inflate + the five RFC 2083 scanline filters;
 gray/RGB/palette/alpha color types, CRC-verified), baseline sequential
-JPEG (r7: pure stdlib+numpy ITU-T T.81 — Huffman + dequant + float IDCT +
-4:2:0/4:2:2 upsampling + JFIF YCbCr, ``operators/jpeg.py``, which also
-provides an Annex-K-table encoder) and PCM WAV audio (stdlib ``wave``) —
-with numpy nearest-neighbor resizing and BMP/PNG/JPEG re-encoders, so the
-image/audio pipeline runs REAL bytes with zero external codecs. Formats
-still needing a real codec (progressive JPEG, mp3/mp4) raise
-NotImplementedError naming the dependency (Pillow/ffmpeg — absent here).
+AND progressive JPEG (r7/r8: pure stdlib+numpy ITU-T T.81 — Huffman +
+dequant + float IDCT + 4:2:0/4:2:2 upsampling + JFIF YCbCr; progressive
+spectral selection + successive approximation, ``operators/jpeg.py``,
+which also provides baseline and progressive encoders) and PCM WAV audio
+(stdlib ``wave``) — with numpy nearest-neighbor resizing and BMP/PNG/JPEG
+re-encoders, so the image/audio pipeline runs REAL bytes with zero
+external codecs. Formats still needing a real codec (mp3/mp4) raise
+NotImplementedError naming the dependency (ffmpeg — absent here).
 ``decode="fake"`` remains: a deterministic pseudo-decode seeded from the
 payload hash, exercising the identical Spark plumbing (schema, Arrow
 batching, mapInPandas flow) for any payload bytes.
@@ -327,7 +328,7 @@ def _real_decode_image(payload: bytes, h: int, w: int) -> np.ndarray:
         return _resize_nearest(_decode_bmp(payload), h, w)
     if payload[:8] == _PNG_SIG:
         return _resize_nearest(_to_rgb(_decode_png(payload)), h, w)
-    if payload[:2] == b"\xff\xd8":  # JPEG SOI (r7: baseline T.81 decoder)
+    if payload[:2] == b"\xff\xd8":  # JPEG SOI (r7 baseline / r8 progressive)
         from polars_st_spark.operators.jpeg import decode_jpeg
 
         img = decode_jpeg(payload)
@@ -335,9 +336,9 @@ def _real_decode_image(payload: bytes, h: int, w: int) -> np.ndarray:
             img = img[:, :, None]
         return _resize_nearest(_to_rgb(img), h, w)
     raise NotImplementedError(
-        "real decode of non-BMP/PNG/baseline-JPEG images requires "
-        "Pillow/opencv, not present in this runtime; BMP, 8-bit PNG, and "
-        "baseline sequential JPEG decode natively"
+        "real decode of non-BMP/PNG/JPEG images requires Pillow/opencv, "
+        "not present in this runtime; BMP, 8-bit PNG, and baseline/"
+        "progressive JPEG decode natively"
     )
 
 

@@ -67,10 +67,11 @@ def test_envelope_errors():
     with pytest.raises(ValueError, match="SOI"):
         decode_jpeg(b"notajpeg")
     data = bytearray(encode_jpeg(np.zeros((8, 8), np.uint8)))
-    # flip SOF0 -> SOF2: progressive must raise naming the limitation
+    # flip SOF0 -> SOF9 (extended sequential, arithmetic): must raise
+    # naming the limitation (SOF2 progressive is SUPPORTED since r8)
     idx = bytes(data).find(b"\xff\xc0")
-    data[idx + 1] = 0xC2
-    with pytest.raises(ValueError, match="progressive"):
+    data[idx + 1] = 0xC9
+    with pytest.raises(ValueError, match="arithmetic"):
         decode_jpeg(bytes(data))
     # truncated segment
     whole = encode_jpeg(_smooth_rgb(16, 16))
@@ -126,3 +127,47 @@ def test_fill_bytes_before_markers():
     ref = decode_jpeg(data)
     out = decode_jpeg(padded)
     assert np.array_equal(out, ref)
+
+
+# ---------------------------------------------------------------------------
+# Progressive (SOF2) — r8
+# ---------------------------------------------------------------------------
+
+@pytest.mark.parametrize("subsample,restart", [("444", 0), ("420", 0), ("420", 3)])
+def test_progressive_matches_baseline_decode(subsample, restart):
+    # the progressive scan script reorders the SAME quantized coefficients,
+    # so decode(progressive) must be bit-identical to decode(baseline)
+    img = _smooth_rgb(33, 47)
+    base = encode_jpeg(img, quality=90, subsample=subsample,
+                       restart_interval=restart)
+    prog = encode_jpeg(img, quality=90, subsample=subsample,
+                       restart_interval=restart, progressive=True)
+    assert b"\xff\xc2" in prog and b"\xff\xc2" not in base
+    assert np.array_equal(decode_jpeg(prog), decode_jpeg(base))
+    assert decode_jpeg_size(prog) == (33, 47, 3)
+
+
+def test_progressive_gray_and_noise():
+    g = (np.mgrid[0:13, 0:21][0] * 5 % 251).astype(np.uint8)
+    assert np.array_equal(
+        decode_jpeg(encode_jpeg(g, quality=95, progressive=True)),
+        decode_jpeg(encode_jpeg(g, quality=95)))
+    # noisy high-frequency content exercises EOB runs (EOBn symbols), ZRL
+    # inside refinement scans, and dense correction-bit traffic
+    rng = np.random.default_rng(7)
+    img = rng.integers(0, 256, (40, 56, 3), dtype=np.uint8)
+    for q in (100, 40):
+        assert np.array_equal(
+            decode_jpeg(encode_jpeg(img, quality=q, progressive=True)),
+            decode_jpeg(encode_jpeg(img, quality=q)))
+
+
+def test_progressive_through_image_features():
+    # the multimodal real-decode path routes SOF2 through the same decoder
+    from polars_st_spark.operators.multimodal import _real_decode_image
+
+    img = _smooth_rgb(16, 16)
+    prog = encode_jpeg(img, quality=95, progressive=True)
+    out = _real_decode_image(prog, 16, 16)
+    assert out.shape == (16, 16, 3)
+    assert np.abs(out.astype(float) - img).mean() < 2.0
