@@ -1700,6 +1700,13 @@ def q_curve_measures(spark, sf):
         st.st_geometry_type(st.st_buffer(ccurve, 1.5)).alias("cb_t"),
         F.round(st.st_area(st.st_buffer(ccurve, 1.5)), 6).alias("cb_area"),
         F.round(st.st_length(st.st_buffer(ccurve, 1.5)), 6).alias("cb_perim"),
+        # r8: EXACT CurvePolygon dilation (curves._curvepoly_buffer_exact —
+        # VERDICT r7 task #5): convex Minkowski sum with a disc — outward
+        # offsets + corner fillets; half-disk R=9, d=2 → area
+        # A+P·d+πd² = 62.5π+36 and perimeter P+2πd = 13π+18 in closed form
+        st.st_geometry_type(st.st_buffer(cpoly, 2.0)).alias("cpb_t"),
+        F.round(st.st_area(st.st_buffer(cpoly, 2.0)), 6).alias("cpb_area"),
+        F.round(st.st_length(st.st_buffer(cpoly, 2.0)), 6).alias("cpb_perim"),
     )
 
 
@@ -3520,7 +3527,10 @@ def oracle_sql() -> dict[str, str]:
                    ROUND(22.0 * pi(), 6) AS ab_perim,
                    'CurvePolygon' AS cb_t,
                    ROUND(24.0 + 20.25 * pi(), 6) AS cb_area,
-                   ROUND(16.0 + 15.0 * pi(), 6) AS cb_perim
+                   ROUND(16.0 + 15.0 * pi(), 6) AS cb_perim,
+                   'CurvePolygon' AS cpb_t,
+                   ROUND(36.0 + 62.5 * pi(), 6) AS cpb_area,
+                   ROUND(18.0 + 13.0 * pi(), 6) AS cpb_perim
             FROM nation""",
     }
     # ---- round-3 consolidated suites (compose the singleton oracles) ----

@@ -1077,6 +1077,140 @@ def _chain_buffer_exact(g: Geometry, dist: float) -> Geometry | None:
     return Geometry(GeometryType.CurvePolygon, srid=g.srid, geoms=[ring])
 
 
+def _curvepoly_buffer_exact(g: Geometry, dist: float) -> Geometry | None:
+    """EXACT round dilation of a CONVEX CurvePolygon (r8 — VERDICT r7 #5,
+    the last curve-envelope gap): the outward offset of each boundary piece
+    is a same-center arc (r + d) or a parallel segment, and every corner
+    (non-G1) vertex gets a fillet arc of radius d centered at the vertex
+    sweeping exactly the exterior turn angle — the classic
+    Minkowski-sum-with-a-disc boundary, assembled as a
+    CurvePolygon(CompoundCurve). Closed forms follow exactly:
+    area = A + P·d + π·d², perimeter = P + 2π·d (total exterior turn of a
+    convex ring is 2π). A full-circle exterior ring dilates to the exact
+    full circle of radius r + d.
+
+    Conservative envelope (returns None → linearized general fallback):
+    holes, negative/zero distance, non-convex boundaries (any concave arc
+    or reflex corner — their outward offsets can self-intersect), or
+    degenerate rings. Reference: GEOS 3.14 curved buffer
+    (/root/reference/src/functions.rs buffer path)."""
+    if g.type_id != GeometryType.CurvePolygon or not g.geoms:
+        return None
+    if len(g.geoms) != 1:
+        return None  # holes: erosion side not in the exact envelope
+    d = float(dist)
+    if d <= 0:
+        return None
+    ring = g.geoms[0]
+    # full-circle exterior ring (PostGIS-style 3-point closed circle)
+    if ring.type_id == GeometryType.CircularString and ring.coords is not None:
+        c = np.asarray(ring.coords, dtype=np.float64)[:, :2]
+        if len(c) == 3 and math.hypot(*(c[2] - c[0])) == 0.0:
+            params = arc_params(c[0], c[1], c[2])
+            if params is not None and abs(params[4]) >= 2.0 * math.pi - 1e-12:
+                ux, uy, r = params[0], params[1], params[2]
+                out = np.array([[ux + r + d, uy], [ux - r - d, uy],
+                                [ux + r + d, uy]])
+                return Geometry(
+                    GeometryType.CurvePolygon, srid=g.srid,
+                    geoms=[Geometry(GeometryType.CircularString, srid=g.srid,
+                                    coords=out)])
+    prims = _chain_buffer_prims(ring)
+    if prims is None or len(prims) < 1:
+        return None
+    start = _prim_point(prims[0], True)
+    end = _prim_point(prims[-1], False)
+    if math.hypot(*(end - start)) > 1e-9 * max(1.0, abs(end[0]), abs(end[1])):
+        return None  # not a closed ring
+    # normalize to CCW so the outward side is the right of travel
+    area2 = 0.0
+    for pr in prims:
+        if pr[0] == "seg":
+            p, q = pr[1], pr[2]
+            area2 += p[0] * q[1] - q[0] * p[1]
+        else:
+            _, ux, uy, r, a0, sweep = pr
+            p = np.array([ux + r * math.cos(a0), uy + r * math.sin(a0)])
+            q = np.array([ux + r * math.cos(a0 + sweep),
+                          uy + r * math.sin(a0 + sweep)])
+            area2 += p[0] * q[1] - q[0] * p[1]
+            # circular-segment correction in the 2A accounting:
+            # 2 * (r^2/2)(sweep - sin sweep)
+            area2 += r * r * (sweep - math.sin(sweep))
+    if area2 == 0.0:
+        return None
+    if area2 < 0:
+        rev = []
+        for pr in reversed(prims):
+            if pr[0] == "seg":
+                rev.append(("seg", pr[2].copy(), pr[1].copy()))
+            else:
+                _, ux, uy, r, a0, sweep = pr
+                rev.append(("arc", ux, uy, r, a0 + sweep, -sweep))
+        prims = rev
+    # convexity: every arc turns left (sweep > 0) and every joint turns
+    # left or is G1 (cross >= 0); d < r never binds for convex arcs
+    # (outward offset of a convex arc is r + d)
+    for pr in prims:
+        if pr[0] == "arc" and pr[5] <= 0:
+            return None
+    n = len(prims)
+    for i in range(n):
+        ta = _prim_tangent(prims[i], False)
+        tb = _prim_tangent(prims[(i + 1) % n], True)
+        cross = float(ta[0] * tb[1] - ta[1] * tb[0])
+        if cross < -1e-9:
+            return None  # reflex corner
+        if cross <= 1e-9 and float(ta @ tb) < 0:
+            return None  # cusp (tangent reversal) — not a convex boundary
+
+    def cs(pts):
+        return Geometry(GeometryType.CircularString, srid=g.srid,
+                        coords=np.array(pts, dtype=np.float64))
+
+    def ls(pts):
+        return Geometry(GeometryType.LineString, srid=g.srid,
+                        coords=np.array(pts, dtype=np.float64))
+
+    def offset_piece(pr):
+        if pr[0] == "arc":
+            _, ux, uy, r, a0, sweep = pr
+            R = r + d  # convex CCW arc: center on the left, outward = +d
+            angs = (a0, a0 + sweep / 2.0, a0 + sweep)
+            return cs([[ux + R * math.cos(a), uy + R * math.sin(a)]
+                       for a in angs])
+        p, q = pr[1], pr[2]
+        t = _prim_tangent(pr, True)
+        nr = np.array([t[1], -t[0]])  # right normal = outward for CCW
+        return ls([p + d * nr, q + d * nr])
+
+    members = []
+    for i in range(n):
+        members.append(offset_piece(prims[i]))
+        ta = _prim_tangent(prims[i], False)
+        tb = _prim_tangent(prims[(i + 1) % n], True)
+        cross = float(ta[0] * tb[1] - ta[1] * tb[0])
+        dot = float(ta @ tb)
+        if dot > 1.0 - 1e-9 and abs(cross) <= 1e-9:
+            continue  # G1 joint: offsets already meet point-exactly
+        # fillet arc at the vertex: sweep = exterior turn angle, CCW from
+        # the outgoing outward normal to the incoming one
+        v = _prim_point(prims[i], False)
+        na = np.array([ta[1], -ta[0]])
+        nb = np.array([tb[1], -tb[0]])
+        ang_a = math.atan2(na[1], na[0])
+        turn = math.atan2(cross, dot)  # in (0, pi) for a convex corner
+        mid = ang_a + turn / 2.0
+        members.append(cs([v + d * na,
+                           [v[0] + d * math.cos(mid), v[1] + d * math.sin(mid)],
+                           v + d * nb]))
+    # snap shared endpoints bit-exactly (ring assembly wants identical bytes)
+    for a, b in zip(members, members[1:] + members[:1]):
+        b.coords[0] = a.coords[-1]
+    out_ring = Geometry(GeometryType.CompoundCurve, srid=g.srid, geoms=members)
+    return Geometry(GeometryType.CurvePolygon, srid=g.srid, geoms=[out_ring])
+
+
 def arc_buffer_exact(g: Geometry, dist: float) -> Geometry | None:
     """EXACT round-cap buffer of a single-arc CircularString (r5 — VERDICT
     r4 #7): the offset of a circular arc is a circular arc about the same
@@ -1091,7 +1225,9 @@ def arc_buffer_exact(g: Geometry, dist: float) -> Geometry | None:
     r6: multi-arc CircularStrings and CompoundCurve chains (arcs + straight
     segments) with G1 joints route through :func:`_chain_buffer_exact` —
     same exactness, conservative validity envelope documented there.
-    CurvePolygon operands remain the linearized case.
+    r8: convex CurvePolygon operands dilate exactly through
+    :func:`_curvepoly_buffer_exact` (outward offsets + corner fillets);
+    non-convex CurvePolygons remain the linearized case.
 
     Returns None — caller falls back to the linearized general path —
     when the shape leaves the exact envelope: corner (non-G1) joints,
@@ -1100,6 +1236,8 @@ def arc_buffer_exact(g: Geometry, dist: float) -> Geometry | None:
     would overlap, a non-simple boundary)."""
     if g.type_id == GeometryType.CompoundCurve:
         return _chain_buffer_exact(g, dist)
+    if g.type_id == GeometryType.CurvePolygon:
+        return _curvepoly_buffer_exact(g, dist)  # r8: convex exact dilation
     if g.type_id != GeometryType.CircularString or g.coords is None:
         return None
     c = np.asarray(g.coords, dtype=np.float64)[:, :2]

@@ -284,3 +284,61 @@ def test_chain_buffer_exact_multi_arc_and_compound():
     b3 = algos.buffer(hp, 0.5)
     assert b3.type_id == GeometryType.CurvePolygon
     assert abs(exact_area(b3) - (2 * 0.5 * L3 + math.pi * 0.25)) < 1e-9
+
+
+def test_curvepoly_buffer_exact():
+    """r8 (VERDICT r7 #5): exact convex CurvePolygon dilation — outward
+    offsets + corner fillet arcs (Minkowski sum with a disc). Closed forms:
+    area = A + P*d + pi*d^2, perimeter = P + 2*pi*d."""
+    from polars_st_spark.geo.curves import (_curvepoly_buffer_exact,
+                                            exact_area, exact_length)
+    from polars_st_spark.geo.types import GeometryType
+
+    # half-disk R=9 (the gate shape), both ring orientations
+    for wkt in (
+        "CURVEPOLYGON (COMPOUNDCURVE (CIRCULARSTRING (0 0, 9 9, 18 0), (18 0, 0 0)))",
+        "CURVEPOLYGON (COMPOUNDCURVE ((0 0, 18 0), CIRCULARSTRING (18 0, 9 9, 0 0)))",
+    ):
+        g = from_wkt(wkt)
+        out = algos.buffer(g, 2.0)
+        assert out.type_id == GeometryType.CurvePolygon
+        A, P_ = math.pi * 40.5, math.pi * 9 + 18
+        assert abs(exact_area(out) - (A + P_ * 2 + math.pi * 4)) < 1e-9
+        assert abs(exact_length(out) - (P_ + 4 * math.pi)) < 1e-9
+
+    # full-circle exterior ring -> exact circle of radius r + d
+    circ = from_wkt("CURVEPOLYGON (CIRCULARSTRING (-5 0, 5 0, -5 0))")
+    out = algos.buffer(circ, 3.0)
+    assert out.type_id == GeometryType.CurvePolygon
+    assert abs(exact_area(out) - math.pi * 64) < 1e-9
+    assert abs(exact_length(out) - 16 * math.pi) < 1e-9
+
+    # straight square ring as CurvePolygon: four quarter-circle fillets
+    sq = from_wkt("CURVEPOLYGON ((0 0, 10 0, 10 10, 0 10, 0 0))")
+    out = _curvepoly_buffer_exact(sq, 2.0)
+    assert abs(exact_area(out) - (100 + 80 + 4 * math.pi)) < 1e-9
+    assert abs(exact_length(out) - (40 + 4 * math.pi)) < 1e-9
+
+    # convex lens: two convex arcs meeting at >90-degree corners
+    lens = from_wkt("CURVEPOLYGON (COMPOUNDCURVE ("
+                    "CIRCULARSTRING (0 0, 5 2, 10 0), "
+                    "CIRCULARSTRING (10 0, 5 -2, 0 0)))")
+    A, P_ = exact_area(lens), exact_length(lens)
+    out = _curvepoly_buffer_exact(lens, 1.0)
+    assert abs(exact_area(out) - (A + P_ + math.pi)) < 1e-9
+    assert abs(exact_length(out) - (P_ + 2 * math.pi)) < 1e-9
+
+    # envelope: reflex corner / concave arc / holes / negative d decline
+    # (the general buffer then falls back to the linearized Polygon path)
+    L = from_wkt("CURVEPOLYGON ((0 0, 10 0, 10 4, 4 4, 4 10, 0 10, 0 0))")
+    assert _curvepoly_buffer_exact(L, 1.0) is None
+    assert algos.buffer(L, 1.0).type_id == GeometryType.Polygon
+    cc = from_wkt("CURVEPOLYGON (COMPOUNDCURVE ((0 0, 10 0), (10 0, 10 10), "
+                  "(10 10, 0 10), CIRCULARSTRING (0 10, 2 5, 0 0)))")
+    assert _curvepoly_buffer_exact(cc, 1.0) is None
+    hole = from_wkt("CURVEPOLYGON (CIRCULARSTRING (-5 0, 5 0, -5 0), "
+                    "CIRCULARSTRING (-1 0, 1 0, -1 0))")
+    assert _curvepoly_buffer_exact(hole, 1.0) is None
+    half = from_wkt("CURVEPOLYGON (COMPOUNDCURVE "
+                    "(CIRCULARSTRING (0 0, 9 9, 18 0), (18 0, 0 0)))")
+    assert _curvepoly_buffer_exact(half, -1.0) is None
