@@ -22,12 +22,22 @@ wrapper — a new QueryExecution (every stage re-runs) with the logical plan,
 UDF closures, and generated code shared, so reps measure operator
 EXECUTION, not plan rebuild.
 
+Noise escape (r8): a (query, scale) record showing the host-pathology
+signature (monotone-rising reps with >2x spread, or a fresh-page fault
+probe over 45 us vs the ~25-30 us quiet floor) is re-run in a fresh
+subprocess up to BENCH_SCALE_MAX_TRIES times and the lowest-median attempt
+is kept — with EVERY attempt's reps and fault probes preserved in-record
+(``{side}_attempt_reps``) and any residual rising triplet annotated
+(``{side}_noise_note``), so the artifact is self-interpreting instead of
+self-contradicting (the r7 b2_predicate 27x incident).
+
 Usage:
   python scripts/bench_scale.py [small_dir] [big_dir] [factor]
 Env:
   BENCH_SCALE_REPS=3
   BENCH_SCALE_QUERIES=b1_elementwise,p2_knn   (filter; default all)
   BENCH_SCALE_OUT=BENCH_SCALE_r07.json        (output filename at repo root)
+  BENCH_SCALE_MAX_TRIES=3                     (noise-escape retries per side)
 """
 
 from __future__ import annotations
@@ -392,18 +402,67 @@ def _run_one_subproc(name: str, sf_dir: str) -> dict:
         return {"error": str(e)[:300]}
 
 
+def _noisy(rec: dict) -> bool:
+    """Host-pathology signature (r7 root-cause work): monotone-rising reps
+    with a >2x spread — the page-reclaim / worker-respawn churn pattern — or
+    a fresh-page fault probe far above this host's quiet-window cost
+    (~25-30 us; the r6/r7 contaminated windows measured 60+ us)."""
+    reps = rec.get("reps") or []
+    rising = (
+        len(reps) >= 3
+        and reps[0] < reps[1] < reps[2]
+        and reps[-1] > 2.0 * reps[0]
+        and reps[-1] - reps[0] > 1.0
+    )
+    return rising or rec.get("fault_us", 0.0) > 45.0
+
+
+def _run_best(name: str, sf_dir: str, max_tries: int) -> dict:
+    """Noise-escape wrapper (r7 verdict item 1): if a (query, scale) record
+    shows the host-pathology signature, re-run the whole fresh-session
+    subprocess and keep the lowest-median attempt. EVERY attempt's reps are
+    kept in-record (``attempt_reps``) so a reader can see exactly what was
+    discarded and why — the escape selects against ambient host noise, never
+    against the operator (same code, same data, same protocol each try)."""
+    attempts = []
+    best = None
+    for _ in range(max(1, max_tries)):
+        r = _run_one_subproc(name, sf_dir)
+        attempts.append(r)
+        if "error" in r:
+            continue
+        if best is None or r["median"] < best["median"]:
+            best = r
+        if not _noisy(r):
+            break
+    if best is None:
+        return attempts[-1]
+    if len(attempts) > 1:
+        best = dict(best)
+        best["attempt_reps"] = [a.get("reps", a.get("error")) for a in attempts]
+        best["attempt_fault_us"] = [a.get("fault_us") for a in attempts]
+    if _noisy(best):
+        best = dict(best)
+        best["noise_note"] = (
+            "reps still rising / fault probe hot after all retries; "
+            "min rep is the operator floor, median is host-contaminated"
+        )
+    return best
+
+
 def main() -> None:
     spec = os.environ.get("BENCH_SCALE_QUERIES", "").strip()
     names = ([s.strip() for s in spec.split(",") if s.strip() in QUERIES]
              if spec else list(QUERIES))
     out_name = os.environ.get("BENCH_SCALE_OUT", "BENCH_SCALE_r07.json")
+    max_tries = int(os.environ.get("BENCH_SCALE_MAX_TRIES", "3"))
 
     queries = {}
     for name in names:
         # interleave scales per query (small then big back-to-back) so both
         # sides of each ratio see maximally-similar ambient host state
-        s = _run_one_subproc(name, SMALL)
-        b = _run_one_subproc(name, BIG)
+        s = _run_best(name, SMALL, max_tries)
+        b = _run_best(name, BIG, max_tries)
         rec = {}
         if "error" in s or "error" in b:
             rec["error"] = {"small": s.get("error"), "big": b.get("error")}
@@ -413,8 +472,11 @@ def main() -> None:
                 "small_reps": s["reps"], "big_reps": b["reps"],
                 "wall_ratio": (round(b["median"] / s["median"], 2)
                                if s["median"] else None),
+                # floor ratio: best single rep each side — the host-noise-free
+                # operator cost (r7 verdict: floors as first-class fields)
                 "wall_ratio_min": (round(b["min"] / s["min"], 2)
                                    if s.get("min") else None),
+                "small_floor": s.get("min"), "big_floor": b.get("min"),
                 "rows_in_ratio": (round(b["rows_in"] / s["rows_in"], 2)
                                   if s.get("rows_in") else None),
                 "rows_out_small": s["rows_out"], "rows_out_big": b["rows_out"],
@@ -424,6 +486,12 @@ def main() -> None:
                     "big": [b["sentinel_before"], b["sentinel_after"]],
                 },
             })
+            for side, r_ in (("small", s), ("big", b)):
+                if "attempt_reps" in r_:
+                    rec[f"{side}_attempt_reps"] = r_["attempt_reps"]
+                    rec[f"{side}_attempt_fault_us"] = r_["attempt_fault_us"]
+                if "noise_note" in r_:
+                    rec[f"{side}_noise_note"] = r_["noise_note"]
         queries[name] = rec
         print(f"  {name}: ratio {rec.get('wall_ratio')} "
               f"(small {rec.get('small_median')}s big {rec.get('big_median')}s)",
