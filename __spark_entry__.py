@@ -1614,6 +1614,81 @@ def q_utm_roundtrip(spark, sf):
     )
 
 
+def q_seed_crs(spark, sf):
+    """Long-tail EPSG seed registry (functions/epsg_seeds.py): WGS72 UTM
+    33N (7-param Helmert), Poland CS92, CGCS2000 Gauss-Kruger CM 117E,
+    EASE-Grid 2.0 North (ellipsoidal polar LAEA), UPS North (variant A via
+    its exact equivalent lat_ts), NAD83 MTM zone 8, NAD27 geographic datum
+    shift, Belgian Lambert 72, Arc 1960 UTM 36N, POSGAR 2007 faja 5 — each
+    4326 -> code -> 4326 round-trip at 6 dp, plus central-meridian /
+    false-origin / pole anchors the oracle states in closed form
+    (reference reprojects arbitrary SRID pairs via proj4rs:
+    src/functions.rs:1868-1939)."""
+    p = _cust_pts(spark, sf).where(F.col("c_custkey") % 3 == 0)
+
+    def proj(lon_expr, lat_expr, code):
+        pt = st.st_set_srid(st.st_point(lon_expr, lat_expr), 4326)
+        return st.st_to_srid(pt, code)
+
+    def rt(lon_expr, lat_expr, code):
+        return st.st_to_srid(proj(lon_expr, lat_expr, code), 4326)
+
+    def anchor(lon, lat, code):
+        return st.st_to_srid(
+            st.st_set_srid(st.st_point(F.lit(lon), F.lit(lat)), 4326), code)
+
+    w72p = proj(F.col("x") % 6 + 12.0, F.col("y") % 50 + 20.0, 32233)
+    w72 = st.st_to_srid(w72p, 4326)
+    pl = rt(F.col("x") % 5 + 16.0, F.col("y") % 4 + 50.0, 2180)
+    cn = rt(F.col("x") % 5 + 114.0, F.col("y") % 20 + 25.0, 4509)
+    ease = rt(F.col("x") - 48.0, F.col("y") % 15 + 70.0, 6931)
+    ups = rt(F.col("x") * 3 - 140.0, F.col("y") % 4 + 84.0, 32661)
+    mtm = rt(F.col("x") % 3 - 75.0, F.col("y") % 10 + 45.0, 32188)
+    n27 = rt(F.col("x") - 120.0, F.col("y") % 40 + 25.0, 4267)
+    be = rt(F.col("x") % 3 + 3.0, F.col("y") % 2 + 50.0, 31370)
+    arc = rt(F.col("x") % 5 + 31.0, F.col("y") % 4 + 0.5, 21096)
+    pos = rt(F.col("x") % 2 - 61.0, -(F.col("y") % 8) - 28.0, 5347)
+    a_pl = anchor(19.0, 0.0, 2180)
+    a_cn = anchor(117.0, 33.0, 4509)
+    a_ease = anchor(0.0, 90.0, 6931)
+    a_ups = anchor(0.0, 90.0, 32661)
+    a_mtm = anchor(-73.5, 50.0, 32188)
+    a_pos = anchor(-60.0, -34.0, 5347)
+    return p.select(
+        "c_custkey",
+        F.round(st.st_x(w72), 6).alias("w72_x"),
+        F.round(st.st_y(w72), 6).alias("w72_y"),
+        st.st_srid(w72p).alias("w72_srid"),
+        F.round(st.st_x(pl), 6).alias("pl_x"),
+        F.round(st.st_y(pl), 6).alias("pl_y"),
+        st.st_x(a_pl).alias("pl_anchor_e"),
+        st.st_y(a_pl).alias("pl_anchor_n"),
+        F.round(st.st_x(cn), 6).alias("cn_x"),
+        F.round(st.st_y(cn), 6).alias("cn_y"),
+        st.st_x(a_cn).alias("cn_anchor_e"),
+        F.round(st.st_x(ease), 6).alias("ease_x"),
+        F.round(st.st_y(ease), 6).alias("ease_y"),
+        st.st_x(a_ease).alias("ease_anchor_e"),
+        st.st_y(a_ease).alias("ease_anchor_n"),
+        F.round(st.st_x(ups), 6).alias("ups_x"),
+        F.round(st.st_y(ups), 6).alias("ups_y"),
+        st.st_x(a_ups).alias("ups_anchor_e"),
+        st.st_y(a_ups).alias("ups_anchor_n"),
+        F.round(st.st_x(mtm), 6).alias("mtm_x"),
+        F.round(st.st_y(mtm), 6).alias("mtm_y"),
+        st.st_x(a_mtm).alias("mtm_anchor_e"),
+        F.round(st.st_x(n27), 6).alias("n27_x"),
+        F.round(st.st_y(n27), 6).alias("n27_y"),
+        F.round(st.st_x(be), 6).alias("be_x"),
+        F.round(st.st_y(be), 6).alias("be_y"),
+        F.round(st.st_x(arc), 6).alias("arc_x"),
+        F.round(st.st_y(arc), 6).alias("arc_y"),
+        F.round(st.st_x(pos), 6).alias("pos_x"),
+        F.round(st.st_y(pos), 6).alias("pos_y"),
+        st.st_x(a_pos).alias("pos_anchor_e"),
+    )
+
+
 def q_buffer_styles(spark, sf):
     """Buffer erosion + mitre/bevel joins + flat/square caps + single-sided,
     each with an exact closed-form area (rect fast paths are exact
@@ -2393,6 +2468,46 @@ def q_multimodal_real(spark, sf):
         return _pd.Series(out)
 
     @F.pandas_udf("binary")
+    def mp4_payload(ids):
+        # r8: a REAL ISO BMFF container per doc (operators/mp4.py writer):
+        # n = 6 + id%5 coded samples of 48 md5-chain bytes each, stts with
+        # two runs (first delta 2), two chunks (multi-entry stsc), sync
+        # every 3rd sample — the parser must resolve the full sample table
+        # to hand back the exact bytes the oracle recomputes from doc_id
+        import hashlib as _hl
+
+        from polars_st_spark.operators.mp4 import encode_mp4
+
+        out = []
+        for i in ids:
+            n = 6 + int(i) % 5
+            frames = []
+            for k in range(n):
+                seed = _hl.md5(f"vid:{int(i)}:{k}".encode()).hexdigest()
+                frames.append(b"".join(
+                    _hl.md5(f"{seed}:{j}".encode()).digest() for j in range(3)))
+            out.append(encode_mp4(frames, timescale=10,
+                                  deltas=[2] + [1] * (n - 1),
+                                  chunk_split=n // 2, sync_every=3))
+        return _pd.Series(out)
+
+    @F.pandas_udf("binary")
+    def mp3_payload(ids):
+        # r8: a structurally valid MPEG-1 Layer III stream per doc
+        # (operators/mp3.py writer): n = 20 + id%7 frames cycling
+        # 128/160/192 kbps at 44100 Hz mono behind an ID3v2 tag of
+        # id%50+5 junk bytes — the parser's ID3 skip + bitrate-table +
+        # frame-size walk produce the closed forms the oracle replays
+        from polars_st_spark.operators.mp3 import encode_mp3_frames
+
+        out = []
+        for i in ids:
+            out.append(encode_mp3_frames(
+                f"mp3:{int(i)}", 20 + int(i) % 7,
+                id3_junk=int(i) % 50 + 5))
+        return _pd.Series(out)
+
+    @F.pandas_udf("binary")
     def wav_payload(ids):
         out = []
         for i in ids:
@@ -2416,6 +2531,8 @@ def q_multimodal_real(spark, sf):
         png_payload("doc_id").alias("png"),
         jpeg_payload("doc_id").alias("jpg"),
         pjpeg_payload("doc_id").alias("pjpg"),
+        mp4_payload("doc_id").alias("mp4"),
+        mp3_payload("doc_id").alias("mp3"),
     )
     img = image_features(
         with_payloads.select("doc_id", "img"), "img", "doc_id",
@@ -2474,8 +2591,47 @@ def q_multimodal_real(spark, sf):
         F.col("features")[1].cast("double").alias("m1"),
         F.col("features")[2].cast("double").alias("m2"),
     )
+    # r8: REAL MP4 container parsing — metadata (stts/stss resolution) plus
+    # the exact bytes of the middle coded sample (stsc/stsz/stco offsets):
+    # m0 = duration (n+1 ticks / timescale 10), m1 = 10*n_samples + n_sync,
+    # m2 = byte mean of sample n//2 (md5-chain bytes the oracle replays)
+    from polars_st_spark.operators.multimodal import frame_sample, video_metadata
+
+    @F.pandas_udf("double")
+    def byte_mean(bs):
+        return _pd.Series(
+            [float(_np.frombuffer(b, _np.uint8).mean()) for b in bs])
+
+    vmeta = video_metadata(with_payloads.select("doc_id", "mp4"), "mp4", "doc_id")
+    vframes = frame_sample(with_payloads.select("doc_id", "mp4"), "mp4",
+                           "doc_id", every_n=1, n_frames=100, decode="mp4")
+    vmid = vframes.where(
+        F.col("frame_index")
+        == F.floor((F.lit(6) + F.col("doc_id") % 5) / 2).cast("int"))
+    vid = vmeta.join(vmid, "doc_id").select(
+        "doc_id",
+        F.lit("video").alias("modality"),
+        F.col("duration_s").alias("m0"),
+        (F.col("n_samples") * 10 + F.col("n_sync")).cast("double").alias("m1"),
+        byte_mean("frame_payload").alias("m2"),
+    )
+    # r8: REAL MP3 frame-header walk (ID3v2 skip + bitrate tables + size
+    # arithmetic): m0 = duration (n*1152/44100), m1 = total audio bytes
+    # (sum of per-frame sizes — any walk error changes it), m2 = average
+    # bitrate of the 128/160/192 cycle
+    from polars_st_spark.operators.multimodal import mp3_metadata
+
+    mp3r = mp3_metadata(
+        with_payloads.select("doc_id", "mp3"), "mp3", "doc_id"
+    ).select(
+        "doc_id",
+        F.lit("mp3").alias("modality"),
+        F.col("duration_s").alias("m0"),
+        F.col("total_audio_bytes").cast("double").alias("m1"),
+        F.col("avg_bitrate_kbps").alias("m2"),
+    )
     return (img.unionByName(aud).unionByName(png).unionByName(jpg)
-            .unionByName(pjpg))
+            .unionByName(pjpg).unionByName(vid).unionByName(mp3r))
 
 
 def q_multimodal_suite(spark, sf):
@@ -2757,6 +2913,7 @@ _QUERIES = {
         "geojson_io": q_geojson_io,
         "geoparquet_io": q_geoparquet_io,
         "utm_roundtrip": q_utm_roundtrip,
+        "seed_crs": q_seed_crs,
         "buffer_styles": q_buffer_styles,
         "curve_measures": q_curve_measures,
         # --- consolidated round-1 coverage (suites fold the singletons) ---
@@ -3495,6 +3652,33 @@ def oracle_sql() -> dict[str, str]:
                    ROUND(x % 2 + 126.2, 6) AS kr_x, ROUND(y % 2 + 36.5, 6) AS kr_y,
                    5186 AS kr_srid, 200000.0 AS kr_anchor_e, 600000.0 AS kr_anchor_n
             FROM ({_ORACLE_CUST}) WHERE x < 6.0""",
+        "seed_crs": f"""
+            SELECT c_custkey,
+                   ROUND(x % 6 + 12.0, 6) AS w72_x,
+                   ROUND(y % 50 + 20.0, 6) AS w72_y, 32233 AS w72_srid,
+                   ROUND(x % 5 + 16.0, 6) AS pl_x,
+                   ROUND(y % 4 + 50.0, 6) AS pl_y,
+                   500000.0 AS pl_anchor_e, -5300000.0 AS pl_anchor_n,
+                   ROUND(x % 5 + 114.0, 6) AS cn_x,
+                   ROUND(y % 20 + 25.0, 6) AS cn_y, 500000.0 AS cn_anchor_e,
+                   ROUND(x - 48.0, 6) AS ease_x,
+                   ROUND(y % 15 + 70.0, 6) AS ease_y,
+                   0.0 AS ease_anchor_e, 0.0 AS ease_anchor_n,
+                   ROUND(x * 3 - 140.0, 6) AS ups_x,
+                   ROUND(y % 4 + 84.0, 6) AS ups_y,
+                   2000000.0 AS ups_anchor_e, 2000000.0 AS ups_anchor_n,
+                   ROUND(x % 3 - 75.0, 6) AS mtm_x,
+                   ROUND(y % 10 + 45.0, 6) AS mtm_y, 304800.0 AS mtm_anchor_e,
+                   ROUND(x - 120.0, 6) AS n27_x,
+                   ROUND(y % 40 + 25.0, 6) AS n27_y,
+                   ROUND(x % 3 + 3.0, 6) AS be_x,
+                   ROUND(y % 2 + 50.0, 6) AS be_y,
+                   ROUND(x % 5 + 31.0, 6) AS arc_x,
+                   ROUND(y % 4 + 0.5, 6) AS arc_y,
+                   ROUND(x % 2 - 61.0, 6) AS pos_x,
+                   ROUND(-(y % 8) - 28.0, 6) AS pos_y,
+                   5500000.0 AS pos_anchor_e
+            FROM ({_ORACLE_CUST}) WHERE c_custkey % 3 = 0""",
         "buffer_styles": f"""
             SELECT n_nationkey,
                    ((x1-x0)-4.0)*((y1-y0)-4.0) AS erode_area,
@@ -4417,7 +4601,42 @@ def _oracle_multimodal_real() -> str:
         UNION ALL
         SELECT doc_id, 'pjpeg' AS modality,
                {pjpg_val} AS m0, {pjpg_val} AS m1, {pjpg_val} AS m2
-        FROM ids"""
+        FROM ids
+        UNION ALL
+        SELECT doc_id, 'video' AS modality, m0, m1, m2 FROM (
+            WITH vid AS (
+              SELECT doc_id, 6 + doc_id % 5 AS n FROM ids
+            ), vmid AS (
+              SELECT doc_id, n,
+                     md5('vid:' || doc_id || ':' || (n // 2)) AS seed
+              FROM vid
+            ), vb AS (
+              SELECT doc_id, n,
+                     ('0x' || substr(md5(seed || ':' || (j // 16)),
+                                     (2 * (j % 16) + 1)::INT, 2))::INT AS v
+              FROM vmid, range(48) r(j)
+            )
+            SELECT doc_id,
+                   (MAX(n) + 1) / 10.0 AS m0,
+                   CAST(MAX(n) * 10 + (MAX(n) + 2) // 3 AS DOUBLE) AS m1,
+                   SUM(v) / 48.0 AS m2
+            FROM vb GROUP BY doc_id
+        )
+        UNION ALL
+        SELECT doc_id, 'mp3' AS modality, m0, m1, m2 FROM (
+            WITH m AS (SELECT doc_id, 20 + doc_id % 7 AS n FROM ids),
+            f AS (
+              SELECT doc_id, n,
+                     CASE k % 3 WHEN 0 THEN 128 WHEN 1 THEN 160
+                                ELSE 192 END AS kbps
+              FROM m, range(27) r(k) WHERE k < n
+            )
+            SELECT doc_id,
+                   (MAX(n) * 1152) / 44100.0 AS m0,
+                   CAST(SUM((144 * kbps * 1000) // 44100) AS DOUBLE) AS m1,
+                   SUM(kbps) / CAST(MAX(n) AS DOUBLE) AS m2
+            FROM f GROUP BY doc_id
+        )"""
 
 
 def _oracle_nearest_join() -> str:

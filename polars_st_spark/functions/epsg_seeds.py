@@ -1,0 +1,257 @@
+"""Long-tail EPSG seed registry: EPSG code -> proj4 definition string.
+
+The reference reprojects between arbitrary SRIDs via proj4rs
+(/root/reference/src/functions.rs:1868-1939). This repo's closed-form CRS
+engine (functions/transform.py + functions/proj4.py) covers the projection
+METHODS; this module is pure registry DATA — public EPSG parameter sets
+expressed as proj4 strings and resolved through :func:`proj4.build_proj4`,
+so every seed exercises the same tested math paths (tmerc/utm/lcc/aea/laea/
+merc/stere/sterea/somerc/omerc/krovak + Helmert datum wrap + axis units).
+
+Parameters are from the public EPSG registry (the same values PROJ ships in
+its init files). Datums with no published grid-free Helmert set are seeded
+WITHOUT +towgs84 — a null shift, matching PROJ's own behavior for those
+CRSs (e.g. Xian 1980).
+
+Seeds never shadow the hand-built tables in transform.py (the lookup in
+``_code_fns_builtin`` tries those first), so curated entries with NTv2 /
+higher-accuracy datum handling always win.
+"""
+
+from __future__ import annotations
+
+_EPSG_PROJ4: dict[int, str] = {}
+
+
+def _seed(code: int, defn: str) -> None:
+    _EPSG_PROJ4[code] = defn
+
+
+# --- geographic CRSs -------------------------------------------------------
+# Modern ITRF-aligned datums are WGS84-compatible at the grid-free level
+# (null Helmert): reprojection to/from them is an SRID relabel plus nothing.
+for _code in (
+    4269,   # NAD83
+    4258,   # ETRS89
+    4283,   # GDA94
+    7844,   # GDA2020
+    4167,   # NZGD2000
+    4674,   # SIRGAS 2000
+    4490,   # CGCS2000
+    4612,   # JGD2000
+    6668,   # JGD2011
+    4737,   # Korea 2000
+    4755,   # DGN95
+    3824,   # TWD97
+    4759,   # NAD83(NSRS2007)
+    6318,   # NAD83(2011)
+    4617,   # NAD83(CSRS)
+):
+    _seed(_code, "+proj=longlat +ellps=GRS80")
+_seed(4148, "+proj=longlat +ellps=WGS84")  # Hartebeesthoek94
+# classic datums with published grid-free Helmert sets
+_seed(4277, "+proj=longlat +ellps=airy "
+            "+towgs84=446.448,-125.157,542.06,0.15,0.247,0.842,-20.489")  # OSGB36
+_seed(4267, "+proj=longlat +ellps=clrk66 +towgs84=-8,160,176")            # NAD27
+_seed(4230, "+proj=longlat +ellps=intl +towgs84=-87,-98,-121")            # ED50
+_seed(4322, "+proj=longlat +a=6378135 +rf=298.26 "
+            "+towgs84=0,0,4.5,0,0,0.554,0.2263")                          # WGS72
+_seed(4284, "+proj=longlat +ellps=krass "
+            "+towgs84=23.92,-141.27,-80.9,0,0.35,0.82,-0.12")             # Pulkovo 1942
+_seed(4301, "+proj=longlat +ellps=bessel "
+            "+towgs84=-146.414,507.337,680.507")                          # Tokyo
+
+# --- UTM families ----------------------------------------------------------
+# WGS 72 / UTM 1N-60N (32201-32260) and 1S-60S (32301-32360)
+_W72 = "+a=6378135 +rf=298.26 +towgs84=0,0,4.5,0,0,0.554,0.2263"
+for _z in range(1, 61):
+    _seed(32200 + _z, f"+proj=utm +zone={_z} {_W72}")
+    _seed(32300 + _z, f"+proj=utm +zone={_z} +south {_W72}")
+# AGD66 / AMG zones 49-56 (20249-20256) and AGD84 / AMG zones 49-56
+# (20349-20356); Australian National Spheroid a=6378160 rf=298.25
+_ANS = "+a=6378160 +rf=298.25"
+for _z in range(49, 57):
+    _seed(20200 + _z, f"+proj=utm +zone={_z} +south {_ANS} "
+          "+towgs84=-117.808,-51.536,137.784,0.303,0.446,0.234,-0.29")
+    _seed(20300 + _z, f"+proj=utm +zone={_z} +south {_ANS} "
+          "+towgs84=-134,-48,149")
+# SAD69 / UTM 18N-22N (29168-29172) and 17S-25S (29187-29195);
+# GRS 1967 Modified a=6378160 rf=298.25, Brazilian national shift
+_SAD = "+a=6378160 +rf=298.25 +towgs84=-57,1,-41"
+for _z in range(18, 23):
+    _seed(29150 + _z, f"+proj=utm +zone={_z} {_SAD}")
+for _z in range(17, 26):
+    _seed(29170 + _z, f"+proj=utm +zone={_z} +south {_SAD}")
+# Arc 1960 / UTM 35N-37N (21095-21097) and 35S-37S (21035-21037);
+# Clarke 1880 (RGS) a=6378249.145 rf=293.465
+_ARC60 = "+a=6378249.145 +rf=293.465 +towgs84=-160,-6,-302"
+for _z in range(35, 38):
+    _seed(21060 + _z, f"+proj=utm +zone={_z} {_ARC60}")
+    _seed(21000 + _z, f"+proj=utm +zone={_z} +south {_ARC60}")
+
+# --- Gauss-Krüger families --------------------------------------------------
+# Beijing 1954 / Gauss-Kruger zones 13-23 (21413-21423, zone-prefixed FE)
+# and CM variants 75E-135E (21453-21463, FE 500000)
+_BJ54 = "+ellps=krass +towgs84=15.8,-154.4,-82.3"
+for _z in range(13, 24):
+    _lon = _z * 6 - 3
+    _seed(21400 + _z, f"+proj=tmerc +lat_0=0 +lon_0={_lon} +k=1 "
+          f"+x_0={_z}500000 +y_0=0 {_BJ54}")
+    _seed(21440 + _z, f"+proj=tmerc +lat_0=0 +lon_0={_lon} +k=1 "
+          f"+x_0=500000 +y_0=0 {_BJ54}")
+# CGCS2000 / Gauss-Kruger zones 13-23 (4491-4501, zone-prefixed FE) and
+# CM 75E-135E (4502-4512, FE 500000); CGCS2000 ellipsoid == GRS80 to sub-mm
+for _i, _z in enumerate(range(13, 24)):
+    _lon = _z * 6 - 3
+    _seed(4491 + _i, f"+proj=tmerc +lat_0=0 +lon_0={_lon} +k=1 "
+          f"+x_0={_z}500000 +y_0=0 +ellps=GRS80")
+    _seed(4502 + _i, f"+proj=tmerc +lat_0=0 +lon_0={_lon} +k=1 "
+          f"+x_0=500000 +y_0=0 +ellps=GRS80")
+# Xian 1980 / Gauss-Kruger zones 13-23 (2327-2337) and CM 75E-135E
+# (2338-2348); IAG 1975 ellipsoid, no published grid-free Helmert (null
+# shift, as in PROJ)
+_XA80 = "+a=6378140 +rf=298.257"
+for _i, _z in enumerate(range(13, 24)):
+    _lon = _z * 6 - 3
+    _seed(2327 + _i, f"+proj=tmerc +lat_0=0 +lon_0={_lon} +k=1 "
+          f"+x_0={_z}500000 +y_0=0 {_XA80}")
+    _seed(2338 + _i, f"+proj=tmerc +lat_0=0 +lon_0={_lon} +k=1 "
+          f"+x_0=500000 +y_0=0 {_XA80}")
+
+# --- National TM / LCC grids ------------------------------------------------
+# RGF93 / CC42-CC50 conic conforme zones (3942-3950)
+for _n in range(42, 51):
+    _seed(3900 + _n, f"+proj=lcc +lat_0={_n} +lon_0=3 "
+          f"+lat_1={_n - 0.75} +lat_2={_n + 0.75} "
+          f"+x_0=1700000 +y_0={(_n - 41) * 1000000 + 200000} +ellps=GRS80")
+# NAD83 / MTM zones 1-10 (32181-32190), k0=0.9999, FE 304800 m (1e6 ft)
+for _z, _lon in enumerate([-53.0, -56.0, -58.5, -61.5, -64.5, -67.5,
+                           -70.5, -73.5, -76.5, -79.5], start=1):
+    _seed(32180 + _z, f"+proj=tmerc +lat_0=0 +lon_0={_lon} +k=0.9999 "
+          "+x_0=304800 +y_0=0 +ellps=GRS80")
+# ETRS89 / NTM zones 5-30 (5105-5130), Norway
+for _z in range(5, 31):
+    _seed(5100 + _z, f"+proj=tmerc +lat_0=58 +lon_0={_z}.5 +k=1 "
+          "+x_0=100000 +y_0=1000000 +ellps=GRS80")
+# ETRS89 / Poland CS2000 zones 5-8 (2176-2179) and CS92 (2180)
+for _i, _lon in enumerate([15, 18, 21, 24]):
+    _seed(2176 + _i, f"+proj=tmerc +lat_0=0 +lon_0={_lon} +k=0.999923 "
+          f"+x_0={_lon // 3}500000 +y_0=0 +ellps=GRS80")
+_seed(2180, "+proj=tmerc +lat_0=0 +lon_0=19 +k=0.9993 "
+            "+x_0=500000 +y_0=-5300000 +ellps=GRS80")
+# TUREF / TM zones (5253-5259), Turkey, 3-degree belts 27E-45E
+for _i, _lon in enumerate(range(27, 46, 3)):
+    _seed(5253 + _i, f"+proj=tmerc +lat_0=0 +lon_0={_lon} +k=1 "
+          "+x_0=500000 +y_0=0 +ellps=GRS80")
+# DGN95 / Indonesia TM-3 zones 46.2-54.1 (23830-23845)
+for _i in range(16):
+    _seed(23830 + _i, f"+proj=tmerc +lat_0=0 +lon_0={94.5 + 1.5 * _i} "
+          "+k=0.9999 +x_0=200000 +y_0=1500000 +ellps=GRS80")
+# POSGAR 2007 / Argentina fajas 1-7 (5343-5349)
+for _i in range(7):
+    _seed(5343 + _i, f"+proj=tmerc +lat_0=-90 +lon_0={-72 + 3 * _i} +k=1 "
+          f"+x_0={_i + 1}500000 +y_0=0 +ellps=GRS80")
+# MGI / Austria GK M28/M31/M34 (31254-31256) and GK West/Central/East
+# (31257-31259)
+_MGI = ("+ellps=bessel "
+        "+towgs84=577.326,90.129,463.919,5.137,1.474,5.297,2.4232")
+for _i, _lon in enumerate(["10.33333333333333", "13.33333333333333",
+                           "16.33333333333333"]):
+    _seed(31254 + _i, f"+proj=tmerc +lat_0=0 +lon_0={_lon} +k=1 "
+          f"+x_0=0 +y_0=-5000000 {_MGI}")
+    _seed(31257 + _i, f"+proj=tmerc +lat_0=0 +lon_0={_lon} +k=1 "
+          f"+x_0={150000 + 300000 * _i} +y_0=-5000000 {_MGI}")
+
+# --- single-code national grids ---------------------------------------------
+_SINGLES: dict[int, str] = {
+    # Israeli TM Grid
+    2039: "+proj=tmerc +lat_0=31.73439361111111 +lon_0=35.20451694444445 "
+          "+k=1.0000067 +x_0=219529.584 +y_0=626907.39 +ellps=GRS80 "
+          "+towgs84=-48,55,52",
+    # IRENET95 / Irish Transverse Mercator
+    2157: "+proj=tmerc +lat_0=53.5 +lon_0=-8 +k=0.99982 "
+          "+x_0=600000 +y_0=750000 +ellps=GRS80",
+    # TM65 / Irish Grid (Airy Modified 1849)
+    29902: "+proj=tmerc +lat_0=53.5 +lon_0=-8 +k=1.000035 "
+           "+x_0=200000 +y_0=250000 +a=6377340.189 +rf=299.3249646 "
+           "+towgs84=482.5,-130.6,564.6,-1.042,-0.214,-0.631,8.15",
+    # Luxembourg 1930 / Gauss (LUREF)
+    2169: "+proj=tmerc +lat_0=49.83333333333334 +lon_0=6.166666666666667 "
+          "+k=1 +x_0=80000 +y_0=100000 +ellps=intl "
+          "+towgs84=-193,13.7,-39.3,-0.41,-2.933,2.688,0.43",
+    # Belge 1972 / Belgian Lambert 72
+    31370: "+proj=lcc +lat_0=90 +lon_0=4.367486666666666 "
+           "+lat_1=51.16666723333333 +lat_2=49.8333339 "
+           "+x_0=150000.013 +y_0=5400088.438 +ellps=intl "
+           "+towgs84=-106.869,52.2978,-103.724,0.3366,-0.457,1.8422,-1.2747",
+    # ETRS89 / Belgian Lambert 2008
+    3812: "+proj=lcc +lat_0=50.797815 +lon_0=4.359215833333333 "
+          "+lat_1=49.83333333333334 +lat_2=51.16666666666667 "
+          "+x_0=649328 +y_0=665262 +ellps=GRS80",
+    # ETRS89 / Estonia Lambert (L-EST97)
+    3301: "+proj=lcc +lat_0=57.51755393055556 +lon_0=24 "
+          "+lat_1=59.33333333333334 +lat_2=58 "
+          "+x_0=500000 +y_0=6375000 +ellps=GRS80",
+    # LKS92 / Latvia TM
+    3059: "+proj=tmerc +lat_0=0 +lon_0=24 +k=0.9996 "
+          "+x_0=500000 +y_0=-6000000 +ellps=GRS80",
+    # LKS94 / Lithuania TM
+    3346: "+proj=tmerc +lat_0=0 +lon_0=24 +k=0.9998 "
+          "+x_0=500000 +y_0=0 +ellps=GRS80",
+    # ISN93 / Lambert 1993 (Iceland)
+    3057: "+proj=lcc +lat_0=65 +lon_0=-19 +lat_1=64.25 +lat_2=65.75 "
+          "+x_0=500000 +y_0=500000 +ellps=GRS80",
+    # Hong Kong 1980 Grid System
+    2326: "+proj=tmerc +lat_0=22.31213333333334 +lon_0=114.1785555555556 "
+          "+k=1 +x_0=836694.05 +y_0=819069.8 +ellps=intl "
+          "+towgs84=-162.619,-276.959,-161.764,0.067753,-2.24365,"
+          "-1.15883,-1.09425",
+    # SVY21 / Singapore TM
+    3414: "+proj=tmerc +lat_0=1.366666666666667 +lon_0=103.8333333333333 "
+          "+k=1 +x_0=28001.642 +y_0=38744.572 +ellps=WGS84",
+    # TWD97 / TM2 zone 121 (Taiwan)
+    3826: "+proj=tmerc +lat_0=0 +lon_0=121 +k=0.9999 "
+          "+x_0=250000 +y_0=0 +ellps=GRS80",
+    # NTF (Paris) / Lambert zone II étendu — Clarke 1880 IGN
+    27572: "+proj=lcc +lat_1=46.8 +lat_0=46.8 +lon_0=2.337229166666667 "
+           "+k_0=0.99987742 +x_0=600000 +y_0=2200000 "
+           "+a=6378249.2 +b=6356515 +towgs84=-168,-60,320",
+    # GDA94 / Geoscience Australia Lambert
+    3112: "+proj=lcc +lat_0=0 +lon_0=134 +lat_1=-18 +lat_2=-36 "
+          "+x_0=0 +y_0=0 +ellps=GRS80",
+    # US National Atlas Equal Area (Clarke 1866 Authalic Sphere)
+    2163: "+proj=laea +lat_0=45 +lon_0=-100 +x_0=0 +y_0=0 "
+          "+a=6370997 +b=6370997",
+    9311: "+proj=laea +lat_0=45 +lon_0=-100 +x_0=0 +y_0=0 "
+          "+a=6370997 +b=6370997",
+    # NSIDC EASE-Grid North / South (International 1924 Authalic Sphere)
+    3408: "+proj=laea +lat_0=90 +lon_0=0 +x_0=0 +y_0=0 "
+          "+a=6371228 +b=6371228",
+    3409: "+proj=laea +lat_0=-90 +lon_0=0 +x_0=0 +y_0=0 "
+          "+a=6371228 +b=6371228",
+    # NSIDC EASE-Grid 2.0 North / South
+    6931: "+proj=laea +lat_0=90 +lon_0=0 +x_0=0 +y_0=0 +ellps=WGS84",
+    6932: "+proj=laea +lat_0=-90 +lon_0=0 +x_0=0 +y_0=0 +ellps=WGS84",
+    # WGS 84 / UPS North and South (variant A k0=0.994 expressed through
+    # its exact equivalent standard parallel)
+    32661: "+proj=stere +lat_0=90 +lat_ts=81.11451786859362 +lon_0=0 "
+           "+x_0=2000000 +y_0=2000000 +ellps=WGS84",
+    32761: "+proj=stere +lat_0=-90 +lat_ts=-81.11451786859362 +lon_0=0 "
+           "+x_0=2000000 +y_0=2000000 +ellps=WGS84",
+}
+_EPSG_PROJ4.update(_SINGLES)
+
+# WGS 84 / North Pole LAEA regional family (3571-3576)
+for _code, _lon in ((3571, 180.0), (3572, -150.0), (3573, -100.0),
+                    (3574, -40.0), (3575, 10.0), (3576, 90.0)):
+    _seed(_code, f"+proj=laea +lat_0=90 +lon_0={_lon} +x_0=0 +y_0=0 "
+          "+ellps=WGS84")
+
+
+def proj4_for_epsg(code: int) -> str | None:
+    """The seed proj4 definition for ``code``, or None."""
+    return _EPSG_PROJ4.get(code)
+
+
+def seeded_epsg_codes() -> list[int]:
+    return sorted(_EPSG_PROJ4)

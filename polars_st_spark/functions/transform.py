@@ -950,7 +950,8 @@ def _tm_merid_y(phi0: float, es: float, alpha) -> float:
     if phi0 == 0.0:
         return 0.0
     p = np.array([phi0])
-    t = np.sinh(np.arctanh(np.sin(p)) - es * np.arctanh(es * np.sin(p)))
+    with np.errstate(divide="ignore"):  # arctanh(±1) = ±inf at a polar lat0
+        t = np.sinh(np.arctanh(np.sin(p)) - es * np.arctanh(es * np.sin(p)))
     xi = np.arctan2(t, np.cos(np.array([0.0])))
     y = xi.copy()
     for j, a_j in enumerate(alpha, start=1):
@@ -1298,9 +1299,121 @@ def _laea_consts(a, f, lat0, lon0):
     return e, qp, beta1, Rq, D, math.radians(lon0)
 
 
+def _laea_sphere_fwd(R, lat0, lon0, FE, FN):
+    """LAEA, spherical general case (Snyder PP 1395 p. 185, eqs. 24-2,
+    22-4, 24-13/24-14) — US National Atlas (2163/9311) and the EASE-Grid
+    spheres (3408/3409)."""
+    p0, lam0 = math.radians(lat0), math.radians(lon0)
+    s0, c0 = math.sin(p0), math.cos(p0)
+
+    def fn(arr: np.ndarray) -> np.ndarray:
+        phi = np.radians(arr[:, 1])
+        lam = np.radians(arr[:, 0]) - lam0
+        sp, cp = np.sin(phi), np.cos(phi)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            kp = np.sqrt(2.0 / (1.0 + s0 * sp + c0 * cp * np.cos(lam)))
+        out = arr.copy()
+        out[:, 0] = FE + R * kp * cp * np.sin(lam)
+        out[:, 1] = FN + R * kp * (c0 * sp - s0 * cp * np.cos(lam))
+        return out
+
+    return fn
+
+
+def _laea_sphere_inv(R, lat0, lon0, FE, FN):
+    p0, lam0 = math.radians(lat0), math.radians(lon0)
+    s0, c0 = math.sin(p0), math.cos(p0)
+
+    def fn(arr: np.ndarray) -> np.ndarray:
+        x = arr[:, 0] - FE
+        y = arr[:, 1] - FN
+        rho = np.hypot(x, y)
+        c = 2.0 * np.arcsin(np.clip(rho / (2.0 * R), -1.0, 1.0))
+        with np.errstate(divide="ignore", invalid="ignore"):
+            phi = np.arcsin(np.clip(
+                np.cos(c) * s0 + np.where(rho > 0, y * np.sin(c) * c0 / rho, 0.0),
+                -1.0, 1.0))
+            lam = np.arctan2(x * np.sin(c),
+                             rho * c0 * np.cos(c) - y * s0 * np.sin(c))
+        at_center = rho < 1e-12
+        out = arr.copy()
+        out[:, 0] = np.degrees(np.where(at_center, 0.0, lam) + lam0)
+        out[:, 1] = np.degrees(np.where(at_center, p0, phi))
+        return out
+
+    return fn
+
+
+def _laea_q(e, e2, s):
+    # arctanh form of Snyder 3-12: exactly odd in s, so q(-1) == -q(1) in
+    # floating point and the polar rho = a*sqrt(qp -+ q) hits 0 at the pole
+    return (1 - e2) * (s / (1 - e2 * s * s) + np.arctanh(e * s) / e)
+
+
+def _laea_polar_fwd(a, f, lat0, lon0, FE, FN):
+    """LAEA, ellipsoidal polar aspect (Snyder PP 1395 p. 188, eqs.
+    24-23/24-24; 21-30/21-31 for xy) — EASE-Grid 2.0 (6931/6932) and the
+    Arctic LAEA family (3571-3576)."""
+    e = math.sqrt(f * (2.0 - f))
+    e2 = e * e
+    qp = float(_laea_q(e, e2, np.float64(1.0)))
+    north = lat0 > 0
+    lam0 = math.radians(lon0)
+
+    def fn(arr: np.ndarray) -> np.ndarray:
+        phi = np.radians(arr[:, 1])
+        lam = np.radians(arr[:, 0]) - lam0
+        qv = _laea_q(e, e2, np.sin(phi))
+        rho = a * np.sqrt(np.maximum(qp - qv if north else qp + qv, 0.0))
+        out = arr.copy()
+        out[:, 0] = FE + rho * np.sin(lam)
+        out[:, 1] = FN + (-rho * np.cos(lam) if north else rho * np.cos(lam))
+        return out
+
+    return fn
+
+
+def _laea_polar_inv(a, f, lat0, lon0, FE, FN):
+    e = math.sqrt(f * (2.0 - f))
+    e2 = e * e
+    qp = float(_laea_q(e, e2, np.float64(1.0)))
+    north = lat0 > 0
+    lam0 = math.radians(lon0)
+
+    def fn(arr: np.ndarray) -> np.ndarray:
+        x = arr[:, 0] - FE
+        y = arr[:, 1] - FN
+        rho = np.hypot(x, y)
+        qv = qp - (rho / a) ** 2 if north else (rho / a) ** 2 - qp
+        # authalic -> geodetic latitude (Snyder 3-16 fixed point)
+        phi = np.arcsin(np.clip(qv / qp, -1.0, 1.0))
+        for _ in range(8):
+            s = np.sin(phi)
+            phi = phi + (1 - e2 * s * s) ** 2 / (2 * np.cos(phi)) * (
+                qv / (1 - e2)
+                - s / (1 - e2 * s * s)
+                + (1 / (2 * e)) * np.log((1 - e * s) / (1 + e * s))
+            )
+        lam = np.arctan2(x, -y) if north else np.arctan2(x, y)
+        at_pole = rho < 1e-9
+        out = arr.copy()
+        out[:, 0] = np.degrees(np.where(at_pole, 0.0, lam) + lam0)
+        out[:, 1] = np.degrees(np.where(
+            at_pole, math.copysign(math.pi / 2, 1.0 if north else -1.0), phi))
+        return out
+
+    return fn
+
+
 def _laea_forward(a, f, lat0, lon0, _lat1, _lat2, FE, FN):
     """Lambert Azimuthal Equal Area, ellipsoidal oblique case
-    (Snyder PP 1395, pp. 187-190, eqs. 24-2..24-19)."""
+    (Snyder PP 1395, pp. 187-190, eqs. 24-2..24-19); spherical and
+    ellipsoidal-polar aspects dispatch to their own closed forms (the
+    oblique constants divide by e and cos beta1)."""
+    if f == 0.0:
+        return _laea_sphere_fwd(a, lat0, lon0, FE, FN)
+    if abs(lat0) == 90.0:
+        return _laea_polar_fwd(a, f, lat0, lon0, FE, FN)
     e, qp, beta1, Rq, D, lam0 = _laea_consts(a, f, lat0, lon0)
     e2 = e * e
 
@@ -1326,6 +1439,10 @@ def _laea_forward(a, f, lat0, lon0, _lat1, _lat2, FE, FN):
 
 
 def _laea_inverse(a, f, lat0, lon0, _lat1, _lat2, FE, FN):
+    if f == 0.0:
+        return _laea_sphere_inv(a, lat0, lon0, FE, FN)
+    if abs(lat0) == 90.0:
+        return _laea_polar_inv(a, f, lat0, lon0, FE, FN)
     e, qp, beta1, Rq, D, lam0 = _laea_consts(a, f, lat0, lon0)
     e2 = e * e
 
@@ -1938,6 +2055,17 @@ def _code_fns_builtin(code: int):
             kind, *params = c
             pair = (_CONIC_KINDS[kind][0](*params), _CONIC_KINDS[kind][1](*params))
     if pair is None:
+        # long-tail seed registry: EPSG parameter sets as proj4 strings,
+        # resolved through the same tested build_proj4 machinery
+        from polars_st_spark.functions.epsg_seeds import proj4_for_epsg
+
+        defn = proj4_for_epsg(code)
+        if defn is not None:
+            from polars_st_spark.functions.proj4 import build_proj4
+
+            pair = build_proj4(defn)
+            return pair  # build_proj4 already applies +units
+    if pair is None:
         return None
     unit = _CODE_UNIT.get(code)
     if unit is not None:
@@ -2194,9 +2322,14 @@ def st_to_srid(col, srid: int) -> Column:
 
     Supports the closed-form EPSG pipelines (Web/World Mercator, all UTM
     zones, parameterized Transverse Mercator + Helmert datum shifts,
-    LCC/Albers/LAEA conics incl. ftUS state planes, polar stereographic,
-    oblique stereographic (Dutch RD), Swiss oblique cylindrical, Hotine
-    oblique Mercator); identity when source==target;
+    LCC/Albers/LAEA conics incl. ftUS state planes and spherical/polar
+    LAEA aspects, polar stereographic + UPS, oblique stereographic (Dutch
+    RD), Swiss oblique cylindrical, Hotine oblique Mercator) plus the
+    long-tail seed registry (functions/epsg_seeds.py: ~330 further EPSG
+    codes as proj4 parameter sets resolved through build_proj4 — WGS72/
+    AGD/SAD69/Arc1960 UTM, Beijing54/Xian80/CGCS2000 Gauss-Krüger, RGF93
+    CC, MTM, NTM, EASE grids, national TM/LCC grids, and common geographic
+    datums); identity when source==target;
     raises otherwise (pyproj auto-fallback when importable). The transformer
     lookup is cached per (src, dst) exactly like the reference's per-call
     ProjCache (functions.rs:1900-1914). Uniform 2-D point batches — the

@@ -414,7 +414,16 @@ def _noisy(rec: dict) -> bool:
         and reps[-1] > 2.0 * reps[0]
         and reps[-1] - reps[0] > 1.0
     )
-    return rising or rec.get("fault_us", 0.0) > 45.0
+    # any-direction spread: a >3x max/min gap whose median is >2x the min
+    # (e.g. falling reps [18, 13, 2] — ambient load during the early reps)
+    # means the median measures the host, not the operator
+    spread = (
+        len(reps) >= 3
+        and max(reps) > 3.0 * min(reps)
+        and sorted(reps)[len(reps) // 2] > 2.0 * min(reps)
+        and max(reps) - min(reps) > 1.0
+    )
+    return rising or spread or rec.get("fault_us", 0.0) > 45.0
 
 
 def _run_best(name: str, sf_dir: str, max_tries: int) -> dict:

@@ -1,0 +1,150 @@
+"""Long-tail EPSG seed registry (functions/epsg_seeds.py): every seed must
+build through build_proj4, map its natural origin to its false origin
+exactly (parameter-plumbing check), and round-trip fwd->inv including the
+datum wrap. Spot values for the new LAEA aspects are pinned against the
+Snyder PP 1395 worked example in test_functions-style numeric form."""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pytest
+
+from polars_st_spark.functions import proj4 as P
+from polars_st_spark.functions import transform as T
+from polars_st_spark.functions.epsg_seeds import (
+    _EPSG_PROJ4,
+    proj4_for_epsg,
+    seeded_epsg_codes,
+)
+
+ALL_CODES = seeded_epsg_codes()
+
+
+def _params(code):
+    return P.parse_proj4(_EPSG_PROJ4[code])
+
+
+def _origin(params):
+    """(lon, lat, expected_x, expected_y) natural->false origin, or None
+    for geographic CRSs."""
+    proj = params["proj"]
+    if proj == "longlat":
+        return None
+    if proj == "utm":
+        z = int(float(params["zone"]))
+        return (z * 6 - 183.0, 0.0, 500000.0,
+                10000000.0 if params.get("south") else 0.0)
+    lon0 = float(params.get("lon_0", 0.0))
+    lat0 = float(params.get("lat_0", 0.0))
+    return (lon0, lat0, float(params.get("x_0", 0.0)),
+            float(params.get("y_0", 0.0)))
+
+
+def test_every_seed_builds():
+    assert len(ALL_CODES) > 300
+    for code in ALL_CODES:
+        fwd, inv = P.build_proj4(_EPSG_PROJ4[code])
+        assert callable(fwd) and callable(inv)
+
+
+@pytest.mark.parametrize("code", ALL_CODES)
+def test_natural_origin_maps_to_false_origin(code):
+    params = _params(code)
+    o = _origin(params)
+    if o is None:
+        return
+    lon0, lat0, x0, y0 = o
+    a, f = P._ellipsoid(params)
+    fwd, _ = P._base_projection(params, a, f)  # no datum: CRS's own coords
+    out = fwd(np.array([[lon0, lat0]]))
+    assert abs(out[0, 0] - x0) < 1e-5, (code, out[0], x0, y0)
+    assert abs(out[0, 1] - y0) < 1e-5, (code, out[0], x0, y0)
+
+
+@pytest.mark.parametrize("code", ALL_CODES)
+def test_roundtrip_near_origin(code):
+    params = _params(code)
+    o = _origin(params)
+    if o is None:
+        lon0, lat0 = 10.0, 50.0
+    else:
+        lon0, lat0 = o[0], o[1]
+    # stay inside the projection's domain: pull polar origins equatorward
+    lat0 = max(min(lat0, 84.0), -84.0)
+    pts = np.array([
+        [lon0, lat0],
+        [lon0 + 1.5, lat0 + 1.0],
+        [lon0 - 1.0, lat0 - 0.8],
+    ])
+    pts[:, 1] = np.clip(pts[:, 1], -85.0, 85.0)
+    fwd, inv = P.build_proj4(_EPSG_PROJ4[code])  # full pair incl. datum
+    rt = inv(fwd(pts.copy()))
+    d = np.abs(rt - pts)
+    d[:, 0] = np.minimum(d[:, 0], 360.0 - d[:, 0])  # longitude wrap
+    assert d.max() < 1e-6, (code, rt, pts)
+
+
+def test_code_fns_builtin_resolves_seeds():
+    for code in (32233, 20255, 21458, 4497, 3946, 5110, 2180, 6931, 2163,
+                 32661, 4269, 4277):
+        assert T._code_fns_builtin(code) is not None, code
+    # unknown code still unresolved
+    assert T._code_fns_builtin(999999) is None
+
+
+def test_lookup_transform_composes_through_wgs84():
+    # NAD83 geographic (seed, null shift) -> NAD83 / UTM 17N (built-in):
+    # the composition must behave exactly like 4326 -> 26917
+    f_seed = T._lookup_transform(4269, 26917)
+    f_ref = T._lookup_transform(4326, 26917)
+    pts = np.array([[-81.0, 43.0], [-79.4, 44.2]])
+    assert np.allclose(f_seed(pts.copy()), f_ref(pts.copy()), atol=1e-9)
+
+
+def test_seeded_code_cannot_be_shadowed():
+    with pytest.raises(ValueError, match="built-in"):
+        P.register_proj4(2180, "+proj=tmerc +lon_0=19 +ellps=GRS80")
+
+
+def test_ups_variant_a_scale_equivalence():
+    # UPS expresses k0=0.994 (variant A) through the exact equivalent
+    # standard parallel; verify scale at the pole via the EPSG GN7-2
+    # closed form for polar stereographic variant B
+    a, rf = 6378137.0, 298.257223563
+    f = 1 / rf
+    e = math.sqrt(f * (2 - f))
+    p = math.radians(81.11451786859362)
+    s = math.sin(p)
+    m = math.cos(p) / math.sqrt(1 - e * e * s * s)
+    t = math.tan(math.pi / 4 - p / 2) * ((1 + e * s) / (1 - e * s)) ** (e / 2)
+    k0 = (m / 2) * math.sqrt((1 + e) ** (1 + e) * (1 - e) ** (1 - e)) / t
+    assert abs(k0 - 0.994) < 1e-12
+
+
+def test_laea_polar_snyder_example():
+    # Snyder PP 1395 p. 358: International 1909 ellipsoid (a=6378388,
+    # e2=0.00672267), polar aspect lat_0=90 lon_0=-100; phi=80N lam=5E
+    # -> x=1077459.7, y=288704.5
+    a = 6378388.0
+    f = 1 - math.sqrt(1 - 0.00672267)
+    fwd = T._laea_polar_fwd(a, f, 90.0, -100.0, 0.0, 0.0)
+    out = fwd(np.array([[5.0, 80.0]]))
+    assert abs(out[0, 0] - 1077459.7) < 0.1
+    assert abs(out[0, 1] - 288704.5) < 0.1
+    inv = T._laea_polar_inv(a, f, 90.0, -100.0, 0.0, 0.0)
+    rt = inv(out.copy())
+    assert abs(rt[0, 0] - 5.0) < 1e-9 and abs(rt[0, 1] - 80.0) < 1e-9
+
+
+def test_laea_sphere_matches_ellipsoid_limit():
+    fwd_s = T._laea_sphere_fwd(6370997.0, 45.0, -100.0, 0.0, 0.0)
+    fwd_e = T._laea_forward(6370997.0, 1e-9, 45.0, -100.0, None, None, 0.0, 0.0)
+    pts = np.array([[-100.0, 45.0], [-95.0, 40.0], [-110.0, 55.0]])
+    assert np.abs(fwd_s(pts.copy()) - fwd_e(pts.copy())).max() < 0.1
+
+
+def test_proj4_for_epsg_lookup():
+    assert proj4_for_epsg(2180).startswith("+proj=tmerc")
+    assert proj4_for_epsg(424242) is None
