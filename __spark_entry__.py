@@ -2636,25 +2636,29 @@ def q_multimodal_real(spark, sf):
 
 def q_multimodal_suite(spark, sf):
     """Image + audio plumbing in one row: mapInPandas feature extraction over
-    binary payloads, aligned to (doc_id, modality, m0, m1, m2) and unioned
-    (rows-only; folds multimodal_features + multimodal_audio)."""
+    binary payloads, aligned to (doc_id, modality, m0, m1, m2) and unioned.
+    r8: hash-checked (was the last rows-only gate) — doc selection by
+    doc_id < 50 for determinism, every m column widened to double BEFORE
+    rounding so both engines round the same float64 value once; the oracle
+    unions the proven multimodal_features / multimodal_audio md5-stream
+    CTEs under modality labels."""
     from polars_st_spark.operators.multimodal import audio_features
 
-    docs = spark.read.parquet(f"{sf}/documents.parquet").limit(50)
+    docs = spark.read.parquet(f"{sf}/documents.parquet").where(F.col("doc_id") < 50)
     payloads = docs.select("doc_id", F.encode("text", "utf-8").alias("payload"))
     img = image_features(payloads, "payload", "doc_id", decode="fake", resize=(4, 4)).select(
         "doc_id",
         F.lit("image").alias("modality"),
         F.col("height").cast("double").alias("m0"),
-        F.round(F.col("features")[0], 5).alias("m1"),
-        F.round(F.col("features")[1], 5).alias("m2"),
+        F.round(F.col("features")[0].cast("double"), 5).alias("m1"),
+        F.round(F.col("features")[1].cast("double"), 5).alias("m2"),
     )
     aud = audio_features(payloads, "payload", "doc_id", n_samples=2048).select(
         "doc_id",
         F.lit("audio").alias("modality"),
-        F.round("duration_s", 5).alias("m0"),
-        F.round("rms", 5).alias("m1"),
-        F.round("zero_crossing_rate", 5).alias("m2"),
+        F.round(F.col("duration_s").cast("double"), 5).alias("m0"),
+        F.round(F.col("rms").cast("double"), 5).alias("m1"),
+        F.round(F.col("zero_crossing_rate").cast("double"), 5).alias("m2"),
     )
     return img.unionByName(aud)
 
@@ -2909,7 +2913,6 @@ _QUERIES = {
         "unary_disjoint": q_unary_disjoint,
         "ragged_poly_suite": q_ragged_poly_suite,
         "precision_meta": q_precision_meta,
-        "srid_roundtrip": q_srid_roundtrip,
         "geojson_io": q_geojson_io,
         "geoparquet_io": q_geoparquet_io,
         "utm_roundtrip": q_utm_roundtrip,
@@ -2971,6 +2974,10 @@ _QUERIES = {
         # ZERO unoracled entries
         "multimodal_real": q_multimodal_real,
         # ---------------- past the driver's 50-row window ----------------
+        # r8: srid_roundtrip moves past-window to make room for seed_crs —
+        # set_srid/srid/to_srid stay certified in-window by utm_roundtrip
+        # and seed_crs (both assert srid columns and reprojection values)
+        "srid_roundtrip": q_srid_roundtrip,
         # buffer_area / to_srid_mercator singletons (hash-checked, r4): their
         # operator families are certified in-window by buffer_styles and
         # utm_roundtrip/srid_roundtrip; granular diagnosis via check_oracle.py
@@ -3271,6 +3278,7 @@ def oracle_sql() -> dict[str, str]:
         "geohash_suite": _oracle_geohash_suite(),
         "nearest_join": _oracle_nearest_join(),
         "multimodal_real": _oracle_multimodal_real(),
+        "multimodal_suite": _oracle_multimodal_suite(),
         "multimodal_features": _oracle_multimodal_features(),
         "multimodal_audio": _oracle_multimodal_audio(),
         "pipeline_e2e": _oracle_pipeline_e2e(),
@@ -4527,6 +4535,56 @@ def _oracle_multimodal_audio() -> str:
                CAST(sqrt((ss / 2048.0) / 1073741824.0) AS FLOAT) AS rms,
                CAST(zc / 2047.0 AS FLOAT) AS zcr
         FROM feat"""
+
+
+def _oracle_multimodal_suite() -> str:
+    """q_multimodal_suite replay (r8: the LAST rows-only gate graduates):
+    unions the proven multimodal_features / multimodal_audio md5-stream
+    CTEs under modality labels. The gate widens every m column to double
+    BEFORE rounding, so the oracle rounds the same float64 value: image
+    means are exact dyadics (round is the identity); audio features pass
+    through the library's float32 (CAST ... AS FLOAT) before widening and
+    rounding, replicating the engine's column type chain bit-for-bit."""
+    return f"""
+        SELECT doc_id, 'image' AS modality, m0, m1, m2 FROM (
+            WITH {_FAKE_STREAM_CTE(3)},
+            b AS (
+              SELECT doc_id, n,
+                     ('0x' || substr(hx, (2 * n + 1)::INT, 2))::INT AS v
+              FROM blocks, range(48) r(n)
+            )
+            SELECT doc_id, 4.0 AS m0,
+                   round(SUM(CASE WHEN n % 3 = 0 THEN v END) / 16.0, 5) AS m1,
+                   round(SUM(CASE WHEN n % 3 = 1 THEN v END) / 16.0, 5) AS m2
+            FROM b GROUP BY doc_id)
+        UNION ALL
+        SELECT doc_id, 'audio' AS modality, m0, m1, m2 FROM (
+            WITH {_FAKE_STREAM_CTE(257)},
+            s AS (
+              SELECT doc_id, i,
+                     (('0x' || substr(hx, (4 * i + 3)::INT, 2)
+                            || substr(hx, (4 * i + 1)::INT, 2))::INT - 32768)
+                         AS sv
+              FROM blocks, range(2048) r(i)
+            ),
+            s2 AS (
+              SELECT doc_id, sv,
+                     lag(sv) OVER (PARTITION BY doc_id ORDER BY i) AS pv
+              FROM s
+            ),
+            feat AS (
+              SELECT doc_id,
+                     SUM(sv::BIGINT * sv::BIGINT) AS ss,
+                     SUM(CASE WHEN pv IS NOT NULL AND ((sv < 0) <> (pv < 0))
+                              THEN 1 ELSE 0 END) AS zc
+              FROM s2 GROUP BY doc_id
+            )
+            SELECT doc_id,
+                   round(CAST(CAST(0.128 AS FLOAT) AS DOUBLE), 5) AS m0,
+                   round(CAST(CAST(sqrt((ss / 2048.0) / 1073741824.0)
+                                   AS FLOAT) AS DOUBLE), 5) AS m1,
+                   round(CAST(CAST(zc / 2047.0 AS FLOAT) AS DOUBLE), 5) AS m2
+            FROM feat)"""
 
 
 def _oracle_multimodal_real() -> str:
