@@ -232,6 +232,34 @@ _SINGLES: dict[int, str] = {
     # NSIDC EASE-Grid 2.0 North / South
     6931: "+proj=laea +lat_0=90 +lon_0=0 +x_0=0 +y_0=0 +ellps=WGS84",
     6932: "+proj=laea +lat_0=-90 +lon_0=0 +x_0=0 +y_0=0 +ellps=WGS84",
+    # ETRS89 / LCC Germany (N-E ordering handled as x=E, y=N like all seeds)
+    5243: "+proj=lcc +lat_0=51 +lon_0=10.5 +lat_1=48.66666666666666 "
+          "+lat_2=53.66666666666666 +x_0=0 +y_0=0 +ellps=GRS80",
+    # NAD83 / Texas Centric Mapping System Albers
+    3083: "+proj=aea +lat_0=18 +lon_0=-100 +lat_1=27.5 +lat_2=35 "
+          "+x_0=1500000 +y_0=6000000 +ellps=GRS80",
+    # NAD83 / California Albers
+    3310: "+proj=aea +lat_0=0 +lon_0=-120 +lat_1=34 +lat_2=40.5 "
+          "+x_0=0 +y_0=-4000000 +ellps=GRS80",
+    # NAD83(2011) / Conus Albers
+    6350: "+proj=aea +lat_0=23 +lon_0=-96 +lat_1=29.5 +lat_2=45.5 "
+          "+x_0=0 +y_0=0 +ellps=GRS80",
+    # GGRS87 / Greek Grid
+    2100: "+proj=tmerc +lat_0=0 +lon_0=24 +k=0.9996 +x_0=500000 +y_0=0 "
+          "+ellps=GRS80 +towgs84=-199.87,74.79,246.62",
+    # HTRS96 / Croatia TM
+    3765: "+proj=tmerc +lat_0=0 +lon_0=16.5 +k=0.9999 +x_0=500000 +y_0=0 "
+          "+ellps=GRS80",
+    # Slovenia 1996 / Slovene National Grid (D96/TM)
+    3794: "+proj=tmerc +lat_0=0 +lon_0=15 +k=0.9999 +x_0=500000 "
+          "+y_0=-5000000 +ellps=GRS80",
+    # WGS 84 / Dubai Local TM
+    3997: "+proj=tmerc +lat_0=0 +lon_0=55.33333333333334 +k=1 "
+          "+x_0=500000 +y_0=0 +ellps=WGS84",
+    # Merchich / Nord Maroc (Clarke 1880 IGN, LCC 1SP)
+    26191: "+proj=lcc +lat_1=33.3 +lat_0=33.3 +lon_0=-5.4 "
+           "+k_0=0.999625769 +x_0=500000 +y_0=300000 "
+           "+a=6378249.2 +b=6356515 +towgs84=31,146,47",
     # WGS 84 / UPS North and South (variant A k0=0.994 expressed through
     # its exact equivalent standard parallel)
     32661: "+proj=stere +lat_0=90 +lat_ts=81.11451786859362 +lon_0=0 "
