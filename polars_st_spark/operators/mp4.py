@@ -197,13 +197,22 @@ def _parse_trak(data: bytes, b: int, e: int) -> Mp4Track | None:
     if stsd:
         # first sample entry's fourcc
         codec = data[stsd[0] + 12:stsd[0] + 16].decode("latin1")
-    deltas = _parse_stts(data, _find(data, sb, se, b"stts")[0])
-    sizes = _parse_stsz(data, _find(data, sb, se, b"stsz")[0])
+    stts = _find(data, sb, se, b"stts")
+    stsz = _find(data, sb, se, b"stsz")
+    stsc_box = _find(data, sb, se, b"stsc")
     stco = _find(data, sb, se, b"stco")
     co64 = _find(data, sb, se, b"co64")
+    if stts is None or stsz is None or stsc_box is None or (
+            stco is None and co64 is None):
+        missing = [n for n, b_ in (("stts", stts), ("stsz", stsz),
+                                   ("stsc", stsc_box),
+                                   ("stco/co64", stco or co64)) if b_ is None]
+        raise ValueError(f"mp4: stbl missing required boxes: {missing}")
+    deltas = _parse_stts(data, stts[0])
+    sizes = _parse_stsz(data, stsz[0])
     chunk_offsets = (_parse_stco(data, stco[0], False) if stco
                      else _parse_stco(data, co64[0], True))
-    stsc = _parse_stsc(data, _find(data, sb, se, b"stsc")[0])
+    stsc = _parse_stsc(data, stsc_box[0])
     offsets = _resolve_offsets(sizes, chunk_offsets, stsc)
     stss = _find(data, sb, se, b"stss")
     sync = _parse_stss(data, stss[0]) if stss else None
