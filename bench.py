@@ -80,6 +80,22 @@ def _vm_fault_cost_us() -> float:
     return round(dt / n_pages * 1e6, 2)
 
 
+def _wait_quiet(budget_s: float, thresh_us: float = 8.0):
+    """Delay measurement START until a quiet page-backing window (fresh-page
+    fault probe under ``thresh_us``) or the budget expires — r8: the same
+    code measured 5.1s vs 9.7s suite medians purely by which host window it
+    landed in, so the scheduler (not the methodology) is where the fix
+    belongs. Returns (waited_s, probe_list); both go in the record so a
+    reader sees exactly what was waited out. BENCH_WAIT_QUIET_S=0
+    disables."""
+    probes = [_vm_fault_cost_us()]
+    t0 = time.time()
+    while probes[-1] >= thresh_us and time.time() - t0 + 45.0 <= budget_s:
+        time.sleep(45.0)
+        probes.append(_vm_fault_cost_us())
+    return round(time.time() - t0, 1), probes
+
+
 def _refresh_floor(sf_dir: str) -> bool:
     """Re-measure the single-process floor IN THIS RUN (untimed) so the
     vs_floor ratios compare engine and floor under the SAME host state —
@@ -742,7 +758,9 @@ def _run_variants_inproc(spark, sf_dir: str, ncpu: int, names: list[str]):
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
-    vm_fault_us = _vm_fault_cost_us()
+    quiet_budget = float(os.environ.get("BENCH_WAIT_QUIET_S", "300"))
+    quiet_wait_s, fault_probes = _wait_quiet(quiet_budget)
+    vm_fault_us = fault_probes[-1]
     floor_same_run = _refresh_floor(sf_dir)
     spark = _build_session(cpus)
     from pyspark.sql import functions as F
@@ -967,6 +985,11 @@ def main() -> None:
         # (µs/4KiB; ~0.2 = backed/healthy, 30-95 = lazy/reclaimed VM state
         # that inflates every first-touch — see README "Bench variance")
         "vm_fault_us_per_page": vm_fault_us,
+        # r8: seconds spent waiting for a quiet page-backing window before
+        # measuring, and every probe taken while waiting (scheduling only —
+        # the measurement methodology is unchanged)
+        "quiet_wait_s": quiet_wait_s,
+        "fault_probes_us": fault_probes,
         # True when BASELINE_MEASURED.json was re-measured by THIS run
         # (same host state as the engine numbers — the fair comparison)
         "floor_same_run": floor_same_run,
@@ -1016,7 +1039,8 @@ def main() -> None:
         k: payload[k]
         for k in ("metric", "value", "unit", "queries", "queries_median3",
                   "value_median3", "sf", "vm_fault_us_per_page",
-                  "floor_same_run", "floor_reps", "total_vs_floor_median3")
+                  "quiet_wait_s", "floor_same_run", "floor_reps",
+                  "total_vs_floor_median3")
         if k in payload
     }
     compact["detail_file"] = "BENCH_FULL.json"
