@@ -18,11 +18,12 @@ from polars_st_spark.functions.scalar import *  # noqa: F401,F403
 from polars_st_spark.functions.scalar import __all__ as _scalar_all
 from polars_st_spark.functions.transform import *  # noqa: F401,F403
 from polars_st_spark.functions.transform import __all__ as _transform_all
+from polars_st_spark.functions.sqlreg import register_sql_functions  # noqa: F401
 from polars_st_spark.functions.zorder import *  # noqa: F401,F403
 from polars_st_spark.functions.zorder import __all__ as _zorder_all
 
 __all__ = (
     list(_construct_all) + list(_scalar_all) + list(_predicate_all)
     + list(_transform_all) + list(_agg_all) + list(_zorder_all)
-    + list(_crs_all)
+    + list(_crs_all) + ["register_sql_functions"]
 )

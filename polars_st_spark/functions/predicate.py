@@ -298,7 +298,72 @@ def eval_pairs_predicate(name: str, s1: pd.Series, s2: pd.Series, fn) -> pd.Seri
     )
 
 
+def _pair_udf(name: str, fn, ret="boolean"):
+    """Two-geometry-column pandas UDF for predicate ``name`` — constructed
+    once per predicate at module import (BooleanType instance, no session
+    needed) and exposed via ``st_<name>._sql_udf`` so
+    register_sql_functions can install the exact same vectorized kernel as
+    a Spark SQL function."""
+    loc_ok2 = ret == "boolean" and name in _LOC_NAMES
+    pair_ok = ret == "boolean" and name in (
+        "intersects", "disjoint", "within", "contains", "covers",
+        "covered_by", "contains_properly", "touches", "crosses", "overlaps",
+    )
+    from pyspark.sql.types import BooleanType, StringType
+
+    rt = BooleanType() if ret == "boolean" else StringType()
+
+    @pandas_udf(rt)
+    def udf2(s1: pd.Series, s2: pd.Series) -> pd.Series:
+        if (
+            ret == "boolean"
+            and (name in _FAST_NAMES or loc_ok2 or pair_ok)
+            and not s1.isna().any()
+            and not s2.isna().any()
+        ):
+            fa = batch_uniform(s1)
+            fb = batch_uniform(s2)
+            if name in _FAST_NAMES and fa is not None and fb is not None:
+                A = _as_boxes(fa)
+                B = _as_boxes(fb) if A is not None else None
+                if A is not None and B is not None:
+                    r = _vec_predicate(name, A, B)
+                    if r is not None:
+                        return pd.Series(r)
+            if loc_ok2:
+                # row-paired point vs arbitrary-polygon columns (either side)
+                if fa is not None and fa[0] == "point2d":
+                    rp = RG.parse_polygonal(s2)
+                    if rp is not None:
+                        loc = RG.locate_points(rp, fa[1], fa[2])
+                        r = _loc_predicate(name, loc, point_is_a=True)
+                        if r is not None:
+                            return pd.Series(r)
+                elif fb is not None and fb[0] == "point2d":
+                    rp = RG.parse_polygonal(s1)
+                    if rp is not None:
+                        loc = RG.locate_points(rp, fb[1], fb[2])
+                        r = _loc_predicate(name, loc, point_is_a=False)
+                        if r is not None:
+                            return pd.Series(r)
+            if name in _PAIRED_KERNEL_NAMES:
+                # full batched stack: family CSR kernel -> relate
+                # contact buckets -> per-row scalar (shared with the
+                # sjoin broadcast refinement)
+                return eval_pairs_predicate(name, s1, s2, fn)
+        return pd.Series(
+            [
+                None if (a is None or b is None) else fn(from_ewkb(bytes(a)), from_ewkb(bytes(b)))
+                for a, b in zip(s1, s2)
+            ],
+            dtype=object,
+        )
+
+    return udf2
+
+
 def _mk(name: str, fn, ret="boolean"):
+    udf2 = _pair_udf(name, fn, ret)
 
     def outer(col, other) -> Column:
         o = geom_arg(other)
@@ -344,60 +409,9 @@ def _mk(name: str, fn, ret="boolean"):
 
             return udf1(col_or_lit(col))
 
-        loc_ok2 = ret == "boolean" and name in _LOC_NAMES
-        pair_ok = ret == "boolean" and name in (
-            "intersects", "disjoint", "within", "contains", "covers",
-            "covered_by", "contains_properly", "touches", "crosses", "overlaps",
-        )
-
-        @pandas_udf(ret)
-        def udf2(s1: pd.Series, s2: pd.Series) -> pd.Series:
-            if (
-                ret == "boolean"
-                and (name in _FAST_NAMES or loc_ok2 or pair_ok)
-                and not s1.isna().any()
-                and not s2.isna().any()
-            ):
-                fa = batch_uniform(s1)
-                fb = batch_uniform(s2)
-                if name in _FAST_NAMES and fa is not None and fb is not None:
-                    A = _as_boxes(fa)
-                    B = _as_boxes(fb) if A is not None else None
-                    if A is not None and B is not None:
-                        r = _vec_predicate(name, A, B)
-                        if r is not None:
-                            return pd.Series(r)
-                if loc_ok2:
-                    # row-paired point vs arbitrary-polygon columns (either side)
-                    if fa is not None and fa[0] == "point2d":
-                        rp = RG.parse_polygonal(s2)
-                        if rp is not None:
-                            loc = RG.locate_points(rp, fa[1], fa[2])
-                            r = _loc_predicate(name, loc, point_is_a=True)
-                            if r is not None:
-                                return pd.Series(r)
-                    elif fb is not None and fb[0] == "point2d":
-                        rp = RG.parse_polygonal(s1)
-                        if rp is not None:
-                            loc = RG.locate_points(rp, fb[1], fb[2])
-                            r = _loc_predicate(name, loc, point_is_a=False)
-                            if r is not None:
-                                return pd.Series(r)
-                if name in _PAIRED_KERNEL_NAMES:
-                    # full batched stack: family CSR kernel -> relate
-                    # contact buckets -> per-row scalar (shared with the
-                    # sjoin broadcast refinement)
-                    return eval_pairs_predicate(name, s1, s2, fn)
-            return pd.Series(
-                [
-                    None if (a is None or b is None) else fn(from_ewkb(bytes(a)), from_ewkb(bytes(b)))
-                    for a, b in zip(s1, s2)
-                ],
-                dtype=object,
-            )
-
         return udf2(col_or_lit(col), o)
 
+    outer._sql_udf = udf2
     return outer
 
 

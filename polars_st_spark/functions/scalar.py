@@ -26,6 +26,7 @@ import pandas as pd
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 from pyspark.sql.functions import pandas_udf
+from pyspark.sql.types import DoubleType, IntegerType, StringType
 
 from polars_st_spark.functions.factory import (
     binary_scalar,
@@ -66,28 +67,28 @@ __all__ = [
 # Header-only metadata (no geometry object construction)
 # ----------------------------------------------------------------------
 
+@pandas_udf(StringType())
+def _geometry_type_udf(s: pd.Series) -> pd.Series:
+    return s.map(
+        lambda b: None if b is None else GEOMETRY_TYPE_NAMES.get(header_info(bytes(b))[0], "Unknown")
+    )
+
+
 def st_geometry_type(col) -> Column:
     """Type name string (reference Enum, geometry.py:30; header-only parse)."""
+    return _geometry_type_udf(col_or_lit(col))
 
-    @pandas_udf("string")
-    def udf(s: pd.Series) -> pd.Series:
-        return s.map(
-            lambda b: None if b is None else GEOMETRY_TYPE_NAMES.get(header_info(bytes(b))[0], "Unknown")
-        )
 
-    return udf(col_or_lit(col))
+@pandas_udf(IntegerType())
+def _srid_udf(s: pd.Series) -> pd.Series:
+    return pd.Series(
+        [None if b is None else header_info(bytes(b))[3] for b in s], dtype=object
+    )
 
 
 def st_srid(col) -> Column:
     """(reference: functions.rs:433-435; header-only)"""
-
-    @pandas_udf("int")
-    def udf(s: pd.Series) -> pd.Series:
-        return pd.Series(
-            [None if b is None else header_info(bytes(b))[3] for b in s], dtype=object
-        )
-
-    return udf(col_or_lit(col))
+    return _srid_udf(col_or_lit(col))
 
 
 def st_has_z(col) -> Column:
@@ -148,28 +149,32 @@ def _coord_accessor(idx: int, needs_flag: str | None = None):
     return fn
 
 
-def st_x(col) -> Column:
-    @pandas_udf("double")
-    def udf(s: pd.Series) -> pd.Series:
-        fast = ewkb_to_points([b if b is not None else None for b in s]) if s.notna().all() else None
-        if fast is not None:
-            return pd.Series(fast[0])
-        acc = _coord_accessor(0)
-        return pd.Series([None if b is None else acc(from_ewkb(bytes(b))) for b in s], dtype=object)
+# module-level UDF instances (constructed once, reused by every expression;
+# also the registrable objects behind register_sql_functions — sqlreg.py)
+@pandas_udf(DoubleType())
+def _x_udf(s: pd.Series) -> pd.Series:
+    fast = ewkb_to_points([b if b is not None else None for b in s]) if s.notna().all() else None
+    if fast is not None:
+        return pd.Series(fast[0])
+    acc = _coord_accessor(0)
+    return pd.Series([None if b is None else acc(from_ewkb(bytes(b))) for b in s], dtype=object)
 
-    return udf(col_or_lit(col))
+
+@pandas_udf(DoubleType())
+def _y_udf(s: pd.Series) -> pd.Series:
+    fast = ewkb_to_points([b if b is not None else None for b in s]) if s.notna().all() else None
+    if fast is not None:
+        return pd.Series(fast[1])
+    acc = _coord_accessor(1)
+    return pd.Series([None if b is None else acc(from_ewkb(bytes(b))) for b in s], dtype=object)
+
+
+def st_x(col) -> Column:
+    return _x_udf(col_or_lit(col))
 
 
 def st_y(col) -> Column:
-    @pandas_udf("double")
-    def udf(s: pd.Series) -> pd.Series:
-        fast = ewkb_to_points([b if b is not None else None for b in s]) if s.notna().all() else None
-        if fast is not None:
-            return pd.Series(fast[1])
-        acc = _coord_accessor(1)
-        return pd.Series([None if b is None else acc(from_ewkb(bytes(b))) for b in s], dtype=object)
-
-    return udf(col_or_lit(col))
+    return _y_udf(col_or_lit(col))
 
 
 def st_z(col) -> Column:
@@ -195,39 +200,39 @@ def _with_nulls(vals: np.ndarray, null_mask: np.ndarray) -> pd.Series:
     return pd.Series(out, dtype=object)
 
 
+@pandas_udf(DoubleType())
+def _area_udf(s: pd.Series) -> pd.Series:
+    fast = batch_uniform(s) if not s.isna().any() else None
+    if fast is not None:
+        if fast[0] == "point2d":
+            return pd.Series(np.zeros(len(s)))
+        if fast[0] == "ring":
+            c = fast[1]
+            # translate to each ring's first vertex (same cancellation
+            # robustness as the scalar _ring_signed_area)
+            x = c[:, :, 0] - c[:, :1, 0]
+            y = c[:, :, 1] - c[:, :1, 1]
+            a = 0.5 * np.abs(
+                np.sum(x * np.roll(y, -1, axis=1) - np.roll(x, -1, axis=1) * y, axis=1)
+            )
+            return pd.Series(a)
+    rp = ragged.parse_polygonal(s)
+    if rp is not None:
+        return _with_nulls(ragged.area(rp), rp.null_mask)
+    mixed = _mixed_measure(s, "area")
+    if mixed is not None:
+        return mixed
+    return pd.Series(
+        [None if b is None else algos.area(from_ewkb(bytes(b))) for b in s], dtype=object
+    )
+
+
 def st_area(col) -> Column:
     """(reference: functions.rs:794-796). Uniform single-ring batches take a
     numpy-vectorized shoelace path; mixed polygon batches (holes, varying
     vertex counts, multipolygons) take the ragged CSR path (geo/ragged.py) —
     per-row Python only for non-polygonal mixtures."""
-
-    @pandas_udf("double")
-    def udf(s: pd.Series) -> pd.Series:
-        fast = batch_uniform(s) if not s.isna().any() else None
-        if fast is not None:
-            if fast[0] == "point2d":
-                return pd.Series(np.zeros(len(s)))
-            if fast[0] == "ring":
-                c = fast[1]
-                # translate to each ring's first vertex (same cancellation
-                # robustness as the scalar _ring_signed_area)
-                x = c[:, :, 0] - c[:, :1, 0]
-                y = c[:, :, 1] - c[:, :1, 1]
-                a = 0.5 * np.abs(
-                    np.sum(x * np.roll(y, -1, axis=1) - np.roll(x, -1, axis=1) * y, axis=1)
-                )
-                return pd.Series(a)
-        rp = ragged.parse_polygonal(s)
-        if rp is not None:
-            return _with_nulls(ragged.area(rp), rp.null_mask)
-        mixed = _mixed_measure(s, "area")
-        if mixed is not None:
-            return mixed
-        return pd.Series(
-            [None if b is None else algos.area(from_ewkb(bytes(b))) for b in s], dtype=object
-        )
-
-    return udf(col_or_lit(col))
+    return _area_udf(col_or_lit(col))
 
 
 def _mixed_measure(s: pd.Series, which: str):
@@ -260,34 +265,34 @@ def _mixed_measure(s: pd.Series, which: str):
     return _with_nulls(out, null_mask)
 
 
+@pandas_udf(DoubleType())
+def _length_udf(s: pd.Series) -> pd.Series:
+    fast = batch_uniform(s) if not s.isna().any() else None
+    if fast is not None:
+        if fast[0] == "point2d":
+            return pd.Series(np.zeros(len(s)))
+        if fast[0] == "ring":
+            c = fast[1]
+            d = np.diff(c, axis=1)
+            return pd.Series(np.sqrt((d * d).sum(axis=2)).sum(axis=1))
+    rl = ragged.parse_lineal(s)
+    if rl is not None:
+        return _with_nulls(ragged.length(rl), rl.null_mask)
+    rp = ragged.parse_polygonal(s)
+    if rp is not None:
+        return _with_nulls(ragged.perimeter(rp), rp.null_mask)
+    mixed = _mixed_measure(s, "length")
+    if mixed is not None:
+        return mixed
+    return pd.Series(
+        [None if b is None else algos.length(from_ewkb(bytes(b))) for b in s], dtype=object
+    )
+
+
 def st_length(col) -> Column:
     """(reference: functions.rs:815-817). Vectorized for uniform ring batches
     and for ragged (Multi)LineString / (Multi)Polygon batches."""
-
-    @pandas_udf("double")
-    def udf(s: pd.Series) -> pd.Series:
-        fast = batch_uniform(s) if not s.isna().any() else None
-        if fast is not None:
-            if fast[0] == "point2d":
-                return pd.Series(np.zeros(len(s)))
-            if fast[0] == "ring":
-                c = fast[1]
-                d = np.diff(c, axis=1)
-                return pd.Series(np.sqrt((d * d).sum(axis=2)).sum(axis=1))
-        rl = ragged.parse_lineal(s)
-        if rl is not None:
-            return _with_nulls(ragged.length(rl), rl.null_mask)
-        rp = ragged.parse_polygonal(s)
-        if rp is not None:
-            return _with_nulls(ragged.perimeter(rp), rp.null_mask)
-        mixed = _mixed_measure(s, "length")
-        if mixed is not None:
-            return mixed
-        return pd.Series(
-            [None if b is None else algos.length(from_ewkb(bytes(b))) for b in s], dtype=object
-        )
-
-    return udf(col_or_lit(col))
+    return _length_udf(col_or_lit(col))
 
 
 def st_distance(col, other) -> Column:
