@@ -2492,6 +2492,29 @@ def q_multimodal_real(spark, sf):
         return _pd.Series(out)
 
     @F.pandas_udf("binary")
+    def gif_payload(ids):
+        # r8: a 6x5 two-color checkerboard GIF per doc (operators/gif.py):
+        # LZW decode + palette mapping must be exact; nearest resize to
+        # (4,4) keeps an 8/16 color split, so each channel mean is the
+        # exact dyadic (c0+c1)/2 the oracle computes from doc_id
+        import numpy as _np2
+
+        from polars_st_spark.operators.gif import encode_gif
+
+        out = []
+        r = _np2.arange(6)[:, None]
+        c = _np2.arange(5)[None, :]
+        checker = ((r + c) % 2).astype(_np2.uint8)
+        for i in ids:
+            i = int(i)
+            pal = _np2.array([
+                [(i * 3) % 256, (i * 4) % 256, (i * 5) % 256],
+                [(i * 7 + 5) % 256, (i * 7 + 16) % 256, (i * 7 + 27) % 256],
+            ], dtype=_np2.uint8)
+            out.append(encode_gif(checker, pal, interlace=(i % 2 == 1)))
+        return _pd.Series(out)
+
+    @F.pandas_udf("binary")
     def mp3_payload(ids):
         # r8: a structurally valid MPEG-1 Layer III stream per doc
         # (operators/mp3.py writer): n = 20 + id%7 frames cycling
@@ -2533,6 +2556,7 @@ def q_multimodal_real(spark, sf):
         pjpeg_payload("doc_id").alias("pjpg"),
         mp4_payload("doc_id").alias("mp4"),
         mp3_payload("doc_id").alias("mp3"),
+        gif_payload("doc_id").alias("gif"),
     )
     img = image_features(
         with_payloads.select("doc_id", "img"), "img", "doc_id",
@@ -2630,8 +2654,21 @@ def q_multimodal_real(spark, sf):
         F.col("total_audio_bytes").cast("double").alias("m1"),
         F.col("avg_bitrate_kbps").alias("m2"),
     )
+    # r8: REAL GIF decode (variable-width LZW + palette + interlace): the
+    # checkerboard's channel means are exact dyadics (c0+c1)/2
+    gifr = image_features(
+        with_payloads.select("doc_id", "gif"), "gif", "doc_id",
+        decode="real", resize=(4, 4),
+    ).select(
+        "doc_id",
+        F.lit("gif").alias("modality"),
+        F.col("features")[0].cast("double").alias("m0"),
+        F.col("features")[1].cast("double").alias("m1"),
+        F.col("features")[2].cast("double").alias("m2"),
+    )
     return (img.unionByName(aud).unionByName(png).unionByName(jpg)
-            .unionByName(pjpg).unionByName(vid).unionByName(mp3r))
+            .unionByName(pjpg).unionByName(vid).unionByName(mp3r)
+            .unionByName(gifr))
 
 
 def q_multimodal_suite(spark, sf):
@@ -4694,7 +4731,16 @@ def _oracle_multimodal_real() -> str:
                    CAST(SUM((144 * kbps * 1000) // 44100) AS DOUBLE) AS m1,
                    SUM(kbps) / CAST(MAX(n) AS DOUBLE) AS m2
             FROM f GROUP BY doc_id
-        )"""
+        )
+        UNION ALL
+        SELECT doc_id, 'gif' AS modality,
+               CAST(CAST(((doc_id * 3) % 256 + (doc_id * 7 + 5) % 256)
+                         / 2.0 AS FLOAT) AS DOUBLE) AS m0,
+               CAST(CAST(((doc_id * 4) % 256 + (doc_id * 7 + 16) % 256)
+                         / 2.0 AS FLOAT) AS DOUBLE) AS m1,
+               CAST(CAST(((doc_id * 5) % 256 + (doc_id * 7 + 27) % 256)
+                         / 2.0 AS FLOAT) AS DOUBLE) AS m2
+        FROM ids"""
 
 
 def _oracle_nearest_join() -> str:

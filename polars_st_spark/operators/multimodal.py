@@ -99,6 +99,9 @@ def _sniff_one(data: bytes) -> dict:
             pos += 2 + struct.unpack_from(">H", data, pos + 2)[0]
         out["media_type"] = out["media_type"] or "image"
         out["format"] = out["format"] or fmt
+    elif data[:4] == b"GIF8" and len(data) >= 10:
+        w, h = struct.unpack_from("<HH", data, 6)
+        out.update(media_type="image", format="gif", width=w, height=h)
     elif data[:4] == b"RIFF" and data[8:12] == b"WAVE":
         import io
         import wave
@@ -431,10 +434,14 @@ def _real_decode_image(payload: bytes, h: int, w: int) -> np.ndarray:
         if img.ndim == 2:
             img = img[:, :, None]
         return _resize_nearest(_to_rgb(img), h, w)
+    if payload[:4] == b"GIF8":  # r8: native LZW GIF decode
+        from polars_st_spark.operators.gif import decode_gif
+
+        return _resize_nearest(decode_gif(payload), h, w)
     raise NotImplementedError(
-        "real decode of non-BMP/PNG/JPEG images requires Pillow/opencv, "
-        "not present in this runtime; BMP, 8-bit PNG, and baseline/"
-        "progressive JPEG decode natively"
+        "real decode of non-BMP/PNG/JPEG/GIF images requires Pillow/opencv, "
+        "not present in this runtime; BMP, 8-bit PNG, baseline/progressive "
+        "JPEG, and GIF decode natively"
     )
 
 
