@@ -2515,6 +2515,26 @@ def q_multimodal_real(spark, sf):
         return _pd.Series(out)
 
     @F.pandas_udf("binary")
+    def tiff_payload(ids):
+        # r8: a 6x5 RGB gradient TIFF per doc — BIG-ENDIAN + PackBits
+        # (operators/tiff.py: IFD walk, strip assembly, MM byte order,
+        # run-length decode all certified); channel means over the (4,4)
+        # nearest-resize selection are exact integer-sum/16 dyadics
+        import numpy as _np3
+
+        from polars_st_spark.operators.tiff import encode_tiff
+
+        r = _np3.arange(6)[:, None, None]
+        c = _np3.arange(5)[None, :, None]
+        k = _np3.arange(3)[None, None, :]
+        out = []
+        for i in ids:
+            img = ((int(i) * (k + 2) + r * 31 + c * 13) % 256).astype(_np3.uint8)
+            out.append(encode_tiff(img, big_endian=True, compression=32773,
+                                   rows_per_strip=2))
+        return _pd.Series(out)
+
+    @F.pandas_udf("binary")
     def mp3_payload(ids):
         # r8: a structurally valid MPEG-1 Layer III stream per doc
         # (operators/mp3.py writer): n = 20 + id%7 frames cycling
@@ -2557,6 +2577,7 @@ def q_multimodal_real(spark, sf):
         mp4_payload("doc_id").alias("mp4"),
         mp3_payload("doc_id").alias("mp3"),
         gif_payload("doc_id").alias("gif"),
+        tiff_payload("doc_id").alias("tif"),
     )
     img = image_features(
         with_payloads.select("doc_id", "img"), "img", "doc_id",
@@ -2666,9 +2687,21 @@ def q_multimodal_real(spark, sf):
         F.col("features")[1].cast("double").alias("m1"),
         F.col("features")[2].cast("double").alias("m2"),
     )
+    # r8: REAL baseline-TIFF decode (big-endian + PackBits strips): channel
+    # means over the resize selection are integer-sum/16 dyadics
+    tifr = image_features(
+        with_payloads.select("doc_id", "tif"), "tif", "doc_id",
+        decode="real", resize=(4, 4),
+    ).select(
+        "doc_id",
+        F.lit("tiff").alias("modality"),
+        F.col("features")[0].cast("double").alias("m0"),
+        F.col("features")[1].cast("double").alias("m1"),
+        F.col("features")[2].cast("double").alias("m2"),
+    )
     return (img.unionByName(aud).unionByName(png).unionByName(jpg)
             .unionByName(pjpg).unionByName(vid).unionByName(mp3r)
-            .unionByName(gifr))
+            .unionByName(gifr).unionByName(tifr))
 
 
 def q_multimodal_suite(spark, sf):
@@ -4642,6 +4675,16 @@ def _oracle_multimodal_real() -> str:
         )
         return f"CAST(CAST(({terms}) / 16.0 AS FLOAT) AS DOUBLE)"
 
+    # r8 TIFF gradient: 6x5 source, nearest-(4,4) selects rows (0,2,3,5) x
+    # cols (0,1,3,4); channel mean = integer-sum/16 (exact dyadic)
+    def tif_mean(k: int) -> str:
+        terms = " + ".join(
+            f"((doc_id * {k + 2} + {r * 31 + c * 13}) % 256)"
+            for r in (0, 2, 3, 5)
+            for c in (0, 1, 3, 4)
+        )
+        return f"CAST(CAST(({terms}) / 16.0 AS FLOAT) AS DOUBLE)"
+
     # r7 baseline-JPEG closed form: solid gray c quantizes to a DC-only
     # block — decoded value = round(q*round(8*(c-128)/q)/8 + 128), q=3 (the
     # quality-90 Annex-K luminance DC step). k's fraction is in {0,1/3,2/3}
@@ -4732,6 +4775,10 @@ def _oracle_multimodal_real() -> str:
                    SUM(kbps) / CAST(MAX(n) AS DOUBLE) AS m2
             FROM f GROUP BY doc_id
         )
+        UNION ALL
+        SELECT doc_id, 'tiff' AS modality,
+               {tif_mean(0)} AS m0, {tif_mean(1)} AS m1, {tif_mean(2)} AS m2
+        FROM ids
         UNION ALL
         SELECT doc_id, 'gif' AS modality,
                CAST(CAST(((doc_id * 3) % 256 + (doc_id * 7 + 5) % 256)

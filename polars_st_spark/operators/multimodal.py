@@ -102,6 +102,13 @@ def _sniff_one(data: bytes) -> dict:
     elif data[:4] == b"GIF8" and len(data) >= 10:
         w, h = struct.unpack_from("<HH", data, 6)
         out.update(media_type="image", format="gif", width=w, height=h)
+    elif data[:2] in (b"II", b"MM") and len(data) >= 8 and struct.unpack_from(
+            "<H" if data[:2] == b"II" else ">H", data, 2)[0] == 42:
+        from polars_st_spark.operators.tiff import decode_tiff
+
+        shp = decode_tiff(data).shape
+        out.update(media_type="image", format="tiff", width=shp[1],
+                   height=shp[0])
     elif data[:4] == b"RIFF" and data[8:12] == b"WAVE":
         import io
         import wave
@@ -438,10 +445,14 @@ def _real_decode_image(payload: bytes, h: int, w: int) -> np.ndarray:
         from polars_st_spark.operators.gif import decode_gif
 
         return _resize_nearest(decode_gif(payload), h, w)
+    if payload[:2] in (b"II", b"MM"):  # r8: native baseline TIFF decode
+        from polars_st_spark.operators.tiff import decode_tiff
+
+        return _resize_nearest(_to_rgb(decode_tiff(payload)), h, w)
     raise NotImplementedError(
-        "real decode of non-BMP/PNG/JPEG/GIF images requires Pillow/opencv, "
-        "not present in this runtime; BMP, 8-bit PNG, baseline/progressive "
-        "JPEG, and GIF decode natively"
+        "real decode of non-BMP/PNG/JPEG/GIF/TIFF images requires "
+        "Pillow/opencv, not present in this runtime; BMP, 8-bit PNG, "
+        "baseline/progressive JPEG, GIF, and baseline TIFF decode natively"
     )
 
 
