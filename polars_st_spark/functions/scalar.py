@@ -347,54 +347,56 @@ def st_distance(col, other) -> Column:
 
         return udf_pts(col_or_lit(col))
     if not isinstance(other_g, Geometry):
-        # column × column (r4b): vectorized for row-paired point×point,
-        # point×ragged-polygon (either direction, inside→0 semantics), and
-        # point×ragged-line batches
-        @pandas_udf("double")
-        def udf2(s1: pd.Series, s2: pd.Series) -> pd.Series:
-            if len(s1) and not s1.isna().any() and not s2.isna().any():
-                fa = batch_uniform(s1)
-                fb = batch_uniform(s2)
-                a_pt = fa is not None and fa[0] == "point2d"
-                b_pt = fb is not None and fb[0] == "point2d"
-                if a_pt and b_pt:
-                    return pd.Series(np.hypot(fa[1] - fb[1], fa[2] - fb[2]))
-                for pt, other_s in ((fa, s2), (fb, s1)) if (a_pt or b_pt) else ():
-                    if pt is None or pt[0] != "point2d":
-                        continue
-                    rp = ragged.parse_polygonal(other_s)
-                    if rp is not None:
-                        return pd.Series(ragged.distance_to_points(rp, pt[1], pt[2]))
-                    rl = ragged.parse_lineal(other_s)
-                    if rl is not None:
-                        return pd.Series(
-                            ragged.distance_lines_to_points(rl, pt[1], pt[2]))
-                    break
-                if not (a_pt or b_pt):
-                    # geometry×geometry pairs (r4e): intersects -> 0, else
-                    # the scalar candidate set vectorized (pairs_distance)
-                    pa = ragged.parse_polygonal(s1)
-                    if pa is None:
-                        pa = ragged.parse_lineal(s1)
-                    pb = None
-                    if pa is not None:
-                        pb = ragged.parse_polygonal(s2)
-                        if pb is None:
-                            pb = ragged.parse_lineal(s2)
-                    if pa is not None and pb is not None:
-                        d = ragged.pairs_distance(pa, pb)
-                        if d is not None:
-                            return pd.Series(d)  # NaN -> NULL at Arrow
-            return pd.Series(
-                [None if (a is None or b is None)
-                 else algos.distance(from_ewkb(bytes(a)), from_ewkb(bytes(b)))
-                 for a, b in zip(s1, s2)],
-                dtype=object,
-            )
-
-        return udf2(col_or_lit(col), col_or_lit(other_g))
+        return _distance_pair_udf(col_or_lit(col), col_or_lit(other_g))
     udf, oc = binary_scalar(algos.distance, "double", other_g)
     return udf(col_or_lit(col)) if oc is None else udf(col_or_lit(col), oc)
+
+
+# column × column distance (r4b; module-level since r8 so the SQL surface
+# can register the identical vectorized UDF): row-paired point×point,
+# point×ragged-polygon (either direction, inside→0), point×ragged-line,
+# and geometry×geometry via the pairs_distance candidate sweep
+@pandas_udf(DoubleType())
+def _distance_pair_udf(s1: pd.Series, s2: pd.Series) -> pd.Series:
+        if len(s1) and not s1.isna().any() and not s2.isna().any():
+            fa = batch_uniform(s1)
+            fb = batch_uniform(s2)
+            a_pt = fa is not None and fa[0] == "point2d"
+            b_pt = fb is not None and fb[0] == "point2d"
+            if a_pt and b_pt:
+                return pd.Series(np.hypot(fa[1] - fb[1], fa[2] - fb[2]))
+            for pt, other_s in ((fa, s2), (fb, s1)) if (a_pt or b_pt) else ():
+                if pt is None or pt[0] != "point2d":
+                    continue
+                rp = ragged.parse_polygonal(other_s)
+                if rp is not None:
+                    return pd.Series(ragged.distance_to_points(rp, pt[1], pt[2]))
+                rl = ragged.parse_lineal(other_s)
+                if rl is not None:
+                    return pd.Series(
+                        ragged.distance_lines_to_points(rl, pt[1], pt[2]))
+                break
+            if not (a_pt or b_pt):
+                # geometry×geometry pairs (r4e): intersects -> 0, else
+                # the scalar candidate set vectorized (pairs_distance)
+                pa = ragged.parse_polygonal(s1)
+                if pa is None:
+                    pa = ragged.parse_lineal(s1)
+                pb = None
+                if pa is not None:
+                    pb = ragged.parse_polygonal(s2)
+                    if pb is None:
+                        pb = ragged.parse_lineal(s2)
+                if pa is not None and pb is not None:
+                    d = ragged.pairs_distance(pa, pb)
+                    if d is not None:
+                        return pd.Series(d)  # NaN -> NULL at Arrow
+        return pd.Series(
+            [None if (a is None or b is None)
+             else algos.distance(from_ewkb(bytes(a)), from_ewkb(bytes(b)))
+             for a, b in zip(s1, s2)],
+            dtype=object,
+        )
 
 
 def st_hausdorff_distance(col, other, densify: float | None = None) -> Column:

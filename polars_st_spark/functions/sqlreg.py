@@ -45,6 +45,7 @@ def _registry():
         "st_y": S._y_udf,
         "st_srid": S._srid_udf,
         "st_geometry_type": S._geometry_type_udf,
+        "st_distance": S._distance_pair_udf,
     }
     for name in (
         "intersects", "disjoint", "within", "contains", "contains_properly",
@@ -58,6 +59,7 @@ def _registry():
 
 SQL_FUNCTIONS = tuple(sorted((
     "st_area", "st_length", "st_x", "st_y", "st_srid", "st_geometry_type",
+    "st_distance",
     "st_intersects", "st_disjoint", "st_within", "st_contains",
     "st_contains_properly", "st_covers", "st_covered_by", "st_crosses",
     "st_touches", "st_overlaps", "st_equals", "st_equals_identical",

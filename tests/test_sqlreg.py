@@ -64,6 +64,18 @@ def test_sql_predicates_match_column_api(sql_ready):
     assert {r["i"] for r in got} == {True, False}
 
 
+def test_sql_distance_matches_column_api(sql_ready):
+    spark = sql_ready
+    got = spark.sql(
+        "SELECT k, st_distance(pt, rect) AS d FROM sqlreg_t ORDER BY k"
+    ).collect()
+    ref = (spark.table("sqlreg_t").select(
+        "k", st.st_distance("pt", F.col("rect")).alias("d"))
+        .orderBy("k").collect())
+    assert [r.asDict() for r in got] == [r.asDict() for r in ref]
+    assert any(r["d"] > 0 for r in got) and any(r["d"] == 0 for r in got)
+
+
 def test_sql_wkt_roundtrip(sql_ready):
     spark = sql_ready
     rows = spark.sql("""
