@@ -973,7 +973,9 @@ def _tm_forward_fn(a, f, k0, lat0, lon0, FE, FN, datum: str | None = None):
             lon_d, lat_d = shift(lon_d, lat_d)
         lam = np.radians(lon_d) - lam0
         phi = np.radians(lat_d)
-        t = np.sinh(np.arctanh(np.sin(phi)) - es * np.arctanh(es * np.sin(phi)))
+        with np.errstate(divide="ignore"):  # arctanh(±1) = ±inf at the poles
+            t = np.sinh(
+                np.arctanh(np.sin(phi)) - es * np.arctanh(es * np.sin(phi)))
         xi = np.arctan2(t, np.cos(lam))
         eta = np.arctanh(np.sin(lam) / np.sqrt(1 + t * t))
         x = eta.copy()

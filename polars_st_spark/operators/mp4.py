@@ -142,7 +142,11 @@ def _resolve_offsets(sizes: np.ndarray, chunk_offsets: np.ndarray,
     samples-per-chunk in (first_chunk, per_chunk) runs; within a chunk
     samples are contiguous."""
     n_chunks = len(chunk_offsets)
-    per_chunk = np.empty(n_chunks, dtype=np.int64)
+    if len(stsc) and int(stsc[0, 0]) != 1:
+        raise ValueError(
+            f"mp4: malformed stsc — first run starts at chunk "
+            f"{int(stsc[0, 0])}, expected 1")
+    per_chunk = np.zeros(n_chunks, dtype=np.int64)
     for i in range(len(stsc)):
         first = int(stsc[i, 0]) - 1
         last = int(stsc[i + 1, 0]) - 1 if i + 1 < len(stsc) else n_chunks

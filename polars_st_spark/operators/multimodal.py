@@ -104,11 +104,17 @@ def _sniff_one(data: bytes) -> dict:
         out.update(media_type="image", format="gif", width=w, height=h)
     elif data[:2] in (b"II", b"MM") and len(data) >= 8 and struct.unpack_from(
             "<H" if data[:2] == b"II" else ">H", data, 2)[0] == 42:
-        from polars_st_spark.operators.tiff import decode_tiff
+        # Dimensions are plain IFD tags 256/257 — no need to decode the
+        # raster, and this works for TIFFs outside the decode envelope
+        # (LZW, tiled, >8-bit).
+        from polars_st_spark.operators.tiff import _read_ifd
 
-        shp = decode_tiff(data).shape
-        out.update(media_type="image", format="tiff", width=shp[1],
-                   height=shp[0])
+        bo = "<" if data[:2] == b"II" else ">"
+        ifd_off = struct.unpack_from(bo + "I", data, 4)[0]
+        tags = _read_ifd(data, ifd_off, bo)
+        w = tags.get(256, [None])[0]
+        h = tags.get(257, [None])[0]
+        out.update(media_type="image", format="tiff", width=w, height=h)
     elif data[:4] == b"RIFF" and data[8:12] == b"WAVE":
         import io
         import wave

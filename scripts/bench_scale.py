@@ -450,6 +450,14 @@ def _run_best(name: str, sf_dir: str, max_tries: int) -> dict:
         best = dict(best)
         best["attempt_reps"] = [a.get("reps", a.get("error")) for a in attempts]
         best["attempt_fault_us"] = [a.get("fault_us") for a in attempts]
+        # The kept value is a best-of-N selection across noise-escape
+        # retries, not a single-protocol median — label it so, and report
+        # the cross-attempt median alongside for readers who want the
+        # fixed-protocol number.
+        best["selection"] = f"best_of_{len(attempts)}"
+        med_all = sorted(a["median"] for a in attempts if "median" in a)
+        if med_all:
+            best["median_across_attempts"] = med_all[len(med_all) // 2]
     if _noisy(best):
         best = dict(best)
         best["noise_note"] = (
