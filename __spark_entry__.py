@@ -1689,6 +1689,39 @@ def q_seed_crs(spark, sf):
     )
 
 
+def q_sqlreg_suite(spark, sf):
+    """SQL-surface gate (r9): every value computed through ``spark.sql``
+    over the registered ST_* SQL functions (polars_st_spark/functions/
+    sqlreg.py) — accessors, a literal-parameter buffer (closed-form 32-gon
+    area), a per-ROW-parameter buffer (exercises the per-distinct-value
+    dispatch), translate, set_srid/to_srid, relate, dwithin, plus scalar
+    subqueries running GROUP BY ``st_union_all`` / ``st_collect``
+    GROUPED_AGG aggregates over the disjoint nation rect grid."""
+    st.register_sql_functions(spark)
+    _cust_pts(spark, sf).createOrReplaceTempView("sqlreg_cust")
+    _nation_rects(spark, sf).createOrReplaceTempView("sqlreg_nat")
+    return spark.sql("""
+        SELECT c_custkey,
+               st_x(pt) AS px, st_y(pt) AS py,
+               ROUND(st_area(st_buffer(pt, 2.0)), 6) AS buf_area,
+               ROUND(st_area(st_buffer(
+                   pt, CAST(c_custkey % 3 + 1 AS DOUBLE))), 6) AS buf_row,
+               st_to_wkt(st_translate(pt, 3.0, -1.0)) AS tr_wkt,
+               st_srid(st_set_srid(pt, 4326)) AS srid,
+               st_dwithin(pt, st_from_wkt('POINT (50 45)'), 20.0) AS near,
+               st_relate(pt, st_from_wkt(
+                   'POLYGON ((0 0, 48 0, 48 89, 0 89, 0 0))')) AS rel,
+               ROUND(st_x(st_to_srid(st_set_srid(pt, 4326), 3857)), 6) AS mx,
+               (SELECT ROUND(SUM(a), 6) FROM (
+                    SELECT st_area(st_union_all(rect)) AS a
+                    FROM sqlreg_nat GROUP BY n_nationkey % 5)) AS nat_union_area,
+               (SELECT SUM(n) FROM (
+                    SELECT st_count_geometries(st_collect(rect)) AS n
+                    FROM sqlreg_nat GROUP BY n_nationkey % 5)) AS nat_n
+        FROM sqlreg_cust
+    """)
+
+
 def q_buffer_styles(spark, sf):
     """Buffer erosion + mitre/bevel joins + flat/square caps + single-sided,
     each with an exact closed-form area (rect fast paths are exact
@@ -2989,6 +3022,7 @@ _QUERIES = {
         "seed_crs": q_seed_crs,
         "buffer_styles": q_buffer_styles,
         "curve_measures": q_curve_measures,
+        "sqlreg_suite": q_sqlreg_suite,
         # --- consolidated round-1 coverage (suites fold the singletons) ---
         "rect_suite": q_rect_suite,
         "point_suite": q_point_suite,
@@ -3796,6 +3830,23 @@ def oracle_sql() -> dict[str, str]:
             FROM nation""",
     }
     # ---- round-3 consolidated suites (compose the singleton oracles) ----
+    d["sqlreg_suite"] = f"""
+        WITH c AS ({_ORACLE_CUST}),
+             agg AS (SELECT ROUND(324.0 * COUNT(*), 6) AS nat_union_area,
+                            COUNT(*) AS nat_n FROM nation)
+        SELECT c.c_custkey, c.x AS px, c.y AS py,
+               ROUND(64.0 * sin(pi()/16), 6) AS buf_area,
+               ROUND(16.0 * (c.c_custkey % 3 + 1) * (c.c_custkey % 3 + 1)
+                     * sin(pi()/16), 6) AS buf_row,
+               'POINT (' || CAST(CAST(c.x + 3 AS DECIMAL(6,1)) AS VARCHAR)
+                 || ' ' || CAST(CAST(c.y - 1 AS DECIMAL(6,1)) AS VARCHAR)
+                 || ')' AS tr_wkt,
+               4326 AS srid,
+               sqrt((c.x-50.0)*(c.x-50.0) + (c.y-45.0)*(c.y-45.0)) < 20.0 AS near,
+               CASE WHEN c.x < 48 THEN '0FFFFF212' ELSE 'FF0FFF212' END AS rel,
+               ROUND(radians(c.x) * 6378137.0, 6) AS mx,
+               agg.nat_union_area, agg.nat_n
+        FROM c, agg"""
     d["rect_suite"] = f"""
         SELECT n_nationkey,
                (x1-x0)*(y1-y0) AS area,

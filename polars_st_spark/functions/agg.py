@@ -45,11 +45,7 @@ def _decode_series(s: pd.Series):
     return [None if b is None else from_ewkb(bytes(b)) for b in s]
 
 
-def st_union_all(col, grid_size: float | None = None) -> Column:
-    """Aggregate union; empty/all-null → GEOMETRYCOLLECTION EMPTY
-    (reference: expressions.rs:985-999). Uniform axis-rect groups take a
-    vectorized slab-union path with no per-row decode."""
-
+def _union_all_udf(grid_size: float | None = None):
     @pandas_udf("binary")
     def agg(s: pd.Series) -> bytes:
         from polars_st_spark.geo.rectregion import RectRegion, region_to_geometry
@@ -69,17 +65,27 @@ def st_union_all(col, grid_size: float | None = None) -> Column:
                 return to_ewkb(region_to_geometry(region, srid))
         return to_ewkb(setops.union_all(_decode_series(s), grid_size))
 
-    return agg(col_or_lit(col))
+    return agg
 
 
-def st_intersection_all(col, grid_size: float | None = None) -> Column:
-    """(reference: expressions.rs:901-914)"""
+def st_union_all(col, grid_size: float | None = None) -> Column:
+    """Aggregate union; empty/all-null → GEOMETRYCOLLECTION EMPTY
+    (reference: expressions.rs:985-999). Uniform axis-rect groups take a
+    vectorized slab-union path with no per-row decode."""
+    return _union_all_udf(grid_size)(col_or_lit(col))
 
+
+def _intersection_all_udf(grid_size: float | None = None):
     @pandas_udf("binary")
     def agg(s: pd.Series) -> bytes:
         return to_ewkb(setops.intersection_all(_decode_series(s), grid_size))
 
-    return agg(col_or_lit(col))
+    return agg
+
+
+def st_intersection_all(col, grid_size: float | None = None) -> Column:
+    """(reference: expressions.rs:901-914)"""
+    return _intersection_all_udf(grid_size)(col_or_lit(col))
 
 
 def st_difference_all(col, grid_size: float | None = None) -> Column:
@@ -108,9 +114,7 @@ def st_symmetric_difference_all(col, grid_size: float | None = None) -> Column:
     return agg(col_or_lit(col))
 
 
-def st_polygonize_agg(col) -> Column:
-    """Polygonize the group's combined linework (reference: functions.rs:1221-1226)."""
-
+def _polygonize_agg_udf():
     @pandas_udf("binary")
     def agg(s: pd.Series) -> bytes:
         from polars_st_spark.geo.setops import collect as _collect
@@ -137,7 +141,12 @@ def st_polygonize_agg(col) -> Column:
         ]
         return to_ewkb(Geometry(GeometryType.GeometryCollection, srid=merged.srid, geoms=polys))
 
-    return agg(col_or_lit(col))
+    return agg
+
+
+def st_polygonize_agg(col) -> Column:
+    """Polygonize the group's combined linework (reference: functions.rs:1221-1226)."""
+    return _polygonize_agg_udf()(col_or_lit(col))
 
 
 def st_voronoi_polygons_agg(col, tolerance: float = 0.0) -> Column:
@@ -174,26 +183,32 @@ def st_delaunay_triangles_agg(col, tolerance: float = 0.0, only_edges: bool = Fa
     return agg(col_or_lit(col))
 
 
-def st_coverage_union_all(col) -> Column:
-    """Union of a non-overlapping coverage (reference: functions.rs:1213-1219)."""
-
+def _coverage_union_all_udf():
     @pandas_udf("binary")
     def agg(s: pd.Series) -> bytes:
         return to_ewkb(setops.union_all(_decode_series(s)))
 
-    return agg(col_or_lit(col))
+    return agg
 
 
-def st_collect(col, into: int | None = None) -> Column:
-    """Gather group geometries into Multi*/GeometryCollection with supertype
-    inference (reference: functions.rs:1238-1276)."""
+def st_coverage_union_all(col) -> Column:
+    """Union of a non-overlapping coverage (reference: functions.rs:1213-1219)."""
+    return _coverage_union_all_udf()(col_or_lit(col))
 
+
+def _collect_udf(into: int | None = None):
     @pandas_udf("binary")
     def agg(s: pd.Series) -> bytes:
         gs = [g for g in _decode_series(s) if g is not None]
         return to_ewkb(setops.collect(gs, into=into))
 
-    return agg(col_or_lit(col))
+    return agg
+
+
+def st_collect(col, into: int | None = None) -> Column:
+    """Gather group geometries into Multi*/GeometryCollection with supertype
+    inference (reference: functions.rs:1238-1276)."""
+    return _collect_udf(into)(col_or_lit(col))
 
 
 def st_total_bounds(bounds_col) -> list[Column]:

@@ -14,7 +14,7 @@ import pandas as pd
 from pyspark.sql import Column
 from pyspark.sql.functions import pandas_udf
 
-from polars_st_spark.functions.factory import col_or_lit
+from polars_st_spark.functions.factory import col_or_lit, spark_dt
 from polars_st_spark.geo import geojson as _gj
 from polars_st_spark.geo import wkt as _wkt
 from polars_st_spark.geo.types import Geometry, GeometryType
@@ -36,28 +36,33 @@ __all__ = [
 ]
 
 
+def _point2_udf(srid: int = 0):
+    """(x, y) → EWKB point UDF builder (shared with the SQL registry)."""
+
+    @pandas_udf(spark_dt("binary"))
+    def udf(xs: pd.Series, ys: pd.Series) -> pd.Series:
+        mask = xs.isna() | ys.isna()
+        bufs = points_to_ewkb(
+            xs.to_numpy(dtype=np.float64, na_value=np.nan),
+            ys.to_numpy(dtype=np.float64, na_value=np.nan),
+            srid=srid,
+        )
+        if mask.any():
+            bufs = [None if m else b for b, m in zip(bufs, mask)]
+        return pd.Series(bufs, dtype=object)
+
+    return udf
+
+
 def st_point(x, y, z=None, srid: int = 0) -> Column:
     """Point from numeric columns → EWKB binary (reference: parsing.py:37-77).
 
     Vectorized: builds the whole Arrow batch's EWKB with numpy slice writes.
     """
     if z is None:
+        return _point2_udf(srid)(col_or_lit(x), col_or_lit(y))
 
-        @pandas_udf("binary")
-        def udf(xs: pd.Series, ys: pd.Series) -> pd.Series:
-            mask = xs.isna() | ys.isna()
-            bufs = points_to_ewkb(
-                xs.to_numpy(dtype=np.float64, na_value=np.nan),
-                ys.to_numpy(dtype=np.float64, na_value=np.nan),
-                srid=srid,
-            )
-            if mask.any():
-                bufs = [None if m else b for b, m in zip(bufs, mask)]
-            return pd.Series(bufs, dtype=object)
-
-        return udf(col_or_lit(x), col_or_lit(y))
-
-    @pandas_udf("binary")
+    @pandas_udf(spark_dt("binary"))
     def udf3(xs: pd.Series, ys: pd.Series, zs: pd.Series) -> pd.Series:
         mask = xs.isna() | ys.isna() | zs.isna()
         bufs = points_to_ewkb(
@@ -77,7 +82,7 @@ def st_rectangle(xmin, ymin, xmax, ymax, srid: int = 0) -> Column:
     """Axis-aligned rectangle polygon from 4 numeric columns
     (reference: parsing.py:250-282, functions.rs:290-299). Vectorized."""
 
-    @pandas_udf("binary")
+    @pandas_udf(spark_dt("binary"))
     def udf(x0s: pd.Series, y0s: pd.Series, x1s: pd.Series, y1s: pd.Series) -> pd.Series:
         n = len(x0s)
         mask = x0s.isna() | y0s.isna() | x1s.isna() | y1s.isna()
@@ -117,7 +122,7 @@ def st_rectangle(xmin, ymin, xmax, ymax, srid: int = 0) -> Column:
 
 
 def _parser_udf(parse, srid: int | None = None):
-    @pandas_udf("binary")
+    @pandas_udf(spark_dt("binary"))
     def udf(s: pd.Series) -> pd.Series:
         def one(v):
             if v is None:
@@ -155,7 +160,7 @@ def st_from_geojson(col, srid: int = 0) -> Column:
 def st_linestring(coords_col, srid: int = 0) -> Column:
     """LineString from array<array<double>> column (reference: parsing.py:117-167)."""
 
-    @pandas_udf("binary")
+    @pandas_udf(spark_dt("binary"))
     def udf(s: pd.Series) -> pd.Series:
         def one(v):
             if v is None:
@@ -181,7 +186,7 @@ def st_circularstring(coords_col, srid: int = 0) -> Column:
     Stored/propagated as EWKB; header-level ops work, GEOS-style computations
     on curves raise (SURVEY §7 hard part 1 — curve support)."""
 
-    @pandas_udf("binary")
+    @pandas_udf(spark_dt("binary"))
     def udf(s: pd.Series) -> pd.Series:
         def one(v):
             if v is None:
@@ -206,7 +211,7 @@ def st_circularstring(coords_col, srid: int = 0) -> Column:
 def st_multilinestring(lines_col, srid: int = 0) -> Column:
     """MultiLineString from array<array<array<double>>>."""
 
-    @pandas_udf("binary")
+    @pandas_udf(spark_dt("binary"))
     def udf(s: pd.Series) -> pd.Series:
         def one(v):
             if v is None:
@@ -233,7 +238,7 @@ def st_multilinestring(lines_col, srid: int = 0) -> Column:
 def st_polygon(rings_col, srid: int = 0) -> Column:
     """Polygon from array<array<array<double>>> (reference: parsing.py:170-247)."""
 
-    @pandas_udf("binary")
+    @pandas_udf(spark_dt("binary"))
     def udf(s: pd.Series) -> pd.Series:
         def one(v):
             if v is None:
@@ -250,7 +255,7 @@ def st_polygon(rings_col, srid: int = 0) -> Column:
 def st_multipoint(coords_col, srid: int = 0) -> Column:
     """MultiPoint from array<array<double>> (reference: parsing.py:80-114)."""
 
-    @pandas_udf("binary")
+    @pandas_udf(spark_dt("binary"))
     def udf(s: pd.Series) -> pd.Series:
         def one(v):
             if v is None:
@@ -272,7 +277,7 @@ def st_from_coords(col, srid: int = 0) -> Column:
     """Infer Point/LineString/Polygon from nesting depth
     (reference: parsing.py:285-320, expressions.rs:192-209)."""
 
-    @pandas_udf("binary")
+    @pandas_udf(spark_dt("binary"))
     def udf(s: pd.Series) -> pd.Series:
         def depth(v) -> int:
             d = 0

@@ -26,6 +26,7 @@ from polars_st_spark.geo.wkt import from_ewkt, from_wkt
 
 __all__ = [
     "col_or_lit",
+    "spark_dt",
     "geom_arg",
     "unary_geom",
     "unary_scalar",
@@ -33,6 +34,39 @@ __all__ = [
     "binary_scalar",
     "binary_geom",
 ]
+
+
+_DT_CACHE: dict = {}
+
+
+def spark_dt(t):
+    """Resolve a DDL type string to a DataType instance WITHOUT a session —
+    pandas_udf parses string return types via the JVM, which breaks when a
+    UDF builder runs inside an executor worker (the SQL registry's
+    parameterized dispatch does exactly that). Unknown strings pass
+    through (driver-side use only)."""
+    if not isinstance(t, str):
+        return t
+    hit = _DT_CACHE.get(t)
+    if hit is not None:
+        return hit
+    from pyspark.sql import types as _T
+
+    base = {
+        "binary": _T.BinaryType(), "double": _T.DoubleType(),
+        "int": _T.IntegerType(), "integer": _T.IntegerType(),
+        "bigint": _T.LongType(), "boolean": _T.BooleanType(),
+        "string": _T.StringType(),
+    }
+    out = base.get(t)
+    if out is None and t.startswith("array<") and t.endswith(">"):
+        inner = spark_dt(t[6:-1])
+        if not isinstance(inner, str):
+            out = _T.ArrayType(inner)
+    if out is None:
+        out = t
+    _DT_CACHE[t] = out
+    return out
 
 
 def col_or_lit(c) -> Column:
@@ -90,7 +124,7 @@ def _encode(g: Geometry | None) -> bytes | None:
 def unary_geom(fn: Callable[[Geometry], Geometry], name: str = "st_fn"):
     """geometry → geometry column (EWKB in, EWKB out, null-safe)."""
 
-    @pandas_udf("binary")
+    @pandas_udf(spark_dt("binary"))
     def udf(s: pd.Series) -> pd.Series:
         return pd.Series(
             [None if g is None else _encode(fn(g)) for g in decode_batch(s)],
@@ -103,7 +137,7 @@ def unary_geom(fn: Callable[[Geometry], Geometry], name: str = "st_fn"):
 def unary_scalar(fn: Callable[[Geometry], Any], return_type: str, name: str = "st_fn"):
     """geometry → scalar column. None passthrough; fn errors propagate."""
 
-    @pandas_udf(return_type)
+    @pandas_udf(spark_dt(return_type))
     def udf(s: pd.Series) -> pd.Series:
         out = [None if g is None else fn(g) for g in decode_batch(s)]
         return pd.Series(out, dtype=object)
@@ -131,7 +165,7 @@ def unary_scalar_param(
 
     p = col_or_lit(param)
 
-    @pandas_udf(return_type)
+    @pandas_udf(spark_dt(return_type))
     def udf(s: pd.Series, v: pd.Series) -> pd.Series:
         out = [
             None if g is None or pd.isna(x) else fn(g, x)
@@ -156,14 +190,14 @@ def binary_scalar(
     if isinstance(other, Geometry):
         g2 = other
 
-        @pandas_udf(return_type)
+        @pandas_udf(spark_dt(return_type))
         def udf(s: pd.Series) -> pd.Series:
             out = [None if g is None else fn(g, g2) for g in decode_batch(s)]
             return pd.Series(out, dtype=object)
 
         return udf, None
 
-    @pandas_udf(return_type)
+    @pandas_udf(spark_dt(return_type))
     def udf2(s1: pd.Series, s2: pd.Series) -> pd.Series:
         out = [
             None if (g1 is None or g2 is None) else fn(g1, g2)
@@ -171,7 +205,10 @@ def binary_scalar(
         ]
         return pd.Series(out, dtype=object)
 
-    return udf2, col_or_lit(other)
+    # other=None: return the bare two-column UDF (SQL registry; the caller
+    # applies it to both sides itself — no driver Column is built, so this
+    # path is safe inside executor workers)
+    return udf2, (col_or_lit(other) if other is not None else None)
 
 
 def binary_geom(
@@ -183,7 +220,7 @@ def binary_geom(
     if isinstance(other, Geometry):
         g2 = other
 
-        @pandas_udf("binary")
+        @pandas_udf(spark_dt("binary"))
         def udf(s: pd.Series) -> pd.Series:
             return pd.Series(
                 [None if g is None else _encode(fn(g, g2)) for g in decode_batch(s)],
@@ -192,7 +229,7 @@ def binary_geom(
 
         return udf, None
 
-    @pandas_udf("binary")
+    @pandas_udf(spark_dt("binary"))
     def udf2(s1: pd.Series, s2: pd.Series) -> pd.Series:
         out = [
             None if (g1 is None or g2 is None) else _encode(fn(g1, g2))
@@ -200,4 +237,4 @@ def binary_geom(
         ]
         return pd.Series(out, dtype=object)
 
-    return udf2, col_or_lit(other)
+    return udf2, (col_or_lit(other) if other is not None else None)

@@ -20,7 +20,7 @@ import pandas as pd
 from pyspark.sql import Column
 from pyspark.sql.functions import pandas_udf
 
-from polars_st_spark.functions.factory import binary_scalar, col_or_lit, geom_arg
+from polars_st_spark.functions.factory import binary_scalar, col_or_lit, geom_arg, spark_dt
 from polars_st_spark.geo import predicates as P
 from polars_st_spark.geo import ragged as RG
 from polars_st_spark.geo.types import Geometry, GeometryType
@@ -512,7 +512,7 @@ def st_relate(col, other) -> Column:
     if isinstance(o, Geometry):
         ob = bytes(to_ewkb(o))
 
-        @pandas_udf("string")
+        @pandas_udf(spark_dt("string"))
         def udf1(s: pd.Series) -> pd.Series:
             if len(s) * len(ob) <= _REL_CONST_MAX:
                 return _relate_series(s, pd.Series([ob] * len(s)))
@@ -523,11 +523,17 @@ def st_relate(col, other) -> Column:
 
         return udf1(col_or_lit(col))
 
-    @pandas_udf("string")
+    return _relate_pair_udf()(col_or_lit(col), o)
+
+
+def _relate_pair_udf():
+    """Two-geometry-column relate UDF builder (shared with the SQL registry)."""
+
+    @pandas_udf(spark_dt("string"))
     def udf2(s1: pd.Series, s2: pd.Series) -> pd.Series:
         return _relate_series(s1, s2)
 
-    return udf2(col_or_lit(col), o)
+    return udf2
 
 
 def st_relate_pattern(col, other, pattern: str) -> Column:
@@ -544,7 +550,7 @@ def st_relate_pattern(col, other, pattern: str) -> Column:
     if isinstance(o, Geometry):
         ob = bytes(to_ewkb(o))
 
-        @pandas_udf("boolean")
+        @pandas_udf(spark_dt("boolean"))
         def udf1(s: pd.Series) -> pd.Series:
             if len(s) * len(ob) <= _REL_CONST_MAX:
                 return match(_relate_series(s, pd.Series([ob] * len(s))))
@@ -559,21 +565,36 @@ def st_relate_pattern(col, other, pattern: str) -> Column:
 
         return udf1(col_or_lit(col))
 
-    @pandas_udf("boolean")
-    def udf2(s1: pd.Series, s2: pd.Series) -> pd.Series:
-        return match(_relate_series(s1, s2))
+    return _relate_pattern_pair_udf(pattern)(col_or_lit(col), o)
 
-    return udf2(col_or_lit(col), o)
+
+def _relate_pattern_pair_udf(pattern: str):
+    """Two-geometry-column relate_pattern UDF builder (shared with the SQL
+    registry)."""
+
+    @pandas_udf(spark_dt("boolean"))
+    def udf2(s1: pd.Series, s2: pd.Series) -> pd.Series:
+        ms = _relate_series(s1, s2)
+        return pd.Series(
+            [None if m is None else P._matches(pattern, m) for m in ms],
+            dtype=object,
+        )
+
+    return udf2
 
 
 def st_dwithin(col, other, distance: float) -> Column:
     """distance(a,b) < d, strict (reference: functions.rs:984-990).
     Vectorized for point-vs-point batches."""
+    return _dwithin_impl(col, other, distance)
+
+
+def _dwithin_impl(col, other, distance: float) -> Column:
     o = geom_arg(other)
     if isinstance(o, Geometry):
         B_const = _const_box(o)
 
-        @pandas_udf("boolean")
+        @pandas_udf(spark_dt("boolean"))
         def udf1(s: pd.Series) -> pd.Series:
             if B_const is not None and B_const[4] and not s.isna().any():
                 A = _as_boxes(batch_uniform(s))
@@ -587,7 +608,13 @@ def st_dwithin(col, other, distance: float) -> Column:
 
         return udf1(col_or_lit(col))
 
-    @pandas_udf("boolean")
+    return _dwithin_pair_udf(distance)(col_or_lit(col), col_or_lit(o))
+
+
+def _dwithin_pair_udf(distance: float):
+    """Two-geometry-column dwithin UDF builder (shared with the SQL registry)."""
+
+    @pandas_udf(spark_dt("boolean"))
     def udf2(s1: pd.Series, s2: pd.Series) -> pd.Series:
         if len(s1) and not s1.isna().any() and not s2.isna().any():
             fa = batch_uniform(s1)
@@ -637,7 +664,7 @@ def st_dwithin(col, other, distance: float) -> Column:
             dtype=object,
         )
 
-    return udf2(col_or_lit(col), col_or_lit(o))
+    return udf2
 
 
 def st_intersects_xy(col, x: float, y: float) -> Column:

@@ -425,10 +425,7 @@ def st_project(col, other, normalized: bool = False) -> Column:
     return udf(col_or_lit(col)) if oc is None else udf(col_or_lit(col), oc)
 
 
-def st_bounds(col) -> Column:
-    """[xmin,ymin,xmax,ymax]; NaN when empty (reference: functions.rs:798-813).
-    Vectorized for uniform point/ring batches and ragged polygon/line batches."""
-
+def _bounds_udf_builder():
     @pandas_udf("array<double>")
     def udf(s: pd.Series) -> pd.Series:
         fast = batch_uniform(s) if not s.isna().any() else None
@@ -455,7 +452,13 @@ def st_bounds(col) -> Column:
             dtype=object,
         )
 
-    return udf(col_or_lit(col))
+    return udf
+
+
+def st_bounds(col) -> Column:
+    """[xmin,ymin,xmax,ymax]; NaN when empty (reference: functions.rs:798-813).
+    Vectorized for uniform point/ring batches and ragged polygon/line batches."""
+    return _bounds_udf_builder()(col_or_lit(col))
 
 
 def _mixed_bounds(s: pd.Series):
@@ -501,7 +504,10 @@ def st_count_coordinates(col) -> Column:
     """Counts stored coordinates (curve control points, not linearization).
     Ragged polygon/line batches read the counts straight off the CSR row
     offsets — no geometry objects."""
+    return _count_coordinates_udf()(col_or_lit(col))
 
+
+def _count_coordinates_udf():
     @pandas_udf("int")
     def udf(s: pd.Series) -> pd.Series:
         rg = (ragged.parse_polygonal(s) or ragged.parse_lineal(s)
@@ -513,7 +519,7 @@ def st_count_coordinates(col) -> Column:
             dtype=object,
         )
 
-    return udf(col_or_lit(col))
+    return udf
 
 
 def st_count_points(col) -> Column:
@@ -546,61 +552,65 @@ def st_count_geometries(col) -> Column:
 def st_coordinates(col, output_dimension: int = 2) -> Column:
     """List of coordinate tuples (reference: functions.rs:556-621)."""
 
-    def fn(g: Geometry):
-        c = g.raw_coords()
-        d = min(output_dimension, c.shape[1]) if len(c) else output_dimension
-        return [list(map(float, row[:d])) for row in c]
+    return unary_scalar(
+        lambda g: _coordinates_fn(g, output_dimension),
+        "array<array<double>>")(col_or_lit(col))
 
-    return unary_scalar(fn, "array<array<double>>")(col_or_lit(col))
+
+def _coordinates_fn(g: Geometry, output_dimension: int = 2):
+    c = g.raw_coords()
+    d = min(output_dimension, c.shape[1]) if len(c) else output_dimension
+    return [list(map(float, row[:d])) for row in c]
+
+
+def _exterior_ring_fn(g: Geometry):
+    if g.type_id != GeometryType.Polygon or not g.rings:
+        return None
+    from polars_st_spark.geo.algos import _closed
+
+    return to_ewkb(
+        Geometry(GeometryType.LineString, srid=g.srid, has_z=g.has_z,
+                 coords=_closed(g.rings[0]).copy())
+    )
 
 
 def st_exterior_ring(col) -> Column:
     """Null for non-Polygon (reference: functions.rs:489-499)."""
+    return unary_scalar(_exterior_ring_fn, "binary")(col_or_lit(col))
 
-    def fn(g: Geometry):
-        if g.type_id != GeometryType.Polygon or not g.rings:
-            return None
-        from polars_st_spark.geo.algos import _closed
 
-        return to_ewkb(
-            Geometry(GeometryType.LineString, srid=g.srid, has_z=g.has_z,
-                     coords=_closed(g.rings[0]).copy())
-        )
+def _interior_rings_fn(g: Geometry):
+    if g.type_id != GeometryType.Polygon or not g.rings:
+        return []
+    from polars_st_spark.geo.algos import _closed
 
-    return unary_scalar(fn, "binary")(col_or_lit(col))
+    return [
+        to_ewkb(Geometry(GeometryType.LineString, srid=g.srid, has_z=g.has_z,
+                         coords=_closed(r).copy()))
+        for r in g.rings[1:]
+    ]
 
 
 def st_interior_rings(col) -> Column:
     """Empty list for non-Polygon (reference: functions.rs:501-518)."""
+    return unary_scalar(_interior_rings_fn, "array<binary>")(col_or_lit(col))
 
-    def fn(g: Geometry):
-        if g.type_id != GeometryType.Polygon or not g.rings:
-            return []
-        from polars_st_spark.geo.algos import _closed
 
-        return [
-            to_ewkb(Geometry(GeometryType.LineString, srid=g.srid, has_z=g.has_z,
-                             coords=_closed(r).copy()))
-            for r in g.rings[1:]
-        ]
-
-    return unary_scalar(fn, "array<binary>")(col_or_lit(col))
+def _parts_fn(g: Geometry):
+    if g.geoms is not None:
+        return [to_ewkb(s if s.srid else s.with_srid(g.srid)) for s in g.geoms]
+    return [to_ewkb(g)]
 
 
 def st_parts(col) -> Column:
     """Collection parts (reference: functions.rs:673-685)."""
-
-    def fn(g: Geometry):
-        if g.geoms is not None:
-            return [to_ewkb(s if s.srid else s.with_srid(g.srid)) for s in g.geoms]
-        return [to_ewkb(g)]
-
-    return unary_scalar(fn, "array<binary>")(col_or_lit(col))
+    return unary_scalar(_parts_fn, "array<binary>")(col_or_lit(col))
 
 
 def _indexed(fn):
     """Index is broadcastable like the reference's Expr parameter
-    (functions.rs:631-671): Python int or per-row Column / column name."""
+    (functions.rs:631-671): Python int or per-row Column / column name.
+    The raw kernel stays reachable as ``outer._kernel`` (SQL registry)."""
 
     def outer(col, index):
         from pyspark.sql import Column as _Col
@@ -612,6 +622,7 @@ def _indexed(fn):
                 lambda g, i: fn(g, int(i)), "binary", index)(col)
         return unary_scalar(lambda g: fn(g, index), "binary")(col_or_lit(col))
 
+    outer._kernel = fn
     return outer
 
 
@@ -716,21 +727,23 @@ def st_to_wkb(col, output_dimension: int = 3, byte_order: int | None = None,
         raise ValueError(f"byte_order must be None, 0 or 1, got {byte_order}")
     if output_dimension not in (2, 3, 4):
         raise ValueError(f"output_dimension must be 2, 3 or 4, got {output_dimension}")
+    return unary_scalar(
+        lambda g: _to_wkb_fn(g, output_dimension, bo, include_srid), "binary"
+    )(col_or_lit(col))
 
-    def fn(g: Geometry):
-        if output_dimension == 2 and (g.has_z or g.has_m):
-            from polars_st_spark.geo.algos import force_2d
 
-            g = force_2d(g)
-        elif output_dimension == 3 and g.has_z and g.has_m:
-            # GEOS WKBWriter caps at 3 dims by dropping M and keeping XYZ
-            # (an XYM-only geometry already fits in 3 dims and keeps M)
-            from polars_st_spark.geo.algos import drop_m
+def _to_wkb_fn(g: Geometry, output_dimension: int, bo: int, include_srid: bool):
+    if output_dimension == 2 and (g.has_z or g.has_m):
+        from polars_st_spark.geo.algos import force_2d
 
-            g = drop_m(g)
-        return to_ewkb(g, include_srid=include_srid, byte_order=bo)
+        g = force_2d(g)
+    elif output_dimension == 3 and g.has_z and g.has_m:
+        # GEOS WKBWriter caps at 3 dims by dropping M and keeping XYZ
+        # (an XYM-only geometry already fits in 3 dims and keeps M)
+        from polars_st_spark.geo.algos import drop_m
 
-    return unary_scalar(fn, "binary")(col_or_lit(col))
+        g = drop_m(g)
+    return to_ewkb(g, include_srid=include_srid, byte_order=bo)
 
 
 def st_to_geojson(col, indent: int | None = None) -> Column:

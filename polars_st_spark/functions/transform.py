@@ -20,6 +20,7 @@ from polars_st_spark.functions.factory import (
     col_or_lit,
     geom_arg,
     unary_geom,
+    spark_dt,
 )
 from polars_st_spark.geo import algos, setops
 from polars_st_spark.geo.types import Geometry, GeometryType
@@ -50,11 +51,10 @@ def _u(fn):
     return outer
 
 
-def st_centroid(col) -> Column:
-    """Area-weighted centroid (reference: functions.rs:1330-1336). Ragged
-    (Multi)Polygon batches — holes, varying vertex counts — compute via the
-    CSR moment formulas (geo/ragged.py) and batch-encode the result points;
-    degenerate/zero-area rows fall back to the scalar length/point centroid."""
+def _centroid_udf():
+    """UDF builder behind :func:`st_centroid` — also the object
+    ``register_sql_functions`` installs, so SQL and Column API share the
+    exact batch dispatch."""
     from polars_st_spark.geo import ragged
     from polars_st_spark.geo.wkb import from_ewkb, points_to_ewkb, to_ewkb
 
@@ -70,7 +70,7 @@ def st_centroid(col) -> Column:
             out[i] = to_ewkb(algos.centroid(from_ewkb(bytes(s.iloc[i]))))
         return pd.Series(out, dtype=object)
 
-    @pandas_udf("binary")
+    @pandas_udf(spark_dt("binary"))
     def udf(s: pd.Series) -> pd.Series:
         rp = ragged.parse_polygonal(s)
         if rp is not None and rp.srid_uniform:
@@ -91,23 +91,26 @@ def st_centroid(col) -> Column:
             dtype=object,
         )
 
-    return udf(col_or_lit(col))
+    return udf
+
+
+def st_centroid(col) -> Column:
+    """Area-weighted centroid (reference: functions.rs:1330-1336). Ragged
+    (Multi)Polygon batches — holes, varying vertex counts — compute via the
+    CSR moment formulas (geo/ragged.py) and batch-encode the result points;
+    degenerate/zero-area rows fall back to the scalar length/point centroid."""
+    return _centroid_udf()(col_or_lit(col))
 
 
 st_center = _u(algos.center)
 st_point_on_surface = _u(algos.point_on_surface)
 
 
-def st_convex_hull(col) -> Column:
-    """Monotone-chain convex hull. r5 batch fast path: polygonal / lineal /
-    multipoint CSR batches run the LEVEL-SYNCHRONOUS monotone chain
-    (geo/ragged.convex_hull_rows — the scalar arithmetic per row, so output
-    bytes are identical) with vectorized EWKB assembly; mixed/Z/M batches
-    fall back per-row."""
+def _convex_hull_udf():
     from polars_st_spark.geo import ragged
     from polars_st_spark.geo.wkb import from_ewkb, to_ewkb
 
-    @pandas_udf("binary")
+    @pandas_udf(spark_dt("binary"))
     def udf(s: pd.Series) -> pd.Series:
         fast = ragged.convex_hull_batch(s.to_numpy())
         if fast is not None:
@@ -116,7 +119,16 @@ def st_convex_hull(col) -> Column:
             [None if b is None else to_ewkb(algos.convex_hull(from_ewkb(bytes(b))))
              for b in s], dtype=object)
 
-    return udf(col_or_lit(col))
+    return udf
+
+
+def st_convex_hull(col) -> Column:
+    """Monotone-chain convex hull. r5 batch fast path: polygonal / lineal /
+    multipoint CSR batches run the LEVEL-SYNCHRONOUS monotone chain
+    (geo/ragged.convex_hull_rows — the scalar arithmetic per row, so output
+    bytes are identical) with vectorized EWKB assembly; mixed/Z/M batches
+    fall back per-row."""
+    return _convex_hull_udf()(col_or_lit(col))
 
 
 def st_concave_hull(col, ratio: float = 0.0, allow_holes: bool = False) -> Column:
@@ -134,14 +146,10 @@ def st_disjoint_subset_union(col, grid_size: float | None = None) -> Column:
     """Union optimized for mostly-disjoint inputs; falls back to unary_union
     (reference: expressions.rs:962-969, functions.rs:1170-1176)."""
     return unary_geom(lambda g: setops.unary_union(g, grid_size))(col_or_lit(col))
-def st_envelope(col) -> Column:
-    """Axis-aligned bounding geometry. r5 batch fast path: cached per-row
-    CSR bounds classify to point / degenerate-line / rect groups, each
-    written by its batched encoder (geo/ragged.envelope_batch) —
-    bit-identical to the scalar."""
+def _envelope_udf():
     from polars_st_spark.geo import ragged
 
-    @pandas_udf("binary")
+    @pandas_udf(spark_dt("binary"))
     def udf(s: pd.Series) -> pd.Series:
         fast = ragged.envelope_batch(s.to_numpy())
         if fast is not None:
@@ -150,17 +158,21 @@ def st_envelope(col) -> Column:
             [None if b is None else to_ewkb(algos.envelope(from_ewkb(bytes(b))))
              for b in s], dtype=object)
 
-    return udf(col_or_lit(col))
+    return udf
 
 
-def st_boundary(col) -> Column:
-    """GEOS boundary. r5 batch fast path for polygonal batches: rings
-    re-labelled as LineString chains through the batched lineal writer
-    (geo/ragged.boundary_polygonal_batch, bit-identical); lineal and
-    other inputs keep the per-row mod-2 endpoint path."""
+def st_envelope(col) -> Column:
+    """Axis-aligned bounding geometry. r5 batch fast path: cached per-row
+    CSR bounds classify to point / degenerate-line / rect groups, each
+    written by its batched encoder (geo/ragged.envelope_batch) —
+    bit-identical to the scalar."""
+    return _envelope_udf()(col_or_lit(col))
+
+
+def _boundary_udf():
     from polars_st_spark.geo import ragged
 
-    @pandas_udf("binary")
+    @pandas_udf(spark_dt("binary"))
     def udf(s: pd.Series) -> pd.Series:
         fast = ragged.boundary_polygonal_batch(s.to_numpy())
         if fast is not None:
@@ -169,19 +181,24 @@ def st_boundary(col) -> Column:
             [None if b is None else to_ewkb(algos.boundary(from_ewkb(bytes(b))))
              for b in s], dtype=object)
 
-    return udf(col_or_lit(col))
+    return udf
+
+
+def st_boundary(col) -> Column:
+    """GEOS boundary. r5 batch fast path for polygonal batches: rings
+    re-labelled as LineString chains through the batched lineal writer
+    (geo/ragged.boundary_polygonal_batch, bit-identical); lineal and
+    other inputs keep the per-row mod-2 endpoint path."""
+    return _boundary_udf()(col_or_lit(col))
 
 
 st_force_2d = _u(algos.force_2d)
 
 
-def st_reverse(col) -> Column:
-    """Reverse vertex order per ring/chain. r5 batch fast path: a pure
-    per-unit index reversal byte-spliced over the original EWKB
-    (geo/ragged.reverse_units_batch) — bit-identical, no per-row objects."""
+def _reverse_udf():
     from polars_st_spark.geo import ragged
 
-    @pandas_udf("binary")
+    @pandas_udf(spark_dt("binary"))
     def udf(s: pd.Series) -> pd.Series:
         fast = ragged.reverse_units_batch(s.to_numpy())
         if fast is not None:
@@ -190,7 +207,14 @@ def st_reverse(col) -> Column:
             [None if b is None else to_ewkb(algos.reverse_geom(from_ewkb(bytes(b))))
              for b in s], dtype=object)
 
-    return udf(col_or_lit(col))
+    return udf
+
+
+def st_reverse(col) -> Column:
+    """Reverse vertex order per ring/chain. r5 batch fast path: a pure
+    per-unit index reversal byte-spliced over the original EWKB
+    (geo/ragged.reverse_units_batch) — bit-identical, no per-row objects."""
+    return _reverse_udf()(col_or_lit(col))
 st_extract_unique_points = _u(algos.extract_unique_points)
 st_minimum_rotated_rectangle = _u(algos.minimum_rotated_rectangle)
 st_make_valid = _u(algos.make_valid)
@@ -198,19 +222,14 @@ st_normalize = _u(algos.normalize_geom)
 st_multi = _u(algos.multi)
 
 
-def st_simplify(col, tolerance: float, preserve_topology: bool = True) -> Column:
-    """Douglas–Peucker. r5 batch fast path: uniform-SRID 2-D polygonal or
-    lineal CSR batches compute ONE vectorized keep-mask over every
-    ring/chain at once (geo/ragged.dp_keep_mask — the scalar argmax/
-    tie-break arithmetic, so bytes are identical) and assemble EWKB rows
-    without per-row geometry objects; other shapes fall back per-row."""
+def _simplify_udf(tolerance: float, preserve_topology: bool = True):
     from polars_st_spark.geo import ragged
     from polars_st_spark.geo.wkb import from_ewkb, to_ewkb
 
     tol = float(tolerance)
     pt = preserve_topology
 
-    @pandas_udf("binary")
+    @pandas_udf(spark_dt("binary"))
     def udf(s: pd.Series) -> pd.Series:
         fast = ragged.simplify_batch(s.to_numpy(), tol)
         if fast is not None:
@@ -220,20 +239,26 @@ def st_simplify(col, tolerance: float, preserve_topology: bool = True) -> Column
              to_ewkb(algos.simplify(from_ewkb(bytes(b)), tol, pt))
              for b in s], dtype=object)
 
-    return udf(col_or_lit(col))
+    return udf
 
 
-def st_segmentize(col, max_segment_length: float) -> Column:
-    """r5 batch fast path: vectorized per-segment subdivision over ragged
-    polygonal/lineal batches (geo/ragged.segmentize_batch — linspace-exact
-    params, bit-identical to the scalar)."""
+def st_simplify(col, tolerance: float, preserve_topology: bool = True) -> Column:
+    """Douglas–Peucker. r5 batch fast path: uniform-SRID 2-D polygonal or
+    lineal CSR batches compute ONE vectorized keep-mask over every
+    ring/chain at once (geo/ragged.dp_keep_mask — the scalar argmax/
+    tie-break arithmetic, so bytes are identical) and assemble EWKB rows
+    without per-row geometry objects; other shapes fall back per-row."""
+    return _simplify_udf(tolerance, preserve_topology)(col_or_lit(col))
+
+
+def _segmentize_udf(max_segment_length: float):
     from polars_st_spark.geo import ragged
 
     ml = float(max_segment_length)
     if ml <= 0:
         raise ValueError("max_segment_length must be positive")
 
-    @pandas_udf("binary")
+    @pandas_udf(spark_dt("binary"))
     def udf(s: pd.Series) -> pd.Series:
         fast = ragged.segmentize_batch(s.to_numpy(), ml)
         if fast is not None:
@@ -242,19 +267,22 @@ def st_segmentize(col, max_segment_length: float) -> Column:
             [None if b is None else to_ewkb(algos.segmentize(from_ewkb(bytes(b)), ml))
              for b in s], dtype=object)
 
-    return udf(col_or_lit(col))
+    return udf
 
 
-def st_remove_repeated_points(col, tolerance: float = 0.0) -> Column:
-    """r5 batch fast path: one vectorized consecutive-distance keep-mask
-    per ring/chain + masked EWKB assembly (geo/ragged.remove_repeated_
-    batch, bit-identical); rows hitting the scalar's take-first-min_n
-    collapse rule run scalar inside the same UDF."""
+def st_segmentize(col, max_segment_length: float) -> Column:
+    """r5 batch fast path: vectorized per-segment subdivision over ragged
+    polygonal/lineal batches (geo/ragged.segmentize_batch — linspace-exact
+    params, bit-identical to the scalar)."""
+    return _segmentize_udf(max_segment_length)(col_or_lit(col))
+
+
+def _remove_repeated_udf(tolerance: float = 0.0):
     from polars_st_spark.geo import ragged
 
     tol = float(tolerance)
 
-    @pandas_udf("binary")
+    @pandas_udf(spark_dt("binary"))
     def udf(s: pd.Series) -> pd.Series:
         vals = s.to_numpy()
         fast = ragged.remove_repeated_batch(vals, tol)
@@ -270,7 +298,15 @@ def st_remove_repeated_points(col, tolerance: float = 0.0) -> Column:
              to_ewkb(algos.remove_repeated_points(from_ewkb(bytes(b)), tol))
              for b in s], dtype=object)
 
-    return udf(col_or_lit(col))
+    return udf
+
+
+def st_remove_repeated_points(col, tolerance: float = 0.0) -> Column:
+    """r5 batch fast path: one vectorized consecutive-distance keep-mask
+    per ring/chain + masked EWKB assembly (geo/ragged.remove_repeated_
+    batch, bit-identical); rows hitting the scalar's take-first-min_n
+    collapse rule run scalar inside the same UDF."""
+    return _remove_repeated_udf(tolerance)(col_or_lit(col))
 
 
 def st_force_3d(col, z: float = 0.0) -> Column:
@@ -298,7 +334,7 @@ def _point_affine_udf(make_xy, fallback_fn, origin=None):
     from polars_st_spark.geo import ragged
     from polars_st_spark.geo.wkb import batch_uniform, header_info, points_to_ewkb
 
-    @pandas_udf("binary")
+    @pandas_udf(spark_dt("binary"))
     def udf(s: pd.Series) -> pd.Series:
         if not s.isna().any() and len(s):
             fast = batch_uniform(s)
@@ -360,11 +396,13 @@ def _origin_const(origin):
     return None
 
 
+def _flip_udf():
+    return _point_affine_udf(lambda x, y: (y, x), algos.flip_coordinates)
+
+
 def st_flip_coordinates(col) -> Column:
     """Swap x/y — batch byte-splice on point/polygon/line batches."""
-    return _point_affine_udf(
-        lambda x, y: (y, x), algos.flip_coordinates
-    )(col_or_lit(col))
+    return _flip_udf()(col_or_lit(col))
 
 
 def st_affine_transform(col, matrix) -> Column:
@@ -384,15 +422,18 @@ def st_affine_transform(col, matrix) -> Column:
     return _point_affine_udf(mk, fb)(col_or_lit(col))
 
 
-def st_translate(col, x: float = 0.0, y: float = 0.0, z: float = 0.0) -> Column:
+def _translate_udf(x: float = 0.0, y: float = 0.0, z: float = 0.0):
     return _point_affine_udf(
         lambda px, py: (px + x, py + y),
         lambda g: algos.translate(g, x, y, z),
-    )(col_or_lit(col))
+    )
 
 
-def st_rotate(col, angle: float, origin="center") -> Column:
-    """Angle in degrees (reference: functions.rs:1508-1548)."""
+def st_translate(col, x: float = 0.0, y: float = 0.0, z: float = 0.0) -> Column:
+    return _translate_udf(x, y, z)(col_or_lit(col))
+
+
+def _rotate_udf(angle: float, origin="center"):
     o = _origin_const(origin)
     fb = lambda g: algos.rotate(g, angle, origin)  # noqa: E731
     rad = math.radians(angle)
@@ -402,7 +443,7 @@ def st_rotate(col, angle: float, origin="center") -> Column:
             dx, dy = x - ox, y - oy
             return ox + ca * dx - sa * dy, oy + sa * dx + ca * dy
 
-        return _point_affine_udf(mk_self, fb, origin=origin)(col_or_lit(col))
+        return _point_affine_udf(mk_self, fb, origin=origin)
     if o is not None:
         ox, oy = o
 
@@ -410,27 +451,36 @@ def st_rotate(col, angle: float, origin="center") -> Column:
             dx, dy = x - ox, y - oy
             return ox + ca * dx - sa * dy, oy + sa * dx + ca * dy
 
-        return _point_affine_udf(mk, fb)(col_or_lit(col))
-    return unary_geom(fb)(col_or_lit(col))
+        return _point_affine_udf(mk, fb)
+    return unary_geom(fb)
 
 
-def st_scale(col, x: float = 1.0, y: float = 1.0, z: float = 1.0, origin="center") -> Column:
+def st_rotate(col, angle: float, origin="center") -> Column:
+    """Angle in degrees (reference: functions.rs:1508-1548)."""
+    return _rotate_udf(angle, origin)(col_or_lit(col))
+
+
+def _scale_udf(x: float = 1.0, y: float = 1.0, z: float = 1.0, origin="center"):
     o = _origin_const(origin)
     fb = lambda g: algos.scale(g, x, y, z, origin)  # noqa: E731
     if o == "self":
         return _point_affine_udf(
             lambda px, py, ox, oy: (ox + x * (px - ox), oy + y * (py - oy)),
             fb, origin=origin,
-        )(col_or_lit(col))
+        )
     if o is not None:
         ox, oy = o
         return _point_affine_udf(
             lambda px, py: (ox + x * (px - ox), oy + y * (py - oy)), fb
-        )(col_or_lit(col))
-    return unary_geom(fb)(col_or_lit(col))
+        )
+    return unary_geom(fb)
 
 
-def st_skew(col, x: float = 0.0, y: float = 0.0, origin="center") -> Column:
+def st_scale(col, x: float = 1.0, y: float = 1.0, z: float = 1.0, origin="center") -> Column:
+    return _scale_udf(x, y, z, origin)(col_or_lit(col))
+
+
+def _skew_udf(x: float = 0.0, y: float = 0.0, origin="center"):
     o = _origin_const(origin)
     fb = lambda g: algos.skew(g, x, y, origin)  # noqa: E731
     tx = math.tan(math.radians(x))
@@ -440,7 +490,7 @@ def st_skew(col, x: float = 0.0, y: float = 0.0, origin="center") -> Column:
             dx, dy = px - ox, py - oy
             return ox + dx + tx * dy, oy + ty * dx + dy
 
-        return _point_affine_udf(mk_self, fb, origin=origin)(col_or_lit(col))
+        return _point_affine_udf(mk_self, fb, origin=origin)
     if o is not None:
         ox, oy = o
 
@@ -448,22 +498,18 @@ def st_skew(col, x: float = 0.0, y: float = 0.0, origin="center") -> Column:
             dx, dy = px - ox, py - oy
             return ox + dx + tx * dy, oy + ty * dx + dy
 
-        return _point_affine_udf(mk, fb)(col_or_lit(col))
-    return unary_geom(fb)(col_or_lit(col))
+        return _point_affine_udf(mk, fb)
+    return unary_geom(fb)
 
 
-def st_buffer(col, distance, quad_segs: int = 8, cap_style: str = "round",
-              join_style: str = "round", mitre_limit: float = 5.0,
-              single_sided: bool = False) -> Column:
-    """``distance`` is broadcastable like the reference's Expr parameter
-    (functions.rs:1289-1300): a float applies to every row; a Column /
-    column name buffers each row by its own distance.
+def st_skew(col, x: float = 0.0, y: float = 0.0, origin="center") -> Column:
+    return _skew_udf(x, y, origin)(col_or_lit(col))
 
-    r5 batch fast path: uniform 2-D POINT batches with positive distances
-    (the dominant buffer workload — points by radius) build their n-gon /
-    square rings in one vectorized pass + batched EWKB assembly,
-    bit-identical to the scalar ring arithmetic; everything else keeps the
-    per-row kernel."""
+
+def _buffer_kernels(quad_segs: int, cap_style: str, join_style: str,
+                    mitre_limit: float, single_sided: bool):
+    """(per-row kernel, batch fast path) shared by the constant-distance,
+    per-row-distance, and SQL-registered buffer UDFs."""
     from polars_st_spark.geo import ragged
     from polars_st_spark.geo.wkb import batch_uniform, header_info
 
@@ -506,24 +552,38 @@ def st_buffer(col, distance, quad_segs: int = 8, cap_style: str = "round",
             np.full(m, npts, dtype=np.int64), coords, srid,
             np.zeros(m, dtype=bool)), dtype=object)
 
-    if not isinstance(distance, (Column, str)):
-        dconst = float(distance)
+    return _scalar, _fast
 
-        @pandas_udf("binary")
-        def udf(s: pd.Series) -> pd.Series:
-            if dconst > 0:
-                out = _fast(s, np.full(len(s), dconst))
-                if out is not None:
-                    return out
-            return pd.Series(
-                [None if b is None else _scalar(from_ewkb(bytes(b)), dconst)
-                 for b in s], dtype=object)
 
-        return udf(col_or_lit(col))
+def _buffer_udf(distance: float, quad_segs: int = 8, cap_style: str = "round",
+                join_style: str = "round", mitre_limit: float = 5.0,
+                single_sided: bool = False):
+    """Constant-distance buffer UDF builder."""
+    _scalar, _fast = _buffer_kernels(
+        quad_segs, cap_style, join_style, mitre_limit, single_sided)
+    dconst = float(distance)
 
-    p = col_or_lit(distance)
+    @pandas_udf(spark_dt("binary"))
+    def udf(s: pd.Series) -> pd.Series:
+        if dconst > 0:
+            out = _fast(s, np.full(len(s), dconst))
+            if out is not None:
+                return out
+        return pd.Series(
+            [None if b is None else _scalar(from_ewkb(bytes(b)), dconst)
+             for b in s], dtype=object)
 
-    @pandas_udf("binary")
+    return udf
+
+
+def _buffer_pair_udf(quad_segs: int = 8, cap_style: str = "round",
+                     join_style: str = "round", mitre_limit: float = 5.0,
+                     single_sided: bool = False):
+    """(geometry, per-row distance) buffer UDF builder."""
+    _scalar, _fast = _buffer_kernels(
+        quad_segs, cap_style, join_style, mitre_limit, single_sided)
+
+    @pandas_udf(spark_dt("binary"))
     def udf2(s: pd.Series, v: pd.Series) -> pd.Series:
         dv = v.to_numpy(dtype=np.float64, na_value=np.nan)
         if len(s) and not np.isnan(dv).any() and (dv > 0).all():
@@ -534,7 +594,28 @@ def st_buffer(col, distance, quad_segs: int = 8, cap_style: str = "round",
             [None if (b is None or pd.isna(x)) else _scalar(from_ewkb(bytes(b)), x)
              for b, x in zip(s, v)], dtype=object)
 
-    return udf2(col_or_lit(col), p)
+    return udf2
+
+
+def st_buffer(col, distance, quad_segs: int = 8, cap_style: str = "round",
+              join_style: str = "round", mitre_limit: float = 5.0,
+              single_sided: bool = False) -> Column:
+    """``distance`` is broadcastable like the reference's Expr parameter
+    (functions.rs:1289-1300): a float applies to every row; a Column /
+    column name buffers each row by its own distance.
+
+    r5 batch fast path: uniform 2-D POINT batches with positive distances
+    (the dominant buffer workload — points by radius) build their n-gon /
+    square rings in one vectorized pass + batched EWKB assembly,
+    bit-identical to the scalar ring arithmetic; everything else keeps the
+    per-row kernel."""
+    if not isinstance(distance, (Column, str)):
+        return _buffer_udf(
+            float(distance), quad_segs, cap_style, join_style, mitre_limit,
+            single_sided)(col_or_lit(col))
+    return _buffer_pair_udf(
+        quad_segs, cap_style, join_style, mitre_limit, single_sided,
+    )(col_or_lit(col), col_or_lit(distance))
 
 
 def st_offset_curve(col, distance: float, quad_segs: int = 8,
@@ -555,7 +636,7 @@ def st_snap(col, other, tolerance) -> Column:
         other_is_col = isinstance(og, Column)
         const_g = None if other_is_col else og
 
-        @pandas_udf("binary")
+        @pandas_udf(spark_dt("binary"))
         def udf3(s1, s2, sv):
             from polars_st_spark.geo.wkb import decode_batch, to_ewkb as _enc
             import pandas as _pd
@@ -610,6 +691,31 @@ def _b(fn):
     return outer
 
 
+def _union_pair_udf(op: str, scalar_fn):
+    """Two-geometry-column UDF builder for union / symmetric_difference —
+    shared by the Column API and the SQL registry."""
+    from polars_st_spark.geo import shclip as _shc
+    from polars_st_spark.geo.wkb import from_ewkb as _fe, to_ewkb as _te
+
+    @pandas_udf(spark_dt("binary"))
+    def udf2(s1: pd.Series, s2: pd.Series) -> pd.Series:
+        v1, v2 = s1.to_numpy(), s2.to_numpy()
+        fast = _shc.union_symdiff_disjoint_batch(v1, v2, op)
+        if fast is not None:
+            out, need = fast
+            for i in np.nonzero(need)[0]:
+                b1, b2 = v1[i], v2[i]
+                out[i] = None if (b1 is None or b2 is None) else _te(
+                    scalar_fn(_fe(bytes(b1)), _fe(bytes(b2)), None))
+            return pd.Series(out, dtype=object)
+        return pd.Series(
+            [None if (b1 is None or b2 is None) else _te(
+                scalar_fn(_fe(bytes(b1)), _fe(bytes(b2)), None))
+             for b1, b2 in zip(v1, v2)], dtype=object)
+
+    return udf2
+
+
 def _union_b(op: str, scalar_fn):
     """st_union / st_symmetric_difference with the r5 disjoint fast lane
     (geo/shclip.union_symdiff_disjoint_batch): disjoint plain-Polygon
@@ -622,31 +728,53 @@ def _union_b(op: str, scalar_fn):
         if grid_size is not None or not isinstance(oc, Column):
             udf, occ = binary_geom(lambda a, b: scalar_fn(a, b, grid_size), oc)
             return udf(col_or_lit(col)) if occ is None else udf(col_or_lit(col), occ)
-        from polars_st_spark.geo import shclip as _shc
-        from polars_st_spark.geo.wkb import from_ewkb as _fe, to_ewkb as _te
-
-        @pandas_udf("binary")
-        def udf2(s1: pd.Series, s2: pd.Series) -> pd.Series:
-            v1, v2 = s1.to_numpy(), s2.to_numpy()
-            fast = _shc.union_symdiff_disjoint_batch(v1, v2, op)
-            if fast is not None:
-                out, need = fast
-                for i in np.nonzero(need)[0]:
-                    b1, b2 = v1[i], v2[i]
-                    out[i] = None if (b1 is None or b2 is None) else _te(
-                        scalar_fn(_fe(bytes(b1)), _fe(bytes(b2)), None))
-                return pd.Series(out, dtype=object)
-            return pd.Series(
-                [None if (b1 is None or b2 is None) else _te(
-                    scalar_fn(_fe(bytes(b1)), _fe(bytes(b2)), None))
-                 for b1, b2 in zip(v1, v2)], dtype=object)
-
-        return udf2(col_or_lit(col), oc)
+        return _union_pair_udf(op, scalar_fn)(col_or_lit(col), oc)
 
     return outer
 
 
 st_union = _union_b("union", setops.union)
+
+
+def _clip_pair_udf(mode: str, scalar_fn):
+    """Two-geometry-column UDF builder for intersection / difference —
+    shared by the Column API and the SQL registry."""
+    from polars_st_spark.geo import ragged as _rg
+    from polars_st_spark.geo import shclip as _shc
+    from polars_st_spark.geo.wkb import from_ewkb as _fe, to_ewkb as _te
+
+    @pandas_udf(spark_dt("binary"))
+    def udf2(s1: pd.Series, s2: pd.Series) -> pd.Series:
+        v1, v2 = s1.to_numpy(), s2.to_numpy()
+        if mode == "in":
+            # uniform axis-rect pairs: min/max closed form (bbox clip)
+            rfast = _rg.rect_pair_intersection_batch(v1, v2)
+            if rfast is not None:
+                return pd.Series(rfast, dtype=object)
+        fast = _rg.clip_line_poly_batch(v1, v2, mode)
+        if fast is None and mode == "in":
+            # polygon ∩ line order: same clip, polygon side's SRID
+            fast = _rg.clip_line_poly_batch(v2, v1, "in",
+                                            use_poly_srid=True)
+        if fast is None:
+            # polygon × polygon: SH convex lane + disjoint fast lanes
+            fast = _shc.clip_poly_poly_batch(v1, v2, mode)
+        if fast is None and mode == "out":
+            # uniformly lower-dimensional right side: a.copy() rows
+            fast = _shc.difference_lower_dim_batch(v1, v2)
+        if fast is not None:
+            out, need = fast
+            for i in np.nonzero(need)[0]:
+                b1, b2 = v1[i], v2[i]
+                out[i] = None if (b1 is None or b2 is None) else _te(
+                    scalar_fn(_fe(bytes(b1)), _fe(bytes(b2)), None))
+            return pd.Series(out, dtype=object)
+        return pd.Series(
+            [None if (b1 is None or b2 is None) else _te(
+                scalar_fn(_fe(bytes(b1)), _fe(bytes(b2)), None))
+             for b1, b2 in zip(v1, v2)], dtype=object)
+
+    return udf2
 
 
 def _clip_b(mode: str, scalar_fn):
@@ -661,42 +789,7 @@ def _clip_b(mode: str, scalar_fn):
         if grid_size is not None or not isinstance(oc, Column):
             udf, occ = binary_geom(lambda a, b: scalar_fn(a, b, grid_size), oc)
             return udf(col_or_lit(col)) if occ is None else udf(col_or_lit(col), occ)
-        from polars_st_spark.geo import ragged as _rg
-        from polars_st_spark.geo import shclip as _shc
-        from polars_st_spark.geo.wkb import from_ewkb as _fe, to_ewkb as _te
-
-        @pandas_udf("binary")
-        def udf2(s1: pd.Series, s2: pd.Series) -> pd.Series:
-            v1, v2 = s1.to_numpy(), s2.to_numpy()
-            if mode == "in":
-                # uniform axis-rect pairs: min/max closed form (bbox clip)
-                rfast = _rg.rect_pair_intersection_batch(v1, v2)
-                if rfast is not None:
-                    return pd.Series(rfast, dtype=object)
-            fast = _rg.clip_line_poly_batch(v1, v2, mode)
-            if fast is None and mode == "in":
-                # polygon ∩ line order: same clip, polygon side's SRID
-                fast = _rg.clip_line_poly_batch(v2, v1, "in",
-                                                use_poly_srid=True)
-            if fast is None:
-                # polygon × polygon: SH convex lane + disjoint fast lanes
-                fast = _shc.clip_poly_poly_batch(v1, v2, mode)
-            if fast is None and mode == "out":
-                # uniformly lower-dimensional right side: a.copy() rows
-                fast = _shc.difference_lower_dim_batch(v1, v2)
-            if fast is not None:
-                out, need = fast
-                for i in np.nonzero(need)[0]:
-                    b1, b2 = v1[i], v2[i]
-                    out[i] = None if (b1 is None or b2 is None) else _te(
-                        scalar_fn(_fe(bytes(b1)), _fe(bytes(b2)), None))
-                return pd.Series(out, dtype=object)
-            return pd.Series(
-                [None if (b1 is None or b2 is None) else _te(
-                    scalar_fn(_fe(bytes(b1)), _fe(bytes(b2)), None))
-                 for b1, b2 in zip(v1, v2)], dtype=object)
-
-        return udf2(col_or_lit(col), oc)
+        return _clip_pair_udf(mode, scalar_fn)(col_or_lit(col), oc)
 
     return outer
 
@@ -714,13 +807,7 @@ def st_unary_union(col, grid_size: float | None = None) -> Column:
 # CRS ops (reference: §2.6)
 # ----------------------------------------------------------------------
 
-def st_set_srid(col, srid: int) -> Column:
-    """Header patch only (reference: functions.rs:437-443): pure byte
-    surgery on the top-level EWKB header — set/replace/strip the SRID flag
-    and field without building geometry objects. Nested collection children
-    don't serialize SRIDs (PostGIS convention), so the top-level patch is
-    the complete operation; geometries whose layout needs real restructuring
-    (big-endian input) fall back to decode/encode."""
+def _set_srid_udf(srid: int):
     new_srid = struct.pack("<I", srid)
 
     def patch(b) -> bytes | None:
@@ -739,11 +826,21 @@ def st_set_srid(col, srid: int) -> Column:
             return bb
         return bb[:1] + struct.pack("<I", raw & ~0x20000000) + bb[9:]
 
-    @pandas_udf("binary")
+    @pandas_udf(spark_dt("binary"))
     def udf(s: pd.Series) -> pd.Series:
         return s.map(patch)
 
-    return udf(col_or_lit(col))
+    return udf
+
+
+def st_set_srid(col, srid: int) -> Column:
+    """Header patch only (reference: functions.rs:437-443): pure byte
+    surgery on the top-level EWKB header — set/replace/strip the SRID flag
+    and field without building geometry objects. Nested collection children
+    don't serialize SRIDs (PostGIS convention), so the top-level patch is
+    the complete operation; geometries whose layout needs real restructuring
+    (big-endian input) fall back to decode/encode."""
+    return _set_srid_udf(srid)(col_or_lit(col))
 
 
 # Web-Mercator <-> WGS84 closed forms (public formulas, EPSG 3857/4326).
@@ -2143,15 +2240,12 @@ def st_precision(col) -> Column:
     return unary_scalar(lambda g: 0.0, "double")(col_or_lit(col))
 
 
-def st_set_precision(col, grid_size: float, mode: str = "valid_output") -> Column:
-    """Snap coordinates to a grid (reference: functions.rs:693-701; modes
-    valid_output/no_topo/keep_collapsed per args.rs:25-47 — the snap itself is
-    mode-independent for valid inputs)."""
+def _set_precision_udf(grid_size: float, mode: str = "valid_output"):
     import numpy as np
 
     if grid_size == 0:
         # GEOS: grid 0 = full precision, a no-op (not a division by zero)
-        return unary_geom(lambda g: g)(col_or_lit(col))
+        return unary_geom(lambda g: g)
 
     def snap(g):
         def f(arr):
@@ -2165,7 +2259,14 @@ def st_set_precision(col, grid_size: float, mode: str = "valid_output") -> Colum
         lambda x, y: (np.round(x / grid_size) * grid_size,
                       np.round(y / grid_size) * grid_size),
         snap,
-    )(col_or_lit(col))
+    )
+
+
+def st_set_precision(col, grid_size: float, mode: str = "valid_output") -> Column:
+    """Snap coordinates to a grid (reference: functions.rs:693-701; modes
+    valid_output/no_topo/keep_collapsed per args.rs:25-47 — the snap itself is
+    mode-independent for valid inputs)."""
+    return _set_precision_udf(grid_size, mode)(col_or_lit(col))
 
 
 def st_delaunay_triangles(col, tolerance: float = 0.0, only_edges: bool = False) -> Column:
@@ -2185,55 +2286,103 @@ def st_voronoi_polygons(col, tolerance: float = 0.0, extend_to=None, only_edges:
     return unary_geom(lambda g: voronoi_polygons(g, tolerance, ext, only_edges))(col_or_lit(col))
 
 
+def _coverage_union_fn(g: Geometry) -> Geometry:
+    if g.geoms is None:
+        raise ValueError("Geometry must be a collection")
+    return setops.unary_union(g)
+
+
 def st_coverage_union(col) -> Column:
     """Per-row union of a collection forming a coverage; errors on
     non-collections (reference: functions.rs:1194-1204)."""
+    return unary_geom(_coverage_union_fn)(col_or_lit(col))
 
-    def f(g: Geometry) -> Geometry:
-        if g.geoms is None:
-            raise ValueError("Geometry must be a collection")
-        return setops.unary_union(g)
 
-    return unary_geom(f)(col_or_lit(col))
+def _node_fn(g: Geometry) -> Geometry:
+    from polars_st_spark.geo.algos import line_merge as _lm
+    from polars_st_spark.geo.predicates import _decompose, _seg_intersect_kind
+    import numpy as np
+
+    chains = _decompose(g).lines
+    segs = []
+    for c in chains:
+        for i in range(len(c) - 1):
+            segs.append((c[i, :2].copy(), c[i + 1, :2].copy()))
+    # split each segment at crossing points with all others
+    out = []
+    for i, (a, b) in enumerate(segs):
+        ts = {0.0, 1.0}
+        for j, (c_, e) in enumerate(segs):
+            if i == j:
+                continue
+            if _seg_intersect_kind(a, b, c_, e) == 2:
+                den = (a[0] - b[0]) * (c_[1] - e[1]) - (a[1] - b[1]) * (c_[0] - e[0])
+                if den != 0:
+                    t = ((a[0] - c_[0]) * (c_[1] - e[1]) - (a[1] - c_[1]) * (c_[0] - e[0])) / den
+                    if 0 < t < 1:
+                        ts.add(t)
+        tl = sorted(ts)
+        for t0, t1 in zip(tl[:-1], tl[1:]):
+            p0 = a + t0 * (b - a)
+            p1 = a + t1 * (b - a)
+            out.append(Geometry(GeometryType.LineString, srid=g.srid, coords=np.array([p0, p1])))
+    if not out:
+        return Geometry(GeometryType.MultiLineString, srid=g.srid, geoms=[])
+    return Geometry(GeometryType.MultiLineString, srid=g.srid, geoms=out)
 
 
 def st_node(col) -> Column:
     """Node a linework: split segments at every crossing
     (reference: functions.rs:1409-1411)."""
+    return unary_geom(_node_fn)(col_or_lit(col))
 
-    def f(g: Geometry) -> Geometry:
-        from polars_st_spark.geo.algos import line_merge as _lm
-        from polars_st_spark.geo.predicates import _decompose, _seg_intersect_kind
-        import numpy as np
 
-        chains = _decompose(g).lines
-        segs = []
-        for c in chains:
-            for i in range(len(c) - 1):
-                segs.append((c[i, :2].copy(), c[i + 1, :2].copy()))
-        # split each segment at crossing points with all others
-        out = []
-        for i, (a, b) in enumerate(segs):
-            ts = {0.0, 1.0}
-            for j, (c_, e) in enumerate(segs):
-                if i == j:
-                    continue
-                if _seg_intersect_kind(a, b, c_, e) == 2:
-                    den = (a[0] - b[0]) * (c_[1] - e[1]) - (a[1] - b[1]) * (c_[0] - e[0])
-                    if den != 0:
-                        t = ((a[0] - c_[0]) * (c_[1] - e[1]) - (a[1] - c_[1]) * (c_[0] - e[0])) / den
-                        if 0 < t < 1:
-                            ts.add(t)
-            tl = sorted(ts)
-            for t0, t1 in zip(tl[:-1], tl[1:]):
-                p0 = a + t0 * (b - a)
-                p1 = a + t1 * (b - a)
-                out.append(Geometry(GeometryType.LineString, srid=g.srid, coords=np.array([p0, p1])))
-        if not out:
-            return Geometry(GeometryType.MultiLineString, srid=g.srid, geoms=[])
-        return Geometry(GeometryType.MultiLineString, srid=g.srid, geoms=out)
+def _build_area_fn(g: Geometry) -> Geometry:
+    import numpy as np
+    from polars_st_spark.geo.algos import line_merge as _lm
+    from polars_st_spark.geo.predicates import _point_in_ring_vec
 
-    return unary_geom(f)(col_or_lit(col))
+    merged = _lm(g)
+    chains = [merged.coords] if merged.type_id == GeometryType.LineString else [
+        s.coords for s in (merged.geoms or [])
+    ]
+    rings = []
+    for c in chains:
+        if c is not None and len(c) >= 4 and np.allclose(c[0], c[-1]):
+            rings.append(np.asarray(c, dtype=np.float64).copy())
+    if not rings:
+        return Geometry(GeometryType.Polygon, srid=g.srid, rings=[])
+    if len(rings) == 1:
+        return Geometry(GeometryType.Polygon, srid=g.srid, rings=rings)
+    # nesting depth: parent = smallest strictly-containing ring
+    def _abs_area(r):
+        x = r[:, 0] - r[0, 0]
+        y = r[:, 1] - r[0, 1]
+        return abs(0.5 * float(np.sum(x * np.roll(y, -1) - np.roll(x, -1) * y)))
+
+    areas = [_abs_area(r) for r in rings]
+    order = sorted(range(len(rings)), key=lambda i: -areas[i])
+    parent = [None] * len(rings)
+    for pos, i in enumerate(order):
+        # probe a vertex of ring i against larger rings, innermost wins
+        px = np.array([rings[i][0, 0]])
+        py = np.array([rings[i][0, 1]])
+        for j in reversed(order[:pos]):  # smallest enclosing candidate first
+            if _point_in_ring_vec(px, py, rings[j])[0] == 2:
+                parent[i] = j
+                break
+    depth = [0] * len(rings)
+    for i in order:  # parents come earlier in size order
+        depth[i] = 0 if parent[i] is None else depth[parent[i]] + 1
+    shells = {i: [rings[i]] for i in range(len(rings)) if depth[i] % 2 == 0}
+    for i in range(len(rings)):
+        if depth[i] % 2 == 1:
+            shells[parent[i]].append(rings[i])
+    polys = [Geometry(GeometryType.Polygon, srid=g.srid, rings=shells[i])
+             for i in sorted(shells)]
+    if len(polys) == 1:
+        return polys[0]
+    return Geometry(GeometryType.MultiPolygon, srid=g.srid, geoms=polys)
 
 
 def st_build_area(col) -> Column:
@@ -2245,99 +2394,33 @@ def st_build_area(col) -> Column:
     become their own polygons. Rings must close exactly; shared-edge
     coverage assembly (rings formed from partial edges of several chains)
     is not implemented — a documented deviation."""
+    return unary_geom(_build_area_fn)(col_or_lit(col))
+
+
+def _polygonize_fn(g: Geometry) -> Geometry:
     import numpy as np
+    from polars_st_spark.geo.algos import line_merge as _lm
 
-    def f(g: Geometry) -> Geometry:
-        from polars_st_spark.geo.algos import line_merge as _lm
-        from polars_st_spark.geo.predicates import _point_in_ring_vec
-
-        merged = _lm(g)
-        chains = [merged.coords] if merged.type_id == GeometryType.LineString else [
-            s.coords for s in (merged.geoms or [])
-        ]
-        rings = []
-        for c in chains:
-            if c is not None and len(c) >= 4 and np.allclose(c[0], c[-1]):
-                rings.append(np.asarray(c, dtype=np.float64).copy())
-        if not rings:
-            return Geometry(GeometryType.Polygon, srid=g.srid, rings=[])
-        if len(rings) == 1:
-            return Geometry(GeometryType.Polygon, srid=g.srid, rings=rings)
-        # nesting depth: parent = smallest strictly-containing ring
-        def _abs_area(r):
-            x = r[:, 0] - r[0, 0]
-            y = r[:, 1] - r[0, 1]
-            return abs(0.5 * float(np.sum(x * np.roll(y, -1) - np.roll(x, -1) * y)))
-
-        areas = [_abs_area(r) for r in rings]
-        order = sorted(range(len(rings)), key=lambda i: -areas[i])
-        parent = [None] * len(rings)
-        for pos, i in enumerate(order):
-            # probe a vertex of ring i against larger rings, innermost wins
-            px = np.array([rings[i][0, 0]])
-            py = np.array([rings[i][0, 1]])
-            for j in reversed(order[:pos]):  # smallest enclosing candidate first
-                if _point_in_ring_vec(px, py, rings[j])[0] == 2:
-                    parent[i] = j
-                    break
-        depth = [0] * len(rings)
-        for i in order:  # parents come earlier in size order
-            depth[i] = 0 if parent[i] is None else depth[parent[i]] + 1
-        shells = {i: [rings[i]] for i in range(len(rings)) if depth[i] % 2 == 0}
-        for i in range(len(rings)):
-            if depth[i] % 2 == 1:
-                shells[parent[i]].append(rings[i])
-        polys = [Geometry(GeometryType.Polygon, srid=g.srid, rings=shells[i])
-                 for i in sorted(shells)]
-        if len(polys) == 1:
-            return polys[0]
-        return Geometry(GeometryType.MultiPolygon, srid=g.srid, geoms=polys)
-
-    return unary_geom(f)(col_or_lit(col))
+    merged = _lm(g)
+    chains = [merged.coords] if merged.type_id == GeometryType.LineString else [
+        s.coords for s in (merged.geoms or [])
+    ]
+    polys = []
+    for c in chains:
+        if c is not None and len(c) >= 4 and np.allclose(c[0], c[-1]):
+            polys.append(Geometry(GeometryType.Polygon, srid=g.srid, rings=[c.copy()]))
+    return Geometry(GeometryType.GeometryCollection, srid=g.srid, geoms=polys)
 
 
 def st_polygonize(col) -> Column:
     """Per-row polygonize of closed linework; same support envelope as
     st_build_area but returns a GeometryCollection like the reference's
     aggregate (reference: functions.rs:1221-1226)."""
-
-    def f(g: Geometry) -> Geometry:
-        built = None
-        import numpy as np
-        from polars_st_spark.geo.algos import line_merge as _lm
-
-        merged = _lm(g)
-        chains = [merged.coords] if merged.type_id == GeometryType.LineString else [
-            s.coords for s in (merged.geoms or [])
-        ]
-        polys = []
-        for c in chains:
-            if c is not None and len(c) >= 4 and np.allclose(c[0], c[-1]):
-                polys.append(Geometry(GeometryType.Polygon, srid=g.srid, rings=[c.copy()]))
-        return Geometry(GeometryType.GeometryCollection, srid=g.srid, geoms=polys)
-
-    return unary_geom(f)(col_or_lit(col))
+    return unary_geom(_polygonize_fn)(col_or_lit(col))
 
 
-def st_to_srid(col, srid: int) -> Column:
-    """Reproject coordinates (reference: functions.rs:1868-1939).
-
-    Supports the closed-form EPSG pipelines (Web/World Mercator, all UTM
-    zones, parameterized Transverse Mercator + Helmert datum shifts,
-    LCC/Albers/LAEA conics incl. ftUS state planes and spherical/polar
-    LAEA aspects, polar stereographic + UPS, oblique stereographic (Dutch
-    RD), Swiss oblique cylindrical, Hotine oblique Mercator) plus the
-    long-tail seed registry (functions/epsg_seeds.py: ~330 further EPSG
-    codes as proj4 parameter sets resolved through build_proj4 — WGS72/
-    AGD/SAD69/Arc1960 UTM, Beijing54/Xian80/CGCS2000 Gauss-Krüger, RGF93
-    CC, MTM, NTM, EASE grids, national TM/LCC grids, and common geographic
-    datums); identity when source==target;
-    raises otherwise (pyproj auto-fallback when importable). The transformer
-    lookup is cached per (src, dst) exactly like the reference's per-call
-    ProjCache (functions.rs:1900-1914). Uniform 2-D point batches — the
-    dominant reprojection workload — project as ONE numpy call over the
-    whole Arrow batch (the pipelines are elementwise, so results are
-    bit-identical to the per-row path)."""
+def _to_srid_udf(srid: int):
+    """UDF builder behind :func:`st_to_srid`; see its docstring."""
     from polars_st_spark.geo.wkb import batch_uniform, header_info, points_to_ewkb
 
     # snapshot of proj4-registered CRSs, captured into the UDF closure so
@@ -2353,7 +2436,7 @@ def st_to_srid(col, srid: int) -> Column:
             raise ValueError(f"Unsupported SRID transform {src} -> {srid} (no pyproj in runtime)")
         return g.map_coords(f).with_srid(srid)
 
-    @pandas_udf("binary")
+    @pandas_udf(spark_dt("binary"))
     def udf(s: pd.Series) -> pd.Series:
         if not s.isna().any() and len(s):
             fast = batch_uniform(s)
@@ -2399,4 +2482,26 @@ def st_to_srid(col, srid: int) -> Column:
             dtype=object,
         )
 
-    return udf(col_or_lit(col))
+    return udf
+
+
+def st_to_srid(col, srid: int) -> Column:
+    """Reproject coordinates (reference: functions.rs:1868-1939).
+
+    Supports the closed-form EPSG pipelines (Web/World Mercator, all UTM
+    zones, parameterized Transverse Mercator + Helmert datum shifts,
+    LCC/Albers/LAEA conics incl. ftUS state planes and spherical/polar
+    LAEA aspects, polar stereographic + UPS, oblique stereographic (Dutch
+    RD), Swiss oblique cylindrical, Hotine oblique Mercator) plus the
+    long-tail seed registry (functions/epsg_seeds.py: ~330 further EPSG
+    codes as proj4 parameter sets resolved through build_proj4 — WGS72/
+    AGD/SAD69/Arc1960 UTM, Beijing54/Xian80/CGCS2000 Gauss-Krüger, RGF93
+    CC, MTM, NTM, EASE grids, national TM/LCC grids, and common geographic
+    datums); identity when source==target;
+    raises otherwise (pyproj auto-fallback when importable). The transformer
+    lookup is cached per (src, dst) exactly like the reference's per-call
+    ProjCache (functions.rs:1900-1914). Uniform 2-D point batches — the
+    dominant reprojection workload — project as ONE numpy call over the
+    whole Arrow batch (the pipelines are elementwise, so results are
+    bit-identical to the per-row path)."""
+    return _to_srid_udf(srid)(col_or_lit(col))
