@@ -839,6 +839,19 @@ def main() -> None:
     queries_reps = {}
     queries_meta = {}
 
+    def _fault_probe_small() -> float:
+        # 8 MiB fresh-page probe (~2 ms quiet, bounded hot): per-query
+        # page-backing context without the 64 MiB probe's worst-case cost
+        import numpy as np
+
+        n_pages = (8 << 20) >> 12
+        t0 = time.time()
+        buf = np.empty(n_pages * 512, dtype=np.float64)
+        buf[::512] = 1.0
+        dt = time.time() - t0
+        del buf
+        return round(dt / n_pages * 1e6, 2)
+
     def headline(name, fn, cleanup=None, reps=3):
         ts = []
         for i in range(reps):
@@ -849,13 +862,18 @@ def main() -> None:
                 cleanup()
         queries[name] = ts[0]
         queries_reps[name] = ts
-        # per-query JVM state so any late-suite drift is attributable
-        # (code-cache fill / GC pressure vs ambient host)
+        # per-query ambient decomposition (r9, VERDICT r8 item 2): JVM state
+        # (code-cache fill / GC) + a pure-JVM sentinel + a fresh-page fault
+        # probe, all sampled right after the reps. A drifted median whose
+        # sentinel/fault numbers drift in lockstep is host-attributed; a
+        # drifted median over a flat sentinel is the operator's own.
         cc = _code_cache_mb(spark)
         queries_meta[name] = {
             "cc_profiled_mb": cc.get("CodeHeap 'profiled nmethods'"),
             "cc_nonprofiled_mb": cc.get("CodeHeap 'non-profiled nmethods'"),
             "gc_ms": _gc_ms(spark),
+            "sentinel_s": _sentinel(spark),
+            "fault_us": _fault_probe_small(),
         }
 
     def med3(ts):
