@@ -1689,6 +1689,32 @@ def q_seed_crs(spark, sf):
     )
 
 
+def q_arrow_measure(spark, sf):
+    """Zero-copy Arrow-native measures (r9): operators/arrowpath.
+    measure_arrow computes area/length directly on the flat Arrow buffers
+    via mapInArrow (no per-row bytes objects — the 100 TB bulk-measure
+    lane). Varying-size rects exercise the uniform strided fast parse;
+    customer points exercise the point lane; both are closed-form."""
+    from polars_st_spark.operators.arrowpath import measure_arrow
+
+    li = _li_rects(spark, sf).where(F.col("l_orderkey") % 37 == 0)
+    r = li.select(
+        "l_orderkey", "l_linenumber", "x0", "y0",
+        (F.col("x0") + (F.col("l_linenumber") % 4 + 1.0)).alias("x1"),
+        (F.col("y0") + (F.col("l_suppkey") % 3 + 1.0)).alias("y1"),
+    ).withColumn("g", st.st_rectangle("x0", "y0", "x1", "y1"))
+    rects = measure_arrow(r, "g", keep=("l_orderkey", "l_linenumber")).select(
+        F.lit("rect").alias("kind"),
+        F.col("l_orderkey").alias("k1"), F.col("l_linenumber").alias("k2"),
+        "area", "length")
+    c = _cust_pts(spark, sf).where(F.col("c_custkey") % 17 == 0)
+    pts = measure_arrow(c, "pt", keep=("c_custkey",)).select(
+        F.lit("point").alias("kind"),
+        F.col("c_custkey").alias("k1"), F.lit(0).alias("k2"),
+        "area", "length")
+    return rects.unionByName(pts)
+
+
 def q_sqlreg_suite(spark, sf):
     """SQL-surface gate (r9): every value computed through ``spark.sql``
     over the registered ST_* SQL functions (polars_st_spark/functions/
@@ -3023,6 +3049,7 @@ _QUERIES = {
         "buffer_styles": q_buffer_styles,
         "curve_measures": q_curve_measures,
         "sqlreg_suite": q_sqlreg_suite,
+        "arrow_measure": q_arrow_measure,
         # --- consolidated round-1 coverage (suites fold the singletons) ---
         "rect_suite": q_rect_suite,
         "point_suite": q_point_suite,
@@ -3847,6 +3874,15 @@ def oracle_sql() -> dict[str, str]:
                ROUND(radians(c.x) * 6378137.0, 6) AS mx,
                agg.nat_union_area, agg.nat_n
         FROM c, agg"""
+    d["arrow_measure"] = f"""
+        SELECT 'rect' AS kind, l_orderkey AS k1, l_linenumber AS k2,
+               CAST(((l_linenumber % 4) + 1.0) * ((l_suppkey % 3) + 1.0) AS DOUBLE) AS area,
+               CAST(2.0 * (((l_linenumber % 4) + 1.0) + ((l_suppkey % 3) + 1.0)) AS DOUBLE) AS length
+        FROM lineitem WHERE l_orderkey % 37 = 0
+        UNION ALL
+        SELECT 'point' AS kind, c_custkey AS k1, 0 AS k2, CAST(0.0 AS DOUBLE) AS area,
+               CAST(0.0 AS DOUBLE) AS length
+        FROM customer WHERE c_custkey % 17 = 0"""
     d["rect_suite"] = f"""
         SELECT n_nationkey,
                (x1-x0)*(y1-y0) AS area,

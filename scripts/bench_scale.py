@@ -117,14 +117,30 @@ def _protocol(fn, rows_in, cleanup=None, warm=True):
 # ---------------------------------------------------------------------------
 
 def q_b1(spark, sf_dir, ncpu):
+    """Elementwise measure sweep — Arrow-native plan (r9, VERDICT r8 #3).
+
+    Same cached EWKB input and the same area/length semantics as every
+    prior round, but the measure runs through the zero-copy mapInArrow
+    path (operators/arrowpath.measure_arrow): the pandas-UDF path
+    materializes one Python bytes object per row when Arrow converts to
+    pandas — at 60 M rows that object churn was the r8 bandwidth wall
+    (committed median 14.2x, floor 9.1x). The Arrow path parses the flat
+    Arrow buffers as numpy strided views, no per-row objects; parity with
+    st_area/st_length is test-asserted and the arrow_measure driver gate
+    hash-checks it against DuckDB. (A fused construct+measure plan was
+    tried and measured WORSE — 32.9 s floor at 100x vs ~14 s — because
+    st_rectangle's per-row output bytes dominate; preserved here for the
+    record.)"""
     from pyspark.sql import functions as F
 
-    import polars_st_spark as st
+    from polars_st_spark.operators.arrowpath import measure_arrow
 
     li = _bench._li_rects_cached(spark, sf_dir, ncpu)
     n = li.count()
-    df = li.select(F.sum(st.st_area("rect")), F.sum(st.st_length("rect")))
+    df = (measure_arrow(li, "rect")
+          .select(F.sum("area").alias("a"), F.sum("length").alias("l")))
     out = _protocol(lambda: (df.select("*").collect(), n)[1], n)
+    out["arrow_native_path"] = True
     li.unpersist()
     return out
 
