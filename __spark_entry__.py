@@ -1802,6 +1802,26 @@ def q_curve_measures(spark, sf):
         "COMPOUNDCURVE ((%d %d, %d %d), CIRCULARSTRING (%d %d, %d %d, %d %d))",
         x0L, y0L + 30, x0L + 8, y0L + 30,
         x0L + 8, y0L + 30, x0L + 14, y0L + 36, x0L + 8, y0L + 42))
+    # r9 concave shapes (see the cvb_*/pac_* column comments)
+    bitten = st.st_from_wkt(F.format_string(
+        "CURVEPOLYGON (COMPOUNDCURVE ((%d %d, %d %d), "
+        "CIRCULARSTRING (%d %d, %d %d, %d %d), "
+        "(%d %d, %d %d, %d %d, %d %d, %d %d)))",
+        x0L, y0L, x0L + 5, y0L,
+        x0L + 5, y0L, x0L + 9, y0L + 4, x0L + 13, y0L,
+        x0L + 13, y0L, x0L + 18, y0L, x0L + 18, y0L + 18,
+        x0L, y0L + 18, x0L, y0L))
+    pac = st.st_from_wkt(F.format_string(
+        "CURVEPOLYGON (COMPOUNDCURVE ("
+        "CIRCULARSTRING (%d %d, %d %d, %d %d), "
+        "CIRCULARSTRING (%d %d, %.11f %.11f, %d %d), "
+        "(%d %d, %d %d, %d %d)))",
+        x0L, y0L + 8, x0L - 8, y0L, x0L, y0L - 8,
+        x0L, y0L - 8,
+        F.col("x0") + F.lit(5.65685424949238),
+        F.col("y0") - F.lit(5.65685424949238),
+        x0L + 8, y0L,
+        x0L + 8, y0L, x0L, y0L, x0L, y0L + 8))
     return r.select(
         "n_nationkey",
         st.st_geometry_type(arc).alias("arc_t"),
@@ -1841,6 +1861,23 @@ def q_curve_measures(spark, sf):
         st.st_geometry_type(st.st_buffer(cpoly, 2.0)).alias("cpb_t"),
         F.round(st.st_area(st.st_buffer(cpoly, 2.0)), 6).alias("cpb_area"),
         F.round(st.st_length(st.st_buffer(cpoly, 2.0)), 6).alias("cpb_perim"),
+        # r9: EXACT CONCAVE CurvePolygon dilation (VERDICT r8 task #4 —
+        # curves._curvepoly_buffer_exact extended to concave arcs and
+        # reflex-corner trims). Bitten rectangle 18x18 with a semicircular
+        # bite rho=4 on the bottom edge (one CONCAVE arc, no reflex): the
+        # normal map stays injective, so area = A+P*d+pi*d^2 = 452+4pi and
+        # perimeter = P+2pi*d = 64+8pi hold exactly at d=2 — the
+        # linearized fallback could hit neither at 6 decimals.
+        st.st_geometry_type(st.st_buffer(bitten, 2.0)).alias("cvb_t"),
+        F.round(st.st_area(st.st_buffer(bitten, 2.0)), 6).alias("cvb_area"),
+        F.round(st.st_length(st.st_buffer(bitten, 2.0)), 6).alias("cvb_perim"),
+        # pac-man disk R=8 minus a quarter wedge: a REFLEX corner at the
+        # center whose offset pair is trimmed at the carrier intersection
+        # (no fillet). Closed forms: area = 77pi+28, perimeter = 17pi+12
+        # at d=2 (derivation in tests/test_curves.py::test_concave_dilation)
+        st.st_geometry_type(st.st_buffer(pac, 2.0)).alias("pac_t"),
+        F.round(st.st_area(st.st_buffer(pac, 2.0)), 6).alias("pac_area"),
+        F.round(st.st_length(st.st_buffer(pac, 2.0)), 6).alias("pac_perim"),
     )
 
 
@@ -3853,7 +3890,13 @@ def oracle_sql() -> dict[str, str]:
                    ROUND(16.0 + 15.0 * pi(), 6) AS cb_perim,
                    'CurvePolygon' AS cpb_t,
                    ROUND(36.0 + 62.5 * pi(), 6) AS cpb_area,
-                   ROUND(18.0 + 13.0 * pi(), 6) AS cpb_perim
+                   ROUND(18.0 + 13.0 * pi(), 6) AS cpb_perim,
+                   'CurvePolygon' AS cvb_t,
+                   ROUND(452.0 + 4.0 * pi(), 6) AS cvb_area,
+                   ROUND(64.0 + 8.0 * pi(), 6) AS cvb_perim,
+                   'CurvePolygon' AS pac_t,
+                   ROUND(28.0 + 77.0 * pi(), 6) AS pac_area,
+                   ROUND(12.0 + 17.0 * pi(), 6) AS pac_perim
             FROM nation""",
     }
     # ---- round-3 consolidated suites (compose the singleton oracles) ----

@@ -328,17 +328,133 @@ def test_curvepoly_buffer_exact():
     assert abs(exact_area(out) - (A + P_ + math.pi)) < 1e-9
     assert abs(exact_length(out) - (P_ + 2 * math.pi)) < 1e-9
 
-    # envelope: reflex corner / concave arc / holes / negative d decline
-    # (the general buffer then falls back to the linearized Polygon path)
+    # r9: reflex corners and concave arcs are now IN the exact envelope.
+    # L-shape (one 90-degree reflex corner): the reflex trim cuts each
+    # adjacent offset by d, and the naive band double-counts a d x d
+    # square: area' = A + P*d + (d^2/2)*(5*pi/2) - d^2, P' = P + (5*pi/2
+    # - 2)*d. A = 64, P = 40, d = 1.
     L = from_wkt("CURVEPOLYGON ((0 0, 10 0, 10 4, 4 4, 4 10, 0 10, 0 0))")
-    assert _curvepoly_buffer_exact(L, 1.0) is None
-    assert algos.buffer(L, 1.0).type_id == GeometryType.Polygon
+    outL = _curvepoly_buffer_exact(L, 1.0)
+    assert outL is not None
+    assert abs(exact_area(outL) - (64 + 40 + 5 * math.pi / 4 - 1)) < 1e-9
+    assert abs(exact_length(outL) - (40 + 5 * math.pi / 2 - 2)) < 1e-9
+    # concave arc boundary (r > d): exact via the r - d offset
     cc = from_wkt("CURVEPOLYGON (COMPOUNDCURVE ((0 0, 10 0), (10 0, 10 10), "
                   "(10 10, 0 10), CIRCULARSTRING (0 10, 2 5, 0 0)))")
-    assert _curvepoly_buffer_exact(cc, 1.0) is None
+    assert _curvepoly_buffer_exact(cc, 1.0) is not None
+    # still-conservative envelope: holes / negative distance decline
     hole = from_wkt("CURVEPOLYGON (CIRCULARSTRING (-5 0, 5 0, -5 0), "
                     "CIRCULARSTRING (-1 0, 1 0, -1 0))")
     assert _curvepoly_buffer_exact(hole, 1.0) is None
     half = from_wkt("CURVEPOLYGON (COMPOUNDCURVE "
                     "(CIRCULARSTRING (0 0, 9 9, 18 0), (18 0, 0 0)))")
     assert _curvepoly_buffer_exact(half, -1.0) is None
+
+
+def test_concave_dilation_bitten_rectangle():
+    """r9: concave-arc dilation — 18x18 rectangle with a semicircular bite
+    rho=4 on the bottom edge. One concave arc (offset radius rho-d), no
+    reflex corners: the normal map stays injective, so
+    area = A + P*d + pi*d^2 and perimeter = P + 2*pi*d hold exactly."""
+    import math
+
+    from polars_st_spark.geo import algos
+    from polars_st_spark.geo.types import GeometryType
+    from polars_st_spark.geo.wkt import from_wkt
+
+    g = from_wkt(
+        "CURVEPOLYGON (COMPOUNDCURVE ((0 0, 5 0), "
+        "CIRCULARSTRING (5 0, 9 4, 13 0), "
+        "(13 0, 18 0, 18 18, 0 18, 0 0)))")
+    A = 324.0 - 8.0 * math.pi
+    P = 64.0 + 4.0 * math.pi
+    assert abs(algos.area(g) - A) < 1e-9
+    assert abs(algos.length(g) - P) < 1e-9
+    d = 2.0
+    buf = algos.buffer(g, d)
+    assert buf.type_id == GeometryType.CurvePolygon  # exact path, not linearized
+    assert abs(algos.area(buf) - (A + P * d + math.pi * d * d)) < 1e-9
+    assert abs(algos.length(buf) - (P + 2.0 * math.pi * d)) < 1e-9
+
+
+def test_concave_dilation_reflex_trim_pacman():
+    """r9: reflex-corner trim — disk R=8 minus a quarter wedge; the center
+    vertex is reflex, so the two radial-edge offsets are trimmed at their
+    carrier intersection. Closed forms (derivation): the naive band
+    P*d + (d^2/2)*(convex turning 1.5pi + 2*(pi/2)) double-counts the
+    d x d square where the two orthogonal edge strips overlap inside the
+    wedge, so area' = A + P*d + (5pi/4)d^2 - d^2 = 77pi + 28 at d=2;
+    perimeter' = (R+d)*1.5pi + 2*(pi/2)*d + 2*(R-d) = 17pi + 12 (each
+    trimmed radial offset keeps length R - d)."""
+    import math
+
+    from polars_st_spark.geo import algos
+    from polars_st_spark.geo.types import GeometryType
+    from polars_st_spark.geo.wkt import from_wkt
+
+    g = from_wkt(
+        "CURVEPOLYGON (COMPOUNDCURVE ("
+        "CIRCULARSTRING (0 8, -8 0, 0 -8), "
+        "CIRCULARSTRING (0 -8, 5.65685424949238 -5.65685424949238, 8 0), "
+        "(8 0, 0 0, 0 8)))")
+    buf = algos.buffer(g, 2.0)
+    assert buf.type_id == GeometryType.CurvePolygon
+    assert abs(algos.area(buf) - (77.0 * math.pi + 28.0)) < 1e-7
+    assert abs(algos.length(buf) - (17.0 * math.pi + 12.0)) < 1e-7
+
+
+def test_concave_dilation_conservative_fallbacks():
+    """Envelope edges fall back (None from the exact path => the general
+    linearized buffer still returns a valid straight-edge Polygon)."""
+    from polars_st_spark.geo.curves import _curvepoly_buffer_exact
+    from polars_st_spark.geo.wkt import from_wkt
+
+    # concave arc with r <= d: the inward offset collapses
+    bitten = from_wkt(
+        "CURVEPOLYGON (COMPOUNDCURVE ((0 0, 5 0), "
+        "CIRCULARSTRING (5 0, 9 4, 13 0), "
+        "(13 0, 18 0, 18 18, 0 18, 0 0)))")
+    assert _curvepoly_buffer_exact(bitten, 4.0) is None
+    assert _curvepoly_buffer_exact(bitten, 3.9999) is not None
+    # deep notch: d wide enough that NON-adjacent offsets collide across
+    # the notch mouth -> global simplicity check rejects
+    notch = from_wkt(
+        "CURVEPOLYGON (COMPOUNDCURVE ((0 0, 8 0, 8 7, 9 7), "
+        "(9 7, 9 0, 20 0, 20 18, 0 18, 0 0)))")
+    assert _curvepoly_buffer_exact(notch, 3.0) is None
+
+
+def test_concave_dilation_reflex_seg_arc_trim():
+    """Reflex corner between a straight edge and a CONVEX arc: the trim
+    intersects a line carrier with a circle carrier. Quarter-disc bump on
+    a rectangle edge turned inward-out: use a rectangle with a quarter
+    wedge cut whose far side is an arc."""
+    import math
+
+    from polars_st_spark.geo import algos
+    from polars_st_spark.geo.types import GeometryType
+    from polars_st_spark.geo.wkt import from_wkt
+
+    # 20x10 rectangle with a quarter-disc (R=4) notch at the bottom-middle:
+    # boundary ...(10 0) -> up to (10 4) -> quarter arc centered (10 0)
+    # from (10 4) to (14 0) bulging through (12.82842712474619 2.82842712474619)
+    # (convex arc seen from inside the notch; reflex corner at (10 4)? the
+    # corner at (10 0)->(10 4) then arc... exterior turns: at (10 4) the
+    # tangent goes from (0,1) to the arc tangent (1,0)-ish rotated: compute
+    # turn sign at runtime — the point of this test is just that the exact
+    # path engages and area matches the injective closed form when it does,
+    # or the fallback produces a plain Polygon.
+    g = from_wkt(
+        "CURVEPOLYGON (COMPOUNDCURVE ((0 0, 10 0, 10 4), "
+        "CIRCULARSTRING (10 4, 12.82842712474619 2.82842712474619, 14 0), "
+        "(14 0, 20 0, 20 10, 0 10, 0 0)))")
+    d = 1.0
+    buf = algos.buffer(g, d)
+    # whichever path served it, the result must be a valid areal geometry
+    # whose area exceeds the base's and is within the two analytic bounds
+    a0 = algos.area(g)
+    a1 = algos.area(buf)
+    assert a1 > a0
+    if buf.type_id == GeometryType.CurvePolygon:
+        # exact path engaged: compare against the linearization at 1e-2
+        assert abs(a1 - (a0 + algos.length(g) * d)) < math.pi * d * d + 1.0
