@@ -2647,6 +2647,26 @@ def q_multimodal_real(spark, sf):
         return _pd.Series(out)
 
     @F.pandas_udf("binary")
+    def flac_payload(ids):
+        # r9: a REAL FLAC stream per doc (operators/flac.py writer): n =
+        # 640 + id%7 samples of a +/-amp period-10 square wave at 8000 Hz,
+        # 16-bit mono, block size 256 — the native decoder (Rice + fixed
+        # predictors + CRC-8/16 + STREAMINFO MD5 verification) must hand
+        # back the exact samples; RMS = amp/32768 exactly (dyadic square)
+        import numpy as _np4
+
+        from polars_st_spark.operators.flac import encode_flac
+
+        out = []
+        for i in ids:
+            n = 640 + int(i) % 7
+            amp = (int(i) % 8 + 1) * 2500 + 11
+            cycle = _np4.array([amp] * 5 + [-amp] * 5, dtype=_np4.int16)
+            sig = _np4.tile(cycle, n // 10 + 1)[:n]
+            out.append(encode_flac(sig, 8000, block_size=256))
+        return _pd.Series(out)
+
+    @F.pandas_udf("binary")
     def wav_payload(ids):
         out = []
         for i in ids:
@@ -2674,6 +2694,7 @@ def q_multimodal_real(spark, sf):
         mp3_payload("doc_id").alias("mp3"),
         gif_payload("doc_id").alias("gif"),
         tiff_payload("doc_id").alias("tif"),
+        flac_payload("doc_id").alias("flc"),
     )
     img = image_features(
         with_payloads.select("doc_id", "img"), "img", "doc_id",
@@ -2795,9 +2816,20 @@ def q_multimodal_real(spark, sf):
         F.col("features")[1].cast("double").alias("m1"),
         F.col("features")[2].cast("double").alias("m2"),
     )
+    # r9: REAL FLAC decode (Rice residuals + fixed predictors + CRCs +
+    # STREAMINFO MD5): square-wave closed forms like the WAV lane
+    flc = audio_features(
+        with_payloads.select("doc_id", "flc"), "flc", "doc_id", decode="real"
+    ).select(
+        "doc_id",
+        F.lit("flac").alias("modality"),
+        F.col("duration_s").cast("double").alias("m0"),
+        F.col("rms").cast("double").alias("m1"),
+        F.col("zero_crossing_rate").cast("double").alias("m2"),
+    )
     return (img.unionByName(aud).unionByName(png).unionByName(jpg)
             .unionByName(pjpg).unionByName(vid).unionByName(mp3r)
-            .unionByName(gifr).unionByName(tifr))
+            .unionByName(gifr).unionByName(tifr).unionByName(flc))
 
 
 def q_multimodal_suite(spark, sf):
@@ -4917,6 +4949,15 @@ def _oracle_multimodal_real() -> str:
                          / 2.0 AS FLOAT) AS DOUBLE) AS m1,
                CAST(CAST(((doc_id * 5) % 256 + (doc_id * 7 + 27) % 256)
                          / 2.0 AS FLOAT) AS DOUBLE) AS m2
+        FROM ids
+        UNION ALL
+        SELECT doc_id, 'flac' AS modality,
+               CAST(CAST((640 + doc_id % 7) / 8000.0 AS FLOAT) AS DOUBLE) AS m0,
+               CAST(CAST(((doc_id % 8 + 1) * 2500 + 11) / 32768.0
+                         AS FLOAT) AS DOUBLE) AS m1,
+               CAST(CAST(((640 + doc_id % 7 - 1) // 5)
+                         / CAST(640 + doc_id % 7 - 1 AS DOUBLE)
+                         AS FLOAT) AS DOUBLE) AS m2
         FROM ids"""
 
 

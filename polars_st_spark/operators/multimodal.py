@@ -115,6 +115,13 @@ def _sniff_one(data: bytes) -> dict:
         w = tags.get(256, [None])[0]
         h = tags.get(257, [None])[0]
         out.update(media_type="image", format="tiff", width=w, height=h)
+    elif data[:4] == b"fLaC":
+        from polars_st_spark.operators.flac import parse_flac
+
+        fi = parse_flac(data)
+        out.update(media_type="audio", format="flac",
+                   sample_rate=fi["sample_rate"],
+                   n_frames=fi["total_samples"])
     elif data[:4] == b"RIFF" and data[8:12] == b"WAVE":
         import io
         import wave
@@ -406,11 +413,19 @@ def _resize_nearest(img: np.ndarray, h: int, w: int) -> np.ndarray:
 
 
 def _decode_wav(data: bytes) -> tuple[np.ndarray, int]:
-    """(mono float64 samples in [-1, 1], sample_rate) from a PCM WAV via
-    the stdlib ``wave`` module (no codec dependency)."""
+    """(mono float64 samples in [-1, 1], sample_rate) from a PCM WAV (stdlib
+    ``wave``) or a FLAC stream (operators/flac.py native decode — Rice +
+    fixed/LPC predictors, CRC + MD5 verified)."""
     import io
     import wave
 
+    if data[:4] == b"fLaC":
+        from polars_st_spark.operators.flac import decode_flac, parse_flac
+
+        bps = parse_flac(data)["bits_per_sample"]
+        samples, rate = decode_flac(data)
+        pcm = samples.mean(axis=1) / float(1 << (bps - 1))
+        return pcm, rate
     with wave.open(io.BytesIO(data), "rb") as wf:
         nch = wf.getnchannels()
         width = wf.getsampwidth()
