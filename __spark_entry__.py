@@ -3124,11 +3124,9 @@ _QUERIES = {
         "point_suite": q_point_suite,
         "hull_suite": q_hull_suite,
         "union_flagship": q_union_flagship,
-        "intersection_all": q_intersection_all,
         "total_bounds": q_total_bounds,
         "constructive_suite": q_constructive_suite,
         "ring_orientation": q_ring_orientation,
-        "line_interpolate": q_line_interpolate,
         "hausdorff_translate": q_hausdorff_translate,
         "equals_suite": q_equals_suite,
         # kmeans_suite takes collect_count's slot (r4e): collect stays
@@ -3173,6 +3171,12 @@ _QUERIES = {
         # window slot of the rows-only plumbing row, leaving the window with
         # ZERO unoracled entries
         "multimodal_real": q_multimodal_real,
+        # relocated past the 50-row driver window (r9): their coverage is
+        # duplicated in-window (line_ops carries absolute interpolate;
+        # fold_suite + union_flagship carry the aggregate set ops); both
+        # stay in the full oracle sweep
+        "intersection_all": q_intersection_all,
+        "line_interpolate": q_line_interpolate,
         # ---------------- past the driver's 50-row window ----------------
         # r8: srid_roundtrip moves past-window to make room for seed_crs —
         # set_srid/srid/to_srid stay certified in-window by utm_roundtrip
