@@ -384,6 +384,31 @@ QUERIES = {
 }
 
 
+def _membw_gbs() -> float:
+    """Single-thread streaming memory bandwidth (GB/s, read+write of a
+    128 MB copy, best of 3). The r9 ramp showed the host can degrade in a
+    way the fresh-page fault probe AND the pure-JVM CPU sentinel both miss
+    (uniform ~10x-slow reps with quiet probes — b2_predicate measured
+    15.4 s where the same code read 1.4-1.5 s minutes later): Arrow-heavy
+    operators are bandwidth-bound, so the noise signature needs a
+    bandwidth witness. Healthy: ~6-8 GB/s on this VM; the degraded stretch
+    measured well under 2."""
+    import numpy as _np
+    import time as _t
+
+    a = _np.empty(16_000_000, dtype=_np.float64)
+    a[:] = 1.0
+    best = 0.0
+    for _ in range(3):
+        t0 = _t.time()
+        b = a.copy()
+        dt = _t.time() - t0
+        del b
+        if dt > 0:
+            best = max(best, 2 * a.nbytes / dt / 1e9)
+    return round(best, 2)
+
+
 def _one_main(name: str, sf_dir: str) -> None:
     """Subprocess entry: one (query, scale) in a fresh session; last stdout
     line is the record."""
@@ -391,7 +416,8 @@ def _one_main(name: str, sf_dir: str) -> None:
     fault = _bench._vm_fault_cost_us()
     spark = _build_session(cpus)
     _bench._sentinel(spark)  # compile the sentinel plan (untimed)
-    rec = {"query": name, "sf_dir": sf_dir, "fault_us": fault}
+    rec = {"query": name, "sf_dir": sf_dir, "fault_us": fault,
+           "membw_gbs": _membw_gbs()}
     rec["sentinel_before"] = _bench._sentinel(spark)
     rec.update(QUERIES[name](spark, sf_dir, int(cpus)))
     rec["sentinel_after"] = _bench._sentinel(spark)
@@ -439,7 +465,8 @@ def _noisy(rec: dict) -> bool:
         and sorted(reps)[len(reps) // 2] > 2.0 * min(reps)
         and max(reps) - min(reps) > 1.0
     )
-    return rising or spread or rec.get("fault_us", 0.0) > 45.0
+    return (rising or spread or rec.get("fault_us", 0.0) > 45.0
+            or rec.get("membw_gbs", 99.0) < 2.0)
 
 
 def _run_best(name: str, sf_dir: str, max_tries: int) -> dict:
@@ -514,6 +541,8 @@ def main() -> None:
                                   if s.get("rows_in") else None),
                 "rows_out_small": s["rows_out"], "rows_out_big": b["rows_out"],
                 "fault_us": {"small": s["fault_us"], "big": b["fault_us"]},
+                "membw_gbs": {"small": s.get("membw_gbs"),
+                              "big": b.get("membw_gbs")},
                 "sentinels": {
                     "small": [s["sentinel_before"], s["sentinel_after"]],
                     "big": [b["sentinel_before"], b["sentinel_after"]],
@@ -523,8 +552,9 @@ def main() -> None:
                 if "attempt_reps" in r_:
                     rec[f"{side}_attempt_reps"] = r_["attempt_reps"]
                     rec[f"{side}_attempt_fault_us"] = r_["attempt_fault_us"]
-                if "noise_note" in r_:
-                    rec[f"{side}_noise_note"] = r_["noise_note"]
+                for k_ in ("noise_note", "selection", "median_across_attempts"):
+                    if k_ in r_:
+                        rec[f"{side}_{k_}"] = r_[k_]
         queries[name] = rec
         print(f"  {name}: ratio {rec.get('wall_ratio')} "
               f"(small {rec.get('small_median')}s big {rec.get('big_median')}s)",
