@@ -115,6 +115,7 @@ from polars_st_spark.frame import (
     to_wkb,
     to_wkt,
 )
+from polars_st_spark.operators.arrowpath import measure_arrow
 from polars_st_spark.operators.predjoin import filter_pairs
 from polars_st_spark.functions import *  # noqa: F401,F403
 from polars_st_spark.functions import __all__ as _fn_all
@@ -122,4 +123,5 @@ from polars_st_spark.functions import __all__ as _fn_all
 __version__ = "0.1.0"
 __all__ = list(_fn_all) + [
     "geodataframe", "geom", "plot", "sjoin", "to_feature_dicts", "filter_pairs",
+    "measure_arrow",
 ]
