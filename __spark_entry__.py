@@ -1695,7 +1695,7 @@ def q_arrow_measure(spark, sf):
     via mapInArrow (no per-row bytes objects — the 100 TB bulk-measure
     lane). Varying-size rects exercise the uniform strided fast parse;
     customer points exercise the point lane; both are closed-form."""
-    from polars_st_spark.operators.arrowpath import measure_arrow
+    from polars_st_spark.operators.arrowpath import bounds_arrow, measure_arrow
 
     li = _li_rects(spark, sf).where(F.col("l_orderkey") % 37 == 0)
     r = li.select(
@@ -1703,15 +1703,25 @@ def q_arrow_measure(spark, sf):
         (F.col("x0") + (F.col("l_linenumber") % 4 + 1.0)).alias("x1"),
         (F.col("y0") + (F.col("l_suppkey") % 3 + 1.0)).alias("y1"),
     ).withColumn("g", st.st_rectangle("x0", "y0", "x1", "y1"))
-    rects = measure_arrow(r, "g", keep=("l_orderkey", "l_linenumber")).select(
+    # chain the two Arrow operators (bounds first, geometry kept as a
+    # pass-through column, measures second) — one composed mapInArrow
+    # pipeline, no join (the synthetic lineitem has duplicate keys)
+    rb = bounds_arrow(r.withColumn("g2", F.col("g")), "g2",
+                      keep=("l_orderkey", "l_linenumber", "g"))
+    rects = measure_arrow(
+        rb, "g", keep=("l_orderkey", "l_linenumber",
+                       "xmin", "ymin", "xmax", "ymax")).select(
         F.lit("rect").alias("kind"),
         F.col("l_orderkey").alias("k1"), F.col("l_linenumber").alias("k2"),
-        "area", "length")
+        "area", "length", "xmin", "ymin", "xmax", "ymax")
     c = _cust_pts(spark, sf).where(F.col("c_custkey") % 17 == 0)
-    pts = measure_arrow(c, "pt", keep=("c_custkey",)).select(
+    cb = bounds_arrow(c.withColumn("pt2", F.col("pt")), "pt2",
+                      keep=("c_custkey", "pt"))
+    pts = measure_arrow(
+        cb, "pt", keep=("c_custkey", "xmin", "ymin", "xmax", "ymax")).select(
         F.lit("point").alias("kind"),
         F.col("c_custkey").alias("k1"), F.lit(0).alias("k2"),
-        "area", "length")
+        "area", "length", "xmin", "ymin", "xmax", "ymax")
     return rects.unionByName(pts)
 
 
@@ -3956,11 +3966,19 @@ def oracle_sql() -> dict[str, str]:
     d["arrow_measure"] = f"""
         SELECT 'rect' AS kind, l_orderkey AS k1, l_linenumber AS k2,
                CAST(((l_linenumber % 4) + 1.0) * ((l_suppkey % 3) + 1.0) AS DOUBLE) AS area,
-               CAST(2.0 * (((l_linenumber % 4) + 1.0) + ((l_suppkey % 3) + 1.0)) AS DOUBLE) AS length
+               CAST(2.0 * (((l_linenumber % 4) + 1.0) + ((l_suppkey % 3) + 1.0)) AS DOUBLE) AS length,
+               CAST(((l_linenumber - 1) % 7) * 5.0 AS DOUBLE) AS xmin,
+               CAST((l_suppkey % 3) * 1.0 AS DOUBLE) AS ymin,
+               CAST(((l_linenumber - 1) % 7) * 5.0 + (l_linenumber % 4) + 1.0 AS DOUBLE) AS xmax,
+               CAST((l_suppkey % 3) * 1.0 + (l_suppkey % 3) + 1.0 AS DOUBLE) AS ymax
         FROM lineitem WHERE l_orderkey % 37 = 0
         UNION ALL
         SELECT 'point' AS kind, c_custkey AS k1, 0 AS k2, CAST(0.0 AS DOUBLE) AS area,
-               CAST(0.0 AS DOUBLE) AS length
+               CAST(0.0 AS DOUBLE) AS length,
+               CAST((c_custkey % 97) + 0.5 AS DOUBLE) AS xmin,
+               CAST(((c_custkey * 7) % 89) + 0.5 AS DOUBLE) AS ymin,
+               CAST((c_custkey % 97) + 0.5 AS DOUBLE) AS xmax,
+               CAST(((c_custkey * 7) % 89) + 0.5 AS DOUBLE) AS ymax
         FROM customer WHERE c_custkey % 17 = 0"""
     d["rect_suite"] = f"""
         SELECT n_nationkey,

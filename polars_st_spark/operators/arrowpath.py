@@ -27,7 +27,7 @@ import struct
 import numpy as np
 from pyspark.sql import DataFrame
 
-__all__ = ["measure_arrow"]
+__all__ = ["bounds_arrow", "measure_arrow"]
 
 _SRID_FLAG = 0x20000000
 _ZM_FLAGS = 0x80000000 | 0x40000000
@@ -154,6 +154,99 @@ def measure_arrow(df: DataFrame, col: str, keep: tuple = ()) -> DataFrame:
                                  mask=mask if mask is not None else None))
             cols.append(pa.array(length, type=pa.float64(),
                                  mask=mask if mask is not None else None))
+            yield pa.RecordBatch.from_arrays(cols, names)
+
+    return df.select(*keep, col).mapInArrow(fn, out_schema)
+
+
+def _uniform_bounds(offs, data, valid):
+    """(xmin, ymin, xmax, ymax) float64 arrays for a structurally-uniform
+    batch, or None outside the fast envelope (same rules as
+    _uniform_measures)."""
+    n = len(offs) - 1
+    if n == 0 or valid is not None:
+        return None
+    lens = np.diff(offs)
+    L = int(lens[0])
+    if L < 21 or not bool((lens == L).all()):
+        return None
+    base_off = int(offs[0])
+    if data[base_off] != 1:
+        return None
+    (word,) = struct.unpack_from("<I", data, base_off + 1)
+    if word & _ZM_FLAGS:
+        return None
+    head = 5 + (4 if word & _SRID_FLAG else 0)
+    gtype = word & 0xFF
+    if gtype == 1 and L == head + 16:
+        prefix_len, npts = head, 1
+    elif gtype == 3 and L >= head + 8 + 4 * 16:
+        (nrings,) = struct.unpack_from("<I", data, base_off + head)
+        if nrings != 1:
+            return None
+        (npts,) = struct.unpack_from("<I", data, base_off + head + 4)
+        if L != head + 8 + npts * 16:
+            return None
+        prefix_len = head + 8
+    else:
+        return None
+    mat = np.ndarray(shape=(n, prefix_len), dtype=np.uint8,
+                     buffer=data, offset=base_off, strides=(L, 1))
+    if not bool((mat == mat[0]).all()):
+        return None
+    coords = np.ndarray(shape=(n, npts * 2), dtype="<f8",
+                        buffer=data, offset=base_off + prefix_len,
+                        strides=(L, 8)).reshape(n, npts, 2)
+    x, y = coords[:, :, 0], coords[:, :, 1]
+    return (x.min(axis=1), y.min(axis=1), x.max(axis=1), y.max(axis=1))
+
+
+def _fallback_bounds(arr):
+    from polars_st_spark.geo.wkb import from_ewkb
+
+    out = np.full((len(arr), 4), np.nan)
+    for i, v in enumerate(arr):
+        b = v.as_py()
+        if b is None:
+            continue
+        out[i] = from_ewkb(bytes(b)).bounds()
+    return out[:, 0], out[:, 1], out[:, 2], out[:, 3]
+
+
+def bounds_arrow(df: DataFrame, col: str, keep: tuple = ()) -> DataFrame:
+    """``df`` + EWKB column → ``keep`` columns + ``xmin/ymin/xmax/ymax``
+    doubles, zero-copy on the Arrow buffers — the scale path for bbox
+    materialization at ingest (the columns ``plans.materialize_bbox`` /
+    ``filter_pairs``'s prune want native). Same values as ``st_bounds``
+    (NaN for empties via the fallback kernel); null geometry → null row
+    values."""
+    import pyarrow as pa
+
+    names = list(keep) + ["xmin", "ymin", "xmax", "ymax"]
+    in_schema = df.select(*keep, col).schema
+    out_fields = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}" for f in in_schema if f.name != col
+    )
+    out_schema = ((out_fields + ", " if out_fields else "")
+                  + "xmin double, ymin double, xmax double, ymax double")
+    gcol = col
+
+    def fn(batches):
+        for rb in batches:
+            arr = rb.column(rb.schema.get_field_index(gcol))
+            offs, data, valid = _flat_views(arr)
+            fast = _uniform_bounds(offs, data, valid)
+            if fast is None:
+                vals = _fallback_bounds(arr)
+                mask = np.array(
+                    [arr[i].as_py() is None for i in range(len(arr))])
+            else:
+                vals = fast
+                mask = None
+            cols = [rb.column(rb.schema.get_field_index(k)) for k in names[:-4]]
+            for v in vals:
+                cols.append(pa.array(np.ascontiguousarray(v),
+                                     type=pa.float64(), mask=mask))
             yield pa.RecordBatch.from_arrays(cols, names)
 
     return df.select(*keep, col).mapInArrow(fn, out_schema)

@@ -78,3 +78,37 @@ def test_keep_columns_pass_through(spark):
     assert out.columns == ["id", "k2", "area", "length"]
     rows = out.collect()
     assert all(r["k2"] == r["id"] * 2 and r["area"] == 4.0 for r in rows)
+
+
+def test_bounds_arrow_parity(spark):
+    from polars_st_spark.operators.arrowpath import bounds_arrow
+
+    df = spark.range(200).select(
+        "id",
+        F.when(F.col("id") % 4 == 3, F.lit(None).cast("binary"))
+        .otherwise(st.st_rectangle(
+            (F.col("id") % 5) * 1.0, F.lit(0.0),
+            (F.col("id") % 5) + 2.0, (F.col("id") % 3) + 1.0)).alias("g"))
+    got = sorted(tuple(r) for r in bounds_arrow(df, "g", keep=("id",)).collect())
+    b = st.st_bounds("g")
+    ref = sorted(tuple(r) for r in df.select(
+        "id", b[0].alias("xmin"), b[1].alias("ymin"),
+        b[2].alias("xmax"), b[3].alias("ymax")).collect())
+    assert got == ref
+
+
+def test_bounds_arrow_points_and_mixed(spark):
+    from polars_st_spark.operators.arrowpath import bounds_arrow
+
+    pts = spark.range(50).select(
+        "id", st.st_point(F.col("id") * 1.0, F.col("id") * 2.0).alias("g"))
+    rows = {r["id"]: (r["xmin"], r["ymax"]) for r in
+            bounds_arrow(pts, "g", keep=("id",)).collect()}
+    assert all(v == (float(k), 2.0 * k) for k, v in rows.items())
+    mixed = spark.range(6).select("id", F.when(
+        F.col("id") % 2 == 0,
+        st.st_from_wkt(F.lit("LINESTRING (1 2, 5 -3)"))).otherwise(
+        st.st_from_wkt(F.lit("POINT (7 8)"))).alias("g"))
+    rows = {r["id"]: (r["xmin"], r["ymin"], r["xmax"], r["ymax"]) for r in
+            bounds_arrow(mixed, "g", keep=("id",)).collect()}
+    assert rows[0] == (1.0, -3.0, 5.0, 2.0) and rows[1] == (7.0, 8.0, 7.0, 8.0)
