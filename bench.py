@@ -634,9 +634,27 @@ def _v_p10(spark, sf_dir, ncpu):
     return {"p10_curation": ts}
 
 
+def _v_b1a(spark, sf_dir, ncpu):
+    # r9: the Arrow-native measure lane (operators/arrowpath.measure_arrow,
+    # mapInArrow zero-copy) over the SAME cached input as b1_elementwise —
+    # recorded as a variant so each round's record shows pandas-UDF vs
+    # Arrow-native side by side (the 100x ramp's b1 uses this path)
+    from pyspark.sql import functions as F
+
+    from polars_st_spark.operators.arrowpath import measure_arrow
+
+    li = _li_rects_cached(spark, sf_dir, ncpu)
+    df = (measure_arrow(li, "rect")
+          .select(F.sum("area").alias("a"), F.sum("length").alias("l")))
+    ts = _timed_reps(lambda: df.collect())
+    li.unpersist()
+    return {"b1a_elementwise_arrow": ts}
+
+
 # primary-key order preserved from r6 so round-over-round diffs line up
 VARIANTS = {
     "b1g_elementwise_ragged": _v_b1g,
+    "b1a_elementwise_arrow": _v_b1a,
     "b1c_constructive_ragged": _v_b1c,
     "b1p_poly_clip_pairs": _v_b1p,
     "b1b_buffer_lines": _v_b1b,
