@@ -1821,6 +1821,13 @@ def q_curve_measures(spark, sf):
         x0L + 5, y0L, x0L + 9, y0L + 4, x0L + 13, y0L,
         x0L + 13, y0L, x0L + 18, y0L, x0L + 18, y0L + 18,
         x0L, y0L + 18, x0L, y0L))
+    xline = st.st_linestring(F.array(
+        F.array(F.col("x0"), F.col("y0") + 5.0),
+        F.array(F.col("x1"), F.col("y0") + 5.0)))
+    arc2 = st.st_circularstring(F.array(
+        F.array(F.col("x0") - 4.0, F.col("y0")),
+        F.array(F.col("x0") + 5.0, F.col("y0") + 9.0),
+        F.array(F.col("x0") + 14.0, F.col("y0"))))
     pac = st.st_from_wkt(F.format_string(
         "CURVEPOLYGON (COMPOUNDCURVE ("
         "CIRCULARSTRING (%d %d, %d %d, %d %d), "
@@ -1888,6 +1895,15 @@ def q_curve_measures(spark, sf):
         st.st_geometry_type(st.st_buffer(pac, 2.0)).alias("pac_t"),
         F.round(st.st_area(st.st_buffer(pac, 2.0)), 6).alias("pac_area"),
         F.round(st.st_length(st.st_buffer(pac, 2.0)), 6).alias("pac_perim"),
+        # r9: EXACT curve noding (curves.curve_curve_intersection_points —
+        # closed-form carrier intersections, no linearization): the
+        # semicircle x a horizontal chord at y0+5 crosses at cx -/+ sqrt(56)
+        # (a 32-seg chordal approximation is off in the 5th decimal), and
+        # arc x arc (the left-shifted twin) crosses at (x0+7, y0+sqrt(77))
+        st.st_geometry_type(st.st_intersection(arc, xline)).alias("nod_t"),
+        F.round(st.st_x(st.st_get_geometry(st.st_intersection(arc, xline), 0)), 6).alias("nod_x1"),
+        F.round(st.st_x(st.st_get_geometry(st.st_intersection(arc, xline), 1)), 6).alias("nod_x2"),
+        F.round(st.st_y(st.st_intersection(arc, arc2)), 6).alias("nod_aa_y"),
     )
 
 
@@ -3942,7 +3958,11 @@ def oracle_sql() -> dict[str, str]:
                    ROUND(64.0 + 8.0 * pi(), 6) AS cvb_perim,
                    'CurvePolygon' AS pac_t,
                    ROUND(28.0 + 77.0 * pi(), 6) AS pac_area,
-                   ROUND(12.0 + 17.0 * pi(), 6) AS pac_perim
+                   ROUND(12.0 + 17.0 * pi(), 6) AS pac_perim,
+                   'MultiPoint' AS nod_t,
+                   ROUND((n_nationkey % 5) * 20.0 + 9.0 - sqrt(56.0), 6) AS nod_x1,
+                   ROUND((n_nationkey % 5) * 20.0 + 9.0 + sqrt(56.0), 6) AS nod_x2,
+                   ROUND(CAST(n_nationkey // 5 AS DOUBLE) * 20.0 + sqrt(77.0), 6) AS nod_aa_y
             FROM nation""",
     }
     # ---- round-3 consolidated suites (compose the singleton oracles) ----

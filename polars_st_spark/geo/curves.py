@@ -1440,3 +1440,136 @@ def arc_buffer_exact(g: Geometry, dist: float) -> Geometry | None:
     ring = Geometry(GeometryType.CompoundCurve, srid=g.srid,
                     geoms=[outer, cap2, inner, cap0])
     return Geometry(GeometryType.CurvePolygon, srid=g.srid, geoms=[ring])
+
+
+# ---------------------------------------------------------------------------
+# exact 0-D curve x curve intersection (r9 — VERDICT r8 item 4, the overlay
+# noding half): closed-form carrier intersections filtered to both spans
+# ---------------------------------------------------------------------------
+
+def _prim_to_piece(pr):
+    """('seg'/'arc' primitive) -> offset-piece format (["seg", a, b] or
+    ["arc", ux, uy, r, a0, sweep]); degenerate arcs (collinear control
+    points) become their chord segment; None for points."""
+    if pr[0] == "seg":
+        return ["seg", np.asarray(pr[1], dtype=np.float64),
+                np.asarray(pr[2], dtype=np.float64)]
+    if pr[0] == "arc":
+        params = arc_params(pr[1], pr[2], pr[3])
+        if params is None:
+            return ["seg", np.asarray(pr[1], dtype=np.float64),
+                    np.asarray(pr[3], dtype=np.float64)]
+        ux, uy, r, a0, sweep = params
+        return ["arc", ux, uy, r, a0, sweep]
+    return None
+
+
+def _on_piece(o, pt, tol) -> bool:
+    """Is carrier point ``pt`` within piece ``o``'s span (endpoints
+    inclusive, tolerance ``tol``)?"""
+    if o[0] == "seg":
+        return _pt_seg_dist(pt, o[1], o[2]) <= tol
+    _, ux, uy, r, a0, sweep = o
+    ang = math.atan2(pt[1] - uy, pt[0] - ux)
+    if sweep >= 0:
+        d = (ang - a0) % (2.0 * math.pi)
+        inside = d <= sweep + tol / max(r, tol)
+    else:
+        d = (a0 - ang) % (2.0 * math.pi)
+        inside = d <= -sweep + tol / max(r, tol)
+    if inside:
+        return True
+    # endpoint slop for angles wrapping just below a0
+    for f in (0.0, 1.0):
+        aa = a0 + f * sweep
+        if math.hypot(pt[0] - (ux + r * math.cos(aa)),
+                      pt[1] - (uy + r * math.sin(aa))) <= tol:
+            return True
+    return False
+
+
+def _pieces_1d_overlap(A, B, tol) -> bool:
+    """True when the two pieces share a 1-D stretch (collinear segments /
+    co-circular arcs with overlapping spans) — the caller must fall back
+    to the linearized path, exact point output would be wrong."""
+    if A[0] == "seg" and B[0] == "seg":
+        p, q = A[1], A[2]
+        v = q - p
+        L = math.hypot(*v)
+        if L <= tol:
+            return False
+        # both of B's endpoints on A's carrier?
+        for w in (B[1], B[2]):
+            if abs((w[0] - p[0]) * v[1] - (w[1] - p[1]) * v[0]) / L > tol:
+                return False
+        # collinear: overlapping parameter intervals of positive length?
+        t1 = float((B[1] - p) @ v) / (L * L)
+        t2 = float((B[2] - p) @ v) / (L * L)
+        lo, hi = min(t1, t2), max(t1, t2)
+        return min(hi, 1.0) - max(lo, 0.0) > tol / L
+    if A[0] == "arc" and B[0] == "arc":
+        if (math.hypot(A[1] - B[1], A[2] - B[2]) > tol
+                or abs(A[3] - B[3]) > tol):
+            return False
+        # co-circular: sample B's midpoint — if it lies within A's span (and
+        # vice versa for A's midpoint in B) the spans share an arc stretch
+        for X, Y in ((A, B), (B, A)):
+            _, ux, uy, r, a0, sweep = Y
+            mid = a0 + sweep / 2.0
+            mp = np.array([ux + r * math.cos(mid), uy + r * math.sin(mid)])
+            if _on_piece(X, mp, tol):
+                return True
+        return False
+    return False  # seg x arc can only touch in points
+
+
+def curve_curve_intersection_points(ga: Geometry, gb: Geometry):
+    """EXACT 0-D intersection of two lineal geometries where at least one
+    side is curved: every primitive pair intersects through its CARRIER
+    closed form (line/line, circle/line, circle/circle — the same
+    _carrier_intersections the dilation trims use) filtered to both spans,
+    then deduped and sorted by (x, y). Returns a list of (x, y) tuples, or
+    None when the intersection has a 1-D component (collinear segment
+    overlap / co-circular arc overlap) or a primitive is unsupported —
+    the caller falls back to the linearized path."""
+    pa = _curve_primitives(ga)
+    pb = _curve_primitives(gb)
+    if pa is None or pb is None:
+        return None
+    scale = 1.0
+    for prims in (pa, pb):
+        for pr in prims:
+            for c in pr[1:]:
+                c = np.asarray(c, dtype=np.float64)
+                scale = max(scale, float(np.abs(c).max()))
+    tol = 1e-9 * scale
+    pieces_a = [(_prim_to_piece(pr), pr) for pr in pa]
+    pieces_b = [(_prim_to_piece(pr), pr) for pr in pb]
+    pts: list[tuple[float, float]] = []
+
+    def add(p):
+        for q in pts:
+            if math.hypot(p[0] - q[0], p[1] - q[1]) <= tol:
+                return
+        pts.append((float(p[0]), float(p[1])))
+
+    for oa, pra in pieces_a:
+        for ob, prb in pieces_b:
+            if oa is None and ob is None:  # point x point
+                p, q = np.asarray(pra[1]), np.asarray(prb[1])
+                if math.hypot(*(p - q)) <= tol:
+                    add(p)
+                continue
+            if oa is None or ob is None:  # point x piece
+                pt = np.asarray((pra if oa is None else prb)[1],
+                                dtype=np.float64)[:2]
+                piece = ob if oa is None else oa
+                if _on_piece(piece, pt, tol):
+                    add(pt)
+                continue
+            if _pieces_1d_overlap(oa, ob, tol):
+                return None
+            for X in _carrier_intersections(oa, ob):
+                if _on_piece(oa, X, tol) and _on_piece(ob, X, tol):
+                    add(X)
+    return sorted(pts)

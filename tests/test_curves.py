@@ -458,3 +458,38 @@ def test_concave_dilation_reflex_seg_arc_trim():
     if buf.type_id == GeometryType.CurvePolygon:
         # exact path engaged: compare against the linearization at 1e-2
         assert abs(a1 - (a0 + algos.length(g) * d)) < math.pi * d * d + 1.0
+
+
+def test_exact_curve_noding_points():
+    """r9: st_intersection on curved lineal operands returns EXACT
+    closed-form carrier intersection points (no 32-seg linearization)."""
+    import math
+
+    from polars_st_spark.geo import setops
+    from polars_st_spark.geo.types import GeometryType
+    from polars_st_spark.geo.wkt import from_wkt
+
+    arc = from_wkt("CIRCULARSTRING (0 0, 9 9, 18 0)")
+    # arc x line: circle (x-9)^2 + y^2 = 81 at y=5 -> x = 9 -/+ sqrt(56)
+    out = setops.intersection(arc, from_wkt("LINESTRING (0 5, 18 5)"), None)
+    assert out.type_id == GeometryType.MultiPoint
+    xs = sorted(float(p.coords[0]) for p in out.geoms)
+    assert xs == [9 - math.sqrt(56), 9 + math.sqrt(56)]  # bit-exact closed form
+    # arc x arc: left-shifted twin crosses at (7, sqrt(77))
+    out2 = setops.intersection(
+        arc, from_wkt("CIRCULARSTRING (-4 0, 5 9, 14 0)"), None)
+    assert out2.type_id == GeometryType.Point
+    assert float(out2.coords[0]) == 7.0
+    assert float(out2.coords[1]) == math.sqrt(77)
+    # tangent line through the apex: single point
+    out3 = setops.intersection(arc, from_wkt("LINESTRING (0 9, 18 9)"), None)
+    assert out3.type_id == GeometryType.Point
+    assert (float(out3.coords[0]), float(out3.coords[1])) == (9.0, 9.0)
+    # co-circular overlap: the exact 0-D path must DECLINE (the true
+    # intersection is a 1-D arc stretch) and leave the pre-existing
+    # linearized fallback in charge
+    from polars_st_spark.geo.curves import curve_curve_intersection_points
+
+    sub = from_wkt("CIRCULARSTRING (0 0, 1.20577136594005 4.5, 4.5 7.79422863405995)")
+    assert curve_curve_intersection_points(arc, sub) is None
+    setops.intersection(arc, sub, None)  # fallback serves it without error
