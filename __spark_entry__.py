@@ -1725,6 +1725,58 @@ def q_arrow_measure(spark, sf):
     return rects.unionByName(pts)
 
 
+def q_arrow_predicate(spark, sf):
+    """Zero-copy Arrow-native predicate lane (r10, VERDICT r9 item 2):
+    operators/arrowpath.predicate_arrow evaluates binary predicates
+    directly on the flat Arrow buffers — axis-aligned rect/point operands
+    take an exact closed-form interval test, anything else the per-row
+    DE-9IM kernels. Three shapes, all closed-form for DuckDB:
+
+    - 'bx': the b2 refinement path — ``filter_pairs(exact="arrow")``
+      (codegen bbox prune in a broadcast join, Arrow-lane refinement)
+      over lineitem rects × 5 nation rects; oracle = interval overlap.
+    - 'pw': per-row point-WITHIN-rect pairs (customer point vs its
+      ``c_custkey % 25`` nation rect); the .5-offset points never sit on
+      the integer rect bounds, so within == strict inside.
+    - 'dm': a 0.4-radius DIAMOND around each point vs the same rect — a
+      non-axis-aligned operand that exercises the lane's per-row exact
+      fallback. Centers sit ≥0.5 from every rect edge line, so
+      intersects == center-strictly-inside, closed form."""
+    from polars_st_spark.operators.arrowpath import predicate_arrow
+
+    li = _li_rects(spark, sf).where(F.col("l_orderkey") % 37 == 0)
+    nations5 = _nation_rects(spark, sf).where(F.col("n_nationkey") < 5).select(
+        "n_nationkey", "x0", "y0", "x1", "y1", F.col("rect").alias("nrect"))
+    bx = st.filter_pairs(
+        li.select("l_orderkey", "l_linenumber", "x0", "y0", "x1", "y1", "rect"),
+        nations5, predicate="intersects", lcol="rect", rcol="nrect",
+        lbox=("x0", "y0", "x1", "y1"), rbox=("x0", "y0", "x1", "y1"),
+        broadcast=True, exact="arrow",
+    ).select(
+        F.lit("bx").alias("kind"), F.col("l_orderkey").alias("k1"),
+        F.col("l_linenumber").alias("k2"), F.col("n_nationkey").alias("k3"),
+        F.lit(True).alias("f"))
+    cust = _cust_pts(spark, sf).where(F.col("c_custkey") % 17 == 0)
+    pairs = cust.withColumn("nk", (F.col("c_custkey") % 25).cast("int")).join(
+        F.broadcast(_nation_rects(spark, sf).select(
+            F.col("n_nationkey").alias("nk"), "rect")), "nk")
+    pw = predicate_arrow(pairs, "pt", "rect", predicate="within",
+                         out_col="fw").select(
+        F.lit("pw").alias("kind"), F.col("c_custkey").alias("k1"),
+        F.lit(0).alias("k2"), F.col("nk").alias("k3"), F.col("fw").alias("f"))
+    diam = st.st_polygon(F.array(F.array(
+        F.array(F.col("x") + 0.4, F.col("y")),
+        F.array(F.col("x"), F.col("y") + 0.4),
+        F.array(F.col("x") - 0.4, F.col("y")),
+        F.array(F.col("x"), F.col("y") - 0.4),
+        F.array(F.col("x") + 0.4, F.col("y")))))
+    dm = predicate_arrow(pairs.withColumn("dg", diam), "dg", "rect",
+                         predicate="intersects", out_col="fi").select(
+        F.lit("dm").alias("kind"), F.col("c_custkey").alias("k1"),
+        F.lit(0).alias("k2"), F.col("nk").alias("k3"), F.col("fi").alias("f"))
+    return bx.unionByName(pw).unionByName(dm)
+
+
 def q_sqlreg_suite(spark, sf):
     """SQL-surface gate (r9): every value computed through ``spark.sql``
     over the registered ST_* SQL functions (polars_st_spark/functions/
@@ -2425,6 +2477,32 @@ def q_nearest_join(spark, sf):
             "c_custkey", "n_nationkey", F.round("distance", 6).alias("dist_r"))
         .withColumn("rank", F.row_number().over(w))
     )
+
+
+def q_nearest_join_k3(spark, sf):
+    """k-nearest join with a REAL k-cut (r10, VERDICT r9 item 5 — the
+    `nearest_join` gate sets k above the right-side count so only the
+    distance cap cuts; this one certifies the top-k window itself): each
+    customer point's 3 nearest nation rects within distance 9 via the grid
+    strategy. Compared columns are (c_custkey, rank, dist_r) WITHOUT the
+    matched key: the operator breaks exact-distance ties by a content hash
+    (deterministic, rerun-stable) while the oracle ranks by nationkey —
+    when a tie straddles the k boundary both engines keep the SAME
+    distance multiset, so rank→distance is the tie-independent certificate
+    of the cut. Oracle: closed-form point-rectangle distance over the tiny
+    cross product, rank ≤ 3."""
+    from pyspark.sql.window import Window
+
+    from polars_st_spark.operators.nearest import st_sjoin_nearest
+
+    cust = _cust_pts(spark, sf).select("c_custkey", F.col("pt").alias("geometry"))
+    nat = _nation_rects(spark, sf).select(
+        "n_nationkey", F.col("rect").alias("geometry"))
+    out = st_sjoin_nearest(cust, nat, k=3, max_distance=9.0).select(
+        "c_custkey", F.round("distance", 6).alias("dist_r"), "n_nationkey")
+    w = Window.partitionBy("c_custkey").orderBy(
+        F.col("dist_r").asc(), F.col("n_nationkey").asc())
+    return out.withColumn("rank", F.row_number().over(w)).drop("n_nationkey")
 
 
 def q_geohash_suite(spark, sf):
@@ -3145,6 +3223,7 @@ _QUERIES = {
         "curve_measures": q_curve_measures,
         "sqlreg_suite": q_sqlreg_suite,
         "arrow_measure": q_arrow_measure,
+        "arrow_predicate": q_arrow_predicate,
         # --- consolidated round-1 coverage (suites fold the singletons) ---
         "rect_suite": q_rect_suite,
         "point_suite": q_point_suite,
@@ -3291,6 +3370,7 @@ _QUERIES = {
         "knn_ivf": q_knn_ivf,
         "geohash_suite": q_geohash_suite,
         "nearest_join": q_nearest_join,
+        "nearest_join_k3": q_nearest_join_k3,
         "pipeline_e2e": q_pipeline_e2e,
         "multimodal_features": q_multimodal_features,
         "multimodal_audio": q_multimodal_audio,
@@ -3507,6 +3587,7 @@ def oracle_sql() -> dict[str, str]:
         "tfidf_suite": _oracle_tfidf_suite(),
         "geohash_suite": _oracle_geohash_suite(),
         "nearest_join": _oracle_nearest_join(),
+        "nearest_join_k3": _oracle_nearest_join_k3(),
         "multimodal_real": _oracle_multimodal_real(),
         "multimodal_suite": _oracle_multimodal_suite(),
         "multimodal_features": _oracle_multimodal_features(),
@@ -4000,6 +4081,43 @@ def oracle_sql() -> dict[str, str]:
                CAST((c_custkey % 97) + 0.5 AS DOUBLE) AS xmax,
                CAST(((c_custkey * 7) % 89) + 0.5 AS DOUBLE) AS ymax
         FROM customer WHERE c_custkey % 17 = 0"""
+    d["arrow_predicate"] = """
+        WITH li AS (
+          SELECT l_orderkey, l_linenumber,
+                 ((l_linenumber - 1) % 7) * 5.0 AS x0,
+                 (l_suppkey % 3) * 1.0 AS y0,
+                 ((l_linenumber - 1) % 7) * 5.0 + 4.0 AS x1,
+                 (l_suppkey % 3) * 1.0 + 4.0 AS y1
+          FROM lineitem WHERE l_orderkey % 37 = 0
+        ), nat AS (
+          SELECT n_nationkey,
+                 (n_nationkey % 5) * 20.0 AS x0,
+                 CAST(n_nationkey // 5 AS DOUBLE) * 20.0 AS y0,
+                 (n_nationkey % 5) * 20.0 + 18.0 AS x1,
+                 CAST(n_nationkey // 5 AS DOUBLE) * 20.0 + 18.0 AS y1
+          FROM nation
+        ), cn AS (
+          SELECT c_custkey,
+                 CAST((c_custkey % 97) + 0.5 AS DOUBLE) AS px,
+                 CAST(((c_custkey * 7) % 89) + 0.5 AS DOUBLE) AS py,
+                 c_custkey % 25 AS nk,
+                 n.x0, n.y0, n.x1, n.y1
+          FROM customer JOIN nat n ON c_custkey % 25 = n.n_nationkey
+          WHERE c_custkey % 17 = 0
+        )
+        SELECT 'bx' AS kind, li.l_orderkey AS k1, li.l_linenumber AS k2,
+               nat.n_nationkey AS k3, TRUE AS f
+        FROM li JOIN nat ON nat.n_nationkey < 5
+             AND li.x0 <= nat.x1 AND nat.x0 <= li.x1
+             AND li.y0 <= nat.y1 AND nat.y0 <= li.y1
+        UNION ALL
+        SELECT 'pw' AS kind, c_custkey AS k1, 0 AS k2, nk AS k3,
+               (px > x0 AND px < x1 AND py > y0 AND py < y1) AS f
+        FROM cn
+        UNION ALL
+        SELECT 'dm' AS kind, c_custkey AS k1, 0 AS k2, nk AS k3,
+               (px > x0 AND px < x1 AND py > y0 AND py < y1) AS f
+        FROM cn"""
     d["rect_suite"] = f"""
         SELECT n_nationkey,
                (x1-x0)*(y1-y0) AS area,
@@ -5031,6 +5149,39 @@ def _oracle_nearest_join() -> str:
                CAST(row_number() OVER (PARTITION BY c_custkey
                     ORDER BY round(dist, 6) ASC, n_nationkey ASC) AS INT) AS rank
         FROM scored WHERE dist <= 9.0"""
+
+
+def _oracle_nearest_join_k3() -> str:
+    """The k=3 cut of the nearest-join oracle: same closed-form
+    point-rectangle distance, rank over (exact dist, nationkey), keep
+    rank <= 3 within the 9.0 cap; the matched key is dropped so the
+    compare is tie-independent (see q_nearest_join_k3)."""
+    return """
+        WITH pts AS (
+            SELECT c_custkey, ((c_custkey % 97) + 0.5) AS px,
+                   (((c_custkey * 7) % 89) + 0.5) AS py
+            FROM customer
+        ), rects AS (
+            SELECT n_nationkey,
+                   (n_nationkey % 5) * 20.0 AS x0,
+                   floor(n_nationkey / 5) * 20.0 AS y0,
+                   (n_nationkey % 5) * 20.0 + 18.0 AS x1,
+                   floor(n_nationkey / 5) * 20.0 + 18.0 AS y1
+            FROM nation
+        ), scored AS (
+            SELECT c_custkey, n_nationkey,
+                   sqrt(greatest(x0 - px, px - x1, 0.0)
+                        * greatest(x0 - px, px - x1, 0.0)
+                        + greatest(y0 - py, py - y1, 0.0)
+                        * greatest(y0 - py, py - y1, 0.0)) AS dist
+            FROM pts CROSS JOIN rects
+        ), ranked AS (
+            SELECT c_custkey, round(dist, 6) AS dist_r,
+                   CAST(row_number() OVER (PARTITION BY c_custkey
+                        ORDER BY dist ASC, n_nationkey ASC) AS INT) AS rank
+            FROM scored WHERE dist <= 9.0
+        )
+        SELECT c_custkey, dist_r, rank FROM ranked WHERE rank <= 3"""
 
 
 def _oracle_geohash_suite() -> str:

