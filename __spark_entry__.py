@@ -1648,6 +1648,28 @@ def q_seed_crs(spark, sf):
     be = rt(F.col("x") % 3 + 3.0, F.col("y") % 2 + 50.0, 31370)
     arc = rt(F.col("x") % 5 + 31.0, F.col("y") % 4 + 0.5, 21096)
     pos = rt(F.col("x") % 2 - 61.0, -(F.col("y") % 8) - 28.0, 5347)
+    # r10 long-tail wave (VERDICT r9 item 7): JGD2011 plane CS IX, SWEREF99
+    # 18 00, Pulkovo-95 GK zone 7, Hungarian EOV (somerc with k_0<1),
+    # Romanian Stereo 70, NTF Lambert Nord (LCC 1SP Paris), DHDN GK zone 3,
+    # Nigeria Mid Belt, PNGMG94 zone 55, Mexico ITRF2008 LCC, Korea
+    # Unified CS — round-trips for all, exact anchors for the null-datum
+    # grids
+    jp = rt(F.col("x") % 3 + 138.5, F.col("y") % 3 + 34.5, 6677)
+    sw = rt(F.col("x") % 4 + 14.0, F.col("y") % 8 + 58.0, 3011)
+    p95 = rt(F.col("x") % 4 + 37.0, F.col("y") % 20 + 45.0, 20007)
+    eov = rt(F.col("x") % 4 + 17.0, F.col("y") % 3 + 46.0, 23700)
+    st70 = rt(F.col("x") % 5 + 22.0, F.col("y") % 4 + 44.0, 3844)
+    ntf = rt(F.col("x") % 4 + 0.0, F.col("y") % 3 + 48.0, 27561)
+    dh = rt(F.col("x") % 3 + 7.5, F.col("y") % 5 + 48.0, 31467)
+    ng = rt(F.col("x") % 3 + 7.0, F.col("y") % 6 + 5.0, 26392)
+    png = rt(F.col("x") % 4 + 145.0, -(F.col("y") % 8) - 3.0, 5551)
+    mex = rt(-(F.col("x") % 10) - 97.0, F.col("y") % 15 + 15.0, 6372)
+    kr = rt(F.col("x") % 6 + 125.0, F.col("y") % 5 + 34.0, 5179)
+    a_jp = anchor(139.8333333333333, 36.0, 6677)
+    a_sw = anchor(18.0, 0.0, 3011)
+    a_png = anchor(147.0, 0.0, 5551)
+    a_mex = anchor(-102.0, 12.0, 6372)
+    a_kr = anchor(127.5, 38.0, 5179)
     a_pl = anchor(19.0, 0.0, 2180)
     a_cn = anchor(117.0, 33.0, 4509)
     a_ease = anchor(0.0, 90.0, 6931)
@@ -1686,6 +1708,37 @@ def q_seed_crs(spark, sf):
         F.round(st.st_x(pos), 6).alias("pos_x"),
         F.round(st.st_y(pos), 6).alias("pos_y"),
         st.st_x(a_pos).alias("pos_anchor_e"),
+        F.round(st.st_x(jp), 6).alias("jp_x"),
+        F.round(st.st_y(jp), 6).alias("jp_y"),
+        F.round(st.st_x(a_jp), 6).alias("jp_anchor_e"),
+        F.round(st.st_y(a_jp), 6).alias("jp_anchor_n"),
+        F.round(st.st_x(sw), 6).alias("sw_x"),
+        F.round(st.st_y(sw), 6).alias("sw_y"),
+        F.round(st.st_x(a_sw), 6).alias("sw_anchor_e"),
+        F.round(st.st_x(p95), 6).alias("p95_x"),
+        F.round(st.st_y(p95), 6).alias("p95_y"),
+        F.round(st.st_x(eov), 6).alias("eov_x"),
+        F.round(st.st_y(eov), 6).alias("eov_y"),
+        F.round(st.st_x(st70), 6).alias("st70_x"),
+        F.round(st.st_y(st70), 6).alias("st70_y"),
+        F.round(st.st_x(ntf), 6).alias("ntf_x"),
+        F.round(st.st_y(ntf), 6).alias("ntf_y"),
+        F.round(st.st_x(dh), 6).alias("dh_x"),
+        F.round(st.st_y(dh), 6).alias("dh_y"),
+        F.round(st.st_x(ng), 6).alias("ng_x"),
+        F.round(st.st_y(ng), 6).alias("ng_y"),
+        F.round(st.st_x(png), 6).alias("png_x"),
+        F.round(st.st_y(png), 6).alias("png_y"),
+        F.round(st.st_x(a_png), 6).alias("png_anchor_e"),
+        F.round(st.st_y(a_png), 6).alias("png_anchor_n"),
+        F.round(st.st_x(mex), 6).alias("mex_x"),
+        F.round(st.st_y(mex), 6).alias("mex_y"),
+        F.round(st.st_x(a_mex), 6).alias("mex_anchor_e"),
+        F.round(st.st_y(a_mex), 6).alias("mex_anchor_n"),
+        F.round(st.st_x(kr), 6).alias("kr_x"),
+        F.round(st.st_y(kr), 6).alias("kr_y"),
+        F.round(st.st_x(a_kr), 6).alias("kr_anchor_e"),
+        F.round(st.st_y(a_kr), 6).alias("kr_anchor_n"),
     )
 
 
@@ -3996,7 +4049,34 @@ def oracle_sql() -> dict[str, str]:
                    ROUND(y % 4 + 0.5, 6) AS arc_y,
                    ROUND(x % 2 - 61.0, 6) AS pos_x,
                    ROUND(-(y % 8) - 28.0, 6) AS pos_y,
-                   5500000.0 AS pos_anchor_e
+                   5500000.0 AS pos_anchor_e,
+                   ROUND(x % 3 + 138.5, 6) AS jp_x,
+                   ROUND(y % 3 + 34.5, 6) AS jp_y,
+                   0.0 AS jp_anchor_e, 0.0 AS jp_anchor_n,
+                   ROUND(x % 4 + 14.0, 6) AS sw_x,
+                   ROUND(y % 8 + 58.0, 6) AS sw_y,
+                   150000.0 AS sw_anchor_e,
+                   ROUND(x % 4 + 37.0, 6) AS p95_x,
+                   ROUND(y % 20 + 45.0, 6) AS p95_y,
+                   ROUND(x % 4 + 17.0, 6) AS eov_x,
+                   ROUND(y % 3 + 46.0, 6) AS eov_y,
+                   ROUND(x % 5 + 22.0, 6) AS st70_x,
+                   ROUND(y % 4 + 44.0, 6) AS st70_y,
+                   ROUND(x % 4 + 0.0, 6) AS ntf_x,
+                   ROUND(y % 3 + 48.0, 6) AS ntf_y,
+                   ROUND(x % 3 + 7.5, 6) AS dh_x,
+                   ROUND(y % 5 + 48.0, 6) AS dh_y,
+                   ROUND(x % 3 + 7.0, 6) AS ng_x,
+                   ROUND(y % 6 + 5.0, 6) AS ng_y,
+                   ROUND(x % 4 + 145.0, 6) AS png_x,
+                   ROUND(-(y % 8) - 3.0, 6) AS png_y,
+                   500000.0 AS png_anchor_e, 10000000.0 AS png_anchor_n,
+                   ROUND(-(x % 10) - 97.0, 6) AS mex_x,
+                   ROUND(y % 15 + 15.0, 6) AS mex_y,
+                   2500000.0 AS mex_anchor_e, 0.0 AS mex_anchor_n,
+                   ROUND(x % 6 + 125.0, 6) AS kr_x,
+                   ROUND(y % 5 + 34.0, 6) AS kr_y,
+                   1000000.0 AS kr_anchor_e, 2000000.0 AS kr_anchor_n
             FROM ({_ORACLE_CUST}) WHERE c_custkey % 3 = 0""",
         "buffer_styles": f"""
             SELECT n_nationkey,

@@ -45,25 +45,54 @@ def _decode_series(s: pd.Series):
     return [None if b is None else from_ewkb(bytes(b)) for b in s]
 
 
+def union_series(s: pd.Series, grid_size: float | None = None) -> bytes:
+    """EWKB union of one pandas Series of EWKB values — the kernel behind
+    ``st_union_all``, exposed so the two-phase map side
+    (``operators.grouped.union_all_two_phase``) runs the IDENTICAL code
+    path (including the uniform axis-rect slab-union fast lane)."""
+    from polars_st_spark.geo.rectregion import RectRegion, region_to_geometry
+    from polars_st_spark.geo.wkb import batch_uniform, header_info
+
+    if len(s) and not s.isna().any():
+        fast = batch_uniform(s)
+        if fast is not None and fast[0] == "ring" and fast[2]:
+            c = fast[1]
+            boxes = zip(
+                c[:, :, 0].min(axis=1), c[:, :, 1].min(axis=1),
+                c[:, :, 0].max(axis=1), c[:, :, 1].max(axis=1),
+            )
+            region = RectRegion([tuple(map(float, b)) for b in boxes])
+            region = region.union(RectRegion())  # normalize to disjoint
+            srid = header_info(bytes(s.iloc[0]))[3]
+            return to_ewkb(region_to_geometry(region, srid))
+    geoms = _decode_series(s)
+    if grid_size is None and geoms and all(g is not None for g in geoms):
+        # rectilinear fast path (r10): inputs that are hole-free axis-rect
+        # (multi)polygons — the exact shape the two-phase union's partials
+        # have (region_to_geometry emits disjoint rect parts) — union
+        # through ONE slab normalize instead of the general overlay
+        # engine. Bails on the first non-rect part, so non-rect data pays
+        # one cheap ring check.
+        from polars_st_spark.geo.rectregion import rect_parts
+
+        boxes = []
+        for g in geoms:
+            parts = rect_parts(g)
+            if parts is None:
+                boxes = None
+                break
+            boxes += parts
+        if boxes:  # all-empty batches keep the general kernel's
+            # GEOMETRYCOLLECTION EMPTY convention
+            region = RectRegion(boxes).union(RectRegion())
+            return to_ewkb(region_to_geometry(region, geoms[0].srid))
+    return to_ewkb(setops.union_all(geoms, grid_size))
+
+
 def _union_all_udf(grid_size: float | None = None):
     @pandas_udf("binary")
     def agg(s: pd.Series) -> bytes:
-        from polars_st_spark.geo.rectregion import RectRegion, region_to_geometry
-        from polars_st_spark.geo.wkb import batch_uniform, header_info
-
-        if len(s) and not s.isna().any():
-            fast = batch_uniform(s)
-            if fast is not None and fast[0] == "ring" and fast[2]:
-                c = fast[1]
-                boxes = zip(
-                    c[:, :, 0].min(axis=1), c[:, :, 1].min(axis=1),
-                    c[:, :, 0].max(axis=1), c[:, :, 1].max(axis=1),
-                )
-                region = RectRegion([tuple(map(float, b)) for b in boxes])
-                region = region.union(RectRegion())  # normalize to disjoint
-                srid = header_info(bytes(s.iloc[0]))[3]
-                return to_ewkb(region_to_geometry(region, srid))
-        return to_ewkb(setops.union_all(_decode_series(s), grid_size))
+        return union_series(s, grid_size)
 
     return agg
 

@@ -275,6 +275,111 @@ for _code, _lon in ((3571, 180.0), (3572, -150.0), (3573, -100.0),
     _seed(_code, f"+proj=laea +lat_0=90 +lon_0={_lon} +x_0=0 +y_0=0 "
           "+ellps=WGS84")
 
+# --- r10 long-tail wave ------------------------------------------------------
+# Pulkovo 1942 / Gauss-Kruger CM 9E-189E (28462-28492): the FE-500000
+# variants of the zone-prefixed 284xx family (same krass + Helmert as the
+# seeded 4284)
+_P42 = "+ellps=krass +towgs84=23.92,-141.27,-80.9,0,0.35,0.82,-0.12"
+for _i, _z in enumerate(range(2, 33)):
+    _seed(28462 + _i, f"+proj=tmerc +lat_0=0 +lon_0={_z * 6 - 3} +k=1 "
+          f"+x_0=500000 +y_0=0 {_P42}")
+# Pulkovo 1995 / Gauss-Kruger zones 2-32 (20002-20032, zone-prefixed FE)
+# and CM 9E-189E (20062-20092, FE 500000)
+_P95 = "+ellps=krass +towgs84=24.47,-130.89,-81.56,0,0,0.13,-0.22"
+for _i, _z in enumerate(range(2, 33)):
+    _seed(20002 + _i, f"+proj=tmerc +lat_0=0 +lon_0={_z * 6 - 3} +k=1 "
+          f"+x_0={_z}500000 +y_0=0 {_P95}")
+    _seed(20062 + _i, f"+proj=tmerc +lat_0=0 +lon_0={_z * 6 - 3} +k=1 "
+          f"+x_0=500000 +y_0=0 {_P95}")
+# Japan Plane Rectangular CS zones I-XIX: JGD2000 (2443-2461) and JGD2011
+# (6669-6687) share the zone origin table (k=0.9999, FE=FN=0, GRS80)
+_JPRCS = [
+    (33.0, 129.5), (33.0, 131.0), (36.0, "132.1666666666667"),
+    (33.0, 133.5), (36.0, "134.3333333333333"), (36.0, 136.0),
+    (36.0, "137.1666666666667"), (36.0, 138.5),
+    (36.0, "139.8333333333333"), (40.0, "140.8333333333333"),
+    (44.0, 140.25), (44.0, 142.25), (44.0, 144.25), (26.0, 142.0),
+    (26.0, 127.5), (26.0, 124.0), (26.0, 131.0), (20.0, 136.0),
+    (26.0, 154.0),
+]
+for _i, (_lat, _lon) in enumerate(_JPRCS):
+    _jp = (f"+proj=tmerc +lat_0={_lat} +lon_0={_lon} +k=0.9999 "
+           "+x_0=0 +y_0=0 +ellps=GRS80")
+    _seed(2443 + _i, _jp)   # JGD2000
+    _seed(6669 + _i, _jp)   # JGD2011
+# SWEREF99 projected belts (3007-3018), k=1 FE 150000
+for _code, _lon in ((3007, 12.0), (3008, 13.5), (3009, 15.0), (3010, 16.5),
+                    (3011, 18.0), (3012, 14.25), (3013, 15.75),
+                    (3014, 17.25), (3015, 18.75), (3016, 20.25),
+                    (3017, 21.75), (3018, 23.25)):
+    _seed(_code, f"+proj=tmerc +lat_0=0 +lon_0={_lon} +k=1 "
+          "+x_0=150000 +y_0=0 +ellps=GRS80")
+# NTF (Paris) / Lambert carto zones I-IV (27561-27564), Clarke 1880 IGN,
+# LCC 1SP — same datum wrap as the seeded 27572 (zone II étendu)
+_NTF = "+a=6378249.2 +b=6356515 +towgs84=-168,-60,320"
+_PARIS = "+lon_0=2.337229166666667"
+for _code, _lat, _k, _x0, _y0 in (
+    (27561, 49.5, "0.999877341", 600000, 200000),
+    (27562, 46.8, "0.99987742", 600000, 200000),
+    (27563, 44.1, "0.999877499", 600000, 200000),
+    (27564, 42.165, "0.99994471", 234.358, 185861.369),
+):
+    _seed(_code, f"+proj=lcc +lat_1={_lat} +lat_0={_lat} {_PARIS} "
+          f"+k_0={_k} +x_0={_x0} +y_0={_y0} {_NTF}")
+# DHDN / Gauss-Kruger zones 2-5 (31466-31469), Bessel + EPSG:1777 Helmert
+_DHDN = ("+ellps=bessel "
+         "+towgs84=598.1,73.7,418.2,0.202,0.045,-2.455,6.7")
+for _i, _z in enumerate(range(2, 6)):
+    _seed(31466 + _i, f"+proj=tmerc +lat_0=0 +lon_0={_z * 3} +k=1 "
+          f"+x_0={_z}500000 +y_0=0 {_DHDN}")
+# Minna / Nigeria West/Mid/East belts (26391-26393), Clarke 1880 RGS
+_MINNA = "+a=6378249.145 +rf=293.465 +towgs84=-92,-93,122"
+for _code, _lon, _x0 in ((26391, 4.5, 230738.26), (26392, 8.5, 670553.98),
+                         (26393, 12.5, 1110579.12)):
+    _seed(_code, f"+proj=tmerc +lat_0=4 +lon_0={_lon} +k=0.99975 "
+          f"+x_0={_x0} +y_0=0 {_MINNA}")
+# PNG94 / PNGMG94 zones 54-56 (5550-5552): ITRF-aligned UTM south
+for _i, _z in enumerate((54, 55, 56)):
+    _seed(5550 + _i, f"+proj=utm +zone={_z} +south +ellps=GRS80")
+# r10 singles
+_SINGLES_R10: dict[int, str] = {
+    # HD72 / EOV (Hungary) — Hotine oblique Mercator (somerc), GRS67
+    23700: "+proj=somerc +lat_0=47.14439372222222 +lon_0=19.04857177777778 "
+           "+k_0=0.99993 +x_0=650000 +y_0=200000 "
+           "+a=6378160 +rf=298.247167427 +towgs84=52.17,-71.82,-14.9",
+    # Dealul Piscului 1970 / Stereo 70 and Pulkovo 1942(58) / Stereo70
+    # (Romania) — oblique stereographic on Krassowsky
+    31700: "+proj=sterea +lat_0=46 +lon_0=25 +k=0.99975 "
+           "+x_0=500000 +y_0=500000 +ellps=krass "
+           "+towgs84=28,-121,-77",
+    3844: "+proj=sterea +lat_0=46 +lon_0=25 +k=0.99975 "
+          "+x_0=500000 +y_0=500000 +ellps=krass "
+          "+towgs84=2.329,-147.042,-92.08,0.309,-0.325,-0.497,5.69",
+    # Mexico ITRF2008 / LCC
+    6372: "+proj=lcc +lat_0=12 +lon_0=-102 +lat_1=17.5 +lat_2=29.5 "
+          "+x_0=2500000 +y_0=0 +ellps=GRS80",
+    # RGNC91-93 / Lambert New Caledonia
+    3163: "+proj=lcc +lat_0=-21.5 +lon_0=166 +lat_1=-20.66666666666667 "
+          "+lat_2=-22.33333333333333 +x_0=400000 +y_0=300000 +ellps=GRS80",
+    # Korea 2000 / Unified CS ("UTM-K")
+    5179: "+proj=tmerc +lat_0=38 +lon_0=127.5 +k=0.9996 "
+          "+x_0=1000000 +y_0=2000000 +ellps=GRS80",
+    # ISN2004 / Lambert 2004 (same cone as the seeded 3057, shifted FE/FN)
+    5325: "+proj=lcc +lat_0=65 +lon_0=-19 +lat_1=64.25 +lat_2=65.75 "
+          "+x_0=1700000 +y_0=300000 +ellps=GRS80",
+    # ETRS89 / Portugal TM06
+    3763: "+proj=tmerc +lat_0=39.66825833333333 +lon_0=-8.133108333333334 "
+          "+k=1 +x_0=0 +y_0=0 +ellps=GRS80",
+    # Gulshan 303 / Bangladesh Transverse Mercator (Everest 1830-1937)
+    3106: "+proj=tmerc +lat_0=0 +lon_0=90 +k=0.9996 +x_0=500000 +y_0=0 "
+          "+a=6377276.345 +rf=300.8017 +towgs84=283.7,735.9,261.1",
+    # Fiji 1986 / Fiji Map Grid (WGS72 realization)
+    3460: "+proj=tmerc +lat_0=-17 +lon_0=178.75 +k=0.99985 "
+          "+x_0=2000000 +y_0=4000000 +a=6378135 +rf=298.26 "
+          "+towgs84=0,0,4.5,0,0,0.554,0.2263",
+}
+_EPSG_PROJ4.update(_SINGLES_R10)
+
 
 def proj4_for_epsg(code: int) -> str | None:
     """The seed proj4 definition for ``code``, or None."""

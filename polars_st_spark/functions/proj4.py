@@ -300,9 +300,8 @@ def _base_projection(params: dict, a: float, f: float):
             T._osterea_inverse(a, f, k0, lat0, lon0, FE, FN),
         )
     if proj == "somerc":
-        if k0 != 1.0:
-            raise ValueError("proj4: +proj=somerc only supports k_0=1 "
-                             "(the Swiss LV03/LV95 case)")
+        # k_0 scales the conformal-sphere radius (kR) in the kernel — the
+        # Swiss LV03/LV95 case is k_0=1, Hungarian EOV (EPSG 23700) 0.99993
         return (
             T._swiss_forward(a, f, k0, lat0, lon0, FE, FN),
             T._swiss_inverse(a, f, k0, lat0, lon0, FE, FN),

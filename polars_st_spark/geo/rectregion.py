@@ -137,6 +137,32 @@ def _ring_as_rect(r: np.ndarray) -> tuple[float, float, float, float] | None:
     return (xs[0], ys[0], xs[1], ys[1])
 
 
+def rect_parts(g: Geometry) -> list[tuple[float, float, float, float]] | None:
+    """The geometry's parts as raw rect tuples WITHOUT any region
+    arithmetic — when it is a hole-free axis-rect Polygon, or a Multi/
+    Collection of such polygons (exactly the shape ``region_to_geometry``
+    emits); None otherwise. Empty polygon → [] (union identity). Used by
+    the union kernel's rectilinear fast path: a batch of such parts
+    unions through ONE RectRegion normalize instead of the general
+    overlay engine."""
+    if g.type_id in (GeometryType.Polygon, GeometryType.Triangle):
+        if not g.rings:
+            return []
+        if len(g.rings) != 1:
+            return None
+        r = _ring_as_rect(g.rings[0])
+        return None if r is None else [r]
+    if g.type_id in (GeometryType.MultiPolygon, GeometryType.GeometryCollection):
+        out: list[tuple[float, float, float, float]] = []
+        for s in g.geoms or []:
+            sub = rect_parts(s)
+            if sub is None:
+                return None
+            out += sub
+        return out
+    return None
+
+
 def geometry_to_region(g: Geometry) -> RectRegion | None:
     """Convert when every ring is an axis-aligned rectangle; else None."""
     if g.type_id in (GeometryType.Polygon, GeometryType.Triangle):

@@ -31,15 +31,42 @@ __all__ = [
 
 def union_all_two_phase(df: DataFrame, group_cols: list[str], geom_col: str,
                         result_col: str = "union_geom") -> DataFrame:
-    """groupBy(group_cols).agg(union_all) with map-side partial aggregation."""
-    from polars_st_spark.functions.agg import st_union_all
+    """groupBy(group_cols).agg(union_all) with a TRUE map-side partial:
+    phase 1 is a NARROW ``mapInPandas`` pass (no shuffle — GROUPED_AGG
+    pandas UDFs have no partial-merge support in Spark, and a
+    ``groupBy(group, spark_partition_id())`` first stage would still hash-
+    shuffle every row because ``_pid`` carries no co-partitioning
+    guarantee to Catalyst; r10 fixed exactly that) that unions each
+    group's rows WITHIN each input partition through the identical
+    ``union_series`` kernel as ``st_union_all`` (slab fast lane included),
+    emitting one partial geometry per (group, partition). Phase 2 shuffles
+    only those partials — at 100 TB the shuffle payload drops from all
+    rows to ≤ groups × partitions geometries, and a hot group's rows
+    never meet in a single reducer."""
+    from polars_st_spark.functions.agg import st_union_all, union_series
 
-    partial = (
-        df.withColumn("_pid", F.spark_partition_id())
-        .groupBy(*group_cols, "_pid")
-        .agg(st_union_all(geom_col).alias("_partial"))
-    )
-    return partial.groupBy(*group_cols).agg(st_union_all("_partial").alias(result_col))
+    gtypes = ", ".join(
+        f"{c} {df.schema[c].dataType.simpleString()}" for c in group_cols)
+    schema = f"{gtypes}, _partial binary"
+    gcols = list(group_cols)
+
+    def partials(batches):
+        # one task sees ONE input partition as an iterator of Arrow-sized
+        # batches: accumulate each group's values across batches, emit one
+        # partial per group at the end (memory: one Series ref per group)
+        acc: dict[tuple, list] = {}
+        for pdf in batches:
+            for key, sub in pdf.groupby(gcols, dropna=False, sort=False):
+                k = key if isinstance(key, tuple) else (key,)
+                acc.setdefault(k, []).append(sub[geom_col])
+        for k, chunks in acc.items():
+            s = pd.concat(chunks, ignore_index=True) if len(chunks) > 1 else chunks[0]
+            row = {c: [v] for c, v in zip(gcols, k)}
+            row["_partial"] = [union_series(s)]
+            yield pd.DataFrame(row)
+
+    partial = df.select(*gcols, geom_col).mapInPandas(partials, schema=schema)
+    return partial.groupBy(*gcols).agg(st_union_all("_partial").alias(result_col))
 
 
 def _ordered_fold(fold_fn):

