@@ -1944,6 +1944,50 @@ def q_curve_measures(spark, sf):
         F.col("y0") - F.lit(5.65685424949238),
         x0L + 8, y0L,
         x0L + 8, y0L, x0L, y0L, x0L, y0L + 8))
+    # r10 (VERDICT r9 item 4 — the LAST curve-overlay envelope): 1-D
+    # overlap components are exact now. On the same carrier circle as
+    # `arc` (center (cx, y0), r=9; `arc` spans angles [0, π] through the
+    # apex):
+    # - ovb spans [π/2, 5π/4] → arc ∩ ovb is the EXACT stretch [π/2, π]:
+    #   a CircularString of length 9·π/2 with closed-form angular
+    #   endpoints on the shared carrier (32-seg linearization misses the
+    #   length in the 4th decimal).
+    # - sline2's collinear chord overlaps xline in a 12-long LineString.
+    # - fullc ∩ compound mixes a 1-D stretch with an isolated crossing
+    #   point → GeometryCollection (stretch endpoints are NOT isolated
+    #   points — the iso filter).
+    # - arc ∩ lower touches only at the two shared endpoints → MultiPoint
+    #   (co-circular carriers have no discrete carrier intersections; the
+    #   endpoint-touch path catches these).
+    _s2 = 6.36396103067893  # 9/sqrt(2)
+    ovb = st.st_from_wkt(F.format_string(
+        "CIRCULARSTRING (%d %d, %d %d, %.11f %.11f)",
+        x0L + 9, y0L + 9, x0L, y0L,
+        F.col("x0") + F.lit(9.0 - _s2), F.col("y0") - F.lit(_s2)))
+    sline2 = st.st_circularstring(F.array(
+        F.array(F.col("x0") + 6.0, F.col("y0") + 5.0),
+        F.array(F.col("x0") + 12.0, F.col("y0") + 5.0),
+        F.array(F.col("x0") + 24.0, F.col("y0") + 5.0)))
+    fullc = st.st_circularstring(F.array(
+        F.array(F.col("x1"), F.col("y0")),
+        F.array(cx, F.col("y0") + 9.0),
+        F.array(F.col("x0"), F.col("y0")),
+        F.array(cx, F.col("y0") - 9.0),
+        F.array(F.col("x1"), F.col("y0"))))
+    compound = st.st_from_wkt(F.format_string(
+        "COMPOUNDCURVE (CIRCULARSTRING (%d %d, %.11f %.11f, %d %d), "
+        "(%d %d, %d %d))",
+        x0L + 9, y0L + 9,
+        F.col("x0") + F.lit(9.0 - _s2), F.col("y0") + F.lit(_s2),
+        x0L, y0L,
+        x0L, y0L, x0L + 12, y0L - 12))
+    lower = st.st_circularstring(F.array(
+        F.array(F.col("x0"), F.col("y0")),
+        F.array(cx, F.col("y0") - 9.0),
+        F.array(F.col("x1"), F.col("y0"))))
+    aov = st.st_intersection(arc, ovb)
+    mix = st.st_intersection(fullc, compound)
+    tch = st.st_intersection(arc, lower)
     return r.select(
         "n_nationkey",
         st.st_geometry_type(arc).alias("arc_t"),
@@ -2009,6 +2053,17 @@ def q_curve_measures(spark, sf):
         F.round(st.st_x(st.st_get_geometry(st.st_intersection(arc, xline), 0)), 6).alias("nod_x1"),
         F.round(st.st_x(st.st_get_geometry(st.st_intersection(arc, xline), 1)), 6).alias("nod_x2"),
         F.round(st.st_y(st.st_intersection(arc, arc2)), 6).alias("nod_aa_y"),
+        st.st_geometry_type(aov).alias("aov_t"),
+        F.round(st.st_length(aov), 6).alias("aov_len"),
+        F.round(st.st_bounds(aov)[3], 6).alias("aov_ymax"),
+        st.st_geometry_type(st.st_intersection(xline, sline2)).alias("sov_t"),
+        F.round(st.st_length(st.st_intersection(xline, sline2)), 6).alias("sov_len"),
+        st.st_geometry_type(mix).alias("mix_t"),
+        F.round(st.st_length(mix), 6).alias("mix_len"),
+        st.st_count_geometries(mix).alias("mix_n"),
+        st.st_geometry_type(tch).alias("tch_t"),
+        st.st_x(st.st_get_geometry(tch, 0)).alias("tch_x1"),
+        st.st_x(st.st_get_geometry(tch, 1)).alias("tch_x2"),
     )
 
 
@@ -4123,7 +4178,18 @@ def oracle_sql() -> dict[str, str]:
                    'MultiPoint' AS nod_t,
                    ROUND((n_nationkey % 5) * 20.0 + 9.0 - sqrt(56.0), 6) AS nod_x1,
                    ROUND((n_nationkey % 5) * 20.0 + 9.0 + sqrt(56.0), 6) AS nod_x2,
-                   ROUND(CAST(n_nationkey // 5 AS DOUBLE) * 20.0 + sqrt(77.0), 6) AS nod_aa_y
+                   ROUND(CAST(n_nationkey // 5 AS DOUBLE) * 20.0 + sqrt(77.0), 6) AS nod_aa_y,
+                   'CircularString' AS aov_t,
+                   ROUND(4.5 * pi(), 6) AS aov_len,
+                   ROUND(CAST(n_nationkey // 5 AS DOUBLE) * 20.0 + 9.0, 6) AS aov_ymax,
+                   'LineString' AS sov_t,
+                   12.0 AS sov_len,
+                   'GeometryCollection' AS mix_t,
+                   ROUND(4.5 * pi(), 6) AS mix_len,
+                   2 AS mix_n,
+                   'MultiPoint' AS tch_t,
+                   (n_nationkey % 5) * 20.0 AS tch_x1,
+                   (n_nationkey % 5) * 20.0 + 18.0 AS tch_x2
             FROM nation""",
     }
     # ---- round-3 consolidated suites (compose the singleton oracles) ----

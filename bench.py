@@ -1042,10 +1042,17 @@ def _headline_attempt(sf_dir: str, cpus: str) -> dict:
         ).count(),
     )
 
+    # r10 (VERDICT r9 item 3): the headline b3 measures the TWO-PHASE plan
+    # (narrow mapInPandas partials + one partial-per-(group,partition)
+    # shuffle — the 100 TB posture; at sf0.1 it is at parity with the
+    # single-phase groupBy thanks to the rectilinear merge fast path, and
+    # it removes the hot-group single-reducer). The single-phase
+    # comparison ships in the ramp record as b3s_grouped_union_1phase.
+    from polars_st_spark.operators.grouped import union_all_two_phase
+
     headline(
         "b3_grouped_union",
-        lambda: li_rects.groupBy("l_suppkey")
-        .agg(st.st_union_all("rect").alias("u"))
+        lambda: union_all_two_phase(li_rects, ["l_suppkey"], "rect", "u")
         .select(F.sum(st.st_area("u"))).collect(),
     )
 
@@ -1108,6 +1115,7 @@ def _headline_attempt(sf_dir: str, cpus: str) -> dict:
         "queries_meta": queries_meta,
         "value": total,
         "value_median3": round(sum(medians.values()), 3),
+        "b3_plan": "two_phase",  # r10 plan change, see the b3 headline note
     }
 
 

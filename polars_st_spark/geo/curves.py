@@ -1523,15 +1523,96 @@ def _pieces_1d_overlap(A, B, tol) -> bool:
     return False  # seg x arc can only touch in points
 
 
-def curve_curve_intersection_points(ga: Geometry, gb: Geometry):
-    """EXACT 0-D intersection of two lineal geometries where at least one
-    side is curved: every primitive pair intersects through its CARRIER
-    closed form (line/line, circle/line, circle/circle — the same
-    _carrier_intersections the dilation trims use) filtered to both spans,
-    then deduped and sorted by (x, y). Returns a list of (x, y) tuples, or
-    None when the intersection has a 1-D component (collinear segment
-    overlap / co-circular arc overlap) or a primitive is unsupported —
-    the caller falls back to the linearized path."""
+def _seg_overlap_stretch(A, B, tol):
+    """Exact 1-D overlap of two collinear segment pieces as
+    ``("seg", p0, p1)``, or None (not collinear, or no positive-length
+    overlap). Endpoints are closed-form on A's carrier parameterization."""
+    p, q = A[1], A[2]
+    v = q - p
+    L = math.hypot(*v)
+    if L <= tol:
+        return None
+    for w in (B[1], B[2]):
+        if abs((w[0] - p[0]) * v[1] - (w[1] - p[1]) * v[0]) / L > tol:
+            return None
+    t1 = float((B[1] - p) @ v) / (L * L)
+    t2 = float((B[2] - p) @ v) / (L * L)
+    lo = max(min(t1, t2), 0.0)
+    hi = min(max(t1, t2), 1.0)
+    if hi - lo <= tol / L:
+        return None
+    return ("seg", p + lo * v, p + hi * v)
+
+
+def _arc_overlap_stretches(A, B, tol):
+    """Exact 1-D overlaps of two CO-CIRCULAR arc pieces as a list of
+    ``("arc", ux, uy, r, a0, sweep)`` pieces (0, 1, or 2 — two when B's
+    span straddles A's start on the circle), or None when the arcs are
+    not co-circular. The stretch endpoints are closed-form ANGULAR
+    interval intersections on the shared carrier circle (r10 — the last
+    declined curve-overlay case, VERDICT r9 item 4). Sweep direction is
+    normalized positive; set semantics, so input orientation is
+    irrelevant."""
+    if (math.hypot(A[1] - B[1], A[2] - B[2]) > tol
+            or abs(A[3] - B[3]) > tol):
+        return None
+    ux, uy, r = A[1], A[2], A[3]
+
+    def norm(P):
+        a0, sw = P[4], P[5]
+        if sw < 0:
+            a0, sw = a0 + sw, -sw
+        return a0, sw
+
+    a0, aw = norm(A)
+    b0, bw = norm(B)
+    two_pi = 2.0 * math.pi
+    atol = tol / max(r, tol)
+    out = []
+    b0n = a0 + ((b0 - a0) % two_pi)
+    for s in (b0n, b0n - two_pi):
+        lo = max(a0, s)
+        hi = min(a0 + aw, s + bw)
+        if hi - lo > atol:
+            out.append(("arc", ux, uy, r, lo, hi - lo))
+    return out
+
+
+def _piece_endpoints(o):
+    """The two endpoints of a seg/arc piece as float64 arrays."""
+    if o[0] == "seg":
+        return (np.asarray(o[1], dtype=np.float64),
+                np.asarray(o[2], dtype=np.float64))
+    _, ux, uy, r, a0, sweep = o
+    return (np.array([ux + r * math.cos(a0), uy + r * math.sin(a0)]),
+            np.array([ux + r * math.cos(a0 + sweep),
+                      uy + r * math.sin(a0 + sweep)]))
+
+
+def _on_piece_strict(o, pt, tol) -> bool:
+    """Like :func:`_on_piece` but for ARBITRARY points: _on_piece assumes
+    ``pt`` already lies on the piece's carrier (it only checks the angular
+    span for arcs); this also checks carrier membership (|dist-to-center|
+    vs r), so it is safe for endpoint-touch probes."""
+    if o[0] == "seg":
+        return _on_piece(o, pt, tol)
+    _, ux, uy, r, _a0, _sw = o
+    if abs(math.hypot(pt[0] - ux, pt[1] - uy) - r) > tol:
+        return False
+    return _on_piece(o, pt, tol)
+
+
+def curve_curve_intersection_mixed(ga: Geometry, gb: Geometry):
+    """EXACT intersection of two lineal geometries where at least one side
+    is curved: 0-D crossing points through the CARRIER closed forms
+    (line/line, circle/line, circle/circle — the same
+    _carrier_intersections the dilation trims use) PLUS the 1-D overlap
+    stretches (collinear seg×seg, co-circular arc×arc) with closed-form
+    endpoints on the shared carrier. Returns ``(points, stretches)`` —
+    points is a sorted list of (x, y) tuples excluding any point that
+    lies on a stretch; stretches is a list of ``("seg", p0, p1)`` /
+    ``("arc", ux, uy, r, a0, sweep)`` pieces — or None when a primitive
+    is unsupported (caller falls back to the linearized path)."""
     pa = _curve_primitives(ga)
     pb = _curve_primitives(gb)
     if pa is None or pb is None:
@@ -1546,6 +1627,7 @@ def curve_curve_intersection_points(ga: Geometry, gb: Geometry):
     pieces_a = [(_prim_to_piece(pr), pr) for pr in pa]
     pieces_b = [(_prim_to_piece(pr), pr) for pr in pb]
     pts: list[tuple[float, float]] = []
+    stretches: list[tuple] = []
 
     def add(p):
         for q in pts:
@@ -1567,9 +1649,43 @@ def curve_curve_intersection_points(ga: Geometry, gb: Geometry):
                 if _on_piece(piece, pt, tol):
                     add(pt)
                 continue
-            if _pieces_1d_overlap(oa, ob, tol):
-                return None
+            if oa[0] == "seg" and ob[0] == "seg":
+                ov = _seg_overlap_stretch(oa, ob, tol)
+                if ov is not None:
+                    # collinear with positive overlap: any endpoint touch
+                    # lies inside the stretch — no isolated 0-D point
+                    stretches.append(ov)
+                    continue
+            elif oa[0] == "arc" and ob[0] == "arc":
+                ovs = _arc_overlap_stretches(oa, ob, tol)
+                if ovs:
+                    stretches.extend(ovs)
+                    continue
             for X in _carrier_intersections(oa, ob):
                 if _on_piece(oa, X, tol) and _on_piece(ob, X, tol):
                     add(X)
-    return sorted(pts)
+            # carrier intersections miss touches on COINCIDENT carriers
+            # (parallel collinear segs / co-circular arcs meeting only at
+            # endpoints): check piece endpoints explicitly — duplicates of
+            # carrier points dedupe in add()
+            for P, Q in ((oa, ob), (ob, oa)):
+                for ep in _piece_endpoints(Q):
+                    if _on_piece_strict(P, ep, tol):
+                        add(ep)
+    # a touch point that is part of a 1-D stretch is not an isolated
+    # 0-D component of the intersection
+    iso = [p for p in pts
+           if not any(_on_piece_strict(s, np.array(p), tol)
+                      for s in stretches)]
+    return sorted(iso), stretches
+
+
+def curve_curve_intersection_points(ga: Geometry, gb: Geometry):
+    """0-D-only view of :func:`curve_curve_intersection_mixed`: the sorted
+    point list, or None when the intersection has a 1-D component or a
+    primitive is unsupported — callers that can only consume points fall
+    back to the linearized path."""
+    res = curve_curve_intersection_mixed(ga, gb)
+    if res is None or res[1]:
+        return None
+    return res[0]

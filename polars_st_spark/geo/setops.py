@@ -329,6 +329,63 @@ def _intersection_impl(a: Geometry, b: Geometry) -> Geometry:
             if not res.is_empty():
                 return region_to_geometry(res, a.srid)
             # fall through for degenerate (touching) cases
+    # r10: curved 1-D x 1-D inputs are intersected WHOLE (not per
+    # collection part) so 1-D overlap stretches suppress their interior
+    # touch points across parts — _curve_primitives flattens Compound/
+    # Multi/GC members itself
+    if a.dimensions() == 1 and b.dimensions() == 1:
+        from polars_st_spark.geo.curves import (
+            _is_curved,
+            curve_curve_intersection_mixed,
+        )
+
+        if _is_curved(a) or _is_curved(b):
+            # r9 (VERDICT r8 #4, noding half): arc x line / arc x arc
+            # intersection POINTS are closed-form carrier intersections —
+            # exact, no linearization. r10 (VERDICT r9 item 4): 1-D overlap
+            # components are exact too — collinear seg stretches as
+            # LineStrings, co-circular arc stretches as CircularStrings
+            # with closed-form angular endpoints on the shared carrier;
+            # mixed results follow the GEOS convention
+            # (GEOMETRYCOLLECTION of curves + isolated points).
+            res = curve_curve_intersection_mixed(a, b)
+            if res is not None:
+                import math as _m
+
+                pts, stretches = res
+                parts: list[Geometry] = []
+                for s in stretches:
+                    if s[0] == "seg":
+                        parts.append(Geometry(
+                            GeometryType.LineString, srid=a.srid,
+                            coords=np.array([s[1], s[2]], dtype=np.float64)))
+                    else:
+                        _, ux, uy, r, a0, sw = s
+                        angs = (a0, a0 + sw / 2.0, a0 + sw)
+                        parts.append(Geometry(
+                            GeometryType.CircularString, srid=a.srid,
+                            coords=np.array(
+                                [[ux + r * _m.cos(t), uy + r * _m.sin(t)]
+                                 for t in angs])))
+                parts.extend(
+                    Geometry(GeometryType.Point, srid=a.srid,
+                             coords=np.array(p)) for p in pts)
+                if not parts:
+                    return Geometry(GeometryType.Point, srid=a.srid, coords=None)
+                if len(parts) == 1:
+                    return parts[0]
+                if not stretches:
+                    return Geometry(GeometryType.MultiPoint, srid=a.srid,
+                                    geoms=parts)
+                if not pts:  # homogeneous 1-D result
+                    all_straight = all(
+                        p.type_id == GeometryType.LineString for p in parts)
+                    return Geometry(
+                        GeometryType.MultiLineString if all_straight
+                        else GeometryType.MultiCurve,
+                        srid=a.srid, geoms=parts)
+                return Geometry(GeometryType.GeometryCollection, srid=a.srid,
+                                geoms=parts)
     # collections: intersect each part, collect results
     if a.geoms is not None or b.geoms is not None:
         parts = []
@@ -381,27 +438,6 @@ def _intersection_impl(a: Geometry, b: Geometry) -> Geometry:
 
         return _overlay(a, b, "intersection")
     if a.dimensions() == 1 and b.dimensions() == 1:
-        from polars_st_spark.geo.curves import (
-            _is_curved,
-            curve_curve_intersection_points,
-        )
-
-        if _is_curved(a) or _is_curved(b):
-            # r9 (VERDICT r8 #4, noding half): arc x line / arc x arc
-            # intersection POINTS are closed-form carrier intersections —
-            # exact, no linearization. 1-D overlap components (co-circular
-            # arc stretches) return None -> linearized fallback below.
-            pts = curve_curve_intersection_points(a, b)
-            if pts is not None:
-                if not pts:
-                    return Geometry(GeometryType.Point, srid=a.srid, coords=None)
-                if len(pts) == 1:
-                    return Geometry(GeometryType.Point, srid=a.srid,
-                                    coords=np.array(pts[0]))
-                return Geometry(
-                    GeometryType.MultiPoint, srid=a.srid,
-                    geoms=[Geometry(GeometryType.Point, srid=a.srid,
-                                    coords=np.array(p)) for p in pts])
         return _line_line_intersection(a, b)
     raise NotImplementedError(f"intersection({a.type_name}, {b.type_name})")
 

@@ -493,3 +493,70 @@ def test_exact_curve_noding_points():
     sub = from_wkt("CIRCULARSTRING (0 0, 1.20577136594005 4.5, 4.5 7.79422863405995)")
     assert curve_curve_intersection_points(arc, sub) is None
     setops.intersection(arc, sub, None)  # fallback serves it without error
+
+
+def test_exact_1d_curve_overlaps():
+    """r10 (VERDICT r9 item 4): intersections with 1-D components are
+    exact — co-circular arc stretches as CircularStrings with closed-form
+    angular endpoints, collinear seg stretches as LineStrings, mixed
+    results as GeometryCollections with stretch endpoints excluded from
+    the isolated points."""
+    import math
+
+    import numpy as np
+
+    from polars_st_spark.geo import algos, setops
+    from polars_st_spark.geo.types import Geometry, GeometryType
+
+    cx, cy, r = 9.0, 9.0, 6.0
+
+    def P(t):
+        return [cx + r * math.cos(t), cy + r * math.sin(t)]
+
+    def circ(pts):
+        return Geometry(GeometryType.CircularString, srid=0,
+                        coords=np.array(pts, dtype=np.float64))
+
+    A = circ([P(0), P(math.pi / 2), P(math.pi)])
+    B = circ([P(math.pi / 2), P(math.pi), P(3 * math.pi / 2)])
+    i1 = setops.intersection(A, B)
+    assert i1.type_id == GeometryType.CircularString
+    assert abs(algos.length(i1) - r * math.pi / 2) < 1e-9
+
+    # wrap-around span: B through angle 0
+    W = circ([P(3 * math.pi / 2), P(0), P(math.pi / 2)])
+    i2 = setops.intersection(A, W)
+    assert i2.type_id == GeometryType.CircularString
+    assert abs(algos.length(i2) - r * math.pi / 2) < 1e-9
+
+    # collinear seg overlap (one side a degenerate CircularString chord)
+    L1 = Geometry(GeometryType.LineString, srid=0,
+                  coords=np.array([[0.0, 1.0], [10.0, 1.0]]))
+    L2 = circ([[4.0, 1.0], [9.0, 1.0], [14.0, 1.0]])
+    i3 = setops.intersection(L1, L2)
+    assert i3.type_id == GeometryType.LineString
+    assert abs(algos.length(i3) - 6.0) < 1e-12
+
+    # co-circular arcs touching only at both shared endpoints
+    C = circ([P(math.pi), P(3 * math.pi / 2), P(2 * math.pi)])
+    i4 = setops.intersection(A, C)
+    assert i4.type_id == GeometryType.MultiPoint
+    got = sorted(tuple(np.round(g.coords, 9)) for g in i4.geoms)
+    assert got == [(3.0, 9.0), (15.0, 9.0)]
+
+    # mixed: full circle x (co-circular arc + chord through one extra
+    # crossing) -> GeometryCollection, stretch endpoints not isolated
+    full = circ([P(0), P(math.pi / 2), P(math.pi),
+                 P(3 * math.pi / 2), P(2 * math.pi)])
+    comp = Geometry(GeometryType.CompoundCurve, srid=0, geoms=[
+        circ([P(math.pi / 2), P(3 * math.pi / 4), P(math.pi)]),
+        Geometry(GeometryType.LineString, srid=0,
+                 coords=np.array([P(math.pi), [cx + 6.0, cy - 12.0]])),
+    ])
+    i5 = setops.intersection(full, comp)
+    assert i5.type_id == GeometryType.GeometryCollection
+    kinds = sorted(g.type_name for g in i5.geoms)
+    assert kinds == ["CircularString", "Point"]
+    assert abs(algos.length(i5) - r * math.pi / 2) < 1e-9
+    pt = [g for g in i5.geoms if g.type_id == GeometryType.Point][0]
+    assert np.allclose(pt.coords, [cx, cy - r])
