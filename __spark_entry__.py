@@ -3370,7 +3370,6 @@ _QUERIES = {
         # native session_window path moves past the window
         "tfidf_suite": q_tfidf_suite,
         "asof_join": q_asof_join,
-        "predicate_join": q_predicate_join,
         "range_join": q_range_join,
         # knn_ann graduated to hash-checked in r4 (literal-quantizer oracle)
         "knn_ann": q_knn_ann,
@@ -3388,6 +3387,12 @@ _QUERIES = {
         # duplicated in-window (line_ops carries absolute interpolate;
         # fold_suite + union_flagship carry the aggregate set ops); both
         # stay in the full oracle sweep
+        # r10: predicate_join moves past-window too — arrow_predicate took
+        # its slot (same filter_pairs prune machinery, now also certifying
+        # the Arrow refinement lane); the UDF predicate surface stays
+        # certified in-window by predicate_suite2/contains_pairs/
+        # sjoin_strategies, and predicate_join stays in the full sweep
+        "predicate_join": q_predicate_join,
         "intersection_all": q_intersection_all,
         "line_interpolate": q_line_interpolate,
         # ---------------- past the driver's 50-row window ----------------

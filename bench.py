@@ -1042,17 +1042,19 @@ def _headline_attempt(sf_dir: str, cpus: str) -> dict:
         ).count(),
     )
 
-    # r10 (VERDICT r9 item 3): the headline b3 measures the TWO-PHASE plan
-    # (narrow mapInPandas partials + one partial-per-(group,partition)
-    # shuffle — the 100 TB posture; at sf0.1 it is at parity with the
-    # single-phase groupBy thanks to the rectilinear merge fast path, and
-    # it removes the hot-group single-reducer). The single-phase
-    # comparison ships in the ramp record as b3s_grouped_union_1phase.
-    from polars_st_spark.operators.grouped import union_all_two_phase
-
+    # r10 (VERDICT r9 item 3): both b3 plans were measured at sf1 and the
+    # choice is now COST-BASED (operators/grouped.union_all_grouped):
+    # single-phase wins b3's shape (10k small groups: 6.2s vs 23.1s — the
+    # slab union of raw rects beats per-(group,partition) partials), while
+    # two-phase wins hot groups 10x (4 groups x 1.5M rows: 2.6s vs 25.9s).
+    # The headline measures the plan auto picks for this shape (single,
+    # same as r1-r9 — round-comparable); the two-phase side ships in the
+    # ramp record (b3t_grouped_union_2phase) and the crossover numbers in
+    # BENCH_SCALE_NOTES_r10.md.
     headline(
         "b3_grouped_union",
-        lambda: union_all_two_phase(li_rects, ["l_suppkey"], "rect", "u")
+        lambda: li_rects.groupBy("l_suppkey")
+        .agg(st.st_union_all("rect").alias("u"))
         .select(F.sum(st.st_area("u"))).collect(),
     )
 
@@ -1115,7 +1117,10 @@ def _headline_attempt(sf_dir: str, cpus: str) -> dict:
         "queries_meta": queries_meta,
         "value": total,
         "value_median3": round(sum(medians.values()), 3),
-        "b3_plan": "two_phase",  # r10 plan change, see the b3 headline note
+        # r10: the b3 plan is cost-based (union_all_grouped) — auto picks
+        # single-phase for this shape; crossover measurements in
+        # BENCH_SCALE_NOTES_r10.md
+        "b3_plan": "single_phase_auto",
     }
 
 

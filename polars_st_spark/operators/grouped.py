@@ -23,14 +23,63 @@ from polars_st_spark.geo import setops
 from polars_st_spark.geo.wkb import from_ewkb, to_ewkb
 
 __all__ = [
+    "union_all_grouped",
     "union_all_two_phase",
     "difference_all_ordered",
     "symmetric_difference_all_ordered",
 ]
 
 
+def union_all_grouped(
+    df: DataFrame,
+    group_cols: list[str],
+    geom_col: str,
+    result_col: str = "union_geom",
+    strategy: str = "auto",
+    hot_group_threshold: int = 100_000,
+    sample_fraction: float = 0.02,
+) -> DataFrame:
+    """groupBy(group_cols).agg(union_all) with a COST-BASED physical plan
+    (r10). The two candidate plans have opposite failure modes, measured
+    at sf1 (6M rect rows, local[32]):
+
+    - ``"single"`` — plain ``groupBy.agg(st_union_all)``: one shuffle of
+      the raw rows, one reducer per group. WINS for many small groups
+      (10k groups × 600 rows: 6.2s vs 23.1s — the slab-union of raw rects
+      is cheaper than two-phase's per-(group, partition) kernel calls),
+      DIES on hot groups (4 groups × 1.5M rows: 25.9s — four reducers do
+      all the work serially; at 100 TB a hot group OOMs the reducer).
+    - ``"two_phase"`` — :func:`union_all_two_phase`: narrow map-side
+      partials, shuffle one geometry per (group, partition). WINS on hot
+      groups (2.6s vs 25.9s — 10×), loses on many tiny groups.
+
+    ``"auto"`` picks by the differentiator the measurements identified:
+    the LARGEST group's row count. A seeded ``sample_fraction`` sample is
+    counted per group (map-side combined, extrapolated by 1/fraction —
+    the `_hot_cells` pattern: a genuinely hot group appears in any
+    percent-level sample with near certainty) and two-phase is chosen
+    when the extrapolated max exceeds ``hot_group_threshold``."""
+    if strategy == "auto":
+        probe = (df.sample(fraction=sample_fraction, seed=7)
+                 if sample_fraction < 1.0 else df)
+        top = (probe.groupBy(*group_cols).count()
+               .agg(F.max("count").alias("mx")).collect()[0]["mx"]) or 0
+        strategy = ("two_phase"
+                    if top / sample_fraction > hot_group_threshold
+                    else "single")
+    if strategy == "two_phase":
+        return union_all_two_phase(df, group_cols, geom_col, result_col)
+    if strategy != "single":
+        raise ValueError(
+            f"strategy must be auto/single/two_phase, got {strategy!r}")
+    from polars_st_spark.functions.agg import st_union_all
+
+    return df.groupBy(*group_cols).agg(st_union_all(geom_col).alias(result_col))
+
+
 def union_all_two_phase(df: DataFrame, group_cols: list[str], geom_col: str,
-                        result_col: str = "union_geom") -> DataFrame:
+                        result_col: str = "union_geom",
+                        min_partitions: int | str | None = "auto") -> DataFrame:
     """groupBy(group_cols).agg(union_all) with a TRUE map-side partial:
     phase 1 is a NARROW ``mapInPandas`` pass (no shuffle — GROUPED_AGG
     pandas UDFs have no partial-merge support in Spark, and a
@@ -45,6 +94,17 @@ def union_all_two_phase(df: DataFrame, group_cols: list[str], geom_col: str,
     never meet in a single reducer."""
     from polars_st_spark.functions.agg import st_union_all, union_series
 
+    # phase-1 parallelism is the INPUT partitioning (that's the point — no
+    # shuffle). At 100 TB a scan has thousands of splits; a small local
+    # input can coalesce to a handful (maxPartitionBytes), serializing the
+    # narrow pass on a few cores. min_partitions="auto" (default) widens
+    # such inputs to the cluster's default parallelism — a cheap shuffle
+    # of a small input; at scale n_partitions >= cores and this is a no-op.
+    if min_partitions == "auto":
+        min_partitions = df.sparkSession.sparkContext.defaultParallelism
+    if min_partitions and df.rdd.getNumPartitions() < int(min_partitions):
+        df = df.repartition(int(min_partitions))
+
     gtypes = ", ".join(
         f"{c} {df.schema[c].dataType.simpleString()}" for c in group_cols)
     schema = f"{gtypes}, _partial binary"
@@ -52,18 +112,23 @@ def union_all_two_phase(df: DataFrame, group_cols: list[str], geom_col: str,
 
     def partials(batches):
         # one task sees ONE input partition as an iterator of Arrow-sized
-        # batches: accumulate each group's values across batches, emit one
-        # partial per group at the end (memory: one Series ref per group)
-        acc: dict[tuple, list] = {}
-        for pdf in batches:
-            for key, sub in pdf.groupby(gcols, dropna=False, sort=False):
-                k = key if isinstance(key, tuple) else (key,)
-                acc.setdefault(k, []).append(sub[geom_col])
-        for k, chunks in acc.items():
-            s = pd.concat(chunks, ignore_index=True) if len(chunks) > 1 else chunks[0]
-            row = {c: [v] for c, v in zip(gcols, k)}
-            row["_partial"] = [union_series(s)]
-            yield pd.DataFrame(row)
+        # batches. Concat once and group ONCE per partition, iterating the
+        # geometry SERIES per group — a per-batch groupby would construct
+        # n_groups sub-frames per 10k-row Arrow batch (measured: 6M
+        # sub-frame builds at sf1 = 72.5s of phase-1 wall vs ~8s this way),
+        # and frame-per-group output has the same problem. Memory: one
+        # partition in pandas, same residency as applyInPandas.
+        pdfs = list(batches)
+        if not pdfs:
+            return
+        whole = pd.concat(pdfs, ignore_index=True) if len(pdfs) > 1 else pdfs[0]
+        keys, vals = [], []
+        for key, s in whole.groupby(gcols, dropna=False, sort=False)[geom_col]:
+            keys.append(key if isinstance(key, tuple) else (key,))
+            vals.append(union_series(s))
+        out = pd.DataFrame(keys, columns=gcols)
+        out["_partial"] = vals
+        yield out
 
     partial = df.select(*gcols, geom_col).mapInPandas(partials, schema=schema)
     return partial.groupBy(*gcols).agg(st_union_all("_partial").alias(result_col))

@@ -175,12 +175,29 @@ def q_b2(spark, sf_dir, ncpu):
 
 
 def q_b3(spark, sf_dir, ncpu):
-    """Grouped union — TWO-PHASE plan (r10, VERDICT r9 item 3): a narrow
-    mapInPandas partial-union per input partition, then a groupBy over
-    one geometry per (group, partition) — the shuffle payload drops from
-    all rows to ≤ groups × partitions partials (the 100 TB posture; plan
-    shape asserted in tests/test_sjoin.py — exactly one Exchange). The
-    single-phase comparison ships as b3s_grouped_union_1phase."""
+    """Grouped union, single-phase groupBy.agg(st_union_all) — the plan
+    union_all_grouped's cost model picks for this shape (many small
+    groups; measured 6.2s vs two-phase 23.1s at sf1), canonical and
+    round-comparable with r1-r9. The two-phase side ships as
+    b3t_grouped_union_2phase; the hot-group crossover (two-phase 10x
+    faster at 4 groups x 1.5M rows) is in BENCH_SCALE_NOTES_r10.md."""
+    from pyspark.sql import functions as F
+
+    import polars_st_spark as st
+
+    li = _bench._li_rects_cached(spark, sf_dir, ncpu)
+    n = li.count()
+    df = (li.groupBy("l_suppkey").agg(st.st_union_all("rect").alias("u"))
+          .select(F.sum(st.st_area("u"))))
+    out = _protocol(lambda: (df.select("*").collect(), n)[1], n)
+    li.unpersist()
+    return out
+
+
+def q_b3t(spark, sf_dir, ncpu):
+    """The TWO-PHASE b3 plan (operators/grouped.union_all_two_phase:
+    narrow mapInPandas partials, one Exchange) — the hot-group path,
+    ramped for the record next to the single-phase canonical."""
     from pyspark.sql import functions as F
 
     import polars_st_spark as st
@@ -192,22 +209,6 @@ def q_b3(spark, sf_dir, ncpu):
           .select(F.sum(st.st_area("u"))))
     out = _protocol(lambda: (df.select("*").collect(), n)[1], n)
     out["two_phase"] = True
-    li.unpersist()
-    return out
-
-
-def q_b3s(spark, sf_dir, ncpu):
-    """The single-phase groupBy.agg(st_union_all) b3 plan — r1-r9's shape,
-    kept as the disclosed comparison for the two-phase default."""
-    from pyspark.sql import functions as F
-
-    import polars_st_spark as st
-
-    li = _bench._li_rects_cached(spark, sf_dir, ncpu)
-    n = li.count()
-    df = (li.groupBy("l_suppkey").agg(st.st_union_all("rect").alias("u"))
-          .select(F.sum(st.st_area("u"))))
-    out = _protocol(lambda: (df.select("*").collect(), n)[1], n)
     li.unpersist()
     return out
 
@@ -403,7 +404,7 @@ QUERIES = {
     "b1_elementwise": q_b1,
     "b2_predicate": q_b2,
     "b3_grouped_union": q_b3,
-    "b3s_grouped_union_1phase": q_b3s,
+    "b3t_grouped_union_2phase": q_b3t,
     "b4_sjoin": _q_b4("broadcast"),
     "b4g_sjoin_grid": _q_b4("grid"),
     "b5_flagship": q_b5,

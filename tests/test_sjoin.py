@@ -330,3 +330,30 @@ def test_forced_broadcast_oversized_right_raises(spark):
     out = st_sjoin(pts, big_right.limit(5), predicate="intersects",
                    strategy="broadcast", broadcast_threshold=2)
     assert out.count() >= 1
+
+
+def test_union_all_grouped_cost_based(spark):
+    """r10: the grouped-union strategy is cost-based — auto picks the
+    single-phase plan for many small groups and the two-phase plan when a
+    sampled hot group exceeds the threshold; both agree on values."""
+    from pyspark.sql import functions as F
+
+    from polars_st_spark.operators.grouped import union_all_grouped
+
+    df = spark.range(20_000).select(
+        (F.col("id") % 4).alias("grp"),
+        st.st_rectangle((F.col("id") % 31) * 1.0, F.lit(0.0),
+                        (F.col("id") % 31) + 2.0, F.lit(2.0)).alias("geom"))
+    # 4 groups x 5000 rows, threshold 1000 -> hot -> two-phase
+    hot = union_all_grouped(df, ["grp"], "geom", hot_group_threshold=1_000,
+                            sample_fraction=0.5)
+    assert "MapInPandas" in hot._jdf.queryExecution().executedPlan().toString()
+    # threshold far above any group -> single-phase
+    cold = union_all_grouped(df, ["grp"], "geom",
+                             hot_group_threshold=10_000_000)
+    assert "MapInPandas" not in cold._jdf.queryExecution().executedPlan().toString()
+    h = {r["grp"]: r["a"] for r in hot.select(
+        "grp", st.st_area("union_geom").alias("a")).collect()}
+    c = {r["grp"]: r["a"] for r in cold.select(
+        "grp", st.st_area("union_geom").alias("a")).collect()}
+    assert h == c and len(h) == 4
