@@ -145,33 +145,37 @@ def q_b1(spark, sf_dir, ncpu):
     return out
 
 
-def q_b2(spark, sf_dir, ncpu):
-    """Column-vs-column predicate — Arrow-native refinement (r10, VERDICT
-    r9 item 2). Same codegen bbox prune inside the broadcast join as every
-    prior round, but the prune survivors route through
-    operators/arrowpath.predicate_arrow (zero-copy interval test for the
-    rect operands) instead of the pandas-UDF predicate, removing the
-    one-bytes-object-per-row churn that made r9's 100x ramp read 7.63x.
-    Identical pair set either way — parity tests + the arrow_predicate
-    driver gate."""
-    from pyspark.sql import functions as F
+def _q_b2(exact):
+    """Column-vs-column predicate: codegen bbox prune inside the broadcast
+    join, refinement on the survivors via ``exact`` — "udf" (the r1-r9
+    canonical: geoms ship to Python ONE-WAY, a boolean comes back) or
+    "arrow" (operators/arrowpath.predicate_arrow — zero-copy interval
+    kernel, but the survivor ROWS round-trip through the mapInArrow
+    stage). Both lanes ride the ramp: at sf1 the UDF lane measured 1.5s
+    vs the Arrow lane's 3.7s in the same healthy window (the round-trip
+    costs more than the per-row bytes objects it saves at this grain);
+    identical pair sets — parity tests + the arrow_predicate gate."""
+    def run(spark, sf_dir, ncpu):
+        from pyspark.sql import functions as F
 
-    import polars_st_spark as st
-    import __spark_entry__ as E
+        import polars_st_spark as st
+        import __spark_entry__ as E
 
-    li = _bench._li_rects_cached(spark, sf_dir, ncpu)
-    n = li.count()
-    nations5 = E._nation_rects(spark, sf_dir).where(F.col("n_nationkey") < 5).select(
-        "n_nationkey", "x0", "y0", "x1", "y1", F.col("rect").alias("nrect"))
-    df = st.filter_pairs(
-        li.select("l_orderkey", "x0", "y0", "x1", "y1", "rect"), nations5,
-        predicate="intersects", lcol="rect", rcol="nrect",
-        lbox=("x0", "y0", "x1", "y1"), rbox=("x0", "y0", "x1", "y1"),
-        broadcast=True, exact="arrow")
-    out = _protocol(lambda: df.select("*").count(), n)
-    out["arrow_native_path"] = True
-    li.unpersist()
-    return out
+        li = _bench._li_rects_cached(spark, sf_dir, ncpu)
+        n = li.count()
+        nations5 = E._nation_rects(spark, sf_dir).where(F.col("n_nationkey") < 5).select(
+            "n_nationkey", "x0", "y0", "x1", "y1", F.col("rect").alias("nrect"))
+        df = st.filter_pairs(
+            li.select("l_orderkey", "x0", "y0", "x1", "y1", "rect"), nations5,
+            predicate="intersects", lcol="rect", rcol="nrect",
+            lbox=("x0", "y0", "x1", "y1"), rbox=("x0", "y0", "x1", "y1"),
+            broadcast=True, exact=exact)
+        out = _protocol(lambda: df.select("*").count(), n)
+        out["exact_lane"] = exact
+        li.unpersist()
+        return out
+
+    return run
 
 
 def q_b3(spark, sf_dir, ncpu):
@@ -400,9 +404,40 @@ def q_p8(spark, sf_dir, ncpu):
     return out
 
 
+def q_b2n(spark, sf_dir, ncpu):
+    """NARROW Arrow predicate lane (r10): same codegen bbox prune inside
+    the broadcast join, refinement via predicate_arrow(keep=keys) — keys +
+    geoms ship IN, keys + verdict ship OUT (no geometry round-trip, the
+    flaw that made the all-columns Arrow lane 3x slower than the UDF lane
+    at 100x). Same pair set as b2_predicate (narrow-mode parity test)."""
+    from pyspark.sql import functions as F
+
+    from polars_st_spark.operators.arrowpath import predicate_arrow
+    import __spark_entry__ as E
+
+    li = _bench._li_rects_cached(spark, sf_dir, ncpu)
+    n = li.count()
+    nat = E._nation_rects(spark, sf_dir).where(F.col("n_nationkey") < 5).select(
+        "n_nationkey", F.col("x0").alias("xr0"), F.col("y0").alias("yr0"),
+        F.col("x1").alias("xr1"), F.col("y1").alias("yr1"),
+        F.col("rect").alias("nrect"))
+    pairs = (li.select("l_orderkey", "x0", "y0", "x1", "y1", "rect")
+             .crossJoin(F.broadcast(nat))
+             .where((F.col("x0") <= F.col("xr1")) & (F.col("xr0") <= F.col("x1"))
+                    & (F.col("y0") <= F.col("yr1")) & (F.col("yr0") <= F.col("y1"))))
+    df = predicate_arrow(pairs, "rect", "nrect", "intersects",
+                         keep=("l_orderkey", "n_nationkey")).where(F.col("pred"))
+    out = _protocol(lambda: df.select("*").count(), n)
+    out["exact_lane"] = "arrow_narrow"
+    li.unpersist()
+    return out
+
+
 QUERIES = {
     "b1_elementwise": q_b1,
-    "b2_predicate": q_b2,
+    "b2_predicate": _q_b2("udf"),
+    "b2w_predicate_arrow": _q_b2("arrow"),
+    "b2n_predicate_arrow_narrow": q_b2n,
     "b3_grouped_union": q_b3,
     "b3t_grouped_union_2phase": q_b3t,
     "b4_sjoin": _q_b4("broadcast"),

@@ -220,3 +220,23 @@ def test_predicate_arrow_nonrect_fallback(spark):
         ref = sorted(tuple(r) for r in df.select(
             "id", col_fn("a", F.col("b")).alias("pred")).collect())
         assert got == ref, pred
+
+
+def test_predicate_arrow_narrow_keep(spark):
+    # narrow mode: only keep + verdict come back (the transfer-optimal
+    # shape); values identical to the all-columns mode
+    from polars_st_spark.operators.arrowpath import predicate_arrow
+
+    df = spark.range(300).select(
+        "id",
+        st.st_rectangle((F.col("id") % 7) * 1.0, F.lit(0.0),
+                        (F.col("id") % 7) + 3.0, F.lit(3.0)).alias("a"),
+        st.st_rectangle((F.col("id") % 11) * 0.5, (F.col("id") % 5) * 1.0,
+                        (F.col("id") % 11) * 0.5 + 2.0,
+                        (F.col("id") % 5) + 2.0).alias("b"))
+    narrow = predicate_arrow(df, "a", "b", "intersects", keep=("id",))
+    assert narrow.columns == ["id", "pred"]
+    got = sorted(tuple(r) for r in narrow.collect())
+    ref = sorted(tuple(r) for r in predicate_arrow(
+        df, "a", "b", "intersects").select("id", "pred").collect())
+    assert got == ref
