@@ -234,7 +234,7 @@ def _rect_box(coords, gtype):
     return box, closed & axis_par & (bbox_area > 0) & (shoelace == bbox_area)
 
 
-_BOX_PREDICATES = ("intersects", "within", "contains")
+_BOX_PREDICATES = ("intersects", "within", "contains", "covers", "covered_by")
 
 
 def _box_predicate(pred, lb, rb):
@@ -249,13 +249,17 @@ def _box_predicate(pred, lb, rb):
     if pred == "intersects":
         return ((lxmin <= rxmax) & (rxmin <= lxmax)
                 & (lymin <= rymax) & (rymin <= lymax))
-    if pred == "contains":  # contains(l, r) == within(r, l)
+    if pred in ("contains", "covers"):  # X(l, r) == mirrored(r, l)
         lb, rb = rb, lb
         lxmin, lymin, lxmax, lymax = lb
         rxmin, rymin, rxmax, rymax = rb
-    # within(l, r): l ⊆ r, with the strict boundary rule for degenerate l
     inside = ((lxmin >= rxmin) & (lxmax <= rxmax)
               & (lymin >= rymin) & (lymax <= rymax))
+    if pred in ("covers", "covered_by"):
+        # covers/covered_by: plain closed-set containment — no interior
+        # condition, so a point ON the boundary IS covered
+        return inside
+    # within(l, r): l ⊆ r, with the strict boundary rule for degenerate l
     degen = (lxmin == lxmax) & (lymin == lymax)  # point-like left side
     strict = ((lxmin > rxmin) & (lxmax < rxmax)
               & (lymin > rymin) & (lymax < rymax))

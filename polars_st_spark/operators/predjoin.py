@@ -128,10 +128,11 @@ def filter_pairs(
 
     prune = _prune(predicate, F.col("_lbox"), F.col("_rbox"), distance)
     if exact == "arrow":
-        if predicate not in ("intersects", "within", "contains"):
+        if predicate not in ("intersects", "within", "contains",
+                             "covers", "covered_by"):
             raise ValueError(
-                f"exact='arrow' supports intersects/within/contains, got "
-                f"{predicate!r}")
+                "exact='arrow' supports intersects/within/contains/"
+                f"covers/covered_by, got {predicate!r}")
         from polars_st_spark.operators.arrowpath import predicate_arrow
 
         survivors = pairs.where(prune).drop("_lbox", "_rbox")

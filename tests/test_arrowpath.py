@@ -162,6 +162,8 @@ def test_predicate_arrow_parity_rects(spark):
         ("intersects", st.st_intersects),
         ("within", st.st_within),
         ("contains", st.st_contains),
+        ("covers", st.st_covers),
+        ("covered_by", st.st_covered_by),
     ):
         got = sorted(tuple(r) for r in predicate_arrow(
             df, "a", "b", predicate=pred).select("id", "pred").collect())
