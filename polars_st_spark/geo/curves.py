@@ -1578,6 +1578,80 @@ def _arc_overlap_stretches(A, B, tol):
     return out
 
 
+def _merge_two_stretches(A, B, tol):
+    """Union of two 1-D stretches on the SAME carrier as one piece, or None
+    when carriers differ or the spans neither overlap nor touch. seg x seg:
+    collinear parameter-interval union; arc x arc: co-circular angular
+    interval union (full circle → sweep 2π). r11 (ADVICE r10): contiguous
+    stretches from adjacent input pieces must coalesce so the intersection
+    returns ONE merged curve like GEOS, not touching fragments."""
+    if A[0] != B[0]:
+        return None
+    if A[0] == "seg":
+        p, q = A[1], A[2]
+        v = q - p
+        L = math.hypot(*v)
+        if L <= tol:
+            return None
+        for w in (B[1], B[2]):
+            if abs((w[0] - p[0]) * v[1] - (w[1] - p[1]) * v[0]) / L > tol:
+                return None
+        t1 = float((B[1] - p) @ v) / (L * L)
+        t2 = float((B[2] - p) @ v) / (L * L)
+        lo2, hi2 = min(t1, t2), max(t1, t2)
+        ptol = tol / L
+        if lo2 > 1.0 + ptol or hi2 < -ptol:
+            return None
+        return ("seg", p + min(0.0, lo2) * v, p + max(1.0, hi2) * v)
+    # arc x arc
+    if (math.hypot(A[1] - B[1], A[2] - B[2]) > tol
+            or abs(A[3] - B[3]) > tol):
+        return None
+    ux, uy, r = A[1], A[2], A[3]
+    atol = tol / max(r, tol)
+    two_pi = 2.0 * math.pi
+
+    def norm(P):
+        a0, sw = P[4], P[5]
+        if sw < 0:
+            a0, sw = a0 + sw, -sw
+        return a0, sw
+
+    a0, aw = norm(A)
+    b0, bw = norm(B)
+    if min(aw, bw) >= two_pi - atol:
+        return ("arc", ux, uy, r, a0, two_pi)
+    b0n = a0 + ((b0 - a0) % two_pi)
+    for s in (b0n, b0n - two_pi):
+        if max(a0, s) <= min(a0 + aw, s + bw) + atol:
+            lo = min(a0, s)
+            hi = max(a0 + aw, s + bw)
+            if hi - lo >= two_pi - atol:
+                return ("arc", ux, uy, r, lo, two_pi)
+            return ("arc", ux, uy, r, lo, hi - lo)
+    return None
+
+
+def _coalesce_stretches(stretches, tol):
+    """Fixpoint-merge touching/overlapping same-carrier stretches (see
+    :func:`_merge_two_stretches`). O(n²) per pass over a handful of pieces."""
+    out = list(stretches)
+    merged = True
+    while merged:
+        merged = False
+        for i in range(len(out)):
+            for j in range(i + 1, len(out)):
+                m = _merge_two_stretches(out[i], out[j], tol)
+                if m is not None:
+                    out[i] = m
+                    del out[j]
+                    merged = True
+                    break
+            if merged:
+                break
+    return out
+
+
 def _piece_endpoints(o):
     """The two endpoints of a seg/arc piece as float64 arrays."""
     if o[0] == "seg":
@@ -1672,6 +1746,10 @@ def curve_curve_intersection_mixed(ga: Geometry, gb: Geometry):
                 for ep in _piece_endpoints(Q):
                     if _on_piece_strict(P, ep, tol):
                         add(ep)
+    # coalesce contiguous same-carrier stretches (adjacent input pieces,
+    # wrap-around full circles) into single curves — GEOS returns one
+    # merged component, not touching fragments (ADVICE r10)
+    stretches = _coalesce_stretches(stretches, tol)
     # a touch point that is part of a 1-D stretch is not an isolated
     # 0-D component of the intersection
     iso = [p for p in pts

@@ -259,11 +259,16 @@ def _box_predicate(pred, lb, rb):
         # covers/covered_by: plain closed-set containment — no interior
         # condition, so a point ON the boundary IS covered
         return inside
-    # within(l, r): l ⊆ r, with the strict boundary rule for degenerate l
-    degen = (lxmin == lxmax) & (lymin == lymax)  # point-like left side
+    # within(l, r): l ⊆ r, with the strict boundary rule only when l is a
+    # point and r is a proper rectangle (point ON the rect's boundary has
+    # disjoint interiors → not within). When BOTH sides are points,
+    # within/contains is plain equality — `inside` reduces to exactly that
+    # (a point's interior is itself in DE-9IM point×point terms).
+    degen_l = (lxmin == lxmax) & (lymin == lymax)  # point-like left side
+    degen_r = (rxmin == rxmax) & (rymin == rymax)  # point-like right side
     strict = ((lxmin > rxmin) & (lxmax < rxmax)
               & (lymin > rymin) & (lymax < rymax))
-    return np.where(degen, strict, inside)
+    return np.where(degen_l & ~degen_r, strict, inside)
 
 
 def predicate_arrow(df: DataFrame, lcol: str, rcol: str,
@@ -377,7 +382,7 @@ def predicate_arrow(df: DataFrame, lcol: str, rcol: str,
                 null_mask = np.array([
                     larr[i].as_py() is None or rarr[i].as_py() is None
                     for i in range(n)
-                ])
+                ], dtype=bool)
                 _exact_rows(larr, rarr, np.flatnonzero(~null_mask), res)
             if keep is not None:
                 cols = [rb.column(rb.schema.get_field_index(k))

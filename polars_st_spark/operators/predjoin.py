@@ -100,14 +100,24 @@ def filter_pairs(
 
     ``exact`` picks the physical lane for the refinement that runs on the
     bbox-prune survivors: ``"udf"`` (default) evaluates the pandas-UDF
-    column predicate inside the filter; ``"arrow"`` (r10 — intersects/
-    within/contains only) routes survivors through the zero-copy
-    ``operators.arrowpath.predicate_arrow`` kernel, which skips the
-    one-bytes-object-per-row pandas materialization — the 100 TB lane for
-    bbox-shaped data (rect/point operands take a closed-form interval
-    test; anything else falls back per row to the same DE-9IM kernels).
-    Identical results either way (tests/test_arrowpath.py parity +
-    ``arrow_predicate`` driver gate)."""
+    column predicate inside the filter; ``"arrow"`` (supports all five of
+    intersects/within/contains/covers/covered_by) routes survivors through
+    the zero-copy ``operators.arrowpath.predicate_arrow`` kernel, which
+    skips the one-bytes-object-per-row pandas materialization.
+
+    Operand envelope for the arrow lane's closed-form path: only rows where
+    BOTH operands are points or axis-aligned rectangles (verified per row by
+    ``arrowpath._rect_box``) take the O(1) interval test; every other row —
+    general polygons, lines, multi-parts — falls back to the same per-row
+    DE-9IM kernels the UDF lane uses, so for non-bbox-shaped data the arrow
+    lane has no closed-form advantage. Measured verdict (r10, 10x/100x
+    grains, BENCH_SCALE_NOTES_r10.md ``b2_lane_comparison``): Spark's fused
+    ArrowEvalPython refinement (``exact="udf"``) beats mapInArrow at every
+    grain for the b2 shape (9.1s vs 25.3-30.4s at 100x) because mapInArrow
+    round-trips all columns JVM->Python->JVM; ``exact="arrow"`` is kept for
+    narrow keys+verdict consumers (see ``predicate_arrow(keep=...)``), not
+    as the default. Identical results either way (tests/test_arrowpath.py
+    parity + ``arrow_predicate`` driver gate)."""
     if predicate not in _PREDICATES:
         raise ValueError(f"unknown predicate {predicate!r}")
     if predicate == "dwithin" and distance is None:

@@ -242,3 +242,55 @@ def test_predicate_arrow_narrow_keep(spark):
     ref = sorted(tuple(r) for r in predicate_arrow(
         df, "a", "b", "intersects").select("id", "pred").collect())
     assert got == ref
+
+def test_predicate_arrow_point_point(spark):
+    # ADVICE r10 (high): both sides degenerate — within/contains over two
+    # identical points is TRUE (plain equality), strict rule must apply
+    # only when the RIGHT side is a proper rectangle
+    from polars_st_spark.operators.arrowpath import predicate_arrow
+
+    df = spark.range(6).select(
+        "id",
+        st.st_point(F.col("id") * 1.0, F.lit(2.0)).alias("a"),
+        st.st_point((F.col("id") % 3) * 2.0, F.lit(2.0)).alias("b"))
+    for pred, col_fn in (
+        ("within", st.st_within),
+        ("contains", st.st_contains),
+        ("covers", st.st_covers),
+        ("covered_by", st.st_covered_by),
+        ("intersects", st.st_intersects),
+    ):
+        got = sorted(tuple(r) for r in predicate_arrow(
+            df, "a", "b", predicate=pred).select("id", "pred").collect())
+        ref = sorted(tuple(r) for r in df.select(
+            "id", col_fn("a", F.col("b")).alias("pred")).collect())
+        assert got == ref, pred
+    # id 0: (0,2) vs (0,2) identical -> within True
+    rows = {r["id"]: r["pred"] for r in predicate_arrow(
+        df, "a", "b", "within").collect()}
+    assert rows[0] is True and rows[1] is False
+    # rect contains/covered_by point on its boundary: contains False,
+    # covers True (mirrored direction exercises degen RIGHT side)
+    df2 = spark.range(1).select(
+        st.st_rectangle(F.lit(0.0), F.lit(0.0), F.lit(2.0), F.lit(2.0)).alias("a"),
+        st.st_point(F.lit(0.0), F.lit(1.0)).alias("b"))
+    assert predicate_arrow(df2, "a", "b", "contains").collect()[0]["pred"] is False
+    assert predicate_arrow(df2, "a", "b", "covers").collect()[0]["pred"] is True
+
+
+def test_predicate_arrow_empty_partitions(spark):
+    # ADVICE r10 (low): zero-row RecordBatches through the fallback branch
+    # must not raise (null_mask dtype); mixed-geom frame repartitioned so
+    # some partitions are empty
+    from polars_st_spark.operators.arrowpath import predicate_arrow
+
+    df = spark.range(3).select(
+        "id",
+        st.st_from_wkt(F.lit("POLYGON ((0 0, 3 0, 0 3, 0 0))")).alias("a"),
+        st.st_rectangle(F.lit(0.0), F.lit(0.0), F.lit(1.0), F.lit(1.0)).alias("b"),
+    ).repartition(16)
+    out = predicate_arrow(df, "a", "b", "intersects").collect()
+    assert len(out) == 3 and all(r["pred"] is True for r in out)
+    # fully-empty frame
+    empty = df.where(F.col("id") < 0)
+    assert predicate_arrow(empty, "a", "b", "within").count() == 0

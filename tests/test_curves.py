@@ -560,3 +560,53 @@ def test_exact_1d_curve_overlaps():
     assert abs(algos.length(i5) - r * math.pi / 2) < 1e-9
     pt = [g for g in i5.geoms if g.type_id == GeometryType.Point][0]
     assert np.allclose(pt.coords, [cx, cy - r])
+
+def test_stretch_coalescing_merged_curves():
+    """r11 (ADVICE r10): 1-D overlap stretches produced by CONTIGUOUS input
+    pieces coalesce into one merged curve per carrier — an overlap spanning
+    a CircularString segment boundary, two co-circular full circles, and a
+    collinear overlap spanning a LineString vertex each return ONE part,
+    matching GEOS, not a MultiCurve of touching fragments."""
+    import math
+
+    import numpy as np
+
+    from polars_st_spark.geo import algos, setops
+    from polars_st_spark.geo.types import Geometry, GeometryType
+
+    cx, cy, r = 4.0, 5.0, 3.0
+
+    def P(t):
+        return [cx + r * math.cos(t), cy + r * math.sin(t)]
+
+    def circ(pts):
+        return Geometry(GeometryType.CircularString, srid=0,
+                        coords=np.array(pts, dtype=np.float64))
+
+    # A = two arc pieces [0, pi/2] + [pi/2, pi]; B = one arc [pi/4, 3pi/4]
+    # whose span crosses A's piece boundary at pi/2 -> ONE CircularString
+    A = circ([P(0), P(math.pi / 4), P(math.pi / 2),
+              P(3 * math.pi / 4), P(math.pi)])
+    B = circ([P(math.pi / 4), P(math.pi / 2), P(3 * math.pi / 4)])
+    i1 = setops.intersection(A, B)
+    assert i1.type_id == GeometryType.CircularString
+    assert abs(algos.length(i1) - r * math.pi / 2) < 1e-9
+
+    # full circle x full circle (different start angles) -> one closed
+    # curve of length 2*pi*r, not two half-circle fragments
+    full0 = circ([P(0), P(math.pi / 2), P(math.pi),
+                  P(3 * math.pi / 2), P(2 * math.pi)])
+    t0 = math.pi / 3
+    full1 = circ([P(t0), P(t0 + math.pi / 2), P(t0 + math.pi),
+                  P(t0 + 3 * math.pi / 2), P(t0 + 2 * math.pi)])
+    i2 = setops.intersection(full0, full1)
+    assert i2.type_id == GeometryType.CircularString
+    assert abs(algos.length(i2) - 2 * math.pi * r) < 1e-9
+
+    # collinear overlap spanning a vertex of a 2-segment LineString
+    L1 = Geometry(GeometryType.LineString, srid=0,
+                  coords=np.array([[0.0, 0.0], [5.0, 0.0], [10.0, 0.0]]))
+    L2 = circ([[3.0, 0.0], [5.5, 0.0], [8.0, 0.0]])  # degenerate chord
+    i3 = setops.intersection(L1, L2)
+    assert i3.type_id == GeometryType.LineString
+    assert abs(algos.length(i3) - 5.0) < 1e-12
