@@ -1988,6 +1988,33 @@ def q_curve_measures(spark, sf):
     aov = st.st_intersection(arc, ovb)
     mix = st.st_intersection(fullc, compound)
     tch = st.st_intersection(arc, lower)
+    # r11 (VERDICT r10 item 3 — curved AREAL×AREAL overlay, exact): disks
+    # as full-circle CurvePolygons; intersection/union/difference trace the
+    # boundary pieces and the circular-segment algebra gives closed forms a
+    # 32-seg linearization misses at 6 decimals. Two r=2 disks at distance
+    # 2: lens = 8π/3 − 2√3; union = 16π/3 + 2√3 (perimeter 16π/3);
+    # difference = 4π/3 + 2√3. r=3 disk ∩ covering right-half rectangle =
+    # exact half disk (4.5π, perimeter 3π+6). r=3 disk − concentric r=1
+    # disk = annulus (CurvePolygon with a hole ring): area 8π, perim 8π.
+
+    def _disk_wkt(dx, dy, rr):
+        return st.st_from_wkt(F.format_string(
+            "CURVEPOLYGON (CIRCULARSTRING (%d %d, %d %d, %d %d, %d %d, %d %d))",
+            x0L + (dx - rr), y0L + dy, x0L + dx, y0L + (dy + rr),
+            x0L + (dx + rr), y0L + dy, x0L + dx, y0L + (dy - rr),
+            x0L + (dx - rr), y0L + dy))
+
+    dA = _disk_wkt(0, 50, 2)
+    dB = _disk_wkt(2, 50, 2)
+    dC = _disk_wkt(0, 60, 3)
+    dD = _disk_wkt(0, 60, 1)
+    sqr = st.st_rectangle("x0", F.col("y0") + 55.0,
+                          F.col("x0") + 5.0, F.col("y0") + 65.0)
+    ao_lens = st.st_intersection(dA, dB)
+    ao_uni = st.st_union(dA, dB)
+    ao_dif = st.st_difference(dA, dB)
+    ao_half = st.st_intersection(sqr, dC)
+    ao_ann = st.st_difference(dC, dD)
     return r.select(
         "n_nationkey",
         st.st_geometry_type(arc).alias("arc_t"),
@@ -2064,6 +2091,16 @@ def q_curve_measures(spark, sf):
         st.st_geometry_type(tch).alias("tch_t"),
         st.st_x(st.st_get_geometry(tch, 0)).alias("tch_x1"),
         st.st_x(st.st_get_geometry(tch, 1)).alias("tch_x2"),
+        st.st_geometry_type(ao_lens).alias("ao_lens_t"),
+        F.round(st.st_area(ao_lens), 6).alias("ao_lens_area"),
+        F.round(st.st_area(ao_uni), 6).alias("ao_uni_area"),
+        F.round(st.st_length(ao_uni), 6).alias("ao_uni_perim"),
+        F.round(st.st_area(ao_dif), 6).alias("ao_dif_area"),
+        F.round(st.st_area(ao_half), 6).alias("ao_half_area"),
+        F.round(st.st_length(ao_half), 6).alias("ao_half_perim"),
+        st.st_geometry_type(ao_ann).alias("ao_ann_t"),
+        F.round(st.st_area(ao_ann), 6).alias("ao_ann_area"),
+        F.round(st.st_length(ao_ann), 6).alias("ao_ann_perim"),
     )
 
 
@@ -4194,7 +4231,17 @@ def oracle_sql() -> dict[str, str]:
                    2 AS mix_n,
                    'MultiPoint' AS tch_t,
                    (n_nationkey % 5) * 20.0 AS tch_x1,
-                   (n_nationkey % 5) * 20.0 + 18.0 AS tch_x2
+                   (n_nationkey % 5) * 20.0 + 18.0 AS tch_x2,
+                   'CurvePolygon' AS ao_lens_t,
+                   ROUND(8.0 * pi() / 3.0 - 2.0 * sqrt(3.0), 6) AS ao_lens_area,
+                   ROUND(16.0 * pi() / 3.0 + 2.0 * sqrt(3.0), 6) AS ao_uni_area,
+                   ROUND(16.0 * pi() / 3.0, 6) AS ao_uni_perim,
+                   ROUND(4.0 * pi() / 3.0 + 2.0 * sqrt(3.0), 6) AS ao_dif_area,
+                   ROUND(4.5 * pi(), 6) AS ao_half_area,
+                   ROUND(3.0 * pi() + 6.0, 6) AS ao_half_perim,
+                   'CurvePolygon' AS ao_ann_t,
+                   ROUND(8.0 * pi(), 6) AS ao_ann_area,
+                   ROUND(8.0 * pi(), 6) AS ao_ann_perim
             FROM nation""",
     }
     # ---- round-3 consolidated suites (compose the singleton oracles) ----

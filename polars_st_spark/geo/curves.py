@@ -1767,3 +1767,436 @@ def curve_curve_intersection_points(ga: Geometry, gb: Geometry):
     if res is None or res[1]:
         return None
     return res[0]
+
+
+# ----------------------------------------------------------------------
+# Exact curved areal × areal overlay (r11, VERDICT r10 item 3)
+# ----------------------------------------------------------------------
+# The intersection / union / difference of two regions whose boundaries
+# are arcs and straight segments is a region whose boundary consists of
+# PIECES of the input boundaries — so the overlay is exact, closed-form:
+# node both boundaries at their mutual carrier intersections, classify
+# each sub-piece against the other region by exact ray-crossing parity,
+# keep per the op's rule, stitch into rings, assemble shells and holes.
+# Reference semantics: src/functions.rs:1096-1276 (GEOS overlay with
+# native curves via GEOS 3.14); this is an independent exact construction.
+
+def _rev_piece(o):
+    if o[0] == "seg":
+        return ["seg", o[2], o[1]]
+    return ["arc", o[1], o[2], o[3], o[4] + o[5], -o[5]]
+
+
+def _piece_midpoint(o):
+    if o[0] == "seg":
+        return (np.asarray(o[1]) + np.asarray(o[2])) / 2.0
+    _, ux, uy, r, a0, sw = o
+    mid = a0 + sw / 2.0
+    return np.array([ux + r * math.cos(mid), uy + r * math.sin(mid)])
+
+
+def _piece_len(o):
+    if o[0] == "seg":
+        return math.hypot(*(np.asarray(o[2]) - np.asarray(o[1])))
+    return abs(o[5]) * o[3]
+
+
+def _pieces_signed_area(pieces) -> float:
+    """Exact signed area of the closed region bounded by directed pieces:
+    shoelace of the chord polygon plus circular-segment corrections
+    ``(r²/2)(θ − sin θ)`` signed by sweep (same algebra as
+    :func:`_ring_exact_signed_area`, piece-format operands)."""
+    s = 0.0
+    for o in pieces:
+        p0, p1 = _piece_endpoints(o)
+        s += 0.5 * (p0[0] * p1[1] - p1[0] * p0[1])
+        if o[0] == "arc":
+            r, sw = o[3], o[5]
+            s += 0.5 * r * r * (sw - math.sin(sw))
+    return s
+
+
+class _RayDegenerate(Exception):
+    """The probe ray grazes an endpoint / runs tangent — retry at a new
+    angle (never a correctness fallback; a generic angle always exists)."""
+
+
+def _ray_crossings(pt, ang, pieces, tol):
+    """Number of crossings of ray pt + t(cos ang, sin ang), t > 0, with the
+    pieces. Raises _RayDegenerate on tangency / near-endpoint hits."""
+    d = np.array([math.cos(ang), math.sin(ang)])
+    n = 0
+    for o in pieces:
+        if o[0] == "seg":
+            p, q = np.asarray(o[1]), np.asarray(o[2])
+            v = q - p
+            L = math.hypot(*v)
+            if L <= tol:
+                continue
+            den = d[0] * v[1] - d[1] * v[0]
+            if abs(den) < 1e-12 * L:
+                # parallel: degenerate only if the seg lies on the ray line
+                if abs((p[0] - pt[0]) * d[1] - (p[1] - pt[1]) * d[0]) <= tol:
+                    raise _RayDegenerate
+                continue
+            w = p - pt
+            t = (w[0] * v[1] - w[1] * v[0]) / den
+            u = (w[0] * d[1] - w[1] * d[0]) / den
+            ptol = tol / L
+            if t <= tol:
+                if -ptol < u < 1.0 + ptol and abs(t) <= tol:
+                    raise _RayDegenerate  # pt on this boundary piece
+                continue
+            if u < -ptol or u > 1.0 + ptol:
+                continue
+            if u < ptol or u > 1.0 - ptol:
+                raise _RayDegenerate  # grazes a piece endpoint
+            n += 1
+        else:
+            _, ux, uy, r, a0, sw = o
+            if abs(sw) * r <= tol:
+                continue
+            c = np.array([ux, uy])
+            w = pt - c
+            b_ = 2.0 * float(w @ d)
+            c_ = float(w @ w) - r * r
+            disc = b_ * b_ - 4.0 * c_
+            if disc <= 0.0:
+                if disc > -4.0 * tol * r:
+                    raise _RayDegenerate  # tangent ray
+                continue
+            if disc < 4.0 * tol * r:
+                raise _RayDegenerate
+            sq = math.sqrt(disc)
+            atol = tol / max(r, tol)
+            for t in ((-b_ - sq) / 2.0, (-b_ + sq) / 2.0):
+                if t <= tol:
+                    if abs(t) <= tol:
+                        raise _RayDegenerate  # pt on the carrier circle
+                    continue
+                X = pt + t * d
+                f = _span_frac(o, X)
+                if f is None:
+                    continue
+                ftol = atol / abs(sw)
+                if f < -ftol or f > 1.0 + ftol:
+                    continue
+                if f < ftol or f > 1.0 - ftol:
+                    raise _RayDegenerate  # grazes an arc endpoint
+                n += 1
+    return n
+
+
+_RAY_ANGLES = (0.1234567, 1.2345678, 2.3456789, 3.4567891, 4.5678912,
+               5.6789123, 0.7891234, 1.8912345, 2.9123456, 4.0123456)
+
+
+def _point_in_pieces(pt, pieces, tol) -> bool:
+    """Exact strictly-inside test (even-odd crossing parity) against a set
+    of closed directed rings in piece format. Retries a fixed angle list on
+    degenerate rays; callers only probe points OFF the boundary."""
+    pt = np.asarray(pt, dtype=np.float64)
+    for ang in _RAY_ANGLES:
+        try:
+            return _ray_crossings(pt, ang, pieces, tol) % 2 == 1
+        except _RayDegenerate:
+            continue
+    raise ValueError("no generic ray angle found (degenerate input)")
+
+
+def _ring_pieces_of_areal(g: Geometry):
+    """Directed boundary pieces of a SINGLE-RING simple areal geometry,
+    normalized CCW, or None outside the envelope (holes, multi parts,
+    unsupported primitives, unclosed ring)."""
+    t = g.type_id
+    if t == GeometryType.Polygon:
+        if g.rings is None or len(g.rings) != 1:
+            return None
+        coords = np.asarray(g.rings[0], dtype=np.float64)[:, :2]
+        if len(coords) < 4 or not np.allclose(coords[0], coords[-1]):
+            return None
+        pieces = [["seg", coords[i].copy(), coords[i + 1].copy()]
+                  for i in range(len(coords) - 1)
+                  if math.hypot(*(coords[i + 1] - coords[i])) > 0.0]
+    elif t == GeometryType.CurvePolygon:
+        if g.geoms is None or len(g.geoms) != 1:
+            return None
+        prims = _curve_primitives(g.geoms[0])
+        if prims is None or not prims:
+            return None
+        pieces = []
+        for pr in prims:
+            o = _prim_to_piece(pr)
+            if o is None:
+                return None
+            if _piece_len(o) > 0.0:
+                pieces.append(o)
+    else:
+        return None
+    if not pieces:
+        return None
+    # closed?
+    s0, _ = _piece_endpoints(pieces[0])
+    _, e_last = _piece_endpoints(pieces[-1])
+    scale = max(1.0, max(abs(float(c)) for o in pieces
+                         for p in _piece_endpoints(o) for c in p))
+    if math.hypot(*(e_last - s0)) > 1e-9 * scale:
+        return None
+    if _pieces_signed_area(pieces) < 0:
+        pieces = [_rev_piece(o) for o in reversed(pieces)]
+    return pieces
+
+
+def _split_piece_at(o, pts, tol):
+    """Sub-pieces of ``o`` split at the carrier points ``pts`` (fractions
+    strictly inside the span; duplicates collapse)."""
+    L = _piece_len(o)
+    if L <= tol or not pts:
+        return [o]
+    ftol = tol / L
+    fracs = []
+    for X in pts:
+        f = _span_frac(o, np.asarray(X, dtype=np.float64))
+        if f is not None and ftol < f < 1.0 - ftol:
+            fracs.append(f)
+    if not fracs:
+        return [o]
+    fracs = sorted(set(fracs))
+    merged = [fracs[0]]
+    for f in fracs[1:]:
+        if f - merged[-1] > ftol:
+            merged.append(f)
+    out = []
+    if o[0] == "seg":
+        p, q = np.asarray(o[1]), np.asarray(o[2])
+        cuts = [p] + [p + f * (q - p) for f in merged] + [q]
+        for i in range(len(cuts) - 1):
+            out.append(["seg", cuts[i], cuts[i + 1]])
+    else:
+        _, ux, uy, r, a0, sw = o
+        angs = [a0] + [a0 + f * sw for f in merged] + [a0 + sw]
+        for i in range(len(angs) - 1):
+            out.append(["arc", ux, uy, r, angs[i], angs[i + 1] - angs[i]])
+    return out
+
+
+def _stitch_rings(pieces, tol):
+    """Closed rings (lists of directed pieces) stitched by endpoint
+    adjacency, or None on ambiguity (a node with ≠1 continuation —
+    tangency-only contact; caller falls back)."""
+    n = len(pieces)
+    starts = [np.asarray(_piece_endpoints(o)[0]) for o in pieces]
+    ends = [np.asarray(_piece_endpoints(o)[1]) for o in pieces]
+    used = [False] * n
+    rings = []
+    for i in range(n):
+        if used[i]:
+            continue
+        ring = [pieces[i]]
+        used[i] = True
+        first, cur = starts[i], ends[i]
+        guard = 0
+        while math.hypot(*(cur - first)) > tol:
+            cands = [j for j in range(n)
+                     if not used[j] and math.hypot(*(starts[j] - cur)) <= tol]
+            if len(cands) != 1:
+                return None
+            j = cands[0]
+            ring.append(pieces[j])
+            used[j] = True
+            cur = ends[j]
+            guard += 1
+            if guard > n:
+                return None
+        rings.append(ring)
+    return rings
+
+
+def _ring_pieces_to_boundary(ring, srid) -> Geometry:
+    """One ring of directed pieces → the exact boundary geometry:
+    LineString when all-straight, CircularString for pure arc runs,
+    CompoundCurve for mixes. Consecutive arcs chain into one
+    CircularString; consecutive segs into one LineString."""
+    def arc3(o):
+        _, ux, uy, r, a0, sw = o
+        return ([ux + r * math.cos(a0), uy + r * math.sin(a0)],
+                [ux + r * math.cos(a0 + sw / 2.0), uy + r * math.sin(a0 + sw / 2.0)],
+                [ux + r * math.cos(a0 + sw), uy + r * math.sin(a0 + sw)])
+
+    members = []
+    kind, pts = None, []
+    for o in ring:
+        if o[0] == "seg":
+            if kind != "seg":
+                if pts:
+                    members.append((kind, pts))
+                kind, pts = "seg", [list(map(float, o[1]))]
+            pts.append(list(map(float, o[2])))
+        else:
+            s, m, e = arc3(o)
+            if kind != "arc":
+                if pts:
+                    members.append((kind, pts))
+                kind, pts = "arc", [s]
+            pts.extend([m, e])
+    if pts:
+        members.append((kind, pts))
+
+    def mk(kind, pts):
+        tid = (GeometryType.LineString if kind == "seg"
+               else GeometryType.CircularString)
+        return Geometry(tid, srid=srid, coords=np.asarray(pts, dtype=np.float64))
+
+    if len(members) == 1:
+        return mk(*members[0])
+    return Geometry(GeometryType.CompoundCurve, srid=srid,
+                    geoms=[mk(k, p) for k, p in members])
+
+
+def _assemble_areal(rings, srid, tol) -> Geometry:
+    """Stitched rings → areal geometry. CCW rings are shells, CW rings are
+    holes nested into the shell that contains them (exact parity test);
+    all-straight output degrades to Polygon/MultiPolygon."""
+    shells, holes = [], []
+    for ring in rings:
+        (shells if _pieces_signed_area(ring) >= 0 else holes).append(ring)
+    if not shells:
+        return Geometry(GeometryType.Polygon, srid=srid, rings=[])
+    assign: list[list] = [[] for _ in shells]
+    for h in holes:
+        probe = _piece_midpoint(h[0])
+        owner = None
+        for i, sh in enumerate(shells):
+            if _point_in_pieces(probe, sh, tol):
+                owner = i
+                break
+        if owner is None:
+            return None  # orphan hole — should not happen; decline
+        assign[owner].append(h)
+
+    def one(shell, hs):
+        all_straight = all(o[0] == "seg" for ring in [shell] + hs for o in ring)
+        if all_straight:
+            def ring_coords(ring):
+                pts = [list(map(float, _piece_endpoints(o)[0])) for o in ring]
+                pts.append(list(map(float, _piece_endpoints(ring[-1])[1])))
+                return np.asarray(pts, dtype=np.float64)
+            return Geometry(GeometryType.Polygon, srid=srid,
+                            rings=[ring_coords(shell)] + [ring_coords(h) for h in hs])
+        return Geometry(
+            GeometryType.CurvePolygon, srid=srid,
+            geoms=[_ring_pieces_to_boundary(shell, srid)]
+            + [_ring_pieces_to_boundary(h, srid) for h in hs])
+
+    polys = [one(sh, assign[i]) for i, sh in enumerate(shells)]
+    if len(polys) == 1:
+        return polys[0]
+    if all(p.type_id == GeometryType.Polygon for p in polys):
+        return Geometry(GeometryType.MultiPolygon, srid=srid, geoms=polys)
+    return Geometry(GeometryType.MultiSurface, srid=srid, geoms=polys)
+
+
+def curved_areal_overlay(a: Geometry, b: Geometry, op: str) -> Geometry | None:
+    """EXACT boolean overlay (``op`` ∈ intersection/union/difference) of two
+    simple single-ring areal operands where at least one boundary is curved
+    — the r10 residual (VERDICT r10 item 3: CurvePolygon ∩ CurvePolygon
+    interiors previously linearized; worse, the collection fallback
+    flattened CurvePolygons to their RINGS and returned boundary
+    crossings). Returns None outside the envelope (holes, multi parts,
+    1-D boundary overlaps, tangency-only contact) — the caller falls back
+    to the linearized path.
+
+    Construction: node both boundaries at mutual carrier intersections
+    (closed forms — line/line, line/circle, circle/circle), classify each
+    sub-piece midpoint against the other region by exact ray-crossing
+    parity, keep per the op's rule (intersection: inside; union: outside;
+    difference: A-outside + B-inside reversed), stitch by endpoint
+    adjacency, assemble shells/holes by exact signed area
+    (chord shoelace + (r²/2)(θ−sinθ) corrections)."""
+    if op not in ("intersection", "union", "difference"):
+        return None
+    A = _ring_pieces_of_areal(a)
+    B = _ring_pieces_of_areal(b)
+    if A is None or B is None:
+        return None
+    scale = max(1.0, max(abs(float(c)) for o in A + B
+                         for p in _piece_endpoints(o) for c in p))
+    tol = 1e-9 * scale
+    for pa in A:
+        for pb in B:
+            if _pieces_1d_overlap(pa, pb, tol):
+                return None  # boundary overlap stretches: declined envelope
+    nodesA: list[list] = [[] for _ in A]
+    nodesB: list[list] = [[] for _ in B]
+    any_node = False
+    for i, pa in enumerate(A):
+        for j, pb in enumerate(B):
+            for X in _carrier_intersections(pa, pb):
+                if _on_piece(pa, X, tol) and _on_piece(pb, X, tol):
+                    nodesA[i].append(X)
+                    nodesB[j].append(X)
+                    any_node = True
+    srid = a.srid
+    if not any_node:
+        # boundaries fully disjoint: nested or separated — one probe decides
+        a_in_b = _point_in_pieces(_piece_midpoint(A[0]), B, tol)
+        b_in_a = _point_in_pieces(_piece_midpoint(B[0]), A, tol)
+        if op == "intersection":
+            if a_in_b:
+                return a.copy()
+            if b_in_a:
+                return b.copy()
+            return Geometry(GeometryType.Polygon, srid=srid, rings=[])
+        if op == "union":
+            if a_in_b:
+                return b.copy()
+            if b_in_a:
+                return a.copy()
+            from polars_st_spark.geo.setops import collect as _collect
+            return _collect([a.copy(), b.copy()], srid=srid)
+        # difference a − b
+        if a_in_b:
+            return Geometry(GeometryType.Polygon, srid=srid, rings=[])
+        if b_in_a:
+            return _assemble_areal(
+                [A, [_rev_piece(o) for o in reversed(B)]], srid, tol)
+        return a.copy()
+    subA, subB = [], []
+    for i, pa in enumerate(A):
+        subA.extend(_split_piece_at(pa, nodesA[i], tol))
+    for j, pb in enumerate(B):
+        subB.extend(_split_piece_at(pb, nodesB[j], tol))
+    subA = [o for o in subA if _piece_len(o) > tol]
+    subB = [o for o in subB if _piece_len(o) > tol]
+    keep = []
+    try:
+        for o in subA:
+            inside = _point_in_pieces(_piece_midpoint(o), B, tol)
+            if (inside if op == "intersection" else not inside):
+                keep.append(o)
+        for o in subB:
+            inside = _point_in_pieces(_piece_midpoint(o), A, tol)
+            if op == "intersection" and inside:
+                keep.append(o)
+            elif op == "union" and not inside:
+                keep.append(o)
+            elif op == "difference" and inside:
+                keep.append(_rev_piece(o))
+    except ValueError:
+        return None
+    if not keep:
+        if op == "intersection":
+            # interiors disjoint, boundaries touch at isolated points
+            pts = sorted({(round(float(X[0]), 12), round(float(X[1]), 12))
+                          for ns in nodesA for X in ns})
+            parts = [Geometry(GeometryType.Point, srid=srid,
+                              coords=np.array(p)) for p in pts]
+            if len(parts) == 1:
+                return parts[0]
+            return Geometry(GeometryType.MultiPoint, srid=srid, geoms=parts)
+        return Geometry(GeometryType.Polygon, srid=srid, rings=[])
+    rings = _stitch_rings(keep, tol * 10)
+    if rings is None:
+        return None
+    res = _assemble_areal(rings, srid, tol)
+    return res

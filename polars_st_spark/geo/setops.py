@@ -310,14 +310,50 @@ def _empty_like_overlay(a: Geometry, b: Geometry) -> Geometry:
     return empty_collection(a.srid)
 
 
+# Multi/collection containers whose geoms are PARTS. CurvePolygon (geoms =
+# rings) and CompoundCurve (geoms = chained curve pieces) are structural
+# primitives — flattening a CurvePolygon into its rings turned curved
+# areal overlays into boundary ops (r11 fix, the MultiPoint-for-lens bug).
+_PART_CONTAINER_IDS = (
+    GeometryType.MultiPoint,
+    GeometryType.MultiLineString,
+    GeometryType.MultiPolygon,
+    GeometryType.MultiCurve,
+    GeometryType.MultiSurface,
+    GeometryType.GeometryCollection,
+)
+
+
 def _flatten_parts(g: Geometry) -> list[Geometry]:
-    """Primitive (Point/LineString/Polygon) parts of any geometry."""
-    if g.geoms is not None:
+    """Primitive (Point/LineString/Polygon/CircularString/CompoundCurve/
+    CurvePolygon) parts of any geometry."""
+    if g.geoms is not None and g.type_id in _PART_CONTAINER_IDS:
         out: list[Geometry] = []
         for s in g.geoms:
             out.extend(_flatten_parts(s if s.srid else s.with_srid(g.srid)))
         return out
     return [g] if not g.is_empty() else []
+
+
+def _is_part_container(g: Geometry) -> bool:
+    return g.geoms is not None and g.type_id in _PART_CONTAINER_IDS
+
+
+def _curved_overlay_or_linearized(a: Geometry, b: Geometry, op: str) -> Geometry:
+    """Route a curved areal×areal pair: the EXACT piece-tracing overlay
+    (geo/curves.curved_areal_overlay) when the pair is in its envelope,
+    else the linearized approximation (GEOS-style for exotics)."""
+    from polars_st_spark.geo.curves import curved_areal_overlay, linearize
+
+    res = curved_areal_overlay(a, b, op)
+    if res is not None:
+        return res
+    la, lb = linearize(a), linearize(b)
+    if op == "intersection":
+        return _intersection_impl(la, lb)
+    if op == "union":
+        return union(la, lb)
+    return difference(la, lb)
 
 
 def _intersection_impl(a: Geometry, b: Geometry) -> Geometry:
@@ -329,6 +365,14 @@ def _intersection_impl(a: Geometry, b: Geometry) -> Geometry:
             if not res.is_empty():
                 return region_to_geometry(res, a.srid)
             # fall through for degenerate (touching) cases
+    # r11: curved areal×areal — exact piece-tracing overlay (or linearized
+    # outside its envelope); must run BEFORE collection flattening
+    if (a.dimensions() == 2 and b.dimensions() == 2
+            and not _is_part_container(a) and not _is_part_container(b)):
+        from polars_st_spark.geo.curves import _is_curved
+
+        if _is_curved(a) or _is_curved(b):
+            return _curved_overlay_or_linearized(a, b, "intersection")
     # r10: curved 1-D x 1-D inputs are intersected WHOLE (not per
     # collection part) so 1-D overlap stretches suppress their interior
     # touch points across parts — _curve_primitives flattens Compound/
@@ -387,7 +431,7 @@ def _intersection_impl(a: Geometry, b: Geometry) -> Geometry:
                 return Geometry(GeometryType.GeometryCollection, srid=a.srid,
                                 geoms=parts)
     # collections: intersect each part, collect results
-    if a.geoms is not None or b.geoms is not None:
+    if _is_part_container(a) or _is_part_container(b):
         parts = []
         for pa in _flatten_parts(a):
             for pb in _flatten_parts(b):
@@ -1139,7 +1183,7 @@ def difference(a: Geometry, b: Geometry, grid_size: float | None = None) -> Geom
     if b.dimensions() < a.dimensions():
         return a.copy()
     # b a collection → fold difference over its parts
-    if b.geoms is not None:
+    if _is_part_container(b):
         acc = a.copy()
         for pb in _flatten_parts(b):
             acc = difference(acc, pb, grid_size)
@@ -1151,6 +1195,12 @@ def difference(a: Geometry, b: Geometry, grid_size: float | None = None) -> Geom
         reg_a, reg_b = geometry_to_region(a), geometry_to_region(b)
         if reg_a is not None and reg_b is not None:
             return region_to_geometry(reg_a.subtract(reg_b), a.srid)
+        # r11: curved areal \ areal — exact piece-tracing overlay
+        if not _is_part_container(a):
+            from polars_st_spark.geo.curves import _is_curved
+
+            if _is_curved(a) or _is_curved(b):
+                return _curved_overlay_or_linearized(a, b, "difference")
     # lineal \ rectilinear → complement clipping
     if a.dimensions() == 1 and b.dimensions() == 2:
         reg_b = geometry_to_region(b)
@@ -1160,7 +1210,7 @@ def difference(a: Geometry, b: Geometry, grid_size: float | None = None) -> Geom
                 parts.extend(_chain_outside_region(chain, reg_b))
             return _lines_result(parts, a.srid)
     # collections: difference each part of a, collect survivors
-    if a.geoms is not None:
+    if _is_part_container(a):
         parts = []
         for pa in _flatten_parts(a):
             r = difference(pa, b, grid_size)
@@ -1338,6 +1388,31 @@ def rectangles_union(rects, srid: int = 0) -> Geometry:
 # N-ary folds (reference: expressions.rs:873-999)
 # ----------------------------------------------------------------------
 
+def _union_areal_cluster(cluster: list[Geometry], srid: int) -> Geometry:
+    """Union one overlapping-areal cluster. All-straight clusters take the
+    one-shot classify-and-stitch overlay (overlay.union_many); clusters
+    with a curved member fold pairwise through the exact curved overlay
+    (r11), linearizing only the members the exact path declines."""
+    from polars_st_spark.geo.curves import _is_curved, linearize
+
+    if not any(_is_curved(g) for g in cluster):
+        from polars_st_spark.geo.overlay import union_many
+
+        return union_many(cluster, srid)
+    from polars_st_spark.geo.curves import curved_areal_overlay
+
+    acc = cluster[0]
+    for g in cluster[1:]:
+        res = curved_areal_overlay(acc, g, "union")
+        if res is None:
+            from polars_st_spark.geo.overlay import union_many
+
+            flat = [p for m in cluster for p in _flatten_parts(linearize(m))]
+            return union_many(flat, srid)
+        acc = res
+    return acc.with_srid(srid)
+
+
 def _nonnull(geoms) -> list[Geometry]:
     return [g for g in geoms if g is not None]
 
@@ -1452,7 +1527,8 @@ def union_all(geoms, grid_size: float | None = None) -> Geometry:
                                     kept[u], kept[k2]):
                                 comp.add(k2)
                                 frontier.append(k2)
-                    merged_pair = union_many([kept[k] for k in sorted(comp)], srid)
+                    cluster = [kept[k] for k in sorted(comp)]
+                    merged_pair = _union_areal_cluster(cluster, srid)
                     rest = [g for k2, g in enumerate(kept) if k2 not in comp]
                     return union_all(rest + [merged_pair], grid_size)
                 # mixed line/polygon overlap: the union is the polygon plus
@@ -1563,6 +1639,11 @@ def collect(geoms, into: int | None = None, srid: int | None = None, dissolve: b
             into = GeometryType.MultiLineString
         elif kinds == {GeometryType.Polygon}:
             into = GeometryType.MultiPolygon
+        elif kinds <= {GeometryType.Polygon, GeometryType.CurvePolygon}:
+            into = GeometryType.MultiSurface
+        elif kinds <= {GeometryType.LineString, GeometryType.CircularString,
+                       GeometryType.CompoundCurve}:
+            into = GeometryType.MultiCurve
         else:
             into = GeometryType.GeometryCollection
     members: list[Geometry] = []
@@ -1571,6 +1652,8 @@ def collect(geoms, into: int | None = None, srid: int | None = None, dissolve: b
             GeometryType.MultiPoint,
             GeometryType.MultiLineString,
             GeometryType.MultiPolygon,
+            GeometryType.MultiCurve,
+            GeometryType.MultiSurface,
         ) and into != GeometryType.GeometryCollection:
             members.extend(s.copy() for s in (g.geoms or []))
         else:
