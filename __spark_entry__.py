@@ -16,6 +16,7 @@ rows-only checks. Cosines are rounded to 6 dp with id tiebreaks on rank.
 
 from __future__ import annotations
 
+import math
 import os
 import sys
 import zipfile
@@ -1665,6 +1666,47 @@ def q_seed_crs(spark, sf):
     png = rt(F.col("x") % 4 + 145.0, -(F.col("y") % 8) - 3.0, 5551)
     mex = rt(-(F.col("x") % 10) - 97.0, F.col("y") % 15 + 15.0, 6372)
     kr = rt(F.col("x") % 6 + 125.0, F.col("y") % 5 + 34.0, 5179)
+    # r11 long-tail wave (VERDICT r10 item 6): SA Lo19 (+axis=wsu proven
+    # by the exact sum against a plain-axis twin registered under a
+    # private code — a consistent sign error would cancel in a round-trip
+    # but NOT in this sum), EASE-Grid 2.0 global (new cea method; pinned
+    # by the equal-area invariant vs the WGS84 authalic sphere), World
+    # Equidistant Cylindrical sphere (new eqc method; polar/equatorial
+    # extent ratio is exactly 0.5), California zone 5 ftUS (unit plumbing:
+    # the EPSG false origin in ftUS is exactly 6561666.667), NAD83(CSRS)
+    # MTM 8, Kalianpur 1975 India I (lcc 1SP k_0), Egypt Red Belt, KKJ 3,
+    # Japan Plane CS IX (Tokyo datum), PRS92 zone 3, MAGNA Bogota,
+    # GDM2000 Peninsula RSO (omerc variant A) — round-trips for all.
+    from polars_st_spark.functions.proj4 import register_proj4 as _reg
+    try:
+        _reg(909019, "+proj=tmerc +lat_0=0 +lon_0=19 +k=1 +x_0=0 +y_0=0 "
+             "+ellps=WGS84")
+    except ValueError:
+        pass  # already registered in this session
+    lo = rt(F.col("x") % 4 + 17.0, -(F.col("y") % 12) - 23.0, 2048)
+    lo_p = proj(F.col("x") % 4 + 17.0, -(F.col("y") % 12) - 23.0, 2048)
+    lo_t = st.st_to_srid(
+        st.st_set_srid(st.st_point(F.col("x") % 4 + 17.0,
+                                   -(F.col("y") % 12) - 23.0), 4326), 909019)
+    ease2 = rt(F.col("x") % 80 - 40.0, F.col("y") % 120 - 60.0, 6933)
+    e2c = anchor(180.0, 90.0, 6933)
+    eqs_a = anchor(0.0, 90.0, 4088)
+    eqs_b = anchor(180.0, 0.0, 4088)
+    eqc = rt(F.col("x") % 100 - 50.0, F.col("y") % 140 - 70.0, 4087)
+    ca5 = rt(-(F.col("x") % 3) - 117.0, F.col("y") % 2 + 33.6, 2229)
+    mtm8 = rt(-(F.col("x") % 3) - 72.5, F.col("y") % 8 + 46.0, 2950)
+    kal = rt(F.col("x") % 4 + 66.5, F.col("y") % 3 + 31.0, 24378)
+    egy = rt(F.col("x") % 3 + 30.0, F.col("y") % 4 + 27.0, 22992)
+    kkj = rt(F.col("x") % 4 + 25.0, F.col("y") % 6 + 61.0, 2393)
+    jpt = rt(F.col("x") % 3 + 138.5, F.col("y") % 3 + 35.0, 30169)
+    prs = rt(F.col("x") % 3 + 120.0, F.col("y") % 6 + 8.0, 3123)
+    mag = rt(-(F.col("x") % 3) - 73.0, F.col("y") % 5 + 2.5, 3116)
+    rso = rt(F.col("x") % 3 + 101.0, F.col("y") % 4 + 2.5, 3375)
+    # anchors only for NULL-datum codes (a WGS84 lon/lat IS the CRS's own
+    # geographic coordinate there; datum-shifted codes get round-trips)
+    a_ca5 = anchor(-118.0, 33.5, 2229)
+    a_mtm8 = anchor(-73.5, 0.0, 2950)
+    a_mag = anchor(-74.07750791666666, 4.596200416666666, 3116)
     a_jp = anchor(139.8333333333333, 36.0, 6677)
     a_sw = anchor(18.0, 0.0, 3011)
     a_png = anchor(147.0, 0.0, 5551)
@@ -1739,6 +1781,44 @@ def q_seed_crs(spark, sf):
         F.round(st.st_y(kr), 6).alias("kr_y"),
         F.round(st.st_x(a_kr), 6).alias("kr_anchor_e"),
         F.round(st.st_y(a_kr), 6).alias("kr_anchor_n"),
+        # r11 wave
+        F.round(st.st_x(lo), 6).alias("lo_x"),
+        F.round(st.st_y(lo), 6).alias("lo_y"),
+        F.round(F.abs(st.st_x(lo_p) + st.st_x(lo_t)), 6).alias("lo_sum_e"),
+        F.round(F.abs(st.st_y(lo_p) + st.st_y(lo_t)), 6).alias("lo_sum_n"),
+        F.round(st.st_x(ease2), 6).alias("ease2_x"),
+        F.round(st.st_y(ease2), 6).alias("ease2_y"),
+        F.round(
+            (F.lit(4.0) * st.st_x(e2c) * st.st_y(e2c))
+            / F.lit(4.0 * math.pi * 6371007.1809 ** 2), 9
+        ).alias("ease2_area1"),
+        F.round(st.st_y(eqs_a) / st.st_x(eqs_b), 9).alias("eqc_ratio"),
+        F.round(st.st_x(eqc), 6).alias("eqc_x"),
+        F.round(st.st_y(eqc), 6).alias("eqc_y"),
+        F.round(st.st_x(ca5), 6).alias("ca5_x"),
+        F.round(st.st_y(ca5), 6).alias("ca5_y"),
+        F.round(st.st_x(a_ca5), 6).alias("ca5_anchor_e"),
+        F.round(st.st_y(a_ca5), 6).alias("ca5_anchor_n"),
+        F.round(st.st_x(mtm8), 6).alias("mtm8_x"),
+        F.round(st.st_y(mtm8), 6).alias("mtm8_y"),
+        F.round(st.st_x(a_mtm8), 6).alias("mtm8_anchor_e"),
+        F.round(st.st_y(a_mtm8), 6).alias("mtm8_anchor_n"),
+        F.round(st.st_x(kal), 6).alias("kal_x"),
+        F.round(st.st_y(kal), 6).alias("kal_y"),
+        F.round(st.st_x(egy), 6).alias("egy_x"),
+        F.round(st.st_y(egy), 6).alias("egy_y"),
+        F.round(st.st_x(kkj), 6).alias("kkj_x"),
+        F.round(st.st_y(kkj), 6).alias("kkj_y"),
+        F.round(st.st_x(jpt), 6).alias("jpt_x"),
+        F.round(st.st_y(jpt), 6).alias("jpt_y"),
+        F.round(st.st_x(prs), 6).alias("prs_x"),
+        F.round(st.st_y(prs), 6).alias("prs_y"),
+        F.round(st.st_x(mag), 6).alias("mag_x"),
+        F.round(st.st_y(mag), 6).alias("mag_y"),
+        F.round(st.st_x(a_mag), 6).alias("mag_anchor_e"),
+        F.round(st.st_y(a_mag), 6).alias("mag_anchor_n"),
+        F.round(st.st_x(rso), 6).alias("rso_x"),
+        F.round(st.st_y(rso), 6).alias("rso_y"),
     )
 
 
@@ -4173,7 +4253,37 @@ def oracle_sql() -> dict[str, str]:
                    2500000.0 AS mex_anchor_e, 0.0 AS mex_anchor_n,
                    ROUND(x % 6 + 125.0, 6) AS kr_x,
                    ROUND(y % 5 + 34.0, 6) AS kr_y,
-                   1000000.0 AS kr_anchor_e, 2000000.0 AS kr_anchor_n
+                   1000000.0 AS kr_anchor_e, 2000000.0 AS kr_anchor_n,
+                   ROUND(x % 4 + 17.0, 6) AS lo_x,
+                   ROUND(-(y % 12) - 23.0, 6) AS lo_y,
+                   0.0 AS lo_sum_e, 0.0 AS lo_sum_n,
+                   ROUND(x % 80 - 40.0, 6) AS ease2_x,
+                   ROUND(y % 120 - 60.0, 6) AS ease2_y,
+                   1.0 AS ease2_area1,
+                   0.5 AS eqc_ratio,
+                   ROUND(x % 100 - 50.0, 6) AS eqc_x,
+                   ROUND(y % 140 - 70.0, 6) AS eqc_y,
+                   ROUND(-(x % 3) - 117.0, 6) AS ca5_x,
+                   ROUND(y % 2 + 33.6, 6) AS ca5_y,
+                   6561666.667 AS ca5_anchor_e, 1640416.667 AS ca5_anchor_n,
+                   ROUND(-(x % 3) - 72.5, 6) AS mtm8_x,
+                   ROUND(y % 8 + 46.0, 6) AS mtm8_y,
+                   304800.0 AS mtm8_anchor_e, 0.0 AS mtm8_anchor_n,
+                   ROUND(x % 4 + 66.5, 6) AS kal_x,
+                   ROUND(y % 3 + 31.0, 6) AS kal_y,
+                   ROUND(x % 3 + 30.0, 6) AS egy_x,
+                   ROUND(y % 4 + 27.0, 6) AS egy_y,
+                   ROUND(x % 4 + 25.0, 6) AS kkj_x,
+                   ROUND(y % 6 + 61.0, 6) AS kkj_y,
+                   ROUND(x % 3 + 138.5, 6) AS jpt_x,
+                   ROUND(y % 3 + 35.0, 6) AS jpt_y,
+                   ROUND(x % 3 + 120.0, 6) AS prs_x,
+                   ROUND(y % 6 + 8.0, 6) AS prs_y,
+                   ROUND(-(x % 3) - 73.0, 6) AS mag_x,
+                   ROUND(y % 5 + 2.5, 6) AS mag_y,
+                   1000000.0 AS mag_anchor_e, 1000000.0 AS mag_anchor_n,
+                   ROUND(x % 3 + 101.0, 6) AS rso_x,
+                   ROUND(y % 4 + 2.5, 6) AS rso_y
             FROM ({_ORACLE_CUST}) WHERE c_custkey % 3 = 0""",
         "buffer_styles": f"""
             SELECT n_nationkey,

@@ -380,6 +380,208 @@ _SINGLES_R10: dict[int, str] = {
 }
 _EPSG_PROJ4.update(_SINGLES_R10)
 
+# --- r11 long-tail wave ------------------------------------------------------
+# US State Plane NAD83 ftUS variants (lcc-2SP / tmerc over GRS80 with
+# +units=us-ft; false origins in meters per the EPSG registry)
+_SINGLES_R11: dict[int, str] = {
+    # California zones 1-6 (ftUS)
+    2225: "+proj=lcc +lat_1=41.66666666666666 +lat_2=40 +lat_0=39.33333333333334 "
+          "+lon_0=-122 +x_0=2000000.0001016 +y_0=500000.0001016001 "
+          "+ellps=GRS80 +units=us-ft",
+    2226: "+proj=lcc +lat_1=39.83333333333334 +lat_2=38.33333333333334 +lat_0=37.66666666666666 "
+          "+lon_0=-122 +x_0=2000000.0001016 +y_0=500000.0001016001 "
+          "+ellps=GRS80 +units=us-ft",
+    2227: "+proj=lcc +lat_1=38.43333333333333 +lat_2=37.06666666666667 +lat_0=36.5 "
+          "+lon_0=-120.5 +x_0=2000000.0001016 +y_0=500000.0001016001 "
+          "+ellps=GRS80 +units=us-ft",
+    2228: "+proj=lcc +lat_1=37.25 +lat_2=36 +lat_0=35.33333333333334 "
+          "+lon_0=-119 +x_0=2000000.0001016 +y_0=500000.0001016001 "
+          "+ellps=GRS80 +units=us-ft",
+    2229: "+proj=lcc +lat_1=35.46666666666667 +lat_2=34.03333333333333 +lat_0=33.5 "
+          "+lon_0=-118 +x_0=2000000.0001016 +y_0=500000.0001016001 "
+          "+ellps=GRS80 +units=us-ft",
+    2230: "+proj=lcc +lat_1=33.88333333333333 +lat_2=32.78333333333333 +lat_0=32.16666666666666 "
+          "+lon_0=-116.25 +x_0=2000000.0001016 +y_0=500000.0001016001 "
+          "+ellps=GRS80 +units=us-ft",
+    # Georgia West (tmerc ftUS)
+    2240: "+proj=tmerc +lat_0=30 +lon_0=-84.16666666666667 +k=0.9999 "
+          "+x_0=699999.9998983998 +y_0=0 +ellps=GRS80 +units=us-ft",
+    # Maryland (lcc ftUS)
+    2248: "+proj=lcc +lat_1=39.45 +lat_2=38.3 +lat_0=37.66666666666666 "
+          "+lon_0=-77 +x_0=399999.9998983998 +y_0=0 +ellps=GRS80 +units=us-ft",
+    # Massachusetts Mainland / Island (lcc ftUS)
+    2249: "+proj=lcc +lat_1=42.68333333333333 +lat_2=41.71666666666667 +lat_0=41 "
+          "+lon_0=-71.5 +x_0=200000.0001016002 +y_0=750000 "
+          "+ellps=GRS80 +units=us-ft",
+    2250: "+proj=lcc +lat_1=41.48333333333333 +lat_2=41.28333333333333 +lat_0=41 "
+          "+lon_0=-70.5 +x_0=500000.0001016001 +y_0=0 +ellps=GRS80 +units=us-ft",
+    # Pennsylvania South / Washington North (lcc ftUS)
+    2272: "+proj=lcc +lat_1=40.96666666666667 +lat_2=39.93333333333333 "
+          "+lat_0=39.33333333333334 +lon_0=-77.75 +x_0=600000.0000000001 +y_0=0 "
+          "+ellps=GRS80 +units=us-ft",
+    2285: "+proj=lcc +lat_1=48.73333333333333 +lat_2=47.5 +lat_0=47 "
+          "+lon_0=-120.8333333333333 +x_0=500000.0001016001 +y_0=0 "
+          "+ellps=GRS80 +units=us-ft",
+    # Wisconsin Transverse Mercator (NAD83)
+    3071: "+proj=tmerc +lat_0=0 +lon_0=-90 +k=0.9996 +x_0=520000 "
+          "+y_0=-4480000 +ellps=GRS80",
+    # NAD83 / Michigan Oblique Mercator (variant A, no_uoff)
+    3078: "+proj=omerc +lat_0=45.30916666666666 +lonc=-86 +alpha=337.25556 "
+          "+gamma=337.25556 +k=0.9996 +x_0=2546731.496 +y_0=-4354009.816 "
+          "+no_uoff +ellps=GRS80",
+    # NAD83(CSRS) / Canada Atlas Lambert
+    3979: "+proj=lcc +lat_1=49 +lat_2=77 +lat_0=49 +lon_0=-95 +x_0=0 +y_0=0 "
+          "+ellps=GRS80",
+    # Yukon Albers
+    3578: "+proj=aea +lat_1=61.66666666666666 +lat_2=68 +lat_0=59 "
+          "+lon_0=-132.5 +x_0=500000 +y_0=500000 +ellps=GRS80",
+    # Monte Mario / Italy zones 1-2 (Rome 1940 datum)
+    3003: "+proj=tmerc +lat_0=0 +lon_0=9 +k=0.9996 +x_0=1500000 +y_0=0 "
+          "+ellps=intl +towgs84=-104.1,-49.1,-9.9,0.971,-2.917,0.714,-11.68",
+    3004: "+proj=tmerc +lat_0=0 +lon_0=15 +k=0.9996 +x_0=2520000 +y_0=0 "
+          "+ellps=intl +towgs84=-104.1,-49.1,-9.9,0.971,-2.917,0.714,-11.68",
+    # RT90 2.5 gon V (Sweden legacy)
+    3021: "+proj=tmerc +lat_0=0 +lon_0=15.80827777777778 +k=1 +x_0=1500000 "
+          "+y_0=0 +ellps=bessel "
+          "+towgs84=414.1,41.3,603.1,-0.855,2.141,-7.023,0",
+    # Qatar: 1974 National Grid and QND95
+    28600: "+proj=tmerc +lat_0=24.45 +lon_0=51.21666666666667 +k=0.99999 "
+           "+x_0=200000 +y_0=300000 +ellps=intl "
+           "+towgs84=-128.16,-282.42,21.93",
+    2932: "+proj=tmerc +lat_0=24.45 +lon_0=51.21666666666667 +k=0.99999 "
+          "+x_0=200000 +y_0=300000 +ellps=intl "
+          "+towgs84=-119.4248,-303.65872,-11.00061,1.164298,0.174458,"
+          "1.096259,3.657065",
+    # Dubai Local TM
+    3997: "+proj=tmerc +lat_0=0 +lon_0=55.33333333333334 +k=1 +x_0=500000 "
+          "+y_0=0 +ellps=WGS84",
+    # Sri Lanka Grid (Kandawala, Everest 1830 adj 1937)
+    5234: "+proj=tmerc +lat_0=7.000480277777778 +lon_0=80.77171111111112 "
+          "+k=0.9999238418818223 +x_0=200000 +y_0=200000 "
+          "+a=6377276.345 +rf=300.8017 +towgs84=-97,787,86",
+    # GDM2000 / Peninsula RSO (Malaysia, Hotine variant B)
+    3375: "+proj=omerc +lat_0=4 +lonc=102.25 +alpha=323.0257964666666 "
+          "+gamma=323.1301023611111 +k=0.99984 +x_0=804671 +y_0=0 "
+          "+no_uoff +ellps=GRS80",
+    # Kertau (RSO) / RSO Malaya (m) — Everest 1830 (RSO 1969)
+    3168: "+proj=omerc +lat_0=4 +lonc=102.25 +alpha=323.0257905 "
+          "+gamma=323.1301023611111 +k=0.99984 +x_0=804670.24 +y_0=0 "
+          "+no_uoff +a=6377295.664 +rf=300.8017",
+    # GDM2000 / East Malaysia BRSO
+    3376: "+proj=omerc +lat_0=4 +lonc=115 +alpha=53.31580995 "
+          "+gamma=53.13010236111111 +k=0.99984 +x_0=0 +y_0=0 "
+          "+no_uoff +ellps=GRS80",
+    # EASE-Grid 2.0 Global (cea lat_ts=30) and NSIDC EASE-Grid Global
+    6933: "+proj=cea +lat_ts=30 +lon_0=0 +x_0=0 +y_0=0 +ellps=WGS84",
+    3410: "+proj=cea +lat_ts=30 +lon_0=0 +x_0=0 +y_0=0 "
+          "+a=6371228 +b=6371228",
+    # World Equidistant Cylindrical: WGS84 (4087, ellipsoidal; 32662 Plate
+    # Carree legacy code) and sphere (4088)
+    4087: "+proj=eqc +lat_ts=0 +lat_0=0 +lon_0=0 +x_0=0 +y_0=0 +ellps=WGS84",
+    32662: "+proj=eqc +lat_ts=0 +lat_0=0 +lon_0=0 +x_0=0 +y_0=0 +ellps=WGS84",
+    4088: "+proj=eqc +lat_ts=0 +lat_0=0 +lon_0=0 +x_0=0 +y_0=0 "
+          "+a=6371007 +b=6371007",
+    # NSIDC polar pathfinder north/south (spherical laea)
+    3408: "+proj=laea +lat_0=90 +lon_0=0 +x_0=0 +y_0=0 +a=6371228 +b=6371228",
+    3411: "+proj=stere +lat_0=90 +lat_ts=70 +lon_0=-45 +x_0=0 +y_0=0 "
+          "+a=6378273 +b=6356889.449",
+    3412: "+proj=stere +lat_0=-90 +lat_ts=-70 +lon_0=0 +x_0=0 +y_0=0 "
+          "+a=6378273 +b=6356889.449",
+}
+_EPSG_PROJ4.update(_SINGLES_R11)
+
+# NAD83(CSRS) MTM zones 3-10 (2945-2952) and UTM 11N-14N (2955-2958);
+# ITRF-aligned GRS80 null datum
+for _i, _lon in enumerate((-58.5, -61.5, -64.5, -67.5, -70.5, -73.5,
+                           -76.5, -79.5)):
+    _seed(2945 + _i, f"+proj=tmerc +lat_0=0 +lon_0={_lon} +k=0.9999 "
+          "+x_0=304800 +y_0=0 +ellps=GRS80")
+for _i, _z in enumerate((11, 12, 13, 14)):
+    _seed(2955 + _i, f"+proj=utm +zone={_z} +ellps=GRS80")
+
+# Hartebeesthoek94 / Lo15-Lo33 (2046-2055): south-oriented TM (+axis=wsu),
+# WGS84-compatible datum
+for _i in range(10):
+    _seed(2046 + _i, f"+proj=tmerc +lat_0=0 +lon_0={15 + 2 * _i} +k=1 "
+          "+x_0=0 +y_0=0 +ellps=WGS84 +axis=wsu")
+
+# MAGNA-SIRGAS / Colombia zones (3114-3118): GK on GRS80, shared origin
+# lat / false origin, CM -80.077.. to -68.077.. in 3-degree steps
+for _i in range(5):
+    _seed(3114 + _i, "+proj=tmerc +lat_0=4.596200416666666 "
+          f"+lon_0={-80.07750791666666 + 3 * _i} +k=1 "
+          "+x_0=1000000 +y_0=1000000 +ellps=GRS80")
+
+# POSGAR 98 fajas 1-7 (22171-22177): Argentina GK, origin at the pole
+for _i in range(7):
+    _seed(22171 + _i, f"+proj=tmerc +lat_0=-90 +lon_0={-72 + 3 * _i} +k=1 "
+          f"+x_0={(_i + 1) * 1000000 + 500000} +y_0=0 +ellps=GRS80")
+
+# KKJ / Finland zones 1-4 (2391-2394), Bessel with the published 7-param
+_KKJ = ("+ellps=intl "
+        "+towgs84=-96.062,-82.428,-121.753,4.801,0.345,-1.376,1.496")
+for _i in range(4):
+    _seed(2391 + _i, f"+proj=tmerc +lat_0=0 +lon_0={21 + 3 * _i} +k=1 "
+          f"+x_0={(_i + 1) * 1000000 + 500000} +y_0=0 {_KKJ}")
+
+# ED50 / 3-degree Gauss-Kruger zones 9-15 (2206-2212, Turkey)
+for _i in range(7):
+    _z = 9 + _i
+    _seed(2206 + _i, f"+proj=tmerc +lat_0=0 +lon_0={_z * 3} +k=1 "
+          f"+x_0={_z * 1000000 + 500000} +y_0=0 +ellps=intl "
+          "+towgs84=-87,-98,-121")
+
+# Egypt 1907 belts (22991-22994): Helmert 1906 ellipsoid
+_EGY = "+a=6378200 +rf=298.3 +towgs84=-130,110,-13"
+_seed(22991, f"+proj=tmerc +lat_0=30 +lon_0=35 +k=1 +x_0=300000 +y_0=1100000 {_EGY}")
+_seed(22992, f"+proj=tmerc +lat_0=30 +lon_0=31 +k=1 +x_0=615000 +y_0=810000 {_EGY}")
+_seed(22993, f"+proj=tmerc +lat_0=30 +lon_0=27 +k=1 +x_0=700000 +y_0=200000 {_EGY}")
+_seed(22994, f"+proj=tmerc +lat_0=30 +lon_0=27 +k=1 +x_0=700000 +y_0=1200000 {_EGY}")
+
+# Indian 1960 / UTM 48-49N (3148-3149), Indian 1975 / UTM 47-48N
+# (24047-24048): Everest 1830 (1937 adjustment)
+_EV37 = "+a=6377276.345 +rf=300.8017"
+_seed(3148, f"+proj=utm +zone=48 {_EV37} +towgs84=198,881,317")
+_seed(3149, f"+proj=utm +zone=49 {_EV37} +towgs84=198,881,317")
+_seed(24047, f"+proj=utm +zone=47 {_EV37} +towgs84=210,814,289")
+_seed(24048, f"+proj=utm +zone=48 {_EV37} +towgs84=210,814,289")
+
+# VN-2000 / UTM 48-49N (3405-3406): published grid-free 3-param shift
+for _z, _c in ((48, 3405), (49, 3406)):
+    _seed(_c, f"+proj=utm +zone={_z} +ellps=WGS84 "
+          "+towgs84=-192.873,-39.382,-111.202")
+
+# PRS92 / Philippines zones 1-5 (3121-3125): Clarke 1866, published 7-param
+_PRS = ("+ellps=clrk66 "
+        "+towgs84=-127.62,-67.24,-47.04,-3.068,4.903,1.578,-1.06")
+for _i in range(5):
+    _seed(3121 + _i, f"+proj=tmerc +lat_0=0 +lon_0={117 + 2 * _i} "
+          f"+k=0.99995 +x_0=500000 +y_0=0 {_PRS}")
+
+# Kalianpur 1975 / India zones I, IIa, IIb, III, IV (24378-24382):
+# LCC 1SP on Everest 1830 (1975 definition), published Indian shift
+_K75 = "+a=6377299.151 +rf=300.8017255 +towgs84=295,736,257"
+for _c, _lat, _lon in ((24378, 32.5, 68.0), (24379, 26.0, 74.0),
+                       (24380, 26.0, 90.0), (24381, 19.0, 80.0),
+                       (24382, 12.0, 80.0)):
+    _seed(_c, f"+proj=lcc +lat_1={_lat} +lat_0={_lat} +lon_0={_lon} "
+          f"+k_0=0.99878641 +x_0=2743195.5 +y_0=914398.5 {_K75}")
+
+# Korea 2000 belts (5185-5188): GK k=1 on GRS80, 2010 false origins
+for _i, _lon in enumerate((125, 127, 129, 131)):
+    _seed(5185 + _i, f"+proj=tmerc +lat_0=38 +lon_0={_lon} +k=1 "
+          "+x_0=200000 +y_0=600000 +ellps=GRS80")
+
+# Tokyo datum / Japan Plane CS I-X (30161-30170): Bessel, zone origins
+_TKY = "+ellps=bessel +towgs84=-146.414,507.337,680.507"
+for _i, (_lat, _lon) in enumerate((
+        (33.0, 129.5), (33.0, 131.0), (36.0, 132.1666666666667),
+        (33.0, 133.5), (36.0, 134.3333333333333), (36.0, 136.0),
+        (36.0, 137.1666666666667), (36.0, 138.5),
+        (36.0, 139.8333333333333), (40.0, 140.8333333333333))):
+    _seed(30161 + _i, f"+proj=tmerc +lat_0={_lat} +lon_0={_lon} +k=0.9999 "
+          f"+x_0=0 +y_0=0 {_TKY}")
+
 
 def proj4_for_epsg(code: int) -> str | None:
     """The seed proj4 definition for ``code``, or None."""

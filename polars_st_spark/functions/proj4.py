@@ -315,6 +315,18 @@ def _base_projection(params: dict, a: float, f: float):
             T._hotine_forward(a, f, k0, lat0, lonc, alpha, gamma, FE, FN, variant),
             T._hotine_inverse(a, f, k0, lat0, lonc, alpha, gamma, FE, FN, variant),
         )
+    if proj == "cea":
+        lat_ts = _f(params, "lat_ts", 0.0)
+        return (
+            T._cea_forward(a, f, lat_ts, lon0, FE, FN),
+            T._cea_inverse(a, f, lat_ts, lon0, FE, FN),
+        )
+    if proj == "eqc":
+        lat_ts = _f(params, "lat_ts", 0.0)
+        return (
+            T._eqc_forward(a, f, lat_ts, lat0, lon0, FE, FN),
+            T._eqc_inverse(a, f, lat_ts, lat0, lon0, FE, FN),
+        )
     if proj == "krovak":
         lat1 = _f(params, "lat_1", 78.5)  # Krovak pseudo-standard parallel
         alpha = _f(params, "alpha", 30.28813972222222)
@@ -357,6 +369,17 @@ def build_proj4(defn: str | dict):
         raise ValueError(f"proj4: unsupported +units={params['units']!r}")
     if "to_meter" in params:
         unit = _f(params, "to_meter")
+    # +axis sign flips (PROJ semantics: char 0 = CRS x direction, char 1 =
+    # CRS y). 'w'/'s' negate the en-positive projected values — the South
+    # Africa Lo grids (+axis=wsu) are the common user. Axis-ORDER swaps
+    # ('neu' etc.) are not supported (raise, matching the engine's clear-
+    # error contract).
+    ax = params.get("axis", "enu")
+    if ax is True or len(ax) < 2 or ax[0] not in "ew" or ax[1] not in "ns":
+        raise ValueError(f"proj4: unsupported +axis={ax!r} (sign flips only: "
+                         "first char e/w, second n/s)")
+    sx = -1.0 if ax[0] == "w" else 1.0
+    sy = -1.0 if ax[1] == "s" else 1.0
 
     def fwd(arr: np.ndarray) -> np.ndarray:
         a2 = arr
@@ -366,13 +389,18 @@ def build_proj4(defn: str | dict):
         out = base_fwd(a2)
         if unit != 1.0:
             out[:, :2] /= unit
+        if sx != 1.0:
+            out[:, 0] *= sx
+        if sy != 1.0:
+            out[:, 1] *= sy
         return out
 
     def inv(arr: np.ndarray) -> np.ndarray:
         a2 = arr
-        if unit != 1.0:
+        if unit != 1.0 or sx != 1.0 or sy != 1.0:
             a2 = arr.copy()
-            a2[:, :2] *= unit
+            a2[:, 0] *= unit * sx
+            a2[:, 1] *= unit * sy
         out = base_inv(a2)
         if shift_to is not None:
             out[:, 0], out[:, 1] = shift_to(out[:, 0], out[:, 1])

@@ -1225,12 +1225,13 @@ _CONIC_CODES = {
     3577: ("albers", _GRS80_A, _GRS80_F, 0.0, 132.0, -18.0, -36.0, 0.0, 0.0),
     # ETRS89-extended / LAEA Europe (azimuthal: lat1/lat2 unused)
     3035: ("laea", _GRS80_A, _GRS80_F, 52.0, 10.0, 0.0, 0.0, 4321000.0, 3210000.0),
-    # NAD83 / California zone 5 (axis unit ftUS via _CODE_UNIT; the false
-    # origin is the exact metric equivalent of 6 561 666.667 / 1 640 416.667
-    # ftUS per the EPSG registry)
+    # NAD83 / California zone 5 (axis unit ftUS via _CODE_UNIT; EPSG
+    # defines the false origin IN ftUS as exactly 6 561 666.667 /
+    # 1 640 416.667 — i.e. 2 000 000.0001016 m, the value PROJ ships —
+    # not the rounder 2 000 000 m (r11 fix: was 6561666.66666666)
     2229: ("lcc", _GRS80_A, _GRS80_F, 33.5, -118.0,
            34.0 + 2.0 / 60.0, 35.0 + 28.0 / 60.0,
-           6561666.66666666 * 1200.0 / 3937.0, 1640416.66666666 * 1200.0 / 3937.0),
+           6561666.667 * 1200.0 / 3937.0, 1640416.667 * 1200.0 / 3937.0),
     # NAD83 / New York Long Island (ftUS; FE 984 250 ftUS = exactly 300 km)
     2263: ("lcc", _GRS80_A, _GRS80_F, 40.0 + 10.0 / 60.0, -74.0,
            40.0 + 40.0 / 60.0, 41.0 + 2.0 / 60.0,
@@ -1573,6 +1574,145 @@ def _laea_inverse(a, f, lat0, lon0, _lat1, _lat2, FE, FN):
         out = arr.copy()
         out[:, 0] = np.degrees(lam + lam0)
         out[:, 1] = np.degrees(phi)
+        return out
+
+    return fn
+
+
+def _cea_forward(a, f, lat_ts, lon0, FE, FN):
+    """Lambert Cylindrical Equal Area, ellipsoidal (Snyder PP 1395 pp.
+    81-82, eqs. 10-7/10-8; EPSG method 9835 — EASE-Grid 2.0 global and the
+    NSIDC 3410 family). k0 = cos(lat_ts)/sqrt(1-e^2 sin^2 lat_ts);
+    x = a k0 lam, y = a q(phi)/(2 k0)."""
+    e2 = f * (2.0 - f)
+    e = math.sqrt(e2)
+    pts = math.radians(lat_ts)
+    k0 = math.cos(pts) / math.sqrt(1 - e2 * math.sin(pts) ** 2)
+    lam0 = math.radians(lon0)
+    if f == 0.0:
+        def fn_s(arr: np.ndarray) -> np.ndarray:
+            out = arr.copy()
+            out[:, 0] = FE + a * k0 * (np.radians(arr[:, 0]) - lam0)
+            out[:, 1] = FN + a * np.sin(np.radians(arr[:, 1])) / k0
+            return out
+
+        return fn_s
+
+    def fn(arr: np.ndarray) -> np.ndarray:
+        out = arr.copy()
+        out[:, 0] = FE + a * k0 * (np.radians(arr[:, 0]) - lam0)
+        out[:, 1] = FN + a * _laea_q(e, e2, np.sin(np.radians(arr[:, 1]))) / (
+            2.0 * k0)
+        return out
+
+    return fn
+
+
+def _cea_inverse(a, f, lat_ts, lon0, FE, FN):
+    e2 = f * (2.0 - f)
+    e = math.sqrt(e2)
+    pts = math.radians(lat_ts)
+    k0 = math.cos(pts) / math.sqrt(1 - e2 * math.sin(pts) ** 2)
+    lam0 = math.radians(lon0)
+    if f == 0.0:
+        def fn_s(arr: np.ndarray) -> np.ndarray:
+            out = arr.copy()
+            out[:, 0] = np.degrees((arr[:, 0] - FE) / (a * k0) + lam0)
+            out[:, 1] = np.degrees(
+                np.arcsin(np.clip((arr[:, 1] - FN) * k0 / a, -1.0, 1.0)))
+            return out
+
+        return fn_s
+    qp = float(_laea_q(e, e2, np.float64(1.0)))
+
+    def fn(arr: np.ndarray) -> np.ndarray:
+        qv = 2.0 * (arr[:, 1] - FN) * k0 / a
+        beta = np.arcsin(np.clip(qv / qp, -1.0, 1.0))
+        # authalic -> geodetic latitude (same Snyder 3-16 loop as laea);
+        # the fixed point divides by cos(phi), so poles resolve directly
+        at_pole = np.abs(beta) > math.pi / 2 - 1e-12
+        phi = beta.copy()
+        with np.errstate(invalid="ignore", divide="ignore"):
+            for _ in range(8):
+                s = np.sin(phi)
+                phi = phi + (1 - e2 * s * s) ** 2 / (2 * np.cos(phi)) * (
+                    qv / (1 - e2)
+                    - s / (1 - e2 * s * s)
+                    + (1 / (2 * e)) * np.log((1 - e * s) / (1 + e * s))
+                )
+        phi = np.where(at_pole, np.copysign(math.pi / 2, beta), phi)
+        out = arr.copy()
+        out[:, 0] = np.degrees((arr[:, 0] - FE) / (a * k0) + lam0)
+        out[:, 1] = np.degrees(phi)
+        return out
+
+    return fn
+
+
+def _merid_M(a, e2, phi):
+    """Meridian arc length M(phi) — Snyder PP 1395 eq. 3-21."""
+    e4, e6 = e2 * e2, e2 * e2 * e2
+    return a * (
+        (1 - e2 / 4 - 3 * e4 / 64 - 5 * e6 / 256) * phi
+        - (3 * e2 / 8 + 3 * e4 / 32 + 45 * e6 / 1024) * np.sin(2 * phi)
+        + (15 * e4 / 256 + 45 * e6 / 1024) * np.sin(4 * phi)
+        - (35 * e6 / 3072) * np.sin(6 * phi)
+    )
+
+
+def _merid_phi(a, e2, M):
+    """Footpoint latitude from meridian arc (Snyder eqs. 7-19/3-26)."""
+    mu = M / (a * (1 - e2 / 4 - 3 * e2 * e2 / 64 - 5 * e2 ** 3 / 256))
+    e1 = (1 - math.sqrt(1 - e2)) / (1 + math.sqrt(1 - e2))
+    return (
+        mu
+        + (3 * e1 / 2 - 27 * e1 ** 3 / 32) * np.sin(2 * mu)
+        + (21 * e1 ** 2 / 16 - 55 * e1 ** 4 / 32) * np.sin(4 * mu)
+        + (151 * e1 ** 3 / 96) * np.sin(6 * mu)
+        + (1097 * e1 ** 4 / 512) * np.sin(8 * mu)
+    )
+
+
+def _eqc_forward(a, f, lat_ts, lat0, lon0, FE, FN):
+    """Equidistant Cylindrical / Plate Carree, ellipsoidal (EPSG method
+    1028; Snyder pp. 90-91): x = nu(lat_ts) cos(lat_ts) lam, y = M(phi) -
+    M(lat0). The spherical case (f=0) degenerates to the classic
+    R(lam cos lat_ts, phi)."""
+    e2 = f * (2.0 - f)
+    pts = math.radians(lat_ts)
+    nu1c = a * math.cos(pts) / math.sqrt(1 - e2 * math.sin(pts) ** 2)
+    lam0 = math.radians(lon0)
+    M0 = float(_merid_M(a, e2, np.float64(math.radians(lat0)))) if f else (
+        a * math.radians(lat0))
+
+    def fn(arr: np.ndarray) -> np.ndarray:
+        out = arr.copy()
+        out[:, 0] = FE + nu1c * (np.radians(arr[:, 0]) - lam0)
+        if f == 0.0:
+            out[:, 1] = FN + a * np.radians(arr[:, 1]) - M0
+        else:
+            out[:, 1] = FN + _merid_M(a, e2, np.radians(arr[:, 1])) - M0
+        return out
+
+    return fn
+
+
+def _eqc_inverse(a, f, lat_ts, lat0, lon0, FE, FN):
+    e2 = f * (2.0 - f)
+    pts = math.radians(lat_ts)
+    nu1c = a * math.cos(pts) / math.sqrt(1 - e2 * math.sin(pts) ** 2)
+    lam0 = math.radians(lon0)
+    M0 = float(_merid_M(a, e2, np.float64(math.radians(lat0)))) if f else (
+        a * math.radians(lat0))
+
+    def fn(arr: np.ndarray) -> np.ndarray:
+        out = arr.copy()
+        out[:, 0] = np.degrees((arr[:, 0] - FE) / nu1c + lam0)
+        M = (arr[:, 1] - FN) + M0
+        if f == 0.0:
+            out[:, 1] = np.degrees(M / a)
+        else:
+            out[:, 1] = np.degrees(_merid_phi(a, e2, M))
         return out
 
     return fn

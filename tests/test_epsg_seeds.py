@@ -32,6 +32,12 @@ def _origin(params):
     proj = params["proj"]
     if proj == "longlat":
         return None
+    if proj == "omerc":
+        # Hotine's natural origin does NOT map (lonc, lat_0) -> (x_0, y_0)
+        # (the center offset u_c / grid rotation apply); the r11 omerc
+        # seeds are pinned against the EPSG GN7-2 Timbalai worked example
+        # in test_omerc_seeds_pinned instead.
+        return None
     if proj == "utm":
         z = int(float(params["zone"]))
         return (z * 6 - 183.0, 0.0, 500000.0,
@@ -148,3 +154,108 @@ def test_laea_sphere_matches_ellipsoid_limit():
 def test_proj4_for_epsg_lookup():
     assert proj4_for_epsg(2180).startswith("+proj=tmerc")
     assert proj4_for_epsg(424242) is None
+
+
+# --- r11 wave: cea / eqc methods, +axis flips, omerc seeds ---------------
+
+def test_cea_snyder_example():
+    # Snyder PP 1395 pp. 281-282: Clarke 1866, lat_ts=5, lon_0=-75;
+    # (lat 10N, lon 78W) -> x=-332699.8, y=1104391.2
+    fwd, inv = P.build_proj4(
+        "+proj=cea +lat_ts=5 +lon_0=-75 +a=6378206.4 +rf=294.978698213898")
+    out = fwd(np.array([[-78.0, 10.0]]))
+    assert abs(out[0, 0] - (-332699.8)) < 0.1
+    assert abs(out[0, 1] - 1104391.2) < 0.1
+    rt = inv(out.copy())
+    assert abs(rt[0, 0] + 78.0) < 1e-8 and abs(rt[0, 1] - 10.0) < 1e-8
+
+
+def test_ease2_global_seed():
+    # EASE-Grid 2.0 global (EPSG 6933): cea lat_ts=30 on WGS84. The
+    # published x half-extent is 17367530.45 (the NSIDC grid constant);
+    # the y half-extent is checked by the EQUAL-AREA invariant: the full
+    # cylinder 2xmax * 2ymax must equal the WGS84 authalic sphere's
+    # surface 4*pi*Ra^2 (Ra = 6371007.1809).
+    fwd, inv = T._code_fns(6933)
+    out = fwd(np.array([[180.0, 90.0], [0.0, 0.0]]))
+    assert abs(out[0, 0] - 17367530.45) < 0.5
+    area = 4.0 * out[0, 0] * out[0, 1]
+    ra = 6371007.1809
+    assert abs(area / (4 * math.pi * ra * ra) - 1.0) < 1e-7
+    assert abs(out[1, 0]) < 1e-6 and abs(out[1, 1]) < 1e-6
+    rt = inv(out.copy())
+    assert abs(rt[0, 0] - 180.0) < 1e-6 and abs(rt[0, 1] - 90.0) < 1e-6
+
+
+def test_eqc_world_equidistant_seed():
+    # EPSG 4087 (World Equidistant Cylindrical, ellipsoidal method 1028):
+    # y(lat) is the meridian arc — M(90) on WGS84 = 10001965.729
+    fwd, inv = T._code_fns(4087)
+    out = fwd(np.array([[0.0, 90.0], [10.0, 50.0]]))
+    assert abs(out[0, 1] - 10001965.729) < 0.01
+    assert abs(out[1, 0] - 1113194.908) < 0.01
+    rt = inv(out.copy())
+    # series-truncation round-trip: ~2.6e-9 deg (sub-mm) at mid latitudes
+    assert np.abs(rt[:, :2] - [[0.0, 90.0], [10.0, 50.0]]).max() < 1e-7
+
+
+def test_sa_lo_axis_wsu():
+    # Hartebeesthoek94 / Lo19 (EPSG 2048): westing/southing axes — Cape
+    # Town (18.42E, 33.93S) must land POSITIVE on both axes, and the
+    # east-of-CM point must have NEGATIVE westing.
+    fwd, inv = T._code_fns(2048)
+    out = fwd(np.array([[18.42, -33.93], [19.5, -30.0]]))
+    assert out[0, 0] > 0 and out[0, 1] > 0
+    assert out[1, 0] < 0  # east of the 19E CM -> negative westing
+    rt = inv(out.copy())
+    assert np.abs(rt[:, :2] - [[18.42, -33.93], [19.5, -30.0]]).max() < 1e-7
+
+
+def test_axis_swap_raises():
+    with pytest.raises(ValueError, match="axis"):
+        P.build_proj4("+proj=tmerc +lon_0=0 +ellps=WGS84 +axis=neu")
+
+
+def test_omerc_seeds_pinned():
+    # Variant B kernel is pinned to the EPSG GN7-2 Timbalai worked example
+    # in test_io_crs/test_proj4. Here: (a) the variant-A seeds (no_uoff)
+    # differ from their variant-B twin by a CONSTANT grid vector (the u_c
+    # offset rotated into grid) — the defining A<->B relationship; (b) the
+    # Michigan GeoRef center regression-pins to its grid-positive design
+    # values (computed with the GN7-2-validated kernel).
+    defn_a = _EPSG_PROJ4[3375]
+    defn_b = defn_a.replace(" +no_uoff", "")
+    fwd_a, _ = P.build_proj4(defn_a)
+    fwd_b, _ = P.build_proj4(defn_b)
+    pts = np.array([[101.7, 3.15], [103.0, 5.0], [100.5, 6.2]])
+    d = fwd_a(pts.copy())[:, :2] - fwd_b(pts.copy())[:, :2]
+    assert np.abs(d - d[0]).max() < 1e-6
+    assert np.abs(d[0]).max() > 1000.0  # the offset is real, not a no-op
+    fwd_mi, inv_mi = T._code_fns(3078)
+    c = fwd_mi(np.array([[-86.0, 45.30916666666666]]))
+    assert abs(c[0, 0] - 499840.252) < 0.01
+    assert abs(c[0, 1] - 528600.303) < 0.01
+    rt = inv_mi(c.copy())
+    assert abs(rt[0, 0] + 86.0) < 1e-8
+
+
+def test_r11_wave_count_and_resolution():
+    # every r11 family resolves through _code_fns (seed -> build_proj4)
+    for code in (2225, 2230, 2240, 2248, 2249, 2250, 2272, 2285, 3071,
+                 3078, 3979, 3578, 3003, 3004, 3021, 28600, 2932, 3997,
+                 5234, 3375, 3168, 3376, 6933, 3410, 4087, 32662, 4088,
+                 3408, 3411, 3412, 2945, 2952, 2955, 2958, 2046, 2055,
+                 3114, 3118, 22171, 22177, 2391, 2394, 2206, 2212, 22991,
+                 22994, 3148, 3149, 24047, 24048, 3405, 3406, 3121, 3125,
+                 24378, 24382, 5185, 5188, 30161, 30170):
+        assert T._code_fns(code) is not None, code
+
+
+def test_stateplane_ftus_units():
+    # EPSG 2229 (California zone 5 ftUS): the false origin in FEET is
+    # x_0 / 0.3048006096... = 6561666.667 ftUS
+    fwd, inv = T._code_fns(2229)
+    out = fwd(np.array([[-118.0, 33.5]]))
+    assert abs(out[0, 0] - 2000000.0001016 / 0.30480060960121924) < 0.01
+    rt = inv(out.copy())
+    assert abs(rt[0, 0] + 118.0) < 1e-7 and abs(rt[0, 1] - 33.5) < 1e-7

@@ -337,7 +337,7 @@ def test_mercator_polar_oblique_worked_examples():
     assert np.abs(rt - [-73.9857, 40.7484]).max() < 1e-9
     cf5, ci5 = T._code_fns(2229)
     o5 = cf5(np.array([[-118.0, 33.5]]))
-    assert abs(o5[0, 0] - 6561666.66666666) < 1e-5 and abs(o5[0, 1] - 1640416.66666666) < 1e-5
+    assert abs(o5[0, 0] - 6561666.667) < 1e-5 and abs(o5[0, 1] - 1640416.667) < 1e-5
     rt5 = ci5(cf5(np.array([[-118.25, 34.05]])))
     assert np.abs(rt5 - [-118.25, 34.05]).max() < 1e-9
 
@@ -408,7 +408,7 @@ def test_every_registered_code_roundtrips():
         anchors = {
             27700: (400000.0, -100000.0), 2193: (1600000.0, 10000000.0),
             28992: (155000.0, 463000.0),
-            2229: (6561666.66666666, 1640416.66666666), 2263: (984250.0, 0.0),
+            2229: (6561666.667, 1640416.667), 2263: (984250.0, 0.0),
             2056: (2600000.0, 1200000.0), 21781: (600000.0, 200000.0),
             29873: (590476.87, 442857.65), 26931: (800000.0, 600000.0),
             5514: (-650000.0, -1050000.0),

@@ -62,13 +62,13 @@ _LOCAL_PTS = {
     # Lambert-93 (LCC 2SP, GRS80, no shift)
     (2154, "+proj=lcc +lat_0=46.5 +lon_0=3 +lat_1=49 +lat_2=44 +x_0=700000 "
            "+y_0=6600000 +ellps=GRS80", 1e-8),
-    # California zone 5 in US survey feet (5e-4 ftUS = 0.15 mm: the builtin
-    # table truncates the ftUS false origin at 8 repeating 6s, the proj
-    # string carries the exact metric equivalent)
+    # California zone 5 in US survey feet (r11: builtin now carries the
+    # EPSG ftUS-defined false origin 6561666.667 exactly, matching the
+    # proj string's metric equivalent to ~1e-10 m)
     (2229, "+proj=lcc +lat_0=33.5 +lon_0=-118 "
            "+lat_1=34.0333333333333333 +lat_2=35.4666666666666667 "
            "+x_0=2000000.0001016 +y_0=500000.0001016002 +ellps=GRS80 "
-           "+units=us-ft", 5e-4),
+           "+units=us-ft", 1e-5),
     # Conus Albers
     (5070, "+proj=aea +lat_0=23 +lon_0=-96 +lat_1=29.5 +lat_2=45.5 "
            "+ellps=GRS80", 1e-8),
