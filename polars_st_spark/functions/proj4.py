@@ -9,14 +9,16 @@ proj dependency: any CRS expressible over the implemented projection
 methods — Transverse Mercator (+utm), Lambert Conformal Conic 1SP/2SP,
 Albers, Lambert Azimuthal Equal Area, ellipsoidal + spherical Mercator,
 Polar Stereographic (variant B), Oblique Stereographic, Swiss oblique
-cylindrical, Hotine Oblique Mercator A/B, Krovak, and geographic
-(longlat) — with any ellipsoid (+ellps/+a/+b/+rf/+f), any Helmert
-``+towgs84`` 3- or 7-parameter datum shift (position-vector convention,
-EPSG 9606 — the proj convention), NTv2 grid-shift datums via
-``+nadgrids=`` (register the ``.gsb`` bytes first with
-``functions.ntv2.register_nadgrid``; grids resolve at ``build_proj4``
-time, so register them BEFORE ``register_proj4``), and axis units
-(+units/+to_meter).
+cylindrical, Hotine Oblique Mercator A/B, Krovak, Lambert Cylindrical
+Equal Area (+cea — EASE-Grid 2.0), Equidistant Cylindrical / Plate
+Carree (+eqc, ellipsoidal EPSG method 1028), and geographic (longlat) —
+with any ellipsoid (+ellps/+a/+b/+rf/+f), any Helmert ``+towgs84`` 3- or
+7-parameter datum shift (position-vector convention, EPSG 9606 — the
+proj convention), NTv2 grid-shift datums via ``+nadgrids=`` (register
+the ``.gsb`` bytes first with ``functions.ntv2.register_nadgrid``; grids
+resolve at ``build_proj4`` time, so register them BEFORE
+``register_proj4``), axis units (+units/+to_meter), and axis-direction
+sign flips (+axis=wsu — the South Africa Lo grids; order swaps raise).
 
 The proj parameter language is public (PROJ documentation); all
 projection math references Snyder PP 1395 / EPSG Guidance Note 7-2 and
