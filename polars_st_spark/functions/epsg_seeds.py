@@ -572,6 +572,26 @@ for _i, _lon in enumerate((125, 127, 129, 131)):
     _seed(5185 + _i, f"+proj=tmerc +lat_0=38 +lon_0={_lon} +k=1 "
           "+x_0=200000 +y_0=600000 +ellps=GRS80")
 
+# Cassini-Soldner grids (r11 +proj=cass): Palestine 1923, Trinidad 1903
+# (Clarke 1858 with Clarke-link units via +to_meter), Kertau 1968 /
+# Singapore Grid
+_seed(28191, "+proj=cass +lat_0=31.73409694444445 +lon_0=35.21208055555556 "
+      "+x_0=170251.555 +y_0=126867.909 +a=6378300.789 +b=6356566.435 "
+      "+towgs84=-275.722,94.7824,340.894,-8.001,-4.42,-11.821,1")
+_seed(30200, "+proj=cass +lat_0=10.44166666666667 +lon_0=-61.33333333333334 "
+      "+x_0=86501.46392052001 +y_0=65379.0134283 "
+      "+a=6378293.645208759 +b=6356617.987679838 "
+      "+to_meter=0.201166195164 +towgs84=-61.702,284.488,472.052")
+_seed(24500, "+proj=cass +lat_0=1.287646666666667 +lon_0=103.8530022222222 "
+      "+x_0=30000 +y_0=30000 +a=6377304.063 +b=6356103.038993155 "
+      "+towgs84=-11,851,5")
+# American Polyconic (r11 +proj=poly): Brazil Polyconic on SAD69 (GRS67
+# a=6378160 rf=298.25, Brazilian national shift) and SIRGAS 2000
+_seed(29101, "+proj=poly +lat_0=0 +lon_0=-54 +x_0=5000000 +y_0=10000000 "
+      "+a=6378160 +rf=298.25 +towgs84=-57,1,-41")
+_seed(5880, "+proj=poly +lat_0=0 +lon_0=-54 +x_0=5000000 +y_0=10000000 "
+      "+ellps=GRS80")
+
 # Tokyo datum / Japan Plane CS I-X (30161-30170): Bessel, zone origins
 _TKY = "+ellps=bessel +towgs84=-146.414,507.337,680.507"
 for _i, (_lat, _lon) in enumerate((

@@ -317,6 +317,16 @@ def _base_projection(params: dict, a: float, f: float):
             T._hotine_forward(a, f, k0, lat0, lonc, alpha, gamma, FE, FN, variant),
             T._hotine_inverse(a, f, k0, lat0, lonc, alpha, gamma, FE, FN, variant),
         )
+    if proj == "cass":
+        return (
+            T._cass_forward(a, f, lat0, lon0, FE, FN),
+            T._cass_inverse(a, f, lat0, lon0, FE, FN),
+        )
+    if proj == "poly":
+        return (
+            T._poly_forward(a, f, lat0, lon0, FE, FN),
+            T._poly_inverse(a, f, lat0, lon0, FE, FN),
+        )
     if proj == "cea":
         lat_ts = _f(params, "lat_ts", 0.0)
         return (

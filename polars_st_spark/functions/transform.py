@@ -1673,6 +1673,153 @@ def _merid_phi(a, e2, M):
     )
 
 
+def _cass_forward(a, f, lat0, lon0, FE, FN):
+    """Cassini-Soldner, ellipsoidal (Snyder PP 1395 pp. 92-95, eqs.
+    13-7/13-8; EPSG method 9806 — Palestine Grid, Trinidad 1903,
+    Singapore/Malaya cadastral grids)."""
+    e2 = f * (2.0 - f)
+    lam0 = math.radians(lon0)
+    M0 = float(_merid_M(a, e2, np.float64(math.radians(lat0))))
+
+    def fn(arr: np.ndarray) -> np.ndarray:
+        phi = np.radians(arr[:, 1])
+        s, c = np.sin(phi), np.cos(phi)
+        N = a / np.sqrt(1 - e2 * s * s)
+        T = np.tan(phi) ** 2
+        A = (np.radians(arr[:, 0]) - lam0) * c
+        C = e2 * c * c / (1 - e2)
+        A2 = A * A
+        out = arr.copy()
+        out[:, 0] = FE + N * A * (
+            1 - T * A2 / 6 - (8 - T + 8 * C) * T * A2 * A2 / 120)
+        out[:, 1] = FN + (_merid_M(a, e2, phi) - M0
+                          + N * np.tan(phi) * A2 * (
+                              0.5 + (5 - T + 6 * C) * A2 / 24))
+        return out
+
+    return fn
+
+
+def _cass_inverse(a, f, lat0, lon0, FE, FN):
+    e2 = f * (2.0 - f)
+    lam0 = math.radians(lon0)
+    M0 = float(_merid_M(a, e2, np.float64(math.radians(lat0))))
+    fwd_nofo = _cass_forward(a, f, lat0, lon0, 0.0, 0.0)
+
+    def fn(arr: np.ndarray) -> np.ndarray:
+        x = arr[:, 0] - FE
+        phi1 = _merid_phi(a, e2, M0 + (arr[:, 1] - FN))
+        s1, c1 = np.sin(phi1), np.cos(phi1)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            T1 = np.tan(phi1) ** 2
+            N1 = a / np.sqrt(1 - e2 * s1 * s1)
+            R1 = a * (1 - e2) / (1 - e2 * s1 * s1) ** 1.5
+            D = x / N1
+            D2 = D * D
+            phi = phi1 - (N1 * np.tan(phi1) / R1) * D2 * (
+                0.5 - (1 + 3 * T1) * D2 / 24)
+            lam = lam0 + (D - T1 * D2 * D / 3
+                          + (1 + 3 * T1) * T1 * D2 * D2 * D / 15) / c1
+        # footpoint at a pole (tan/cos blow up): the point IS the pole
+        at_pole = np.abs(c1) < 1e-12
+        phi = np.where(at_pole, phi1, phi)
+        lam = np.where(at_pole, lam0, lam)
+        # Newton polish: the Snyder 13-y series truncates at ~3e-8 deg
+        # (mm-level) far from the CM; two 2-D Newton steps on the forward
+        # bring the round-trip to float precision (cadastral grids care)
+        lon_d, lat_d = np.degrees(lam), np.degrees(phi)
+        h = 1e-7
+        for _ in range(2):
+            base = fwd_nofo(np.stack([lon_d, lat_d], axis=1))
+            rx, ry = base[:, 0] - x, base[:, 1] - (arr[:, 1] - FN)
+            dlon = fwd_nofo(np.stack([lon_d + h, lat_d], axis=1))
+            dlat = fwd_nofo(np.stack([lon_d, lat_d + h], axis=1))
+            j11 = (dlon[:, 0] - base[:, 0]) / h
+            j21 = (dlon[:, 1] - base[:, 1]) / h
+            j12 = (dlat[:, 0] - base[:, 0]) / h
+            j22 = (dlat[:, 1] - base[:, 1]) / h
+            det = j11 * j22 - j12 * j21
+            det = np.where(np.abs(det) < 1e-30, 1e-30, det)
+            lon_d = lon_d - (j22 * rx - j12 * ry) / det
+            lat_d = lat_d - (-j21 * rx + j11 * ry) / det
+        out = arr.copy()
+        out[:, 0] = lon_d
+        out[:, 1] = lat_d
+        return out
+
+    return fn
+
+
+def _poly_forward(a, f, lat0, lon0, FE, FN):
+    """American Polyconic, ellipsoidal (Snyder PP 1395 pp. 124-126, eqs.
+    18-12..18-15; EPSG method 9818 — SAD69 / Brazil Polyconic)."""
+    e2 = f * (2.0 - f)
+    lam0 = math.radians(lon0)
+    M0 = float(_merid_M(a, e2, np.float64(math.radians(lat0))))
+
+    def fn(arr: np.ndarray) -> np.ndarray:
+        phi = np.radians(arr[:, 1])
+        lam = np.radians(arr[:, 0]) - lam0
+        s = np.sin(phi)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            N = a / np.sqrt(1 - e2 * s * s)
+            cot = 1.0 / np.tan(phi)
+            E = lam * s
+            xe = N * cot * np.sin(E)
+            ye = _merid_M(a, e2, phi) - M0 + N * cot * (1 - np.cos(E))
+        on_eq = np.abs(phi) < 1e-12
+        out = arr.copy()
+        out[:, 0] = FE + np.where(on_eq, a * lam, xe)
+        out[:, 1] = FN + np.where(on_eq, -M0, ye)
+        return out
+
+    return fn
+
+
+def _poly_inverse(a, f, lat0, lon0, FE, FN):
+    """Vectorized 2-D Newton on the closed-form forward (numeric Jacobian;
+    the polyconic inverse series (Snyder 18-18) trades accuracy for speed —
+    Newton from the footpoint latitude converges in ~4 steps to float
+    precision and shares the forward's code path)."""
+    e2 = f * (2.0 - f)
+    lam0 = math.radians(lon0)
+    M0 = float(_merid_M(a, e2, np.float64(math.radians(lat0))))
+    fwd = _poly_forward(a, f, lat0, lon0, 0.0, 0.0)
+
+    def _f(lon_deg, lat_deg):
+        arr = np.stack([lon_deg, lat_deg], axis=1)
+        o = fwd(arr)
+        return o[:, 0], o[:, 1]
+
+    def fn(arr: np.ndarray) -> np.ndarray:
+        x = arr[:, 0] - FE
+        y = arr[:, 1] - FN
+        # start at the footpoint latitude / equirect longitude
+        lat = np.degrees(_merid_phi(a, e2, M0 + y))
+        lon = np.degrees(lam0 + x / (a * np.maximum(
+            np.cos(np.radians(lat)), 1e-9)) * np.cos(np.radians(lat)))
+        h = 1e-7
+        for _ in range(8):
+            fx, fy = _f(lon, lat)
+            rx, ry = fx - x, fy - y
+            dxdlon, dydlon = _f(lon + h, lat)
+            dxdlat, dydlat = _f(lon, lat + h)
+            j11 = (dxdlon - fx) / h
+            j21 = (dydlon - fy) / h
+            j12 = (dxdlat - fx) / h
+            j22 = (dydlat - fy) / h
+            det = j11 * j22 - j12 * j21
+            det = np.where(np.abs(det) < 1e-30, 1e-30, det)
+            lon = lon - (j22 * rx - j12 * ry) / det
+            lat = lat - (-j21 * rx + j11 * ry) / det
+        out = arr.copy()
+        out[:, 0] = lon
+        out[:, 1] = lat
+        return out
+
+    return fn
+
+
 def _eqc_forward(a, f, lat_ts, lat0, lon0, FE, FN):
     """Equidistant Cylindrical / Plate Carree, ellipsoidal (EPSG method
     1028; Snyder pp. 90-91): x = nu(lat_ts) cos(lat_ts) lam, y = M(phi) -

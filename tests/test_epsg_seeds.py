@@ -259,3 +259,42 @@ def test_stateplane_ftus_units():
     assert abs(out[0, 0] - 2000000.0001016 / 0.30480060960121924) < 0.01
     rt = inv(out.copy())
     assert abs(rt[0, 0] + 118.0) < 1e-7 and abs(rt[0, 1] - 33.5) < 1e-7
+
+
+def test_cass_snyder_example():
+    # Snyder PP 1395 pp. 287-288: Cassini, Clarke 1866, lat_0=40,
+    # lon_0=-75; (43N, 73W) -> x=163071.1, y=335127.6; Newton-polished
+    # inverse round-trips to float precision
+    fwd, inv = P.build_proj4(
+        "+proj=cass +lat_0=40 +lon_0=-75 +a=6378206.4 +rf=294.978698213898")
+    o = fwd(np.array([[-73.0, 43.0]]))
+    assert abs(o[0, 0] - 163071.1) < 0.1 and abs(o[0, 1] - 335127.6) < 0.1
+    rt = inv(o.copy())
+    assert abs(rt[0, 0] + 73.0) < 1e-10 and abs(rt[0, 1] - 43.0) < 1e-10
+
+
+def test_poly_snyder_example():
+    # Snyder PP 1395 pp. 303-304: Polyconic, Clarke 1866, lat_0=30,
+    # lon_0=-96; (40N, 75W) -> x=1776774.5, y=1319657.8; equator row takes
+    # the closed-form x = a*lam branch
+    fwd, inv = P.build_proj4(
+        "+proj=poly +lat_0=30 +lon_0=-96 +a=6378206.4 +rf=294.978698213898")
+    o = fwd(np.array([[-75.0, 40.0], [-90.0, 0.0]]))
+    assert abs(o[0, 0] - 1776774.5) < 0.1 and abs(o[0, 1] - 1319657.8) < 0.1
+    rt = inv(o.copy())
+    assert np.abs(rt[:, :2] - [[-75.0, 40.0], [-90.0, 0.0]]).max() < 1e-9
+
+
+def test_cass_poly_seeds_resolve():
+    for code in (28191, 30200, 24500, 29101, 5880):
+        assert T._code_fns(code) is not None, code
+    # Trinidad 1903 carries Clarke-link units: the natural origin in the
+    # CRS's OWN coordinates (base projection / unit, no datum shift) must
+    # be the EPSG-registry 430000 / 325000 links
+    params = P.parse_proj4(_EPSG_PROJ4[30200])
+    a, f = P._ellipsoid(params)
+    base_f, _ = P._base_projection(params, a, f)
+    o = base_f(np.array([[-61.33333333333334, 10.44166666666667]]))
+    to_m = float(params["to_meter"])
+    assert abs(o[0, 0] / to_m - 430000.0) < 1e-3
+    assert abs(o[0, 1] / to_m - 325000.0) < 1e-3
