@@ -572,6 +572,63 @@ for _i, _lon in enumerate((125, 127, 129, 131)):
     _seed(5185 + _i, f"+proj=tmerc +lat_0=38 +lon_0={_lon} +k=1 "
           "+x_0=200000 +y_0=600000 +ellps=GRS80")
 
+# Geographic (longlat) classic national datums (r11): published grid-free
+# Helmert sets (EPSG/PROJ values); ITRF-aligned frames are null-shift
+for _code in (4152,   # NAD83(HARN)
+              4686,   # MAGNA-SIRGAS
+              4619,   # SWEREF99
+              4659,   # ISN93
+              4173):  # IRENET95
+    _seed(_code, "+proj=longlat +ellps=GRS80")
+_GEO_R11: dict[int, str] = {
+    4618: "+proj=longlat +a=6378160 +rf=298.25 +towgs84=-57,1,-41",  # SAD69
+    4202: "+proj=longlat +a=6378160 +rf=298.25 "                     # AGD66
+          "+towgs84=-117.808,-51.536,137.784,0.303,0.446,0.234,-0.29",
+    4203: "+proj=longlat +a=6378160 +rf=298.25 +towgs84=-134,-48,149",  # AGD84
+    4214: "+proj=longlat +ellps=krass",                              # Beijing 1954
+    4610: "+proj=longlat +a=6378140 +rf=298.257",                    # Xian 1980
+    4201: "+proj=longlat +a=6378249.145 +rf=293.465 "
+          "+towgs84=-166,-15,204",                                   # Adindan
+    4210: "+proj=longlat +a=6378249.145 +rf=293.465 "
+          "+towgs84=-160,-6,-302",                                   # Arc 1960
+    4222: "+proj=longlat +a=6378249.145 +rf=293.465 "
+          "+towgs84=-136,-108,-292",                                 # Cape
+    4275: "+proj=longlat +a=6378249.2 +rf=293.4660212936269 "
+          "+towgs84=-168,-60,320",                                   # NTF
+    4272: "+proj=longlat +ellps=intl "
+          "+towgs84=59.47,-5.04,187.44,0.47,-0.1,1.024,-4.5993",     # NZGD49
+    4265: "+proj=longlat +ellps=intl "
+          "+towgs84=-104.1,-49.1,-9.9,0.971,-2.917,0.714,-11.68",    # Monte Mario
+    4313: "+proj=longlat +ellps=intl +towgs84=-106.8686,52.2978,"
+          "-103.7239,0.3366,-0.457,1.8422,-1.2747",                  # BD72
+    4289: "+proj=longlat +ellps=bessel +towgs84=565.417,50.3319,"
+          "465.552,-0.398957,0.343988,-1.8774,4.0725",               # Amersfoort
+    4237: "+proj=longlat +a=6378160 +rf=298.247167427 "
+          "+towgs84=52.17,-71.82,-14.9",                             # HD72
+    4312: "+proj=longlat +ellps=bessel "
+          "+towgs84=577.326,90.129,463.919,5.137,1.474,5.297,2.4232",  # MGI
+    4156: "+proj=longlat +ellps=bessel +towgs84=589,76,480",         # S-JTSK
+    4240: "+proj=longlat +a=6377276.345 +rf=300.8017 "
+          "+towgs84=210,814,289",                                    # Indian 1975
+    4211: "+proj=longlat +ellps=bessel +towgs84=-377,681,-50",       # Batavia
+    4236: "+proj=longlat +ellps=intl +towgs84=-637,-549,-203",       # Hu Tzu Shan
+    4245: "+proj=longlat +a=6377304.063 +rf=300.8017 "
+          "+towgs84=-11,851,5",                                      # Kertau 1968
+    4248: "+proj=longlat +ellps=intl +towgs84=-288,175,-376",        # PSAD56
+    4300: "+proj=longlat +a=6377340.189 +rf=299.3249646 "
+          "+towgs84=482.5,-130.6,564.6,-1.042,-0.214,-0.631,8.15",   # TM65
+    4299: "+proj=longlat +a=6377340.189 +rf=299.3249646 "
+          "+towgs84=482.5,-130.6,564.6,-1.042,-0.214,-0.631,8.15",   # TM65 (alt)
+    4124: "+proj=longlat +ellps=bessel "
+          "+towgs84=414.1,41.3,603.1,-0.855,2.141,-7.023,0",         # RT90
+    4123: "+proj=longlat +ellps=intl "
+          "+towgs84=-96.062,-82.428,-121.753,4.801,0.345,-1.376,1.496",  # KKJ
+    4178: "+proj=longlat +ellps=krass +towgs84=24,-123,-94",         # Pulkovo 42(83)
+    4179: "+proj=longlat +ellps=krass "
+          "+towgs84=33.4,-146.6,-76.3,-0.359,-0.053,0.844,-0.84",    # Pulkovo 42(58)
+}
+_EPSG_PROJ4.update(_GEO_R11)
+
 # Cassini-Soldner grids (r11 +proj=cass): Palestine 1923, Trinidad 1903
 # (Clarke 1858 with Clarke-link units via +to_meter), Kertau 1968 /
 # Singapore Grid
