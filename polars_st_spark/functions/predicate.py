@@ -18,11 +18,12 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 from pyspark.sql import Column
-from pyspark.sql.functions import pandas_udf
+from pyspark.sql.functions import arrow_udf, pandas_udf
 
 from polars_st_spark.functions.factory import binary_scalar, col_or_lit, geom_arg, spark_dt
 from polars_st_spark.geo import predicates as P
 from polars_st_spark.geo import ragged as RG
+from polars_st_spark.geo.arrowwkb import uniform_batch_pa
 from polars_st_spark.geo.types import Geometry, GeometryType
 from polars_st_spark.geo.wkb import batch_uniform, from_ewkb, to_ewkb
 
@@ -218,21 +219,32 @@ def _relate_fill(res, dec, fn, s1, s2, name, sA, sB) -> pd.Series:
     if len(sub) >= 4:
         bA = pd.Series([sA.iloc[k] for k in sub])
         bB = pd.Series([sB.iloc[k] for k in sub])
-        qa, da = RG.parse_polygonal(bA), 2
-        if qa is None:
-            qa, da = RG.parse_lineal(bA), 1
-        qb, db = RG.parse_polygonal(bB), 2
-        if qb is None:
-            qb, db = RG.parse_lineal(bB), 1
-        if qa is not None and qb is not None:
-            rr = RG.pairs_relate(qa, qb)
-            if rr is not None:
-                mats, dec2 = rr
-                pos = {k: j for j, k in enumerate(undec)}
-                for j, k in enumerate(sub):
-                    if dec2[j]:
-                        out_res[k] = _matrix_predicate(name, mats[j], da, db)
-                        solved[pos[k]] = True
+        rr = None
+        da = db = 2
+        # rect×rect contact rows: closed-form DE-9IM (r11) — the exact
+        # shape CSR containment/touch kernels leave undecided in
+        # coverage-topology joins (shared edges/corners)
+        fa_ = batch_uniform(bA)
+        fb_ = batch_uniform(bB) if fa_ is not None else None
+        if (fa_ is not None and fa_[0] == "ring" and fa_[2]
+                and fb_ is not None and fb_[0] == "ring" and fb_[2]):
+            rr = _rect_relate_mats(_as_boxes(fa_), _as_boxes(fb_))
+        if rr is None:
+            qa, da = RG.parse_polygonal(bA), 2
+            if qa is None:
+                qa, da = RG.parse_lineal(bA), 1
+            qb, db = RG.parse_polygonal(bB), 2
+            if qb is None:
+                qb, db = RG.parse_lineal(bB), 1
+            if qa is not None and qb is not None:
+                rr = RG.pairs_relate(qa, qb)
+        if rr is not None:
+            mats, dec2 = rr
+            pos = {k: j for j, k in enumerate(undec)}
+            for j, k in enumerate(sub):
+                if dec2[j]:
+                    out_res[k] = _matrix_predicate(name, mats[j], da, db)
+                    solved[pos[k]] = True
     for j, k in enumerate(undec):
         if not solved[j]:
             out_res[k] = fn(from_ewkb(bytes(s1.iloc[k])), from_ewkb(bytes(s2.iloc[k])))
@@ -313,16 +325,20 @@ def _pair_udf(name: str, fn, ret="boolean"):
 
     rt = BooleanType() if ret == "boolean" else StringType()
 
-    @pandas_udf(rt)
-    def udf2(s1: pd.Series, s2: pd.Series) -> pd.Series:
+    def eval_pd(s1: pd.Series, s2: pd.Series, fa=None, fb=None) -> pd.Series:
+        """The pandas evaluation stack (unchanged from the pandas-UDF era);
+        ``fa``/``fb`` let the arrow wrapper pass already-parsed uniform
+        batches so the fast dispatch is not re-derived per lane."""
         if (
             ret == "boolean"
             and (name in _FAST_NAMES or loc_ok2 or pair_ok)
             and not s1.isna().any()
             and not s2.isna().any()
         ):
-            fa = batch_uniform(s1)
-            fb = batch_uniform(s2)
+            if fa is None:
+                fa = batch_uniform(s1)
+            if fb is None:
+                fb = batch_uniform(s2)
             if name in _FAST_NAMES and fa is not None and fb is not None:
                 A = _as_boxes(fa)
                 B = _as_boxes(fb) if A is not None else None
@@ -359,6 +375,30 @@ def _pair_udf(name: str, fn, ret="boolean"):
             dtype=object,
         )
 
+    # r11 (guide §4.2): the two-column predicate is an arrow_udf — when BOTH
+    # sides parse as uniform point/axis-rect batches the interval algebra
+    # runs on zero-copy views of the Arrow buffers (no bytes-object
+    # materialization at all: the b2/filter_pairs refinement shape); every
+    # other batch converts to pandas once and runs the identical stack.
+    @arrow_udf(rt)
+    def udf2(a1, a2):
+        import pyarrow as pa
+
+        fa = fb = None
+        if ret == "boolean" and name in _FAST_NAMES:
+            fa = uniform_batch_pa(a1)
+            fb = uniform_batch_pa(a2) if fa is not None else None
+            if fa is not None and fb is not None:
+                A = _as_boxes(fa)
+                B = _as_boxes(fb) if A is not None else None
+                if A is not None and B is not None:
+                    r = _vec_predicate(name, A, B)
+                    if r is not None:
+                        return pa.array(np.asarray(r, dtype=bool), type=pa.bool_())
+        out = eval_pd(a1.to_pandas(), a2.to_pandas(), fa, fb)
+        return pa.Array.from_pandas(
+            out, type=pa.bool_() if ret == "boolean" else pa.string())
+
     return udf2
 
 
@@ -372,10 +412,10 @@ def _mk(name: str, fn, ret="boolean"):
             B_const = _const_box(o) if ret == "boolean" and name in _FAST_NAMES else None
             o_is_point = o.type_id == GeometryType.Point and o.coords is not None
 
-            @pandas_udf(ret)
-            def udf1(s: pd.Series) -> pd.Series:
+            def eval1_pd(s: pd.Series, fast=None) -> pd.Series:
                 if (B_const is not None or loc_ok) and not s.isna().any():
-                    fast = batch_uniform(s)
+                    if fast is None:
+                        fast = batch_uniform(s)
                     if B_const is not None and fast is not None:
                         A = _as_boxes(fast)
                         if A is not None:
@@ -406,6 +446,34 @@ def _mk(name: str, fn, ret="boolean"):
                     [None if b is None else fn(from_ewkb(bytes(b)), o) for b in s],
                     dtype=object,
                 )
+
+            # r11: arrow lane — zero-copy interval algebra against the
+            # constant box (point-in-rect sweeps etc.); the point-vs-const-
+            # polygon locate path reads x/y straight off the Arrow buffers
+            @arrow_udf(spark_dt(ret))
+            def udf1(a1):
+                import pyarrow as pa
+
+                fast = None
+                if (B_const is not None or loc_ok):
+                    fast = uniform_batch_pa(a1)
+                    if B_const is not None and fast is not None:
+                        A = _as_boxes(fast)
+                        if A is not None:
+                            r = _vec_predicate(name, A, B_const)
+                            if r is not None:
+                                return pa.array(
+                                    np.asarray(r, dtype=bool), type=pa.bool_())
+                    if loc_ok and fast is not None and fast[0] == "point2d":
+                        loc = _point_locs_const_poly(o, fast[1], fast[2])
+                        if loc is not None:
+                            r = _loc_predicate(name, loc, point_is_a=True)
+                            if r is not None:
+                                return pa.array(
+                                    np.asarray(r, dtype=bool), type=pa.bool_())
+                out = eval1_pd(a1.to_pandas(), fast)
+                return pa.Array.from_pandas(
+                    out, type=pa.bool_() if ret == "boolean" else pa.string())
 
             return udf1(col_or_lit(col))
 
@@ -450,15 +518,88 @@ def _parse_family(s: pd.Series):
     return p
 
 
-def _relate_matrices(s1: pd.Series, s2: pd.Series):
+_DE9IM_CHARS = np.array(list("F012"))
+
+
+def _rect_relate_mats(A, B):
+    """Closed-form DE-9IM matrices for row-paired NON-DEGENERATE axis-rect
+    operands (r11 — the coverage-topology shape: b2a_relate_adjacent ran
+    600k edge-touching pairs through the per-row scalar kernel because the
+    contact buckets of pairs_relate deliberately leave boundary contact
+    undecided). Boxes ARE the geometries here, and both interior and
+    boundary factorize per axis — I(A) = (ax0,ax1)×(ay0,ay1), ∂A =
+    (∂Ax×Ay) ∪ (Ax×∂Ay) — so every DE-9IM cell reduces to 1-D interval
+    algebra, exact (no tolerance; the scalar kernel's segment arithmetic
+    on axis-parallel edges is exact float comparison too, so decided rows
+    are scalar-parity — asserted pairwise in tests/test_predicates2.py).
+
+    Returns (mats object array, decided bool array): degenerate rows
+    (zero width/height on either side) stay undecided for the scalar
+    kernel."""
+    ax0, ay0, ax1, ay1, _ = A
+    bx0, by0, bx1, by1, _ = B
+    nondeg = (ax0 < ax1) & (ay0 < ay1) & (bx0 < bx1) & (by0 < by1)
+    # per-axis interval tests (closed rect sides; open = interior)
+    ox_open = (ax0 < bx1) & (bx0 < ax1)   # open-x overlap (== open∩closed
+    oy_open = (ay0 < by1) & (by0 < ay1)   # nonempty for non-deg intervals)
+    ox_any = (ax0 <= bx1) & (bx0 <= ax1)  # closed-x overlap nonempty
+    oy_any = (ay0 <= by1) & (by0 <= ay1)
+    ox_len = np.minimum(ax1, bx1) > np.maximum(ax0, bx0)  # overlap has length
+    oy_len = np.minimum(ay1, by1) > np.maximum(ay0, by0)
+    # ∂B endpoint strictly inside A's open interval (per axis), and mirrored
+    qx_open = ((bx0 > ax0) & (bx0 < ax1)) | ((bx1 > ax0) & (bx1 < ax1))
+    qy_open = ((by0 > ay0) & (by0 < ay1)) | ((by1 > ay0) & (by1 < ay1))
+    px_open = ((ax0 > bx0) & (ax0 < bx1)) | ((ax1 > bx0) & (ax1 < bx1))
+    py_open = ((ay0 > by0) & (ay0 < by1)) | ((ay1 > by0) & (ay1 < by1))
+    # ∂A endpoint within B's closed interval (per axis), and mirrored
+    px = ((ax0 >= bx0) & (ax0 <= bx1)) | ((ax1 >= bx0) & (ax1 <= bx1))
+    py = ((ay0 >= by0) & (ay0 <= by1)) | ((ay1 >= by0) & (ay1 <= by1))
+    qx = ((bx0 >= ax0) & (bx0 <= ax1)) | ((bx1 >= ax0) & (bx1 <= ax1))
+    qy = ((by0 >= ay0) & (by0 <= ay1)) | ((by1 >= ay0) & (by1 <= ay1))
+    # shared boundary value per axis
+    sx = (ax0 == bx0) | (ax0 == bx1) | (ax1 == bx0) | (ax1 == bx1)
+    sy = (ay0 == by0) | (ay0 == by1) | (ay1 == by0) | (ay1 == by1)
+    a_in_b = (ax0 >= bx0) & (ax1 <= bx1) & (ay0 >= by0) & (ay1 <= by1)
+    b_in_a = (bx0 >= ax0) & (bx1 <= ax1) & (by0 >= ay0) & (by1 <= ay1)
+
+    # cell codes: 0='F', 1='0', 2='1', 3='2'
+    z = np.zeros(len(ax0), dtype=np.int8)
+    II = np.where(ox_open & oy_open, 3, 0).astype(np.int8)
+    IB = np.where((qx_open & oy_open) | (ox_open & qy_open), 2, 0).astype(np.int8)
+    BI = np.where((px_open & oy_open) | (ox_open & py_open), 2, 0).astype(np.int8)
+    bb1 = (sx & oy_len) | (sy & ox_len)
+    bb0 = (sx & oy_any) | (sy & ox_any) | (px & qy) | (qx & py)
+    BB = np.where(bb1, 2, np.where(bb0, 1, 0)).astype(np.int8)
+    IE = np.where(a_in_b, 0, 3).astype(np.int8)
+    BE = np.where(a_in_b, 0, 2).astype(np.int8)
+    EI = np.where(b_in_a, 0, 3).astype(np.int8)
+    EB = np.where(b_in_a, 0, 2).astype(np.int8)
+    EE = z + 3
+    cells = np.stack([II, IB, IE, BI, BB, BE, EI, EB, EE], axis=1)
+    # few distinct matrices per batch: string-build once per unique row
+    codes = (cells.astype(np.int32) * (4 ** np.arange(9, dtype=np.int32))).sum(axis=1)
+    uniq, inv = np.unique(codes, return_inverse=True)
+    pool = np.empty(len(uniq), dtype=object)
+    first = np.zeros(len(uniq), dtype=np.int64)
+    first[inv[::-1]] = np.arange(len(codes) - 1, -1, -1)
+    for u in range(len(uniq)):
+        pool[u] = "".join(_DE9IM_CHARS[cells[first[u]]])
+    mats = pool[inv]
+    mats[~nondeg] = None
+    return mats, nondeg
+
+
+def _relate_matrices(s1: pd.Series, s2: pd.Series, fa=None, fb=None):
     """(matrices object-array, decided bool-array) from the vectorized
-    CSR kernels (point×point, point×polygon both directions, and
-    geo.ragged.pairs_relate for polygonal/lineal pairs), or None when no
-    batch shape applies. Decided rows are exact scalar parity; undecided
-    rows need the per-row DE-9IM kernel."""
+    CSR kernels (point×point, point×polygon both directions, rect×rect
+    closed-form, and geo.ragged.pairs_relate for polygonal/lineal pairs),
+    or None when no batch shape applies. Decided rows are exact scalar
+    parity; undecided rows need the per-row DE-9IM kernel."""
     n = len(s1)
-    fa = batch_uniform(s1)
-    fb = batch_uniform(s2)
+    if fa is None:
+        fa = batch_uniform(s1)
+    if fb is None:
+        fb = batch_uniform(s2)
     a_pt = fa is not None and fa[0] == "point2d"
     b_pt = fb is not None and fb[0] == "point2d"
     if a_pt and b_pt:
@@ -477,6 +618,10 @@ def _relate_matrices(s1: pd.Series, s2: pd.Series):
         _, _, deg = RG._family_meta(rp)  # collapsed rings → scalar
         mats[deg] = None
         return mats, ~deg
+    if (fa is not None and fa[0] == "ring" and fa[2]
+            and fb is not None and fb[0] == "ring" and fb[2]):
+        # rect×rect: every cell closed-form (degenerate rows undecided)
+        return _rect_relate_mats(_as_boxes(fa), _as_boxes(fb))
     pa = _parse_family(s1)
     pb = _parse_family(s2) if pa is not None else None
     if pa is None or pb is None:

@@ -25,13 +25,16 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import Column
 from pyspark.sql import functions as F
-from pyspark.sql.functions import pandas_udf
+from pyspark.sql.functions import arrow_udf, pandas_udf
 from pyspark.sql.types import DoubleType, IntegerType, StringType
+
+from polars_st_spark.geo.arrowwkb import uniform_batch_pa
 
 from polars_st_spark.functions.factory import (
     binary_scalar,
     col_or_lit,
     geom_arg,
+    spark_dt,
     unary_scalar,
 )
 from polars_st_spark.geo import algos
@@ -150,9 +153,31 @@ def _coord_accessor(idx: int, needs_flag: str | None = None):
 
 
 # module-level UDF instances (constructed once, reused by every expression;
-# also the registrable objects behind register_sql_functions — sqlreg.py)
-@pandas_udf(DoubleType())
-def _x_udf(s: pd.Series) -> pd.Series:
+# also the registrable objects behind register_sql_functions — sqlreg.py).
+# r11: the hot scalar UDFs are Spark 4.1 ``arrow_udf``s — the fast lane
+# parses the Arrow buffers zero-copy (geo/arrowwkb.uniform_batch_pa), and
+# only batches outside the uniform envelope pay the pandas bytes-object
+# materialization via the unchanged fallback bodies (guide §4.2: same
+# kernels, cheaper boundary; results identical, NaN→NULL preserved).
+
+
+def _double_out(vals: np.ndarray, mask=None):
+    """numpy float64 → pa.float64 array with the engine's NaN→NULL rule."""
+    import pyarrow as pa
+
+    nanm = np.isnan(vals)
+    if mask is not None:
+        nanm = nanm | mask
+    return pa.array(vals, type=pa.float64(), mask=nanm if nanm.any() else None)
+
+
+def _pd_out(series: pd.Series, pa_type):
+    import pyarrow as pa
+
+    return pa.Array.from_pandas(series, type=pa_type)
+
+
+def _x_pd(s: pd.Series) -> pd.Series:
     fast = ewkb_to_points([b if b is not None else None for b in s]) if s.notna().all() else None
     if fast is not None:
         return pd.Series(fast[0])
@@ -160,13 +185,32 @@ def _x_udf(s: pd.Series) -> pd.Series:
     return pd.Series([None if b is None else acc(from_ewkb(bytes(b))) for b in s], dtype=object)
 
 
-@pandas_udf(DoubleType())
-def _y_udf(s: pd.Series) -> pd.Series:
+def _y_pd(s: pd.Series) -> pd.Series:
     fast = ewkb_to_points([b if b is not None else None for b in s]) if s.notna().all() else None
     if fast is not None:
         return pd.Series(fast[1])
     acc = _coord_accessor(1)
     return pd.Series([None if b is None else acc(from_ewkb(bytes(b))) for b in s], dtype=object)
+
+
+@arrow_udf(DoubleType())
+def _x_udf(a):
+    import pyarrow as pa
+
+    fast = uniform_batch_pa(a)
+    if fast is not None and fast[0] == "point2d":
+        return _double_out(np.ascontiguousarray(fast[1]))
+    return _pd_out(_x_pd(a.to_pandas()), pa.float64())
+
+
+@arrow_udf(DoubleType())
+def _y_udf(a):
+    import pyarrow as pa
+
+    fast = uniform_batch_pa(a)
+    if fast is not None and fast[0] == "point2d":
+        return _double_out(np.ascontiguousarray(fast[2]))
+    return _pd_out(_y_pd(a.to_pandas()), pa.float64())
 
 
 def st_x(col) -> Column:
@@ -200,8 +244,7 @@ def _with_nulls(vals: np.ndarray, null_mask: np.ndarray) -> pd.Series:
     return pd.Series(out, dtype=object)
 
 
-@pandas_udf(DoubleType())
-def _area_udf(s: pd.Series) -> pd.Series:
+def _area_pd(s: pd.Series) -> pd.Series:
     fast = batch_uniform(s) if not s.isna().any() else None
     if fast is not None:
         if fast[0] == "point2d":
@@ -225,6 +268,25 @@ def _area_udf(s: pd.Series) -> pd.Series:
     return pd.Series(
         [None if b is None else algos.area(from_ewkb(bytes(b))) for b in s], dtype=object
     )
+
+
+@arrow_udf(DoubleType())
+def _area_udf(a):
+    import pyarrow as pa
+
+    fast = uniform_batch_pa(a)
+    if fast is not None:
+        if fast[0] == "point2d":
+            return pa.array(np.zeros(len(a)), type=pa.float64())
+        c = fast[1]
+        # identical arithmetic (and order) to the pandas ring fast path
+        x = c[:, :, 0] - c[:, :1, 0]
+        y = c[:, :, 1] - c[:, :1, 1]
+        v = 0.5 * np.abs(
+            np.sum(x * np.roll(y, -1, axis=1) - np.roll(x, -1, axis=1) * y, axis=1)
+        )
+        return _double_out(v)
+    return _pd_out(_area_pd(a.to_pandas()), pa.float64())
 
 
 def st_area(col) -> Column:
@@ -265,8 +327,7 @@ def _mixed_measure(s: pd.Series, which: str):
     return _with_nulls(out, null_mask)
 
 
-@pandas_udf(DoubleType())
-def _length_udf(s: pd.Series) -> pd.Series:
+def _length_pd(s: pd.Series) -> pd.Series:
     fast = batch_uniform(s) if not s.isna().any() else None
     if fast is not None:
         if fast[0] == "point2d":
@@ -287,6 +348,20 @@ def _length_udf(s: pd.Series) -> pd.Series:
     return pd.Series(
         [None if b is None else algos.length(from_ewkb(bytes(b))) for b in s], dtype=object
     )
+
+
+@arrow_udf(DoubleType())
+def _length_udf(a):
+    import pyarrow as pa
+
+    fast = uniform_batch_pa(a)
+    if fast is not None:
+        if fast[0] == "point2d":
+            return pa.array(np.zeros(len(a)), type=pa.float64())
+        c = fast[1]
+        d = np.diff(c, axis=1)
+        return _double_out(np.sqrt((d * d).sum(axis=2)).sum(axis=1))
+    return _pd_out(_length_pd(a.to_pandas()), pa.float64())
 
 
 def st_length(col) -> Column:
@@ -355,9 +430,9 @@ def st_distance(col, other) -> Column:
 # column × column distance (r4b; module-level since r8 so the SQL surface
 # can register the identical vectorized UDF): row-paired point×point,
 # point×ragged-polygon (either direction, inside→0), point×ragged-line,
-# and geometry×geometry via the pairs_distance candidate sweep
-@pandas_udf(DoubleType())
-def _distance_pair_udf(s1: pd.Series, s2: pd.Series) -> pd.Series:
+# and geometry×geometry via the pairs_distance candidate sweep.
+# r11: arrow_udf wrapper — the dominant point×point case runs zero-copy.
+def _distance_pair_pd(s1: pd.Series, s2: pd.Series) -> pd.Series:
         if len(s1) and not s1.isna().any() and not s2.isna().any():
             fa = batch_uniform(s1)
             fb = batch_uniform(s2)
@@ -399,6 +474,18 @@ def _distance_pair_udf(s1: pd.Series, s2: pd.Series) -> pd.Series:
         )
 
 
+@arrow_udf(DoubleType())
+def _distance_pair_udf(a1, a2):
+    import pyarrow as pa
+
+    fa = uniform_batch_pa(a1)
+    if fa is not None and fa[0] == "point2d":
+        fb = uniform_batch_pa(a2)
+        if fb is not None and fb[0] == "point2d":
+            return _double_out(np.hypot(fa[1] - fb[1], fa[2] - fb[2]))
+    return _pd_out(_distance_pair_pd(a1.to_pandas(), a2.to_pandas()), pa.float64())
+
+
 def st_hausdorff_distance(col, other, densify: float | None = None) -> Column:
     udf, oc = binary_scalar(
         lambda a, b: algos.hausdorff_distance(a, b, densify), "double", geom_arg(other)
@@ -425,34 +512,64 @@ def st_project(col, other, normalized: bool = False) -> Column:
     return udf(col_or_lit(col)) if oc is None else udf(col_or_lit(col), oc)
 
 
-def _bounds_udf_builder():
-    @pandas_udf("array<double>")
-    def udf(s: pd.Series) -> pd.Series:
-        fast = batch_uniform(s) if not s.isna().any() else None
-        if fast is not None:
-            if fast[0] == "point2d":
-                x, y = fast[1], fast[2]
-                return pd.Series([[xi, yi, xi, yi] for xi, yi in zip(x, y)])
-            if fast[0] == "ring":
-                c = fast[1]
-                b = np.stack(
-                    [c[:, :, 0].min(axis=1), c[:, :, 1].min(axis=1),
-                     c[:, :, 0].max(axis=1), c[:, :, 1].max(axis=1)], axis=1,
-                )
-                return pd.Series(list(b))
-        rg = (ragged.parse_polygonal(s) or ragged.parse_lineal(s)
-              or ragged.parse_multipoints(s))
-        if rg is not None:
-            return _with_nulls(ragged.bounds(rg), rg.null_mask)
-        mixed = _mixed_bounds(s)
-        if mixed is not None:
-            return mixed
-        return pd.Series(
-            [None if b is None else list(from_ewkb(bytes(b)).bounds()) for b in s],
-            dtype=object,
-        )
+def _bounds_pd(s: pd.Series) -> pd.Series:
+    fast = batch_uniform(s) if not s.isna().any() else None
+    if fast is not None:
+        if fast[0] == "point2d":
+            x, y = fast[1], fast[2]
+            return pd.Series([[xi, yi, xi, yi] for xi, yi in zip(x, y)])
+        if fast[0] == "ring":
+            c = fast[1]
+            b = np.stack(
+                [c[:, :, 0].min(axis=1), c[:, :, 1].min(axis=1),
+                 c[:, :, 0].max(axis=1), c[:, :, 1].max(axis=1)], axis=1,
+            )
+            return pd.Series(list(b))
+    rg = (ragged.parse_polygonal(s) or ragged.parse_lineal(s)
+          or ragged.parse_multipoints(s))
+    if rg is not None:
+        return _with_nulls(ragged.bounds(rg), rg.null_mask)
+    mixed = _mixed_bounds(s)
+    if mixed is not None:
+        return mixed
+    return pd.Series(
+        [None if b is None else list(from_ewkb(bytes(b)).bounds()) for b in s],
+        dtype=object,
+    )
 
-    return udf
+
+def _bounds_list_out(mat: np.ndarray):
+    """(n, 4) float64 → Arrow list<double> with 4 values per row, one
+    vectorized construction (no per-row Python lists)."""
+    import pyarrow as pa
+
+    n = len(mat)
+    offsets = pa.array(np.arange(0, 4 * (n + 1), 4, dtype=np.int32))
+    values = pa.array(np.ascontiguousarray(mat).reshape(-1), type=pa.float64())
+    return pa.ListArray.from_arrays(offsets, values)
+
+
+@arrow_udf(spark_dt("array<double>"))
+def _bounds_udf(a):
+    import pyarrow as pa
+
+    fast = uniform_batch_pa(a)
+    if fast is not None:
+        if fast[0] == "point2d":
+            x, y = fast[1], fast[2]
+            mat = np.stack([x, y, x, y], axis=1)
+        else:
+            c = fast[1]
+            mat = np.stack(
+                [c[:, :, 0].min(axis=1), c[:, :, 1].min(axis=1),
+                 c[:, :, 0].max(axis=1), c[:, :, 1].max(axis=1)], axis=1,
+            )
+        return _bounds_list_out(mat)
+    return _pd_out(_bounds_pd(a.to_pandas()), pa.list_(pa.float64()))
+
+
+def _bounds_udf_builder():
+    return _bounds_udf
 
 
 def st_bounds(col) -> Column:

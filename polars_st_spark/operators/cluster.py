@@ -94,20 +94,36 @@ def kmeans_assign(
     if cents.ndim != 2:
         raise ValueError(f"centroids must be (k, d), got shape {cents.shape}")
 
-    from pyspark.sql.pandas.functions import pandas_udf
+    from pyspark.sql.functions import arrow_udf
 
+    from polars_st_spark.functions.factory import spark_dt
+
+    # r11 (guide §4.2): arrow_udf — a rectangular embedding batch becomes
+    # the (n, d) matrix via ONE flat-buffer reshape (vecarrow) instead of
+    # one ndarray object per row; ragged/null batches take the identical
+    # per-row construction. Same _assign_batch kernel, same results.
     # NOTE: no type hints on the inner fn — string annotations resolve in
     # module globals and break with locally-imported pandas (memory:
     # spark-expression-tree-pitfalls item 4).
-    @pandas_udf("struct<c: int, d: double>")
+    @arrow_udf(spark_dt("struct<c: int, d: double>"))
     def _assign(v):
-        import pandas as pd
+        import pyarrow as pa
+
+        from polars_st_spark.operators.vecarrow import matrix_from_list_array
 
         if len(v) == 0:
-            return pd.DataFrame({"c": [], "d": []})
-        x = np.array(list(v), dtype=np.float64)
+            return pa.StructArray.from_arrays(
+                [pa.array([], type=pa.int32()), pa.array([], type=pa.float64())],
+                names=["c", "d"])
+        x = matrix_from_list_array(v)
+        if x is None:
+            x = np.array([np.asarray(r, dtype=np.float64) for r in v.to_pylist()],
+                         dtype=np.float64)
         a, dist = _assign_batch(x, cents)
-        return pd.DataFrame({"c": a.astype(np.int32), "d": dist})
+        return pa.StructArray.from_arrays(
+            [pa.array(a.astype(np.int32), type=pa.int32()),
+             pa.array(dist, type=pa.float64())],
+            names=["c", "d"])
 
     tmp = df.withColumn("_ka", _assign(F.col(vec_col)))
     out = tmp.withColumn(out_col, F.col("_ka.c"))

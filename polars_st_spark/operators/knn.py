@@ -158,31 +158,55 @@ def cosine_topk_vectorized(
     qids = np.array([r["qid"] for r in qrows])
     Q = _unit_rows(np.array([r["qv"] for r in qrows], dtype=np.float64))
 
+    # r11 (guide §4.2): mapInArrow — the corpus embedding column arrives as
+    # an Arrow list<float> whose values buffer is ONE flat array; when the
+    # batch is rectangular (every row the same length, no nulls — the
+    # embedding-table invariant) the (n, dim) matrix is a single zero-copy
+    # reshape instead of the pandas lane's one-ndarray-object-per-row
+    # materialization. Ragged/null batches fall back to the identical
+    # per-row construction. Same matmul, same top-k, same output rows.
     def score(batches):
-        import pandas as pd
+        import pyarrow as pa_
 
-        for pdf in batches:
-            if len(pdf) == 0:
+        for rb in batches:
+            n = rb.num_rows
+            if n == 0:
                 continue
-            ids = pdf["_cid"].to_numpy()
-            X = np.array(list(pdf["_cv"]), dtype=np.float64)
+            ids_arr = rb.column(0)
+            vec_arr = rb.column(1)
+            if isinstance(vec_arr, pa_.ChunkedArray):
+                vec_arr = vec_arr.combine_chunks()
+            ids = ids_arr.to_numpy(zero_copy_only=False)
+            from polars_st_spark.operators.vecarrow import matrix_from_list_array
+
+            X = matrix_from_list_array(vec_arr)
+            if X is None:
+                X = np.array(
+                    [np.asarray(v, dtype=np.float64) for v in
+                     vec_arr.to_pylist()], dtype=np.float64)
             norms = np.linalg.norm(X, axis=1, keepdims=True)
             norms[norms == 0] = 1.0
             sims = (X / norms) @ Q.T  # (batch, q)
             sims[ids[:, None] == qids[None, :]] = -np.inf  # self-match
-            kk = min(k, len(ids))
+            kk = min(k, n)
             part = np.argpartition(-sims, kk - 1, axis=0)[:kk]  # (k, q) row idx
-            out_q, out_c, out_s = [], [], []
-            for j in range(len(qids)):
-                rows = part[:, j]
-                out_q.extend([qids[j]] * len(rows))
-                out_c.extend(ids[rows])
-                out_s.extend(sims[rows, j])
-            yield pd.DataFrame({"query_id": out_q, "corpus_id": out_c, "cosine": out_s})
+            rows_idx = part.T.reshape(-1)  # q blocks of kk corpus rows
+            out_q = np.repeat(np.arange(len(qids)), kk)
+            from pyspark.sql.pandas.types import to_arrow_type
+
+            cols = [
+                pa_.array(list(qids[out_q]), type=to_arrow_type(qid_type)),
+                pa_.compute.take(
+                    ids_arr, pa_.array(rows_idx, type=pa_.int64())
+                ).cast(to_arrow_type(cid_type)),
+                pa_.array(sims[rows_idx, out_q], type=pa_.float64()),
+            ]
+            yield pa_.RecordBatch.from_arrays(
+                cols, ["query_id", "corpus_id", "cosine"])
 
     cand = corpus.select(
         F.col(corpus_id).alias("_cid"), F.col(corpus_vec).alias("_cv")
-    ).mapInPandas(score, cand_schema)
+    ).mapInArrow(score, cand_schema)
     w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("corpus_id").asc())
     return (
         cand.where(F.col("cosine") != float("-inf"))
@@ -380,23 +404,40 @@ def fit_spherical_kmeans(
 
 
 def _cell_assign_udf(centroids: np.ndarray, n_probe: int):
-    """Arrow-batched numpy assignment: argsort of the (batch × cells) dot
+    """Arrow-native numpy assignment: argsort of the (batch × cells) dot
     matrix. Returns the top ``n_probe`` cell ids per vector (descending
-    centroid similarity)."""
+    centroid similarity). r11: arrow_udf — rectangular batches reshape
+    the flat Arrow values buffer (vecarrow) instead of stacking one
+    ndarray object per row; output is one vectorized ListArray build."""
+    from pyspark.sql.functions import arrow_udf
     from pyspark.sql.types import ArrayType, IntegerType
 
     c_t = centroids.T.copy()
 
-    @F.pandas_udf(ArrayType(IntegerType()))
-    def cells(s: pd.Series) -> pd.Series:
-        if not len(s):
-            return pd.Series([], dtype=object)
-        x = _unit_rows(np.stack(s.to_numpy()).astype(np.float64))
+    @arrow_udf(ArrayType(IntegerType()))
+    def cells(v):
+        import pyarrow as pa
+
+        from polars_st_spark.operators.vecarrow import matrix_from_list_array
+
+        n = len(v)
+        if not n:
+            return pa.array([], type=pa.list_(pa.int32()))
+        x = matrix_from_list_array(v)
+        if x is None:
+            x = np.array([np.asarray(r, dtype=np.float64) for r in v.to_pylist()],
+                         dtype=np.float64)
+        x = _unit_rows(x)
         # stable sort: on near-equal centroid dots the smaller cell index
         # wins, matching the oracle's first-max / smaller-index tie rule
         # (np.argmax for the corpus side is first-max already)
         order = np.argsort(-(x @ c_t), axis=1, kind="stable")[:, :n_probe]
-        return pd.Series(list(order.astype(np.int32)))
+        offsets = pa.array(
+            np.arange(0, n_probe * (n + 1), n_probe, dtype=np.int32))
+        values = pa.array(
+            np.ascontiguousarray(order.astype(np.int32)).reshape(-1),
+            type=pa.int32())
+        return pa.ListArray.from_arrays(offsets, values)
 
     return cells
 

@@ -104,7 +104,10 @@ def st_sjoin(
         # driver. The auto path only picks it under a 64 MB Catalyst-stats
         # guard below; a caller who hardcodes strategy='broadcast' on a big
         # side would get a driver OOM instead of an error. Bounded sanity
-        # probe: limit(n+1).count() never scans past the cap.
+        # probe: limit(n+1).count() never scans past the cap. (r11 note: a
+        # Catalyst-stats shortcut was tried and reverted — broadcast_threshold
+        # is a caller ROW cap and byte estimates must not override it,
+        # tests/test_sjoin.py::test_forced_broadcast_oversized_right_raises.)
         cap = max(int(broadcast_threshold), 1) * 10
         n_right = right.limit(cap + 1).count()
         if n_right > cap:

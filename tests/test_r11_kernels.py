@@ -1,0 +1,187 @@
+"""r11 optimization kernels: parity tests.
+
+1. ``geo.arrowwkb.uniform_batch_pa`` must return byte-identical results to
+   ``geo.wkb.batch_uniform`` (the pandas-era parser) on every batch shape —
+   the arrow_udf fast lanes dispatch on its output.
+2. ``functions.predicate._rect_relate_mats`` (closed-form rect×rect DE-9IM)
+   must equal the scalar ``geo.predicates.relate`` for every axis-interval
+   configuration (13×13 Allen-relation grid plus containment/equality and
+   degenerate shapes).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+from polars_st_spark.functions.predicate import _rect_relate_mats
+from polars_st_spark.geo import predicates as P
+from polars_st_spark.geo.arrowwkb import uniform_batch_pa
+from polars_st_spark.geo.types import Geometry, GeometryType
+from polars_st_spark.geo.wkb import batch_uniform, to_ewkb
+
+
+def _pt(x, y, srid=0):
+    return to_ewkb(Geometry(GeometryType.Point, srid=srid,
+                            coords=np.array([x, y], dtype=np.float64)))
+
+
+def _rect(x0, y0, x1, y1, srid=0):
+    ring = np.array(
+        [[x0, y0], [x0, y1], [x1, y1], [x1, y0], [x0, y0]], dtype=np.float64)
+    return to_ewkb(Geometry(GeometryType.Polygon, srid=srid, rings=[ring]))
+
+
+def _ring(coords, srid=0):
+    return to_ewkb(Geometry(GeometryType.Polygon, srid=srid,
+                            rings=[np.array(coords, dtype=np.float64)]))
+
+
+def _line(coords, srid=0):
+    return to_ewkb(Geometry(GeometryType.LineString, srid=srid,
+                            coords=np.array(coords, dtype=np.float64)))
+
+
+def _assert_same(bufs):
+    """uniform_batch_pa(arrow array of bufs) vs batch_uniform(Series).
+
+    uniform_batch_pa may accept a SUPERSET of batch_uniform's envelope
+    (e.g. 4-point no-SRID rings, which batch_uniform's length guard
+    assumes a 9-byte header for) — when it accepts a batch the pandas
+    parser declined, the parsed coordinates must equal the per-row
+    decode; when both accept, results must be identical."""
+    from polars_st_spark.geo.wkb import from_ewkb
+
+    ref = batch_uniform(pd.Series(bufs, dtype=object)) if None not in bufs \
+        else None
+    got = uniform_batch_pa(pa.array(bufs, type=pa.binary()))
+    if ref is None:
+        if got is None:
+            return
+        # superset acceptance: verify against the scalar decoder
+        if got[0] == "point2d":
+            for i, b in enumerate(bufs):
+                g = from_ewkb(b)
+                assert (g.coords[0], g.coords[1]) == (got[1][i], got[2][i])
+        else:
+            for i, b in enumerate(bufs):
+                g = from_ewkb(b)
+                np.testing.assert_array_equal(np.asarray(got[1][i]), g.rings[0])
+        return
+    assert got is not None and got[0] == ref[0]
+    if ref[0] == "point2d":
+        np.testing.assert_array_equal(np.asarray(got[1]), ref[1])
+        np.testing.assert_array_equal(np.asarray(got[2]), ref[2])
+    else:
+        np.testing.assert_array_equal(np.asarray(got[1]), ref[1])
+        assert got[2] == ref[2]
+
+
+class TestUniformBatchPa:
+    def test_points(self):
+        _assert_same([_pt(1.5, -2.0), _pt(0.0, 3.25), _pt(7.0, 7.0)])
+
+    def test_points_srid(self):
+        _assert_same([_pt(1.0, 2.0, srid=4326), _pt(3.0, 4.0, srid=4326)])
+
+    def test_points_mixed_srid_falls_back(self):
+        # differing structural prefix → both parsers decline
+        got = uniform_batch_pa(pa.array(
+            [_pt(1.0, 2.0, srid=4326), _pt(3.0, 4.0, srid=3857)],
+            type=pa.binary()))
+        assert got is None
+
+    def test_rects(self):
+        _assert_same([_rect(0, 0, 2, 3), _rect(1, 1, 5, 9), _rect(-4, -4, -1, -2)])
+
+    def test_rects_srid(self):
+        _assert_same([_rect(0, 0, 2, 3, srid=32610), _rect(1, 1, 5, 9, srid=32610)])
+
+    def test_nonrect_rings(self):
+        tri = _ring([[0, 0], [4, 0], [2, 3], [0, 0]])
+        tri2 = _ring([[1, 1], [5, 1], [3, 4], [1, 1]])
+        _assert_same([tri, tri2])
+
+    def test_ring_vertex_count_mismatch(self):
+        _assert_same([_rect(0, 0, 2, 3), _ring([[0, 0], [4, 0], [2, 3], [0, 0]])])
+
+    def test_mixed_types(self):
+        _assert_same([_pt(0, 0), _rect(0, 0, 1, 1)])
+
+    def test_lines_decline(self):
+        _assert_same([_line([[0, 0], [1, 1]]), _line([[2, 2], [3, 3]])])
+
+    def test_nulls_decline(self):
+        got = uniform_batch_pa(pa.array([_pt(0, 0), None], type=pa.binary()))
+        assert got is None
+
+    def test_empty_batch(self):
+        assert uniform_batch_pa(pa.array([], type=pa.binary())) is None
+
+    def test_sliced_array(self):
+        arr = pa.array([_pt(9, 9), _pt(1, 2), _pt(3, 4)], type=pa.binary())
+        got = uniform_batch_pa(arr.slice(1, 2))
+        assert got is not None and got[0] == "point2d"
+        np.testing.assert_array_equal(np.asarray(got[1]), [1.0, 3.0])
+        np.testing.assert_array_equal(np.asarray(got[2]), [2.0, 4.0])
+
+    def test_large_binary(self):
+        arr = pa.array([_pt(1, 2), _pt(3, 4)], type=pa.large_binary())
+        got = uniform_batch_pa(arr)
+        assert got is not None and got[0] == "point2d"
+        np.testing.assert_array_equal(np.asarray(got[1]), [1.0, 3.0])
+
+
+def _boxes_of(rects):
+    a = np.array(rects, dtype=np.float64)
+    return (a[:, 0], a[:, 1], a[:, 2], a[:, 3], False)
+
+
+class TestRectRelate:
+    def test_allen_grid_parity(self):
+        """Every pairwise interval relation on both axes vs scalar relate."""
+        # interval endpoints producing all 13 Allen relations vs A=[2, 5]
+        b_intervals = [
+            (0.0, 1.0), (0.0, 2.0), (0.0, 3.0), (0.0, 5.0), (0.0, 7.0),
+            (2.0, 3.0), (2.0, 5.0), (2.0, 7.0), (3.0, 4.0), (3.0, 5.0),
+            (3.0, 7.0), (5.0, 7.0), (6.0, 8.0),
+        ]
+        A = (2.0, 2.0, 5.0, 5.0)
+        pairs = []
+        for bx in b_intervals:
+            for by in b_intervals:
+                pairs.append((A, (bx[0], by[0], bx[1], by[1])))
+        ra = [p[0] for p in pairs]
+        rb = [p[1] for p in pairs]
+        mats, dec = _rect_relate_mats(_boxes_of(ra), _boxes_of(rb))
+        assert dec.all()
+        from polars_st_spark.geo.wkb import from_ewkb
+
+        for i, (ba, bb) in enumerate(zip(ra, rb)):
+            ga = from_ewkb(_rect(*ba))
+            gb = from_ewkb(_rect(*bb))
+            assert mats[i] == P.relate(ga, gb), (ba, bb, mats[i])
+
+    def test_degenerate_rows_undecided(self):
+        mats, dec = _rect_relate_mats(
+            _boxes_of([(0, 0, 0, 1), (0, 0, 1, 1)]),
+            _boxes_of([(0, 0, 1, 1), (0, 0, 1, 1)]))
+        assert not dec[0] and mats[0] is None
+        assert dec[1] and mats[1] == "2FFF1FFF2"
+
+    def test_equal_rects(self):
+        mats, dec = _rect_relate_mats(
+            _boxes_of([(1, 1, 4, 4)]), _boxes_of([(1, 1, 4, 4)]))
+        assert dec[0] and mats[0] == "2FFF1FFF2"
+
+    def test_shared_edge(self):
+        mats, _ = _rect_relate_mats(
+            _boxes_of([(0, 0, 1, 1)]), _boxes_of([(1, 0, 2, 1)]))
+        assert mats[0] == "FF2F11212"
+
+    def test_corner_touch(self):
+        mats, _ = _rect_relate_mats(
+            _boxes_of([(0, 0, 1, 1)]), _boxes_of([(1, 1, 2, 2)]))
+        assert mats[0] == "FF2F01212"
