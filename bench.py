@@ -692,9 +692,12 @@ def _v_b1a(spark, sf_dir, ncpu):
     from polars_st_spark.operators.arrowpath import measure_arrow
 
     li = _li_rects_cached(spark, sf_dir, ncpu)
-    df = (measure_arrow(li, "rect")
-          .select(F.sum("area").alias("a"), F.sum("length").alias("l")))
-    ts = _timed_reps(lambda: df.collect())
+    # r11 measurement fix: build the DataFrame INSIDE the rep. Re-collecting
+    # one DataFrame object lets Spark skip the already-computed shuffle-map
+    # stage (where all the work is), so r9/r10 reps timed a 1-task reduce.
+    ts = _timed_reps(lambda: measure_arrow(li, "rect")
+                     .select(F.sum("area").alias("a"),
+                             F.sum("length").alias("l")).collect())
     li.unpersist()
     return {"b1a_elementwise_arrow": ts}
 
@@ -713,12 +716,18 @@ def _v_b2w(spark, sf_dir, ncpu):
     li = _li_rects_cached(spark, sf_dir, ncpu)
     nations5 = E._nation_rects(spark, sf_dir).where(F.col("n_nationkey") < 5).select(
         "n_nationkey", "x0", "y0", "x1", "y1", F.col("rect").alias("nrect"))
-    df = st.filter_pairs(
-        li.select("l_orderkey", "x0", "y0", "x1", "y1", "rect"), nations5,
-        predicate="intersects", lcol="rect", rcol="nrect",
-        lbox=("x0", "y0", "x1", "y1"), rbox=("x0", "y0", "x1", "y1"),
-        broadcast=True, exact="arrow")
-    ts = _timed_reps(lambda: df.count())
+
+    # r11 measurement fix: build the DataFrame INSIDE the rep (stage-skip
+    # bug — see _v_b1a); counting one DataFrame object across reps timed a
+    # shuffle-skipped plan, not the refinement.
+    def run():
+        return st.filter_pairs(
+            li.select("l_orderkey", "x0", "y0", "x1", "y1", "rect"), nations5,
+            predicate="intersects", lcol="rect", rcol="nrect",
+            lbox=("x0", "y0", "x1", "y1"), rbox=("x0", "y0", "x1", "y1"),
+            broadcast=True, exact="arrow").count()
+
+    ts = _timed_reps(run)
     li.unpersist()
     return {"b2w_predicate_arrow": ts}
 

@@ -672,11 +672,26 @@ def st_relate(col, other) -> Column:
 
 
 def _relate_pair_udf():
-    """Two-geometry-column relate UDF builder (shared with the SQL registry)."""
+    """Two-geometry-column relate UDF builder (shared with the SQL
+    registry). r11: arrow_udf — rect×rect batches (coverage topology,
+    the adjacency_relate shape) decide entirely in the closed-form kernel
+    on zero-copy Arrow views; anything else converts to pandas once and
+    runs the unchanged _relate_series stack."""
 
-    @pandas_udf(spark_dt("string"))
-    def udf2(s1: pd.Series, s2: pd.Series) -> pd.Series:
-        return _relate_series(s1, s2)
+    @arrow_udf(spark_dt("string"))
+    def udf2(a1, a2):
+        import pyarrow as pa_
+
+        if a1.null_count == 0 and a2.null_count == 0:
+            fa = uniform_batch_pa(a1)
+            fb = uniform_batch_pa(a2) if fa is not None else None
+            if (fa is not None and fa[0] == "ring" and fa[2]
+                    and fb is not None and fb[0] == "ring" and fb[2]):
+                mats, dec = _rect_relate_mats(_as_boxes(fa), _as_boxes(fb))
+                if dec.all():
+                    return pa_.array(list(mats), type=pa_.string())
+        return pa_.Array.from_pandas(
+            _relate_series(a1.to_pandas(), a2.to_pandas()), type=pa_.string())
 
     return udf2
 

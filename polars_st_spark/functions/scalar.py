@@ -286,6 +286,9 @@ def _area_udf(a):
             np.sum(x * np.roll(y, -1, axis=1) - np.roll(x, -1, axis=1) * y, axis=1)
         )
         return _double_out(v)
+    rp = ragged.parse_polygonal_pa(a)
+    if rp is not None:
+        return _double_out(ragged.area(rp), mask=rp.null_mask)
     return _pd_out(_area_pd(a.to_pandas()), pa.float64())
 
 
@@ -361,6 +364,12 @@ def _length_udf(a):
         c = fast[1]
         d = np.diff(c, axis=1)
         return _double_out(np.sqrt((d * d).sum(axis=2)).sum(axis=1))
+    rl = ragged.parse_lineal_pa(a)
+    if rl is not None:
+        return _double_out(ragged.length(rl), mask=rl.null_mask)
+    rp = ragged.parse_polygonal_pa(a)
+    if rp is not None:
+        return _double_out(ragged.perimeter(rp), mask=rp.null_mask)
     return _pd_out(_length_pd(a.to_pandas()), pa.float64())
 
 
@@ -538,15 +547,27 @@ def _bounds_pd(s: pd.Series) -> pd.Series:
     )
 
 
-def _bounds_list_out(mat: np.ndarray):
+def _bounds_list_out(mat: np.ndarray, null_rows: np.ndarray | None = None):
     """(n, 4) float64 → Arrow list<double> with 4 values per row, one
-    vectorized construction (no per-row Python lists)."""
+    vectorized construction (no per-row Python lists). NaN elements become
+    null elements and ``null_rows`` become null rows — matching what the
+    pandas boundary does to NaN-bearing lists (engine NaN→NULL rule)."""
     import pyarrow as pa
 
     n = len(mat)
-    offsets = pa.array(np.arange(0, 4 * (n + 1), 4, dtype=np.int32))
-    values = pa.array(np.ascontiguousarray(mat).reshape(-1), type=pa.float64())
-    return pa.ListArray.from_arrays(offsets, values)
+    offsets = np.arange(0, 4 * (n + 1), 4, dtype=np.int32)
+    flat = np.ascontiguousarray(mat).reshape(-1)
+    nanm = np.isnan(flat)
+    values = pa.array(flat, type=pa.float64(),
+                      mask=nanm if nanm.any() else None)
+    if null_rows is not None and null_rows.any():
+        # null ROW: emit a zero-length span under a validity bitmap (the
+        # from_arrays mask path) — element offsets stay monotone
+        offs_arr = pa.array(offsets, type=pa.int32())
+        out = pa.ListArray.from_arrays(offs_arr, values)
+        keep = pa.array(~null_rows)
+        return pa.compute.if_else(keep, out, pa.scalar(None, out.type))
+    return pa.ListArray.from_arrays(pa.array(offsets, type=pa.int32()), values)
 
 
 @arrow_udf(spark_dt("array<double>"))
@@ -565,6 +586,10 @@ def _bounds_udf(a):
                  c[:, :, 0].max(axis=1), c[:, :, 1].max(axis=1)], axis=1,
             )
         return _bounds_list_out(mat)
+    rg = (ragged.parse_polygonal_pa(a) or ragged.parse_lineal_pa(a)
+          or ragged.parse_multipoints_pa(a))
+    if rg is not None:
+        return _bounds_list_out(ragged.bounds(rg), null_rows=rg.null_mask)
     return _pd_out(_bounds_pd(a.to_pandas()), pa.list_(pa.float64()))
 
 

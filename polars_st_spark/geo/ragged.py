@@ -135,6 +135,57 @@ def parse_polygonal(bufs) -> RaggedPolygons | None:
 _LOOP = object()  # sentinel: shape unsupported by the vectorized scan
 
 
+def _pa_view(arr):
+    """(u8, starts, lens, null_mask, n) for a pyarrow Binary/LargeBinary
+    array — the vectorized parsers' input view taken straight off the
+    Arrow buffers (r11): no per-row bytes objects, no concat copy. starts/
+    lens cover ALL slots; null slots are excluded via null_mask."""
+    import pyarrow as pa
+
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    bufs = arr.buffers()
+    off_dt = np.int64 if "large" in str(arr.type) else np.int32
+    offs = np.frombuffer(bufs[1], dtype=off_dt)[
+        arr.offset: arr.offset + len(arr) + 1].astype(np.int64)
+    u8 = (np.frombuffer(bufs[2], dtype=np.uint8)
+          if bufs[2] is not None else np.empty(0, np.uint8))
+    n = len(arr)
+    if arr.null_count:
+        vbits = np.frombuffer(bufs[0], dtype=np.uint8)
+        idx = np.arange(arr.offset, arr.offset + n)
+        null_mask = ~((vbits[idx >> 3] >> (idx & 7) & 1).astype(bool))
+    else:
+        null_mask = np.zeros(n, dtype=bool)
+    return u8, offs[:-1], np.diff(offs), null_mask, n
+
+
+def parse_polygonal_pa(arr):
+    """parse_polygonal over a pyarrow binary array, zero-copy (r11).
+    Identical result contract; the rare pathological-nesting fallback
+    materializes rows once via to_pylist."""
+    view = _pa_view(arr)
+    fast = _parse_polygonal_vec(None, pa_view=view)
+    if fast is not _LOOP:
+        return fast
+    return _parse_polygonal_loop(arr.to_pylist())
+
+
+def parse_lineal_pa(arr):
+    """parse_lineal over a pyarrow binary array, zero-copy (r11)."""
+    view = _pa_view(arr)
+    fast = _parse_lineal_vec(None, pa_view=view)
+    if fast is not _LOOP:
+        return fast
+    return _parse_lineal_loop(arr.to_pylist())
+
+
+def parse_multipoints_pa(arr):
+    """parse_multipoints over a pyarrow binary array, zero-copy (r11)."""
+    return parse_multipoints(None, pa_view=_pa_view(arr))
+
+
+
 def _u32_at(u8: np.ndarray, off: np.ndarray) -> np.ndarray:
     """Gather little-endian u32 values at arbitrary byte offsets."""
     o = off.astype(np.int64)
@@ -171,16 +222,21 @@ def _gather_rings(u8, order_off, order_npts):
     return u8[idx].view("<f8").reshape(-1, 2)
 
 
-def _parse_polygonal_vec(bufs):
+def _parse_polygonal_vec(bufs, pa_view=None):
     """Vectorized scan for 2-D Polygon / MultiPolygon batches: a two-level
     loop over (part index, ring index) — each level gathers structure words
     for ALL active rows at once, so Python iteration count is bounded by the
     batch's maximum nesting, not its total ring count. Returns a
     RaggedPolygons, None (not polygonal at all), or _LOOP (pathological
-    nesting / malformed edge — use the per-ring loop)."""
-    rows = [None if b is None else bytes(b) for b in bufs]
-    n = len(rows)
-    null_mask = np.array([b is None for b in rows], dtype=bool)
+    nesting / malformed edge — use the per-ring loop). ``pa_view`` feeds
+    the identical scan from Arrow buffers with no per-row bytes objects
+    (r11; see _pa_view)."""
+    if pa_view is not None:
+        u8_all, starts_all, lens_all, null_mask, n = pa_view
+    else:
+        rows = [None if b is None else bytes(b) for b in bufs]
+        n = len(rows)
+        null_mask = np.array([b is None for b in rows], dtype=bool)
     nn = np.nonzero(~null_mask)[0]
     if not len(nn):
         rp = RaggedPolygons()
@@ -198,13 +254,19 @@ def _parse_polygonal_vec(bufs):
         rp.spans = _EMPTY_SPANS
         rp.child_srid = False
         return rp
-    lens = np.array([len(rows[i]) for i in nn], dtype=np.int64)
+    if pa_view is not None:
+        u8 = u8_all
+        starts = starts_all[nn]
+        lens = lens_all[nn]
+    else:
+        lens = np.array([len(rows[i]) for i in nn], dtype=np.int64)
     if lens.min() < 9:
         return None
-    concat = b"".join(rows[i] for i in nn)
-    u8 = np.frombuffer(concat, dtype=np.uint8)
-    starts = np.zeros(len(nn), dtype=np.int64)
-    starts[1:] = np.cumsum(lens)[:-1]
+    if pa_view is None:
+        concat = b"".join(rows[i] for i in nn)
+        u8 = np.frombuffer(concat, dtype=np.uint8)
+        starts = np.zeros(len(nn), dtype=np.int64)
+        starts[1:] = np.cumsum(lens)[:-1]
     row_end = starts + lens
     if (u8[starts] != 1).any():
         return None
@@ -442,13 +504,17 @@ def parse_lineal(bufs) -> RaggedLines | None:
     return _parse_lineal_loop(bufs)
 
 
-def _parse_lineal_vec(bufs):
+def _parse_lineal_vec(bufs, pa_view=None):
     """Vectorized scan for 2-D LineString / MultiLineString batches — one
     level per chain index, gathered for all active rows at once (same
-    two-level trick as the polygonal scan, without the ring dimension)."""
-    rows = [None if b is None else bytes(b) for b in bufs]
-    n = len(rows)
-    null_mask = np.array([b is None for b in rows], dtype=bool)
+    two-level trick as the polygonal scan, without the ring dimension).
+    ``pa_view`` feeds the scan from Arrow buffers (r11; see _pa_view)."""
+    if pa_view is not None:
+        u8_all, starts_all, lens_all, null_mask, n = pa_view
+    else:
+        rows = [None if b is None else bytes(b) for b in bufs]
+        n = len(rows)
+        null_mask = np.array([b is None for b in rows], dtype=bool)
     nn = np.nonzero(~null_mask)[0]
     rl = RaggedLines()
     rl.n = n
@@ -463,13 +529,19 @@ def _parse_lineal_vec(bufs):
         rl.srid_uniform = True
         rl.spans = _EMPTY_SPANS
         return rl
-    lens = np.array([len(rows[i]) for i in nn], dtype=np.int64)
+    if pa_view is not None:
+        u8 = u8_all
+        starts = starts_all[nn]
+        lens = lens_all[nn]
+    else:
+        lens = np.array([len(rows[i]) for i in nn], dtype=np.int64)
     if lens.min() < 9:
         return None
-    concat = b"".join(rows[i] for i in nn)
-    u8 = np.frombuffer(concat, dtype=np.uint8)
-    starts = np.zeros(len(nn), dtype=np.int64)
-    starts[1:] = np.cumsum(lens)[:-1]
+    if pa_view is None:
+        concat = b"".join(rows[i] for i in nn)
+        u8 = np.frombuffer(concat, dtype=np.uint8)
+        starts = np.zeros(len(nn), dtype=np.int64)
+        starts[1:] = np.cumsum(lens)[:-1]
     row_end = starts + lens
     if (u8[starts] != 1).any():
         return None
@@ -1038,15 +1110,19 @@ def distance_lines_to_points(rl: RaggedLines, px: np.ndarray, py: np.ndarray) ->
     return out
 
 
-def parse_multipoints(bufs) -> RaggedLines | None:
+def parse_multipoints(bufs, pa_view=None) -> RaggedLines | None:
     """Vectorized scan for 2-D MultiPoint batches into the RaggedLines
     layout (one chain per point part — only ``coords`` / ``row_start`` /
     ``chain_row`` / ``null_mask`` / ``srid`` are meaningful to callers).
     Empty point parts (NaN coords) pass through as NaN rows. Returns None
-    for anything that is not purely little-endian 2-D MultiPoints."""
-    rows = [None if b is None else bytes(b) for b in bufs]
-    n = len(rows)
-    null_mask = np.array([b is None for b in rows], dtype=bool)
+    for anything that is not purely little-endian 2-D MultiPoints.
+    ``pa_view`` feeds the scan from Arrow buffers (r11; see _pa_view)."""
+    if pa_view is not None:
+        u8_all, starts_all, lens_all, null_mask, n = pa_view
+    else:
+        rows = [None if b is None else bytes(b) for b in bufs]
+        n = len(rows)
+        null_mask = np.array([b is None for b in rows], dtype=bool)
     nn = np.nonzero(~null_mask)[0]
     rl = RaggedLines()
     rl.n = n
@@ -1061,13 +1137,19 @@ def parse_multipoints(bufs) -> RaggedLines | None:
         rl.srid = 0
         rl.srid_uniform = True
         return rl
-    lens = np.array([len(rows[i]) for i in nn], dtype=np.int64)
+    if pa_view is not None:
+        u8 = u8_all
+        starts = starts_all[nn]
+        lens = lens_all[nn]
+    else:
+        lens = np.array([len(rows[i]) for i in nn], dtype=np.int64)
     if lens.min() < 9:
         return None
-    concat = b"".join(rows[i] for i in nn)
-    u8 = np.frombuffer(concat, dtype=np.uint8)
-    starts = np.zeros(len(nn), dtype=np.int64)
-    starts[1:] = np.cumsum(lens)[:-1]
+    if pa_view is None:
+        concat = b"".join(rows[i] for i in nn)
+        u8 = np.frombuffer(concat, dtype=np.uint8)
+        starts = np.zeros(len(nn), dtype=np.int64)
+        starts[1:] = np.cumsum(lens)[:-1]
     row_end = starts + lens
     if (u8[starts] != 1).any():
         return None

@@ -99,18 +99,25 @@ def st_sjoin(
     if how not in ("inner", "left", "right", "full", "semi", "anti"):
         raise ValueError(f"how must be inner/left/right/full/semi/anti, got {how!r}")
 
+    right_rows = None
     if strategy == "broadcast":
         # The broadcast path collects the ENTIRE right side through the
         # driver. The auto path only picks it under a 64 MB Catalyst-stats
         # guard below; a caller who hardcodes strategy='broadcast' on a big
-        # side would get a driver OOM instead of an error. Bounded sanity
-        # probe: limit(n+1).count() never scans past the cap. (r11 note: a
-        # Catalyst-stats shortcut was tried and reverted — broadcast_threshold
-        # is a caller ROW cap and byte estimates must not override it,
+        # side would get a driver OOM instead of an error. r11 (guide §1.2:
+        # remove a pass): the bounded guard and the broadcast payload are
+        # now ONE job — ``limit(cap+1).collect()`` both enforces the row
+        # cap and yields the rows _sjoin_broadcast needs, where the old
+        # path paid a ``limit(cap+1).count()`` probe job AND a full
+        # ``collect()`` job. Driver exposure is unchanged in magnitude: at
+        # most cap+1 rows materialize, the same order as any successful
+        # forced broadcast. (A Catalyst-stats shortcut was tried and
+        # reverted — broadcast_threshold is a caller ROW cap and byte
+        # estimates must not override it,
         # tests/test_sjoin.py::test_forced_broadcast_oversized_right_raises.)
         cap = max(int(broadcast_threshold), 1) * 10
-        n_right = right.limit(cap + 1).count()
-        if n_right > cap:
+        right_rows = right.limit(cap + 1).collect()
+        if len(right_rows) > cap:
             raise ValueError(
                 f"strategy='broadcast' was forced but the right side has more "
                 f"than {cap} rows (10x broadcast_threshold={broadcast_threshold}); "
@@ -136,7 +143,8 @@ def st_sjoin(
 
     base_how = "left" if how in ("left", "full") else "inner"
     if strategy == "broadcast":
-        out = _sjoin_broadcast(left, right, predicate, base_how, lsuffix, rsuffix, left_on, right_on)
+        out = _sjoin_broadcast(left, right, predicate, base_how, lsuffix, rsuffix,
+                               left_on, right_on, right_rows=right_rows)
     elif strategy == "grid":
         out = _sjoin_grid(left, right, predicate, base_how, lsuffix, rsuffix, left_on, right_on,
                           cell_size, hot_cell_salt, hot_cell_threshold, hot_cell_fraction)
@@ -186,9 +194,11 @@ def _suffix_schema(left: DataFrame, right: DataFrame, lsuffix: str, rsuffix: str
     return lnames, rnames
 
 
-def _sjoin_broadcast(left, right, predicate, how, lsuffix, rsuffix, left_on, right_on):
+def _sjoin_broadcast(left, right, predicate, how, lsuffix, rsuffix, left_on,
+                     right_on, right_rows=None):
     spark = left.sparkSession
-    right_rows = right.collect()
+    if right_rows is None:
+        right_rows = right.collect()
     right_pdf = pd.DataFrame([r.asDict() for r in right_rows], columns=right.columns)
     bc = spark.sparkContext.broadcast(right_pdf)
     lnames, rnames = _suffix_schema(left, right, lsuffix, rsuffix)

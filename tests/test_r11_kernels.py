@@ -139,6 +139,68 @@ def _boxes_of(rects):
     return (a[:, 0], a[:, 1], a[:, 2], a[:, 3], False)
 
 
+def _mpoly(parts, srid=0):
+    from polars_st_spark.geo.types import Geometry, GeometryType
+
+    geoms = [Geometry(GeometryType.Polygon, srid=srid,
+                      rings=[np.array(r, dtype=np.float64) for r in rings])
+             for rings in parts]
+    return to_ewkb(Geometry(GeometryType.MultiPolygon, srid=srid, geoms=geoms))
+
+
+class TestRaggedPaParity:
+    """parse_*_pa (Arrow-buffer entries) must produce CSR structures
+    identical to the pandas-Series parsers."""
+
+    def _cmp(self, parse_pd, parse_pa, bufs):
+        ref = parse_pd(pd.Series(bufs, dtype=object))
+        got = parse_pa(pa.array(bufs, type=pa.binary()))
+        if ref is None:
+            assert got is None
+            return
+        assert got is not None
+        np.testing.assert_array_equal(ref.coords, got.coords)
+        np.testing.assert_array_equal(ref.row_start, got.row_start)
+        np.testing.assert_array_equal(ref.null_mask, got.null_mask)
+        assert ref.srid == got.srid and ref.srid_uniform == got.srid_uniform
+
+    def test_polygons_with_holes_and_nulls(self):
+        from polars_st_spark.geo import ragged as RG
+
+        sq = _ring([[0, 0], [4, 0], [4, 4], [0, 4], [0, 0]])
+        holed = _mpoly([[
+            [[0, 0], [8, 0], [8, 8], [0, 8], [0, 0]],
+            [[2, 2], [3, 2], [3, 3], [2, 3], [2, 2]],
+        ], [
+            [[10, 10], [12, 10], [12, 12], [10, 12], [10, 10]],
+        ]], srid=4326)
+        self._cmp(RG.parse_polygonal, RG.parse_polygonal_pa, [sq, holed, None, sq])
+
+    def test_lines(self):
+        from polars_st_spark.geo import ragged as RG
+
+        l1 = _line([[0, 0], [1, 1], [2, 0]])
+        l2 = _line([[5, 5], [6, 6]])
+        self._cmp(RG.parse_lineal, RG.parse_lineal_pa, [l1, None, l2])
+
+    def test_decline_mixed(self):
+        from polars_st_spark.geo import ragged as RG
+
+        assert RG.parse_polygonal_pa(
+            pa.array([_line([[0, 0], [1, 1]])], type=pa.binary())) is None
+
+    def test_area_matches_scalar(self):
+        from polars_st_spark.geo import algos, ragged as RG
+        from polars_st_spark.geo.wkb import from_ewkb
+
+        holed = _mpoly([[
+            [[0, 0], [8, 0], [8, 8], [0, 8], [0, 0]],
+            [[2, 2], [3, 2], [3, 3], [2, 3], [2, 2]],
+        ]])
+        rp = RG.parse_polygonal_pa(pa.array([holed], type=pa.binary()))
+        np.testing.assert_allclose(RG.area(rp)[0], algos.area(from_ewkb(holed)))
+
+
 class TestRectRelate:
     def test_allen_grid_parity(self):
         """Every pairwise interval relation on both axes vs scalar relate."""
