@@ -18,7 +18,7 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import Column
 from pyspark.sql import functions as F
-from pyspark.sql.functions import pandas_udf
+from pyspark.sql.functions import arrow_udf, pandas_udf
 
 from polars_st_spark.geo.types import Geometry
 from polars_st_spark.geo.wkb import decode_batch, from_ewkb, to_ewkb
@@ -67,6 +67,49 @@ def spark_dt(t):
         out = t
     _DT_CACHE[t] = out
     return out
+
+
+_PA_CACHE: dict = {}
+
+
+def pa_dt(t):
+    """DDL type string → pyarrow DataType (no session, no JVM). The r11
+    arrow_udf builders construct their output arrays explicitly, so the
+    exact pyarrow type must be derivable from the same strings spark_dt
+    accepts. Coercion parity with the pandas_udf boundary (None rows, NaN
+    scalars, NaN inside list elements, nested lists) is probe-verified in
+    tests/test_r11_kernels.py::TestFactoryArrowParity."""
+    hit = _PA_CACHE.get(t)
+    if hit is not None:
+        return hit
+    import pyarrow as pa
+
+    base = {
+        "binary": pa.binary(), "double": pa.float64(),
+        "int": pa.int32(), "integer": pa.int32(),
+        "bigint": pa.int64(), "boolean": pa.bool_(),
+        "string": pa.string(),
+    }
+    out = base.get(t)
+    if out is None and isinstance(t, str) and t.startswith("array<") and t.endswith(">"):
+        out = pa.list_(pa_dt(t[6:-1]))
+    if out is None:
+        raise TypeError(f"pa_dt: unsupported return type {t!r}")
+    _PA_CACHE[t] = out
+    return out
+
+
+def _pa_in(a) -> pd.Series:
+    """pyarrow array → pandas Series (the one per-batch conversion each
+    arrow builder pays; the kernel bodies below are byte-identical to the
+    old pandas_udf bodies)."""
+    return a.to_pandas()
+
+
+def _pa_out(out: list, t):
+    import pyarrow as pa
+
+    return pa.Array.from_pandas(pd.Series(out, dtype=object), type=pa_dt(t))
 
 
 def col_or_lit(c) -> Column:
@@ -122,13 +165,19 @@ def _encode(g: Geometry | None) -> bytes | None:
 
 
 def unary_geom(fn: Callable[[Geometry], Geometry], name: str = "st_fn"):
-    """geometry → geometry column (EWKB in, EWKB out, null-safe)."""
+    """geometry → geometry column (EWKB in, EWKB out, null-safe).
 
-    @pandas_udf(spark_dt("binary"))
-    def udf(s: pd.Series) -> pd.Series:
-        return pd.Series(
+    r11: all factory builders are ``arrow_udf`` (evalType 250) so they
+    fuse with the zero-copy hot-kernel UDFs into ONE ArrowEvalPython node
+    per projection — a mixed 200/250 projection pays a second Python
+    round-trip over the whole stream. Bodies are unchanged."""
+
+    @arrow_udf(spark_dt("binary"))
+    def udf(a):
+        s = _pa_in(a)
+        return _pa_out(
             [None if g is None else _encode(fn(g)) for g in decode_batch(s)],
-            dtype=object,
+            "binary",
         )
 
     return udf
@@ -137,10 +186,11 @@ def unary_geom(fn: Callable[[Geometry], Geometry], name: str = "st_fn"):
 def unary_scalar(fn: Callable[[Geometry], Any], return_type: str, name: str = "st_fn"):
     """geometry → scalar column. None passthrough; fn errors propagate."""
 
-    @pandas_udf(spark_dt(return_type))
-    def udf(s: pd.Series) -> pd.Series:
+    @arrow_udf(spark_dt(return_type))
+    def udf(a):
+        s = _pa_in(a)
         out = [None if g is None else fn(g) for g in decode_batch(s)]
-        return pd.Series(out, dtype=object)
+        return _pa_out(out, return_type)
 
     return udf
 
@@ -165,13 +215,14 @@ def unary_scalar_param(
 
     p = col_or_lit(param)
 
-    @pandas_udf(spark_dt(return_type))
-    def udf(s: pd.Series, v: pd.Series) -> pd.Series:
+    @arrow_udf(spark_dt(return_type))
+    def udf(a, av):
+        s, v = _pa_in(a), _pa_in(av)
         out = [
             None if g is None or pd.isna(x) else fn(g, x)
             for g, x in zip(decode_batch(s), v)
         ]
-        return pd.Series(out, dtype=object)
+        return _pa_out(out, return_type)
 
     def paired(col) -> Column:
         return udf(col_or_lit(col), p)
@@ -190,20 +241,22 @@ def binary_scalar(
     if isinstance(other, Geometry):
         g2 = other
 
-        @pandas_udf(spark_dt(return_type))
-        def udf(s: pd.Series) -> pd.Series:
+        @arrow_udf(spark_dt(return_type))
+        def udf(a):
+            s = _pa_in(a)
             out = [None if g is None else fn(g, g2) for g in decode_batch(s)]
-            return pd.Series(out, dtype=object)
+            return _pa_out(out, return_type)
 
         return udf, None
 
-    @pandas_udf(spark_dt(return_type))
-    def udf2(s1: pd.Series, s2: pd.Series) -> pd.Series:
+    @arrow_udf(spark_dt(return_type))
+    def udf2(a1, a2):
+        s1, s2 = _pa_in(a1), _pa_in(a2)
         out = [
             None if (g1 is None or g2 is None) else fn(g1, g2)
             for g1, g2 in zip(decode_batch(s1), decode_batch(s2))
         ]
-        return pd.Series(out, dtype=object)
+        return _pa_out(out, return_type)
 
     # other=None: return the bare two-column UDF (SQL registry; the caller
     # applies it to both sides itself — no driver Column is built, so this
@@ -220,21 +273,23 @@ def binary_geom(
     if isinstance(other, Geometry):
         g2 = other
 
-        @pandas_udf(spark_dt("binary"))
-        def udf(s: pd.Series) -> pd.Series:
-            return pd.Series(
+        @arrow_udf(spark_dt("binary"))
+        def udf(a):
+            s = _pa_in(a)
+            return _pa_out(
                 [None if g is None else _encode(fn(g, g2)) for g in decode_batch(s)],
-                dtype=object,
+                "binary",
             )
 
         return udf, None
 
-    @pandas_udf(spark_dt("binary"))
-    def udf2(s1: pd.Series, s2: pd.Series) -> pd.Series:
+    @arrow_udf(spark_dt("binary"))
+    def udf2(a1, a2):
+        s1, s2 = _pa_in(a1), _pa_in(a2)
         out = [
             None if (g1 is None or g2 is None) else _encode(fn(g1, g2))
             for g1, g2 in zip(decode_batch(s1), decode_batch(s2))
         ]
-        return pd.Series(out, dtype=object)
+        return _pa_out(out, "binary")
 
     return udf2, (col_or_lit(other) if other is not None else None)

@@ -70,11 +70,28 @@ __all__ = [
 # Header-only metadata (no geometry object construction)
 # ----------------------------------------------------------------------
 
-@pandas_udf(StringType())
-def _geometry_type_udf(s: pd.Series) -> pd.Series:
-    return s.map(
-        lambda b: None if b is None else GEOMETRY_TYPE_NAMES.get(header_info(bytes(b))[0], "Unknown")
-    )
+# r11: header-only metadata is FULLY vectorized from the Arrow buffers
+# (geo/arrowwkb.header_info_pa decodes endian byte + type word + SRID for
+# the whole batch in numpy — no per-row bytes objects, no Python loop) and
+# rides evalType 250 so it fuses with the other arrow_udf kernels.
+# Parity with the scalar ``header_info`` decoder is asserted in
+# tests/test_r11_kernels.py::TestHeaderInfoPa.
+
+def _header_pa(a):
+    from polars_st_spark.geo.arrowwkb import header_info_pa
+
+    return header_info_pa(a)
+
+
+@arrow_udf(StringType())
+def _geometry_type_udf(a):
+    import pyarrow as pa
+
+    base, _, _, _, nulls = _header_pa(a)
+    out = np.empty(len(base), dtype=object)
+    for code in np.unique(base[~nulls]) if nulls.any() else np.unique(base):
+        out[base == code] = GEOMETRY_TYPE_NAMES.get(int(code), "Unknown")
+    return pa.array(out, type=pa.string(), mask=nulls if nulls.any() else None)
 
 
 def st_geometry_type(col) -> Column:
@@ -82,11 +99,12 @@ def st_geometry_type(col) -> Column:
     return _geometry_type_udf(col_or_lit(col))
 
 
-@pandas_udf(IntegerType())
-def _srid_udf(s: pd.Series) -> pd.Series:
-    return pd.Series(
-        [None if b is None else header_info(bytes(b))[3] for b in s], dtype=object
-    )
+@arrow_udf(IntegerType())
+def _srid_udf(a):
+    import pyarrow as pa
+
+    _, _, _, srid, nulls = _header_pa(a)
+    return pa.array(srid, type=pa.int32(), mask=nulls if nulls.any() else None)
 
 
 def st_srid(col) -> Column:
@@ -94,36 +112,42 @@ def st_srid(col) -> Column:
     return _srid_udf(col_or_lit(col))
 
 
-def st_has_z(col) -> Column:
-    @pandas_udf("boolean")
-    def udf(s: pd.Series) -> pd.Series:
-        return pd.Series([None if b is None else header_info(bytes(b))[1] for b in s], dtype=object)
+@arrow_udf(spark_dt("boolean"))
+def _has_z_meta_udf(a):
+    import pyarrow as pa
 
-    return udf(col_or_lit(col))
+    _, z, _, _, nulls = _header_pa(a)
+    return pa.array(z, type=pa.bool_(), mask=nulls if nulls.any() else None)
+
+
+@arrow_udf(spark_dt("boolean"))
+def _has_m_meta_udf(a):
+    import pyarrow as pa
+
+    _, _, m, _, nulls = _header_pa(a)
+    return pa.array(m, type=pa.bool_(), mask=nulls if nulls.any() else None)
+
+
+def st_has_z(col) -> Column:
+    return _has_z_meta_udf(col_or_lit(col))
 
 
 def st_has_m(col) -> Column:
-    @pandas_udf("boolean")
-    def udf(s: pd.Series) -> pd.Series:
-        return pd.Series([None if b is None else header_info(bytes(b))[2] for b in s], dtype=object)
+    return _has_m_meta_udf(col_or_lit(col))
 
-    return udf(col_or_lit(col))
+
+@arrow_udf(spark_dt("int"))
+def _coordinate_dimension_udf(a):
+    import pyarrow as pa
+
+    _, z, m, _, nulls = _header_pa(a)
+    dims = 2 + z.astype(np.int32) + m.astype(np.int32)
+    return pa.array(dims, type=pa.int32(), mask=nulls if nulls.any() else None)
 
 
 def st_coordinate_dimension(col) -> Column:
     """2/3/4 from header flags (reference: functions.rs:427-431)."""
-
-    @pandas_udf("int")
-    def udf(s: pd.Series) -> pd.Series:
-        def one(b):
-            if b is None:
-                return None
-            _, z, m, _ = header_info(bytes(b))
-            return 2 + int(z) + int(m)
-
-        return pd.Series([one(b) for b in s], dtype=object)
-
-    return udf(col_or_lit(col))
+    return _coordinate_dimension_udf(col_or_lit(col))
 
 
 def st_dimensions(col) -> Column:

@@ -52,7 +52,19 @@ def _param_dispatch(builder, ret_type, nparams, ngeom=1, casts=None):
         if hit is None:
             if len(cache) >= 64:
                 cache.clear()
-            hit = cache[vals] = builder(*vals).func
+            u = builder(*vals)
+            f = u.func
+            if getattr(u, "evalType", None) == 250:
+                # r11: the factory builders are arrow_udfs now (pa.Array
+                # in/out); this dispatcher feeds pandas Series — adapt at
+                # the call boundary (geometry data columns are EWKB binary)
+                import pyarrow as pa_
+
+                def f(*series, _f=u.func):
+                    res = _f(*[pa_.Array.from_pandas(s, type=pa_.binary())
+                               for s in series])
+                    return res.to_pandas()
+            hit = cache[vals] = f
         return hit
 
     def norm(raw: tuple):
@@ -131,25 +143,11 @@ def _registry():
             udf, _ = binary_scalar(fn, rt, None)
         return udf
 
-    @pandas_udf("boolean")
-    def _has_z_udf(s: pd.Series) -> pd.Series:
-        return pd.Series(
-            [None if b is None else header_info(bytes(b))[1] for b in s], dtype=object)
-
-    @pandas_udf("boolean")
-    def _has_m_udf(s: pd.Series) -> pd.Series:
-        return pd.Series(
-            [None if b is None else header_info(bytes(b))[2] for b in s], dtype=object)
-
-    @pandas_udf("int")
-    def _coord_dim_udf(s: pd.Series) -> pd.Series:
-        def one(b):
-            if b is None:
-                return None
-            _, z, m, _ = header_info(bytes(b))
-            return 2 + int(z) + int(m)
-
-        return pd.Series([one(b) for b in s], dtype=object)
+    # r11: the header-meta UDFs are the vectorized arrow instances from
+    # scalar.py (geo/arrowwkb.header_info_pa — no per-row header decode)
+    _has_z_udf = S._has_z_meta_udf
+    _has_m_udf = S._has_m_meta_udf
+    _coord_dim_udf = S._coordinate_dimension_udf
 
     F, I, STR = float, int, str
 

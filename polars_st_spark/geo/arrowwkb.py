@@ -35,7 +35,7 @@ import struct
 
 import numpy as np
 
-__all__ = ["flat_views", "uniform_batch_pa"]
+__all__ = ["flat_views", "header_info_pa", "uniform_batch_pa"]
 
 _SRID_FLAG = 0x20000000
 _ZM_FLAGS = 0x80000000 | 0x40000000
@@ -130,3 +130,49 @@ def uniform_batch_pa(arr):
             and np.all(y[:, 2] == y[:, 3])
         )
     return ("ring", coords, axis_rect)
+
+
+def header_info_pa(arr):
+    """Vectorized ``geo.wkb.header_info`` over a pyarrow Binary array (r11):
+    ``(base_type int32, has_z bool, has_m bool, srid int32, null_mask)``
+    numpy arrays straight from the Arrow buffers — no per-row bytes objects,
+    both endiannesses, EWKB flag bits AND ISO 1000/2000/3000 codes, exactly
+    the scalar decoder's rules (``_decode_type_word``). Raises the scalar
+    lane's ``ValueError`` on any too-short valid row."""
+    offs, data, valid = flat_views(arr)
+    n = len(arr)
+    starts = offs[:-1]
+    lens = np.diff(offs)
+    null_mask = ~valid if valid is not None else np.zeros(n, dtype=bool)
+    ok = ~null_mask
+    if not ok.any():
+        z = np.zeros(n, dtype=np.int32)
+        return z, np.zeros(n, bool), np.zeros(n, bool), z, null_mask
+    if int(lens[ok].min()) < 5:
+        raise ValueError("Invalid WKB: too short")
+    s = np.where(ok, starts, 0)
+
+    def _u32(at, lit):
+        b = [data[at + i].astype(np.uint32) for i in range(4)]
+        le = b[0] | (b[1] << 8) | (b[2] << 16) | (b[3] << 24)
+        be = b[3] | (b[2] << 8) | (b[1] << 16) | (b[0] << 24)
+        return np.where(lit, le, be)
+
+    little = data[s] == 1
+    raw = _u32(s + 1, little)
+    has_z = (raw & 0x80000000) != 0
+    has_m = (raw & 0x40000000) != 0
+    has_srid = (raw & _SRID_FLAG) != 0
+    base = (raw & 0x0FFFFFFF).astype(np.int64)
+    iso = np.where(base >= 1000, base // 1000, 0)
+    has_z |= (iso == 1) | (iso == 3)
+    has_m |= (iso == 2) | (iso == 3)
+    base = np.where(base >= 1000, base % 1000, base)
+    srid = np.zeros(n, dtype=np.int64)
+    rd = has_srid & ok
+    if rd.any():
+        if (lens[rd] < 9).any():
+            raise ValueError("Invalid WKB: too short")
+        srid[rd] = _u32(s[rd] + 5, little[rd])
+    return (base.astype(np.int32), has_z & ok, has_m & ok,
+            srid.astype(np.int32), null_mask)

@@ -247,3 +247,123 @@ class TestRectRelate:
         mats, _ = _rect_relate_mats(
             _boxes_of([(0, 0, 1, 1)]), _boxes_of([(1, 1, 2, 2)]))
         assert mats[0] == "FF2F01212"
+
+
+class TestFactoryArrowParity:
+    """The arrow_udf factory builders (evalType 250) must coerce outputs
+    exactly like the pandas_udf boundary did: None rows → null, NaN
+    doubles → null, NaN inside list<double> elements preserved the same
+    way, nested lists and binaries unchanged. Probe-verified against a
+    live pandas_udf for every factory return type."""
+
+    CASES = {
+        "double": [None, 1.5, float("nan"), -0.0, 3.0],
+        "boolean": [None, True, False, True, None],
+        "int": [None, 1, -2, 3, 0],
+        "string": [None, "a", "", "txt", "z"],
+        "binary": [None, b"\x00\x01", b"", b"abc", b"\xff"],
+        "array<double>": [None, [1.0, float("nan")], [], [2.5], [float("nan")]],
+        "array<binary>": [None, [b"a", None], [], [b"\x00"], [b"x", b"y"]],
+        "array<array<double>>": [None, [[1.0, float("nan")], [2.0]], [], [[3.0]], [[]]],
+    }
+
+    def test_boundary_parity_vs_pandas_udf(self, spark):
+        from pyspark.sql.functions import arrow_udf, pandas_udf
+
+        from polars_st_spark.functions.factory import _pa_out
+
+        df = spark.createDataFrame([(i,) for i in range(5)], "i int").coalesce(1)
+        for t, vals in self.CASES.items():
+            def make_pu(t=t, vals=vals):
+                @pandas_udf(t)
+                def pu(s: pd.Series) -> pd.Series:
+                    return pd.Series([vals[int(v)] for v in s], dtype=object)
+                return pu
+
+            def make_au(t=t, vals=vals):
+                @arrow_udf(t)
+                def au(a):
+                    return _pa_out([vals[int(v)] for v in a.to_pandas()], t)
+                return au
+
+            r_pd = [r[0] for r in df.select(make_pu()("i")).collect()]
+            r_pa = [r[0] for r in df.select(make_au()("i")).collect()]
+            assert repr(r_pd) == repr(r_pa), (t, r_pd, r_pa)
+
+    def test_pa_dt_rejects_unknown(self):
+        from polars_st_spark.functions.factory import pa_dt
+
+        with pytest.raises(TypeError):
+            pa_dt("map<string,int>")
+
+
+class TestHeaderInfoPa:
+    """header_info_pa must equal the scalar header_info decoder over every
+    type code × flag combination × endianness, with null and sliced
+    batches."""
+
+    def _check(self, bufs):
+        from polars_st_spark.geo.arrowwkb import header_info_pa
+        from polars_st_spark.geo.wkb import header_info
+
+        arr = pa.array(bufs, type=pa.binary())
+        base, z, m, srid, nulls = header_info_pa(arr)
+        for i, b in enumerate(bufs):
+            if b is None:
+                assert nulls[i]
+                continue
+            rb, rz, rm, rs = header_info(b)
+            assert (int(base[i]), bool(z[i]), bool(m[i]), int(srid[i])) == \
+                (rb, rz, rm, rs), (i, b.hex())
+
+    def test_flags_iso_endian_grid(self):
+        import struct
+
+        bufs = []
+        for code in (1, 2, 3, 4, 5, 6, 7, 8, 17):
+            for zf, mf in ((0, 0), (1, 0), (0, 1), (1, 1)):
+                for srid in (0, 4326):
+                    word = code | (0x80000000 if zf else 0) | \
+                        (0x40000000 if mf else 0) | (0x20000000 if srid else 0)
+                    for fmt, bo in (("<", b"\x01"), (">", b"\x00")):
+                        hdr = bo + struct.pack(fmt + "I", word)
+                        if srid:
+                            hdr += struct.pack(fmt + "I", srid)
+                        bufs.append(hdr + b"\x00" * 16)
+            # ISO code form (1000/2000/3000 offsets), little-endian
+            for iso in (1000, 2000, 3000):
+                bufs.append(b"\x01" + struct.pack("<I", code + iso) + b"\x00" * 16)
+        self._check(bufs)
+
+    def test_nulls_and_slice(self):
+        bufs = [_pt(1, 2, srid=31370), None, _rect(0, 0, 1, 1), None,
+                _pt(5, 6)]
+        self._check(bufs)
+        from polars_st_spark.geo.arrowwkb import header_info_pa
+
+        arr = pa.array(bufs, type=pa.binary()).slice(1, 3)
+        base, z, m, srid, nulls = header_info_pa(arr)
+        assert nulls.tolist() == [True, False, True]
+        assert int(base[1]) == 3  # polygon
+
+    def test_too_short_raises(self):
+        from polars_st_spark.geo.arrowwkb import header_info_pa
+
+        with pytest.raises(ValueError):
+            header_info_pa(pa.array([b"\x01\x02"], type=pa.binary()))
+
+    def test_meta_udfs_against_pandas(self, spark):
+        import polars_st_spark as st
+
+        rows = [(_pt(1, 2, srid=4326),), (None,), (_rect(0, 0, 2, 2),),
+                (_pt(3, 4),)]
+        df = spark.createDataFrame(rows, "g binary")
+        got = df.select(
+            st.st_geometry_type("g").alias("t"), st.st_srid("g").alias("s"),
+            st.st_has_z("g").alias("z"), st.st_has_m("g").alias("m"),
+            st.st_coordinate_dimension("g").alias("d")).collect()
+        assert [r.t for r in got] == ["Point", None, "Polygon", "Point"]
+        assert [r.s for r in got] == [4326, None, 0, 0]
+        assert [r.z for r in got] == [False, None, False, False]
+        assert [r.m for r in got] == [False, None, False, False]
+        assert [r.d for r in got] == [2, None, 2, 2]
