@@ -12,13 +12,18 @@ import struct
 import numpy as np
 import pandas as pd
 from pyspark.sql import Column
-from pyspark.sql.functions import pandas_udf
+from pyspark.sql.functions import arrow_udf
 
-from polars_st_spark.functions.factory import col_or_lit, spark_dt
+from polars_st_spark.functions.factory import (
+    arrow_series_udf,
+    col_or_lit,
+    pa_binary_rows,
+    spark_dt,
+)
 from polars_st_spark.geo import geojson as _gj
 from polars_st_spark.geo import wkt as _wkt
 from polars_st_spark.geo.types import Geometry, GeometryType
-from polars_st_spark.geo.wkb import from_ewkb, points_to_ewkb, to_ewkb
+from polars_st_spark.geo.wkb import from_ewkb, points_to_ewkb_matrix, to_ewkb
 
 __all__ = [
     "st_point",
@@ -36,20 +41,28 @@ __all__ = [
 ]
 
 
-def _point2_udf(srid: int = 0):
-    """(x, y) → EWKB point UDF builder (shared with the SQL registry)."""
+def _f64_null(a):
+    """pyarrow numeric array → (float64 ndarray with NaN at nulls, null mask)."""
+    import pyarrow as pa
 
-    @pandas_udf(spark_dt("binary"))
-    def udf(xs: pd.Series, ys: pd.Series) -> pd.Series:
-        mask = xs.isna() | ys.isna()
-        bufs = points_to_ewkb(
-            xs.to_numpy(dtype=np.float64, na_value=np.nan),
-            ys.to_numpy(dtype=np.float64, na_value=np.nan),
-            srid=srid,
-        )
-        if mask.any():
-            bufs = [None if m else b for b, m in zip(bufs, mask)]
-        return pd.Series(bufs, dtype=object)
+    if isinstance(a, pa.ChunkedArray):
+        a = a.combine_chunks()
+    mask = a.is_null().to_numpy(zero_copy_only=False)
+    vals = np.asarray(a.to_numpy(zero_copy_only=False), dtype=np.float64)
+    return vals, mask
+
+
+def _point2_udf(srid: int = 0):
+    """(x, y) → EWKB point UDF builder (shared with the SQL registry).
+
+    arrow_udf end to end: numeric Arrow buffers in, one (n, rowlen) uint8
+    matrix out through pa_binary_rows — zero per-row Python objects."""
+
+    @arrow_udf(spark_dt("binary"))
+    def udf(xa, ya):
+        x, mx = _f64_null(xa)
+        y, my = _f64_null(ya)
+        return pa_binary_rows(points_to_ewkb_matrix(x, y, srid=srid), mx | my)
 
     return udf
 
@@ -62,18 +75,13 @@ def st_point(x, y, z=None, srid: int = 0) -> Column:
     if z is None:
         return _point2_udf(srid)(col_or_lit(x), col_or_lit(y))
 
-    @pandas_udf(spark_dt("binary"))
-    def udf3(xs: pd.Series, ys: pd.Series, zs: pd.Series) -> pd.Series:
-        mask = xs.isna() | ys.isna() | zs.isna()
-        bufs = points_to_ewkb(
-            xs.to_numpy(dtype=np.float64, na_value=np.nan),
-            ys.to_numpy(dtype=np.float64, na_value=np.nan),
-            zs.to_numpy(dtype=np.float64, na_value=np.nan),
-            srid=srid,
-        )
-        if mask.any():
-            bufs = [None if m else b for b, m in zip(bufs, mask)]
-        return pd.Series(bufs, dtype=object)
+    @arrow_udf(spark_dt("binary"))
+    def udf3(xa, ya, za):
+        xv, mx = _f64_null(xa)
+        yv, my = _f64_null(ya)
+        zv, mz = _f64_null(za)
+        return pa_binary_rows(
+            points_to_ewkb_matrix(xv, yv, zv, srid=srid), mx | my | mz)
 
     return udf3(col_or_lit(x), col_or_lit(y), col_or_lit(z))
 
@@ -82,14 +90,14 @@ def st_rectangle(xmin, ymin, xmax, ymax, srid: int = 0) -> Column:
     """Axis-aligned rectangle polygon from 4 numeric columns
     (reference: parsing.py:250-282, functions.rs:290-299). Vectorized."""
 
-    @pandas_udf(spark_dt("binary"))
-    def udf(x0s: pd.Series, y0s: pd.Series, x1s: pd.Series, y1s: pd.Series) -> pd.Series:
-        n = len(x0s)
-        mask = x0s.isna() | y0s.isna() | x1s.isna() | y1s.isna()
-        x0 = x0s.to_numpy(dtype=np.float64, na_value=0.0)
-        y0 = y0s.to_numpy(dtype=np.float64, na_value=0.0)
-        x1 = x1s.to_numpy(dtype=np.float64, na_value=0.0)
-        y1 = y1s.to_numpy(dtype=np.float64, na_value=0.0)
+    @arrow_udf(spark_dt("binary"))
+    def udf(x0a, y0a, x1a, y1a):
+        x0, m0 = _f64_null(x0a)
+        y0, m1 = _f64_null(y0a)
+        x1, m2 = _f64_null(x1a)
+        y1, m3 = _f64_null(y1a)
+        n = len(x0)
+        mask = m0 | m1 | m2 | m3
         with_srid = srid != 0
         head = 1 + 4 + (4 if with_srid else 0) + 4 + 4  # endian+type[+srid]+nrings+npts
         rowlen = head + 5 * 16
@@ -111,18 +119,13 @@ def st_rectangle(xmin, ymin, xmax, ymax, srid: int = 0) -> Column:
         ring[:, 6], ring[:, 7] = x0, y1
         ring[:, 8], ring[:, 9] = x0, y0
         buf[:, head:] = ring.view(np.uint8).reshape(n, 80)
-        raw = buf.tobytes()
-        out = [
-            None if mask.iloc[i] else raw[i * rowlen : (i + 1) * rowlen]
-            for i in range(n)
-        ]
-        return pd.Series(out, dtype=object)
+        return pa_binary_rows(buf, mask)
 
     return udf(col_or_lit(xmin), col_or_lit(ymin), col_or_lit(xmax), col_or_lit(ymax))
 
 
 def _parser_udf(parse, srid: int | None = None):
-    @pandas_udf(spark_dt("binary"))
+    @arrow_series_udf("binary")
     def udf(s: pd.Series) -> pd.Series:
         def one(v):
             if v is None:
@@ -160,7 +163,7 @@ def st_from_geojson(col, srid: int = 0) -> Column:
 def st_linestring(coords_col, srid: int = 0) -> Column:
     """LineString from array<array<double>> column (reference: parsing.py:117-167)."""
 
-    @pandas_udf(spark_dt("binary"))
+    @arrow_series_udf("binary")
     def udf(s: pd.Series) -> pd.Series:
         def one(v):
             if v is None:
@@ -186,7 +189,7 @@ def st_circularstring(coords_col, srid: int = 0) -> Column:
     Stored/propagated as EWKB; header-level ops work, GEOS-style computations
     on curves raise (SURVEY §7 hard part 1 — curve support)."""
 
-    @pandas_udf(spark_dt("binary"))
+    @arrow_series_udf("binary")
     def udf(s: pd.Series) -> pd.Series:
         def one(v):
             if v is None:
@@ -211,7 +214,7 @@ def st_circularstring(coords_col, srid: int = 0) -> Column:
 def st_multilinestring(lines_col, srid: int = 0) -> Column:
     """MultiLineString from array<array<array<double>>>."""
 
-    @pandas_udf(spark_dt("binary"))
+    @arrow_series_udf("binary")
     def udf(s: pd.Series) -> pd.Series:
         def one(v):
             if v is None:
@@ -238,7 +241,7 @@ def st_multilinestring(lines_col, srid: int = 0) -> Column:
 def st_polygon(rings_col, srid: int = 0) -> Column:
     """Polygon from array<array<array<double>>> (reference: parsing.py:170-247)."""
 
-    @pandas_udf(spark_dt("binary"))
+    @arrow_series_udf("binary")
     def udf(s: pd.Series) -> pd.Series:
         def one(v):
             if v is None:
@@ -255,7 +258,7 @@ def st_polygon(rings_col, srid: int = 0) -> Column:
 def st_multipoint(coords_col, srid: int = 0) -> Column:
     """MultiPoint from array<array<double>> (reference: parsing.py:80-114)."""
 
-    @pandas_udf(spark_dt("binary"))
+    @arrow_series_udf("binary")
     def udf(s: pd.Series) -> pd.Series:
         def one(v):
             if v is None:
@@ -277,7 +280,7 @@ def st_from_coords(col, srid: int = 0) -> Column:
     """Infer Point/LineString/Polygon from nesting depth
     (reference: parsing.py:285-320, expressions.rs:192-209)."""
 
-    @pandas_udf(spark_dt("binary"))
+    @arrow_series_udf("binary")
     def udf(s: pd.Series) -> pd.Series:
         def depth(v) -> int:
             d = 0

@@ -132,11 +132,9 @@ def st_crs_from_code(col):
     distributed, oracle-checkable surface). Unknown codes → NULL (the
     driver form raises; a NULL is the elementwise convention)."""
     import pandas as pd
-    from pyspark.sql.functions import pandas_udf
+    from polars_st_spark.functions.factory import arrow_series_udf, col_or_lit
 
-    from polars_st_spark.functions.factory import col_or_lit
-
-    @pandas_udf("string")
+    @arrow_series_udf("string")
     def udf(s):
         out = []
         for v in s:
@@ -156,11 +154,9 @@ def st_crs_authority(col):
     """Column form of :func:`get_crs_authority` — CRS WKT / 'AUTH:code'
     string → 'AUTH:code' string (None when undetectable)."""
     import pandas as pd
-    from pyspark.sql.functions import pandas_udf
+    from polars_st_spark.functions.factory import arrow_series_udf, col_or_lit
 
-    from polars_st_spark.functions.factory import col_or_lit
-
-    @pandas_udf("string")
+    @arrow_series_udf("string")
     def udf(s):
         out = []
         for v in s:

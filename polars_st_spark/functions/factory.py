@@ -28,6 +28,8 @@ __all__ = [
     "col_or_lit",
     "spark_dt",
     "geom_arg",
+    "arrow_series_udf",
+    "pa_binary_rows",
     "unary_geom",
     "unary_scalar",
     "unary_scalar_param",
@@ -104,6 +106,60 @@ def _pa_in(a) -> pd.Series:
     arrow builder pays; the kernel bodies below are byte-identical to the
     old pandas_udf bodies)."""
     return a.to_pandas()
+
+
+def arrow_series_udf(ret):
+    """Decorator: wrap a pandas-Series kernel (Series in → Series out) as
+    an ``arrow_udf`` (evalType 250).
+
+    Spark's ExtractPythonUDFs only fuses adjacent Python UDFs of the SAME
+    eval type; after the factory builders moved to 250, any direct
+    ``@pandas_udf`` definition left at 200 forced a second ArrowEvalPython
+    node — a second worker round-trip over the whole stream — into every
+    projection that mixed them (measured on the b2a construct+relate chain
+    at sf1: 11.8 s floor unfused vs 1.9 s + 3.4 s for the two pieces).
+    Bodies stay byte-identical pandas kernels; this boundary converts once
+    per batch, with the same Arrow coercions the factory builders use."""
+    rt = spark_dt(ret)
+
+    def deco(fn):
+        @arrow_udf(rt)
+        def udf(*arrs):
+            import pyarrow as pa
+
+            res = fn(*[a.to_pandas() for a in arrs])
+            if not isinstance(res, pd.Series):
+                res = pd.Series(res, dtype=object)
+            return pa.Array.from_pandas(res, type=pa_dt(ret))
+
+        return udf
+
+    return deco
+
+
+def pa_binary_rows(flat: "np.ndarray", mask=None):
+    """(n, rowlen) uint8 matrix → pyarrow binary array with NO per-row
+    Python objects: offsets are an arange, the value buffer is the matrix
+    itself. ``mask`` (bool ndarray, True = null) sets the validity bitmap;
+    null rows keep their slot bytes (valid Arrow — values under null are
+    unspecified)."""
+    import pyarrow as pa
+
+    n, rowlen = flat.shape
+    offsets = np.arange(0, (n + 1) * rowlen, rowlen, dtype=np.int32)
+    validity = None
+    null_count = 0
+    if mask is not None:
+        mask = np.asarray(mask, dtype=bool)
+        null_count = int(mask.sum())
+        if null_count:
+            validity = pa.py_buffer(
+                np.packbits(~mask, bitorder="little").tobytes())
+    return pa.Array.from_buffers(
+        pa.binary(), n,
+        [validity, pa.py_buffer(offsets.tobytes()),
+         pa.py_buffer(np.ascontiguousarray(flat).tobytes())],
+        null_count=null_count)
 
 
 def _pa_out(out: list, t):

@@ -20,7 +20,13 @@ import pandas as pd
 from pyspark.sql import Column
 from pyspark.sql.functions import arrow_udf, pandas_udf
 
-from polars_st_spark.functions.factory import binary_scalar, col_or_lit, geom_arg, spark_dt
+from polars_st_spark.functions.factory import (
+    arrow_series_udf,
+    binary_scalar,
+    col_or_lit,
+    geom_arg,
+    spark_dt,
+)
 from polars_st_spark.geo import predicates as P
 from polars_st_spark.geo import ragged as RG
 from polars_st_spark.geo.arrowwkb import uniform_batch_pa
@@ -657,7 +663,7 @@ def st_relate(col, other) -> Column:
     if isinstance(o, Geometry):
         ob = bytes(to_ewkb(o))
 
-        @pandas_udf(spark_dt("string"))
+        @arrow_series_udf("string")
         def udf1(s: pd.Series) -> pd.Series:
             if len(s) * len(ob) <= _REL_CONST_MAX:
                 return _relate_series(s, pd.Series([ob] * len(s)))
@@ -710,7 +716,7 @@ def st_relate_pattern(col, other, pattern: str) -> Column:
     if isinstance(o, Geometry):
         ob = bytes(to_ewkb(o))
 
-        @pandas_udf(spark_dt("boolean"))
+        @arrow_series_udf("boolean")
         def udf1(s: pd.Series) -> pd.Series:
             if len(s) * len(ob) <= _REL_CONST_MAX:
                 return match(_relate_series(s, pd.Series([ob] * len(s))))
@@ -732,7 +738,7 @@ def _relate_pattern_pair_udf(pattern: str):
     """Two-geometry-column relate_pattern UDF builder (shared with the SQL
     registry)."""
 
-    @pandas_udf(spark_dt("boolean"))
+    @arrow_series_udf("boolean")
     def udf2(s1: pd.Series, s2: pd.Series) -> pd.Series:
         ms = _relate_series(s1, s2)
         return pd.Series(
@@ -754,7 +760,7 @@ def _dwithin_impl(col, other, distance: float) -> Column:
     if isinstance(o, Geometry):
         B_const = _const_box(o)
 
-        @pandas_udf(spark_dt("boolean"))
+        @arrow_series_udf("boolean")
         def udf1(s: pd.Series) -> pd.Series:
             if B_const is not None and B_const[4] and not s.isna().any():
                 A = _as_boxes(batch_uniform(s))
@@ -774,7 +780,7 @@ def _dwithin_impl(col, other, distance: float) -> Column:
 def _dwithin_pair_udf(distance: float):
     """Two-geometry-column dwithin UDF builder (shared with the SQL registry)."""
 
-    @pandas_udf(spark_dt("boolean"))
+    @arrow_series_udf("boolean")
     def udf2(s1: pd.Series, s2: pd.Series) -> pd.Series:
         if len(s1) and not s1.isna().any() and not s2.isna().any():
             fa = batch_uniform(s1)

@@ -31,6 +31,7 @@ from pyspark.sql.types import DoubleType, IntegerType, StringType
 from polars_st_spark.geo.arrowwkb import uniform_batch_pa
 
 from polars_st_spark.functions.factory import (
+    arrow_series_udf,
     binary_scalar,
     col_or_lit,
     geom_arg,
@@ -412,7 +413,7 @@ def st_distance(col, other) -> Column:
     if isinstance(other_g, Geometry) and other_g.type_id == GeometryType.Point and other_g.coords is not None:
         qx, qy = float(other_g.coords[0]), float(other_g.coords[1])
 
-        @pandas_udf("double")
+        @arrow_series_udf("double")
         def udf_fast(s: pd.Series) -> pd.Series:
             if not s.isna().any():
                 fast = batch_uniform(s)
@@ -440,7 +441,7 @@ def st_distance(col, other) -> Column:
         # point column vs constant areal geometry
         g2 = other_g
 
-        @pandas_udf("double")
+        @arrow_series_udf("double")
         def udf_pts(s: pd.Series) -> pd.Series:
             if not s.isna().any():
                 fast = batch_uniform(s)
@@ -674,7 +675,7 @@ def st_count_coordinates(col) -> Column:
 
 
 def _count_coordinates_udf():
-    @pandas_udf("int")
+    @arrow_series_udf("int")
     def udf(s: pd.Series) -> pd.Series:
         rg = (ragged.parse_polygonal(s) or ragged.parse_lineal(s)
               or ragged.parse_multipoints(s))

@@ -43,7 +43,7 @@ def _param_dispatch(builder, ret_type, nparams, ngeom=1, casts=None):
     columns and dispatches per distinct parameter tuple (see module
     docstring). Builders are cached per parameter tuple, so repeated
     batches with the same literal reuse one UDF's batch function."""
-    from pyspark.sql.functions import pandas_udf
+    from polars_st_spark.functions.factory import arrow_series_udf
 
     cache: dict[tuple, object] = {}
 
@@ -76,7 +76,7 @@ def _param_dispatch(builder, ret_type, nparams, ngeom=1, casts=None):
             out.append(c(v))
         return tuple(out)
 
-    @pandas_udf(ret_type)
+    @arrow_series_udf(ret_type)
     def udf(*cols: pd.Series) -> pd.Series:
         data, ps = cols[:ngeom], cols[ngeom:]
         n = len(data[0])

@@ -16,6 +16,7 @@ from pyspark.sql import Column
 from pyspark.sql.functions import pandas_udf
 
 from polars_st_spark.functions.factory import (
+    arrow_series_udf,
     binary_geom,
     col_or_lit,
     geom_arg,
@@ -70,7 +71,7 @@ def _centroid_udf():
             out[i] = to_ewkb(algos.centroid(from_ewkb(bytes(s.iloc[i]))))
         return pd.Series(out, dtype=object)
 
-    @pandas_udf(spark_dt("binary"))
+    @arrow_series_udf("binary")
     def udf(s: pd.Series) -> pd.Series:
         rp = ragged.parse_polygonal(s)
         if rp is not None and rp.srid_uniform:
@@ -110,7 +111,7 @@ def _convex_hull_udf():
     from polars_st_spark.geo import ragged
     from polars_st_spark.geo.wkb import from_ewkb, to_ewkb
 
-    @pandas_udf(spark_dt("binary"))
+    @arrow_series_udf("binary")
     def udf(s: pd.Series) -> pd.Series:
         fast = ragged.convex_hull_batch(s.to_numpy())
         if fast is not None:
@@ -149,7 +150,7 @@ def st_disjoint_subset_union(col, grid_size: float | None = None) -> Column:
 def _envelope_udf():
     from polars_st_spark.geo import ragged
 
-    @pandas_udf(spark_dt("binary"))
+    @arrow_series_udf("binary")
     def udf(s: pd.Series) -> pd.Series:
         fast = ragged.envelope_batch(s.to_numpy())
         if fast is not None:
@@ -172,7 +173,7 @@ def st_envelope(col) -> Column:
 def _boundary_udf():
     from polars_st_spark.geo import ragged
 
-    @pandas_udf(spark_dt("binary"))
+    @arrow_series_udf("binary")
     def udf(s: pd.Series) -> pd.Series:
         fast = ragged.boundary_polygonal_batch(s.to_numpy())
         if fast is not None:
@@ -198,7 +199,7 @@ st_force_2d = _u(algos.force_2d)
 def _reverse_udf():
     from polars_st_spark.geo import ragged
 
-    @pandas_udf(spark_dt("binary"))
+    @arrow_series_udf("binary")
     def udf(s: pd.Series) -> pd.Series:
         fast = ragged.reverse_units_batch(s.to_numpy())
         if fast is not None:
@@ -229,7 +230,7 @@ def _simplify_udf(tolerance: float, preserve_topology: bool = True):
     tol = float(tolerance)
     pt = preserve_topology
 
-    @pandas_udf(spark_dt("binary"))
+    @arrow_series_udf("binary")
     def udf(s: pd.Series) -> pd.Series:
         fast = ragged.simplify_batch(s.to_numpy(), tol)
         if fast is not None:
@@ -258,7 +259,7 @@ def _segmentize_udf(max_segment_length: float):
     if ml <= 0:
         raise ValueError("max_segment_length must be positive")
 
-    @pandas_udf(spark_dt("binary"))
+    @arrow_series_udf("binary")
     def udf(s: pd.Series) -> pd.Series:
         fast = ragged.segmentize_batch(s.to_numpy(), ml)
         if fast is not None:
@@ -282,7 +283,7 @@ def _remove_repeated_udf(tolerance: float = 0.0):
 
     tol = float(tolerance)
 
-    @pandas_udf(spark_dt("binary"))
+    @arrow_series_udf("binary")
     def udf(s: pd.Series) -> pd.Series:
         vals = s.to_numpy()
         fast = ragged.remove_repeated_batch(vals, tol)
@@ -334,7 +335,7 @@ def _point_affine_udf(make_xy, fallback_fn, origin=None):
     from polars_st_spark.geo import ragged
     from polars_st_spark.geo.wkb import batch_uniform, header_info, points_to_ewkb
 
-    @pandas_udf(spark_dt("binary"))
+    @arrow_series_udf("binary")
     def udf(s: pd.Series) -> pd.Series:
         if not s.isna().any() and len(s):
             fast = batch_uniform(s)
@@ -563,7 +564,7 @@ def _buffer_udf(distance: float, quad_segs: int = 8, cap_style: str = "round",
         quad_segs, cap_style, join_style, mitre_limit, single_sided)
     dconst = float(distance)
 
-    @pandas_udf(spark_dt("binary"))
+    @arrow_series_udf("binary")
     def udf(s: pd.Series) -> pd.Series:
         if dconst > 0:
             out = _fast(s, np.full(len(s), dconst))
@@ -583,7 +584,7 @@ def _buffer_pair_udf(quad_segs: int = 8, cap_style: str = "round",
     _scalar, _fast = _buffer_kernels(
         quad_segs, cap_style, join_style, mitre_limit, single_sided)
 
-    @pandas_udf(spark_dt("binary"))
+    @arrow_series_udf("binary")
     def udf2(s: pd.Series, v: pd.Series) -> pd.Series:
         dv = v.to_numpy(dtype=np.float64, na_value=np.nan)
         if len(s) and not np.isnan(dv).any() and (dv > 0).all():
@@ -636,7 +637,7 @@ def st_snap(col, other, tolerance) -> Column:
         other_is_col = isinstance(og, Column)
         const_g = None if other_is_col else og
 
-        @pandas_udf(spark_dt("binary"))
+        @arrow_series_udf("binary")
         def udf3(s1, s2, sv):
             from polars_st_spark.geo.wkb import decode_batch, to_ewkb as _enc
             import pandas as _pd
@@ -697,7 +698,7 @@ def _union_pair_udf(op: str, scalar_fn):
     from polars_st_spark.geo import shclip as _shc
     from polars_st_spark.geo.wkb import from_ewkb as _fe, to_ewkb as _te
 
-    @pandas_udf(spark_dt("binary"))
+    @arrow_series_udf("binary")
     def udf2(s1: pd.Series, s2: pd.Series) -> pd.Series:
         v1, v2 = s1.to_numpy(), s2.to_numpy()
         fast = _shc.union_symdiff_disjoint_batch(v1, v2, op)
@@ -743,7 +744,7 @@ def _clip_pair_udf(mode: str, scalar_fn):
     from polars_st_spark.geo import shclip as _shc
     from polars_st_spark.geo.wkb import from_ewkb as _fe, to_ewkb as _te
 
-    @pandas_udf(spark_dt("binary"))
+    @arrow_series_udf("binary")
     def udf2(s1: pd.Series, s2: pd.Series) -> pd.Series:
         v1, v2 = s1.to_numpy(), s2.to_numpy()
         if mode == "in":
@@ -826,7 +827,7 @@ def _set_srid_udf(srid: int):
             return bb
         return bb[:1] + struct.pack("<I", raw & ~0x20000000) + bb[9:]
 
-    @pandas_udf(spark_dt("binary"))
+    @arrow_series_udf("binary")
     def udf(s: pd.Series) -> pd.Series:
         return s.map(patch)
 
@@ -2723,7 +2724,7 @@ def _to_srid_udf(srid: int):
             raise ValueError(f"Unsupported SRID transform {src} -> {srid} (no pyproj in runtime)")
         return g.map_coords(f).with_srid(srid)
 
-    @pandas_udf(spark_dt("binary"))
+    @arrow_series_udf("binary")
     def udf(s: pd.Series) -> pd.Series:
         if not s.isna().any() and len(s):
             fast = batch_uniform(s)

@@ -214,6 +214,20 @@ def points_to_ewkb(
 
     Builds one (n, rowlen) uint8 matrix via slice assignment, then splits it.
     """
+    buf = points_to_ewkb_matrix(x, y, z, srid)
+    n, rowlen = buf.shape
+    raw = buf.tobytes()
+    return [raw[i * rowlen : (i + 1) * rowlen] for i in range(n)]
+
+
+def points_to_ewkb_matrix(
+    x: np.ndarray,
+    y: np.ndarray,
+    z: np.ndarray | None = None,
+    srid: int = 0,
+) -> np.ndarray:
+    """(n, rowlen) uint8 matrix of point EWKB rows — the zero-object form
+    (r11: fed straight into a pyarrow binary array by the constructors)."""
     n = len(x)
     ndim = 2 if z is None else 3
     with_srid = srid != 0
@@ -230,8 +244,7 @@ def points_to_ewkb(
     buf[:, off + 8 : off + 16] = np.asarray(y, dtype="<f8").reshape(n, 1).view(np.uint8)
     if z is not None:
         buf[:, off + 16 : off + 24] = np.asarray(z, dtype="<f8").reshape(n, 1).view(np.uint8)
-    raw = buf.tobytes()
-    return [raw[i * rowlen : (i + 1) * rowlen] for i in range(n)]
+    return buf
 
 
 def decode_batch(bufs) -> list:

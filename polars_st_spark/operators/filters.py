@@ -438,7 +438,9 @@ def _bloom_prescreen(doc_grams: DataFrame, bench_grams: DataFrame, fpp: float) -
 
     # no type hints: postponed-annotation strings would resolve `pd` in the
     # module globals, where pandas is only imported locally
-    @F.pandas_udf("boolean")
+    from polars_st_spark.functions.factory import arrow_series_udf
+
+    @arrow_series_udf("boolean")
     def might(pos_s):
         bm = bc.value
         if not len(pos_s):

@@ -131,7 +131,9 @@ def pq_encode(
     mm, kk, dsub = codebooks.shape
     books = codebooks.copy()
 
-    @F.pandas_udf("array<int>")
+    from polars_st_spark.functions.factory import arrow_series_udf
+
+    @arrow_series_udf("array<int>")
     def enc(s: pd.Series) -> pd.Series:
         if not len(s):
             return pd.Series([], dtype=object)

@@ -435,10 +435,10 @@ def _sjoin_grid(left, right, predicate, how, lsuffix, rsuffix, left_on, right_on
     # nondeterministic marking stops Catalyst from duplicating the bounds UDF
     # stack through the explode (it is pure; the marking is purely a placement
     # constraint so each side evaluates geometry→bounds exactly once)
-    from pyspark.sql.functions import pandas_udf as _pudf
+    from polars_st_spark.functions.factory import arrow_series_udf
 
     def _bounds_once():
-        @_pudf("array<double>")
+        @arrow_series_udf("array<double>")
         def _b(s: pd.Series) -> pd.Series:
             from polars_st_spark.geo.wkb import batch_uniform
 
