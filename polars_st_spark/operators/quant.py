@@ -131,18 +131,34 @@ def pq_encode(
     mm, kk, dsub = codebooks.shape
     books = codebooks.copy()
 
-    from polars_st_spark.functions.factory import arrow_series_udf
+    from pyspark.sql.functions import arrow_udf
 
-    @arrow_series_udf("array<int>")
-    def enc(s: pd.Series) -> pd.Series:
-        if not len(s):
-            return pd.Series([], dtype=object)
-        x = np.stack(s.to_numpy()).astype(np.float64)
-        codes = np.empty((len(x), mm), dtype=np.int32)
+    @arrow_udf("array<int>")
+    def enc(a):
+        # r11: zero-copy in (one reshape of the Arrow list buffer instead
+        # of np.stack over per-row ndarray objects) and zero-object out
+        # (arange offsets over the flat code matrix); same argmin kernel,
+        # parity oracle-gated by pq_suite
+        import pyarrow as pa
+
+        from polars_st_spark.operators.vecarrow import matrix_from_list_array
+
+        x = matrix_from_list_array(a)
+        if x is None:  # ragged/null/empty batch: the old per-row path
+            s = a.to_pandas()
+            if not len(s):
+                return pa.array([], type=pa.list_(pa.int32()))
+            x = np.stack(s.to_numpy()).astype(np.float64)
+        n = len(x)
+        codes = np.empty((n, mm), dtype=np.int32)
         for j in range(mm):
             xs = x[:, j * dsub : (j + 1) * dsub]
             codes[:, j] = np.argmin(_seq_sq_dists(xs, books[j]), axis=1)
-        return pd.Series(list(codes))
+        offs = pa.array(
+            np.arange(0, (n + 1) * mm, mm, dtype=np.int32).tolist(),
+            type=pa.int32())
+        return pa.ListArray.from_arrays(
+            offs, pa.array(codes.ravel(), type=pa.int32()))
 
     return df.withColumn(out_col, enc(F.col(vec_col)))
 

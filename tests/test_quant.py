@@ -103,6 +103,25 @@ def test_int8_roundtrip(spark, emb):
     assert list(r0["q8"]) == [int(v) for v in want]
 
 
+def test_encode_zero_copy_lane_edges(spark, emb, books):
+    # r11: pq_encode rides a zero-copy arrow lane (matrix_from_list_array
+    # + flat-buffer list output). Edge cases: empty input survives the
+    # fallback branch, and a driver-built double-typed frame (plain list
+    # rows, no parquet float32 source) agrees with the reference kernel.
+    empty = Q.pq_encode(emb.where(F.lit(False)), books)
+    assert empty.count() == 0
+    rows = [(i, [float((i * 7 + j * 3) % 11) - 5.0 for j in range(64)])
+            for i in range(40)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    got = {r["vec_id"]: list(r["pq_code"])
+           for r in Q.pq_encode(df, books).select("vec_id", "pq_code").collect()}
+    for i, x in rows:
+        xv = np.array(x, dtype=np.float64)
+        want = [int(np.argmin(Q._seq_sq_dists(xv[None, j * 8:(j + 1) * 8], books[j])[0]))
+                for j in range(8)]
+        assert got[i] == want, i
+
+
 def test_pq_topk_ivf_recall_and_consistency(emb, books):
     """IVF-ADC: candidates restricted to probed cells, ADC within batches.
     With all cells probed it must equal the plain ADC scan exactly; with
