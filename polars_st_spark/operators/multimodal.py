@@ -541,7 +541,10 @@ def image_features(
                 }
             )
 
-    return df.mapInPandas(gen, schema=schema)
+    # only (id, payload) cross the Python boundary: mapInPandas is opaque
+    # to column pruning, so an un-projected df would ship (and scan) every
+    # caller column (guide §4.1)
+    return df.select(id_col, payload_col).mapInPandas(gen, schema=schema)
 
 
 def image_resize(
@@ -583,7 +586,7 @@ def image_resize(
                     payloads.append(_fake_decode(raw, h, w).tobytes())
             yield pd.DataFrame({id_col: ids, "payload": payloads, "height": h, "width": w})
 
-    return df.mapInPandas(gen, schema=schema)
+    return df.select(id_col, payload_col).mapInPandas(gen, schema=schema)
 
 
 def audio_features(
@@ -645,7 +648,7 @@ def audio_features(
                 }
             )
 
-    return df.mapInPandas(gen, schema=schema)
+    return df.select(id_col, payload_col).mapInPandas(gen, schema=schema)
 
 
 def frame_sample(
@@ -703,7 +706,7 @@ def frame_sample(
                     "is_sync": syncs,
                 })
 
-        return df.mapInPandas(gen_mp4, schema=schema)
+        return df.select(id_col, payload_col).mapInPandas(gen_mp4, schema=schema)
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -719,7 +722,7 @@ def frame_sample(
                     )
             yield pd.DataFrame({id_col: ids, "frame_index": idxs, "frame_payload": payloads})
 
-    return df.mapInPandas(gen, schema=schema)
+    return df.select(id_col, payload_col).mapInPandas(gen, schema=schema)
 
 
 def mp3_metadata(df: DataFrame, payload_col: str, id_col: str) -> DataFrame:
@@ -758,7 +761,7 @@ def mp3_metadata(df: DataFrame, payload_col: str, id_col: str) -> DataFrame:
                     rows[k].append(info[k])
             yield pd.DataFrame({id_col: ids, **rows})
 
-    return df.mapInPandas(gen, schema=schema)
+    return df.select(id_col, payload_col).mapInPandas(gen, schema=schema)
 
 
 def video_metadata(df: DataFrame, payload_col: str, id_col: str) -> DataFrame:
@@ -805,4 +808,4 @@ def video_metadata(df: DataFrame, payload_col: str, id_col: str) -> DataFrame:
                     else t.n_samples)
             yield pd.DataFrame({id_col: ids, **rows})
 
-    return df.mapInPandas(gen, schema=schema)
+    return df.select(id_col, payload_col).mapInPandas(gen, schema=schema)
