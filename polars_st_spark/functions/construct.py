@@ -73,7 +73,9 @@ def st_point(x, y, z=None, srid: int = 0) -> Column:
     Vectorized: builds the whole Arrow batch's EWKB with numpy slice writes.
     """
     if z is None:
-        return _point2_udf(srid)(col_or_lit(x), col_or_lit(y))
+        from polars_st_spark.functions.fuse import tagged
+
+        return tagged(_point2_udf(srid), col_or_lit(x), col_or_lit(y))
 
     @arrow_udf(spark_dt("binary"))
     def udf3(xa, ya, za):
@@ -83,7 +85,9 @@ def st_point(x, y, z=None, srid: int = 0) -> Column:
         return pa_binary_rows(
             points_to_ewkb_matrix(xv, yv, zv, srid=srid), mx | my | mz)
 
-    return udf3(col_or_lit(x), col_or_lit(y), col_or_lit(z))
+    from polars_st_spark.functions.fuse import tagged
+
+    return tagged(udf3, col_or_lit(x), col_or_lit(y), col_or_lit(z))
 
 
 def st_rectangle(xmin, ymin, xmax, ymax, srid: int = 0) -> Column:
@@ -121,7 +125,10 @@ def st_rectangle(xmin, ymin, xmax, ymax, srid: int = 0) -> Column:
         buf[:, head:] = ring.view(np.uint8).reshape(n, 80)
         return pa_binary_rows(buf, mask)
 
-    return udf(col_or_lit(xmin), col_or_lit(ymin), col_or_lit(xmax), col_or_lit(ymax))
+    from polars_st_spark.functions.fuse import tagged
+
+    return tagged(
+        udf, col_or_lit(xmin), col_or_lit(ymin), col_or_lit(xmax), col_or_lit(ymax))
 
 
 def _parser_udf(parse, srid: int | None = None):

@@ -481,9 +481,17 @@ def _mk(name: str, fn, ret="boolean"):
                 return pa.Array.from_pandas(
                     out, type=pa.bool_() if ret == "boolean" else pa.string())
 
-            return udf1(col_or_lit(col))
+            from polars_st_spark.functions import fuse
 
-        return udf2(col_or_lit(col), o)
+            c = col_or_lit(col)
+            fused1 = fuse.apply_unary(udf1, ret, c)
+            return fused1 if fused1 is not None else udf1(c)
+
+        from polars_st_spark.functions import fuse
+
+        c = col_or_lit(col)
+        fused = fuse.apply_pair(udf2, ret, c, o)
+        return fused if fused is not None else udf2(c, o)
 
     outer._sql_udf = udf2
     return outer
@@ -672,9 +680,18 @@ def st_relate(col, other) -> Column:
                 dtype=object,
             )
 
-        return udf1(col_or_lit(col))
+        from polars_st_spark.functions import fuse
 
-    return _relate_pair_udf()(col_or_lit(col), o)
+        c = col_or_lit(col)
+        fused1 = fuse.apply_unary(udf1, "string", c)
+        return fused1 if fused1 is not None else udf1(c)
+
+    from polars_st_spark.functions import fuse
+
+    c = col_or_lit(col)
+    udf2 = _relate_pair_udf()
+    fused = fuse.apply_pair(udf2, "string", c, o)
+    return fused if fused is not None else udf2(c, o)
 
 
 def _relate_pair_udf():
@@ -729,9 +746,18 @@ def st_relate_pattern(col, other, pattern: str) -> Column:
                 dtype=object,
             )
 
-        return udf1(col_or_lit(col))
+        from polars_st_spark.functions import fuse
 
-    return _relate_pattern_pair_udf(pattern)(col_or_lit(col), o)
+        c = col_or_lit(col)
+        fused1 = fuse.apply_unary(udf1, "boolean", c)
+        return fused1 if fused1 is not None else udf1(c)
+
+    from polars_st_spark.functions import fuse
+
+    c = col_or_lit(col)
+    udf2 = _relate_pattern_pair_udf(pattern)
+    fused = fuse.apply_pair(udf2, "boolean", c, o)
+    return fused if fused is not None else udf2(c, o)
 
 
 def _relate_pattern_pair_udf(pattern: str):
@@ -772,9 +798,18 @@ def _dwithin_impl(col, other, distance: float) -> Column:
                 dtype=object,
             )
 
-        return udf1(col_or_lit(col))
+        from polars_st_spark.functions import fuse
 
-    return _dwithin_pair_udf(distance)(col_or_lit(col), col_or_lit(o))
+        c = col_or_lit(col)
+        fused1 = fuse.apply_unary(udf1, "boolean", c)
+        return fused1 if fused1 is not None else udf1(c)
+
+    from polars_st_spark.functions import fuse
+
+    c = col_or_lit(col)
+    udf2 = _dwithin_pair_udf(distance)
+    fused = fuse.apply_pair(udf2, "boolean", c, col_or_lit(o))
+    return fused if fused is not None else udf2(c, col_or_lit(o))
 
 
 def _dwithin_pair_udf(distance: float):

@@ -456,7 +456,11 @@ def st_distance(col, other) -> Column:
 
         return udf_pts(col_or_lit(col))
     if not isinstance(other_g, Geometry):
-        return _distance_pair_udf(col_or_lit(col), col_or_lit(other_g))
+        from polars_st_spark.functions import fuse
+
+        c1, c2 = col_or_lit(col), col_or_lit(other_g)
+        fused = fuse.apply_pair(_distance_pair_udf, "double", c1, c2)
+        return fused if fused is not None else _distance_pair_udf(c1, c2)
     udf, oc = binary_scalar(algos.distance, "double", other_g)
     return udf(col_or_lit(col)) if oc is None else udf(col_or_lit(col), oc)
 

@@ -100,7 +100,9 @@ def st_centroid(col) -> Column:
     (Multi)Polygon batches — holes, varying vertex counts — compute via the
     CSR moment formulas (geo/ragged.py) and batch-encode the result points;
     degenerate/zero-area rows fall back to the scalar length/point centroid."""
-    return _centroid_udf()(col_or_lit(col))
+    from polars_st_spark.functions.fuse import tagged
+
+    return tagged(_centroid_udf(), col_or_lit(col))
 
 
 st_center = _u(algos.center)
@@ -431,7 +433,9 @@ def _translate_udf(x: float = 0.0, y: float = 0.0, z: float = 0.0):
 
 
 def st_translate(col, x: float = 0.0, y: float = 0.0, z: float = 0.0) -> Column:
-    return _translate_udf(x, y, z)(col_or_lit(col))
+    from polars_st_spark.functions.fuse import tagged
+
+    return tagged(_translate_udf(x, y, z), col_or_lit(col))
 
 
 def _rotate_udf(angle: float, origin="center"):

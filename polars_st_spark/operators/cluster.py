@@ -336,19 +336,35 @@ def semantic_dedup(
     thr = float(threshold)
     cap = int(max_cluster_rows)
 
-    def scan(key, pdf):
-        import pandas as pd
+    # r12 (guide §4.2, VERDICT r11 item 5): the gram scan is applyInArrow —
+    # the per-cluster (n, d) matrix is ONE flat-buffer reshape of the Arrow
+    # list column (operators/vecarrow.py) instead of n per-row ndarray
+    # objects through the pandas boundary, and ids/outputs stay in Arrow.
+    # The BLAS math is byte-identical to the r11 pandas body (same argsort,
+    # same gram/norm/division sequence).
+    def scan(key, tbl):
+        import pyarrow as pa
 
-        n = len(pdf)
+        from polars_st_spark.operators.vecarrow import matrix_from_list_array
+
+        n = tbl.num_rows
+        kval = key[0].as_py()
         if n > cap:
             raise ValueError(
-                f"cluster {key[0]} has {n} rows > max_cluster_rows={cap}; "
+                f"cluster {kval} has {n} rows > max_cluster_rows={cap}; "
                 "re-fit with a larger k (target_cluster_size ~ n/k)"
             )
-        ids = pdf["_id"].to_numpy()
+        id_arr = tbl.column("_id").combine_chunks()
+        ids = id_arr.to_numpy(zero_copy_only=False)
         order = np.argsort(ids, kind="stable")
         ids = ids[order]
-        x = np.array(list(pdf["_v"].iloc[order]), dtype=np.float64)
+        v_arr = tbl.column("_v").combine_chunks()
+        x = matrix_from_list_array(v_arr)
+        if x is not None:
+            x = x[order]
+        else:  # ragged/null rows: the r11 per-row path
+            rows = v_arr.to_pylist()
+            x = np.array([rows[i] for i in order], dtype=np.float64)
         # gram matrix on the RAW vectors, then one product + one division
         # per pair: with fixed-point integer inputs every dot and squared
         # norm is an exact integer < 2^53, so cos is two IEEE ops an SQL
@@ -363,15 +379,18 @@ def semantic_dedup(
         dup_of = np.full(n, None, dtype=object)
         for i in np.nonzero(any_dup)[0]:
             dup_of[i] = ids[np.nonzero(dup_mask[i])[0][0]]
-        data = {
-            "id": ids,
-            "cluster": np.full(n, key[0], dtype=np.int32),
-            "is_dup": any_dup,
-            "dup_of": dup_of,
-        }
+        order_idx = pa.array(order, type=pa.int64())
+        cols = [
+            id_arr.take(order_idx),
+            pa.array(np.full(n, kval, dtype=np.int32), type=pa.int32()),
+            pa.array(any_dup, type=pa.bool_()),
+            pa.array(dup_of, type=id_arr.type),
+        ]
+        names = ["id", "cluster", "is_dup", "dup_of"]
         if keep_vec:
-            data["vec"] = list(pdf["_v"].iloc[order])
-        return pd.DataFrame(data)
+            cols.append(v_arr.take(order_idx))
+            names.append("vec")
+        return pa.table(cols, names=names)
 
     assigned = kmeans_assign(
         df.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_v")),
@@ -379,4 +398,4 @@ def semantic_dedup(
         vec_col="_v",
         out_col="_c",
     )
-    return assigned.groupBy("_c").applyInPandas(scan, out_schema)
+    return assigned.groupBy("_c").applyInArrow(scan, out_schema)

@@ -33,7 +33,7 @@ import numpy as np
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from polars_st_spark.functions.scalar import st_bounds, st_distance
+from polars_st_spark.functions.scalar import st_bounds
 
 __all__ = ["st_sjoin_nearest", "nearest_cell_stats"]
 
@@ -102,7 +102,20 @@ def st_sjoin_nearest(
     r_geom = right_on + rsuffix if right_on in overlap else right_on
 
     tie = F.xxhash64(*[F.col(c) for c in rstaged.columns])
-    dist = st_distance(F.col(left_on), F.col(r_geom))
+    # r12 (guide §4.4, VERDICT r11 item 4): the distance UDF expression used
+    # to appear in the candidate filter AND the output projection/window
+    # order — Spark's filter pushdown duplicated it into TWO full
+    # ArrowEvalPython passes over the candidate stream (plan nodes (21)+(24)
+    # in plans/r12/p6_nearest_join_before.txt). A query-local
+    # non-deterministic copy of the same kernel pins ONE evaluation in a
+    # staged projection; the filter and the rank read the materialized
+    # column. Values are unchanged (the kernel is pure) — only the plan is.
+    from pyspark.sql.functions import arrow_udf
+
+    from polars_st_spark.functions.scalar import _distance_pair_udf
+
+    _nn_dist = arrow_udf(_distance_pair_udf.func, "double").asNondeterministic()
+    dist = _nn_dist(F.col(left_on), F.col(r_geom))
 
     if max_distance is None:
         if strategy not in ("auto", "strtree", "cross"):
@@ -122,7 +135,11 @@ def st_sjoin_nearest(
         # candidate; drop those pairs so the strategies agree (the grid
         # path never cells such rows) and how='left' routes them to the
         # unmatched set instead of k arbitrary null-distance matches
-        cand = lstaged.crossJoin(F.broadcast(rstaged)).where(dist.isNotNull())
+        cand = (
+            lstaged.crossJoin(F.broadcast(rstaged))
+            .withColumn(distance_col, dist)
+            .where(F.col(distance_col).isNotNull())
+        )
     else:
         d = float(max_distance)
         if d <= 0:
@@ -192,13 +209,14 @@ def st_sjoin_nearest(
             l2.join(r2, on="__nn_cell")
             .where((F.col("__nn_cell.cx") == ref_cx) & (F.col("__nn_cell.cy") == ref_cy))
             .drop("__nn_cell", "__nn_lb", "__nn_rb")
-            .where(dist <= F.lit(d))
+            .withColumn(distance_col, dist)
+            .where(F.col(distance_col) <= F.lit(d))
         )
 
-    w = Window.partitionBy(lid).orderBy(dist.asc_nulls_last(), tie.asc())
+    w = Window.partitionBy(lid).orderBy(
+        F.col(distance_col).asc_nulls_last(), tie.asc())
     ranked = (
-        cand.withColumn(distance_col, dist)
-        .withColumn("__nn_rank", F.row_number().over(w))
+        cand.withColumn("__nn_rank", F.row_number().over(w))
         .where(F.col("__nn_rank") <= k)
         .drop("__nn_rank")
     )
