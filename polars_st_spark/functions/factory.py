@@ -146,6 +146,14 @@ def pa_binary_rows(flat: "np.ndarray", mask=None):
     import pyarrow as pa
 
     n, rowlen = flat.shape
+    # int32 offsets silently wrap past 2 GiB (ADVICE r11): a user-raised
+    # arrow.maxRecordsPerBatch could someday get a batch there — fail loud
+    # instead of emitting a corrupt binary array
+    if (n + 1) * rowlen >= 2**31:
+        raise ValueError(
+            f"pa_binary_rows: batch payload {n}x{rowlen} bytes overflows "
+            "int32 Arrow offsets; lower spark.sql.execution.arrow."
+            "maxRecordsPerBatch")
     offsets = np.arange(0, (n + 1) * rowlen, rowlen, dtype=np.int32)
     validity = None
     null_count = 0

@@ -545,7 +545,8 @@ def _rect_relate_mats(A, B):
     (∂Ax×Ay) ∪ (Ax×∂Ay) — so every DE-9IM cell reduces to 1-D interval
     algebra, exact (no tolerance; the scalar kernel's segment arithmetic
     on axis-parallel edges is exact float comparison too, so decided rows
-    are scalar-parity — asserted pairwise in tests/test_predicates2.py).
+    are scalar-parity — asserted pairwise over the 13×13 Allen grid in
+    tests/test_r11_kernels.py::TestRectRelate::test_allen_grid_parity).
 
     Returns (mats object array, decided bool array): degenerate rows
     (zero width/height on either side) stay undecided for the scalar

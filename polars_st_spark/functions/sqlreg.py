@@ -57,13 +57,23 @@ def _param_dispatch(builder, ret_type, nparams, ngeom=1, casts=None):
             if getattr(u, "evalType", None) == 250:
                 # r11: the factory builders are arrow_udfs now (pa.Array
                 # in/out); this dispatcher feeds pandas Series — adapt at
-                # the call boundary (geometry data columns are EWKB binary)
+                # the call boundary. All current dispatched builders take
+                # EWKB binary data columns; force binary only when the
+                # series actually holds bytes so a future numeric/string
+                # builder converts by inference instead of erroring
+                # (ADVICE r11).
                 import pyarrow as pa_
 
                 def f(*series, _f=u.func):
-                    res = _f(*[pa_.Array.from_pandas(s, type=pa_.binary())
-                               for s in series])
-                    return res.to_pandas()
+                    def conv(s: pd.Series):
+                        nonnull = s.dropna()
+                        if len(nonnull) and not isinstance(
+                                nonnull.iloc[0], (bytes, bytearray)):
+                            return pa_.Array.from_pandas(s)
+                        # bytes or all-null: the EWKB default (binary)
+                        return pa_.Array.from_pandas(s, type=pa_.binary())
+
+                    return _f(*[conv(s) for s in series]).to_pandas()
             hit = cache[vals] = f
         return hit
 

@@ -218,12 +218,32 @@ def pq_topk(
 
     topk = k
 
+    # r12 (guide §4.2, VERDICT r11 item 6): mapInArrow — the (b, m) code
+    # matrix is one flat-buffer reshape (vecarrow) instead of np.stack over
+    # b per-row ndarray objects, ids/outputs stay Arrow. Math unchanged;
+    # batch boundaries are the same Arrow batches mapInPandas saw, so the
+    # local-top-k grouping (and therefore every emitted candidate) is
+    # identical.
+    import pyarrow as pa
+
+    from pyspark.sql.pandas.types import to_arrow_type
+
+    qid_pa = to_arrow_type(qid_type)
+    cid_pa = to_arrow_type(cid_type)
+
     def score(batches):
-        for pdf in batches:
-            if not len(pdf):
+        from polars_st_spark.operators.vecarrow import matrix_from_list_array
+
+        for batch in batches:
+            if not batch.num_rows:
                 continue
-            ids = pdf["_cid"].to_numpy()
-            codes = np.stack(pdf["_code"].to_numpy()).astype(np.int64)  # (b, m)
+            cid_arr = batch.column(0)
+            ids = cid_arr.to_numpy(zero_copy_only=False)
+            codes = matrix_from_list_array(batch.column(1), dtype=np.int64)
+            if codes is None:  # ragged/null codes: per-row fallback
+                codes = np.stack(
+                    [np.asarray(r, dtype=np.int64)
+                     for r in batch.column(1).to_pylist()])
             # dists[b, q] = sum_j luts[q, j, codes[b, j]]
             dists = np.zeros((len(ids), len(qids)), dtype=np.float64)
             for j in range(mm):
@@ -238,11 +258,16 @@ def pq_topk(
                 out_q.extend([qids[qi]] * len(rows))
                 out_c.extend(ids[rows])
                 out_d.extend(dists[rows, qi])
-            yield pd.DataFrame({"query_id": out_q, "corpus_id": out_c, "adc_dist": out_d})
+            yield pa.RecordBatch.from_arrays(
+                [pa.array(out_q, type=qid_pa),
+                 pa.array(out_c, type=cid_pa),
+                 pa.array(np.asarray(out_d, dtype=np.float64),
+                          type=pa.float64())],
+                names=["query_id", "corpus_id", "adc_dist"])
 
     cand = corpus_codes.select(
         F.col(corpus_id).alias("_cid"), F.col(code_col).alias("_code")
-    ).mapInPandas(score, cand_schema)
+    ).mapInArrow(score, cand_schema)
     w = Window.partitionBy("query_id").orderBy(
         F.col("adc_dist").asc(), F.col("corpus_id").asc()
     )
@@ -315,26 +340,54 @@ def pq_topk_ivf(
     # ~n_probe/n_cells of the corpus, which must never land in one task.
     # Each Arrow batch builds LUTs for the queries it sees and emits only
     # its local top-k per query; shuffle volume O(batches · q · k).
+    # r12 (guide §4.2): mapInArrow — whole-batch code matrix via vecarrow,
+    # per-batch groups in the same first-seen order pandas groupby(sort=
+    # False) used, so every emitted candidate is identical.
+    import pyarrow as pa
+
+    from pyspark.sql.pandas.types import to_arrow_type
+
+    qid_pa = to_arrow_type(qid_type)
+    cid_pa = to_arrow_type(cid_type)
+
     def adc_batches(batches):
-        for pdf in batches:
-            if not len(pdf):
+        from polars_st_spark.operators.vecarrow import matrix_from_list_array
+
+        for batch in batches:
+            if not batch.num_rows:
                 continue
+            qvals = batch.column(0).to_numpy(zero_copy_only=False)
+            cid_all = batch.column(1).to_numpy(zero_copy_only=False)
+            qv_arr = batch.column(2)
+            codes_all = matrix_from_list_array(batch.column(3), dtype=np.int64)
+            if codes_all is None:
+                codes_all = np.stack(
+                    [np.asarray(r, dtype=np.int64)
+                     for r in batch.column(3).to_pylist()])
+            uniq, first_idx, inv = np.unique(
+                qvals, return_index=True, return_inverse=True)
             out_q, out_c, out_d = [], [], []
-            for qid, grp in pdf.groupby("query_id", sort=False):
-                qv = np.array(grp["_qv"].iloc[0], dtype=np.float64)
+            for gi in np.argsort(first_idx, kind="stable"):
+                sel = np.nonzero(inv == gi)[0]  # ascending = original order
+                qv = np.asarray(qv_arr[int(sel[0])].as_py(), dtype=np.float64)
                 luts = np.empty((mm, kcent), dtype=np.float64)
                 for j in range(mm):
                     luts[j] = _seq_sq_dists(qv[None, j * dsub : (j + 1) * dsub], books[j])[0]
-                codes = np.stack(grp["_code"].to_numpy()).astype(np.int64)
+                codes = codes_all[sel]
                 dists = luts[np.arange(mm)[None, :], codes].sum(axis=1)
                 kk = min(topk, len(dists))
-                sel = np.argpartition(dists, kk - 1)[:kk]
-                out_q.extend([qid] * kk)
-                out_c.extend(grp["corpus_id"].iloc[sel].to_numpy())
-                out_d.extend(dists[sel])
-            yield pd.DataFrame({"query_id": out_q, "corpus_id": out_c, "adc_dist": out_d})
+                ssel = np.argpartition(dists, kk - 1)[:kk]
+                out_q.extend([uniq[gi]] * kk)
+                out_c.extend(cid_all[sel[ssel]])
+                out_d.extend(dists[ssel])
+            yield pa.RecordBatch.from_arrays(
+                [pa.array(out_q, type=qid_pa),
+                 pa.array(out_c, type=cid_pa),
+                 pa.array(np.asarray(out_d, dtype=np.float64),
+                          type=pa.float64())],
+                names=["query_id", "corpus_id", "adc_dist"])
 
-    scored = cand.select("query_id", "corpus_id", "_qv", "_code").mapInPandas(
+    scored = cand.select("query_id", "corpus_id", "_qv", "_code").mapInArrow(
         adc_batches, cand_schema
     )
     w = Window.partitionBy("query_id").orderBy(

@@ -424,8 +424,14 @@ def shingle_sig_bands_udf(text, k: int = 16, bands: int = 4, shingle_n: int = 3)
     rows = k // bands
     ws = re.compile(r"\s+")
 
-    @F.pandas_udf("struct<sh: array<string>, bands: array<string>>")
-    def udf(s: pd.Series) -> pd.DataFrame:
+    # r12 (VERDICT r11 item 8b): this was the repo's last scalar UDF at
+    # evalType 200 — any projection mixing it with the (universal since
+    # r11) 250 UDFs paid a second ArrowEvalPython pass. Now an arrow_udf
+    # whose struct output is built explicitly (struct rows non-null with
+    # null children for null texts — parity with the pandas boundary's
+    # DataFrame encoding, asserted in tests/test_r12_textops_arrow.py);
+    # the kernel body is byte-identical.
+    def _kernel(s: pd.Series) -> pd.DataFrame:
         texts = s.tolist()
         doc_shingles: list[list[str] | None] = []
         uniq_index: dict[str, int] = {}
@@ -472,6 +478,17 @@ def shingle_sig_bands_udf(text, k: int = 16, bands: int = 4, shingle_n: int = 3)
             ])
             sh_out.append(sh)
         return pd.DataFrame({"sh": sh_out, "bands": band_out})
+
+    from pyspark.sql.functions import arrow_udf
+
+    @arrow_udf("struct<sh: array<string>, bands: array<string>>")
+    def udf(a):
+        import pyarrow as pa
+
+        pdf = _kernel(a.to_pandas())
+        sh = pa.array(pdf["sh"].tolist(), type=pa.list_(pa.string()))
+        bd = pa.array(pdf["bands"].tolist(), type=pa.list_(pa.string()))
+        return pa.StructArray.from_arrays([sh, bd], names=["sh", "bands"])
 
     return udf(col_or_lit(text))
 
