@@ -629,7 +629,32 @@ def st_offset_curve(col, distance: float, quad_segs: int = 8,
 
 
 def st_clip_by_rect(col, xmin: float, ymin: float, xmax: float, ymax: float) -> Column:
-    return unary_geom(lambda g: setops.clip_by_rect(g, xmin, ymin, xmax, ymax))(col_or_lit(col))
+    """r12 batch fast path (guide §4.2): plain-POLYGON CSR batches run the
+    level-synchronous SH kernel against the constant clip rect in one
+    vectorized pass (geo/shclip.clip_rect_const_batch — identical halfplane
+    order and arithmetic to the scalar, bytes asserted equal in
+    tests/test_r12_clip_batch.py); empty/Multi/exotic rows and non-CSR
+    batches keep the per-row scalar."""
+    x0, y0, x1, y1 = float(xmin), float(ymin), float(xmax), float(ymax)
+
+    @arrow_series_udf("binary")
+    def udf(s: pd.Series) -> pd.Series:
+        from polars_st_spark.geo import shclip as _shc
+
+        vals = s.to_numpy()
+        fast = _shc.clip_rect_const_batch(vals, x0, y0, x1, y1)
+        if fast is None:
+            return pd.Series(
+                [None if b is None else
+                 to_ewkb(setops.clip_by_rect(from_ewkb(bytes(b)), x0, y0, x1, y1))
+                 for b in s], dtype=object)
+        out, need = fast
+        for i in np.nonzero(need)[0]:
+            out[i] = to_ewkb(
+                setops.clip_by_rect(from_ewkb(bytes(vals[i])), x0, y0, x1, y1))
+        return pd.Series(out, dtype=object)
+
+    return udf(col_or_lit(col))
 
 
 def st_snap(col, other, tolerance) -> Column:

@@ -463,34 +463,56 @@ def clip_poly_poly_batch(vals_a, vals_b, mode: str):
         cne_full[lanepos[rows_a]] = cne_a
         coords, ulen = _sh_clip_units(coords, ulen, urow, cc,
                                       coff_full, cne_full)
-        # final keep/drop per unit, mirroring the scalar tail:
-        #   len >= 3 -> close, keep iff |signed area| > 1e-24
-        #   len  < 3 -> dropped; if it is the EXTERIOR ring, the whole
-        #               row's result is the empty polygon
-        row_forced_empty[urow[(uk == 0) & (ulen < 3)]] = True
-        alive = ulen >= 3
-        ai = np.nonzero(alive)[0]
-        if len(ai):
-            off_u = np.cumsum(ulen) - ulen
-            clens = ulen[ai] + 1
-            cstart = np.concatenate([[0], np.cumsum(clens)])[:-1]
-            tot = int(clens.sum())
-            u_of = np.repeat(np.arange(len(ai)), clens)
-            i_ = np.arange(tot, dtype=np.int64) - cstart[u_of]
-            src = off_u[ai][u_of] + np.minimum(i_, ulen[ai][u_of] - 1)
-            wrap = i_ == clens[u_of] - 1
-            src[wrap] = off_u[ai[u_of[wrap]]]
-            closed_buf = coords[src]
-            areas = _signed_area_units(closed_buf, cstart, clens)
-            keep = np.abs(areas) > 1e-24
-            keep &= ~row_forced_empty[urow[ai]]
-            ki = np.nonzero(keep)[0]
-            kept_row = urow[ai[ki]]
-            kept_k = uk[ai[ki]]
-            kept_len = clens[ki]
-            kept_start = cstart[ki]
+        (kept_row, kept_k, kept_len, kept_start,
+         closed_buf) = _keep_clipped_units(coords, ulen, urow, uk,
+                                           row_forced_empty)
 
-    # assemble encode arrays: rings of kept units in (row, ring_k) order
+    return _encode_clip_rows(
+        n, lane_rows, kept_row, kept_k, kept_len, kept_start, closed_buf,
+        ra.srid, nulls | flag), flag
+
+
+def _keep_clipped_units(coords, ulen, urow, uk, row_forced_empty):
+    """Final keep/drop per unit, mirroring the scalar tail:
+    len >= 3 -> close, keep iff |signed area| > 1e-24; len < 3 -> dropped,
+    and if it is the EXTERIOR ring the whole row's result is the empty
+    polygon. Returns (kept_row, kept_k, kept_len, kept_start, closed_buf);
+    ``row_forced_empty`` is updated in place."""
+    kept_row = np.empty(0, dtype=np.int64)
+    kept_k = np.empty(0, dtype=np.int64)
+    kept_len = np.empty(0, dtype=np.int64)
+    kept_start = np.empty(0, dtype=np.int64)
+    closed_buf = np.empty((0, 2))
+    row_forced_empty[urow[(uk == 0) & (ulen < 3)]] = True
+    alive = ulen >= 3
+    ai = np.nonzero(alive)[0]
+    if len(ai):
+        off_u = np.cumsum(ulen) - ulen
+        clens = ulen[ai] + 1
+        cstart = np.concatenate([[0], np.cumsum(clens)])[:-1]
+        tot = int(clens.sum())
+        u_of = np.repeat(np.arange(len(ai)), clens)
+        i_ = np.arange(tot, dtype=np.int64) - cstart[u_of]
+        src = off_u[ai][u_of] + np.minimum(i_, ulen[ai][u_of] - 1)
+        wrap = i_ == clens[u_of] - 1
+        src[wrap] = off_u[ai[u_of[wrap]]]
+        closed_buf = coords[src]
+        areas = _signed_area_units(closed_buf, cstart, clens)
+        keep = np.abs(areas) > 1e-24
+        keep &= ~row_forced_empty[urow[ai]]
+        ki = np.nonzero(keep)[0]
+        kept_row = urow[ai[ki]]
+        kept_k = uk[ai[ki]]
+        kept_len = clens[ki]
+        kept_start = cstart[ki]
+    return kept_row, kept_k, kept_len, kept_start, closed_buf
+
+
+def _encode_clip_rows(n, lane_rows, kept_row, kept_k, kept_len, kept_start,
+                      closed_buf, srid, enc_null):
+    """Assemble encode arrays (rings of kept units in (row, ring_k) order)
+    and emit EWKB rows; lane rows with zero kept rings encode as the empty
+    POLYGON."""
     order = np.lexsort((kept_k, kept_row))
     kept_row = kept_row[order]
     kept_len = kept_len[order]
@@ -504,14 +526,58 @@ def clip_poly_poly_batch(vals_a, vals_b, mode: str):
         enc_coords = closed_buf[kept_start[u_of] + i_]
     else:
         enc_coords = np.empty((0, 2))
-    # one part per lane row that kept >= 1 ring; rows with zero kept
-    # rings (and the disjoint/empty rows) encode as empty POLYGON
     grow = lane_rows[kept_row]
     prow, ring_part = (np.unique(grow, return_inverse=True)
                        if R else (np.empty(0, dtype=np.int64),
                                   np.empty(0, dtype=np.int64)))
-    enc_null = nulls | flag
-    out = RG.encode_polygonal_rows(
+    return RG.encode_polygonal_rows(
         n, np.full(n, 3, dtype=np.int64), prow, ring_part, kept_len,
-        enc_coords, ra.srid, enc_null)
-    return out, flag
+        enc_coords, srid, enc_null)
+
+
+def clip_rect_const_batch(vals, x0: float, y0: float, x1: float, y1: float):
+    """Whole-batch ``clip_by_rect`` against ONE constant rect (r12, guide
+    §4.2 — the q_clip_by_rect/rect_suite shape used to run the per-row
+    scalar SH kernel for every row). Plain single/multi-ring POLYGON rows
+    run the level-sync SH kernel against the constant clip ring — the
+    identical halfplane order ((x0,y0)→(x1,y0)→(x1,y1)→(x0,y1)→close) and
+    arithmetic as setops._sh_clip_rings, so bytes match the scalar
+    (asserted over the clip-position grid in tests/test_r12_clip_batch.py).
+    Returns ``(out, need_scalar)`` — None at null/flagged positions — or
+    None when the batch can't take the CSR path. Flagged scalar: empty
+    inputs (scalar returns GEOMETRYCOLLECTION EMPTY) and non-POLYGON types
+    (Multi recursion / collections)."""
+    rp = RG.parse_polygonal(vals)
+    if rp is None or not rp.srid_uniform:
+        return None
+    n = rp.n
+    nulls = rp.null_mask
+    nr = _row_ring_counts(rp)
+    tb = RG._rows_type_byte(vals, nulls)
+    lane = ~nulls & (tb == 3) & (nr > 0)
+    flag = ~nulls & ~lane
+    lane_rows = np.nonzero(lane)[0]
+    L = len(lane_rows)
+    lanepos = np.full(n, -1, dtype=np.int64)
+    lanepos[lane_rows] = np.arange(L)
+
+    kept_row = np.empty(0, dtype=np.int64)
+    kept_k = np.empty(0, dtype=np.int64)
+    kept_len = np.empty(0, dtype=np.int64)
+    kept_start = np.empty(0, dtype=np.int64)
+    closed_buf = np.empty((0, 2))
+    if L:
+        coords, ulen, urow, uk = _subject_units(rp, lane_rows, lanepos)
+        cc = np.array([[x0, y0], [x1, y0], [x1, y1], [x0, y1], [x0, y0]],
+                      dtype=np.float64)
+        coff = np.zeros(L, dtype=np.int64)
+        cne = np.full(L, 4, dtype=np.int64)
+        row_forced_empty = np.zeros(L, dtype=bool)
+        coords, ulen = _sh_clip_units(coords, ulen, urow, cc, coff, cne)
+        (kept_row, kept_k, kept_len, kept_start,
+         closed_buf) = _keep_clipped_units(coords, ulen, urow, uk,
+                                           row_forced_empty)
+
+    return _encode_clip_rows(
+        n, lane_rows, kept_row, kept_k, kept_len, kept_start, closed_buf,
+        rp.srid, nulls | flag), flag
