@@ -149,22 +149,30 @@ def _parser_udf(parse, srid: int | None = None):
 
 def st_from_wkt(col, srid: int = 0) -> Column:
     """(reference: parsing.py:341-356)"""
-    return _parser_udf(_wkt.from_wkt, srid)(col_or_lit(col))
+    from polars_st_spark.functions.fuse import tagged
+
+    return tagged(_parser_udf(_wkt.from_wkt, srid), col_or_lit(col))
 
 
 def st_from_ewkt(col) -> Column:
     """Parses ``SRID=n;WKT`` (reference: parsing.py:359-374)."""
-    return _parser_udf(_wkt.from_ewkt)(col_or_lit(col))
+    from polars_st_spark.functions.fuse import tagged
+
+    return tagged(_parser_udf(_wkt.from_ewkt), col_or_lit(col))
 
 
 def st_from_wkb(col, srid: int = 0) -> Column:
     """Validate/normalize WKB → EWKB (reference: parsing.py:323-338)."""
-    return _parser_udf(lambda b: from_ewkb(bytes(b)), srid)(col_or_lit(col))
+    from polars_st_spark.functions.fuse import tagged
+
+    return tagged(_parser_udf(lambda b: from_ewkb(bytes(b)), srid), col_or_lit(col))
 
 
 def st_from_geojson(col, srid: int = 0) -> Column:
     """(reference: parsing.py:377-402)"""
-    return _parser_udf(_gj.from_geojson, srid)(col_or_lit(col))
+    from polars_st_spark.functions.fuse import tagged
+
+    return tagged(_parser_udf(_gj.from_geojson, srid), col_or_lit(col))
 
 
 def st_linestring(coords_col, srid: int = 0) -> Column:
@@ -188,7 +196,9 @@ def st_linestring(coords_col, srid: int = 0) -> Column:
 
         return s.map(one)
 
-    return udf(col_or_lit(coords_col))
+    from polars_st_spark.functions.fuse import tagged
+
+    return tagged(udf, col_or_lit(coords_col))
 
 
 def st_circularstring(coords_col, srid: int = 0) -> Column:
@@ -215,7 +225,9 @@ def st_circularstring(coords_col, srid: int = 0) -> Column:
 
         return s.map(one)
 
-    return udf(col_or_lit(coords_col))
+    from polars_st_spark.functions.fuse import tagged
+
+    return tagged(udf, col_or_lit(coords_col))
 
 
 def st_multilinestring(lines_col, srid: int = 0) -> Column:
@@ -242,7 +254,9 @@ def st_multilinestring(lines_col, srid: int = 0) -> Column:
 
         return s.map(one)
 
-    return udf(col_or_lit(lines_col))
+    from polars_st_spark.functions.fuse import tagged
+
+    return tagged(udf, col_or_lit(lines_col))
 
 
 def st_polygon(rings_col, srid: int = 0) -> Column:
@@ -259,7 +273,9 @@ def st_polygon(rings_col, srid: int = 0) -> Column:
 
         return s.map(one)
 
-    return udf(col_or_lit(rings_col))
+    from polars_st_spark.functions.fuse import tagged
+
+    return tagged(udf, col_or_lit(rings_col))
 
 
 def st_multipoint(coords_col, srid: int = 0) -> Column:
@@ -280,7 +296,9 @@ def st_multipoint(coords_col, srid: int = 0) -> Column:
 
         return s.map(one)
 
-    return udf(col_or_lit(coords_col))
+    from polars_st_spark.functions.fuse import tagged
+
+    return tagged(udf, col_or_lit(coords_col))
 
 
 def st_from_coords(col, srid: int = 0) -> Column:
@@ -313,4 +331,6 @@ def st_from_coords(col, srid: int = 0) -> Column:
 
         return s.map(one)
 
-    return udf(col_or_lit(col))
+    from polars_st_spark.functions.fuse import tagged
+
+    return tagged(udf, col_or_lit(col))
