@@ -525,9 +525,38 @@ def _buffer_kernels(quad_segs: int, cap_style: str, join_style: str,
             g, float(d), qs, cap_style, join_style, mitre_limit, single_sided))
 
     can_batch = (not single_sided) and cap_style in ("round", "square")
+    # r12 line lane (geo/bufferrows.py): round joins with flat/square caps
+    # go through _buffer_general's piece-union pipeline, batched per row.
+    # round+round is excluded — the scalar intercepts it with the exact
+    # arc buffer (curves.arc_buffer_exact), which the batch does not model.
+    can_batch_lines = (
+        (not single_sided) and join_style == "round"
+        and cap_style in ("flat", "square"))
+
+    def _lines_fast(s, dv):
+        from polars_st_spark.geo import bufferrows
+
+        res = bufferrows.buffer_lines_batch(
+            s.to_numpy(), dv, qs, cap_style)
+        if res is None:
+            return None
+        outv, needv = res
+        if needv.any():
+            vals = s.to_numpy()
+            for i in np.nonzero(needv)[0]:
+                b = vals[i]
+                outv[i] = None if b is None else _scalar(
+                    from_ewkb(bytes(b)), float(dv[i]))
+        return pd.Series(outv, dtype=object)
 
     def _fast(s, dv):
-        if not can_batch or s.isna().any() or not len(s):
+        if not len(s):
+            return None
+        if can_batch_lines:
+            lineal = _lines_fast(s, dv)
+            if lineal is not None:
+                return lineal
+        if not can_batch or s.isna().any():
             return None
         fast = batch_uniform(s)
         if fast is None or fast[0] != "point2d":

@@ -763,6 +763,15 @@ def _classify_and_stitch(pieces, region_fn, srid, seg_sets):
         else:
             edges.append((Q[i], P[i]))
 
+    return _stitch_edges(edges, srid, base_eps)
+
+
+def _stitch_edges(edges, srid, base_eps):
+    """Stitch directed boundary edges (result interior on the left) into
+    rings and assemble the output geometry — the tail of
+    ``_classify_and_stitch``, extracted unchanged (r12) so the row-batched
+    buffer lane (geo/bufferrows.py) can run it per row after batched
+    noding/classification."""
     if not edges:
         return Geometry(GeometryType.Polygon, srid=srid, rings=[])
 
