@@ -534,6 +534,10 @@ def _buffer_kernels(quad_segs: int, cap_style: str, join_style: str,
         and cap_style in ("flat", "square"))
 
     def _lines_fast(s, dv):
+        import os
+
+        if os.environ.get("POLARS_ST_SPARK_NO_BUFFER_ROWS"):
+            return None  # measurement escape hatch: force the per-row kernel
         from polars_st_spark.geo import bufferrows
 
         res = bufferrows.buffer_lines_batch(
