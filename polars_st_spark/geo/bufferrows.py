@@ -155,7 +155,11 @@ def _split_rows(A, seg_rowc, seg_row_start=None, nseg_of=None):
     Abb = np.stack([np.minimum(A[:, 0], A[:, 2]), np.minimum(A[:, 1], A[:, 3]),
                     np.maximum(A[:, 0], A[:, 2]), np.maximum(A[:, 1], A[:, 3])], 1)
     margin = 4.0 * _EPS
-    if seg_row_start is not None and len(nseg_of) and int(nseg_of.max()) <= 64:
+    if (seg_row_start is not None and len(nseg_of)
+            and int(nseg_of.max()) <= 64
+            and int((nseg_of * nseg_of).sum()) <= (1 << 25)):
+        # total dense pairs capped (~33M ≈ 0.5 GB transient int64) — huge
+        # batches fall back to the grid join rather than spike worker RSS
         cnts = nseg_of[seg_rowc]
         ia_all = np.repeat(np.arange(na, dtype=np.int64), cnts)
         base = np.cumsum(cnts) - cnts
